@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** QL operator surface (SURVEY.md §2.A) re-expressed as declarative
+  * DataFrame plans over the driver testdata corpus.
+  *
+  * Each entry has a DuckDB-runnable oracle in [[QL.oracles]] with the
+  * exact same output column names (the driver's compare sorts columns
+  * by name before hashing). Conventions for engine-portable results:
+  *   - double aggregates are rounded (sum→2dp, avg→4dp) so that
+  *     summation-order differences between engines can't flip a bit;
+  *   - BIGINT sums are cast in the oracle (DuckDB SUM(BIGINT)→HUGEINT);
+  *   - ORDER BY keys always end in a unique column so LIMIT is total.
+  *
+  * Reference semantics: query shape parser.ypp:243-251; operators
+  * cg_fragment_compiler.cpp (scan/filter/project/group/order/offset/
+  * join/arrayjoin ops) — see SURVEY §2.A for file:line.
+  */
+object QL {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scan + projection pruning: only 2 columns must reach the parquet scan.
+    "ql_scan" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"))),
+
+    // WHERE filter → PushedFilters on the scan.
+    "ql_filter_where" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") <= 0.02)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))),
+
+    // Projection with arithmetic (reference test_query.py test_project1:
+    // `2*a + b - 1 as s`).
+    "ql_project_arith" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("l_quantity") * 2 + col("l_discount") - 1, 2).as("s"))),
+
+    // Hash GROUP BY with the core aggregate set (TPC-H Q1 shape).
+    "ql_group_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("cnt"))),
+
+    // GROUP BY + HAVING (filter over the aggregated stream).
+    "ql_group_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("cnt") >= 3)),
+
+    // WITH TOTALS ≈ grand-total row appended (ETotalsMode::BeforeHaving);
+    // rollup over a single key gives exactly group rows + one total row.
+    "ql_with_totals" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
+
+    // ORDER BY + LIMIT → TakeOrderedAndProject (top-k, never a full sort).
+    "ql_order_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(25)),
+
+    // OFFSET + LIMIT (distributed: bottom limit = offset+limit).
+    "ql_offset_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .offset(100).limit(50)),
+
+    // Lookup join: fact stream joined to a (broadcast) foreign table —
+    // QL's collected-key batch lookup ≈ broadcast hash join.
+    "ql_join_inner" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // LEFT lookup join with an extra join predicate (ast.h:445-480
+    // TJoin{IsLeft, Predicate}).
+    "ql_join_left" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey") && o("o_totalprice") > 200000, "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("big_orders"), count(lit(1)).as("rows"))
+    }),
+
+    // ARRAY JOIN / unnest (MakeCodegenArrayJoinOp) — explode a list built
+    // from the documents corpus; inner semantics drop empty lists.
+    "ql_array_join" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)),
+
+    // IN (tuple list) — IsRowInRowset.
+    "ql_in" -> ((s, d) =>
+      t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_21"))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))),
+
+    // BETWEEN range.
+    "ql_between" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_size").between(10, 15))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))),
+
+    // TRANSFORM(expr, from, to, default) — value remap via chained CASE.
+    "ql_transform" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status_name"))
+        .groupBy(col("status_name")).agg(count(lit(1)).as("cnt"))),
+
+    // CASE WHEN searched form.
+    "ql_case" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"))),
+
+    // LIKE / REGEXP (EStringMatchOp).
+    "ql_like" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_type").like("%AND%") || col("p_name").rlike("^s.*t$"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))),
+
+    // Subquery in FROM (nested query chain).
+    "ql_subquery_from" -> ((s, d) => {
+      val inner = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      inner.filter(col("qty") > 150)
+        .agg(count(lit(1)).as("big_orders"), round(avg(col("qty")), 4).as("avg_qty"))
+    }),
+
+    // Aggregates argmin/argmax (QL argmin/argmax → min_by/max_by).
+    "ql_argminmax" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"))),
+
+    // cardinality() HyperLogLog — approx, so no DuckDB hash oracle
+    // (HLL++ implementations differ); driver records rows-only check.
+    "ql_cardinality" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // Timestamp functions: timestamp_floor_day / format_timestamp →
+    // date_trunc / date_format over the events stream table.
+    "ql_timestamp_floor" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))),
+
+    // YSON/Any accessors (try_get_* family) — events.props is a JSON
+    // document column, exactly the `Any` pattern; get_json_object ≈
+    // get_string(any, ypath).
+    "ql_any_access" -> ((s, d) =>
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ql_scan" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation",
+    "ql_filter_where" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+         FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.02""",
+    "ql_project_arith" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         ROUND(l_quantity * 2 + l_discount - 1, 2) AS s FROM lineitem""",
+    "ql_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         ROUND(AVG(l_quantity), 4) AS avg_qty,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "ql_group_having" ->
+      """SELECT o_custkey, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""",
+    "ql_with_totals" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag)""",
+    "ql_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+    "ql_offset_limit" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    "ql_join_inner" ->
+      """SELECT o_orderstatus, ROUND(SUM(l_extendedprice), 2) AS sum_price,
+         COUNT(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
+    "ql_join_left" ->
+      """SELECT c_mktsegment, COUNT(o_orderkey) AS big_orders, COUNT(*) AS rows
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_totalprice > 200000
+         GROUP BY c_mktsegment""",
+    "ql_array_join" ->
+      """SELECT word, COUNT(*) AS cnt
+         FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id < 100)
+         WHERE LENGTH(word) > 0 GROUP BY word HAVING COUNT(*) >= 5""",
+    "ql_in" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+         WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_21')""",
+    "ql_between" ->
+      """SELECT p_brand, COUNT(*) AS cnt FROM part
+         WHERE p_size BETWEEN 10 AND 15 GROUP BY p_brand""",
+    "ql_transform" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+           ELSE 'other' END AS status_name, COUNT(*) AS cnt
+         FROM orders GROUP BY 1""",
+    "ql_case" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+           WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price
+         FROM lineitem GROUP BY 1""",
+    "ql_like" ->
+      """SELECT p_brand, COUNT(*) AS cnt FROM part
+         WHERE p_type LIKE '%AND%' OR regexp_matches(p_name, '^s.*t$')
+         GROUP BY p_brand""",
+    "ql_subquery_from" ->
+      """SELECT COUNT(*) AS big_orders, ROUND(AVG(qty), 4) AS avg_qty
+         FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS qty
+               FROM lineitem GROUP BY l_orderkey)
+         WHERE qty > 150""",
+    "ql_argminmax" ->
+      """SELECT o_orderpriority,
+         arg_max(o_orderkey, o_totalprice) AS priciest_order,
+         arg_min(o_orderkey, o_totalprice) AS cheapest_order
+         FROM orders GROUP BY o_orderpriority""",
+    "ql_timestamp_floor" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "ql_any_access" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1"""
+  )
+}

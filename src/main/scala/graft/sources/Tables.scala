@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over a testdata scale-factor directory.
+  *
+  * The reference addresses tables by Cypress path (`//path/to/table`,
+  * see /root/reference/yt/yt/client/api/table_client.h); here a "static
+  * table" is a parquet path under a directory, loaded as a DataFrame and
+  * registered as a temp view so both the DataFrame API and `spark.sql`
+  * can reach it. Scans stay declarative so Catalyst gets pushdown,
+  * pruning and vectorized parquet reads for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Load one table. Never caches — Catalyst column pruning + filter
+    * pushdown on the parquet scan beat an uncompressed memory cache at
+    * 100 TB scale.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for; we read it as a long (legacy nanosAsLong) and convert to
+    * microsecond TimestampType — the same precision the reference's
+    * Timestamp logical type carries (row_base.h: µs since epoch).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table in `dir` as a temp view (idempotent). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach { n =>
+      load(spark, dir, n).createOrReplaceTempView(n)
+    }
+}
