@@ -21,6 +21,8 @@ def canon(rows, cols):
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == -0.0: v = 0.0
+            if isinstance(v, list):
+                v = tuple(v)
             rr.append(v)
         out.append(tuple(rr))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
