@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** The static-table dataflow operations (SURVEY.md §2.B): Map, Merge,
+  * Sort, Reduce, JoinReduce, MapReduce, Erase — re-expressed over
+  * Dataset primitives so Catalyst/Tungsten own partitioning, spill and
+  * codegen.
+  *
+  * Scale notes (the 100 TB story, per operation):
+  *   - sort: `repartitionByRange` samples range bounds exactly like the
+  *     reference's samples_fetcher.cpp → TPartitionTask pivots; no
+  *     single-node sort ever happens.
+  *   - sortedReduce: shuffle once on reduceBy, secondary-sort within
+  *     partitions (sortBy), stream groups through a lazy chopper —
+  *     groups never materialize unless the user function retains them.
+  *   - joinReduce: left join by the join prefix; Catalyst picks
+  *     SMJ/broadcast; the reference's "replicate foreign rows per key
+  *     range" is exactly what a sort-merge join does after range
+  *     exchange.
+  *   - mapReduce: optional combiner runs pre-shuffle (map-side),
+  *     mirroring ReduceCombiner jobs.
+  *
+  * Reference: controllers yt/yt/server/controller_agent/controllers/
+  * (sort_controller.cpp, sorted_controller.cpp, ordered_controller.cpp),
+  * job spec yt/yt/ytlib/scheduler/config.h:1798-1997.
+  */
+object Operations {
+
+  /** Map operation (unordered): arbitrary per-partition transform —
+    * user_job.cpp's mapper as a Scala closure. Prefer declarative
+    * `select` when the transform is expressible; this is the escape
+    * hatch the reference calls a "user job".
+    */
+  def map[T, U: Encoder](input: Dataset[T])(f: Iterator[T] => Iterator[U]): Dataset[U] =
+    input.mapPartitions(f)
+
+  /** Map with an `input_query` pre-filter (PrepareJobQuery,
+    * query_preparer.cpp:1175): a QL/SQL predicate + projection pushed
+    * below the user transform so it reaches the parquet scan.
+    */
+  def mapWithInputQuery(input: DataFrame, inputQuery: String)(
+      f: Iterator[Row] => Iterator[Row]): DataFrame = {
+    val filtered = input.where(inputQuery)
+    filtered.mapPartitions(f)(Encoders.row(filtered.schema))
+  }
+
+  /** Sort operation: distributed range-partitioned sort (partition →
+    * per-partition sort → merge, sort_controller.cpp). Spark samples
+    * pivot bounds the same way the reference's samples_fetcher does.
+    */
+  def sort(input: DataFrame, sortBy: Seq[Column], partitions: Option[Int] = None): DataFrame = {
+    val ranged = partitions
+      .map(n => input.repartitionByRange(n, sortBy: _*))
+      .getOrElse(input.repartitionByRange(sortBy: _*))
+    ranged.sortWithinPartitions(sortBy: _*)
+  }
+
+  /** Merge, unordered mode: concatenate inputs (merge_job.cpp). */
+  def mergeUnordered(inputs: Seq[DataFrame]): DataFrame =
+    inputs.reduce(_ unionAll _)
+
+  /** Merge, sorted mode: k-way merge preserving sort order
+    * (sorted_merge_job.cpp / TSortedMergingReader). Implemented as
+    * union + range re-sort: identical result, and Spark's range
+    * exchange + in-partition sort is the distributed k-way merge.
+    */
+  def mergeSorted(inputs: Seq[DataFrame], sortBy: Seq[Column]): DataFrame =
+    sort(mergeUnordered(inputs), sortBy)
+
+  /** Erase operation: delete the row range matching `pred` — i.e. keep
+    * the complement (ordered_controller.cpp erase task).
+    */
+  def erase(input: DataFrame, pred: Column): DataFrame =
+    input.filter(!coalesce(pred, lit(false)))
+
+  /** Sorted reduce (SortedReduce jobs, sorted_controller.cpp): stream
+    * each `reduceBy` group — rows secondary-sorted by `sortBy` — through
+    * a user function. One shuffle on reduceBy; groups are chopped
+    * lazily from the sorted partition stream (the reference's key
+    * guarantee: one key never spans two invocations).
+    */
+  def sortedReduce(input: DataFrame, reduceBy: Seq[String], sortBy: Seq[String],
+      outputSchema: org.apache.spark.sql.types.StructType)(
+      f: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val ordered = input
+      .repartition(reduceBy.map(col): _*)
+      .sortWithinPartitions((reduceBy ++ sortBy).map(col): _*)
+    val keyIdx = reduceBy.map(ordered.schema.fieldIndex).toArray
+    ordered.mapPartitions { it =>
+      Chopper(it, keyIdx).flatMap { case (key, rows) => f(key, rows) }
+    }(Encoders.row(outputSchema))
+  }
+
+  /** JoinReduce: primary tables left-joined with foreign tables on the
+    * `joinBy` prefix, then reduced group-wise (TSortedJoiningReader,
+    * sorted_merging_reader.cpp:563). Foreign rows replicate per matching
+    * key — exactly sort-merge-join semantics, so we declare the join and
+    * let Catalyst pick SMJ (or broadcast when the foreign side is small).
+    */
+  def joinReduce(primary: DataFrame, foreign: DataFrame, joinBy: Seq[String],
+      sortBy: Seq[String],
+      outputSchema: org.apache.spark.sql.types.StructType)(
+      f: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val joined = primary.join(foreign, joinBy, "left")
+    sortedReduce(joined, joinBy, sortBy, outputSchema)(f)
+  }
+
+  /** MapReduce (fused, sort_controller.cpp): mapper → optional map-side
+    * combiner (ReduceCombiner) → shuffle on `reduceBy` → sorted reducer.
+    * The combiner runs BEFORE the exchange, so shuffled bytes shrink by
+    * the local key fan-in — the property that matters at 100 TB.
+    */
+  def mapReduce(input: DataFrame,
+      mapper: (Iterator[Row] => Iterator[Row], org.apache.spark.sql.types.StructType),
+      reduceBy: Seq[String], sortBy: Seq[String],
+      combiner: Option[Iterator[Row] => Iterator[Row]],
+      outputSchema: org.apache.spark.sql.types.StructType)(
+      f: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val (mapFn, mapSchema) = mapper
+    val mapped = input.mapPartitions(mapFn)(Encoders.row(mapSchema))
+    val combined = combiner match {
+      case Some(c) => mapped.mapPartitions(c)(Encoders.row(mapSchema))
+      case None => mapped
+    }
+    sortedReduce(combined, reduceBy, sortBy, outputSchema)(f)
+  }
+}
+
+/** Lazy group-boundary splitter over a key-sorted row stream — the
+  * reference's "chopper" (MiniKQL Chopper / the key-switch loop in
+  * sorted_merging_reader.cpp). Emits (key, groupIterator) pairs; a
+  * group left unconsumed is drained automatically when the next group
+  * is requested, so groups never buffer.
+  */
+private[graft] object Chopper {
+  def apply(rows: Iterator[Row], keyIdx: Array[Int]): Iterator[(Row, Iterator[Row])] =
+    new Iterator[(Row, Iterator[Row])] {
+      private val buf = rows.buffered
+      private var current: Iterator[Row] = Iterator.empty
+
+      private def keyOf(r: Row): Row = Row.fromSeq(keyIdx.map(i => r.get(i)).toSeq)
+      private def sameKey(a: Row, b: Row): Boolean =
+        keyIdx.forall(i => a.get(i) == b.get(i))
+
+      override def hasNext: Boolean = {
+        while (current.hasNext) current.next() // drain unconsumed group
+        buf.hasNext
+      }
+
+      override def next(): (Row, Iterator[Row]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val head = buf.head
+        val group: Iterator[Row] = new Iterator[Row] {
+          override def hasNext: Boolean = buf.hasNext && sameKey(buf.head, head)
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException
+            buf.next()
+          }
+        }
+        current = group
+        (keyOf(head), group)
+      }
+    }
+}

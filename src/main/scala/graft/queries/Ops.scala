@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Operations
+import graft.sources.Tables
+
+/** MapReduce-operation surface (SURVEY.md §2.B) driven through
+  * [[graft.operators.Operations]], each verified against a declarative
+  * SQL oracle. The user functions use integer/string arithmetic only —
+  * float math inside closures would round differently than the oracle
+  * engine.
+  */
+object Ops {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Map operation: per-row user transform as a partition closure
+    // (user_job.cpp mapper ≈ Scala closure).
+    "op_map" -> ((s, d) => {
+      val in = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))
+      val schema = StructType(Seq(
+        StructField("line_uid", LongType), StructField("flag", StringType)))
+      Operations.map(in) { rows =>
+        rows.map { r =>
+          Row(r.getLong(0) * 10L + r.getInt(1),
+            r.getString(2) + "/" + r.getString(3))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+        .groupBy(col("flag")).agg(count(lit(1)).as("cnt"),
+          sum(col("line_uid")).as("sum_uid"))
+    }),
+
+    // Map with input_query pre-filter pushed below the user job
+    // (PrepareJobQuery, query_preparer.cpp:1175).
+    "op_map_input_query" -> ((s, d) => {
+      val in = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      Operations.mapWithInputQuery(in, "o_totalprice > 300000 AND o_orderstatus = 'F'") {
+        rows => rows.map(r => Row(r.getLong(0), r.getLong(1) % 7L, r.getString(2), r.getDouble(3)))
+      }.groupBy(col("o_custkey").as("custmod"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Sort operation: sampled range partition + in-partition sort;
+    // the global position proves total order end-to-end.
+    "op_sort" -> ((s, d) => {
+      val sorted = Operations.sort(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      val schema = sorted.schema.add(StructField("pos", LongType))
+      s.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        schema)
+    }),
+
+    // Sorted merge: two sorted halves k-way merged back, positions must
+    // equal row_number over the whole table.
+    "op_merge_sorted" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
+      val keys = Seq(col("l_orderkey").asc, col("l_linenumber").asc)
+      val a = Operations.sort(li.filter(col("l_orderkey") % 2 === 0), keys)
+      val b = Operations.sort(li.filter(col("l_orderkey") % 2 =!= 0), keys)
+      val merged = Operations.mergeSorted(Seq(a, b), keys)
+      val schema = merged.schema.add(StructField("pos", LongType))
+      s.createDataFrame(
+        merged.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        schema)
+    }),
+
+    // Unordered merge: concatenation of N inputs.
+    "op_merge_unordered" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      Operations.mergeUnordered(Seq(
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") =!= "F")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Erase: delete a key range, keep the complement.
+    "op_erase" -> ((s, d) =>
+      Operations.erase(t(s, d, "orders"),
+        col("o_totalprice").between(100000, 400000))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // SortedReduce: per-key streaming reduce with secondary sort
+    // (reduce_by=custkey, sort_by=orderdate; key guarantee on).
+    "op_sorted_reduce" -> ((s, d) => {
+      val in = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val out = StructType(Seq(
+        StructField("o_custkey", LongType), StructField("cnt", LongType),
+        StructField("first_order", LongType), StructField("last_order", LongType),
+        StructField("total", DoubleType)))
+      Operations.sortedReduce(in, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), out) {
+        (key, rows) =>
+          var n = 0L; var first = -1L; var last = -1L; var sum = 0.0
+          rows.foreach { r =>
+            if (n == 0) first = r.getLong(1)
+            last = r.getLong(1); n += 1; sum += r.getDouble(3)
+          }
+          Iterator(Row(key.getLong(0), n, first, last,
+            BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }),
+
+    // JoinReduce: primary lineitem + foreign orders by join_by prefix,
+    // then group-wise reduce (foreign rows visible to every group).
+    "op_join_reduce" -> ((s, d) => {
+      val primary = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val foreign = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val out = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("status", StringType),
+        StructField("n_lines", LongType), StructField("qty", DoubleType)))
+      Operations.joinReduce(primary, foreign, Seq("l_orderkey"), Seq("l_linenumber"), out) {
+        (key, rows) =>
+          var n = 0L; var qty = 0.0; var status: String = null
+          rows.foreach { r => n += 1; qty += r.getDouble(2); status = r.getString(3) }
+          Iterator(Row(key.getLong(0), status, n,
+            BigDecimal(qty).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }),
+
+    // MapReduce with combiner: word count over documents; the combiner
+    // collapses per-partition duplicates before the shuffle.
+    "op_map_reduce" -> ((s, d) => {
+      val in = t(s, d, "documents").select(col("text"))
+      val kv = StructType(Seq(
+        StructField("word", StringType), StructField("n", LongType)))
+      val out = StructType(Seq(
+        StructField("word", StringType), StructField("cnt", LongType)))
+      val mapper: Iterator[Row] => Iterator[Row] = rows =>
+        rows.flatMap(r => r.getString(0).split(" ").iterator
+          .filter(_.nonEmpty).map(w => Row(w, 1L)))
+      val combiner: Iterator[Row] => Iterator[Row] = rows => {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach(r => m.update(r.getString(0), m.getOrElse(r.getString(0), 0L) + r.getLong(1)))
+        m.iterator.map { case (w, n) => Row(w, n) }
+      }
+      Operations.mapReduce(in, (mapper, kv), Seq("word"), Seq(), Some(combiner), out) {
+        (key, rows) =>
+          var n = 0L
+          rows.foreach(r => n += r.getLong(1))
+          Iterator(Row(key.getString(0), n))
+      }
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "op_map" ->
+      """SELECT l_returnflag || '/' || l_linestatus AS flag, COUNT(*) AS cnt,
+           CAST(SUM(l_orderkey * 10 + l_linenumber) AS BIGINT) AS sum_uid
+         FROM lineitem GROUP BY 1""",
+    "op_map_input_query" ->
+      """SELECT o_custkey % 7 AS custmod, COUNT(*) AS cnt FROM orders
+         WHERE o_totalprice > 300000 AND o_orderstatus = 'F' GROUP BY 1""",
+    "op_sort" ->
+      """SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS pos
+         FROM orders""",
+    "op_merge_sorted" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+           row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+         FROM lineitem""",
+    "op_merge_unordered" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1""",
+    "op_erase" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders WHERE NOT (o_totalprice BETWEEN 100000 AND 400000)
+         GROUP BY 1""",
+    "op_sorted_reduce" ->
+      """SELECT DISTINCT o_custkey,
+           COUNT(*) OVER p AS cnt,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           ROUND(SUM(o_totalprice) OVER p, 2) AS total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                p AS (PARTITION BY o_custkey)""",
+    "op_join_reduce" ->
+      """SELECT l_orderkey, o_orderstatus AS status, COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2""",
+    "op_map_reduce" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+           SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+         WHERE LENGTH(word) > 0 GROUP BY word"""
+  )
+}

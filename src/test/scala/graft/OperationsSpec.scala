@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Chopper, Operations}
+
+/** Operation-layer semantics on the reference's fixture shapes
+  * (FIXTURES.md A.5: primary sorted by join_by ⊆ sort_by prefix).
+  */
+class OperationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chopper splits sorted stream at key boundaries") {
+    val rows = Seq(Row(1L, "a"), Row(1L, "b"), Row(2L, "c"), Row(3L, "d"), Row(3L, "e"))
+    val groups = Chopper(rows.iterator, Array(0)).map {
+      case (k, it) => (k.getLong(0), it.map(_.getString(1)).mkString)
+    }.toList
+    assert(groups == List((1L, "ab"), (2L, "c"), (3L, "de")))
+  }
+
+  test("chopper drains unconsumed groups") {
+    val rows = Seq(Row(1L, "a"), Row(1L, "b"), Row(2L, "c"))
+    val keys = Chopper(rows.iterator, Array(0)).map(_._1.getLong(0)).toList
+    assert(keys == List(1L, 2L))
+  }
+
+  test("chopper handles null keys as a group") {
+    val rows = Seq(Row(null, "a"), Row(null, "b"), Row(5L, "c"))
+    val groups = Chopper(rows.iterator, Array(0)).map(_._2.size).toList
+    assert(groups == List(2, 1))
+  }
+
+  test("sortedReduce sees rows in secondary-sort order with key guarantee") {
+    val df = Seq(
+      ("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"),
+      ("k2", 2, "y"), ("k2", 1, "x")).toDF("k", "ord", "v")
+    val out = StructType(Seq(StructField("k", StringType), StructField("seq", StringType)))
+    val got = Operations.sortedReduce(df, Seq("k"), Seq("ord"), out) { (key, rows) =>
+      Iterator(Row(key.getString(0), rows.map(_.getString(2)).mkString))
+    }.as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "abc", "k2" -> "xy"))
+  }
+
+  test("sort produces a total order across partitions") {
+    val df = spark.range(1000).select((col("id") * 7919 % 1000).as("v"))
+    val sorted = Operations.sort(df, Seq(col("v").asc), Some(8))
+    val vals = sorted.as[Long].collect()
+    assert(vals.toSeq == vals.sorted.toSeq)
+  }
+
+  test("erase keeps the complement, including null predicate rows") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "c"))
+      .toDF("k", "v")
+    val kept = Operations.erase(df, col("k") === 1L).select("v")
+      .as[String].collect().toSet
+    // null predicate counts as not-matching the erase range → row kept
+    assert(kept == Set("b", "c"))
+  }
+
+  test("mapReduce combiner output equals no-combiner output") {
+    val in = Seq("a b a", "b c").toDF("text")
+    val kv = StructType(Seq(StructField("w", StringType), StructField("n", LongType)))
+    val out = StructType(Seq(StructField("w", StringType), StructField("cnt", LongType)))
+    val mapper: Iterator[Row] => Iterator[Row] =
+      _.flatMap(r => r.getString(0).split(" ").map(Row(_, 1L)))
+    val combiner: Iterator[Row] => Iterator[Row] = rows => {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach(r => m.update(r.getString(0), m.getOrElse(r.getString(0), 0L) + r.getLong(1)))
+      m.iterator.map { case (w, n) => Row(w, n) }
+    }
+    def run(c: Option[Iterator[Row] => Iterator[Row]]) =
+      Operations.mapReduce(in, (mapper, kv), Seq("w"), Seq(), c, out) { (k, rows) =>
+        Iterator(Row(k.getString(0), rows.map(_.getLong(1)).sum))
+      }.as[(String, Long)].collect().toMap
+    val expected = Map("a" -> 2L, "b" -> 2L, "c" -> 1L)
+    assert(run(Some(combiner)) == expected)
+    assert(run(None) == expected)
+  }
+}
