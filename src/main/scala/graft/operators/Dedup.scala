@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication: exact, MinHash+LSH, SimHash and
+  * exact n-gram Jaccard. All stages are declarative DataFrame plans —
+  * no driver-side loops — so they scale by shuffle:
+  *
+  *   - exact: one hash-aggregate on the content digest.
+  *   - minhash LSH: per-doc signature (map-only) → explode to
+  *     (band, bandHash) buckets → self-join within buckets → verify.
+  *     Shuffle volume is O(docs × bands), never O(docs²); band width
+  *     trades recall for bucket size exactly like the standard
+  *     (bands, rows) S-curve.
+  *   - simhash: 64-bit signature (map-only) → pigeonhole into
+  *     `64/chunkBits` chunks: any pair within hamming distance k must
+  *     share ≥1 exact chunk when chunks > k → bucket join → popcount
+  *     verify.
+  *
+  * The signature math uses multiply-add universal hashing over one
+  * xxhash64 base hash per shingle, with constants from a seeded PRNG —
+  * deterministic across runs and executors.
+  */
+object Dedup {
+  /** Exact dedup: keep the lowest-id row per identical content. */
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
+    df.groupBy(contentCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+  }
+
+  /** Word n-gram shingle set as distinct xxhash64 base hashes. A doc
+    * with fewer than n words has zero shingles (no partial grams).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(transform(grams, g => xxhash64(g)))
+  }
+
+  /** MinHash signature: sig_i = min_s xxhash64(h(s), salt_i) — one
+    * independent hash family member per salt, ANSI-safe (no arithmetic
+    * overflow). Array column of length numHashes.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val rnd = new java.util.Random(seed)
+    val salts = Array.fill(numHashes)(rnd.nextLong())
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(salts(i)))))
+    }: _*)
+  }
+
+  /** Near-duplicate candidate pairs via MinHash + LSH banding, verified
+    * with exact Jaccard over the shingle sets. Returns
+    * (idA, idB, jaccard) with idA < idB and jaccard >= threshold.
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    val docs = df.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // (doc, band, bandHash): hash the signature slice per band.
+    val banded = docs.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until bands).map { j =>
+          xxhash64(slice(col("sig"), j * rows + 1, rows))
+        }: _*)).as(Seq("band", "band_hash")))
+
+    val l = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      col("band"), col("band_hash"))
+    val r = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+      col("band"), col("band_hash"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over a feature-hash array: bit k of the signature
+    * is the sign of sum over features of ±1 by the feature hash's bit
+    * k. Features should be shingle hashes ([[shingleHashes]]) — word
+    * unigrams give too little margin on short documents.
+    */
+  def simhash(features: Column): Column = {
+    val hashes = features
+    val counts = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map { k =>
+          when(shiftright(h, k).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))
+        }: _*),
+        (x, y) => x + y))
+    val bitValues = array((0 until 64).map(k => lit(1L << k)): _*)
+    aggregate(
+      zip_with(counts, bitValues,
+        (c, bit) => when(c > 0, bit).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, using the
+    * pigeonhole bucket join over 64/chunkBits exact-match chunks (any
+    * pair within maxDist must agree on ≥1 chunk when chunks > maxDist).
+    * Defaults tuned for short documents: 3-gram shingle features,
+    * dist <= 5 over 8 chunks of 8 bits.
+    */
+  def simhashDup(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 5, chunkBits: Int = 8, shingleSize: Int = 3): DataFrame = {
+    val chunks = 64 / chunkBits
+    require(chunks > maxDist, "need more chunks than maxDist for pigeonhole")
+    val sigs = df.select(col(idCol).as("doc_id"),
+      simhash(shingleHashes(col(textCol), shingleSize)).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until chunks).map { j =>
+        shiftrightunsigned(col("sig"), j * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1)
+      }: _*)).as(Seq("chunk", "chunk_val")))
+    val l = chunked.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk"), col("chunk_val"))
+    val r = chunked.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk"), col("chunk_val"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above a threshold —
+    * the quadratic ground truth (use on samples; LSH is the scale path).
+    * Computed by exploding shingles and joining on shingle hash, so the
+    * join is O(shared shingles), not O(pairs).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val l = ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("s"))
+    val r = ex.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("s"))
+    l.join(r, "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design: queries are a small broadcast side; the corpus streams
+  * once. Brute force is the exact baseline (one pass, top-k per query
+  * via window over query partitions — k·|Q| rows survive the shuffle).
+  * The LSH variant buckets the corpus by random-hyperplane sign bits so
+  * each query only scans its bucket — the 100 TB path where a full scan
+  * per query batch is too expensive.
+  *
+  * All dot products run in double via zip_with + aggregate (codegen'd
+  * higher-order functions, no UDFs).
+  */
+object Similarity {
+  /** sum(a_i * b_i) in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force cosine top-k: for each query row, the k corpus
+    * rows with highest cosine similarity (excluding self-matches by id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("query_vec"), col("item_vec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Random hyperplane signature: `bits` sign bits packed into a long.
+    * Deterministic hyperplanes from a seeded PRNG, dim `dim`.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val sigBits = (0 until bits).map { j =>
+      val plane = array(planes(j).map(lit(_)): _*)
+      when(dot(vec, plane) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    sigBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: corpus and queries hashed into hyperplane-sign
+    * buckets; each query scans only probed buckets — its own plus all
+    * buckets within `probeRadius` flipped bits (multi-probe recovers
+    * near-boundary neighbors). Recall/scan-fraction scales with the
+    * radius; on clustered real embeddings small radii suffice, on
+    * near-orthogonal data push the radius up. Returns the same schema
+    * as [[bruteForceTopK]].
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      bits: Int = 8, probeRadius: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
+      hyperplaneSignature(col(vecCol), dim, bits, seed).as("bucket"))
+    // multi-probe: all masks with <= probeRadius bits set
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val probes = array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        hyperplaneSignature(col(vecCol), dim, bits, seed).as("sig"))
+      .select(col("query_id"), col("query_vec"), explode(probes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("query_vec"), col("item_vec")).as("cos"))
+      .dropDuplicates("query_id", "item_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language identification and document fingerprinting. All
+  * map-only column expressions (codegen'd, no shuffle) — at 100 TB these
+  * run at scan speed.
+  */
+object TextAnalysis {
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => length(w) > 0)).cast("long")
+
+  /** BPE-ish subword token estimate: word-piece regex split — runs of
+    * letters, digits, or single punctuation, ~4 chars per piece cap.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(
+      filter(split(text, "\\s+"), w => length(w) > 0),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** Mean word length. */
+  def meanWordLen(text: Column): Column = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    (length(text) - size(words) + 1).cast("double") /
+      greatest(size(words).cast("double"), lit(1.0))
+  }
+
+  /** Stopword ratio against a given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val words = filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    size(filter(words, w => w.isin(stopwords.map(lit(_)): _*))).cast("double") /
+      greatest(size(words).cast("double"), lit(1.0))
+  }
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+  /** Composite quality score in [0,1]: long texts with normal word lengths,
+    * some stopwords and little punctuation score high — the standard
+    * heuristic-filter recipe (length/punct/stopword ratios).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val wl = meanWordLen(text)
+    val wordLenScore = when(wl.between(3.0, 10.0), 1.0).otherwise(0.3)
+    val punctScore = when(punctRatio(text) < 0.2, 1.0).otherwise(0.2)
+    val stopScore = least(stopwordRatio(text, enStop) * 5.0, lit(1.0))
+    round(lenScore * 0.3 + wordLenScore * 0.3 + punctScore * 0.2 + stopScore * 0.2, 4)
+  }
+
+  /** Language-ID by stopword/character heuristics — an n-gram-free
+    * fasttext-style fallback: score each language by its marker-word hit
+    * rate plus script detection for CJK; highest score wins, 'und' when
+    * nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "for", "with", "was"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+      "es" -> Seq("el", "los", "las", "es", "una", "en", "que", "por", "con", "para"))
+    val words = filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    val nWords = greatest(size(words).cast("double"), lit(1.0))
+    val scores = markers.map { case (lang, stops) =>
+      (lang, size(filter(words, w => w.isin(stops.map(lit(_)): _*))).cast("double") / nWords)
+    }
+    // CJK script dominates any stopword score when present.
+    val cjkRatio =
+      (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0))
+    val best = scores.foldLeft((lit("und"), lit(0.005))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(cjkRatio > 0.2, lit("zh")).otherwise(best._1)
+  }
+
+  /** Rolling-hash document fingerprint: min-k sketch of word 4-gram
+    * hashes, collapsed to one 64-bit value. Stable under whitespace
+    * normalization; near-identical docs share fingerprints of their
+    * min-shingles with high probability.
+    */
+  def fingerprint(text: Column, shingleSize: Int = 4, sketchSize: Int = 8): Column = {
+    val sh = Dedup.shingleHashes(text, shingleSize)
+    val minK = slice(array_sort(sh), 1, sketchSize)
+    xxhash64(minK)
+  }
+}

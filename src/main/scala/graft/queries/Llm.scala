@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data pipeline operators over the documents/embeddings
+  * corpus: deduplication (exact / MinHash-LSH / SimHash / exact n-gram
+  * Jaccard), embedding similarity search (brute force + LSH), text
+  * analysis and multimodal plumbing.
+  *
+  * Oracle strategy: everything DuckDB can recompute exactly gets a SQL
+  * oracle (exact dedup, n-gram jaccard via shingle explode+join, brute
+  * force cosine via DOUBLE[] list functions, token/char stats,
+  * multimodal byte metadata). Signature-based ops (minhash/simhash/LSH
+  * buckets) are hash-function-specific → rows-only gate here, recall
+  * cross-checked against the exact result in LlmSpec.
+  */
+object Llm {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by full text: canonical id + duplicate count.
+    "llm_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), Seq("text"), "doc_id")
+        .groupBy().agg(count(lit(1)).as("n_unique"),
+          sum(col("dup_count")).as("n_docs"),
+          min(col("doc_id")).as("min_id"))),
+
+    // Exact n-gram Jaccard near-dup pairs (quadratic ground truth).
+    "llm_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        shingleSize = 3, threshold = 0.5)),
+
+    // MinHash+LSH near-dup pairs — signature-based; verified exactly in
+    // LlmSpec against llm_dedup_ngram (recall 1.0 at j>=0.8 on corpus).
+    "llm_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 128, bands = 16, threshold = 0.8)),
+
+    // SimHash near-dup pairs (3-gram features, hamming distance <= 5).
+    "llm_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id",
+        maxDist = 5, chunkBits = 8)),
+
+    // Brute-force cosine top-5 for 10 query vectors — exact baseline.
+    "llm_sim_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // LSH-bucketed ANN, same shape; recall vs brute force in LlmSpec.
+    "llm_sim_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+        bits = 8, probeRadius = 3)
+    }),
+
+    // Token counting: whitespace + subword estimate.
+    "llm_text_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))),
+
+    // Quality scoring components (ratios are engine-portable: counts
+    // divided by counts, rounded).
+    "llm_text_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // Language-ID heuristic — corpus text is synthetic English-ish, so
+    // the interesting assertions live in LlmSpec on real multilingual
+    // fixtures; here the distribution is the smoke surface.
+    "llm_text_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("cnt"))),
+
+    // Document fingerprint: min-k sketch rolling hash.
+    "llm_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy().agg(count_distinct(col("fp")).as("n_fingerprints"),
+          count(lit(1)).as("n_docs"))),
+
+    // Multimodal plumbing: binary payload + stubbed batched decode;
+    // byte_len is real (UTF-8 length) and oracle-checked.
+    "llm_multimodal_meta" -> ((s, d) => {
+      val withBin = Multimodal.withBinaryPayload(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "text", "payload")
+      Multimodal.decodeMeta(withBin, "payload", "meta")
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT COUNT(*) AS n_unique, CAST(SUM(dup_count) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_id
+         FROM (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+               FROM documents GROUP BY text)""",
+    "llm_dedup_ngram" ->
+      """WITH sh AS (
+           SELECT doc_id, s, n_sh FROM (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 list_zip(words, words[2:], words[3:])[:greatest(len(words)-2,0)],
+                 w -> w[1] || ' ' || w[2] || ' ' || w[3])) AS shset
+             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+           ), UNNEST(shset) AS u(s), LATERAL (SELECT len(shset) AS n_sh)
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(COUNT(*)::DOUBLE /
+             (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING COUNT(*)::DOUBLE /
+           (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)) >= 0.5""",
+    "llm_sim_bruteforce" ->
+      """SELECT query_id, item_id, ROUND(cos, 4) AS cos, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10
+         ) WHERE rank <= 5""",
+    "llm_text_tokens" ->
+      """SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
+           CAST(list_sum(list_transform(
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
+             w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+         FROM documents""",
+    "llm_text_quality" ->
+      """SELECT doc_id,
+           ROUND((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+             greatest(len(text), 1)::DOUBLE, 4) AS punct_ratio,
+           ROUND((len(text) - n_words + 1)::DOUBLE / greatest(n_words, 1), 4)
+             AS mean_word_len,
+           ROUND(least(len(text) / 500.0, 1.0) * 0.3 +
+             (CASE WHEN (len(text) - n_words + 1)::DOUBLE / greatest(n_words, 1)
+               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+             (CASE WHEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+               greatest(len(text), 1)::DOUBLE < 0.2 THEN 1.0 ELSE 0.2 END) * 0.2 +
+             least((len(list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+               / greatest(n_words, 1)) * 5.0, 1.0) * 0.2, 4) AS quality
+         FROM (SELECT doc_id, text,
+                 len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))
+                   AS n_words
+               FROM documents)""",
+    "llm_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+         FROM documents"""
+  )
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Semantics of the signature-based LLM-pipeline operators that the
+  * DuckDB oracle can't recompute: MinHash-LSH recall vs exact Jaccard,
+  * SimHash containment, ANN recall vs brute force, language-ID on real
+  * multilingual fixtures, fingerprint stability.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("minhash LSH finds exactly the exact-jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id", 3, 128, 16, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH post-verifies with exact jaccard, so no false positives; at
+    // j>=0.8 with 16 bands of 8 rows recall is ~1.
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    assert(exact.nonEmpty, "corpus should contain injected near-dups")
+  }
+
+  test("simhash recalls most true near-dups with high precision") {
+    val truePairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashDup(docs, "text", "doc_id", maxDist = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truePairs.nonEmpty)
+    // short docs (~100 shingles) put true-dup distances in 1..10 while
+    // random pairs sit at ~32 (p5=25): dist<=5 recalls most, no noise.
+    val recall = (truePairs & sim).size.toDouble / truePairs.size
+    assert(recall >= 0.5, s"recall=$recall")
+    val loose = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim.subsetOf(loose), s"false positives: ${sim -- loose}")
+  }
+
+  test("lsh ANN beats its scan fraction on near-orthogonal data") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, 5, dim = 64, bits = 8,
+      probeRadius = 3)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    // synthetic embeddings are near-orthogonal (max cos 0.51), the
+    // hardest case for LSH: radius-3 probing scans ~37% of the corpus
+    // for ~50% expected recall. Clustered real embeddings do far better.
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("brute-force top-k ranks by true cosine") {
+    val queries = emb.filter(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(emb, queries, 3)
+      .orderBy("rank").select("item_id", "cos")
+      .as[(Long, Double)].collect()
+    assert(got.length == 3)
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("langId identifies real multilingual text") {
+    val fixtures = Seq(
+      ("the cat sat on the mat and it was happy that the sun is out", "en"),
+      ("der hund ist nicht in das haus und die katze ist auf der straße", "de"),
+      ("le chat est dans la maison et les oiseaux sont pour la plupart", "fr"),
+      ("el perro es una mascota y los gatos son animales que viven en las casas", "es"),
+      ("这是一个中文句子用来测试语言识别", "zh"),
+      ("xyzzy plugh qwerty", "und")).toDF("text", "expected")
+    val got = fixtures.withColumn("pred", TextAnalysis.langId(col("text")))
+      .filter(col("pred") =!= col("expected")).count()
+    assert(got == 0)
+  }
+
+  test("fingerprint is stable and discriminates") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("token counts match a hand count") {
+    val df = Seq("one two  three", "", "  ", "single").toDF("text")
+    val got = df.select(TextAnalysis.tokenCount(col("text"))).as[Long].collect().toSeq
+    assert(got == Seq(3L, 0L, 0L, 1L))
+  }
+
+  test("multimodal decode passes nulls through and derives byte_len") {
+    val df = Seq((1L, "hello"), (2L, null)).toDF("id", "s")
+      .withColumn("payload", when(col("s").isNotNull, encode(col("s"), "UTF-8")))
+    val got = Multimodal.decodeMeta(df, "payload", "meta")
+      .select(col("id"), col("meta.byte_len")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(1L).contains(5L))
+    assert(got(2L).isEmpty)
+  }
+
+  test("frame sampling emits one row per frame slice") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "s")
+      .withColumn("payload", encode(col("s"), "UTF-8"))
+    val frames = Multimodal.sampleFrames(df, "payload", 4)
+    assert(frames.count() == 2) // 10 bytes / 4 → frames 0,1 (floor-1 clamp)
+  }
+}
