@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.{shims => ExpressionUtils}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+/** Uint64 semantics over LongType (SURVEY.md §7.4 hard part #1).
+  *
+  * The reference's uint64 wire type (row_base.h EValueType::Uint64) has
+  * no JVM/Spark counterpart; we carry the 64 raw bits in a LongType and
+  * give the operations unsigned meaning:
+  *   - ordering: flip the sign bit, then signed compare — a pure
+  *     built-in-expression rewrite, fully codegen'd;
+  *   - div/mod: native Catalyst expressions emitting
+  *     Long.divideUnsigned/remainderUnsigned in codegen;
+  *   - to/from string: Long.toUnsignedString / parseUnsignedLong.
+  *
+  * add/subtract/multiply wrap identically for signed and unsigned 2's
+  * complement, so built-in arithmetic is already correct (use
+  * `u64_add`-style wrappers to escape ANSI overflow checks).
+  */
+object Uint64 {
+  private val signBit = lit(Long.MinValue)
+
+  /** Biased view: unsigned order of x equals signed order of x^MIN. */
+  private def biased(c: Column): Column = c.bitwiseXOR(signBit)
+
+  def u64_lt(a: Column, b: Column): Column = biased(a) < biased(b)
+  def u64_leq(a: Column, b: Column): Column = biased(a) <= biased(b)
+  def u64_gt(a: Column, b: Column): Column = biased(a) > biased(b)
+  def u64_geq(a: Column, b: Column): Column = biased(a) >= biased(b)
+  def u64_min(a: Column, b: Column): Column = when(u64_lt(a, b), a).otherwise(b)
+  def u64_max(a: Column, b: Column): Column = when(u64_gt(a, b), a).otherwise(b)
+
+  def u64_div(a: Column, b: Column): Column =
+    ExpressionUtils.column(UnsignedDivide(expr(a), expr(b)))
+  def u64_mod(a: Column, b: Column): Column =
+    ExpressionUtils.column(UnsignedRemainder(expr(a), expr(b)))
+
+  def u64_to_string(a: Column): Column =
+    ExpressionUtils.column(UnsignedToString(expr(a)))
+  def parse_u64(a: Column): Column =
+    ExpressionUtils.column(ParseUnsigned(expr(a)))
+
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Long.divideUnsigned as a codegen'd expression; throws on zero
+  * divisor like QL does (cg_routines.cpp ThrowQueryException on
+  * division by zero).
+  */
+case class UnsignedDivide(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(LongType, LongType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.divideUnsigned(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.divideUnsigned($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class UnsignedRemainder(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(LongType, LongType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.remainderUnsigned(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.remainderUnsigned($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class UnsignedToString(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.lang.Long.toUnsignedString(v.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.lang.Long.toUnsignedString($a));")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class ParseUnsigned(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.parseUnsignedLong(v.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = java.lang.Long.parseUnsignedLong($a.toString());")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Aggregators, QLFunctions => F, Uint64 => U}
+import graft.sources.Tables
+
+/** QL scalar-function and custom-aggregate surface (SURVEY.md §2.A
+  * function registry + §7.3 custom Aggregators), oracle-checked.
+  * Uint64 oracles emulate unsigned 64-bit in DuckDB via HUGEINT
+  * mod-2^64 → UBIGINT.
+  */
+object Fns {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // if_null / is_null / if / casts / is_substr / is_prefix.
+    "ql_fn_scalar" -> ((s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          F.if_null(nullif(col("p_brand"), lit("BRAND_1")), lit("DEFAULT")).as("brand_or_default"),
+          F.`if`(col("p_size") > 25, lit("big"), lit("small")).as("size_class"),
+          F.string(col("p_size")).as("size_str"),
+          F.is_substr(lit("wid"), col("p_name")).as("has_wid"),
+          F.is_prefix(lit("small"), col("p_name")).as("is_small"))),
+
+    // regex family over part names.
+    "ql_fn_regex" -> ((s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          F.regex_full_match("[a-z]+ (bolt|gear)", col("p_name")).as("is_bg"),
+          F.regex_extract("^([a-z]+) ", col("p_name"), 1).as("first_word"),
+          F.regex_replace_all("[aeiou]", col("p_name"), "_").as("devoweled"))),
+
+    // uint64 semantics: wrap-around longs treated as unsigned.
+    "ql_fn_u64" -> ((s, d) => {
+      val h = shiftleft(col("o_orderkey") + 7, 44)
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          U.u64_to_string(h).as("u_str"),
+          U.u64_to_string(U.u64_div(h, lit(1000L))).as("u_div"),
+          U.u64_mod(h, lit(1000L)).as("u_mod"),
+          U.u64_gt(h, lit(Long.MinValue)).as("u_top_half"))
+    }),
+
+    // Any/YSON accessor family over the JSON props column.
+    "ql_fn_any" -> ((s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          F.try_get_int64(col("props"), "/k").as("k"),
+          F.try_get_double(col("props"), "/k").as("kd"),
+          F.try_get_string(col("props"), "/missing").as("missing"),
+          F.is_null(F.try_get_int64(col("props"), "/missing")).as("missing_is_null"))),
+
+    // datetime floors + formatting.
+    "ql_fn_datetime" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(
+          F.format_timestamp(F.timestamp_floor_week(col("ts")), "yyyy-MM-dd").as("week"),
+          F.format_timestamp(F.timestamp_floor_month(col("ts")), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // list constructors and membership.
+    "ql_fn_list" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          F.list_contains(F.make_list(col("l_returnflag"), col("l_linestatus")), lit("R"))
+            .as("has_r"),
+          F.list_has_intersection(
+            F.make_list(col("l_returnflag"), col("l_linestatus")),
+            F.make_list(lit("A"), lit("O"))).as("overlaps_ao"))),
+
+    // TRANSFORM value remap.
+    "ql_fn_transform" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(F.transform_value(col("o_orderpriority"),
+          Seq("1-URGENT", "2-HIGH"), Seq("hot", "warm"), lit("cold")).as("heat"))
+        .groupBy(col("heat")).agg(count(lit(1)).as("cnt"))),
+
+    // dict_sum custom Aggregator: merge maps summing per-key counts.
+    "ql_agg_dict_sum" -> ((s, d) => {
+      val dictSum = udaf(Aggregators.dictSum)
+      t(s, d, "events")
+        .select(col("event_type"),
+          map(get_json_object(col("props"), "$.k"), lit(1L)).as("m"))
+        .groupBy(col("event_type"))
+        .agg(dictSum(col("m")).as("dict"))
+        .select(col("event_type"), explode(col("dict")).as(Seq("k", "cnt")))
+    }),
+
+    // top_by custom Aggregator: top-3 orderkeys by totalprice.
+    "ql_agg_top_by" -> ((s, d) => {
+      val top3 = udaf(Aggregators.topBy(3))
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(top3(col("o_orderkey"), col("o_totalprice")).as("top_orders"))
+    }),
+
+    // bool_xor + checked_sum custom Aggregators.
+    "ql_agg_boolxor_checked" -> ((s, d) => {
+      val bx = udaf(Aggregators.boolXor)
+      val cs = udaf(Aggregators.checkedSum)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(bx(col("l_discount") > 0.05).as("xor_disc"),
+          cs(col("l_orderkey")).as("key_sum"))
+    }),
+
+    // linear histogram custom Aggregator, exploded to (bin, cnt) rows.
+    "ql_agg_histogram" -> ((s, d) => {
+      val hist = udaf(Aggregators.linearHistogram(50000.0))
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(hist(col("o_totalprice")).as("h"))
+        .select(col("o_orderstatus"), explode(col("h")).as("bin"))
+        .select(col("o_orderstatus"), col("bin._1").as("bin_start"),
+          col("bin._2").as("cnt"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ql_fn_scalar" ->
+      """SELECT p_partkey,
+           COALESCE(NULLIF(p_brand, 'BRAND_1'), 'DEFAULT') AS brand_or_default,
+           CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class,
+           CAST(p_size AS VARCHAR) AS size_str,
+           contains(p_name, 'wid') AS has_wid,
+           starts_with(p_name, 'small') AS is_small
+         FROM part""",
+    "ql_fn_regex" ->
+      """SELECT p_partkey,
+           regexp_full_match(p_name, '[a-z]+ (bolt|gear)') AS is_bg,
+           regexp_extract(p_name, '^([a-z]+) ', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+         FROM part""",
+    "ql_fn_u64" ->
+      """WITH h AS (SELECT o_orderkey,
+             CAST((((o_orderkey + 7)::HUGEINT * 17592186044416) %
+               18446744073709551616) AS UBIGINT) AS hu
+           FROM orders)
+         SELECT o_orderkey,
+           CAST(hu AS VARCHAR) AS u_str,
+           CAST(hu // 1000 AS VARCHAR) AS u_div,
+           CAST(hu % 1000 AS BIGINT) AS u_mod,
+           hu > 9223372036854775808::UBIGINT AS u_top_half
+         FROM h""",
+    "ql_fn_any" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd,
+           json_extract_string(props, '$.missing') AS missing,
+           json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+         FROM events""",
+    "ql_fn_datetime" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2""",
+    "ql_fn_list" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           list_contains([l_returnflag, l_linestatus], 'R') AS has_r,
+           list_has_any([l_returnflag, l_linestatus], ['A', 'O']) AS overlaps_ao
+         FROM lineitem""",
+    "ql_fn_transform" ->
+      """SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 'hot'
+           WHEN '2-HIGH' THEN 'warm' ELSE 'cold' END AS heat, COUNT(*) AS cnt
+         FROM orders GROUP BY 1""",
+    "ql_agg_dict_sum" ->
+      """SELECT event_type, json_extract_string(props, '$.k') AS k,
+           COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2""",
+    "ql_agg_top_by" ->
+      """SELECT o_orderpriority,
+           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
+             AS top_orders
+         FROM orders GROUP BY o_orderpriority""",
+    "ql_agg_boolxor_checked" ->
+      """SELECT l_returnflag,
+           (COUNT(*) FILTER (WHERE l_discount > 0.05)) % 2 = 1 AS xor_disc,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+         FROM lineitem GROUP BY l_returnflag""",
+    "ql_agg_histogram" ->
+      """SELECT o_orderstatus, floor(o_totalprice / 50000) * 50000 AS bin_start,
+           COUNT(*) AS cnt
+         FROM orders GROUP BY 1, 2"""
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Aggregators, QLFunctions => F, Uint64 => U}
+
+/** Uint64 semantics (FIXTURES.md A.1 `ku` column cases), QL function
+  * registry behavior, and custom Aggregator laws (merge associativity
+  * via repartitioned runs).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uint64 ordering: -1L is the max unsigned value") {
+    val df = Seq(-1L, 0L, 1L, Long.MinValue, Long.MaxValue).toDF("v")
+    val maxU = df.agg(max(col("v").bitwiseXOR(lit(Long.MinValue)))
+      .bitwiseXOR(lit(Long.MinValue))).as[Long].head()
+    assert(maxU == -1L) // 0xFFFF... == 2^64-1
+    val lt = df.select(U.u64_lt(col("v"), lit(-1L))).as[Boolean].collect()
+    assert(lt.count(identity) == 4) // everything but -1 itself
+  }
+
+  test("uint64 div/mod/to_string match java unsigned semantics") {
+    val vals = Seq(-1L, -123456789L, Long.MinValue, 42L)
+    val df = vals.toDF("v")
+    val got = df.select(
+      U.u64_to_string(col("v")),
+      U.u64_to_string(U.u64_div(col("v"), lit(1000L))),
+      U.u64_mod(col("v"), lit(1000L))).as[(String, String, Long)].collect()
+    vals.zip(got).foreach { case (v, (s, d, m)) =>
+      assert(s == java.lang.Long.toUnsignedString(v))
+      assert(d == java.lang.Long.toUnsignedString(java.lang.Long.divideUnsigned(v, 1000L)))
+      assert(m == java.lang.Long.remainderUnsigned(v, 1000L))
+    }
+  }
+
+  test("parse_u64 round-trips the top half") {
+    val df = Seq("18446744073709551615", "9223372036854775808").toDF("s")
+    val got = df.select(U.parse_u64(col("s"))).as[Long].collect().toSeq
+    assert(got == Seq(-1L, Long.MinValue))
+  }
+
+  test("registered SQL functions work in spark.sql") {
+    F.registerAll(spark)
+    val r = spark.sql(
+      "SELECT u64_to_string(u64_div(-1L, 10L)) AS d, if_null(NULL, 7) AS c")
+      .as[(String, Int)].head()
+    assert(r == ("1844674407370955161", 7))
+  }
+
+  test("ypath accessors translate paths and coerce types") {
+    val df = Seq("""{"a": {"b": 5}, "list": [1, 2, 3]}""").toDF("any")
+    val got = df.select(
+      F.try_get_int64(col("any"), "/a/b"),
+      F.try_get_string(col("any"), "/list/1"),
+      F.try_get_int64(col("any"), "/nope")).as[(Option[Long], Option[String], Option[Long])].head()
+    assert(got == ((Some(5L), Some("2"), None)))
+  }
+
+  test("is_finite flags nan and infinities") {
+    val df = Seq(1.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("v")
+    val got = df.select(F.is_finite(col("v"))).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, false, false))
+  }
+
+  test("dict_sum merges maps across partitions") {
+    val dictSum = udaf(Aggregators.dictSum)
+    val df = Seq(Map("a" -> 1L), Map("a" -> 2L, "b" -> 5L), Map("b" -> 1L))
+      .toDF("m").repartition(3)
+    val got = df.agg(dictSum(col("m"))).as[Map[String, Long]].head()
+    assert(got == Map("a" -> 3L, "b" -> 6L))
+  }
+
+  test("checked_sum throws on overflow instead of wrapping") {
+    val cs = udaf(Aggregators.checkedSum)
+    val ok = Seq(1L, 2L, 3L).toDF("v").agg(cs(col("v"))).as[Long].head()
+    assert(ok == 6L)
+    val boom = intercept[Exception] {
+      Seq(Long.MaxValue, 1L).toDF("v").agg(cs(col("v"))).as[Long].head()
+    }
+    assert(boom.toString.toLowerCase.contains("overflow") ||
+      boom.getCause != null)
+  }
+
+  test("top_by keeps the k largest by key in order") {
+    val top2 = udaf(Aggregators.topBy(2))
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (4L, 9.0)).toDF("v", "key")
+      .repartition(2)
+    val got = df.agg(top2(col("v"), col("key"))).as[Seq[Long]].head()
+    assert(got == Seq(2L, 4L)) // key 9.0 twice, tie broken by value asc
+  }
+}
