@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sorted/ordered dynamic-table semantics (SURVEY.md §2.C) as
+  * DataFrame transforms over an immutable write log.
+  *
+  * The reference's sorted dynamic table is an MVCC key-value table:
+  * every write carries a timestamp, reads merge versions per key with
+  * latest-wins for regular columns and a fold for aggregate columns,
+  * and deletes are tombstones that cut off everything older
+  * (TSchemafulRowMerger, yt/yt/ytlib/table_client/row_merger.cpp:19-343;
+  * aggregate columns row_merger.cpp:227-246 and docs
+  * sorted-dynamic-tables.md:171-177). Here the table IS the log — a
+  * DataFrame of (key..., ts, op, values...) — and each read verb is a
+  * declarative merge Catalyst can distribute:
+  *
+  *   - latest-wins = one hash aggregation `max_by(struct(values), ts)`
+  *     per key — a single shuffle with map-side partial aggregation, no
+  *     window sort. At 100 TB this is the cheapest possible plan: the
+  *     log shuffles once on the key, partials collapse most versions
+  *     before the exchange.
+  *   - tombstones: the merge keeps the latest row including deletes,
+  *     then filters `op != delete` — same one-pass shape the reference's
+  *     merger uses (delete timestamps cut the version stream).
+  *   - aggregate columns: writes newer than the last tombstone fold
+  *     with sum/min/max/first exactly like EAggregateFunction merges.
+  *   - versioned reads: filter `ts <= asOf` *before* the merge — the
+  *     predicate reaches the parquet scan, so a time-travel read prunes
+  *     row groups by ts min/max stats instead of replaying history.
+  *
+  * Ordered dynamic tables (queues) are append-only logs addressed by
+  * `($tablet_index, $row_index)` (ordered-dynamic-tables.md:32-43);
+  * PullQueue/PullRows (queue_client.h:101-154) become offset-range
+  * scans, which prune to one tablet's partition.
+  */
+object DynTable {
+
+  val OpUpsert = "upsert"
+  val OpDelete = "delete"
+
+  /** Latest state of a write log: one row per key, latest-wins on every
+    * value column, rows whose last version is a tombstone dropped.
+    *
+    * `log` must carry `ts` (version order) and `op` (upsert|delete)
+    * columns; everything in `keys` is the key; all other columns are
+    * values merged latest-wins.
+    */
+  def readLatest(log: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = log.columns.filterNot(c => keys.contains(c) || c == "ts" || c == "op")
+    val merged = log
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max_by(struct((valueCols :+ "op").map(col): _*), col("ts")).as("_latest"),
+        max(col("ts")).as("_ts"))
+    merged
+      .where(col("_latest.op") === OpUpsert)
+      .select(keys.map(col) ++ valueCols.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** Versioned read: table state as of timestamp `asOf` — the
+    * reference's `LookupRows`/`SelectRows` at a timestamp
+    * (dynamic_table_client.h:96-115). The ts filter is applied before
+    * the merge so it pushes to the scan.
+    */
+  def readAsOf(log: DataFrame, keys: Seq[String], asOf: Column): DataFrame =
+    readLatest(log.where(col("ts") <= asOf), keys)
+
+  /** Point lookup by key set (`LookupRows`/`MultiLookupRows`,
+    * dynamic_table_client.h:96-108): equality/IN predicates on the key
+    * prefix so the scan prunes. Merge happens only on the surviving
+    * sliver.
+    */
+  def lookup(log: DataFrame, keys: Seq[String], keyValues: Seq[Seq[Any]]): DataFrame = {
+    val pred = keyValues
+      .map(vs => keys.zip(vs).map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
+    readLatest(log.where(pred), keys)
+  }
+
+  /** Aggregate-column merge (row_merger.cpp:227-246): for each key,
+    * non-aggregate columns are latest-wins; each aggregate column folds
+    * every write *newer than the last tombstone* with its function
+    * (sum|min|max|first — EAggregateFunction, query_common.h:84-88).
+    * `first` in the reference means "keep stored value" = oldest
+    * surviving write.
+    *
+    * One shuffle: tombstone horizon and the folds are all aggregates
+    * over the same grouping, computed in a single hash aggregation with
+    * conditional inputs — no self-join with the horizon.
+    */
+  def readWithAggregates(
+      log: DataFrame,
+      keys: Seq[String],
+      aggColumns: Map[String, String]): DataFrame = {
+    val valueCols = log.columns.filterNot(c => keys.contains(c) || c == "ts" || c == "op")
+    val plainCols = valueCols.filterNot(aggColumns.contains)
+    val aggExprs: Seq[Column] =
+      Seq(
+        max(when(col("op") === OpDelete, col("ts"))).as("_del_ts"),
+        max(when(col("op") === OpUpsert, col("ts"))).as("_max_up_ts")) ++
+        plainCols.map(c =>
+          max_by(when(col("op") === OpUpsert, col(c)), when(col("op") === OpUpsert, col("ts"))).as(s"_lw_$c")) ++
+        aggColumns.toSeq.map { case (c, fn) =>
+          // collect (ts, v) pairs is what we must NOT do at scale; instead
+          // fold conditionally: values at ts > last delete. Since the
+          // horizon is itself part of this aggregation, fold over the
+          // full list once via sorted array — bounded by versions/key
+          // (reference caps values per row at 1024, faq.md:73).
+          sort_array(collect_list(
+            struct(col("ts"), col("op"), col(c).as("v")))).as(s"_vs_$c")
+        }
+    val folded = log.groupBy(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    val out = aggColumns.toSeq.foldLeft(folded) { case (df, (c, fn)) =>
+      val alive = filter(col(s"_vs_$c"),
+        x => x.getField("op") === OpUpsert &&
+          (isnull(col("_del_ts")) || x.getField("ts") > col("_del_ts")))
+      val vs = transform(alive, _.getField("v"))
+      val merged = fn match {
+        case "sum"   => aggregate(vs, lit(null).cast(log.schema(c).dataType),
+          (acc, v) => when(isnull(acc), v).otherwise(acc + v))
+        case "min"   => array_min(vs)
+        case "max"   => array_max(vs)
+        case "first" => element_at(vs, 1)
+      }
+      df.withColumn(s"_agg_$c", merged)
+    }
+    out
+      .where(isnull(col("_del_ts")) || col("_max_up_ts") > col("_del_ts"))
+      .select(keys.map(col) ++
+        plainCols.map(c => col(s"_lw_$c").as(c)) ++
+        aggColumns.keys.toSeq.map(c => col(s"_agg_$c").as(c)): _*)
+      // a key whose post-tombstone writes are all delete-free but whose
+      // aggregate list is empty keeps null — same as a fresh row.
+  }
+
+  /** Ordered dynamic table: assign `($tablet_index, $row_index)` system
+    * columns (ordered-dynamic-tables.md:38-43). The tablet is a stable
+    * function of `tabletExpr`; row_index is the append order within the
+    * tablet. The window sorts per-tablet only — shuffle on tablet, sort
+    * within partition, never a global sort.
+    */
+  def withOffsets(df: DataFrame, tabletExpr: Column, orderBy: Seq[Column]): DataFrame =
+    df.withColumn("tablet_index", tabletExpr)
+      .withColumn("row_index", (row_number().over(
+        Window.partitionBy(col("tablet_index")).orderBy(orderBy: _*)) - lit(1)).cast("long"))
+
+  /** PullQueue (queue_client.h:109-127): read `[offset, offset+limit)`
+    * from one tablet of an ordered table. The tablet predicate prunes
+    * to one partition; the row_index range is the consumer offset
+    * window.
+    */
+  def pullQueue(ordered: DataFrame, tabletIndex: Int, offset: Long, limit: Long): DataFrame =
+    ordered.where(col("tablet_index") === tabletIndex &&
+      col("row_index") >= offset && col("row_index") < offset + limit)
+}

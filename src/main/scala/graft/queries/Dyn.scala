@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.DynTable
+import graft.sources.Tables
+
+/** Dynamic-table data-plane surface (SURVEY.md §2.C) — lookup, upsert
+  * merge, tombstones, aggregate columns, versioned reads, ordered-table
+  * offsets and queue pulls — each as a deterministic transform of the
+  * testdata so a DuckDB oracle can replay the identical semantics.
+  *
+  * The shared fixture: `orders` re-read as a write log for a sorted
+  * dynamic table keyed by customer — ts = o_orderkey (monotone version),
+  * op = delete on every 17th key (tombstones), values (price, status).
+  */
+object Dyn {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** orders → MVCC write log: (k, ts, op, price, status). */
+  private def log(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_custkey").as("k"),
+      col("o_orderkey").as("ts"),
+      when(col("o_orderkey") % 17 === 0, DynTable.OpDelete)
+        .otherwise(DynTable.OpUpsert).as("op"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"))
+
+  private val logSql =
+    """SELECT o_custkey AS k, o_orderkey AS ts,
+      |  CASE WHEN o_orderkey % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+      |  o_totalprice AS price, o_orderstatus AS status FROM orders""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Latest-wins merge over the write log; tombstoned keys dropped
+    // (TSchemafulRowMerger, row_merger.cpp:19-186).
+    "dyn_upsert_latest" -> ((s, d) =>
+      DynTable.readLatest(log(s, d), Seq("k"))),
+
+    // Versioned read at a client-supplied timestamp (LookupRows at ts,
+    // dynamic_table_client.h:96-115): asOf = half the max version.
+    "dyn_versioned_read" -> ((s, d) => {
+      val l = log(s, d)
+      val asOf = t(s, d, "orders").agg(max("o_orderkey")).first().getLong(0) / 2
+      DynTable.readAsOf(l, Seq("k"), lit(asOf))
+    }),
+
+    // Point lookup of a key set (MultiLookupRows,
+    // dynamic_table_client.h:104-108): key IN-predicate prunes the scan
+    // before the merge.
+    "dyn_lookup" -> ((s, d) =>
+      DynTable.lookup(log(s, d), Seq("k"), Seq(Seq(1L), Seq(2L), Seq(3L), Seq(42L)))),
+
+    // Aggregate column: price declared sum-merged
+    // (sorted-dynamic-tables.md:171-177, row_merger.cpp:227-246);
+    // tombstone resets the fold, status stays latest-wins.
+    "dyn_agg_column" -> ((s, d) =>
+      DynTable.readWithAggregates(log(s, d), Seq("k"), Map("price" -> "sum"))),
+
+    // Ordered dynamic table: ($tablet_index, $row_index) system columns
+    // (ordered-dynamic-tables.md:38-43), then PullQueue of
+    // [10, 35) from tablet 3 (queue_client.h:109-127).
+    "dyn_queue_pull" -> ((s, d) => {
+      val ordered = DynTable.withOffsets(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        pmod(col("event_id"), lit(8)), Seq(col("event_id")))
+      DynTable.pullQueue(ordered, 3, 10L, 25L)
+        .select("tablet_index", "row_index", "event_id", "event_type", "value")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dyn_upsert_latest" ->
+      s"""WITH log AS ($logSql),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log)
+         |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    "dyn_versioned_read" ->
+      s"""WITH log AS ($logSql),
+         |cut AS (SELECT * FROM log
+         |  WHERE ts <= (SELECT CAST(max(o_orderkey) // 2 AS BIGINT) FROM orders)),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM cut)
+         |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    "dyn_lookup" ->
+      s"""WITH log AS ($logSql),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+         |  FROM log WHERE k IN (1, 2, 3, 42))
+         |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    "dyn_agg_column" ->
+      s"""WITH log AS ($logSql),
+         |bounds AS (SELECT k,
+         |    max(CASE WHEN op = 'delete' THEN ts END) AS del_ts,
+         |    max(CASE WHEN op = 'upsert' THEN ts END) AS up_ts
+         |  FROM log GROUP BY k),
+         |live AS (SELECT l.* FROM log l JOIN bounds b USING (k)
+         |  WHERE l.op = 'upsert' AND (b.del_ts IS NULL OR l.ts > b.del_ts))
+         |SELECT k, sum(price) AS price, max_by(status, ts) AS status
+         |FROM live GROUP BY k""".stripMargin,
+
+    "dyn_queue_pull" ->
+      """WITH ordered AS (SELECT event_id, event_type, value,
+        |    event_id % 8 AS tablet_index,
+        |    row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id) - 1 AS row_index
+        |  FROM events)
+        |SELECT tablet_index, row_index, event_id, event_type, value
+        |FROM ordered WHERE tablet_index = 3 AND row_index >= 10 AND row_index < 35""".stripMargin)
+}

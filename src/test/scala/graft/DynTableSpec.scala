@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.DynTable
+
+/** Sorted/ordered dynamic-table merge semantics (SURVEY.md §2.C) on
+  * hand-built logs where the expected merge is computable by eye.
+  */
+class DynTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (k, ts, op, v, s): key 1 = plain overwrites; key 2 = tombstone in
+  // the middle; key 3 = tombstone last.
+  private lazy val log = Seq(
+    (1L, 1L, "upsert", 10.0, "a"),
+    (1L, 3L, "upsert", 20.0, "b"),
+    (2L, 1L, "upsert", 5.0, "x"),
+    (2L, 2L, "delete", 0.0, null),
+    (2L, 4L, "upsert", 7.0, "y"),
+    (2L, 5L, "upsert", 9.0, "z"),
+    (3L, 1L, "upsert", 1.0, "q"),
+    (3L, 6L, "delete", 0.0, null)
+  ).toDF("k", "ts", "op", "v", "s")
+
+  test("readLatest: latest-wins, tombstoned key dropped") {
+    val got = DynTable.readLatest(log, Seq("k")).orderBy("k").collect()
+    assert(got.toSeq == Seq(Row(1L, 20.0, "b"), Row(2L, 9.0, "z")))
+  }
+
+  test("readAsOf: versioned read cuts history before merging") {
+    val got = DynTable.readAsOf(log, Seq("k"), lit(3L)).orderBy("k").collect()
+    // at ts<=3: key1 → (20.0,b); key2 deleted at ts=2; key3 → (1.0,q)
+    assert(got.toSeq == Seq(Row(1L, 20.0, "b"), Row(3L, 1.0, "q")))
+  }
+
+  test("lookup: point read by key") {
+    val got = DynTable.lookup(log, Seq("k"), Seq(Seq(2L))).collect()
+    assert(got.toSeq == Seq(Row(2L, 9.0, "z")))
+  }
+
+  test("readWithAggregates: sum-merge folds only past the tombstone") {
+    val got = DynTable.readWithAggregates(log, Seq("k"), Map("v" -> "sum"))
+      .orderBy("k").collect()
+    // key1: 10+20=30, s latest "b"; key2: post-delete 7+9=16, s "z";
+    // key3 tombstoned away.
+    assert(got.toSeq == Seq(Row(1L, "b", 30.0), Row(2L, "z", 16.0)))
+  }
+
+  test("readWithAggregates: min/max/first merge functions") {
+    val minGot = DynTable.readWithAggregates(log, Seq("k"), Map("v" -> "min"))
+      .orderBy("k").select("v").as[Double].collect()
+    assert(minGot.toSeq == Seq(10.0, 7.0))
+    val firstGot = DynTable.readWithAggregates(log, Seq("k"), Map("v" -> "first"))
+      .orderBy("k").select("v").as[Double].collect()
+    assert(firstGot.toSeq == Seq(10.0, 7.0))
+    val maxGot = DynTable.readWithAggregates(log, Seq("k"), Map("v" -> "max"))
+      .orderBy("k").select("v").as[Double].collect()
+    assert(maxGot.toSeq == Seq(20.0, 9.0))
+  }
+
+  test("withOffsets + pullQueue: offset-window read of one tablet") {
+    val df = (0L until 40L).map(i => (i, s"e$i")).toDF("id", "payload")
+    val ordered = DynTable.withOffsets(df, pmod(col("id"), lit(4)), Seq(col("id")))
+    val pulled = DynTable.pullQueue(ordered, 1, 2L, 3L)
+      .orderBy("row_index").select("id").as[Long].collect()
+    // tablet 1 holds ids 1,5,9,13,... ; offsets 2..4 → ids 9,13,17
+    assert(pulled.toSeq == Seq(9L, 13L, 17L))
+  }
+}
