@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dyn, Fns, Llm, Ops, QL, Yql}
+import graft.queries.{Dyn, Fns, Llm, Ops, QL, Strm, Yql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] =
     Seq((QL.defs, QL.oracles), (Yql.defs, Yql.oracles), (Ops.defs, Ops.oracles),
-      (Llm.defs, Llm.oracles), (Fns.defs, Fns.oracles), (Dyn.defs, Dyn.oracles))
+      (Llm.defs, Llm.oracles), (Fns.defs, Fns.oracles), (Dyn.defs, Dyn.oracles),
+      (Strm.defs, Strm.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

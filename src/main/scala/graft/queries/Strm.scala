@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.{MatchRecognize => MR, Streams}
+import graft.sources.Tables
+
+/** Streaming-operator surface (SURVEY.md §2.D streaming: hopping /
+  * session windows, MATCH_RECOGNIZE) run in batch mode over `events`
+  * so the DuckDB oracle can replay the window semantics exactly. The
+  * same transforms run unchanged on a streaming frame (see
+  * StreamingSpec).
+  */
+object Strm {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hopping window 6h size / 3h hop (mkql_multihopping.h): each
+    // event contributes to two windows.
+    "strm_window_hopping" -> ((s, d) =>
+      Streams.hoppingWindow(t(s, d, "events"), col("ts"), "6 hours", "3 hours",
+          Seq.empty, Seq(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("cnt"), col("sum_value"))),
+
+    // Session windows per user, 6h inactivity gap
+    // (yql_opt_window.cpp:3364 SessionWindowTraits).
+    "strm_window_session" -> ((s, d) =>
+      Streams.sessionWindow(t(s, d, "events"), col("ts"), "6 hours",
+          Seq(col("user_id")),
+          Seq(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("cnt"), col("sum_value"))),
+
+    // MATCH_RECOGNIZE: PARTITION BY user_id ORDER BY event_id
+    // PATTERN (E{3}) DEFINE E AS event_type = 'error'
+    // AFTER MATCH SKIP TO NEXT ROW — overlapping error bursts.
+    "strm_match_recognize" -> ((s, d) => {
+      val ev = t(s, d, "events").select("user_id", "event_id", "event_type")
+      MR.oneRowPerMatch(
+        ev,
+        partitionBy = Seq("user_id"),
+        orderBy = Seq("event_id"),
+        pattern = Seq(MR.times("E", 3)(_.getAs[String]("event_type") == "error")),
+        measures = vars => {
+          val es = vars("E")
+          Seq(es.head.getAs[Long]("event_id"), es.last.getAs[Long]("event_id"))
+        },
+        measureSchema = StructType(Seq(
+          StructField("start_id", LongType), StructField("end_id", LongType))),
+        skip = MR.SkipToNextRow)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "strm_window_hopping" ->
+      """SELECT ws, ws + INTERVAL '6 hours' AS we, count(*) AS cnt,
+        |  sum(value) AS sum_value
+        |FROM (SELECT unnest([time_bucket(INTERVAL '3 hours', ts),
+        |        time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours']) AS ws,
+        |      value FROM events)
+        |GROUP BY ws""".stripMargin,
+
+    "strm_window_session" ->
+      """WITH marked AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |islands AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '6 hours' AS session_end,
+        |  count(*) AS cnt, sum(value) AS sum_value
+        |FROM islands GROUP BY user_id, sid""".stripMargin,
+
+    "strm_match_recognize" ->
+      """SELECT user_id, event_id AS start_id, e2 AS end_id
+        |FROM (SELECT user_id, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2,
+        |    lead(event_id, 2) OVER w AS e2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'""".stripMargin)
+}

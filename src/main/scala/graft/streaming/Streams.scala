@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming semantics of the reference (SURVEY.md §2.C queues, §2.D
+  * streaming ops) on Structured Streaming.
+  *
+  *   - Ordered tables / queues (`PullQueue`, `PullQueueConsumer`,
+  *     queue_client.h:101-154): an append-only table consumed by
+  *     offset. [[readQueue]] is the streaming read; a consumer's
+  *     registered offset (RegisterQueueConsumer) is exactly the
+  *     checkpointed source offset — resuming a query with the same
+  *     checkpoint continues past consumed data, the exactly-once
+  *     contract the queue agent provides.
+  *   - Hopping windows (mkql_multihopping.h, watermark-driven
+  *     TWatermark mkql_watermark.h:8-9): `window(ts, size, hop)` +
+  *     `withWatermark` — Spark owns state eviction by watermark.
+  *   - Session windows (yql_opt_window.cpp:3364-3377
+  *     SessionWindowTraits): `session_window(ts, gap)`.
+  *   - TimeOrderRecover (mkql_time_order_recover.h) re-emits events in
+  *     event-time order within a bounded delay: in batch a per-key
+  *     sort; in streaming the watermark + window aggregation already
+  *     subsumes it.
+  *
+  * All helpers take/return DataFrames so they run identically on a
+  * batch frame or a streaming one — Spark's unified model replaces the
+  * reference's separate queue/流 machinery. At scale the windowed
+  * aggregations shuffle once on (key, window) with partial aggregation;
+  * session windows merge per key in the state store.
+  */
+object Streams {
+
+  /** Queue consumer: ordered-table directory as a streaming source.
+    * Offsets live in the checkpoint — pass the same checkpointLocation
+    * to resume (the consumer registration). */
+  def readQueue(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Hopping (sliding) window aggregation: each event lands in
+    * size/hop windows. Works batch and streaming; pass a watermarked
+    * frame for streaming state eviction. */
+  def hoppingWindow(df: DataFrame, ts: Column, size: String, hop: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, size, hop) +: keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Session window aggregation: sessions close after `gap` of
+    * inactivity per key; session = [first_ts, last_ts + gap). */
+  def sessionWindow(df: DataFrame, ts: Column, gap: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(ts, gap) +: keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Event-time watermark: bound on out-of-orderness for stateful ops. */
+  def withWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  /** TimeOrderRecover for batch frames: restore event-time order per
+    * key without a global sort — shuffle on key, sort within
+    * partitions. */
+  def timeOrderRecover(df: DataFrame, key: Column, ts: Column): DataFrame =
+    df.repartition(key).sortWithinPartitions(key, ts)
+}

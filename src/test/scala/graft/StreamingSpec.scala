@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.{MatchRecognize => MR, Streams}
+
+/** Streaming semantics: windows with watermarks on a real stream,
+  * queue-consumer offset resume, and the MATCH_RECOGNIZE NFA.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("hopping window aggregates a stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val df = in.toDF().toDF("ts", "v")
+    val agg = Streams.hoppingWindow(
+      Streams.withWatermark(df, "ts", "10 minutes"),
+      col("ts"), "10 minutes", "5 minutes",
+      Seq.empty, Seq(sum(col("v")).as("s")))
+    val q = agg.writeStream.format("memory").queryName("hop")
+      .outputMode("complete").start()
+    in.addData((ts(1), 1.0), (ts(6), 2.0), (ts(11), 4.0))
+    q.processAllAvailable()
+    val got = spark.table("hop")
+      .select(col("window.start").cast("long").as("st"), col("s"))
+      .as[(Long, Double)].collect().toMap
+    q.stop()
+    // minute 1 → windows [-5,5),[0,10); 6 → [0,10),[5,15); 11 → [5,15),[10,20)
+    assert(got == Map(-300L -> 1.0, 0L -> 3.0, 300L -> 6.0, 600L -> 4.0))
+  }
+
+  test("session window closes after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "uid")
+    val agg = Streams.sessionWindow(
+      Streams.withWatermark(df, "ts", "1 minute"),
+      col("ts"), "5 minutes", Seq(col("uid")), Seq(count(lit(1)).as("cnt")))
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    in.addData((ts(0), 7L), (ts(2), 7L), (ts(20), 7L))
+    q.processAllAvailable()
+    val got = spark.table("sess").select("cnt").as[Long].collect().sorted
+    q.stop()
+    assert(got.toSeq == Seq(1L, 2L)) // [0,2] one session, 20 its own
+  }
+
+  test("queue consumer: checkpoint = registered offset, resume reads only new rows") {
+    val dir = Files.createTempDirectory("queue").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("ckpt").toFile.getAbsolutePath
+    val schema = StructType(Seq(StructField("id", LongType)))
+    Seq(1L, 2L).toDF("id").write.mode("append").parquet(dir)
+
+    val sink = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    def drain(): Seq[Long] = {
+      val q = Streams.readQueue(spark, dir, schema)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(sink).as[Long].collect().toSeq.sorted
+    }
+    assert(drain() == Seq(1L, 2L))
+    Seq(3L).toDF("id").write.mode("append").parquet(dir)
+    // same checkpoint (= registered consumer offset): only new rows flow
+    assert(drain() == Seq(1L, 2L, 3L))
+    // and the consumed prefix is not re-emitted: exactly one file batch
+    // arrived after the append (no duplicates of 1,2 in the sink)
+    assert(spark.read.parquet(sink).count() == 3L)
+  }
+
+  test("match_recognize: greedy DOWN+ UP+ with PREV navigation") {
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 5.0), (1L, 4L, 7.0), (1L, 5L, 9.0),
+      (2L, 1L, 3.0), (2L, 2L, 4.0) // no descent → no match
+    ).toDF("k", "seq", "v")
+    val out = MR.oneRowPerMatch(
+      df, Seq("k"), Seq("seq"),
+      pattern = Seq(
+        MR.one("A")(_ => true),
+        MR.plus("DOWN")((prev, cur) =>
+          prev != null && cur.getAs[Double]("v") < prev.getAs[Double]("v")),
+        MR.plus("UP")((prev, cur) =>
+          prev != null && cur.getAs[Double]("v") > prev.getAs[Double]("v"))),
+      measures = vars => Seq(
+        vars("A").head.getAs[Double]("v"),
+        vars("DOWN").last.getAs[Double]("v"),
+        vars("UP").last.getAs[Double]("v")),
+      measureSchema = StructType(Seq(
+        StructField("start_v", DoubleType), StructField("bottom_v", DoubleType),
+        StructField("top_v", DoubleType))))
+    assert(out.collect().toSeq == Seq(Row(1L, 10.0, 5.0, 9.0)))
+  }
+
+  test("match_recognize: optional + backtracking quantifiers") {
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "c"))
+      .toDF("k", "seq", "t")
+    val out = MR.oneRowPerMatch(
+      df, Seq("k"), Seq("seq"),
+      pattern = Seq(
+        MR.one("A")(_.getAs[String]("t") == "a"),
+        MR.star("B")((_, cur) => cur.getAs[String]("t") == "b"),
+        MR.one("C")(_.getAs[String]("t") == "c")),
+      measures = vars => Seq(vars("B").length.toLong),
+      measureSchema = StructType(Seq(StructField("b_count", LongType))))
+    assert(out.collect().toSeq == Seq(Row(1L, 2L)))
+  }
+}
