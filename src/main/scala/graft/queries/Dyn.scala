@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.DynTable
+import graft.plans.SecondaryIndex
 import graft.sources.Tables
 
 /** Dynamic-table data-plane surface (SURVEY.md §2.C) — lookup, upsert
@@ -59,6 +60,17 @@ object Dyn {
     "dyn_agg_column" -> ((s, d) =>
       DynTable.readWithAggregates(log(s, d), Seq("k"), Map("price" -> "sum"))),
 
+    // WITH INDEX (ast.h:507; TransformWithIndexStatement,
+    // secondary_index/transform.cpp:137): predicate answered by the
+    // index table, surviving keys semi-join the primary.
+    "dyn_with_index" -> ((s, d) => {
+      val primary = t(s, d, "orders")
+      val index = SecondaryIndex.build(primary, Seq("o_orderpriority"), Seq("o_orderkey"))
+      SecondaryIndex.query(primary, index, Seq("o_orderkey"), "o_orderpriority = '1-URGENT'")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+    }),
+
     // Ordered dynamic table: ($tablet_index, $row_index) system columns
     // (ordered-dynamic-tables.md:38-43), then PullQueue of
     // [10, 35) from tablet 3 (queue_client.h:109-127).
@@ -102,6 +114,11 @@ object Dyn {
          |  WHERE l.op = 'upsert' AND (b.del_ts IS NULL OR l.ts > b.del_ts))
          |SELECT k, sum(price) AS price, max_by(status, ts) AS status
          |FROM live GROUP BY k""".stripMargin,
+
+    "dyn_with_index" ->
+      """SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "dyn_queue_pull" ->
       """WITH ordered AS (SELECT event_id, event_type, value,
