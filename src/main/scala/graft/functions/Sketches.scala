@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.{shims => S}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Single-pass sketch expressions for the dedup operators.
+  *
+  * The declarative forms (`transform`/`aggregate` over 64/128-wide
+  * array lambdas) are semantically right but generate enormous Janino
+  * codegen units — seconds of compile time per distinct plan and
+  * megamorphic interpreted fallbacks. These Catalyst expressions
+  * compute the same values in one tight JVM loop per row.
+  *
+  * Hash identity is preserved exactly: Spark's `xxhash64(x, salt)`
+  * folds left from seed 42, i.e. `hashLong(salt, hashLong(x, 42))`
+  * (XxHash64.computeHash), so [[MinHashSig]] reuses the already-hashed
+  * shingle values and only pays one `hashLong` per (shingle, salt).
+  */
+object Sketches {
+
+  /** MinHash signature over pre-hashed shingles: element i =
+    * min over s of xxhash64(s, salt_i) — identical values to the
+    * declarative `array_min(transform(sh, s -> xxhash64(s, salt_i)))`.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    private val salts: Array[Long] = {
+      val rnd = new java.util.Random(seed)
+      Array.fill(numHashes)(rnd.nextLong())
+    }
+
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val base = XXH64.hashLong(arr.getLong(j), 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashLong(salts(i), base)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over pre-hashed features: bit k set iff
+    * #features with bit k set > #features with it clear — identical to
+    * the declarative ±1-vote fold. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var j = 0
+      while (j < n) {
+        val h = arr.getLong(j)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) {
+        if (counts(k) > 0) sig |= (1L << k)
+        k += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Word n-gram shingle hashes in one pass: distinct
+    * xxhash64("w1 w2 .. wn") over a whitespace split — identical
+    * values to hashing `array_join(slice(split(text,' '), i, n), ' ')`.
+    */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.toString.split(" ", -1)
+      if (words.length < n) return new GenericArrayData(Array.empty[Long])
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        seen.add(XXH64.hashUTF8String(utf8, 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
+  def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    S.column(MinHashSig(S.expression(shingles), numHashes, seed))
+  def simhash64(features: Column): Column =
+    S.column(SimHash64(S.expression(features)))
+  def shingleHashes(text: Column, n: Int): Column =
+    S.column(ShingleHashes(S.expression(text), n))
+}

@@ -32,26 +32,15 @@ object Dedup {
   /** Word n-gram shingle set as distinct xxhash64 base hashes. A doc
     * with fewer than n words has zero shingles (no partial grams).
     */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => array_join(slice(words, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    array_distinct(transform(grams, g => xxhash64(g)))
-  }
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.Sketches.shingleHashes(text, n)
 
   /** MinHash signature: sig_i = min_s xxhash64(h(s), salt_i) — one
     * independent hash family member per salt, ANSI-safe (no arithmetic
     * overflow). Array column of length numHashes.
     */
-  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val rnd = new java.util.Random(seed)
-    val salts = Array.fill(numHashes)(rnd.nextLong())
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(salts(i)))))
-    }: _*)
-  }
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.Sketches.minhashSig(shingles, numHashes, seed)
 
   /** Near-duplicate candidate pairs via MinHash + LSH banding, verified
     * with exact Jaccard over the shingle sets. Returns
@@ -68,22 +57,25 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // (doc, band, bandHash): hash the signature slice per band.
-    val banded = docs.select(col("doc_id"), col("sh"),
+    // (doc, band, bandHash) with ids only — the heavy shingle arrays
+    // never ride through the band explode/self-join; candidate pairs
+    // (tiny vs corpus) fetch them back afterwards.
+    val banded = docs.select(col("doc_id"),
         posexplode(array((0 until bands).map { j =>
           xxhash64(slice(col("sig"), j * rows + 1, rows))
         }: _*)).as(Seq("band", "band_hash")))
 
-    val l = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("band_hash"))
-    val r = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-      col("band"), col("band_hash"))
+    val l = banded.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
+    val r = banded.select(col("doc_id").as("id_b"), col("band"), col("band_hash"))
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    val shingleSets = docs.select(col("doc_id"), col("sh"))
     candidates
+      .join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -96,21 +88,8 @@ object Dedup {
     * k. Features should be shingle hashes ([[shingleHashes]]) — word
     * unigrams give too little margin on short documents.
     */
-  def simhash(features: Column): Column = {
-    val hashes = features
-    val counts = aggregate(hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map { k =>
-          when(shiftright(h, k).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))
-        }: _*),
-        (x, y) => x + y))
-    val bitValues = array((0 until 64).map(k => lit(1L << k)): _*)
-    aggregate(
-      zip_with(counts, bitValues,
-        (c, bit) => when(c > 0, bit).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash(features: Column): Column =
+    graft.functions.Sketches.simhash64(features)
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, using the
     * pigeonhole bucket join over 64/chunkBits exact-match chunks (any

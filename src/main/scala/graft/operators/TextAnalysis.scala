@@ -76,11 +76,16 @@ object TextAnalysis {
     val cjkRatio =
       (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
         greatest(length(text).cast("double"), lit(1.0))
-    val best = scores.foldLeft((lit("und"), lit(0.005))) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    when(cjkRatio > 0.2, lit("zh")).otherwise(best._1)
+    // argmax via one array_max over (score, -listIndex, lang) structs:
+    // score first, ties to the earlier list entry — identical to a
+    // strict-greater fold, but each score is computed exactly once
+    // instead of being duplicated down a nested when-chain.
+    val entries = struct(lit(0.005).as("s"), lit(0).as("p"), lit("und").as("lang")) +:
+      scores.zipWithIndex.map { case ((lang, s), i) =>
+        struct(s.as("s"), lit(-(i + 1)).as("p"), lit(lang).as("lang"))
+      }
+    val best = array_max(array(entries: _*)).getField("lang")
+    when(cjkRatio > 0.2, lit("zh")).otherwise(best)
   }
 
   /** Rolling-hash document fingerprint: min-k sketch of word 4-gram
