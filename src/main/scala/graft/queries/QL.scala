@@ -69,6 +69,30 @@ object QL {
         .rollup(col("l_returnflag"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
 
+    // WITH TOTALS BEFORE HAVING vs AFTER HAVING (ETotalsMode,
+    // query_common.h:78-82): BeforeHaving computes the total over all
+    // groups then filters groups; AfterHaving totals only surviving
+    // groups. Both expressed as group rows unioned with a totals row.
+    "ql_with_totals_before_having" -> ((s, d) => {
+      val groups = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
+      val totalsRow = groups.agg(
+        lit(null).cast("string").as("o_orderpriority"),
+        round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
+      groups.filter(col("cnt") >= 3000).unionByName(totalsRow)
+    }),
+    "ql_with_totals_after_having" -> ((s, d) => {
+      val surviving = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3000)
+      val totalsRow = surviving.agg(
+        lit(null).cast("string").as("o_orderpriority"),
+        round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
+      surviving.unionByName(totalsRow)
+    }),
+
     // ORDER BY + LIMIT → TakeOrderedAndProject (top-k, never a full sort).
     "ql_order_limit" -> ((s, d) =>
       t(s, d, "orders")
@@ -219,6 +243,19 @@ object QL {
     "ql_with_totals" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag)""",
+    "ql_with_totals_before_having" ->
+      """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
+                      COUNT(*) AS cnt FROM orders GROUP BY 1)
+         SELECT * FROM g WHERE cnt >= 3000
+         UNION ALL
+         SELECT NULL, ROUND(SUM(total), 2), SUM(cnt) FROM g""",
+    "ql_with_totals_after_having" ->
+      """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
+                      COUNT(*) AS cnt FROM orders GROUP BY 1),
+              s AS (SELECT * FROM g WHERE cnt >= 3000)
+         SELECT * FROM s
+         UNION ALL
+         SELECT NULL, ROUND(SUM(total), 2), SUM(cnt) FROM s""",
     "ql_order_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",

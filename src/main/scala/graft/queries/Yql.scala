@@ -58,6 +58,19 @@ object Yql {
     }),
 
     // RANGE frame (FrameByRange): per-priority price range stats.
+    // GROUPS frame (FrameByGroups, yql_opt_window.h:12-15) — Spark has
+    // no GROUPS mode (SURVEY.md §7.4 #5); emulated exactly as a RANGE
+    // frame over dense_rank: peers share a rank, so "1 group
+    // preceding/following" = rank within ±1.
+    "yql_window_frame_groups" -> ((s, d) => {
+      val base = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"))
+      val o = t(s, d, "orders").withColumn("dr", dense_rank().over(base))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("dr"))
+        .rangeBetween(-1, 1)
+      o.select(col("o_orderkey"), col("o_orderpriority"),
+        round(sum(col("o_totalprice")).over(w), 2).as("grp_sum"))
+    }),
+
     "yql_window_frame_range" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"))
@@ -274,8 +287,17 @@ object Yql {
              ORDER BY l_shipdate, l_orderkey, l_linenumber
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3_qty
          FROM lineitem WHERE l_suppkey < 50""",
+    "yql_window_frame_groups" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             dense_rank() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_orderdate) AS dr
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderpriority
+             ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS grp_sum
+         FROM r""",
     "yql_window_frame_range" ->
-      """SELECT o_orderkey, o_orderpriority,
+"""SELECT o_orderkey, o_orderpriority,
            COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cheaper_or_eq
          FROM orders WHERE o_custkey < 100""",
