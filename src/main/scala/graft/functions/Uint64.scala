@@ -35,6 +35,9 @@ object Uint64 {
   def u64_min(a: Column, b: Column): Column = when(u64_lt(a, b), a).otherwise(b)
   def u64_max(a: Column, b: Column): Column = when(u64_gt(a, b), a).otherwise(b)
 
+  /** Sort key giving unsigned order under an ordinary ascending sort. */
+  def u64_sort(a: Column): Column = biased(a)
+
   def u64_div(a: Column, b: Column): Column =
     ExpressionUtils.column(UnsignedDivide(expr(a), expr(b)))
   def u64_mod(a: Column, b: Column): Column =
