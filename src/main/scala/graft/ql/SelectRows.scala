@@ -1,0 +1,241 @@
+package graft.ql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The QL query-string surface — `SelectRows("a, sum(b) FROM [//t]
+  * WHERE ... GROUP BY ...")` (dynamic_table_client.h:110; grammar
+  * parser.ypp:243-251; docs dyn-query-language.md).
+  *
+  * QL is close enough to ANSI SQL that the idiomatic Spark
+  * implementation is a source-to-source transpile into `spark.sql`,
+  * letting Catalyst own parsing, typing and optimization — the same
+  * separation the reference draws between query_preparer and the
+  * execution engine. Dialect deltas handled here:
+  *
+  *   - implicit SELECT: a QL query starts at the projection list;
+  *   - table refs `[//path/to/table]` resolve through a caller-supplied
+  *     catalog (default: last path segment = temp-view name);
+  *   - `WITH INDEX [//index]` is an access-path hint — stripped (use
+  *     [[graft.plans.SecondaryIndex]] for the physical rewrite);
+  *   - `JOIN ... USING a, b` → `USING (a, b)`;
+  *   - tuple comparisons/IN `(a, b) = (c, d)`, `(a, b) IN ((1, 2), …)`
+  *     → equality conjunctions/disjunctions (IsRowInRowset lowering);
+  *   - uint64 literals `123u` → plain literals (raw-bits carrier,
+  *     functions/Uint64 for unsigned ops);
+  *   - `GROUP BY expr AS alias` → alias substituted into the
+  *     projection, bare expr in GROUP BY;
+  *   - `WITH TOTALS` → `GROUP BY ROLLUP(...)` (totals row = null keys;
+  *     combined Before/AfterHaving modes are programmatic, see
+  *     queries.QL);
+  *   - `OFFSET k LIMIT n` → `LIMIT n OFFSET k`;
+  *   - `GROUP BY <literal>` groups by a constant, never an ordinal
+  *     (spark.sql.groupByOrdinal=false during execution).
+  *
+  * Documented deviation: QL `/` on integers is integer division — use
+  * `div` (the transpiler passes it through) or cast; Spark's ANSI `/`
+  * returns double.
+  */
+object SelectRows {
+
+  /** Run a QL query. Tables referenced as `[//path]` must either be in
+    * `catalog` (path → DataFrame) or already registered as temp views
+    * under their last path segment. */
+  def apply(spark: SparkSession, ql: String,
+      catalog: Map[String, DataFrame] = Map.empty): DataFrame = {
+    catalog.foreach { case (path, df) =>
+      df.createOrReplaceTempView(viewName(path))
+    }
+    val sql = transpile(ql)
+    val prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
+    spark.conf.set("spark.sql.groupByOrdinal", "false")
+    try spark.sql(sql)
+    finally spark.conf.set("spark.sql.groupByOrdinal", prev)
+  }
+
+  def viewName(path: String): String =
+    path.stripPrefix("//").split('/').last.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** QL → Spark SQL (pure string transform, exposed for tests). */
+  def transpile(ql: String): String = {
+    var q = ql.trim
+    // 1. implicit SELECT
+    if (!q.toUpperCase.startsWith("SELECT")) q = "SELECT " + q
+    // 2. table refs [//path] → view names
+    q = "\\[(//[^\\]]+)\\]".r.replaceAllIn(q, m => viewName(m.group(1)))
+    // 3. WITH INDEX hint: strip (access-path selection is the
+    //    optimizer's job here)
+    q = "(?i)\\bWITH\\s+INDEX\\s+\\S+".r.replaceAllIn(q, "")
+    // 4. uint64 literal suffix
+    q = "\\b(\\d+)[uU]\\b".r.replaceAllIn(q, "$1")
+    // 5. USING a, b  →  USING (a, b)   (stop at the next clause keyword)
+    q = "(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)".r
+      .replaceAllIn(q, m => "USING (" + m.group(1) + ")")
+    // 6. tuple equality and tuple IN → struct()
+    q = tupleRewrite(q)
+    // 7. GROUP BY aliases + WITH TOTALS
+    q = groupByRewrite(q)
+    // 8. OFFSET k LIMIT n → LIMIT n OFFSET k
+    q = "(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)".r
+      .replaceAllIn(q, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    q.replaceAll("\\s+", " ").trim
+  }
+
+  /** `(a, b) = (c, d)` → `(a = c AND b = d)`;
+    * `(a, b) IN ((1, 2), (3, 4))` → `((a = 1 AND b = 2) OR …)` —
+    * the same conjunction lowering the reference's IsRowInRowset does,
+    * and type-agnostic (no struct name/width coupling). */
+  private def tupleRewrite(q: String): String = {
+    val groups = parenGroups(q).sortBy(_._1)
+    val sb = new StringBuilder(q)
+    var done = false // one rewrite per pass, then recurse to fixpoint
+    groups.reverse.foreach { case (start, end) =>
+      if (!done) {
+        val inner = q.substring(start + 1, end)
+        if (topLevelComma(inner) && depthAt(q, start) == 0) {
+          val after = q.substring(end + 1)
+          val afterTrim = after.trim
+          val lhs = splitTopLevel(inner).map(_.trim)
+          if (afterTrim.startsWith("=")) {
+            // find the RHS tuple group
+            val eqPos = end + 1 + after.indexOf('=')
+            val rhsStart = q.indexWhere(!_.isWhitespace, eqPos + 1)
+            groups.find(_._1 == rhsStart).foreach { case (rs, re) =>
+              val rhs = splitTopLevel(q.substring(rs + 1, re)).map(_.trim)
+              if (rhs.length == lhs.length) {
+                val conj = lhs.zip(rhs).map { case (a, b) => s"$a = $b" }
+                  .mkString("(", " AND ", ")")
+                sb.replace(start, re + 1, conj); done = true
+              }
+            }
+          } else if (afterTrim.toUpperCase.startsWith("IN")) {
+            val inPos = end + 1 + after.toUpperCase.indexOf("IN")
+            val listStart = q.indexWhere(!_.isWhitespace, inPos + 2)
+            groups.find(_._1 == listStart).foreach { case (ls, le) =>
+              val list = q.substring(ls + 1, le)
+              val tuples = parenGroups(list).filter(g => depthAt(list, g._1) == 0)
+                .sortBy(_._1)
+              val disj = tuples.map { case (ts, te) =>
+                val vals = splitTopLevel(list.substring(ts + 1, te)).map(_.trim)
+                lhs.zip(vals).map { case (a, v) => s"$a = $v" }
+                  .mkString("(", " AND ", ")")
+              }
+              if (disj.nonEmpty && tuples.forall(t =>
+                  splitTopLevel(list.substring(t._1 + 1, t._2)).length == lhs.length)) {
+                sb.replace(start, le + 1, disj.mkString("(", " OR ", ")")); done = true
+              }
+            }
+          }
+        }
+      }
+    }
+    val out = sb.toString
+    if (out != q) tupleRewrite(out) else out // fixpoint for multiple tuples
+  }
+
+  private def parenGroups(s: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val stack = scala.collection.mutable.Stack.empty[Int]
+    var i = 0
+    var inStr: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr != 0) { if (c == inStr) inStr = 0 }
+      else c match {
+        case '\'' | '"' => inStr = c
+        case '(' => stack.push(i)
+        case ')' => if (stack.nonEmpty) out += ((stack.pop(), i))
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def depthAt(s: String, pos: Int): Int = {
+    var d = 0; var i = 0; var inStr: Char = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (inStr != 0) { if (c == inStr) inStr = 0 }
+      else c match {
+        case '\'' | '"' => inStr = c
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    d
+  }
+
+  private def topLevelComma(inner: String): Boolean = {
+    var d = 0; var i = 0; var inStr: Char = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (inStr != 0) { if (c == inStr) inStr = 0 }
+      else c match {
+        case '\'' | '"' => inStr = c
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ',' if d == 0 => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Handle `GROUP BY e1 [AS a1], e2 … [WITH TOTALS]`. */
+  private def groupByRewrite(q: String): String = {
+    val gbRe = "(?i)\\bGROUP\\s+BY\\b".r
+    val m = gbRe.findFirstMatchIn(q).getOrElse(return q)
+    val tailKeywords = Seq("WITH TOTALS", "HAVING", "ORDER BY", "OFFSET", "LIMIT")
+    val after = q.substring(m.end)
+    val upperAfter = after.toUpperCase
+    val stop = tailKeywords.map(k => {
+      val i = upperAfter.indexOf(k); if (i < 0) after.length else i
+    }).min
+    val itemsStr = after.substring(0, stop)
+    val rest = after.substring(stop)
+    val items = splitTopLevel(itemsStr).map(_.trim).filter(_.nonEmpty)
+
+    var proj = q.substring(0, m.start)
+    val exprs = items.map { it =>
+      val asRe = "(?i)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+      asRe.findFirstMatchIn(it) match {
+        case Some(am) =>
+          val expr = it.substring(0, am.start).trim
+          val alias = am.group(1)
+          // substitute bare alias tokens in the projection
+          proj = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\b").r
+            .replaceAllIn(proj, java.util.regex.Matcher.quoteReplacement(s"($expr) AS $alias"))
+          expr
+        case None => it
+      }
+    }
+    val hasTotals = "(?i)\\bWITH\\s+TOTALS\\b".r.findFirstIn(rest).isDefined
+    val restClean = "(?i)\\bWITH\\s+TOTALS\\b".r.replaceAllIn(rest, "")
+    val gb =
+      if (hasTotals) s" GROUP BY ROLLUP(${exprs.mkString(", ")})"
+      else s" GROUP BY ${exprs.mkString(", ")}"
+    proj + gb + restClean
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0; var start = 0; var i = 0; var inStr: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr != 0) { if (c == inStr) inStr = 0 }
+      else c match {
+        case '\'' | '"' => inStr = c
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ',' if d == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+}

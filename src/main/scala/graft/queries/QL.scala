@@ -69,6 +69,14 @@ object QL {
         .rollup(col("l_returnflag"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
 
+    // The QL string surface end-to-end: SelectRows("... FROM [//path]")
+    // transpiled to Catalyst (§3.1 lifecycle; graft.ql.SelectRows).
+    "ql_selectrows" -> ((s, d) =>
+      graft.ql.SelectRows(s,
+        "o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total, SUM(1) AS cnt " +
+          "FROM [//home/orders] WHERE o_orderstatus = 'F' GROUP BY o_orderpriority",
+        Map("//home/orders" -> t(s, d, "orders")))),
+
     // WITH TOTALS BEFORE HAVING vs AFTER HAVING (ETotalsMode,
     // query_common.h:78-82): BeforeHaving computes the total over all
     // groups then filters groups; AfterHaving totals only surviving
@@ -243,6 +251,9 @@ object QL {
     "ql_with_totals" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag)""",
+    "ql_selectrows" ->
+      """SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS cnt
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
     "ql_with_totals_before_having" ->
       """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
                       COUNT(*) AS cnt FROM orders GROUP BY 1)

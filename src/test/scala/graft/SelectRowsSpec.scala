@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ql.SelectRows
+
+/** QL string-query surface: the documented SelectRows examples
+  * (dyn-query-language.md) run through the transpiler against literal
+  * tables with hand-computed expectations.
+  */
+class SelectRowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val mytable = Seq(
+    (1L, 1L, 100L, 86300L, 1L, 9.5),
+    (1L, 2L, 101L, 86500L, 1L, 7.5),
+    (10L, 10L, 102L, 172900L, 0L, 1.0),
+    (10L, 11L, 103L, 173000L, 1L, 3.0)
+  ).toDF("user_id", "order_id", "item_id", "timestamp", "is_ok", "price")
+
+  private def run(ql: String) =
+    SelectRows(spark, ql, Map("//mytable" -> mytable))
+
+  test("implicit SELECT, *, LIMIT (docs: '* FROM [//mytable] LIMIT 10')") {
+    assert(run("* FROM [//mytable] LIMIT 10").count() == 4)
+  }
+
+  test("GROUP BY constant 1 is one global group (docs: 'SUM(1) FROM [t] GROUP BY 1')") {
+    val got = run("SUM(1) AS s FROM [//mytable] GROUP BY 1").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("GROUP BY expr AS alias referenced from the projection (docs day/price)") {
+    val got = run(
+      "day, MIN(price) AS mn, MAX(price) AS mx FROM [//mytable] " +
+        "WHERE is_ok = 1 GROUP BY timestamp div 86400 AS day")
+      .orderBy("day").collect()
+    assert(got.toSeq == Seq(Row(0L, 9.5, 9.5), Row(1L, 7.5, 7.5), Row(2L, 3.0, 3.0)))
+  }
+
+  test("tuple IN over the key prefix (docs item_id/user_id/order_id)") {
+    val got = run(
+      "item_id FROM [//mytable] WHERE (user_id, order_id) IN ((1, 1), (1, 2), (10, 10), (10, 11)) " +
+        "ORDER BY item_id LIMIT 10")
+      .as[Long].collect()
+    assert(got.toSeq == Seq(100L, 101L, 102L, 103L))
+  }
+
+  test("uint literal suffix and WHERE (dyn-query-language.md literals)") {
+    val got = run("item_id FROM [//mytable] WHERE user_id = 10u ORDER BY item_id LIMIT 5")
+      .as[Long].collect()
+    assert(got.toSeq == Seq(102L, 103L))
+  }
+
+  test("JOIN USING + LEFT JOIN bracket-path resolution") {
+    val dim = Seq((1L, "alice"), (10L, "bob")).toDF("user_id", "name")
+    val got = SelectRows(spark,
+      "name, SUM(price) AS total FROM [//mytable] JOIN [//dim/users] USING user_id GROUP BY name",
+      Map("//mytable" -> mytable, "//dim/users" -> dim))
+      .orderBy("name").collect()
+    assert(got.toSeq == Seq(Row("alice", 17.0), Row("bob", 4.0)))
+  }
+
+  test("GROUP BY ... WITH TOTALS adds the null-key totals row") {
+    val got = run(
+      "user_id, SUM(price) AS total FROM [//mytable] GROUP BY user_id WITH TOTALS")
+      .orderBy(org.apache.spark.sql.functions.asc_nulls_first("user_id")).collect()
+    assert(got.toSeq == Seq(Row(null, 21.0), Row(1L, 17.0), Row(10L, 4.0)))
+  }
+
+  test("OFFSET k LIMIT n reorders to SQL form") {
+    val got = run("item_id FROM [//mytable] ORDER BY item_id OFFSET 1 LIMIT 2")
+      .as[Long].collect()
+    assert(got.toSeq == Seq(101L, 102L))
+  }
+
+  test("tuple equality in JOIN ON") {
+    val dim = Seq((1L, 1L, "first"), (10L, 11L, "last")).toDF("u", "o", "tag")
+    val got = SelectRows(spark,
+      "tag, item_id FROM [//mytable] JOIN [//dim] ON (user_id, order_id) = (u, o) ORDER BY item_id LIMIT 5",
+      Map("//mytable" -> mytable, "//dim" -> dim)).collect()
+    assert(got.toSeq == Seq(Row("first", 100L), Row("last", 103L)))
+  }
+}
