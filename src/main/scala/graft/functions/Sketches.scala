@@ -125,6 +125,66 @@ object Sketches {
       copy(child = newChild)
   }
 
+  /** Heuristic language ID (TextAnalysis.langId semantics) in one pass:
+    * marker-word hit rate per language over the lowercased whitespace
+    * split, CJK-script override, `und` unless some language clears the
+    * 0.005 baseline; ties go to the earlier language in the list.
+    */
+  case class LangId(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    import LangId._
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.toString
+      var cjk = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c >= '一' && c <= '鿿') cjk += 1
+        i += 1
+      }
+      if (text.nonEmpty && cjk.toDouble / text.length > 0.2)
+        return org.apache.spark.unsafe.types.UTF8String.fromString("zh")
+      val words = text.toLowerCase.split("\\s+")
+      val hits = new Array[Int](langs.length)
+      var n = 0
+      words.foreach { w =>
+        if (w.nonEmpty) {
+          n += 1
+          var l = 0
+          while (l < langs.length) {
+            if (markerSets(l).contains(w)) hits(l) += 1
+            l += 1
+          }
+        }
+      }
+      val nWords = math.max(n, 1).toDouble
+      var best = "und"; var bestScore = 0.005
+      var l = 0
+      while (l < langs.length) {
+        val s = hits(l) / nWords
+        if (s > bestScore) { best = langs(l); bestScore = s }
+        l += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(best)
+    }
+    override protected def withNewChildInternal(newChild: Expression): LangId =
+      copy(child = newChild)
+  }
+
+  object LangId {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "for", "with", "was"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+      "es" -> Seq("el", "los", "las", "es", "una", "en", "que", "por", "con", "para"))
+    val langs: Array[String] = markers.map(_._1).toArray
+    val markerSets: Array[Set[String]] = markers.map(_._2.toSet).toArray
+  }
+
+  def langId(text: Column): Column = S.column(LangId(S.expression(text)))
+
   def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     S.column(MinHashSig(S.expression(shingles), numHashes, seed))
   def simhash64(features: Column): Column =

@@ -59,6 +59,38 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Feature-extraction plumbing: payload → dense Array[Float]
+    * embedding, batched per partition (stub: deterministic features
+    * from a rolling byte hash; swap for a real encoder model call).
+    * Output shape matches the `embeddings` table so the Similarity
+    * operators compose directly.
+    */
+  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int,
+      outCol: String = "vec"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, ArrayType(FloatType, false)))
+    val idx = inSchema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val vec: Array[Float] =
+          if (payload == null) null
+          else {
+            val out = new Array[Float](dim)
+            var h = 1125899906842597L
+            var i = 0
+            while (i < payload.length) {
+              h = 31 * h + payload(i)
+              out(i % dim) += (h & 0xffff) / 65536.0f - 0.5f
+              i += 1
+            }
+            out
+          }
+        Row.fromSeq(r.toSeq :+ vec)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling plumbing for video-like payloads: emit one row per
     * sampled frame offset (explode), payload sliced per frame. With a
     * real decoder the slice becomes a frame decode at the timestamp.

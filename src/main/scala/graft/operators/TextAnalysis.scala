@@ -61,32 +61,8 @@ object TextAnalysis {
     * rate plus script detection for CJK; highest score wins, 'und' when
     * nothing matches.
     */
-  def langId(text: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "for", "with", "was"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
-      "es" -> Seq("el", "los", "las", "es", "una", "en", "que", "por", "con", "para"))
-    val words = filter(split(lower(text), "\\s+"), w => length(w) > 0)
-    val nWords = greatest(size(words).cast("double"), lit(1.0))
-    val scores = markers.map { case (lang, stops) =>
-      (lang, size(filter(words, w => w.isin(stops.map(lit(_)): _*))).cast("double") / nWords)
-    }
-    // CJK script dominates any stopword score when present.
-    val cjkRatio =
-      (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
-        greatest(length(text).cast("double"), lit(1.0))
-    // argmax via one array_max over (score, -listIndex, lang) structs:
-    // score first, ties to the earlier list entry — identical to a
-    // strict-greater fold, but each score is computed exactly once
-    // instead of being duplicated down a nested when-chain.
-    val entries = struct(lit(0.005).as("s"), lit(0).as("p"), lit("und").as("lang")) +:
-      scores.zipWithIndex.map { case ((lang, s), i) =>
-        struct(s.as("s"), lit(-(i + 1)).as("p"), lit(lang).as("lang"))
-      }
-    val best = array_max(array(entries: _*)).getField("lang")
-    when(cjkRatio > 0.2, lit("zh")).otherwise(best)
-  }
+  def langId(text: Column): Column =
+    graft.functions.Sketches.langId(text)
 
   /** Rolling-hash document fingerprint: min-k sketch of word 4-gram
     * hashes, collapsed to one 64-bit value. Stable under whitespace

@@ -96,6 +96,28 @@ object Llm {
         t(s, d, "documents").select(col("doc_id"), col("text")), "text", "payload")
       Multimodal.decodeMeta(withBin, "payload", "meta")
         .select(col("doc_id"), col("meta.byte_len").as("byte_len"))
+    }),
+
+    // Frame sampling: one row per fixed-size frame of the payload
+    // (video frame-sample plumbing; slice → decode-at-offset in prod).
+    "llm_multimodal_frames" -> ((s, d) => {
+      val withBin = Multimodal.withBinaryPayload(
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text")), "text", "payload")
+      Multimodal.sampleFrames(withBin, "payload", 64)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    }),
+
+    // Feature extraction: payload → dense embedding (stubbed encoder),
+    // composed with the ANN brute-force operator — media-to-vector
+    // search end-to-end.
+    "llm_multimodal_features" -> ((s, d) => {
+      val withBin = Multimodal.withBinaryPayload(
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")), "text", "payload")
+      Multimodal.extractFeatures(withBin, "payload", 16)
+        .select(col("doc_id"),
+          round(aggregate(col("vec"), lit(0.0d), (a, x) => a + x), 3).as("vec_sum"))
     })
   )
 
@@ -161,6 +183,10 @@ object Llm {
                FROM documents)""",
     "llm_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-         FROM documents"""
+         FROM documents""",
+    "llm_multimodal_frames" ->
+      """SELECT doc_id,
+           GREATEST(octet_length(encode(text)) // 64, 1) AS n_frames
+         FROM documents WHERE doc_id < 200"""
   )
 }
