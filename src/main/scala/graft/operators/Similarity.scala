@@ -58,6 +58,54 @@ object Similarity {
     sigBits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
+    * cells by nearest centroid; each query probes its `nprobe` closest
+    * cells and brute-forces only those — the classic FAISS-style scale
+    * path. Centroids here are a deterministic corpus sample (ids
+    * `0..nlist-1`); swap for k-means iterations offline without
+    * touching the search. At 100 TB: centroid assignment is one
+    * broadcast pass over the corpus (persisted alongside it in
+    * practice), and each query batch touches nprobe/nlist of the data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    // assign corpus rows to their single nearest centroid
+    val assigned = corpus
+      .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+      .join(broadcast(cents))
+      .select(col("item_id"), col("item_vec"), col("cent_id"),
+        cosine(col("item_vec"), col("cent_vec")).as("ccos"))
+      .groupBy(col("item_id"))
+      .agg(first(col("item_vec")).as("item_vec"),
+        max_by(col("cent_id"), col("ccos")).as("cell"))
+    // queries probe their nprobe nearest cells
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("query_vec"), col("cent_id"),
+        cosine(col("query_vec"), col("cent_vec")).as("ccos"))
+      .groupBy(col("query_id"))
+      .agg(first(col("query_vec")).as("query_vec"),
+        slice(sort_array(collect_list(struct(col("ccos"), col("cent_id"))), asc = false),
+          1, nprobe).as("probes"))
+      .select(col("query_id"), col("query_vec"),
+        explode(transform(col("probes"), p => p.getField("cent_id"))).as("cell"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("query_vec"), col("item_vec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries hashed into hyperplane-sign
     * buckets; each query scans only probed buckets — its own plus all
     * buckets within `probeRadius` flipped bits (multi-probe recovers

@@ -58,6 +58,14 @@ object Llm {
         bits = 8, probeRadius = 3)
     }),
 
+    // IVF-partitioned ANN (FAISS-style nlist/nprobe) — the third scale
+    // path; recall vs brute force asserted in LlmSpec.
+    "llm_sim_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 16, nprobe = 6)
+    }),
+
     // Token counting: whitespace + subword estimate.
     "llm_text_tokens" -> ((s, d) =>
       t(s, d, "documents")
