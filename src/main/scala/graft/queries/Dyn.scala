@@ -75,8 +75,13 @@ object Dyn {
     // (ordered-dynamic-tables.md:38-43), then PullQueue of
     // [10, 35) from tablet 3 (queue_client.h:109-127).
     "dyn_queue_pull" -> ((s, d) => {
-      val ordered = DynTable.withOffsets(
-        t(s, d, "events").select("event_id", "event_type", "value"),
+      // row_index is per-tablet, so a consumer pulling one tablet prunes
+      // to that tablet BEFORE offset assignment — only 1/8 of the log is
+      // read and sorted (in production offsets are assigned at write
+      // time and this is pure partition pruning).
+      val tablet3 = t(s, d, "events").select("event_id", "event_type", "value")
+        .where(pmod(col("event_id"), lit(8)) === 3)
+      val ordered = DynTable.withOffsets(tablet3,
         pmod(col("event_id"), lit(8)), Seq(col("event_id")))
       DynTable.pullQueue(ordered, 3, 10L, 25L)
         .select("tablet_index", "row_index", "event_id", "event_type", "value")
