@@ -76,6 +76,58 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 3L)
   }
 
+  test("streaming match_recognize emits matches incrementally across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val df = in.toDF().toDF("k", "seq", "t")
+    val out = MR.streamingOneRowPerMatch(
+      df, Seq("k"),
+      pattern = Seq(MR.times("E", 3)(_.getAs[String]("t") == "e")),
+      measures = vars => Seq(vars("E").head.getAs[Long]("seq"),
+        vars("E").last.getAs[Long]("seq")),
+      measureSchema = StructType(Seq(
+        StructField("start_seq", LongType), StructField("end_seq", LongType))))
+    val q = out.writeStream.format("memory").queryName("mrstream")
+      .outputMode("append").start()
+    // first trigger: an incomplete burst (2 e's) — nothing emits
+    in.addData((1L, 1L, "e"), (1L, 2L, "e"))
+    q.processAllAvailable()
+    assert(spark.table("mrstream").count() == 0)
+    // the third e completes the pattern across the trigger boundary
+    in.addData((1L, 3L, "e"), (1L, 4L, "x"), (1L, 5L, "e"))
+    q.processAllAvailable()
+    val got = spark.table("mrstream").collect()
+    q.stop()
+    assert(got.toSeq == Seq(Row(1L, 1L, 3L)))
+  }
+
+  test("stateful running aggregates over a keyed stream (mapGroupsWithState)") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val counts = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[(Long, Double)], st: GroupState[(Long, Double)]) =>
+          val (c0, s0) = st.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (c0 + batch.size, s0 + batch.map(_._2).sum)
+          st.update(next)
+          (k, next._1, next._2)
+      }
+    val q = counts.toDF("k", "cnt", "sum").writeStream.format("memory")
+      .queryName("state").outputMode("update").start()
+    in.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    in.addData((1L, 3.0))
+    q.processAllAvailable()
+    val last = spark.table("state").orderBy("k", "cnt").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.last }
+    q.stop()
+    assert(last(1L) == Row(1L, 3L, 6.0) && last(2L) == Row(2L, 1L, 5.0))
+  }
+
   test("match_recognize: greedy DOWN+ UP+ with PREV navigation") {
     val df = Seq(
       (1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 5.0), (1L, 4L, 7.0), (1L, 5L, 9.0),
