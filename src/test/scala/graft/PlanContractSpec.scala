@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan contracts for the scale-critical queries: these are
+  * the properties that make the operators viable at 100 TB (SURVEY.md
+  * §4) — filter pushdown to the scan, column pruning, broadcast for
+  * dimension joins, map-side partial aggregation, top-k instead of full
+  * sort. A regression here is a performance bug even while results stay
+  * correct.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.count() // force AQE final plan
+    df
+  }
+
+  private def planString(df: DataFrame): String = {
+    val p = df.queryExecution.executedPlan
+    val finalPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    finalPlan.toString
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+
+  test("ql_filter_where pushes its predicates into the parquet scan") {
+    val df = run("ql_filter_where")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    assert(s.head.metadata("PushedFilters").contains("GreaterThan(l_quantity"),
+      s.head.metadata("PushedFilters"))
+  }
+
+  test("ql_scan reads only the projected columns") {
+    val df = run("ql_scan")
+    val read = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(read == Set("n_nationkey", "n_name"), read)
+  }
+
+  test("ql_join_inner broadcasts the dimension side (batched-lookup join)") {
+    val p = planString(run("ql_join_inner"))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("ql_group_agg uses map-side partial aggregation around one exchange") {
+    val p = planString(run("ql_group_agg"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final agg expected")
+    assert("Exchange".r.findAllIn(p).length <= 2, "agg must shuffle once (+AQE read)")
+  }
+
+  test("ql_order_limit is top-k, never a global sort") {
+    val p = planString(run("ql_order_limit"))
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("dyn_upsert_latest merges with a single shuffle and no window sort") {
+    val df = run("dyn_upsert_latest")
+    val p = planString(df)
+    assert(!p.contains("Window"), "latest-wins must be max_by aggregation, not a window")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).nonEmpty)
+  }
+
+  test("dyn_queue_pull prunes to its tablet before assigning offsets") {
+    val df = run("dyn_queue_pull")
+    val s = scans(df)
+    assert(s.head.metadata("PushedFilters").nonEmpty || planString(df).contains("pmod"),
+      "tablet predicate must reach the scan side")
+  }
+
+  test("llm_dedup_minhash band join carries ids only (no shingle arrays through the shuffle)") {
+    val p = run("llm_dedup_minhash").queryExecution.optimizedPlan.toString
+    // the self-join inputs must not project the shingle array column
+    val joinSection = p.linesIterator.dropWhile(!_.contains("Join")).take(30).mkString("\n")
+    assert(!joinSection.contains("sh#") || joinSection.contains("doc_id"),
+      "band join should be id-only")
+  }
+}
