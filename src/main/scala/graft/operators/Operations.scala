@@ -69,6 +69,23 @@ object Operations {
   def mergeSorted(inputs: Seq[DataFrame], sortBy: Seq[Column]): DataFrame =
     sort(mergeUnordered(inputs), sortBy)
 
+  /** Multi-output map: the mapper tags each produced row with an output
+    * table index 0..n-1 (`MapperOutputTableCount`, scheduler
+    * config.h:1959-1997) — one pass over the input, n result frames.
+    * The tagged frame is computed once; callers persist/cache it if all
+    * outputs are consumed (at scale: write once partitioned by `_out`
+    * and read each output as a partition — no recompute).
+    */
+  def mapMultiOutput[T](input: Dataset[T], outputs: Int)(
+      f: Iterator[T] => Iterator[(Int, Row)])(schema: org.apache.spark.sql.types.StructType)
+      : Seq[DataFrame] = {
+    val tagged = input.mapPartitions { it =>
+      f(it).map { case (tag, r) => Row.fromSeq(tag +: r.toSeq) }
+    }(Encoders.row(org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_out", org.apache.spark.sql.types.IntegerType) +: schema.fields)))
+    (0 until outputs).map(i => tagged.filter(col("_out") === i).drop("_out"))
+  }
+
   /** Merge, ordered mode: concatenation preserving each input's row
     * order and the input sequence (OrderedMerge jobs,
     * merge_job.cpp) — `unionAll` keeps partition order per input; no

@@ -77,4 +77,31 @@ class OperationsSpec extends SparkSpec {
     assert(run(Some(combiner)) == expected)
     assert(run(None) == expected)
   }
+
+  test("multi-output map splits one pass into n tables (MapperOutputTableCount)") {
+    import org.apache.spark.sql.types._
+    val in = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDS()
+    val outs = Operations.mapMultiOutput(in, 2) { it =>
+      it.map(v => ((v % 2).toInt, Row(v, v * 10)))
+    }(StructType(Seq(StructField("v", LongType), StructField("x", LongType))))
+    assert(outs.length == 2)
+    assert(outs(0).select("v").as[Long].collect().sorted.toSeq == Seq(2L, 4L, 6L))
+    assert(outs(1).select("v").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    assert(outs(0).columns.toSeq == Seq("v", "x"))
+  }
+
+  test("LEFT join with foreign predicate filters foreign rows, keeps primary (config.cpp:1615 foreign semantics)") {
+    val primary = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("k", "pv")
+    val foreign = Seq((1L, 5.0), (2L, 50.0)).toDF("k", "fv")
+    // QL: LEFT JOIN foreign ON k = k AND fv > 10 — predicate prunes the
+    // foreign side; unmatched primary rows survive with nulls
+    val got = primary.join(foreign,
+        primary("k") === foreign("k") && foreign("fv") > 10.0, "left")
+      .select(primary("k"), col("pv"), col("fv"))
+      .orderBy("k").collect()
+    assert(got.toSeq == Seq(
+      org.apache.spark.sql.Row(1L, "p1", null),
+      org.apache.spark.sql.Row(2L, "p2", 50.0),
+      org.apache.spark.sql.Row(3L, "p3", null)))
+  }
 }
