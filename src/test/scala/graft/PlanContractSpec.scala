@@ -79,6 +79,22 @@ class PlanContractSpec extends SparkSpec {
       "tablet predicate must reach the scan side")
   }
 
+  test("disjoint group-by: grouping by the partitioning key adds no second exchange") {
+    // UseDisjointGroupBy (coordinator.cpp:37): group keys ⊇ partition key
+    // → no final merge. Spark equivalent: child partitioning satisfies
+    // the aggregation's required distribution.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "v")
+      .repartition(col("k"))
+    val agg = df.groupBy("k").agg(sum("v"))
+    agg.count()
+    val p = planString(agg)
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      "grouping on the partitioning key must not re-shuffle:\n" +
+        p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("llm_dedup_minhash band join carries ids only (no shingle arrays through the shuffle)") {
     val p = run("llm_dedup_minhash").queryExecution.optimizedPlan.toString
     // the self-join inputs must not project the shingle array column
