@@ -203,6 +203,24 @@ object Yql {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
           round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qd"))),
 
+    // YQL UDF module library (udfs/common: Digest::, Url::, String::,
+    // Math::, Unicode::, Ip::) — namespaced functions over builtins.
+    "yql_fn_modules" -> ((s, d) => {
+      import graft.functions.{YqlModules => M}
+      val url = concat(lit("https://ex.com/"),
+        regexp_replace(col("p_brand"), "#", "-"),
+        lit("/item?size="), col("p_size"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        M.Digest.md5(col("p_name")).as("name_md5"),
+        M.Url.getPath(url).as("path"),
+        M.Url.getCgiParam(url, "size").as("size_param"),
+        M.Str.toUpper(col("p_brand")).as("brand_up"),
+        M.Math.round(M.Math.pow(col("p_size").cast("double"), lit(2.0)), 1).as("size_sq"),
+        M.Unicode.getLength(col("p_name")).as("name_len"),
+        M.Ip.isPrivate(concat(lit("10.0."), col("p_size") % 256, lit(".7"))).as("is_priv"))
+    }),
+
     // mode / topfreq (YQL mode/topfreq aggregates) — deterministic
     // most-frequent value per group, ties broken toward the larger
     // value so the oracle can replicate exactly.
@@ -377,6 +395,15 @@ object Yql {
            ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
            ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qd
          FROM lineitem GROUP BY l_returnflag""",
+    "yql_fn_modules" ->
+      """SELECT p_partkey, md5(p_name) AS name_md5,
+           '/' || replace(p_brand, '#', '-') || '/item' AS path,
+           CAST(p_size AS VARCHAR) AS size_param,
+           upper(p_brand) AS brand_up,
+           ROUND(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           TRUE AS is_priv
+         FROM part""",
     "yql_agg_topfreq" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt
          FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
