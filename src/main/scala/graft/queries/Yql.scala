@@ -203,6 +203,39 @@ object Yql {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
           round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qd"))),
 
+    // Multi-join analytics (TPC-H Q3 shape): 3-way join, filter on both
+    // sides, top-10 by revenue — exercises join order + broadcast
+    // selection + TakeOrderedAndProject.
+    "yql_q3_shipping" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Multi-join analytics (TPC-H Q5 shape): 5-way star join through
+    // region→nation→customer→orders→lineitem.
+    "yql_q5_region" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))
+    }),
+
     // YQL UDF module library (udfs/common: Digest::, Url::, String::,
     // Math::, Unicode::, Ip::) — namespaced functions over builtins.
     "yql_fn_modules" -> ((s, d) => {
@@ -395,6 +428,26 @@ object Yql {
            ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
            ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qd
          FROM lineitem GROUP BY l_returnflag""",
+    "yql_q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "yql_q5_region" ->
+      """SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS cnt
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
     "yql_fn_modules" ->
       """SELECT p_partkey, md5(p_name) AS name_md5,
            '/' || replace(p_brand, '#', '-') || '/item' AS path,
