@@ -92,4 +92,26 @@ object Aggregators {
       def outputEncoder: Encoder[Seq[(Double, Long)]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     }
+
+  /** Logarithmic histogram (YQL LogHistogram,
+    * udfs/common/histogram): bin = floor(log_base(x)) for x > 0, bin
+    * -1 collects non-positives. Returns (binStart, count) sorted. */
+  def logHistogram(base: Double = 10.0): Aggregator[Double, Map[Long, Long], Seq[(Double, Long)]] =
+    new Aggregator[Double, Map[Long, Long], Seq[(Double, Long)]] {
+      def zero: Map[Long, Long] = Map.empty
+      def reduce(b: Map[Long, Long], a: Double): Map[Long, Long] = {
+        val bin = if (a <= 0.0) -1L
+          else math.floor(math.log(a) / math.log(base)).toLong
+        b.updated(bin, b.getOrElse(bin, 0L) + 1L)
+      }
+      def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] =
+        y.foldLeft(x) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+      def finish(r: Map[Long, Long]): Seq[(Double, Long)] =
+        r.toSeq.sortBy(_._1).map { case (bin, n) =>
+          (if (bin < 0) 0.0 else math.pow(base, bin.toDouble), n) }
+      def bufferEncoder: Encoder[Map[Long, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+      def outputEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    }
 }

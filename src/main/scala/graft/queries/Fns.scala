@@ -135,6 +135,17 @@ object Fns {
         .select(col("o_orderstatus"), explode(col("h")).as("bin"))
         .select(col("o_orderstatus"), col("bin._1").as("bin_start"),
           col("bin._2").as("cnt"))
+    }),
+
+    // Logarithmic histogram (YQL LogHistogram): decade bins over price.
+    "ql_agg_log_histogram" -> ((s, d) => {
+      val hist = udaf(Aggregators.logHistogram(10.0))
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(hist(col("o_totalprice")).as("h"))
+        .select(col("o_orderstatus"), explode(col("h")).as("bin"))
+        .select(col("o_orderstatus"), col("bin._1").as("bin_start"),
+          col("bin._2").as("cnt"))
     })
   )
 
@@ -206,6 +217,11 @@ object Fns {
     "ql_agg_histogram" ->
       """SELECT o_orderstatus, floor(o_totalprice / 50000) * 50000 AS bin_start,
            COUNT(*) AS cnt
-         FROM orders GROUP BY 1, 2"""
+         FROM orders GROUP BY 1, 2""",
+    "ql_agg_log_histogram" ->
+      """SELECT o_orderstatus,
+           pow(10.0, floor(log10(o_totalprice))) AS bin_start,
+           COUNT(*) AS cnt
+         FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2"""
   )
 }
