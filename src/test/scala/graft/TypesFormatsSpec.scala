@@ -89,4 +89,42 @@ class TypesFormatsSpec extends SparkSpec {
       .orderBy("a").collect()
     assert(got.toSeq == Seq(Row("1", "x", null), Row("2", null, "zz")))
   }
+
+  test("skiff: framed binary rows round-trip with exact wire layout") {
+    import graft.sources.Skiff
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val fields = Skiff.fieldsOf(schema)
+
+    // golden layout: variant16 tag 0, int64 LE, variant8 present +
+    // double LE, boolean byte, variant8 present + string32
+    val bytes = Skiff.encodeRow(Row(258L, 1.0, true, "ab"), fields)
+    val expect = Array[Byte](0, 0,                      // variant16 tag
+      2, 1, 0, 0, 0, 0, 0, 0,                           // 258 LE
+      1,                                                // v present
+      0, 0, 0, 0, 0, 0, -16, 63,                        // 1.0 LE bits
+      1,                                                // true
+      1,                                                // s present
+      2, 0, 0, 0, 'a'.toByte, 'b'.toByte)               // "ab"
+    assert(bytes.toSeq == expect.toSeq)
+
+    // nulls in optional fields
+    val withNulls = Skiff.encodeRow(Row(5L, null, false, null), fields)
+    val back = Skiff.decodeStream(
+      new java.io.ByteArrayInputStream(bytes ++ withNulls), fields).toSeq
+    assert(back == Seq(Row(258L, 1.0, true, "ab"), Row(5L, null, false, null)))
+  }
+
+  test("skiff: distributed encode/decode round-trips a DataFrame") {
+    import graft.sources.Skiff
+    val df = spark.range(0, 100).selectExpr(
+      "id AS k", "CAST(id AS DOUBLE) / 3 AS v", "id % 2 = 0 AS ok",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('row', id) END AS s")
+    val back = Skiff.decode(Skiff.encode(df), df.schema)
+    assert(back.count() == 100)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+  }
 }
