@@ -69,6 +69,52 @@ object Operations {
   def mergeSorted(inputs: Seq[DataFrame], sortBy: Seq[Column]): DataFrame =
     sort(mergeUnordered(inputs), sortBy)
 
+  /** User job as an external binary over a pipe (user_job.cpp: mapper =
+    * arbitrary process reading rows on stdin, writing rows on stdout,
+    * in one of the §1.4 formats — here tab-separated, the Dsv flavor).
+    * One process per partition, streamed in a background thread — rows
+    * never buffer beyond pipe capacity; at scale this is identical to
+    * the reference's job-proxy pipe topology.
+    */
+  def pipeMap(input: DataFrame, command: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cmd = command
+    input.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(false)
+        val proc = pb.start()
+        val writer = new Thread {
+          override def run(): Unit = {
+            val w = new java.io.PrintWriter(proc.getOutputStream)
+            rows.foreach { r =>
+              w.println(r.toSeq.map(v => if (v == null) "" else v.toString).mkString("\t"))
+            }
+            w.close()
+          }
+        }
+        writer.setDaemon(true)
+        writer.start()
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        Iterator.continually(br.readLine()).takeWhile(_ != null).map { line =>
+          val parts = line.split("\t", -1)
+          Row.fromSeq(outSchema.fields.zipWithIndex.map { case (f, i) =>
+            val s = if (i < parts.length) parts(i) else ""
+            if (s.isEmpty && f.nullable) null
+            else f.dataType match {
+              case org.apache.spark.sql.types.LongType => s.toLong
+              case org.apache.spark.sql.types.IntegerType => s.toInt
+              case org.apache.spark.sql.types.DoubleType => s.toDouble
+              case org.apache.spark.sql.types.BooleanType => s.toBoolean
+              case _ => s
+            }
+          }.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Multi-output map: the mapper tags each produced row with an output
     * table index 0..n-1 (`MapperOutputTableCount`, scheduler
     * config.h:1959-1997) — one pass over the input, n result frames.

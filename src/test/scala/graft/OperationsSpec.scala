@@ -104,4 +104,16 @@ class OperationsSpec extends SparkSpec {
       org.apache.spark.sql.Row(2L, "p2", 50.0),
       org.apache.spark.sql.Row(3L, "p3", null)))
   }
+
+  test("pipeMap runs an external binary per partition over a tab-separated pipe") {
+    import org.apache.spark.sql.types._
+    val in = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("k", "w")
+      .repartition(2)
+    // the classic unix mapper: upper-case the second field
+    val out = Operations.pipeMap(in,
+      Seq("awk", "-F\t", "{ print $1 \"\t\" toupper($2) }"),
+      StructType(Seq(StructField("k", LongType), StructField("w", StringType))))
+    val got = out.orderBy("k").collect()
+    assert(got.toSeq == Seq(Row(1L, "ALPHA"), Row(2L, "BETA"), Row(3L, "GAMMA")))
+  }
 }
