@@ -120,6 +120,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: documents whose embedding
+    * cosine clears `threshold`. This is the exact all-pairs baseline
+    * (broadcast one side, stream the other — O(n²) compute, O(n)
+    * shuffle); at corpus scale route candidates through
+    * [[Similarity.lshTopK]]'s hyperplane buckets first and verify the
+    * survivors with this exact cosine.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above a threshold —
     * the quadratic ground truth (use on samples; LSH is the scale path).
     * Computed by exploding shingles and joining on shingle hash, so the

@@ -58,6 +58,11 @@ object Llm {
         bits = 8, probeRadius = 3)
     }),
 
+    // Embedding-cosine near-dup pairs (exact baseline; LSH buckets are
+    // the scale path for candidates).
+    "llm_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.35)),
+
     // IVF-partitioned ANN (FAISS-style nlist/nprobe) — the third scale
     // path; recall vs brute force asserted in LlmSpec.
     "llm_sim_ivf" -> ((s, d) => {
@@ -130,6 +135,11 @@ object Llm {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
     "llm_dedup_exact" ->
       """SELECT COUNT(*) AS n_unique, CAST(SUM(dup_count) AS BIGINT) AS n_docs,
            MIN(doc_id) AS min_id
@@ -189,6 +199,11 @@ object Llm {
                  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))
                    AS n_words
                FROM documents)""",
+    "llm_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
     "llm_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
          FROM documents""",
