@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.{shims => S}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /** Single-pass sketch expressions for the dedup operators.
   *
@@ -184,6 +184,59 @@ object Sketches {
   }
 
   def langId(text: Column): Column = S.column(LangId(S.expression(text)))
+
+  private def numAt(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case LongType => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  /** Σ a_i·b_i in double — same sequential double accumulation as the
+    * declarative `aggregate(zip_with(...))` form, without the per-row
+    * intermediate arrays (which made all-pairs cosine quadratic in
+    * allocations, not just flops). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val et1 = left.dataType.asInstanceOf[ArrayType].elementType
+      val et2 = right.dataType.asInstanceOf[ArrayType].elementType
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += numAt(x, et1, i) * numAt(y, et2, i); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  /** cos(a, b) = dot/(|a|·|b|) in one pass over both arrays. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val et1 = left.dataType.asInstanceOf[ArrayType].elementType
+      val et2 = right.dataType.asInstanceOf[ArrayType].elementType
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xv = numAt(x, et1, i); val yv = numAt(y, et2, i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    S.column(DotProduct(S.expression(a), S.expression(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    S.column(CosineSim(S.expression(a), S.expression(b)))
 
   def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     S.column(MinHashSig(S.expression(shingles), numHashes, seed))

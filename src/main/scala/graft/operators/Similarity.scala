@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
   * higher-order functions, no UDFs).
   */
 object Similarity {
-  /** sum(a_i * b_i) in double precision. */
+  /** sum(a_i * b_i) in double precision — single-pass expression
+    * ([[graft.functions.Sketches.DotProduct]]); the declarative
+    * zip_with form allocates an intermediate array per evaluation,
+    * which turns all-pairs scoring quadratic in allocations. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Sketches.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Sketches.cosineSim(a, b)
 
   /** Exact brute-force cosine top-k: for each query row, the k corpus
     * rows with highest cosine similarity (excluding self-matches by id).
