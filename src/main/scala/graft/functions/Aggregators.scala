@@ -93,6 +93,49 @@ object Aggregators {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     }
 
+  /** Adaptive histogram (YQL AdaptiveDistanceHistogram family,
+    * udfs/common/histogram; the Ben-Haim/Tom-Tov streaming histogram):
+    * keeps at most `maxBins` (position, count) centroids; inserting
+    * past the cap merges the closest pair into their weighted mean.
+    * Deterministic for a given partition order; totals are exact, bin
+    * positions approximate.
+    */
+  def adaptiveHistogram(maxBins: Int): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    new Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] {
+      private def insert(bins: Seq[(Double, Long)], p: Double, c: Long): Seq[(Double, Long)] = {
+        val i = bins.indexWhere(_._1 >= p)
+        val withNew =
+          if (i >= 0 && bins(i)._1 == p) bins.updated(i, (p, bins(i)._2 + c))
+          else if (i < 0) bins :+ ((p, c))
+          else (bins.take(i) :+ ((p, c))) ++ bins.drop(i)
+        compact(withNew)
+      }
+      private def compact(bins: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        if (bins.length <= maxBins) bins
+        else {
+          // merge the closest adjacent pair (weighted mean position)
+          var best = 0; var bestGap = Double.MaxValue
+          var i = 0
+          while (i < bins.length - 1) {
+            val gap = bins(i + 1)._1 - bins(i)._1
+            if (gap < bestGap) { bestGap = gap; best = i }
+            i += 1
+          }
+          val (p1, c1) = bins(best); val (p2, c2) = bins(best + 1)
+          val merged = ((p1 * c1 + p2 * c2) / (c1 + c2), c1 + c2)
+          compact((bins.take(best) :+ merged) ++ bins.drop(best + 2))
+        }
+      def zero: Seq[(Double, Long)] = Seq.empty
+      def reduce(b: Seq[(Double, Long)], a: Double): Seq[(Double, Long)] = insert(b, a, 1L)
+      def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        y.foldLeft(x) { case (acc, (p, c)) => insert(acc, p, c) }
+      def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+      def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+      def outputEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    }
+
   /** Logarithmic histogram (YQL LogHistogram,
     * udfs/common/histogram): bin = floor(log_base(x)) for x > 0, bin
     * -1 collects non-positives. Returns (binStart, count) sorted. */

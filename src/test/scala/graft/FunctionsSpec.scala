@@ -89,4 +89,19 @@ class FunctionsSpec extends SparkSpec {
     val got = df.agg(top2(col("v"), col("key"))).as[Seq[Long]].head()
     assert(got == Seq(2L, 4L)) // key 9.0 twice, tie broken by value asc
   }
+
+  test("adaptive histogram caps bins, preserves totals, tracks the distribution") {
+    import org.apache.spark.sql.functions._
+    val hist = udaf(graft.functions.Aggregators.adaptiveHistogram(8))
+    // bimodal: cluster near 0 and near 100
+    val data = ((1 to 500).map(i => (i % 10).toDouble) ++
+      (1 to 500).map(i => 100.0 + (i % 10))).toDF("v")
+    val bins = data.agg(hist(col("v")).as("h"))
+      .selectExpr("explode(h) AS b").selectExpr("b._1 AS pos", "b._2 AS cnt")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(bins.length <= 8)
+    assert(bins.map(_._2).sum == 1000L)
+    val lowMass = bins.filter(_._1 < 50).map(_._2).sum
+    assert(lowMass == 500L, s"bimodal split lost: $lowMass")
+  }
 }
