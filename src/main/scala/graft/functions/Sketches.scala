@@ -198,7 +198,8 @@ object Sketches {
     * intermediate arrays (which made all-pairs cosine quadratic in
     * allocations, not just flops). */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(ArrayType, ArrayType)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -215,7 +216,8 @@ object Sketches {
 
   /** cos(a, b) = dot/(|a|·|b|) in one pass over both arrays. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(ArrayType, ArrayType)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
