@@ -1,6 +1,19 @@
 package graft
 import graft.sources.Tables
 
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line for the driver.
+  *
+  * Evaluation is forced by draining `queryExecution.toRdd` on the executors:
+  * unlike `.count()`, this adds no aggregate on top of the plan, so Catalyst
+  * cannot column-prune the projections away — projection-only queries are
+  * timed as their expressions, not as scan+count. Works for any output type
+  * (maps/arrays included, which a hash-agg forcer would reject). Nothing is
+  * collected to the driver.
+  *
+  * A query that throws aborts the bench with the query name: a broken query
+  * must fail the round, not bench as ~0s.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +25,25 @@ object Bench {
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
     // steady-state timing: best of two runs per query (first run also
     // pays plan compilation; the driver wants operator throughput)
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String,
+             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try force(fn(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in $name: ${e}")
+          throw e
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      name -> math.min(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -172,10 +172,19 @@ object Operations {
     */
   def sortedReduce(input: DataFrame, reduceBy: Seq[String], sortBy: Seq[String],
       outputSchema: org.apache.spark.sql.types.StructType)(
+      f: (Row, Iterator[Row]) => Iterator[Row]): DataFrame =
+    chopReduce(input.repartition(reduceBy.map(col): _*), reduceBy, sortBy,
+      outputSchema)(f)
+
+  /** Partition-local half of a sorted reduce: secondary-sort within the
+    * partitions the caller already keyed, then stream groups through the
+    * chopper. No exchange — callers guarantee `reduceBy` keys don't span
+    * partitions.
+    */
+  private def chopReduce(keyed: DataFrame, reduceBy: Seq[String],
+      sortBy: Seq[String], outputSchema: org.apache.spark.sql.types.StructType)(
       f: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
-    val ordered = input
-      .repartition(reduceBy.map(col): _*)
-      .sortWithinPartitions((reduceBy ++ sortBy).map(col): _*)
+    val ordered = keyed.sortWithinPartitions((reduceBy ++ sortBy).map(col): _*)
     val keyIdx = reduceBy.map(ordered.schema.fieldIndex).toArray
     ordered.mapPartitions { it =>
       Chopper(it, keyIdx).flatMap { case (key, rows) => f(key, rows) }
@@ -185,15 +194,23 @@ object Operations {
   /** JoinReduce: primary tables left-joined with foreign tables on the
     * `joinBy` prefix, then reduced group-wise (TSortedJoiningReader,
     * sorted_merging_reader.cpp:563). Foreign rows replicate per matching
-    * key — exactly sort-merge-join semantics, so we declare the join and
-    * let Catalyst pick SMJ (or broadcast when the foreign side is small).
+    * key — exactly sort-merge-join semantics.
+    *
+    * One exchange of the primary stream, BEFORE the join: the explicit
+    * repartition pins the join output's partitioning to hash(joinBy)
+    * whether Catalyst picks SMJ (join's own clustered distribution) or
+    * broadcasts the foreign side (streamed side keeps the primary's
+    * partitioning). Either way the joined stream — the largest
+    * intermediate in the pipeline — is never re-shuffled; only a
+    * partition-local secondary sort remains before the chopper.
     */
   def joinReduce(primary: DataFrame, foreign: DataFrame, joinBy: Seq[String],
       sortBy: Seq[String],
       outputSchema: org.apache.spark.sql.types.StructType)(
       f: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
-    val joined = primary.join(foreign, joinBy, "left")
-    sortedReduce(joined, joinBy, sortBy, outputSchema)(f)
+    val keyed = primary.repartition(joinBy.map(col): _*)
+    val joined = keyed.join(foreign, joinBy, "left")
+    chopReduce(joined, joinBy, sortBy, outputSchema)(f)
   }
 
   /** MapReduce (fused, sort_controller.cpp): mapper → optional map-side

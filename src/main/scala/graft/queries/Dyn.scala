@@ -44,8 +44,11 @@ object Dyn {
     // dynamic_table_client.h:96-115): asOf = half the max version.
     "dyn_versioned_read" -> ((s, d) => {
       val l = log(s, d)
-      val asOf = t(s, d, "orders").agg(max("o_orderkey")).first().getLong(0) / 2
-      DynTable.readAsOf(l, Seq("k"), lit(asOf))
+      // asOf as a scalar subquery folded into the plan — no driver-side
+      // action before the query even starts.
+      val asOf = t(s, d, "orders").agg((max("o_orderkey") / 2).cast("long"))
+        .scalar()
+      DynTable.readAsOf(l, Seq("k"), asOf)
     }),
 
     // Point lookup of a key set (MultiLookupRows,

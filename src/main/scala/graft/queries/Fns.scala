@@ -108,12 +108,15 @@ object Fns {
         .select(col("event_type"), explode(col("dict")).as(Seq("k", "cnt")))
     }),
 
-    // top_by custom Aggregator: top-3 orderkeys by totalprice.
+    // top_by custom Aggregator: top-3 orderkeys by totalprice. The array
+    // is serialized to a CSV string so the oracle checker can compare it.
     "ql_agg_top_by" -> ((s, d) => {
       val top3 = udaf(Aggregators.topBy(3))
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(top3(col("o_orderkey"), col("o_totalprice")).as("top_orders"))
+        .agg(concat_ws(",",
+          top3(col("o_orderkey"), col("o_totalprice")).cast("array<string>"))
+          .as("top_orders"))
     }),
 
     // bool_xor + checked_sum custom Aggregators.
@@ -206,7 +209,8 @@ object Fns {
          FROM events GROUP BY 1, 2""",
     "ql_agg_top_by" ->
       """SELECT o_orderpriority,
-           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
+           array_to_string(
+             (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',')
              AS top_orders
          FROM orders GROUP BY o_orderpriority""",
     "ql_agg_boolxor_checked" ->

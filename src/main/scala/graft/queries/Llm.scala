@@ -199,11 +199,6 @@ object Llm {
                  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))
                    AS n_words
                FROM documents)""",
-    "llm_dedup_embedding" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
     "llm_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
          FROM documents""",

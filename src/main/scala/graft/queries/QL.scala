@@ -85,9 +85,13 @@ object QL {
       val groups = t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
+      // Totals sum runs in DECIMAL(18,2): the group values are exact 2dp,
+      // so decimal summation is exact regardless of partial-agg order —
+      // a double sum at ~1e9 magnitude is ulp-sensitive to ordering.
       val totalsRow = groups.agg(
         lit(null).cast("string").as("o_orderpriority"),
-        round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
+        sum(col("total").cast("decimal(18,2)")).cast("double").as("total"),
+        sum(col("cnt")).as("cnt"))
       groups.filter(col("cnt") >= 3000).unionByName(totalsRow)
     }),
     "ql_with_totals_after_having" -> ((s, d) => {
@@ -97,7 +101,8 @@ object QL {
         .filter(col("cnt") >= 3000)
       val totalsRow = surviving.agg(
         lit(null).cast("string").as("o_orderpriority"),
-        round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
+        sum(col("total").cast("decimal(18,2)")).cast("double").as("total"),
+        sum(col("cnt")).as("cnt"))
       surviving.unionByName(totalsRow)
     }),
 
@@ -259,14 +264,14 @@ object QL {
                       COUNT(*) AS cnt FROM orders GROUP BY 1)
          SELECT * FROM g WHERE cnt >= 3000
          UNION ALL
-         SELECT NULL, ROUND(SUM(total), 2), SUM(cnt) FROM g""",
+         SELECT NULL, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE), SUM(cnt) FROM g""",
     "ql_with_totals_after_having" ->
       """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
                       COUNT(*) AS cnt FROM orders GROUP BY 1),
               s AS (SELECT * FROM g WHERE cnt >= 3000)
          SELECT * FROM s
          UNION ALL
-         SELECT NULL, ROUND(SUM(total), 2), SUM(cnt) FROM s""",
+         SELECT NULL, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE), SUM(cnt) FROM s""",
     "ql_order_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",

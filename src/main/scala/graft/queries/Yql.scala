@@ -293,12 +293,15 @@ object Yql {
           bit_xor(col("l_orderkey")).as("bxor"))),
 
     // aggregate_list / aggregate_list_distinct → sorted arrays so the
-    // result is deterministic across engines.
+    // result is deterministic across engines; serialized to CSV strings
+    // so the oracle checker can hash-compare them.
     "yql_agg_list" -> ((s, d) =>
       t(s, d, "nation")
         .groupBy(col("n_regionkey").cast("long").as("region"))
-        .agg(sort_array(collect_list(col("n_name"))).as("names"),
-          sort_array(collect_set(substring(col("n_name"), 1, 7))).as("prefixes"))),
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"),
+          concat_ws(",", sort_array(collect_set(substring(col("n_name"), 1, 7))))
+            .as("prefixes"))),
 
     // DISTINCT aggregates + multi-distinct in one pass.
     "yql_agg_distinct" -> ((s, d) =>
@@ -481,8 +484,9 @@ object Yql {
          FROM lineitem GROUP BY l_linestatus""",
     "yql_agg_list" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS region,
-           list_sort(list(n_name)) AS names,
-           list_sort(list(DISTINCT substring(n_name, 1, 7))) AS prefixes
+           array_to_string(list_sort(list(n_name)), ',') AS names,
+           array_to_string(list_sort(list(DISTINCT substring(n_name, 1, 7))), ',')
+             AS prefixes
          FROM nation GROUP BY 1""",
     "yql_agg_distinct" ->
       """SELECT l_returnflag,

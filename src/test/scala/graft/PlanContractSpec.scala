@@ -95,6 +95,29 @@ class PlanContractSpec extends SparkSpec {
         p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("op_join_reduce never re-shuffles the joined stream") {
+    // The joined stream is the biggest intermediate of a JoinReduce; the
+    // only exchanges allowed are the per-input ones BELOW the join. After
+    // the join: partition-local sort + chopper only.
+    val df = run("op_join_reduce")
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def pathToJoin(node: org.apache.spark.sql.execution.SparkPlan,
+        acc: List[String]): Option[List[String]] =
+      if (node.nodeName.contains("Join")) Some(acc)
+      else node.children.view
+        .flatMap(c => pathToJoin(c, node.nodeName :: acc)).headOption
+    val above = pathToJoin(finalPlan, Nil)
+    assert(above.isDefined, "no join found in:\n" + finalPlan)
+    val offenders = above.get.filter(n =>
+      n.contains("Exchange") || n.contains("ShuffleQueryStage") ||
+        n.contains("AQEShuffleRead"))
+    assert(offenders.isEmpty,
+      s"exchange above the join: $offenders\n" + finalPlan.toString.take(2000))
+  }
+
   test("llm_dedup_minhash band join carries ids only (no shingle arrays through the shuffle)") {
     val p = run("llm_dedup_minhash").queryExecution.optimizedPlan.toString
     // the self-join inputs must not project the shingle array column
