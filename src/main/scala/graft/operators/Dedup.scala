@@ -121,17 +121,72 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: documents whose embedding
-    * cosine clears `threshold`. This is the exact all-pairs baseline
-    * (broadcast one side, stream the other — O(n²) compute, O(n)
-    * shuffle); at corpus scale route candidates through
-    * [[Similarity.lshTopK]]'s hyperplane buckets first and verify the
-    * survivors with this exact cosine.
+    * cosine clears `threshold`. EXACT, via a distributed block-grid pair
+    * join: rows hash into `blocks` blocks; each unordered block pair
+    * (p,q), p<=q becomes one equi-join cell — the A side replicates a
+    * block-p row to cells (p, q>=p), the B side a block-q row to cells
+    * (p<=q, q), so every pair is examined exactly once. No broadcast of
+    * the corpus, no cross join: shuffle is O(n·blocks) and the n²/2
+    * cosine evaluations spread over blocks(blocks+1)/2 independent
+    * tasks, each of bounded (n/blocks)² size.
+    *
+    * Exact is the honest algorithm at low thresholds: at cos≈0.4 a
+    * hyperplane bit agrees with prob 0.63 for a true pair vs 0.50 for a
+    * random one — no LSH scheme gets recall≈1 while pruning anything.
+    * For the genuine near-dup regime (cos >= ~0.8) use the sub-quadratic
+    * [[embeddingCosinePairsLsh]].
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("g"))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("g").as("p"), explode(sequence(col("g"), lit(blocks - 1))).as("q"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      explode(sequence(lit(0), col("g"))).as("p"), col("g").as("q"))
+    a.join(b, Seq("p", "q"))
+      // diagonal cells see both orderings of a pair; keep one
+      .filter(col("p") < col("q") || col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Sub-quadratic embedding near-dup pairs for the high-similarity
+    * regime: hyperplane-signature pigeonhole candidates + exact cosine
+    * verify. Signatures of `bits` sign bits split into bits/chunkBits
+    * chunks; a pair agreeing on >=1 exact chunk becomes a candidate (id
+    * columns only ride the join — vectors are fetched back for the
+    * verify). Pigeonhole guarantees recall 1.0 for pairs within
+    * signature hamming distance < bits/chunkBits; at cos 0.9 a bit
+    * flips with prob acos(0.9)/pi ≈ 0.14, so the 24/4 default misses a
+    * true pair with prob ~(1-(0.86)^4)^6 ≈ 1%. Not applicable below
+    * cos ~0.7 (see [[embeddingCosinePairs]] for why).
+    */
+  def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 24, chunkBits: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(bits % chunkBits == 0, "chunkBits must divide bits")
+    val chunks = bits / chunkBits
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.hyperplaneSignature(col(vecCol), dim, bits, seed).as("sig"))
+    val chunked = sigs.select(col("id"),
+      posexplode(array((0 until chunks).map { j =>
+        shiftrightunsigned(col("sig"), j * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1)
+      }: _*)).as(Seq("chunk", "chunk_val")))
+    val l = chunked.select(col("id").as("id_a"), col("chunk"), col("chunk_val"))
+    val r = chunked.select(col("id").as("id_b"), col("chunk"), col("chunk_val"))
+    val candidates = l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val vecs = sigs.select(col("id"), col("vec"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

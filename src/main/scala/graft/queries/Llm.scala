@@ -58,10 +58,17 @@ object Llm {
         bits = 8, probeRadius = 3)
     }),
 
-    // Embedding-cosine near-dup pairs (exact baseline; LSH buckets are
-    // the scale path for candidates).
+    // Embedding-cosine near-dup pairs: exact block-grid pair join (no
+    // corpus broadcast, no cross join — n·B shuffle, grid-cell tasks).
     "llm_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.35)),
+
+    // Sub-quadratic LSH variant for the high-similarity near-dup regime:
+    // pigeonhole chunk candidates + exact verify. Approximate → no SQL
+    // oracle; recall gated in LlmSpec on clustered fixtures.
+    "llm_dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingCosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.35)),
 
     // IVF-partitioned ANN (FAISS-style nlist/nprobe) — the third scale
     // path; recall vs brute force asserted in LlmSpec.

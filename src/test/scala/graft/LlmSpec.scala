@@ -41,6 +41,44 @@ class LlmSpec extends SparkSpec {
     assert(sim.subsetOf(loose), s"false positives: ${sim -- loose}")
   }
 
+  test("embedding block-grid pairs equal the all-pairs ground truth") {
+    val truth = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
+        .filter(col("cos") >= 0.35)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val grid = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.35, blocks = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(grid == truth, s"missing=${truth -- grid} extra=${grid -- truth}")
+    assert(truth.nonEmpty)
+  }
+
+  test("embedding LSH dedup: recall 1.0 on clustered near-dups, exact-verified precision") {
+    // Clustered fixture: 40 centers, 4 near-copies each (tiny noise →
+    // within-cluster cos ≥ ~0.99); cross-cluster pairs are random-dim-64
+    // (cos ≈ 0 ± 0.125). This is the regime the LSH path is for.
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 40
+      center = Array.fill(64)(rnd.nextGaussian())
+      i <- 0 until 4
+    } yield (c.toLong * 10 + i,
+      center.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(df, "vec_id", "embedding",
+      dim = 64, threshold = 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 200, s"fixture should be dense in near-dups: ${exact.size}")
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall == 1.0, s"recall=$recall missing=${exact -- lsh}")
+  }
+
   test("lsh ANN beats its scan fraction on near-orthogonal data") {
     val queries = emb.filter(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)

@@ -118,6 +118,16 @@ class PlanContractSpec extends SparkSpec {
       s"exchange above the join: $offenders\n" + finalPlan.toString.take(2000))
   }
 
+  test("llm_dedup_embedding is a grid equi-join: no cross join, no corpus broadcast hint") {
+    // The exact pair scan must distribute as block-grid equi-join cells.
+    // (AQE may still size-pick a broadcast build for the tiny test
+    // corpus — that's the planner's call and vanishes at scale; what
+    // must never appear is a nested-loop/cartesian shape.)
+    val p = planString(run("llm_dedup_embedding"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop pair scan")
+    assert(!p.contains("CartesianProduct"), "cartesian pair scan")
+  }
+
   test("llm_dedup_minhash band join carries ids only (no shingle arrays through the shuffle)") {
     val p = run("llm_dedup_minhash").queryExecution.optimizedPlan.toString
     // the self-join inputs must not project the shingle array column
