@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, OneRowR
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.{shims => S}
+import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
 
@@ -19,33 +20,57 @@ import scala.jdk.CollectionConverters._
   * write (TColumnEvaluator::EvaluateKeys, column_evaluator.h:12-32) and
   * — critically — *enumerates* its values during range inference so a
   * predicate on the source column prunes tablets keyed by the computed
-  * column (range_inferrer.cpp, ql_computed_columns_ut.cpp). The Spark
-  * analog: the computed column is the partition column of the table;
-  * [[DerivedPredicateRule]] rewrites `WHERE k = v` into
-  * `WHERE k = v AND hk = f(v)` so Catalyst's ordinary partition pruning
-  * eliminates directories — at 100 TB that's the difference between a
-  * full scan and touching one partition.
+  * column (key_trie.cpp:43-73, range_inferrer.cpp,
+  * new_range_inferrer.cpp; tests ql_computed_columns_ut.cpp,
+  * ql_range_inference_ut.cpp). The Spark analog: the computed column is
+  * the partition column of the table; [[DerivedPredicateRule]] conjoins
+  * the computed column's value image so Catalyst's ordinary partition
+  * pruning eliminates directories — at 100 TB that's the difference
+  * between a full scan and touching one partition.
   *
-  * [[Spec]]s are registered per (source, computed) column-name pair;
-  * writes go through [[withComputed]] so the stored value always agrees
-  * with the rule's fold (same single-definition guarantee the
-  * reference's write-path evaluator provides).
+  * Coverage mirrors the reference's inferrer:
+  *   - point constraints: `k = v`, `k IN (...)` → image of each value;
+  *   - ranges on integral/date sources: `k BETWEEN a AND b`,
+  *     `k >= a AND k < b`, ... → the range is enumerated and mapped
+  *     through f, capped at [[ComputedColumns.MaxEnumeration]] values
+  *     (the reference's modular-enumeration cap, range_inferrer.cpp's
+  *     RangeExpansionLimit) — beyond the cap the rule stays silent and
+  *     the query falls back to a scan;
+  *   - multi-column keys: `c = f(k1, k2, ...)` with each source pinned
+  *     by a point or enumerable range; the cross product of candidate
+  *     values (cap shared) maps through f — the key-trie cross product.
+  *
+  * [[Spec]]s are registered per (sources, computed) pair; writes go
+  * through [[withComputed]] so the stored value always agrees with the
+  * rule's fold (same single-definition guarantee the reference's
+  * write-path evaluator provides).
   */
 object ComputedColumns {
 
-  /** `computed := f(source)`, e.g. `hk := pmod(hash(k), 64)`. */
-  final case class Spec(source: String, computed: String, f: Column => Column)
+  /** Reference: range_inferrer.cpp caps range expansion; we stop
+    * enumerating past this many candidate tuples. */
+  val MaxEnumeration = 1024
 
-  private val specs = new ConcurrentHashMap[(String, String), Spec]()
+  /** `computed := f(sources)`, e.g. `hk := pmod(hash(k1, k2), 64)`. */
+  final case class Spec(sources: Seq[String], computed: String,
+      f: Seq[Column] => Column)
+
+  object Spec {
+    /** Single-source sugar: `computed := f(source)`. */
+    def apply(source: String, computed: String, f: Column => Column): Spec =
+      Spec(Seq(source), computed, (cs: Seq[Column]) => f(cs.head))
+  }
+
+  private val specs = new ConcurrentHashMap[(Seq[String], String), Spec]()
 
   def register(spec: Spec): Unit =
-    specs.put((spec.source, spec.computed), spec)
+    specs.put((spec.sources, spec.computed), spec)
 
   def clear(): Unit = specs.clear()
 
   /** Write-path evaluation (column_evaluator.h EvaluateKeys). */
   def withComputed(df: org.apache.spark.sql.DataFrame, spec: Spec): org.apache.spark.sql.DataFrame =
-    df.withColumn(spec.computed, spec.f(df(spec.source)))
+    df.withColumn(spec.computed, spec.f(spec.sources.map(df(_))))
 
   /** Install the rule on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
@@ -54,13 +79,13 @@ object ComputedColumns {
       spark.experimental.extraOptimizations = existing :+ DerivedPredicateRule
   }
 
-  /** Constant-fold `f(v)` at planning time. Spark 4's `functions._`
+  /** Constant-fold `f(vs)` at planning time. Spark 4's `functions._`
     * build unresolved expressions, so run the analyzer over a
     * OneRowRelation projection first — driver-side only, no job. */
-  private def derive(f: Column => Column, v: Literal,
-      target: org.apache.spark.sql.types.DataType): Option[Literal] =
+  private def derive(f: Seq[Column] => Column, vs: Seq[Literal],
+      target: DataType): Option[Literal] =
     try {
-      val raw = S.convert(f(S.column(Literal(v.value, v.dataType))))
+      val raw = S.convert(f(vs.map(v => S.column(Literal(v.value, v.dataType)))))
       val proj = Project(Seq(Alias(raw, "d")()), OneRowRelation())
       val analyzed = SparkSession.active.sessionState.analyzer.execute(proj)
       val e = analyzed.asInstanceOf[Project].projectList.head
@@ -78,18 +103,19 @@ object ComputedColumns {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Conjoin `computed = f(v)` (or IN-list image) wherever a filter
-    * pins the source column and the plan also carries the computed
-    * column. */
+  /** Conjoin `computed IN image(f, candidates)` wherever a filter pins
+    * every source column of a spec and the plan also carries the
+    * computed column. */
   object DerivedPredicateRule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case f @ Filter(cond, child) =>
         val out = child.outputSet
         val extras = specs.values().asScala.flatMap { spec =>
-          val srcAttr = out.find(_.name == spec.source)
+          val srcAttrs = spec.sources.map(n => out.find(_.name == n))
           val cmpAttr = out.find(_.name == spec.computed)
-          (srcAttr, cmpAttr) match {
-            case (Some(src), Some(cmp)) => derivedFor(cond, src, cmp, spec)
+          (cmpAttr, srcAttrs) match {
+            case (Some(cmp), attrs) if attrs.forall(_.isDefined) =>
+              derivedFor(cond, attrs.flatten, cmp, spec)
             case _ => None
           }
         }.toSeq
@@ -104,20 +130,97 @@ object ComputedColumns {
       case other => Seq(other)
     }
 
-    private def derivedFor(cond: Expression, src: Attribute, cmp: Attribute,
-        spec: Spec): Option[Expression] = {
-      val conj = splitConjunctive(cond)
-      conj.collectFirst {
-        case EqualTo(a: Attribute, l: Literal) if a.semanticEquals(src) =>
-          derive(spec.f, l, cmp.dataType).map(dl => EqualTo(cmp, dl))
-        case EqualTo(l: Literal, a: Attribute) if a.semanticEquals(src) =>
-          derive(spec.f, l, cmp.dataType).map(dl => EqualTo(cmp, dl))
-        case In(a: Attribute, vs) if a.semanticEquals(src) &&
+    /** Finite candidate values for one source attribute, from the
+      * conjuncts that constrain it: a point/IN set, or an enumerated
+      * integral/date range when both bounds are pinned and the width
+      * fits the cap. */
+    private def candidatesFor(conj: Seq[Expression], a: Attribute): Option[Seq[Literal]] = {
+      var vals: Option[Seq[Literal]] = None
+      var lo: Option[Long] = None
+      var hi: Option[Long] = None
+
+      def asLong(l: Literal): Option[Long] = (l.value, l.dataType) match {
+        case (null, _) => None
+        case (v: Byte, _) => Some(v.toLong)
+        case (v: Short, _) => Some(v.toLong)
+        case (v: Int, _) => Some(v.toLong)
+        case (v: Long, _) => Some(v)
+        case _ => None
+      }
+      def integral: Boolean = a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case _ => false
+      }
+      def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+      def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+      def keep(vs: Seq[Literal]): Unit =
+        vals = Some(vals.fold(vs)(prev => prev.intersect(vs)))
+
+      conj.foreach {
+        case EqualTo(x: Attribute, l: Literal) if x.semanticEquals(a) => keep(Seq(l))
+        case EqualTo(l: Literal, x: Attribute) if x.semanticEquals(a) => keep(Seq(l))
+        case In(x: Attribute, vs) if x.semanticEquals(a) &&
             vs.forall(_.isInstanceOf[Literal]) =>
-          val imgs = vs.map(v => derive(spec.f, v.asInstanceOf[Literal], cmp.dataType))
-          if (imgs.forall(_.isDefined)) Some(In(cmp, imgs.flatten.distinct))
-          else None
-      }.flatten
+          keep(vs.map(_.asInstanceOf[Literal]))
+        case GreaterThan(x: Attribute, l: Literal) if x.semanticEquals(a) =>
+          asLong(l).foreach(v => tightenLo(v + 1))
+        case GreaterThanOrEqual(x: Attribute, l: Literal) if x.semanticEquals(a) =>
+          asLong(l).foreach(tightenLo)
+        case LessThan(x: Attribute, l: Literal) if x.semanticEquals(a) =>
+          asLong(l).foreach(v => tightenHi(v - 1))
+        case LessThanOrEqual(x: Attribute, l: Literal) if x.semanticEquals(a) =>
+          asLong(l).foreach(tightenHi)
+        // literal-on-the-left comparisons, flipped
+        case GreaterThan(l: Literal, x: Attribute) if x.semanticEquals(a) =>
+          asLong(l).foreach(v => tightenHi(v - 1))
+        case GreaterThanOrEqual(l: Literal, x: Attribute) if x.semanticEquals(a) =>
+          asLong(l).foreach(tightenHi)
+        case LessThan(l: Literal, x: Attribute) if x.semanticEquals(a) =>
+          asLong(l).foreach(v => tightenLo(v + 1))
+        case LessThanOrEqual(l: Literal, x: Attribute) if x.semanticEquals(a) =>
+          asLong(l).foreach(tightenLo)
+        case _ =>
+      }
+
+      vals match {
+        case Some(vs) => Some(vs.distinct)
+        case None => (lo, hi) match {
+          case (Some(l), Some(h)) if integral && h >= l &&
+              h - l + 1 <= MaxEnumeration =>
+            val mk: Long => Literal = a.dataType match {
+              case ByteType => v => Literal(v.toByte)
+              case ShortType => v => Literal(v.toShort)
+              case IntegerType => v => Literal(v.toInt)
+              case DateType => v => Literal(v.toInt, DateType)
+              case _ => v => Literal(v)
+            }
+            Some((l to h).map(mk))
+          case _ => None
+        }
+      }
+    }
+
+    private def derivedFor(cond: Expression, srcs: Seq[Attribute],
+        cmp: Attribute, spec: Spec): Option[Expression] = {
+      val conj = splitConjunctive(cond)
+      val perSource = srcs.map(a => candidatesFor(conj, a))
+      if (perSource.exists(_.isEmpty)) return None
+      val cands = perSource.map(_.get)
+      val tuples = cands.map(_.size.toLong).product
+      if (tuples == 0 || tuples > MaxEnumeration) return None
+      // cross product of per-source candidates → the key-trie expansion
+      val product = cands.foldLeft(Seq(Seq.empty[Literal])) { (acc, vs) =>
+        acc.flatMap(prefix => vs.map(prefix :+ _))
+      }
+      val images = product.map(vs => derive(spec.f, vs, cmp.dataType))
+      if (images.exists(_.isEmpty)) None
+      else {
+        val distinct = images.flatten.distinctBy(_.value)
+        distinct match {
+          case Seq(one) => Some(EqualTo(cmp, one))
+          case many => Some(In(cmp, many))
+        }
+      }
     }
   }
 }

@@ -42,6 +42,83 @@ class PlansSpec extends SparkSpec {
     } finally ComputedColumns.clear()
   }
 
+  private def partitionFilterOn(q: org.apache.spark.sql.DataFrame, part: String): Boolean = {
+    val scans = q.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    scans.nonEmpty &&
+      scans.head.partitionFilters.exists(_.references.exists(_.name == part))
+  }
+
+  test("range predicates prune partitions on a hash-computed key (range inferrer)") {
+    val dir = Files.createTempDirectory("ccr").toFile.getAbsolutePath
+    val spec = ComputedColumns.Spec("k", "hk", c => pmod(c, lit(8L)))
+    val data = (0L until 800L).map(i => (i, s"v$i")).toDF("k", "v")
+    ComputedColumns.withComputed(data, spec)
+      .write.partitionBy("hk").mode("overwrite").parquet(dir)
+    ComputedColumns.register(spec)
+    ComputedColumns.install(spark)
+    try {
+      val q = spark.read.parquet(dir).where(col("k").between(100L, 120L))
+      assert(q.count() == 21)
+      assert(partitionFilterOn(q, "hk"), "BETWEEN must derive an hk partition filter")
+
+      val q2 = spark.read.parquet(dir).where(col("k") >= 795L && col("k") < 799L)
+      assert(q2.count() == 4)
+      assert(partitionFilterOn(q2, "hk"), ">=/< must derive an hk partition filter")
+
+      // beyond the enumeration cap the rule stays silent; still correct
+      val q3 = spark.read.parquet(dir).where(col("k") >= 100L)
+      assert(q3.count() == 700)
+      assert(!partitionFilterOn(q3, "hk"), "unbounded range must not derive")
+    } finally ComputedColumns.clear()
+  }
+
+  test("range predicates prune partitions on a range-computed key (bucketed ranges)") {
+    val dir = Files.createTempDirectory("ccb").toFile.getAbsolutePath
+    val spec = ComputedColumns.Spec("k", "rk",
+      (c: org.apache.spark.sql.Column) => floor(c / lit(100L)).cast("long"))
+    val data = (0L until 1000L).map(i => (i, i * 3)).toDF("k", "payload")
+    ComputedColumns.withComputed(data, spec)
+      .write.partitionBy("rk").mode("overwrite").parquet(dir)
+    ComputedColumns.register(spec)
+    ComputedColumns.install(spark)
+    try {
+      val q = spark.read.parquet(dir).where(col("k").between(250L, 450L))
+      assert(q.count() == 201)
+      assert(partitionFilterOn(q, "rk"), "range image {2,3,4} must reach the scan")
+    } finally ComputedColumns.clear()
+  }
+
+  test("multi-column computed key: cross product of pinned sources derives (key trie)") {
+    val dir = Files.createTempDirectory("ccm").toFile.getAbsolutePath
+    val spec = ComputedColumns.Spec(Seq("k1", "k2"), "hk",
+      (cs: Seq[org.apache.spark.sql.Column]) =>
+        pmod(cs(0) * lit(31L) + cs(1), lit(16L)))
+    val data = (0L until 1000L).map(i => (i % 10, i % 7, i)).toDF("k1", "k2", "id")
+    ComputedColumns.withComputed(data, spec)
+      .write.partitionBy("hk").mode("overwrite").parquet(dir)
+    ComputedColumns.register(spec)
+    ComputedColumns.install(spark)
+    try {
+      val q = spark.read.parquet(dir)
+        .where(col("k1") === 3L && col("k2").isin(5L, 6L))
+      val want = data.where(col("k1") === 3L && col("k2").isin(5L, 6L)).count()
+      assert(q.count() == want)
+      assert(partitionFilterOn(q, "hk"),
+        "k1=3 × k2∈{5,6} must enumerate hk images")
+
+      // a range on one source composes with a point on the other
+      val q2 = spark.read.parquet(dir)
+        .where(col("k1").between(2L, 4L) && col("k2") === 1L)
+      val want2 = data.where(col("k1").between(2L, 4L) && col("k2") === 1L).count()
+      assert(q2.count() == want2)
+      assert(partitionFilterOn(q2, "hk"), "range × point must enumerate")
+    } finally ComputedColumns.clear()
+  }
+
   test("secondary index: predicate on indexed column answers via index + semi-join") {
     val primary = (0L until 1000L).map(i => (i, s"s${i % 7}", i * 2))
       .toDF("pk", "tag", "payload")
