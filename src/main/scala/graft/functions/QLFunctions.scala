@@ -106,21 +106,113 @@ object QLFunctions {
     }
   }
 
-  /** Expose the QL names to SQL. Column-combinator functions register as
-    * session-scoped SQL functions built from the same expressions.
+  /** Expose the full QL builtin registry to `spark.sql` (reference
+    * builtin_function_registry.cpp) so a [[graft.ql.SelectRows]] string
+    * can use QL names directly. Everything lowers to native Catalyst
+    * expressions — no UDFs, all codegen'd. Idempotent; called by
+    * SelectRows before each parse.
     */
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.expressions._
-    r.createOrReplaceTempFunction("if_null", es => Coalesce(es), "built-in")
-    r.createOrReplaceTempFunction("u64_div",
-      es => UnsignedDivide(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("u64_mod",
-      es => UnsignedRemainder(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("u64_to_string",
-      es => UnsignedToString(es.head), "built-in")
-    r.createOrReplaceTempFunction("parse_u64",
-      es => ParseUnsigned(es.head), "built-in")
-    r.createOrReplaceTempFunction("farm_hash", es => new XxHash64(es), "built-in")
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+      r.createOrReplaceTempFunction(name, b, "built-in")
+    // a ypath argument must be a foldable string; fold it at build time
+    def ypathArg(e: Expression): Expression = {
+      val raw = e.eval(null).toString
+      val jp = if (raw.startsWith("$")) raw else ypathToJsonPath(raw)
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(jp), StringType)
+    }
+    def jsonGet(es: Seq[Expression]): Expression =
+      GetJsonObject(es(0), ypathArg(es(1)))
+
+    // null / conditionals
+    reg("if_null")(es => Coalesce(es))
+    reg("is_null")(es => IsNull(es.head))
+    reg("is_nan")(es => IsNaN(es.head))
+    reg("is_finite")(es => And(Not(IsNaN(es.head)),
+      And(Not(EqualTo(es.head, Literal(Double.PositiveInfinity))),
+        Not(EqualTo(es.head, Literal(Double.NegativeInfinity))))))
+    // casts
+    reg("int64")(es => Cast(es.head, LongType))
+    reg("uint64")(es => Cast(es.head, LongType))
+    reg("numeric_to_string")(es => Cast(es.head, StringType))
+    reg("parse_int64")(es => Cast(es.head, LongType))
+    reg("parse_double")(es => Cast(es.head, DoubleType))
+    // strings
+    reg("is_substr")(es => Contains(es(1), es(0)))
+    reg("is_prefix")(es => StartsWith(es(1), es(0)))
+    // regex (argument order per the reference: pattern first)
+    reg("regex_full_match")(es => RLike(es(1),
+      Literal.create("^(?:" + es(0).eval(null) + ")$", StringType)))
+    reg("regex_partial_match")(es => RLike(es(1), es(0)))
+    reg("regex_replace_all")(es => RegExpReplace(es(1), es(0), es(2)))
+    reg("regex_extract")(es => RegExpExtract(es(1), es(0),
+      if (es.length > 2) es(2) else Literal(1)))
+    // hashes
+    reg("farm_hash")(es => new XxHash64(es))
+    reg("simple_hash")(es => Cast(new Murmur3Hash(es), LongType))
+    reg("bigb_hash")(es => new XxHash64(
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString("bigb"), StringType) +: es))
+    // datetime
+    def floorReg(name: String, unit: String): Unit =
+      reg(name)(es => TruncTimestamp(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(unit), StringType),
+        es.head))
+    floorReg("timestamp_floor_hour", "hour")
+    floorReg("timestamp_floor_day", "day")
+    floorReg("timestamp_floor_week", "week")
+    floorReg("timestamp_floor_month", "month")
+    floorReg("timestamp_floor_year", "year")
+    reg("format_timestamp")(es => DateFormatClass(es(0), es(1)))
+    // lists / maps
+    reg("make_list")(es => CreateArray(es))
+    reg("make_map")(es => CreateMap(es))
+    reg("list_contains")(es => ArrayContains(es(0), es(1)))
+    reg("list_has_intersection")(es => ArraysOverlap(es(0), es(1)))
+    // Any / YSON accessors (try_get_* null on miss; get_* differ only
+    // under ANSI cast errors)
+    reg("try_get_string")(jsonGet)
+    reg("get_string")(jsonGet)
+    reg("try_get_any")(jsonGet)
+    reg("try_get_int64")(es => Cast(jsonGet(es), LongType))
+    reg("get_int64")(es => Cast(jsonGet(es), LongType))
+    reg("try_get_uint64")(es => Cast(jsonGet(es), LongType))
+    reg("try_get_double")(es => Cast(jsonGet(es), DoubleType))
+    reg("get_double")(es => Cast(jsonGet(es), DoubleType))
+    reg("try_get_boolean")(es => Cast(jsonGet(es), BooleanType))
+    reg("get_boolean")(es => Cast(jsonGet(es), BooleanType))
+    // uint64 ops (two's-complement Long carrier, see functions/Uint64)
+    val bias = Literal(Long.MinValue)
+    def biased(e: Expression): Expression = BitwiseXor(e, bias)
+    reg("u64_lt")(es => LessThan(biased(es(0)), biased(es(1))))
+    reg("u64_leq")(es => LessThanOrEqual(biased(es(0)), biased(es(1))))
+    reg("u64_gt")(es => GreaterThan(biased(es(0)), biased(es(1))))
+    reg("u64_geq")(es => GreaterThanOrEqual(biased(es(0)), biased(es(1))))
+    reg("u64_sort")(es => biased(es.head))
+    reg("u64_div")(es => UnsignedDivide(es(0), es(1)))
+    reg("u64_mod")(es => UnsignedRemainder(es(0), es(1)))
+    reg("u64_to_string")(es => UnsignedToString(es.head))
+    reg("parse_u64")(es => ParseUnsigned(es.head))
+    // QL TRANSFORM(expr, (from...), (to...)[, default]). The name also
+    // shadows Spark's array transform HOF, so dispatch on shape: a
+    // lambda second argument keeps the built-in semantics.
+    reg("transform") {
+      case Seq(x, l: LambdaFunction) => ArrayTransform(x, l)
+      case es if es.length >= 3 =>
+        def elems(e: Expression): Seq[Expression] = e match {
+          case s: CreateNamedStruct => s.valExprs
+          case a: CreateArray => a.children
+          case other => Seq(other)
+        }
+        val from = elems(es(1))
+        val to = elems(es(2))
+        require(from.length == to.length, "TRANSFORM lists must align")
+        val default = if (es.length > 3) Some(es(3)) else None
+        CaseWhen(from.zip(to).map { case (f, t) => (EqualTo(es(0), f), t) }, default)
+      case es => throw new IllegalArgumentException(
+        s"transform expects (expr, from, to[, default]) or (array, lambda), got ${es.length} args")
+    }
   }
 }

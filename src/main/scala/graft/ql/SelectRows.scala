@@ -20,8 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `JOIN ... USING a, b` → `USING (a, b)`;
   *   - tuple comparisons/IN `(a, b) = (c, d)`, `(a, b) IN ((1, 2), …)`
   *     → equality conjunctions/disjunctions (IsRowInRowset lowering);
-  *   - uint64 literals `123u` → plain literals (raw-bits carrier,
-  *     functions/Uint64 for unsigned ops);
+  *   - uint64 literals `123u` → two's-complement Long bit patterns,
+  *     with ordering comparisons routed through the biased u64_*
+  *     comparators (functions/Uint64) so unsigned semantics survive;
+  *   - QL builtin names (try_get_*, transform, timestamp_floor_*,
+  *     farm_hash, …) resolve via [[graft.functions.QLFunctions
+  *     .registerAll]];
   *   - `GROUP BY expr AS alias` → alias substituted into the
   *     projection, bare expr in GROUP BY;
   *   - `WITH TOTALS` → `GROUP BY ROLLUP(...)` (totals row = null keys;
@@ -42,6 +46,7 @@ object SelectRows {
     * under their last path segment. */
   def apply(spark: SparkSession, ql: String,
       catalog: Map[String, DataFrame] = Map.empty): DataFrame = {
+    graft.functions.QLFunctions.registerAll(spark)
     catalog.foreach { case (path, df) =>
       df.createOrReplaceTempView(viewName(path))
     }
@@ -65,8 +70,12 @@ object SelectRows {
     // 3. WITH INDEX hint: strip (access-path selection is the
     //    optimizer's job here)
     q = "(?i)\\bWITH\\s+INDEX\\s+\\S+".r.replaceAllIn(q, "")
-    // 4. uint64 literal suffix
-    q = "\\b(\\d+)[uU]\\b".r.replaceAllIn(q, "$1")
+    // 4. uint64 literals keep unsigned semantics (functions/Uint64):
+    //    comparisons against a Nu literal route through the biased
+    //    u64_* comparators; remaining Nu literals lower to the
+    //    two's-complement Long bit pattern, so values above
+    //    Long.MaxValue (e.g. 18446744073709551615u → -1L) survive.
+    q = u64Rewrite(q)
     // 5. USING a, b  →  USING (a, b)   (stop at the next clause keyword)
     q = "(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)".r
       .replaceAllIn(q, m => "USING (" + m.group(1) + ")")
@@ -78,6 +87,30 @@ object SelectRows {
     q = "(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)".r
       .replaceAllIn(q, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     q.replaceAll("\\s+", " ").trim
+  }
+
+  /** Unsigned-literal lowering. An operand adjacent to a `Nu` literal
+    * in an ordering comparison is rewritten to the u64_lt/leq/gt/geq
+    * registry functions (biased compare); the operand pattern covers an
+    * identifier or a call with one nesting level of parens — enough for
+    * the QL accessor idioms (`try_get_uint64(props, '/k') < 5u`).
+    * Equality needs no bias (bit equality), so `= Nu` just lowers the
+    * literal. */
+  private def u64Rewrite(q: String): String = {
+    val term = "[A-Za-z_][A-Za-z0-9_.]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?"
+    val opFn = Map("<" -> "u64_lt", "<=" -> "u64_leq",
+      ">" -> "u64_gt", ">=" -> "u64_geq")
+    def bits(s: String): String =
+      try java.lang.Long.parseUnsignedLong(s).toString + "L"
+      catch { case _: NumberFormatException => s }
+    var out = ("(" + term + ")\\s*(<=|>=|<|>)\\s*(\\d+)[uU]\\b").r
+      .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
+        s"${opFn(m.group(2))}(${m.group(1)}, ${bits(m.group(3))})"))
+    out = ("\\b(\\d+)[uU]\\s*(<=|>=|<|>)\\s*(" + term + ")").r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"${opFn(m.group(2))}(${bits(m.group(1))}, ${m.group(3)})"))
+    "\\b(\\d+)[uU]\\b".r.replaceAllIn(out,
+      m => java.util.regex.Matcher.quoteReplacement(bits(m.group(1))))
   }
 
   /** `(a, b) = (c, d)` → `(a = c AND b = d)`;

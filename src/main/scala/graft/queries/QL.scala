@@ -77,6 +77,20 @@ object QL {
           "FROM [//home/orders] WHERE o_orderstatus = 'F' GROUP BY o_orderpriority",
         Map("//home/orders" -> t(s, d, "orders")))),
 
+    // The QL builtin registry through the string surface: accessor
+    // functions, TRANSFORM value remap, a uint64 literal comparison
+    // above Long.MaxValue, and a hash (count-distinct only — farm_hash
+    // is xxhash64-based, values deliberately diverge from the oracle).
+    "ql_selectrows_fns" -> ((s, d) =>
+      graft.ql.SelectRows(s,
+        "et, COUNT(DISTINCT farm_hash(event_type)) AS n_types, SUM(1) AS cnt, " +
+          "ROUND(SUM(value), 2) AS sum_value " +
+          "FROM [//home/events] " +
+          "WHERE try_get_int64(props, '/k') < 18446744073709551610u " +
+          "GROUP BY transform(event_type, ('click', 'view'), " +
+          "('clicked', 'viewed'), 'other') AS et",
+        Map("//home/events" -> t(s, d, "events")))),
+
     // WITH TOTALS BEFORE HAVING vs AFTER HAVING (ETotalsMode,
     // query_common.h:78-82): BeforeHaving computes the total over all
     // groups then filters groups; AfterHaving totals only surviving
@@ -259,6 +273,15 @@ object QL {
     "ql_selectrows" ->
       """SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS cnt
          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
+    "ql_selectrows_fns" ->
+      """SELECT CASE event_type WHEN 'click' THEN 'clicked'
+           WHEN 'view' THEN 'viewed' ELSE 'other' END AS et,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(SUM(1) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 18446744073709551610
+         GROUP BY 1""",
     "ql_with_totals_before_having" ->
       """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
                       COUNT(*) AS cnt FROM orders GROUP BY 1)

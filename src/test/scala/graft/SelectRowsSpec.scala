@@ -80,4 +80,39 @@ class SelectRowsSpec extends SparkSpec {
       Map("//mytable" -> mytable, "//dim" -> dim)).collect()
     assert(got.toSeq == Seq(Row("first", 100L), Row("last", 103L)))
   }
+
+  test("uint64 literal above Long.MaxValue keeps unsigned compare semantics") {
+    // 18446744073709551615u = 2^64-1: every unsigned value is < it
+    // except itself; the old transpiler stripped the suffix and
+    // overflowed. -1L carries the same bits as 2^64-1.
+    val t = Seq(0L, 5L, -1L).toDF("x")
+    val got = SelectRows(spark,
+      "x FROM [//u] WHERE x < 18446744073709551615u ORDER BY x LIMIT 10",
+      Map("//u" -> t)).as[Long].collect()
+    assert(got.toSeq == Seq(0L, 5L), got.toSeq)
+    // literal-first comparison flips through the same routing
+    val ge = SelectRows(spark,
+      "x FROM [//u] WHERE 18446744073709551614u < x LIMIT 10",
+      Map("//u" -> t)).as[Long].collect()
+    assert(ge.toSeq == Seq(-1L), ge.toSeq)
+  }
+
+  test("QL builtins resolve through the string surface") {
+    val t = Seq((1L, """{"k": 7}""", "click"), (2L, """{"k": 9}""", "view"))
+      .toDF("id", "props", "ev")
+    val got = SelectRows(spark,
+      "try_get_int64(props, '/k') AS k, " +
+        "transform(ev, ('click', 'view'), ('c', 'v'), '?') AS e, " +
+        "farm_hash(ev) IS NOT NULL AS h " +
+        "FROM [//e] WHERE try_get_int64(props, '/k') >= 8u",
+      Map("//e" -> t)).collect()
+    assert(got.toSeq == Seq(Row(9L, "v", true)), got.toSeq)
+  }
+
+  test("registering QL transform keeps Spark's array-lambda transform working") {
+    graft.functions.QLFunctions.registerAll(spark)
+    val got = spark.sql("SELECT transform(array(1, 2, 3), x -> x * 10) AS a")
+      .collect()
+    assert(got.head.getSeq[Int](0) == Seq(10, 20, 30))
+  }
 }
