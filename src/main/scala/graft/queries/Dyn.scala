@@ -74,6 +74,42 @@ object Dyn {
         .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
     }),
 
+    // Unfolded index (secondary_index/schema.cpp Unfolded): one index
+    // row per list element; membership predicates become an equality
+    // scan of the index, then a key semi-join of the primary.
+    "dyn_index_unfolded" -> ((s, d) => {
+      val primary = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val index = SecondaryIndex.buildUnfolded(primary, "words", Seq("doc_id"))
+      SecondaryIndex.query(primary, index, Seq("doc_id"), "words = 'scan'")
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
+    // Unique index (secondary_index/schema.cpp Unique): at most one
+    // primary row per indexed value; duplicates fail the build like the
+    // reference's UniqueIndexConflict write error.
+    "dyn_index_unique" -> ((s, d) => {
+      val primary = t(s, d, "customer")
+      val index = SecondaryIndex.buildUnique(primary, Seq("c_name"), Seq("c_custkey"))
+      SecondaryIndex.query(primary, index, Seq("c_custkey"),
+        "c_name IN ('Customer#000000042', 'Customer#000000007')")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // Predicated index (TIndexSchema::Predicate): the index holds only
+    // rows passing its predicate; a query through it answers
+    // pred AND indexPred via the primary-key semi-join.
+    "dyn_index_predicated" -> ((s, d) => {
+      val primary = t(s, d, "orders")
+      val index = SecondaryIndex.buildPredicated(primary, Seq("o_custkey"),
+        Seq("o_orderkey"), col("o_orderstatus") === "F")
+      SecondaryIndex.query(primary, index, Seq("o_orderkey"), "o_custkey < 50")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
     // Ordered dynamic table: ($tablet_index, $row_index) system columns
     // (ordered-dynamic-tables.md:38-43), then PullQueue of
     // [10, 35) from tablet 3 (queue_client.h:109-127).
@@ -127,6 +163,20 @@ object Dyn {
       """SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "dyn_index_unfolded" ->
+      """SELECT count(*) AS cnt, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE list_contains(string_split(text, ' '), 'scan')""".stripMargin,
+
+    "dyn_index_unique" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_name IN ('Customer#000000042', 'Customer#000000007')""".stripMargin,
+
+    "dyn_index_predicated" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey < 50 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "dyn_queue_pull" ->
       """WITH ordered AS (SELECT event_id, event_type, value,

@@ -119,6 +119,39 @@ class PlansSpec extends SparkSpec {
     } finally ComputedColumns.clear()
   }
 
+  test("unfolded index: list membership answered by per-element index rows") {
+    val primary = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("b", "c")), (3L, Seq("d"))
+    ).toDF("pk", "tags")
+    val idx = SecondaryIndex.buildUnfolded(primary, "tags", Seq("pk"))
+    val got = SecondaryIndex.query(primary, idx, Seq("pk"), "tags = 'b'")
+      .select("pk").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("unique index: duplicate indexed value fails the build (UniqueIndexConflict)") {
+    val ok = Seq((1L, "x"), (2L, "y")).toDF("pk", "u")
+    val built = SecondaryIndex.buildUnique(ok, Seq("u"), Seq("pk"))
+    assert(built.count() == 2)
+    val dup = Seq((1L, "x"), (2L, "x")).toDF("pk", "u")
+    val e = intercept[Exception] {
+      SecondaryIndex.buildUnique(dup, Seq("u"), Seq("pk")).collect()
+    }
+    assert(e.getMessage.contains("unique index conflict") ||
+      Option(e.getCause).exists(_.getMessage.contains("unique index conflict")),
+      e.toString)
+  }
+
+  test("predicated index: query answers pred AND index predicate") {
+    val primary = Seq((1L, 10L, "F"), (2L, 10L, "O"), (3L, 20L, "F"))
+      .toDF("pk", "ck", "status")
+    val idx = SecondaryIndex.buildPredicated(primary, Seq("ck"), Seq("pk"),
+      col("status") === "F")
+    val got = SecondaryIndex.query(primary, idx, Seq("pk"), "ck = 10")
+      .select("pk").as[Long].collect()
+    assert(got.toSeq == Seq(1L), "O-status row must be excluded by the index predicate")
+  }
+
   test("secondary index: predicate on indexed column answers via index + semi-join") {
     val primary = (0L until 1000L).map(i => (i, s"s${i % 7}", i * 2))
       .toDF("pk", "tag", "payload")
