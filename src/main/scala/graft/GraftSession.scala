@@ -30,6 +30,8 @@ object GraftSession {
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // QL's join+agg push-down (eager aggregation on the foreign side)
+    graft.plans.PushDownGroupBy.install(spark)
     spark
   }
 }

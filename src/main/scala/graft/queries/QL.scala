@@ -145,6 +145,20 @@ object QL {
           count(lit(1)).as("cnt"))
     }),
 
+    // Join + GROUP BY with foreign-side aggregates: the
+    // PushDownGroupBy rule pre-aggregates orders per customer key
+    // before the join (push_down_group_by.cpp:64) — plan asserted in
+    // PlanContractSpec, result stays oracle-exact.
+    "ql_join_pushdown_agg" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+    }),
+
     // LEFT lookup join with an extra join predicate (ast.h:445-480
     // TJoin{IsLeft, Predicate}).
     "ql_join_left" -> ((s, d) => {
@@ -306,6 +320,11 @@ object QL {
          COUNT(*) AS cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+    "ql_join_pushdown_agg" ->
+      """SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total,
+         MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
     "ql_join_left" ->
       """SELECT c_mktsegment, COUNT(o_orderkey) AS big_orders, COUNT(*) AS rows
          FROM customer LEFT JOIN orders

@@ -95,6 +95,20 @@ class PlanContractSpec extends SparkSpec {
         p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("ql_join_pushdown_agg pre-aggregates the foreign side below the join") {
+    // PushDownGroupBy (push_down_group_by.cpp:64): orders collapse to
+    // one row per o_custkey BEFORE joining customer — the plan must
+    // show an aggregate on the orders side underneath the join.
+    val df = run("ql_join_pushdown_agg")
+    val optimized = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = optimized.collect { case j: Join => j }
+    assert(joins.nonEmpty, optimized.toString)
+    val aggBelowJoin = joins.exists(_.children.exists(c =>
+      c.collectFirst { case a: Aggregate => a }.isDefined))
+    assert(aggBelowJoin, "no partial aggregate below the join:\n" + optimized)
+  }
+
   test("op_join_reduce never re-shuffles the joined stream") {
     // The joined stream is the biggest intermediate of a JoinReduce; the
     // only exchanges allowed are the per-input ones BELOW the join. After

@@ -18,6 +18,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // same optimizer extensions the engine session installs
+    graft.plans.PushDownGroupBy.install(s)
     s
   }
 
