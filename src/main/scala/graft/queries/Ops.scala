@@ -129,6 +129,19 @@ object Ops {
       }
     }),
 
+    // User job over a binary protobuf pipe (EFormatType::Protobuf job
+    // I/O): orders stream through an identity process as lenval
+    // protobuf messages, decode, then aggregate — proving the wire
+    // format end-to-end against the SQL oracle.
+    "op_pipe_protobuf" -> ((s, d) => {
+      val in = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.Proto.pipeMap(in, Seq("cat"), in.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
     // JoinReduce: primary lineitem + foreign orders by join_by prefix,
     // then group-wise reduce (foreign rows visible to every group).
     "op_join_reduce" -> ((s, d) => {
@@ -174,6 +187,10 @@ object Ops {
   )
 
   val oracles: Map[String, String] = Map(
+    "op_pipe_protobuf" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderstatus""",
     "op_map" ->
       """SELECT l_returnflag || '/' || l_linestatus AS flag, COUNT(*) AS cnt,
            CAST(SUM(l_orderkey * 10 + l_linenumber) AS BIGINT) AS sum_uid

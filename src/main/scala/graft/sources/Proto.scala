@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, EOFException, InputStream}
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Protobuf — the reference's second schematized job-I/O wire format
+  * (SURVEY.md §1.4; `EFormatType::Protobuf`, format.h:49-62; docs
+  * yt/docs/.../formats.md protobuf section). The stream is the
+  * reference's lenval framing — 4-byte LE message length before each
+  * row message — and each message uses the standard public protobuf
+  * wire encoding:
+  *
+  *   key  = varint(field_number << 3 | wire_type)
+  *   wire 0 = varint   (int64/uint64/bool)
+  *   wire 1 = fixed64  (double)
+  *   wire 2 = len-delimited (string/bytes; varint length)
+  *
+  * The descriptor is self-describing table metadata: derived from the
+  * Spark schema, column i ↦ field number i+1 (the reference carries the
+  * same mapping in the format config's `columns` attribute). Unknown
+  * field numbers on decode are skipped by wire type — the standard
+  * protobuf forward-compatibility property, which the reference relies
+  * on for schema evolution of job pipes.
+  *
+  * Scale: the codec runs inside `mapPartitions` (one pipe per
+  * partition, no driver involvement), identical to [[Skiff]].
+  */
+object Proto {
+
+  final case class Field(name: String, dataType: DataType, number: Int)
+
+  def fieldsOf(schema: StructType): Seq[Field] =
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | BooleanType | StringType | BinaryType =>
+          Field(f.name, f.dataType, i + 1)
+        case other =>
+          throw new IllegalArgumentException(s"no protobuf wire type for $other")
+      }
+    }
+
+  private def writeVarint(out: ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Encode one row as a protobuf message (no frame). Null fields are
+    * simply absent — proto3 presence semantics. */
+  def encodeRow(row: Row, fields: Seq[Field]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        def key(wire: Int): Unit = writeVarint(out, (f.number.toLong << 3) | wire)
+        f.dataType match {
+          case LongType => key(0); writeVarint(out, row.getLong(i))
+          case IntegerType => key(0); writeVarint(out, row.getInt(i).toLong)
+          case BooleanType => key(0); writeVarint(out, if (row.getBoolean(i)) 1L else 0L)
+          case DoubleType =>
+            key(1)
+            var v = java.lang.Double.doubleToLongBits(row.getDouble(i))
+            var j = 0
+            while (j < 8) { out.write((v & 0xffL).toInt); v >>>= 8; j += 1 }
+          case StringType =>
+            key(2)
+            val b = row.getString(i).getBytes("UTF-8")
+            writeVarint(out, b.length.toLong); out.write(b)
+          case BinaryType =>
+            key(2)
+            val b = row.getAs[Array[Byte]](i)
+            writeVarint(out, b.length.toLong); out.write(b)
+          case other => throw new IllegalArgumentException(other.toString)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Encode one row with the reference's lenval frame. */
+  def encodeFramed(row: Row, fields: Seq[Field]): Array[Byte] = {
+    val msg = encodeRow(row, fields)
+    val out = new ByteArrayOutputStream(msg.length + 4)
+    var v = msg.length; var i = 0
+    while (i < 4) { out.write(v & 0xff); v >>= 8; i += 1 }
+    out.write(msg)
+    out.toByteArray
+  }
+
+  /** Decode one message with the table descriptor; unknown fields skip
+    * by wire type, absent fields decode to null. */
+  def decodeRow(msg: Array[Byte], fields: Seq[Field]): Row = {
+    val byNumber = fields.map(f => f.number -> f).toMap
+    val idx = fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    val vals = new Array[Any](fields.length)
+    var p = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val b = msg(p); p += 1
+        v |= (b.toLong & 0x7f) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    def fixed64(): Long = {
+      var v = 0L; var j = 0
+      while (j < 8) { v |= (msg(p).toLong & 0xff) << (8 * j); p += 1; j += 1 }
+      v
+    }
+    while (p < msg.length) {
+      val k = varint()
+      val number = (k >>> 3).toInt
+      val wire = (k & 7).toInt
+      byNumber.get(number) match {
+        case Some(f) =>
+          val v: Any = (wire, f.dataType) match {
+            case (0, LongType) => varint()
+            case (0, IntegerType) => varint().toInt
+            case (0, BooleanType) => varint() != 0L
+            case (1, DoubleType) => java.lang.Double.longBitsToDouble(fixed64())
+            case (2, StringType) =>
+              val n = varint().toInt
+              val s = new String(msg, p, n, "UTF-8"); p += n; s
+            case (2, BinaryType) =>
+              val n = varint().toInt
+              val b = java.util.Arrays.copyOfRange(msg, p, p + n); p += n; b
+            case _ => throw new IllegalArgumentException(
+              s"wire type $wire does not match ${f.dataType} for field $number")
+          }
+          vals(idx(number)) = v
+        case None => wire match { // unknown field: standard skip
+          case 0 => varint()
+          case 1 => p += 8
+          case 2 => p += varint().toInt
+          case 5 => p += 4
+          case other => throw new IllegalArgumentException(s"wire type $other")
+        }
+      }
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  /** Decode a lenval-framed stream of row messages. */
+  def decodeStream(in: InputStream, fields: Seq[Field]): Iterator[Row] =
+    new Iterator[Row] {
+      private var nextRow: Row = _
+      private var done = false
+      private def advance(): Unit = {
+        var len = 0; var j = 0
+        while (j < 4) {
+          val b = in.read()
+          if (b < 0) { done = true; return }
+          len |= (b & 0xff) << (8 * j); j += 1
+        }
+        val msg = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val n = in.read(msg, off, len - off)
+          if (n < 0) throw new EOFException("truncated lenval frame")
+          off += n
+        }
+        nextRow = decodeRow(msg, fields)
+      }
+      advance()
+      def hasNext: Boolean = !done
+      def next(): Row = { val r = nextRow; advance(); r }
+    }
+
+  /** DataFrame → per-partition lenval protobuf streams (one blob per
+    * partition = one job pipe). */
+  def encode(df: DataFrame): org.apache.spark.sql.Dataset[Array[Byte]] = {
+    val fields = fieldsOf(df.schema)
+    df.mapPartitions { rows =>
+      val out = new ByteArrayOutputStream()
+      rows.foreach(r => out.write(encodeFramed(r, fields)))
+      Iterator.single(out.toByteArray)
+    }(Encoders.BINARY)
+  }
+
+  /** Per-partition lenval protobuf streams → DataFrame with `schema`. */
+  def decode(blobs: org.apache.spark.sql.Dataset[Array[Byte]], schema: StructType): DataFrame = {
+    val fields = fieldsOf(schema)
+    blobs.mapPartitions { parts =>
+      parts.flatMap(b => decodeStream(new java.io.ByteArrayInputStream(b), fields))
+    }(Encoders.row(schema))
+  }
+
+  /** User job over a protobuf pipe (user_job.cpp with
+    * `EFormatType::Protobuf` job I/O): one external process per
+    * partition, rows streamed to its stdin as lenval protobuf and read
+    * back from stdout in the same framing — the binary sibling of
+    * [[graft.operators.Operations.pipeMap]]. */
+  def pipeMap(input: DataFrame, command: Seq[String], outSchema: StructType): DataFrame = {
+    val inFields = fieldsOf(input.schema)
+    val outFields = fieldsOf(outSchema)
+    val cmd = command
+    input.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val proc = new ProcessBuilder(cmd: _*).start()
+        val writer = new Thread {
+          override def run(): Unit = {
+            val os = new java.io.BufferedOutputStream(proc.getOutputStream)
+            rows.foreach(r => os.write(encodeFramed(r, inFields)))
+            os.close()
+          }
+        }
+        writer.setDaemon(true)
+        writer.start()
+        decodeStream(new java.io.BufferedInputStream(proc.getInputStream), outFields)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

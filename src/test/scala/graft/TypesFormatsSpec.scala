@@ -127,4 +127,46 @@ class TypesFormatsSpec extends SparkSpec {
     assert(back.count() == 100)
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
+
+  test("protobuf: golden wire layout, null absence, unknown-field skip") {
+    import graft.sources.Proto
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("v", DoubleType),
+      StructField("ok", BooleanType),
+      StructField("s", StringType)))
+    val fields = Proto.fieldsOf(schema)
+
+    // golden layout: field 1 varint 300, field 2 fixed64 1.0,
+    // field 3 varint 1, field 4 len-delimited "ab"
+    val bytes = Proto.encodeRow(Row(300L, 1.0, true, "ab"), fields)
+    val expect = Array[Byte](
+      0x08, 0xac.toByte, 0x02,                          // 1<<3|0, varint 300
+      0x11, 0, 0, 0, 0, 0, 0, -16, 63,                  // 2<<3|1, 1.0 bits LE
+      0x18, 1,                                          // 3<<3|0, true
+      0x22, 2, 'a'.toByte, 'b'.toByte)                  // 4<<3|2, "ab"
+    assert(bytes.toSeq == expect.toSeq)
+
+    // null fields are absent on the wire and decode back to null
+    val sparse = Proto.encodeRow(Row(7L, null, false, null), fields)
+    assert(Proto.decodeRow(sparse, fields) == Row(7L, null, false, null))
+
+    // a decoder with a narrower descriptor skips unknown fields
+    val narrow = Seq(Proto.Field("k", LongType, 1), Proto.Field("s", StringType, 4))
+    assert(Proto.decodeRow(bytes, narrow) == Row(300L, "ab"))
+  }
+
+  test("protobuf: distributed lenval round-trip and cat pipe job") {
+    import graft.sources.Proto
+    val df = spark.range(0, 100).selectExpr(
+      "id AS k", "CAST(id AS DOUBLE) / 3 AS v", "id % 2 = 0 AS ok",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('row', id) END AS s")
+    val back = Proto.decode(Proto.encode(df), df.schema)
+    assert(back.count() == 100)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+
+    // identity user job over a binary protobuf pipe
+    val piped = Proto.pipeMap(df, Seq("cat"), df.schema)
+    assert(piped.exceptAll(df).count() == 0 && df.exceptAll(piped).count() == 0)
+  }
 }
