@@ -50,6 +50,53 @@ object Aggregators {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     }
 
+  /** bottom_by(value, key, k): the k values with smallest keys,
+    * ascending — mirror of [[topBy]] (YQL BottomBy, builtin.cpp).
+    */
+  def bottomBy(k: Int): Aggregator[(Long, Double), Seq[(Double, Long)], Seq[Long]] =
+    new Aggregator[(Long, Double), Seq[(Double, Long)], Seq[Long]] {
+      private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        s.sortBy { case (key, v) => (key, v) }.take(k)
+      def zero: Seq[(Double, Long)] = Seq.empty
+      def reduce(b: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] =
+        trim(b :+ ((a._2, a._1)))
+      def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        trim(x ++ y)
+      def finish(r: Seq[(Double, Long)]): Seq[Long] = r.map(_._2)
+      def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** top(value, k): the k largest values, descending (YQL Top — plain
+    * form, builtin.cpp:3244). Bounded buffer, so map-side partials stay
+    * k-sized through the shuffle. */
+  def top(k: Int): Aggregator[Double, Seq[Double], Seq[Double]] =
+    new Aggregator[Double, Seq[Double], Seq[Double]] {
+      private def trim(s: Seq[Double]): Seq[Double] = s.sorted(Ordering[Double].reverse).take(k)
+      def zero: Seq[Double] = Seq.empty
+      def reduce(b: Seq[Double], a: Double): Seq[Double] = trim(b :+ a)
+      def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] = trim(x ++ y)
+      def finish(r: Seq[Double]): Seq[Double] = r
+      def bufferEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+      def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
+    }
+
+  /** bottom(value, k): the k smallest values, ascending (YQL Bottom). */
+  def bottom(k: Int): Aggregator[Double, Seq[Double], Seq[Double]] =
+    new Aggregator[Double, Seq[Double], Seq[Double]] {
+      private def trim(s: Seq[Double]): Seq[Double] = s.sorted.take(k)
+      def zero: Seq[Double] = Seq.empty
+      def reduce(b: Seq[Double], a: Double): Seq[Double] = trim(b :+ a)
+      def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] = trim(x ++ y)
+      def finish(r: Seq[Double]): Seq[Double] = r
+      def bufferEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+      def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
+    }
+
   /** checked_sum: like sum but overflow errors instead of wrapping
     * (YQL CheckedSum).
     */
@@ -93,14 +140,23 @@ object Aggregators {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     }
 
-  /** Adaptive histogram (YQL AdaptiveDistanceHistogram family,
+  /** Running-sum view: histogram bins → CDF bins (the YQL *CDF
+    * histogram variants, builtin.cpp histogram_cdf_* factories). */
+  private def toCdf(bins: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    bins.scanLeft((0.0, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }.drop(1)
+
+  /** Adaptive histogram core (YQL Adaptive*Histogram family,
     * udfs/common/histogram; the Ben-Haim/Tom-Tov streaming histogram):
     * keeps at most `maxBins` (position, count) centroids; inserting
-    * past the cap merges the closest pair into their weighted mean.
-    * Deterministic for a given partition order; totals are exact, bin
-    * positions approximate.
+    * past the cap merges the adjacent pair with the lowest
+    * `mergeCost(p1,c1,p2,c2)` into its weighted mean — the cost
+    * function is what distinguishes the reference's Distance / Ward /
+    * Weight variants. Deterministic for a given partition order;
+    * totals are exact, bin positions approximate.
     */
-  def adaptiveHistogram(maxBins: Int): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
+  private def adaptiveCore(maxBins: Int,
+      mergeCost: (Double, Long, Double, Long) => Double,
+      cdf: Boolean): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
     new Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] {
       private def insert(bins: Seq[(Double, Long)], p: Double, c: Long): Seq[(Double, Long)] = {
         val i = bins.indexWhere(_._1 >= p)
@@ -113,12 +169,12 @@ object Aggregators {
       private def compact(bins: Seq[(Double, Long)]): Seq[(Double, Long)] =
         if (bins.length <= maxBins) bins
         else {
-          // merge the closest adjacent pair (weighted mean position)
-          var best = 0; var bestGap = Double.MaxValue
+          var best = 0; var bestCost = Double.MaxValue
           var i = 0
           while (i < bins.length - 1) {
-            val gap = bins(i + 1)._1 - bins(i)._1
-            if (gap < bestGap) { bestGap = gap; best = i }
+            val (p1, c1) = bins(i); val (p2, c2) = bins(i + 1)
+            val cost = mergeCost(p1, c1, p2, c2)
+            if (cost < bestCost) { bestCost = cost; best = i }
             i += 1
           }
           val (p1, c1) = bins(best); val (p2, c2) = bins(best + 1)
@@ -129,11 +185,60 @@ object Aggregators {
       def reduce(b: Seq[(Double, Long)], a: Double): Seq[(Double, Long)] = insert(b, a, 1L)
       def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
         y.foldLeft(x) { case (acc, (p, c)) => insert(acc, p, c) }
-      def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+      def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = if (cdf) toCdf(r) else r
       def bufferEncoder: Encoder[Seq[(Double, Long)]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
       def outputEncoder: Encoder[Seq[(Double, Long)]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    }
+
+  /** AdaptiveDistanceHistogram: merge the closest pair by position. */
+  def adaptiveHistogram(maxBins: Int): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    adaptiveCore(maxBins, (p1, _, p2, _) => p2 - p1, cdf = false)
+
+  /** AdaptiveWardHistogram: merge the pair with the least variance
+    * increase — Ward's criterion c1·c2/(c1+c2)·(p2-p1)². */
+  def adaptiveWardHistogram(maxBins: Int): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    adaptiveCore(maxBins,
+      (p1, c1, p2, c2) => (c1.toDouble * c2 / (c1 + c2)) * (p2 - p1) * (p2 - p1),
+      cdf = false)
+
+  /** AdaptiveWeightHistogram: merge the lightest adjacent pair. */
+  def adaptiveWeightHistogram(maxBins: Int): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    adaptiveCore(maxBins, (_, c1, _, c2) => (c1 + c2).toDouble, cdf = false)
+
+  /** CDF forms of the adaptive family (cumulative counts). */
+  def adaptiveHistogramCdf(maxBins: Int): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    adaptiveCore(maxBins, (p1, _, p2, _) => p2 - p1, cdf = true)
+  def adaptiveWardHistogramCdf(maxBins: Int): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    adaptiveCore(maxBins,
+      (p1, c1, p2, c2) => (c1.toDouble * c2 / (c1 + c2)) * (p2 - p1) * (p2 - p1),
+      cdf = true)
+  def adaptiveWeightHistogramCdf(maxBins: Int): Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]] =
+    adaptiveCore(maxBins, (_, c1, _, c2) => (c1 + c2).toDouble, cdf = true)
+
+  /** LinearHistogramCDF: fixed-width bins, cumulative counts. */
+  def linearHistogramCdf(binWidth: Double): Aggregator[Double, Map[Long, Long], Seq[(Double, Long)]] =
+    new Aggregator[Double, Map[Long, Long], Seq[(Double, Long)]] {
+      private val base = linearHistogram(binWidth)
+      def zero: Map[Long, Long] = base.zero
+      def reduce(b: Map[Long, Long], a: Double): Map[Long, Long] = base.reduce(b, a)
+      def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] = base.merge(x, y)
+      def finish(r: Map[Long, Long]): Seq[(Double, Long)] = toCdf(base.finish(r))
+      def bufferEncoder: Encoder[Map[Long, Long]] = base.bufferEncoder
+      def outputEncoder: Encoder[Seq[(Double, Long)]] = base.outputEncoder
+    }
+
+  /** LogHistogramCDF: logarithmic bins, cumulative counts. */
+  def logHistogramCdf(base10: Double = 10.0): Aggregator[Double, Map[Long, Long], Seq[(Double, Long)]] =
+    new Aggregator[Double, Map[Long, Long], Seq[(Double, Long)]] {
+      private val base = logHistogram(base10)
+      def zero: Map[Long, Long] = base.zero
+      def reduce(b: Map[Long, Long], a: Double): Map[Long, Long] = base.reduce(b, a)
+      def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] = base.merge(x, y)
+      def finish(r: Map[Long, Long]): Seq[(Double, Long)] = toCdf(base.finish(r))
+      def bufferEncoder: Encoder[Map[Long, Long]] = base.bufferEncoder
+      def outputEncoder: Encoder[Seq[(Double, Long)]] = base.outputEncoder
     }
 
   /** Logarithmic histogram (YQL LogHistogram,

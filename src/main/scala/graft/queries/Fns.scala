@@ -149,6 +149,41 @@ object Fns {
         .select(col("o_orderstatus"), explode(col("h")).as("bin"))
         .select(col("o_orderstatus"), col("bin._1").as("bin_start"),
           col("bin._2").as("cnt"))
+    }),
+
+    // LinearHistogramCDF (histogram_cdf_* factories, builtin.cpp):
+    // cumulative counts per bin — deterministic, so fully oracled.
+    "ql_agg_histogram_cdf" -> ((s, d) => {
+      val hist = udaf(Aggregators.linearHistogramCdf(50000.0))
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(hist(col("o_totalprice")).as("h"))
+        .select(col("o_orderstatus"), explode(col("h")).as("bin"))
+        .select(col("o_orderstatus"), col("bin._1").as("bin_start"),
+          col("bin._2").as("cum"))
+    }),
+
+    // top / bottom plain aggregates (YQL Top/Bottom, builtin.cpp:3244):
+    // k extreme values per group, CSV-serialized for the oracle. Values
+    // are 2dp prices formatted identically by both engines.
+    "ql_agg_top_bottom" -> ((s, d) => {
+      val top3 = udaf(Aggregators.top(3))
+      val bot3 = udaf(Aggregators.bottom(3))
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          concat_ws(",", top3(col("o_totalprice")).cast("array<string>")).as("top_prices"),
+          concat_ws(",", bot3(col("o_totalprice")).cast("array<string>")).as("bottom_prices"))
+    }),
+
+    // bottom_by — mirror of top_by (YQL BottomBy).
+    "ql_agg_bottom_by" -> ((s, d) => {
+      val bot3 = udaf(Aggregators.bottomBy(3))
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",",
+          bot3(col("o_orderkey"), col("o_totalprice")).cast("array<string>"))
+          .as("bottom_orders"))
     })
   )
 
@@ -226,6 +261,27 @@ object Fns {
       """SELECT o_orderstatus,
            pow(10.0, floor(log10(o_totalprice))) AS bin_start,
            COUNT(*) AS cnt
-         FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2"""
+         FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2""",
+    "ql_agg_histogram_cdf" ->
+      """SELECT o_orderstatus, bin_start,
+           CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin_start)
+             AS BIGINT) AS cum
+         FROM (SELECT o_orderstatus,
+                 floor(o_totalprice / 50000) * 50000 AS bin_start,
+                 COUNT(*) AS cnt
+               FROM orders GROUP BY 1, 2)""",
+    "ql_agg_top_bottom" ->
+      """SELECT o_orderpriority,
+           array_to_string((list(o_totalprice ORDER BY o_totalprice DESC))[1:3], ',')
+             AS top_prices,
+           array_to_string((list(o_totalprice ORDER BY o_totalprice ASC))[1:3], ',')
+             AS bottom_prices
+         FROM orders GROUP BY o_orderpriority""",
+    "ql_agg_bottom_by" ->
+      """SELECT o_orderpriority,
+           array_to_string(
+             (list(o_orderkey ORDER BY o_totalprice ASC, o_orderkey))[1:3], ',')
+             AS bottom_orders
+         FROM orders GROUP BY o_orderpriority"""
   )
 }

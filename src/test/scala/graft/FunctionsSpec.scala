@@ -104,4 +104,40 @@ class FunctionsSpec extends SparkSpec {
     val lowMass = bins.filter(_._1 < 50).map(_._2).sum
     assert(lowMass == 500L, s"bimodal split lost: $lowMass")
   }
+
+  test("ward and weight adaptive histograms cap bins and preserve mass") {
+    import org.apache.spark.sql.functions._
+    val data = ((1 to 500).map(i => (i % 10).toDouble) ++
+      (1 to 500).map(i => 100.0 + (i % 10))).toDF("v")
+    for ((agg, wardLike) <- Seq(
+        (graft.functions.Aggregators.adaptiveWardHistogram(8), true),
+        (graft.functions.Aggregators.adaptiveWeightHistogram(8), false))) {
+      val hist = udaf(agg)
+      val bins = data.agg(hist(col("v")).as("h"))
+        .selectExpr("explode(h) AS b").selectExpr("b._1 AS pos", "b._2 AS cnt")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      assert(bins.length <= 8)
+      assert(bins.map(_._2).sum == 1000L)
+      // ward (variance-minimizing) keeps the bimodal split; the weight
+      // criterion may legitimately bridge the gap (it ignores distance)
+      if (wardLike)
+        assert(bins.filter(_._1 < 50).map(_._2).sum == 500L, bins.toSeq)
+    }
+  }
+
+  test("CDF histogram variants are monotone and end at the total count") {
+    import org.apache.spark.sql.functions._
+    val data = (1 to 300).map(i => (i % 97).toDouble).toDF("v")
+    for (agg <- Seq(graft.functions.Aggregators.adaptiveWardHistogramCdf(8),
+        graft.functions.Aggregators.linearHistogramCdf(10.0),
+        graft.functions.Aggregators.logHistogramCdf(10.0))) {
+      val hist = udaf(agg)
+      val bins = data.agg(hist(col("v")).as("h"))
+        .selectExpr("explode(h) AS b").selectExpr("b._1 AS pos", "b._2 AS cum")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      assert(bins.last._2 == 300L, bins.toSeq)
+      assert(bins.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        bins.toSeq)
+    }
+  }
 }
