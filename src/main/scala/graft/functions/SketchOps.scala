@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels behind the [[Sketches]] expressions. A top-level
+  * object gets JVM static forwarders, so whole-stage-generated Java
+  * calls these directly (`graft.functions.SketchOps.dot(...)`) — the
+  * expressions stay inside the codegen span with one invoke per row
+  * and the loop body JIT-compiled here, instead of falling back to
+  * interpreted eval at a codegen boundary.
+  *
+  * Element-type dispatch for the numeric-array kernels uses the int
+  * codes in [[SketchOps.typeCode]], resolved once at planning time.
+  */
+object SketchOps {
+
+  def minhash(arr: ArrayData, salts: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val numHashes = salts.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = XXH64.hashLong(arr.getLong(j), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(salts(i), base)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val utf8 = UTF8String.fromString(sb.toString)
+      seen.add(XXH64.hashUTF8String(utf8, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  // numeric-array element accessor codes: 0=float 1=double 2=long 3=int
+  val FloatCode = 0; val DoubleCode = 1; val LongCode = 2; val IntCode = 3
+
+  def typeCode(et: org.apache.spark.sql.types.DataType): Int = et match {
+    case org.apache.spark.sql.types.FloatType => FloatCode
+    case org.apache.spark.sql.types.DoubleType => DoubleCode
+    case org.apache.spark.sql.types.LongType => LongCode
+    case org.apache.spark.sql.types.IntegerType => IntCode
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  private def numAt(arr: ArrayData, code: Int, i: Int): Double = code match {
+    case FloatCode => arr.getFloat(i).toDouble
+    case DoubleCode => arr.getDouble(i)
+    case LongCode => arr.getLong(i).toDouble
+    case _ => arr.getInt(i).toDouble
+  }
+
+  def dot(x: ArrayData, y: ArrayData, cx: Int, cy: Int): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += numAt(x, cx, i) * numAt(y, cy, i); i += 1 }
+    s
+  }
+
+  def cosine(x: ArrayData, y: ArrayData, cx: Int, cy: Int): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = numAt(x, cx, i); val yv = numAt(y, cy, i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def langId(text: UTF8String): UTF8String = {
+    import Sketches.LangId._
+    val s = text.toString
+    var cjk = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '一' && c <= '鿿') cjk += 1
+      i += 1
+    }
+    if (s.nonEmpty && cjk.toDouble / s.length > 0.2)
+      return UTF8String.fromString("zh")
+    val words = s.toLowerCase.split("\\s+")
+    val hits = new Array[Int](langs.length)
+    var n = 0
+    words.foreach { w =>
+      if (w.nonEmpty) {
+        n += 1
+        var l = 0
+        while (l < langs.length) {
+          if (markerSets(l).contains(w)) hits(l) += 1
+          l += 1
+        }
+      }
+    }
+    val nWords = math.max(n, 1).toDouble
+    var best = "und"; var bestScore = 0.005
+    var l = 0
+    while (l < langs.length) {
+      val sc = hits(l) / nWords
+      if (sc > bestScore) { best = langs(l); bestScore = sc }
+      l += 1
+    }
+    UTF8String.fromString(best)
+  }
+}

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.{shims => S}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Single-pass sketch expressions for the dedup operators.
   *
@@ -13,7 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * array lambdas) are semantically right but generate enormous Janino
   * codegen units — seconds of compile time per distinct plan and
   * megamorphic interpreted fallbacks. These Catalyst expressions
-  * compute the same values in one tight JVM loop per row.
+  * compute the same values in one tight JVM loop per row, and each
+  * implements `doGenCode` as a single static call into [[SketchOps]]
+  * so the whole-stage codegen span stays unbroken on the dedup/ANN
+  * hot paths.
   *
   * Hash identity is preserved exactly: Spark's `xxhash64(x, salt)`
   * folds left from seed 42, i.e. `hashLong(salt, hashLong(x, 42))`
@@ -27,30 +30,20 @@ object Sketches {
     * declarative `array_min(transform(sh, s -> xxhash64(s, salt_i)))`.
     */
   case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-    private val salts: Array[Long] = {
+      extends UnaryExpression with ExpectsInputTypes {
+    private lazy val salts: Array[Long] = {
       val rnd = new java.util.Random(seed)
       Array.fill(numHashes)(rnd.nextLong())
     }
 
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      var j = 0
-      while (j < n) {
-        val base = XXH64.hashLong(arr.getLong(j), 42L)
-        var i = 0
-        while (i < numHashes) {
-          val h = XXH64.hashLong(salts(i), base)
-          if (h < mins(i)) mins(i) = h
-          i += 1
-        }
-        j += 1
-      }
-      new GenericArrayData(mins)
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.minhash(input.asInstanceOf[ArrayData], salts)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val saltsRef = ctx.addReferenceObj("salts", salts, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.minhash($c, $saltsRef);")
     }
     override protected def withNewChildInternal(newChild: Expression): MinHashSig =
       copy(child = newChild)
@@ -60,31 +53,14 @@ object Sketches {
     * #features with bit k set > #features with it clear — identical to
     * the declarative ±1-vote fold. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val counts = new Array[Int](64)
-      var j = 0
-      while (j < n) {
-        val h = arr.getLong(j)
-        var k = 0
-        while (k < 64) {
-          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-          k += 1
-        }
-        j += 1
-      }
-      var sig = 0L
-      var k = 0
-      while (k < 64) {
-        if (counts(k) > 0) sig |= (1L << k)
-        k += 1
-      }
-      sig
-    }
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.simhash(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.simhash($c);")
     override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
   }
@@ -94,33 +70,14 @@ object Sketches {
     * values to hashing `array_join(slice(split(text,' '), i, n), ' ')`.
     */
   case class ShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val words = input.toString.split(" ", -1)
-      if (words.length < n) return new GenericArrayData(Array.empty[Long])
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i + n <= words.length) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
-          j += 1
-        }
-        val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-        seen.add(XXH64.hashUTF8String(utf8, 42L))
-        i += 1
-      }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator()
-      var k = 0
-      while (it.hasNext) { out(k) = it.next(); k += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.shingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.shingles($c, $n);")
     override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
       copy(child = newChild)
   }
@@ -131,44 +88,14 @@ object Sketches {
     * 0.005 baseline; ties go to the earlier language in the list.
     */
   case class LangId(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-    import LangId._
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(StringType)
     override def dataType: DataType = StringType
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.toString
-      var cjk = 0
-      var i = 0
-      while (i < text.length) {
-        val c = text.charAt(i)
-        if (c >= '一' && c <= '鿿') cjk += 1
-        i += 1
-      }
-      if (text.nonEmpty && cjk.toDouble / text.length > 0.2)
-        return org.apache.spark.unsafe.types.UTF8String.fromString("zh")
-      val words = text.toLowerCase.split("\\s+")
-      val hits = new Array[Int](langs.length)
-      var n = 0
-      words.foreach { w =>
-        if (w.nonEmpty) {
-          n += 1
-          var l = 0
-          while (l < langs.length) {
-            if (markerSets(l).contains(w)) hits(l) += 1
-            l += 1
-          }
-        }
-      }
-      val nWords = math.max(n, 1).toDouble
-      var best = "und"; var bestScore = 0.005
-      var l = 0
-      while (l < langs.length) {
-        val s = hits(l) / nWords
-        if (s > bestScore) { best = langs(l); bestScore = s }
-        l += 1
-      }
-      org.apache.spark.unsafe.types.UTF8String.fromString(best)
-    }
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.langId(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.langId($c);")
     override protected def withNewChildInternal(newChild: Expression): LangId =
       copy(child = newChild)
   }
@@ -185,52 +112,37 @@ object Sketches {
 
   def langId(text: Column): Column = S.column(LangId(S.expression(text)))
 
-  private def numAt(arr: ArrayData, et: DataType, i: Int): Double = et match {
-    case FloatType => arr.getFloat(i).toDouble
-    case DoubleType => arr.getDouble(i)
-    case LongType => arr.getLong(i).toDouble
-    case IntegerType => arr.getInt(i).toDouble
-    case other => throw new IllegalArgumentException(other.toString)
-  }
-
   /** Σ a_i·b_i in double — same sequential double accumulation as the
     * declarative `aggregate(zip_with(...))` form, without the per-row
     * intermediate arrays (which made all-pairs cosine quadratic in
     * allocations, not just flops). */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType, ArrayType)
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val et1 = left.dataType.asInstanceOf[ArrayType].elementType
-      val et2 = right.dataType.asInstanceOf[ArrayType].elementType
-      val n = math.min(x.numElements(), y.numElements())
-      var s = 0.0; var i = 0
-      while (i < n) { s += numAt(x, et1, i) * numAt(y, et2, i); i += 1 }
-      s
-    }
+    private lazy val cx = SketchOps.typeCode(left.dataType.asInstanceOf[ArrayType].elementType)
+    private lazy val cy = SketchOps.typeCode(right.dataType.asInstanceOf[ArrayType].elementType)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], cx, cy)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.SketchOps.dot($a, $b, $cx, $cy);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
   }
 
   /** cos(a, b) = dot/(|a|·|b|) in one pass over both arrays. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType, ArrayType)
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val et1 = left.dataType.asInstanceOf[ArrayType].elementType
-      val et2 = right.dataType.asInstanceOf[ArrayType].elementType
-      val n = math.min(x.numElements(), y.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val xv = numAt(x, et1, i); val yv = numAt(y, et2, i)
-        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    private lazy val cx = SketchOps.typeCode(left.dataType.asInstanceOf[ArrayType].elementType)
+    private lazy val cy = SketchOps.typeCode(right.dataType.asInstanceOf[ArrayType].elementType)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], cx, cy)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.SketchOps.cosine($a, $b, $cx, $cy);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(left = l, right = r)
   }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The sketch expressions must stay inside whole-stage codegen: with
+  * CODEGEN_ONLY factory mode any expression whose doGenCode fails to
+  * compile throws instead of silently falling back to interpreted eval.
+  */
+class CodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = Seq((1L, "a b c d e f", Seq(1.0f, 2.0f)),
+        (2L, "a b c d e g", Seq(2.0f, 1.0f))).toDF("id", "text", "vec")
+      val out = docs.select(
+        graft.functions.Sketches.shingleHashes(col("text"), 3).as("sh"),
+        graft.functions.Sketches.langId(col("text")).as("lang"),
+        graft.functions.Sketches.dotProduct(col("vec"), col("vec")).as("dp"),
+        graft.functions.Sketches.cosineSim(col("vec"), col("vec")).as("cos"))
+        .select(
+          graft.functions.Sketches.minhashSig(col("sh"), 16).as("sig"),
+          graft.functions.Sketches.simhash64(col("sh")).as("sim"),
+          col("lang"), col("dp"), col("cos"))
+        .collect()
+      assert(out.length == 2)
+      assert(out.forall(_.getAs[Double]("cos") > 0.999))
+      assert(out.forall(_.getAs[Seq[Long]]("sig").length == 16))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+}
