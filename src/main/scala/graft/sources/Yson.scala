@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.{shims => S}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -176,15 +175,32 @@ object Yson {
     sb.toString
   }
 
+  /** Codegen entry point: parse or null, staying in UTF8String. A
+    * top-level object method has a JVM static forwarder, so generated
+    * code calls it directly — the expression stays inside whole-stage
+    * codegen, and repeated `ysonToJson(x)` calls in one projection
+    * collapse via codegen subexpression elimination (the
+    * CodegenFallback form re-parsed per accessor). */
+  def parseOrNull(input: UTF8String): UTF8String = {
+    val out = parseToJson(input.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
   case class YsonToJson(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(StringType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
-    override def nullSafeEval(input: Any): Any = {
-      val out = parseToJson(input.toString)
-      if (out == null) null else UTF8String.fromString(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      parseOrNull(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.sources.Yson.parseOrNull($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
     override protected def withNewChildInternal(newChild: Expression): YsonToJson =
       copy(child = newChild)
   }
