@@ -15,8 +15,11 @@ import org.apache.spark.sql.types.StructType
   *   - Yson: [[Yson.ysonToJson]] over a text column, then the JSON
   *     reader — the documented YSON⇄JSON bridge.
   *   - Arrow/Parquet: Spark's columnar formats (the default storage).
-  *   - Skiff/Protobuf: binary row formats; out of scope without their
-  *     schema registries.
+  *   - Skiff/Protobuf: binary row formats — see [[Skiff]] and [[Proto]]
+  *     (self-describing descriptors from the table schema).
+  *   - WebJson: the web-UI result envelope ([[Formats.toWebJson]]).
+  *   - Yaml: block-style rows ([[Formats.writeYamlRows]] /
+  *     [[Formats.readYamlRows]]).
   *
   * All readers return ordinary DataFrames, so format choice never
   * affects the query surface — same as the reference, where formats
@@ -62,4 +65,147 @@ object Formats {
   /** Yson rows in a text file → JSON string column `doc`. */
   def readYsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).select(Yson.ysonToJson(col("value")).as("doc"))
+
+  /** WebJson (EFormatType::WebJson, web_json_writer.cpp; Schemaless
+    * value format, config.h:346-352): the web-UI result envelope
+    * `{"rows": [{"col": {"$type": t, "$value": "..."}}...],
+    * "incomplete_columns": ..., "all_column_names": [...]}`. Values are
+    * stringified with their YT type; strings over `fieldWeightLimit`
+    * truncate and gain `"$incomplete": true`. This is a UI handoff
+    * format, bounded by design — `maxRows` caps the materialized rows
+    * exactly like the reference's row limit, and the plan's LIMIT is
+    * pushed down (no full scan feeds a UI page).
+    */
+  def toWebJson(df: DataFrame, maxRows: Int = 1000,
+      fieldWeightLimit: Int = 1024): String = {
+    import graft.types.YtTypes
+    val schema = df.schema
+    // WebJson stringifies $type as EValueType names (string, not the
+    // type_v3 utf8 — web_json_writer.cpp writes the value-type name)
+    val ytNames = schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType) "string"
+      else YtTypes.fromSpark(f.dataType, f.nullable) match {
+        case YtTypes.YtOptional(inner) => inner.name
+        case t => t.name
+      }
+    }
+    val taken = df.limit(maxRows + 1).collect()
+    val incomplete = taken.length > maxRows
+    val rows = taken.take(maxRows)
+    val sb = new java.lang.StringBuilder()
+    def jstr(s: String): Unit = {
+      sb.append('"')
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"')
+    }
+    sb.append("{\"rows\":[")
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      if (ri > 0) sb.append(',')
+      sb.append('{')
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (i > 0) sb.append(',')
+        jstr(f.name); sb.append(":")
+        if (r.isNullAt(i)) sb.append("null")
+        else {
+          val full = r.get(i).toString
+          val truncated = full.length > fieldWeightLimit
+          sb.append("{\"$type\":"); jstr(ytNames(i))
+          if (truncated) sb.append(",\"$incomplete\":true")
+          sb.append(",\"$value\":")
+          jstr(if (truncated) full.take(fieldWeightLimit) else full)
+          sb.append('}')
+        }
+      }
+      sb.append('}')
+    }
+    sb.append("],\"incomplete_columns\":\"false\"")
+    sb.append(",\"incomplete_all_column_names\":\"").append(incomplete).append('"')
+    sb.append(",\"all_column_names\":[")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0) sb.append(','); jstr(f.name)
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
+  /** Yaml rows (EFormatType::Yaml, format.h:49-62): each row a block
+    * mapping under a `-` sequence entry — scalars only, strings quoted
+    * when they need it. Distributed: one YAML text line-block per row
+    * via a text sink.
+    */
+  def writeYamlRows(df: DataFrame, path: String): Unit = {
+    val fields = df.schema.fields
+    val quoteNeeded = "[:#\\[\\]{}&*!|>'\"%@`,\n-]".r
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val sb = new StringBuilder
+        fields.zipWithIndex.foreach { case (f, i) =>
+          sb.append(if (i == 0) "- " else "  ").append(f.name).append(": ")
+          if (r.isNullAt(i)) sb.append("null")
+          else {
+            val v = r.get(i).toString
+            val isStr = f.dataType == org.apache.spark.sql.types.StringType
+            if (isStr && (v.isEmpty || quoteNeeded.findFirstIn(v).isDefined))
+              sb.append('"').append(v.replace("\\", "\\\\").replace("\"", "\\\"")).append('"')
+            else sb.append(v)
+          }
+          sb.append('\n')
+        }
+        sb.toString
+      }
+    }(org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** Read the subset [[writeYamlRows]] emits: `- k: v` blocks with
+    * scalar values, typed by the supplied schema. Distributed: the
+    * text source splits records on the `\n- ` sequence boundary (the
+    * Hadoop line reader handles custom separators across file splits),
+    * then each block parses independently. */
+  def readYamlRows(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fields = schema.fields
+    import org.apache.spark.sql.types._
+    spark.read.option("lineSep", "\n- ").text(path)
+      .mapPartitions { it =>
+        it.flatMap { rec =>
+          val block = rec.getString(0).stripPrefix("- ").trim
+          if (block.isEmpty) None
+          else {
+            val kv = block.linesIterator.flatMap { line =>
+              val t = line.trim
+              val sep = t.indexOf(": ")
+              if (sep >= 0) Some(t.take(sep) -> t.drop(sep + 2))
+              else if (t.endsWith(":")) Some(t.dropRight(1) -> "")
+              else None
+            }.toMap
+            def parse(raw: String, dt: DataType): Any =
+              if (raw == "null" || raw.isEmpty) null
+              else {
+                val v =
+                  if (raw.startsWith("\"") && raw.endsWith("\"") && raw.length >= 2)
+                    raw.substring(1, raw.length - 1)
+                      .replace("\\\"", "\"").replace("\\\\", "\\")
+                  else raw
+                dt match {
+                  case LongType => v.toLong
+                  case IntegerType => v.toInt
+                  case DoubleType => v.toDouble
+                  case BooleanType => v.toBoolean
+                  case _ => v
+                }
+              }
+            Some(org.apache.spark.sql.Row.fromSeq(
+              fields.toSeq.map(f => kv.get(f.name).map(parse(_, f.dataType)).orNull)))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -128,6 +128,40 @@ class TypesFormatsSpec extends SparkSpec {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("webjson envelope: typed stringified values, truncation, row cap") {
+    import graft.sources.Formats
+    val df = Seq((1L, "short", 3.5), (2L, "x" * 50, 4.5), (3L, "y", 5.5))
+      .toDF("k", "s", "v")
+    val json = Formats.toWebJson(df.orderBy("k"), maxRows = 2, fieldWeightLimit = 10)
+    assert(json.contains(""""$type":"int64""""))
+    assert(json.contains(""""$type":"string""""))
+    assert(json.contains(""""$type":"double""""))
+    assert(json.contains(""""$value":"1""""))
+    // long string truncates to the weight limit and is flagged
+    assert(json.contains(""""$incomplete":true,"$value":"xxxxxxxxxx""""))
+    // row 3 fell off the cap; all_column_names lists the full schema
+    assert(!json.contains(""""$value":"5.5""""))
+    assert(json.contains(""""all_column_names":["k","s","v"]"""))
+    assert(json.contains(""""incomplete_all_column_names":"true""""))
+    // the envelope itself is valid JSON: round-trip through Spark
+    val parsed = spark.read.json(Seq(json).toDS)
+    assert(parsed.columns.contains("rows"))
+  }
+
+  test("yaml rows: write then read round-trips with quoting and nulls") {
+    import graft.sources.Formats
+    val dir = Files.createTempDirectory("yaml").toFile.getAbsolutePath + "/out"
+    val df = Seq(
+      (1L, "plain", 2.5, true),
+      (2L, "needs: quoting, here", 3.5, false),
+      (3L, null.asInstanceOf[String], 4.5, true)
+    ).toDF("k", "s", "v", "b")
+    Formats.writeYamlRows(df, dir)
+    val back = Formats.readYamlRows(spark, dir, df.schema)
+    assert(back.count() == 3)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+  }
+
   test("protobuf: golden wire layout, null absence, unknown-field skip") {
     import graft.sources.Proto
     val schema = StructType(Seq(
