@@ -1,0 +1,232 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** The `xdelta` aggregate column merge (SURVEY.md §2.A; reference
+  * builtin_function_registry.cpp:241-253, udf/xdelta3.c,
+  * library/cpp/xdelta3/state/merge.cpp) — delta-encoded aggregate
+  * states for sorted dynamic tables: a write is either a full BASE
+  * state or a PATCH against the previous state, and the row merger
+  * folds adjacent states pairwise.
+  *
+  * Wire layout is the reference's exactly: `varint(headerSize) +
+  * proto2 TStateHeader + payload` (state.cpp ParseHeader /
+  * EncodeHeaderTo; header fields per state_header.proto: type=1,
+  * base_hash=2, state_hash=3, state_size=4, data_size=5,
+  * error_code=6). The full merge state machine is implemented —
+  * newest BASE wins, PATCH∘PATCH composes when the hash chain links
+  * (lhs.state_hash == rhs.base_hash), BASE+PATCH applies with
+  * base-hash / state-size / state-hash verification, and every failure
+  * lowers to the reference's typed error headers instead of throwing.
+  *
+  * Documented divergences: (a) the patch payload carries the target
+  * state verbatim instead of an xdelta3/VCDIFF delta — protocol- and
+  * header-compatible, not payload-compatible; swap [[Xdelta.diff]] /
+  * [[Xdelta.patch]] for a VCDIFF codec for wire parity. (b) the 32-bit
+  * state hash is xxhash64 folded to 32 bits, not the reference's
+  * murmur (same stance as farm_hash → xxhash64).
+  */
+object Xdelta {
+
+  // TStateHeader.EType
+  val NoneType = 0; val Base = 1; val Patch = 2
+  // TStateHeader.EErrorCode (subset we can produce)
+  val NoError = 0
+  val HeaderParseError = 1
+  val BaseHashError = 2
+  val StateHashError = 3
+  val MergePatchesError = 4
+  val StateSizeError = 9
+
+  final case class Header(tpe: Int = NoneType, baseHash: Long = -1,
+      stateHash: Long = -1, stateSize: Long = -1, dataSize: Long = -1,
+      errorCode: Int = -1)
+
+  final case class State(header: Header, payload: Array[Byte])
+
+  /** 32-bit state hash (ui32 in the header). */
+  def hash32(data: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < data.length) {
+      h = h * 1099511628211L ^ (data(i) & 0xffL)
+      i += 1
+    }
+    (h ^ (h >>> 32)) & 0xffffffffL
+  }
+
+  // --- proto2 header codec (wire-compatible with state_header.proto) ---
+
+  private def writeVarint(out: ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def encodeHeaderBody(h: Header): Array[Byte] = {
+    val out = new ByteArrayOutputStream(24)
+    def field(num: Int, v: Long): Unit =
+      if (v >= 0) { writeVarint(out, (num.toLong << 3) | 0); writeVarint(out, v) }
+    field(1, if (h.tpe == NoneType) -1 else h.tpe.toLong)
+    field(2, h.baseHash)
+    field(3, h.stateHash)
+    field(4, h.stateSize)
+    field(5, h.dataSize)
+    field(6, h.errorCode.toLong)
+    out.toByteArray
+  }
+
+  def encodeState(s: State): Array[Byte] = {
+    val body = encodeHeaderBody(s.header)
+    val out = new ByteArrayOutputStream(body.length + s.payload.length + 2)
+    writeVarint(out, body.length.toLong)
+    out.write(body)
+    out.write(s.payload)
+    out.toByteArray
+  }
+
+  def decodeState(data: Array[Byte]): State = {
+    if (data == null || data.isEmpty)
+      return State(Header(errorCode = HeaderParseError), Array.empty)
+    var p = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val b = data(p); p += 1
+        v |= (b.toLong & 0x7f) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    try {
+      val headerSize = varint().toInt
+      val headerEnd = p + headerSize
+      if (headerEnd > data.length)
+        return State(Header(errorCode = HeaderParseError), Array.empty)
+      var h = Header()
+      while (p < headerEnd) {
+        val key = varint()
+        val v = varint()
+        ((key >>> 3).toInt: @annotation.switch) match {
+          case 1 => h = h.copy(tpe = v.toInt)
+          case 2 => h = h.copy(baseHash = v)
+          case 3 => h = h.copy(stateHash = v)
+          case 4 => h = h.copy(stateSize = v)
+          case 5 => h = h.copy(dataSize = v)
+          case 6 => h = h.copy(errorCode = v.toInt)
+          case _ =>
+        }
+      }
+      State(h, java.util.Arrays.copyOfRange(data, headerEnd, data.length))
+    } catch {
+      case _: Exception => State(Header(errorCode = HeaderParseError), Array.empty)
+    }
+  }
+
+  // --- payload codec (documented divergence: verbatim state) ---
+
+  /** Delta of `to` against `from` — verbatim carriage of `to`. */
+  def diff(from: Array[Byte], to: Array[Byte]): Array[Byte] = to
+
+  /** Apply [[diff]] output to a base. */
+  def patch(base: Array[Byte], delta: Array[Byte]): Array[Byte] = delta
+
+  // --- state constructors (the write path) ---
+
+  def makeBase(state: Array[Byte]): Array[Byte] =
+    encodeState(State(Header(tpe = Base, dataSize = state.length.toLong), state))
+
+  def makePatch(prev: Array[Byte], next: Array[Byte]): Array[Byte] = {
+    val payload = diff(prev, next)
+    encodeState(State(Header(tpe = Patch,
+      baseHash = hash32(prev), stateHash = hash32(next),
+      stateSize = next.length.toLong, dataSize = payload.length.toLong), payload))
+  }
+
+  private def error(code: Int): Array[Byte] =
+    encodeState(State(Header(errorCode = code), Array.empty))
+
+  /** An empty patch (nothing changed) must still link the hash chain
+    * (merge.cpp IsBadEmptyPatch). */
+  private def isBadEmptyPatch(s: State): Boolean =
+    s.payload.isEmpty && s.header.dataSize <= 0 &&
+      s.header.baseHash != s.header.stateHash
+
+  /** The reference's MergeStates (merge.cpp:188+): fold `lhs` (older)
+    * with `rhs` (newer). */
+  def mergeStates(lhsData: Array[Byte], rhsData: Array[Byte]): Array[Byte] = {
+    if (rhsData == null) return lhsData
+    if (lhsData == null) return rhsData
+    val rhs = decodeState(rhsData)
+    if (rhs.header.errorCode > 0) return error(rhs.header.errorCode)
+    if (rhs.header.tpe == Base) return rhsData // newest base supersedes
+    val lhs = decodeState(lhsData)
+    if (lhs.header.errorCode > 0) return error(lhs.header.errorCode)
+
+    (lhs.header.tpe, rhs.header.tpe) match {
+      case (Patch, Patch) =>
+        if (lhs.header.stateHash != rhs.header.baseHash) error(MergePatchesError)
+        else if (isBadEmptyPatch(lhs) || isBadEmptyPatch(rhs)) error(MergePatchesError)
+        else if (lhs.payload.isEmpty) rhsData
+        else if (rhs.payload.isEmpty)
+          // rhs changed nothing: keep lhs's delta, extend the chain tip
+          encodeState(State(lhs.header.copy(stateHash = rhs.header.stateHash,
+            stateSize = rhs.header.stateSize), lhs.payload))
+        else
+          // compose: lhs's base to rhs's target
+          encodeState(State(Header(tpe = Patch,
+            baseHash = lhs.header.baseHash, stateHash = rhs.header.stateHash,
+            stateSize = rhs.header.stateSize,
+            dataSize = rhs.payload.length.toLong), rhs.payload))
+      case (Base, Patch) =>
+        val baseHash = hash32(lhs.payload)
+        if (baseHash != rhs.header.baseHash) error(BaseHashError)
+        else if (rhs.payload.isEmpty && rhs.header.dataSize <= 0) {
+          if (rhs.header.stateSize != lhs.payload.length) error(StateSizeError)
+          else if (rhs.header.stateHash != baseHash) error(StateHashError)
+          else lhsData
+        } else {
+          val next = patch(lhs.payload, rhs.payload)
+          if (next.length.toLong != rhs.header.stateSize) error(StateSizeError)
+          else if (hash32(next) != rhs.header.stateHash) error(StateHashError)
+          else makeBase(next)
+        }
+      case _ => error(MergePatchesError)
+    }
+  }
+
+  /** The aggregate: fold states in write order (xdelta_merge in
+    * udf/xdelta3.c — update is "not applicable", states merge
+    * pairwise; null input keeps the accumulated state). */
+  val xdelta: Aggregator[Array[Byte], Array[Byte], Array[Byte]] =
+    new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      def zero: Array[Byte] = null
+      def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = mergeStates(b, a)
+      def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = mergeStates(x, y)
+      def finish(r: Array[Byte]): Array[Byte] = r
+      def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+
+  /** Unwrap a merged state to the logical value (BASE payload). */
+  def statePayload(data: Array[Byte]): Array[Byte] = {
+    val s = decodeState(data)
+    if (s.header.errorCode > 0 || s.header.tpe != Base) null else s.payload
+  }
+
+  /** [[xdelta]] with the final state unwrapped to its payload — the
+    * read-path view of the aggregate column. */
+  val xdeltaValue: Aggregator[Array[Byte], Array[Byte], Array[Byte]] =
+    new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      def zero: Array[Byte] = null
+      def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = mergeStates(b, a)
+      def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = mergeStates(x, y)
+      def finish(r: Array[Byte]): Array[Byte] = statePayload(r)
+      def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+}

@@ -74,6 +74,41 @@ object Dyn {
         .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
     }),
 
+    // xdelta aggregate column (builtin_function_registry.cpp:241-253):
+    // per-key write log of one BASE then PATCH states, folded by the
+    // reference's state machine (hash-chain verified); output is the
+    // final reconstructed state. Write-path construction mirrors
+    // EvaluateKeys: one pass over the key-sorted log.
+    "dyn_agg_xdelta" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.{Encoders, Row}
+      import graft.functions.Xdelta
+      val writes = t(s, d, "orders").select(
+        (col("o_custkey") % 100).as("k"), col("o_orderkey").as("ver"),
+        concat(lit("state-"), col("o_orderkey")).cast("binary").as("v"))
+      val logSchema = StructType(Seq(StructField("k", LongType),
+        StructField("ver", LongType), StructField("state", BinaryType)))
+      val log = writes.repartition(col("k"))
+        .sortWithinPartitions(col("k"), col("ver"))
+        .mapPartitions { rows =>
+          var prevKey = Long.MinValue
+          var prev: Array[Byte] = null
+          rows.map { r =>
+            val k = r.getLong(0)
+            val v = r.getAs[Array[Byte]](2)
+            val st = if (k != prevKey || prev == null) Xdelta.makeBase(v)
+              else Xdelta.makePatch(prev, v)
+            prevKey = k; prev = v
+            Row(k, r.getLong(1), st)
+          }
+        }(Encoders.row(logSchema))
+      // log is hash-partitioned by k and ver-sorted: the fold sees
+      // states in write order and never crosses partitions
+      val xd = udaf(Xdelta.xdeltaValue, Encoders.BINARY)
+      log.groupBy(col("k"))
+        .agg(xd(col("state")).cast("string").as("final_state"))
+    }),
+
     // Unfolded index (secondary_index/schema.cpp Unfolded): one index
     // row per list element; membership predicates become an equality
     // scan of the index, then a key semi-join of the primary.
@@ -163,6 +198,11 @@ object Dyn {
       """SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "dyn_agg_xdelta" ->
+      """SELECT o_custkey % 100 AS k,
+        |  'state-' || CAST(MAX(o_orderkey) AS VARCHAR) AS final_state
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "dyn_index_unfolded" ->
       """SELECT count(*) AS cnt, min(doc_id) AS min_id, max(doc_id) AS max_id

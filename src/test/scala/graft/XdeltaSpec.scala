@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.Xdelta
+
+/** The xdelta aggregate state machine (merge.cpp semantics): header
+  * wire codec, hash-chain verification, error lowering, fold order.
+  */
+class XdeltaSpec extends SparkSpec {
+
+  private def b(s: String) = s.getBytes("UTF-8")
+
+  test("state header round-trips through the proto2 wire codec") {
+    val st = Xdelta.State(Xdelta.Header(tpe = Xdelta.Patch, baseHash = 123,
+      stateHash = 456, stateSize = 7, dataSize = 3), Array[Byte](1, 2, 3))
+    val back = Xdelta.decodeState(Xdelta.encodeState(st))
+    assert(back.header == st.header)
+    assert(back.payload.toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("BASE then PATCH chain reconstructs the final state") {
+    val s0 = b("v0"); val s1 = b("v1-longer"); val s2 = b("v2")
+    val folded = Xdelta.mergeStates(
+      Xdelta.mergeStates(Xdelta.makeBase(s0), Xdelta.makePatch(s0, s1)),
+      Xdelta.makePatch(s1, s2))
+    assert(Xdelta.statePayload(folded).toSeq == s2.toSeq)
+  }
+
+  test("PATCH then PATCH composes before the base arrives (map-side partial)") {
+    val s0 = b("a"); val s1 = b("bb"); val s2 = b("ccc")
+    val composed = Xdelta.mergeStates(Xdelta.makePatch(s0, s1), Xdelta.makePatch(s1, s2))
+    val h = Xdelta.decodeState(composed).header
+    assert(h.tpe == Xdelta.Patch)
+    assert(h.baseHash == Xdelta.hash32(s0) && h.stateHash == Xdelta.hash32(s2))
+    val applied = Xdelta.mergeStates(Xdelta.makeBase(s0), composed)
+    assert(Xdelta.statePayload(applied).toSeq == s2.toSeq)
+  }
+
+  test("broken hash chains lower to typed error headers, never throw") {
+    val s0 = b("x"); val s1 = b("y"); val s2 = b("z")
+    // patch whose base hash doesn't match the actual base
+    val bad = Xdelta.mergeStates(Xdelta.makeBase(s2), Xdelta.makePatch(s0, s1))
+    assert(Xdelta.decodeState(bad).header.errorCode == Xdelta.BaseHashError)
+    assert(Xdelta.statePayload(bad) == null)
+    // two patches that don't link
+    val badPair = Xdelta.mergeStates(Xdelta.makePatch(s0, s1), Xdelta.makePatch(s2, s0))
+    assert(Xdelta.decodeState(badPair).header.errorCode == Xdelta.MergePatchesError)
+    // garbage input
+    assert(Xdelta.decodeState(Array[Byte](9, 9)).header.errorCode == Xdelta.HeaderParseError)
+  }
+
+  test("a newer BASE supersedes whatever came before") {
+    val folded = Xdelta.mergeStates(Xdelta.makeBase(b("old")), Xdelta.makeBase(b("new")))
+    assert(Xdelta.statePayload(folded).toSeq == b("new").toSeq)
+    val afterPatch = Xdelta.mergeStates(Xdelta.makePatch(b("p"), b("q")), Xdelta.makeBase(b("new")))
+    assert(Xdelta.statePayload(afterPatch).toSeq == b("new").toSeq)
+  }
+}
