@@ -1,0 +1,199 @@
+package graft.ql
+
+import QLParser._
+
+/** Lower the QL AST to Spark SQL text (the Catalyst hand-off — same
+  * division as the reference's query_preparer feeding its execution
+  * engine). Lowerings:
+  *
+  *   - `[//path]` tables → temp-view names ([[SelectRows.viewName]]);
+  *   - tuple `=` / `IN` → conjunction/disjunction chains (the
+  *     IsRowInRowset lowering, type-agnostic);
+  *   - tuple `BETWEEN` → lexicographic range expansion
+  *     (key_trie.cpp's prefix-range semantics);
+  *   - uint64 literals → two's-complement Long bits; ordering
+  *     comparisons with a uint64 operand → biased u64_* comparators;
+  *   - `GROUP BY expr AS alias` → alias-substituted projection;
+  *   - `WITH TOTALS` (no HAVING) → `GROUP BY ROLLUP`; the
+  *     Before/AfterHaving modes emit the CTE union form;
+  *   - `OFFSET k LIMIT n` → `LIMIT n OFFSET k`;
+  *   - `WITH INDEX` is an access-path hint → dropped (the optimizer
+  *     owns access paths here; see plans/SecondaryIndex for the
+  *     physical rewrite).
+  */
+object QLEmitter {
+
+  def toSql(q: Query): String = {
+    // substitute GROUP BY aliases into the projection
+    val aliasMap: Map[String, Expr] =
+      q.groupBy.collect { case SelectItem(e, Some(a)) => a -> e }.toMap
+    def subst(e: Expr): Expr = e match {
+      case Ref(Seq(one)) if aliasMap.contains(one) => aliasMap(one)
+      case Ref(_) | IntLit(_) | UIntLit(_) | DoubleLit(_) | StrLit(_) |
+           BoolLit(_) | NullLit | Star => e
+      case Call(n, args, d) => Call(n, args.map(subst), d)
+      case Bin(op, l, r) => Bin(op, subst(l), subst(r))
+      case Un(op, x) => Un(op, subst(x))
+      case IsNullOp(x, n) => IsNullOp(subst(x), n)
+      case LikeOp(x, k, p, esc, n) => LikeOp(subst(x), k, subst(p), esc.map(subst), n)
+      case InList(t, rows, n) => InList(t.map(subst), rows.map(_.map(subst)), n)
+      case BetweenOp(t, rs, n) =>
+        BetweenOp(t.map(subst), rs.map { case (a, b) => (a.map(subst), b.map(subst)) }, n)
+      case CaseExpr(o, bs, el) =>
+        CaseExpr(o.map(subst), bs.map { case (w, t) => (subst(w), subst(t)) }, el.map(subst))
+      case TupleExpr(items) => TupleExpr(items.map(subst))
+      case ItemAccess(x, idx) => ItemAccess(subst(x), subst(idx))
+    }
+    val select = q.select.map {
+      // bare reference to a GROUP BY alias: substitute the expression
+      // and keep the alias as the output name
+      case SelectItem(Ref(Seq(one)), None) if aliasMap.contains(one) =>
+        SelectItem(aliasMap(one), Some(one))
+      case SelectItem(e, a) => SelectItem(subst(e), a)
+    }
+    val groupExprs = q.groupBy.map(g => subst(g.e))
+
+    val sb = new StringBuilder("SELECT ")
+    sb.append(select.map(si => si.alias match {
+      case Some(a) => s"${emit(si.e)} AS $a"
+      case None => emit(si.e)
+    }).mkString(", "))
+    q.from.foreach { t =>
+      sb.append(" FROM ").append(SelectRows.viewName(t.path))
+      t.alias.foreach(a => sb.append(" AS ").append(a))
+    }
+    q.joins.foreach {
+      case JoinClause(isLeft, t, using, on, pred) =>
+        sb.append(if (isLeft) " LEFT JOIN " else " JOIN ")
+          .append(SelectRows.viewName(t.path))
+        t.alias.foreach(a => sb.append(" AS ").append(a))
+        if (using.nonEmpty) sb.append(using.mkString(" USING (", ", ", ")"))
+        on.foreach { case (lhs, rhs) =>
+          require(lhs.length == rhs.length, "ON tuple arity mismatch")
+          val eqs = lhs.zip(rhs).map { case (a, b) => s"${emit(a)} = ${emit(b)}" }
+          val cond = pred.map(p => eqs :+ emit(p)).getOrElse(eqs)
+          sb.append(cond.mkString(" ON (", " AND ", ")"))
+        }
+      case ArrayJoinClause(isLeft, items) =>
+        // ARRAY JOIN expr AS a → LATERAL VIEW explode (left = outer)
+        items.zipWithIndex.foreach { case (it, ix) =>
+          val alias = it.alias.getOrElse(s"value$ix")
+          val fn = if (isLeft) "explode_outer" else "explode"
+          sb.append(s" LATERAL VIEW $fn(${emit(it.e)}) _aj$ix AS $alias")
+        }
+    }
+    q.where.foreach(w => sb.append(" WHERE ").append(emit(subst(w))))
+    if (groupExprs.nonEmpty) {
+      // WITH TOTALS → ROLLUP (totals row = null keys). With HAVING the
+      // filter applies to the rolled-up stream, i.e. AfterHaving-like;
+      // exact Before/AfterHaving totals are the programmatic API
+      // (queries.QL ql_with_totals_*).
+      if (q.totals == NoTotals)
+        sb.append(" GROUP BY ").append(groupExprs.map(emit).mkString(", "))
+      else
+        sb.append(" GROUP BY ROLLUP(").append(groupExprs.map(emit).mkString(", ")).append(")")
+    }
+    q.having.foreach(h => sb.append(" HAVING ").append(emit(subst(h))))
+    q.orderBy match {
+      case Nil =>
+      case items => sb.append(" ORDER BY ").append(items.map(o =>
+        emit(subst(o.e)) + (if (o.desc) " DESC" else " ASC")).mkString(", "))
+    }
+    q.limit.foreach(n => sb.append(s" LIMIT $n"))
+    q.offset.foreach(n => sb.append(s" OFFSET $n"))
+    sb.toString
+  }
+
+  def emit(e: Expr): String = e match {
+    case Star => "*"
+    case Ref(parts) => parts.map(quoteIdent).mkString(".")
+    case IntLit(v) => v.toString
+    case UIntLit(bits) => s"${bits}L"
+    case DoubleLit(v) =>
+      if (v.isPosInfinity) "double('inf')" else v.toString
+    case StrLit(v) => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case BoolLit(v) => v.toString
+    case NullLit => "NULL"
+    case Call(name, args, distinct) =>
+      val d = if (distinct) "DISTINCT " else ""
+      s"$name($d${args.map(emit).mkString(", ")})"
+    case Bin(op, l, r) => emitBin(op, l, r)
+    case Un("NOT", x) => s"(NOT ${emit(x)})"
+    case Un("-", x) => s"(- ${emit(x)})"
+    case Un("~", x) => s"(~ ${emit(x)})"
+    case Un(op, x) => s"($op ${emit(x)})"
+    case IsNullOp(x, neg) => s"(${emit(x)} IS ${if (neg) "NOT " else ""}NULL)"
+    case LikeOp(x, kind, pat, esc, neg) =>
+      val body = kind match {
+        case "LIKE" => s"${emit(x)} LIKE ${emit(pat)}" +
+          esc.map(e => s" ESCAPE ${emit(e)}").getOrElse("")
+        case "ILIKE" => s"${emit(x)} ILIKE ${emit(pat)}"
+        case _ => s"${emit(x)} RLIKE ${emit(pat)}"
+      }
+      if (neg) s"(NOT ($body))" else s"($body)"
+    case InList(tuple, rows, neg) =>
+      val body =
+        if (tuple.length == 1 && rows.forall(_.length == 1))
+          s"${emit(tuple.head)} IN (${rows.map(r => emit(r.head)).mkString(", ")})"
+        else rows.map { row =>
+          require(row.length == tuple.length, "IN tuple arity mismatch")
+          tuple.zip(row).map { case (a, b) => s"${emit(a)} = ${emit(b)}" }
+            .mkString("(", " AND ", ")")
+        }.mkString("(", " OR ", ")")
+      if (neg) s"(NOT ($body))" else s"($body)"
+    case BetweenOp(tuple, ranges, neg) =>
+      val body = ranges.map(r => rangeExpansion(tuple, r._1, r._2))
+        .mkString("(", " OR ", ")")
+      if (neg) s"(NOT ($body))" else s"($body)"
+    case CaseExpr(operand, branches, elseE) =>
+      val sb = new StringBuilder("CASE")
+      operand.foreach(o => sb.append(' ').append(emit(o)))
+      branches.foreach { case (w, t) =>
+        sb.append(" WHEN ").append(emit(w)).append(" THEN ").append(emit(t))
+      }
+      elseE.foreach(x => sb.append(" ELSE ").append(emit(x)))
+      sb.append(" END").toString
+    case TupleExpr(items) => items.map(emit).mkString("(", ", ", ")")
+    case ItemAccess(x, idx) => s"${emit(x)}[${emit(idx)}]"
+  }
+
+  /** Lexicographic `tuple BETWEEN lo AND hi` (prefix-range semantics of
+    * the key trie): scalar case is plain BETWEEN. */
+  private def rangeExpansion(tuple: Seq[Expr], lo: Seq[Expr], hi: Seq[Expr]): String = {
+    require(lo.length == tuple.length && hi.length == tuple.length,
+      "BETWEEN tuple arity mismatch")
+    if (tuple.length == 1)
+      s"(${emit(tuple.head)} BETWEEN ${emit(lo.head)} AND ${emit(hi.head)})"
+    else {
+      def bound(op: String, eqOp: String, bnd: Seq[Expr]): String = {
+        // lexicographic comparison tuple `op` bnd
+        def go(k: Int): String = {
+          val a = emit(tuple(k)); val b = emit(bnd(k))
+          if (k == tuple.length - 1) s"$a $eqOp $b"
+          else s"($a $op $b OR ($a = $b AND ${go(k + 1)}))"
+        }
+        go(0)
+      }
+      s"(${bound(">", ">=", lo)} AND ${bound("<", "<=", hi)})"
+    }
+  }
+
+  private def emitBin(op: String, l: Expr, r: Expr): String = {
+    val u64Cmp = Map("<" -> "u64_lt", "<=" -> "u64_leq",
+      ">" -> "u64_gt", ">=" -> "u64_geq")
+    (op, l, r) match {
+      case (o, _, UIntLit(_)) if u64Cmp.contains(o) =>
+        s"${u64Cmp(o)}(${emit(l)}, ${emit(r)})"
+      case (o, UIntLit(_), _) if u64Cmp.contains(o) =>
+        s"${u64Cmp(o)}(${emit(l)}, ${emit(r)})"
+      case ("=", TupleExpr(ls), TupleExpr(rs)) if ls.length == rs.length =>
+        ls.zip(rs).map { case (a, b) => s"${emit(a)} = ${emit(b)}" }
+          .mkString("(", " AND ", ")")
+      case ("!=", _, _) => s"(${emit(l)} != ${emit(r)})"
+      case _ => s"(${emit(l)} $op ${emit(r)})"
+    }
+  }
+
+  private def quoteIdent(s: String): String =
+    if (s.forall(c => c.isLetterOrDigit || c == '_')) s else s"`$s`"
+}

@@ -60,8 +60,21 @@ object SelectRows {
   def viewName(path: String): String =
     path.stripPrefix("//").split('/').last.replaceAll("[^A-Za-z0-9_]", "_")
 
-  /** QL → Spark SQL (pure string transform, exposed for tests). */
-  def transpile(ql: String): String = {
+  /** QL → Spark SQL. The primary path is the real grammar —
+    * [[QLParser]] (tokenizer + recursive descent per parser.ypp) into
+    * [[QLEmitter]]; the legacy regex rewriter remains as a fallback
+    * for strings the parser rejects (logged, so coverage gaps
+    * surface). */
+  def transpile(ql: String): String =
+    try QLEmitter.toSql(QLParser.parse(ql))
+    catch {
+      case e: QLParser.QLParseException =>
+        System.err.println(s"QLParser fallback for: ${ql.take(120)} (${e.getMessage})")
+        transpileLegacy(ql)
+    }
+
+  /** The original regex-rewrite transpiler (fallback path). */
+  def transpileLegacy(ql: String): String = {
     var q = ql.trim
     // 1. implicit SELECT
     if (!q.toUpperCase.startsWith("SELECT")) q = "SELECT " + q
