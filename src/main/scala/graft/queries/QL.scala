@@ -91,6 +91,18 @@ object QL {
           "('clicked', 'viewed'), 'other') AS et",
         Map("//home/events" -> t(s, d, "events")))),
 
+    // Grammar breadth through the string surface: multi-range BETWEEN
+    // list (parser.ypp:639), NOT LIKE, DISTINCT aggregate, ORDER BY on
+    // the group key — all through QLParser, no fallback.
+    "ql_selectrows_grammar" -> ((s, d) =>
+      graft.ql.SelectRows(s,
+        "p_brand, COUNT(*) AS cnt, COUNT(DISTINCT p_type) AS types, " +
+          "MIN(p_size) AS mn FROM [//part] " +
+          "WHERE p_size BETWEEN (5 AND 10, 40 AND 45) " +
+          "AND p_name NOT LIKE '%green%' " +
+          "GROUP BY p_brand ORDER BY p_brand LIMIT 20",
+        Map("//part" -> t(s, d, "part")))),
+
     // WITH TOTALS BEFORE HAVING vs AFTER HAVING (ETotalsMode,
     // query_common.h:78-82): BeforeHaving computes the total over all
     // groups then filters groups; AfterHaving totals only surviving
@@ -296,6 +308,13 @@ object QL {
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 18446744073709551610
          GROUP BY 1""",
+    "ql_selectrows_grammar" ->
+      """SELECT p_brand, COUNT(*) AS cnt, COUNT(DISTINCT p_type) AS types,
+           MIN(p_size) AS mn
+         FROM part
+         WHERE (p_size BETWEEN 5 AND 10 OR p_size BETWEEN 40 AND 45)
+           AND p_name NOT LIKE '%green%'
+         GROUP BY p_brand ORDER BY p_brand LIMIT 20""",
     "ql_with_totals_before_having" ->
       """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
                       COUNT(*) AS cnt FROM orders GROUP BY 1)

@@ -142,6 +142,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian pair scan")
   }
 
+  test("dyn_index_predicated answers via broadcast semi-join (primary never shuffles)") {
+    val p = planString(run("dyn_index_predicated"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.linesIterator.take(10).mkString("\n"))
+  }
+
+  test("llm_dedup_embedding_lsh candidate join carries ids only (vectors fetched post-join)") {
+    val p = run("llm_dedup_embedding_lsh").queryExecution.optimizedPlan.toString
+    // the chunk-bucket self-join must not project the embedding arrays;
+    // they come back via the candidate→vector joins afterwards
+    val joinSection = p.linesIterator.dropWhile(!_.contains("Join"))
+      .takeWhile(!_.contains("Relation")).take(12).mkString("\n")
+    assert(!joinSection.contains("vec#") || joinSection.contains("id_a"),
+      "candidate join should be id-only:\n" + joinSection)
+  }
+
   test("llm_dedup_minhash band join carries ids only (no shingle arrays through the shuffle)") {
     val p = run("llm_dedup_minhash").queryExecution.optimizedPlan.toString
     // the self-join inputs must not project the shingle array column
