@@ -213,6 +213,27 @@ object Operations {
     chopReduce(joined, joinBy, sortBy, outputSchema)(f)
   }
 
+  /** Skew-salted equi-join: the skewed (large, hot-keyed) side gets a
+    * deterministic salt in [0, salt); the other side replicates once
+    * per salt value; the join key becomes (keys..., salt) so a hot key
+    * spreads over `salt` reducers instead of melting one. Result is
+    * exactly the plain join (salt columns dropped).
+    *
+    * AQE's runtime skew-join split (enabled in GraftSession) is the
+    * first line of defense; this is the explicit tool for joins whose
+    * skew is known up front — the salt factor trades `salt`×
+    * replication of the small side for `salt`× parallelism on the hot
+    * keys, the standard cure when one key exceeds a single executor.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    val s = skewed.withColumn("_salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salt)).cast("int"))
+    val o = other.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    s.join(o, keys :+ "_salt", joinType).drop("_salt")
+  }
+
   /** MapReduce (fused, sort_controller.cpp): mapper → optional map-side
     * combiner (ReduceCombiner) → shuffle on `reduceBy` → sorted reducer.
     * The combiner runs BEFORE the exchange, so shuffled bytes shrink by

@@ -105,6 +105,23 @@ class OperationsSpec extends SparkSpec {
       org.apache.spark.sql.Row(3L, "p3", null)))
   }
 
+  test("saltedJoin equals the plain join and splits hot keys across salts") {
+    import org.apache.spark.sql.functions._
+    // one pathological key (0) carrying half the rows
+    val skewed = (0L until 2000L).map(i => (if (i % 2 == 0) 0L else i % 50, i))
+      .toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).agg(count(lit(1)), sum("v")).first()
+    val salted = Operations.saltedJoin(skewed, dim, Seq("k"), salt = 8)
+      .agg(count(lit(1)), sum("v")).first()
+    assert(salted == plain)
+    // the hot key's rows really do land in multiple salt buckets
+    val buckets = skewed.withColumn("_salt",
+        pmod(xxhash64(col("k"), col("v")), lit(8)))
+      .filter(col("k") === 0L).select("_salt").distinct().count()
+    assert(buckets > 1, s"hot key stayed in $buckets bucket(s)")
+  }
+
   test("pipeMap runs an external binary per partition over a tab-separated pipe") {
     import org.apache.spark.sql.types._
     val in = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("k", "w")

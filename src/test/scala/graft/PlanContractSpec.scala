@@ -158,6 +158,28 @@ class PlanContractSpec extends SparkSpec {
       "candidate join should be id-only:\n" + joinSection)
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    // CommonKeyPrefix (query.h:345): both sides stored bucketed+sorted
+    // on the join key merge locally per bucket — zero shuffle.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = (0L until 2000L).map(i => (i % 97, i)).toDF("k", "va")
+    val b = (0L until 2000L).map(i => (i % 89, i * 2)).toDF("k", "vb")
+    graft.sources.Tables.writeBucketed(a, "bkt_a", 8, Seq("k"))
+    graft.sources.Tables.writeBucketed(b, "bkt_b", 8, Seq("k"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        .groupBy("k").agg(sum("va").as("sa"), sum("vb").as("sb"))
+      j.count()
+      val p = planString(j)
+      assert(p.contains("SortMergeJoin"), p.linesIterator.take(6).mkString("\n"))
+      assert(!p.contains("Exchange"),
+        "bucketed join must not shuffle:\n" + p.linesIterator.take(20).mkString("\n"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("llm_dedup_minhash band join carries ids only (no shingle arrays through the shuffle)") {
     val p = run("llm_dedup_minhash").queryExecution.optimizedPlan.toString
     // the self-join inputs must not project the shingle array column

@@ -16,6 +16,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     // same optimizer extensions the engine session installs
