@@ -165,6 +165,19 @@ class PlanContractSpec extends SparkSpec {
     import spark.implicits._
     val a = (0L until 2000L).map(i => (i % 97, i)).toDF("k", "va")
     val b = (0L until 2000L).map(i => (i % 89, i * 2)).toDF("k", "vb")
+    // a prior JVM's in-memory catalog is gone but its warehouse files
+    // persist; clear both so saveAsTable can re-create
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     graft.sources.Tables.writeBucketed(a, "bkt_a", 8, Seq("k"))
     graft.sources.Tables.writeBucketed(b, "bkt_b", 8, Seq("k"))
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
