@@ -91,6 +91,38 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize plumbing: payload → payload scaled to a `width`×`height`
+    * target, batched per partition. STUB scaling: stride-sample the
+    * input bytes down to `min(len, width*height/64)` — deterministic
+    * and monotone in the target like a real scaler's output size; swap
+    * the loop body for a codec resize call. Null payloads pass through.
+    */
+  def resize(df: DataFrame, payloadCol: String, width: Int, height: Int,
+      outCol: String = "resized"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, BinaryType))
+    val idx = inSchema.fieldIndex(payloadCol)
+    val target = math.max(1, width * height / 64)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val out: Array[Byte] =
+          if (payload == null) null
+          else if (payload.length <= target) payload
+          else {
+            val res = new Array[Byte](target)
+            var i = 0
+            while (i < target) {
+              res(i) = payload((i.toLong * payload.length / target).toInt)
+              i += 1
+            }
+            res
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling plumbing for video-like payloads: emit one row per
     * sampled frame offset (explode), payload sliced per frame. With a
     * real decoder the slice becomes a frame decode at the timestamp.

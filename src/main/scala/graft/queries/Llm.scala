@@ -128,6 +128,16 @@ object Llm {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
     }),
 
+    // Resize plumbing: payload scaled to a byte budget derived from the
+    // target dims (stub scaler, real batched pass + schema contract).
+    "llm_multimodal_resize" -> ((s, d) => {
+      val withBin = Multimodal.withBinaryPayload(
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text")), "text", "payload")
+      Multimodal.resize(withBin, "payload", width = 32, height = 32)
+        .select(col("doc_id"), length(col("resized")).cast("long").as("resized_len"))
+    }),
+
     // Feature extraction: payload → dense embedding (stubbed encoder),
     // composed with the ANN brute-force operator — media-to-vector
     // search end-to-end.
@@ -212,6 +222,10 @@ object Llm {
     "llm_multimodal_frames" ->
       """SELECT doc_id,
            GREATEST(octet_length(encode(text)) // 64, 1) AS n_frames
+         FROM documents WHERE doc_id < 200""",
+    "llm_multimodal_resize" ->
+      """SELECT doc_id,
+           LEAST(octet_length(encode(text)), 16) AS resized_len
          FROM documents WHERE doc_id < 200"""
   )
 }
