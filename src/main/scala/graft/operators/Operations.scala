@@ -213,6 +213,75 @@ object Operations {
     chopReduce(joined, joinBy, sortBy, outputSchema)(f)
   }
 
+  /** AS-OF join: for every left row, the single latest right row with
+    * `rightTs <= leftTs` on the same key — the temporal lookup a
+    * training pipeline uses for feature stitching (and the reference's
+    * versioned-read-at-timestamp shape applied across two tables).
+    *
+    * Spark has no built-in; the scalable shape is ONE shuffle and ONE
+    * merge pass, never a per-row range probe: union both sides tagged,
+    * hash-partition by key, secondary-sort by (ts, tag) — right rows
+    * sort before left at equal ts, so `<=` is inclusive — then stream
+    * each partition carrying the last-seen right values per key.
+    * Equivalent of a sort-merge join specialized to the asof
+    * predicate; state is O(1) per key, spill handled by the sort.
+    *
+    * Returns all left columns plus `rightVals` (null when no right row
+    * precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_tag", lit(1))
+      .select((keys.map(col) ++ Seq(col("_ts"), col("_tag")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v))): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_tag", lit(0))
+      .select((keys.map(col) ++ Seq(col("_ts"), col("_tag")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col)): _*)
+    val unioned = l.unionByName(r)
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions((keys.map(col) :+ col("_ts")) :+ col("_tag"): _*)
+    val outSchema = StructType(
+      keys.map(k => left.schema(k)) ++
+        leftCols.filterNot(keys.contains).map(left.schema(_)) ++
+        // right values are null for left rows with no preceding match
+        rightVals.map(v => right.schema(v).copy(nullable = true)))
+    val nKeys = keys.length
+    val nLeft = leftCols.filterNot(keys.contains).length
+    val nRight = rightVals.length
+    unioned.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      val lastRight = new Array[Any](nRight)
+      rows.flatMap { row =>
+        val k = (0 until nKeys).map(row.get)
+        if (k != curKey) {
+          curKey = k
+          java.util.Arrays.fill(lastRight.asInstanceOf[Array[AnyRef]], null)
+        }
+        val tag = row.getInt(nKeys + 1)
+        if (tag == 0) {
+          var i = 0
+          while (i < nRight) {
+            lastRight(i) = row.get(nKeys + 2 + nLeft + i)
+            i += 1
+          }
+          None
+        } else {
+          val leftVals = (0 until nLeft).map(i => row.get(nKeys + 2 + i))
+          Some(Row.fromSeq(k ++ leftVals ++ lastRight.toSeq))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Skew-salted equi-join: the skewed (large, hot-keyed) side gets a
     * deterministic salt in [0, salt); the other side replicates once
     * per salt value; the join key becomes (keys..., salt) so a hot key

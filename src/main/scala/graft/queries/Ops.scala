@@ -129,6 +129,24 @@ object Ops {
       }
     }),
 
+    // AS-OF join: each click picks up the latest prior-or-equal
+    // purchase value per user — single shuffle + merge pass
+    // (Operations.asofJoin); DuckDB's native ASOF JOIN is the oracle.
+    // Purchases dedupe to one row per (user, ts) first so the pick at
+    // equal timestamps is deterministic in both engines.
+    "op_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("pvalue"))
+        .withColumnRenamed("ts", "p_ts")
+      Operations.asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+        Seq("pvalue"))
+        .select(col("event_id"), col("user_id"), col("pvalue"))
+    }),
+
     // User job over a binary protobuf pipe (EFormatType::Protobuf job
     // I/O): orders stream through an identity process as lenval
     // protobuf messages, decode, then aggregate — proving the wire
@@ -187,6 +205,15 @@ object Ops {
   )
 
   val oracles: Map[String, String] = Map(
+    "op_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, ts AS p_ts, ROUND(MAX(value), 2) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, p.pvalue
+         FROM clicks c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.p_ts""",
     "op_pipe_protobuf" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS total

@@ -105,6 +105,22 @@ class OperationsSpec extends SparkSpec {
       org.apache.spark.sql.Row(3L, "p3", null)))
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, null when none") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (2L, 60L, 30.0))
+      .toDF("k", "rts", "v")
+    val got = Operations.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .orderBy("k", "ts").collect()
+    // (1,100): equal-ts right row included (<= semantics) → 10.0
+    // (1,200): latest at-or-before is 150 → 20.0
+    // (2,50): right row at 60 is in the future → null
+    assert(got.toSeq == Seq(
+      org.apache.spark.sql.Row(1L, 100L, "a", 10.0),
+      org.apache.spark.sql.Row(1L, 200L, "b", 20.0),
+      org.apache.spark.sql.Row(2L, 50L, "c", null)))
+  }
+
   test("saltedJoin equals the plain join and splits hot keys across salts") {
     import org.apache.spark.sql.functions._
     // one pathological key (0) carrying half the rows
