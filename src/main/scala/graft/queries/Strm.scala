@@ -34,6 +34,22 @@ object Strm {
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"), col("cnt"), col("sum_value"))),
 
+    // Interval (stream-stream) join in batch form: purchases within
+    // [click, click+6h] per user — the same expression runs streaming
+    // with watermark-bounded state (StreamingSpec).
+    "strm_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+        .withColumnRenamed("ts", "pts")
+      Streams.intervalJoin(clicks, purchases, Seq("user_id"),
+        "ts", "pts", "0 seconds", "6 hours")
+        .agg(count(lit(1)).as("pairs"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
     // MATCH_RECOGNIZE: PARTITION BY user_id ORDER BY event_id
     // PATTERN (E{3}) DEFINE E AS event_type = 'error'
     // AFTER MATCH SKIP TO NEXT ROW — overlapping error bursts.
@@ -54,6 +70,13 @@ object Strm {
     }))
 
   val oracles: Map[String, String] = Map(
+    "strm_interval_join" ->
+      """SELECT COUNT(*) AS pairs, ROUND(SUM(p.value), 2) AS total_value
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts AS pts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL '6 hours'""".stripMargin,
     "strm_window_hopping" ->
       """SELECT ws, ws + INTERVAL '6 hours' AS we, count(*) AS cnt,
         |  sum(value) AS sum_value

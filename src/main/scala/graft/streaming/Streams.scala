@@ -60,4 +60,31 @@ object Streams {
     * partitions. */
   def timeOrderRecover(df: DataFrame, key: Column, ts: Column): DataFrame =
     df.repartition(key).sortWithinPartitions(key, ts)
+
+  /** Stream-stream interval join: left events match right events on
+    * `keys` with rightTs in [leftTs+lower, leftTs+upper]. Both sides
+    * must carry watermarks in streaming mode — the time bounds let
+    * Spark evict join state once the watermark passes the interval, so
+    * state stays proportional to the window, not the stream (the
+    * YQL streaming-join equivalent; batch frames run it as a plain
+    * range-predicate join on the same expression).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, lower: String, upper: String): DataFrame = {
+    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
+    val timeCond =
+      right(rightTs) >= left(leftTs) + expr(s"INTERVAL $lower") &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upper")
+    left.join(right, keyCond && timeCond)
+  }
+
+  /** Streaming exact deduplication: first occurrence per key wins;
+    * duplicates arriving within the watermark delay are dropped with
+    * bounded state (dropDuplicatesWithinWatermark — state evicts as
+    * the watermark advances, the scale requirement for dedup over an
+    * unbounded stream). Batch frames fall back to plain
+    * dropDuplicates. */
+  def dedupStream(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (df.isStreaming) df.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else df.dropDuplicates(keys)
 }

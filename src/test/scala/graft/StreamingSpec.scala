@@ -37,6 +37,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(-300L -> 1.0, 0L -> 3.0, 300L -> 6.0, 600L -> 4.0))
   }
 
+  test("stream-stream interval join matches within the time bound, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Long, Timestamp, String)]
+    val r = MemoryStream[(Long, Timestamp, Double)]
+    val left = Streams.withWatermark(l.toDF().toDF("k", "lts", "tag"), "lts", "10 minutes")
+    val right = Streams.withWatermark(r.toDF().toDF("k", "rts", "v"), "rts", "10 minutes")
+    val joined = Streams.intervalJoin(left, right, Seq("k"), "lts", "rts",
+      "0 seconds", "5 minutes")
+      .select(col("tag"), col("v"))
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    l.addData((1L, ts(10), "a"), (2L, ts(10), "b"))
+    r.addData((1L, ts(12), 1.5), // within [10, 15] → match
+      (1L, ts(20), 9.9),         // outside the 5-minute bound
+      (2L, ts(9), 7.0))          // before the left event → no match
+    q.processAllAvailable()
+    val got = spark.table("ivj").as[(String, Double)].collect().toSet
+    q.stop()
+    assert(got == Set(("a", 1.5)))
+  }
+
+  test("streaming dedup drops late duplicates with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = Streams.withWatermark(in.toDF().toDF("id", "ts", "payload"),
+      "ts", "10 minutes")
+    val q = Streams.dedupStream(df, Seq("id"))
+      .select("id", "payload")
+      .writeStream.format("memory").queryName("ddp")
+      .outputMode("append").start()
+    in.addData((1L, ts(1), "first"), (2L, ts(2), "two"))
+    q.processAllAvailable()
+    in.addData((1L, ts(3), "dup-late")) // same id within watermark → dropped
+    q.processAllAvailable()
+    val got = spark.table("ddp").as[(Long, String)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, "first"), (2L, "two")))
+  }
+
   test("session window closes after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
