@@ -77,24 +77,22 @@ object Fns {
             F.make_list(lit("A"), lit("O"))).as("overlaps_ao"))),
 
     // YSON text format → canonical JSON Any → accessor roundtrip
-    // (yson_string_to_any; format.h EFormatType::Yson). Multi-field
-    // access parses ONCE via from_json into a struct — the Spark-first
-    // idiom when several paths hit the same document (the per-path
-    // try_get_* accessors, each its own JSON scan, stay covered by
-    // ql_fn_any / ql_any_access).
+    // (yson_string_to_any + try_get_*; format.h EFormatType::Yson).
+    // The YsonToJson conversion is codegen'd and identical across the
+    // accessors, so codegen subexpression elimination runs it once per
+    // row. (A from_json struct would NOT help here: Spark's JSON
+    // schema pruning rewrites each getField into its own pruned
+    // from_json, defeating CSE — measured slower.)
     "ql_fn_yson" -> ((s, d) => {
       val yson = concat(
         lit("{price="), col("o_totalprice"),
         lit(";status=\""), col("o_orderstatus"),
         lit("\";meta={pri=\""), col("o_orderpriority"), lit("\"}}"))
-      val doc = from_json(graft.sources.Yson.ysonToJson(yson),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "price DOUBLE, status STRING, meta STRUCT<pri: STRING>"))
       t(s, d, "orders").select(
         col("o_orderkey"),
-        doc.getField("price").as("price"),
-        doc.getField("status").as("status"),
-        doc.getField("meta").getField("pri").as("pri"))
+        F.try_get_double(graft.sources.Yson.ysonToJson(yson), "/price").as("price"),
+        F.try_get_string(graft.sources.Yson.ysonToJson(yson), "/status").as("status"),
+        F.try_get_string(graft.sources.Yson.ysonToJson(yson), "/meta/pri").as("pri"))
     }),
 
     // TRANSFORM value remap.
