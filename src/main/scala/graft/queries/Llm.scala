@@ -154,9 +154,11 @@ object Llm {
   val oracles: Map[String, String] = Map(
     "llm_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.35""",
     "llm_dedup_exact" ->
       """SELECT COUNT(*) AS n_unique, CAST(SUM(dup_count) AS BIGINT) AS n_docs,
            MIN(doc_id) AS min_id
