@@ -234,7 +234,6 @@ object QLParser {
           takeKw("WITH"); takeKw("TOTALS")
           totals = if (having.isDefined) TotalsAfterHaving else TotalsBeforeHaving
         }
-        if (totals == TotalsBeforeHaving && having.isEmpty) totals = TotalsBeforeHaving
       }
       val orderBy =
         if (isKw("ORDER")) {

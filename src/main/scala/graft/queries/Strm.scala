@@ -43,7 +43,6 @@ object Strm {
         .select(col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("pts"), col("value"))
-        .withColumnRenamed("ts", "pts")
       Streams.intervalJoin(clicks, purchases, Seq("user_id"),
         "ts", "pts", "0 seconds", "6 hours")
         .agg(count(lit(1)).as("pairs"),
