@@ -157,6 +157,28 @@ object Yson {
       Character.isLetter(c) || c == '_'
     private def isIdentChar(c: Char): Boolean =
       Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.'
+
+    /** One textual scalar atom (quoted string / number / %bool /
+      * identifier) → JSON appended to `sb`; returns chars consumed or
+      * -1. Used by the binary parser for interleaved text tokens. */
+    def parseScalarToken(sb: java.lang.StringBuilder): Int = {
+      val start = i
+      if (atEnd) return -1
+      s.charAt(i) match {
+        case '"' => sb.append(parseQuoted()); i - start
+        case '%' =>
+          i += 1
+          if (s.startsWith("true", i)) { i += 4; sb.append("true"); i - start }
+          else if (s.startsWith("false", i)) { i += 5; sb.append("false"); i - start }
+          else -1
+        case c if c == '-' || c == '+' || Character.isDigit(c) =>
+          parseNumber(sb); i - start
+        case c if isIdentStart(c) =>
+          while (!atEnd && isIdentChar(s.charAt(i))) i += 1
+          sb.append(jsonString(s.substring(start, i))); i - start
+        case _ => -1
+      }
+    }
   }
 
   private def jsonString(v: String): String = {
@@ -173,6 +195,146 @@ object Yson {
     }
     sb.append('"')
     sb.toString
+  }
+
+  /** Binary (wire) YSON → JSON. Scalars use the marker bytes of
+    * library/cpp/yson/detail.h:46-55 — 0x01 string (zigzag-varint32
+    * length + bytes), 0x02 int64 (zigzag varint64), 0x03 double (8
+    * bytes LE), 0x04 false, 0x05 true, 0x06 uint64 (plain varint64) —
+    * while structure (`{}[]<>;=#`) and any interleaved textual scalars
+    * keep the text syntax, so this parser accepts the same mixed
+    * streams the reference's lexer does (parser_detail.h:115-199).
+    * Malformed input → null, as [[parseToJson]].
+    */
+  def parseBinaryToJson(data: Array[Byte]): String =
+    try {
+      val p = new BinParser(data)
+      val sb = new java.lang.StringBuilder(data.length + 16)
+      p.parseNode(sb)
+      p.skipWs()
+      if (!p.atEnd) null else sb.toString
+    } catch { case _: Exception => null }
+
+  private final class BinParser(b: Array[Byte]) {
+    private var i = 0
+    def atEnd: Boolean = i >= b.length
+    def skipWs(): Unit =
+      while (!atEnd && Character.isWhitespace((b(i) & 0xff).toChar)) i += 1
+    private def fail(): Nothing =
+      throw new IllegalArgumentException(s"bad binary yson at $i")
+    private def expect(c: Char): Unit = { if (atEnd || b(i) != c.toByte) fail(); i += 1 }
+
+    private def varint64(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        if (atEnd) fail()
+        val x = b(i); i += 1
+        v |= (x.toLong & 0x7f) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+        if (shift > 63) fail()
+      }
+      v
+    }
+    private def zigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+
+    def parseNode(sb: java.lang.StringBuilder): Unit = {
+      skipWs()
+      if (atEnd) fail()
+      (b(i) & 0xff) match {
+        case 0x01 => // binary string
+          i += 1
+          val len = zigzag(varint64()).toInt
+          if (len < 0 || i + len > b.length) fail()
+          sb.append(jsonString(new String(b, i, len, "UTF-8")))
+          i += len
+        case 0x02 => i += 1; sb.append(zigzag(varint64()).toString)
+        case 0x03 => // double, 8 bytes LE
+          i += 1
+          if (i + 8 > b.length) fail()
+          var bits = 0L; var j = 0
+          while (j < 8) { bits |= (b(i + j).toLong & 0xff) << (8 * j); j += 1 }
+          i += 8
+          val d = java.lang.Double.longBitsToDouble(bits)
+          if (d.isNaN || d.isInfinite) sb.append("null") else sb.append(d.toString)
+        case 0x04 => i += 1; sb.append("false")
+        case 0x05 => i += 1; sb.append("true")
+        case 0x06 => i += 1; sb.append(java.lang.Long.toUnsignedString(varint64()))
+        case '<' =>
+          sb.append("{\"$attributes\":")
+          parseMapBody(sb, '<', '>')
+          sb.append(",\"$value\":")
+          parseNode(sb)
+          sb.append('}')
+        case '{' => parseMapBody(sb, '{', '}')
+        case '[' =>
+          expect('[')
+          sb.append('[')
+          var first = true
+          skipWs()
+          while (!atEnd && b(i) != ']'.toByte) {
+            if (!first) sb.append(',')
+            first = false
+            parseNode(sb)
+            skipWs()
+            if (!atEnd && b(i) == ';'.toByte) { i += 1; skipWs() }
+          }
+          expect(']')
+          sb.append(']')
+        case '#' => i += 1; sb.append("null")
+        case _ =>
+          // textual scalar inside a binary stream: delegate the token
+          // to the text parser over the remaining bytes
+          val rest = new String(b, i, b.length - i, "UTF-8")
+          val consumed = textScalar(rest, sb)
+          if (consumed <= 0) fail()
+          // re-measure in bytes (the token is ASCII for numbers/idents
+          // and utf-8 counted for quoted strings)
+          i += rest.substring(0, consumed).getBytes("UTF-8").length
+      }
+    }
+
+    private def parseMapBody(sb: java.lang.StringBuilder, open: Char, close: Char): Unit = {
+      expect(open)
+      sb.append('{')
+      var first = true
+      skipWs()
+      while (!atEnd && b(i) != close.toByte) {
+        if (!first) sb.append(',')
+        first = false
+        skipWs()
+        // key: binary string marker or textual identifier/quoted
+        if (!atEnd && (b(i) & 0xff) == 0x01) {
+          i += 1
+          val len = zigzag(varint64()).toInt
+          if (len < 0 || i + len > b.length) fail()
+          sb.append(jsonString(new String(b, i, len, "UTF-8")))
+          i += len
+        } else {
+          val rest = new String(b, i, b.length - i, "UTF-8")
+          val keySb = new java.lang.StringBuilder
+          val consumed = textScalar(rest, keySb)
+          if (consumed <= 0) fail()
+          sb.append(keySb)
+          i += rest.substring(0, consumed).getBytes("UTF-8").length
+        }
+        sb.append(':')
+        skipWs(); expect('=')
+        parseNode(sb)
+        skipWs()
+        if (!atEnd && b(i) == ';'.toByte) { i += 1; skipWs() }
+      }
+      expect(close)
+      sb.append('}')
+    }
+
+    /** Parse one textual scalar (quoted string, number, %bool,
+      * identifier) from `s`, appending its JSON to `sb`; returns chars
+      * consumed. */
+    private def textScalar(s: String, sb: java.lang.StringBuilder): Int = {
+      val p = new Parser(s)
+      p.parseScalarToken(sb)
+    }
   }
 
   /** Codegen entry point: parse or null, staying in UTF8String. A
@@ -208,4 +370,32 @@ object Yson {
   /** Column form: `yson_string_to_any` (builtin_function_registry.cpp)
     * into our canonical JSON Any encoding. */
   def ysonToJson(yson: Column): Column = S.column(YsonToJson(S.expression(yson)))
+
+  def parseBinaryOrNull(input: Array[Byte]): UTF8String = {
+    val out = parseBinaryToJson(input)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  /** Binary-YSON column (wire form) → canonical JSON Any. */
+  case class YsonBinaryToJson(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(org.apache.spark.sql.types.BinaryType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      parseBinaryOrNull(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.sources.Yson.parseBinaryOrNull($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildInternal(c: Expression): YsonBinaryToJson =
+      copy(child = c)
+  }
+
+  def ysonBinaryToJson(yson: Column): Column =
+    S.column(YsonBinaryToJson(S.expression(yson)))
 }

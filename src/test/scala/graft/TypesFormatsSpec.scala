@@ -128,6 +128,36 @@ class TypesFormatsSpec extends SparkSpec {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("binary yson: marker-byte scalars, zigzag varints, mixed text structure") {
+    import graft.sources.Yson
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+    // {a=1; b=-2; c="hi"; d=%true-binary; e=3.5; f=2^64-1; g=#}
+    val doc = bytes('{',
+      0x01, 0x02, 'a', '=', 0x02, 0x02, ';',          // "a" = zigzag(1)=2
+      0x01, 0x02, 'b', '=', 0x02, 0x03, ';',          // "b" = zigzag(-2)=3
+      0x01, 0x02, 'c', '=', 0x01, 0x04, 'h', 'i', ';', // "c" = "hi" (len zigzag 2→4)
+      0x01, 0x02, 'd', '=', 0x05, ';',                 // true
+      0x01, 0x02, 'e', '=', 0x03, 0, 0, 0, 0, 0, 0, 0x0c, 0x40, ';', // 3.5 LE
+      0x01, 0x02, 'f', '=', 0x06,                      // uint64 varint 2^64-1
+      0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x01, ';',
+      0x01, 0x02, 'g', '=', '#',
+      '}')
+    assert(Yson.parseBinaryToJson(doc) ==
+      """{"a":1,"b":-2,"c":"hi","d":true,"e":3.5,"f":18446744073709551615,"g":null}""")
+
+    // mixed: textual keys/scalars interleaved with binary ones, lists,
+    // attributes
+    val mixed = bytes('<', 0x01, 0x06, 't', 'a', 'g', '=', 0x02, 0x54, '>',
+      '[') ++ "7; foo; \"q\"; ".getBytes ++ bytes(0x02, 0x09, ']')
+    assert(Yson.parseBinaryToJson(mixed) ==
+      """{"$attributes":{"tag":42},"$value":[7,"foo","q",-5]}""")
+
+    // truncated varint / length → null, never throws
+    assert(Yson.parseBinaryToJson(bytes(0x01, 0x20)) == null)
+    assert(Yson.parseBinaryToJson(bytes(0x02, 0xff)) == null)
+  }
+
   test("webjson envelope: typed stringified values, truncation, row cap") {
     import graft.sources.Formats
     val df = Seq((1L, "short", 3.5), (2L, "x" * 50, 4.5), (3L, "y", 5.5))
