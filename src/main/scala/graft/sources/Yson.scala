@@ -398,4 +398,71 @@ object Yson {
 
   def ysonBinaryToJson(yson: Column): Column =
     S.column(YsonBinaryToJson(S.expression(yson)))
+
+  /** Canonical JSON Any → text YSON (the write side of the bridge, for
+    * emitting job I/O in the reference's native format). Inverse of
+    * [[parseToJson]] on its own output: `$attributes`/`$value` wrappers
+    * fold back to `<attrs>value`, null → `#`, booleans → `%true/%false`,
+    * strings always quoted. Numbers re-emit verbatim. */
+  def jsonToYson(json: String): String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def emit(n: JsonNode, sb: java.lang.StringBuilder): Unit = {
+      if (n.isNull) sb.append('#')
+      else if (n.isBoolean) sb.append(if (n.asBoolean) "%true" else "%false")
+      else if (n.isNumber) sb.append(n.asText)
+      else if (n.isTextual) {
+        sb.append('"')
+        n.asText.foreach {
+          case '"' => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\t' => sb.append("\\t")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c)
+        }
+        sb.append('"')
+      } else if (n.isArray) {
+        sb.append('[')
+        val it = n.elements()
+        var first = true
+        while (it.hasNext) {
+          if (!first) sb.append(';')
+          first = false
+          emit(it.next(), sb)
+        }
+        sb.append(']')
+      } else if (n.has("$attributes") && n.has("$value")) {
+        sb.append('<')
+        emitMapBody(n.get("$attributes"), sb)
+        sb.append('>')
+        emit(n.get("$value"), sb)
+      } else {
+        sb.append('{')
+        emitMapBody(n, sb)
+        sb.append('}')
+      }
+    }
+    def emitMapBody(n: JsonNode, sb: java.lang.StringBuilder): Unit = {
+      val it = n.fields()
+      var first = true
+      while (it.hasNext) {
+        if (!first) sb.append(';')
+        first = false
+        val e = it.next()
+        sb.append('"')
+        e.getKey.foreach {
+          case '"' => sb.append("\\\""); case '\\' => sb.append("\\\\")
+          case c => sb.append(c)
+        }
+        sb.append("\"=")
+        emit(e.getValue, sb)
+      }
+    }
+    try {
+      val sb = new java.lang.StringBuilder(json.length + 8)
+      emit(mapper.readTree(json), sb)
+      sb.toString
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
 }

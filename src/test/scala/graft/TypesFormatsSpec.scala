@@ -158,6 +158,21 @@ class TypesFormatsSpec extends SparkSpec {
     assert(Yson.parseBinaryToJson(bytes(0x02, 0xff)) == null)
   }
 
+  test("yson writer: parse(write(json)) is identity on canonical docs") {
+    import graft.sources.Yson
+    val docs = Seq(
+      """{"a":1,"b":-2.5,"c":"x \"y\"","d":true,"e":null}""",
+      """[1,"two",{"k":false},[]]""",
+      """{"$attributes":{"tag":42},"$value":[1,2]}""",
+      """{"nested":{"deep":{"s":"v"}}}""")
+    docs.foreach { d =>
+      val y = Yson.jsonToYson(d)
+      assert(y != null, d)
+      assert(Yson.parseToJson(y) == d, s"$d → $y → ${Yson.parseToJson(y)}")
+    }
+    assert(Yson.jsonToYson("{broken") == null)
+  }
+
   test("webjson envelope: typed stringified values, truncation, row cap") {
     import graft.sources.Formats
     val df = Seq((1L, "short", 3.5), (2L, "x" * 50, 4.5), (3L, "y", 5.5))
