@@ -38,6 +38,23 @@ object Uint64 {
   /** Sort key giving unsigned order under an ordinary ascending sort. */
   def u64_sort(a: Column): Column = biased(a)
 
+  /** Unsigned aggregate MIN/MAX: bias, fold with the native aggregate,
+    * unbias — map-side partials and codegen come free. */
+  def u64_agg_min(a: Column): Column =
+    org.apache.spark.sql.functions.min(biased(a)).bitwiseXOR(signBit)
+  def u64_agg_max(a: Column): Column =
+    org.apache.spark.sql.functions.max(biased(a)).bitwiseXOR(signBit)
+
+  /** Unsigned SUM wraps mod 2^64 — two's-complement addition already
+    * does; fold with LEGACY eval so ANSI overflow checks don't fire on
+    * the signed view. */
+  def u64_sum(a: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.Sum(expr(a),
+        org.apache.spark.sql.catalyst.expressions.NumericEvalContext(
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+        .toAggregateExpression())
+
   def u64_div(a: Column, b: Column): Column =
     ExpressionUtils.column(UnsignedDivide(expr(a), expr(b)))
   def u64_mod(a: Column, b: Column): Column =

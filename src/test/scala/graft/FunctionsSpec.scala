@@ -19,6 +19,16 @@ class FunctionsSpec extends SparkSpec {
     assert(lt.count(identity) == 4) // everything but -1 itself
   }
 
+  test("uint64 aggregates: biased min/max, wrap-around sum") {
+    val df = Seq(-1L, 0L, 5L, Long.MinValue).toDF("v")
+    val (mn, mx) = df.agg(U.u64_agg_min(col("v")), U.u64_agg_max(col("v")))
+      .as[(Long, Long)].head()
+    assert(mn == 0L && mx == -1L) // unsigned view: min 0, max 2^64-1
+    // sum wraps mod 2^64: (2^64-1) + 0 + 5 + 2^63 ≡ 2^63 + 4
+    val s = df.agg(U.u64_sum(col("v"))).as[Long].head()
+    assert(s == Long.MinValue + 4L, java.lang.Long.toUnsignedString(s))
+  }
+
   test("uint64 div/mod/to_string match java unsigned semantics") {
     val vals = Seq(-1L, -123456789L, Long.MinValue, 42L)
     val df = vals.toDF("v")
