@@ -172,7 +172,9 @@ object QLFunctions {
     reg("list_contains")(es => ArrayContains(es(0), es(1)))
     reg("list_has_intersection")(es => ArraysOverlap(es(0), es(1)))
     // Any / YSON accessors (try_get_* null on miss; get_* differ only
-    // under ANSI cast errors)
+    // under ANSI cast errors); yson_string_to_any parses YSON text into
+    // the canonical JSON Any carrier
+    reg("yson_string_to_any")(es => graft.sources.Yson.YsonToJson(es.head))
     reg("try_get_string")(jsonGet)
     reg("get_string")(jsonGet)
     reg("try_get_any")(jsonGet)
@@ -191,6 +193,12 @@ object QLFunctions {
     reg("u64_gt")(es => GreaterThan(biased(es(0)), biased(es(1))))
     reg("u64_geq")(es => GreaterThanOrEqual(biased(es(0)), biased(es(1))))
     reg("u64_sort")(es => biased(es.head))
+    reg("u64_agg_min")(es => BitwiseXor(
+      aggregate.Min(biased(es.head)).toAggregateExpression(), bias))
+    reg("u64_agg_max")(es => BitwiseXor(
+      aggregate.Max(biased(es.head)).toAggregateExpression(), bias))
+    reg("u64_sum")(es => aggregate.Sum(es.head,
+      NumericEvalContext(EvalMode.LEGACY)).toAggregateExpression())
     reg("u64_div")(es => UnsignedDivide(es(0), es(1)))
     reg("u64_mod")(es => UnsignedRemainder(es(0), es(1)))
     reg("u64_to_string")(es => UnsignedToString(es.head))

@@ -109,6 +109,16 @@ class SelectRowsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(9L, "v", true)), got.toSeq)
   }
 
+  test("u64 aggregates and yson_string_to_any resolve through SQL") {
+    val t = Seq((1L, -1L, "{a=7}"), (1L, 5L, "{a=8}")).toDF("g", "u", "y")
+    val got = SelectRows(spark,
+      "u64_to_string(u64_agg_max(u)) AS mx, u64_to_string(u64_sum(u)) AS sm, " +
+        "MAX(try_get_int64(yson_string_to_any(y), '/a')) AS a " +
+        "FROM [//t] GROUP BY g",
+      Map("//t" -> t)).collect()
+    assert(got.toSeq == Seq(Row("18446744073709551615", "4", 8L)), got.toSeq)
+  }
+
   test("registering QL transform keeps Spark's array-lambda transform working") {
     graft.functions.QLFunctions.registerAll(spark)
     val got = spark.sql("SELECT transform(array(1, 2, 3), x -> x * 10) AS a")
