@@ -114,7 +114,7 @@ object QLParser {
           case "<=" | ">=" | "!=" | "<>" | "<<" | ">>" | "||" =>
             out += TOp(two, i); i += 2
           case _ =>
-            "+-*/%(),.=<>|&~#]".indexOf(c) match {
+            "+-*/%(),.=<>|&~#]{};".indexOf(c) match {
               case -1 => throw QLParseException(s"unexpected character '$c'", i)
               case _ => out += TOp(c.toString, i); i += 1
             }
@@ -218,6 +218,19 @@ object QLParser {
             case t => throw QLParseException("expected index table", t.pos)
           }
         } else None
+      // WITH HINT {yson map}: an execution hint (KwWithHint) — parsed
+      // and dropped; Catalyst/AQE own physical decisions here
+      if (isKw("WITH") && peekKw(1) == Some("HINT")) {
+        takeKw("WITH"); takeKw("HINT")
+        takeOp("{")
+        var depth = 1
+        while (depth > 0) bump() match {
+          case TOp("{", _) => depth += 1
+          case TOp("}", _) => depth -= 1
+          case TEnd(p) => throw QLParseException("unterminated WITH HINT", p)
+          case _ =>
+        }
+      }
       val joins = joinClauses()
       val where = if (tryKw("WHERE")) Some(expr()) else None
       var totals: TotalsMode = NoTotals

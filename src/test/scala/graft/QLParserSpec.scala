@@ -94,6 +94,14 @@ class QLParserSpec extends SparkSpec {
     assert(neg.toSeq == Seq(2L))
   }
 
+  test("WITH INDEX and WITH HINT are parsed as hints and dropped") {
+    val got = run(
+      "item_id FROM [//mytable] WITH INDEX [//mytable_idx] " +
+        "WITH HINT {use_lookup=%true; depth={max=3}} " +
+        "WHERE user_id = 1 ORDER BY item_id LIMIT 5").as[Long].collect()
+    assert(got.toSeq == Seq(100L, 101L))
+  }
+
   test("operator precedence matches the reference chain") {
     // 1 + 2 * 3 < 8 AND NOT FALSE OR FALSE → ((7 < 8) AND true) OR false
     val got = run(
