@@ -116,6 +116,46 @@ object SketchOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Multi-path JSON extraction: ONE tree parse per document, one
+    * navigation per path (dotted segments; integer segments index
+    * arrays). Scalars render via asText (JSON-quoted strings are
+    * unquoted, matching get_json_object); containers re-render as
+    * JSON. Missing path or malformed doc → null element.
+    */
+  def jsonMultiGet(doc: UTF8String, paths: Array[String]): ArrayData = {
+    val out = new Array[UTF8String](paths.length)
+    try {
+      val mapper = JsonMapperHolder.mapper
+      val root = mapper.readTree(doc.toString)
+      var p = 0
+      while (p < paths.length) {
+        var node: com.fasterxml.jackson.databind.JsonNode = root
+        val segs = paths(p)
+        var start = 0
+        while (node != null && start <= segs.length) {
+          val dot = segs.indexOf('.', start)
+          val end = if (dot < 0) segs.length else dot
+          if (end > start) {
+            val seg = segs.substring(start, end)
+            node =
+              if (node.isArray && seg.forall(_.isDigit)) node.get(seg.toInt)
+              else node.get(seg)
+          }
+          start = end + 1
+        }
+        if (node != null && !node.isNull && !node.isMissingNode)
+          out(p) = UTF8String.fromString(
+            if (node.isValueNode) node.asText else node.toString)
+        p += 1
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  private object JsonMapperHolder {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+
   def langId(text: UTF8String): UTF8String = {
     import Sketches.LangId._
     val s = text.toString

@@ -112,6 +112,32 @@ object Sketches {
 
   def langId(text: Column): Column = S.column(LangId(S.expression(text)))
 
+  /** N path extractions from one JSON document with ONE parse — the
+    * multi-accessor replacement for chained get_json_object calls
+    * (each of which re-parses the document; Spark's json_tuple only
+    * reaches top-level keys). Paths are dotted (`meta.pri`); output is
+    * array<string> aligned with `paths`.
+    */
+  case class JsonMultiGet(child: Expression, paths: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes {
+    private lazy val pathArr = paths.toArray
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.jsonMultiGet(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], pathArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("paths", pathArr, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.jsonMultiGet($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): JsonMultiGet =
+      copy(child = c)
+  }
+
+  def jsonMultiGet(doc: Column, paths: Seq[String]): Column =
+    S.column(JsonMultiGet(S.expression(doc), paths))
+
   /** Σ a_i·b_i in double — same sequential double accumulation as the
     * declarative `aggregate(zip_with(...))` form, without the per-row
     * intermediate arrays (which made all-pairs cosine quadratic in

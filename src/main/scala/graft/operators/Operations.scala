@@ -282,6 +282,19 @@ object Operations {
     }(Encoders.row(outSchema))
   }
 
+  /** Vanilla operation (vanilla_controller.cpp; spec config.h:1486):
+    * N user tasks with no table input — the degenerate "just run my
+    * binaries" job DAG. One partition per declared task; the task
+    * closure returns that task's output rows.
+    */
+  def vanilla[U: Encoder](spark: org.apache.spark.sql.SparkSession,
+      taskCount: Int)(task: Int => Iterator[U]): Dataset[U] = {
+    import spark.implicits._
+    spark.range(taskCount).as[Long]
+      .repartition(taskCount)
+      .mapPartitions(_.flatMap(i => task(i.toInt)))
+  }
+
   /** Skew-salted equi-join: the skewed (large, hot-keyed) side gets a
     * deterministic salt in [0, salt); the other side replicates once
     * per salt value; the join key becomes (keys..., salt) so a hot key

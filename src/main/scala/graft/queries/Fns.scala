@@ -76,23 +76,25 @@ object Fns {
             F.make_list(col("l_returnflag"), col("l_linestatus")),
             F.make_list(lit("A"), lit("O"))).as("overlaps_ao"))),
 
-    // YSON text format → canonical JSON Any → accessor roundtrip
-    // (yson_string_to_any + try_get_*; format.h EFormatType::Yson).
-    // The YsonToJson conversion is codegen'd and identical across the
-    // accessors, so codegen subexpression elimination runs it once per
-    // row. (A from_json struct would NOT help here: Spark's JSON
-    // schema pruning rewrites each getField into its own pruned
-    // from_json, defeating CSE — measured slower.)
+    // YSON text format → canonical JSON Any → accessors
+    // (yson_string_to_any; format.h EFormatType::Yson). Multi-field
+    // access goes through JsonMultiGet: one YSON parse + ONE JSON tree
+    // parse for all three paths (chained get_json_object re-parses per
+    // path; from_json splits under Spark's JSON schema pruning — both
+    // measured slower). Single-path try_get_* stays covered by
+    // ql_fn_any / ql_any_access.
     "ql_fn_yson" -> ((s, d) => {
       val yson = concat(
         lit("{price="), col("o_totalprice"),
         lit(";status=\""), col("o_orderstatus"),
         lit("\";meta={pri=\""), col("o_orderpriority"), lit("\"}}"))
+      val g = graft.functions.Sketches.jsonMultiGet(
+        graft.sources.Yson.ysonToJson(yson), Seq("price", "status", "meta.pri"))
       t(s, d, "orders").select(
         col("o_orderkey"),
-        F.try_get_double(graft.sources.Yson.ysonToJson(yson), "/price").as("price"),
-        F.try_get_string(graft.sources.Yson.ysonToJson(yson), "/status").as("status"),
-        F.try_get_string(graft.sources.Yson.ysonToJson(yson), "/meta/pri").as("pri"))
+        element_at(g, 1).cast("double").as("price"),
+        element_at(g, 2).as("status"),
+        element_at(g, 3).as("pri"))
     }),
 
     // TRANSFORM value remap.

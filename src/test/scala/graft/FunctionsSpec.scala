@@ -19,6 +19,24 @@ class FunctionsSpec extends SparkSpec {
     assert(lt.count(identity) == 4) // everything but -1 itself
   }
 
+  test("jsonMultiGet: one parse, N paths, get_json_object parity") {
+    import graft.functions.Sketches
+    val df = Seq(
+      """{"a":1,"b":"x","c":{"d":"deep","list":[10,20]},"n":null}""",
+      """not json""").toDF("j")
+    val got = df.select(Sketches.jsonMultiGet(col("j"),
+      Seq("a", "b", "c.d", "c.list.1", "missing", "n", "c")).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("1", "x", "deep", "20", null, null,
+      """{"d":"deep","list":[10,20]}"""))
+    assert(got(1) == Seq(null, null, null, null, null, null, null))
+    // parity with the builtin on scalar paths
+    val both = df.limit(1).select(
+      Sketches.jsonMultiGet(col("j"), Seq("c.d")).getItem(0).as("m"),
+      get_json_object(col("j"), "$.c.d").as("g")).head()
+    assert(both.getString(0) == both.getString(1))
+  }
+
   test("uint64 aggregates: biased min/max, wrap-around sum") {
     val df = Seq(-1L, 0L, 5L, Long.MinValue).toDF("v")
     val (mn, mx) = df.agg(U.u64_agg_min(col("v")), U.u64_agg_max(col("v")))

@@ -105,6 +105,12 @@ class OperationsSpec extends SparkSpec {
       org.apache.spark.sql.Row(3L, "p3", null)))
   }
 
+  test("vanilla runs one task per declared slot, no table input") {
+    val out = Operations.vanilla(spark, 4)(i => Iterator(i, i * 10))
+      .collect().sorted
+    assert(out.toSeq == Seq(0, 0, 1, 2, 3, 10, 20, 30))
+  }
+
   test("asofJoin: latest right row at-or-before each left ts, null when none") {
     val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
       .toDF("k", "ts", "name")
