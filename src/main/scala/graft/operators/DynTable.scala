@@ -155,4 +155,45 @@ object DynTable {
   def pullQueue(ordered: DataFrame, tabletIndex: Int, offset: Long, limit: Long): DataFrame =
     ordered.where(col("tablet_index") === tabletIndex &&
       col("row_index") >= offset && col("row_index") < offset + limit)
+
+  /** Consumer-offset registry (RegisterQueueConsumer /
+    * AdvanceQueueConsumer, queue_client.h:129-154): a tiny keyed table
+    * (consumer, tablet_index) → next_offset, itself maintained with the
+    * engine's own latest-wins merge — advancing is an upsert, reading
+    * is [[readLatest]]. `advanceConsumer` returns the updated registry;
+    * persist it next to the queue (in the reference it lives in the
+    * consumer's own dynamic table).
+    */
+  /** Empty registry frame (register = first advance). */
+  def emptyConsumerRegistry(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Long, Long, String)]
+      .toDF("consumer", "tablet_index", "next_offset", "ts", "op")
+  }
+
+  def advanceConsumer(registry: DataFrame, consumer: String, tabletIndex: Long,
+      nextOffset: Long, ts: Long): DataFrame = {
+    val spark = registry.sparkSession
+    import spark.implicits._
+    val update = Seq((consumer, tabletIndex, nextOffset, ts, OpUpsert))
+      .toDF("consumer", "tablet_index", "next_offset", "ts", "op")
+    registry.unionByName(update)
+  }
+
+  /** Current offset of a consumer on a tablet (0 when unregistered). */
+  def consumerOffset(registry: DataFrame, consumer: String,
+      tabletIndex: Long): Long = {
+    val rows = readLatest(registry, Seq("consumer", "tablet_index"))
+      .where(col("consumer") === consumer && col("tablet_index") === tabletIndex)
+      .select("next_offset").collect()
+    if (rows.isEmpty) 0L else rows.head.getLong(0)
+  }
+
+  /** Pull from a tablet starting at the consumer's registered offset —
+    * the PullQueueConsumer read path (pull, process, then
+    * [[advanceConsumer]] with offset + consumed). */
+  def pullForConsumer(ordered: DataFrame, registry: DataFrame, consumer: String,
+      tabletIndex: Int, limit: Long): DataFrame =
+    pullQueue(ordered, tabletIndex,
+      consumerOffset(registry, consumer, tabletIndex.toLong), limit)
 }

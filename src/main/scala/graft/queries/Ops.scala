@@ -147,6 +147,18 @@ object Ops {
         .select(col("event_id"), col("user_id"), col("pvalue"))
     }),
 
+    // User job over a Skiff pipe (the reference's default fast job
+    // format): lineitem rows through an identity process in variant16
+    // framing, then aggregate — wire format proven against the oracle.
+    "op_pipe_skiff" -> ((s, d) => {
+      val in = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      graft.sources.Skiff.pipeMap(in, Seq("cat"), in.schema)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
     // User job over a binary protobuf pipe (EFormatType::Protobuf job
     // I/O): orders stream through an identity process as lenval
     // protobuf messages, decode, then aggregate — proving the wire
@@ -214,6 +226,10 @@ object Ops {
          SELECT c.event_id, c.user_id, p.pvalue
          FROM clicks c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.p_ts""",
+    "op_pipe_skiff" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY l_returnflag""",
     "op_pipe_protobuf" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS total

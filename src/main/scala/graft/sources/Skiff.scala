@@ -120,6 +120,32 @@ object Skiff {
     }(Encoders.BINARY)
   }
 
+  /** User job over a Skiff pipe (user_job.cpp with Skiff job I/O):
+    * one external process per partition, rows streamed to stdin as
+    * framed Skiff and read back in the same framing — sibling of
+    * [[Proto.pipeMap]]. */
+  def pipeMap(input: DataFrame, command: Seq[String], outSchema: StructType): DataFrame = {
+    val inFields = fieldsOf(input.schema)
+    val outFields = fieldsOf(outSchema)
+    val cmd = command
+    input.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val proc = new ProcessBuilder(cmd: _*).start()
+        val writer = new Thread {
+          override def run(): Unit = {
+            val os = new java.io.BufferedOutputStream(proc.getOutputStream)
+            rows.foreach(r => os.write(encodeRow(r, inFields)))
+            os.close()
+          }
+        }
+        writer.setDaemon(true)
+        writer.start()
+        decodeStream(new java.io.BufferedInputStream(proc.getInputStream), outFields)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Per-partition Skiff byte streams → DataFrame with `schema`. */
   def decode(blobs: org.apache.spark.sql.Dataset[Array[Byte]], schema: StructType): DataFrame = {
     val fields = fieldsOf(schema)

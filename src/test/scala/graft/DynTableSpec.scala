@@ -67,4 +67,24 @@ class DynTableSpec extends SparkSpec {
     // tablet 1 holds ids 1,5,9,13,... ; offsets 2..4 → ids 9,13,17
     assert(pulled.toSeq == Seq(9L, 13L, 17L))
   }
+
+  test("consumer registry: advance is an upsert, pull resumes at the offset") {
+    val df = (0L until 40L).map(i => (i, s"e$i")).toDF("id", "payload")
+    val ordered = DynTable.withOffsets(df, pmod(col("id"), lit(4)), Seq(col("id")))
+    var reg = DynTable.emptyConsumerRegistry(spark)
+    // unregistered consumer starts at 0
+    assert(DynTable.consumerOffset(reg, "c1", 1L) == 0L)
+    val first = DynTable.pullForConsumer(ordered, reg, "c1", 1, 2L)
+      .orderBy("row_index").select("id").as[Long].collect()
+    assert(first.toSeq == Seq(1L, 5L))
+    // advance past the consumed window; a later advance supersedes
+    reg = DynTable.advanceConsumer(reg, "c1", 1L, 2L, ts = 10L)
+    reg = DynTable.advanceConsumer(reg, "c1", 1L, 4L, ts = 20L)
+    assert(DynTable.consumerOffset(reg, "c1", 1L) == 4L)
+    val resumed = DynTable.pullForConsumer(ordered, reg, "c1", 1, 2L)
+      .orderBy("row_index").select("id").as[Long].collect()
+    assert(resumed.toSeq == Seq(17L, 21L))
+    // other consumers are independent
+    assert(DynTable.consumerOffset(reg, "c2", 1L) == 0L)
+  }
 }
