@@ -200,6 +200,9 @@ object QLFunctions {
     reg("u64_sum")(es => aggregate.Sum(es.head,
       NumericEvalContext(EvalMode.LEGACY)).toAggregateExpression())
     reg("u64_div")(es => UnsignedDivide(es(0), es(1)))
+    // QL `/`: integer division on integral operands (the SelectRows
+    // emitter lowers `/` to this)
+    reg("ql_div")(es => QlDivide(es(0), es(1)))
     reg("u64_mod")(es => UnsignedRemainder(es(0), es(1)))
     reg("u64_to_string")(es => UnsignedToString(es.head))
     reg("parse_u64")(es => ParseUnsigned(es.head))

@@ -68,6 +68,52 @@ object Uint64 {
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** QL `/`: integer division on integral operands, float division on
+  * doubles (cg_fragment_compiler.cpp lowers EBinaryOp::Divide per
+  * operand type; Spark's ANSI `/` always returns double, so the QL
+  * surface routes through this expression). Zero divisor on the
+  * integral path throws, like QL (cg_routines.cpp
+  * ThrowQueryException).
+  */
+case class QlDivide(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types._
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+  private def isNumeric(dt: DataType): Boolean =
+    isIntegral(dt) || dt == DoubleType || dt == FloatType
+  private lazy val integral: Boolean =
+    isIntegral(left.dataType) && isIntegral(right.dataType)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isNumeric(left.dataType) && isNumeric(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ql_div expects numeric operands, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType =
+    if (integral) LongType else DoubleType
+  private def toL(v: Any): Long = v match {
+    case x: Long => x; case x: Int => x.toLong
+    case x: Short => x.toLong; case x: Byte => x.toLong
+  }
+  private def toD(v: Any): Double = v match {
+    case x: Double => x; case x: Float => x.toDouble
+    case x: Long => x.toDouble; case x: Int => x.toDouble
+    case x: Short => x.toDouble; case x: Byte => x.toDouble
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (integral) toL(a) / toL(b) else toD(a) / toD(b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      if (integral) s"${ev.value} = (long) $a / (long) $b;"
+      else s"${ev.value} = (double) $a / (double) $b;")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Long.divideUnsigned as a codegen'd expression; throws on zero
   * divisor like QL does (cg_routines.cpp ThrowQueryException on
   * division by zero).

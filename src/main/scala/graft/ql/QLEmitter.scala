@@ -110,7 +110,9 @@ object QLEmitter {
     case IntLit(v) => v.toString
     case UIntLit(bits) => s"${bits}L"
     case DoubleLit(v) =>
-      if (v.isPosInfinity) "double('inf')" else v.toString
+      // the D suffix keeps QL's double literal a DOUBLE (Spark parses
+      // bare `2.0` as DECIMAL(2,1))
+      if (v.isPosInfinity) "double('inf')" else v.toString + "D"
     case StrLit(v) => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case BoolLit(v) => v.toString
     case NullLit => "NULL"
@@ -189,7 +191,16 @@ object QLEmitter {
       case ("=", TupleExpr(ls), TupleExpr(rs)) if ls.length == rs.length =>
         ls.zip(rs).map { case (a, b) => s"${emit(a)} = ${emit(b)}" }
           .mkString("(", " AND ", ")")
+      // QL equality with the null literal matches nulls
+      // (test_query.py:882 `where c = null`)
+      case ("=", _, NullLit) => s"(${emit(l)} IS NULL)"
+      case ("=", NullLit, _) => s"(${emit(r)} IS NULL)"
+      case ("!=", _, NullLit) => s"(${emit(l)} IS NOT NULL)"
+      case ("!=", NullLit, _) => s"(${emit(r)} IS NOT NULL)"
       case ("!=", _, _) => s"(${emit(l)} != ${emit(r)})"
+      // QL `/` divides integrally on integers, float on doubles —
+      // Spark's ANSI `/` is always double, so route through ql_div
+      case ("/", _, _) => s"ql_div(${emit(l)}, ${emit(r)})"
       case _ => s"(${emit(l)} $op ${emit(r)})"
     }
   }

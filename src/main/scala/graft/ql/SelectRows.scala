@@ -35,9 +35,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `GROUP BY <literal>` groups by a constant, never an ordinal
   *     (spark.sql.groupByOrdinal=false during execution).
   *
-  * Documented deviation: QL `/` on integers is integer division — use
-  * `div` (the transpiler passes it through) or cast; Spark's ANSI `/`
-  * returns double.
+  * QL `/` keeps its per-type semantics — integer division on integral
+  * operands, float on doubles — via the `ql_div` lowering; `e = null`
+  * matches nulls (IS NULL), per the reference's tests.
   */
 object SelectRows {
 

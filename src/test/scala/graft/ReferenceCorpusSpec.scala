@@ -71,4 +71,68 @@ class ReferenceCorpusSpec extends SparkSpec {
       Map("//tmp/ot" -> ot)).as[(Long, Long)].collect()
     assert(got2.toSeq == expectOff)
   }
+
+  // test_join fixtures (test_query.py:625-662)
+  private lazy val jl = Seq(
+    (1L, 2L, 80L), (1L, 3L, 71L), (1L, 4L, 62L), (2L, 1L, 53L),
+    (2L, 2L, 44L), (2L, 3L, 35L), (2L, 4L, 26L), (3L, 1L, 17L)
+  ).toDF("a", "b", "c")
+  private lazy val jr = Seq(
+    (1L, 2L, 80L), (1L, 3L, 71L), (1L, 4L, 62L), (2L, 1L, 53L),
+    (2L, 2L, 44L), (2L, 3L, 35L), (2L, 4L, 26L), (3L, 1L, 17L)
+  ).toDF("d", "e", "c").select("c", "d", "e")
+
+  test("test_join: USING with filter and tuple-IN (test_query.py:677-687)") {
+    val cat = Map("//tmp/jl" -> jl, "//tmp/jr" -> jr)
+    val all = SelectRows(spark,
+      "* from [//tmp/jl] join [//tmp/jr] using c where a < 4", cat)
+    assert(all.count() == 8)
+    // every joined row matches a=d, b=e (the fixture is built that way)
+    assert(all.where("a = d AND b = e").count() == 8)
+
+    val one = SelectRows(spark,
+      "* from [//tmp/jl] join [//tmp/jr] using c where (a, b) IN ((2, 1))", cat)
+      .select("a", "b", "c", "d", "e").collect()
+    assert(one.toSeq == Seq(Row(2L, 1L, 53L, 2L, 1L)))
+  }
+
+  test("test_join2: expression and tuple ON keys with integer division (test_query.py:516-529)") {
+    val tt = (0L until 100L).map(Tuple1(_)).toDF("a")
+    val tj = (0L until 100L).map(i => (i / 10, i % 10, i)).toDF("b", "c", "v")
+    val cat = Map("//tmp/t" -> tt, "//tmp/j" -> tj)
+
+    // on (a + 0) = b: each a in 0..9 matches the 10 rows with b = a
+    val exprOn = SelectRows(spark,
+      "a, b, c, v from [//tmp/t] join [//tmp/j] on (a + 0) = b where a < 10", cat)
+    assert(exprOn.count() == 100)
+    assert(exprOn.where("a = b").count() == 100)
+
+    // tuple ON with QL integer division: (a / 10, a % 10) = (b, c)
+    val tupleOn = SelectRows(spark,
+      "a, b, c, v from [//tmp/t] join [//tmp/j] on (a / 10, a % 10) = (b, c)", cat)
+    assert(tupleOn.count() == 100)
+    assert(tupleOn.where("v = a").count() == 100, "v == a iff / divides integrally")
+
+    val pinned = SelectRows(spark,
+      "a, b, c, v from [//tmp/t] join [//tmp/j] on (a / 10, a % 10) = (b, c) where a = 36",
+      cat).select("a", "b", "c", "v").collect()
+    assert(pinned.toSeq == Seq(Row(36L, 3L, 6L, 36L)))
+  }
+
+  test("null equality matches nulls (test_query.py:882 `where c = null`)") {
+    val t = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)), (4L, None))
+      .toDF("a", "c")
+    val got = SelectRows(spark,
+      "a from [//tmp/n] where c = null order by a limit 10",
+      Map("//tmp/n" -> t)).as[Long].collect()
+    assert(got.toSeq == Seq(2L, 4L))
+  }
+
+  test("QL division: integral on int64, float on double") {
+    val t = Seq((7L, 2.0), (9L, 4.0)).toDF("i", "d")
+    val got = SelectRows(spark,
+      "i / 2 AS ii, d / 2 AS dd, i / 2.0 AS mixed FROM [//tmp/dv] ORDER BY i LIMIT 5",
+      Map("//tmp/dv" -> t)).collect()
+    assert(got.toSeq == Seq(Row(3L, 1.0, 3.5), Row(4L, 2.0, 4.5)))
+  }
 }
