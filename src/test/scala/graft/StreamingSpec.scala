@@ -167,6 +167,29 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == Row(1L, 3L, 6.0) && last(2L) == Row(2L, 1L, 5.0))
   }
 
+  test("match_recognize: alternation (A B | C) prefers the leftmost branch") {
+    val rows = Seq(
+      (1L, 1L, "start"), (1L, 2L, "spike"), (1L, 3L, "end"),   // A B path
+      (1L, 4L, "start"), (1L, 5L, "end"),                      // C path (no spike)
+      (2L, 1L, "start"), (2L, 2L, "other")                     // no match
+    ).toDF("k", "seq", "ev")
+    import MR._
+    val pat: Seq[MR.Pat] = Seq(
+      Leaf(one("S")(_.getString(2) == "start")),
+      alt(
+        Seq(one("SP")(_.getString(2) == "spike"), one("E")(_.getString(2) == "end")),
+        Seq(one("E2")(_.getString(2) == "end"))),
+    )
+    val got = MR.oneRowPerMatchPattern(rows, Seq("k"), Seq("seq"), pat,
+      vars => Seq(
+        vars("S").head.getLong(1),
+        if (vars("SP").nonEmpty) "spiked" else "plain"),
+      StructType(Seq(StructField("start_seq", LongType),
+        StructField("kind", StringType))))
+      .orderBy("start_seq").collect()
+    assert(got.toSeq == Seq(Row(1L, 1L, "spiked"), Row(1L, 4L, "plain")))
+  }
+
   test("match_recognize: greedy DOWN+ UP+ with PREV navigation") {
     val df = Seq(
       (1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 5.0), (1L, 4L, 7.0), (1L, 5L, 9.0),
