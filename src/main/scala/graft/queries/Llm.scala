@@ -94,6 +94,21 @@ object Llm {
           round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"),
           TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // The training-data pipeline composed end-to-end: quality gate →
+    // exact dedup (keep lowest doc_id per identical text) → corpus
+    // token budget. Every stage is a declarative plan, so the whole
+    // pipeline is ONE Catalyst-optimized job — quality filter and
+    // column pruning reach the scan, dedup is a single hash-agg.
+    "llm_pipeline_e2e" -> ((s, d) => {
+      val gated = t(s, d, "documents")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val deduped = Dedup.exact(gated, Seq("text"), "doc_id")
+      deduped.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        min(col("doc_id")).as("min_id"))
+    }),
+
     // Language-ID heuristic — corpus text is synthetic English-ish, so
     // the interesting assertions live in LlmSpec on real multilingual
     // fixtures; here the distribution is the smoke surface.
@@ -218,6 +233,30 @@ object Llm {
                  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))
                    AS n_words
                FROM documents)""",
+    "llm_pipeline_e2e" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+             ROUND(least(len(text) / 500.0, 1.0) * 0.3 +
+               (CASE WHEN (len(text) - n_words + 1)::DOUBLE / greatest(n_words, 1)
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+               (CASE WHEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+                 greatest(len(text), 1)::DOUBLE < 0.2 THEN 1.0 ELSE 0.2 END) * 0.2 +
+               least((len(list_filter(string_split_regex(lower(text), '\s+'),
+                 w -> w IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                 / greatest(n_words, 1)) * 5.0, 1.0) * 0.2, 4) AS quality,
+             n_words
+           FROM (SELECT doc_id, text,
+                   len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))
+                     AS n_words
+                 FROM documents)),
+         gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+         deduped AS (
+           SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_words) AS n_words
+           FROM gated GROUP BY text)
+         SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_id
+         FROM deduped""",
     "llm_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
          FROM documents""",
