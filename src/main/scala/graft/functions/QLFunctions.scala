@@ -32,6 +32,27 @@ object QLFunctions {
   def numeric_to_string(a: Column): Column = a.cast("string")
   def parse_int64(a: Column): Column = a.cast("long")
   def parse_double(a: Column): Column = a.cast("double")
+  /** parse_uint64 — unsigned parse onto the raw-bits Long carrier
+    * (str_conv udf; values above Long.MaxValue keep their bit
+    * pattern, see functions/Uint64). */
+  def parse_uint64(a: Column): Column =
+    graft.functions.Uint64.parse_u64(a)
+
+  /** make_entity (builtin_function_registry.cpp:107-112): the YSON
+    * entity `#`, i.e. null in the canonical-JSON Any encoding. */
+  def make_entity(): Column = lit(null).cast("string")
+
+  /** format_guid(id_hi, id_lo) (udf/format_guid.c:84-91): YT GUID text
+    * form — four 32-bit components in lowercase hex without leading
+    * zeros, ordered lo.hi-lo.lo-hi.hi-hi.lo. Spark's `hex` prints
+    * minimal uppercase digits, so lower(hex(...)) matches exactly. */
+  def format_guid(idHi: Column, idLo: Column): Column = {
+    def comp(c: Column): Column = lower(hex(c))
+    val m32 = lit(0xFFFFFFFFL)
+    concat_ws("-",
+      comp(shiftrightunsigned(idLo, 32)), comp(idLo.bitwiseAND(m32)),
+      comp(shiftrightunsigned(idHi, 32)), comp(idHi.bitwiseAND(m32)))
+  }
 
   // --- strings ---------------------------------------------------------
   def is_substr(needle: Column, hay: Column): Column = hay.contains(needle)
@@ -206,6 +227,12 @@ object QLFunctions {
     reg("u64_mod")(es => UnsignedRemainder(es(0), es(1)))
     reg("u64_to_string")(es => UnsignedToString(es.head))
     reg("parse_u64")(es => ParseUnsigned(es.head))
+    reg("parse_uint64")(es => ParseUnsigned(es.head))
+    reg("make_entity")(_ => Literal.create(null, StringType))
+    reg("format_guid") { es =>
+      import org.apache.spark.sql.graft.{shims => S}
+      S.convert(format_guid(S.column(es(0)), S.column(es(1))))
+    }
     // QL TRANSFORM(expr, (from...), (to...)[, default]). The name also
     // shadows Spark's array transform HOF, so dispatch on shape: a
     // lambda second argument keeps the built-in semantics.

@@ -60,6 +60,142 @@ object YqlModules {
     def normalize(c: Column): Column = c // NFC normalization: Spark strings are UTF-8 pass-through
   }
 
+  /** List builtins (yt/docs/en/yql/builtins/list.md) — YQL's lambda
+    * surface over list columns maps onto Spark's higher-order
+    * functions, which stay inside codegen (no UDF boundary). */
+  object Lists {
+    def create(): Column = array()
+    def asList(cols: Column*): Column = array(cols: _*)
+    def length(c: Column): Column = size(c).cast("long")
+    def hasItems(c: Column): Column = size(c) > 0
+    def listMap(c: Column)(f: Column => Column): Column = transform(c, f)
+    def listMapIndexed(c: Column)(f: (Column, Column) => Column): Column =
+      transform(c, f)
+    def listFilter(c: Column)(f: Column => Column): Column =
+      org.apache.spark.sql.functions.filter(c, f)
+    def flatMap(c: Column)(f: Column => Column): Column =
+      org.apache.spark.sql.functions.flatten(transform(c, f))
+    def flatten(c: Column): Column = org.apache.spark.sql.functions.flatten(c)
+    def fold(c: Column, zero: Column)(f: (Column, Column) => Column): Column =
+      aggregate(c, zero, f)
+    def sort(c: Column): Column = array_sort(c)
+    def uniq(c: Column): Column = array_distinct(c)
+    def reverse(c: Column): Column = org.apache.spark.sql.functions.reverse(c)
+    def extend(a: Column, b: Column): Column = concat(a, b)
+    def zip(a: Column, b: Column): Column = arrays_zip(a, b)
+    def zipWith(a: Column, b: Column)(f: (Column, Column) => Column): Column =
+      zip_with(a, b, f)
+    /** ListEnumerate: (0-based index, item) pairs, here as "i:item". */
+    def enumerate(c: Column): Column =
+      zip_with(sequence(lit(0), size(c) - 1), c,
+        (i, x) => concat(i.cast("string"), lit(":"), x.cast("string")))
+    def take(c: Column, n: Int): Column = slice(c, 1, n)
+    def skip(c: Column, n: Column): Column =
+      slice(c, n + 1, greatest(size(c) - n, lit(0)))
+    /** ListIndexOf: 0-based position or null (array_position is 1-based,
+      * 0 = absent). */
+    def indexOf(c: Column, v: Column): Column =
+      nullif(array_position(c, v), lit(0L)) - 1
+    def has(c: Column, v: Column): Column = array_contains(c, v)
+    def head(c: Column): Column = element_at(c, 1)
+    def last(c: Column): Column = element_at(c, -1)
+    def min(c: Column): Column = array_min(c)
+    def max(c: Column): Column = array_max(c)
+    def sum(c: Column): Column =
+      aggregate(c, lit(0L), (acc, x) => acc + x.cast("long"))
+    def avg(c: Column): Column =
+      aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double")) / size(c)
+    def any(c: Column)(f: Column => Column): Column = exists(c, f)
+    def all(c: Column)(f: Column => Column): Column = forall(c, f)
+    def notNull(c: Column): Column =
+      org.apache.spark.sql.functions.filter(c, _.isNotNull)
+    def fromRange(a: Column, b: Column): Column = sequence(a, b)
+    def replicate(v: Column, n: Column): Column = array_repeat(v, n.cast("int"))
+    def concatStr(c: Column, sep: String): Column = array_join(c, sep)
+    /** ListTakeWhile: prefix before the first element failing `f`. */
+    def takeWhile(c: Column)(f: Column => Column): Column = {
+      val firstBad = array_position(transform(c, x => !f(x)), lit(true))
+      when(firstBad === 0, c)
+        .otherwise(slice(c, lit(1), (firstBad - 1).cast("int")))
+    }
+    /** ListSkipWhile: suffix from the first element failing `f`. */
+    def skipWhile(c: Column)(f: Column => Column): Column = {
+      val firstBad = array_position(transform(c, x => !f(x)), lit(true))
+      when(firstBad === 0, slice(c, 1, 0))
+        .otherwise(slice(c, firstBad.cast("int"), size(c)))
+    }
+  }
+
+  /** Dict builtins (yt/docs/en/yql/builtins/dict.md) over MapType. */
+  object Dict {
+    def create(keys: Column, values: Column): Column = map_from_arrays(keys, values)
+    def fromEntries(cols: Column*): Column = map(cols: _*)
+    def length(c: Column): Column = size(c).cast("long")
+    def hasItems(c: Column): Column = size(c) > 0
+    def keys(c: Column): Column = map_keys(c)
+    def payloads(c: Column): Column = map_values(c)
+    def items(c: Column): Column = map_entries(c)
+    def lookup(c: Column, k: Column): Column = element_at(c, k)
+    def contains(c: Column, k: Column): Column = map_contains_key(c, k)
+  }
+
+  /** Set operations (dict.md SetIntersection/SetUnion/SetDifference/
+    * SetSymmetricDifference/SetIncludes/SetIsDisjoint) — YQL sets are
+    * dicts-as-sets; here: distinct arrays, canonically sorted so the
+    * results are deterministic. */
+  object SetOps {
+    def intersection(a: Column, b: Column): Column = array_sort(array_intersect(a, b))
+    def union(a: Column, b: Column): Column = array_sort(array_union(a, b))
+    def difference(a: Column, b: Column): Column = array_sort(array_except(a, b))
+    def symmetricDifference(a: Column, b: Column): Column =
+      array_sort(array_union(array_except(a, b), array_except(b, a)))
+    /** SetIncludes(a, b): every element of b is in a. */
+    def includes(a: Column, b: Column): Column = size(array_except(b, a)) === 0
+    def isDisjoint(a: Column, b: Column): Column = !arrays_overlap(a, b)
+  }
+
+  /** DateTime module (yt/docs/en/yql/udf/list/datetime.md: Split, Make,
+    * the Get-component family, Update, From, To, StartOf, Shift,
+    * Format, Parse). */
+  object DateTime {
+    def makeDate(y: Column, m: Column, d: Column): Column = make_date(y, m, d)
+    def fromSeconds(c: Column): Column = timestamp_seconds(c)
+    def toSeconds(c: Column): Column = unix_timestamp(c)
+    def getYear(c: Column): Column = year(c).cast("long")
+    def getMonth(c: Column): Column = month(c).cast("long")
+    def getDayOfMonth(c: Column): Column = dayofmonth(c).cast("long")
+    /** ISO day-of-week, Monday=1..Sunday=7 (Spark's dayofweek is
+      * Sunday=1 — rebased). */
+    def getDayOfWeek(c: Column): Column =
+      (((dayofweek(c) + 5) % 7) + 1).cast("long")
+    def getHour(c: Column): Column = hour(c).cast("long")
+    def getMinute(c: Column): Column = minute(c).cast("long")
+    def startOfYear(c: Column): Column = date_trunc("year", c)
+    def startOfQuarter(c: Column): Column = date_trunc("quarter", c)
+    def startOfMonth(c: Column): Column = date_trunc("month", c)
+    def startOfWeek(c: Column): Column = date_trunc("week", c)
+    def startOfDay(c: Column): Column = date_trunc("day", c)
+    def shiftYears(c: Column, n: Int): Column = add_months(c, 12 * n)
+    def shiftMonths(c: Column, n: Int): Column = add_months(c, n)
+    def shiftDays(c: Column, n: Int): Column = date_add(c, n)
+    def format(c: Column, fmt: String): Column = date_format(c, fmt)
+    def parse(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+    def intervalDays(a: Column, b: Column): Column = datediff(a, b).cast("long")
+  }
+
+  /** Json2 module + SQL-standard JSON_VALUE/JSON_EXISTS/JSON_QUERY
+    * (yt/docs/en/yql/builtins/json.md) over JSON-carrying string
+    * columns (our canonical `Any` encoding). */
+  object Json {
+    def value(c: Column, path: String): Column = get_json_object(c, path)
+    def exists(c: Column, path: String): Column = get_json_object(c, path).isNotNull
+    def query(c: Column, path: String): Column = get_json_object(c, path)
+    def valueInt(c: Column, path: String): Column =
+      get_json_object(c, path).cast("long")
+    def valueDouble(c: Column, path: String): Column =
+      get_json_object(c, path).cast("double")
+  }
+
   object Ip {
     /** Dotted-quad IPv4 → uint32 (Ip::FromString for v4). */
     def fromString(c: Column): Column = {

@@ -316,6 +316,32 @@ object Operations {
     s.join(o, keys :+ "_salt", joinType).drop("_salt")
   }
 
+  /** TABLESAMPLE (YQL `TABLESAMPLE BERNOULLI(p) REPEATABLE(seed)`,
+    * SQLv1 grammar sample clause; YT reads also expose sampling_rate on
+    * table ranges). Two forms:
+    *
+    *   - `tableSample`: Spark's native per-row Bernoulli sample — the
+    *     plan is a `Sample` node above the scan (no shuffle, no
+    *     materialization); REPEATABLE(seed) = the seed argument. Rows
+    *     are drawn independently per partition, so the fraction holds
+    *     at any scale and re-running with the same seed over the same
+    *     partitioning is deterministic.
+    *   - `hashSample`: content-deterministic variant — keeps a row iff
+    *     `xxhash64(key, seed) mod 10000 < p*10000`. Unlike Bernoulli
+    *     sampling this is stable across repartitioning AND joins: the
+    *     same key always lands in the sample, which is what a sampled
+    *     JOIN of two tables needs (sample both sides by the same key
+    *     and the join of samples == sample of the join).
+    */
+  def tableSample(input: DataFrame, fraction: Double, seed: Long): DataFrame =
+    input.sample(withReplacement = false, fraction, seed)
+
+  def hashSample(input: DataFrame, keys: Seq[String], fraction: Double,
+      seed: Long): DataFrame =
+    input.filter(
+      pmod(xxhash64(lit(seed) +: keys.map(col): _*), lit(10000L)) <
+        lit((fraction * 10000).toLong))
+
   /** MapReduce (fused, sort_controller.cpp): mapper → optional map-side
     * combiner (ReduceCombiner) → shuffle on `reduceBy` → sorted reducer.
     * The combiner runs BEFORE the exchange, so shuffled bytes shrink by

@@ -26,6 +26,21 @@ object Fns {
           F.is_substr(lit("wid"), col("p_name")).as("has_wid"),
           F.is_prefix(lit("small"), col("p_name")).as("is_small"))),
 
+    // format_guid (udf/format_guid.c: four no-leading-zero lowercase
+    // hex components, lo.hi-lo.lo-hi.hi-hi.lo), parse_uint64 (str_conv,
+    // full-range unsigned onto the raw-bits Long carrier) and
+    // make_entity (YSON `#` = null Any).
+    "ql_fn_guid" -> ((s, d) => {
+      val hi = col("l_orderkey") * 2654435761L + col("l_linenumber")
+      val lo = col("l_partkey") * 40503L + col("l_suppkey")
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        F.format_guid(hi, lo).as("guid"),
+        graft.functions.Uint64.u64_to_string(
+          F.parse_uint64(lit("18446744073709551615"))).as("u64_max"),
+        F.make_entity().as("entity"))
+    }),
+
     // regex family over part names.
     "ql_fn_regex" -> ((s, d) =>
       t(s, d, "part")
@@ -203,6 +218,16 @@ object Fns {
            contains(p_name, 'wid') AS has_wid,
            starts_with(p_name, 'small') AS is_small
          FROM part""",
+    "ql_fn_guid" ->
+      """SELECT l_orderkey, l_linenumber,
+           printf('%x-%x-%x-%x',
+             (l_partkey * 40503 + l_suppkey) >> 32,
+             (l_partkey * 40503 + l_suppkey) & 4294967295,
+             (l_orderkey * 2654435761 + l_linenumber) >> 32,
+             (l_orderkey * 2654435761 + l_linenumber) & 4294967295) AS guid,
+           '18446744073709551615' AS u64_max,
+           CAST(NULL AS VARCHAR) AS entity
+         FROM lineitem""",
     "ql_fn_regex" ->
       """SELECT p_partkey,
            regexp_full_match(p_name, '[a-z]+ (bolt|gear)') AS is_bg,

@@ -147,6 +147,16 @@ object Ops {
         .select(col("event_id"), col("user_id"), col("pvalue"))
     }),
 
+    // TABLESAMPLE BERNOULLI + REPEATABLE: content-deterministic hash
+    // sample (stable across repartitioning, join-compatible) — counts
+    // only; the sampling hash is engine-specific, so no SQL oracle.
+    "op_table_sample" -> ((s, d) => {
+      val sampled = Operations.hashSample(
+        t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"), 0.1, 42L)
+      sampled.agg(count(lit(1)).as("sampled_rows"),
+        count_distinct(col("l_orderkey")).as("sampled_orders"))
+    }),
+
     // User job over a Skiff pipe (the reference's default fast job
     // format): lineitem rows through an identity process in variant16
     // framing, then aggregate — wire format proven against the oracle.

@@ -254,6 +254,155 @@ object Yql {
         M.Ip.isPrivate(concat(lit("10.0."), col("p_size") % 256, lit(".7"))).as("is_priv"))
     }),
 
+    // List builtins = YQL's lambda surface (builtins/list.md: ListMap,
+    // ListFilter, ListSort, ListUniq, ListFold, ListEnumerate, ListTake,
+    // ListHead/Last, ListHas, ListSum) — all Spark higher-order
+    // functions, zero UDFs, everything codegen'd. Arrays serialized to
+    // CSV strings for the oracle's hash compare.
+    "yql_fn_list_hof" -> ((s, d) => {
+      import graft.functions.YqlModules.Lists
+      val words = split(col("p_name"), " ")
+      t(s, d, "part").select(
+        col("p_partkey"),
+        array_join(Lists.listMap(words)(upper), ",").as("mapped"),
+        array_join(Lists.listFilter(words)(w => length(w) > 4), ",").as("long_words"),
+        array_join(Lists.take(Lists.sort(Lists.uniq(words)), 3), ",").as("first3"),
+        array_join(Lists.enumerate(words), ",").as("enumerated"),
+        Lists.length(words).as("n_words"),
+        Lists.head(words).as("head_word"),
+        Lists.last(words).as("last_word"),
+        Lists.has(words, lit("red")).as("has_red"),
+        Lists.fold(Lists.fromRange(lit(1L), col("p_size").cast("long")),
+          lit(0L))((acc, x) => acc + x).as("size_tri"),
+        Lists.any(words)(w => w.startsWith("s")).as("any_s"))
+    }),
+
+    // Dict builtins (builtins/dict.md: DictKeys/DictPayloads/DictLookup/
+    // DictContains/DictLength) over a MapType column.
+    "yql_fn_dict" -> ((s, d) => {
+      import graft.functions.YqlModules.Dict
+      val m = Dict.fromEntries(lit("brand"), col("p_brand"),
+        lit("type"), col("p_type"), lit("name"), col("p_name"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        array_join(array_sort(Dict.keys(m)), ",").as("ks"),
+        Dict.lookup(m, lit("brand")).as("brand_v"),
+        Dict.lookup(m, lit("missing")).as("missing_v"),
+        Dict.contains(m, lit("name")).as("has_name"),
+        Dict.length(m).as("n_keys"))
+    }),
+
+    // Set operations (dict.md SetIntersection/SetUnion/SetDifference/
+    // SetSymmetricDifference/SetIncludes/SetIsDisjoint) on word sets.
+    "yql_fn_set" -> ((s, d) => {
+      import graft.functions.YqlModules.SetOps
+      val a = array_distinct(split(col("p_name"), " "))
+      val b = array_distinct(split(lower(col("p_type")), " "))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        array_join(SetOps.intersection(a, b), ",").as("inter"),
+        array_join(SetOps.union(a, b), ",").as("uni"),
+        array_join(SetOps.difference(a, b), ",").as("diff"),
+        array_join(SetOps.symmetricDifference(a, b), ",").as("symdiff"),
+        SetOps.includes(a, b).as("a_includes_b"),
+        SetOps.isDisjoint(a, b).as("disjoint"))
+    }),
+
+    // DateTime module (udf/list/datetime.md: Get*/StartOf*/Shift*/
+    // Format/interval) — ISO Monday=1 day-of-week per the module's
+    // GetDayOfWeek.
+    "yql_fn_datetime2" -> ((s, d) => {
+      import graft.functions.YqlModules.DateTime
+      val dt = col("o_orderdate")
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        DateTime.getYear(dt).as("y"),
+        DateTime.getMonth(dt).as("m"),
+        DateTime.getDayOfMonth(dt).as("dom"),
+        DateTime.getDayOfWeek(dt).as("isodow"),
+        DateTime.startOfMonth(dt).as("month_start"),
+        DateTime.startOfQuarter(dt).as("quarter_start"),
+        DateTime.startOfWeek(dt).as("week_start"),
+        DateTime.shiftMonths(dt, 3).cast("timestamp").as("plus3m"),
+        DateTime.shiftDays(dt, 30).cast("timestamp").as("plus30d"),
+        DateTime.format(dt, "yyyy-MM-dd").as("fmt"),
+        DateTime.intervalDays(dt, to_timestamp(lit("1995-01-01")))
+          .as("days_since_95"))
+    }),
+
+    // JSON_VALUE / JSON_EXISTS / JSON_QUERY (builtins/json.md) over the
+    // events.props JSON column.
+    "yql_fn_json2" -> ((s, d) => {
+      import graft.functions.YqlModules.Json
+      t(s, d, "events").select(
+        col("event_id"),
+        Json.value(col("props"), "$.k").as("k_str"),
+        Json.valueInt(col("props"), "$.k").as("k_int"),
+        Json.exists(col("props"), "$.k").as("has_k"),
+        Json.exists(col("props"), "$.missing").as("has_missing"),
+        Json.valueDouble(col("props"), "$.k").as("k_dbl"))
+    }),
+
+    // Compress module (compress_base/compress_udf.cpp): gzip + zlib
+    // round trips. The oracle checks decompress(compress(x)) == x —
+    // compressed bytes themselves are codec-version-specific, so only
+    // the round trip is contract.
+    "yql_fn_compress" -> ((s, d) => {
+      import graft.functions.Compress
+      val bytes = encode(col("text"), "UTF-8")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("orig_len"),
+        decode(Compress.gunzip(Compress.gzip(bytes)), "UTF-8").as("gzip_rt"),
+        decode(Compress.unzlib(Compress.zlib(bytes)), "UTF-8").as("zlib_rt"),
+        (length(Compress.gzip(bytes)) > 0).as("gzip_nonempty"))
+    }),
+
+    // percent_rank / cume_dist / ntile — the rest of the ranking family
+    // (yql_opt_window.cpp dispatch :1761-1773). Unique order key keeps
+    // every value engine-independent.
+    "yql_window_pct" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(10).over(w).cast("long").as("decile"))
+    }),
+
+    // sum_if / avg_if / count_if / some (sql/v1/builtin.cpp:3200-3315).
+    // SOME is "any value" — materialized here as min, a legal (and
+    // deterministic) choice of witness.
+    "yql_agg_if_variants" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2)
+            .as("sum_if_disc"),
+          round(avg(when(col("l_quantity") > 25, col("l_extendedprice"))), 2)
+            .as("avg_if_qty"),
+          count_if(col("l_tax") > 0.04).as("cnt_if_tax"),
+          min(col("l_linestatus")).as("some_status"))),
+
+    // Struct builtins (builtins/struct.md: member access, TryMember,
+    // CombineMembers, RenameMembers, StructMembers) over StructType.
+    "yql_fn_struct" -> ((s, d) => {
+      val a = struct(col("p_brand").as("brand"), col("p_size").as("size"))
+      val b = struct(col("p_type").as("ptype"))
+      val combined = struct(
+        a.getField("brand").as("brand"),
+        a.getField("size").as("size"),
+        b.getField("ptype").as("ptype"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        a.getField("brand").as("member_brand"),
+        to_json(combined).as("combined_json"),
+        array_join(array(lit("brand"), lit("size")), ",").as("members_a"),
+        to_json(struct(a.getField("brand").as("renamed_brand")))
+          .as("renamed_json"))
+    }),
+
     // mode / topfreq (YQL mode/topfreq aggregates) — deterministic
     // most-frequent value per group, ties broken toward the larger
     // value so the oracle can replicate exactly.
@@ -460,6 +609,104 @@ object Yql {
            CAST(length(p_name) AS BIGINT) AS name_len,
            TRUE AS is_priv
          FROM part""",
+    "yql_window_pct" ->
+      """SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice ASC, o_orderkey ASC)""",
+    "yql_agg_if_variants" ->
+      """SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+             AS sum_if_disc,
+           ROUND(AVG(l_extendedprice) FILTER (WHERE l_quantity > 25), 2)
+             AS avg_if_qty,
+           CAST(COUNT(*) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS cnt_if_tax,
+           MIN(l_linestatus) AS some_status
+         FROM lineitem GROUP BY l_returnflag""",
+    "yql_fn_struct" ->
+      """SELECT p_partkey, p_brand AS member_brand,
+           to_json(struct_pack(brand := p_brand, size := p_size,
+             ptype := p_type)) AS combined_json,
+           'brand,size' AS members_a,
+           to_json(struct_pack(renamed_brand := p_brand)) AS renamed_json
+         FROM part""",
+    "yql_fn_list_hof" ->
+      """SELECT p_partkey,
+           array_to_string(list_transform(string_split(p_name, ' '),
+             x -> upper(x)), ',') AS mapped,
+           coalesce(array_to_string(list_filter(string_split(p_name, ' '),
+             x -> length(x) > 4), ','), '') AS long_words,
+           array_to_string(
+             list_sort(list_distinct(string_split(p_name, ' ')))[1:3], ',')
+             AS first3,
+           array_to_string(list_transform(
+             range(1, len(string_split(p_name, ' ')) + 1),
+             i -> CAST(i - 1 AS VARCHAR) || ':' ||
+                  string_split(p_name, ' ')[i]), ',') AS enumerated,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           string_split(p_name, ' ')[1] AS head_word,
+           string_split(p_name, ' ')[-1] AS last_word,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           CAST(p_size * (p_size + 1) / 2 AS BIGINT) AS size_tri,
+           len(list_filter(string_split(p_name, ' '),
+             x -> x LIKE 's%')) > 0 AS any_s
+         FROM part""",
+    "yql_fn_dict" ->
+      """SELECT p_partkey, 'brand,name,type' AS ks, p_brand AS brand_v,
+           CAST(NULL AS VARCHAR) AS missing_v, TRUE AS has_name,
+           CAST(3 AS BIGINT) AS n_keys
+         FROM part""",
+    "yql_fn_set" ->
+      """WITH w AS (SELECT p_partkey,
+             list_distinct(string_split(p_name, ' ')) AS a,
+             list_distinct(string_split(lower(p_type), ' ')) AS b
+           FROM part)
+         SELECT p_partkey,
+           coalesce(array_to_string(list_sort(list_filter(a,
+             x -> list_contains(b, x))), ','), '') AS inter,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',')
+             AS uni,
+           coalesce(array_to_string(list_sort(list_filter(a,
+             x -> NOT list_contains(b, x))), ','), '') AS diff,
+           coalesce(array_to_string(list_sort(list_concat(
+             list_filter(a, x -> NOT list_contains(b, x)),
+             list_filter(b, x -> NOT list_contains(a, x)))), ','), '')
+             AS symdiff,
+           len(list_filter(b, x -> NOT list_contains(a, x))) = 0
+             AS a_includes_b,
+           len(list_filter(a, x -> list_contains(b, x))) = 0 AS disjoint
+         FROM w""",
+    "yql_fn_datetime2" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+             AS quarter_start,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           o_orderdate + INTERVAL 3 MONTH AS plus3m,
+           o_orderdate + INTERVAL 30 DAY AS plus30d,
+           strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+             AS BIGINT) AS days_since_95
+         FROM orders""",
+    "yql_fn_json2" ->
+      """SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract(props, '$.k') IS NOT NULL AS has_k,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl
+         FROM events""",
+    "yql_fn_compress" ->
+      """SELECT doc_id, length(text) AS orig_len, text AS gzip_rt,
+           text AS zlib_rt, TRUE AS gzip_nonempty
+         FROM documents""",
     "yql_agg_topfreq" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt
          FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,

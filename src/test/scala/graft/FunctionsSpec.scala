@@ -168,4 +168,64 @@ class FunctionsSpec extends SparkSpec {
         bins.toSeq)
     }
   }
+
+  test("Lists module: takeWhile/skipWhile/indexOf/enumerate edge cases") {
+    import graft.functions.YqlModules.Lists
+    val df = Seq(
+      (Seq(2, 4, 6, 1, 8), 1),  // prefix of evens, then odd
+      (Seq(1, 3, 5), 2),        // no even prefix at all
+      (Seq(2, 2), 3),           // all pass
+      (Seq.empty[Int], 4)
+    ).toDF("xs", "id")
+    val got = df.orderBy("id").select(
+      Lists.takeWhile(col("xs"))(x => x % 2 === 0).as("tw"),
+      Lists.skipWhile(col("xs"))(x => x % 2 === 0).as("sw"),
+      Lists.indexOf(col("xs"), lit(8)).as("idx8"),
+      Lists.enumerate(col("xs")).as("en"))
+      .collect()
+    assert(got(0).getSeq[Int](0) == Seq(2, 4, 6))
+    assert(got(0).getSeq[Int](1) == Seq(1, 8))
+    assert(got(0).getLong(2) == 4L) // 0-based position of 8
+    assert(got(0).getSeq[String](3) == Seq("0:2", "1:4", "2:6", "3:1", "4:8"))
+    assert(got(1).getSeq[Int](0) == Seq.empty)
+    assert(got(1).getSeq[Int](1) == Seq(1, 3, 5))
+    assert(got(1).isNullAt(2)) // 8 absent -> null, not -1
+    assert(got(2).getSeq[Int](0) == Seq(2, 2)) // all pass -> whole list
+    assert(got(2).getSeq[Int](1) == Seq.empty)
+    assert(got(3).getSeq[Int](0) == Seq.empty)
+  }
+
+  test("Lists module: fold/sum/avg/zipWith/replicate") {
+    import graft.functions.YqlModules.Lists
+    val df = Seq((Seq(1L, 2L, 3L), Seq(10L, 20L, 30L))).toDF("a", "b")
+    val r = df.select(
+      Lists.sum(col("a")).as("s"),
+      Lists.avg(col("a")).as("m"),
+      Lists.fold(col("a"), lit(1L))((acc, x) => acc * x).as("prod"),
+      Lists.zipWith(col("a"), col("b"))(_ + _).as("z"),
+      Lists.replicate(lit("x"), lit(3)).as("rep")).head()
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == 2.0)
+    assert(r.getLong(2) == 6L)
+    assert(r.getSeq[Long](3) == Seq(11L, 22L, 33L))
+    assert(r.getSeq[String](4) == Seq("x", "x", "x"))
+  }
+
+  test("Compress: gzip and zlib round-trip, including empty and binary") {
+    import graft.functions.Compress
+    val df = Seq("hello world", "", "a" * 10000, "é中文 mixed")
+      .toDF("s")
+    val rt = df.select(
+      col("s"),
+      decode(Compress.gunzip(Compress.gzip(encode(col("s"), "UTF-8"))), "UTF-8").as("g"),
+      decode(Compress.unzlib(Compress.zlib(encode(col("s"), "UTF-8"))), "UTF-8").as("z"),
+      length(Compress.gzip(encode(col("s"), "UTF-8"))).as("glen")).collect()
+    rt.foreach { r =>
+      assert(r.getString(1) == r.getString(0))
+      assert(r.getString(2) == r.getString(0))
+    }
+    // 10k of 'a' must actually compress
+    val big = rt.find(_.getString(0).length == 10000).get
+    assert(big.getInt(3) < 200, s"gzip of 10k 'a' was ${big.getInt(3)} bytes")
+  }
 }

@@ -155,4 +155,28 @@ class OperationsSpec extends SparkSpec {
     val got = out.orderBy("k").collect()
     assert(got.toSeq == Seq(Row(1L, "ALPHA"), Row(2L, "BETA"), Row(3L, "GAMMA")))
   }
+
+  test("hashSample: deterministic, repartition-stable, join-compatible") {
+    val left = (1L to 2000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val s1 = Operations.hashSample(left, Seq("k"), 0.2, 7L)
+    val c1 = s1.count()
+    // fraction lands near 20% (binomial tail at n=2000 is tight)
+    assert(c1 > 300 && c1 < 500, s"sampled $c1 of 2000 at p=0.2")
+    // deterministic and stable under repartitioning
+    val c2 = Operations.hashSample(left.repartition(13), Seq("k"), 0.2, 7L)
+    assert(c2.count() == c1)
+    assert(s1.select("k").except(c2.select("k")).count() == 0)
+    // join compatibility: sample(join) == join(sample, sample) on the key
+    val right = (1L to 2000L).map(i => (i, i * 10)).toDF("k", "rv")
+    val joinOfSamples = Operations.hashSample(left, Seq("k"), 0.2, 7L)
+      .join(Operations.hashSample(right, Seq("k"), 0.2, 7L), "k")
+    val sampleOfJoin = Operations.hashSample(left.join(right, "k"),
+      Seq("k"), 0.2, 7L)
+    assert(joinOfSamples.select("k").except(sampleOfJoin.select("k")).count() == 0)
+    assert(sampleOfJoin.select("k").except(joinOfSamples.select("k")).count() == 0)
+    // Bernoulli form: same seed twice = same rows
+    val b1 = Operations.tableSample(left, 0.3, 99L).select("k").collect().toSet
+    val b2 = Operations.tableSample(left, 0.3, 99L).select("k").collect().toSet
+    assert(b1 == b2)
+  }
 }
