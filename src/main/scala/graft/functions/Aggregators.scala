@@ -17,18 +17,11 @@ object Aggregators {
   /** dict_sum (builtin_function_registry.cpp:270-278): merge maps,
     * summing values per key.
     */
-  val dictSum: Aggregator[Map[String, Long], Map[String, Long], Map[String, Long]] =
-    new Aggregator[Map[String, Long], Map[String, Long], Map[String, Long]] {
-      def zero: Map[String, Long] = Map.empty
-      def reduce(b: Map[String, Long], a: Map[String, Long]): Map[String, Long] =
-        if (a == null) b else merge(b, a)
-      def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
-        y.foldLeft(x) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
-      def finish(r: Map[String, Long]): Map[String, Long] = TreeMap(r.toSeq: _*)
-      def bufferEncoder: Encoder[Map[String, Long]] =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
-      def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
-    }
+  /** dict_sum moved to [[graft.functions.DictSumAgg]], a native
+    * TypedImperativeAggregate — an `Aggregator[Map, Map, Map]` pays an
+    * encoder round trip of the whole map per input row. */
+  def dictSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.DictSumAgg(c)
 
   /** top_by(value, key, k): the k values with largest keys, descending —
     * a bounded heap per buffer (YQL top/bottom_by, builtin.cpp). Ties on

@@ -119,14 +119,14 @@ object Fns {
           Seq("1-URGENT", "2-HIGH"), Seq("hot", "warm"), lit("cold")).as("heat"))
         .groupBy(col("heat")).agg(count(lit(1)).as("cnt"))),
 
-    // dict_sum custom Aggregator: merge maps summing per-key counts.
+    // dict_sum native TypedImperativeAggregate: merge maps summing
+    // per-key counts with a mutable buffer (no per-row encoder cost).
     "ql_agg_dict_sum" -> ((s, d) => {
-      val dictSum = udaf(Aggregators.dictSum)
       t(s, d, "events")
         .select(col("event_type"),
           map(get_json_object(col("props"), "$.k"), lit(1L)).as("m"))
         .groupBy(col("event_type"))
-        .agg(dictSum(col("m")).as("dict"))
+        .agg(graft.functions.DictSumAgg(col("m")).as("dict"))
         .select(col("event_type"), explode(col("dict")).as(Seq("k", "cnt")))
     }),
 

@@ -92,11 +92,17 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("dict_sum merges maps across partitions") {
-    val dictSum = udaf(Aggregators.dictSum)
     val df = Seq(Map("a" -> 1L), Map("a" -> 2L, "b" -> 5L), Map("b" -> 1L))
       .toDF("m").repartition(3)
-    val got = df.agg(dictSum(col("m"))).as[Map[String, Long]].head()
+    val got = df.agg(Aggregators.dictSum(col("m"))).as[Map[String, Long]].head()
     assert(got == Map("a" -> 3L, "b" -> 6L))
+    // null maps are transparent, keys come back sorted
+    val withNull = Seq(Some(Map("z" -> 1L, "a" -> 2L)), None, Some(Map("z" -> 1L)))
+      .toDF("m").repartition(2)
+    val r = withNull.agg(Aggregators.dictSum(col("m")).as("d"))
+      .selectExpr("map_keys(d)", "map_values(d)").head()
+    assert(r.getSeq[String](0) == Seq("a", "z"))
+    assert(r.getSeq[Long](1) == Seq(2L, 2L))
   }
 
   test("checked_sum throws on overflow instead of wrapping") {

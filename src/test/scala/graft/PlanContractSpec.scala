@@ -200,4 +200,34 @@ class PlanContractSpec extends SparkSpec {
     assert(!joinSection.contains("sh#") || joinSection.contains("doc_id"),
       "band join should be id-only")
   }
+
+  test("ql_agg_dict_sum aggregates partially before the exchange (object hash agg)") {
+    val df = run("ql_agg_dict_sum")
+    val p = planString(df)
+    // the dict merge must run map-side: partial ObjectHashAggregate below
+    // the exchange, final above — shuffled bytes are per-key dictionaries,
+    // not raw rows
+    assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    val idxPartial = p.indexOf("partial_dictsumagg")
+    val idxExchange = p.indexOf("Exchange hashpartitioning")
+    assert(idxPartial >= 0 && idxExchange >= 0 && idxExchange < idxPartial,
+      "expected partial dict_sum BELOW the exchange:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("hashSample filter is evaluated at the scan, not after a shuffle") {
+    val sampled = graft.operators.Operations.hashSample(
+      sources.Tables.load(spark, sfDir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"), 0.1, 42L)
+      .groupBy("l_returnflag").count()
+    sampled.count()
+    val p = planString(sampled)
+    // the sample predicate must sit below the aggregation's exchange —
+    // at 100 TB the whole point of sampling is to shrink BEFORE shuffling
+    val idxFilter = p.indexOf("Filter")
+    val idxExchange = p.indexOf("Exchange")
+    assert(idxFilter > idxExchange && idxExchange >= 0,
+      "sample filter should be below (printed after) the exchange:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
 }
