@@ -29,6 +29,53 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
   }
 
+  /** Connected components over an undirected dup-pair edge list —
+    * the step that turns near-dup PAIRS into dedup CLUSTERS (transitive
+    * closure: if a~b and b~c, then {a,b,c} keep one representative).
+    *
+    * Iterative min-label propagation: every node starts as its own
+    * label; each round every node takes the min label in its closed
+    * neighborhood. Converges in O(diameter) rounds — dup clusters are
+    * near-cliques with tiny diameters, so a handful of rounds at any
+    * corpus size. Each round is one shuffle of the edge list joined to
+    * the (node, label) table; `localCheckpoint` cuts the lineage so the
+    * plan doesn't grow with iterations (the classic iterative-Spark
+    * failure mode). The driver loop carries only a converged/changed
+    * counter, never data.
+    *
+    * Output: (node, component) where component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // symmetric edge list (propagation must flow both ways)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min label over the closed neighborhood: the node's own label
+      // union the labels of its neighbors
+      val neighborLabels = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(neighborLabels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Word n-gram shingle set as distinct xxhash64 base hashes. A doc
     * with fewer than n words has zero shingles (no partial grams).
     */

@@ -342,6 +342,13 @@ object Operations {
       pmod(xxhash64(lit(seed) +: keys.map(col): _*), lit(10000L)) <
         lit((fraction * 10000).toLong))
 
+  /** Stratified sample (training-data class balancing): per-stratum
+    * Bernoulli fractions, seeded. Strata absent from the map are
+    * dropped — the usual "cap the majority class" shape. */
+  def stratifiedSample(input: DataFrame, strataCol: String,
+      fractions: Map[Any, Double], seed: Long): DataFrame =
+    input.stat.sampleBy(strataCol, fractions, seed)
+
   /** MapReduce (fused, sort_controller.cpp): mapper → optional map-side
     * combiner (ReduceCombiner) → shuffle on `reduceBy` → sorted reducer.
     * The combiner runs BEFORE the exchange, so shuffled bytes shrink by

@@ -74,4 +74,15 @@ object TextAnalysis {
     val minK = slice(array_sort(sh), 1, sketchSize)
     xxhash64(minK)
   }
+
+  /** Canonical text normalization for dedup preprocessing: lowercase,
+    * strip punctuation to spaces, collapse whitespace runs, trim. Two
+    * documents differing only in case/punctuation/spacing normalize to
+    * the same bytes, which is what exact-dedup keys and shingle streams
+    * want. Pure codegen'd builtins — one projection, no UDF.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
 }

@@ -29,6 +29,33 @@ object Llm {
           sum(col("dup_count")).as("n_docs"),
           min(col("doc_id")).as("min_id"))),
 
+    // Text normalization for dedup keys: case/punct/whitespace folding
+    // in one codegen'd projection.
+    "llm_text_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.operators.TextAnalysis.normalizeText(
+          concat(upper(col("text")), lit("  Mixed, PUNCT!! end.  ")))
+          .as("norm"))),
+
+    // Connected components over a dup-pair edge list: near-dup PAIRS →
+    // dedup CLUSTERS (transitive closure). Deterministic star+chain
+    // topology over doc_ids so the oracle (a recursive CTE) replicates
+    // the multi-hop merges exactly.
+    "llm_dedup_clusters" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val stars = ids.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 7).as("b"))
+      val links = ids.filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 7).as("b"))
+      Dedup.connectedComponents(stars.union(links), "a", "b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").cast("long").as("component"),
+          col("n_members"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs (quadratic ground truth).
     "llm_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
@@ -179,6 +206,31 @@ object Llm {
            MIN(doc_id) AS min_id
          FROM (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
                FROM documents GROUP BY text)""",
+    "llm_text_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             lower(upper(text) || '  Mixed, PUNCT!! end.  '),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+         FROM documents""",
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE
+         edges AS (
+           SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+           WHERE doc_id % 7 != 0
+           UNION ALL
+           SELECT doc_id AS a, doc_id + 7 AS b FROM documents
+           WHERE doc_id % 21 = 0
+         ),
+         sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         reach(node, r) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+         )
+         SELECT CAST(r AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+         FROM (SELECT node, MIN(r) AS r FROM reach GROUP BY node)
+         GROUP BY r""",
     "llm_dedup_ngram" ->
       """WITH sh AS (
            SELECT doc_id, s, n_sh FROM (

@@ -162,4 +162,23 @@ class LlmSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(df, "payload", 4)
     assert(frames.count() == 2) // 10 bytes / 4 → frames 0,1 (floor-1 clamp)
   }
+
+  test("connectedComponents: chains, disjoint cliques and singleton-free edge lists") {
+    // one long chain (multi-hop propagation), one triangle, one pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6
+      (10L, 11L), (11L, 12L), (10L, 12L),                // triangle
+      (20L, 21L)                                         // pair
+    ).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(cc(_) == 1L), cc)
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L), cc)
+    assert(cc(20L) == 20L && cc(21L) == 20L, cc)
+    // edge direction must not matter
+    val rev = Dedup.connectedComponents(
+      edges.select(col("b").as("a"), col("a").as("b")), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(rev == cc)
+  }
 }

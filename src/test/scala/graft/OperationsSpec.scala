@@ -178,5 +178,13 @@ class OperationsSpec extends SparkSpec {
     val b1 = Operations.tableSample(left, 0.3, 99L).select("k").collect().toSet
     val b2 = Operations.tableSample(left, 0.3, 99L).select("k").collect().toSet
     assert(b1 == b2)
+    // stratified: majority class capped, minority kept whole
+    val classes = (1L to 1000L).map(i => (i, if (i % 10 == 0L) "rare" else "common"))
+      .toDF("k", "cls")
+    val strat = Operations.stratifiedSample(classes, "cls",
+      Map[Any, Double]("common" -> 0.1, "rare" -> 1.0), 5L)
+    val byCls = strat.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(byCls("rare") == 100L, byCls)
+    assert(byCls("common") > 40L && byCls("common") < 180L, byCls)
   }
 }
