@@ -51,6 +51,10 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
+      // settle the heap between operators: without this, a
+      // garbage-heavy query taxes its successors' timings and the
+      // per-operator numbers measure GC debt, not the operator
+      System.gc()
       name -> math.min(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -160,18 +160,22 @@ object QLEmitter {
   }
 
   /** Lexicographic `tuple BETWEEN lo AND hi` (prefix-range semantics of
-    * the key trie): scalar case is plain BETWEEN. */
+    * the key trie, key_trie.cpp): scalar case is plain BETWEEN. Bounds
+    * may be key PREFIXES of the tuple (test_query.py:1587
+    * test_multi_between: `(a, b) between ((1) and (1, 2), ...)`) — a
+    * short bound constrains only its prefix, exactly the key-trie
+    * range semantics (`(1)` as a lower bound = from (1, -inf)). */
   private def rangeExpansion(tuple: Seq[Expr], lo: Seq[Expr], hi: Seq[Expr]): String = {
-    require(lo.length == tuple.length && hi.length == tuple.length,
-      "BETWEEN tuple arity mismatch")
+    require(lo.length <= tuple.length && hi.length <= tuple.length,
+      "BETWEEN bound tuple longer than the compared tuple")
     if (tuple.length == 1)
       s"(${emit(tuple.head)} BETWEEN ${emit(lo.head)} AND ${emit(hi.head)})"
     else {
       def bound(op: String, eqOp: String, bnd: Seq[Expr]): String = {
-        // lexicographic comparison tuple `op` bnd
+        // lexicographic comparison of the tuple's |bnd|-prefix vs bnd
         def go(k: Int): String = {
           val a = emit(tuple(k)); val b = emit(bnd(k))
-          if (k == tuple.length - 1) s"$a $eqOp $b"
+          if (k == bnd.length - 1) s"$a $eqOp $b"
           else s"($a $op $b OR ($a = $b AND ${go(k + 1)}))"
         }
         go(0)
@@ -189,7 +193,7 @@ object QLEmitter {
       case (o, UIntLit(_), _) if u64Cmp.contains(o) =>
         s"${u64Cmp(o)}(${emit(l)}, ${emit(r)})"
       case ("=", TupleExpr(ls), TupleExpr(rs)) if ls.length == rs.length =>
-        ls.zip(rs).map { case (a, b) => s"${emit(a)} = ${emit(b)}" }
+        ls.zip(rs).map { case (a, b) => s"${emit(a)} <=> ${emit(b)}" }
           .mkString("(", " AND ", ")")
       // QL equality with the null literal matches nulls
       // (test_query.py:882 `where c = null`)
@@ -197,7 +201,26 @@ object QLEmitter {
       case ("=", NullLit, _) => s"(${emit(r)} IS NULL)"
       case ("!=", _, NullLit) => s"(${emit(l)} IS NOT NULL)"
       case ("!=", NullLit, _) => s"(${emit(r)} IS NOT NULL)"
-      case ("!=", _, _) => s"(${emit(l)} != ${emit(r)})"
+      // Default (non-canonical) QL null relations
+      // (cg_fragment_compiler.cpp:1602-1628, tests
+      // test_query.py:1911 test_select_with_canonical_null_relations):
+      // null compares as the SMALLEST value and null == null is true —
+      // not SQL three-valued logic. Lowered as OR-of-simple-predicates
+      // so parquet pushdown still sees each disjunct.
+      case ("=", _, _) => s"(${emit(l)} <=> ${emit(r)})"
+      case ("!=", _, _) => s"(NOT (${emit(l)} <=> ${emit(r)}))"
+      case ("<", _, _) =>
+        val (a, b) = (emit(l), emit(r))
+        s"(($a IS NULL AND $b IS NOT NULL) OR ($a < $b))"
+      case ("<=", _, _) =>
+        val (a, b) = (emit(l), emit(r))
+        s"(($a IS NULL) OR ($a <= $b))"
+      case (">", _, _) =>
+        val (a, b) = (emit(l), emit(r))
+        s"(($b IS NULL AND $a IS NOT NULL) OR ($a > $b))"
+      case (">=", _, _) =>
+        val (a, b) = (emit(l), emit(r))
+        s"(($b IS NULL) OR ($a >= $b))"
       // QL `/` divides integrally on integers, float on doubles —
       // Spark's ANSI `/` is always double, so route through ql_div
       case ("/", _, _) => s"ql_div(${emit(l)}, ${emit(r)})"

@@ -135,4 +135,84 @@ class ReferenceCorpusSpec extends SparkSpec {
       Map("//tmp/dv" -> t)).collect()
     assert(got.toSeq == Seq(Row(3L, 1.0, 3.5), Row(4L, 2.0, 4.5)))
   }
+
+  test("test_having (test_query.py:312): HAVING filters aggregated groups") {
+    val ht = (0 until 100).map(i => (i.toLong, i.toLong * 10)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "k, avg(a) as aa, min(b) as mb, avg(b) as ab from [//tmp/h] " +
+        "group by a % 2 as k having mb < 5",
+      Map("//tmp/h" -> ht)).collect()
+    assert(got.toSeq == Seq(Row(0L, 49.0, 0L, 490.0)))
+  }
+
+  test("test_offset (test_query.py:1625): offset without order reads in key order") {
+    val ot = (0 until 11).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .repartition(1).sortWithinPartitions("a")
+    val got = SelectRows(spark, "* from [//tmp/o] offset 8 limit 1",
+      Map("//tmp/o" -> ot)).collect()
+    assert(got.toSeq == Seq(Row(8L, 8L)))
+  }
+
+  test("test_multi_between (test_query.py:1587): prefix-tuple multi-range BETWEEN") {
+    val mt = (0 until 100).map(i => (i.toLong / 10, i.toLong % 10, i.toLong))
+      .toDF("a", "b", "c")
+    val got = SelectRows(spark,
+      """* from [//tmp/m] where
+          (a, b) between (
+              (1) and (1, 2),
+              (2, 3) and (2, 4),
+              (3, 5) and (3),
+              4 and 5
+          )""",
+      Map("//tmp/m" -> mt)).select("c").as[Long].collect().sorted
+    val expected = ((10 until 13) ++ (23 until 25) ++ (35 until 40) ++
+      (40 until 60)).map(_.toLong)
+    assert(got.toSeq == expected)
+  }
+
+  test("test_select_with_case_operator (test_query.py:1853): searched and simple CASE") {
+    val ct = Seq((0L, 0L), (3L, 2L), (1L, 2L)).toDF("a", "b")
+    val cat = Map("//tmp/c" -> ct)
+    val searched = SelectRows(spark,
+      "case when a = 0 then 'aaa' when 15/a = 5 then 'bbb' else 'ccc' end as m " +
+        "from [//tmp/c] order by m limit 3", cat).as[String].collect()
+    assert(searched.toSeq == Seq("aaa", "bbb", "ccc"))
+    val simple = SelectRows(spark,
+      "case a when 0 then b when 1 then b + b * b else 2 end as m " +
+        "from [//tmp/c] order by m limit 3", cat).as[Long].collect()
+    assert(simple.toSeq == Seq(0L, 2L, 6L))
+  }
+
+  test("test_select_with_canonical_null_relations default branch (test_query.py:1911): null != 0 is TRUE") {
+    val nt = Seq((0L, Some(0L)), (1L, Some(2L)), (3L, None)).toDF("a", "b")
+    val got = SelectRows(spark, "a from [//tmp/nn] where b != 0 limit 3",
+      Map("//tmp/nn" -> nt)).as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L), "default null relations: null != 0 must match")
+  }
+
+  test("default null relations: null is the smallest value in <, <=, >, >=") {
+    val nt = Seq((0L, Some(0L)), (1L, Some(2L)), (3L, None)).toDF("a", "b")
+    val cat = Map("//tmp/nc" -> nt)
+    def ids(ql: String): Seq[Long] =
+      SelectRows(spark, ql, cat).as[Long].collect().sorted.toSeq
+    // null < 1 → true (null smallest); 0 < 1 → true
+    assert(ids("a from [//tmp/nc] where b < 1 limit 10") == Seq(0L, 3L))
+    // null <= null → true; everything <= 2
+    assert(ids("a from [//tmp/nc] where b <= 2 limit 10") == Seq(0L, 1L, 3L))
+    // b > 0: only 2 qualifies; null > 0 is false
+    assert(ids("a from [//tmp/nc] where b > 0 limit 10") == Seq(1L))
+    // b >= 0: null fails, values pass
+    assert(ids("a from [//tmp/nc] where b >= 0 limit 10") == Seq(0L, 1L))
+  }
+
+  test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
+    val nan = Double.NaN
+    val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
+    val cat = Map("//tmp/d" -> dt)
+    def ids(ql: String): Seq[Double] =
+      SelectRows(spark, ql, cat).select("a").as[Double].collect().sorted.toSeq
+    assert(ids("* from [//tmp/d] where is_nan(b)") == Seq(1.0))
+    assert(ids("* from [//tmp/d] where is_null(b)") == Seq(3.0))
+    assert(ids("* from [//tmp/d] where if(is_nan(b), false, b > 0)") == Seq(2.0))
+  }
 }
