@@ -24,9 +24,29 @@ import QLParser._
 object QLEmitter {
 
   def toSql(q: Query): String = {
+    // Multi-item ARRAY JOIN is ZIPPED, not cartesian
+    // (test_query.py:2008 test_array_join: lists align positionally,
+    // the shorter pads with null) — lowered to one
+    // explode(arrays_zip(...)) whose struct fields are reached through
+    // the generated row alias. arrays_zip names fields after plain
+    // column refs, positionally otherwise.
+    val zipClauses = q.joins.collect {
+      case c @ ArrayJoinClause(_, items) if items.length > 1 => c
+    }
+    val arrayJoinSubst: Map[String, Expr] = zipClauses.flatMap { c =>
+      c.items.zipWithIndex.map { case (it, ix) =>
+        val field = it.e match {
+          case Ref(parts) => parts.last
+          case _ => ix.toString
+        }
+        val alias = it.alias.getOrElse(s"value$ix")
+        alias -> Ref(Seq("_ajz", field))
+      }
+    }.toMap
     // substitute GROUP BY aliases into the projection
     val aliasMap: Map[String, Expr] =
-      q.groupBy.collect { case SelectItem(e, Some(a)) => a -> e }.toMap
+      q.groupBy.collect { case SelectItem(e, Some(a)) => a -> e }.toMap ++
+        arrayJoinSubst
     def subst(e: Expr): Expr = e match {
       case Ref(Seq(one)) if aliasMap.contains(one) => aliasMap(one)
       case Ref(_) | IntLit(_) | UIntLit(_) | DoubleLit(_) | StrLit(_) |
@@ -75,11 +95,16 @@ object QLEmitter {
           sb.append(cond.mkString(" ON (", " AND ", ")"))
         }
       case ArrayJoinClause(isLeft, items) =>
-        // ARRAY JOIN expr AS a → LATERAL VIEW explode (left = outer)
-        items.zipWithIndex.foreach { case (it, ix) =>
-          val alias = it.alias.getOrElse(s"value$ix")
-          val fn = if (isLeft) "explode_outer" else "explode"
-          sb.append(s" LATERAL VIEW $fn(${emit(it.e)}) _aj$ix AS $alias")
+        val fn = if (isLeft) "explode_outer" else "explode"
+        if (items.length == 1) {
+          // ARRAY JOIN expr AS a → LATERAL VIEW explode (left = outer)
+          val alias = items.head.alias.getOrElse("value0")
+          sb.append(s" LATERAL VIEW $fn(${emit(items.head.e)}) _aj0 AS $alias")
+        } else {
+          // zipped multi ARRAY JOIN: one explode of arrays_zip — the
+          // aliases were rewritten to _ajz.<field> in the projection
+          val zipped = items.map(it => emit(it.e)).mkString("arrays_zip(", ", ", ")")
+          sb.append(s" LATERAL VIEW $fn($zipped) _ajt AS _ajz")
         }
     }
     q.where.foreach(w => sb.append(" WHERE ").append(emit(subst(w))))
@@ -195,6 +220,21 @@ object QLEmitter {
       case ("=", TupleExpr(ls), TupleExpr(rs)) if ls.length == rs.length =>
         ls.zip(rs).map { case (a, b) => s"${emit(a)} <=> ${emit(b)}" }
           .mkString("(", " AND ", ")")
+      case ("!=", TupleExpr(ls), TupleExpr(rs)) if ls.length == rs.length =>
+        "(NOT " + ls.zip(rs).map { case (a, b) => s"${emit(a)} <=> ${emit(b)}" }
+          .mkString("(", " AND ", ")") + ")"
+      // ordered tuple comparison → lexicographic expansion (same
+      // key-trie semantics as BETWEEN; needed for `(c, d) > {pair}`,
+      // test_query.py:1740)
+      case (o @ ("<" | "<=" | ">" | ">="), TupleExpr(ls), TupleExpr(rs))
+          if ls.length == rs.length =>
+        val strict = if (o.startsWith("<")) "<" else ">"
+        def go(k: Int): String = {
+          val a = emit(ls(k)); val b = emit(rs(k))
+          if (k == ls.length - 1) s"$a $o $b"
+          else s"($a $strict $b OR ($a = $b AND ${go(k + 1)}))"
+        }
+        go(0)
       // QL equality with the null literal matches nulls
       // (test_query.py:882 `where c = null`)
       case ("=", _, NullLit) => s"(${emit(l)} IS NULL)"

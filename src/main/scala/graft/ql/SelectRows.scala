@@ -57,6 +57,36 @@ object SelectRows {
     finally spark.conf.set("spark.sql.groupByOrdinal", prev)
   }
 
+  /** Run a QL query with placeholder values — the reference's
+    * `select_rows(query, placeholder_values=...)` surface
+    * (test_query.py:1740 test_select_with_placeholders): `{name}`
+    * tokens substitute typed literals before parsing. Scalars become
+    * int/double/string/bool literals; a Seq becomes a tuple literal,
+    * so `(c, d) > {pair}` is the lexicographic tuple comparison.
+    */
+  def apply(spark: SparkSession, ql: String, catalog: Map[String, DataFrame],
+      placeholders: Map[String, Any]): DataFrame =
+    apply(spark, substitutePlaceholders(ql, placeholders), catalog)
+
+  private[ql] def substitutePlaceholders(ql: String,
+      values: Map[String, Any]): String = {
+    def lit(v: Any): String = v match {
+      case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+      case b: Boolean => b.toString
+      case d: Double => d.toString
+      case f: Float => f.toString
+      case xs: Seq[_] => xs.map(lit).mkString("(", ", ", ")")
+      case null => "null"
+      case other => other.toString // integral types
+    }
+    "\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r.replaceAllIn(ql, m =>
+      values.get(m.group(1)) match {
+        case Some(v) => java.util.regex.Matcher.quoteReplacement(lit(v))
+        case None => throw new IllegalArgumentException(
+          s"no value for placeholder {${m.group(1)}}")
+      })
+  }
+
   def viewName(path: String): String =
     path.stripPrefix("//").split('/').last.replaceAll("[^A-Za-z0-9_]", "_")
 

@@ -205,6 +205,54 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(ids("a from [//tmp/nc] where b >= 0 limit 10") == Seq(0L, 1L))
   }
 
+  test("test_array_join (test_query.py:2008): multi ARRAY JOIN zips positionally with null padding") {
+    val at = Seq(
+      (1L, Some(Seq(1L, 2L, 3L)), Seq("1", "2", "3")),
+      (2L, Some(Seq(5L, 6L)), Seq("5")),
+      (3L, Some(Seq(7L)), Seq("7", "8")),
+      (4L, None, Seq.empty[String])
+    ).toDF("key", "nestedA", "nestedB")
+    val cat = Map("//tmp/aj" -> at)
+    val inner = SelectRows(spark,
+      "key, flattenedA, flattenedB from [//tmp/aj] " +
+        "array join nestedA as flattenedA, nestedB as flattenedB limit 100",
+      cat).collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        r.getString(2))).sortBy(t => (t._1, String.valueOf(t._2)))
+    assert(inner.toSeq == Seq(
+      (1L, 1L, "1"), (1L, 2L, "2"), (1L, 3L, "3"),
+      (2L, 5L, "5"), (2L, 6L, null),
+      (3L, 7L, "7"), (3L, null, "8")).sortBy(t => (t._1, String.valueOf(t._2))))
+    val left = SelectRows(spark,
+      "key, flattenedA, flattenedB from [//tmp/aj] " +
+        "left array join nestedA as flattenedA, nestedB as flattenedB limit 100",
+      cat)
+    assert(left.count() == 8) // +1: key 4 survives with null/null
+    assert(left.where("key = 4 AND flattenedA IS NULL AND flattenedB IS NULL")
+      .count() == 1)
+  }
+
+  test("test_select_with_placeholders (test_query.py:1740): typed {name} substitution incl. tuple values") {
+    val pt = Seq(
+      (1L, 0L, 1L, "a"), (2L, 0L, 5L, "f"), (3L, 1L, 3L, "a"),
+      (4L, 1L, 1L, "d"), (5L, 1L, 3L, "d"), (6L, 0L, 1L, "a"),
+      (7L, 0L, 1L, "a"), (8L, 1L, 5L, "f")
+    ).toDF("a", "b", "c", "d")
+    val cat = Map("//tmp/p" -> pt)
+    val expected = Seq(Row(3L, 1L, 3L, "a"), Row(5L, 1L, 3L, "d"),
+      Row(8L, 1L, 5L, "f"))
+    val viaTuple = SelectRows(spark,
+      "a, b, c, d from [//tmp/p] where b = {first} and (c, d) > {second} " +
+        "order by a limit 3",
+      cat, Map("first" -> 1L, "second" -> Seq(2L, "b"))).collect()
+    assert(viaTuple.toSeq == expected)
+    val viaScalars = SelectRows(spark,
+      "a, b, c, d from [//tmp/p] where b = {first} and (c, d) > ({second}, {third}) " +
+        "order by a limit 3",
+      cat, Map("first" -> 1L, "second" -> 2L, "third" -> "b")).collect()
+    assert(viaScalars.toSeq == expected)
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
