@@ -228,6 +228,11 @@ object QLFunctions {
     reg("u64_to_string")(es => UnsignedToString(es.head))
     reg("parse_u64")(es => ParseUnsigned(es.head))
     reg("parse_uint64")(es => ParseUnsigned(es.head))
+    // QL cardinality = HyperLogLog count-distinct
+    // (builtin_function_registry.cpp:255-268, udf/hyperloglog.cpp) —
+    // shadows Spark's array-size builtin of the same name inside QL
+    reg("cardinality")(es =>
+      aggregate.HyperLogLogPlusPlus(es.head).toAggregateExpression())
     reg("make_entity")(_ => Literal.create(null, StringType))
     reg("format_guid") { es =>
       import org.apache.spark.sql.graft.{shims => S}

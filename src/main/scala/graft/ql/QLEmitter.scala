@@ -78,9 +78,13 @@ object QLEmitter {
       case Some(a) => s"${emit(si.e)} AS $a"
       case None => emit(si.e)
     }).mkString(", "))
-    q.from.foreach { t =>
-      sb.append(" FROM ").append(SelectRows.viewName(t.path))
-      t.alias.foreach(a => sb.append(" AS ").append(a))
+    q.from.foreach {
+      case TableRef(path, alias) =>
+        sb.append(" FROM ").append(SelectRows.viewName(path))
+        alias.foreach(a => sb.append(" AS ").append(a))
+      case SubquerySource(sub, alias) =>
+        sb.append(" FROM (").append(toSql(sub)).append(")")
+        alias.foreach(a => sb.append(" AS ").append(a))
     }
     q.joins.foreach {
       case JoinClause(isLeft, t, using, on, pred) =>

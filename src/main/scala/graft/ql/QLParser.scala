@@ -152,7 +152,11 @@ object QLParser {
 
   final case class SelectItem(e: Expr, alias: Option[String])
   final case class OrderItem(e: Expr, desc: Boolean)
-  final case class TableRef(path: String, alias: Option[String])
+  sealed trait FromItem { def alias: Option[String] }
+  final case class TableRef(path: String, alias: Option[String]) extends FromItem
+  /** `FROM (SELECT ...)` nested query (ast.h:506-508,
+    * test_query.py:2463 test_subquery). */
+  final case class SubquerySource(q: Query, alias: Option[String]) extends FromItem
   sealed trait JoinLike
   final case class JoinClause(isLeft: Boolean, table: TableRef,
       using: Seq[String], on: Option[(Seq[Expr], Seq[Expr])],
@@ -167,7 +171,7 @@ object QLParser {
 
   final case class Query(
       select: Seq[SelectItem],
-      from: Option[TableRef],
+      from: Option[FromItem],
       withIndex: Option[String],
       joins: Seq[JoinLike],
       where: Option[Expr],
@@ -208,7 +212,19 @@ object QLParser {
     def fullQuery(): Query = {
       tryKw("SELECT")
       val select = selectList()
-      val from = if (tryKw("FROM")) Some(tableRef()) else None
+      val from = if (tryKw("FROM")) {
+        if (tryOp("(")) {
+          val sub = fullQuery()
+          takeOp(")")
+          val alias =
+            if (tryKw("AS")) Some(ident())
+            else cur match {
+              case TIdent(s, _) => i += 1; Some(s)
+              case _ => None
+            }
+          Some(SubquerySource(sub, alias))
+        } else Some(tableRef())
+      } else None
       val withIndex =
         if (isKw("WITH") && peekKw(1) == Some("INDEX")) {
           takeKw("WITH"); takeKw("INDEX")

@@ -253,6 +253,56 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(viaScalars.toSeq == expected)
   }
 
+  test("test_subquery (test_query.py:2463): nested FROM, projection narrowing, agg-of-agg") {
+    val st = Seq(
+      (0L, 4L, "Cecil"), (0L, 5L, "Quarantine"), (0L, 6L, "Boulevard"),
+      (0L, 7L, "Limbo"), (1L, 4L, "Genos"), (1L, 5L, "Alpha"),
+      (1L, 6L, "Enigma"), (1L, 7L, "Diaspora")
+    ).toDF("k_1", "k_2", "v").repartition(1).sortWithinPartitions("k_1", "k_2")
+    val cat = Map("//tmp/sq" -> st)
+    assert(SelectRows(spark,
+      "* FROM (SELECT * FROM (SELECT * FROM (SELECT * FROM [//tmp/sq] limit 100) limit 100) limit 100)",
+      cat).count() == 8)
+    assert(SelectRows(spark,
+      "k_1 FROM (SELECT * FROM [//tmp/sq] limit 1)", cat)
+      .as[Long].collect().toSeq == Seq(0L))
+    assert(SelectRows(spark,
+      "k_2 FROM (SELECT k_1, k_2 FROM [//tmp/sq] limit 1)", cat)
+      .as[Long].collect().toSeq == Seq(4L))
+    // agg of agg: min over per-k_1 minima, max over per-k_2 maxima
+    assert(SelectRows(spark,
+      "min(v) as v FROM (SELECT min(v) as v from [//tmp/sq] group by k_1) group by 1",
+      cat).select("v").as[String].collect().toSeq == Seq("Alpha"))
+    assert(SelectRows(spark,
+      "max(v) as v FROM (SELECT max(v) as v from [//tmp/sq] group by k_2) group by 1",
+      cat).select("v").as[String].collect().toSeq == Seq("Quarantine"))
+    assert(SelectRows(spark,
+      "k_1, max(v) as v FROM (SELECT min(k_1) as k_1, min(v) as v from [//tmp/sq] group by k_2) group by k_1",
+      cat).collect().toSeq == Seq(Row(0L, "Diaspora")))
+  }
+
+  test("test_composite_types (test_query.py:2162): struct member access through the string surface") {
+    val rows = (0 until 100).map(i => (i.toLong, (i, i * 2)))
+    val ct = rows.toDF("key", "value")
+    val got = SelectRows(spark,
+      "t.key as k, t.value._1 as v from [//tmp/cmp] as t limit 100",
+      Map("//tmp/cmp" -> ct)).as[(Long, Long)].collect().sorted
+    assert(got.toSeq == (0 until 100).map(i => (i.toLong, i.toLong)))
+  }
+
+  test("test_cardinality (test_query.py:1397): HLL within 5% incl. totals row") {
+    // 20000 distinct values inserted 4x over — 10000 distinct per parity
+    val ct = (0 until 20000).flatMap(i => Seq.fill(4)(i.toLong)).toDF("a")
+    val got = SelectRows(spark,
+      "cardinality(a) as b from [//tmp/card] group by a % 2 as k with totals",
+      Map("//tmp/card" -> ct))
+      .select("b").as[Long].collect().sorted
+    assert(got.length == 3)
+    assert(got(0) > 9500 && got(0) < 10500, got.toSeq)  // parity groups
+    assert(got(1) > 9500 && got(1) < 10500, got.toSeq)
+    assert(got(2) > 19000 && got(2) < 21000, got.toSeq) // totals row
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
