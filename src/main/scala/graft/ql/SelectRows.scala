@@ -87,6 +87,19 @@ object SelectRows {
       })
   }
 
+  /** ExplainQuery (dynamic_table_client.h:110-115): the query plan for
+    * a QL string — the transpiled SQL plus Catalyst's formatted
+    * physical plan (scans with pushed filters, joins, exchanges), the
+    * same information surface as the reference's explain output. */
+  def explain(spark: SparkSession, ql: String,
+      catalog: Map[String, DataFrame] = Map.empty): String = {
+    val df = apply(spark, ql, catalog)
+    val sql = transpile(ql)
+    s"-- transpiled SQL --\n$sql\n-- physical plan --\n" +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
   def viewName(path: String): String =
     path.stripPrefix("//").split('/').last.replaceAll("[^A-Za-z0-9_]", "_")
 

@@ -290,6 +290,49 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == (0 until 100).map(i => (i.toLong, i.toLong)))
   }
 
+  test("test_join_common_prefix (test_query.py:697): LEFT JOIN USING on the full key") {
+    val jlt = Seq((1L, 2L, 80L), (1L, 3L, 71L), (1L, 4L, 62L), (2L, 1L, 53L),
+      (2L, 2L, 44L), (2L, 3L, 35L), (2L, 4L, 26L), (3L, 1L, 17L))
+      .toDF("a", "b", "c")
+    val jrt = Seq((1L, 2L, 80L), (1L, 4L, 62L), (2L, 1L, 53L), (2L, 3L, 35L),
+      (3L, 1L, 17L)).toDF("a", "b", "d")
+    val got = SelectRows(spark,
+      "* from [//tmp/cpl] left join [//tmp/cpr] using a, b",
+      Map("//tmp/cpl" -> jlt, "//tmp/cpr" -> jrt))
+      .select("a", "b", "c", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted
+    assert(got.toSeq == Seq(
+      (1L, 2L, 80L, 80L), (1L, 3L, 71L, -1L), (1L, 4L, 62L, 62L),
+      (2L, 1L, 53L, 53L), (2L, 2L, 44L, -1L), (2L, 3L, 35L, 35L),
+      (2L, 4L, 26L, -1L), (3L, 1L, 17L, 17L)))
+  }
+
+  test("test_join_common_prefix3 (test_query.py:782): qualified tuple ON keys") {
+    val jlt = (1 to 8).map(i => (1L, i.toLong)).toDF("a", "c")
+    val perm = Seq(2L, 4L, 3L, 1L, 5L, 8L, 7L, 6L)
+    val jrt = perm.zipWithIndex.map { case (c, ix) => (1L, ix + 1L, c) }
+      .toDF("a", "b", "c")
+    val got = SelectRows(spark,
+      "l.a, l.c, r.b from [//tmp/c3l] as l left join [//tmp/c3r] as r " +
+        "on (l.a, l.c) = (r.a, r.c) where l.a = 1",
+      Map("//tmp/c3l" -> jlt, "//tmp/c3r" -> jrt))
+      .as[(Long, Long, Long)].collect().sorted
+    // r.b is the position of l.c in the permutation
+    val expected = (1 to 8).map(i => (1L, i.toLong, perm.indexOf(i.toLong) + 1L))
+    assert(got.toSeq == expected)
+  }
+
+  test("test_join_common_prefix2 (test_query.py:752): literal element in the ON tuple") {
+    val jlt = Seq((1L, 3L)).toDF("a", "c")
+    val jrt = Seq((1L, 2L, 4L)).toDF("a", "b", "d")
+    val got = SelectRows(spark,
+      "l.a, l.c, r.b, r.d from [//tmp/c2l] as l left join [//tmp/c2r] as r " +
+        "on (l.a, 2) = (r.a, r.b) where l.a = 1",
+      Map("//tmp/c2l" -> jlt, "//tmp/c2r" -> jrt)).collect()
+    assert(got.toSeq == Seq(Row(1L, 3L, 2L, 4L)))
+  }
+
   test("test_cardinality (test_query.py:1397): HLL within 5% incl. totals row") {
     // 20000 distinct values inserted 4x over — 10000 distinct per parity
     val ct = (0 until 20000).flatMap(i => Seq.fill(4)(i.toLong)).toDF("a")

@@ -125,4 +125,14 @@ class SelectRowsSpec extends SparkSpec {
       .collect()
     assert(got.head.getSeq[Int](0) == Seq(10, 20, 30))
   }
+
+  test("ExplainQuery surface: transpiled SQL + formatted physical plan") {
+    val t = Seq((1L, 10L), (2L, 20L)).toDF("a", "b")
+    val out = SelectRows.explain(spark,
+      "a, sum(b) AS s FROM [//tmp/ex] WHERE a > 0 GROUP BY a",
+      Map("//tmp/ex" -> t))
+    assert(out.contains("-- transpiled SQL --"))
+    assert(out.contains("GROUP BY"))
+    assert(out.contains("HashAggregate"), out.linesIterator.take(20).mkString("\n"))
+  }
 }
