@@ -196,6 +196,7 @@ object QLFunctions {
     // under ANSI cast errors); yson_string_to_any parses YSON text into
     // the canonical JSON Any carrier
     reg("yson_string_to_any")(es => graft.sources.Yson.YsonToJson(es.head))
+    reg("any_to_yson_string")(es => graft.sources.Yson.JsonToYsonText(es.head))
     reg("try_get_string")(jsonGet)
     reg("get_string")(jsonGet)
     reg("try_get_any")(jsonGet)

@@ -78,49 +78,80 @@ object QLEmitter {
       case Some(a) => s"${emit(si.e)} AS $a"
       case None => emit(si.e)
     }).mkString(", "))
+    // FROM chain. Spark's grammar places lateralView* AFTER all join
+    // relations, but QL interleaves ARRAY JOIN with table JOINs
+    // (test_query.py:2043 test_array_join_with_table_join) — when an
+    // ARRAY JOIN precedes a table JOIN, fold what we have so far into a
+    // subselect (re-aliased to the base alias so qualified refs keep
+    // resolving) and join against that.
+    var fromSql = new StringBuilder
+    var baseAlias: Option[String] = None
     q.from.foreach {
       case TableRef(path, alias) =>
-        sb.append(" FROM ").append(SelectRows.viewName(path))
-        alias.foreach(a => sb.append(" AS ").append(a))
+        fromSql.append(SelectRows.viewName(path))
+        alias.foreach(a => fromSql.append(" AS ").append(a))
+        baseAlias = alias
       case SubquerySource(sub, alias) =>
-        sb.append(" FROM (").append(toSql(sub)).append(")")
-        alias.foreach(a => sb.append(" AS ").append(a))
+        fromSql.append("(").append(toSql(sub)).append(")")
+        alias.foreach(a => fromSql.append(" AS ").append(a))
+        baseAlias = alias
     }
+    var pendingLateral = false
+    var ajIdx = 0
     q.joins.foreach {
       case JoinClause(isLeft, t, using, on, pred) =>
-        sb.append(if (isLeft) " LEFT JOIN " else " JOIN ")
+        if (pendingLateral) {
+          val inner = fromSql.toString
+          fromSql = new StringBuilder
+          fromSql.append("(SELECT * FROM ").append(inner).append(")")
+          baseAlias.foreach(a => fromSql.append(" AS ").append(a))
+          pendingLateral = false
+        }
+        fromSql.append(if (isLeft) " LEFT JOIN " else " JOIN ")
           .append(SelectRows.viewName(t.path))
-        t.alias.foreach(a => sb.append(" AS ").append(a))
-        if (using.nonEmpty) sb.append(using.mkString(" USING (", ", ", ")"))
+        t.alias.foreach(a => fromSql.append(" AS ").append(a))
+        if (using.nonEmpty) fromSql.append(using.mkString(" USING (", ", ", ")"))
         on.foreach { case (lhs, rhs) =>
           require(lhs.length == rhs.length, "ON tuple arity mismatch")
           val eqs = lhs.zip(rhs).map { case (a, b) => s"${emit(a)} = ${emit(b)}" }
           val cond = pred.map(p => eqs :+ emit(p)).getOrElse(eqs)
-          sb.append(cond.mkString(" ON (", " AND ", ")"))
+          fromSql.append(cond.mkString(" ON (", " AND ", ")"))
         }
       case ArrayJoinClause(isLeft, items) =>
         val fn = if (isLeft) "explode_outer" else "explode"
         if (items.length == 1) {
           // ARRAY JOIN expr AS a → LATERAL VIEW explode (left = outer)
           val alias = items.head.alias.getOrElse("value0")
-          sb.append(s" LATERAL VIEW $fn(${emit(items.head.e)}) _aj0 AS $alias")
+          fromSql.append(s" LATERAL VIEW $fn(${emit(items.head.e)}) _aj$ajIdx AS $alias")
         } else {
           // zipped multi ARRAY JOIN: one explode of arrays_zip — the
           // aliases were rewritten to _ajz.<field> in the projection
           val zipped = items.map(it => emit(it.e)).mkString("arrays_zip(", ", ", ")")
-          sb.append(s" LATERAL VIEW $fn($zipped) _ajt AS _ajz")
+          fromSql.append(s" LATERAL VIEW $fn($zipped) _ajt AS _ajz")
         }
+        ajIdx += 1
+        pendingLateral = true
     }
+    if (fromSql.nonEmpty) sb.append(" FROM ").append(fromSql)
     q.where.foreach(w => sb.append(" WHERE ").append(emit(subst(w))))
     if (groupExprs.nonEmpty) {
       // WITH TOTALS → ROLLUP (totals row = null keys). With HAVING the
       // filter applies to the rolled-up stream, i.e. AfterHaving-like;
       // exact Before/AfterHaving totals are the programmatic API
       // (queries.QL ql_with_totals_*).
+      // QL `GROUP BY 1` groups by the CONSTANT (one global group,
+      // test_query.py:201 test_group_by1, :1371
+      // test_aggregate_string_capture) — Spark reads a bare integer as
+      // a projection ordinal, so emit int literals with the L suffix
+      // (LongType literals are never ordinals).
+      def emitGroup(e: Expr): String = e match {
+        case IntLit(v) => s"${v}L"
+        case other => emit(other)
+      }
       if (q.totals == NoTotals)
-        sb.append(" GROUP BY ").append(groupExprs.map(emit).mkString(", "))
+        sb.append(" GROUP BY ").append(groupExprs.map(emitGroup).mkString(", "))
       else
-        sb.append(" GROUP BY ROLLUP(").append(groupExprs.map(emit).mkString(", ")).append(")")
+        sb.append(" GROUP BY ROLLUP(").append(groupExprs.map(emitGroup).mkString(", ")).append(")")
     }
     q.having.foreach(h => sb.append(" HAVING ").append(emit(subst(h))))
     q.orderBy match {

@@ -425,11 +425,9 @@ object Yson {
       } else if (n.isArray) {
         sb.append('[')
         val it = n.elements()
-        var first = true
         while (it.hasNext) {
-          if (!first) sb.append(';')
-          first = false
           emit(it.next(), sb)
+          sb.append(';')
         }
         sb.append(']')
       } else if (n.has("$attributes") && n.has("$value")) {
@@ -444,11 +442,10 @@ object Yson {
       }
     }
     def emitMapBody(n: JsonNode, sb: java.lang.StringBuilder): Unit = {
+      // the reference's text writer terminates EVERY item with ';'
+      // (test_query.py:1653 test_any_to_yson_string expects {"x"=7;})
       val it = n.fields()
-      var first = true
       while (it.hasNext) {
-        if (!first) sb.append(';')
-        first = false
         val e = it.next()
         sb.append('"')
         e.getKey.foreach {
@@ -457,6 +454,7 @@ object Yson {
         }
         sb.append("\"=")
         emit(e.getValue, sb)
+        sb.append(';')
       }
     }
     try {
@@ -465,4 +463,35 @@ object Yson {
       sb.toString
     } catch { case scala.util.control.NonFatal(_) => null }
   }
+
+  /** Codegen entry point for the write side (same static-forwarder
+    * trick as [[parseOrNull]]). */
+  def jsonToYsonOrNull(input: UTF8String): UTF8String = {
+    val out = jsonToYson(input.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  /** `any_to_yson_string(any)` (builtin_function_registry.cpp,
+    * test_query.py:1653): canonical JSON Any carrier → text YSON. */
+  case class JsonToYsonText(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      jsonToYsonOrNull(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.sources.Yson.jsonToYsonOrNull($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildInternal(c: Expression): JsonToYsonText =
+      copy(child = c)
+  }
+
+  def anyToYsonString(any: Column): Column =
+    S.column(JsonToYsonText(S.expression(any)))
 }

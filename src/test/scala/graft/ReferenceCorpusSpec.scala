@@ -333,6 +333,150 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(1L, 3L, 2L, 4L)))
   }
 
+  test("test_group_by_primary_prefix (test_query.py:219): group by key prefix + expression alias") {
+    val data = (0 until 100).map(i => (i / 10L, i % 10L, i.toLong))
+    val tt = data.toDF("a", "b", "v")
+    val expected = data.groupBy(r => (r._1, r._3 % 2))
+      .map { case ((k, x), rows) => (k, x, rows.map(_._2).sum) }.toSeq.sorted
+    val got = SelectRows(spark,
+      "k, x, sum(b) as s from [//tmp/gpp] group by a as k, v % 2 as x",
+      Map("//tmp/gpp" -> tt)).as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("test_group_by_disjoint (test_query.py:256): join using + group by prefix") {
+    val tt = (0 until 10).map(i => (i.toLong, 0L)).toDF("a", "dummy")
+    val tj = (0 until 100).map(i => (i / 10L, i % 10L, i.toLong)).toDF("a", "b", "v")
+    val expected = (0 until 100).map(i => (i / 10L, i % 10L, i.toLong))
+      .groupBy(r => (r._1, r._3 % 2))
+      .map { case ((k, x), rows) => (k, x, rows.map(_._2).sum) }.toSeq.sorted
+    val got = SelectRows(spark,
+      "k, x, sum(b) as s from [//tmp/gdt] join [//tmp/gdj] using a group by a as k, v % 2 as x",
+      Map("//tmp/gdt" -> tt, "//tmp/gdj" -> tj)).as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("test_join_via_in (test_query.py:562): ON equality + constant predicate") {
+    val jlt = Seq((1L, 1L), (2L, 3L), (3L, 6L), (4L, 1L), (5L, 3L), (6L, 6L))
+      .toDF("a", "b")
+    val jrt = Seq((1L, 2L, "a"), (2L, 1L, "b"), (2L, 2L, "c"), (2L, 3L, "d"),
+      (2L, 4L, "e"), (2L, 5L, "f"), (2L, 6L, "g"), (3L, 1L, "h"))
+      .toDF("c", "d", "e")
+    val got = SelectRows(spark,
+      "* from [//tmp/vjl] join [//tmp/vjr] on b = d and c = 2",
+      Map("//tmp/vjl" -> jlt, "//tmp/vjr" -> jrt))
+      .select("a", "b", "c", "d", "e")
+      .as[(Long, Long, Long, Long, String)].collect().sorted
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 1L, "b"), (2L, 3L, 2L, 3L, "d"), (3L, 6L, 2L, 6L, "g"),
+      (4L, 1L, 2L, 1L, "b"), (5L, 3L, 2L, 3L, "d"), (6L, 6L, 2L, 6L, "g")))
+  }
+
+  test("test_join_many (test_query.py:886): chained USING joins + IN filter") {
+    val ta = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "a"), (5L, "b"), (6L, "c"))
+      .toDF("a", "c")
+    val tb = Seq((100L, "a", "X"), (200L, "b", "Y"), (300L, "c", "X"),
+      (400L, "a", "Y"), (500L, "b", "X"), (600L, "c", "Y")).toDF("b", "c", "d")
+    val tc = Seq(("X", 1234L), ("Y", 5678L)).toDF("d", "e")
+    val got = SelectRows(spark,
+      "a, c, b, d, e from [//tmp/ma] join [//tmp/mb] using c join [//tmp/mc] using d where a in (2,3,4)",
+      Map("//tmp/ma" -> ta, "//tmp/mb" -> tb, "//tmp/mc" -> tc))
+      .as[(Long, String, Long, String, Long)].collect().sorted
+    assert(got.toSeq == Seq(
+      (2L, "b", 200L, "Y", 5678L), (2L, "b", 500L, "X", 1234L),
+      (3L, "c", 300L, "X", 1234L), (3L, "c", 600L, "Y", 5678L),
+      (4L, "a", 100L, "X", 1234L), (4L, "a", 400L, "Y", 5678L)))
+  }
+
+  test("test_yt_22385 (test_query.py:947): repeated self-join with ON expressions") {
+    val tt = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "t1.a, t1.b, t2.b, t3.b from [//tmp/y22] t1 " +
+        "join [//tmp/y22] t2 on (t1.a + 0) = (t2.a) " +
+        "join [//tmp/y22] t3 on (t1.a + 0) = (t3.a)",
+      Map("//tmp/y22" -> tt)).as[(Long, Long, Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((0L, 1L, 1L, 1L), (1L, 2L, 2L, 2L)))
+  }
+
+  test("test_aggregate_string_capture (test_query.py:1371): min(lower()) over 2047 rows, group by constant") {
+    val data = (1 until 2048).map(j => Tuple1("A" + j + "BCD"))
+    val got = SelectRows(spark,
+      "min(lower(a)) as m from [//tmp/asc] group by 1",
+      Map("//tmp/asc" -> data.toDF("a"))).as[String].collect()
+    assert(got.toSeq == Seq("a1000bcd"))
+  }
+
+  test("test_array_join_descartes (test_query.py:2124): chained ARRAY JOINs multiply") {
+    val tt = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq("1", "2", "3")),
+      (2L, Seq(5L, 6L), Seq("5")),
+      (3L, Seq(7L), Seq("7", "8")),
+      (4L, null, Seq.empty[String])
+    ).toDF("key", "nestedA", "nestedB")
+    val got = SelectRows(spark,
+      "key, flattenedA, flattenedB from [//tmp/dsc] " +
+        "array join nestedA as flattenedA array join nestedB as flattenedB limit 100",
+      Map("//tmp/dsc" -> tt)).as[(Long, Long, String)].collect().sorted
+    val expected = Seq(
+      (1L, 1L, "1"), (1L, 1L, "2"), (1L, 1L, "3"),
+      (1L, 2L, "1"), (1L, 2L, "2"), (1L, 2L, "3"),
+      (1L, 3L, "1"), (1L, 3L, "2"), (1L, 3L, "3"),
+      (2L, 5L, "5"), (2L, 6L, "5"),
+      (3L, 7L, "7"), (3L, 7L, "8"))
+    assert(got.toSeq == expected)
+  }
+
+  test("test_array_join_with_table_join (test_query.py:2043): ARRAY JOIN interleaved with table JOIN") {
+    val ta = Seq(
+      (1L, Seq[java.lang.Long](1L, null, 3L)),
+      (2L, Seq[java.lang.Long](5L, 6L)),
+      (3L, Seq[java.lang.Long](7L)),
+      (4L, Seq.empty[java.lang.Long])).toDF("key", "nestedA")
+    val tb = Seq(
+      (1L, Seq("1", "2", "3")), (2L, Seq("5")), (3L, Seq("7", "8")),
+      (4L, Seq.empty[String])).toDF("key", "nestedB")
+    val cat = Map("//tmp/aja" -> ta, "//tmp/ajb" -> tb)
+    val got = SelectRows(spark,
+      "key, flattenedA, flattenedB from [//tmp/aja] " +
+        "array join nestedA as flattenedA " +
+        "join [//tmp/ajb] using key " +
+        "array join nestedB as flattenedB limit 100", cat)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).sorted
+    val expected = Seq(
+      (1L, -1L, "1"), (1L, -1L, "2"), (1L, -1L, "3"),
+      (1L, 1L, "1"), (1L, 1L, "2"), (1L, 1L, "3"),
+      (1L, 3L, "1"), (1L, 3L, "2"), (1L, 3L, "3"),
+      (2L, 5L, "5"), (2L, 6L, "5"),
+      (3L, 7L, "7"), (3L, 7L, "8")).sorted
+    assert(got.toSeq == expected)
+
+    // aliased variant: qualified refs through the folded subselect
+    val got2 = SelectRows(spark,
+      "A.key as k, flattenedA, flattenedB from [//tmp/ajb] AS B " +
+        "array join B.nestedB as flattenedB " +
+        "join [//tmp/aja] AS A on B.key = A.key " +
+        "array join A.nestedA as flattenedA limit 100", cat)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).sorted
+    assert(got2.toSeq == expected)
+  }
+
+  test("test_any_to_yson_string (test_query.py:1653): canonical Any back to text YSON") {
+    val data = (0 until 11).map(i => (i.toLong, s"""{"x":$i}"""))
+    val got = SelectRows(spark,
+      "a, any_to_yson_string(b) as b_str from [//tmp/a2y] where a = 7",
+      Map("//tmp/a2y" -> data.toDF("a", "b"))).as[(Long, String)].collect()
+    assert(got.toSeq == Seq((7L, """{"x"=7;}""")))
+  }
+
+  test("test_ql_corpus shapes (test_query.py:2690): bare-constant projections") {
+    assert(q("0 from [//tmp/t]").as[Int].collect().toSeq == Seq.fill(9)(0))
+    assert(q("42 from [//tmp/t]").distinct().as[Int].collect().toSeq == Seq(42))
+    val got = q("a + 42 from [//tmp/t] where a > 0")
+    assert(got.as[Long].collect().sorted.toSeq == (1 to 9).map(_ + 42L))
+  }
+
   test("test_cardinality (test_query.py:1397): HLL within 5% incl. totals row") {
     // 20000 distinct values inserted 4x over — 10000 distinct per parity
     val ct = (0 until 20000).flatMap(i => Seq.fill(4)(i.toLong)).toDF("a")
