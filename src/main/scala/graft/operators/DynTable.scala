@@ -68,6 +68,58 @@ object DynTable {
   def readAsOf(log: DataFrame, keys: Seq[String], asOf: Column): DataFrame =
     readLatest(log.where(col("ts") <= asOf), keys)
 
+  /** Per-COLUMN latest-wins merge — partial upserts (`insert_rows`
+    * `update=True`) write only a subset of value columns, and each
+    * written column carries its own timestamp
+    * (TSchemafulRowMerger::AddPartialRow, row_merger.cpp:19-186;
+    * test_query.py:2183 test_versioned_select).
+    *
+    * The log may carry a `written: array<string>` mask naming the
+    * value columns a row writes (null mask = full write). For each
+    * value column the merge takes the newest write of THAT column; a
+    * tombstone cuts every column written before it; the row exists if
+    * any upsert is newer than the last tombstone. `withTimestamps`
+    * adds the reference's `$timestamp:col` read columns.
+    *
+    * Shape: ONE hash aggregation (2 + 2·|values| conditional
+    * aggregates over the same grouping) with map-side partials — the
+    * per-column argmaxes ride the same shuffle as the row-level merge,
+    * nothing extra at 100 TB.
+    */
+  def readLatestColumns(log: DataFrame, keys: Seq[String],
+      withTimestamps: Boolean = false): DataFrame = {
+    val hasMask = log.columns.contains("written")
+    val valueCols = log.columns.filterNot(c =>
+      keys.contains(c) || c == "ts" || c == "op" || c == "written")
+    def wrote(c: String): Column = {
+      val up = col("op") === OpUpsert
+      if (hasMask) up && (col("written").isNull || array_contains(col("written"), c))
+      else up
+    }
+    val aggs: Seq[Column] = Seq(
+      max(when(col("op") === OpDelete, col("ts"))).as("_del_ts"),
+      max(when(col("op") === OpUpsert, col("ts"))).as("_up_ts")) ++
+      valueCols.flatMap { c => Seq(
+        max_by(when(wrote(c), col(c)), when(wrote(c), col("ts"))).as(s"_v_$c"),
+        max(when(wrote(c), col("ts"))).as(s"_ts_$c")) }
+    val merged = log.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val horizon = coalesce(col("_del_ts"), lit(Long.MinValue))
+    val live = merged.where(coalesce(col("_up_ts"), lit(Long.MinValue)) > horizon)
+    val outCols = keys.map(col) ++
+      valueCols.map(c => when(col(s"_ts_$c") > horizon, col(s"_v_$c")).as(c)) ++
+      (if (withTimestamps)
+        valueCols.map(c =>
+          when(col(s"_ts_$c") > horizon, col(s"_ts_$c")).as(s"$$timestamp:$c"))
+      else Nil)
+    live.select(outCols: _*)
+  }
+
+  /** [[readLatestColumns]] at a timestamp (with_timestamps versioned
+    * read at `timestamp=...`, test_query.py:2240-2244). */
+  def readAsOfColumns(log: DataFrame, keys: Seq[String], asOf: Column,
+      withTimestamps: Boolean = false): DataFrame =
+    readLatestColumns(log.where(col("ts") <= asOf), keys, withTimestamps)
+
   /** Point lookup by key set (`LookupRows`/`MultiLookupRows`,
     * dynamic_table_client.h:96-108): equality/IN predicates on the key
     * prefix so the scan prunes. Merge happens only on the surviving

@@ -108,8 +108,19 @@ object QLEmitter {
           pendingLateral = false
         }
         fromSql.append(if (isLeft) " LEFT JOIN " else " JOIN ")
-          .append(SelectRows.viewName(t.path))
-        t.alias.foreach(a => fromSql.append(" AS ").append(a))
+        if (using.nonEmpty && pred.isDefined) {
+          // `USING cols AND predicate` (test_query.py:2446
+          // test_join_range_inference_uses_predicate): the predicate
+          // filters the FOREIGN side before the join — lowered as a
+          // filtered subselect so USING still unifies the key columns
+          // (ON would leave both sides' keys ambiguous downstream).
+          fromSql.append("(SELECT * FROM ").append(SelectRows.viewName(t.path))
+            .append(" WHERE ").append(emit(pred.get)).append(")")
+          t.alias.foreach(a => fromSql.append(" AS ").append(a))
+        } else {
+          fromSql.append(SelectRows.viewName(t.path))
+          t.alias.foreach(a => fromSql.append(" AS ").append(a))
+        }
         if (using.nonEmpty) fromSql.append(using.mkString(" USING (", ", ", ")"))
         on.foreach { case (lhs, rhs) =>
           require(lhs.length == rhs.length, "ON tuple arity mismatch")

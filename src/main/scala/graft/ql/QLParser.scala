@@ -236,17 +236,7 @@ object QLParser {
         } else None
       // WITH HINT {yson map}: an execution hint (KwWithHint) — parsed
       // and dropped; Catalyst/AQE own physical decisions here
-      if (isKw("WITH") && peekKw(1) == Some("HINT")) {
-        takeKw("WITH"); takeKw("HINT")
-        takeOp("{")
-        var depth = 1
-        while (depth > 0) bump() match {
-          case TOp("{", _) => depth += 1
-          case TOp("}", _) => depth -= 1
-          case TEnd(p) => throw QLParseException("unterminated WITH HINT", p)
-          case _ =>
-        }
-      }
+      skipWithHint()
       val joins = joinClauses()
       val where = if (tryKw("WHERE")) Some(expr()) else None
       var totals: TotalsMode = NoTotals
@@ -295,6 +285,24 @@ object QLParser {
     private def peekKw(ahead: Int): Option[String] = toks.lift(i + ahead).collect {
       case TKw(k, _) => k
     }
+
+    /** `WITH HINT {yson}` or `WITH HINT "{yson}"` — skipped. */
+    private def skipWithHint(): Unit =
+      if (isKw("WITH") && peekKw(1) == Some("HINT")) {
+        takeKw("WITH"); takeKw("HINT")
+        cur match {
+          case TStr(_, _) => i += 1
+          case _ =>
+            takeOp("{")
+            var depth = 1
+            while (depth > 0) bump() match {
+              case TOp("{", _) => depth += 1
+              case TOp("}", _) => depth -= 1
+              case TEnd(p) => throw QLParseException("unterminated WITH HINT", p)
+              case _ =>
+            }
+        }
+      }
 
     private def intLit(): Long = bump() match {
       case TInt(v, _) => v
@@ -350,11 +358,17 @@ object QLParser {
           out += ArrayJoinClause(isLeft, selectList())
         } else if (tryKw("JOIN")) {
           val t = tableRef()
+          // WITH HINT on a join clause (test_query.py:2556
+          // push_down_group_by hint) — execution hint, parsed + dropped
+          skipWithHint()
           if (tryKw("USING")) {
             val cols = Vector.newBuilder[String]
             cols += ident()
             while (tryOp(",")) cols += ident()
-            out += JoinClause(isLeft, t, cols.result(), None, None)
+            // `USING cols AND predicate` (test_query.py:2446):
+            // the predicate filters the foreign side
+            val pred = if (tryKw("AND")) Some(expr()) else None
+            out += JoinClause(isLeft, t, cols.result(), None, pred)
           } else {
             takeKw("ON")
             // sides sit below `=` in the grammar (parser.ypp:385:

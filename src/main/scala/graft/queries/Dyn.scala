@@ -63,6 +63,18 @@ object Dyn {
     "dyn_agg_column" -> ((s, d) =>
       DynTable.readWithAggregates(log(s, d), Seq("k"), Map("price" -> "sum"))),
 
+    // Partial upserts (`insert_rows update=True`): per-COLUMN
+    // latest-wins with a written-columns mask, per-column $timestamp:
+    // reads (row_merger.cpp AddPartialRow; test_query.py:2183).
+    // Mask fixture: every 3k+1 write touches only price, 3k+2 only
+    // status, 3k full row.
+    "dyn_partial_update" -> ((s, d) => {
+      val l = log(s, d).withColumn("written",
+        when(col("ts") % 3 === 1, array(lit("price")))
+          .when(col("ts") % 3 === 2, array(lit("status"))))
+      DynTable.readLatestColumns(l, Seq("k"), withTimestamps = true)
+    }),
+
     // WITH INDEX (ast.h:507; TransformWithIndexStatement,
     // secondary_index/transform.cpp:137): predicate answered by the
     // index table, surviving keys semi-join the primary.
@@ -193,6 +205,30 @@ object Dyn {
          |  WHERE l.op = 'upsert' AND (b.del_ts IS NULL OR l.ts > b.del_ts))
          |SELECT k, sum(price) AS price, max_by(status, ts) AS status
          |FROM live GROUP BY k""".stripMargin,
+
+    "dyn_partial_update" ->
+      s"""WITH log AS (SELECT *,
+         |    CASE WHEN ts % 3 = 1 THEN ['price']
+         |         WHEN ts % 3 = 2 THEN ['status'] END AS written
+         |  FROM ($logSql)),
+         |agg AS (SELECT k,
+         |    max(CASE WHEN op = 'delete' THEN ts END) AS del_ts,
+         |    max(CASE WHEN op = 'upsert' THEN ts END) AS up_ts,
+         |    arg_max(price, ts) FILTER (op = 'upsert'
+         |      AND (written IS NULL OR list_contains(written, 'price'))) AS v_price,
+         |    max(ts) FILTER (op = 'upsert'
+         |      AND (written IS NULL OR list_contains(written, 'price'))) AS tsp,
+         |    arg_max(status, ts) FILTER (op = 'upsert'
+         |      AND (written IS NULL OR list_contains(written, 'status'))) AS v_status,
+         |    max(ts) FILTER (op = 'upsert'
+         |      AND (written IS NULL OR list_contains(written, 'status'))) AS tss
+         |  FROM log GROUP BY k)
+         |SELECT k,
+         |  CASE WHEN tsp > coalesce(del_ts, -1) THEN v_price END AS price,
+         |  CASE WHEN tss > coalesce(del_ts, -1) THEN v_status END AS status,
+         |  CASE WHEN tsp > coalesce(del_ts, -1) THEN tsp END AS "$$timestamp:price",
+         |  CASE WHEN tss > coalesce(del_ts, -1) THEN tss END AS "$$timestamp:status"
+         |FROM agg WHERE coalesce(up_ts, -1) > coalesce(del_ts, -1)""".stripMargin,
 
     "dyn_with_index" ->
       """SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total

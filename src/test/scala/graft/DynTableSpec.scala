@@ -39,6 +39,54 @@ class DynTableSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(2L, 9.0, "z")))
   }
 
+  test("readLatestColumns: partial upserts merge per column with $timestamp: reads (test_query.py:2183 test_versioned_select)") {
+    // the reference fixture: full write at ts=1 (v1..v5 = a, v4=1),
+    // update=True of (v1,v3)=b at ts=2, update=True of (v2,v5)=c at ts=3
+    val plog = Seq(
+      (1L, 1L, "upsert", "a", "a", "a", 1L, "a", null),
+      (1L, 2L, "upsert", "b", null, "b", 0L, null, Seq("v1", "v3")),
+      (1L, 3L, "upsert", null, "c", null, 0L, "c", Seq("v2", "v5"))
+    ).toDF("k", "ts", "op", "v1", "v2", "v3", "v4", "v5", "written")
+
+    val row = DynTable.readLatestColumns(plog, Seq("k"), withTimestamps = true)
+      .collect().head
+    assert(row.getAs[String]("v1") == "b" && row.getAs[String]("v2") == "c" &&
+      row.getAs[String]("v3") == "b" && row.getAs[Long]("v4") == 1L &&
+      row.getAs[String]("v5") == "c")
+    // per-column timestamps: v4 < (v1 = v3) < (v2 = v5)
+    def ts(c: String) = row.getAs[Long](s"$$timestamp:$c")
+    assert(ts("v4") < ts("v1") && ts("v1") == ts("v3") &&
+      ts("v3") < ts("v2") && ts("v2") == ts("v5"))
+
+    // versioned read at the first timestamp: the original full row,
+    // all column timestamps equal
+    val at1 = DynTable.readAsOfColumns(plog, Seq("k"), lit(1L), withTimestamps = true)
+      .collect().head
+    assert(Seq("v1", "v2", "v3", "v5").forall(at1.getAs[String](_) == "a") &&
+      at1.getAs[Long]("v4") == 1L)
+    assert(Seq("v1", "v2", "v3", "v4", "v5")
+      .map(c => at1.getAs[Long](s"$$timestamp:$c")).distinct.size == 1)
+
+    // a tombstone cuts every older column write; a later partial write
+    // resurrects the row with only its columns
+    val withDel = plog.union(Seq(
+      (1L, 4L, "delete", null, null, null, 0L, null, null),
+      (1L, 5L, "upsert", null, "z", null, 0L, null, Seq("v2"))
+    ).toDF("k", "ts", "op", "v1", "v2", "v3", "v4", "v5", "written"))
+    val after = DynTable.readLatestColumns(withDel, Seq("k")).collect().head
+    assert(after.getAs[String]("v2") == "z")
+    assert(after.isNullAt(after.fieldIndex("v1")) &&
+      after.isNullAt(after.fieldIndex("v3")) &&
+      after.isNullAt(after.fieldIndex("v4")) &&
+      after.isNullAt(after.fieldIndex("v5")))
+
+    // delete last → key gone
+    val gone = DynTable.readLatestColumns(plog.union(Seq(
+      (1L, 9L, "delete", null, null, null, 0L, null, null)
+    ).toDF("k", "ts", "op", "v1", "v2", "v3", "v4", "v5", "written")), Seq("k"))
+    assert(gone.count() == 0)
+  }
+
   test("readWithAggregates: sum-merge folds only past the tombstone") {
     val got = DynTable.readWithAggregates(log, Seq("k"), Map("v" -> "sum"))
       .orderBy("k").collect()

@@ -477,6 +477,62 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.as[Long].collect().sorted.toSeq == (1 to 9).map(_ + 42L))
   }
 
+  test("test_filter_ranges (test_query.py:1786): tuple IN and BETWEEN range shapes") {
+    val rows = Seq((1L, 1L, 1L, 1L), (3L, 3L, 3L, 3L), (5L, 5L, 5L, 5L))
+    val tt = rows.toDF("a", "b", "c", "d")
+    def check(expected: Seq[(Long, Long, Long, Long)], predicate: String): Unit = {
+      val got = SelectRows(spark, s"* from [//tmp/fr] where $predicate",
+        Map("//tmp/fr" -> tt)).as[(Long, Long, Long, Long)].collect().sorted
+      assert(got.toSeq == expected, predicate)
+    }
+    check(rows.take(1), "(a) in ((1), (2))")
+    check(rows.take(1), "(a, b) in ((1, 1), (1, 2), (2, 1))")
+    check(rows.take(2), "(a, b, c) in ((1, 1, 1), (2, 2, 2), (3, 3, 3))")
+    check(rows.take(1), "(a) between (1) and (2)")
+    check(rows.take(1), "(a, b) between ((1) and (1, 2))")
+    check(Nil, "(a, b) between (1, 2) and (2, 1)")
+    check(Nil, "(a, b) between ((2) and (2, 1))")
+    check(rows.drop(1), """(a, b, c) between (
+                 (3, 3, 2) and (3, 3, 4),
+                 (5, 3) and (5, 4),
+                 (5, 5, 5) and (5, 6))""")
+  }
+
+  test("test_join_range_inference_uses_predicate (test_query.py:2407): USING + AND foreign predicate") {
+    val tt = Seq((0L, 0L, 0L)).toDF("k0", "k1", "v0")
+    val tj = Seq((0L, 0L, 0L, 1L), (0L, 0L, 10L, 1L)).toDF("k0", "k1", "k2", "v1")
+    val cat = Map("//tmp/rit" -> tt, "//tmp/rij" -> tj)
+    val got = SelectRows(spark,
+      "k0, k1, k2, v1 from [//tmp/rit] join [//tmp/rij] using k0, k1 and k2 = 0",
+      cat).as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 0L, 0L, 1L)))
+
+    val got2 = SelectRows(spark,
+      "D.k0 as k0, D.k1 as k1, D.k2 as k2, D.v1 as v1 from [//tmp/rit] T " +
+        "join [//tmp/rij] D on (T.k0, T.k1) = (D.k0, D.k1) AND D.k2 = 0",
+      cat).as[(Long, Long, Long, Long)].collect()
+    assert(got2.toSeq == Seq((0L, 0L, 0L, 1L)))
+  }
+
+  test("test_push_down_group_by_primary_key (test_query.py:2521): LEFT JOIN + hint + group on primary key") {
+    val tt = (0 until 10).map(i => (i.toLong, 0L)).toDF("k", "v")
+    val td = (0 until 66).map(i => (i / 10L, i % 10L, i.toLong))
+      .toDF("k", "k_extra", "clicks")
+    val expected: Seq[(Long, Option[Long])] =
+      (0 until 7).map(k => (k.toLong,
+        Some((0 until 66).filter(_ / 10 == k).map(_.toLong).sum))) ++
+        (7 until 10).map(k => (k.toLong, None: Option[Long]))
+    val got = SelectRows(spark,
+      """k, sum(D.clicks) AS sum FROM [//tmp/pdt] T
+        LEFT JOIN [//tmp/pdd] D WITH HINT "{push_down_group_by=%true}" on T.k = D.k
+        GROUP BY T.k AS k
+        ORDER BY sum DESC LIMIT 2000""",
+      Map("//tmp/pdt" -> tt, "//tmp/pdd" -> td))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1)
+    assert(got.toSeq == expected.sortBy(_._1))
+  }
+
   test("test_cardinality (test_query.py:1397): HLL within 5% incl. totals row") {
     // 20000 distinct values inserted 4x over — 10000 distinct per parity
     val ct = (0 until 20000).flatMap(i => Seq.fill(4)(i.toLong)).toDF("a")
