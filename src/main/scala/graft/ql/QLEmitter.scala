@@ -121,7 +121,8 @@ object QLEmitter {
           fromSql.append(SelectRows.viewName(t.path))
           t.alias.foreach(a => fromSql.append(" AS ").append(a))
         }
-        if (using.nonEmpty) fromSql.append(using.mkString(" USING (", ", ", ")"))
+        if (using.nonEmpty)
+          fromSql.append(using.map(quoteIdent).mkString(" USING (", ", ", ")"))
         on.foreach { case (lhs, rhs) =>
           require(lhs.length == rhs.length, "ON tuple arity mismatch")
           val eqs = lhs.zip(rhs).map { case (a, b) => s"${emit(a)} = ${emit(b)}" }

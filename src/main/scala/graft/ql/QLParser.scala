@@ -57,11 +57,15 @@ object QLParser {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '[') {
-        // table descriptor [//path] (or an item accessor — decided by
-        // the parser; the lexer emits TTable only for [//... ] forms)
+        // table descriptor [//path], bracket-escaped system column
+        // [$tablet_index] (test_query.py:2332), or an item accessor —
+        // the lexer emits TTable/TIdent for the first two forms
         val close = s.indexOf(']', i)
         if (i + 1 < n && s.charAt(i + 1) == '/' && close > i) {
           out += TTable(s.substring(i + 1, close), i); i = close + 1
+        } else if (i + 1 < n && s.charAt(i + 1) == '$' && close > i &&
+            s.substring(i + 2, close).forall(isIdentChar)) {
+          out += TIdent(s.substring(i + 1, close), i); i = close + 1
         } else { out += TOp("[", i); i += 1 }
       } else if (c == '\'' || c == '"') {
         val start = i

@@ -533,6 +533,50 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == expected.sortBy(_._1))
   }
 
+  test("test_select_from_ordered_table (test_query.py:2332): [$tablet_index]/[$row_index] system columns") {
+    val ot = (0 until 10).map(i => (0L, i.toLong, i.toLong))
+      .toDF("$tablet_index", "$row_index", "value")
+    val cat = Map("//tmp/ord" -> ot)
+    val expected = (0 until 10).map(i => (0L, i.toLong, i.toLong))
+
+    // full scan
+    val full = SelectRows(spark, "* from [//tmp/ord] limit 10", cat)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(full.toSeq == expected)
+
+    // prefix scan
+    val pre = SelectRows(spark,
+      "* from [//tmp/ord] where [$tablet_index] in (0) limit 10", cat)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(pre.toSeq == expected)
+
+    // full key scan
+    val one = SelectRows(spark,
+      "* from [//tmp/ord] where ([$tablet_index], [$row_index]) in ((0,0))", cat)
+      .as[(Long, Long, Long)].collect()
+    assert(one.toSeq == Seq((0L, 0L, 0L)))
+
+    // join on common key
+    val joined = SelectRows(spark,
+      "* from [//tmp/ord] join [//tmp/ord] using [$tablet_index], [$row_index], value limit 10",
+      cat).as[(Long, Long, Long)].collect().sorted
+    assert(joined.toSeq == expected)
+
+    // join on common key prefix through aliases
+    val prefix = SelectRows(spark,
+      "A.value as v from [//tmp/ord] A join [//tmp/ord] B on " +
+        "(A.[$tablet_index], A.value) = (B.[$tablet_index], B.[$row_index]) limit 10",
+      cat).as[Long].collect().sorted
+    assert(prefix.toSeq == (0L until 10L))
+
+    // join on foreign key prefix with a literal element
+    val lit0 = SelectRows(spark,
+      "A.value as v from [//tmp/ord] A join [//tmp/ord] B on " +
+        "(0, A.value) = (B.[$tablet_index], B.[$row_index]) limit 10",
+      cat).as[Long].collect().sorted
+    assert(lit0.toSeq == (0L until 10L))
+  }
+
   test("test_cardinality (test_query.py:1397): HLL within 5% incl. totals row") {
     // 20000 distinct values inserted 4x over — 10000 distinct per parity
     val ct = (0 until 20000).flatMap(i => Seq.fill(4)(i.toLong)).toDF("a")
