@@ -262,4 +262,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Benchmark decontamination (GPT-3 appendix C style): flag corpus
+    * documents sharing any word n-gram with a benchmark/eval set.
+    *
+    * Scale shape: the benchmark is small — its distinct grams BROADCAST;
+    * the corpus explodes its grams map-side and semi-joins the broadcast
+    * set, so the 100 TB side never shuffles. Only the matched
+    * (doc, gram) slivers reach the final distinct-count exchange.
+    * Grams are compared as strings here so an SQL oracle can replay the
+    * check exactly; swap in [[shingleHashes]] for production wire size.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchGrams = benchmark
+      .select(explode(TextAnalysis.wordNgrams(lower(col(benchTextCol)), n)).as("g"))
+      .distinct()
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.wordNgrams(lower(col(textCol)), n)).as("g"))
+    docGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("hits"))
+  }
 }

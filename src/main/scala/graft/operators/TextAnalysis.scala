@@ -85,4 +85,80 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
       "\\s+", " "))
+
+  /** Word n-grams as strings (space-joined), for contamination checks
+    * where the oracle must reproduce the grams exactly (hash-free). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction
+    * of duplicate segments, fraction of characters inside duplicate
+    * segments, and the character share of the single most frequent word
+    * 2-gram. One pass over sorted in-row arrays — map-only, codegen'd,
+    * no shuffle; the standard pre-training repetition gate.
+    *
+    * Returns struct(dup_seg_frac, dup_seg_char_frac, top_bigram_char_frac).
+    */
+  def repetitionStats(text: Column): Column = {
+    // segments: sentence-ish splits (the corpus has no newlines)
+    val segs = filter(transform(split(text, "[.!?]"), s => trim(s)),
+      s => length(s) > 0)
+    val sorted = array_sort(segs)
+    // fold over the sorted array counting elements that equal their
+    // predecessor — every repeat of a segment beyond the first is dup
+    val dupCounts = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("dups"), lit(0L).as("dupChars")),
+      (acc, s) => struct(
+        s.as("prev"),
+        (acc.getField("dups") + when(s === acc.getField("prev"), 1L).otherwise(0L)).as("dups"),
+        (acc.getField("dupChars") +
+          when(s === acc.getField("prev"), length(s).cast("long")).otherwise(0L)).as("dupChars")))
+    val nSegs = greatest(size(segs).cast("double"), lit(1.0))
+    val nChars = greatest(length(text).cast("double"), lit(1.0))
+
+    val grams = array_sort(wordNgrams(lower(text), 2))
+    // longest run in the sorted gram array = max occurrence count
+    val topRun = aggregate(
+      grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // chars covered by the top 2-gram ≈ run · mean gram length
+    val meanGramLen = when(size(grams) > 0,
+      aggregate(grams, lit(0L), (a, g) => a + length(g).cast("long")).cast("double") /
+        size(grams).cast("double")).otherwise(lit(0.0))
+    struct(
+      round(dupCounts.getField("dups").cast("double") / nSegs, 4).as("dup_seg_frac"),
+      round(dupCounts.getField("dupChars").cast("double") / nChars, 4).as("dup_seg_char_frac"),
+      round(topRun.cast("double") * meanGramLen / nChars, 4).as("top_bigram_char_frac"))
+  }
+
+  /** PII redaction: emails, IPv4s and long digit runs (phone-ish)
+    * replaced with typed tokens, plus per-kind match counts. RE2-safe
+    * patterns (work identically in Spark and the DuckDB oracle). One
+    * projection — at 100 TB this is a scan-speed rewrite.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9][0-9()+. -]{7,}[0-9]\\b"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("emails"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("ips"))
 }

@@ -136,6 +136,44 @@ object Llm {
         min(col("doc_id")).as("min_id"))
     }),
 
+    // Benchmark decontamination (GPT-3 appendix C): flag corpus docs
+    // sharing any word 5-gram with the benchmark set (docs ≡ 0 mod 97
+    // as the eval stand-in). Benchmark grams broadcast; the corpus
+    // side never shuffles.
+    "llm_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "text", n = 5)
+    }),
+
+    // Gopher repetition filters (Rae et al. §A1.1): duplicate-segment
+    // and top-bigram character fractions, one codegen'd pass. Segment
+    // boundaries injected deterministically ('the' → '.') since the
+    // synthetic corpus has no sentence punctuation.
+    "llm_text_repetition" -> ((s, d) => {
+      val seg = regexp_replace(col("text"), "\\bthe\\b", ".")
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.repetitionStats(seg).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_seg_frac").as("dup_seg_frac"),
+          col("r.dup_seg_char_frac").as("dup_seg_char_frac"),
+          col("r.top_bigram_char_frac").as("top_bigram_char_frac"))
+    }),
+
+    // PII redaction: emails/IPv4/phone-runs → typed tokens + counts
+    // (PII synthesized onto the corpus so both engines see the same
+    // input). RE2-safe patterns, scan-speed rewrite.
+    "llm_pii_redact" -> ((s, d) => {
+      val withPii = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("text"))
+      withPii.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        TextAnalysis.piiCounts(col("text")).getField("emails").as("emails"),
+        TextAnalysis.piiCounts(col("text")).getField("ips").as("ips"))
+    }),
+
     // Language-ID heuristic — corpus text is synthetic English-ish, so
     // the interesting assertions live in LlmSpec on real multilingual
     // fixtures; here the distribution is the smoke surface.
@@ -309,6 +347,58 @@ object Llm {
            CAST(SUM(n_words) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_id
          FROM deduped""",
+    "llm_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+                 FROM w WHERE len(ws) >= 5)),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(DISTINCT g) AS hits
+         FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_text_repetition" ->
+      """WITH base AS (SELECT doc_id, regexp_replace(text, '\bthe\b', '.', 'g') AS t
+           FROM documents),
+         segs AS (SELECT doc_id, trim(s) AS s
+           FROM (SELECT doc_id, unnest(string_split_regex(t, '[.!?]')) AS s FROM base)
+           WHERE len(trim(s)) > 0),
+         segstats AS (SELECT doc_id, SUM(c - 1) AS dups,
+             SUM((c - 1) * len(s)) AS dupchars, SUM(c) AS nsegs
+           FROM (SELECT doc_id, s, count(*) AS c FROM segs GROUP BY 1, 2)
+           GROUP BY doc_id),
+         words AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(t), '\s+'), x -> len(x) > 0) AS ws
+           FROM base),
+         grams AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                 FROM words WHERE len(ws) >= 2)),
+         gstats AS (SELECT doc_id, max(c) AS run,
+             sum(c * glen)::DOUBLE / sum(c) AS meanlen
+           FROM (SELECT doc_id, g, count(*) AS c, len(g) AS glen
+                 FROM grams GROUP BY doc_id, g)
+           GROUP BY doc_id)
+         SELECT b.doc_id,
+           ROUND(coalesce(dups, 0) / greatest(nsegs, 1)::DOUBLE, 4) AS dup_seg_frac,
+           ROUND(coalesce(dupchars, 0) / greatest(len(t), 1)::DOUBLE, 4) AS dup_seg_char_frac,
+           ROUND(coalesce(run, 0) * coalesce(meanlen, 0) / greatest(len(t), 1), 4)
+             AS top_bigram_char_frac
+         FROM base b LEFT JOIN segstats USING (doc_id) LEFT JOIN gstats USING (doc_id)""",
+    "llm_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\b[0-9][0-9()+. -]{7,}[0-9]\b', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS ips
+         FROM p""",
     "llm_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
          FROM documents""",

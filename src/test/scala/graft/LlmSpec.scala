@@ -163,6 +163,49 @@ class LlmSpec extends SparkSpec {
     assert(frames.count() == 2) // 10 bytes / 4 → frames 0,1 (floor-1 clamp)
   }
 
+  test("decontaminate flags exactly the docs sharing a benchmark n-gram") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),    // contains bench 5-gram
+      (2L, "one two three four five six"),            // clean
+      (3L, "x alpha beta gamma delta epsilon y"),     // shares the same 5-gram shifted
+      (4L, "alpha beta gamma four five six")          // only a 3-gram overlap → clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon")).toDF("text")
+    val got = Dedup.decontaminate(docs, "doc_id", "text", bench, "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L), got)
+  }
+
+  test("repetitionStats: duplicate segments and dominant bigram measured") {
+    val text = "spam eggs. spam eggs. spam eggs. unique line"
+    val r = Seq(Tuple1(text)).toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text")).as("r"))
+      .select("r.dup_seg_frac", "r.dup_seg_char_frac", "r.top_bigram_char_frac")
+      .as[(Double, Double, Double)].collect().head
+    // 4 segments, 'spam eggs' appears 3× → 2 dups
+    assert(r._1 == 0.5, r)
+    assert(r._2 > 0.0 && r._2 < 1.0, r)
+    // 'spam eggs' occurs 3 times among the bigrams — dominant share
+    assert(r._3 > 0.3, r)
+
+    val clean = Seq(Tuple1("all segments differ. every one. truly unique"))
+      .toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text")).as("r"))
+      .select("r.dup_seg_frac").as[Double].collect().head
+    assert(clean == 0.0)
+  }
+
+  test("redactPii replaces emails, IPs and phone runs with typed tokens") {
+    val text = "mail bob.smith+x@corp.example.org or 192.168.0.17 tel 555 123 4567 end"
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("red"),
+        TextAnalysis.piiCounts(col("text")).as("c"))
+      .select(col("red"), col("c.emails"), col("c.ips"))
+      .as[(String, Long, Long)].collect().head
+    assert(got._1 == "mail <EMAIL> or <IP> tel <PHONE> end", got)
+    assert(got._2 == 1L && got._3 == 1L)
+  }
+
   test("connectedComponents: chains, disjoint cliques and singleton-free edge lists") {
     // one long chain (multi-hop propagation), one triangle, one pair
     val edges = Seq(
