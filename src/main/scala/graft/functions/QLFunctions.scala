@@ -169,6 +169,12 @@ object QLFunctions {
       Literal.create("^(?:" + es(0).eval(null) + ")$", StringType)))
     reg("regex_partial_match")(es => RLike(es(1), es(0)))
     reg("regex_replace_all")(es => RegExpReplace(es(1), es(0), es(2)))
+    reg("regex_replace_first")(es => RegExpReplace(es(1),
+      Literal.create("(?s)(?:" + es(0).eval(null) + ")(.*)", StringType),
+      Literal.create(es(2).eval(null).toString + "$1", StringType)))
+    reg("regex_escape")(es => RegExpReplace(es.head,
+      Literal.create("([.\\[\\]{}()*+?\\\\^$|])", StringType),
+      Literal.create("\\\\$1", StringType)))
     reg("regex_extract")(es => RegExpExtract(es(1), es(0),
       if (es.length > 2) es(2) else Literal(1)))
     // hashes
@@ -186,7 +192,16 @@ object QLFunctions {
     floorReg("timestamp_floor_week", "week")
     floorReg("timestamp_floor_month", "month")
     floorReg("timestamp_floor_year", "year")
+    // _localtime variants (builtin_function_registry.cpp:280-300): the
+    // reference floors in the cluster's local zone; here "local" is the
+    // Spark session timezone, which date_trunc/date_format already use.
+    floorReg("timestamp_floor_hour_localtime", "hour")
+    floorReg("timestamp_floor_day_localtime", "day")
+    floorReg("timestamp_floor_week_localtime", "week")
+    floorReg("timestamp_floor_month_localtime", "month")
+    floorReg("timestamp_floor_year_localtime", "year")
     reg("format_timestamp")(es => DateFormatClass(es(0), es(1)))
+    reg("format_timestamp_localtime")(es => DateFormatClass(es(0), es(1)))
     // lists / maps
     reg("make_list")(es => CreateArray(es))
     reg("make_map")(es => CreateMap(es))
@@ -200,6 +215,18 @@ object QLFunctions {
     reg("try_get_string")(jsonGet)
     reg("get_string")(jsonGet)
     reg("try_get_any")(jsonGet)
+    reg("get_any")(jsonGet)
+    // to_any(v): typed value → canonical-JSON Any carrier. Lowered as
+    // to_json of a 1-element array with the brackets stripped, which
+    // JSON-encodes ANY input type (strings gain their quotes) without
+    // type dispatch at registration time.
+    reg("to_any") { es =>
+      val js = StructsToJson(Map.empty, CreateArray(es))
+      Substring(js, Literal(2), Subtract(Length(js), Literal(2)))
+    }
+    reg("yson_length")(es => Coalesce(Seq(
+      LengthOfJsonArray(es.head),
+      Size(JsonObjectKeys(es.head)))))
     reg("try_get_int64")(es => Cast(jsonGet(es), LongType))
     reg("get_int64")(es => Cast(jsonGet(es), LongType))
     reg("try_get_uint64")(es => Cast(jsonGet(es), LongType))

@@ -126,6 +126,30 @@ class SelectRowsSpec extends SparkSpec {
     assert(got.head.getSeq[Int](0) == Seq(10, 20, 30))
   }
 
+  test("registry completeness: regex_replace_first/escape, yson_length, to_any, get_any, localtime floors") {
+    val t = Seq((1L, """{"a":[1,2,3],"b":"x"}""", "a.b c"))
+      .toDF("k", "any", "s")
+    val got = SelectRows(spark,
+      "regex_replace_first('a', s, 'X') AS r1, regex_escape(s) AS esc, " +
+        "yson_length(try_get_any(any, '/a')) AS alen, " +
+        "to_any(k) AS ka, to_any(s) AS sa, " +
+        "get_any(any, '/b') AS b FROM [//tmp/fns]",
+      Map("//tmp/fns" -> t)).collect().head
+    assert(got.getString(0) == "X.b c")
+    assert(got.getString(1) == "a\\.b c")
+    assert(got.getInt(2) == 3)
+    assert(got.getString(3) == "1")
+    assert(got.getString(4) == "\"a.b c\"")
+    assert(got.getString(5) == "x")
+
+    val ts = Seq(Tuple1(java.sql.Timestamp.valueOf("2024-03-15 13:45:10")))
+      .toDF("ts")
+    val fl = SelectRows(spark,
+      "format_timestamp_localtime(timestamp_floor_day_localtime(ts), 'yyyy-MM-dd HH:mm') AS d FROM [//tmp/ts]",
+      Map("//tmp/ts" -> ts)).as[String].collect().head
+    assert(fl == "2024-03-15 00:00")
+  }
+
   test("ExplainQuery surface: transpiled SQL + formatted physical plan") {
     val t = Seq((1L, 10L), (2L, 20L)).toDF("a", "b")
     val out = SelectRows.explain(spark,
