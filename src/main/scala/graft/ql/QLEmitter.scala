@@ -31,7 +31,7 @@ object QLEmitter {
     // the generated row alias. arrays_zip names fields after plain
     // column refs, positionally otherwise.
     val zipClauses = q.joins.collect {
-      case c @ ArrayJoinClause(_, items) if items.length > 1 => c
+      case c @ ArrayJoinClause(_, items, _) if items.length > 1 => c
     }
     val arrayJoinSubst: Map[String, Expr] = zipClauses.flatMap { c =>
       c.items.zipWithIndex.map { case (it, ix) =>
@@ -129,17 +129,44 @@ object QLEmitter {
           val cond = pred.map(p => eqs :+ emit(p)).getOrElse(eqs)
           fromSql.append(cond.mkString(" ON (", " AND ", ")"))
         }
-      case ArrayJoinClause(isLeft, items) =>
+      case ArrayJoinClause(isLeft, items, pred) =>
         val fn = if (isLeft) "explode_outer" else "explode"
+        // AND predicate filters the UNNESTED rows BEFORE the explode
+        // (lambda over the array) so LEFT keeps parents whose every
+        // element fails it — one row of nulls, exactly TArrayJoin's
+        // predicate semantics (ql_query_ut.cpp ArrayJoinWithPredicate)
+        def filtered(arr: String, substPred: Expr => Expr): String =
+          pred match {
+            case None => arr
+            case Some(p) => s"filter($arr, _x -> ${emit(substPred(p))})"
+          }
         if (items.length == 1) {
           // ARRAY JOIN expr AS a → LATERAL VIEW explode (left = outer)
           val alias = items.head.alias.getOrElse("value0")
-          fromSql.append(s" LATERAL VIEW $fn(${emit(items.head.e)}) _aj$ajIdx AS $alias")
+          def substLambda(e: Expr): Expr = mapRefs(e) {
+            case Ref(Seq(`alias`)) => Some(Ref(Seq("_x")))
+            case _ => None
+          }
+          val arr = filtered(emit(items.head.e), substLambda)
+          fromSql.append(s" LATERAL VIEW $fn($arr) _aj$ajIdx AS ${quoteIdent(alias)}")
         } else {
           // zipped multi ARRAY JOIN: one explode of arrays_zip — the
           // aliases were rewritten to _ajz.<field> in the projection
+          val fieldOf: Map[String, String] = items.zipWithIndex.map {
+            case (it, ix) =>
+              val field = it.e match {
+                case Ref(parts) => parts.last
+                case _ => ix.toString
+              }
+              it.alias.getOrElse(s"value$ix") -> field
+          }.toMap
+          def substLambda(e: Expr): Expr = mapRefs(e) {
+            case Ref(Seq(one)) if fieldOf.contains(one) =>
+              Some(Ref(Seq("_x", fieldOf(one))))
+            case _ => None
+          }
           val zipped = items.map(it => emit(it.e)).mkString("arrays_zip(", ", ", ")")
-          fromSql.append(s" LATERAL VIEW $fn($zipped) _ajt AS _ajz")
+          fromSql.append(s" LATERAL VIEW $fn(${filtered(zipped, substLambda)}) _ajt AS _ajz")
         }
         ajIdx += 1
         pendingLateral = true
@@ -192,6 +219,10 @@ object QLEmitter {
       val d = if (distinct) "DISTINCT " else ""
       s"$name($d${args.map(emit).mkString(", ")})"
     case Bin(op, l, r) => emitBin(op, l, r)
+    // unary ops on the null literal are null (`-#`, `~#`;
+    // ql_query_ut.cpp UnaryNullOperations) — Spark's operators don't
+    // all accept NullType, so fold here
+    case Un(_, NullLit) => "NULL"
     case Un("NOT", x) => s"(NOT ${emit(x)})"
     case Un("-", x) => s"(- ${emit(x)})"
     case Un("~", x) => s"(~ ${emit(x)})"
@@ -206,12 +237,18 @@ object QLEmitter {
       }
       if (neg) s"(NOT ($body))" else s"($body)"
     case InList(tuple, rows, neg) =>
+      // a null member in the rowset MATCHES null (IsRowInRowset
+      // compares with null == null; ql_query_ut.cpp SimpleInWithNull) —
+      // SQL IN would never match it, so null rows take the
+      // conjunction lowering below where `=` becomes IS NULL / <=>
       val body =
-        if (tuple.length == 1 && rows.forall(_.length == 1))
+        if (tuple.length == 1 && rows.forall(_.length == 1) &&
+            !rows.exists(_.head == NullLit))
           s"${emit(tuple.head)} IN (${rows.map(r => emit(r.head)).mkString(", ")})"
         else rows.map { row =>
           require(row.length == tuple.length, "IN tuple arity mismatch")
-          tuple.zip(row).map { case (a, b) => s"${emit(a)} = ${emit(b)}" }
+          // through emitBin so null members lower to IS NULL / <=>
+          tuple.zip(row).map { case (a, b) => emitBin("=", a, b) }
             .mkString("(", " AND ", ")")
         }.mkString("(", " OR ", ")")
       if (neg) s"(NOT ($body))" else s"($body)"
@@ -315,6 +352,26 @@ object QLEmitter {
     }
   }
 
+  /** Generic bottom-up rewrite: `f` returning Some replaces the node. */
+  private def mapRefs(e: Expr)(f: Expr => Option[Expr]): Expr = f(e).getOrElse(e match {
+    case Call(n, args, d) => Call(n, args.map(mapRefs(_)(f)), d)
+    case Bin(op, l, r) => Bin(op, mapRefs(l)(f), mapRefs(r)(f))
+    case Un(op, x) => Un(op, mapRefs(x)(f))
+    case IsNullOp(x, n) => IsNullOp(mapRefs(x)(f), n)
+    case LikeOp(x, k, p, esc, n) =>
+      LikeOp(mapRefs(x)(f), k, mapRefs(p)(f), esc.map(mapRefs(_)(f)), n)
+    case InList(t, rows, n) =>
+      InList(t.map(mapRefs(_)(f)), rows.map(_.map(mapRefs(_)(f))), n)
+    case BetweenOp(t, rs, n) => BetweenOp(t.map(mapRefs(_)(f)),
+      rs.map { case (a, b) => (a.map(mapRefs(_)(f)), b.map(mapRefs(_)(f))) }, n)
+    case CaseExpr(o, bs, el) => CaseExpr(o.map(mapRefs(_)(f)),
+      bs.map { case (w, t) => (mapRefs(w)(f), mapRefs(t)(f)) }, el.map(mapRefs(_)(f)))
+    case TupleExpr(items) => TupleExpr(items.map(mapRefs(_)(f)))
+    case ItemAccess(x, i) => ItemAccess(mapRefs(x)(f), mapRefs(i)(f))
+    case other => other
+  })
+
   private def quoteIdent(s: String): String =
-    if (s.forall(c => c.isLetterOrDigit || c == '_')) s else s"`$s`"
+    if (s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_')) s
+    else "`" + s.replace("`", "``") + "`"
 }

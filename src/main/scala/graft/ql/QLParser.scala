@@ -67,6 +67,37 @@ object QLParser {
             s.substring(i + 2, close).forall(isIdentChar)) {
           out += TIdent(s.substring(i + 1, close), i); i = close + 1
         } else { out += TOp("[", i); i += 1 }
+      } else if (c == '`') {
+        // backtick-quoted identifier (lexer.rl; ql_query_ut.cpp
+        // QuotedColumnNames): escapes \n \t \r \\ \` \xNN \uNNNN decode
+        // into the identifier text; `//path` forms name tables
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        while (i < n && s.charAt(i) != '`') {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            s.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case '`' => sb.append('`'); i += 2
+              case 'x' if i + 3 < n =>
+                sb.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
+                i += 4
+              case 'u' if i + 5 < n =>
+                sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case other => sb.append(other); i += 2
+            }
+          } else { sb.append(ch); i += 1 }
+        }
+        if (i >= n) throw QLParseException("unterminated quoted identifier", start)
+        i += 1
+        val text = sb.toString
+        if (text.startsWith("//")) out += TTable(text, start)
+        else out += TIdent(text, start)
       } else if (c == '\'' || c == '"') {
         val start = i
         i += 1
@@ -165,7 +196,11 @@ object QLParser {
   final case class JoinClause(isLeft: Boolean, table: TableRef,
       using: Seq[String], on: Option[(Seq[Expr], Seq[Expr])],
       pred: Option[Expr]) extends JoinLike
-  final case class ArrayJoinClause(isLeft: Boolean, items: Seq[SelectItem]) extends JoinLike
+  /** `[LEFT] ARRAY JOIN items [AND predicate]` (ast.h:485-501
+    * TArrayJoin::Predicate): the predicate filters UNNESTED rows; LEFT
+    * keeps parents whose every unnested row fails it (nulls). */
+  final case class ArrayJoinClause(isLeft: Boolean, items: Seq[SelectItem],
+      pred: Option[Expr] = None) extends JoinLike
 
   /** ETotalsMode (query_common.h:78-82). */
   sealed trait TotalsMode
@@ -359,7 +394,9 @@ object QLParser {
         val isLeft = tryKw("LEFT")
         if (tryKw("ARRAY")) {
           takeKw("JOIN")
-          out += ArrayJoinClause(isLeft, selectList())
+          val items = selectList()
+          val pred = if (tryKw("AND")) Some(expr()) else None
+          out += ArrayJoinClause(isLeft, items, pred)
         } else if (tryKw("JOIN")) {
           val t = tableRef()
           // WITH HINT on a join clause (test_query.py:2556

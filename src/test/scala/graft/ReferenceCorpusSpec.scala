@@ -577,6 +577,63 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(lit0.toSeq == (0L until 10L))
   }
 
+  test("SimpleInWithNull (ql_query_ut.cpp:2561): null members in the IN rowset match nulls") {
+    val tt = Seq(
+      (None, Some(1L)), (Some(2L), None), (Some(2L), Some(1L)), (None, None)
+    ).map { case (a, b) => (a.map(Long.box).orNull, b.map(Long.box).orNull) }
+      .toDF("a", "b")
+    val got = SelectRows(spark,
+      "a, b FROM [//tmp/inn] where (a, b) in ((null, 1), (2, null))",
+      Map("//tmp/inn" -> tt)).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    assert(got.toSeq == Seq((-1L, 1L), (2L, -1L)))
+
+    // scalar IN with a null member
+    val one = SelectRows(spark,
+      "a FROM [//tmp/inn] where a in (null)", Map("//tmp/inn" -> tt))
+    assert(one.count() == 2)
+  }
+
+  test("ArrayJoinWithPredicate (ql_query_ut.cpp:5262): predicate filters unnested rows, LEFT keeps empty parents") {
+    val tt = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq(-1L, -2L, -3L)),
+      (3L, Seq(5L, 6L, 7L), Seq(-5L, -6L, -7L, -8L)),
+      (5L, Seq(9L), Seq(-9L))
+    ).toDF("key", "nestedA", "nestedB")
+    val got = SelectRows(spark,
+      "key, flattenedA, flattenedB FROM [//tmp/ajp] " +
+        "LEFT ARRAY JOIN nestedA AS flattenedA, nestedB AS flattenedB " +
+        "AND flattenedA IN (1, 2, 3, 4, 5)",
+      Map("//tmp/ajp" -> tt)).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).sorted
+    val N = Long.MinValue
+    assert(got.toSeq == Seq(
+      (1L, 1L, -1L), (1L, 2L, -2L), (1L, 3L, -3L), (1L, 4L, N),
+      (3L, 5L, -5L), (5L, N, N)).sorted)
+  }
+
+  test("QuotedColumnNames / SelectKeyword (ql_query_ut.cpp:9439): backtick identifiers and keyword columns") {
+    val weird = "column ]]] \n \t B ’ ` "
+    val t1 = Seq(4L, 10L).toDF(weird)
+    val got = SelectRows(spark,
+      "`column ]]] \\n \\t \\x42 \\u2019 \\` ` FROM `//tmp/q1`",
+      Map("//tmp/q1" -> t1)).as[Long].collect().sorted
+    assert(got.toSeq == Seq(4L, 10L))
+
+    val t2 = Seq(4L, 10L).toDF("where")
+    val got2 = SelectRows(spark, "`where` FROM [//tmp/q2]",
+      Map("//tmp/q2" -> t2)).as[Long].collect().sorted
+    assert(got2.toSeq == Seq(4L, 10L))
+  }
+
+  test("UnaryNullOperations (ql_query_ut.cpp:9501): unary minus / bitwise-not of the entity literal") {
+    assert(q("* from [//tmp/t] where a != (-#)").count() == 9)
+    assert(q("* from [//tmp/t] where a != ~#").count() == 9)
+  }
+
   test("test_cardinality (test_query.py:1397): HLL within 5% incl. totals row") {
     // 20000 distinct values inserted 4x over — 10000 distinct per parity
     val ct = (0 until 20000).flatMap(i => Seq.fill(4)(i.toLong)).toDF("a")
