@@ -212,6 +212,9 @@ object QLFunctions {
     // the canonical JSON Any carrier
     reg("yson_string_to_any")(es => graft.sources.Yson.YsonToJson(es.head))
     reg("any_to_yson_string")(es => graft.sources.Yson.JsonToYsonText(es.head))
+    // typed Any ordering (composite_compare.cpp CompareYsonValues)
+    reg("any_compare")(es => graft.sources.Yson.AnyCompare(es(0), es(1)))
+    reg("any_sort_key")(es => graft.sources.Yson.AnySortKey(es.head))
     reg("try_get_string")(jsonGet)
     reg("get_string")(jsonGet)
     reg("try_get_any")(jsonGet)

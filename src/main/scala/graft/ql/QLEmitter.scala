@@ -23,6 +23,65 @@ import QLParser._
   */
 object QLEmitter {
 
+  /** Typed `Any` comparison lowering (composite_compare.cpp
+    * CompareYsonValues; ql_query_ut.cpp CompareAny/CompareAnyMixed/
+    * OrderByAny): when an operand of a comparison is an Any column
+    * (per `anyCols`, collected from field metadata by [[SelectRows]])
+    * or an Any-producing call, ordering ops route through
+    * `any_compare` and ORDER BY keys through `any_sort_key` (an
+    * order-isomorphic byte encoding, so the sort stays a plain
+    * distributed binary sort). A typed operand mixed with an Any one
+    * is wrapped in `to_any` first. Equality needs no rewrite between
+    * two Any values — the carrier is canonical JSON, so string
+    * equality IS typed equality. */
+  def toSql(q: Query, anyCols: Set[String]): String =
+    toSql(rewriteAnyQuery(q, anyCols)) // Any-producing calls rewrite even with no tagged columns
+
+  private def isAnyish(e: Expr, anyCols: Set[String]): Boolean = e match {
+    case Ref(parts) => anyCols.contains(parts.last)
+    case Call(n, _, _) =>
+      n == "to_any" || n == "yson_string_to_any" || n == "get_any" || n == "try_get_any"
+    case _ => false
+  }
+
+  private def rewriteAnyExpr(e: Expr, anyCols: Set[String]): Expr = {
+    def anyish(x: Expr) = isAnyish(x, anyCols)
+    def wrap(x: Expr): Expr =
+      if (anyish(x)) x else Call("to_any", Seq(x))
+    mapRefs(e) {
+      case Bin(op @ ("<" | "<=" | ">" | ">="), l, r) if anyish(l) || anyish(r) =>
+        Some(Bin("raw" + op, Call("any_compare", Seq(wrap(l), wrap(r))), IntLit(0)))
+      case Bin(op @ ("=" | "!="), l, r) if anyish(l) != anyish(r) =>
+        Some(Bin(op, wrap(l), wrap(r)))
+      case _ => None
+    }
+  }
+
+  private def rewriteAnyQuery(q: Query, anyCols: Set[String]): Query = {
+    def rw(e: Expr): Expr = rewriteAnyExpr(e, anyCols)
+    q.copy(
+      select = q.select.map(si => si.copy(e = rw(si.e))),
+      from = q.from.map {
+        case SubquerySource(sub, a) => SubquerySource(rewriteAnyQuery(sub, anyCols), a)
+        case other => other
+      },
+      joins = q.joins.map {
+        case j: JoinClause => j.copy(
+          on = j.on.map { case (l, r) => (l.map(rw), r.map(rw)) },
+          pred = j.pred.map(rw))
+        case aj: ArrayJoinClause =>
+          aj.copy(items = aj.items.map(si => si.copy(e = rw(si.e))), pred = aj.pred.map(rw))
+      },
+      where = q.where.map(rw),
+      groupBy = q.groupBy.map(si => si.copy(e = rw(si.e))),
+      having = q.having.map(rw),
+      orderBy = q.orderBy.map { o =>
+        val e1 = rw(o.e)
+        if (isAnyish(e1, anyCols)) o.copy(e = Call("any_sort_key", Seq(e1)))
+        else o.copy(e = e1)
+      })
+  }
+
   def toSql(q: Query): String = {
     // Multi-item ARRAY JOIN is ZIPPED, not cartesian
     // (test_query.py:2008 test_array_join: lists align positionally,
@@ -297,6 +356,10 @@ object QLEmitter {
     val u64Cmp = Map("<" -> "u64_lt", "<=" -> "u64_leq",
       ">" -> "u64_gt", ">=" -> "u64_geq")
     (op, l, r) match {
+      // pre-lowered comparison (Any rewrite): emit verbatim, no null
+      // re-wrapping — any_compare already owns the semantics
+      case (o, _, _) if o.startsWith("raw") =>
+        s"(${emit(l)} ${o.stripPrefix("raw")} ${emit(r)})"
       case (o, _, UIntLit(_)) if u64Cmp.contains(o) =>
         s"${u64Cmp(o)}(${emit(l)}, ${emit(r)})"
       case (o, UIntLit(_), _) if u64Cmp.contains(o) =>

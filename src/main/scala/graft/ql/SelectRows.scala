@@ -50,7 +50,7 @@ object SelectRows {
     catalog.foreach { case (path, df) =>
       df.createOrReplaceTempView(viewName(path))
     }
-    val sql = transpile(ql)
+    val sql = transpile(ql, anyColumns(catalog))
     val prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
     spark.conf.set("spark.sql.groupByOrdinal", "false")
     try spark.sql(sql)
@@ -94,7 +94,7 @@ object SelectRows {
   def explain(spark: SparkSession, ql: String,
       catalog: Map[String, DataFrame] = Map.empty): String = {
     val df = apply(spark, ql, catalog)
-    val sql = transpile(ql)
+    val sql = transpile(ql, anyColumns(catalog))
     s"-- transpiled SQL --\n$sql\n-- physical plan --\n" +
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -108,8 +108,22 @@ object SelectRows {
     * [[QLEmitter]]; the legacy regex rewriter remains as a fallback
     * for strings the parser rejects (logged, so coverage gaps
     * surface). */
-  def transpile(ql: String): String =
-    try QLEmitter.toSql(QLParser.parse(ql))
+  def transpile(ql: String): String = transpile(ql, Set.empty[String])
+
+  /** Columns carrying the `any` logical type (field metadata written by
+    * [[graft.types.YtTypes.YtSchema.toStructType]]) — comparisons and
+    * sorts on these route through the typed Any ordering
+    * (QLEmitter's CompareAny lowering). */
+  def anyColumns(catalog: Map[String, DataFrame]): Set[String] = {
+    import graft.types.YtTypes.YtTypeKey
+    catalog.values.flatMap(_.schema.fields.collect {
+      case f if f.metadata.contains(YtTypeKey) &&
+        f.metadata.getString(YtTypeKey) == "any" => f.name
+    }).toSet
+  }
+
+  def transpile(ql: String, anyCols: Set[String]): String =
+    try QLEmitter.toSql(QLParser.parse(ql), anyCols)
     catch {
       case e: QLParser.QLParseException =>
         System.err.println(s"QLParser fallback for: ${ql.take(120)} (${e.getMessage})")

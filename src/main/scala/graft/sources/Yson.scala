@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.graft.{shims => S}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -494,4 +494,144 @@ object Yson {
 
   def anyToYsonString(any: Column): Column =
     S.column(JsonToYsonText(S.expression(any)))
+
+  /** Typed comparison of two Any values (composite_compare.cpp:110-153
+    * CompareYsonItems, cg_routines.cpp:3734 CompareAny): lists compare
+    * itemwise with the shorter list first (EndList < value), entity
+    * (null) sorts below every value, and mismatched scalar types order
+    * by the EValueType rank (int < double < boolean < string < list).
+    * Scalars of one type compare by value — strings bytewise, doubles
+    * NaN-safe (NaN above all, NaN == NaN). Divergences from the JSON
+    * carrier: int64/uint64 collapse into one integer rank, and maps
+    * (incomparable in the reference — it throws) order last by their
+    * serialized form.
+    */
+  // readTree is thread-safe; shared so per-row eval doesn't allocate a mapper
+  private lazy val anyMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def compareAnyJson(l: UTF8String, r: UTF8String): Int = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def rank(n: JsonNode): Int =
+      if (n.isNull) 0
+      else if (n.isIntegralNumber) 1
+      else if (n.isFloatingPointNumber) 2
+      else if (n.isBoolean) 3
+      else if (n.isTextual) 4
+      else if (n.isArray) 5
+      else 6
+    def cmpBytes(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.compareUnsigned(x, y)
+    }
+    def cmp(a: JsonNode, b: JsonNode): Int = {
+      val (ra, rb) = (rank(a), rank(b))
+      if (ra != rb) Integer.compare(ra, rb)
+      else ra match {
+        case 0 => 0
+        case 1 => java.lang.Long.compare(a.asLong, b.asLong)
+        case 2 => java.lang.Double.compare(a.asDouble, b.asDouble)
+        case 3 => java.lang.Boolean.compare(a.asBoolean, b.asBoolean)
+        case 4 => cmpBytes(a.asText, b.asText)
+        case 5 =>
+          val (ia, ib) = (a.elements(), b.elements())
+          var res = 0
+          while (res == 0 && ia.hasNext && ib.hasNext) res = cmp(ia.next(), ib.next())
+          if (res != 0) res
+          else Integer.compare(a.size, b.size) // EndList < any value
+        case _ => cmpBytes(a.toString, b.toString)
+      }
+    }
+    cmp(anyMapper.readTree(l.toString), anyMapper.readTree(r.toString))
+  }
+
+  case class AnyCompare(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any =
+      compareAnyJson(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = graft.sources.Yson.compareAnyJson($l, $r);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): AnyCompare =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def anyCompare(a: Column, b: Column): Column =
+    S.column(AnyCompare(S.expression(a), S.expression(b)))
+
+  /** Order-preserving byte encoding of an Any value: unsigned
+    * lexicographic order of the output equals [[compareAnyJson]]'s
+    * typed order (the same trick as the reference's key encoding used
+    * for sorting composite values). Layout: 1 rank byte (null 0, int 1,
+    * double 2, bool 3, string 4, list 5, map 6), then int64 as
+    * big-endian with the sign bit flipped, double via the
+    * total-order bit trick, strings 0x00-escaped (0x00→0x00 0x01) with
+    * a 0x00 0x00 terminator, lists as 0x01-prefixed items closed by
+    * 0x00 (EndList sorts below any value). Makes ORDER BY / range
+    * partitioning on Any columns a plain binary sort — distributed,
+    * no custom comparator. */
+  def anySortKeyBytes(s: UTF8String): Array[Byte] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val out = new java.io.ByteArrayOutputStream(64)
+    def writeLong(v: Long): Unit = {
+      var i = 56
+      while (i >= 0) { out.write(((v >>> i) & 0xff).toInt); i -= 8 }
+    }
+    def writeEscaped(bytes: Array[Byte]): Unit = {
+      var i = 0
+      while (i < bytes.length) {
+        out.write(bytes(i))
+        if (bytes(i) == 0) out.write(1)
+        i += 1
+      }
+      out.write(0); out.write(0)
+    }
+    def enc(n: JsonNode): Unit = {
+      if (n.isNull) out.write(0)
+      else if (n.isIntegralNumber) { out.write(1); writeLong(n.asLong ^ Long.MinValue) }
+      else if (n.isFloatingPointNumber) {
+        out.write(2)
+        val bits = java.lang.Double.doubleToLongBits(n.asDouble) // canonical NaN > +inf
+        writeLong(if (bits < 0) ~bits else bits ^ Long.MinValue)
+      } else if (n.isBoolean) { out.write(3); out.write(if (n.asBoolean) 1 else 0) }
+      else if (n.isTextual) {
+        out.write(4)
+        writeEscaped(n.asText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else if (n.isArray) {
+        out.write(5)
+        val it = n.elements()
+        while (it.hasNext) { out.write(1); enc(it.next()) }
+        out.write(0)
+      } else {
+        out.write(6)
+        writeEscaped(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    enc(anyMapper.readTree(s.toString))
+    out.toByteArray
+  }
+
+  case class AnySortKey(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override protected def nullSafeEval(v: Any): Any =
+      anySortKeyBytes(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.sources.Yson.anySortKeyBytes($c)")
+    override protected def withNewChildInternal(c: Expression): AnySortKey =
+      copy(child = c)
+  }
+
+  def anySortKey(a: Column): Column = S.column(AnySortKey(S.expression(a)))
 }

@@ -647,6 +647,85 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got(2) > 19000 && got(2) < 21000, got.toSeq) // totals row
   }
 
+  // ---- typed Any ordering (ql_query_ut.cpp CompareAny family) ----
+  // Any carrier is canonical JSON; the schemas tag columns with the
+  // `any` logical type so SelectRows routes comparisons through
+  // any_compare / any_sort_key (QLEmitter's CompareAny lowering).
+
+  private def anyTagged(rows: Seq[Seq[Any]], cols: (String, graft.types.YtTypes.YtType)*) = {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val schema = YtSchema(cols.map { case (n, t) => YtColumn(n, t) }).toStructType
+    spark.createDataFrame(rows.map(r => Row(r: _*)).asJava, schema)
+  }
+
+  test("CompareAny (ql_query_ut.cpp:7500): <,>,<=,>=,=,!= over Any pairs") {
+    import graft.types.YtTypes.YtAny
+    // (a, b, a<b) — a=b when the flag is false, exactly the reference rows
+    val rows = Seq(
+      ("false", "true", true), ("false", "false", false),
+      ("1", "2", true), ("1", "1", false),
+      ("1", "2", true), ("1", "1", false),          // the uint pairs
+      ("1.0", "2.0", true), ("1.0", "1.0", false),
+      ("\"x\"", "\"y\"", true), ("\"x\"", "\"x\"", false),
+      ("[1,2,3]", "[1,3,4]", true), ("[1,2,3]", "[1,2,3]", false))
+    val df = anyTagged(rows.map(r => Seq(r._1, r._2)), "a" -> YtAny, "b" -> YtAny)
+    val got = SelectRows(spark,
+      "a < b as r1, a > b as r2, a <= b as r3, a >= b as r4, a = b as r5, a != b as r6 from [//tmp/cmpany]",
+      Map("//tmp/cmpany" -> df))
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    got.zip(rows).foreach { case (r, (a, b, lt)) =>
+      assert(r == (lt, false, true, !lt, !lt, lt), s"$a vs $b")
+    }
+  }
+
+  test("CompareAnyMixed (ql_query_ut.cpp:7554): Any column vs typed column") {
+    import graft.types.YtTypes._
+    val ql = "a < b as r1, a > b as r2, a <= b as r3, a >= b as r4, " +
+      "a = b as r5, a != b as r6, a < b = b > a and a > b = b < a as r7 from [//tmp/cmpmix]"
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val got = SelectRows(spark, ql, Map("//tmp/cmpmix" -> df))
+        .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      assert(got.toSeq == Seq(
+        (true, false, true, false, false, true, true),
+        (false, false, true, true, true, false, true)))
+    }
+    check(anyTagged(Seq(Seq("false", true), Seq("false", false)),
+      "a" -> YtAny, "b" -> YtBoolean))
+    check(anyTagged(Seq(Seq("1", 2L), Seq("1", 1L)),
+      "a" -> YtAny, "b" -> YtInt64))
+    check(anyTagged(Seq(Seq("1", 2L), Seq("1", 1L)),
+      "a" -> YtAny, "b" -> YtUint64))
+    check(anyTagged(Seq(Seq("1.0", 2.0), Seq("1.0", 1.0)),
+      "a" -> YtAny, "b" -> YtDouble))
+    check(anyTagged(Seq(Seq("\"x\"", "y"), Seq("\"x\"", "x")),
+      "a" -> YtAny, "b" -> YtUtf8))
+  }
+
+  test("ToAnyAndCompare (ql_query_ut.cpp:7617): to_any(a) = a for every scalar type") {
+    import graft.types.YtTypes._
+    def check(df: org.apache.spark.sql.DataFrame): Unit =
+      assert(SelectRows(spark, "to_any(a) = a as r from [//tmp/toany]",
+        Map("//tmp/toany" -> df)).as[Boolean].collect().toSeq == Seq(true))
+    check(anyTagged(Seq(Seq(false)), "a" -> YtBoolean))
+    check(anyTagged(Seq(Seq(1L)), "a" -> YtInt64))
+    check(anyTagged(Seq(Seq(1.0)), "a" -> YtDouble))
+    check(anyTagged(Seq(Seq("x")), "a" -> YtUtf8))
+  }
+
+  test("OrderByAny / GroupByAny (ql_query_ut.cpp:10444,10466): typed sort + group on Any") {
+    import graft.types.YtTypes.YtAny
+    val lists = Seq("[1,2,3]", "[2,4,5]", "[2,3,4]", "[0]",
+      "[2,3,4]", "[2,4,5]", "[1,2,3]", "[0]", "[0]", "[1,2,3]")
+    val expected = Seq("[0]", "[1,2,3]", "[2,3,4]", "[2,4,5]")
+    val ordered = anyTagged(lists.take(4).map(Seq(_)), "a" -> YtAny)
+    assert(SelectRows(spark, "a from [//tmp/anyord] order by a limit 4",
+      Map("//tmp/anyord" -> ordered)).as[String].collect().toSeq == expected)
+    val grouped = anyTagged(lists.map(Seq(_)), "a" -> YtAny)
+    assert(SelectRows(spark, "a from [//tmp/anygrp] group by a order by a limit 4",
+      Map("//tmp/anygrp" -> grouped)).as[String].collect().toSeq == expected)
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
