@@ -16,6 +16,77 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchOps {
 
+  private val SegSplitRe = java.util.regex.Pattern.compile("[.!?]")
+  private val SumInts = new java.util.function.BiFunction[Integer, Integer, Integer] {
+    override def apply(a: Integer, b: Integer): Integer = Integer.valueOf(a.intValue + b.intValue)
+  }
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+
+  private def round4(v: Double): Double =
+    // mirrors Spark round(): HALF_UP decimal rounding
+    java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  // Spark's trim() strips ASCII space only — not the \t\n of String.trim
+  private def trimSpaces(s: String): String = {
+    var from = 0; var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  /** Gopher repetition stats in one hash-count pass (no per-row array
+    * sorts): returns (dup_seg_frac, dup_seg_char_frac,
+    * top_bigram_char_frac) with the exact semantics of the declarative
+    * fold it replaces — per distinct segment with count c: dups += c-1,
+    * dupChars += (c-1)·len; top bigram = max count; mean gram length
+    * averaged over ALL gram occurrences. */
+  def repetition(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = t.toString
+    val totalChars = math.max(text.length, 1).toDouble
+
+    var dups = 0L; var dupChars = 0L; var nsegs = 0L
+    val segCounts = new java.util.HashMap[String, Integer]()
+    val segs = SegSplitRe.split(text, -1)
+    var i = 0
+    while (i < segs.length) {
+      val s = trimSpaces(segs(i))
+      if (s.nonEmpty) {
+        nsegs += 1
+        val c = segCounts.merge(s, Integer.valueOf(1), SumInts)
+        if (c > 1) { dups += 1; dupChars += s.length }
+      }
+      i += 1
+    }
+
+    val rawWords = WsRe.split(text.toLowerCase(java.util.Locale.ROOT), -1)
+    val words = new java.util.ArrayList[String](rawWords.length)
+    i = 0
+    while (i < rawWords.length) {
+      if (rawWords(i).nonEmpty) words.add(rawWords(i))
+      i += 1
+    }
+    var run = 0L; var gramLenSum = 0L; var gramCount = 0L
+    if (words.size >= 2) {
+      val gramCounts = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i < words.size - 1) {
+        val g = words.get(i) + " " + words.get(i + 1)
+        val c = gramCounts.merge(g, Integer.valueOf(1), SumInts)
+        if (c > run) run = c.longValue()
+        gramLenSum += g.length
+        gramCount += 1
+        i += 1
+      }
+    }
+    val meanGramLen = if (gramCount > 0) gramLenSum.toDouble / gramCount else 0.0
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      round4(dups.toDouble / math.max(nsegs, 1L)),
+      round4(dupChars.toDouble / totalChars),
+      round4(run * meanGramLen / totalChars)))
+  }
+
   def minhash(arr: ArrayData, salts: Array[Long]): ArrayData = {
     val n = arr.numElements()
     val numHashes = salts.length

@@ -112,6 +112,26 @@ object Sketches {
 
   def langId(text: Column): Column = S.column(LangId(S.expression(text)))
 
+  /** Gopher repetition stats ([[SketchOps.repetition]]) — one
+    * hash-count pass per row, replacing the declarative
+    * sort+fold-over-bigram-arrays form (which spent the whole bench in
+    * per-row array_sort and struct-allocating lambdas). */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dup_seg_frac", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_seg_char_frac", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_bigram_char_frac", DoubleType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.repetition(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.repetition($c);")
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+  }
+
   /** N path extractions from one JSON document with ONE parse — the
     * multi-accessor replacement for chained get_json_object calls
     * (each of which re-parses the document; Spark's json_tuple only

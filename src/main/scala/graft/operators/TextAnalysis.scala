@@ -105,42 +105,8 @@ object TextAnalysis {
     * Returns struct(dup_seg_frac, dup_seg_char_frac, top_bigram_char_frac).
     */
   def repetitionStats(text: Column): Column = {
-    // segments: sentence-ish splits (the corpus has no newlines)
-    val segs = filter(transform(split(text, "[.!?]"), s => trim(s)),
-      s => length(s) > 0)
-    val sorted = array_sort(segs)
-    // fold over the sorted array counting elements that equal their
-    // predecessor — every repeat of a segment beyond the first is dup
-    val dupCounts = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("dups"), lit(0L).as("dupChars")),
-      (acc, s) => struct(
-        s.as("prev"),
-        (acc.getField("dups") + when(s === acc.getField("prev"), 1L).otherwise(0L)).as("dups"),
-        (acc.getField("dupChars") +
-          when(s === acc.getField("prev"), length(s).cast("long")).otherwise(0L)).as("dupChars")))
-    val nSegs = greatest(size(segs).cast("double"), lit(1.0))
-    val nChars = greatest(length(text).cast("double"), lit(1.0))
-
-    val grams = array_sort(wordNgrams(lower(text), 2))
-    // longest run in the sorted gram array = max occurrence count
-    val topRun = aggregate(
-      grams,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    // chars covered by the top 2-gram ≈ run · mean gram length
-    val meanGramLen = when(size(grams) > 0,
-      aggregate(grams, lit(0L), (a, g) => a + length(g).cast("long")).cast("double") /
-        size(grams).cast("double")).otherwise(lit(0.0))
-    struct(
-      round(dupCounts.getField("dups").cast("double") / nSegs, 4).as("dup_seg_frac"),
-      round(dupCounts.getField("dupChars").cast("double") / nChars, 4).as("dup_seg_char_frac"),
-      round(topRun.cast("double") * meanGramLen / nChars, 4).as("top_bigram_char_frac"))
+    import org.apache.spark.sql.graft.{shims => S}
+    S.column(graft.functions.Sketches.RepetitionStats(S.expression(text)))
   }
 
   /** PII redaction: emails, IPv4s and long digit runs (phone-ish)
