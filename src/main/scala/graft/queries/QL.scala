@@ -269,10 +269,35 @@ object QL {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
           col("value"))
         .groupBy(col("k"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value")))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))),
+
+    // Typed Any ordering (composite_compare.cpp CompareYsonValues;
+    // ql_query_ut.cpp CompareAny): list Anys built per-row, compared
+    // through any_compare via the QL string surface. DuckDB's native
+    // list comparison is the oracle (same itemwise-then-length order).
+    "ql_any_compare" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+      graft.ql.SelectRows(s,
+        "l_orderkey, ln, case " +
+          "when any_compare(to_any(make_list(l_orderkey % 7, ln)), " +
+          "to_any(make_list(l_orderkey % 5, 3))) < 0 then int64(-1) " +
+          "when any_compare(to_any(make_list(l_orderkey % 7, ln)), " +
+          "to_any(make_list(l_orderkey % 5, 3))) > 0 then int64(1) " +
+          "else int64(0) end as cmp from [//tmp/anycmp]",
+        Map("//tmp/anycmp" -> li))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "ql_any_compare" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+         CASE WHEN [l_orderkey % 7, CAST(l_linenumber AS BIGINT)] <
+                   [l_orderkey % 5, CAST(3 AS BIGINT)] THEN CAST(-1 AS BIGINT)
+              WHEN [l_orderkey % 7, CAST(l_linenumber AS BIGINT)] >
+                   [l_orderkey % 5, CAST(3 AS BIGINT)] THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS cmp
+         FROM lineitem""",
     "ql_scan" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation",
     "ql_filter_where" ->
