@@ -164,6 +164,8 @@ object QLFunctions {
     // strings
     reg("is_substr")(es => Contains(es(1), es(0)))
     reg("is_prefix")(es => StartsWith(es(1), es(0)))
+    // variadic greatest incl. the 1-arg form (ql_query_ut.cpp Greatest)
+    reg("greatest")(es => if (es.length == 1) es.head else Greatest(es))
     // regex (argument order per the reference: pattern first)
     reg("regex_full_match")(es => RLike(es(1),
       Literal.create("^(?:" + es(0).eval(null) + ")$", StringType)))

@@ -726,6 +726,95 @@ class ReferenceCorpusSpec extends SparkSpec {
       Map("//tmp/anygrp" -> grouped)).as[String].collect().toSeq == expected)
   }
 
+  test("FilterNulls1/2 (ql_query_ut.cpp:2213): null fails b > 0, is_null rescues it") {
+    val ft = Seq((4L, Some(5L)), (6L, None), (10L, Some(11L))).toDF("a", "b")
+    val cat = Map("//tmp/fn" -> ft)
+    val strict = SelectRows(spark, "a, b from [//tmp/fn] where b > 0", cat)
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(strict.toSeq == Seq((4L, Some(5L)), (10L, Some(11L))))
+    val rescued = SelectRows(spark,
+      "a, b from [//tmp/fn] where b > 0 or is_null(b)", cat)
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(rescued.map(_._1).toSeq == Seq(4L, 6L, 10L))
+  }
+
+  test("Greatest (ql_query_ut.cpp:10303): variadic incl. 1-arg, ints and strings") {
+    val gt = Seq((1L, 1.0, "a"), (-10L, -10.0, "xa"), (1333L, 1333.3, "abac"))
+      .toDF("a", "c", "e")
+    val cat = Map("//tmp/gr" -> gt)
+    val ints = SelectRows(spark,
+      "greatest(a) as r1, greatest(5, a) as r2, greatest(0, 7, a) as r3 from [//tmp/gr]", cat)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(ints.toSeq == Seq((-10L, 5L, 7L), (1L, 5L, 7L), (1333L, 1333L, 1333L)))
+    val strs = SelectRows(spark,
+      "greatest(e) as r1, greatest('ada', e) as r2 from [//tmp/gr]", cat)
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(strs.toSeq == Seq(("a", "ada"), ("abac", "ada"), ("xa", "xa")))
+  }
+
+  test("IsPrefixStrings / IsSubstrStrings (ql_query_ut.cpp:2840): needle-first argument order") {
+    val st = Seq("foobar", "barfoo", "abc", "baz foo bar", "baz fo bar", "xyz", "baz")
+      .toDF("s")
+    val cat = Map("//tmp/ps" -> st)
+    assert(SelectRows(spark,
+      """s from [//tmp/ps] where is_prefix("foo", s)""", cat)
+      .as[String].collect().toSeq == Seq("foobar"))
+    val subs = SelectRows(spark,
+      """s from [//tmp/ps] where is_substr("foo", s) or is_substr(s, "XX baz YY")""", cat)
+      .as[String].collect().sorted
+    assert(subs.toSeq == Seq("barfoo", "baz", "baz foo bar", "foobar"))
+  }
+
+  test("GroupByBool / StringAgg (ql_query_ut.cpp:2885,8530): boolean group keys, min/max over strings") {
+    val bt = (1 to 9).map(i => (i.toLong, 10L * i)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "x, sum(b) as t from [//tmp/gb] where a > 1 group by a % 2 = 1 as x",
+      Map("//tmp/gb" -> bt)).as[(Boolean, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((false, 200L), (true, 240L)))
+    val sa = Seq("one", "two", "three", "four", "fo").toDF("a")
+    val mm = SelectRows(spark,
+      "min(a) as b, max(a) as c from [//tmp/sa] group by 1",
+      Map("//tmp/sa" -> sa)).as[(String, String)].collect()
+    assert(mm.toSeq == Seq(("fo", "two")))
+  }
+
+  test("MultipleBetweenAndString (ql_query_ut.cpp:2451): string prefix-tuple range list") {
+    val rows = Seq(("1", "10"), ("1", "30"), ("2", "20"), ("2", "30"), ("2", "40"),
+      ("2", "50"), ("3", "30"), ("3", "50"), ("3", "60"), ("4", "5"), ("5", "5"),
+      ("6", "5"), ("10", "11"), ("15", "11"))
+    val got = SelectRows(spark,
+      """a, b from [//tmp/sb] where
+          (a, b) between (
+              ("1") and ("1", "20"),
+              ("2", "30") and ("2", "40"),
+              ("3", "50") and ("3"),
+              "4" and "5"
+          )""",
+      Map("//tmp/sb" -> rows.toDF("a", "b"))).as[(String, String)].collect().sorted
+    assert(got.toSeq == Seq(("1", "10"), ("2", "30"), ("2", "40"), ("3", "50"),
+      ("3", "60"), ("4", "5"), ("5", "5")).sorted)
+  }
+
+  test("TwoLeftJoinOneToMany (ql_query_ut.cpp:6504): chained LEFT JOINs fan out 2x3") {
+    val phrases = Seq((49353617L, 4098243503L)).toDF("cid", "pid")
+    val tagGroup = Seq((4098243503L, 39139420L), (4098243503L, 39139421L))
+      .toDF("pid", "tag_id")
+    val stat = Seq(
+      (49353617L, 4098243503L, 1579813200L),
+      (49353617L, 4098243503L, 1580072400L),
+      (49353617L, 4098243503L, 1580158800L)).toDF("ExportID", "GroupExportID", "UpdateTime")
+    val got = SelectRows(spark,
+      """TG.tag_id as tag_id, S.UpdateTime as UpdateTime
+         FROM [//tmp/phrases] AS P
+         LEFT JOIN [//tmp/tag_group] AS TG ON P.pid = TG.pid
+         LEFT JOIN [//tmp/stat] AS S ON (P.cid, P.pid) = (S.ExportID, S.GroupExportID)""",
+      Map("//tmp/phrases" -> phrases, "//tmp/tag_group" -> tagGroup,
+        "//tmp/stat" -> stat)).as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq(
+      (39139420L, 1579813200L), (39139420L, 1580072400L), (39139420L, 1580158800L),
+      (39139421L, 1579813200L), (39139421L, 1580072400L), (39139421L, 1580158800L)))
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
