@@ -324,7 +324,24 @@ object QLEmitter {
       elseE.foreach(x => sb.append(" ELSE ").append(emit(x)))
       sb.append(" END").toString
     case TupleExpr(items) => items.map(emit).mkString("(", ", ", ")")
+    // QL item access returns null out-of-bounds / on a missing key
+    // (ql_query_ut.cpp CompositeMemberAccessorListAndDict: `list[-1]`,
+    // `dict['missing']` → #) where ANSI `x[i]` throws. Integer indexes
+    // are list access → `get` (0-based, null OOB); anything else is a
+    // dict key → `try_element_at`. An index of unknown type (a column
+    // ref) keeps the raw form — the common case is a struct field path
+    // where Spark's own extractor is right.
+    case ItemAccess(x, idx) if isIntLike(idx) => s"get(${emit(x)}, ${emit(idx)})"
+    case ItemAccess(x, idx @ (StrLit(_) | Call(_, _, _))) =>
+      s"try_element_at(${emit(x)}, ${emit(idx)})"
     case ItemAccess(x, idx) => s"${emit(x)}[${emit(idx)}]"
+  }
+
+  private def isIntLike(e: Expr): Boolean = e match {
+    case IntLit(_) | UIntLit(_) => true
+    case Bin("+" | "-" | "*" | "/" | "%", l, r) => isIntLike(l) && isIntLike(r)
+    case Un("-" | "~", x) => isIntLike(x)
+    case _ => false
   }
 
   /** Lexicographic `tuple BETWEEN lo AND hi` (prefix-range semantics of

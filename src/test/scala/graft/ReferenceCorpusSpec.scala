@@ -815,6 +815,66 @@ class ReferenceCorpusSpec extends SparkSpec {
       (39139421L, 1579813200L), (39139421L, 1580072400L), (39139421L, 1580158800L)))
   }
 
+  test("AverageAgg2/3 (ql_query_ut.cpp:8464): avg per group, null-only group yields null") {
+    val at = Seq((3L, 3L, 1L), (53L, 2L, 3L), (8L, 5L, 32L), (24L, 7L, 4L),
+      (33L, 4L, 9L), (33L, 3L, 43L), (23L, 0L, 0L), (33L, 8L, 2L)).toDF("a", "b", "c")
+    val got = SelectRows(spark,
+      "avg(a) as r1, x, max(c) as r2, avg(c) as r3, min(a) as r4 from [//tmp/av] group by b % 2 as x",
+      Map("//tmp/av" -> at)).as[(Double, Long, Long, Double, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((35.5, 0L, 9L, 3.5, 23L), (17.0, 1L, 43L, 20.0, 3L)))
+
+    val nt = Seq((Some(3.0), 1L), (None, 1L), (None, 0L), (Some(7.0), 1L)).toDF("a", "b")
+    val got3 = SelectRows(spark, "b, avg(a) as x from [//tmp/av3] group by b",
+      Map("//tmp/av3" -> nt)).as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(got3.toSeq == Seq((0L, None), (1L, Some(5.0))))
+  }
+
+  test("Casts (ql_query_ut.cpp:8715): int64/double/uint64 casts with null passthrough") {
+    val ct = Seq(
+      (Some(3L), Some(34L), None: Option[Double]),
+      (None, None, Some(1.23)),
+      (Some(12L), None, None),
+      (None, Some(0L), Some(1.0)),
+      (Some(5L), None, None)).toDF("a", "b", "c")
+    val got = SelectRows(spark,
+      "int64(a) as r1, double(b) as r2, uint64(c) as r3 from [//tmp/cast]",
+      Map("//tmp/cast" -> ct))
+      .as[(Option[Long], Option[Double], Option[Long])].collect()
+    assert(got.toSeq.sortBy(_.toString) == Seq(
+      (Some(3L), Some(34.0), None), (None, None, Some(1L)), (Some(12L), None, None),
+      (None, Some(0.0), Some(1L)), (Some(5L), None, None)).sortBy(_.toString))
+  }
+
+  test("CompositeMemberAccessorListAndDict (ql_query_ut.cpp:7961): deep struct/list/dict paths") {
+    val base = Seq(
+      (Seq(1, 2, 3), Map("i" -> 1, "j" -> 2, "k" -> 3), Map("a" -> "b", "c" -> "d")),
+      (Seq(2), Map("i" -> 2), Map.empty[String, String]),
+      (Seq(3), Map("i" -> 3), Map.empty[String, String]),
+      (Seq.empty[Int], Map.empty[String, Int], Map.empty[String, String]))
+      .toDF("list", "d1", "dict")
+      .selectExpr(
+        "named_struct('a', named_struct('b', named_struct('list', list, 'dict', d1))) as struct",
+        "dict")
+    val cat = Map("//tmp/cm" -> base)
+    def ints(ql: String): Seq[Option[Int]] =
+      SelectRows(spark, ql, cat).as[Option[Int]].collect().toSeq.sortBy(_.getOrElse(Int.MaxValue))
+    assert(SelectRows(spark,
+      "t.dict['a'] as a, t.dict['c'] as c from [//tmp/cm] as t where t.dict['a'] = 'b'", cat)
+      .as[(String, String)].collect().toSeq == Seq(("b", "d")))
+    assert(ints("t.struct.a.b.list[0] as c from [//tmp/cm] as t") ==
+      Seq(Some(1), Some(2), Some(3), None))
+    assert(ints("t.struct.a.b.dict['i'] as c from [//tmp/cm] as t") ==
+      Seq(Some(1), Some(2), Some(3), None))
+    assert(ints("t.struct.a.b.list[1+1] as c from [//tmp/cm] as t") ==
+      Seq(Some(3), None, None, None))
+    assert(ints("t.struct.a.b.dict[concat('k', '')] as c from [//tmp/cm] as t") ==
+      Seq(Some(3), None, None, None))
+    assert(ints("t.struct.a.b.list[0-1] as c from [//tmp/cm] as t") ==
+      Seq(None, None, None, None))
+    assert(ints("t.struct.a.b.dict[concat('not_', 'exists')] as c from [//tmp/cm] as t") ==
+      Seq(None, None, None, None))
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
