@@ -261,6 +261,12 @@ object QLFunctions {
     reg("u64_to_string")(es => UnsignedToString(es.head))
     reg("parse_u64")(es => ParseUnsigned(es.head))
     reg("parse_uint64")(es => ParseUnsigned(es.head))
+    // argmin/argmax (ql_query_ut.cpp ArgMin): value at the extremum of
+    // the second argument
+    reg("argmin")(es =>
+      aggregate.MinBy(es(0), es(1)).toAggregateExpression())
+    reg("argmax")(es =>
+      aggregate.MaxBy(es(0), es(1)).toAggregateExpression())
     // QL cardinality = HyperLogLog count-distinct
     // (builtin_function_registry.cpp:255-268, udf/hyperloglog.cpp) —
     // shadows Spark's array-size builtin of the same name inside QL

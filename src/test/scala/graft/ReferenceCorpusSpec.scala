@@ -875,6 +875,31 @@ class ReferenceCorpusSpec extends SparkSpec {
       Seq(None, None, None, None))
   }
 
+  test("ComplexWithNull (ql_query_ut.cpp): null group key forms its own group, null arithmetic propagates") {
+    val rows = (1 to 9).map(i => (Some(i.toLong), Some(10L * i))) ++
+      Seq((Some(10L), None), (None, Some(1L)), (None, Some(2L)), (None, Some(3L)))
+    val ct = rows.toDF("a", "b")
+    val got = SelectRows(spark,
+      "x, sum(b) + x as t, sum(b) as y from [//tmp/cn] group by a % 2 as x",
+      Map("//tmp/cn" -> ct))
+      .as[(Option[Long], Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (None, None, Some(6L)),
+      (Some(0L), Some(200L), Some(200L)),
+      (Some(1L), Some(251L), Some(250L))))
+  }
+
+  test("ArgMin (ql_query_ut.cpp:8556): argmin over Any values through the string surface") {
+    import graft.types.YtTypes._
+    val rows = Seq(
+      Seq("[1,2,3]", 5.55, 1L), Seq("true", 4.44, 1L), Seq("""{"x":1}""", 3.33, 2L),
+      Seq("\"aleph\"", 4.44, 2L), Seq("0", 1.11, 1L), Seq(null, 6.66, 2L))
+    val df = anyTagged(rows, "v" -> YtAny, "d" -> YtDouble, "k" -> YtInt64)
+    val got = SelectRows(spark, "k, argmin(v, d) as c from [//tmp/am] group by k",
+      Map("//tmp/am" -> df)).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "0"), (2L, """{"x":1}""")))
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
