@@ -87,6 +87,28 @@ object SketchOps {
       round4(run * meanGramLen / totalChars)))
   }
 
+  /** Word n-grams as space-joined strings — the values of the
+    * declarative split→sequence→slice→concat_ws tree in one pass
+    * (the decontamination hot path explodes these per document). */
+  def wordGrams(text: UTF8String, n: Int): ArrayData = {
+    val raw = WsRe.split(text.toString, -1)
+    var wc = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) { raw(wc) = raw(i); wc += 1 }; i += 1 }
+    if (wc < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](wc - n + 1)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i + n <= wc) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(raw(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhash(arr: ArrayData, salts: Array[Long]): ArrayData = {
     val n = arr.numElements()
     val numHashes = salts.length

@@ -112,6 +112,21 @@ object Sketches {
 
   def langId(text: Column): Column = S.column(LangId(S.expression(text)))
 
+  /** Word n-grams as strings ([[SketchOps.wordGrams]]) — single-pass
+    * replacement for the split→sequence→slice→concat_ws HOF tree. */
+  case class WordGrams(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.wordGrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.wordGrams($c, $n);")
+    override protected def withNewChildInternal(newChild: Expression): WordGrams =
+      copy(child = newChild)
+  }
+
   /** Gopher repetition stats ([[SketchOps.repetition]]) — one
     * hash-count pass per row, replacing the declarative
     * sort+fold-over-bigram-arrays form (which spent the whole bench in

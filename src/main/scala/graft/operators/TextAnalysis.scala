@@ -89,11 +89,8 @@ object TextAnalysis {
   /** Word n-grams as strings (space-joined), for contamination checks
     * where the oracle must reproduce the grams exactly (hash-free). */
   def wordNgrams(text: Column, n: Int): Column = {
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graft.{shims => S}
+    S.column(graft.functions.Sketches.WordGrams(S.expression(text), n))
   }
 
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction
