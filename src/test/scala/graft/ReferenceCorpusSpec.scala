@@ -900,6 +900,31 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "0"), (2L, """{"x":1}""")))
   }
 
+  test("test_computed_column_simple (test_query.py): computed key populated on write, filter by source key") {
+    import org.apache.spark.sql.functions.col
+    val spec = graft.plans.ComputedColumns.Spec("key", "hash", (k: org.apache.spark.sql.Column) => k * 33)
+    val base = (0 until 100).map(i => (i.toLong, 2L * i)).toDF("key", "value")
+    val ct = graft.plans.ComputedColumns.withComputed(base, spec)
+      .select(col("hash"), col("key"), col("value"))
+    val cat = Map("//tmp/cc" -> ct)
+    val one = SelectRows(spark, "* from [//tmp/cc] where key = 42", cat)
+      .as[(Long, Long, Long)].collect()
+    assert(one.toSeq == Seq((42L * 33, 42L, 84L)))
+    val range = SelectRows(spark, "* from [//tmp/cc] where key >= 10 and key < 80", cat)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(range.toSeq == (10 until 80).map(i => (i.toLong * 33, i.toLong, 2L * i)))
+  }
+
+  test("test_join_different_types (test_query.py): USING join coerces int16 vs int32 keys") {
+    val tt = (0 until 5).map(i => (i.toShort, i.toString)).toDF("key", "value")
+    val tj = (0 until 10).map(i => (i, s"${i}_$i")).toDF("key", "value_value")
+    val got = SelectRows(spark, "* from [//tmp/tt] join [//tmp/tj] using key",
+      Map("//tmp/tt" -> tt, "//tmp/tj" -> tj))
+      .selectExpr("cast(key as int) as key", "value", "value_value")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == (0 until 5).map(i => (i, i.toString, s"${i}_$i")))
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
