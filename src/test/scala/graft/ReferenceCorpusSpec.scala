@@ -925,6 +925,36 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == (0 until 5).map(i => (i, i.toString, s"${i}_$i")))
   }
 
+  test("Multijoin (ql_query_ut.cpp): 3-way USING fan-out + LEFT vs empty table") {
+    val x = Seq(Tuple1(0L)).toDF("a")
+    val y = Seq((0L, 1L), (0L, 2L)).toDF("a", "b")
+    val z = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "c")
+    val q2 = Seq.empty[(Long, Long)].toDF("a", "d")
+    val got = SelectRows(spark,
+      "a, b, c from [//tmp/x] join [//tmp/y] using a join [//tmp/z] using a left join [//tmp/q] using a",
+      Map("//tmp/x" -> x, "//tmp/y" -> y, "//tmp/z" -> z, "//tmp/q" -> q2))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+    assert(got.toSeq == Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 1L, 2L),
+      (0L, 2L, 2L), (0L, 1L, 3L), (0L, 2L, 3L)))
+  }
+
+  test("JoinNonPrefixColumns (ql_query_ut.cpp): USING on a non-key column, null payload survives") {
+    val left = Seq(("a", None: Option[String]), ("b", None), ("c", None)).toDF("x", "y")
+    val right = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("a", "x")
+    val got = SelectRows(spark,
+      "x, a, y from [//tmp/jnl] join [//tmp/jnr] using x",
+      Map("//tmp/jnl" -> left, "//tmp/jnr" -> right))
+      .as[(String, Long, Option[String])].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(("a", 1L, None), ("b", 2L, None), ("c", 3L, None)))
+  }
+
+  test("ListExprToAny (ql_query_ut.cpp): to_any over a typed list column keeps the carrier form") {
+    val lt = Seq(Tuple1(Seq(1, 2, 3))).toDF("a")
+    val got = SelectRows(spark, "to_any(a) as b from [//tmp/lta]",
+      Map("//tmp/lta" -> lt)).as[String].collect()
+    assert(got.toSeq == Seq("[1,2,3]"))
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
