@@ -955,6 +955,21 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq("[1,2,3]"))
   }
 
+  test("SimpleIn / BigIn (ql_query_ut.cpp:2500,2523): mixed-type IN coercion, 50-member rowset") {
+    val it = Seq(4L, -10L, 15L).map(Tuple1(_)).toDF("a")
+    val cat = Map("//tmp/in" -> it)
+    assert(SelectRows(spark, "a from [//tmp/in] where a in (4.0, -10)", cat)
+      .as[Long].collect().sorted.toSeq == Seq(-10L, 4L))
+    assert(SelectRows(spark, "a from [//tmp/in] where a not in (4.0, -10)", cat)
+      .as[Long].collect().toSeq == Seq(15L))
+
+    val bt = Seq(4L, 10L, 15L, 17L, 18L, 22L, 31L).map(Tuple1(_)).toDF("a")
+    val big = (0 until 50).map(_ * 2).mkString(", ")
+    assert(SelectRows(spark, s"a from [//tmp/bin] where a in ($big)",
+      Map("//tmp/bin" -> bt)).as[Long].collect().sorted.toSeq ==
+      Seq(4L, 10L, 18L, 22L))
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
