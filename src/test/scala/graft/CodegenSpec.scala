@@ -35,4 +35,28 @@ class CodegenSpec extends SparkSpec {
       }
     }
   }
+
+  test("Any ordering, repetition and word-gram expressions compile under CODEGEN_ONLY") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val shims = org.apache.spark.sql.graft.shims
+      val docs = Seq(("[1,2,3]", "[1,3]", "a b. a b. c d"),
+        ("\"x\"", "1", "e f g")).toDF("a", "b", "text")
+      val out = docs.select(
+        graft.sources.Yson.anyCompare(col("a"), col("b")).as("cmp"),
+        graft.sources.Yson.anySortKey(col("a")).as("key"),
+        shims.column(graft.functions.Sketches.RepetitionStats(shims.expression(col("text")))).as("rep"),
+        shims.column(graft.functions.Sketches.WordGrams(shims.expression(col("text")), 2)).as("grams"))
+        .collect()
+      assert(out.length == 2)
+      assert(out.head.getAs[Int]("cmp") != 0)
+      assert(out.forall(_.getAs[Array[Byte]]("key").nonEmpty))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
