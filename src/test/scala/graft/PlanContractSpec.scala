@@ -158,6 +158,24 @@ class PlanContractSpec extends SparkSpec {
       "candidate join should be id-only:\n" + joinSection)
   }
 
+  test("ORDER BY on an Any column sorts on the binary key, not a comparator UDF") {
+    import spark.implicits._
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val schema = YtSchema(Seq(YtColumn("a", YtAny))).toStructType
+    val df = spark.createDataFrame(
+      Seq("[1,2,3]", "[0]", "[2,4]").map(v => org.apache.spark.sql.Row(v)).asJava, schema)
+    val sorted = graft.ql.SelectRows(spark,
+      "a from [//tmp/anyplan] order by a limit 10", Map("//tmp/anyplan" -> df))
+    sorted.collect()
+    val plan = planString(sorted)
+    // the sort key is the order-isomorphic byte encoding (codegen'd
+    // expression), so the top-k/sort machinery runs on plain binary —
+    // range-partitionable at scale, no row-by-row comparator calls
+    assert(plan.contains("anysortkey") || plan.contains("AnySortKey"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     // CommonKeyPrefix (query.h:345): both sides stored bucketed+sorted
     // on the join key merge locally per bucket — zero shuffle.
