@@ -970,6 +970,26 @@ class ReferenceCorpusSpec extends SparkSpec {
       Seq(4L, 10L, 18L, 22L))
   }
 
+  test("ComplexAlias (ql_query_ut.cpp): qualified refs through a table alias in group key and aggregate") {
+    val rows = Seq((10L, Some("x")), (20L, Some("y")), (30L, Some("x")), (40L, Some("x")),
+      (42L, None), (50L, Some("x")), (60L, Some("y")), (70L, Some("z")), (72L, None),
+      (80L, Some("y")), (85L, None), (90L, Some("z")))
+    val got = SelectRows(spark,
+      "x, sum(p.a) as t from [//tmp/ca] as p where p.a > 10 group by p.s as x",
+      Map("//tmp/ca" -> rows.toDF("a", "s")))
+      .as[(Option[String], Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((None, 199L), (Some("x"), 120L), (Some("y"), 160L),
+      (Some("z"), 160L)))
+  }
+
+  test("GroupByWithLimitFirst (ql_query_ut.cpp): first() aggregate reads the first row per key order") {
+    val ft = (0 until 10).map(i => (1L, i.toLong)).toDF("a", "b")
+      .repartition(1).sortWithinPartitions("a", "b")
+    val got = SelectRows(spark, "first(b) as f from [//tmp/gf] group by a limit 1",
+      Map("//tmp/gf" -> ft)).as[Long].collect()
+    assert(got.toSeq == Seq(0L))
+  }
+
   test("test_nan filters (test_query.py:1484): is_nan / is_null / guarded compare") {
     val nan = Double.NaN
     val dt = Seq((1.0, Some(nan)), (2.0, Some(2.0)), (3.0, None)).toDF("a", "b")
