@@ -345,14 +345,16 @@ object QL {
                       COUNT(*) AS cnt FROM orders GROUP BY 1)
          SELECT * FROM g WHERE cnt >= 3000
          UNION ALL
-         SELECT NULL, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE), SUM(cnt) FROM g""",
+         SELECT NULL, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE),
+                CAST(SUM(cnt) AS BIGINT) FROM g""",
     "ql_with_totals_after_having" ->
       """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
                       COUNT(*) AS cnt FROM orders GROUP BY 1),
               s AS (SELECT * FROM g WHERE cnt >= 3000)
          SELECT * FROM s
          UNION ALL
-         SELECT NULL, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE), SUM(cnt) FROM s""",
+         SELECT NULL, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE),
+                CAST(SUM(cnt) AS BIGINT) FROM s""",
     "ql_order_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
