@@ -87,7 +87,11 @@ case class DictSumAgg(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed bytes, not writeUTF: keys are data-derived and
+      // writeUTF throws past 64 KiB of encoded key
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -100,7 +104,9 @@ case class DictSumAgg(
     val m = new java.util.HashMap[String, Long](n * 2)
     var i = 0
     while (i < n) {
-      val k = in.readUTF()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val k = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
       m.put(k, in.readLong())
       i += 1
     }

@@ -61,10 +61,41 @@ object QLFunctions {
   // --- regex (re2 in the reference; Java regex here) -------------------
   def regex_full_match(pattern: String, s: Column): Column = s.rlike(s"^(?:$pattern)$$")
   def regex_partial_match(pattern: String, s: Column): Column = s.rlike(pattern)
+
+  /** Convert an re2 rewrite string (regex_udf.cpp: `\1`..`\9` group
+    * refs, `\\` literal backslash, `$` literal) to Java's replacement
+    * syntax (`$N` refs, `\` escapes). Without this, a user rewrite
+    * containing `$` or `\` is misread as Java rewrite syntax. */
+  private[graft] def javaRewrite(re2: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < re2.length) {
+      val c = re2.charAt(i)
+      if (c == '\\' && i + 1 < re2.length) {
+        val n = re2.charAt(i + 1)
+        if (n.isDigit) { sb.append('$').append(n); i += 2 }
+        else if (n == '\\') { sb.append("\\\\"); i += 2 }
+        else { sb.append("\\\\"); i += 1 } // lone backslash stays literal
+      } else if (c == '\\') { sb.append("\\\\"); i += 1 }
+      else if (c == '$') { sb.append("\\$"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Tail capture for replace-first: a NAMED group, so the
+    * backreference stays correct when the user pattern has its own
+    * capturing groups (with `(.*)`+`$1`, `$1` would bind to the user's
+    * first group and drop the string tail). */
+  private[graft] def replaceFirstPattern(pattern: String): String =
+    s"(?s)(?:$pattern)(?<qlReplTail>.*)"
+  private[graft] def replaceFirstRewrite(rewrite: String): String =
+    javaRewrite(rewrite) + "$" + "{qlReplTail}"
+
   def regex_replace_first(pattern: String, s: Column, rewrite: String): Column =
-    regexp_replace(s, lit(s"(?s)(?:$pattern)(.*)"), lit(rewrite + "$1"))
+    regexp_replace(s, lit(replaceFirstPattern(pattern)), lit(replaceFirstRewrite(rewrite)))
   def regex_replace_all(pattern: String, s: Column, rewrite: String): Column =
-    regexp_replace(s, pattern, rewrite)
+    regexp_replace(s, lit(pattern), lit(javaRewrite(rewrite)))
   def regex_extract(pattern: String, s: Column, group: Int = 1): Column =
     regexp_extract(s, pattern, group)
   def regex_escape(s: Column): Column =
@@ -170,10 +201,11 @@ object QLFunctions {
     reg("regex_full_match")(es => RLike(es(1),
       Literal.create("^(?:" + es(0).eval(null) + ")$", StringType)))
     reg("regex_partial_match")(es => RLike(es(1), es(0)))
-    reg("regex_replace_all")(es => RegExpReplace(es(1), es(0), es(2)))
+    reg("regex_replace_all")(es => RegExpReplace(es(1), es(0),
+      Literal.create(javaRewrite(es(2).eval(null).toString), StringType)))
     reg("regex_replace_first")(es => RegExpReplace(es(1),
-      Literal.create("(?s)(?:" + es(0).eval(null) + ")(.*)", StringType),
-      Literal.create(es(2).eval(null).toString + "$1", StringType)))
+      Literal.create(replaceFirstPattern(es(0).eval(null).toString), StringType),
+      Literal.create(replaceFirstRewrite(es(2).eval(null).toString), StringType)))
     reg("regex_escape")(es => RegExpReplace(es.head,
       Literal.create("([.\\[\\]{}()*+?\\\\^$|])", StringType),
       Literal.create("\\\\$1", StringType)))

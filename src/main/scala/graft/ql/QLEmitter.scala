@@ -34,18 +34,81 @@ object QLEmitter {
     * is wrapped in `to_any` first. Equality needs no rewrite between
     * two Any values — the carrier is canonical JSON, so string
     * equality IS typed equality. */
-  def toSql(q: Query, anyCols: Set[String]): String =
-    toSql(rewriteAnyQuery(q, anyCols)) // Any-producing calls rewrite even with no tagged columns
+  /** A table's column inventory: all field names plus the subset
+    * carrying the `any` logical type. Tracked PER TABLE so a typed
+    * column in one join side is never routed through the Any ordering
+    * just because another table has an Any column of the same name. */
+  final case class TableCols(all: Set[String], any: Set[String])
 
-  private def isAnyish(e: Expr, anyCols: Set[String]): Boolean = e match {
-    case Ref(parts) => anyCols.contains(parts.last)
+  def toSql(q: Query, anyCols: Set[String]): String =
+    // legacy name-only resolution (no per-table schema available):
+    // any ref whose last segment matches is treated as Any
+    toSql(rewriteAnyQuery(q, AnyResolution(Map.empty, anyCols)))
+
+  def toSql(q: Query, byTable: Map[String, TableCols]): String =
+    toSql(rewriteAnyQuery(q, AnyResolution(byTable, Set.empty)))
+
+  /** How Any-ness of a column reference resolves: `byTable` maps VIEW
+    * names (not aliases) to their column inventories; `nameFallback`
+    * is the legacy last-segment match used when no schema info exists. */
+  private final case class AnyResolution(
+      byTable: Map[String, TableCols], nameFallback: Set[String])
+
+  /** Aliases visible in `q`'s FROM/JOIN scope → their inventories. */
+  private def scopeOf(q: Query, res: AnyResolution): Map[String, TableCols] = {
+    def ofTable(path: String, alias: Option[String]): (String, TableCols) = {
+      val vn = SelectRows.viewName(path)
+      alias.getOrElse(vn) -> res.byTable.getOrElse(vn, TableCols(Set.empty, Set.empty))
+    }
+    val fromScope = q.from.map {
+      case TableRef(path, alias) => ofTable(path, alias)
+      case SubquerySource(sub, alias) =>
+        alias.getOrElse("_sub") -> subqueryCols(sub, res)
+    }
+    val joinScope = q.joins.collect {
+      case JoinClause(_, TableRef(path, alias), _, _, _) => ofTable(path, alias)
+    }
+    (fromScope ++ joinScope).toMap
+  }
+
+  /** The output inventory of a subquery source: select-item names, Any
+    * iff the item's expression is Anyish in the subquery's own scope. */
+  private def subqueryCols(sub: Query, res: AnyResolution): TableCols = {
+    val inner = scopeOf(sub, res)
+    val named = sub.select.flatMap { si =>
+      val name = si.alias.orElse(si.e match {
+        case Ref(parts) => Some(parts.last)
+        case _ => None
+      })
+      name.map(n => n -> isAnyish(si.e, inner, res))
+    }
+    val starCols =
+      if (sub.select.exists(_.e == Star)) inner.values.toSeq else Nil
+    TableCols(
+      named.map(_._1).toSet ++ starCols.flatMap(_.all),
+      named.collect { case (n, true) => n }.toSet ++ starCols.flatMap(_.any))
+  }
+
+  private def isAnyish(e: Expr, scope: Map[String, TableCols],
+      res: AnyResolution): Boolean = e match {
+    case Ref(parts) =>
+      if (res.byTable.isEmpty) res.nameFallback.contains(parts.last)
+      else if (parts.length >= 2 && scope.contains(parts.head))
+        scope(parts.head).any.contains(parts(1))
+      else {
+        // unqualified: Any iff every in-scope owner tags it Any
+        val c = parts.last
+        val owners = scope.values.filter(_.all.contains(c))
+        owners.nonEmpty && owners.forall(_.any.contains(c))
+      }
     case Call(n, _, _) =>
       n == "to_any" || n == "yson_string_to_any" || n == "get_any" || n == "try_get_any"
     case _ => false
   }
 
-  private def rewriteAnyExpr(e: Expr, anyCols: Set[String]): Expr = {
-    def anyish(x: Expr) = isAnyish(x, anyCols)
+  private def rewriteAnyExpr(e: Expr, scope: Map[String, TableCols],
+      res: AnyResolution): Expr = {
+    def anyish(x: Expr) = isAnyish(x, scope, res)
     def wrap(x: Expr): Expr =
       if (anyish(x)) x else Call("to_any", Seq(x))
     mapRefs(e) {
@@ -57,12 +120,13 @@ object QLEmitter {
     }
   }
 
-  private def rewriteAnyQuery(q: Query, anyCols: Set[String]): Query = {
-    def rw(e: Expr): Expr = rewriteAnyExpr(e, anyCols)
+  private def rewriteAnyQuery(q: Query, res: AnyResolution): Query = {
+    val scope = scopeOf(q, res)
+    def rw(e: Expr): Expr = rewriteAnyExpr(e, scope, res)
     q.copy(
       select = q.select.map(si => si.copy(e = rw(si.e))),
       from = q.from.map {
-        case SubquerySource(sub, a) => SubquerySource(rewriteAnyQuery(sub, anyCols), a)
+        case SubquerySource(sub, a) => SubquerySource(rewriteAnyQuery(sub, res), a)
         case other => other
       },
       joins = q.joins.map {
@@ -77,7 +141,7 @@ object QLEmitter {
       having = q.having.map(rw),
       orderBy = q.orderBy.map { o =>
         val e1 = rw(o.e)
-        if (isAnyish(e1, anyCols)) o.copy(e = Call("any_sort_key", Seq(e1)))
+        if (isAnyish(e1, scope, res)) o.copy(e = Call("any_sort_key", Seq(e1)))
         else o.copy(e = e1)
       })
   }
@@ -409,22 +473,26 @@ object QLEmitter {
       // (cg_fragment_compiler.cpp:1602-1628, tests
       // test_query.py:1911 test_select_with_canonical_null_relations):
       // null compares as the SMALLEST value and null == null is true —
-      // not SQL three-valued logic. Lowered as OR-of-simple-predicates
-      // so parquet pushdown still sees each disjunct.
+      // not SQL three-valued logic. Lowered as AND/OR of simple
+      // null-checked predicates so (a) parquet pushdown still sees each
+      // conjunct/disjunct and (b) the result is boolean-TOTAL: a
+      // comparison projected in the SELECT list yields false, never SQL
+      // NULL (the naive `a IS NULL OR a < b` returns NULL when only b
+      // is null — right under WHERE, wrong as a projected value).
       case ("=", _, _) => s"(${emit(l)} <=> ${emit(r)})"
       case ("!=", _, _) => s"(NOT (${emit(l)} <=> ${emit(r)}))"
       case ("<", _, _) =>
         val (a, b) = (emit(l), emit(r))
-        s"(($a IS NULL AND $b IS NOT NULL) OR ($a < $b))"
+        s"(($b IS NOT NULL) AND (($a IS NULL) OR ($a < $b)))"
       case ("<=", _, _) =>
         val (a, b) = (emit(l), emit(r))
-        s"(($a IS NULL) OR ($a <= $b))"
+        s"(($a IS NULL) OR (($b IS NOT NULL) AND ($a <= $b)))"
       case (">", _, _) =>
         val (a, b) = (emit(l), emit(r))
-        s"(($b IS NULL AND $a IS NOT NULL) OR ($a > $b))"
+        s"(($a IS NOT NULL) AND (($b IS NULL) OR ($a > $b)))"
       case (">=", _, _) =>
         val (a, b) = (emit(l), emit(r))
-        s"(($b IS NULL) OR ($a >= $b))"
+        s"(($b IS NULL) OR (($a IS NOT NULL) AND ($a >= $b)))"
       // QL `/` divides integrally on integers, float on doubles —
       // Spark's ANSI `/` is always double, so route through ql_div
       case ("/", _, _) => s"ql_div(${emit(l)}, ${emit(r)})"

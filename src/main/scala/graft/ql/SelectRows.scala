@@ -50,7 +50,7 @@ object SelectRows {
     catalog.foreach { case (path, df) =>
       df.createOrReplaceTempView(viewName(path))
     }
-    val sql = transpile(ql, anyColumns(catalog))
+    val sql = transpile(ql, anyScope(catalog))
     val prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
     spark.conf.set("spark.sql.groupByOrdinal", "false")
     try spark.sql(sql)
@@ -71,7 +71,9 @@ object SelectRows {
   private[ql] def substitutePlaceholders(ql: String,
       values: Map[String, Any]): String = {
     def lit(v: Any): String = v match {
-      case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+      // backslash escapes only — the QL lexer reads '' as two adjacent
+      // string literals, so SQL-style quote doubling would misparse
+      case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
       case b: Boolean => b.toString
       case d: Double => d.toString
       case f: Float => f.toString
@@ -94,7 +96,7 @@ object SelectRows {
   def explain(spark: SparkSession, ql: String,
       catalog: Map[String, DataFrame] = Map.empty): String = {
     val df = apply(spark, ql, catalog)
-    val sql = transpile(ql, anyColumns(catalog))
+    val sql = transpile(ql, anyScope(catalog))
     s"-- transpiled SQL --\n$sql\n-- physical plan --\n" +
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -121,6 +123,29 @@ object SelectRows {
         f.metadata.getString(YtTypeKey) == "any" => f.name
     }).toSet
   }
+
+  /** Per-view column inventories (all names + the `any`-typed subset),
+    * keyed by view name — the Any rewrite resolves refs against the
+    * query's own FROM/JOIN scope, so a typed column `x` in one table is
+    * never Any-routed because another table has an Any column `x`. */
+  def anyScope(catalog: Map[String, DataFrame]): Map[String, QLEmitter.TableCols] = {
+    import graft.types.YtTypes.YtTypeKey
+    catalog.map { case (path, df) =>
+      val anys = df.schema.fields.collect {
+        case f if f.metadata.contains(YtTypeKey) &&
+          f.metadata.getString(YtTypeKey) == "any" => f.name
+      }.toSet
+      viewName(path) -> QLEmitter.TableCols(df.schema.fieldNames.toSet, anys)
+    }
+  }
+
+  def transpile(ql: String, byTable: Map[String, QLEmitter.TableCols]): String =
+    try QLEmitter.toSql(QLParser.parse(ql), byTable)
+    catch {
+      case e: QLParser.QLParseException =>
+        System.err.println(s"QLParser fallback for: ${ql.take(120)} (${e.getMessage})")
+        transpileLegacy(ql)
+    }
 
   def transpile(ql: String, anyCols: Set[String]): String =
     try QLEmitter.toSql(QLParser.parse(ql), anyCols)

@@ -234,4 +234,28 @@ class FunctionsSpec extends SparkSpec {
     val big = rt.find(_.getString(0).length == 10000).get
     assert(big.getInt(3) < 200, s"gzip of 10k 'a' was ${big.getInt(3)} bytes")
   }
+
+  test("regex_replace_first: user capturing groups don't steal the tail backreference") {
+    val df = Seq("xaby").toDF("s")
+    // pattern has its own group (a): with a positional $1 the tail of the
+    // string would be replaced by "a"; the named tail group keeps "y"
+    val got = df.select(F.regex_replace_first("(a)b", col("s"), "Z")).as[String].head()
+    assert(got == "xZy")
+  }
+
+  test("regex_replace_first/all: $ and backslash in the rewrite are literal (re2 semantics)") {
+    val df = Seq("price 5").toDF("s")
+    assert(df.select(F.regex_replace_first("5", col("s"), "$9")).as[String].head() == "price $9")
+    assert(df.select(F.regex_replace_all("5", col("s"), "$9")).as[String].head() == "price $9")
+    // re2 \\1 backreference maps to the user's own group
+    assert(Seq("aab").toDF("s")
+      .select(F.regex_replace_first("(a+)", col("s"), """[\1]""")).as[String].head() == "[aa]b")
+  }
+
+  test("dict_sum survives keys past the 64 KiB writeUTF limit") {
+    val k = "k" * 70000
+    val df = Seq(Map(k -> 1L), Map(k -> 2L)).toDF("m").repartition(2)
+    val got = df.agg(Aggregators.dictSum(col("m"))).as[Map[String, Long]].head()
+    assert(got == Map(k -> 3L))
+  }
 }

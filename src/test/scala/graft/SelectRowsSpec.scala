@@ -159,4 +159,51 @@ class SelectRowsSpec extends SparkSpec {
     assert(out.contains("GROUP BY"))
     assert(out.contains("HashAggregate"), out.linesIterator.take(20).mkString("\n"))
   }
+
+  test("placeholder string values with apostrophes survive the QL lexer") {
+    val df = Seq(("it's", 1L), ("plain", 2L)).toDF("name", "v")
+    val got = SelectRows(spark, "v FROM [//tmp/ph] WHERE name = {n}",
+      Map("//tmp/ph" -> df), Map("n" -> "it's")).as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("Any routing is per table: a typed join column never routes through any_compare") {
+    import graft.ql.QLEmitter.TableCols
+    val byTable = Map(
+      "ta" -> TableCols(all = Set("id", "x"), any = Set("x")),
+      "tb" -> TableCols(all = Set("id", "x", "y"), any = Set.empty[String]))
+    val sql = SelectRows.transpile(
+      "a.id FROM [//ta] AS a JOIN [//tb] AS b ON (a.id) = (b.id) WHERE b.x < 2 AND a.x < to_any('2')",
+      byTable)
+    // b.x is typed in tb: plain comparison; a.x is Any in ta: any_compare
+    assert(!sql.contains("any_compare(to_any(b.x)"), sql)
+    assert(sql.contains("any_compare(a.x"), sql)
+  }
+
+  test("unqualified ref resolves against its owning table only") {
+    import graft.ql.QLEmitter.TableCols
+    val byTable = Map(
+      "ta" -> TableCols(all = Set("id", "p"), any = Set("p")),
+      "tb" -> TableCols(all = Set("id", "q"), any = Set.empty[String]))
+    val sql = SelectRows.transpile(
+      "id FROM [//ta] AS a JOIN [//tb] AS b ON (a.id) = (b.id) WHERE q < 2 AND p < to_any('1')",
+      byTable)
+    assert(!sql.contains("any_compare(to_any(q)"), sql) // q only in tb, typed
+    assert(sql.contains("any_compare(p"), sql)           // p only in ta, Any
+  }
+
+  test("projected null-smallest comparisons are boolean-total, never SQL NULL") {
+    val df = Seq[(java.lang.Long, java.lang.Long)]((1L, null), (null, 1L),
+      (null, null), (1L, 2L)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "a < b AS lt, a <= b AS le, a > b AS gt, a >= b AS ge FROM [//tmp/nullcmp]",
+      Map("//tmp/nullcmp" -> df))
+      .as[(Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    // null is the smallest value; null == null — no NULL results anywhere
+    assert(got == Seq(
+      (false, false, true, true),   // (1, null)
+      (true, true, false, false),   // (null, 1)
+      (false, true, false, true),   // (null, null)
+      (true, true, false, false)))  // (1, 2)
+  }
 }
