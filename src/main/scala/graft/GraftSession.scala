@@ -24,7 +24,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Deliberately NOT raised above Spark's default: a high threshold
+      // makes the planner broadcast whole fact tables at test scale
+      // (lineitem is 33 MiB at sf0.1), which inverts build/probe sides
+      // into a shape that cannot survive scale-up. With the realistic
+      // threshold, dims broadcast statically and AQE upgrades reduced
+      // join sides to broadcast from their RUNTIME size.
+      .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
   }

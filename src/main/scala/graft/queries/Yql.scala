@@ -207,11 +207,16 @@ object Yql {
     // sides, top-10 by revenue — exercises join order + broadcast
     // selection + TakeOrderedAndProject.
     "yql_q3_shipping" -> ((s, d) => {
+      // Fact-left join order: lineitem is the probe side everywhere, so
+      // the biggest table streams without a shuffle OR a broadcast —
+      // the filtered customer⋈orders side reduces first and broadcasts
+      // into it. Fact-rightmost would make lineitem the build side
+      // (Spark broadcasts the right), which cannot survive scale-up.
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      val ordersBld = o.join(c, o("o_custkey") === c("c_custkey"))
+      l.join(ordersBld, l("l_orderkey") === ordersBld("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
@@ -222,15 +227,20 @@ object Yql {
     // Multi-join analytics (TPC-H Q5 shape): 5-way star join through
     // region→nation→customer→orders→lineitem.
     "yql_q5_region" -> ((s, d) => {
+      // Fact-left: dims collapse right-to-left (region→nation→customer
+      // →orders), each stage broadcastable, and lineitem streams as the
+      // probe side of the final join. At 100 TB AQE degrades the last
+      // join to a shuffle join on l_orderkey when the filtered orders
+      // side outgrows the broadcast threshold — still the right plan.
       val r = t(s, d, "region").filter(col("r_name") === "ASIA")
       val n = t(s, d, "nation")
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem")
-      r.join(n, r("r_regionkey") === n("n_regionkey"))
-        .join(c, n("n_nationkey") === c("c_nationkey"))
-        .join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      val custAsia = c.join(n.join(r, n("n_regionkey") === r("r_regionkey")),
+        c("c_nationkey") === n("n_nationkey"))
+      val ordersAsia = o.join(custAsia, o("o_custkey") === custAsia("c_custkey"))
+      l.join(ordersAsia, l("l_orderkey") === ordersAsia("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"), count(lit(1)).as("cnt"))
