@@ -107,27 +107,32 @@ object QL {
     // query_common.h:78-82): BeforeHaving computes the total over all
     // groups then filters groups; AfterHaving totals only surviving
     // groups. Both expressed as group rows unioned with a totals row.
+    // Money runs in exact integer cents end-to-end: the r01/r02 driver
+    // hash-compare failed on this pair twice despite bit-identical local
+    // Spark-vs-DuckDB outputs, so every float is removed from the result —
+    // DECIMAL(18,2) sums (exact, order-independent) scaled to BIGINT.
     "ql_with_totals_before_having" -> ((s, d) => {
       val groups = t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
-      // Totals sum runs in DECIMAL(18,2): the group values are exact 2dp,
-      // so decimal summation is exact regardless of partial-agg order —
-      // a double sum at ~1e9 magnitude is ulp-sensitive to ordering.
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+               .cast("long").as("total_cents"),
+             count(lit(1)).as("cnt"))
       val totalsRow = groups.agg(
         lit(null).cast("string").as("o_orderpriority"),
-        sum(col("total").cast("decimal(18,2)")).cast("double").as("total"),
+        sum(col("total_cents")).as("total_cents"),
         sum(col("cnt")).as("cnt"))
       groups.filter(col("cnt") >= 3000).unionByName(totalsRow)
     }),
     "ql_with_totals_after_having" -> ((s, d) => {
       val surviving = t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+               .cast("long").as("total_cents"),
+             count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 3000)
       val totalsRow = surviving.agg(
         lit(null).cast("string").as("o_orderpriority"),
-        sum(col("total").cast("decimal(18,2)")).cast("double").as("total"),
+        sum(col("total_cents")).as("total_cents"),
         sum(col("cnt")).as("cnt"))
       surviving.unionByName(totalsRow)
     }),
@@ -341,19 +346,23 @@ object QL {
            AND p_name NOT LIKE '%green%'
          GROUP BY p_brand ORDER BY p_brand LIMIT 20""",
     "ql_with_totals_before_having" ->
-      """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
+      """WITH g AS (SELECT o_orderpriority,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                        AS total_cents,
                       COUNT(*) AS cnt FROM orders GROUP BY 1)
          SELECT * FROM g WHERE cnt >= 3000
          UNION ALL
-         SELECT NULL, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE),
+         SELECT NULL, CAST(SUM(total_cents) AS BIGINT),
                 CAST(SUM(cnt) AS BIGINT) FROM g""",
     "ql_with_totals_after_having" ->
-      """WITH g AS (SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total,
+      """WITH g AS (SELECT o_orderpriority,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                        AS total_cents,
                       COUNT(*) AS cnt FROM orders GROUP BY 1),
               s AS (SELECT * FROM g WHERE cnt >= 3000)
          SELECT * FROM s
          UNION ALL
-         SELECT NULL, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE),
+         SELECT NULL, CAST(SUM(total_cents) AS BIGINT),
                 CAST(SUM(cnt) AS BIGINT) FROM s""",
     "ql_order_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
