@@ -112,17 +112,24 @@ object Dedup {
           xxhash64(slice(col("sig"), j * rows + 1, rows))
         }: _*)).as(Seq("band", "band_hash")))
 
+    // Shuffle-hash joins throughout, never broadcast: every big side is
+    // the corpus-derived stream (broadcast OOMs at scale), and identical
+    // subtrees under identical exchanges collapse via ReuseExchange — the
+    // shingle+signature scan is computed ONCE, not once per join arm.
     val l = banded.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
     val r = banded.select(col("doc_id").as("id_b"), col("band"), col("band_hash"))
-    val candidates = l.join(r, Seq("band", "band_hash"))
+    val candidates = l.hint("shuffle_hash")
+      .join(r.hint("shuffle_hash"), Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
     val shingleSets = docs.select(col("doc_id"), col("sh"))
     candidates
-      .join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -159,7 +166,11 @@ object Dedup {
       col("chunk"), col("chunk_val"))
     val r = chunked.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
       col("chunk"), col("chunk_val"))
-    l.join(r, Seq("chunk", "chunk_val"))
+    // shuffle-hash, never broadcast: both sides are the whole corpus's
+    // chunk table (broadcast OOMs at scale), and the two sides are the
+    // same subtree — the shuffle join makes them identical exchanges, so
+    // ReuseExchange computes the signature scan ONCE and reads it twice
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
@@ -224,16 +235,21 @@ object Dedup {
         shiftrightunsigned(col("sig"), j * chunkBits)
           .bitwiseAND((1L << chunkBits) - 1)
       }: _*)).as(Seq("chunk", "chunk_val")))
+    // shuffle-hash + ReuseExchange: signature scan computed once (see
+    // minhashLsh for the full rationale)
     val l = chunked.select(col("id").as("id_a"), col("chunk"), col("chunk_val"))
     val r = chunked.select(col("id").as("id_b"), col("chunk"), col("chunk_val"))
-    val candidates = l.join(r, Seq("chunk", "chunk_val"))
+    val candidates = l.hint("shuffle_hash")
+      .join(r.hint("shuffle_hash"), Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val vecs = sigs.select(col("id"), col("vec"))
     candidates
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
@@ -252,7 +268,9 @@ object Dedup {
     val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val l = ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("s"))
     val r = ex.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("s"))
-    l.join(r, "s")
+    // shuffle-hash + ReuseExchange: the exploded shingle stream is
+    // shuffled once and read twice (see minhashLsh)
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), "s")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"),
