@@ -31,6 +31,12 @@ object GraftSession {
       // threshold, dims broadcast statically and AQE upgrades reduced
       // join sides to broadcast from their RUNTIME size.
       .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+      // Parquet scans are estimated at COMPRESSED file size, so a fact
+      // table under the broadcast threshold on disk (lineitem: ~8 MiB
+      // file, 33 MiB in memory at sf0.1) gets planned as a build side.
+      // Scale estimates to decompressed size so build/probe selection
+      // reflects what the hash table will actually cost.
+      .config("spark.sql.sources.fileCompressionFactor", "4.0")
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
   }
