@@ -14,8 +14,12 @@ import QLParser._
   *   - uint64 literals → two's-complement Long bits; ordering
   *     comparisons with a uint64 operand → biased u64_* comparators;
   *   - `GROUP BY expr AS alias` → alias-substituted projection;
-  *   - `WITH TOTALS` (no HAVING) → `GROUP BY ROLLUP`; the
-  *     Before/AfterHaving modes emit the CTE union form;
+  *   - `WITH TOTALS` → group rows UNION ALL a totals row; ORDER BY /
+  *     LIMIT bind to the group rows only, BeforeHaving totals all
+  *     groups while AfterHaving semi-joins the surviving keys, empty
+  *     input yields no totals row, null group keys raise
+  *     (ql_query_ut.cpp GroupByTotalsOrderBy / GroupByWithTotalsEmpty /
+  *     GroupByWithTotalsNulls);
   *   - `OFFSET k LIMIT n` → `LIMIT n OFFSET k`;
   *   - `WITH INDEX` is an access-path hint → dropped (the optimizer
   *     owns access paths here; see plans/SecondaryIndex for the
@@ -294,36 +298,83 @@ object QLEmitter {
         ajIdx += 1
         pendingLateral = true
     }
-    if (fromSql.nonEmpty) sb.append(" FROM ").append(fromSql)
-    q.where.foreach(w => sb.append(" WHERE ").append(emit(subst(w))))
-    if (groupExprs.nonEmpty) {
-      // WITH TOTALS → ROLLUP (totals row = null keys). With HAVING the
-      // filter applies to the rolled-up stream, i.e. AfterHaving-like;
-      // exact Before/AfterHaving totals are the programmatic API
-      // (queries.QL ql_with_totals_*).
-      // QL `GROUP BY 1` groups by the CONSTANT (one global group,
-      // test_query.py:201 test_group_by1, :1371
-      // test_aggregate_string_capture) — Spark reads a bare integer as
-      // a projection ordinal, so emit int literals with the L suffix
-      // (LongType literals are never ordinals).
-      def emitGroup(e: Expr): String = e match {
-        case IntLit(v) => s"${v}L"
-        case other => emit(other)
+    val fromWhereSb = new StringBuilder
+    if (fromSql.nonEmpty) fromWhereSb.append(" FROM ").append(fromSql)
+    q.where.foreach(w => fromWhereSb.append(" WHERE ").append(emit(subst(w))))
+    val fromWhere = fromWhereSb.toString
+    // QL `GROUP BY 1` groups by the CONSTANT (one global group,
+    // test_query.py:201 test_group_by1, :1371
+    // test_aggregate_string_capture) — Spark reads a bare integer as
+    // a projection ordinal, so emit int literals with the L suffix
+    // (LongType literals are never ordinals).
+    def emitGroup(e: Expr): String = e match {
+      case IntLit(v) => s"${v}L"
+      case other => emit(other)
+    }
+    val orderLimitSql: String = {
+      val ob = q.orderBy match {
+        case Nil => ""
+        case items => " ORDER BY " + items.map(o =>
+          emit(subst(o.e)) + (if (o.desc) " DESC" else " ASC")).mkString(", ")
       }
-      if (q.totals == NoTotals)
+      ob + q.limit.map(n => s" LIMIT $n").getOrElse("") +
+        q.offset.map(n => s" OFFSET $n").getOrElse("")
+    }
+    if (q.totals == NoTotals || groupExprs.isEmpty) {
+      sb.append(fromWhere)
+      if (groupExprs.nonEmpty)
         sb.append(" GROUP BY ").append(groupExprs.map(emitGroup).mkString(", "))
-      else
-        sb.append(" GROUP BY ROLLUP(").append(groupExprs.map(emitGroup).mkString(", ")).append(")")
+      q.having.foreach(h => sb.append(" HAVING ").append(emit(subst(h))))
+      sb.append(orderLimitSql)
+      sb.toString
+    } else {
+      // WITH TOTALS (ETotalsMode, query_common.h:78-82) as UNION ALL of
+      // the group rows and one totals row, matching the reference's
+      // evaluation order (ql_query_ut.cpp GroupByTotalsOrderBy,
+      // GroupByWithTotalsEmpty, GroupByWithTotalsNulls):
+      //   - ORDER BY / LIMIT / OFFSET apply to GROUP ROWS ONLY; the
+      //     totals row is computed over all groups and always survives.
+      //   - BeforeHaving: totals over every group (ignores HAVING);
+      //     AfterHaving: totals only over groups that pass HAVING
+      //     (lowered as a key IN-subquery semi-join).
+      //   - Empty input produces NO totals row (HAVING count(1) > 0).
+      //   - A null group key is an error under totals (the totals row
+      //     would be indistinguishable): raise_error guard on each key.
+      val keySqls = groupExprs.map(emitGroup)
+      val guarded = keySqls.map(k =>
+        s"if(($k) IS NULL, raise_error('Null values are forbidden in group key'), $k)")
+      val keyOf: Map[String, String] = keySqls.zip(guarded).toMap
+      // a rewritten key keeps its ORIGINAL output name: explicit alias,
+      // else the bare column name, else the original expression text
+      def itemSql(si: SelectItem, body: String, orig: String): String =
+        si.alias.orElse(si.e match {
+          case Ref(parts) => Some(quoteIdent(parts.last))
+          case _ if body != orig => Some(quoteIdent(orig))
+          case _ => None
+        }).fold(body)(a => s"$body AS $a")
+      val groupSelect = select.map { si =>
+        val sql = emit(si.e)
+        itemSql(si, keyOf.getOrElse(sql, sql), sql)
+      }.mkString(", ")
+      val totalsSelect = select.map { si =>
+        val sql = emit(si.e)
+        itemSql(si, if (keyOf.contains(sql)) "NULL" else sql, sql)
+      }.mkString(", ")
+      val havingSql = q.having.map(h => s" HAVING ${emit(subst(h))}").getOrElse("")
+      val groupSql = s"SELECT $groupSelect$fromWhere GROUP BY " +
+        guarded.mkString(", ") + havingSql + orderLimitSql
+      val totalsWhere =
+        if (q.totals == TotalsAfterHaving && q.having.isDefined) {
+          val keys = keySqls.mkString("(", ", ", ")")
+          val sub = s"SELECT ${keySqls.mkString(", ")}$fromWhere GROUP BY " +
+            keySqls.mkString(", ") + havingSql
+          val cond = s"$keys IN ($sub)"
+          if (q.where.isDefined) s" AND $cond" else s" WHERE $cond"
+        } else ""
+      val totalsSql =
+        s"SELECT $totalsSelect$fromWhere$totalsWhere HAVING count(1) > 0"
+      s"SELECT * FROM ($groupSql) UNION ALL $totalsSql"
     }
-    q.having.foreach(h => sb.append(" HAVING ").append(emit(subst(h))))
-    q.orderBy match {
-      case Nil =>
-      case items => sb.append(" ORDER BY ").append(items.map(o =>
-        emit(subst(o.e)) + (if (o.desc) " DESC" else " ASC")).mkString(", "))
-    }
-    q.limit.foreach(n => sb.append(s" LIMIT $n"))
-    q.offset.foreach(n => sb.append(s" OFFSET $n"))
-    sb.toString
   }
 
   def emit(e: Expr): String = e match {

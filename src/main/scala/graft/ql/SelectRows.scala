@@ -28,9 +28,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     .registerAll]];
   *   - `GROUP BY expr AS alias` → alias substituted into the
   *     projection, bare expr in GROUP BY;
-  *   - `WITH TOTALS` → `GROUP BY ROLLUP(...)` (totals row = null keys;
-  *     combined Before/AfterHaving modes are programmatic, see
-  *     queries.QL);
+  *   - `WITH TOTALS` → group rows UNION ALL totals row with the
+  *     reference's order/limit/having/empty/null-key semantics (see
+  *     [[QLEmitter.toSql]]; the legacy regex fallback lowers to
+  *     ROLLUP);
   *   - `OFFSET k LIMIT n` → `LIMIT n OFFSET k`;
   *   - `GROUP BY <literal>` groups by a constant, never an ordinal
   *     (spark.sql.groupByOrdinal=false during execution).

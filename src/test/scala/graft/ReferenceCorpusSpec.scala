@@ -1000,4 +1000,96 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(ids("* from [//tmp/d] where is_null(b)") == Seq(3.0))
     assert(ids("* from [//tmp/d] where if(is_nan(b), false, b > 0)") == Seq(2.0))
   }
+
+  test("HavingClause1/2/3 (ql_query_ut.cpp:4741): HAVING over keys and non-projected aggregates") {
+    val ht = Seq((1L, 10L), (1L, 10L), (2L, 20L), (2L, 20L)).toDF("a", "b")
+    val cat = Map("//tmp/h" -> ht)
+    val h1 = SelectRows(spark,
+      "a as x, sum(b) as t FROM [//tmp/h] group by a having a = 1", cat)
+      .as[(Long, Long)].collect()
+    assert(h1.toSeq == Seq((1L, 20L)))
+    val h2 = SelectRows(spark,
+      "a as x, sum(b) as t FROM [//tmp/h] group by a having sum(b) = 20", cat)
+      .as[(Long, Long)].collect()
+    assert(h2.toSeq == Seq((1L, 20L)))
+    // HAVING references an aggregate absent from the projection
+    val h3 = SelectRows(spark,
+      "a as x FROM [//tmp/h] group by a having sum(b) = 20", cat)
+      .as[Long].collect()
+    assert(h3.toSeq == Seq(1L))
+  }
+
+  test("GroupByTotalsOrderBy (ql_query_ut.cpp:6678): totals over ALL groups, order+limit on group rows only") {
+    val rnd = new scala.util.Random(11)
+    val vals = (0 until 2000).map(_ => rnd.nextInt(90000) + 10000L) ++
+      (0 until 2000).map(i => 10000L - i)
+    val rows = vals.map(v => (v, v * 10))
+    val tt = rows.toDF("a", "b")
+    val grouped = rows.groupBy(_._1 % 200)
+      .map { case (k, rs) => (k, rs.map(_._2).sum) }
+    val totalSum = rows.map(_._2).sum
+    val expectGroups = grouped.toSeq.sortBy(_._2).take(50)
+    val got = SelectRows(spark,
+      "x, sum(b) as y FROM [//tmp/gt] group by a % 200 as x with totals order by y limit 50",
+      Map("//tmp/gt" -> tt)).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+    assert(got.length == 51, s"expected 50 group rows + totals, got ${got.length}")
+    val (totals, groups) = got.partition(_._1 == -1L)
+    assert(totals.toSeq == Seq((-1L, totalSum)))
+    assert(groups.sortBy(_._2).toSeq == expectGroups.sortBy(_._2))
+  }
+
+  test("GroupByWithTotalsAndLimit (ql_query_ut.cpp:4562): totals reflects every group, not the limited page") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 1000).map(_ => rnd.nextInt(9000) + 1000L).map(k => (k, k * 10)) ++
+      (0 until 1000).map(i => (1000L - i, (1000L - i) * 10))
+    val tt = rows.toDF("a", "b")
+    val grouped = rows.groupBy(_._1 % 127).map { case (k, rs) => (k, rs.map(_._2).sum) }
+    val totalSum = rows.map(_._2).sum
+    val got = SelectRows(spark,
+      "x, sum(b) as y FROM [//tmp/gl] group by a % 127 as x with totals limit 20",
+      Map("//tmp/gl" -> tt)).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+    assert(got.length == 21, s"expected 20 group rows + totals, got ${got.length}")
+    got.foreach { case (k, v) =>
+      if (k == -1L) assert(v == totalSum) else assert(v == grouped(k))
+    }
+  }
+
+  test("GroupByWithTotalsEmpty (ql_query_ut.cpp:4304): empty input yields no totals row") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = SelectRows(spark,
+      "x, sum(b) as t FROM [//tmp/e] group by a % 2 as x with totals",
+      Map("//tmp/e" -> empty))
+    assert(got.count() == 0)
+  }
+
+  test("GroupByWithTotalsNulls (ql_query_ut.cpp:4275): null group key is an error under totals") {
+    val nt = Seq((Some(1L), 10L), (None, 20L))
+      .map { case (a, b) => (a.map(Long.box).orNull, b) }.toDF("a", "b")
+    val ex = intercept[Exception] {
+      SelectRows(spark, "x, sum(b) as t FROM [//tmp/n] group by a % 2 as x with totals",
+        Map("//tmp/n" -> nt)).collect()
+    }
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(t => t.getMessage +: causes(t.getCause))
+    assert(causes(ex).exists(m => m != null && m.contains("forbidden in group key")),
+      s"wrong error: ${ex.getMessage}")
+  }
+
+  test("GroupByWithTotals + having modes through the string surface (ql_query_ut.cpp:4335)") {
+    // placement decides the mode: `with totals ... having` = BeforeHaving
+    // (totals over all groups), `having ... with totals` = AfterHaving
+    val ht = Seq((1L, 10L), (1L, 20L), (2L, 100L), (3L, 5L), (3L, 5L)).toDF("a", "b")
+    val cat = Map("//tmp/tm" -> ht)
+    val before = SelectRows(spark,
+      "x, sum(b) as t FROM [//tmp/tm] group by a as x with totals having sum(b) >= 30",
+      cat).collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).sorted
+    // groups: 1→30, 2→100, 3→10; surviving: 1, 2; totals over ALL: 140
+    assert(before.toSeq == Seq((-1L, 140L), (1L, 30L), (2L, 100L)))
+    val after = SelectRows(spark,
+      "x, sum(b) as t FROM [//tmp/tm] group by a as x having sum(b) >= 30 with totals",
+      cat).collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).sorted
+    assert(after.toSeq == Seq((-1L, 130L), (1L, 30L), (2L, 100L)))
+  }
 }
