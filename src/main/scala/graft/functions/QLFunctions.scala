@@ -239,6 +239,26 @@ object QLFunctions {
     // lists / maps
     reg("make_list")(es => CreateArray(es))
     reg("make_map")(es => CreateMap(es))
+    // Any-carrier builders for MIXED-typed make_list/make_map
+    // (ql_query_ut.cpp MakeList/MakeMapSuccess: the reference's builders
+    // return Any). Arguments arrive as canonical-JSON fragments (the
+    // emitter wraps non-Any args in to_any); SQL NULL embeds as JSON
+    // null. Emitted only by QLEmitter's Any rewrite.
+    reg("any_make_list") { es =>
+      val items = es.map(e => Coalesce(Seq(e, Literal("null"))))
+      val body = items.zipWithIndex.flatMap { case (e, i) =>
+        if (i == 0) Seq(e) else Seq(Literal(","), e)
+      }
+      Concat(Literal("[") +: body :+ Literal("]"))
+    }
+    reg("any_make_map") { es =>
+      val body = es.grouped(2).toSeq.zipWithIndex.flatMap { case (kv, i) =>
+        val kvSeq = Seq(Coalesce(Seq(kv(0), Literal("null"))), Literal(":"),
+          Coalesce(Seq(kv(1), Literal("null"))))
+        if (i == 0) kvSeq else Literal(",") +: kvSeq
+      }
+      Concat(Literal("{") +: body :+ Literal("}"))
+    }
     reg("list_contains")(es => ArrayContains(es(0), es(1)))
     reg("list_has_intersection")(es => ArraysOverlap(es(0), es(1)))
     // Any / YSON accessors (try_get_* null on miss; get_* differ only
@@ -279,6 +299,9 @@ object QLFunctions {
     reg("u64_gt")(es => GreaterThan(biased(es(0)), biased(es(1))))
     reg("u64_geq")(es => GreaterThanOrEqual(biased(es(0)), biased(es(1))))
     reg("u64_sort")(es => biased(es.head))
+    // ORDER BY key guard: sorting by NaN is an error in QL
+    // (ql_query_ut.cpp OrderBy); identity for non-floating keys
+    reg("ql_order_guard")(es => NanGuard(es.head))
     reg("u64_agg_min")(es => BitwiseXor(
       aggregate.Min(biased(es.head)).toAggregateExpression(), bias))
     reg("u64_agg_max")(es => BitwiseXor(

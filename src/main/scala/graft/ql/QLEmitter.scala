@@ -115,11 +115,44 @@ object QLEmitter {
     def anyish(x: Expr) = isAnyish(x, scope, res)
     def wrap(x: Expr): Expr =
       if (anyish(x)) x else Call("to_any", Seq(x))
+    // make_list / make_map build an ANY value in the reference
+    // (ql_query_ut.cpp MakeList / MakeMapSuccess: mixed element types,
+    // nested Any, entity nulls). Uniform typed arguments keep the
+    // native array/map lowering; mixed literal kinds, Any refs, null
+    // literals, or make_entity() switch to the JSON-carrier builders.
+    def litKind(x: Expr): Option[String] = x match {
+      case IntLit(_) => Some("i")
+      case UIntLit(_) => Some("u")
+      case DoubleLit(_) => Some("d")
+      case StrLit(_) => Some("s")
+      case BoolLit(_) => Some("b")
+      case _ => None
+    }
+    def needsAnyForm(args: Seq[Expr]): Boolean = {
+      val kinds = args.flatMap(litKind).distinct
+      kinds.length > 1 || args.exists(anyish) ||
+        args.contains(NullLit) ||
+        args.exists { case Call("make_entity", _, _) => true; case _ => false }
+    }
     mapRefs(e) {
       case Bin(op @ ("<" | "<=" | ">" | ">="), l, r) if anyish(l) || anyish(r) =>
         Some(Bin("raw" + op, Call("any_compare", Seq(wrap(l), wrap(r))), IntLit(0)))
       case Bin(op @ ("=" | "!="), l, r) if anyish(l) != anyish(r) =>
         Some(Bin(op, wrap(l), wrap(r)))
+      case Call("make_list", args, _) if needsAnyForm(args) =>
+        Some(Call("any_make_list",
+          args.map(a => wrap(rewriteAnyExpr(a, scope, res)))))
+      case Call("make_map", args, _) =>
+        require(args.length % 2 == 0,
+          "make_map: expected an even number of arguments")
+        args.grouped(2).foreach { kv =>
+          litKind(kv.head).foreach(k => require(k == "s",
+            "make_map: map keys must be strings"))
+        }
+        if (needsAnyForm(args.grouped(2).map(_.last).toSeq))
+          Some(Call("any_make_map",
+            args.map(a => wrap(rewriteAnyExpr(a, scope, res)))))
+        else None
       case _ => None
     }
   }
@@ -312,12 +345,25 @@ object QLEmitter {
       case other => emit(other)
     }
     val orderLimitSql: String = {
+      // NaN order keys are an error in QL (ql_query_ut.cpp OrderBy) —
+      // guard computed sort expressions. Bare refs stay unwrapped: they
+      // may name an output alias, which Spark resolves only outside a
+      // function call.
+      def orderItem(o: OrderItem): String = {
+        val body = subst(o.e) match {
+          case r @ Ref(_) => emit(r)
+          case other => s"ql_order_guard(${emit(other)})"
+        }
+        body + (if (o.desc) " DESC" else " ASC")
+      }
       val ob = q.orderBy match {
         case Nil => ""
-        case items => " ORDER BY " + items.map(o =>
-          emit(subst(o.e)) + (if (o.desc) " DESC" else " ASC")).mkString(", ")
+        case items => " ORDER BY " + items.map(orderItem).mkString(", ")
       }
-      ob + q.limit.map(n => s" LIMIT $n").getOrElse("") +
+      // Spark's LIMIT operand is Int; QL accepts any int64
+      // (ql_query_ut.cpp OrderByWithHugeLimit) — beyond Int.MaxValue a
+      // limit cannot bind anyway, so clamp
+      ob + q.limit.map(n => s" LIMIT ${math.min(n, Int.MaxValue.toLong)}").getOrElse("") +
         q.offset.map(n => s" OFFSET $n").getOrElse("")
     }
     if (q.totals == NoTotals || groupExprs.isEmpty) {

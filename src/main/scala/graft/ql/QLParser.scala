@@ -143,6 +143,13 @@ object QLParser {
         val word = s.substring(start, i)
         val up = word.toUpperCase
         if (keywords(up)) out += TKw(up, start) else out += TIdent(word, start)
+      } else if (c == '%' && s.regionMatches(true, i + 1, "true", 0, 4) &&
+          (i + 5 >= n || !isIdentChar(s.charAt(i + 5)))) {
+        // YSON boolean literals %true / %false (lexer.rl)
+        out += TKw("TRUE", i); i += 5
+      } else if (c == '%' && s.regionMatches(true, i + 1, "false", 0, 5) &&
+          (i + 6 >= n || !isIdentChar(s.charAt(i + 6)))) {
+        out += TKw("FALSE", i); i += 6
       } else {
         val two = if (i + 1 < n) s.substring(i, i + 2) else ""
         two match {

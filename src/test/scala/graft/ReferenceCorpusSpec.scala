@@ -1077,6 +1077,187 @@ class ReferenceCorpusSpec extends SparkSpec {
       s"wrong error: ${ex.getMessage}")
   }
 
+  test("DoubleSum (ql_query_ut.cpp:4856): double sum skips nulls, sum(1) counts every row") {
+    val dt = Seq(Some(1.0), Some(1.0), None)
+      .map(v => Tuple1(v.map(Double.box).orNull)).toDF("a")
+    val got = SelectRows(spark,
+      "sum(a) as x, sum(1) as t FROM [//tmp/ds] group by 1",
+      Map("//tmp/ds" -> dt)).as[(Double, Long)].collect()
+    assert(got.toSeq == Seq((2.0, 3L)))
+  }
+
+  test("ComplexStrings (ql_query_ut.cpp:4880): nullable + empty string group keys are distinct groups") {
+    val rows = Seq(
+      (10L, Some("x")), (20L, Some("y")), (30L, Some("x")), (40L, Some("x")),
+      (42L, None), (50L, Some("x")), (60L, Some("y")), (70L, Some("z")),
+      (72L, None), (80L, Some("y")), (85L, None), (90L, Some("z")),
+      (11L, Some("")))
+    val st = rows.map { case (a, s) => (a, s.orNull) }.toDF("a", "s")
+    val got = SelectRows(spark,
+      "x, sum(a) as t FROM [//tmp/cs] where a > 10 group by s as x",
+      Map("//tmp/cs" -> st)).collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("", 11L), ("<null>", 199L), ("x", 120L),
+      ("y", 160L), ("z", 160L)))
+  }
+
+  test("ComplexStringsLower (ql_query_ut.cpp:4921): lower() inside IN") {
+    val st = Seq(("XyZ", "one"), ("aB1C", "two"), ("cs1dv", "three"),
+      ("HDs", "four"), ("kIu", "five"), ("trg1t", "six")).toDF("a", "s")
+    val got = SelectRows(spark,
+      "s FROM [//tmp/cl] where lower(a) in ('xyz','ab1c','hds','kiu')",
+      Map("//tmp/cl" -> st)).as[String].collect().sorted
+    assert(got.toSeq == Seq("five", "four", "one", "two"))
+  }
+
+  test("If (ql_query_ut.cpp:4953): if() over a group alias, double() cast of an aggregate") {
+    val it = (1 to 9).map(i => (i.toLong, 10L * i)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "if(q = 4, 'a', 'b') as x, double(sum(b)) + 1.0 as t FROM [//tmp/if] " +
+        "group by if(a % 2 = 0, 4, 5) as q",
+      Map("//tmp/if" -> it)).as[(String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 201.0), ("b", 251.0)))
+  }
+
+  test("JoinWithLimit (ql_query_ut.cpp:5649): limit over an inner USING join") {
+    val left = (1L to 7L).map(Tuple1(_)).toDF("a")
+    val right = Seq(7L, 5L, 3L, 1L).map(Tuple1(_)).toDF("a")
+    val got = SelectRows(spark,
+      "a as x FROM [//tmp/jl] join [//tmp/jr] using a limit 4",
+      Map("//tmp/jl" -> left, "//tmp/jr" -> right)).as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L, 5L, 7L))
+  }
+
+  test("LeftJoinWithCondition (ql_query_ut.cpp:6325): WHERE with null-match vs join predicate") {
+    val left = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("a")
+    val right = Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("a", "b", "c")
+    val cat = Map("//tmp/ll" -> left, "//tmp/lr" -> right)
+    def run(ql: String): Seq[(Long, Long)] =
+      SelectRows(spark, ql, cat).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    // WHERE b = 2 or b = # filters the JOINED stream with QL null-match
+    // equality: unmatched left rows (b null) survive, matched rows only
+    // when b = 2
+    assert(run("a, sum(c) as s FROM [//tmp/ll] left join [//tmp/lr] using a " +
+      "where b = 2 or b = # group by a") == Seq((1L, 1L), (4L, -1L)))
+    // `USING a AND b = 2` filters the FOREIGN side BEFORE the join:
+    // every left row survives, only a=1 finds a b=2 partner
+    assert(run("a, sum(c) as s FROM [//tmp/ll] left join [//tmp/lr] using a " +
+      "and b = 2 group by a") ==
+      Seq((1L, 1L), (2L, -1L), (3L, -1L), (4L, -1L)))
+  }
+
+  test("Complex / Complex2 (ql_query_ut.cpp:4423): group alias used in post-aggregation arithmetic") {
+    val got = q("x, sum(b) + x as t FROM [//tmp/t] where a > 1 group by a % 2 as x")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 200L), (1L, 241L)))
+    val got2 = q("x, q, sum(b) + x as t FROM [//tmp/t] where a > 1 group by a % 2 as x, 0 as q")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got2.toSeq == Seq((0L, 0L, 200L), (1L, 0L, 241L)))
+  }
+
+  test("TypeInference (ql_query_ut.cpp:5093): int/double group key coercion, uint64 arithmetic chain") {
+    val got = q("if(int64(q) = 4, 'a', 'b') as x, double(sum(uint64(b) * 1)) + 1 as t " +
+      "FROM [//tmp/t] group by if(a % 2 = 0, double(4), 5) as q")
+      .as[(String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 201.0), ("b", 251.0)))
+  }
+
+  test("GroupByWithAvgCoordinated (ql_query_ut.cpp:3239): avg merges exactly across partitions") {
+    val at = (0 until 6).map(i => (i.toLong, i.toLong)).toDF("k", "v").repartition(3)
+    val got = SelectRows(spark, "avg(v) as av FROM [//tmp/avg] group by k",
+      Map("//tmp/avg" -> at)).as[Double].collect().sorted
+    assert(got.toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
+  test("CoordinatedMaxGroupBy (ql_query_ut.cpp): max + argmax across partitions") {
+    val rows = Seq(
+      (1L, 2L, "britney"), (2L, 3L, "camilla"), (3L, 2L, "frida"),
+      (4L, 3L, "evelyn"), (5L, 1L, "agnes"), (6L, 2L, "evelyn"),
+      (7L, 1L, "daisy"), (8L, 2L, "camilla"), (9L, 1L, "daisy"),
+      (10L, 3L, "camilla"), (11L, 1L, "frida"))
+    val mt = rows.toDF("id", "revision", "person").repartition(3)
+    val got = SelectRows(spark,
+      "person, max(revision) as r FROM [//tmp/mx] group by person",
+      Map("//tmp/mx" -> mt)).as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("agnes", 1L), ("britney", 2L), ("camilla", 3L),
+      ("daisy", 1L), ("evelyn", 3L), ("frida", 2L)))
+  }
+
+  test("OrderBy (ql_query_ut.cpp:6588): expression sort keys, offset pages, NaN sort key raises") {
+    val rnd = new scala.util.Random(3)
+    val vals = (0 until 2000).map(_ => rnd.nextInt(90000) + 10000L) ++
+      (0 until 2000).map(i => 10000L - i)
+    val rows = vals.map(v => (v, v * 10))
+    val ot = rows.toDF("a", "b")
+    val cat = Map("//tmp/ob" -> ot)
+    val sortedRows = rows.sorted
+    val p1 = SelectRows(spark, "* FROM [//tmp/ob] order by a * a limit 100", cat)
+      .as[(Long, Long)].collect()
+    assert(p1.toSeq == sortedRows.take(100))
+    val p2 = SelectRows(spark, "* FROM [//tmp/ob] order by a * a offset 100 limit 100", cat)
+      .as[(Long, Long)].collect()
+    assert(p2.toSeq == sortedRows.slice(100, 200))
+    val p3 = SelectRows(spark, "* FROM [//tmp/ob] order by a * 3 - 1 desc limit 100", cat)
+      .as[(Long, Long)].collect()
+    assert(p3.toSeq == sortedRows.reverse.take(100))
+    // NaN sort key → "Comparison with NaN" (0.0 / 0.0 at a = 0)
+    val nt = (0 until 10).map(i => ((i % 3).toLong, (10 - i).toLong)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      SelectRows(spark, "* FROM [//tmp/nn] order by 0.0 / double(a) limit 100",
+        Map("//tmp/nn" -> nt)).collect()
+    }
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(t => String.valueOf(t.getMessage) +: causes(t.getCause))
+    assert(causes(ex).exists(_.contains("Comparison with NaN")), ex.toString)
+  }
+
+  test("OrderByWithHugeLimit / OrderByWithSmallLimit (ql_query_ut.cpp:6646): Long.MaxValue-ish and zero limits") {
+    val st = Seq(3L, 2L, 1L).map(Tuple1(_)).toDF("a")
+    val cat = Map("//tmp/sl" -> st)
+    val all = SelectRows(spark,
+      "a FROM [//tmp/sl] order by a limit 9223372036854775805", cat)
+      .as[Long].collect()
+    assert(all.toSeq == Seq(1L, 2L, 3L))
+    val none = SelectRows(spark, "a FROM [//tmp/sl] order by a limit 0", cat)
+    assert(none.count() == 0)
+  }
+
+  test("MakeList / MakeEntity / MakeMapSuccess (ql_query_ut.cpp:8768): mixed-type Any builders") {
+    import graft.types.YtTypes._
+    val vt = anyTagged(
+      Seq(Seq("""{"hello":"world"}""", null)),
+      "v_any" -> YtAny, "v_null" -> YtAny)
+    val cat = Map("//tmp/mk" -> vt)
+    val lst = SelectRows(spark,
+      "make_list(1, 2u, %true, 3.14, 'abc', v_any, v_null) as x FROM [//tmp/mk]",
+      cat).as[String].collect()
+    assert(lst.toSeq == Seq("""[1,2,true,3.14,"abc",{"hello":"world"},null]"""))
+    val ent = SelectRows(spark, "make_list(make_entity()) as x FROM [//tmp/mk]", cat)
+      .as[String].collect()
+    assert(ent.toSeq == Seq("[null]"))
+    val mp = SelectRows(spark,
+      "make_map('k_int', 1, 'k_uint', 2u, 'k_bool', %true, 'k_double', 3.14, " +
+        "'k_string', 'abc', 'k_any', v_any, 'k_null', v_null) as x FROM [//tmp/mk]",
+      cat).as[String].collect()
+    assert(mp.toSeq == Seq("""{"k_int":1,"k_uint":2,"k_bool":true,"k_double":3.14,""" +
+      """"k_string":"abc","k_any":{"hello":"world"},"k_null":null}"""))
+  }
+
+  test("MakeMapFailure (ql_query_ut.cpp:8807): odd arity / non-string key raise") {
+    val vt = Seq(Tuple1(1L)).toDF("a")
+    val cat = Map("//tmp/mf" -> vt)
+    intercept[Exception] {
+      SelectRows(spark, "make_map('a') as x FROM [//tmp/mf]", cat).collect()
+    }
+    intercept[Exception] {
+      SelectRows(spark, "make_map(1, 1) as x FROM [//tmp/mf]", cat).collect()
+    }
+  }
+
   test("GroupByWithTotals + having modes through the string surface (ql_query_ut.cpp:4335)") {
     // placement decides the mode: `with totals ... having` = BeforeHaving
     // (totals over all groups), `having ... with totals` = AfterHaving
