@@ -203,35 +203,58 @@ object QLEmitter {
         alias -> Ref(Seq("_ajz", field))
       }
     }.toMap
-    // substitute GROUP BY aliases into the projection
-    val aliasMap: Map[String, Expr] =
-      q.groupBy.collect { case SelectItem(e, Some(a)) => a -> e }.toMap ++
-        arrayJoinSubst
-    def subst(e: Expr): Expr = e match {
-      case Ref(Seq(one)) if aliasMap.contains(one) => aliasMap(one)
-      case Ref(_) | IntLit(_) | UIntLit(_) | DoubleLit(_) | StrLit(_) |
-           BoolLit(_) | NullLit | Star => e
-      case Call(n, args, d) => Call(n, args.map(subst), d)
-      case Bin(op, l, r) => Bin(op, subst(l), subst(r))
-      case Un(op, x) => Un(op, subst(x))
-      case IsNullOp(x, n) => IsNullOp(subst(x), n)
-      case LikeOp(x, k, p, esc, n) => LikeOp(subst(x), k, subst(p), esc.map(subst), n)
-      case InList(t, rows, n) => InList(t.map(subst), rows.map(_.map(subst)), n)
-      case BetweenOp(t, rs, n) =>
-        BetweenOp(t.map(subst), rs.map { case (a, b) => (a.map(subst), b.map(subst)) }, n)
-      case CaseExpr(o, bs, el) =>
-        CaseExpr(o.map(subst), bs.map { case (w, t) => (subst(w), subst(t)) }, el.map(subst))
-      case TupleExpr(items) => TupleExpr(items.map(subst))
-      case ItemAccess(x, idx) => ItemAccess(subst(x), subst(idx))
+    // `GROUP BY a` where the SELECT list defines `expr AS a` groups by
+    // the ALIAS, shadowing any source column of the same name — and the
+    // shadowing is total: every OTHER reference to the name (aggregate
+    // arguments included) sees the alias expression; only the defining
+    // select item itself reads the raw column (ql_query_ut.cpp:4167
+    // GroupByAlias: `a % 3 as a, sum(a + b) as b ... group by a` sums
+    // (a % 3) + b). Aggregate-bearing select items never become keys.
+    val selectAliasKeys: Map[String, Expr] = q.select.collect {
+      case SelectItem(e, Some(a)) if !containsAgg(e) => a -> e
+    }.toMap
+    val groupByResolved = q.groupBy.map {
+      case SelectItem(Ref(Seq(n)), None) if selectAliasKeys.contains(n) =>
+        SelectItem(selectAliasKeys(n), Some(n))
+      case si => si
     }
+    // substitute GROUP BY + shadowing SELECT aliases into the projection
+    val aliasMap: Map[String, Expr] = selectAliasKeys ++
+      groupByResolved.collect { case SelectItem(e, Some(a)) => a -> e }.toMap ++
+        arrayJoinSubst
+    def substWith(e: Expr, m: Map[String, Expr]): Expr = {
+      def go(e: Expr): Expr = e match {
+        case Ref(Seq(one)) if m.contains(one) => m(one)
+        case Ref(_) | IntLit(_) | UIntLit(_) | DoubleLit(_) | StrLit(_) |
+             BoolLit(_) | NullLit | Star => e
+        case Call(n, args, d) => Call(n, args.map(go), d)
+        case Bin(op, l, r) => Bin(op, go(l), go(r))
+        case Un(op, x) => Un(op, go(x))
+        case IsNullOp(x, n) => IsNullOp(go(x), n)
+        case LikeOp(x, k, p, esc, n) => LikeOp(go(x), k, go(p), esc.map(go), n)
+        case InList(t, rows, n) => InList(t.map(go), rows.map(_.map(go)), n)
+        case BetweenOp(t, rs, n) =>
+          BetweenOp(t.map(go), rs.map { case (a, b) => (a.map(go), b.map(go)) }, n)
+        case CaseExpr(o, bs, el) =>
+          CaseExpr(o.map(go), bs.map { case (w, t) => (go(w), go(t)) }, el.map(go))
+        case TupleExpr(items) => TupleExpr(items.map(go))
+        case ItemAccess(x, idx) => ItemAccess(go(x), go(idx))
+      }
+      go(e)
+    }
+    def subst(e: Expr): Expr = substWith(e, aliasMap)
     val select = q.select.map {
       // bare reference to a GROUP BY alias: substitute the expression
       // and keep the alias as the output name
       case SelectItem(Ref(Seq(one)), None) if aliasMap.contains(one) =>
         SelectItem(aliasMap(one), Some(one))
+      // the item DEFINING an alias reads raw columns, not itself
+      case SelectItem(e, a @ Some(name)) =>
+        SelectItem(substWith(e, aliasMap - name), a)
       case SelectItem(e, a) => SelectItem(subst(e), a)
     }
-    val groupExprs = q.groupBy.map(g => subst(g.e))
+    val groupExprs = groupByResolved.map(g =>
+      substWith(g.e, g.alias.fold(aliasMap)(aliasMap - _)))
 
     val sb = new StringBuilder("SELECT ")
     sb.append(select.map(si => si.alias match {
@@ -496,6 +519,33 @@ object QLEmitter {
     case ItemAccess(x, idx @ (StrLit(_) | Call(_, _, _))) =>
       s"try_element_at(${emit(x)}, ${emit(idx)})"
     case ItemAccess(x, idx) => s"${emit(x)}[${emit(idx)}]"
+  }
+
+  /** QL aggregate-function names (builtin_function_registry.cpp
+    * aggregate section) — used to keep aggregate-bearing select items
+    * out of GROUP BY alias resolution. */
+  private val aggNames = Set("sum", "min", "max", "avg", "count", "first",
+    "argmin", "argmax", "cardinality", "dict_sum", "boolxor", "checked_sum",
+    "bool_and", "bool_or", "top_by", "bottom_by", "histogram",
+    "log_histogram", "aggregate_list", "stddev", "variance", "percentile")
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case Call(n, args, distinct) =>
+      distinct || aggNames(n.toLowerCase) || args.exists(containsAgg)
+    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Un(_, x) => containsAgg(x)
+    case IsNullOp(x, _) => containsAgg(x)
+    case LikeOp(x, _, p, esc, _) =>
+      containsAgg(x) || containsAgg(p) || esc.exists(containsAgg)
+    case InList(t, rows, _) => t.exists(containsAgg) || rows.exists(_.exists(containsAgg))
+    case BetweenOp(t, rs, _) => t.exists(containsAgg) ||
+      rs.exists { case (a, b) => a.exists(containsAgg) || b.exists(containsAgg) }
+    case CaseExpr(o, bs, el) => o.exists(containsAgg) ||
+      bs.exists { case (w, th) => containsAgg(w) || containsAgg(th) } ||
+      el.exists(containsAgg)
+    case TupleExpr(items) => items.exists(containsAgg)
+    case ItemAccess(x, idx) => containsAgg(x) || containsAgg(idx)
+    case _ => false
   }
 
   private def isIntLike(e: Expr): Boolean = e match {

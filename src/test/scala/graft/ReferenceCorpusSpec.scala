@@ -1258,6 +1258,87 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  test("GroupByOrderBy2 (ql_query_ut.cpp:3102): multi-key group pages, computed order key with ties") {
+    val rows = Seq(
+      (1L, "a", 1L, 1L), (2L, "a", 2L, 2L), (3L, "b", 3L, 3L),
+      (4L, "a", 4L, 1L), (5L, "b", 1L, 2L), (6L, "a", 2L, 3L),
+      (7L, "b", 3L, 1L), (8L, "b", 4L, 2L), (9L, "a", 1L, 3L))
+    val gt = rows.toDF("a", "b", "c", "d")
+    val cat = Map("//tmp/g2" -> gt)
+    val p1 = SelectRows(spark,
+      "sum(a) as t, b, c FROM [//tmp/g2] group by b, c order by b, c limit 6",
+      cat).as[(Long, String, Long)].collect()
+    assert(p1.toSeq == Seq((10L, "a", 1L), (8L, "a", 2L), (4L, "a", 4L),
+      (5L, "b", 1L), (10L, "b", 3L), (8L, "b", 4L)))
+    val p2 = SelectRows(spark,
+      "b, c, d, c + d as s FROM [//tmp/g2] group by b, c, d order by s, b, c limit 9",
+      cat).as[(String, Long, Long, Long)].collect()
+    assert(p2.toSeq == Seq(
+      ("a", 1L, 1L, 2L), ("b", 1L, 2L, 3L),
+      ("a", 1L, 3L, 4L), ("a", 2L, 2L, 4L), ("b", 3L, 1L, 4L),
+      ("a", 2L, 3L, 5L), ("a", 4L, 1L, 5L),
+      ("b", 3L, 3L, 6L), ("b", 4L, 2L, 6L)))
+  }
+
+  test("GroupByOrderBy3 (ql_query_ut.cpp:3183): where+group+order+limit, incl. empty result") {
+    val gt = (1 to 9).map(i => (i.toLong, ((i - 1) % 3).toLong)).toDF("a", "b")
+    val cat = Map("//tmp/g3" -> gt)
+    val one = SelectRows(spark,
+      "sum(a) as t, b FROM [//tmp/g3] where b = 0 group by b order by b limit 3",
+      cat).as[(Long, Long)].collect()
+    assert(one.toSeq == Seq((12L, 0L)))
+    val none = SelectRows(spark,
+      "sum(a) as t, b FROM [//tmp/g3] where b = 4 group by b order by b limit 3", cat)
+    assert(none.count() == 0)
+  }
+
+  test("GroupByWithNoKeyColumnsInTableSchema (ql_query_ut.cpp:4096): partial groups merge across partitions") {
+    val rows = Seq((0L, 0L), (1L, 1L), (2L, 1L), (2L, 1L), (3L, 1L), (3L, 1L),
+      (3L, 1L), (4L, 1L), (4L, 1L), (4L, 1L), (4L, 1L))
+    val gt = rows.toDF("a", "b").repartition(4)
+    val got = SelectRows(spark,
+      "a, sum(b) as b from [//tmp/nk] group by a limit 1000",
+      Map("//tmp/nk" -> gt)).as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == (0 to 4).map(i => (i.toLong, i.toLong)))
+  }
+
+  test("GroupByWithIdenticalOrderKey (ql_query_ut.cpp:4141): constant-per-group order key, limit 1") {
+    val gt = Seq((0L, 1L, 42L), (1L, 2L, 1L), (2L, 2L, 42L), (3L, 1L, 1L))
+      .toDF("k0", "v1", "v2").repartition(2)
+    val got = SelectRows(spark,
+      "min(v2) as m from [//tmp/ik] group by v1 order by (v1-v1) limit 1",
+      Map("//tmp/ik" -> gt)).as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("GroupByAlias (ql_query_ut.cpp:4167): select alias shadows the column in GROUP BY, raw column in aggregates") {
+    val got = q("a % 3 as a, sum(a + b) as b FROM [//tmp/t] group by a")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 180L), (1L, 123L), (2L, 156L)))
+  }
+
+  test("ComplexBigResult (ql_query_ut.cpp:4496): 10k-group aggregation") {
+    val bt = (0 until 10000).map(i => (i.toLong, i * 10L)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "x, sum(b) + x as t FROM [//tmp/big] where a > 1 group by a as x",
+      Map("//tmp/big" -> bt))
+    assert(got.count() == 9998)
+    val sums = got.agg(org.apache.spark.sql.functions.sum("t")).as[Long].head()
+    assert(sums == (2 until 10000).map(i => i * 10L + i).sum)
+  }
+
+  test("JoinWithComplexEvaluatedColumn (ql_query_ut.cpp:5514): tuple ON join over non-aligned key names") {
+    val a = Seq((1L, 1L, -1L), (1L, 2L, -2L), (2L, 1L, -3L), (2L, 2L, -4L))
+      .toDF("ak1", "ak2", "av0")
+    val b = Seq((2L, 1L, 1L, 1L, -1L), (2L, 1L, 2L, 1L, -3L),
+      (3L, 1L, 1L, 2L, -2L), (3L, 1L, 2L, 2L, -4L))
+      .toDF("bk0", "bk1", "bk2", "bk3", "bv0")
+    val got = SelectRows(spark,
+      "(av0 + bv0) as x FROM [//tmp/ja] join [//tmp/jb] on (ak1, ak2) = (bk1, bk3)",
+      Map("//tmp/ja" -> a, "//tmp/jb" -> b)).as[Long].collect().sorted
+    assert(got.toSeq == Seq(-6L, -4L, -4L, -2L))
+  }
+
   test("GroupByWithTotals + having modes through the string surface (ql_query_ut.cpp:4335)") {
     // placement decides the mode: `with totals ... having` = BeforeHaving
     // (totals over all groups), `having ... with totals` = AfterHaving
