@@ -180,6 +180,11 @@ object QLFunctions {
       GetJsonObject(es(0), ypathArg(es(1)))
 
     // null / conditionals
+    // QL if() propagates a NULL condition to a NULL result
+    // (ql_expressions_ut.cpp FunctionNullArgument: if(null, 1, 2) → #);
+    // Spark's native `if` would take the else branch — lower to a CASE
+    // with no ELSE so a null condition matches no branch.
+    reg("if")(es => CaseWhen(Seq((es(0), es(1)), (Not(es(0)), es(2))), None))
     reg("if_null")(es => Coalesce(es))
     reg("is_null")(es => IsNull(es.head))
     reg("is_nan")(es => IsNaN(es.head))

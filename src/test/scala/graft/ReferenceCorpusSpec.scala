@@ -1339,6 +1339,61 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq(-6L, -4L, -4L, -2L))
   }
 
+  test("TArithmeticNullTest / FunctionNullArgument (ql_expressions_ut.cpp:1259,1039): QL null semantics as projected values") {
+    val one = Seq(Tuple1(1L)).toDF("a")
+    val cat = Map("//tmp/x1" -> one)
+    def eval(expr: String): Any = {
+      val r = SelectRows(spark, s"$expr as v FROM [//tmp/x1]", cat).collect()(0)
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    // equality with null is NULL-MATCHING, not three-valued
+    assert(eval("# = #") == true)
+    assert(eval("1 = #") == false)
+    assert(eval("1 != #") == true)
+    // and/or keep SQL three-valued logic
+    assert(eval("# or %true") == true)
+    assert(eval("# or %false") == null)
+    assert(eval("# and %false") == false)
+    assert(eval("# and %true") == null)
+    // arithmetic propagates null
+    assert(eval("1 + #") == null)
+    // booleans order false < true
+    assert(eval("%false < %true") == true)
+    // if() propagates a null condition (NOT the else branch)
+    assert(eval("if(a = 2, 1, 2)") == 2L)
+    assert(eval("if(# and %true, 1, 2)") == null)
+  }
+
+  test("Udf / ZeroArgumentUdf / UdfNullPropagation (ql_query_ut.cpp:6737): user functions in QL strings") {
+    // the extension surface: Scala UDFs registered on the session stand
+    // in for the reference's compiled UDF modules
+    spark.udf.register("abs_udf", (x: java.lang.Long) =>
+      if (x == null) null else java.lang.Long.valueOf(math.abs(x)))
+    spark.udf.register("seventyfive", () => 75L)
+    val ut = Seq((Some(1L), Some(10L)), (Some(-2L), Some(20L)),
+      (Some(9L), Some(90L)), (Some(-10L), None))
+      .map { case (a, b) => (a.map(Long.box).orNull, b.map(Long.box).orNull) }
+      .toDF("a", "b")
+    val cat = Map("//tmp/u" -> ut)
+    val got = SelectRows(spark, "abs_udf(a) as x FROM [//tmp/u]", cat)
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 9L, 10L))
+    // zero-argument UDF inside WHERE
+    val st = Seq(1L, 2L, 75L, 10L, 75L, 10L).map(Tuple1(_)).toDF("a")
+    val z = SelectRows(spark, "a FROM [//tmp/z] where a = seventyfive()",
+      Map("//tmp/z" -> st)).as[Long].collect()
+    assert(z.toSeq == Seq(75L, 75L))
+    // null propagation through the UDF
+    val nt = Seq((Some(1L), None), (Some(-2L), Some(-20L)),
+      (Some(9L), None), (None, Some(-10L)))
+      .map { case (a, b) => (a.map(Long.box).orNull, b.map(Long.box).orNull) }
+      .toDF("a", "b")
+    val np = SelectRows(spark, "abs_udf(b) as x FROM [//tmp/np]",
+      Map("//tmp/np" -> nt)).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(np.toSeq == Seq(-1L, -1L, 10L, 20L))
+  }
+
   test("GroupByWithTotals + having modes through the string surface (ql_query_ut.cpp:4335)") {
     // placement decides the mode: `with totals ... having` = BeforeHaving
     // (totals over all groups), `having ... with totals` = AfterHaving
