@@ -1394,6 +1394,43 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(np.toSeq == Seq(-1L, -1L, 10L, 20L))
   }
 
+  test("CompositeMemberAccessorStruct/2 (ql_query_ut.cpp:7800): deep struct paths, null cascade, group by deep path") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("struct", StructType(Seq(
+      StructField("a", StructType(Seq(
+        StructField("b", StructType(Seq(StructField("c", LongType))))))),
+      StructField("d", StringType))))))
+    def aVal(c: java.lang.Long) = Row(Row(c))     // a = {b = {c}}
+    val rows = Seq(
+      Row(Row(aVal(1L), "a")), Row(Row(aVal(2L), "b")), Row(Row(aVal(3L), "c")),
+      Row(Row(Row(null), "d")),            // a.b.c = null
+      Row(Row(null, "e")),                 // a = null
+      Row(Row(null, null)))
+    val st = spark.createDataFrame(rows.asJava, schema)
+    val cat = Map("//tmp/cms" -> st)
+    val got = SelectRows(spark,
+      "t.struct.a.b.c as c, t.struct.d as d from [//tmp/cms] as t", cat)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) "<null>" else r.getString(1))).sortBy(_._2)
+    assert(got.toSeq == Seq((-1L, "<null>"), (1L, "a"), (2L, "b"), (3L, "c"),
+      (-1L, "d"), (-1L, "e")).sortBy(_._2))
+    // deep path as a group key, both alias directions
+    val g1 = SelectRows(spark,
+      "t.struct.a.b.c as c from [//tmp/cms] as t group by c", cat)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(g1.toSeq == Seq(-1L, 1L, 2L, 3L))
+    val g2 = SelectRows(spark,
+      "c from [//tmp/cms] as t group by t.struct.a.b.c as c", cat)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(g2.toSeq == Seq(-1L, 1L, 2L, 3L))
+    // struct subtree through the Any carrier
+    val anyC = SelectRows(spark,
+      "try_get_int64(to_any(t.struct.a.b), '/c') as c from [//tmp/cms] as t", cat)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(anyC.toSeq == Seq(-1L, -1L, -1L, 1L, 2L, 3L))
+  }
+
   test("GroupByWithTotals + having modes through the string surface (ql_query_ut.cpp:4335)") {
     // placement decides the mode: `with totals ... having` = BeforeHaving
     // (totals over all groups), `having ... with totals` = AfterHaving
