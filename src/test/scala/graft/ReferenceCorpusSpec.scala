@@ -1431,6 +1431,33 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(anyC.toSeq == Seq(-1L, -1L, -1L, 1L, 2L, 3L))
   }
 
+  test("JoinManySimple (ql_query_ut.cpp:5889): chained USING joins on different keys") {
+    val a = Seq((2L, "b"), (3L, "c"), (4L, "a")).toDF("a", "c")
+    val b = Seq((100L, "a", "X"), (200L, "b", "Y"), (300L, "c", "X"),
+      (400L, "a", "Y"), (500L, "b", "X"), (600L, "c", "Y")).toDF("b", "c", "d")
+    val c = Seq(("X", 1234L), ("Y", 5678L)).toDF("d", "e")
+    val got = SelectRows(spark,
+      "a, c, b, d, e from [//tmp/ja2] join [//tmp/jb2] using c join [//tmp/jc2] using d",
+      Map("//tmp/ja2" -> a, "//tmp/jb2" -> b, "//tmp/jc2" -> c))
+      .as[(Long, String, Long, String, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(got.toSeq == Seq(
+      (2L, "b", 200L, "Y", 5678L), (2L, "b", 500L, "X", 1234L),
+      (3L, "c", 300L, "X", 1234L), (3L, "c", 600L, "Y", 5678L),
+      (4L, "a", 100L, "X", 1234L), (4L, "a", 400L, "Y", 5678L)))
+  }
+
+  test("JoinMany (ql_query_ut.cpp:6429): 3-table chain joined through different keys + group by") {
+    val p = (1 to 9).map(i => (i.toLong, 10L * i)).toDF("a", "b")
+    val s = (1 to 9).map(i => (10L * i, i.toLong)).toDF("b", "c")
+    val t3 = (1 to 9).map(i => (i.toLong, 10L * i)).toDF("c", "d")
+    val got = SelectRows(spark,
+      "sum(a) as x, sum(d) as y, z FROM [//tmp/p] join [//tmp/s] using b " +
+        "join [//tmp/t3] using c group by c % 2 as z",
+      Map("//tmp/p" -> p, "//tmp/s" -> s, "//tmp/t3" -> t3))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((20L, 200L, 0L), (25L, 250L, 1L)))
+  }
+
   test("GroupByWithTotals + having modes through the string surface (ql_query_ut.cpp:4335)") {
     // placement decides the mode: `with totals ... having` = BeforeHaving
     // (totals over all groups), `having ... with totals` = AfterHaving
