@@ -127,25 +127,43 @@ object QLFunctions {
 
   // --- Any / YSON document accessors -------------------------------------
   private def ypathToJsonPath(ypath: String): String =
-    "$" + (if (ypath.isEmpty) "" else ypath.split("/").filter(_.nonEmpty)
-      .map(seg => if (seg.forall(_.isDigit)) s"[$seg]" else s".$seg").mkString)
+    graft.sources.Yson.ypathToJsonPathStrict(ypath)
 
   def try_get_string(any: Column, ypath: String): Column =
     get_json_object(any, ypathToJsonPath(ypath))
   def try_get_int64(any: Column, ypath: String): Column =
-    try_get_string(any, ypath).cast("long")
+    try_get_string(any, ypath).try_cast("long")
   def try_get_uint64(any: Column, ypath: String): Column = try_get_int64(any, ypath)
   def try_get_double(any: Column, ypath: String): Column =
-    try_get_string(any, ypath).cast("double")
+    try_get_string(any, ypath).try_cast("double")
   def try_get_boolean(any: Column, ypath: String): Column =
-    try_get_string(any, ypath).cast("boolean")
-  def try_get_any(any: Column, ypath: String): Column = try_get_string(any, ypath)
-  // get_* differ from try_get_* only in error behavior (throw vs null);
-  // with ANSI casts the throwing behavior comes from the cast itself.
-  def get_string(any: Column, ypath: String): Column = try_get_string(any, ypath)
-  def get_int64(any: Column, ypath: String): Column = try_get_int64(any, ypath)
-  def get_double(any: Column, ypath: String): Column = try_get_double(any, ypath)
-  def get_boolean(any: Column, ypath: String): Column = try_get_boolean(any, ypath)
+    try_get_string(any, ypath).try_cast("boolean")
+  def try_get_any(any: Column, ypath: String): Column = {
+    import org.apache.spark.sql.graft.{shims => S}
+    S.column(graft.sources.Yson.JsonGetRaw(S.expression(any),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ypathToJsonPath(ypath)),
+        org.apache.spark.sql.types.StringType)))
+  }
+  // get_* differ from try_get_* in error behavior (DEFINE_YPATH_GET vs
+  // DEFINE_YPATH_TRY_GET): a missing value at the path raises when both
+  // inputs are present, and a type mismatch raises via the ANSI cast.
+  private def getRequired(any: Column, ypath: String): Column =
+    when(any.isNull, lit(null).cast("string")).otherwise(
+      coalesce(try_get_string(any, ypath), raise_error(
+        lit(s"get_*: no value at ypath '$ypath'"))))
+  def get_string(any: Column, ypath: String): Column = getRequired(any, ypath)
+  def get_any(any: Column, ypath: String): Column =
+    when(any.isNull, lit(null).cast("string")).otherwise(
+      coalesce(try_get_any(any, ypath), raise_error(
+        lit(s"get_any: no value at ypath '$ypath'"))))
+  def get_int64(any: Column, ypath: String): Column =
+    getRequired(any, ypath).cast("long")
+  def get_uint64(any: Column, ypath: String): Column = get_int64(any, ypath)
+  def get_double(any: Column, ypath: String): Column =
+    getRequired(any, ypath).cast("double")
+  def get_boolean(any: Column, ypath: String): Column =
+    getRequired(any, ypath).cast("boolean")
   def yson_length(any: Column): Column =
     coalesce(json_array_length(any), size(json_object_keys(any)).cast("int"))
 
@@ -170,14 +188,33 @@ object QLFunctions {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =
       r.createOrReplaceTempFunction(name, b, "built-in")
-    // a ypath argument must be a foldable string; fold it at build time
-    def ypathArg(e: Expression): Expression = {
-      val raw = e.eval(null).toString
-      val jp = if (raw.startsWith("$")) raw else ypathToJsonPath(raw)
-      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(jp), StringType)
-    }
+    // a foldable ypath folds to a JSON-path literal at build time; a
+    // column-valued ypath (ql_query_ut.cpp YPathTryGetInt64 passes the
+    // path as a table column) converts per row, malformed paths raise
+    def ypathArg(e: Expression): Expression =
+      if (e.foldable) {
+        val raw = e.eval(null)
+        if (raw == null) Literal.create(null, StringType)
+        else {
+          val s = raw.toString
+          val jp = if (s.startsWith("$")) s else ypathToJsonPath(s)
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(jp), StringType)
+        }
+      } else graft.sources.Yson.YPathToJsonPath(e)
     def jsonGet(es: Seq[Expression]): Expression =
       GetJsonObject(es(0), ypathArg(es(1)))
+    // get_* raise when the path finds nothing while both inputs are
+    // present (DEFINE_YPATH_GET); try_get_* return null instead
+    def jsonGetRequired(es: Seq[Expression]): Expression =
+      CaseWhen(Seq(
+        (Or(IsNull(es(0)), IsNull(es(1))), Literal.create(null, StringType))),
+        Some(Coalesce(Seq(jsonGet(es), RaiseError(Concat(Seq(
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+            "get_*: no value at ypath "), StringType), es(1))))))))
+    def tryCast(e: Expression, t: org.apache.spark.sql.types.DataType): Expression =
+      Cast(e, t, None, EvalMode.TRY)
+    def ansiCast(e: Expression, t: org.apache.spark.sql.types.DataType): Expression =
+      Cast(e, t, None, EvalMode.ANSI)
 
     // null / conditionals
     // QL if() propagates a NULL condition to a NULL result
@@ -214,8 +251,22 @@ object QLFunctions {
     reg("regex_escape")(es => RegExpReplace(es.head,
       Literal.create("([.\\[\\]{}()*+?\\\\^$|])", StringType),
       Literal.create("\\\\$1", StringType)))
-    reg("regex_extract")(es => RegExpExtract(es(1), es(0),
-      if (es.length > 2) es(2) else Literal(1)))
+    // reference signature (ql_query_ut.cpp RegexExtract): the third
+    // argument is an RE2 REWRITE template ("\1 at \2"), not a group
+    // index — extract the leftmost match, then expand the template on
+    // it; no match → null (RE2::Extract returns false). An integer
+    // third arg keeps the group-index form for the Column API surface.
+    reg("regex_extract") { es =>
+      val isRewrite = es.length > 2 && es(2).dataType == StringType
+      if (isRewrite) {
+        val whole = RegExpExtract(es(1), es(0), Literal(0))
+        CaseWhen(Seq(
+          (EqualTo(whole, Literal("")), Literal.create(null, StringType))),
+          Some(RegExpReplace(whole, es(0),
+            Literal.create(javaRewrite(es(2).eval(null).toString), StringType))))
+      } else RegExpExtract(es(1), es(0),
+        if (es.length > 2) es(2) else Literal(1))
+    }
     // hashes
     reg("farm_hash")(es => new XxHash64(es))
     reg("simple_hash")(es => Cast(new Murmur3Hash(es), LongType))
@@ -275,27 +326,42 @@ object QLFunctions {
     reg("any_compare")(es => graft.sources.Yson.AnyCompare(es(0), es(1)))
     reg("any_sort_key")(es => graft.sources.Yson.AnySortKey(es.head))
     reg("try_get_string")(jsonGet)
-    reg("get_string")(jsonGet)
-    reg("try_get_any")(jsonGet)
-    reg("get_any")(jsonGet)
+    reg("get_string")(jsonGetRequired)
+    // *_any keep the raw carrier fragment (string leaves stay quoted)
+    def jsonGetAny(es: Seq[Expression]): Expression =
+      graft.sources.Yson.JsonGetRaw(es(0), ypathArg(es(1)))
+    reg("try_get_any")(jsonGetAny)
+    reg("get_any")(es =>
+      CaseWhen(Seq(
+        (Or(IsNull(es(0)), IsNull(es(1))), Literal.create(null, StringType))),
+        Some(Coalesce(Seq(jsonGetAny(es), RaiseError(Concat(Seq(
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+            "get_any: no value at ypath "), StringType), es(1))))))))
+    )
     // to_any(v): typed value → canonical-JSON Any carrier. Lowered as
     // to_json of a 1-element array with the brackets stripped, which
     // JSON-encodes ANY input type (strings gain their quotes) without
     // type dispatch at registration time.
     reg("to_any") { es =>
       val js = StructsToJson(Map.empty, CreateArray(es))
-      Substring(js, Literal(2), Subtract(Length(js), Literal(2)))
+      // a NULL value maps to a NULL Any (storage null, same as the
+      // entity cell `#`), NOT to the JSON text "null" — otherwise
+      // null-matching Any equality sees a non-null carrier
+      If(IsNull(es.head),
+        Literal.create(null, StringType),
+        Substring(js, Literal(2), Subtract(Length(js), Literal(2))))
     }
     reg("yson_length")(es => Coalesce(Seq(
       LengthOfJsonArray(es.head),
       Size(JsonObjectKeys(es.head)))))
-    reg("try_get_int64")(es => Cast(jsonGet(es), LongType))
-    reg("get_int64")(es => Cast(jsonGet(es), LongType))
-    reg("try_get_uint64")(es => Cast(jsonGet(es), LongType))
-    reg("try_get_double")(es => Cast(jsonGet(es), DoubleType))
-    reg("get_double")(es => Cast(jsonGet(es), DoubleType))
-    reg("try_get_boolean")(es => Cast(jsonGet(es), BooleanType))
-    reg("get_boolean")(es => Cast(jsonGet(es), BooleanType))
+    reg("try_get_int64")(es => tryCast(jsonGet(es), LongType))
+    reg("get_int64")(es => ansiCast(jsonGetRequired(es), LongType))
+    reg("try_get_uint64")(es => tryCast(jsonGet(es), LongType))
+    reg("get_uint64")(es => ansiCast(jsonGetRequired(es), LongType))
+    reg("try_get_double")(es => tryCast(jsonGet(es), DoubleType))
+    reg("get_double")(es => ansiCast(jsonGetRequired(es), DoubleType))
+    reg("try_get_boolean")(es => tryCast(jsonGet(es), BooleanType))
+    reg("get_boolean")(es => ansiCast(jsonGetRequired(es), BooleanType))
     // uint64 ops (two's-complement Long carrier, see functions/Uint64)
     val bias = Literal(Long.MinValue)
     def biased(e: Expression): Expression = BitwiseXor(e, bias)

@@ -149,7 +149,13 @@ object Yson {
       }
       var text = s.substring(start, i)
       if (!atEnd && s.charAt(i) == 'u') { i += 1 } // uint64 suffix
-      if (isDouble) java.lang.Double.parseDouble(text) else java.lang.Long.parseLong(text)
+      if (isDouble) {
+        java.lang.Double.parseDouble(text)
+        // YSON allows `4.` / `.5`; JSON does not — canonicalize the edges
+        if (text.endsWith(".")) text += "0"
+        if (text.startsWith(".")) text = "0" + text
+        else if (text.startsWith("-.")) text = "-0" + text.substring(1)
+      } else java.lang.Long.parseLong(text)
       sb.append(text)
     }
 
@@ -634,4 +640,107 @@ object Yson {
   }
 
   def anySortKey(a: Column): Column = S.column(AnySortKey(S.expression(a)))
+
+  /** YPath → JSON path over the canonical-JSON Any carrier, with the
+    * reference's error surface (ypath.cpp via DEFINE_YPATH_GET: the
+    * path is tokenized strictly — empty segments and attribute steps
+    * are errors, ql_query_ut.cpp YPathGetInt64Fail's `//d/1`, `/@d/1`
+    * rows). Digit-only segments address list items. Strict on purpose:
+    * a malformed path is a query error even under try_get_*, while a
+    * MISSING path is a null (that part is GetJsonObject's contract).
+    */
+  def ypathToJsonPathStrict(raw: String): String = {
+    if (raw.isEmpty) return "$"
+    if (!raw.startsWith("/"))
+      throw new IllegalArgumentException(
+        s"malformed ypath '$raw': expected '/' at the start")
+    val sb = new java.lang.StringBuilder("$")
+    raw.substring(1).split("/", -1).foreach { seg =>
+      if (seg.isEmpty)
+        throw new IllegalArgumentException(
+          s"malformed ypath '$raw': empty path segment")
+      if (seg.startsWith("@"))
+        throw new IllegalArgumentException(
+          s"unsupported ypath '$raw': attribute access")
+      if (seg.forall(_.isDigit)) sb.append('[').append(seg).append(']')
+      else sb.append('.').append(seg)
+    }
+    sb.toString
+  }
+
+  def ypathOrThrow(input: UTF8String): UTF8String =
+    UTF8String.fromString(ypathToJsonPathStrict(input.toString))
+
+  private val rawMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Navigate a JSON-path (as produced by [[ypathToJsonPathStrict]]:
+    * `$`, `.name`, `[idx]` steps) and return the RAW JSON fragment —
+    * string leaves keep their quotes, composites serialize as JSON.
+    * This is the `get_any`/`try_get_any` result type: the Any carrier
+    * itself, not an unquoted scalar (get_json_object strips quotes,
+    * which breaks Any-to-Any comparison against to_any(...) values).
+    * Missing path / malformed doc → null. */
+  def jsonGetRaw(doc: UTF8String, path: UTF8String): UTF8String = {
+    if (doc == null || path == null) return null
+    try {
+      var node = rawMapper.readTree(doc.toString)
+      val p = path.toString
+      var i = if (p.startsWith("$")) 1 else 0
+      while (node != null && i < p.length) {
+        p.charAt(i) match {
+          case '.' =>
+            var j = i + 1
+            while (j < p.length && p.charAt(j) != '.' && p.charAt(j) != '[') j += 1
+            node = node.get(p.substring(i + 1, j))
+            i = j
+          case '[' =>
+            val j = p.indexOf(']', i)
+            node = node.get(p.substring(i + 1, j).toInt)
+            i = j + 1
+          case _ => return null
+        }
+      }
+      if (node == null || node.isMissingNode) null
+      else UTF8String.fromString(node.toString)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** `get_any`/`try_get_any`: Any carrier in, Any carrier out. */
+  case class JsonGetRaw(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(doc: Any, path: Any): Any =
+      jsonGetRaw(doc.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (d, p) => s"""
+        ${ev.value} = graft.sources.Yson.jsonGetRaw($d, $p);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonGetRaw =
+      copy(left = l, right = r)
+  }
+
+  /** Runtime form for column-valued ypaths (the reference's accessor
+    * tests pass the path as a table column, ql_query_ut.cpp
+    * YPathTryGetInt64). Null path → null; malformed path → error. */
+  case class YPathToJsonPath(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      ypathOrThrow(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.sources.Yson.ypathOrThrow($c)")
+    override protected def withNewChildInternal(c: Expression): YPathToJsonPath =
+      copy(child = c)
+  }
 }

@@ -1473,4 +1473,188 @@ class ReferenceCorpusSpec extends SparkSpec {
       cat).collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).sorted
     assert(after.toSeq == Seq((-1L, 130L), (1L, 30L), (2L, 100L)))
   }
+
+  // ---- YPath accessor family (ql_query_ut.cpp:6997-7463) ----
+  // The reference passes the ypath as a TABLE COLUMN, not a literal;
+  // fixtures write YSON rows, carried here as canonical JSON. An
+  // entity-valued Any cell (`yson=#` in TSource) is a storage-level
+  // NULL, exactly like a missing cell.
+
+  private def ypathFixture(rows: Seq[(String, String)]) = {
+    import graft.types.YtTypes._
+    anyTagged(rows.map { case (y, p) =>
+      Seq(if (y == null) null else graft.sources.Yson.parseToJson(y), p)
+    }, "yson" -> YtAny, "ypath" -> YtUtf8)
+  }
+  private val ypDoc = "{b={c=4};d=[1;2]}"
+
+  test("YPathTryGetInt64 (ql_query_ut.cpp:6997): column-valued path, null on miss") {
+    val df = ypathFixture(Seq(
+      (ypDoc, "/b/c"), (ypDoc, "/d/1"), (null, null),
+      (ypDoc, "/b/d"), (ypDoc, null), (null, "/d/1")))
+    val got = SelectRows(spark,
+      "try_get_int64(yson, ypath) as result from [//tmp/yp]",
+      Map("//tmp/yp" -> df)).as[Option[Long]].collect()
+    assert(got.toSeq == Seq(Some(4L), Some(2L), None, None, None, None))
+  }
+
+  test("YPathTryGetUint64 (ql_query_ut.cpp:7093): unsigned through the carrier") {
+    val df = ypathFixture(Seq(
+      ("{b={c=4u};d=[1;2]}", "/b/c"), ("{b={c=4};d=[1;2u]}", "/d/1"),
+      (null, null), (ypDoc, "/b/d"), (ypDoc, null), (null, "/d/1")))
+    val got = SelectRows(spark,
+      "try_get_uint64(yson, ypath) as result from [//tmp/yp]",
+      Map("//tmp/yp" -> df)).as[Option[Long]].collect()
+    assert(got.toSeq == Seq(Some(4L), Some(2L), None, None, None, None))
+  }
+
+  test("YPathTryGetDouble (ql_query_ut.cpp:7184): `4.` YSON doubles") {
+    val df = ypathFixture(Seq(
+      ("{b={c=4.};d=[1;2]}", "/b/c"), ("{b={c=4};d=[1;2.]}", "/d/1"),
+      (null, null), (ypDoc, "/b/d"), (ypDoc, null), (null, "/d/1")))
+    val got = SelectRows(spark,
+      "try_get_double(yson, ypath) as result from [//tmp/yp]",
+      Map("//tmp/yp" -> df)).as[Option[Double]].collect()
+    assert(got.toSeq == Seq(Some(4.0), Some(2.0), None, None, None, None))
+  }
+
+  test("YPathTryGetBoolean (ql_query_ut.cpp:7275): %true/%false leaves") {
+    val df = ypathFixture(Seq(
+      ("{b={c=%true};d=[1;2]}", "/b/c"), ("{b={c=4};d=[1;%false]}", "/d/1"),
+      (null, null), (ypDoc, "/b/d"), (ypDoc, null), (null, "/d/1")))
+    val got = SelectRows(spark,
+      "try_get_boolean(yson, ypath) as result from [//tmp/yp]",
+      Map("//tmp/yp" -> df)).as[Option[Boolean]].collect()
+    assert(got.toSeq == Seq(Some(true), Some(false), None, None, None, None))
+  }
+
+  test("YPathTryGetString (ql_query_ut.cpp:7366): string leaves unquoted") {
+    val df = ypathFixture(Seq(
+      ("{b={c=\"hello\"};d=[1;2]}", "/b/c"),
+      ("{b={c=4};d=[1;\"world\"]}", "/d/1"),
+      (null, null), (ypDoc, "/b/d"), (ypDoc, null), (null, "/d/1")))
+    val got = SelectRows(spark,
+      "try_get_string(yson, ypath) as result from [//tmp/yp]",
+      Map("//tmp/yp" -> df)).as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("hello"), Some("world"), None, None, None, None))
+  }
+
+  test("YPathGetInt64 (ql_query_ut.cpp:7031): null inputs pass through, values read") {
+    val df = ypathFixture(Seq(
+      (ypDoc, "/b/c"), (ypDoc, "/d/1"), (null, null),
+      (ypDoc, null), (null, "/d/1")))
+    val got = SelectRows(spark,
+      "get_int64(yson, ypath) as result from [//tmp/yp]",
+      Map("//tmp/yp" -> df)).as[Option[Long]].collect()
+    assert(got.toSeq == Seq(Some(4L), Some(2L), None, None, None))
+  }
+
+  test("YPathGetInt64Fail (ql_query_ut.cpp:7063): get_* raises on a missing path, " +
+    "malformed ypaths raise for get_* AND try_get_*") {
+    // missing path with both inputs present: get_* errors, try_get_* nulls
+    val miss = ypathFixture(Seq((ypDoc, "/b/d")))
+    val failed = intercept[Exception] {
+      SelectRows(spark, "get_int64(yson, ypath) as result from [//tmp/yp]",
+        Map("//tmp/yp" -> miss)).collect()
+    }
+    assert(failed.getMessage != null)
+    // malformed paths (`//d/1` empty segment, `/@d/1` attribute step)
+    // raise even under try_get_* (the reference's Fail rows cover both)
+    for (bad <- Seq("//d/1", "/@d/1"); fn <- Seq("try_get_int64", "get_int64")) {
+      val df = ypathFixture(Seq((ypDoc, bad)))
+      intercept[Exception] {
+        SelectRows(spark, s"$fn(yson, ypath) as result from [//tmp/yp]",
+          Map("//tmp/yp" -> df)).collect()
+      }
+    }
+    // `/d1` is well-formed but missing: null under try, error under get
+    val d1 = ypathFixture(Seq((ypDoc, "/d1")))
+    val tryGot = SelectRows(spark,
+      "try_get_int64(yson, ypath) as result from [//tmp/yp]",
+      Map("//tmp/yp" -> d1)).as[Option[Long]].collect()
+    assert(tryGot.toSeq == Seq(None))
+    // divergence: the reference's malformed-YSON rows error inside the
+    // accessor; our carrier rejects malformed YSON earlier, at
+    // yson_string_to_any time (parse → null carrier)
+    assert(graft.sources.Yson.parseToJson("{b={c=4}d=[1;2}}") == null)
+  }
+
+  test("YPathGetAny (ql_query_ut.cpp:7463): nested get_any, null-matching equality") {
+    import graft.types.YtTypes._
+    val rows = Seq(
+      ("{b={c=\"here\"};d=[1;2]}", "/b", "/c", "here"),
+      ("{b={c=4};d=[1;\"there\"]}", "/d", "/1", "there"),
+      (null, null, null, null),
+      (ypDoc, null, null, null),
+      (null, "/d/1", null, null))
+    val df = anyTagged(rows.map { case (y, p0, p1, v) =>
+      Seq(if (y == null) null else graft.sources.Yson.parseToJson(y), p0, p1, v)
+    }, "yson" -> YtAny, "ypath0" -> YtUtf8, "ypath1" -> YtUtf8,
+      "value" -> YtUtf8)
+    val got = SelectRows(spark,
+      "get_any(get_any(yson, ypath0), ypath1) = value as result from [//tmp/yp]",
+      Map("//tmp/yp" -> df)).as[Boolean].collect()
+    assert(got.toSeq == Seq(true, true, true, true, true))
+  }
+
+  test("TQueryEvaluateYsonLengthTest.GetAny (ql_query_ut.cpp:9751): yson_length over get_any, entity Any is NULL") {
+    import graft.types.YtTypes._
+    // `any=#` writes a storage NULL into the Any column
+    val df = anyTagged(Seq(
+      Seq(graft.sources.Yson.parseToJson("{a=[1;2;3;4]}")),
+      Seq(null)), "any" -> YtAny)
+    val got = SelectRows(spark,
+      "yson_length(try_get_any(any, '/a')) as length from [//tmp/yl]",
+      Map("//tmp/yl" -> df)).as[Option[Long]].collect()
+    assert(got.toSeq == Seq(Some(4L), None))
+  }
+
+  test("YsonStringToAny (ql_query_ut.cpp:7662): YSON text → Any carrier across scalars, maps, lists") {
+    val cases = Seq(
+      "1" -> "1",
+      "1u" -> "1",
+      "1.0" -> "1.0",
+      "abc" -> "\"abc\"",
+      "%true" -> "true",
+      "{}" -> "{}",
+      "{b=1}" -> "{\"b\":1}",
+      "{b=1u}" -> "{\"b\":1}",
+      "{b=1.0}" -> "{\"b\":1.0}",
+      "{b=abc}" -> "{\"b\":\"abc\"}",
+      "{b=%true}" -> "{\"b\":true}",
+      "{b=[]}" -> "{\"b\":[]}",
+      "{b=[1;2;3]}" -> "{\"b\":[1,2,3]}",
+      "{b=[1;abc;3.14;%false]}" -> "{\"b\":[1,\"abc\",3.14,false]}",
+      "{b=[1;2;3];c=42u}" -> "{\"b\":[1,2,3],\"c\":42}",
+      "[]" -> "[]",
+      "[1]" -> "[1]",
+      "[1u]" -> "[1]",
+      "[1.0]" -> "[1.0]",
+      "[abc]" -> "[\"abc\"]",
+      "[%true]" -> "[true]",
+      "[[]]" -> "[[]]",
+      "[[1;2;3]]" -> "[[1,2,3]]",
+      "[[1;abc;3.14;%false]]" -> "[[1,\"abc\",3.14,false]]",
+      "[[1;2;3];42u]" -> "[[1,2,3],42]")
+    val df = cases.map(_._1).toDF("a")
+    val got = SelectRows(spark,
+      "yson_string_to_any(a) as r from [//tmp/ys]",
+      Map("//tmp/ys" -> df)).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("AnyToYsonString (ql_query_ut.cpp:6970): Any carrier → reference text YSON") {
+    import graft.types.YtTypes._
+    val ysons = Seq("{}", "{a=42;}", "{a={b=c}}", "{a={b=3.14};d=[1;2];e=#}")
+    val df = anyTagged(
+      ysons.map(y => Seq(graft.sources.Yson.parseToJson(y))), "any" -> YtAny)
+    val got = SelectRows(spark,
+      "any_to_yson_string(any) as result from [//tmp/ay]",
+      Map("//tmp/ay" -> df)).as[String].collect()
+    assert(got.toSeq == Seq(
+      "{}",
+      "{\"a\"=42;}",
+      "{\"a\"={\"b\"=\"c\";};}",
+      "{\"a\"={\"b\"=3.14;};\"d\"=[1;2;];\"e\"=#;}"))
+  }
 }

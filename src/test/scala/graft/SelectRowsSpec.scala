@@ -140,7 +140,9 @@ class SelectRowsSpec extends SparkSpec {
     assert(got.getInt(2) == 3)
     assert(got.getString(3) == "1")
     assert(got.getString(4) == "\"a.b c\"")
-    assert(got.getString(5) == "x")
+    // get_any returns the RAW Any fragment: string leaves keep their
+    // quotes (the carrier form to_any produces), unlike get_string
+    assert(got.getString(5) == "\"x\"")
 
     val ts = Seq(Tuple1(java.sql.Timestamp.valueOf("2024-03-15 13:45:10")))
       .toDF("ts")
