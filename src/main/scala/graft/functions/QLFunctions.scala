@@ -59,8 +59,11 @@ object QLFunctions {
   def is_prefix(prefix: Column, hay: Column): Column = hay.startsWith(prefix)
 
   // --- regex (re2 in the reference; Java regex here) -------------------
-  def regex_full_match(pattern: String, s: Column): Column = s.rlike(s"^(?:$pattern)$$")
-  def regex_partial_match(pattern: String, s: Column): Column = s.rlike(pattern)
+  // a null subject is NOT a match (ql_query_ut.cpp RegexFullMatch)
+  def regex_full_match(pattern: String, s: Column): Column =
+    coalesce(s.rlike(s"^(?:$pattern)$$"), lit(false))
+  def regex_partial_match(pattern: String, s: Column): Column =
+    coalesce(s.rlike(pattern), lit(false))
 
   /** Convert an re2 rewrite string (regex_udf.cpp: `\1`..`\9` group
     * refs, `\\` literal backslash, `$` literal) to Java's replacement
@@ -240,9 +243,13 @@ object QLFunctions {
     // variadic greatest incl. the 1-arg form (ql_query_ut.cpp Greatest)
     reg("greatest")(es => if (es.length == 1) es.head else Greatest(es))
     // regex (argument order per the reference: pattern first)
-    reg("regex_full_match")(es => RLike(es(1),
-      Literal.create("^(?:" + es(0).eval(null) + ")$", StringType)))
-    reg("regex_partial_match")(es => RLike(es(1), es(0)))
+    // a null subject is NOT a match (ql_query_ut.cpp RegexFullMatch:
+    // the empty row evaluates to %false, not null)
+    reg("regex_full_match")(es => Coalesce(Seq(RLike(es(1),
+      Literal.create("^(?:" + es(0).eval(null) + ")$", StringType)),
+      Literal(false))))
+    reg("regex_partial_match")(es =>
+      Coalesce(Seq(RLike(es(1), es(0)), Literal(false))))
     reg("regex_replace_all")(es => RegExpReplace(es(1), es(0),
       Literal.create(javaRewrite(es(2).eval(null).toString), StringType)))
     reg("regex_replace_first")(es => RegExpReplace(es(1),

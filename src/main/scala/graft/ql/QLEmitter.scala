@@ -157,6 +157,142 @@ object QLEmitter {
     }
   }
 
+  /** Walk every node of an expression tree. */
+  private def foreachExpr(e: Expr)(f: Expr => Unit): Unit = {
+    f(e)
+    def go(x: Expr) = foreachExpr(x)(f)
+    e match {
+      case Call(_, args, _) => args.foreach(go)
+      case Bin(_, l, r) => go(l); go(r)
+      case Un(_, x) => go(x)
+      case IsNullOp(x, _) => go(x)
+      case LikeOp(x, _, p, esc, _) => go(x); go(p); esc.foreach(go)
+      case InList(t, rows, _) => t.foreach(go); rows.foreach(_.foreach(go))
+      case BetweenOp(t, rs, _) =>
+        t.foreach(go); rs.foreach { case (a, b) => a.foreach(go); b.foreach(go) }
+      case CaseExpr(o, bs, el) =>
+        o.foreach(go); bs.foreach { case (w, th) => go(w); go(th) }; el.foreach(go)
+      case TupleExpr(items) => items.foreach(go)
+      case ItemAccess(x, i) => go(x); go(i)
+      case _ => ()
+    }
+  }
+
+  /** Prepare-time diagnostics on USER queries, mirroring the
+    * reference's TQueryPrepareTest surface (ql_query_ut.cpp:
+    * MisuseAggregateFunction, FailedTypeInference,
+    * ResultSchemaCollision, JoinColumnCollision). Called by
+    * [[SelectRows.transpile]] before lowering — NOT from toSql, which
+    * also lowers synthesized helper queries (the WITH TOTALS totals
+    * row is a legitimate global aggregate). Recurses into FROM
+    * subqueries. Throws IllegalArgumentException (never
+    * QLParseException, which would trip the legacy-transpiler
+    * fallback and mask the diagnostic). */
+  def validate(q: Query, byTable: Map[String, TableCols]): Unit =
+    validateScoped(q, AnyResolution(byTable, Set.empty))
+
+  private def validateScoped(q: Query, res: AnyResolution): Unit = {
+    val scope = scopeOf(q, res)
+    // Misuse of aggregate: aggregates cannot nest …
+    (q.select.map(_.e) ++ q.having).foreach { e =>
+      foreachExpr(e) {
+        case Call(n, args, _) if aggNames(n.toLowerCase) && args.exists(containsAgg) =>
+          throw new IllegalArgumentException(
+            s"""Misuse of aggregate function "$n": aggregate arguments cannot contain aggregates""")
+        case _ => ()
+      }
+    }
+    // … and require a GROUP BY clause (no implicit global aggregation)
+    if (q.groupBy.isEmpty) {
+      q.select.map(_.e).foreach { e =>
+        foreachExpr(e) {
+          case Call(n, _, _) if aggNames(n.toLowerCase) =>
+            throw new IllegalArgumentException(
+              s"""Misuse of aggregate function "$n": no GROUP BY clause""")
+          case _ => ()
+        }
+      }
+    }
+    // a bare untyped NULL projection has no inferable type
+    q.select.foreach {
+      case SelectItem(NullLit, _) =>
+        throw new IllegalArgumentException(
+          "Type inference failed: untyped NULL projection")
+      case _ => ()
+    }
+    // output alias collision
+    val aliases = q.select.flatMap(_.alias)
+    aliases.diff(aliases.distinct).headOption.foreach { a =>
+      throw new IllegalArgumentException(
+        s"""Alias "$a" has been already used""")
+    }
+    // OFFSET requires LIMIT; ORDER BY requires LIMIT (the reference
+    // top-k contract, ql_query_ut.cpp OffsetLimit/OrderByWithoutLimit —
+    // an unbounded distributed sort is never what a QL caller means)
+    if (q.offset.nonEmpty && q.limit.isEmpty)
+      throw new IllegalArgumentException("OFFSET used without LIMIT")
+    if (q.orderBy.nonEmpty && q.limit.isEmpty)
+      throw new IllegalArgumentException("ORDER BY used without LIMIT")
+    // greatest() cannot infer a type for an untyped NULL argument
+    // (ql_query_ut.cpp GreatestError)
+    (q.select.map(_.e) ++ q.where ++ q.groupBy.map(_.e) ++ q.having ++
+      q.orderBy.map(_.e)).foreach { e =>
+      foreachExpr(e) {
+        case Call(n, args, _) if n.equalsIgnoreCase("greatest") &&
+            args.contains(NullLit) =>
+          throw new IllegalArgumentException(
+            "Type inference failed: greatest with untyped NULL argument")
+        case _ => ()
+      }
+    }
+    // Ambiguous resolution over joins (schema-aware catalogs only):
+    // an unqualified column living in 2+ scope tables must be a USING
+    // key; `*` must not expand overlapping non-key columns
+    val tables = scope.values.toSeq.filter(_.all.nonEmpty)
+    if (tables.length >= 2) {
+      // names a ref may use unqualified despite living in 2+ tables:
+      // USING keys, same-name ON equi-keys (equal by construction),
+      // and aliases DEFINED by this query (select/group-by/array-join
+      // aliases shadow source columns, GroupByAlias semantics)
+      val usingCols = q.joins.collect {
+        case JoinClause(_, _, u, _, _) => u
+      }.flatten.toSet ++ q.joins.collect {
+        case JoinClause(_, _, _, Some((l, r)), _) =>
+          l.zip(r).collect {
+            case (Ref(lp), Ref(rp)) if lp.last == rp.last => lp.last
+          }
+      }.flatten ++ q.select.flatMap(_.alias) ++ q.groupBy.flatMap(_.alias) ++
+        q.joins.collect {
+          case ArrayJoinClause(_, items, _) => items.flatMap(_.alias)
+        }.flatten
+      def ambiguous(c: String) =
+        !usingCols.contains(c) && tables.count(_.all.contains(c)) >= 2
+      def checkScalar(e: Expr): Unit = foreachExpr(e) {
+        case Ref(Seq(c)) if ambiguous(c) =>
+          throw new IllegalArgumentException(
+            s"""Ambiguous resolution for column "$c"""")
+        case _ => ()
+      }
+      q.select.foreach {
+        case SelectItem(Star, _) =>
+          tables.flatMap(_.all.toSeq).groupBy(identity).collectFirst {
+            case (c, occ) if occ.size >= 2 && !usingCols.contains(c) => c
+          }.foreach { c =>
+            throw new IllegalArgumentException(
+              s"""Ambiguous resolution for column "$c"""")
+          }
+        case si => checkScalar(si.e)
+      }
+      (q.where ++ q.having).foreach(checkScalar)
+      q.groupBy.foreach(si => checkScalar(si.e))
+      q.orderBy.foreach(o => checkScalar(o.e))
+    }
+    q.from.foreach {
+      case SubquerySource(sub, _) => validateScoped(sub, res)
+      case _ => ()
+    }
+  }
+
   private def rewriteAnyQuery(q: Query, res: AnyResolution): Query = {
     val scope = scopeOf(q, res)
     def rw(e: Expr): Expr = rewriteAnyExpr(e, scope, res)

@@ -105,13 +105,26 @@ object QLParser {
         while (i < n && s.charAt(i) != c) {
           val ch = s.charAt(i)
           if (ch == '\\' && i + 1 < n) {
+            // lexer.rl's escape set: \a \b \f \n \r \t \v \0 \' \" \\ \xNN
+            def isHex(k: Char) =
+              k.isDigit || ('a' <= k && k <= 'f') || ('A' <= k && k <= 'F')
             s.charAt(i + 1) match {
-              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
-              case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
-              case '\'' => sb.append('\''); case '"' => sb.append('"')
-              case other => sb.append(other)
+              case 'n' => sb.append('\n'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 'a' => sb.append('\u0007'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case 'v' => sb.append('\u000B'); i += 2
+              case '0' => sb.append('\u0000'); i += 2
+              case 'x' if i + 3 < n && isHex(s.charAt(i + 2)) && isHex(s.charAt(i + 3)) =>
+                sb.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
+                i += 4
+              case '\\' => sb.append('\\'); i += 2
+              case '\'' => sb.append('\''); i += 2
+              case '"' => sb.append('"'); i += 2
+              case other => sb.append(other); i += 2
             }
-            i += 2
           } else { sb.append(ch); i += 1 }
         }
         if (i >= n) throw QLParseException("unterminated string", start)
@@ -252,6 +265,12 @@ object QLParser {
     private def tryOp(s: String): Boolean = { if (isOp(s)) { i += 1; true } else false }
     private def ident(): String = bump() match {
       case TIdent(s, _) => s
+      // a reserved word where an identifier is required is a firm
+      // diagnostic (parser.ypp / ql_query_ut.cpp KeywordAlias:
+      // "unexpected keyword") — NOT a QLParseException, which would
+      // send the query to the legacy transpiler and mask the error
+      case TKw(k, pos) => throw new IllegalArgumentException(
+        s"unexpected keyword ${k.toLowerCase} at $pos")
       case t => throw QLParseException("expected identifier", t.pos)
     }
 

@@ -141,16 +141,22 @@ object SelectRows {
   }
 
   def transpile(ql: String, byTable: Map[String, QLEmitter.TableCols]): String =
-    try QLEmitter.toSql(QLParser.parse(ql), byTable)
-    catch {
+    try {
+      val q = QLParser.parse(ql)
+      QLEmitter.validate(q, byTable)
+      QLEmitter.toSql(q, byTable)
+    } catch {
       case e: QLParser.QLParseException =>
         System.err.println(s"QLParser fallback for: ${ql.take(120)} (${e.getMessage})")
         transpileLegacy(ql)
     }
 
   def transpile(ql: String, anyCols: Set[String]): String =
-    try QLEmitter.toSql(QLParser.parse(ql), anyCols)
-    catch {
+    try {
+      val q = QLParser.parse(ql)
+      QLEmitter.validate(q, Map.empty)
+      QLEmitter.toSql(q, anyCols)
+    } catch {
       case e: QLParser.QLParseException =>
         System.err.println(s"QLParser fallback for: ${ql.take(120)} (${e.getMessage})")
         transpileLegacy(ql)

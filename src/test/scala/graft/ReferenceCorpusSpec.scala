@@ -1657,4 +1657,285 @@ class ReferenceCorpusSpec extends SparkSpec {
       "{\"a\"={\"b\"=\"c\";};}",
       "{\"a\"={\"b\"=3.14;};\"d\"=[1;2;];\"e\"=#;}"))
   }
+
+  // ---- regex family (ql_query_ut.cpp:6851-6968, RE2 surface) ----
+  // Subjects come as a nullable column; a null subject is NOT a match
+  // (expected %false), while replace/extract propagate null.
+
+  private def strRows(vs: Seq[Option[String]]) = {
+    import graft.types.YtTypes._
+    anyTagged(vs.map(v => Seq(v.orNull)), "a" -> YtUtf8)
+  }
+
+  test("RegexFullMatch (ql_query_ut.cpp:6876): anchored match, null subject is false") {
+    val df = strRows(Seq(Some("hello"), Some("hell"), None))
+    val got = SelectRows(spark,
+      "regex_full_match('hel[a-z]', a) as x from [//tmp/re]",
+      Map("//tmp/re" -> df)).as[Boolean].collect()
+    assert(got.toSeq == Seq(false, true, false))
+  }
+
+  test("RegexPartialMatch (ql_query_ut.cpp:6902): unanchored, null subject is false") {
+    val df = strRows(Seq(Some("xx"), Some("x43x"), None))
+    val got = SelectRows(spark,
+      "regex_partial_match('[0-9]+', a) as x from [//tmp/re]",
+      Map("//tmp/re" -> df)).as[Boolean].collect()
+    assert(got.toSeq == Seq(false, true, false))
+  }
+
+  test("RegexReplaceFirst (ql_query_ut.cpp:6928): first occurrence only, null propagates") {
+    val df = strRows(Seq(Some("x43x43x"), None))
+    val got = SelectRows(spark,
+      "regex_replace_first('[0-9]+', a, '_') as x from [//tmp/re]",
+      Map("//tmp/re" -> df)).as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("x_x43x"), None))
+  }
+
+  test("RegexReplaceAll (ql_query_ut.cpp:6942): every occurrence, null propagates") {
+    val df = strRows(Seq(Some("x43x43x"), None))
+    val got = SelectRows(spark,
+      "regex_replace_all('[0-9]+', a, '_') as x from [//tmp/re]",
+      Map("//tmp/re" -> df)).as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("x_x_x"), None))
+  }
+
+  test("RegexExtract (ql_query_ut.cpp:6956): RE2 rewrite template over the leftmost match") {
+    val df = strRows(Seq(Some("Send root@ya.com an email."), None))
+    val got = SelectRows(spark,
+      "regex_extract('([a-z]*)@(.*).com', a, '\\\\1 at \\\\2') as x from [//tmp/re]",
+      Map("//tmp/re" -> df)).as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("root at ya"), None))
+  }
+
+  test("RegexEscape (ql_query_ut.cpp:6964): metacharacters quoted") {
+    val df = strRows(Seq(Some("1.5"), None))
+    val got = SelectRows(spark,
+      "regex_escape(a) as x from [//tmp/re]",
+      Map("//tmp/re" -> df)).as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("1\\.5"), None))
+  }
+
+  test("RegexParseError (ql_query_ut.cpp:6851): malformed pattern raises") {
+    val df = strRows(Seq(Some("hello"), Some("hell"), None))
+    intercept[Exception] {
+      SelectRows(spark,
+        "regex_full_match('hel[a-z)', a) as x from [//tmp/re]",
+        Map("//tmp/re" -> df)).collect()
+    }
+  }
+
+  // ---- prepare/typecheck error surface (TQueryPrepareTest) ----
+  // GetSampleTableSchema (ql_helpers.cpp:44): int64 keys k/l/m, data
+  // int64 a/b/c, strings s/u. A QL error is a raised exception; the
+  // reference checks prepare-time diagnostics, we accept analysis- or
+  // run-time as long as the query NEVER silently succeeds.
+
+  private lazy val sampleT = {
+    import graft.types.YtTypes._
+    anyTagged(
+      Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L, "x", "y"),
+        Seq(2L, 3L, 4L, 5L, 6L, 7L, "z", "w")),
+      "k" -> YtInt64, "l" -> YtInt64, "m" -> YtInt64,
+      "a" -> YtInt64, "b" -> YtInt64, "c" -> YtInt64,
+      "s" -> YtUtf8, "u" -> YtUtf8)
+  }
+  private def expectError(ql: String,
+      cat: Map[String, org.apache.spark.sql.DataFrame] = Map("//t" -> sampleT)): Unit = {
+    intercept[Exception] { SelectRows(spark, ql, cat).collect() }
+    ()
+  }
+
+  test("BadSyntax (ql_query_ut.cpp): unparseable input raises") {
+    expectError("bazzinga mu ha ha ha")
+  }
+
+  test("BadColumnNameInFilter / BadColumnNameInProject: undefined references raise") {
+    expectError("k from [//t] where bar = 1")
+    expectError("foo from [//t]")
+  }
+
+  test("BadTypecheck: int64 compared against a string literal raises") {
+    expectError("k from [//t] where a > 'xyz'")
+  }
+
+  test("BadTableName: reference to a table not in the catalog raises") {
+    expectError("k from [//nonexistent/table]")
+  }
+
+  test("MisuseAggregateFunction: nested aggregate and aggregate without GROUP BY raise") {
+    expectError("sum(sum(a)) from [//t] group by k")
+    expectError("sum(a) from [//t]")
+    expectError("argmin(a, a) from [//t]")
+  }
+
+  test("WronglyTypedAggregate: avg over a string column raises") {
+    expectError("avg(s) from [//t] group by 1")
+  }
+
+  test("GreatestError (ql_query_ut.cpp:8841): null argument fails type inference") {
+    expectError("greatest(a, null) from [//t]")
+    expectError("greatest(null, a) from [//t]")
+  }
+
+  test("IncorrectDivision: INT_MIN/-1, INT_MIN%-1 and %0 raise") {
+    expectError("* from [//t] where a = -9223372036854775808 / -1")
+    expectError("* from [//t] where a = -9223372036854775808 % -1")
+    expectError("* from [//t] where a = 42 % 0")
+  }
+
+  test("FailedTypeInference: bare NULL projection raises") {
+    expectError("null from [//t]")
+  }
+
+  test("ResultSchemaCollision: duplicate output alias raises") {
+    expectError("a as x, b as x FROM [//t] WHERE k > 3")
+  }
+
+  test("JoinColumnCollision: unqualified shared column and * over a USING join raise") {
+    val cat = Map("//t" -> sampleT, "//s2" -> sampleT)
+    expectError("a, b from [//t] join [//s2] using b", cat)
+    expectError("* from [//t] join [//s2] using b", cat)
+  }
+
+  // ---- simple evaluate family (ql_query_ut.cpp:1976-2600) ----
+
+  private lazy val ab45 = Seq((4L, 5L), (10L, 11L)).toDF("a", "b")
+
+  test("SelectAll (ql_query_ut.cpp): * projects every column unchanged") {
+    val got = q2("* FROM [//tmp/ab]", ab45).as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((4L, 5L), (10L, 11L)))
+  }
+  private def q2(ql: String, df: org.apache.spark.sql.DataFrame) =
+    SelectRows(spark, ql, Map("//tmp/ab" -> df))
+
+  test("SimpleAlias (ql_query_ut.cpp): an alias may shadow its source column") {
+    val got = q2("a * a as a, b FROM [//tmp/ab]", ab45).as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((16L, 5L), (100L, 11L)))
+  }
+
+  test("KeywordAlias (ql_query_ut.cpp:226): reserved words cannot alias") {
+    // the reference list minus `transform` (a function name here, not
+    // a reserved token — our grammar parses transform(...) as a call)
+    val kws = Seq("select", "from", "where", "having", "offset", "limit",
+      "join", "array", "using", "asc", "desc", "left", "as", "on", "and",
+      "or", "is", "not", "null", "between", "in", "like", "ilike", "rlike",
+      "regexp", "escape", "false", "true", "case", "when", "then", "else",
+      "end", "inf")
+    for (kw <- kws) expectError(s"k as $kw from [//t]")
+  }
+
+  test("AdditionPrecedence (ql_query_ut.cpp): IN / BETWEEN bind looser than +") {
+    val got = q2("1 + 2 in (3, 4, 5) as r1, 1 + 2 between 3 and 4 as r2 FROM [//tmp/ab] limit 1",
+      ab45).as[(Boolean, Boolean)].collect()
+    assert(got.toSeq == Seq((true, true)))
+  }
+
+  test("SimpleCmpInt / SimpleCmpString (ql_query_ut.cpp): the comparison table") {
+    val gotI = q2("a < b as r1, a > b as r2, a <= b as r3, a >= b as r4, a = b as r5 FROM [//tmp/ab]",
+      Seq((4L, 5L), (6L, 6L)).toDF("a", "b"))
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(gotI.toSeq == Seq((true, false, true, false, false),
+      (false, false, true, true, true)))
+    val gotS = q2("a < b as r1, a > b as r2, a <= b as r3, a >= b as r4, a = b as r5 FROM [//tmp/ab]",
+      Seq(("a", "aa"), ("aa", "aa")).toDF("a", "b"))
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(gotS.toSeq == Seq((true, false, true, false, false),
+      (false, false, true, true, true)))
+  }
+
+  test("SimpleBetweenAnd (ql_query_ut.cpp): scalar between") {
+    val df = Seq((4L, 5L), (10L, 11L), (15L, 11L)).toDF("a", "b")
+    val got = q2("a, b FROM [//tmp/ab] where a between 9 and 11", df)
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((10L, 11L)))
+  }
+
+  test("SimpleOffsetLimit (ql_query_ut.cpp): limit pages in read order, offset skips") {
+    val df = (0L to 8L).toDF("a").repartition(1).sortWithinPartitions("a")
+    assert(q2("a FROM [//tmp/ab] limit 5", df).as[Long].collect().toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    assert(q2("a FROM [//tmp/ab] offset 5 limit 1", df).as[Long].collect().toSeq ==
+      Seq(5L))
+  }
+
+  test("TruePredicate / FalsePredicate (ql_query_ut.cpp): constant WHERE") {
+    assert(q2("* FROM [//tmp/ab] where true", ab45).count() == 2)
+    assert(q2("* FROM [//tmp/ab] where false", ab45).count() == 0)
+  }
+
+  test("Strings (ql_query_ut.cpp): \\xNN and \\0 escapes in string literals") {
+    val got = q2("'\\x0F\\xC7\\x84~\\0@\\0\\0<\\0\\0@\\x99l`\\x16' as result FROM [//tmp/ab] limit 1",
+      ab45).as[String].collect().head
+    assert(got == "\u000F\u00C7\u0084~\u0000@\u0000\u0000<\u0000\u0000@\u0099l`\u0016")
+  }
+
+  test("SimpleStrings / SimpleStrings2 (ql_query_ut.cpp): string scan + equality filter") {
+    val df = Seq(("foo", "x"), ("bar", "y"), ("baz", "x"), ("olala", "z")).toDF("s", "u")
+    assert(q2("s FROM [//tmp/ab]", df).as[String].collect().toSeq ==
+      Seq("foo", "bar", "baz", "olala"))
+    assert(q2("s, u FROM [//tmp/ab] where u = 'x'", df).as[(String, String)].collect().toSeq ==
+      Seq(("foo", "x"), ("baz", "x")))
+  }
+
+  test("SimpleWithNull / SimpleWithNull2 (ql_query_ut.cpp): null cells scan and null arithmetic") {
+    val df = Seq[(Long, Option[Long], Option[Long])](
+      (4L, Some(5L), None), (10L, Some(11L), Some(9L)), (16L, None, None))
+      .toDF("a", "b", "c")
+    val got = q2("a, b, c FROM [//tmp/ab] where a > 3", df)
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(got.toSeq == Seq((4L, Some(5L), None), (10L, Some(11L), Some(9L)),
+      (16L, None, None)))
+
+    val df2 = Seq[(Long, Option[Long], Option[Long])](
+      (1L, Some(2L), Some(3L)), (4L, None, None), (5L, Some(5L), None),
+      (7L, None, Some(8L)), (10L, Some(1L), None), (10L, None, Some(1L)))
+      .toDF("a", "b", "c")
+    val got2 = q2("a, b + c as x FROM [//tmp/ab] where a < 10", df2)
+      .as[(Long, Option[Long])].collect()
+    assert(got2.toSeq == Seq((1L, Some(5L)), (4L, None), (5L, None), (7L, None)))
+  }
+
+  test("FilterNulls2 (ql_query_ut.cpp): is_null keeps the null rows a > filter drops") {
+    val df = Seq[(Long, Option[Long])]((4L, Some(5L)), (6L, None), (10L, Some(11L)))
+      .toDF("a", "b")
+    val got = q2("a, b FROM [//tmp/ab] where b > 0 or is_null(b)", df)
+      .as[(Long, Option[Long])].collect()
+    assert(got.toSeq == Seq((4L, Some(5L)), (6L, None), (10L, Some(11L))))
+  }
+
+  test("MultipleBetweenAnd (ql_query_ut.cpp): tuple BETWEEN over a multi-range list") {
+    val df = Seq((1L, 10L), (1L, 30L), (2L, 20L), (2L, 30L), (2L, 40L),
+      (2L, 50L), (3L, 30L), (3L, 50L), (3L, 60L), (4L, 5L), (5L, 5L),
+      (6L, 5L), (10L, 11L), (15L, 11L)).toDF("a", "b")
+    val got = q2(
+      """a, b from [//tmp/ab] where (a, b) between (
+           (1) and (1, 20),
+           (2, 30) and (2, 40),
+           (3, 50) and (3),
+           4 and 5
+         )""", df).as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 10L), (2L, 30L), (2L, 40L), (3L, 50L),
+      (3L, 60L), (4L, 5L), (5L, 5L)))
+  }
+
+  test("MultipleBetweenAnd2 (ql_query_ut.cpp): prefix bounds over a dense grid") {
+    val rows = (0 until 100).map(i => (i / 10L, i % 10L))
+    val df = rows.toDF("a", "b")
+    val expected = (rows.slice(10, 13) ++ rows.slice(23, 25) ++
+      rows.slice(35, 40) ++ rows.slice(40, 60)).sorted
+    val got = q2(
+      """a, b from [//tmp/ab] where (a, b) between (
+           (1) and (1, 2),
+           (2, 3) and (2, 4),
+           (3, 5) and (3),
+           4 and 5
+         )""", df).as[(Long, Long)].collect().sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("OffsetLimit / OrderByWithoutLimit / OrderByWithNegativeLimit: bound-less paging raises") {
+    expectError("* from [//t] offset 5")
+    expectError("* from [//t] order by a")
+    expectError("* from [//t] order by a limit -1")
+  }
 }
