@@ -324,6 +324,17 @@ object QLFunctions {
     }
     reg("list_contains")(es => ArrayContains(es(0), es(1)))
     reg("list_has_intersection")(es => ArraysOverlap(es(0), es(1)))
+    // Any-carrier list forms (emitted by QLEmitter when an operand is
+    // an Any column): element-wise canonical-fragment comparison;
+    // entity (NULL) elements never match, and a no-match-with-nulls
+    // result is false, not SQL NULL (ListHasIntersection rows 4-6)
+    reg("any_list_has_intersection")(es => Coalesce(Seq(
+      ArraysOverlap(graft.sources.Yson.JsonArrayFragments(es(0)),
+        graft.sources.Yson.JsonArrayFragments(es(1))),
+      Literal(false))))
+    reg("any_list_contains")(es => Coalesce(Seq(
+      ArrayContains(graft.sources.Yson.JsonArrayFragments(es(0)), es(1)),
+      Literal(false))))
     // Any / YSON accessors (try_get_* null on miss; get_* differ only
     // under ANSI cast errors); yson_string_to_any parses YSON text into
     // the canonical JSON Any carrier
@@ -402,9 +413,11 @@ object QLFunctions {
       aggregate.MaxBy(es(0), es(1)).toAggregateExpression())
     // QL cardinality = HyperLogLog count-distinct
     // (builtin_function_registry.cpp:255-268, udf/hyperloglog.cpp) —
-    // shadows Spark's array-size builtin of the same name inside QL
+    // shadows Spark's array-size builtin of the same name inside QL.
+    // rsd 0.01 ≈ the reference's 2^14-register precision
+    // (ql_query_ut.cpp CardinalityAggregate expects ±1% on 2000 keys)
     reg("cardinality")(es =>
-      aggregate.HyperLogLogPlusPlus(es.head).toAggregateExpression())
+      aggregate.HyperLogLogPlusPlus(es.head, 0.01).toAggregateExpression())
     reg("make_entity")(_ => Literal.create(null, StringType))
     reg("format_guid") { es =>
       import org.apache.spark.sql.graft.{shims => S}

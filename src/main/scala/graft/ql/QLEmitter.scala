@@ -153,6 +153,16 @@ object QLEmitter {
           Some(Call("any_make_map",
             args.map(a => wrap(rewriteAnyExpr(a, scope, res)))))
         else None
+      // list functions over Any-carrier lists compare canonical JSON
+      // fragments element-wise (ql_query_ut.cpp ListHasIntersection:
+      // entity elements never match, an empty side has no intersection)
+      case Call("list_has_intersection", args, _) if args.exists(anyish) =>
+        Some(Call("any_list_has_intersection",
+          args.map(a => wrap(rewriteAnyExpr(a, scope, res)))))
+      case Call("list_contains", Seq(l, v), _) if anyish(l) =>
+        Some(Call("any_list_contains",
+          Seq(wrap(rewriteAnyExpr(l, scope, res)),
+            wrap(rewriteAnyExpr(v, scope, res)))))
       case _ => None
     }
   }
@@ -594,6 +604,23 @@ object QLEmitter {
     case StrLit(v) => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case BoolLit(v) => v.toString
     case NullLit => "NULL"
+    // tuple TRANSFORM lowers to a CASE of per-element conjunctions —
+    // the same IsRowInRowset lowering as tuple `=`/IN, because struct
+    // equality would demand identical field types while QL coerces
+    // element-wise (ql_query_ut.cpp SimpleTransform2: int64 keys match
+    // double literals, null cells null-match)
+    case Call(n, TupleExpr(keys) +: TupleExpr(fromRows) +: TupleExpr(toVals) +: rest, _)
+        if n.equalsIgnoreCase("transform") && rest.length <= 1 =>
+      val sb = new StringBuilder("CASE")
+      fromRows.zip(toVals).foreach { case (row, tv) =>
+        val cells = row match { case TupleExpr(cs) => cs; case single => Seq(single) }
+        require(cells.length == keys.length, "TRANSFORM tuple arity mismatch")
+        val cond = keys.zip(cells).map { case (k, c) => emitBin("=", k, c) }
+          .mkString("(", " AND ", ")")
+        sb.append(" WHEN ").append(cond).append(" THEN ").append(emit(tv))
+      }
+      rest.headOption.foreach(d => sb.append(" ELSE ").append(emit(d)))
+      sb.append(" END").toString
     case Call(name, args, distinct) =>
       val d = if (distinct) "DISTINCT " else ""
       s"$name($d${args.map(emit).mkString(", ")})"

@@ -705,6 +705,47 @@ object Yson {
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
+  /** An Any-carrier JSON array → its elements as canonical JSON
+    * fragments (string leaves keep quotes, entities are SQL NULL
+    * elements). Non-array / malformed input → null. Both sides of an
+    * Any-list operation see the same canonical encoding, so fragment
+    * equality IS carrier equality. */
+  def jsonArrayFragments(doc: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (doc == null) return null
+    try {
+      val node = rawMapper.readTree(doc.toString)
+      if (node == null || !node.isArray) return null
+      val out = new Array[Any](node.size)
+      var i = 0
+      while (i < node.size) {
+        val el = node.get(i)
+        out(i) = if (el.isNull) null else UTF8String.fromString(el.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  case class JsonArrayFragments(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      jsonArrayFragments(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.sources.Yson.jsonArrayFragments($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildInternal(c: Expression): JsonArrayFragments =
+      copy(child = c)
+  }
+
   /** `get_any`/`try_get_any`: Any carrier in, Any carrier out. */
   case class JsonGetRaw(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {

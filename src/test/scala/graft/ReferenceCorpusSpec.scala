@@ -1938,4 +1938,258 @@ class ReferenceCorpusSpec extends SparkSpec {
     expectError("* from [//t] order by a")
     expectError("* from [//t] order by a limit -1")
   }
+
+  // ---- join evaluate family (ql_query_ut.cpp:5360-6520) ----
+
+  test("JoinEmpty (ql_query_ut.cpp): disjoint keys join to nothing, agg over it is empty") {
+    val left = Seq((1L, 10L), (3L, 30L), (5L, 50L), (7L, 70L), (9L, 90L)).toDF("a", "b")
+    val right = Seq((20L, 2L), (40L, 4L), (60L, 6L), (80L, 8L)).toDF("b", "c")
+    val got = SelectRows(spark,
+      "sum(a) as x, sum(b) as y, z FROM [//left] join [//right] using b group by c % 2 as z",
+      Map("//left" -> left, "//right" -> right))
+    assert(got.count() == 0)
+  }
+
+  test("JoinSimple2-5 (ql_query_ut.cpp): USING join multiplicities (1:1, dup left, dup right, 3x3)") {
+    def join(l: Seq[Long], r: Seq[Long]): Seq[Long] =
+      SelectRows(spark, "a as x FROM [//left] join [//right] using a",
+        Map("//left" -> l.toDF("a"), "//right" -> r.toDF("a")))
+        .as[Long].collect().toSeq.sorted
+    assert(join(Seq(1L, 2L), Seq(2L, 1L)) == Seq(1L, 2L))          // JoinSimple2
+    assert(join(Seq(1L, 1L), Seq(2L, 1L)) == Seq(1L, 1L))          // JoinSimple3
+    assert(join(Seq(1L, 2L), Seq(1L, 1L)) == Seq(1L, 1L))          // JoinSimple4
+    assert(join(Seq(1L, 1L, 1L), Seq(1L, 1L, 1L)) == Seq.fill(9)(1L)) // JoinSimple5
+  }
+
+  test("LeftJoin (ql_query_ut.cpp): unmatched left rows keep nulls") {
+    val left = (1L to 9L).map(i => (i, 10 * i)).toDF("a", "b")
+    val right = Seq(1L, 3L, 5L, 8L, 9L).map(c => (10 * c, c)).toDF("b", "c")
+    val got = SelectRows(spark,
+      "a, b, c FROM [//left] left join [//right] using b",
+      Map("//left" -> left, "//right" -> right))
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+    val expected = (1L to 9L).map { i =>
+      (i, 10 * i, if (Set(1L, 3L, 5L, 8L, 9L)(i)) Some(i) else None)
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("JoinWithLimit2 (ql_query_ut.cpp:5800): aliased ON join, limit sweep") {
+    val left = Seq((1L, 1L, 30L), (1L, 2L, 20L), (2L, 3L, 10L),
+      (2L, 4L, 30L), (3L, 5L, 20L), (4L, 6L, 10L)).toDF("a", "ut", "b")
+    val right = Seq((10L, 100L), (20L, 200L), (30L, 300L)).toDF("b", "c")
+    val cat = Map("//left" -> left, "//right" -> right)
+    val full = SelectRows(spark,
+      "a.ut as ut, b.c as c, a.b as ab, b.b as bb FROM [//left] a join [//right] b on a.b = b.b limit 6",
+      cat).as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(full.toSeq == Seq((1L, 300L, 30L, 30L), (2L, 200L, 20L, 20L),
+      (3L, 100L, 10L, 10L), (4L, 300L, 30L, 30L), (5L, 200L, 20L, 20L),
+      (6L, 100L, 10L, 10L)))
+    for (limit <- 1 to 5) {
+      val page = SelectRows(spark,
+        s"a.ut as ut, b.c as c, a.b as ab, b.b as bb FROM [//left] a join [//right] b on a.b = b.b limit $limit",
+        cat).collect()
+      assert(page.length == limit)
+    }
+  }
+
+  test("JoinWithLimit3 (ql_query_ut.cpp:5849): LEFT JOIN USING keeps every left row under limit") {
+    val pubs = Seq(
+      "5903739ad7d0a6e07ad1fb93", "5908961de3cda81ba288b664",
+      "5909bd2dd7d0a68351e66077", "5912f1e27ddde8c264b56f0c",
+      "5912f1f88e557d5b22ff7077", "591446067ddde805266009b5",
+      "591464507ddde805266009b8", "591468bce3cda8db9996fa89",
+      "5914c6678e557dcf3bf713cf", "5915869a7ddde805266009bb",
+      "5918c7f8e3cda83873187c37", "591939f67ddde8632415d4ce",
+      "59195b327ddde8632415d4d1")
+    val left = pubs.zipWithIndex.map { case (p, i) => (p, i.toLong) }
+      .toDF("publisherId", "itemId")
+    val right = Seq("591446067ddde805266009b5" -> 1504706169L,
+      "591468bce3cda8db9996fa89" -> 1504706172L,
+      "5914c6678e557dcf3bf713cf" -> 1504706178L,
+      "5918c7f8e3cda83873187c37" -> 1504706175L).toDF("publisherId", "timestamp")
+    val cat = Map("//publishers" -> left, "//draft" -> right)
+    val full = SelectRows(spark,
+      "publisherId FROM [//publishers] LEFT JOIN [//draft] USING publisherId LIMIT 13",
+      cat).as[String].collect().sorted
+    assert(full.toSeq == pubs.sorted)
+    for (limit <- Seq(1, 4, 9)) {
+      assert(SelectRows(spark,
+        s"publisherId FROM [//publishers] LEFT JOIN [//draft] USING publisherId LIMIT $limit",
+        cat).count() == limit)
+    }
+  }
+
+  test("JoinGroupByWithLimit (ql_query_ut.cpp:5940): join + group + totals + limit, totals cover ALL groups") {
+    val rnd = new scala.util.Random(20260813L)
+    val K = 31L
+    val limit = 20
+    var leftRows = Vector.empty[Long]
+    var rightRows = Vector.empty[(Long, Long)]
+    val grouped = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var totalSum = 0L
+    for (i <- 0 until 1000) {
+      val key = i.toLong
+      val value = key * 10
+      var joined = true
+      if (rnd.nextBoolean()) leftRows :+= key else joined = false
+      if (rnd.nextBoolean()) rightRows :+= (key, value) else joined = false
+      if (joined) { grouped(key % K) += value; totalSum += value }
+    }
+    val got = SelectRows(spark,
+      s"x, sum(b) as y FROM [//left] join [//right] using a group by a % $K as x with totals limit $limit",
+      Map("//left" -> leftRows.toDF("a"), "//right" -> rightRows.toDF("a", "b")))
+      .collect()
+    assert(got.length == limit + 1)
+    got.foreach { r =>
+      if (!r.isNullAt(0)) assert(r.getLong(1) == grouped(r.getLong(0)))
+      else assert(r.getLong(1) == totalSum)
+    }
+  }
+
+  // ---- group-by / aggregate / transform family ----
+
+  test("GroupByString (ql_query_ut.cpp): string group keys, ordered page") {
+    val df = Seq((42L, "d"), (1L, "a"), (2L, "b"), (3L, "c"), (42L, "d"),
+      (4L, "a"), (5L, "b"), (6L, "c"), (7L, "a"), (8L, "b"), (9L, "c"))
+      .toDF("a", "s")
+    val got = q2("sum(a) as t, s FROM [//tmp/ab] group by s order by s limit 3", df)
+      .as[(Long, String)].collect()
+    assert(got.toSeq == Seq((12L, "a"), (15L, "b"), (18L, "c")))
+  }
+
+  test("AverageAgg / AverageAgg3 (ql_query_ut.cpp): avg merges, null cells skipped") {
+    val got = q2("avg(a) as x from [//tmp/ab] group by 1",
+      Seq(3L, 53L, 8L, 24L, 33L).toDF("a")).as[Double].collect()
+    assert(got.toSeq == Seq(24.2))
+    val df = Seq[(Option[Double], Long)](
+      (Some(3.0), 1L), (None, 1L), (None, 0L), (Some(7.0), 1L)).toDF("a", "b")
+    val got3 = q2("b, avg(a) as x from [//tmp/ab] group by b", df)
+      .as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(got3.toSeq == Seq((0L, None), (1L, Some(5.0))))
+  }
+
+  test("HavingClause2/3 (ql_query_ut.cpp): aggregate predicates after grouping") {
+    val df = Seq((1L, 10L), (1L, 10L), (2L, 20L), (2L, 20L)).toDF("a", "b")
+    val got = q2("a as x, sum(b) as t FROM [//tmp/ab] group by a having sum(b) = 20", df)
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 20L)))
+    val got3 = q2("a as x, sum(b) as t FROM [//tmp/ab] group by a having sum(b) > 20", df)
+      .as[(Long, Long)].collect()
+    assert(got3.toSeq == Seq((2L, 40L)))
+  }
+
+  test("GroupByWithLimitFirstString (ql_query_ut.cpp): first() under a group limit") {
+    // divergence: the reference reads key-ordered tablets, so LIMIT 1
+    // deterministically surfaces group a=0; a Spark LIMIT without
+    // ORDER BY may pick any group — assert the page shape and that
+    // first() returns that group's first b in read order
+    val df = (0 until 10).map(i => (i % 3L, i.toString, i.toLong))
+      .toDF("a", "b", "c").repartition(1).sortWithinPartitions("c")
+    val got = q2("first(b) as f FROM [//tmp/ab] group by a limit 1", df)
+      .as[String].collect()
+    assert(got.length == 1 && Set("0", "1", "2")(got.head))
+  }
+
+  test("GroupByOrderBy (ql_query_ut.cpp:3060): group page ordered by key desc") {
+    val df = (1 to 9).map(i => (i.toLong, (i - 1) % 3L)).toDF("a", "b")
+    val got = q2("sum(a) as t, b FROM [//tmp/ab] group by b order by b desc limit 3", df)
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((18L, 2L), (15L, 1L), (12L, 0L)))
+  }
+
+  test("CardinalityAggregate (ql_query_ut.cpp): HLL estimate within ±1% on 2000 distinct") {
+    val df = (0 until 4).flatMap(_ => 0 until 2000).map(_.toLong % 2000).toDF("a")
+    val got = q2(
+      "cardinality(a) < 2020 as upper, cardinality(a) > 1980 as lower from [//tmp/ab] group by 1",
+      df).as[(Boolean, Boolean)].collect()
+    assert(got.toSeq == Seq((true, true)))
+  }
+
+  test("ListExpr / DecimalExpr (ql_query_ut.cpp): typed list and decimal columns scan through") {
+    val lst = Seq(Tuple1(Seq(1, 2, 3))).toDF("a")
+    assert(q2("a FROM [//tmp/ab]", lst).as[Seq[Int]].collect().head == Seq(1, 2, 3))
+    val dec = Seq(Tuple1(new java.math.BigDecimal("108.10"))).toDF("a")
+      .select(org.apache.spark.sql.functions.col("a")
+        .cast(org.apache.spark.sql.types.DecimalType(5, 2)).as("a"))
+    assert(q2("a FROM [//tmp/ab]", dec).collect().head.getDecimal(0) ==
+      new java.math.BigDecimal("108.10"))
+  }
+
+  test("ListHasIntersection (ql_query_ut.cpp:8860): Any lists, entities never match") {
+    import graft.types.YtTypes._
+    val pairs = Seq(
+      ("[1;2;3]", "[4;6;2;#]", true),
+      ("[\"a\"; \"b\"]", "[\"a\"]", true),
+      ("[1;2;3]", "[4;6]", false),
+      ("[%true]", "[]", false),
+      ("[#]", "[#]", false),
+      ("[1;#;3]", "[#;2;#]", false))
+    val df = anyTagged(pairs.map { case (a, b, _) =>
+      Seq(graft.sources.Yson.parseToJson(a), graft.sources.Yson.parseToJson(b))
+    }, "a" -> YtAny, "b" -> YtAny)
+    val cat = Map("//tmp/lhi" -> df)
+    val fwd = SelectRows(spark,
+      "list_has_intersection(a, b) as has_intersection from [//tmp/lhi]", cat)
+      .as[Boolean].collect()
+    assert(fwd.toSeq == pairs.map(_._3))
+    val rev = SelectRows(spark,
+      "list_has_intersection(b, a) as has_intersection from [//tmp/lhi]", cat)
+      .as[Boolean].collect()
+    assert(rev.toSeq == pairs.map(_._3))
+  }
+
+  test("SimpleTransform / SimpleTransform2 / WithDefault (ql_query_ut.cpp): scalar and tuple TRANSFORM") {
+    val a = Seq(4L, -10L, 15L).toDF("a")
+    val got = q2("transform(a, (4.0, -10), (13, 17)) as x FROM [//tmp/ab]", a)
+      .as[Option[Long]].collect()
+    assert(got.toSeq == Seq(Some(13L), Some(17L), None))
+
+    val ab = Seq[(Long, Option[String])]((4L, Some("p")), (-10L, Some("q")),
+      (-10L, Some("s")), (15L, None)).toDF("a", "b")
+    val got2 = q2("transform((a, b), ((4.0, 'p'), (-10, 's')), (13, 17)) as x FROM [//tmp/ab]", ab)
+      .as[Option[Long]].collect()
+    assert(got2.toSeq == Seq(Some(13L), None, Some(17L), None))
+
+    val got3 = q2(
+      "transform((a, b), ((4.0, 'p'), (-10, 's')), (13, 17), a + 1) as x FROM [//tmp/ab]", ab)
+      .as[Option[Long]].collect()
+    assert(got3.toSeq == Seq(Some(13L), Some(-9L), Some(17L), Some(16L)))
+  }
+
+  test("CompositeMemberAccessorWithIncorrectPath (ql_query_ut.cpp): missing members raise") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("struct", StructType(Seq(
+      StructField("a", StructType(Seq(
+        StructField("b", StructType(Seq(StructField("c", LongType))))))),
+      StructField("d", StringType),
+      StructField("tuple", ArrayType(LongType)))))))
+    val rows = Seq(
+      Row(Row(Row(Row(1L)), "a", Seq(1L))),
+      Row(Row(Row(Row(2L)), null, Seq(2L))))
+    val st = spark.createDataFrame(rows.asJava, schema)
+    val cat = Map("//tmp/cmip" -> st)
+    for (bad <- Seq(
+      "t.struct.not_exists as n from [//tmp/cmip] as t",
+      "t.struct.a.b.not_exists as n from [//tmp/cmip] as t",
+      "t.struct.d[1] as n from [//tmp/cmip] as t")) {
+      intercept[Exception] { SelectRows(spark, bad, cat).collect() }
+    }
+  }
+
+  test("PartialSortMergeJoin (ql_query_ut.cpp:5491): tuple ON join over two keys") {
+    val left = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 1L, 3L), (1L, 4L, 4L),
+      (2L, 4L, 5L), (2L, 3L, 6L)).toDF("a", "b", "c")
+    val right = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 1L, 3L), (1L, 4L, 4L),
+      (2L, 4L, 5L), (2L, 3L, 6L)).toDF("d", "e", "f")
+    val got = SelectRows(spark,
+      "a, b, c, d, e, f FROM [//left] join [//right] on (a, b) = (d, e)",
+      Map("//left" -> left, "//right" -> right))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 1L, 2L, 1L), (1L, 3L, 2L, 1L, 3L, 2L),
+      (1L, 1L, 3L, 1L, 1L, 3L), (1L, 4L, 4L, 1L, 4L, 4L),
+      (2L, 4L, 5L, 2L, 4L, 5L), (2L, 3L, 6L, 2L, 3L, 6L)))
+  }
 }
