@@ -27,6 +27,12 @@ import QLParser._
   */
 object QLEmitter {
 
+  /** UseCanonicalNullRelations (query_common.h): when true,
+    * comparisons keep SQL three-valued logic instead of QL's default
+    * null-smallest / null-equals-null lowering. Scoped per transpile
+    * by [[SelectRows.apply]]. */
+  val canonicalNulls = new scala.util.DynamicVariable[Boolean](false)
+
   /** Typed `Any` comparison lowering (composite_compare.cpp
     * CompareYsonValues; ql_query_ut.cpp CompareAny/CompareAnyMixed/
     * OrderByAny): when an operand of a comparison is an Any column
@@ -201,8 +207,37 @@ object QLEmitter {
   def validate(q: Query, byTable: Map[String, TableCols]): Unit =
     validateScoped(q, AnyResolution(byTable, Set.empty))
 
+  /** Nesting depth of an expression tree (for the reference's
+    * MaxExpressionDepth = 50 guard, ql_query_ut.cpp TooBigQuery /
+    * FormatQueryDepthLimit). */
+  private def depthOf(e: Expr): Int = {
+    def maxOf(xs: Seq[Expr]): Int = if (xs.isEmpty) 0 else xs.map(depthOf).max
+    1 + (e match {
+      case Call(_, args, _) => maxOf(args)
+      case Bin(_, l, r) => maxOf(Seq(l, r))
+      case Un(_, x) => depthOf(x)
+      case IsNullOp(x, _) => depthOf(x)
+      case LikeOp(x, _, p, esc, _) => maxOf(Seq(x, p) ++ esc)
+      case InList(t, rows, _) => maxOf(t ++ rows.flatten)
+      case BetweenOp(t, rs, _) =>
+        maxOf(t ++ rs.flatMap { case (a, b) => a ++ b })
+      case CaseExpr(o, bs, el) =>
+        maxOf(o.toSeq ++ bs.flatMap { case (w, th) => Seq(w, th) } ++ el)
+      case TupleExpr(items) => maxOf(items)
+      case ItemAccess(x, i) => maxOf(Seq(x, i))
+      case _ => 0
+    })
+  }
+  private val MaxExpressionDepth = 50
+
   private def validateScoped(q: Query, res: AnyResolution): Unit = {
     val scope = scopeOf(q, res)
+    // expression depth cap (TooBigQuery: 50 chained "+ i" terms raise)
+    (q.select.map(_.e) ++ q.where ++ q.groupBy.map(_.e) ++ q.having ++
+      q.orderBy.map(_.e)).foreach { e =>
+      if (depthOf(e) > MaxExpressionDepth)
+        throw new IllegalArgumentException("Maximum expression depth exceeded")
+    }
     // Misuse of aggregate: aggregates cannot nest …
     (q.select.map(_.e) ++ q.having).foreach { e =>
       foreachExpr(e) {
@@ -756,10 +791,12 @@ object QLEmitter {
       case (o, UIntLit(_), _) if u64Cmp.contains(o) =>
         s"${u64Cmp(o)}(${emit(l)}, ${emit(r)})"
       case ("=", TupleExpr(ls), TupleExpr(rs)) if ls.length == rs.length =>
-        ls.zip(rs).map { case (a, b) => s"${emit(a)} <=> ${emit(b)}" }
+        val cmp = if (canonicalNulls.value) "=" else "<=>"
+        ls.zip(rs).map { case (a, b) => s"${emit(a)} $cmp ${emit(b)}" }
           .mkString("(", " AND ", ")")
       case ("!=", TupleExpr(ls), TupleExpr(rs)) if ls.length == rs.length =>
-        "(NOT " + ls.zip(rs).map { case (a, b) => s"${emit(a)} <=> ${emit(b)}" }
+        val cmp = if (canonicalNulls.value) "=" else "<=>"
+        "(NOT " + ls.zip(rs).map { case (a, b) => s"${emit(a)} $cmp ${emit(b)}" }
           .mkString("(", " AND ", ")") + ")"
       // ordered tuple comparison → lexicographic expansion (same
       // key-trie semantics as BETWEEN; needed for `(c, d) > {pair}`,
@@ -773,6 +810,10 @@ object QLEmitter {
           else s"($a $strict $b OR ($a = $b AND ${go(k + 1)}))"
         }
         go(0)
+      // canonical mode: SQL three-valued logic, no null rewrites
+      case (o @ ("=" | "!=" | "<" | "<=" | ">" | ">="), _, _)
+          if canonicalNulls.value =>
+        s"(${emit(l)} ${if (o == "!=") "<>" else o} ${emit(r)})"
       // QL equality with the null literal matches nulls
       // (test_query.py:882 `where c = null`)
       case ("=", _, NullLit) => s"(${emit(l)} IS NULL)"

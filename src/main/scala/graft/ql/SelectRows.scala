@@ -42,20 +42,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SelectRows {
 
+  /** Per-query execution options, the SelectRows surface of
+    * TQueryOptions (query_common.h / dynamic_table_client.h):
+    * InputRowLimit truncates what each table READS (the reference
+    * stops feeding rows past the limit, ql_query_ut.cpp InputRowLimit
+    * filters only the first N), OutputRowLimit truncates the result,
+    * UseCanonicalNullRelations switches comparisons from QL's
+    * null-smallest/null-equals-null semantics to SQL three-valued
+    * logic (test_query.py test_select_with_canonical_null_relations). */
+  final case class Options(
+      inputRowLimit: Option[Int] = None,
+      outputRowLimit: Option[Int] = None,
+      useCanonicalNullRelations: Boolean = false)
+
   /** Run a QL query. Tables referenced as `[//path]` must either be in
     * `catalog` (path → DataFrame) or already registered as temp views
     * under their last path segment. */
   def apply(spark: SparkSession, ql: String,
-      catalog: Map[String, DataFrame] = Map.empty): DataFrame = {
+      catalog: Map[String, DataFrame] = Map.empty): DataFrame =
+    apply(spark, ql, catalog, Options())
+
+  def apply(spark: SparkSession, ql: String, catalog: Map[String, DataFrame],
+      options: Options): DataFrame = {
     graft.functions.QLFunctions.registerAll(spark)
-    catalog.foreach { case (path, df) =>
+    val cat = options.inputRowLimit match {
+      case Some(n) => catalog.map { case (p, df) => p -> df.limit(n) }
+      case None => catalog
+    }
+    cat.foreach { case (path, df) =>
       df.createOrReplaceTempView(viewName(path))
     }
-    val sql = transpile(ql, anyScope(catalog))
+    val sql = QLEmitter.canonicalNulls.withValue(options.useCanonicalNullRelations) {
+      transpile(ql, anyScope(cat))
+    }
     val prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
     spark.conf.set("spark.sql.groupByOrdinal", "false")
-    try spark.sql(sql)
-    finally spark.conf.set("spark.sql.groupByOrdinal", prev)
+    val df =
+      try spark.sql(sql)
+      finally spark.conf.set("spark.sql.groupByOrdinal", prev)
+    options.outputRowLimit.map(df.limit).getOrElse(df)
   }
 
   /** Run a QL query with placeholder values — the reference's

@@ -2047,6 +2047,53 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  // ---- query options (TQueryOptions surface) ----
+
+  test("InputRowLimit (ql_query_ut.cpp): reads stop after N rows, filter applies to those") {
+    val df = (1L to 9L).map(i => (i, 10 * i)).toDF("a", "b")
+      .repartition(1).sortWithinPartitions("a")
+    val got = SelectRows(spark,
+      "a, b FROM [//tmp/lim] where uint64(a) > 1 and uint64(a) < 9",
+      Map("//tmp/lim" -> df),
+      SelectRows.Options(inputRowLimit = Some(3)))
+      .as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((2L, 20L), (3L, 30L)))
+  }
+
+  test("OutputRowLimit (ql_query_ut.cpp): result truncates at N rows") {
+    val df = (1L to 9L).map(i => (i, 10 * i)).toDF("a", "b")
+      .repartition(1).sortWithinPartitions("a")
+    val got = SelectRows(spark,
+      "a, b FROM [//tmp/lim] where a > 1 and a < 9",
+      Map("//tmp/lim" -> df),
+      SelectRows.Options(outputRowLimit = Some(3)))
+      .collect()
+    assert(got.length == 3)
+  }
+
+  test("TooBigQuery (ql_query_ut.cpp): 50 chained additions exceed the depth limit") {
+    val deep = "k from [//t] where a " +
+      (0 until 50).map(i => s"+ $i").mkString(" ") + " > 0"
+    expectError(deep)
+  }
+
+  test("FilterNulls3 (ql_query_ut.cpp): canonical null relations are SQL 3VL") {
+    val df = Seq[(Long, Option[Long])]((4L, Some(5L)), (6L, None), (10L, Some(11L)))
+      .toDF("a", "b")
+    // canonical: a < b is NULL when b is null → IS NOT NULL drops row 2
+    val got = SelectRows(spark,
+      "a, b FROM [//tmp/fn3] where a < b is not null",
+      Map("//tmp/fn3" -> df),
+      SelectRows.Options(useCanonicalNullRelations = true))
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((4L, Some(5L)), (10L, Some(11L))))
+    // default QL relations: a < b is boolean-total → every row survives
+    val dflt = SelectRows(spark,
+      "a, b FROM [//tmp/fn3] where a < b is not null",
+      Map("//tmp/fn3" -> df)).collect()
+    assert(dflt.length == 3)
+  }
+
   // ---- group-by / aggregate / transform family ----
 
   test("GroupByString (ql_query_ut.cpp): string group keys, ordered page") {
