@@ -629,7 +629,13 @@ object QLEmitter {
 
   def emit(e: Expr): String = e match {
     case Star => "*"
-    case Ref(parts) => parts.map(quoteIdent).mkString(".")
+    case Ref(parts) =>
+      // positional segments address tuple elements; YtTuple lowers to
+      // a struct with fields _1.._n (types/YtTypes §1.2), so `.0`
+      // emits as `_1` (first part is always a name, never an index)
+      (parts.head +: parts.tail.map(p =>
+        if (p.nonEmpty && p.forall(_.isDigit)) s"_${p.toInt + 1}" else p))
+        .map(quoteIdent).mkString(".")
     case IntLit(v) => v.toString
     case UIntLit(bits) => s"${bits}L"
     case DoubleLit(v) =>

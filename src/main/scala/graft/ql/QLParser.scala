@@ -48,14 +48,23 @@ object QLParser {
     "REGEXP", "ESCAPE", "TRUE", "FALSE", "INF", "DISTINCT")
 
   def tokenize(s: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
     var i = 0
     val n = s.length
     def isIdentStart(c: Char) = c.isLetter || c == '_'
     def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // `.` + digit directly after an identifier is positional member
+    // access (`t.tuple.0.b`, SyntaxV2), not a `.5` double literal
+    def lastWasIdent = out.nonEmpty && out.last.isInstanceOf[TIdent]
     while (i < n) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
+      else if (c == '.' && lastWasIdent && i + 1 < n && s.charAt(i + 1).isDigit) {
+        out += TOp(".", i); i += 1
+        val start = i
+        while (i < n && s.charAt(i).isDigit) i += 1
+        out += TInt(s.substring(start, i).toLong, start)
+      }
       else if (c == '[') {
         // table descriptor [//path], bracket-escaped system column
         // [$tablet_index] (test_query.py:2332), or an item accessor —
@@ -177,7 +186,7 @@ object QLParser {
       }
     }
     out += TEnd(n)
-    out.result()
+    out.toVector
   }
 
   // ----- AST -----
@@ -646,7 +655,14 @@ object QLParser {
           case _ => false
         })) {
           bump()
-          e = Ref(e.asInstanceOf[Ref].parts :+ ident())
+          // SyntaxV2 positional member access: `t.tuple.0.b` addresses
+          // tuple elements by index (ql_query_ut.cpp
+          // CompositeMemberAccessorTuple) — a digit segment is legal
+          val parts = e.asInstanceOf[Ref].parts
+          e = cur match {
+            case TInt(v, _) if v >= 0 => bump(); Ref(parts :+ v.toString)
+            case _ => Ref(parts :+ ident())
+          }
         } else more = false
       }
       e

@@ -2047,6 +2047,258 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  // ---- ARRAY JOIN + composite accessor remainder ----
+
+  test("ArrayJoinSimple (ql_query_ut.cpp:5100): zipped lists pad with null; LEFT keeps empty parents") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq(-1L, -2L, -3L)),
+      (3L, Seq(5L, 6L, 7L), Seq(-5L, -6L, -7L, -8L)),
+      (5L, Seq.empty[Long], Seq.empty[Long])).toDF("a", "nestedA", "nestedB")
+    val inner = q2(
+      "a, flattenedA, flattenedB FROM [//tmp/ab] ARRAY JOIN nestedA AS flattenedA, nestedB AS flattenedB",
+      df).as[(Long, Option[Long], Option[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2.getOrElse(Long.MaxValue)))
+    assert(inner == Seq(
+      (1L, Some(1L), Some(-1L)), (1L, Some(2L), Some(-2L)),
+      (1L, Some(3L), Some(-3L)), (1L, Some(4L), None),
+      (3L, Some(5L), Some(-5L)), (3L, Some(6L), Some(-6L)),
+      (3L, Some(7L), Some(-7L)), (3L, None, Some(-8L)))
+      .sortBy(r => (r._1, r._2.getOrElse(Long.MaxValue))))
+    val left = q2(
+      "a, flattenedA, flattenedB FROM [//tmp/ab] LEFT ARRAY JOIN nestedA AS flattenedA, nestedB AS flattenedB",
+      df).as[(Long, Option[Long], Option[Long])].collect()
+    assert(left.length == 9 && left.count(_._1 == 5L) == 1)
+  }
+
+  test("ArrayJoinWithTableJoin (ql_query_ut.cpp:5300): ARRAY JOIN before and after a table JOIN") {
+    val a = Seq((1L, Seq(2L, 3L)), (6L, Seq(4L, 5L)), (9L, Seq.empty[Long]))
+      .toDF("key", "nestedA")
+    val b = Seq((1L, Seq(-2L, -3L)), (6L, Seq(-4L, -5L)), (9L, Seq.empty[Long]))
+      .toDF("key", "nestedB")
+    val got = SelectRows(spark,
+      """key, flattenedA, flattenedB
+         FROM [//a]
+         ARRAY JOIN nestedA AS flattenedA
+         JOIN [//b] USING key
+         ARRAY JOIN nestedB AS flattenedB""",
+      Map("//a" -> a, "//b" -> b))
+      .as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == Seq(
+      (1L, 2L, -3L), (1L, 2L, -2L), (1L, 3L, -3L), (1L, 3L, -2L),
+      (6L, 4L, -5L), (6L, 4L, -4L), (6L, 5L, -5L), (6L, 5L, -4L)).sorted)
+  }
+
+  test("CompositeMemberAccessorTuple (ql_query_ut.cpp:7900): positional tuple paths, null cascade, group keys") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // YtTuple lowers to a struct with positional fields _1.._n
+    val schema = StructType(Seq(StructField("tuple", StructType(Seq(
+      StructField("_1", StructType(Seq(
+        StructField("b", StructType(Seq(StructField("c", LongType))))))),
+      StructField("_2", StringType))))))
+    val rows = Seq(
+      Row(Row(Row(Row(1L)), "a")), Row(Row(Row(Row(2L)), "b")),
+      Row(Row(Row(Row(3L)), "c")), Row(Row(Row(null), "d")))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val cat = Map("//tmp/cmt" -> df)
+    val got = SelectRows(spark,
+      "t.tuple.0.b.c as c, t.tuple.1 as d from [//tmp/cmt] as t", cat)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (-1L, "d")))
+    val viaAny = SelectRows(spark,
+      "try_get_int64(to_any(t.tuple.0.b), '/c') as c from [//tmp/cmt] as t", cat)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(viaAny.toSeq == Seq(-1L, 1L, 2L, 3L))
+    val g1 = SelectRows(spark,
+      "t.tuple.0.b.c as c from [//tmp/cmt] as t group by c", cat)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(g1.toSeq == Seq(-1L, 1L, 2L, 3L))
+    val g2 = SelectRows(spark,
+      "c from [//tmp/cmt] as t group by t.tuple.0.b.c as c", cat)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(g2.toSeq == Seq(-1L, 1L, 2L, 3L))
+  }
+
+  test("CompositeMemberAccessorDifferentTypes (ql_query_ut.cpp:7600): every simple type reads through a struct path") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("struct", StructType(Seq(
+      StructField("i64", LongType), StructField("ui64", LongType),
+      StructField("dbl", DoubleType), StructField("flag", BooleanType),
+      StructField("str", StringType), StructField("any", StringType,
+        nullable = true, new MetadataBuilder()
+          .putString(graft.types.YtTypes.YtTypeKey, "any").build()))))))
+    val rows = (1 to 4).map { i =>
+      Row(Row(i.toLong, 4L + i, 1.0 / (1 << i), i % 2 == 1, "s" + i,
+        s"""{"a":{"b":$i}}"""))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val cat = Map("//tmp/cmd" -> df)
+    assert(SelectRows(spark, "t.struct.i64 as x from [//tmp/cmd] as t limit 4", cat)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(SelectRows(spark, "t.struct.ui64 as x from [//tmp/cmd] as t limit 4", cat)
+      .as[Long].collect().sorted.toSeq == Seq(5L, 6L, 7L, 8L))
+    assert(SelectRows(spark, "t.struct.dbl as x from [//tmp/cmd] as t limit 4", cat)
+      .as[Double].collect().sorted.toSeq == Seq(0.0625, 0.125, 0.25, 0.5))
+    assert(SelectRows(spark, "t.struct.flag as x from [//tmp/cmd] as t limit 4", cat)
+      .as[Boolean].collect().count(identity) == 2)
+    assert(SelectRows(spark, "t.struct.str as x from [//tmp/cmd] as t limit 4", cat)
+      .as[String].collect().sorted.toSeq == Seq("s1", "s2", "s3", "s4"))
+    assert(SelectRows(spark,
+      "try_get_int64(t.struct.any, '/a/b') as x from [//tmp/cmd] as t limit 4", cat)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  // ---- coordinated group-by family (ql_query_ut.cpp:3275-4095) ----
+  // The reference streams per-tablet partial aggregates into a
+  // coordinator merge; Spark's partial/final HashAggregate pair is the
+  // same contract. Fixtures repartition across several partitions so
+  // every assertion crosses a real merge boundary.
+
+  test("GroupByCoordinatedWithAggregates1/2 (ql_query_ut.cpp:3623): partial sums merge across partitions under paging") {
+    val df = Seq((0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 3L),
+      (3L, 1L, 4L), (4L, 0L, 5L)).toDF("k1", "k2", "v").repartition(2)
+    val sums = Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 7L, 4L -> 5L)
+    val page = q2("k1, sum(v) as sv from [//tmp/ab] group by k1 offset 1 limit 5", df)
+      .as[(Long, Long)].collect()
+    // divergence: the reference pages groups in key order; Spark's
+    // page membership is plan-dependent — assert size + map membership
+    assert(page.length == 4)
+    page.foreach { case (k, sv) => assert(sums(k) == sv) }
+
+    val df2 = Seq((1L, 1L, 1L, 42L), (1L, 2L, 2L, 1L), (1L, 3L, 2L, 1L),
+      (1L, 4L, 1L, 0L)).toDF("k0", "k1", "v2", "v3").repartition(2)
+    val mins = Map((1L, 1L) -> 0L, (1L, 2L) -> 1L)
+    val one = q2("k0, v2, min(v3) as mv from [//tmp/ab] group by k0, v2 limit 1", df2)
+      .as[(Long, Long, Long)].collect()
+    assert(one.length == 1)
+    one.foreach { case (k0, v2, mv) => assert(mins((k0, v2)) == mv) }
+  }
+
+  test("GroupByNoLimitCoordinated (ql_query_ut.cpp:4047): unpaged multi-key groups merge exactly") {
+    val rows = (0 until 100).map(i => (i / 10L, i % 10L, i.toLong))
+    val df = rows.toDF("a", "b", "v").repartition(3)
+    val expected = rows.groupBy(r => (r._1, r._3 % 2))
+      .map { case ((k, x), rs) => (k, x, rs.map(_._2).sum) }.toSeq.sorted
+    val got = q2("k, x, sum(b) as s from [//tmp/ab] group by a as k, v % 2 as x", df)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("GroupByCoordinatedWithTotalsTotalRowCount (ql_query_ut.cpp:3840): every group aggregates even under limit+totals") {
+    val rnd = new scala.util.Random(99L)
+    val rows = (0 until 100).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+    val df = rows.toDF("k", "v").repartition(4)
+    val distinctV = rows.map(_._2).distinct.size
+    // the totals row sums sum(1) over ALL groups = total row count —
+    // proof the limit never short-circuits grouping
+    val got = q2("sum(1) as c from [//tmp/ab] group by v with totals limit 10", df)
+      .collect()
+    assert(got.length == 11)
+    val totalsRow = got.map(_.getLong(0)).max
+    assert(totalsRow == rows.length.toLong || distinctV <= 10)
+  }
+
+  test("CoordinatedArgMaxGroupBy (ql_query_ut.cpp:8955): argmax merges across partitions, totals row included") {
+    val df = Seq((1L, 1L, "daisy", 4L), (2L, 2L, "britney", 2L),
+      (3L, 1L, "agnes", 3L), (4L, 1L, "evelyn", 5L),
+      (5L, 2L, "daisy", 1L), (6L, 2L, "agnes", 6L))
+      .toDF("id", "revision", "person", "date").repartition(3)
+    val got = q2(
+      "revision, argmax(person, date) as argmax_person FROM [//tmp/ab] " +
+        "group by revision with totals order by revision limit 100", df)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((-1L, "agnes"), (1L, "evelyn"), (2L, "agnes")))
+  }
+
+  test("GroupByWithAvgFullCoordinated (ql_query_ut.cpp:3275): per-group HLL is exact at small cardinalities") {
+    val rows = for {
+      k0 <- 1 until 100
+      identical <- 0 until 3
+      value <- 0 until k0
+    } yield (k0.toLong, value.toLong)
+    val df = rows.toDF("k0", "v").repartition(5)
+    val got = q2("cardinality(v) as av FROM [//tmp/ab] group by k0", df)
+      .as[Long].collect().sorted
+    assert(got.toSeq == (1L until 100L))
+  }
+
+  // ---- user-function surface (ql_query_ut.cpp:6650-6960) ----
+
+  test("UdfException (ql_query_ut.cpp): a throwing user function fails the query") {
+    spark.udf.register("throw_if_negative_udf", (x: java.lang.Long) => {
+      if (x != null && x < 0) sys.error(s"Argument was negative ($x)")
+      x
+    })
+    intercept[Exception] {
+      SelectRows(spark, "throw_if_negative_udf(a) as r from [//tmp/ue]",
+        Map("//tmp/ue" -> Seq(-3L).toDF("a"))).collect()
+    }
+  }
+
+  test("UdfNullPropagation2 (ql_query_ut.cpp): any null argument nulls the result") {
+    spark.udf.register("exp_udf", (x: java.lang.Long, y: java.lang.Long) =>
+      if (x == null || y == null) null
+      else java.lang.Long.valueOf(math.pow(x.toDouble, y.toDouble).toLong))
+    val df = Seq[(Option[Long], Option[Long])](
+      (Some(1L), None), (Some(2L), Some(10L)), (None, Some(9L)), (None, None))
+      .map { case (a, b) => (a.map(Long.box).orNull, b.map(Long.box).orNull) }
+      .toDF("a", "b")
+    val got = SelectRows(spark, "exp_udf(a, b) as x FROM [//tmp/un]",
+      Map("//tmp/un" -> df)).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(got.toSeq == Seq(-1L, -1L, -1L, 1024L))
+  }
+
+  test("UdfStringArgument / UdfStringResult (ql_query_ut.cpp): string in, string out") {
+    spark.udf.register("strtol_udf", (s: String) =>
+      if (s == null) null else java.lang.Long.valueOf(if (s.isEmpty) 0L else s.toLong))
+    spark.udf.register("tolower_udf", (s: String) =>
+      if (s == null) null else s.toLowerCase)
+    val n = SelectRows(spark, "strtol_udf(a) as x FROM [//tmp/us]",
+      Map("//tmp/us" -> Seq[(String, Long)](("123", 0), ("50", 1), ("", 2), (null, 3))
+        .toDF("a", "i"))).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(n.toSeq == Seq(-1L, 0L, 50L, 123L))
+    val s = SelectRows(spark, "tolower_udf(a) as x FROM [//tmp/us2]",
+      Map("//tmp/us2" -> Seq[(String, Long)](("HELLO", 0), ("HeLlO", 1), ("", 2), (null, 3))
+        .toDF("a", "i"))).collect()
+      .map(r => if (r.isNullAt(0)) "<null>" else r.getString(0)).sorted
+    assert(s.toSeq == Seq("", "<null>", "hello", "hello"))
+  }
+
+  test("VarargUdf (ql_query_ut.cpp): variadic user function inside IN") {
+    spark.udf.register("sum_udf", (xs: Seq[Long]) => xs.sum)
+    // Scala UDFs are fixed-arity — the vararg surface lowers through
+    // an array constructor, same calling convention for the QL string
+    val got = SelectRows(spark,
+      "a as x FROM [//tmp/uv] where sum_udf(make_list(7, 3, a)) in (11u, 12)",
+      Map("//tmp/uv" -> Seq(1L, 2L).toDF("a"))).as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("ComplexWithAliases (ql_query_ut.cpp:4460): group alias referenced in a post-agg expression") {
+    val df = (1L to 9L).map(i => (i, 10 * i)).toDF("a", "b")
+    val got = q2("a % 2 as x, sum(b) + x as t FROM [//tmp/ab] where a > 1 group by x", df)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 200L), (1L, 241L)))
+  }
+
+  test("SubqueryAliases (ql_query_ut.cpp:300): aliases re-alias through a FROM subquery") {
+    val got = q2("b as c from (SELECT a as b from [//tmp/ab])",
+      Seq("x", "y").toDF("a")).as[String].collect().sorted
+    assert(got.toSeq == Seq("x", "y"))
+  }
+
+  test("BigQuery (ql_query_ut.cpp): a 1000-member IN list prepares and runs") {
+    val inList = (0 until 1000).mkString(", ")
+    val got = q2(s"a from [//tmp/ab] where a in ($inList)",
+      Seq(5L, 2000L).toDF("a")).as[Long].collect()
+    assert(got.toSeq == Seq(5L))
+  }
+
   // ---- query options (TQueryOptions surface) ----
 
   test("InputRowLimit (ql_query_ut.cpp): reads stop after N rows, filter applies to those") {
