@@ -279,7 +279,8 @@ object QLEmitter {
     if (q.orderBy.nonEmpty && q.limit.isEmpty)
       throw new IllegalArgumentException("ORDER BY used without LIMIT")
     // greatest() cannot infer a type for an untyped NULL argument
-    // (ql_query_ut.cpp GreatestError)
+    // (ql_query_ut.cpp GreatestError); an entity literal in an IN
+    // rowset cannot type against an Any operand (AnyInNull)
     (q.select.map(_.e) ++ q.where ++ q.groupBy.map(_.e) ++ q.having ++
       q.orderBy.map(_.e)).foreach { e =>
       foreachExpr(e) {
@@ -287,6 +288,10 @@ object QLEmitter {
             args.contains(NullLit) =>
           throw new IllegalArgumentException(
             "Type inference failed: greatest with untyped NULL argument")
+        case InList(tuple, rows, _) if rows.flatten.contains(NullLit) &&
+            tuple.exists(t => isAnyish(t, scope, res)) =>
+          throw new IllegalArgumentException(
+            "Cannot use expression of type null with an Any operand in IN")
         case _ => ()
       }
     }

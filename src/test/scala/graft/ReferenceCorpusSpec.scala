@@ -1579,6 +1579,27 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(graft.sources.Yson.parseToJson("{b={c=4}d=[1;2}}") == null)
   }
 
+  test("YPathGetString/Uint64/Double/Boolean + Fail variants (ql_query_ut.cpp:7100-7460): typed get_* family") {
+    val fixtures = Seq(
+      ("get_string", "{b={c=\"hello\"};d=[1;\"world\"]}", (r: org.apache.spark.sql.Row) => r.getString(0) == "hello"),
+      ("get_uint64", "{b={c=4u};d=[1;2]}", (r: org.apache.spark.sql.Row) => r.getLong(0) == 4L),
+      ("get_double", "{b={c=4.};d=[1;2]}", (r: org.apache.spark.sql.Row) => r.getDouble(0) == 4.0),
+      ("get_boolean", "{b={c=%true};d=[1;2]}", (r: org.apache.spark.sql.Row) => r.getBoolean(0)))
+    for ((fn, doc, check) <- fixtures) {
+      val ok = ypathFixture(Seq((doc, "/b/c"), (null, null), (doc, null), (null, "/b/c")))
+      val got = SelectRows(spark, s"$fn(yson, ypath) as result from [//tmp/yp]",
+        Map("//tmp/yp" -> ok)).collect()
+      assert(check(got.head), s"$fn value row")
+      assert(got.tail.forall(_.isNullAt(0)), s"$fn null-input rows")
+      // missing path with both inputs present raises (the *Fail tests)
+      val miss = ypathFixture(Seq((doc, "/b/missing")))
+      intercept[Exception] {
+        SelectRows(spark, s"$fn(yson, ypath) as result from [//tmp/yp]",
+          Map("//tmp/yp" -> miss)).collect()
+      }
+    }
+  }
+
   test("YPathGetAny (ql_query_ut.cpp:7463): nested get_any, null-matching equality") {
     import graft.types.YtTypes._
     val rows = Seq(
@@ -2045,6 +2066,77 @@ class ReferenceCorpusSpec extends SparkSpec {
       if (!r.isNullAt(0)) assert(r.getLong(1) == grouped(r.getLong(0)))
       else assert(r.getLong(1) == totalSum)
     }
+  }
+
+  // ---- remaining evaluate/limit/totals cases ----
+
+  test("CardinalityAggregateTotals (ql_query_ut.cpp): HLL flows into the totals row") {
+    val df = (0 until 4).flatMap(_ => 0 until 2000).map(_.toLong % 2000).toDF("a")
+    val got = q2(
+      "cardinality(a) < 2020 as upper, cardinality(a) > 1980 as lower from [//tmp/ab] group by 1 with totals",
+      df).as[(Boolean, Boolean)].collect()
+    assert(got.length == 2 && got.forall(_ == (true, true)))
+  }
+
+  test("OutputRowLimit2/3 + JoinRowLimit (ql_query_ut.cpp): output limits truncate results, not aggregation") {
+    // a single global group is never truncated by a larger limit
+    val big = (0 until 10000).map(_.toLong).toDF("a")
+    val one = SelectRows(spark, "sum(1) as x FROM [//tmp/orl] group by 0 as q",
+      Map("//tmp/orl" -> big), SelectRows.Options(outputRowLimit = Some(100)))
+      .as[Long].collect()
+    assert(one.toSeq == Seq(10000L))
+    // 20 groups truncate to 10
+    val twenty = (0 until 20).map(_.toLong).toDF("a")
+    val page = SelectRows(spark, "a FROM [//tmp/orl2] group by a",
+      Map("//tmp/orl2" -> twenty), SelectRows.Options(outputRowLimit = Some(10)))
+      .as[Long].collect()
+    assert(page.length == 10 && page.forall(v => v >= 0 && v < 20))
+    // join output truncates to 4
+    val joined = SelectRows(spark,
+      "a as x FROM [//jl] join [//jr] using a",
+      Map("//jl" -> (1L to 6L).toDF("a"), "//jr" -> (1L to 6L).toDF("a")),
+      SelectRows.Options(outputRowLimit = Some(4))).collect()
+    assert(joined.length == 4)
+  }
+
+  test("BigTransform (ql_query_ut.cpp): a 100-branch transform map") {
+    val from = (-50 until 50).mkString(", ")
+    val to = (-50 until 50).map(-_).mkString(", ")
+    val got = q2(s"transform(a, ($from), ($to)) as x FROM [//tmp/ab]",
+      Seq(4L, -10L, 7L, 60L).toDF("a")).as[Option[Long]].collect()
+    assert(got.toSeq == Seq(Some(-4L), Some(10L), Some(-7L), None))
+  }
+
+  test("TooBigQuery2 (ql_query_ut.cpp): a deep OR chain exceeds the depth limit") {
+    val disjuncts = (0 until 100).map(i =>
+      s"(a = $i and s = 'u-$i')").mkString(" or ")
+    expectError(s"k from [//t] where $disjuncts")
+  }
+
+  test("GroupByDisjointTotalsLimit (ql_query_ut.cpp): totals sum every group under a limited page") {
+    val rows = (0 until 100).map(i => (i / 10L, i % 10L, i.toLong))
+    val df = rows.toDF("a", "b", "v")
+    val grouped = rows.groupBy(r => (r._1, r._2 % 3))
+      .map { case (k, rs) => k -> rs.map(_._3).sum }
+    val totalSum = rows.map(_._3).sum
+    val got = q2(
+      "x, y, sum(v) as s FROM [//tmp/ab] group by a as x, b % 3 as y with totals limit 20",
+      df).collect()
+    assert(got.length == 21)
+    got.foreach { r =>
+      if (r.isNullAt(0)) assert(r.getLong(2) == totalSum)
+      else assert(grouped((r.getLong(0), r.getLong(1))) == r.getLong(2))
+    }
+  }
+
+  test("AnyInNull / BadWhere (ql_query_ut.cpp:244): entity IN rowsets and tuple WHERE predicates raise") {
+    import graft.types.YtTypes._
+    val df = anyTagged(Seq(Seq("1")), "any_value" -> YtAny)
+    intercept[Exception] {
+      SelectRows(spark, "* from [//tmp/ain] where any_value in (#)",
+        Map("//tmp/ain" -> df)).collect()
+    }
+    expectError("* from [//t] where (a = 1, b = 2)")
   }
 
   // ---- ARRAY JOIN + composite accessor remainder ----
