@@ -53,7 +53,8 @@ object SelectRows {
   final case class Options(
       inputRowLimit: Option[Int] = None,
       outputRowLimit: Option[Int] = None,
-      useCanonicalNullRelations: Boolean = false)
+      useCanonicalNullRelations: Boolean = false,
+      allowFullScan: Boolean = true)
 
   /** Run a QL query. Tables referenced as `[//path]` must either be in
     * `catalog` (path → DataFrame) or already registered as temp views
@@ -65,6 +66,16 @@ object SelectRows {
   def apply(spark: SparkSession, ql: String, catalog: Map[String, DataFrame],
       options: Options): DataFrame = {
     graft.functions.QLFunctions.registerAll(spark)
+    if (!options.allowFullScan) {
+      // allow_full_scan=%false (test_query.py test_full_scan): an
+      // unfiltered scan is a policy error at prepare time
+      val q = try Some(QLParser.parse(ql)) catch { case _: Exception => None }
+      q.foreach { parsed =>
+        if (parsed.where.isEmpty && parsed.limit.isEmpty)
+          throw new IllegalArgumentException(
+            "Query requires a full scan, which is disabled by the allow_full_scan option")
+      }
+    }
     val cat = options.inputRowLimit match {
       case Some(n) => catalog.map { case (p, df) => p -> df.limit(n) }
       case None => catalog

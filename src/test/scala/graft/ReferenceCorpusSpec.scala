@@ -2068,6 +2068,56 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  // ---- test_query.py integration remainder ----
+
+  test("test_null (test_query.py): `where a = null` matches the null key row") {
+    val df = Seq[(Option[Long], Long)]((None, 0L), (Some(1L), 1L)).toDF("a", "b")
+    val got = q2("* from [//tmp/ab] where a = null", df)
+      .as[(Option[Long], Long)].collect()
+    assert(got.toSeq == Seq((None, 0L)))
+  }
+
+  test("test_merging_group_by (test_query.py:2460): avg/min merge across 20 tablet partitions") {
+    val df = (0 until 100).map(i => (i.toLong, 10L * i)).toDF("a", "b")
+      .repartition(20)
+    val got = q2(
+      """k, avg(a) as aa, min(b) as mb, avg(b) as ab
+         from [//tmp/ab] group by a % 2 as k order by k limit 2""", df)
+      .as[(Long, Double, Long, Double)].collect()
+    assert(got.toSeq == Seq((0L, 49.0, 0L, 490.0), (1L, 50.0, 10L, 500.0)))
+  }
+
+  test("test_computed_column_modulo (test_query.py:2700): source-key predicates on a modular computed key") {
+    val rows = (0 until 1000).map(i => (i % 2L, i.toLong, i.toLong, 2L * i))
+    val df = rows.toDF("hash", "key1", "key2", "value")
+    val cat = Map("//tmp/cc" -> df)
+    def expected(ks: Seq[Int]) = ks.map(i => (i % 2L, i.toLong, i.toLong, 2L * i))
+    val q1 = SelectRows(spark, "* from [//tmp/cc] where key2 = 42", cat)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(q1.toSeq == expected(Seq(42)))
+    val q2r = SelectRows(spark, "* from [//tmp/cc] where key1 >= 10 and key1 < 80", cat)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(q2r.toSeq == expected(10 until 80))
+    val q3 = SelectRows(spark, "* from [//tmp/cc] where key1 in (10, 20, 30)", cat)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(q3.toSeq == expected(Seq(10, 20, 30)))
+    val q4 = SelectRows(spark,
+      "* from [//tmp/cc] where key1 in (10, 20, 30) and key2 in (30, 40)", cat)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(q4.toSeq == expected(Seq(30)))
+  }
+
+  test("test_full_scan (test_query.py): allow_full_scan=false rejects unfiltered scans") {
+    intercept[Exception] {
+      SelectRows(spark, "* from [//tmp/ab]", Map("//tmp/ab" -> ab45),
+        SelectRows.Options(allowFullScan = false)).collect()
+    }
+    // a filtered query is fine
+    assert(SelectRows(spark, "* from [//tmp/ab] where a > 1",
+      Map("//tmp/ab" -> ab45),
+      SelectRows.Options(allowFullScan = false)).count() == 2)
+  }
+
   // ---- remaining evaluate/limit/totals cases ----
 
   test("CardinalityAggregateTotals (ql_query_ut.cpp): HLL flows into the totals row") {
