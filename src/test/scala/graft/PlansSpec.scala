@@ -165,4 +165,47 @@ class PlansSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
+
+  // ---- range-inference shapes reach the parquet scan ----
+  // The reference canonicalizes WHERE predicates into key-range unions
+  // (key_trie.cpp, ql_range_inference_ut.cpp: NotEqual, Multiple
+  // Disjuncts/Conjuncts, RangesProduct, PrefixQuery, Redundant
+  // Condition). Spark-side the same contract is "the lowered predicate
+  // reaches PushedFilters on the scan" — data skipping then prunes
+  // row groups exactly where the reference prunes key ranges.
+
+  private def pushedFilters(df: org.apache.spark.sql.DataFrame): String = {
+    df.count()
+    val plans = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    plans.map(_.metadata.getOrElse("PushedFilters", "[]")).mkString(";")
+  }
+
+  test("range inference shapes push to the scan: point, not-equal, disjunct union, tuple product") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cat = Map("//tmp/li" -> li)
+    def qf(where: String): String = pushedFilters(graft.ql.SelectRows(
+      spark, s"l_orderkey from [//tmp/li] where $where", cat))
+
+    // PrefixQuery / Lookup: point predicate (QL `=` null-matches, so
+    // it pushes as the equally-prunable EqualNullSafe)
+    assert(qf("l_orderkey = 1").contains("EqualNullSafe(l_orderkey,1)"))
+    // NotEqual → the complement still reaches the scan
+    assert(qf("l_linenumber != 3").contains("Not(EqualNullSafe(l_linenumber,3)"))
+    // MultipleDisjuncts → Or of ranges pushed whole
+    val disj = qf("l_quantity < 5.0 or l_quantity > 45.0")
+    assert(disj.contains("Or(") && disj.contains("l_quantity"), disj)
+    // MultipleConjuncts / RedundantCondition → folded conjunction
+    val conj = qf("l_orderkey >= 10 and l_orderkey >= 10 and l_orderkey < 500")
+    assert(conj.contains("GreaterThanOrEqual(l_orderkey,10)") &&
+      conj.contains("LessThan(l_orderkey,500)"), conj)
+    // RangesProduct: tuple BETWEEN multi-range list lowers to a
+    // pushable Or(And(...)) over both key positions
+    val prod = qf("(l_orderkey, l_linenumber) between ((1) and (100, 2), (200, 1) and (300))")
+    assert(prod.contains("l_orderkey") && prod.contains("Or("), prod)
+  }
 }
