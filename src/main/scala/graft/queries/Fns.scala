@@ -62,6 +62,30 @@ object Fns {
           U.u64_gt(h, lit(Long.MinValue)).as("u_top_half"))
     }),
 
+    // COLUMN-valued ypaths (DEFINE_YPATH_GET: the path is data, not a
+    // literal — ql_query_ut.cpp YPathTryGetInt64) plus the raw-carrier
+    // get_any fragment, through the QL string surface.
+    "ql_fn_ypath_runtime" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        col("event_id"), col("props"),
+        when(col("event_id") % 2 === 0, "/k").otherwise("/missing").as("path"))
+      graft.ql.SelectRows(s,
+        "event_id, try_get_int64(props, path) as k, try_get_any(props, path) as frag " +
+          "from [//tmp/ev_yp]",
+        Map("//tmp/ev_yp" -> ev))
+    }),
+
+    // UseCanonicalNullRelations: comparisons keep SQL three-valued
+    // logic — exactly DuckDB's semantics, so the oracle is plain SQL.
+    "ql_selectrows_canonical_nulls" -> ((s, d) =>
+      graft.ql.SelectRows(s,
+        "event_id, try_get_int64(props, '/k') < 50 as lt, " +
+          "try_get_int64(props, '/missing') < 50 as miss_lt, " +
+          "try_get_int64(props, '/missing') < 50 is null as miss_is_null " +
+          "from [//tmp/ev_cn]",
+        Map("//tmp/ev_cn" -> t(s, d, "events")),
+        graft.ql.SelectRows.Options(useCanonicalNullRelations = true))),
+
     // Any/YSON accessor family over the JSON props column.
     "ql_fn_any" -> ((s, d) =>
       t(s, d, "events")
@@ -251,6 +275,19 @@ object Fns {
            CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd,
            json_extract_string(props, '$.missing') AS missing,
            json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+         FROM events""",
+    "ql_fn_ypath_runtime" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props,
+             CASE WHEN event_id % 2 = 0 THEN '$.k' ELSE '$.missing' END) AS BIGINT) AS k,
+           CAST(json_extract(props,
+             CASE WHEN event_id % 2 = 0 THEN '$.k' ELSE '$.missing' END) AS VARCHAR) AS frag
+         FROM events""",
+    "ql_selectrows_canonical_nulls" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) < 50 AS lt,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) < 50 AS miss_lt,
+           (CAST(json_extract_string(props, '$.missing') AS BIGINT) < 50) IS NULL AS miss_is_null
          FROM events""",
     "ql_fn_datetime" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
