@@ -401,6 +401,7 @@ object QLFunctions {
     // QL `/`: integer division on integral operands (the SelectRows
     // emitter lowers `/` to this)
     reg("ql_div")(es => QlDivide(es(0), es(1)))
+    reg("ql_mod")(es => QlModulo(es(0), es(1)))
     reg("u64_mod")(es => UnsignedRemainder(es(0), es(1)))
     reg("u64_to_string")(es => UnsignedToString(es.head))
     reg("parse_u64")(es => ParseUnsigned(es.head))

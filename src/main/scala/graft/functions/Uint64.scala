@@ -105,11 +105,70 @@ case class QlDivide(left: Expression, right: Expression)
     case x: Short => x.toDouble; case x: Byte => x.toDouble
   }
   override def nullSafeEval(a: Any, b: Any): Any =
-    if (integral) toL(a) / toL(b) else toD(a) / toD(b)
+    if (integral) QlDivide.divChecked(toL(a), toL(b)) else toD(a) / toD(b)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      if (integral) s"${ev.value} = (long) $a / (long) $b;"
+      if (integral)
+        s"${ev.value} = graft.functions.QlDivide.divChecked((long) $a, (long) $b);"
       else s"${ev.value} = (double) $a / (double) $b;")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object QlDivide {
+  /** Java long division wraps INT_MIN/-1 silently; QL raises
+    * (cg_routines.cpp: "Division of INT_MIN by -1"). */
+  def divChecked(a: Long, b: Long): Long = {
+    if (a == Long.MinValue && b == -1L)
+      throw new ArithmeticException("Division of INT_MIN by -1")
+    a / b // ArithmeticException("/ by zero") on b == 0, like QL
+  }
+  def modChecked(a: Long, b: Long): Long = {
+    if (a == Long.MinValue && b == -1L)
+      throw new ArithmeticException("Division of INT_MIN by -1")
+    a % b
+  }
+}
+
+/** QL `%`: integral remainder with the reference's error surface
+  * (zero divisor and INT_MIN % -1 raise); double remainder for
+  * floating operands. */
+case class QlModulo(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types._
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+  private def isNumeric(dt: DataType): Boolean =
+    isIntegral(dt) || dt == DoubleType || dt == FloatType
+  private lazy val integral: Boolean =
+    isIntegral(left.dataType) && isIntegral(right.dataType)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isNumeric(left.dataType) && isNumeric(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ql_mod expects numeric operands, got ${left.dataType} % ${right.dataType}")
+  override def dataType: DataType =
+    if (integral) LongType else DoubleType
+  private def toL(v: Any): Long = v match {
+    case x: Long => x; case x: Int => x.toLong
+    case x: Short => x.toLong; case x: Byte => x.toLong
+  }
+  private def toD(v: Any): Double = v match {
+    case x: Double => x; case x: Float => x.toDouble
+    case x: Long => x.toDouble; case x: Int => x.toDouble
+    case x: Short => x.toDouble; case x: Byte => x.toDouble
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (integral) QlDivide.modChecked(toL(a), toL(b)) else toD(a) % toD(b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      if (integral)
+        s"${ev.value} = graft.functions.QlDivide.modChecked((long) $a, (long) $b);"
+      else s"${ev.value} = (double) $a % (double) $b;")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

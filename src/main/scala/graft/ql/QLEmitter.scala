@@ -856,8 +856,11 @@ object QLEmitter {
         val (a, b) = (emit(l), emit(r))
         s"(($b IS NULL) OR (($a IS NOT NULL) AND ($a >= $b)))"
       // QL `/` divides integrally on integers, float on doubles —
-      // Spark's ANSI `/` is always double, so route through ql_div
+      // Spark's ANSI `/` is always double, so route through ql_div;
+      // `%` carries the same error surface (zero divisor raises,
+      // INT_MIN % -1 raises where Spark's Remainder wraps to 0)
       case ("/", _, _) => s"ql_div(${emit(l)}, ${emit(r)})"
+      case ("%", _, _) => s"ql_mod(${emit(l)}, ${emit(r)})"
       case _ => s"(${emit(l)} $op ${emit(r)})"
     }
   }

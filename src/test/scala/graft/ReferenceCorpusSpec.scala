@@ -2068,6 +2068,27 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  // ---- expression error surface (ql_expressions_ut.cpp TExpressionErrorTest) ----
+
+  test("Int64/UInt64 division and modulo by zero, INT_MIN/-1 on column values raise") {
+    val dz = Seq((1L, 0L)).toDF("i1", "i2")
+    for (op <- Seq("/", "%")) {
+      intercept[Exception] {
+        q2(s"i1 $op i2 as r FROM [//tmp/ab]", dz).collect()
+      }
+    }
+    val ovf = Seq((Long.MinValue, -1L)).toDF("i1", "i2")
+    for (op <- Seq("/", "%")) {
+      intercept[Exception] {
+        q2(s"i1 $op i2 as r FROM [//tmp/ab]", ovf).collect()
+      }
+    }
+    // unsigned: u64 carrier division by zero raises too
+    intercept[Exception] {
+      q2("1u / 0u as r FROM [//tmp/ab]", dz).collect()
+    }
+  }
+
   // ---- test_query.py integration remainder ----
 
   test("test_null (test_query.py): `where a = null` matches the null key row") {
