@@ -388,6 +388,7 @@ object QLFunctions {
     reg("u64_gt")(es => GreaterThan(biased(es(0)), biased(es(1))))
     reg("u64_geq")(es => GreaterThanOrEqual(biased(es(0)), biased(es(1))))
     reg("u64_sort")(es => biased(es.head))
+    reg("u64_sort_key")(es => biased(es.head))
     // ORDER BY key guard: sorting by NaN is an error in QL
     // (ql_query_ut.cpp OrderBy); identity for non-floating keys
     reg("ql_order_guard")(es => NanGuard(es.head))

@@ -44,11 +44,16 @@ object QLEmitter {
     * is wrapped in `to_any` first. Equality needs no rewrite between
     * two Any values — the carrier is canonical JSON, so string
     * equality IS typed equality. */
-  /** A table's column inventory: all field names plus the subset
-    * carrying the `any` logical type. Tracked PER TABLE so a typed
-    * column in one join side is never routed through the Any ordering
-    * just because another table has an Any column of the same name. */
-  final case class TableCols(all: Set[String], any: Set[String])
+  /** A table's column inventory: all field names plus the subsets
+    * carrying the `any` and `uint64` logical types. Tracked PER TABLE
+    * so a typed column in one join side is never routed through the
+    * Any ordering just because another table has an Any column of the
+    * same name. uint64 columns carry their bits in a signed Long; the
+    * rewrite routes their comparisons/division/ordering through the
+    * biased u64_* forms so unsigned semantics survive
+    * (row_base.h EValueType::Uint64; functions/Uint64). */
+  final case class TableCols(all: Set[String], any: Set[String],
+      u64: Set[String] = Set.empty)
 
   def toSql(q: Query, anyCols: Set[String]): String =
     // legacy name-only resolution (no per-table schema available):
@@ -116,9 +121,27 @@ object QLEmitter {
     case _ => false
   }
 
+  /** A uint64-typed operand: a `Nu` literal, a column the schema tags
+    * `uint64`, or an unsigned-producing call. */
+  private def isU64ish(e: Expr, scope: Map[String, TableCols]): Boolean = e match {
+    case UIntLit(_) => true
+    case Ref(parts) =>
+      if (parts.length >= 2 && scope.contains(parts.head))
+        scope(parts.head).u64.contains(parts(1))
+      else {
+        val c = parts.last
+        val owners = scope.values.filter(_.all.contains(c))
+        owners.nonEmpty && owners.forall(_.u64.contains(c))
+      }
+    case Call(n, _, _) =>
+      Set("u64_div", "u64_mod", "parse_uint64", "parse_u64", "uint64")(n.toLowerCase)
+    case _ => false
+  }
+
   private def rewriteAnyExpr(e: Expr, scope: Map[String, TableCols],
       res: AnyResolution): Expr = {
     def anyish(x: Expr) = isAnyish(x, scope, res)
+    def u64ish(x: Expr) = isU64ish(x, scope)
     def wrap(x: Expr): Expr =
       if (anyish(x)) x else Call("to_any", Seq(x))
     // make_list / make_map build an ANY value in the reference
@@ -143,6 +166,20 @@ object QLEmitter {
     mapRefs(e) {
       case Bin(op @ ("<" | "<=" | ">" | ">="), l, r) if anyish(l) || anyish(r) =>
         Some(Bin("raw" + op, Call("any_compare", Seq(wrap(l), wrap(r))), IntLit(0)))
+      // uint64 columns carry raw bits — ordering comparisons, division
+      // and modulo route through the unsigned forms (functions/Uint64)
+      case Bin(op @ ("<" | "<=" | ">" | ">="), l, r) if u64ish(l) || u64ish(r) =>
+        val fn = Map("<" -> "u64_lt", "<=" -> "u64_leq",
+          ">" -> "u64_gt", ">=" -> "u64_geq")(op)
+        Some(Bin("raw=", Call(fn,
+          Seq(rewriteAnyExpr(l, scope, res), rewriteAnyExpr(r, scope, res))),
+          BoolLit(true)))
+      case Bin("/", l, r) if u64ish(l) || u64ish(r) =>
+        Some(Call("u64_div",
+          Seq(rewriteAnyExpr(l, scope, res), rewriteAnyExpr(r, scope, res))))
+      case Bin("%", l, r) if u64ish(l) || u64ish(r) =>
+        Some(Call("u64_mod",
+          Seq(rewriteAnyExpr(l, scope, res), rewriteAnyExpr(r, scope, res))))
       case Bin(op @ ("=" | "!="), l, r) if anyish(l) != anyish(r) =>
         Some(Bin(op, wrap(l), wrap(r)))
       case Call("make_list", args, _) if needsAnyForm(args) =>
@@ -365,6 +402,9 @@ object QLEmitter {
       orderBy = q.orderBy.map { o =>
         val e1 = rw(o.e)
         if (isAnyish(e1, scope, res)) o.copy(e = Call("any_sort_key", Seq(e1)))
+        // unsigned ordering: bias the bits so the signed sort is the
+        // unsigned order (order-isomorphic, stays a plain binary sort)
+        else if (isU64ish(e1, scope)) o.copy(e = Call("u64_sort_key", Seq(e1)))
         else o.copy(e = e1)
       })
   }

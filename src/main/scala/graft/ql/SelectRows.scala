@@ -168,11 +168,12 @@ object SelectRows {
   def anyScope(catalog: Map[String, DataFrame]): Map[String, QLEmitter.TableCols] = {
     import graft.types.YtTypes.YtTypeKey
     catalog.map { case (path, df) =>
-      val anys = df.schema.fields.collect {
+      def typed(t: String) = df.schema.fields.collect {
         case f if f.metadata.contains(YtTypeKey) &&
-          f.metadata.getString(YtTypeKey) == "any" => f.name
+          f.metadata.getString(YtTypeKey) == t => f.name
       }.toSet
-      viewName(path) -> QLEmitter.TableCols(df.schema.fieldNames.toSet, anys)
+      viewName(path) -> QLEmitter.TableCols(
+        df.schema.fieldNames.toSet, typed("any"), typed("uint64"))
     }
   }
 

@@ -2068,6 +2068,35 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  // ---- uint64 column semantics through the string surface ----
+
+  test("uint64 columns route unsigned: comparisons, division, modulo, ORDER BY (row_base.h Uint64)") {
+    import graft.types.YtTypes._
+    // bits: -1L = 18446744073709551615 (u64 max), -2L = u64 max - 1
+    val df = anyTagged(Seq(
+      Seq(1L, 2L), Seq(-1L, 2L), Seq(-2L, 2L), Seq(100L, 3L)),
+      "u" -> YtUint64, "d" -> YtUint64)
+    val cat = Map("//tmp/u64" -> df)
+    // unsigned comparison: u64 max > 100 (signed would say -1 < 100)
+    val cmp = SelectRows(spark,
+      "u from [//tmp/u64] where u > 100u", cat).as[Long].collect().toSet
+    assert(cmp == Set(-1L, -2L))
+    // unsigned division: (u64 max - 1) / 2 = Long.MaxValue
+    val div = SelectRows(spark,
+      "u / d as q from [//tmp/u64] where u = 18446744073709551614u", cat)
+      .as[Long].collect()
+    assert(div.toSeq == Seq(Long.MaxValue))
+    // unsigned modulo of u64 max by 3
+    val mod = SelectRows(spark,
+      "u % d as m from [//tmp/u64] where u = 18446744073709551615u", cat)
+      .as[Long].collect()
+    assert(mod.toSeq == Seq(java.lang.Long.remainderUnsigned(-1L, 2L)))
+    // ORDER BY sorts in unsigned order: u64 max last
+    val ord = SelectRows(spark,
+      "u from [//tmp/u64] order by u limit 10", cat).as[Long].collect()
+    assert(ord.toSeq == Seq(1L, 100L, -2L, -1L))
+  }
+
   // ---- expression error surface (ql_expressions_ut.cpp TExpressionErrorTest) ----
 
   test("Int64/UInt64 division and modulo by zero, INT_MIN/-1 on column values raise") {
