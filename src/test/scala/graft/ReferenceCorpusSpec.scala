@@ -2068,6 +2068,24 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  test("ConvertFromAny (ql_expressions_ut.cpp): numeric casts of non-numeric Any carriers raise") {
+    import graft.types.YtTypes._
+    // int64(any) where the carrier holds a string / boolean raises
+    // ("Cannot convert value"); ANSI casts carry the same contract
+    for (carrier <- Seq("\"hello\"", "%true")) {
+      val df = anyTagged(Seq(Seq(graft.sources.Yson.parseToJson(carrier))),
+        "any" -> YtAny)
+      intercept[Exception] {
+        SelectRows(spark, "int64(any) as r from [//tmp/cfa]",
+          Map("//tmp/cfa" -> df)).collect()
+      }
+    }
+    // a numeric carrier converts
+    val ok = anyTagged(Seq(Seq("1")), "any" -> YtAny)
+    assert(SelectRows(spark, "int64(any) as r from [//tmp/cfa]",
+      Map("//tmp/cfa" -> ok)).as[Long].collect().toSeq == Seq(1L))
+  }
+
   // ---- uint64 column semantics through the string surface ----
 
   test("uint64 columns route unsigned: comparisons, division, modulo, ORDER BY (row_base.h Uint64)") {
