@@ -208,4 +208,20 @@ class PlansSpec extends SparkSpec {
     val prod = qf("(l_orderkey, l_linenumber) between ((1) and (100, 2), (200, 1) and (300))")
     assert(prod.contains("l_orderkey") && prod.contains("Or("), prod)
   }
+
+  test("PredicatePushDown (ql_distributed_ut.cpp): per-side predicates reach their scans through a join") {
+    // the reference splits `a1 = 5 and b1 != 2 and a2 + b1 > 9` into
+    // per-side WHERE clauses plus a join residual; Catalyst's
+    // PushPredicateThroughJoin lands each conjunct on its own scan
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val df = graft.ql.SelectRows(spark,
+      "l_partkey + o_custkey as x from [//tmp/li] join [//tmp/ord] " +
+        "on (l_orderkey) = (o_orderkey) " +
+        "where l_orderkey = 5 and o_custkey != 2 and l_partkey + o_custkey > 9",
+      Map("//tmp/li" -> li, "//tmp/ord" -> ord))
+    val pf = pushedFilters(df)
+    assert(pf.contains("EqualNullSafe(l_orderkey,5)"), pf)
+    assert(pf.contains("Not(EqualNullSafe(o_custkey,2))"), pf)
+  }
 }
