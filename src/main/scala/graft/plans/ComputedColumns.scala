@@ -51,14 +51,23 @@ object ComputedColumns {
     * enumerating past this many candidate tuples. */
   val MaxEnumeration = 1024
 
-  /** `computed := f(sources)`, e.g. `hk := pmod(hash(k1, k2), 64)`. */
+  /** `computed := f(sources)`, e.g. `hk := pmod(hash(k1, k2), 64)`.
+    * `monotone = true` declares f order-preserving over its single
+    * source (division by a positive constant, a linear rescale …): a
+    * bounded source range then derives the computed-column INTERVAL
+    * [f(lo), f(hi)] with no enumeration cap — the reference's divide
+    * inferrer (ql_computed_columns_ut.cpp Divide0-6/Far: `key / 10`
+    * prunes wide ranges as ranges, never point sets). */
   final case class Spec(sources: Seq[String], computed: String,
-      f: Seq[Column] => Column)
+      f: Seq[Column] => Column, monotone: Boolean = false)
 
   object Spec {
     /** Single-source sugar: `computed := f(source)`. */
     def apply(source: String, computed: String, f: Column => Column): Spec =
       Spec(Seq(source), computed, (cs: Seq[Column]) => f(cs.head))
+    def apply(source: String, computed: String, f: Column => Column,
+        monotone: Boolean): Spec =
+      Spec(Seq(source), computed, (cs: Seq[Column]) => f(cs.head), monotone)
   }
 
   private val specs = new ConcurrentHashMap[(Seq[String], String), Spec]()
@@ -134,7 +143,8 @@ object ComputedColumns {
       * conjuncts that constrain it: a point/IN set, or an enumerated
       * integral/date range when both bounds are pinned and the width
       * fits the cap. */
-    private def candidatesFor(conj: Seq[Expression], a: Attribute): Option[Seq[Literal]] = {
+    private def candidatesFor(conj: Seq[Expression], a: Attribute)
+        : (Option[Seq[Literal]], Option[(Literal, Literal)]) = {
       var vals: Option[Seq[Literal]] = None
       var lo: Option[Long] = None
       var hi: Option[Long] = None
@@ -182,30 +192,54 @@ object ComputedColumns {
         case _ =>
       }
 
-      vals match {
+      val mk: Long => Literal = a.dataType match {
+        case ByteType => v => Literal(v.toByte)
+        case ShortType => v => Literal(v.toShort)
+        case IntegerType => v => Literal(v.toInt)
+        case DateType => v => Literal(v.toInt, DateType)
+        case _ => v => Literal(v)
+      }
+      val bounds = (lo, hi) match {
+        case (Some(l), Some(h)) if integral && h >= l => Some((mk(l), mk(h)))
+        case _ => None
+      }
+      val points = vals match {
         case Some(vs) => Some(vs.distinct)
         case None => (lo, hi) match {
           case (Some(l), Some(h)) if integral && h >= l &&
               h - l + 1 <= MaxEnumeration =>
-            val mk: Long => Literal = a.dataType match {
-              case ByteType => v => Literal(v.toByte)
-              case ShortType => v => Literal(v.toShort)
-              case IntegerType => v => Literal(v.toInt)
-              case DateType => v => Literal(v.toInt, DateType)
-              case _ => v => Literal(v)
-            }
             Some((l to h).map(mk))
           case _ => None
         }
       }
+      (points, bounds)
     }
 
     private def derivedFor(cond: Expression, srcs: Seq[Attribute],
         cmp: Attribute, spec: Spec): Option[Expression] = {
       val conj = splitConjunctive(cond)
       val perSource = srcs.map(a => candidatesFor(conj, a))
-      if (perSource.exists(_.isEmpty)) return None
-      val cands = perSource.map(_.get)
+      if (perSource.exists(_._1.isEmpty)) {
+        // no finite candidate set — a single MONOTONE source with a
+        // bounded range still derives the interval image [f(lo), f(hi)]
+        if (spec.monotone && srcs.length == 1) {
+          return perSource.head._2.flatMap { case (loL, hiL) =>
+            for {
+              fl <- derive(spec.f, Seq(loL), cmp.dataType)
+              fh <- derive(spec.f, Seq(hiL), cmp.dataType)
+              ordered <- (fl.value, fh.value) match {
+                case (a: Number, b: Number) =>
+                  if (a.longValue() <= b.longValue()) Some((fl, fh))
+                  else Some((fh, fl))
+                case _ => None
+              }
+            } yield And(GreaterThanOrEqual(cmp, ordered._1),
+              LessThanOrEqual(cmp, ordered._2))
+          }
+        }
+        return None
+      }
+      val cands = perSource.map(_._1.get)
       val tuples = cands.map(_.size.toLong).product
       if (tuples == 0 || tuples > MaxEnumeration) return None
       // cross product of per-source candidates → the key-trie expansion

@@ -76,6 +76,30 @@ class PlansSpec extends SparkSpec {
     } finally ComputedColumns.clear()
   }
 
+  test("monotone computed key derives an interval image beyond the enumeration cap (Divide0-6/Far)") {
+    val dir = Files.createTempDirectory("ccd").toFile.getAbsolutePath
+    // hash := key / 100 — the reference's divide inferrer shape
+    val spec = ComputedColumns.Spec("k", "hk", (c: org.apache.spark.sql.Column) =>
+      (c / 100L).cast("long"), monotone = true)
+    val data = (0L until 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+    ComputedColumns.withComputed(data, spec)
+      .write.partitionBy("hk").mode("overwrite").parquet(dir)
+    ComputedColumns.register(spec)
+    ComputedColumns.install(spark)
+    try {
+      // 5000-wide source range: enumeration (cap 1024) is impossible,
+      // the monotone image [30, 80] must prune partitions instead
+      val q = spark.read.parquet(dir).where(col("k") >= 3000L && col("k") <= 8000L)
+      assert(q.count() == 5001)
+      assert(partitionFilterOn(q, "hk"),
+        "wide monotone range must derive an hk interval filter")
+      // a HALF-bounded range still cannot derive (no interval image)
+      val q2 = spark.read.parquet(dir).where(col("k") >= 3000L)
+      assert(q2.count() == 7000)
+      assert(!partitionFilterOn(q2, "hk"))
+    } finally ComputedColumns.clear()
+  }
+
   test("range predicates prune partitions on a range-computed key (bucketed ranges)") {
     val dir = Files.createTempDirectory("ccb").toFile.getAbsolutePath
     val spec = ComputedColumns.Spec("k", "rk",
