@@ -52,6 +52,16 @@ class CodegenSpec extends SparkSpec {
       assert(out.length == 2)
       assert(out.head.getAs[Int]("cmp") != 0)
       assert(out.forall(_.getAs[Array[Byte]]("key").nonEmpty))
+      // the YPath accessor expressions stay codegen'd too
+      val yp = Seq(("{\"b\":{\"c\":4}}", "/b/c")).toDF("doc", "p").select(
+        shims.column(graft.sources.Yson.JsonGetRaw(
+          shims.expression(col("doc")),
+          graft.sources.Yson.YPathToJsonPath(shims.expression(col("p"))))).as("raw"),
+        shims.column(graft.sources.Yson.JsonArrayFragments(
+          shims.expression(lit("[1,\"x\",null]")))).as("frags"))
+        .collect()
+      assert(yp.head.getString(0) == "4")
+      assert(yp.head.getSeq[String](1).toList == List("1", "\"x\"", null))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
