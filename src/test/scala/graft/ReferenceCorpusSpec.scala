@@ -3,11 +3,17 @@ package graft
 import org.apache.spark.sql.Row
 import graft.ql.SelectRows
 
-/** The reference's own QL integration tests
-  * (yt/yt/tests/integration/dynamic_tables/test_query.py:126-460)
-  * ported verbatim: same fixture (`_sample_data`: a=i, b=10·i for
-  * i in 1..9, key-sorted), same QL strings through [[SelectRows]],
-  * same expected rows.
+/** The reference's own QL test corpus, ported verbatim where the
+  * semantics are observable through the string surface: the
+  * integration tests (yt/yt/tests/integration/dynamic_tables/
+  * test_query.py), the evaluate/prepare unit corpus
+  * (yt/yt/library/query/unittests/ql_query_ut.cpp — simple scans,
+  * comparisons, joins, group-bys incl. the coordinated multi-partition
+  * family, WITH TOTALS modes, the YPath accessor family, regexes,
+  * transforms, UDFs, query options and the TQueryPrepareTest error
+  * surface), and the expression error tests (ql_expressions_ut.cpp).
+  * Same fixtures, same QL strings through [[SelectRows]], same
+  * expected rows; each test cites its reference source.
   */
 class ReferenceCorpusSpec extends SparkSpec {
   import spark.implicits._
@@ -2394,6 +2400,31 @@ class ReferenceCorpusSpec extends SparkSpec {
     val got = q2("k, x, sum(b) as s from [//tmp/ab] group by a as k, v % 2 as x", df)
       .as[(Long, Long, Long)].collect().sorted
     assert(got.toSeq == expected)
+  }
+
+  test("GroupByCoordinatedWithTotals NoLimit/WithLimit × NoPrimaryKey/PrimaryKeyPrefix InGroupKey (ql_query_ut.cpp:3794-4044)") {
+    val rnd = new scala.util.Random(4711L)
+    val rows = (0L until 100L).map(pk => (pk, rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
+    val expected = rows.groupBy(_._2).map { case (gk, rs) => gk -> rs.map(_._3).sum }
+    val total = rows.map(_._3).sum
+    // non-key group column, multi-partition merge
+    for (groupCol <- Seq("gk", "pk")) {
+      val df = rows.toDF("pk", "gk", "v").repartition(6)
+      val noLimit = q2(s"$groupCol, sum(v) as v from [//tmp/ab] group by $groupCol with totals", df)
+        .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+      val expectedFor: Map[Option[Long], Long] =
+        if (groupCol == "gk") expected.map { case (k, v) => (Some(k): Option[Long]) -> v } +
+          ((None: Option[Long]) -> total)
+        else rows.map(r => (Some(r._1): Option[Long]) -> r._3).toMap +
+          ((None: Option[Long]) -> total)
+      assert(noLimit.length == expectedFor.size)
+      noLimit.foreach { case (k, v) => assert(expectedFor(k) == v, s"group $k") }
+      // a limited page: every returned group matches, totals cover ALL
+      val page = q2(s"$groupCol, sum(v) as v from [//tmp/ab] group by $groupCol with totals limit 5", df)
+        .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+      assert(page.length == 6)
+      page.foreach { case (k, v) => assert(expectedFor(k) == v, s"page group $k") }
+    }
   }
 
   test("GroupByCoordinatedWithTotalsTotalRowCount (ql_query_ut.cpp:3840): every group aggregates even under limit+totals") {
