@@ -266,9 +266,15 @@ object QLEmitter {
     })
   }
   private val MaxExpressionDepth = 50
+  /** query_preparer.cpp:35 MaxJoinNumber. */
+  private val MaxJoinNumber = 200
 
   private def validateScoped(q: Query, res: AnyResolution): Unit = {
     val scope = scopeOf(q, res)
+    // join count cap (query_preparer.cpp:1110, ql_query_ut.cpp BigJoin)
+    if (q.joins.count(_.isInstanceOf[JoinClause]) > MaxJoinNumber)
+      throw new IllegalArgumentException(
+        "The number of joins exceeds the allowed maximum. Consider rewriting the query.")
     // expression depth cap (TooBigQuery: 50 chained "+ i" terms raise)
     (q.select.map(_.e) ++ q.where ++ q.groupBy.map(_.e) ++ q.having ++
       q.orderBy.map(_.e)).foreach { e =>

@@ -2402,6 +2402,34 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("GroupByOrderByCoordinated1-4 (ql_query_ut.cpp:3060): ordered group pages across partitions") {
+    val df = Seq(
+      (1L, 0L, 11L, 3L), (2L, 1L, 12L, 2L), (3L, 2L, 13L, 1L),
+      (4L, 0L, 14L, 3L), (5L, 1L, 15L, 2L), (6L, 2L, 16L, 1L),
+      (7L, 0L, 17L, 3L), (8L, 1L, 18L, 2L), (9L, 2L, 19L, 1L))
+      .toDF("a", "b", "c", "d").repartition(3)
+    assert(q2("m from [//tmp/ab] group by a % 3 as m order by m limit 3", df)
+      .as[Long].collect().toSeq == Seq(0L, 1L, 2L))
+    assert(q2("d from [//tmp/ab] group by d order by d limit 3", df)
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    assert(q2("a, b from [//tmp/ab] group by a, b order by a, b limit 5", df)
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 1L)))
+    assert(q2("a, b from [//tmp/ab] group by a, b order by a, b offset 2 limit 5", df)
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 2L), (4L, 0L), (5L, 1L), (6L, 2L), (7L, 0L)))
+    assert(q2("a from [//tmp/ab] group by a order by a limit 5", df)
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(q2("a from [//tmp/ab] group by a order by a offset 2 limit 5", df)
+      .as[Long].collect().toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("BigJoin1/2 (ql_query_ut.cpp): 220 chained joins exceed MaxJoinNumber") {
+    val joins = (1 until 220).map(i =>
+      s"join [//a_$i] as a_$i on (a_0.b) = (a_$i.a)").mkString(" ")
+    expectError(s"a_0.a from [//a_0] as a_0 $joins limit 1")
+  }
+
   test("GroupByCoordinatedWithTotals NoLimit/WithLimit × NoPrimaryKey/PrimaryKeyPrefix InGroupKey (ql_query_ut.cpp:3794-4044)") {
     val rnd = new scala.util.Random(4711L)
     val rows = (0L until 100L).map(pk => (pk, rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
