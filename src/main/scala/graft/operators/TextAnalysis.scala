@@ -124,4 +124,39 @@ object TextAnalysis {
   def piiCounts(text: Column): Column = struct(
     size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("emails"),
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("ips"))
+
+  /** Unigram-frequency document scoring — the CCNet/Gopher "LM
+    * perplexity" stage with a corpus-trained unigram model standing in
+    * for KenLM. Two distributed passes:
+    *
+    *   1. vocabulary: token → corpus count (one hash aggregation with
+    *      map-side combine), kept where count >= minCount. A COUNT
+    *      THRESHOLD, not a top-K: membership is deterministic (no
+    *      tie-broken cutoff) and the pass never needs a global sort.
+    *   2. scoring: explode doc tokens, join the vocabulary on token
+    *      (AQE broadcasts it when small; at 100 TB the join shuffles
+    *      by token, both sides key-partitioned, no driver state), then
+    *      one per-doc aggregation.
+    *
+    * Outputs are exact integers — token total, out-of-vocabulary
+    * count, summed corpus frequency — so the oracle compare is
+    * bit-stable; the floating rarity score derives from them
+    * downstream (freq_sum/n_tokens ≈ unigram likelihood proxy:
+    * LOW values = rare/garbled text, the tail CCNet trims).
+    */
+  def unigramStats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
+        .as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cnt").isNull, 1)).as("oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("freq_sum"))
+  }
 }

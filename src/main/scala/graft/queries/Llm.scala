@@ -112,6 +112,13 @@ object Llm {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))),
 
+    // Unigram-frequency scoring (the CCNet "LM perplexity" stage with
+    // a corpus-trained unigram model): exact-integer outputs so the
+    // compare is bit-stable; see TextAnalysis.unigramStats.
+    "llm_unigram_stats" -> ((s, d) =>
+      TextAnalysis.unigramStats(t(s, d, "documents"))
+        .orderBy("doc_id")),
+
     // Quality scoring components (ratios are engine-portable: counts
     // divided by counts, rounded).
     "llm_text_quality" -> ((s, d) =>
@@ -305,6 +312,20 @@ object Llm {
              list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
              w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
          FROM documents""",
+    "llm_unigram_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS tok
+           FROM documents),
+         vocab AS (
+           SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+           HAVING COUNT(*) >= 2)
+         SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.cnt IS NULL) AS oov,
+           CAST(SUM(COALESCE(v.cnt, 0)) AS BIGINT) AS freq_sum
+         FROM toks t LEFT JOIN vocab v USING (tok)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "llm_text_quality" ->
       """SELECT doc_id,
            ROUND((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) /

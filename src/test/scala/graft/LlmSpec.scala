@@ -224,4 +224,22 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rev == cc)
   }
+
+  test("unigramStats: threshold vocabulary, OOV counting, frequency sums") {
+    val docs = Seq(
+      (1L, "the cat sat"),        // the:3, cat:2, sat:1
+      (2L, "the cat ran"),        // ran:1
+      (3L, "the zyxzy")           // zyxzy:1 → OOV at minCount=2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramStats(docs, minCount = 2L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // vocab = {the→3, cat→2}; sat/ran/zyxzy are OOV
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 5L),   // the+cat in vocab (3+2), sat OOV
+      (2L, 3L, 1L, 5L),
+      (3L, 2L, 1L, 3L)))  // the (3) + zyxzy OOV
+    // rarity proxy: freq_sum / n_tokens is lowest for the garbled doc
+    val rarity = got.map { case (id, n, _, fs) => id -> fs.toDouble / n }.toMap
+    assert(rarity(3L) < rarity(1L))
+  }
 }
