@@ -70,11 +70,49 @@ object Similarity {
     * broadcast pass over the corpus (persisted alongside it in
     * practice), and each query batch touches nprobe/nlist of the data.
     */
+  /** Distributed Lloyd iterations for IVF centroids: seed with a
+    * deterministic corpus sample, then alternate (assign to nearest
+    * centroid by cosine) / (element-wise mean per cell). Each
+    * iteration is two key-partitioned shuffles — assignment joins a
+    * broadcast centroid table, the mean re-aggregates by (cell, dim) —
+    * so the pass scales linearly with the corpus and never collects
+    * vectors to the driver. localCheckpoint cuts the iteration
+    * lineage (same discipline as Dedup.connectedComponents).
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    for (_ <- 0 until iters) {
+      val assigned = corpus
+        .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+        .join(broadcast(cents))
+        .select(col("item_id"), col("item_vec"), col("cent_id"),
+          cosine(col("item_vec"), col("cent_vec")).as("ccos"))
+        .groupBy(col("item_id"))
+        .agg(first(col("item_vec")).as("item_vec"),
+          max_by(col("cent_id"), col("ccos")).as("cell"))
+      cents = assigned
+        .select(col("cell").as("cent_id"), posexplode(col("item_vec")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("cent_vec"))
+        .localCheckpoint(eager = true)
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      vecCol: String = "embedding", kmeansIters: Int = 0): DataFrame = {
+    val cents =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, nlist, kmeansIters, idCol, vecCol)
+      else corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
     // assign corpus rows to their single nearest centroid
     val assigned = corpus
       .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))

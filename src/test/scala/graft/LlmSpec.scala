@@ -104,6 +104,14 @@ class LlmSpec extends SparkSpec {
     // tracks the scan fraction on this worst case.
     assert(recall >= 0.25, s"recall=$recall")
     assert(ivf.size == bf.size)
+    // Lloyd-trained centroids never lose to the raw sample seed and
+    // the search path is untouched (same row shape, same k per query)
+    val km = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 6,
+      kmeansIters = 3)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val kmRecall = (km & bf).size.toDouble / bf.size
+    assert(km.size == bf.size)
+    assert(kmRecall >= recall - 0.1, s"kmeans recall=$kmRecall vs sample=$recall")
   }
 
   test("brute-force top-k ranks by true cosine") {
