@@ -95,13 +95,14 @@ object QLEmitter {
         case Ref(parts) => Some(parts.last)
         case _ => None
       })
-      name.map(n => n -> isAnyish(si.e, inner, res))
+      name.map(n => (n, isAnyish(si.e, inner, res), isU64ish(si.e, inner)))
     }
     val starCols =
       if (sub.select.exists(_.e == Star)) inner.values.toSeq else Nil
     TableCols(
       named.map(_._1).toSet ++ starCols.flatMap(_.all),
-      named.collect { case (n, true) => n }.toSet ++ starCols.flatMap(_.any))
+      named.collect { case (n, true, _) => n }.toSet ++ starCols.flatMap(_.any),
+      named.collect { case (n, _, true) => n }.toSet ++ starCols.flatMap(_.u64))
   }
 
   private def isAnyish(e: Expr, scope: Map[String, TableCols],

@@ -284,11 +284,22 @@ object QLParser {
     }
 
     def fullQuery(): Query = {
+      val q = queryBody()
+      cur match {
+        case TEnd(_) =>
+        case t => throw QLParseException("trailing input", t.pos)
+      }
+      q
+    }
+
+    /** One query production WITHOUT the end-of-input demand — the
+      * FROM-subquery branch stops at its closing `)`. */
+    private def queryBody(): Query = {
       tryKw("SELECT")
       val select = selectList()
       val from = if (tryKw("FROM")) {
         if (tryOp("(")) {
-          val sub = fullQuery()
+          val sub = queryBody()
           takeOp(")")
           val alias =
             if (tryKw("AS")) Some(ident())
@@ -347,10 +358,6 @@ object QLParser {
       while (isKw("OFFSET") || isKw("LIMIT")) {
         if (tryKw("OFFSET")) offset = Some(intLit())
         else { takeKw("LIMIT"); limit = Some(intLit()) }
-      }
-      cur match {
-        case TEnd(_) =>
-        case t => throw QLParseException("trailing input", t.pos)
       }
       Query(select, from, withIndex, joins, where, groupBy, totals, having,
         orderBy, offset, limit)

@@ -2074,6 +2074,16 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  test("uint64-ness survives a FROM subquery projection") {
+    import graft.types.YtTypes._
+    val df = anyTagged(Seq(Seq(1L), Seq(-1L), Seq(100L)), "u" -> YtUint64)
+    val got = SelectRows(spark,
+      "x from (u as x from [//tmp/u64s]) where x > 100u",
+      Map("//tmp/u64s" -> df)).as[Long].collect().toSet
+    // -1L bits = u64 max: unsigned keeps it, signed would drop it
+    assert(got == Set(-1L))
+  }
+
   test("ConvertFromAny (ql_expressions_ut.cpp): numeric casts of non-numeric Any carriers raise") {
     import graft.types.YtTypes._
     // int64(any) where the carrier holds a string / boolean raises
