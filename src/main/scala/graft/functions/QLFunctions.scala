@@ -112,7 +112,20 @@ object QLFunctions {
     */
   def farm_hash(cols: Column*): Column = xxhash64(cols: _*)
   def simple_hash(cols: Column*): Column = hash(cols: _*).cast("long")
-  def bigb_hash(c: Column): Column = xxhash64(lit("bigb"), c)
+  /** bigb_hash (udf/bigb_hash.cpp): "" → 0u; "y" + a parseable uint64 →
+    * that numeric uid verbatim; everything else hashes the raw id
+    * (MultiHash("shard", uid) in the reference; xxhash64 here — same
+    * role, different constants). The structural branches are
+    * reference-exact — only the fallback hash function differs.
+    */
+  def bigb_hash(c: Column): Column = {
+    val tail = c.substr(lit(2), length(c))
+    val fitsU64 = tail.rlike("^[0-9]{1,19}$") ||
+      (tail.rlike("^[0-9]{20}$") && tail <= lit("18446744073709551615"))
+    when(length(c) === 0, lit(0L))
+      .when(c.startsWith("y") && fitsU64, Uint64.parse_u64(tail))
+      .otherwise(xxhash64(lit("shard"), c))
+  }
 
   // --- datetime (format_timestamp / timestamp_floor_*) ------------------
   def format_timestamp(ts: Column, fmt: String): Column = date_format(ts, fmt)
@@ -277,8 +290,8 @@ object QLFunctions {
     // hashes
     reg("farm_hash")(es => new XxHash64(es))
     reg("simple_hash")(es => Cast(new Murmur3Hash(es), LongType))
-    reg("bigb_hash")(es => new XxHash64(
-      Literal(org.apache.spark.unsafe.types.UTF8String.fromString("bigb"), StringType) +: es))
+    reg("bigb_hash")(es => org.apache.spark.sql.graft.shims.convert(
+      bigb_hash(org.apache.spark.sql.graft.shims.column(es.head))))
     // datetime
     def floorReg(name: String, unit: String): Unit =
       reg(name)(es => TruncTimestamp(

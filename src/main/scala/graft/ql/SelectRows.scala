@@ -81,7 +81,7 @@ object SelectRows {
       case None => catalog
     }
     cat.foreach { case (path, df) =>
-      df.createOrReplaceTempView(viewName(path))
+      widenTypeV1(df).createOrReplaceTempView(viewName(path))
     }
     val sql = QLEmitter.canonicalNulls.withValue(options.useCanonicalNullRelations) {
       transpile(ql, anyScope(cat))
@@ -92,6 +92,32 @@ object SelectRows {
       try spark.sql(sql)
       finally spark.conf.set("spark.sql.groupByOrdinal", prev)
     options.outputRowLimit.map(df.limit).getOrElse(df)
+  }
+
+  /** type_v1 propagation (ql_query_ut.cpp TypeV1Propagation): the v1
+    * query engine computes over EValueType, so plain int8/16/32
+    * columns enter the engine as int64 and float as double — `a + a`
+    * on an int32 column sums in 64-bit, and results surface as
+    * optional&lt;int64&gt;. Composite (type_v3) columns keep their
+    * inner types: CompositeMemberAccessorStructPositionalEncoding's
+    * result schema stays int32 through a struct path, so only
+    * TOP-LEVEL scalar columns widen here.
+    */
+  private def widenTypeV1(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val needs = df.schema.fields.exists(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | FloatType => true
+      case _ => false
+    })
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      val c = df.col("`" + f.name.replace("`", "``") + "`")
+      f.dataType match {
+        case ByteType | ShortType | IntegerType => c.cast(LongType).as(f.name)
+        case FloatType => c.cast(DoubleType).as(f.name)
+        case _ => c
+      }
+    }.toIndexedSeq: _*)
   }
 
   /** Run a QL query with placeholder values — the reference's

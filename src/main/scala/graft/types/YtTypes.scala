@@ -162,4 +162,31 @@ object YtTypes {
           .putString(YtTypeKey, c.ytType.name).build())
     })
   }
+
+  /** Per-row data weight — GetDataWeight
+    * (client/table_client/unversioned_row.h:189-222, .cpp:530): 1 per
+    * row, plus per non-null value: fixed-width numerics 8, boolean 1,
+    * string-likes their byte length. Composite/Any columns weigh their
+    * serialized carrier (JSON here vs YSON there — same role, different
+    * byte counts). Feeds the TQueryStatistics.DataWeightRead surface
+    * (ql_query_ut.cpp DataWeightRead): `df.agg(sum(dataWeight(df)))`
+    * over the scanned rows is the statistic.
+    */
+  def dataWeight(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val per = df.schema.fields.toSeq.map { f =>
+      val c = df.col("`" + f.name.replace("`", "``") + "`")
+      val w = f.dataType match {
+        case StringType => octet_length(c).cast("long")
+        case BinaryType => length(c).cast("long")
+        case BooleanType => lit(1L)
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | TimestampType | DateType => lit(8L)
+        case _: DecimalType => lit(8L)
+        case _ => octet_length(to_json(c)).cast("long") // composite carrier
+      }
+      when(c.isNull, lit(0L)).otherwise(w)
+    }
+    per.reduceOption(_ + _).map(_ + lit(1L)).getOrElse(lit(1L))
+  }
 }

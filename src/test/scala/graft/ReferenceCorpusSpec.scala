@@ -2756,6 +2756,176 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  test("IsNull (ql_query_ut.cpp:4824): is_null() as a WHERE predicate") {
+    val rows = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(10L)), (Some(2L), Some(20L)), (Some(9L), Some(90L)),
+      (Some(10L), None), (None, Some(1L)), (None, Some(2L)), (None, Some(3L)))
+    val df = rows.toDF("a", "b")
+    val got = SelectRows(spark, "b FROM [//tmp/in] where is_null(a)",
+      Map("//tmp/in" -> df)).as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("SimpleTransformWithDefault (ql_query_ut.cpp:2688): tuple TRANSFORM falls " +
+      "through to the default expression") {
+    val df = Seq[(Option[Long], Option[String])](
+      (Some(4L), Some("p")), (Some(-10L), Some("q")),
+      (Some(-10L), Some("s")), (Some(15L), None)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "transform((a, b), ((4.0, 'p'), (-10, 's')), (13, 17), a + 1) as x FROM [//tmp/td]",
+      Map("//tmp/td" -> df)).as[Long].collect().sorted
+    assert(got.toSeq == Seq(-9L, 13L, 16L, 17L))
+  }
+
+  test("TypeV1Propagation (ql_query_ut.cpp:8863): an int32 column surfaces as int64") {
+    val df = Seq(5).toDF("a") // IntegerType source column
+    val got = SelectRows(spark, "a FROM [//tmp/tv]", Map("//tmp/tv" -> df))
+    assert(got.schema("a").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.as[Long].collect().toSeq == Seq(5L))
+    // arithmetic runs in 64-bit: int32 operands cannot overflow at 2^31
+    val big = Seq(1 << 30).toDF("a")
+    val sum = SelectRows(spark, "a + a as s FROM [//tmp/tv32]",
+      Map("//tmp/tv32" -> big)).as[Long].collect()
+    assert(sum.toSeq == Seq(1L << 31))
+  }
+
+  test("UnversionedValueUdf/2 (ql_query_ut.cpp:6914): user functions observe " +
+      "null vs empty-string distinctly") {
+    spark.udf.register("is_null_udf", (x: String) => x == null)
+    spark.udf.register("string_equals_42_udf",
+      (x: String) => x != null && x == "42")
+    val df = Seq(Some("Hello"), Some(""), None).toDF("a")
+    val got = SelectRows(spark, "is_null_udf(a) as x FROM [//tmp/uv]",
+      Map("//tmp/uv" -> df)).as[Boolean].collect()
+    assert(got.count(identity) == 1 && got.length == 3)
+    val df2 = Seq(Some("Hello"), Some(""), Some("42"), None).toDF("a")
+    val got2 = SelectRows(spark, "string_equals_42_udf(a) as x FROM [//tmp/uv2]",
+      Map("//tmp/uv2" -> df2)).as[Boolean].collect()
+    assert(got2.count(identity) == 1 && got2.length == 4)
+  }
+
+  test("BigbHash (ql_query_ut.cpp:8219): empty id → 0, y-prefixed numeric uid → " +
+      "the uid, everything else hashes") {
+    // structural branches are reference-exact (udf/bigb_hash.cpp);
+    // the fallback is xxhash64 where the reference multi-hashes with
+    // "shard" — same role, different constants (documented deviation)
+    val df = Seq("y12345", "y12345b", "p12345", "gaid/12345", "idfa/12345",
+      "12345", "", "y").toDF("A")
+    val got = SelectRows(spark, "A, bigb_hash(A) as x FROM [//tmp/bb]",
+      Map("//tmp/bb" -> df)).as[(String, Long)].collect().toMap
+    assert(got("y12345") == 12345L)
+    assert(got("") == 0L)
+    // non-parseable tails and other prefixes take the hash branch —
+    // distinct from each other and from the uid branch
+    val hashed = Seq("y12345b", "p12345", "gaid/12345", "idfa/12345", "12345", "y")
+      .map(got)
+    assert(hashed.distinct.size == hashed.size)
+    assert(!hashed.contains(12345L) && !hashed.contains(0L))
+    // "y" + digits too large for uint64 must hash, not overflow-parse
+    val big = SelectRows(spark, "bigb_hash(A) as x FROM [//tmp/bb2]",
+      Map("//tmp/bb2" -> Seq("y99999999999999999999999").toDF("A")))
+      .as[Long].collect()
+    assert(big.length == 1)
+    // u64 max parses on the raw-bits carrier: 18446744073709551615 ≡ -1L
+    val top = SelectRows(spark, "bigb_hash(A) as x FROM [//tmp/bb3]",
+      Map("//tmp/bb3" -> Seq("y18446744073709551615").toDF("A")))
+      .as[Long].collect()
+    assert(top.toSeq == Seq(-1L))
+  }
+
+  test("CompositeMemberAccessorStructPositionalEncoding (ql_query_ut.cpp:7871): " +
+      "deep paths, struct subtrees, deep group keys") {
+    // the reference stores this fixture with POSITIONAL struct
+    // encoding ([[[1]];a]) and reads the Any subtree with '/0'; our
+    // Any carrier is canonically named JSON (as in the reference's own
+    // CompositeMemberAccessorTuple, which uses '/c' on named storage),
+    // so the storage-positional '/0' block reads by name here
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("struct", StructType(Seq(
+      StructField("a", StructType(Seq(StructField("b", StructType(Seq(
+        StructField("c", IntegerType))))))),
+      StructField("d", StringType))))))
+    val rows = Seq(
+      Row(Row(Row(Row(1)), "a")), Row(Row(Row(Row(2)), "b")),
+      Row(Row(Row(Row(3)), "c")), Row(Row(null, "d")))
+    val st = spark.createDataFrame(rows.asJava, schema)
+    val cat = Map("//tmp/cpe" -> st)
+    val b1 = SelectRows(spark,
+      "t.struct.a.b.c as c, t.struct.d as d from [//tmp/cpe] as t", cat)
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getString(1)))
+    assert(b1.sortBy(_._2).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (-1, "d")))
+    // struct subtree projection keeps the composite type
+    val b2 = SelectRows(spark, "t.struct.a.b as b from [//tmp/cpe] as t", cat)
+    assert(b2.schema("b").dataType.isInstanceOf[StructType])
+    val cs = b2.collect().map(r =>
+      if (r.isNullAt(0)) -1 else r.getStruct(0).getInt(0)).sorted
+    assert(cs.toSeq == Seq(-1, 1, 2, 3))
+    // subtree through the Any carrier (named-path divergence above)
+    val b3 = SelectRows(spark,
+      "try_get_int64(to_any(t.struct.a.b), '/c') as c from [//tmp/cpe] as t", cat)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(b3.toSeq == Seq(-1L, 1L, 2L, 3L))
+    // deep path as a group key, both placements
+    // composite access keeps int32 even as a group key (the reference's
+    // result split is Int32 here, unlike plain-column TypeV1Propagation)
+    for (g <- Seq(
+      "t.struct.a.b.c as c from [//tmp/cpe] as t group by c",
+      "c from [//tmp/cpe] as t group by t.struct.a.b.c as c")) {
+      val got = SelectRows(spark, g, cat)
+        .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).sorted
+      assert(got.toSeq == Seq(-1, 1, 2, 3), g)
+    }
+  }
+
+  test("GroupByOrderByCoordinatedWithPrimaryKeyPrefix (ql_query_ut.cpp:3491): " +
+      "ordered groups on a key-prefix group key across partitions") {
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 0L), (2L, 3L, 0L), (3L, 4L, 0L),
+      (4L, 5L, 0L), (5L, 6L, 0L), (6L, 7L, 0L), (6L, 8L, 0L), (7L, 9L, 0L),
+      (8L, 10L, 0L), (9L, 11L, 0L)).toDF("k1", "k2", "v").repartition(2)
+    val got = q2("k1 from [//tmp/ab] group by k1 order by k1 limit 1000", df)
+      .as[Long].collect()
+    assert(got.toSeq == (1L to 9L))
+  }
+
+  test("GroupByOrderByCoordinatedWithAggregates (ql_query_ut.cpp:3513): " +
+      "aggregates over ordered group pages") {
+    val rows = Seq(
+      ("a", 0L, 1L, 1L), ("a", 1L, 2L, 2L), ("a", 2L, 4L, 4L),
+      ("a", 3L, 2L, 6L), ("a", 4L, 1L, 9L),
+      ("b", 5L, 3L, 3L), ("b", 6L, 1L, 5L),
+      ("b", 7L, 3L, 7L), ("b", 8L, 4L, 8L))
+    val df = rows.toDF("k1", "k2", "v1", "v2").repartition(4)
+    val g1 = q2("k1, v1, sum(v2) as s from [//tmp/ab] group by k1, v1 " +
+      "order by k1, v1 limit 1000", df).as[(String, Long, Long)].collect()
+    assert(g1.toSeq == Seq(("a", 1L, 10L), ("a", 2L, 8L), ("a", 4L, 4L),
+      ("b", 1L, 5L), ("b", 3L, 10L), ("b", 4L, 8L)))
+    val g2 = q2("k1, sum(1) as s from [//tmp/ab] group by k1, k2 " +
+      "order by k1, k2 limit 6", df).as[(String, Long)].collect()
+    assert(g2.toSeq == Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 1L),
+      ("a", 1L), ("b", 1L)))
+    val g3 = q2("k1, sum(1) as s from [//tmp/ab] group by k1 " +
+      "order by k1 limit 3", df).as[(String, Long)].collect()
+    assert(g3.toSeq == Seq(("a", 5L), ("b", 4L)))
+    val g4 = q2("sum(1) as s from [//tmp/ab] group by 1000+1 limit 0", df)
+    assert(g4.count() == 0L)
+  }
+
+  test("DataWeightRead (ql_query_ut.cpp:9515): the data-weight statistic " +
+      "counts 1/row + 8/int64 + 1/bool + byte-length/string") {
+    import org.apache.spark.sql.functions.sum
+    val df = Seq((4L, true, "abc"), (10L, false, "defg")).toDF("a", "b", "c")
+    val w = df.agg(sum(graft.types.YtTypes.dataWeight(df)))
+      .collect().head.getLong(0)
+    assert(w == 27L) // (1+8+1+3) + (1+8+1+4)
+    // nulls weigh zero
+    val dn = Seq[(Option[Long], Option[String])]((None, None)).toDF("a", "c")
+    val wn = dn.agg(sum(graft.types.YtTypes.dataWeight(dn)))
+      .collect().head.getLong(0)
+    assert(wn == 1L)
+  }
+
   test("PartialSortMergeJoin (ql_query_ut.cpp:5491): tuple ON join over two keys") {
     val left = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 1L, 3L), (1L, 4L, 4L),
       (2L, 4L, 5L), (2L, 3L, 6L)).toDF("a", "b", "c")
