@@ -310,8 +310,54 @@ object QLFunctions {
     floorReg("timestamp_floor_week_localtime", "week")
     floorReg("timestamp_floor_month_localtime", "month")
     floorReg("timestamp_floor_year_localtime", "year")
-    reg("format_timestamp")(es => DateFormatClass(es(0), es(1)))
-    reg("format_timestamp_localtime")(es => DateFormatClass(es(0), es(1)))
+    // format_timestamp (udf/format_timestamp.c, cg_routines.cpp
+    // FormatTimestamp): int64 UNIX seconds format through the year
+    // [1, 10000) window — out-of-range raises, and the format string
+    // caps at 30 chars. Format syntax is Java patterns here vs strptime
+    // there (documented deviation); bounds and errors are
+    // reference-exact. Timestamp-typed input (our Column surface)
+    // formats directly.
+    def formatTs(es: Seq[Expression]): Expression = {
+      es(1) match {
+        case lit if lit.foldable =>
+          val v = lit.eval(null)
+          if (v != null && v.toString.length > 30)
+            throw new IllegalArgumentException("Format string is too long")
+        case _ => ()
+      }
+      val input = es(0).dataType match {
+        case LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType =>
+          val sec = es(0)
+          If(LessThan(sec, Literal(-62135596800L)),
+            Cast(RaiseError(Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString("Timestamp is smaller than minimal value"),
+              StringType)), org.apache.spark.sql.types.TimestampType),
+            If(GreaterThanOrEqual(sec, Literal(253402300800L)),
+              Cast(RaiseError(Literal(org.apache.spark.unsafe.types.UTF8String
+                .fromString("Timestamp is greater than maximal value"),
+                StringType)), org.apache.spark.sql.types.TimestampType),
+              SecondsToTimestamp(sec)))
+        case _ => es(0)
+      }
+      DateFormatClass(input, es(1))
+    }
+    reg("format_timestamp")(formatTs)
+    reg("format_timestamp_localtime")(formatTs)
+    // QL's `||` concatenates strings ONLY — int operands are a type
+    // error (ql_expressions_ut.cpp ConcatenateOperator "Type mismatch
+    // in expression"), where Spark's || would silently stringify
+    reg("ql_concat") { es =>
+      es.foreach { e =>
+        val ok = e.dataType == StringType ||
+          e.dataType == org.apache.spark.sql.types.BinaryType ||
+          e.dataType == org.apache.spark.sql.types.NullType
+        if (!ok) throw new IllegalArgumentException(
+          s"Type mismatch in expression: || expects string operands, got ${e.dataType.simpleString}")
+      }
+      Concat(es)
+    }
     // lists / maps
     reg("make_list")(es => CreateArray(es))
     reg("make_map")(es => CreateMap(es))

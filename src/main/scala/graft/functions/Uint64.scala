@@ -119,11 +119,15 @@ object QlDivide {
   /** Java long division wraps INT_MIN/-1 silently; QL raises
     * (cg_routines.cpp: "Division of INT_MIN by -1"). */
   def divChecked(a: Long, b: Long): Long = {
+    if (b == 0L) // reference error text (cg_routines.cpp ThrowQueryException)
+      throw new ArithmeticException("Division by zero")
     if (a == Long.MinValue && b == -1L)
       throw new ArithmeticException("Division of INT_MIN by -1")
-    a / b // ArithmeticException("/ by zero") on b == 0, like QL
+    a / b
   }
   def modChecked(a: Long, b: Long): Long = {
+    if (b == 0L)
+      throw new ArithmeticException("Division by zero")
     if (a == Long.MinValue && b == -1L)
       throw new ArithmeticException("Division of INT_MIN by -1")
     a % b
@@ -183,12 +187,23 @@ case class UnsignedDivide(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def inputTypes = Seq(LongType, LongType)
   override def nullSafeEval(a: Any, b: Any): Any =
-    java.lang.Long.divideUnsigned(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    UnsignedDivide.divU(a.asInstanceOf[Long], b.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = java.lang.Long.divideUnsigned($a, $b);")
+      s"${ev.value} = graft.functions.UnsignedDivide.divU($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+object UnsignedDivide {
+  def divU(a: Long, b: Long): Long = {
+    if (b == 0L) throw new ArithmeticException("Division by zero")
+    java.lang.Long.divideUnsigned(a, b)
+  }
+  def remU(a: Long, b: Long): Long = {
+    if (b == 0L) throw new ArithmeticException("Division by zero")
+    java.lang.Long.remainderUnsigned(a, b)
+  }
 }
 
 case class UnsignedRemainder(left: Expression, right: Expression)
@@ -197,10 +212,10 @@ case class UnsignedRemainder(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def inputTypes = Seq(LongType, LongType)
   override def nullSafeEval(a: Any, b: Any): Any =
-    java.lang.Long.remainderUnsigned(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    UnsignedDivide.remU(a.asInstanceOf[Long], b.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = java.lang.Long.remainderUnsigned($a, $b);")
+      s"${ev.value} = graft.functions.UnsignedDivide.remU($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

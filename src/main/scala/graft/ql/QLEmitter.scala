@@ -204,6 +204,11 @@ object QLEmitter {
         Some(Call("any_list_has_intersection",
           args.map(a => wrap(rewriteAnyExpr(a, scope, res)))))
       case Call("list_contains", Seq(l, v), _) if anyish(l) =>
+        // the needle must be a concrete v1 scalar — an Any needle is a
+        // type error (ql_expressions_ut.cpp ListContainsAny: "Wrong
+        // type for argument")
+        if (anyish(v)) throw new IllegalArgumentException(
+          "Wrong type for argument 2 to function list_contains")
         Some(Call("any_list_contains",
           Seq(wrap(rewriteAnyExpr(l, scope, res)),
             wrap(rewriteAnyExpr(v, scope, res)))))
@@ -908,6 +913,11 @@ object QLEmitter {
       // INT_MIN % -1 raises where Spark's Remainder wraps to 0)
       case ("/", _, _) => s"ql_div(${emit(l)}, ${emit(r)})"
       case ("%", _, _) => s"ql_mod(${emit(l)}, ${emit(r)})"
+      // QL `||` concatenates strings ONLY (ql_expressions_ut.cpp
+      // ConcatenateOperator: `1 || 2` and int64 operands are a type
+      // error) — Spark's || would silently stringify, so route through
+      // the strict form
+      case ("||", _, _) => s"ql_concat(${emit(l)}, ${emit(r)})"
       case _ => s"(${emit(l)} $op ${emit(r)})"
     }
   }

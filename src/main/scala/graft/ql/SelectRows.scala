@@ -54,7 +54,8 @@ object SelectRows {
       inputRowLimit: Option[Int] = None,
       outputRowLimit: Option[Int] = None,
       useCanonicalNullRelations: Boolean = false,
-      allowFullScan: Boolean = true)
+      allowFullScan: Boolean = true,
+      allowJoinWithoutIndex: Boolean = true)
 
   /** Run a QL query. Tables referenced as `[//path]` must either be in
     * `catalog` (path → DataFrame) or already registered as temp views
@@ -75,6 +76,61 @@ object SelectRows {
           throw new IllegalArgumentException(
             "Query requires a full scan, which is disabled by the allow_full_scan option")
       }
+    }
+    {
+      // joins on nonsimple (type_v3) columns raise at prepare time —
+      // the v1 engine joins on EValueType only (test_query.py
+      // test_join_nonv1_types: decimal join key → "nonsimple type")
+      import org.apache.spark.sql.types._
+      val q = try Some(QLParser.parse(ql)) catch { case _: Exception => None }
+      def nonsimple(dt: DataType): Boolean = dt match {
+        case _: DecimalType => true
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType | BinaryType | BooleanType |
+             DateType | TimestampType => false
+        case _ => true // struct / array / map / variant
+      }
+      q.foreach { parsed =>
+        val fromDf = parsed.from.collect {
+          case QLParser.TableRef(p, _) => catalog.get(p)
+        }.flatten
+        parsed.joins.foreach {
+          case QLParser.JoinClause(_, table, using, _, _) if using.nonEmpty =>
+            val sides = catalog.get(table.path).toSeq ++ fromDf
+            val bad = using.filter(c => sides.exists(df =>
+              df.schema.fields.exists(f => f.name == c && nonsimple(f.dataType))))
+            if (bad.nonEmpty) throw new IllegalArgumentException(
+              s"Join key ${bad.head} carries a nonsimple type and cannot " +
+              "be used in a join equation")
+          case _ => ()
+        }
+      }
+    }
+    if (!options.allowJoinWithoutIndex) {
+      // allow_join_without_index=%false (test_query.py
+      // test_inefficient_join; client_dynamic_tables_impl.cpp:1679): a
+      // join whose equations never touch the foreign table's leading
+      // key column has ForeignKeyPrefix == 0 — every foreign row would
+      // be read — and is a policy error at prepare time. Array joins
+      // are exempt, as in the reference.
+      val q = try Some(QLParser.parse(ql)) catch { case _: Exception => None }
+      q.foreach(_.joins.foreach {
+        case QLParser.JoinClause(_, table, using, on, _) =>
+          val firstKey = catalog.get(table.path).flatMap(df =>
+            df.schema.fields.find(_.metadata.contains(
+              graft.types.YtTypes.YtSortOrderKey)).map(_.name))
+          def refs(e: QLParser.Expr): Seq[String] = e match {
+            case QLParser.Ref(parts) => Seq(parts.last)
+            case _ => Seq.empty
+          }
+          val eqCols: Set[String] = (using ++
+            on.toSeq.flatMap { case (l, r) => (l ++ r).flatMap(refs) }).toSet
+          val used = firstKey.exists(eqCols.contains)
+          if (!used) throw new IllegalArgumentException(
+            "Foreign table key is not used in the join clause; " +
+            "the query is inefficient, consider rewriting it")
+        case _: QLParser.ArrayJoinClause => ()
+      })
     }
     val cat = options.inputRowLimit match {
       case Some(n) => catalog.map { case (p, df) => p -> df.limit(n) }

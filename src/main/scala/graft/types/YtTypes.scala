@@ -63,6 +63,11 @@ object YtTypes {
   /** Marker in field metadata for semantic types Spark lacks natively. */
   val YtTypeKey = "yt.logicalType"
 
+  /** Field-metadata marker for key columns (TColumnSchema::SortOrder,
+    * schema.h) — value "ascending"/"descending". Consumers: SelectRows'
+    * allow_join_without_index prepare check, plan-contract asserts. */
+  val YtSortOrderKey = "yt.sortOrder"
+
   /** YT logical type → Spark DataType (nullability handled by Optional
     * at the field level; nested Optional wraps). */
   def toSpark(t: YtType): DataType = t match {
@@ -156,10 +161,11 @@ object YtTypes {
     def keyColumns: Seq[YtColumn] = columns.filter(_.sortOrder.isDefined)
 
     def toStructType: StructType = StructType(columns.map { c =>
+      val mb = new MetadataBuilder().putString(YtTypeKey, c.ytType.name)
+      c.sortOrder.foreach(mb.putString(YtSortOrderKey, _))
       StructField(c.name, toSpark(c.ytType),
         nullable = !c.required,
-        metadata = new MetadataBuilder()
-          .putString(YtTypeKey, c.ytType.name).build())
+        metadata = mb.build())
     })
   }
 

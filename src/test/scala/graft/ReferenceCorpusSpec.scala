@@ -2926,6 +2926,195 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(wn == 1L)
   }
 
+  test("test_merging_group_by2 (test_query.py:383): grouped max over 20 shards, " +
+      "ordered page") {
+    val df = (0 until 100).map(i => (i.toLong, i.toString)).toDF("a", "b")
+      .repartition(20)
+    val got = SelectRows(spark,
+      "k, max(b) as m from [//tmp/mg] group by a % 2 as k order by k limit 2",
+      Map("//tmp/mg" -> df)).as[(Long, String)].collect()
+    assert(got.toSeq == Seq((0L, "98"), (1L, "99")))
+  }
+
+  test("test_join_common_prefix_limit (test_query.py:840): left-join null filter " +
+      "+ BETWEEN + LIMIT") {
+    val jl = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 2L), (6L, 3L),
+      (7L, 4L), (8L, 1L)).toDF("a", "b")
+    val jr = Seq((1L, 80L), (3L, 62L), (4L, 53L), (6L, 17L)).toDF("a", "c")
+    val got = SelectRows(spark,
+      "* from [//tmp/jl] left join [//tmp/jr] using a " +
+        "where c = null and a between 2 and 7 limit 2",
+      Map("//tmp/jl" -> jl, "//tmp/jr" -> jr))
+      .select("a", "b").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 3L), (5L, 2L)))
+  }
+
+  test("test_types (test_query.py:974): int64/boolean/string/uint64 row through " +
+      "a string filter") {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val schema = YtSchema(Seq(YtColumn("a", YtInt64), YtColumn("b", YtBoolean),
+      YtColumn("c", YtUtf8), YtColumn("d", YtUint64))).toStructType
+    val df = spark.createDataFrame(Seq(
+      Row(10L, false, "hello", 32L), Row(20L, true, "world", 64L)).asJava, schema)
+    val got = SelectRows(spark,
+      "a, b, c, d from [//tmp/ty] where c = \"hello\"",
+      Map("//tmp/ty" -> df)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 10L && !r.getBoolean(1) &&
+      r.getString(2) == "hello" && r.getLong(3) == 32L)
+  }
+
+  test("test_inefficient_join (test_query.py:533): allow_join_without_index=false " +
+      "rejects joins that skip the foreign key") {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val jl = spark.createDataFrame(Seq(Row(1L, 10L)).asJava,
+      YtSchema(Seq(YtColumn("a", YtInt64, sortOrder = Some("ascending")),
+        YtColumn("b", YtInt64))).toStructType)
+    val jr = spark.createDataFrame(Seq(Row(1L, 10L)).asJava,
+      YtSchema(Seq(YtColumn("c", YtInt64, sortOrder = Some("ascending")),
+        YtColumn("d", YtInt64))).toStructType)
+    val cat = Map("//tmp/ijl" -> jl, "//tmp/ijr" -> jr)
+    val strict = SelectRows.Options(allowJoinWithoutIndex = false)
+    val err = intercept[IllegalArgumentException] {
+      SelectRows(spark, "* from [//tmp/ijl] join [//tmp/ijr] on b = d",
+        cat, strict)
+    }
+    assert(err.getMessage.contains("Foreign table key is not used"))
+    // joining THROUGH the foreign key passes the check
+    val ok = SelectRows(spark, "* from [//tmp/ijl] join [//tmp/ijr] on b = c",
+      cat, strict)
+    assert(ok.count() == 0L) // b=10 has no match in c — shape, not rows
+    // and the default (allow) accepts the keyless join
+    assert(SelectRows(spark, "* from [//tmp/ijl] join [//tmp/ijr] on b = d",
+      cat).count() == 1L)
+  }
+
+  test("test_join_nonv1_types (test_query.py:1714): a join equation on a " +
+      "nonsimple (v3) column raises") {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val tt = spark.createDataFrame(
+      Seq(Row("a", new java.math.BigDecimal("1.00"))).asJava,
+      YtSchema(Seq(YtColumn("a", YtString, sortOrder = Some("ascending")),
+        YtColumn("b", YtDecimal(3, 2)))).toStructType)
+    val tj = Seq(("x", "c")).toDF("b", "c")
+    val err = intercept[IllegalArgumentException] {
+      SelectRows(spark, "* from [//tmp/nv] join [//tmp/nvj] using b",
+        Map("//tmp/nv" -> tt, "//tmp/nvj" -> tj))
+    }
+    assert(err.getMessage.contains("nonsimple"))
+  }
+
+  test("test_yson_string_to_any (test_query.py:2377): Any range bounds and " +
+      "equality built from YSON text") {
+    import graft.types.YtTypes.YtAny
+    val rows = Seq(
+      Seq("[0,1,2]", "0"), Seq("[1,2,3]", "1"), Seq("[2,3,4]", "\"two\""),
+      Seq("[3,4,5]", "\"three\""), Seq("[4,5,6]", "4"))
+    val df = anyTagged(rows, "k" -> YtAny, "v" -> YtAny)
+    val got = SelectRows(spark,
+      """v from [//tmp/ysa] where
+        |(k >= yson_string_to_any('[1;2;4]')) and
+        |(k <= yson_string_to_any('[3;4;5]')) and
+        |(v = yson_string_to_any('two') or v = yson_string_to_any('three'))
+        |limit 3""".stripMargin,
+      Map("//tmp/ysa" -> df)).as[String].collect().sorted
+    assert(got.toSeq == Seq("\"three\"", "\"two\""))
+  }
+
+  test("FormatTimestamp TooSmall/TooLarge/InvalidFormat " +
+      "(ql_expressions_ut.cpp:2756-2796): bounds and format-length errors") {
+    val one = Seq(1L).toDF("x")
+    val cat = Map("//tmp/one" -> one)
+    val tooSmall = intercept[Exception] {
+      SelectRows(spark,
+        "format_timestamp(-62135596801, '') as r from [//tmp/one]", cat).collect()
+    }
+    assert(tooSmall.getMessage.contains("smaller than minimal"))
+    val tooLarge = intercept[Exception] {
+      SelectRows(spark,
+        "format_timestamp(253402300800, 'yyyyMMdd') as r from [//tmp/one]", cat)
+        .collect()
+    }
+    assert(tooLarge.getMessage.contains("greater than maximal"))
+    val longFmt = intercept[Exception] {
+      SelectRows(spark,
+        "format_timestamp(0, '11111111112222222222333333333344') as r from [//tmp/one]",
+        cat).collect()
+    }
+    assert(longFmt.getMessage.contains("Format string is too long"))
+    // in-range seconds format (Java pattern syntax, documented deviation)
+    val ok = SelectRows(spark,
+      "format_timestamp(0, 'yyyy-MM-dd') as r from [//tmp/one]", cat)
+      .as[String].collect()
+    assert(ok.toSeq == Seq("1970-01-01"))
+  }
+
+  test("Int64/UInt64 Division/ModuloByZero + IntMinByMinusOne " +
+      "(ql_expressions_ut.cpp:2806-2906): arithmetic error surface") {
+    val df = Seq((1L, 0L)).toDF("i1", "i2")
+    val cat = Map("//tmp/dz" -> df)
+    for (q <- Seq("i1 / i2 as r from [//tmp/dz]",
+                  "i1 % i2 as r from [//tmp/dz]")) {
+      val e = intercept[Exception] { SelectRows(spark, q, cat).collect() }
+      assert(e.getMessage.contains("Division by zero"), q)
+    }
+    // uint64 columns route through u64_div/u64_mod — same error
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val u = spark.createDataFrame(Seq(Row(1L, 0L)).asJava,
+      YtSchema(Seq(YtColumn("u1", YtUint64), YtColumn("u2", YtUint64)))
+        .toStructType)
+    val ucat = Map("//tmp/udz" -> u)
+    for (q <- Seq("u1 / u2 as r from [//tmp/udz]",
+                  "u1 % u2 as r from [//tmp/udz]")) {
+      val e = intercept[Exception] { SelectRows(spark, q, ucat).collect() }
+      assert(e.getMessage.contains("Division by zero"), q)
+    }
+    val intMin = intercept[Exception] {
+      SelectRows(spark,
+        "i1 / i2 as r from [//tmp/im]",
+        Map("//tmp/im" -> Seq((Long.MinValue, -1L)).toDF("i1", "i2"))).collect()
+    }
+    assert(intMin.getMessage.contains("INT_MIN"))
+  }
+
+  test("ListContainsAny (ql_expressions_ut.cpp:2922): list_contains over " +
+      "non-list Any operands is a type error") {
+    val e = intercept[Exception] {
+      SelectRows(spark,
+        "list_contains(to_any(\"a\"), to_any(42)) as r from [//tmp/one]",
+        Map("//tmp/one" -> Seq(1L).toDF("x"))).collect()
+    }
+    assert(e != null) // reference text: "Wrong type for argument"
+  }
+
+  test("ConcatenateOperator (ql_expressions_ut.cpp:2936): || is string-only") {
+    val df = Seq((1L, 2L, "s")).toDF("i1", "i2", "s1")
+    val cat = Map("//tmp/cc" -> df)
+    for (q <- Seq("1 || 2 as r from [//tmp/cc]",
+                  "i1 || i2 as r from [//tmp/cc]")) {
+      val e = intercept[Exception] { SelectRows(spark, q, cat).collect() }
+      assert(e.getMessage.contains("Type mismatch"), q)
+    }
+    // and the string form still concatenates
+    val ok = SelectRows(spark, "s1 || s1 as r from [//tmp/cc]", cat)
+      .as[String].collect()
+    assert(ok.toSeq == Seq("ss"))
+  }
+
+  test("ErrorConvertStringToNumericTest (ql_expressions_ut.cpp:3066): " +
+      "parse_int64 of a non-numeric string raises") {
+    val e = intercept[Exception] {
+      SelectRows(spark, "parse_int64(s) as r from [//tmp/pe]",
+        Map("//tmp/pe" -> Seq("hello").toDF("s"))).collect()
+    }
+    assert(e != null) // reference text: "Cannot convert value"
+  }
+
   test("PartialSortMergeJoin (ql_query_ut.cpp:5491): tuple ON join over two keys") {
     val left = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 1L, 3L), (1L, 4L, 4L),
       (2L, 4L, 5L), (2L, 3L, 6L)).toDF("a", "b", "c")
