@@ -139,6 +139,13 @@ object DynTable {
     * `first` in the reference means "keep stored value" = oldest
     * surviving write.
     *
+    * Per-write semantics (test_aggregate_columns.py): a write with
+    * `aggregate=%false` (optional boolean `agg` column in the log;
+    * absent = all-aggregate) OVERWRITES the accumulated state with its
+    * value, and a write whose aggregate cell is null leaves the state
+    * unchanged (test_aggregate_update: `{key, time}` with no value
+    * keeps the previous value through the merge).
+    *
     * One shuffle: tombstone horizon and the folds are all aggregates
     * over the same grouping, computed in a single hash aggregation with
     * conditional inputs — no self-join with the horizon.
@@ -147,36 +154,47 @@ object DynTable {
       log: DataFrame,
       keys: Seq[String],
       aggColumns: Map[String, String]): DataFrame = {
-    val valueCols = log.columns.filterNot(c => keys.contains(c) || c == "ts" || c == "op")
+    aggColumns.values.find(f => !Set("sum", "min", "max", "first")(f))
+      .foreach(f => throw new IllegalArgumentException(
+        s"Invalid aggregate function $f")) // test_invalid_aggregate
+    val hasAggFlag = log.columns.contains("agg")
+    val valueCols = log.columns
+      .filterNot(c => keys.contains(c) || c == "ts" || c == "op" || c == "agg")
     val plainCols = valueCols.filterNot(aggColumns.contains)
+    val aggFlag: Column = if (hasAggFlag) coalesce(col("agg"), lit(true)) else lit(true)
     val aggExprs: Seq[Column] =
       Seq(
         max(when(col("op") === OpDelete, col("ts"))).as("_del_ts"),
         max(when(col("op") === OpUpsert, col("ts"))).as("_max_up_ts")) ++
         plainCols.map(c =>
           max_by(when(col("op") === OpUpsert, col(c)), when(col("op") === OpUpsert, col("ts"))).as(s"_lw_$c")) ++
-        aggColumns.toSeq.map { case (c, fn) =>
+        aggColumns.toSeq.map { case (c, _) =>
           // collect (ts, v) pairs is what we must NOT do at scale; instead
           // fold conditionally: values at ts > last delete. Since the
           // horizon is itself part of this aggregation, fold over the
           // full list once via sorted array — bounded by versions/key
           // (reference caps values per row at 1024, faq.md:73).
           sort_array(collect_list(
-            struct(col("ts"), col("op"), col(c).as("v")))).as(s"_vs_$c")
+            struct(col("ts"), col("op"), aggFlag.as("agg"), col(c).as("v"))))
+            .as(s"_vs_$c")
         }
     val folded = log.groupBy(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
     val out = aggColumns.toSeq.foldLeft(folded) { case (df, (c, fn)) =>
       val alive = filter(col(s"_vs_$c"),
         x => x.getField("op") === OpUpsert &&
           (isnull(col("_del_ts")) || x.getField("ts") > col("_del_ts")))
-      val vs = transform(alive, _.getField("v"))
-      val merged = fn match {
-        case "sum"   => aggregate(vs, lit(null).cast(log.schema(c).dataType),
-          (acc, v) => when(isnull(acc), v).otherwise(acc + v))
-        case "min"   => array_min(vs)
-        case "max"   => array_max(vs)
-        case "first" => element_at(vs, 1)
-      }
+      val dt = log.schema(c).dataType
+      val merged = aggregate(alive, lit(null).cast(dt), (acc, x) => {
+        val v = x.getField("v")
+        when(isnull(v), acc) // null cell: state unchanged
+          .when(!x.getField("agg"), v) // aggregate=%false write: overwrite
+          .otherwise(fn match {
+            case "sum"   => when(isnull(acc), v).otherwise(acc + v)
+            case "min"   => when(isnull(acc), v).otherwise(least(acc, v))
+            case "max"   => when(isnull(acc), v).otherwise(greatest(acc, v))
+            case "first" => when(isnull(acc), v).otherwise(acc)
+          })
+      })
       df.withColumn(s"_agg_$c", merged)
     }
     out

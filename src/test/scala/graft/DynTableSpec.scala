@@ -107,6 +107,86 @@ class DynTableSpec extends SparkSpec {
     assert(maxGot.toSeq == Seq(20.0, 9.0))
   }
 
+  test("readWithAggregates: aggregate=%false overwrites the accumulated state " +
+      "(test_aggregate_columns.py:180-190)") {
+    // the reference's tail sequence: ...aggregate accumulates to 30,
+    // then a NON-aggregate write resets to 10, an aggregate write sums
+    // to 20, and a final non-aggregate write resets to 10 again
+    val l = Seq(
+      (1L, 16L, "upsert", true, Some(10L)),
+      (1L, 17L, "upsert", true, Some(10L)),
+      (1L, 18L, "upsert", true, Some(10L)),
+      (1L, 19L, "upsert", false, Some(10L)),
+      (1L, 20L, "upsert", true, Some(10L)),
+      (1L, 21L, "upsert", false, Some(10L))
+    ).toDF("k", "ts", "op", "agg", "v")
+    val at18 = DynTable.readWithAggregates(l.where($"ts" <= 18), Seq("k"),
+      Map("v" -> "sum")).select("v").as[Long].collect()
+    assert(at18.toSeq == Seq(30L))
+    val at19 = DynTable.readWithAggregates(l.where($"ts" <= 19), Seq("k"),
+      Map("v" -> "sum")).select("v").as[Long].collect()
+    assert(at19.toSeq == Seq(10L))
+    val at20 = DynTable.readWithAggregates(l.where($"ts" <= 20), Seq("k"),
+      Map("v" -> "sum")).select("v").as[Long].collect()
+    assert(at20.toSeq == Seq(20L))
+    val at21 = DynTable.readWithAggregates(l, Seq("k"), Map("v" -> "sum"))
+      .select("v").as[Long].collect()
+    assert(at21.toSeq == Seq(10L))
+  }
+
+  test("readWithAggregates: a null aggregate cell leaves the state unchanged " +
+      "(test_aggregate_update.py)") {
+    // insert {key,time=1} (no value) → null; {time=2,value=10} → 10;
+    // {time=3} (no value) → still 10, with time latest-wins at 3
+    val l = Seq(
+      (1L, 1L, "upsert", Some(1L), None: Option[Long]),
+      (1L, 2L, "upsert", Some(2L), Some(10L)),
+      (1L, 3L, "upsert", Some(3L), None)
+    ).toDF("k", "ts", "op", "time", "v")
+    for ((fn, expect) <- Seq("sum" -> 10L, "min" -> 10L, "max" -> 10L,
+        "first" -> 10L)) {
+      val got = DynTable.readWithAggregates(l, Seq("k"), Map("v" -> fn))
+        .select("time", "v").collect()
+      assert(got.toSeq == Seq(Row(3L, expect)), fn)
+    }
+    // and at ts<=1 the value is genuinely null
+    val early = DynTable.readWithAggregates(l.where($"ts" <= 1), Seq("k"),
+      Map("v" -> "sum")).select("v").collect()
+    assert(early.head.isNullAt(0))
+  }
+
+  test("readWithAggregates: min folds pairwise; null writes never poison " +
+      "(test_aggregate_min_max.py)") {
+    val l = Seq(
+      (1L, 1L, "upsert", Some(10L)), (2L, 1L, "upsert", Some(20L)),
+      (3L, 1L, "upsert", None: Option[Long]),
+      (1L, 2L, "upsert", Some(30L)), (2L, 2L, "upsert", Some(40L)),
+      (3L, 2L, "upsert", None)
+    ).toDF("k", "ts", "op", "v")
+    val got = DynTable.readWithAggregates(l, Seq("k"), Map("v" -> "min"))
+      .agg(org.apache.spark.sql.functions.max("v")).as[Long].collect()
+    assert(got.toSeq == Seq(20L))
+  }
+
+  test("readWithAggregates: first keeps the oldest surviving value " +
+      "(test_aggregate_first.py)") {
+    val l = Seq(
+      (1L, 1L, "upsert", Some(1L), Some(10L)),
+      (1L, 2L, "upsert", Some(2L), Some(20L))
+    ).toDF("k", "ts", "op", "time", "v")
+    val got = DynTable.readWithAggregates(l, Seq("k"), Map("v" -> "first"))
+      .select("time", "v").collect()
+    assert(got.toSeq == Seq(Row(2L, 10L))) // time latest-wins, value first
+  }
+
+  test("readWithAggregates: an unknown aggregate kind raises " +
+      "(test_invalid_aggregate.py)") {
+    val e = intercept[IllegalArgumentException] {
+      DynTable.readWithAggregates(log, Seq("k"), Map("v" -> "avg"))
+    }
+    assert(e.getMessage.contains("Invalid aggregate function"))
+  }
+
   test("withOffsets + pullQueue: offset-window read of one tablet") {
     val df = (0L until 40L).map(i => (i, s"e$i")).toDF("id", "payload")
     val ordered = DynTable.withOffsets(df, pmod(col("id"), lit(4)), Seq(col("id")))
