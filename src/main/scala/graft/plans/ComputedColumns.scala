@@ -57,9 +57,16 @@ object ComputedColumns {
     * bounded source range then derives the computed-column INTERVAL
     * [f(lo), f(hi)] with no enumeration cap — the reference's divide
     * inferrer (ql_computed_columns_ut.cpp Divide0-6/Far: `key / 10`
-    * prunes wide ranges as ranges, never point sets). */
+    * prunes wide ranges as ranges, never point sets).
+    * `moduloOf = Some(n)` declares `f ≡ source % n`: the image is the
+    * finite residue set {-(n-1)..n-1} ∪ {null}, enumerable with NO
+    * bound on the source at all — the reference's modulo inferrer
+    * (ql_computed_columns_ut.cpp Modulo1/2/4/5: `l % 2` over an
+    * unbounded l still prunes to 4 residue ranges incl. the null key).
+    */
   final case class Spec(sources: Seq[String], computed: String,
-      f: Seq[Column] => Column, monotone: Boolean = false)
+      f: Seq[Column] => Column, monotone: Boolean = false,
+      moduloOf: Option[Long] = None)
 
   object Spec {
     /** Single-source sugar: `computed := f(source)`. */
@@ -68,6 +75,10 @@ object ComputedColumns {
     def apply(source: String, computed: String, f: Column => Column,
         monotone: Boolean): Spec =
       Spec(Seq(source), computed, (cs: Seq[Column]) => f(cs.head), monotone)
+    def modulo(source: String, computed: String, f: Column => Column,
+        n: Long): Spec =
+      Spec(Seq(source), computed, (cs: Seq[Column]) => f(cs.head),
+        monotone = false, moduloOf = Some(n))
   }
 
   private val specs = new ConcurrentHashMap[(Seq[String], String), Spec]()
@@ -80,6 +91,29 @@ object ComputedColumns {
   /** Write-path evaluation (column_evaluator.h EvaluateKeys). */
   def withComputed(df: org.apache.spark.sql.DataFrame, spec: Spec): org.apache.spark.sql.DataFrame =
     df.withColumn(spec.computed, spec.f(spec.sources.map(df(_))))
+
+  /** Inference-level diagnostic: the extra predicate the rule would
+    * conjoin for `cond` over `df` under `spec`, as Catalyst SQL text —
+    * None when no image derives (full scan). The port vehicle for the
+    * reference's ql_computed_columns_ut.cpp corpus, whose tests assert
+    * inferred key ranges: here the observable is the derived image
+    * predicate itself.
+    */
+  private[graft] def imageFor(df: org.apache.spark.sql.DataFrame, cond: Column,
+      spec: Spec): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    df.where(cond).queryExecution.optimizedPlan.collectFirst {
+      case f: Filter =>
+        val out = f.child.outputSet
+        val srcAttrs = spec.sources.map(n => out.find(_.name == n))
+        val cmpAttr = out.find(_.name == spec.computed)
+        (cmpAttr, srcAttrs) match {
+          case (Some(cmp), attrs) if attrs.forall(_.isDefined) =>
+            DerivedPredicateRule.derivedForTop(f.condition, attrs.flatten, cmp, spec)
+          case _ => None
+        }
+    }.flatten.map(_.sql)
+  }
 
   /** Install the rule on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
@@ -124,7 +158,7 @@ object ComputedColumns {
           val cmpAttr = out.find(_.name == spec.computed)
           (cmpAttr, srcAttrs) match {
             case (Some(cmp), attrs) if attrs.forall(_.isDefined) =>
-              derivedFor(cond, attrs.flatten, cmp, spec)
+              derivedForTop(cond, attrs.flatten, cmp, spec)
             case _ => None
           }
         }.toSeq
@@ -169,6 +203,14 @@ object ComputedColumns {
       conj.foreach {
         case EqualTo(x: Attribute, l: Literal) if x.semanticEquals(a) => keep(Seq(l))
         case EqualTo(l: Literal, x: Attribute) if x.semanticEquals(a) => keep(Seq(l))
+        // QL's default (non-canonical) equality lowers to <=>, and
+        // `l = null` / null-smallest `l <= null` fold to IS NULL —
+        // both pin the source (ql_computed_columns_ut.cpp Null:
+        // `where l <= null` derives the f(null) point range)
+        case EqualNullSafe(x: Attribute, l: Literal) if x.semanticEquals(a) => keep(Seq(l))
+        case EqualNullSafe(l: Literal, x: Attribute) if x.semanticEquals(a) => keep(Seq(l))
+        case IsNull(x: Attribute) if x.semanticEquals(a) =>
+          keep(Seq(Literal.create(null, a.dataType)))
         case In(x: Attribute, vs) if x.semanticEquals(a) &&
             vs.forall(_.isInstanceOf[Literal]) =>
           keep(vs.map(_.asInstanceOf[Literal]))
@@ -203,19 +245,72 @@ object ComputedColumns {
         case (Some(l), Some(h)) if integral && h >= l => Some((mk(l), mk(h)))
         case _ => None
       }
-      val points = vals match {
-        case Some(vs) => Some(vs.distinct)
-        case None => (lo, hi) match {
-          case (Some(l), Some(h)) if integral && h >= l &&
-              h - l + 1 <= MaxEnumeration =>
-            Some((l to h).map(mk))
-          case _ => None
-        }
+      // a contradictory range (lo > hi) is an EMPTY candidate set, not
+      // an unknown one — the caller prunes the whole scan
+      // (ql_computed_columns_ut.cpp DivideEmptyRange: zero ranges)
+      val contradiction = (lo, hi) match {
+        case (Some(l), Some(h)) if integral && h < l => true
+        case _ => vals.exists(_.isEmpty)
       }
+      val points =
+        if (contradiction) Some(Seq.empty[Literal])
+        else vals match {
+          case Some(vs) => Some(vs.distinct)
+          case None => (lo, hi) match {
+            // width via subtraction can WRAP for far-apart bounds
+            // (EstimationOverflow: l between ±2^62) — a wrapped width
+            // is negative, so the guard also rejects overflow
+            case (Some(l), Some(h)) if integral && h >= l &&
+                (h - l) >= 0 && (h - l) < MaxEnumeration =>
+              Some((l to h).map(mk))
+            case _ => None
+          }
+        }
       (points, bounds)
     }
 
-    private def derivedFor(cond: Expression, srcs: Seq[Attribute],
+    /** Image predicate over possibly-null image values: null images
+      * match via IS NULL (an EqualTo against a null literal would
+      * drop every row — ql_computed_columns_ut.cpp Null derives the
+      * f(null) point range, and Modulo residue sets include the null
+      * key). */
+    private def imagePredicate(cmp: Attribute, vals: Seq[Literal]): Expression = {
+      val (nulls, nonNulls) = vals.distinctBy(_.value).partition(_.value == null)
+      val eqPart = nonNulls match {
+        case Seq() => None
+        case Seq(one) => Some(EqualTo(cmp, one))
+        case many => Some(In(cmp, many))
+      }
+      val nullPart = if (nulls.nonEmpty) Some(IsNull(cmp)) else None
+      (eqPart, nullPart) match {
+        case (Some(e), Some(n)) => Or(e, n)
+        case (Some(e), None) => e
+        case (None, Some(n)) => n
+        case (None, None) => Literal(false)
+      }
+    }
+
+    /** Entry point: a top-level DISJUNCTION derives the union of its
+      * branches' images (the key-trie OR union — ql_range_inference_ut
+      * MultipleDisjuncts, ql_computed_columns_ut Far3's tuple-IN, which
+      * QL lowers to OR-of-conjunctions). All branches must derive, else
+      * the union is unbounded. */
+    private[plans] def derivedForTop(cond: Expression, srcs: Seq[Attribute],
+        cmp: Attribute, spec: Spec): Option[Expression] = {
+      def splitDisjunctive(e: Expression): Seq[Expression] = e match {
+        case Or(l, r) => splitDisjunctive(l) ++ splitDisjunctive(r)
+        case other => Seq(other)
+      }
+      splitDisjunctive(cond) match {
+        case Seq(single) => derivedFor(single, srcs, cmp, spec)
+        case branches =>
+          val imgs = branches.map(b => derivedFor(b, srcs, cmp, spec))
+          if (imgs.forall(_.isDefined)) Some(imgs.flatten.reduceLeft(Or))
+          else None
+      }
+    }
+
+    private[plans] def derivedFor(cond: Expression, srcs: Seq[Attribute],
         cmp: Attribute, spec: Spec): Option[Expression] = {
       val conj = splitConjunctive(cond)
       val perSource = srcs.map(a => candidatesFor(conj, a))
@@ -237,24 +332,38 @@ object ComputedColumns {
               LessThanOrEqual(cmp, ordered._2))
           }
         }
+        // `src % n`: the residue set is finite with NO source bound at
+        // all — enumerate {-(n-1)..n-1} ∪ {null} (the reference's
+        // modulo inferrer; negative residues cover int64 sources, the
+        // null key covers a null source). Only worth conjoining when
+        // the filter constrains SOMETHING else (the reference runs it
+        // during range inference of an already-selected range).
+        spec.moduloOf match {
+          case Some(n) if n > 0 && 2 * n - 1 <= MaxEnumeration =>
+            val residues = (-(n - 1) until n).map(v =>
+              Literal.create(v, org.apache.spark.sql.types.LongType))
+            val casted = residues.map(r =>
+              if (cmp.dataType == org.apache.spark.sql.types.LongType) r
+              else Literal.create(Cast(r, cmp.dataType).eval(null), cmp.dataType))
+            return Some(imagePredicate(cmp,
+              casted :+ Literal.create(null, cmp.dataType)))
+          case _ => ()
+        }
         return None
       }
       val cands = perSource.map(_._1.get)
       val tuples = cands.map(_.size.toLong).product
-      if (tuples == 0 || tuples > MaxEnumeration) return None
+      // an empty candidate set is a contradictory filter — the image is
+      // FALSE and the whole scan prunes away (DivideEmptyRange)
+      if (tuples == 0) return Some(Literal(false))
+      if (tuples > MaxEnumeration) return None
       // cross product of per-source candidates → the key-trie expansion
       val product = cands.foldLeft(Seq(Seq.empty[Literal])) { (acc, vs) =>
         acc.flatMap(prefix => vs.map(prefix :+ _))
       }
       val images = product.map(vs => derive(spec.f, vs, cmp.dataType))
       if (images.exists(_.isEmpty)) None
-      else {
-        val distinct = images.flatten.distinctBy(_.value)
-        distinct match {
-          case Seq(one) => Some(EqualTo(cmp, one))
-          case many => Some(In(cmp, many))
-        }
-      }
+      else Some(imagePredicate(cmp, images.flatten))
     }
   }
 }

@@ -233,6 +233,154 @@ class PlansSpec extends SparkSpec {
     assert(prod.contains("l_orderkey") && prod.contains("Or("), prod)
   }
 
+  // ---- ql_computed_columns_ut.cpp corpus, at the inference level ----
+  // The reference tests assert inferred key RANGES; the observable here
+  // is the derived image predicate (ComputedColumns.imageFor) that
+  // partition pruning then consumes. Each test cites its reference
+  // name.
+
+  // parquet-backed so the Filter survives optimization (a LocalRelation
+  // fixture would fold the predicate away before the rule could see it)
+  private lazy val ccDf = {
+    val dir = Files.createTempDirectory("ccfix").toFile.getAbsolutePath
+    Seq((1L, 2L, 3L, 4L, 5L)).toDF("k", "l", "m", "n", "o")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("ccorpus Simple/ConstantBeforeReferenceInExpression: l = 10 derives k = 20 " +
+      "(ql_computed_columns_ut.cpp:155,214)") {
+    val spec = ComputedColumns.Spec("l", "k", (c: org.apache.spark.sql.Column) => c * 2)
+    val img = ComputedColumns.imageFor(ccDf, col("l") === 10L, spec)
+    assert(img.exists(s => s.contains("k") && s.contains("20")), img)
+  }
+
+  test("ccorpus Inequality: a one-sided bound derives nothing without " +
+      "monotonicity (ql_computed_columns_ut.cpp:166)") {
+    val spec = ComputedColumns.Spec("l", "k", (c: org.apache.spark.sql.Column) => c * 2)
+    assert(ComputedColumns.imageFor(ccDf, col("l") < 10L, spec).isEmpty)
+  }
+
+  test("ccorpus Vector/Far4: IN sets map value-wise; independent INs cross " +
+      "(ql_computed_columns_ut.cpp:188,449)") {
+    val spec = ComputedColumns.Spec("l", "k", (c: org.apache.spark.sql.Column) => c * 2)
+    val img = ComputedColumns.imageFor(ccDf, col("l").isin(1L, 2L, 3L), spec)
+    assert(img.exists(s => s.contains("2") && s.contains("4") && s.contains("6")), img)
+    val far = ComputedColumns.Spec("n", "k", (c: org.apache.spark.sql.Column) => c + 1)
+    val img4 = ComputedColumns.imageFor(ccDf,
+      col("n").isin(10L, 30L) && col("l").isin(20L, 40L), far)
+    assert(img4.exists(s => s.contains("11") && s.contains("31")), img4)
+  }
+
+  test("ccorpus ComputedColumnLast/Far1/Far2: far sources derive through " +
+      "unrelated pinned columns (ql_computed_columns_ut.cpp:236,371,395)") {
+    val spec = ComputedColumns.Spec("m", "k", (c: org.apache.spark.sql.Column) => c + 1)
+    val img = ComputedColumns.imageFor(ccDf, col("m") === 10L, spec)
+    assert(img.exists(_.contains("11")), img)
+    val img2 = ComputedColumns.imageFor(ccDf,
+      col("n") === 10L && col("l") === 20L, ComputedColumns.Spec("n", "k", (c: org.apache.spark.sql.Column) => c + 1))
+    assert(img2.exists(_.contains("11")), img2)
+  }
+
+  test("ccorpus Far3: tuple IN lowers to OR-of-conjunctions and derives the " +
+      "union (ql_computed_columns_ut.cpp:421)") {
+    val spec = ComputedColumns.Spec("n", "k", (c: org.apache.spark.sql.Column) => c + 1)
+    val cond = (col("n") === 10L && col("l") === 20L) ||
+      (col("n") === 30L && col("l") === 40L)
+    val img = ComputedColumns.imageFor(ccDf, cond, spec)
+    assert(img.exists(s => s.contains("11") && s.contains("31")), img)
+  }
+
+  test("ccorpus Complex1/Complex3/TwoComputedColumns: derivable and " +
+      "non-derivable specs coexist (ql_computed_columns_ut.cpp:258,318,1459)") {
+    // l := n + 1 with n pinned derives; m := o + 2 with o unpinned doesn't
+    val cond = col("k") === 10L && col("n") === 20L
+    val lSpec = ComputedColumns.Spec("n", "l", (c: org.apache.spark.sql.Column) => c + 1)
+    val mSpec = ComputedColumns.Spec("o", "m", (c: org.apache.spark.sql.Column) => c + 2)
+    assert(ComputedColumns.imageFor(ccDf, cond, lSpec).exists(_.contains("21")))
+    assert(ComputedColumns.imageFor(ccDf, cond, mSpec).isEmpty)
+    // TwoComputedColumns: l := m over a BETWEEN range enumerates
+    val two = ComputedColumns.imageFor(ccDf,
+      col("k") === 1L && col("m").between(3L, 5L),
+      ComputedColumns.Spec("m", "l", (c: org.apache.spark.sql.Column) => c))
+    assert(two.exists(s => s.contains("3") && s.contains("4") && s.contains("5")), two)
+  }
+
+  test("ccorpus NoKeyColumnsInPredicate/NoComputedColumns: an unconstrained " +
+      "source derives nothing (ql_computed_columns_ut.cpp:144,481)") {
+    val spec = ComputedColumns.Spec("l", "k", (c: org.apache.spark.sql.Column) => c * 2)
+    assert(ComputedColumns.imageFor(ccDf, col("o") === 10L, spec).isEmpty)
+  }
+
+  test("ccorpus Modulo1/2/4/5: a declared modulo enumerates residues ∪ null " +
+      "with no source bound (ql_computed_columns_ut.cpp:524-671)") {
+    val spec = ComputedColumns.Spec.modulo("l", "k", c => pmod(c, lit(2L)), 2L)
+    // Modulo1: l bounded but too wide to enumerate → residue image
+    val img = ComputedColumns.imageFor(ccDf,
+      col("l") > 0L && col("l") <= 2000000L, spec)
+    assert(img.exists(s => s.contains("IS NULL") && s.contains("1")), img)
+    // Modulo2/5 shape: a DIFFERENT column pinned still yields the image
+    val img2 = ComputedColumns.imageFor(ccDf, col("m") === 1L, spec)
+    assert(img2.exists(_.contains("IS NULL")), img2)
+  }
+
+  test("ccorpus Null: null-pinned sources derive the f(null) point image " +
+      "(ql_computed_columns_ut.cpp:1514)") {
+    val spec = ComputedColumns.Spec("l", "k", (c: org.apache.spark.sql.Column) => xxhash64(c))
+    // QL `l <= null` lowers (null-smallest) to IS NULL
+    val img = ComputedColumns.imageFor(ccDf, col("l").isNull, spec)
+    assert(img.isDefined, img)
+    // `l < null` folds to a constant-false filter: nothing to derive,
+    // the plan collapses before the rule ever runs
+    assert(ComputedColumns.imageFor(ccDf,
+      lit(null).cast("boolean"), spec).isEmpty)
+  }
+
+  test("ccorpus DivideEmptyRange: a contradictory range derives FALSE and " +
+      "prunes the scan entirely (ql_computed_columns_ut.cpp:851)") {
+    val spec = ComputedColumns.Spec("l", "k", (c: org.apache.spark.sql.Column) => c / 2)
+    val img = ComputedColumns.imageFor(ccDf,
+      col("l") >= 3L && col("l") < 2L, spec)
+    assert(img.exists(_.contains("false")), img)
+  }
+
+  test("ccorpus EstimationOverflow: far-apart bounds must not wrap the width " +
+      "estimate into an enumeration (ql_computed_columns_ut.cpp:1057)") {
+    val spec = ComputedColumns.Spec("l", "k", (c: org.apache.spark.sql.Column) => c / 2)
+    val img = ComputedColumns.imageFor(ccDf,
+      col("l") >= Long.MinValue + 2 && col("l") <= Long.MaxValue - 2, spec)
+    // monotone not declared → no interval; width wraps → no enumeration
+    assert(img.isEmpty, img)
+  }
+
+  test("ccorpus RangeExpansionLimit: the per-spec product caps enumeration " +
+      "but small sets still derive (ql_computed_columns_ut.cpp:1289)") {
+    val spec = ComputedColumns.Spec("l", "k", (c: org.apache.spark.sql.Column) => c + 1)
+    val img = ComputedColumns.imageFor(ccDf,
+      col("l").isin(10L, 20L, 30L, 40L, 50L) && col("m").isin(1L, 3L, 5L, 7L), spec)
+    assert(img.exists(s => s.contains("11") && s.contains("51")), img)
+    // and a range wider than MaxEnumeration stays silent
+    val wide = ComputedColumns.imageFor(ccDf,
+      col("l") >= 0L && col("l") <= 2000L, spec)
+    assert(wide.isEmpty, wide)
+  }
+
+  test("ccorpus modulo residues prune partitions end-to-end") {
+    val dir = Files.createTempDirectory("ccmod").toFile.getAbsolutePath
+    val spec = ComputedColumns.Spec.modulo("k", "hk", c => pmod(c, lit(4L)), 4L)
+    val data = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    ComputedColumns.withComputed(data, spec)
+      .write.partitionBy("hk").mode("overwrite").parquet(dir)
+    ComputedColumns.register(spec)
+    ComputedColumns.install(spark)
+    try {
+      // pmod keeps hk in [0,4) — the symmetric residue image covers it
+      val q = spark.read.parquet(dir).where(col("v") === "v42")
+      assert(q.collect().map(_.getString(1)).toSeq == Seq("v42"))
+      assert(partitionFilterOn(q, "hk"), "no hk partition filter from the modulo image")
+    } finally ComputedColumns.clear()
+  }
+
   test("PredicatePushDown (ql_distributed_ut.cpp): per-side predicates reach their scans through a join") {
     // the reference splits `a1 = 5 and b1 != 2 and a2 + b1 > 9` into
     // per-side WHERE clauses plus a join residual; Catalyst's
