@@ -381,6 +381,33 @@ class PlansSpec extends SparkSpec {
     } finally ComputedColumns.clear()
   }
 
+  test("ccorpus end-to-end: a QL STRING query prunes computed-key partitions " +
+      "through the <=> lowering (test_computed_column_simple)") {
+    val dir = Files.createTempDirectory("ccql").toFile.getAbsolutePath
+    val spec = ComputedColumns.Spec("k", "hash",
+      (c: org.apache.spark.sql.Column) => c * 33L)
+    val data = (0L until 100L).map(i => (i, i * 2)).toDF("k", "value")
+    ComputedColumns.withComputed(data, spec)
+      .write.partitionBy("hash").mode("overwrite").parquet(dir)
+    ComputedColumns.register(spec)
+    ComputedColumns.install(spark)
+    try {
+      // QL's default equality lowers to <=>, which the candidate
+      // extractor must still recognize for the image to derive
+      val q = graft.ql.SelectRows(spark,
+        "k, value from [//tmp/cct] where k = 42",
+        Map("//tmp/cct" -> spark.read.parquet(dir)))
+      assert(q.as[(Long, Long)].collect().toSeq == Seq((42L, 84L)))
+      assert(partitionFilterOn(q, "hash"),
+        "QL string equality must derive the hash partition filter")
+      val in = graft.ql.SelectRows(spark,
+        "k from [//tmp/cct] where k in (10, 20, 30)",
+        Map("//tmp/cct" -> spark.read.parquet(dir)))
+      assert(in.as[Long].collect().sorted.toSeq == Seq(10L, 20L, 30L))
+      assert(partitionFilterOn(in, "hash"))
+    } finally ComputedColumns.clear()
+  }
+
   test("PredicatePushDown (ql_distributed_ut.cpp): per-side predicates reach their scans through a join") {
     // the reference splits `a1 = 5 and b1 != 2 and a2 + b1 > 9` into
     // per-side WHERE clauses plus a join residual; Catalyst's
