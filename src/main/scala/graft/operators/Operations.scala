@@ -342,6 +342,24 @@ object Operations {
       pmod(xxhash64(lit(seed) +: keys.map(col): _*), lit(10000L)) <
         lit((fraction * 10000).toLong))
 
+  /** Portable content-hash sample: same stable-under-repartitioning /
+    * join-compatible property as [[hashSample]], but the predicate is
+    * `md5(key-string)` truncated to 32 bits and compared against
+    * `floor(fraction·2³²)` — md5 of a UTF-8 string is identical in every
+    * engine, so the EXACT sampled row set is reproducible outside Spark
+    * (the DuckDB oracle recomputes it verbatim). xxhash64 `hashSample`
+    * stays the hot-path default: md5 costs ~10× per row, worth paying
+    * only when cross-engine reproducibility is the point. Fixed-width
+    * lowercase hex compares lexicographically = numerically, so the
+    * filter is a plain codegen'd string compare pushed to the scan. */
+  def hashSampleMd5(input: DataFrame, keys: Seq[String],
+      fraction: Double): DataFrame = {
+    val threshold = f"${(fraction * (1L << 32)).toLong}%08x"
+    input.filter(
+      substring(md5(concat_ws("|", keys.map(c => col(c).cast("string")): _*)),
+        1, 8) < lit(threshold))
+  }
+
   /** Stratified sample (training-data class balancing): per-stratum
     * Bernoulli fractions, seeded. Strata absent from the map are
     * dropped — the usual "cap the majority class" shape. */

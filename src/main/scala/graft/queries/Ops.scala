@@ -148,11 +148,13 @@ object Ops {
     }),
 
     // TABLESAMPLE BERNOULLI + REPEATABLE: content-deterministic hash
-    // sample (stable across repartitioning, join-compatible) — counts
-    // only; the sampling hash is engine-specific, so no SQL oracle.
+    // sample (stable across repartitioning, join-compatible). The md5
+    // form makes the EXACT sampled row set reproducible in the DuckDB
+    // oracle — hash-green, not rows-only. The xxhash64 hot-path variant
+    // keeps its property-based coverage in OperationsSpec.
     "op_table_sample" -> ((s, d) => {
-      val sampled = Operations.hashSample(
-        t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"), 0.1, 42L)
+      val sampled = Operations.hashSampleMd5(
+        t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"), 0.1)
       sampled.agg(count(lit(1)).as("sampled_rows"),
         count_distinct(col("l_orderkey")).as("sampled_orders"))
     }),
@@ -227,6 +229,15 @@ object Ops {
   )
 
   val oracles: Map[String, String] = Map(
+    // md5 of the same UTF-8 key string, same 32-bit hex-prefix
+    // threshold — DuckDB reproduces the exact sampled row set.
+    "op_table_sample" ->
+      """SELECT COUNT(*) AS sampled_rows,
+           COUNT(DISTINCT l_orderkey) AS sampled_orders
+         FROM lineitem
+         WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                             CAST(l_linenumber AS VARCHAR)), 1, 8)
+               < '19999999'""",
     "op_asof_join" ->
       """WITH clicks AS (
            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),

@@ -178,6 +178,21 @@ class OperationsSpec extends SparkSpec {
     val b1 = Operations.tableSample(left, 0.3, 99L).select("k").collect().toSet
     val b2 = Operations.tableSample(left, 0.3, 99L).select("k").collect().toSet
     assert(b1 == b2)
+    // md5 portable form: same stability properties, and the row set is
+    // exactly what any engine computing md5(key)[0,8) < hex(p·2^32) gets
+    val m1 = Operations.hashSampleMd5(left, Seq("k"), 0.2)
+    val cm = m1.count()
+    assert(cm > 300 && cm < 500, s"md5-sampled $cm of 2000 at p=0.2")
+    val m2 = Operations.hashSampleMd5(left.repartition(13), Seq("k"), 0.2)
+    assert(m2.count() == cm)
+    assert(m1.select("k").except(m2.select("k")).count() == 0)
+    val expected = (1L to 2000L).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      hex < f"${(0.2 * (1L << 32)).toLong}%08x"
+    }.toSet
+    assert(m1.select("k").collect().map(_.getLong(0)).toSet == expected)
     // stratified: majority class capped, minority kept whole
     val classes = (1L to 1000L).map(i => (i, if (i % 10 == 0L) "rare" else "common"))
       .toDF("k", "cls")
