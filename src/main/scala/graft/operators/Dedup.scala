@@ -47,14 +47,31 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
-    // symmetric edge list (propagation must flow both ways)
+    // Symmetric edge list (propagation must flow both ways),
+    // hash-partitioned by the per-round join key ONCE: localCheckpoint
+    // preserves outputPartitioning, so every iteration's edge⋈label join
+    // shuffles only the small (node,label) table — the edge list (the
+    // 100 TB side) never moves again.
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint(eager = true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed with the first propagation fused in: label₀(u) = min of the
+    // closed neighborhood — one groupBy over the edge list, same shuffle
+    // class as materializing the node set, but a whole round cheaper.
+    var labels = sym
+      .groupBy(col("src").as("node"))
+      .agg(min(least(col("src"), col("dst"))).as("label"))
       .localCheckpoint(eager = true)
+    // Convergence check without a second join: labels are monotonically
+    // non-increasing (the min runs over the CLOSED neighborhood), so the
+    // label sum strictly decreases until the fixed point — equal sums
+    // between rounds ⇔ no node changed. One cheap agg over the freshly
+    // checkpointed table replaces a join + filter + count job per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -67,10 +84,10 @@ object Dedup {
         .union(neighborLabels)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     labels.select(col("node"), col("label").as("component"))
@@ -230,18 +247,32 @@ object Dedup {
     val chunks = bits / chunkBits
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Similarity.hyperplaneSignature(col(vecCol), dim, bits, seed).as("sig"))
-    val chunked = sigs.select(col("id"),
+    val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { j =>
         shiftrightunsigned(col("sig"), j * chunkBits)
           .bitwiseAND((1L << chunkBits) - 1)
       }: _*)).as(Seq("chunk", "chunk_val")))
+    // Hamming prefilter bound: a pair at exactly `threshold` cosine
+    // flips each signature bit with p = acos(threshold)/π; true pairs
+    // live within mean + 3σ of Binomial(bits, p). Candidates beyond
+    // that are (overwhelmingly) random bucket collisions — dropping
+    // them with one bitwise popcount BEFORE the dedup shuffle and the
+    // two vector-fetch joins keeps the candidate stream proportional
+    // to true pairs, not to bucket occupancy² (the silent quadratic
+    // regrowth an LSH join can hide at corpus scale).
+    val p = math.acos(threshold) / math.Pi
+    val hMax = math.min(bits.toDouble,
+      math.ceil(bits * p + 3 * math.sqrt(bits * p * (1 - p)))).toInt
     // shuffle-hash + ReuseExchange: signature scan computed once (see
     // minhashLsh for the full rationale)
-    val l = chunked.select(col("id").as("id_a"), col("chunk"), col("chunk_val"))
-    val r = chunked.select(col("id").as("id_b"), col("chunk"), col("chunk_val"))
+    val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk"), col("chunk_val"))
+    val r = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk"), col("chunk_val"))
     val candidates = l.hint("shuffle_hash")
       .join(r.hint("shuffle_hash"), Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= hMax)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val vecs = sigs.select(col("id"), col("vec"))
