@@ -75,6 +75,25 @@ object TextAnalysis {
     xxhash64(minK)
   }
 
+  /** Cross-engine-reproducible fingerprint: same min-k-of-shingle-hash
+    * sketch as [[fingerprint]], but the shingle hash is md5 of the
+    * literal word 4-gram, composed from portable builtins only — any
+    * engine with split/md5/sort recomputes the identical value (the
+    * DuckDB oracle does, verbatim). xxhash64 [[fingerprint]] stays the
+    * hot-path default; this is for pipelines that must agree on
+    * fingerprints with systems outside the JVM. */
+  def portableFingerprint(text: Column, shingleSize: Int = 4,
+      sketchSize: Int = 8): Column = {
+    val ws = filter(split(text, "\\s+"), w => w =!= "")
+    val n = size(ws)
+    val grams = when(n >= shingleSize,
+      transform(sequence(lit(1), n - shingleSize + 1), i =>
+        md5(concat_ws(" ",
+          (0 until shingleSize).map(j => element_at(ws, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+    concat_ws("", slice(array_sort(array_distinct(grams)), 1, sketchSize))
+  }
+
   /** Canonical text normalization for dedup preprocessing: lowercase,
     * strip punctuation to spaces, collapse whitespace runs, trim. Two
     * documents differing only in case/punctuation/spacing normalize to

@@ -189,10 +189,13 @@ object Llm {
         .select(TextAnalysis.langId(col("text")).as("pred_lang"))
         .groupBy(col("pred_lang")).agg(count(lit(1)).as("cnt"))),
 
-    // Document fingerprint: min-k sketch rolling hash.
+    // Document fingerprint: min-k sketch over word 4-gram hashes, in
+    // the portable md5 form so the DuckDB oracle recomputes the exact
+    // sketch (the xxhash64 hot-path form keeps its LlmSpec coverage).
     "llm_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          TextAnalysis.portableFingerprint(col("text")).as("fp"))
         .groupBy().agg(count_distinct(col("fp")).as("n_fingerprints"),
           count(lit(1)).as("n_docs"))),
 
@@ -239,6 +242,51 @@ object Llm {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent reimplementation of the LangId expression's exact
+    // semantics (marker hit rate over the whitespace split, CJK ratio
+    // override, 0.005 baseline, earlier-language ties).
+    "llm_text_langid" ->
+      """WITH d AS (
+           SELECT CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+                 * 1.0 / length(text)
+             ELSE 0 END AS cjk_ratio,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+               w -> w <> '') AS ws
+           FROM documents),
+         s AS (
+           SELECT cjk_ratio,
+             len(list_filter(ws, w -> list_contains(['the','and','of','to','is','that','it','for','with','was'], w))) * 1.0 / greatest(len(ws), 1) AS s_en,
+             len(list_filter(ws, w -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','für'], w))) * 1.0 / greatest(len(ws), 1) AS s_de,
+             len(list_filter(ws, w -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas'], w))) * 1.0 / greatest(len(ws), 1) AS s_fr,
+             len(list_filter(ws, w -> list_contains(['el','los','las','es','una','en','que','por','con','para'], w))) * 1.0 / greatest(len(ws), 1) AS s_es
+           FROM d),
+         p AS (
+           SELECT CASE
+               WHEN cjk_ratio > 0.2 THEN 'zh'
+               WHEN s_en > 0.005 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de > 0.005 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr > 0.005 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+               WHEN s_es > 0.005 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+               ELSE 'und' END AS pred_lang
+           FROM s)
+         SELECT pred_lang, COUNT(*) AS cnt FROM p GROUP BY 1""",
+    // Exact recomputation of the portable md5 min-k fingerprint.
+    "llm_text_fingerprint" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(ws) >= 4 THEN
+               list_transform(generate_series(1, len(ws) - 3),
+                 i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+             ELSE [] END AS hs
+           FROM w)
+         SELECT COUNT(DISTINCT array_to_string(list_sort(list_distinct(hs))[1:8], ''))
+                  AS n_fingerprints,
+                CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM g""",
     "llm_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
