@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Fleet-wide physical-plan contract: every SparkEntry query — current
+  * and future — is held to the two invariants that decide whether a
+  * plan survives a 100 TB scale-up:
+  *
+  *   1. No cartesian product, and no nested-loop join outside the three
+  *      operators whose SEMANTICS are pairwise-against-a-small-side
+  *      (brute-force ANN scoring, IVF centroid assignment, an explicit
+  *      CROSS JOIN query). Everything else must reach its result
+  *      through keyed joins — an accidental non-equi join that planned
+  *      as BNLJ at test scale becomes a cartesian explosion at corpus
+  *      scale.
+  *   2. A shuffle budget per query: at most [[defaultShuffleCeil]]
+  *      exchanges, with explicit, justified exceptions for the
+  *      multi-stage sketch pipelines. Every exchange is a full
+  *      re-materialization of the stream at 100 TB; a regression that
+  *      sneaks a fourth shuffle into a three-shuffle operator is a
+  *      performance bug even while results stay correct.
+  *
+  * Per-operator plan details (pushdown, broadcast sides, partial aggs)
+  * live in PlanContractSpec; this sweep is the safety net that catches
+  * the query nobody wrote a targeted contract for. ReusedExchangeExec
+  * subtrees are not re-counted (exchange reuse is the desired shape).
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  /** Pairwise-by-contract operators, each against a broadcast-small
+    * side: bruteForceTopK streams the corpus once against k broadcast
+    * queries; ivfTopK assigns vectors to nlist broadcast centroids
+    * (that product IS the IVF training/assignment cost); yql_join_cross
+    * is the CROSS JOIN surface itself. */
+  private val nestedLoopAllowed =
+    Set("llm_sim_bruteforce", "llm_sim_ivf", "yql_join_cross")
+
+  /** Nearly every operator fits in <= 4 exchanges (scan → shuffle agg /
+    * join → final agg → order). The documented exceptions are the
+    * multi-stage LSH dedups: signature → band/chunk explode → candidate
+    * join → dedup → two vector fetch-backs, legitimately ~7 stages. */
+  private val defaultShuffleCeil = 4
+  private val shuffleCeil = Map(
+    "llm_dedup_minhash" -> 8,
+    "llm_dedup_embedding_lsh" -> 8)
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val children: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case other => other.children
+    }
+    p +: (children ++ p.subqueries).flatMap(allNodes)
+  }
+
+  test("every query: no cartesian product, nested-loop joins only where " +
+      "pairwise-by-contract, shuffle count within budget") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sfDir)
+        df.count() // drive AQE to its final plan
+        val nodes = allNodes(df.queryExecution.executedPlan)
+        val cartesian = nodes.count(_.isInstanceOf[CartesianProductExec])
+        val bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+        val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+        val ceil = shuffleCeil.getOrElse(name, defaultShuffleCeil)
+        Seq(
+          if (cartesian > 0) Some(s"$name: $cartesian CartesianProductExec")
+          else None,
+          if (bnlj > 0 && !nestedLoopAllowed(name))
+            Some(s"$name: $bnlj BroadcastNestedLoopJoinExec (not allowlisted)")
+          else None,
+          if (shuffles > ceil)
+            Some(s"$name: $shuffles shuffles > budget $ceil")
+          else None).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
