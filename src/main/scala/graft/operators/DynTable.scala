@@ -87,7 +87,7 @@ object DynTable {
     * nothing extra at 100 TB.
     */
   def readLatestColumns(log: DataFrame, keys: Seq[String],
-      withTimestamps: Boolean = false): DataFrame = {
+      withTimestamps: Boolean = false, withVersion: Boolean = false): DataFrame = {
     val hasMask = log.columns.contains("written")
     val valueCols = log.columns.filterNot(c =>
       keys.contains(c) || c == "ts" || c == "op" || c == "written")
@@ -110,7 +110,10 @@ object DynTable {
       (if (withTimestamps)
         valueCols.map(c =>
           when(col(s"_ts_$c") > horizon, col(s"_ts_$c")).as(s"$$timestamp:$c"))
-      else Nil)
+      else Nil) ++
+      // key's newest upsert version, already computed by the merge —
+      // compaction's version recovery rides the same shuffle for free
+      (if (withVersion) Seq(col("_up_ts").as("_version")) else Nil)
     live.select(outCols: _*)
   }
 
@@ -119,6 +122,56 @@ object DynTable {
   def readAsOfColumns(log: DataFrame, keys: Seq[String], asOf: Column,
       withTimestamps: Boolean = false): DataFrame =
     readLatestColumns(log.where(col("ts") <= asOf), keys, withTimestamps)
+
+  /** Major compaction (the reference's tablet compaction: dynamic
+    * stores flush to chunks, compaction merges chunks and discards
+    * shadowed versions — yt/yt/server/node/tablet_node/store_compactor.cpp
+    * semantics over our log model). The write log collapses to an
+    * EQUIVALENT minimal log: one upsert per live key at that key's
+    * newest upsert version; tombstoned keys, overwritten versions and
+    * spent tombstones are dropped. For aggregate columns the folded
+    * state is emitted as an `aggregate=%false` (overwrite) write, so
+    * later delta writes fold onto the compacted base exactly as they
+    * would onto the full history. A `written` partial-update mask, if
+    * present, compacts to a full write (null mask).
+    *
+    * Contract (DynTableSpec): for any future writes W with versions
+    * above the log's, read*(compact(log) ∪ W) == read*(log ∪ W), for
+    * the latest-wins, per-column and aggregate-column read verbs.
+    * Versioned reads BELOW the compaction horizon are discarded, and
+    * per-column write timestamps collapse to the key's newest upsert
+    * version — major compaction drops old versions, as the reference
+    * does past min_data_versions/TTL.
+    *
+    * Plan shape: ONE shuffle — the same merge aggregation as the read
+    * verbs, with each key's newest version surfaced from the very same
+    * hash aggregate (no recovery join, no second pass over the log).
+    * The output is a fraction of the log: compaction is the cheapest
+    * possible rewrite of the store.
+    */
+  def compact(log: DataFrame, keys: Seq[String],
+      aggColumns: Map[String, String] = Map.empty): DataFrame = {
+    val hasMask = log.columns.contains("written")
+    val hasAggFlag = log.columns.contains("agg")
+    val state =
+      if (aggColumns.isEmpty) readLatestColumns(log, keys, withVersion = true)
+      else readWithAggregates(log, keys, aggColumns, withVersion = true)
+    val valueCols = state.columns.filterNot(c =>
+      keys.contains(c) || c == "_version")
+    val base = state
+      .withColumnRenamed("_version", "ts")
+      .withColumn("op", lit(OpUpsert))
+    val withMask = if (hasMask) base.withColumn("written",
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))) else base
+    val withFlag = if (hasAggFlag || aggColumns.nonEmpty)
+      withMask.withColumn("agg", lit(false)) else withMask
+    // column order matches a conventional log layout: keys, ts, op, values
+    withFlag.select((keys.map(col) :+ col("ts") :+ col("op")) ++
+      (if (hasMask) Seq(col("written")) else Nil) ++
+      (if (hasAggFlag || aggColumns.nonEmpty) Seq(col("agg")) else Nil) ++
+      valueCols.map(col): _*)
+  }
 
   /** Point lookup by key set (`LookupRows`/`MultiLookupRows`,
     * dynamic_table_client.h:96-108): equality/IN predicates on the key
@@ -153,7 +206,8 @@ object DynTable {
   def readWithAggregates(
       log: DataFrame,
       keys: Seq[String],
-      aggColumns: Map[String, String]): DataFrame = {
+      aggColumns: Map[String, String],
+      withVersion: Boolean = false): DataFrame = {
     aggColumns.values.find(f => !Set("sum", "min", "max", "first")(f))
       .foreach(f => throw new IllegalArgumentException(
         s"Invalid aggregate function $f")) // test_invalid_aggregate
@@ -201,7 +255,8 @@ object DynTable {
       .where(isnull(col("_del_ts")) || col("_max_up_ts") > col("_del_ts"))
       .select(keys.map(col) ++
         plainCols.map(c => col(s"_lw_$c").as(c)) ++
-        aggColumns.keys.toSeq.map(c => col(s"_agg_$c").as(c)): _*)
+        aggColumns.keys.toSeq.map(c => col(s"_agg_$c").as(c)) ++
+        (if (withVersion) Seq(col("_max_up_ts").as("_version")) else Nil): _*)
       // a key whose post-tombstone writes are all delete-free but whose
       // aggregate list is empty keeps null — same as a fresh row.
   }

@@ -40,6 +40,19 @@ object Dyn {
     "dyn_upsert_latest" -> ((s, d) =>
       DynTable.readLatest(log(s, d), Seq("k"))),
 
+    // Major compaction transparency (store_compactor.cpp semantics):
+    // compact the log's older half, keep the newer half as live writes,
+    // read latest — the oracle merges the FULL history, so the compare
+    // proves compaction is invisible to every subsequent read.
+    "dyn_compact" -> ((s, d) => {
+      val l = log(s, d)
+      val mid = t(s, d, "orders").agg((max("o_orderkey") / 2).cast("long"))
+        .scalar()
+      val compacted = DynTable.compact(l.where(col("ts") <= mid), Seq("k"))
+      DynTable.readLatest(compacted.unionByName(l.where(col("ts") > mid)),
+        Seq("k"))
+    }),
+
     // Versioned read at a client-supplied timestamp (LookupRows at ts,
     // dynamic_table_client.h:96-115): asOf = half the max version.
     "dyn_versioned_read" -> ((s, d) => {
@@ -175,6 +188,13 @@ object Dyn {
 
   val oracles: Map[String, String] = Map(
     "dyn_upsert_latest" ->
+      s"""WITH log AS ($logSql),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log)
+         |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    // compaction is invisible: the oracle is the full-history merge
+    "dyn_compact" ->
       s"""WITH log AS ($logSql),
          |ranked AS (SELECT k, ts, op, price, status,
          |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log)

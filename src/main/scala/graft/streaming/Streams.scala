@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.StructType
   *
   * All helpers take/return DataFrames so they run identically on a
   * batch frame or a streaming one — Spark's unified model replaces the
-  * reference's separate queue/流 machinery. At scale the windowed
+  * reference's separate queue/stream machinery. At scale the windowed
   * aggregations shuffle once on (key, window) with partial aggregation;
   * session windows merge per key in the state store.
   */
@@ -87,4 +87,33 @@ object Streams {
   def dedupStream(df: DataFrame, keys: Seq[String]): DataFrame =
     if (df.isStreaming) df.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else df.dropDuplicates(keys)
+
+  /** Queue → sorted dynamic table: the reference's standard ingestion
+    * loop (PullQueueConsumer feeding InsertRows/DeleteRows into a
+    * sorted table). Each micro-batch of write-log rows (key..., ts, op,
+    * values...) is appended to the table's log store; reads go through
+    * [[graft.operators.DynTable]]'s merge verbs, periodic
+    * [[graft.operators.DynTable.compact]] keeps the store bounded.
+    *
+    * Exactly-once: every batch lands at a batchId-deterministic path in
+    * overwrite mode, so a retried epoch REPLACES its own partial output
+    * instead of appending duplicates — idempotent against the
+    * checkpoint's replay, the same contract queue-consumer offsets give
+    * the reference. The store stays an append-only family of parquet
+    * directories: no read-modify-write, writers never touch data a
+    * concurrent reader may hold open.
+    */
+  def upsertSinkBatch(statePath: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+
+  def upsertSink(stream: DataFrame, statePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(upsertSinkBatch(statePath) _)
+      .start()
+
+  /** Read the sink's accumulated write log back as one DataFrame. */
+  def readState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.option("basePath", statePath).parquet(s"$statePath/batch=*")
 }

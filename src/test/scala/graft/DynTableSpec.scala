@@ -215,4 +215,70 @@ class DynTableSpec extends SparkSpec {
     // other consumers are independent
     assert(DynTable.consumerOffset(reg, "c2", 1L) == 0L)
   }
+
+  test("compact: equivalent minimal log — latest-wins reads agree before and " +
+      "after, with and without future writes") {
+    val compacted = DynTable.compact(log, Seq("k"))
+    // minimal: one upsert per live key, tombstoned key 3 gone
+    assert(compacted.count() == 2 &&
+      compacted.where($"op" =!= "upsert").count() == 0)
+    val before = DynTable.readLatest(log, Seq("k")).orderBy("k").collect().toSeq
+    val after = DynTable.readLatest(compacted, Seq("k")).orderBy("k").collect().toSeq
+    assert(before == after)
+    // future writes above the log's versions: overwrite key 1,
+    // tombstone key 2, resurrect key 3
+    val future = Seq(
+      (1L, 10L, "upsert", 50.0, "n"),
+      (2L, 11L, "delete", 0.0, null),
+      (3L, 12L, "upsert", 4.0, "r")
+    ).toDF("k", "ts", "op", "v", "s")
+    val full = DynTable.readLatest(log.unionByName(future), Seq("k"))
+      .orderBy("k").collect().toSeq
+    val comp = DynTable.readLatest(compacted.unionByName(future), Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(full == comp && full == Seq(Row(1L, 50.0, "n"), Row(3L, 4.0, "r")))
+  }
+
+  test("compact: aggregate columns fold to an overwrite base that future " +
+      "deltas keep folding onto") {
+    val l = Seq(
+      (1L, 1L, "upsert", true, Some(10L)),
+      (1L, 2L, "upsert", true, Some(10L)),
+      (2L, 1L, "upsert", true, Some(5L)),
+      (2L, 2L, "delete", true, None),
+      (2L, 3L, "upsert", true, Some(7L)),
+      (3L, 1L, "upsert", true, Some(1L)),
+      (3L, 2L, "delete", true, None)
+    ).toDF("k", "ts", "op", "agg", "v")
+    val compacted = DynTable.compact(l, Seq("k"), Map("v" -> "sum"))
+    // the folded state is written with the overwrite flag
+    assert(compacted.where($"agg" === false).count() == compacted.count())
+    val future = Seq(
+      (1L, 10L, "upsert", true, Some(3L)), // delta on compacted base 20
+      (2L, 11L, "upsert", false, Some(100L)), // overwrite write
+      (3L, 12L, "upsert", true, Some(2L)) // fresh after tombstone
+    ).toDF("k", "ts", "op", "agg", "v")
+    val full = DynTable.readWithAggregates(l.unionByName(future), Seq("k"),
+      Map("v" -> "sum")).orderBy("k").collect().toSeq
+    val comp = DynTable.readWithAggregates(compacted.unionByName(future),
+      Seq("k"), Map("v" -> "sum")).orderBy("k").collect().toSeq
+    assert(full == comp && full == Seq(Row(1L, 23L), Row(2L, 100L), Row(3L, 2L)))
+  }
+
+  test("compact: a partial-update mask compacts to a full write") {
+    val plog = Seq(
+      (1L, 1L, "upsert", "a", "a", null),
+      (1L, 2L, "upsert", "b", null, Seq("v1")),
+      (2L, 1L, "upsert", "x", "y", null)
+    ).toDF("k", "ts", "op", "v1", "v2", "written")
+    val compacted = DynTable.compact(plog, Seq("k"))
+    assert(compacted.where($"written".isNotNull).count() == 0)
+    val future = Seq((1L, 10L, "upsert", null.asInstanceOf[String], "c", Seq("v2")))
+      .toDF("k", "ts", "op", "v1", "v2", "written")
+    val full = DynTable.readLatestColumns(plog.unionByName(future), Seq("k"))
+      .orderBy("k").collect().toSeq
+    val comp = DynTable.readLatestColumns(compacted.unionByName(future), Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(full == comp && full == Seq(Row(1L, "b", "c"), Row(2L, "x", "y")))
+  }
 }

@@ -47,14 +47,25 @@ class PlanSweepSpec extends SparkSpec {
     "llm_dedup_minhash" -> 8,
     "llm_dedup_embedding_lsh" -> 8)
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val children: Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case _: ReusedExchangeExec => Seq.empty
-      case other => other.children
+  /** Deep plan census. Each plan INSTANCE counts once: a scalar
+    * subquery referenced from several scans is one execution, not one
+    * per reference (visited-set on identity). */
+  private def allNodes(root: SparkPlan): Seq[SparkPlan] = {
+    val visited = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def go(p: SparkPlan): Seq[SparkPlan] = {
+      if (!visited.add(p)) Seq.empty
+      else {
+        val children: Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _: ReusedExchangeExec => Seq.empty
+          case other => other.children
+        }
+        p +: (children ++ p.subqueries).flatMap(go)
+      }
     }
-    p +: (children ++ p.subqueries).flatMap(allNodes)
+    go(root)
   }
 
   test("every query: no cartesian product, nested-loop joins only where " +

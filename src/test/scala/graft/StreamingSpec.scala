@@ -226,4 +226,35 @@ class StreamingSpec extends SparkSpec {
       measureSchema = StructType(Seq(StructField("b_count", LongType))))
     assert(out.collect().toSeq == Seq(Row(1L, 2L)))
   }
+
+  test("queue → sorted table ingestion: upsert sink merges via DynTable, " +
+      "batch retry is idempotent, compaction preserves reads") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("dynstate").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("dynckpt").toFile.getAbsolutePath
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val stream = in.toDF().toDF("k", "ts", "op", "v")
+    val q = Streams.upsertSink(stream, state, ckpt)
+    in.addData((1L, 1L, "upsert", 10.0), (2L, 1L, "upsert", 5.0))
+    q.processAllAvailable()
+    in.addData((1L, 2L, "upsert", 20.0), (2L, 2L, "delete", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    def latest(): Seq[Row] =
+      graft.operators.DynTable.readLatest(
+        Streams.readState(spark, state).drop("batch"), Seq("k"))
+        .orderBy("k").select("k", "v").collect().toSeq
+    assert(latest() == Seq(Row(1L, 20.0)))
+    // a replayed epoch overwrites its own output — no duplicate state
+    // (materialized first: a real retry replays source data, not the sink)
+    val replayed = Streams.readState(spark, state).where($"batch" === 1)
+      .drop("batch").as[(Long, Long, String, Double)].collect().toSeq
+    Streams.upsertSinkBatch(state)(
+      replayed.toDF("k", "ts", "op", "v"), 1L)
+    assert(latest() == Seq(Row(1L, 20.0)))
+    // periodic compaction: rewrite the store, reads unchanged
+    val compacted = graft.operators.DynTable.compact(
+      Streams.readState(spark, state).drop("batch"), Seq("k"))
+    assert(compacted.count() == 1)
+  }
 }
