@@ -251,12 +251,22 @@ object QL {
           max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
           min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"))),
 
-    // cardinality() HyperLogLog — approx, so no DuckDB hash oracle
-    // (HLL++ implementations differ); driver records rows-only check.
+    // cardinality() HyperLogLog. Estimator values differ between HLL
+    // implementations, so the oracle can't compare them directly;
+    // instead the query emits the EXACT distinct count plus a tolerance
+    // verdict on its own estimate (HLL++ default rsd = 5%; gate at 3σ).
+    // The oracle pins the exact count and expects `true` — a broken
+    // estimator flips the flag and fails the hash compare. Same
+    // equality-only-comparator tolerance-gate pattern as the recall
+    // specs, but driver-visible.
     "ql_cardinality" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("within_tolerance"))),
 
     // Timestamp functions: timestamp_floor_day / format_timestamp →
     // date_trunc / date_format over the events stream table.
@@ -423,6 +433,12 @@ object QL {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // tolerance gate: the oracle pins the exact counts and the expected
+    // verdict; a drifting estimator flips within_tolerance → hash fail
+    "ql_cardinality" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+         true AS within_tolerance
+         FROM lineitem GROUP BY l_returnflag""",
     "ql_any_access" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
