@@ -156,22 +156,35 @@ object Similarity {
     * as [[bruteForceTopK]].
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      bits: Int = 8, probeRadius: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+      bits: Int = 8, probeRadius: Int = 2, tables: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    // L independent hash tables (the classic recall lever: a true
+    // neighbor missed by one table's buckets is caught by another's —
+    // union of candidates, each table a fresh hyperplane family). The
+    // corpus index carries tables×1 rows per vector, the standard
+    // multi-table LSH storage cost; candidates dedup on (query, item)
+    // BEFORE scoring so each surviving pair pays exactly one cosine.
+    def sig(t: Int, c: Column) =
+      hyperplaneSignature(c, dim, bits, seed + t * 7919L)
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
-      hyperplaneSignature(col(vecCol), dim, bits, seed).as("bucket"))
-    // multi-probe: all masks with <= probeRadius bits set
+      posexplode(array((0 until tables).map(t => sig(t, col(vecCol))): _*))
+        .as(Seq("table", "bucket")))
+    // multi-probe: all masks with <= probeRadius bits set, per table
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
-    val probes = array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-        hyperplaneSignature(col(vecCol), dim, bits, seed).as("sig"))
-      .select(col("query_id"), col("query_vec"), explode(probes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+        posexplode(array((0 until tables).map(t => sig(t, col(vecCol))): _*))
+          .as(Seq("table", "sig")))
+      .select(col("query_id"), col("query_vec"), col("table"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
+    val candidates = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("item_id") =!= col("query_id"))
-      .select(col("query_id"), col("item_id"),
-        cosine(col("query_vec"), col("item_vec")).as("cos"))
+      .select(col("query_id"), col("item_id"), col("query_vec"), col("item_vec"))
       .dropDuplicates("query_id", "item_id")
+    val scored = candidates.select(col("query_id"), col("item_id"),
+      cosine(col("query_vec"), col("item_vec")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id").asc)

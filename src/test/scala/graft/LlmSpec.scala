@@ -91,6 +91,15 @@ class LlmSpec extends SparkSpec {
     // hardest case for LSH: radius-3 probing scans ~37% of the corpus
     // for ~50% expected recall. Clustered real embeddings do far better.
     assert(recall >= 0.3, s"recall=$recall")
+    // the multi-table lever: 8 independent tables probing ~5% of
+    // buckets each dominate one table probing 37% — union-of-candidates
+    // recall with far better per-table selectivity
+    val multi = Similarity.lshTopK(emb, queries, 5, dim = 64, bits = 10,
+      probeRadius = 2, tables = 8)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val multiRecall = (bf & multi).size.toDouble / bf.size
+    assert(multiRecall >= 0.7, s"multi-table recall=$multiRecall")
+    assert(multiRecall > recall, "8 tables must beat 1 table")
   }
 
   test("ivf ANN: probing nprobe of nlist cells recovers most true neighbors") {

@@ -32,20 +32,27 @@ class PlanSweepSpec extends SparkSpec {
 
   /** Pairwise-by-contract operators, each against a broadcast-small
     * side: bruteForceTopK streams the corpus once against k broadcast
-    * queries; ivfTopK assigns vectors to nlist broadcast centroids
-    * (that product IS the IVF training/assignment cost); yql_join_cross
-    * is the CROSS JOIN surface itself. */
+    * queries (llm_sim_lsh/ivf embed it as their in-plan recall truth);
+    * ivfTopK assigns vectors to nlist broadcast centroids (that product
+    * IS the IVF training/assignment cost); yql_join_cross is the CROSS
+    * JOIN surface itself. */
   private val nestedLoopAllowed =
-    Set("llm_sim_bruteforce", "llm_sim_ivf", "yql_join_cross")
+    Set("llm_sim_bruteforce", "llm_sim_ivf", "llm_sim_lsh", "yql_join_cross")
 
   /** Nearly every operator fits in <= 4 exchanges (scan → shuffle agg /
-    * join → final agg → order). The documented exceptions are the
-    * multi-stage LSH dedups: signature → band/chunk explode → candidate
-    * join → dedup → two vector fetch-backs, legitimately ~7 stages. */
+    * join → final agg → order). The documented exceptions: the
+    * multi-stage LSH dedups (signature → band/chunk explode → candidate
+    * join → dedup → vector fetch-backs, legitimately ~7 stages), and
+    * the approximate-operator VERDICT queries, which run the
+    * approximate op AND its exact counterpart in one plan plus the
+    * verdict join — their budgets are roughly the sum of both. */
   private val defaultShuffleCeil = 4
   private val shuffleCeil = Map(
     "llm_dedup_minhash" -> 8,
-    "llm_dedup_embedding_lsh" -> 8)
+    "llm_dedup_simhash" -> 8, // simhash pipeline + exact-Jaccard truth
+    "llm_dedup_embedding_lsh" -> 11, // LSH pipeline + block-grid exact
+    "llm_sim_lsh" -> 8, // 8-table ANN + brute-force truth + verdict
+    "llm_sim_ivf" -> 9) // IVF assign/probe + brute-force truth + verdict
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one
