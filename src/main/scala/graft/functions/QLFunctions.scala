@@ -149,7 +149,18 @@ object QLFunctions {
     get_json_object(any, ypathToJsonPath(ypath))
   def try_get_int64(any: Column, ypath: String): Column =
     try_get_string(any, ypath).try_cast("long")
-  def try_get_uint64(any: Column, ypath: String): Column = try_get_int64(any, ypath)
+  /** uint64 carries the engine's raw-bits convention: the full unsigned
+    * range parses (values above Long.MaxValue keep their bit pattern —
+    * a signed cast would null them), negatives are a type mismatch
+    * (null under try; the canonical-JSON carrier erases the reference's
+    * int64/uint64 node distinction, so range is the discriminator). */
+  private def u64FromCarrier(s: Column): Column = {
+    val fits = s.rlike("^[0-9]{1,19}$") ||
+      (s.rlike("^[0-9]{20}$") && s <= lit("18446744073709551615"))
+    when(fits, graft.functions.Uint64.parse_u64(s))
+  }
+  def try_get_uint64(any: Column, ypath: String): Column =
+    u64FromCarrier(try_get_string(any, ypath))
   def try_get_double(any: Column, ypath: String): Column =
     try_get_string(any, ypath).try_cast("double")
   def try_get_boolean(any: Column, ypath: String): Column =
@@ -175,7 +186,8 @@ object QLFunctions {
         lit(s"get_any: no value at ypath '$ypath'"))))
   def get_int64(any: Column, ypath: String): Column =
     getRequired(any, ypath).cast("long")
-  def get_uint64(any: Column, ypath: String): Column = get_int64(any, ypath)
+  def get_uint64(any: Column, ypath: String): Column =
+    graft.functions.Uint64.parse_u64(getRequired(any, ypath))
   def get_double(any: Column, ypath: String): Column =
     getRequired(any, ypath).cast("double")
   def get_boolean(any: Column, ypath: String): Column =
@@ -433,8 +445,18 @@ object QLFunctions {
       Size(JsonObjectKeys(es.head)))))
     reg("try_get_int64")(es => tryCast(jsonGet(es), LongType))
     reg("get_int64")(es => ansiCast(jsonGetRequired(es), LongType))
-    reg("try_get_uint64")(es => tryCast(jsonGet(es), LongType))
-    reg("get_uint64")(es => ansiCast(jsonGetRequired(es), LongType))
+    // uint64 accessors: raw-bits parse of the full unsigned range (a
+    // signed cast nulls values above Long.MaxValue); negatives and
+    // non-integers are a type mismatch — null under try, raise under get
+    // (ParseUnsigned throws)
+    def u64Carrier(s: Expression): Expression = {
+      val fits = Or(RLike(s, Literal("^[0-9]{1,19}$")),
+        And(RLike(s, Literal("^[0-9]{20}$")),
+          LessThanOrEqual(s, Literal("18446744073709551615"))))
+      CaseWhen(Seq((fits, ParseUnsigned(s))), None)
+    }
+    reg("try_get_uint64")(es => u64Carrier(jsonGet(es)))
+    reg("get_uint64")(es => ParseUnsigned(jsonGetRequired(es)))
     reg("try_get_double")(es => tryCast(jsonGet(es), DoubleType))
     reg("get_double")(es => ansiCast(jsonGetRequired(es), DoubleType))
     reg("try_get_boolean")(es => tryCast(jsonGet(es), BooleanType))

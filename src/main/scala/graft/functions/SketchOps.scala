@@ -284,4 +284,78 @@ object SketchOps {
     }
     UTF8String.fromString(best)
   }
+
+  /** Portable (md5-based) min-k document fingerprint in one pass —
+    * value-identical to the declarative
+    * `concat_ws("", slice(array_sort(array_distinct(md5-grams)), 1, k))`
+    * over the non-empty `\s+` split, but without the HOF-lambda
+    * re-evaluation of the split per gram. Hex is lowercase, matching
+    * both Spark's `md5` and DuckDB's; sort order on hex strings is
+    * plain byte order on both. */
+  def portableFingerprint(text: UTF8String, shingleSize: Int,
+      sketchSize: Int): UTF8String = {
+    val words0 = text.toString.split("\\s+", -1)
+    var wc = 0
+    var i = 0
+    while (i < words0.length) { if (words0(i).nonEmpty) wc += 1; i += 1 }
+    if (wc < shingleSize) return UTF8String.EMPTY_UTF8
+    val words = new Array[String](wc)
+    var k = 0
+    i = 0
+    while (i < words0.length) {
+      if (words0(i).nonEmpty) { words(k) = words0(i); k += 1 }
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sorted = new java.util.TreeSet[String]()
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i + shingleSize <= wc) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleSize) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = Character.forDigit((digest(b) >> 4) & 0xf, 16)
+        hex(2 * b + 1) = Character.forDigit(digest(b) & 0xf, 16)
+        b += 1
+      }
+      sorted.add(new String(hex))
+      i += 1
+    }
+    sb.setLength(0)
+    val it = sorted.iterator()
+    var taken = 0
+    while (it.hasNext && taken < sketchSize) {
+      sb.append(it.next()); taken += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Exact-integer invariant of [[graft.operators.Multimodal.extractFeatures]]'s
+    * rolling byte hash: Σ over byte positions of (h_i & 0xffff), where
+    * h_i = 31·h_{i-1} + signed byte_i (wraparound), h_0 = 1125899906842597.
+    * Each vec entry accumulates (h_i & 0xffff)/65536 − 0.5 into one dim, so
+    * Σ(vec) + len/2 ≈ rollingHashSum/65536 — an oracle-checkable exact pin
+    * for the float feature vectors (reimplementable byte-for-byte in SQL).
+    */
+  def rollingHashSum(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      h = 31 * h + payload(i)
+      sum += (h & 0xffffL)
+      i += 1
+    }
+    sum
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.{shims => S}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 
 /** Single-pass sketch expressions for the dedup operators.
   *
@@ -212,6 +212,46 @@ object Sketches {
     S.column(DotProduct(S.expression(a), S.expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     S.column(CosineSim(S.expression(a), S.expression(b)))
+
+  /** Portable md5 min-k fingerprint (see SketchOps.portableFingerprint)
+    * — one pass per document; the declarative HOF form re-evaluates the
+    * whitespace split once per gram. */
+  case class PortableFingerprint(child: Expression, shingleSize: Int,
+      sketchSize: Int) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.portableFingerprint(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        shingleSize, sketchSize)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.portableFingerprint($c, $shingleSize, $sketchSize);")
+    override protected def withNewChildInternal(newChild: Expression): PortableFingerprint =
+      copy(child = newChild)
+  }
+
+  def portableFingerprint(text: Column, shingleSize: Int, sketchSize: Int): Column =
+    S.column(PortableFingerprint(S.expression(text), shingleSize, sketchSize))
+
+  /** Exact-integer pin for the stubbed feature encoder (see
+    * SketchOps.rollingHashSum): lets an external oracle verify the float
+    * feature vectors through an integer invariant. */
+  case class RollingHashSum(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.rollingHashSum(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.rollingHashSum($c);")
+    override protected def withNewChildInternal(newChild: Expression): RollingHashSum =
+      copy(child = newChild)
+  }
+
+  def rollingHashSum(payload: Column): Column =
+    S.column(RollingHashSum(S.expression(payload)))
 
   def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     S.column(MinHashSig(S.expression(shingles), numHashes, seed))

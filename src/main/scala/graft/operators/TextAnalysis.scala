@@ -81,18 +81,24 @@ object TextAnalysis {
     * engine with split/md5/sort recomputes the identical value (the
     * DuckDB oracle does, verbatim). xxhash64 [[fingerprint]] stays the
     * hot-path default; this is for pipelines that must agree on
-    * fingerprints with systems outside the JVM. */
+    * fingerprints with systems outside the JVM.
+    *
+    * Declarative definition (what external engines recompute):
+    * {{{
+    *   ws    = filter(split(text, "\\s+"), w => w =!= "")
+    *   grams = transform(sequence(1, size(ws) - k + 1), i =>
+    *             md5(concat_ws(" ", ws[i] .. ws[i+k-1])))
+    *   fp    = concat_ws("", slice(array_sort(array_distinct(grams)), 1, m))
+    * }}}
+    * Computed here as one codegen'd pass (Sketches.PortableFingerprint):
+    * the HOF form re-evaluates the whitespace split once per gram, which
+    * is quadratic in document length. Null text maps to "" like the
+    * concat_ws form. */
   def portableFingerprint(text: Column, shingleSize: Int = 4,
-      sketchSize: Int = 8): Column = {
-    val ws = filter(split(text, "\\s+"), w => w =!= "")
-    val n = size(ws)
-    val grams = when(n >= shingleSize,
-      transform(sequence(lit(1), n - shingleSize + 1), i =>
-        md5(concat_ws(" ",
-          (0 until shingleSize).map(j => element_at(ws, i + lit(j))): _*))))
-      .otherwise(array().cast("array<string>"))
-    concat_ws("", slice(array_sort(array_distinct(grams)), 1, sketchSize))
-  }
+      sketchSize: Int = 8): Column =
+    coalesce(
+      graft.functions.Sketches.portableFingerprint(text, shingleSize, sketchSize),
+      lit(""))
 
   /** Canonical text normalization for dedup preprocessing: lowercase,
     * strip punctuation to spaces, collapse whitespace runs, trim. Two

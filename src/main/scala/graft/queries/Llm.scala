@@ -290,16 +290,24 @@ object Llm {
         .select(col("doc_id"), length(col("resized")).cast("long").as("resized_len"))
     }),
 
-    // Feature extraction: payload → dense embedding (stubbed encoder),
-    // composed with the ANN brute-force operator — media-to-vector
-    // search end-to-end.
+    // Feature extraction: payload → dense embedding (stubbed encoder).
+    // The float vectors are pinned to an exact-integer invariant of the
+    // same rolling byte hash (Sketches.RollingHashSum): Σ(vec) + len/2
+    // must equal hsum/65536 up to float32 accumulation error, and hsum
+    // itself is recomputed byte-for-byte by the DuckDB oracle — so the
+    // vectors are oracle-verified, not just row-counted.
     "llm_multimodal_features" -> ((s, d) => {
       val withBin = Multimodal.withBinaryPayload(
         t(s, d, "documents").filter(col("doc_id") < 100)
           .select(col("doc_id"), col("text")), "text", "payload")
       Multimodal.extractFeatures(withBin, "payload", 16)
         .select(col("doc_id"),
-          round(aggregate(col("vec"), lit(0.0d), (a, x) => a + x), 3).as("vec_sum"))
+          length(col("payload")).cast("long").as("byte_len"),
+          graft.functions.Sketches.rollingHashSum(col("payload")).as("hsum"),
+          (aggregate(col("vec"), lit(0.0d), (a, x) => a + x)
+            + length(col("payload")) * 0.5d).as("vsum"))
+        .select(col("doc_id"), col("byte_len"), col("hsum"),
+          (abs(col("vsum") * 65536d - col("hsum")) < 1000d).as("vec_ok"))
     })
   )
 
@@ -603,6 +611,36 @@ object Llm {
     "llm_multimodal_resize" ->
       """SELECT doc_id,
            LEAST(octet_length(encode(text)), 16) AS resized_len
-         FROM documents WHERE doc_id < 200"""
+         FROM documents WHERE doc_id < 200""",
+    // Byte-for-byte reimplementation of the feature encoder's rolling
+    // hash (h = 31h + signed_byte mod 2^64 from 1125899906842597;
+    // hsum = Σ h&0xffff) over the hex dump of the UTF-8 payload —
+    // pins the Spark-side float vectors through the integer invariant.
+    "llm_multimodal_features" ->
+      """WITH RECURSIVE b AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id < 100),
+         r AS (
+           SELECT doc_id, hx, n, 0 AS i,
+                  CAST(1125899906842597 AS HUGEINT) AS h,
+                  CAST(0 AS HUGEINT) AS s
+           FROM b
+           UNION ALL
+           SELECT doc_id, hx, n, i + 1, h1, s + h1 % 65536
+           FROM (
+             SELECT doc_id, hx, n, i, s,
+               ((31 * h + sb) % 18446744073709551616
+                 + 18446744073709551616) % 18446744073709551616 AS h1
+             FROM (
+               SELECT *, CASE WHEN byt >= 128 THEN byt - 256 ELSE byt END AS sb
+               FROM (
+                 SELECT *,
+                   16 * (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                      + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS byt
+                 FROM r WHERE i < n))))
+         SELECT doc_id, CAST(n AS BIGINT) AS byte_len, CAST(s AS BIGINT) AS hsum,
+                true AS vec_ok
+         FROM r WHERE i = n"""
   )
 }

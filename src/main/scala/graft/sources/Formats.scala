@@ -52,8 +52,12 @@ object Formats {
         val k = substring_index(p, "=", 1)
         struct(k.as("k"), p.substr(length(k) + 2, length(p)).as("v"))
       }))
+    // the map parse lands in its own projection: referenced once per
+    // requested column, an inlined `m` would re-split the line N times
+    // (CollapseProject keeps multi-referenced non-cheap expressions)
     spark.read.text(path)
-      .select(columns.map(c => element_at(m, lit(c)).as(c)): _*)
+      .select(m.as("__kv"))
+      .select(columns.map(c => element_at(col("__kv"), lit(c)).as(c)): _*)
   }
 
   /** Json lines. */

@@ -67,6 +67,32 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(-1L, Long.MinValue))
   }
 
+  test("try_get_uint64 keeps the full unsigned range, rejects negatives") {
+    F.registerAll(spark)
+    val df = Seq(
+      """{"k": 18446744073709551615}""", // 2^64-1: raw bits, not null
+      """{"k": 9223372036854775808}""",  // Long.MaxValue+1
+      """{"k": 42}""",
+      """{"k": -1}""",                   // negative: type mismatch → null
+      """{"k": 18446744073709551616}""", // 2^64: out of range → null
+      """{"k": "x"}""").toDF("any")
+    val got = df.select(F.try_get_uint64(col("any"), "/k").as("v"))
+      .as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(-1L), Some(Long.MinValue), Some(42L),
+      None, None, None))
+    // the SQL registry form agrees with the Column form
+    df.createOrReplaceTempView("u64doc")
+    val viaSql = spark.sql(
+      "SELECT try_get_uint64(any, '/k') AS v FROM u64doc")
+      .as[Option[Long]].collect().toSeq
+    assert(viaSql == got)
+    // get_uint64 raises on the mismatch instead of nulling
+    intercept[Exception] {
+      spark.sql("SELECT get_uint64(any, '/k') AS v FROM u64doc")
+        .filter(col("v").isNull).collect()
+    }
+  }
+
   test("registered SQL functions work in spark.sql") {
     F.registerAll(spark)
     val r = spark.sql(

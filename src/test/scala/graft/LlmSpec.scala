@@ -157,6 +157,29 @@ class LlmSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("portableFingerprint matches its declarative HOF definition") {
+    // the single-pass expression must be value-identical to the
+    // documented split/md5/sort composition on real corpus text
+    val df = docs.limit(50).select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (-1L, "one two three"),          // fewer words than the shingle
+        (-2L, "  leading   and  runs "), // whitespace runs / edges
+        (-3L, "a b c d a b c d a b c d") // duplicate grams
+      ).toDF("doc_id", "text"))
+    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val grams = when(size(ws) >= 4,
+      transform(sequence(lit(1), size(ws) - 3), i =>
+        md5(concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    val declarative = concat_ws("", slice(array_sort(array_distinct(grams)), 1, 8))
+    val diff = df.select(
+        TextAnalysis.portableFingerprint(col("text")).as("fast"),
+        declarative.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+  }
+
   test("token counts match a hand count") {
     val df = Seq("one two  three", "", "  ", "single").toDF("text")
     val got = df.select(TextAnalysis.tokenCount(col("text"))).as[Long].collect().toSeq
