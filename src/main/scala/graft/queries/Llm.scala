@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over the documents/embeddings
@@ -288,6 +288,23 @@ object Llm {
           .select(col("doc_id"), col("text")), "text", "payload")
       Multimodal.resize(withBin, "payload", width = 32, height = 32)
         .select(col("doc_id"), length(col("resized")).cast("long").as("resized_len"))
+    }),
+
+    // Sequence packing (sample packing for pretraining): whole docs
+    // greedily fill 512-token context windows, bucketed for parallelism
+    // (bucket = doc_id % 8 here so the oracle can re-derive it; xxhash64
+    // buckets in production). Per-pack doc counts and token sums are
+    // deterministic integers, recomputed by a recursive-CTE oracle.
+    "llm_pack_sequences" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("tokens"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(8)))
+      Packing.packSequences(docs, "bucket", "doc_id", "tokens", budget = 512)
+        .groupBy(col("bucket"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("token_sum"),
+          max(col("pack_pos")).as("max_pos"))
     }),
 
     // Feature extraction: payload → dense embedding (stubbed encoder).
@@ -612,6 +629,32 @@ object Llm {
       """SELECT doc_id,
            LEAST(octet_length(encode(text)), 16) AS resized_len
          FROM documents WHERE doc_id < 200""",
+    // Greedy packing replayed exactly: docs ordered per bucket, the
+    // recursive step carries (pack_id, fill) and opens a new pack when
+    // the budget would overflow — the same rule as Packing.packSequences.
+    // max_pos doubles as a contiguity check (positions 0..n-1 per pack).
+    "llm_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id % 8 AS bucket, doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+                 w -> len(w) > 0)) AS tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT bucket, rn, tokens, CAST(0 AS BIGINT) AS pack_id,
+                  tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.bucket, d.rn, d.tokens,
+             CASE WHEN p.fill + d.tokens > 512 THEN p.pack_id + 1
+                  ELSE p.pack_id END,
+             CASE WHEN p.fill + d.tokens > 512 THEN d.tokens
+                  ELSE p.fill + d.tokens END
+           FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+         SELECT bucket, pack_id, COUNT(*) AS n_docs,
+                CAST(SUM(tokens) AS BIGINT) AS token_sum,
+                CAST(COUNT(*) - 1 AS BIGINT) AS max_pos
+         FROM p GROUP BY 1, 2""",
     // Byte-for-byte reimplementation of the feature encoder's rolling
     // hash (h = 31h + signed_byte mod 2^64 from 1125899906842597;
     // hsum = Σ h&0xffff) over the hex dump of the UTF-8 payload —

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Semantics of the signature-based LLM-pipeline operators that the
@@ -178,6 +178,44 @@ class LlmSpec extends SparkSpec {
         declarative.as("slow"))
       .filter(col("fast") =!= col("slow")).count()
     assert(diff == 0)
+  }
+
+  test("sequence packing: exact cover, budget respected, partition-invariant") {
+    val budget = 256L
+    val in = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(4)))
+    val packed = Packing.packSequences(in, "bucket", "doc_id", "tokens", budget)
+      .select("doc_id", "tokens", "bucket", "pack_id", "pack_pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nDocs = docs.count()
+    // every doc packed exactly once
+    assert(packed.length == nDocs)
+    assert(packed.map(_._1).distinct.length == nDocs)
+    val byPack = packed.groupBy(p => (p._3, p._4))
+    byPack.foreach { case ((bucket, pack), ds) =>
+      // multi-doc packs stay inside the budget; only a single oversize
+      // doc may exceed it
+      val total = ds.map(_._2).sum
+      assert(ds.length == 1 || total <= budget,
+        s"pack ($bucket,$pack) holds ${ds.length} docs / $total tokens")
+      // positions are contiguous 0..n-1
+      assert(ds.map(_._5).sorted.toSeq == (0L until ds.length).toSeq)
+    }
+    // greedy maximality: consecutive packs cannot be merged — the first
+    // doc of pack k+1 did not fit into pack k
+    val firstOf = packed.filter(_._5 == 0L).map(p => (p._3, p._4) -> p._2).toMap
+    byPack.foreach { case ((bucket, pack), ds) =>
+      firstOf.get((bucket, pack + 1)).foreach { nextTokens =>
+        assert(ds.map(_._2).sum + nextTokens > budget)
+      }
+    }
+    // result is independent of the input's physical partitioning
+    val reshuffled = Packing.packSequences(in.repartition(17), "bucket",
+        "doc_id", "tokens", budget)
+      .select("doc_id", "tokens", "bucket", "pack_id", "pack_pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(reshuffled.toSet == packed.toSet)
   }
 
   test("token counts match a hand count") {
