@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing and training-order layout for pretraining pipelines:
+  * per-source sampling weights (down-sample rare-quality sources,
+  * up-sample high-quality ones across epochs) and a deterministic
+  * content-hash shuffle into shards.
+  *
+  * Both operators are hash-deterministic (md5 over stable keys, the
+  * same portable convention as `Operations.hashSampleMd5`), so any
+  * engine — and the DuckDB oracle — reproduces the exact same mixture
+  * and order. No RNG state, no driver-side sampling.
+  */
+object Mixture {
+
+  /** Weighted mixture: each row of source s appears `floor(w_s)` times
+    * (epochs 0..floor-1) plus one more epoch with probability
+    * `w_s - floor(w_s)`, decided by md5 over (source, epoch, id) — the
+    * standard up/down-sampling used to hit target mixture ratios.
+    *
+    * Plan shape: a generate (sequence explode) plus a filter — NO
+    * shuffle; each epoch of a source streams straight through to the
+    * consumer. At 100 TB the mixture is a map-side transform feeding
+    * whatever comes next (packing, shard shuffle), never a join.
+    *
+    * Weights absent from the map default to 1.0 (one epoch, no
+    * sampling). Determinism: the fractional-epoch key includes source
+    * and epoch, so re-runs and re-partitions keep identical rows.
+    */
+  def weightedMixture(input: DataFrame, sourceCol: String,
+      idCols: Seq[String], weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w.isFinite),
+      s"weights must be finite and non-negative: $weights")
+    def fullOf(w: Double): Long = math.floor(w).toLong
+    // fractional part → 8-hex-digit md5 threshold (hashSampleMd5's
+    // convention): keep iff substring(md5(key),1,8) < hex(frac·2³²)
+    def thrOf(w: Double): String = {
+      val frac = w - math.floor(w)
+      f"${math.floor(frac * 4294967296.0).toLong}%08x"
+    }
+    val src = col(sourceCol)
+    val full = weights.foldLeft(lit(1L)) { case (acc, (name, w)) =>
+      when(src === lit(name), lit(fullOf(w))).otherwise(acc)
+    }
+    val thr = weights.foldLeft(lit("00000000")) { case (acc, (name, w)) =>
+      when(src === lit(name), lit(thrOf(w))).otherwise(acc)
+    }
+    val key = substring(md5(concat_ws("|",
+      (src +: col("epoch").cast("string") +: idCols.map(col)): _*)), 1, 8)
+    input
+      .withColumn("__full", full).withColumn("__thr", thr)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
+      .filter(col("epoch") < col("__full") || key < col("__thr"))
+      .drop("__full", "__thr")
+  }
+
+  /** Deterministic corpus shuffle into training shards: global order by
+    * `md5(salt | id)`, sharded by the key's first hex nibbles. The salt
+    * re-shuffles between runs without touching the data; the order is
+    * content-independent, so adjacent documents decorrelate.
+    *
+    * `nibbles` = 1 gives 16 shards, 2 gives 256 — the shard is the
+    * key's own prefix, so shard assignment and within-shard order come
+    * from one hash and any engine re-derives both (production writers
+    * that need arbitrary shard counts hash to `pmod(conv(prefix), n)`
+    * instead; the prefix form is what the cross-engine oracle pins).
+    *
+    * Plan shape: one exchange on the shard prefix, one in-partition
+    * sort, a per-shard running position — the exact shape of a
+    * distributed shard writer (shards ≫ cores keeps it balanced).
+    */
+  def shuffleShards(input: DataFrame, idCols: Seq[String], salt: String,
+      nibbles: Int = 1): DataFrame = {
+    require(nibbles >= 1 && nibbles <= 4, s"nibbles in 1..4, got $nibbles")
+    val key = md5(concat_ws("|", lit(salt) +: idCols.map(col): _*))
+    val shard = substring(key, 1, nibbles)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shard)
+      .orderBy(key.asc +: idCols.map(col(_).asc): _*)
+    input
+      .withColumn("shard", shard)
+      .withColumn("shuffle_key", key)
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
+  }
+}

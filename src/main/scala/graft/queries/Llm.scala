@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Mixture, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over the documents/embeddings
@@ -306,6 +306,31 @@ object Llm {
           sum(col("tokens")).as("token_sum"),
           max(col("pack_pos")).as("max_pos"))
     }),
+
+    // Weighted source mixture: src0 upsampled 2.5× (2 full epochs + a
+    // half-sampled third), src1 downsampled to 0.3, everything else
+    // passes through once. Shuffle-free map-side transform; the md5
+    // epoch-sampling decision is replayed exactly by the oracle.
+    "llm_mixture_weights" -> ((s, d) =>
+      Mixture.weightedMixture(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "source", Seq("doc_id"),
+          Map("src0" -> 2.5, "src1" -> 0.3))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          count_distinct(col("epoch")).as("n_epochs"))),
+
+    // Deterministic shard shuffle (training order): md5 order key with
+    // the shard as its own first hex nibble, per-shard positions from
+    // one exchange + in-partition sort. Row-level oracle: every shard,
+    // key and position is recomputed verbatim in SQL.
+    "llm_shuffle_shards" -> ((s, d) =>
+      Mixture.shuffleShards(
+          t(s, d, "documents").select(col("doc_id")),
+          Seq("doc_id"), salt = "r3", nibbles = 1)
+        .select(col("doc_id"), col("shard"), col("shuffle_key"),
+          col("shard_pos"))),
 
     // Feature extraction: payload → dense embedding (stubbed encoder).
     // The float vectors are pinned to an exact-integer invariant of the
@@ -629,6 +654,36 @@ object Llm {
       """SELECT doc_id,
            LEAST(octet_length(encode(text)), 16) AS resized_len
          FROM documents WHERE doc_id < 200""",
+    // The mixture's epoch replication and md5 fractional sampling,
+    // replayed with the identical key string and thresholds
+    // (floor(frac·2³²) as 8 lowercase hex digits).
+    "llm_mixture_weights" ->
+      """WITH m AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                  ELSE 1 END AS n_full,
+             CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '4ccccccc'
+                  ELSE '00000000' END AS thr
+           FROM documents),
+         e AS (
+           SELECT doc_id, source, n_full, thr,
+                  unnest(generate_series(0, n_full)) AS epoch
+           FROM m)
+         SELECT source, COUNT(*) AS n_rows,
+                COUNT(DISTINCT doc_id) AS n_docs,
+                COUNT(DISTINCT epoch) AS n_epochs
+         FROM e
+         WHERE epoch < n_full
+            OR substring(md5(source || '|' || epoch || '|' || doc_id), 1, 8) < thr
+         GROUP BY 1""",
+    "llm_shuffle_shards" ->
+      """SELECT doc_id,
+           substring(md5('r3|' || doc_id), 1, 1) AS shard,
+           md5('r3|' || doc_id) AS shuffle_key,
+           ROW_NUMBER() OVER (
+             PARTITION BY substring(md5('r3|' || doc_id), 1, 1)
+             ORDER BY md5('r3|' || doc_id), doc_id) - 1 AS shard_pos
+         FROM documents""",
     // Greedy packing replayed exactly: docs ordered per bucket, the
     // recursive step carries (pack_id, fill) and opens a new pack when
     // the budget would overflow — the same rule as Packing.packSequences.

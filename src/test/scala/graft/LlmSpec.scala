@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Mixture, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Semantics of the signature-based LLM-pipeline operators that the
@@ -216,6 +216,54 @@ class LlmSpec extends SparkSpec {
       .select("doc_id", "tokens", "bucket", "pack_id", "pack_pos")
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(reshuffled.toSet == packed.toSet)
+  }
+
+  test("weighted mixture: full epochs exact, fractional epoch ~ rate, no RNG") {
+    val in = docs.select(col("doc_id"), col("source"))
+    val out = Mixture.weightedMixture(in, "source", Seq("doc_id"),
+      Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0))
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val n = in.filter(col("source") === "src0").count()
+    // integer weight: exactly w copies of every row
+    assert(bySource("src0") == 3 * n)
+    // zero weight: source dropped entirely
+    assert(!bySource.contains("src2"))
+    // untouched sources: exactly once
+    assert(bySource("src3") == n)
+    // fractional weight: binomial around 0.5·n (loose 4σ bound)
+    val s1 = bySource.getOrElse("src1", 0L).toDouble
+    assert(math.abs(s1 - 0.5 * n) <= 4 * math.sqrt(n * 0.25) + 1)
+    // hash-deterministic: same rows whatever the input partitioning
+    val again = Mixture.weightedMixture(in.repartition(13), "source",
+      Seq("doc_id"), Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0))
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Long)].collect().toSet
+    val first = out.select("doc_id", "source", "epoch")
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == first)
+  }
+
+  test("shard shuffle: shard is the key prefix, positions dense in key order") {
+    val out = Mixture.shuffleShards(docs.select(col("doc_id")),
+      Seq("doc_id"), salt = "s", nibbles = 1)
+      .select("doc_id", "shard", "shuffle_key", "shard_pos")
+      .as[(Long, String, String, Long)].collect()
+    assert(out.length == docs.count())
+    out.foreach { case (_, shard, key, _) => assert(key.startsWith(shard)) }
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      // dense 0..n-1 positions, ordered by the md5 key
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length).toSeq)
+      assert(rows.sortBy(_._4).map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    }
+    // a different salt produces a different order (shuffling actually
+    // re-shuffles), but the same row set
+    val other = Mixture.shuffleShards(docs.select(col("doc_id")),
+      Seq("doc_id"), salt = "t", nibbles = 1)
+      .select("doc_id", "shard_pos").as[(Long, Long)].collect().toMap
+    val mine = out.map(r => r._1 -> r._4).toMap
+    assert(other.keySet == mine.keySet)
+    assert(other != mine)
   }
 
   test("token counts match a hand count") {
