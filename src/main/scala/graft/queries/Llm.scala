@@ -205,6 +205,30 @@ object Llm {
         min(col("doc_id")).as("min_id"))
     }),
 
+    // Full pretrain-layout pipeline: quality gate → weighted source
+    // mixture (src0 ×2, src1 ×0.5) → greedy 512-token packing over
+    // (doc,epoch) buckets. Per-bucket pack counts / token sums / padding
+    // waste come out as exact integers; the oracle recomposes the three
+    // proven stages (quality SQL, mixture unnest, packing recursion).
+    "llm_pipeline_pretrain" -> ((s, d) => {
+      val gated = t(s, d, "documents")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("tokens"))
+      val mixed = Mixture.weightedMixture(gated, "source", Seq("doc_id"),
+        Map("src0" -> 2.0, "src1" -> 0.5))
+      val keyed = mixed
+        .withColumn("bucket", pmod(col("doc_id") * 7 + col("epoch"), lit(8)))
+        .withColumn("ord", col("doc_id") * 4 + col("epoch"))
+      Packing.packSequences(keyed, "bucket", "ord", "tokens", budget = 512)
+        .groupBy(col("bucket"), col("pack_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("tokens")).as("tk"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_packs"), sum(col("nd")).as("n_docs"),
+          sum(col("tk")).as("token_sum"),
+          sum(greatest(lit(512L) - col("tk"), lit(0L))).as("padding"))
+    }),
+
     // Benchmark decontamination (GPT-3 appendix C): flag corpus docs
     // sharing any word 5-gram with the benchmark set (docs ≡ 0 mod 97
     // as the eval stand-in). Benchmark grams broadcast; the corpus
@@ -654,6 +678,64 @@ object Llm {
       """SELECT doc_id,
            LEAST(octet_length(encode(text)), 16) AS resized_len
          FROM documents WHERE doc_id < 200""",
+    // The three proven stages recomposed: the e2e quality formula, the
+    // mixture's epoch unnest + md5 threshold, and the packing recursion
+    // over (bucket, ord) — per-bucket layout stats as exact integers.
+    "llm_pipeline_pretrain" ->
+      """WITH RECURSIVE scored AS (
+           SELECT doc_id, source, n_words,
+             ROUND(least(len(text) / 500.0, 1.0) * 0.3 +
+               (CASE WHEN (len(text) - n_words + 1)::DOUBLE / greatest(n_words, 1)
+                 BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+               (CASE WHEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+                 greatest(len(text), 1)::DOUBLE < 0.2 THEN 1.0 ELSE 0.2 END) * 0.2 +
+               least((len(list_filter(string_split_regex(lower(text), '\s+'),
+                 w -> w IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                 / greatest(n_words, 1)) * 5.0, 1.0) * 0.2, 4) AS quality
+           FROM (SELECT doc_id, source, text,
+                   len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))
+                     AS n_words
+                 FROM documents)),
+         g AS (SELECT doc_id, source, n_words AS tokens
+               FROM scored WHERE quality >= 0.5),
+         m AS (
+           SELECT doc_id, source, tokens,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END AS n_full,
+             CASE source WHEN 'src1' THEN '80000000' ELSE '00000000' END AS thr
+           FROM g),
+         e AS (
+           SELECT doc_id, tokens, source, n_full, thr,
+                  unnest(generate_series(0, n_full)) AS epoch
+           FROM m),
+         k AS (
+           SELECT doc_id, tokens, epoch,
+                  (doc_id * 7 + epoch) % 8 AS bucket,
+                  doc_id * 4 + epoch AS ord
+           FROM e
+           WHERE epoch < n_full
+              OR substring(md5(source || '|' || epoch || '|' || doc_id), 1, 8) < thr),
+         d AS (
+           SELECT bucket, ord, tokens,
+                  ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ord) AS rn
+           FROM k),
+         p AS (
+           SELECT bucket, rn, tokens, CAST(0 AS BIGINT) AS pack_id, tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.bucket, d.rn, d.tokens,
+             CASE WHEN p.fill + d.tokens > 512 THEN p.pack_id + 1
+                  ELSE p.pack_id END,
+             CASE WHEN p.fill + d.tokens > 512 THEN d.tokens
+                  ELSE p.fill + d.tokens END
+           FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1),
+         pk AS (
+           SELECT bucket, pack_id, COUNT(*) AS nd,
+                  CAST(SUM(tokens) AS BIGINT) AS tk
+           FROM p GROUP BY 1, 2)
+         SELECT bucket, COUNT(*) AS n_packs, CAST(SUM(nd) AS BIGINT) AS n_docs,
+                CAST(SUM(tk) AS BIGINT) AS token_sum,
+                CAST(SUM(greatest(512 - tk, 0)) AS BIGINT) AS padding
+         FROM pk GROUP BY 1""",
     // The mixture's epoch replication and md5 fractional sampling,
     // replayed with the identical key string and thresholds
     // (floor(frac·2³²) as 8 lowercase hex digits).
