@@ -248,4 +248,42 @@ class PlanContractSpec extends SparkSpec {
       "sample filter should be below (printed after) the exchange:\n" +
         p.linesIterator.take(15).mkString("\n"))
   }
+
+  test("weightedMixture is shuffle-free: epochs stream map-side") {
+    val mixed = graft.operators.Mixture.weightedMixture(
+      sources.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "source"),
+      "source", Seq("doc_id"), Map("src0" -> 2.5, "src1" -> 0.5))
+    mixed.count()
+    val p = planString(mixed)
+    // replication must not cost an exchange — at 100 TB the mixture is
+    // a pass-through transform feeding the next stage's shuffle
+    assert(!p.contains("Exchange"), p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("packSequences costs exactly one exchange (the bucket hash)") {
+    val in = sources.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(
+          org.apache.spark.sql.functions.col("text")).as("tokens"))
+      .withColumn("bucket", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(8)))
+    val packed = graft.operators.Packing.packSequences(
+      in, "bucket", "doc_id", "tokens", 512)
+    packed.count()
+    val p = planString(packed)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("shuffleShards costs exactly one exchange (the shard prefix)") {
+    val sharded = graft.operators.Mixture.shuffleShards(
+      sources.Tables.load(spark, sfDir, "documents").select("doc_id"),
+      Seq("doc_id"), salt = "plan", nibbles = 1)
+    sharded.count()
+    val p = planString(sharded)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      p.linesIterator.take(12).mkString("\n"))
+  }
 }
