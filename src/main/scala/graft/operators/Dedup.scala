@@ -334,4 +334,46 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("hits"))
   }
+
+  /** Exact segment-level dedup (C4 / RefinedWeb style): documents are
+    * cut into disjoint `segWords`-word segments, a segment that appears
+    * more than `maxOccurrences` times corpus-wide is dropped from every
+    * document, and the per-document damage report comes back as exact
+    * integers (segments kept/dropped, tokens kept).
+    *
+    * Scale shape: segments explode map-side from a materialized word
+    * array (an attribute, so the split is never re-evaluated per
+    * segment); the corpus-wide count is one hash aggregation keyed by
+    * the segment text; the flagged-segment set joins back BROADCAST —
+    * in real corpora the over-duplicated set is a sliver of the gram
+    * space, so the 100 TB exploded stream never shuffles for the join.
+    * Segments are compared as strings so the SQL oracle replays the
+    * whole pass exactly; production can key on xxhash64(segment).
+    */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int, maxOccurrences: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    // ws is materialized as an attribute before the transform so the
+    // whitespace split runs once per doc, not once per segment
+    val segs = docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0),
+            floor((size(col("ws")) - 1) / lit(segWords.toDouble)).cast("int")),
+          i => array_join(slice(col("ws"), i * segWords + 1, lit(segWords)), " ")))
+          .as("seg"))
+      .withColumn("seg_tk", size(split(col("seg"), " ")).cast("long"))
+    val flagged = segs.groupBy(col("seg"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOccurrences)
+      .select(col("seg"), lit(true).as("dup"))
+    segs.join(broadcast(flagged), Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("dup"), 0L).otherwise(col("seg_tk"))).as("tokens_kept"))
+  }
 }

@@ -205,6 +205,13 @@ object Llm {
         min(col("doc_id")).as("min_id"))
     }),
 
+    // Exact segment dedup (C4/RefinedWeb): disjoint 10-word segments,
+    // drop any segment occurring >2 times corpus-wide; per-doc damage
+    // report in exact integers, row-level oracle.
+    "llm_dedup_segments" -> ((s, d) =>
+      Dedup.dedupSegments(t(s, d, "documents"), "doc_id", "text",
+        segWords = 10, maxOccurrences = 2)),
+
     // Full pretrain-layout pipeline: quality gate → weighted source
     // mixture (src0 ×2, src1 ×0.5) → greedy 512-token packing over
     // (doc,epoch) buckets. Per-bucket pack counts / token sums / padding
@@ -678,6 +685,30 @@ object Llm {
       """SELECT doc_id,
            LEAST(octet_length(encode(text)), 16) AS resized_len
          FROM documents WHERE doc_id < 200""",
+    // Same disjoint segmentation, corpus-wide count and drop rule as
+    // Dedup.dedupSegments, replayed on DuckDB's list slices.
+    "llm_dedup_segments" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(floor((len(ws) - 1) / 10.0) AS INT)),
+               i -> array_to_string(ws[i*10+1 : i*10+10], ' ')) AS segl
+           FROM w WHERE len(ws) > 0),
+         e AS (SELECT doc_id, unnest(segl) AS seg FROM s),
+         c AS (SELECT seg, COUNT(*) AS occ FROM e GROUP BY 1),
+         j AS (
+           SELECT e.doc_id, (c.occ > 2) AS dup,
+                  len(string_split(e.seg, ' ')) AS seg_tk
+           FROM e JOIN c USING (seg))
+         SELECT doc_id, COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dup THEN 0 ELSE seg_tk END) AS BIGINT)
+             AS tokens_kept
+         FROM j GROUP BY 1""",
     // The three proven stages recomposed: the e2e quality formula, the
     // mixture's epoch unnest + md5 threshold, and the packing recursion
     // over (bucket, ord) — per-bucket layout stats as exact integers.

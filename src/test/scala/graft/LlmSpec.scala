@@ -218,6 +218,31 @@ class LlmSpec extends SparkSpec {
     assert(reshuffled.toSet == packed.toSet)
   }
 
+  test("segment dedup drops exactly the over-duplicated spans") {
+    // three docs share one 4-word segment; a fourth is unique
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d q r s t"),
+      (4L, "u v w x")).toDF("doc_id", "text")
+    val got = Dedup.dedupSegments(df, "doc_id", "text",
+        segWords = 4, maxOccurrences = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "a b c d" occurs 3 times (> 2) → dropped from docs 1-3; their
+    // second segments survive
+    assert(got(1L) == ((2L, 1L, 4L)))
+    assert(got(2L) == ((2L, 1L, 4L)))
+    assert(got(3L) == ((2L, 1L, 4L)))
+    assert(got(4L) == ((1L, 0L, 4L)))
+    // short tail segments carry their true token count
+    val tail = Dedup.dedupSegments(
+      Seq((9L, "a b c d e f")).toDF("doc_id", "text"), "doc_id", "text",
+      segWords = 4, maxOccurrences = 1)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(tail == ((9L, 2L, 0L, 6L))) // segments "a b c d" + "e f"
+  }
+
   test("weighted mixture: full epochs exact, fractional epoch ~ rate, no RNG") {
     val in = docs.select(col("doc_id"), col("source"))
     val out = Mixture.weightedMixture(in, "source", Seq("doc_id"),
