@@ -659,13 +659,47 @@ object QLEmitter {
           case _ if body != orig => Some(quoteIdent(orig))
           case _ => None
         }).fold(body)(a => s"$body AS $a")
+      // Key subexpressions inside mixed select items (ql_query_ut.cpp
+      // CardinalityAggregateTotals2: `(cardinality(a) - b*1000) >= -b*10`
+      // with `group by b`) rewrite per branch — in the group rows to the
+      // GUARDED key (so Spark matches the grouping expression), in the
+      // totals row to NULL (the totals key is null). Aggregate ARGUMENTS
+      // are never rewritten: they re-aggregate the real column.
+      val keyExprSet: Set[Expr] = groupExprs.toSet
+      def mapKeys(e: Expr, f: Expr => Expr): Expr = {
+        def go(x: Expr): Expr =
+          if (keyExprSet.contains(x)) f(x)
+          else x match {
+            case c @ Call(n, _, d) if d || aggNames(n.toLowerCase) => c
+            case Call(n, args, d) => Call(n, args.map(go), d)
+            case Bin(op, l, r) => Bin(op, go(l), go(r))
+            case Un(op, u) => Un(op, go(u))
+            case IsNullOp(u, n) => IsNullOp(go(u), n)
+            case LikeOp(u, k, p, esc, n) =>
+              LikeOp(go(u), k, go(p), esc.map(go), n)
+            case InList(t, rows, n) =>
+              InList(t.map(go), rows.map(_.map(go)), n)
+            case BetweenOp(t, rs, n) => BetweenOp(t.map(go),
+              rs.map { case (a, b) => (a.map(go), b.map(go)) }, n)
+            case CaseExpr(o, bs, el) => CaseExpr(o.map(go),
+              bs.map { case (w, th) => (go(w), go(th)) }, el.map(go))
+            case TupleExpr(items) => TupleExpr(items.map(go))
+            case ItemAccess(u, idx) => ItemAccess(go(u), go(idx))
+            case other => other
+          }
+        go(e)
+      }
       val groupSelect = select.map { si =>
         val sql = emit(si.e)
-        itemSql(si, keyOf.getOrElse(sql, sql), sql)
+        itemSql(si,
+          keyOf.getOrElse(sql, emit(mapKeys(si.e, k => RawSql(keyOf(emit(k)))))),
+          sql)
       }.mkString(", ")
       val totalsSelect = select.map { si =>
         val sql = emit(si.e)
-        itemSql(si, if (keyOf.contains(sql)) "NULL" else sql, sql)
+        itemSql(si,
+          if (keyOf.contains(sql)) "NULL" else emit(mapKeys(si.e, _ => NullLit)),
+          sql)
       }.mkString(", ")
       val havingSql = q.having.map(h => s" HAVING ${emit(subst(h))}").getOrElse("")
       val groupSql = s"SELECT $groupSelect$fromWhere GROUP BY " +
@@ -686,6 +720,7 @@ object QLEmitter {
 
   def emit(e: Expr): String = e match {
     case Star => "*"
+    case RawSql(s) => s
     case Ref(parts) =>
       // positional segments address tuple elements; YtTuple lowers to
       // a struct with fields _1.._n (types/YtTypes §1.2), so `.0`

@@ -212,6 +212,14 @@ object QLParser {
       branches: Seq[(Expr, Expr)], elseE: Option[Expr]) extends Expr
   final case class TupleExpr(items: Seq[Expr]) extends Expr
   final case class ItemAccess(e: Expr, index: Expr) extends Expr
+  /** `(expr AS name)` inside an expression (parser.ypp:542-556
+    * TAliasExpression): registers `name` for the whole query scope.
+    * Desugared away by [[parse]] — downstream consumers never see it. */
+  final case class InlineAlias(e: Expr, name: String) extends Expr
+  /** Pre-rendered SQL fragment — emitted verbatim. Synthesized only by
+    * QLEmitter's WITH TOTALS lowering (guarded group keys); never
+    * produced by the parser. */
+  final case class RawSql(sql: String) extends Expr
   case object Star extends Expr
 
   final case class SelectItem(e: Expr, alias: Option[String])
@@ -251,7 +259,90 @@ object QLParser {
       limit: Option[Long])
 
   // ----- parser -----
-  def parse(ql: String): Query = new P(tokenize(ql)).fullQuery()
+  def parse(ql: String): Query =
+    desugarInlineAliases(new P(tokenize(ql)).fullQuery())
+
+  /** Resolve `(expr AS x)` inline aliases (parser.ypp's AliasMap):
+    * every `x` reference in the defining query's scope substitutes to
+    * the aliased expression and the wrapper disappears, so downstream
+    * lowering never sees [[InlineAlias]]. Duplicate registration is an
+    * error like the reference's "Alias has been already used"; scopes
+    * are per query (subqueries resolve their own aliases). */
+  private def desugarInlineAliases(q: Query): Query = {
+    val defs = scala.collection.mutable.LinkedHashMap[String, Expr]()
+    def collect(e: Expr): Unit = e match {
+      case InlineAlias(inner, n) =>
+        if (defs.contains(n))
+          throw QLParseException(s"alias \"$n\" has been already used", 0)
+        collect(inner)
+        defs(n) = inner
+      case Call(_, args, _) => args.foreach(collect)
+      case Bin(_, l, r) => collect(l); collect(r)
+      case Un(_, x) => collect(x)
+      case IsNullOp(x, _) => collect(x)
+      case LikeOp(x, _, p, esc, _) => collect(x); collect(p); esc.foreach(collect)
+      case InList(t, rows, _) => t.foreach(collect); rows.foreach(_.foreach(collect))
+      case BetweenOp(t, rs, _) =>
+        t.foreach(collect); rs.foreach { case (a, b) => a.foreach(collect); b.foreach(collect) }
+      case CaseExpr(o, bs, el) =>
+        o.foreach(collect); bs.foreach { case (w, th) => collect(w); collect(th) }
+        el.foreach(collect)
+      case TupleExpr(items) => items.foreach(collect)
+      case ItemAccess(x, idx) => collect(x); collect(idx)
+      case _ => ()
+    }
+    def queryExprs(qq: Query): Seq[Expr] =
+      qq.select.map(_.e) ++ qq.where ++ qq.groupBy.map(_.e) ++ qq.having ++
+        qq.orderBy.map(_.e) ++ qq.joins.flatMap {
+          case JoinClause(_, _, _, on, pred) =>
+            on.toSeq.flatMap(t => t._1 ++ t._2) ++ pred
+          case ArrayJoinClause(_, items, pred) => items.map(_.e) ++ pred
+        }
+    queryExprs(q).foreach(collect)
+    // `active` guards pathological self-reference `(x + 1 as x)`
+    def rw(e: Expr, active: Set[String]): Expr = e match {
+      case InlineAlias(inner, _) => rw(inner, active)
+      case Ref(Seq(n)) if defs.contains(n) && !active(n) =>
+        rw(defs(n), active + n)
+      case Ref(_) | IntLit(_) | UIntLit(_) | DoubleLit(_) | StrLit(_) |
+           BoolLit(_) | NullLit | Star => e
+      case Call(n, args, d) => Call(n, args.map(rw(_, active)), d)
+      case Bin(op, l, r) => Bin(op, rw(l, active), rw(r, active))
+      case Un(op, x) => Un(op, rw(x, active))
+      case IsNullOp(x, n) => IsNullOp(rw(x, active), n)
+      case LikeOp(x, k, p, esc, n) =>
+        LikeOp(rw(x, active), k, rw(p, active), esc.map(rw(_, active)), n)
+      case InList(t, rows, n) =>
+        InList(t.map(rw(_, active)), rows.map(_.map(rw(_, active))), n)
+      case BetweenOp(t, rs, n) => BetweenOp(t.map(rw(_, active)),
+        rs.map { case (a, b) => (a.map(rw(_, active)), b.map(rw(_, active))) }, n)
+      case CaseExpr(o, bs, el) => CaseExpr(o.map(rw(_, active)),
+        bs.map { case (w, th) => (rw(w, active), rw(th, active)) },
+        el.map(rw(_, active)))
+      case TupleExpr(items) => TupleExpr(items.map(rw(_, active)))
+      case ItemAccess(x, idx) => ItemAccess(rw(x, active), rw(idx, active))
+    }
+    def r(e: Expr): Expr = rw(e, Set.empty)
+    val fromR = q.from.map {
+      case SubquerySource(sub, a) => SubquerySource(desugarInlineAliases(sub), a)
+      case other => other
+    }
+    if (defs.isEmpty && (fromR == q.from)) q
+    else q.copy(
+      select = q.select.map(si => si.copy(e = r(si.e))),
+      from = fromR,
+      joins = q.joins.map {
+        case jc @ JoinClause(_, _, _, on, pred) => jc.copy(
+          on = on.map { case (l, rr) => (l.map(r), rr.map(r)) },
+          pred = pred.map(r))
+        case aj @ ArrayJoinClause(_, items, pred) => aj.copy(
+          items = items.map(si => si.copy(e = r(si.e))), pred = pred.map(r))
+      },
+      where = q.where.map(r),
+      groupBy = q.groupBy.map(si => si.copy(e = r(si.e))),
+      having = q.having.map(r),
+      orderBy = q.orderBy.map(oi => oi.copy(e = r(oi.e))))
+  }
 
   private final class P(toks: Vector[Tok]) {
     private var i = 0
@@ -700,7 +791,14 @@ object QLParser {
         } else Ref(Seq(name))
       case TOp("(", p) =>
         val first = expr()
-        if (tryOp(",")) {
+        if (isKw("AS")) {
+          // parenthesized inline alias: `(expr AS x)` names the value
+          // for reuse anywhere in the query (parser.ypp expression rule)
+          bump()
+          val name = ident()
+          takeOp(")")
+          InlineAlias(first, name)
+        } else if (tryOp(",")) {
           val items = Vector.newBuilder[Expr]
           items += first
           items += expr()

@@ -3115,6 +3115,39 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(e != null) // reference text: "Cannot convert value"
   }
 
+  test("GroupByBool (ql_query_ut.cpp:2885): boolean expression as group key") {
+    val df = (1 to 9).map(i => (i.toLong, 10L * i)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "x, sum(b) as t FROM [//tmp/gb] where a > 1 group by a % 2 = 1 as x",
+      Map("//tmp/gb" -> df)).as[(Boolean, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((false, 200L), (true, 240L)))
+  }
+
+  test("CardinalityAggregateTotals2 (ql_query_ut.cpp:8644): HLL under " +
+      "HAVING with totals; inline aliases; totals-row null comparisons") {
+    // 12 blocks: block i holds a=0..1000·(i%3+1)-1 with b=i%3+1 — so
+    // group b=k has k·1000 distinct a values, repeated across 4 blocks
+    val rows = for {
+      i <- 0 until 12
+      j <- 0 until 1000 * (i % 3 + 1)
+    } yield (j.toLong, (i % 3 + 1).toLong)
+    val df = rows.toDF("a", "b")
+    // b=1 (1000 distinct) fails HAVING; b=2 and b=3 survive; the totals
+    // row merges the HLL over ALL groups (≈3000 distinct) and its
+    // null b makes the comparisons hit QL's null-equal relations → true
+    val got = SelectRows(spark,
+      "(int64(cardinality(a)) - b * 1000 as x) >= (-b * 10) and x <= (b * 10) as result, " +
+        "(int64(cardinality(a)) - 3000) between -30 and 30 as total, b " +
+        "from [//tmp/ct] group by b having cardinality(a) > 1500 with totals",
+      Map("//tmp/ct" -> df))
+      .as[(Option[Boolean], Option[Boolean], Option[Long])].collect()
+      .sortBy(_._3.getOrElse(Long.MaxValue))
+    assert(got.length == 3)
+    assert(got(0) == ((Some(true), Some(false), Some(2L))))
+    assert(got(1) == ((Some(true), Some(true), Some(3L))))
+    assert(got(2) == ((Some(true), Some(true), None)))
+  }
+
   test("PartialSortMergeJoin (ql_query_ut.cpp:5491): tuple ON join over two keys") {
     val left = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 1L, 3L), (1L, 4L, 4L),
       (2L, 4L, 5L), (2L, 3L, 6L)).toDF("a", "b", "c")
