@@ -3148,6 +3148,41 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got(2) == ((Some(true), Some(true), None)))
   }
 
+  test("OrderByAny (ql_query_ut.cpp:10444): Any lists sort in composite order") {
+    import graft.types.YtTypes.YtAny
+    val df = anyTagged(
+      Seq(Seq("[1,2,3]"), Seq("[2,4,5]"), Seq("[2,3,4]"), Seq("[0]")),
+      "a" -> YtAny)
+    val got = SelectRows(spark,
+      "a from [//tmp/oba] order by a limit 10", Map("//tmp/oba" -> df))
+      .as[String].collect()
+    assert(got.toSeq == Seq("[0]", "[1,2,3]", "[2,3,4]", "[2,4,5]"))
+  }
+
+  test("QuotedColumnNames (ql_query_ut.cpp:9439): backtick escapes; reserved word as column") {
+    val weird = "column ]]] \n \t B ’ ` "
+    val df1 = Seq(4L, 10L).toDF(weird)
+    val got1 = SelectRows(spark,
+      "`column ]]] \\n \\t \\x42 \\u2019 \\` ` FROM `//t`",
+      Map("//t" -> df1)).as[Long].collect().sorted
+    assert(got1.toSeq == Seq(4L, 10L))
+    val df2 = Seq(4L, 10L).toDF("where")
+    val got2 = SelectRows(spark, "`where` FROM `//t`", Map("//t" -> df2))
+      .as[Long].collect().sorted
+    assert(got2.toSeq == Seq(4L, 10L))
+  }
+
+  test("SimpleCmpInt (ql_query_ut.cpp:2282): the int comparison matrix") {
+    val df = Seq((4L, 5L), (6L, 6L)).toDF("a", "b")
+    val got = SelectRows(spark,
+      "a < b as r1, a > b as r2, a <= b as r3, a >= b as r4, a = b as r5 FROM [//t]",
+      Map("//t" -> df))
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (true, false, true, false, false),
+      (false, false, true, true, true)))
+  }
+
   test("PartialSortMergeJoin (ql_query_ut.cpp:5491): tuple ON join over two keys") {
     val left = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 1L, 3L), (1L, 4L, 4L),
       (2L, 4L, 5L), (2L, 3L, 6L)).toDF("a", "b", "c")
