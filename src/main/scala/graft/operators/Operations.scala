@@ -81,37 +81,31 @@ object Operations {
     val cmd = command
     input.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
-      else {
-        val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(false)
-        val proc = pb.start()
-        val writer = new Thread {
-          override def run(): Unit = {
-            val w = new java.io.PrintWriter(proc.getOutputStream)
-            rows.foreach { r =>
-              w.println(r.toSeq.map(v => if (v == null) "" else v.toString).mkString("\t"))
-            }
-            w.close()
+      else graft.sources.PipeJob.run(cmd,
+        os => {
+          val w = new java.io.PrintWriter(os)
+          rows.foreach { r =>
+            w.println(r.toSeq.map(v => if (v == null) "" else v.toString).mkString("\t"))
           }
-        }
-        writer.setDaemon(true)
-        writer.start()
-        val br = new java.io.BufferedReader(
-          new java.io.InputStreamReader(proc.getInputStream))
-        Iterator.continually(br.readLine()).takeWhile(_ != null).map { line =>
-          val parts = line.split("\t", -1)
-          Row.fromSeq(outSchema.fields.zipWithIndex.map { case (f, i) =>
-            val s = if (i < parts.length) parts(i) else ""
-            if (s.isEmpty && f.nullable) null
-            else f.dataType match {
-              case org.apache.spark.sql.types.LongType => s.toLong
-              case org.apache.spark.sql.types.IntegerType => s.toInt
-              case org.apache.spark.sql.types.DoubleType => s.toDouble
-              case org.apache.spark.sql.types.BooleanType => s.toBoolean
-              case _ => s
-            }
-          }.toSeq)
-        }
-      }
+          w.flush()
+        },
+        is => {
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(is))
+          Iterator.continually(br.readLine()).takeWhile(_ != null).map { line =>
+            val parts = line.split("\t", -1)
+            Row.fromSeq(outSchema.fields.zipWithIndex.map { case (f, i) =>
+              val s = if (i < parts.length) parts(i) else ""
+              if (s.isEmpty && f.nullable) null
+              else f.dataType match {
+                case org.apache.spark.sql.types.LongType => s.toLong
+                case org.apache.spark.sql.types.IntegerType => s.toInt
+                case org.apache.spark.sql.types.DoubleType => s.toDouble
+                case org.apache.spark.sql.types.BooleanType => s.toBoolean
+                case _ => s
+              }
+            }.toSeq)
+          }
+        })
     }(Encoders.row(outSchema))
   }
 

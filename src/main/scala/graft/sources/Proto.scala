@@ -202,19 +202,9 @@ object Proto {
     val cmd = command
     input.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
-      else {
-        val proc = new ProcessBuilder(cmd: _*).start()
-        val writer = new Thread {
-          override def run(): Unit = {
-            val os = new java.io.BufferedOutputStream(proc.getOutputStream)
-            rows.foreach(r => os.write(encodeFramed(r, inFields)))
-            os.close()
-          }
-        }
-        writer.setDaemon(true)
-        writer.start()
-        decodeStream(new java.io.BufferedInputStream(proc.getInputStream), outFields)
-      }
+      else PipeJob.run(cmd,
+        os => rows.foreach(r => os.write(encodeFramed(r, inFields))),
+        is => decodeStream(is, outFields))
     }(Encoders.row(outSchema))
   }
 }

@@ -156,6 +156,22 @@ class OperationsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(1L, "ALPHA"), Row(2L, "BETA"), Row(3L, "GAMMA")))
   }
 
+  test("pipeMap fails the task when the user job exits non-zero") {
+    import org.apache.spark.sql.types._
+    val in = Seq((1L, "a"), (2L, "b")).toDF("k", "w").repartition(1)
+    // the job emits one valid row, then dies — without the exit-code
+    // check this would pass with silently truncated output
+    val e = intercept[Exception] {
+      Operations.pipeMap(in,
+        Seq("sh", "-c", "head -n 1; echo boom >&2; exit 3"),
+        StructType(Seq(StructField("k", LongType), StructField("w", StringType))))
+        .collect()
+    }
+    val msg = Option(e.getMessage).getOrElse(e.getCause.getMessage)
+    assert(msg.contains("exit code 3") || e.getCause != null &&
+      e.getCause.getMessage.contains("exit code 3"), msg)
+  }
+
   test("hashSample: deterministic, repartition-stable, join-compatible") {
     val left = (1L to 2000L).map(i => (i, s"l$i")).toDF("k", "lv")
     val s1 = Operations.hashSample(left, Seq("k"), 0.2, 7L)
