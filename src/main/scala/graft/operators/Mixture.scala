@@ -56,6 +56,35 @@ object Mixture {
       .drop("__full", "__thr")
   }
 
+  /** Leakage-safe train/validation split: the unit of assignment is the
+    * near-dup CLUSTER, not the document, so duplicated or near-dup
+    * content never straddles the split boundary (the classic eval
+    * contamination where val docs have train twins). Documents outside
+    * any dup pair are their own singleton cluster.
+    *
+    * Assignment is the portable md5-threshold rule over the cluster
+    * representative — deterministic, re-runnable, engine-independent.
+    * Scale shape: the (node, component) table is proportional to the
+    * DUPLICATED sliver of the corpus, so it joins back broadcast; the
+    * corpus itself never shuffles.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, dupPairs: DataFrame,
+      aCol: String, bCol: String, valFraction: Double,
+      salt: String = "split"): DataFrame = {
+    require(valFraction >= 0.0 && valFraction <= 1.0, s"bad $valFraction")
+    val comps = Dedup.connectedComponents(dupPairs, aCol, bCol)
+    val thr = f"${math.floor(valFraction * 4294967296.0).toLong}%08x"
+    docs
+      .join(broadcast(comps), docs(idCol) === comps("node"), "left")
+      .withColumn("split_key",
+        coalesce(col("component"), docs(idCol)).cast("long"))
+      .withColumn("split",
+        when(substring(md5(concat_ws("|", lit(salt), col("split_key"))), 1, 8)
+               < lit(thr), "validation")
+          .otherwise("train"))
+      .drop("node", "component")
+  }
+
   /** Deterministic corpus shuffle into training shards: global order by
     * `md5(salt | id)`, sharded by the key's first hex nibbles. The salt
     * re-shuffles between runs without touching the data; the order is

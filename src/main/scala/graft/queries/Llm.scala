@@ -76,6 +76,23 @@ object Llm {
           col("n_members"))
     }),
 
+    // Leakage-safe split: assignment by near-dup cluster (same synthetic
+    // component fixture as llm_dedup_clusters), so no cluster straddles
+    // train/validation; md5-threshold rule replayed by the oracle.
+    "llm_split_leakage_safe" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val stars = ids.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 7).as("b"))
+      val links = ids.filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 7).as("b"))
+      Mixture.leakageSafeSplit(ids, "doc_id", stars.union(links),
+          "a", "b", valFraction = 0.2)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("split_key")).as("n_clusters"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs (quadratic ground truth).
     "llm_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
@@ -685,6 +702,37 @@ object Llm {
       """SELECT doc_id,
            LEAST(octet_length(encode(text)), 16) AS resized_len
          FROM documents WHERE doc_id < 200""",
+    // The cluster CTE of llm_dedup_clusters + the md5 split rule:
+    // rep = min reachable node, split by md5('split|' || rep) < 0.2·2³².
+    "llm_split_leakage_safe" ->
+      """WITH RECURSIVE
+         edges AS (
+           SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+           WHERE doc_id % 7 != 0
+           UNION ALL
+           SELECT doc_id AS a, doc_id + 7 AS b FROM documents
+           WHERE doc_id % 21 = 0
+         ),
+         sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         reach(node, r) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+         ),
+         rep AS (SELECT node, MIN(r) AS rp FROM reach GROUP BY node),
+         assigned AS (
+           SELECT d.doc_id, CAST(COALESCE(rep.rp, d.doc_id) AS BIGINT)
+                    AS split_key
+           FROM documents d LEFT JOIN rep ON rep.node = d.doc_id),
+         s AS (
+           SELECT doc_id, split_key,
+             CASE WHEN substring(md5('split|' || split_key), 1, 8)
+                    < '33333333'
+                  THEN 'validation' ELSE 'train' END AS split
+           FROM assigned)
+         SELECT split, COUNT(*) AS n_docs,
+                COUNT(DISTINCT split_key) AS n_clusters
+         FROM s GROUP BY 1""",
     // Same disjoint segmentation, corpus-wide count and drop rule as
     // Dedup.dedupSegments, replayed on DuckDB's list slices.
     "llm_dedup_segments" ->

@@ -243,6 +243,31 @@ class LlmSpec extends SparkSpec {
     assert(tail == ((9L, 2L, 0L, 6L))) // segments "a b c d" + "e f"
   }
 
+  test("leakage-safe split never puts a dup cluster on both sides") {
+    // components: {1,2,3}, {10,11}, singletons 20 and 21
+    val docsDf = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Mixture.leakageSafeSplit(docsDf, "doc_id", pairs, "a", "b", 0.5)
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 7)
+    assert(got.map(_._3).forall(s => s == "train" || s == "validation"))
+    // the leakage invariant: one split per cluster
+    got.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length == 1, members.toSeq)
+    }
+    // cluster members share the representative; singletons are their own
+    val byDoc = got.map(g => g._1 -> g._2).toMap
+    assert(byDoc(1L) == 1L && byDoc(2L) == 1L && byDoc(3L) == 1L)
+    assert(byDoc(10L) == 10L && byDoc(11L) == 10L)
+    assert(byDoc(20L) == 20L && byDoc(21L) == 21L)
+    // deterministic under repartition
+    val again = Mixture.leakageSafeSplit(docsDf.repartition(5), "doc_id",
+      pairs.repartition(3), "a", "b", 0.5)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == got.map(g => g._1 -> g._3).toMap)
+  }
+
   test("weighted mixture: full epochs exact, fractional epoch ~ rate, no RNG") {
     val in = docs.select(col("doc_id"), col("source"))
     val out = Mixture.weightedMixture(in, "source", Seq("doc_id"),
