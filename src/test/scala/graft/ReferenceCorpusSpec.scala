@@ -3148,6 +3148,23 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got(2) == ((Some(true), Some(true), None)))
   }
 
+  test("HavingClause1-3 (ql_query_ut.cpp:4741): HAVING on key, on aggregate, aggregate not projected") {
+    val df = Seq((1L, 10L), (1L, 10L), (2L, 20L), (2L, 20L)).toDF("a", "b")
+    val g1 = SelectRows(spark,
+      "a as x, sum(b) as t FROM [//t] group by a having a = 1",
+      Map("//t" -> df)).as[(Long, Long)].collect()
+    assert(g1.toSeq == Seq((1L, 20L)))
+    val g2 = SelectRows(spark,
+      "a as x, sum(b) as t FROM [//t] group by a having sum(b) = 20",
+      Map("//t" -> df)).as[(Long, Long)].collect()
+    assert(g2.toSeq == Seq((1L, 20L)))
+    // the HAVING aggregate need not be projected
+    val g3 = SelectRows(spark,
+      "a as x FROM [//t] group by a having sum(b) = 20",
+      Map("//t" -> df)).as[Long].collect()
+    assert(g3.toSeq == Seq(1L))
+  }
+
   test("OrderByAny (ql_query_ut.cpp:10444): Any lists sort in composite order") {
     import graft.types.YtTypes.YtAny
     val df = anyTagged(
