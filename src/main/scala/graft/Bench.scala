@@ -15,6 +15,32 @@ import graft.sources.Tables
   * must fail the round, not bench as ~0s.
   */
 object Bench {
+  /** The driver-visible per-query subset (one per operator family +
+    * every historically slow query). Static so QLSpec can assert every
+    * key exists in SparkEntry.queries and that the worst-case JSON line
+    * stays inside the driver's ~2000-char tail capture. */
+  val headline: Vector[String] = Vector(
+    "ql_scan", "ql_filter_where", "ql_group_agg", "ql_group_having",
+    "ql_order_limit", "ql_join_inner", "ql_join_pushdown_agg",
+    "ql_array_join", "ql_with_totals", "ql_selectrows",
+    "ql_selectrows_grammar", "ql_fn_yson", "ql_fn_u64", "ql_fn_regex",
+    "ql_agg_dict_sum", "ql_agg_histogram", "ql_agg_top_by",
+    "ql_any_compare", "ql_cardinality",
+    "op_map", "op_sort", "op_merge_sorted", "op_sorted_reduce",
+    "op_join_reduce", "op_map_reduce", "op_pipe_skiff", "op_pipe_protobuf",
+    "op_asof_join",
+    "dyn_lookup", "dyn_upsert_latest", "dyn_partial_update",
+    "dyn_agg_column", "dyn_versioned_read", "dyn_queue_pull",
+    "dyn_with_index",
+    "yql_join_full", "yql_window_rank", "yql_window_frame_rows",
+    "yql_rollup", "yql_intersect", "yql_agg_percentile",
+    "yql_agg_distinct", "yql_q3_shipping", "yql_q5_region", "yql_fn_json2",
+    "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_simhash",
+    "llm_dedup_ngram", "llm_dedup_embedding", "llm_sim_bruteforce",
+    "llm_sim_lsh", "llm_sim_ivf", "llm_text_quality", "llm_decontaminate",
+    "llm_pack_sequences", "llm_pipeline_e2e",
+    "strm_window_hopping", "strm_window_session", "strm_match_recognize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -63,27 +89,7 @@ object Bench {
     // operator family + every historically slow query). The TOTAL still sums
     // the full sweep; full per-query detail goes to target/bench_full.json.
     def fmt(v: Double): String = f"$v%.3f"
-    val headline = Vector(
-      "ql_scan", "ql_filter_where", "ql_group_agg", "ql_group_having",
-      "ql_order_limit", "ql_join_inner", "ql_join_pushdown_agg",
-      "ql_array_join", "ql_with_totals", "ql_selectrows",
-      "ql_selectrows_grammar", "ql_fn_yson", "ql_fn_u64", "ql_fn_regex",
-      "ql_agg_dict_sum", "ql_agg_histogram", "ql_agg_top_by",
-      "ql_any_compare", "ql_cardinality",
-      "op_map", "op_sort", "op_merge_sorted", "op_sorted_reduce",
-      "op_join_reduce", "op_map_reduce", "op_pipe_skiff", "op_pipe_protobuf",
-      "op_asof_join",
-      "dyn_lookup", "dyn_upsert_latest", "dyn_partial_update",
-      "dyn_agg_column", "dyn_versioned_read", "dyn_queue_pull",
-      "dyn_with_index",
-      "yql_join_full", "yql_window_rank", "yql_window_frame_rows",
-      "yql_rollup", "yql_intersect", "yql_agg_percentile",
-      "yql_agg_distinct", "yql_q3_shipping", "yql_q5_region", "yql_fn_json2",
-      "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_simhash",
-      "llm_dedup_ngram", "llm_dedup_embedding", "llm_sim_bruteforce",
-      "llm_sim_lsh", "llm_sim_ivf", "llm_text_quality", "llm_decontaminate",
-      "llm_pack_sequences", "llm_pipeline_e2e",
-      "strm_window_hopping", "strm_window_session", "strm_match_recognize")
+    val headline = Bench.headline
     val qs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -62,4 +62,12 @@ class QLSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("bench headline keys exist and the JSON line fits the driver's tail capture") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline keys without queries: $missing")
+    // worst case: every headline query present at 999.999s
+    val worst = 90 + Bench.headline.map(k => k.length + 12).sum
+    assert(worst < 1850, s"worst-case bench line $worst chars — trim the headline")
+  }
 }
