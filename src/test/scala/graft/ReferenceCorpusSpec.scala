@@ -3148,6 +3148,25 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got(2) == ((Some(true), Some(true), None)))
   }
 
+  test("GroupByOrderByCoordinated1 (ql_query_ut.cpp:3327): group+order paging across 3 tablets") {
+    val rows = Seq(
+      (1L, 0L, 11L, 3L), (2L, 1L, 12L, 2L), (3L, 2L, 13L, 1L),
+      (4L, 0L, 14L, 3L), (5L, 1L, 15L, 2L), (6L, 2L, 16L, 1L),
+      (7L, 0L, 17L, 3L), (8L, 1L, 18L, 2L), (9L, 2L, 19L, 1L))
+    val df = rows.toDF("a", "b", "c", "d").repartition(3)
+    def q(ql: String) = SelectRows(spark, ql, Map("//t" -> df))
+    assert(q("m from [//t] group by a % 3 as m order by m limit 3")
+      .as[Long].collect().toSeq == Seq(0L, 1L, 2L))
+    assert(q("d from [//t] group by d order by d limit 3")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    assert(q("a, b from [//t] group by a, b order by a, b limit 5")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 1L)))
+    assert(q("a, b from [//t] group by a, b order by a, b offset 2 limit 5")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 2L), (4L, 0L), (5L, 1L), (6L, 2L), (7L, 0L)))
+  }
+
   test("HavingClause1-3 (ql_query_ut.cpp:4741): HAVING on key, on aggregate, aggregate not projected") {
     val df = Seq((1L, 10L), (1L, 10L), (2L, 20L), (2L, 20L)).toDF("a", "b")
     val g1 = SelectRows(spark,
