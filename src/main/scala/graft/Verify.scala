@@ -45,6 +45,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The authoritative registered-query list: a query that crashes before
+    // writing its directory must count as a FAILURE in any gate, not
+    // silently vanish from the sweep (this is how 13 queries dropped
+    // between rounds 2 and 3 unnoticed).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), names)
     spark.stop()
   }
 }

@@ -22,18 +22,27 @@ object Tables {
     * pushdown on the parquet scan beat an uncompressed memory cache at
     * 100 TB scale.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for; we read it as a long (legacy nanosAsLong) and convert to
-    * microsecond TimestampType — the same precision the reference's
-    * Timestamp logical type carries (row_base.h: µs since epoch).
+    * `events.ts` normalizes to microsecond TimestampType — the precision
+    * the reference's Timestamp logical type carries (row_base.h: µs since
+    * epoch) — whatever physical encoding the parquet writer chose:
+    * TIMESTAMP(NANOS) arrives as a long (legacy nanosAsLong) and is
+    * divided down; timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ)
+    * casts losslessly under the engine's fixed UTC session timezone.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType => // nanos-as-long from TIMESTAMP(NANOS) parquet
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register every table in `dir` as a temp view (idempotent). */

@@ -29,6 +29,15 @@ def canon(rows, cols):
     return out
 
 fails = 0
+# Authoritative query list: any registered query with no output directory is
+# a failure (it crashed before writing parquet) — without this, a crashed
+# query silently vanishes from the report.
+qlist = f"{outdir}/queries.json"
+if os.path.exists(qlist):
+    present = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+    for name in json.load(open(qlist)):
+        if name not in present:
+            print(f"{name}: MISSING OUTPUT (query crashed)"); fails += 1
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d): continue
