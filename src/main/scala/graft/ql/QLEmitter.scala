@@ -33,6 +33,16 @@ object QLEmitter {
     * by [[SelectRows.apply]]. */
   val canonicalNulls = new scala.util.DynamicVariable[Boolean](false)
 
+  /** Declared ascending-key prefix per table path (from YtSortOrderKey
+    * field metadata), scoped per transpile by [[SelectRows.apply]].
+    * Feeds the OrderByPrimaryKeyPrefix elision (ql_query_ut.cpp:857,
+    * query_preparer.cpp: an ORDER BY matching the table's key prefix
+    * drops the OrderClause — rows already arrive in key order, so the
+    * page is a plain offset/limit over the ordered scan). At scale
+    * this replaces a full top-k pass over every row with a
+    * short-circuited limit on the leading key ranges. */
+  val sortedKeysOf = new scala.util.DynamicVariable[Map[String, Seq[String]]](Map.empty)
+
   /** Typed `Any` comparison lowering (composite_compare.cpp
     * CompareYsonValues; ql_query_ut.cpp CompareAny/CompareAnyMixed/
     * OrderByAny): when an operand of a comparison is an Any column
@@ -617,8 +627,28 @@ object QLEmitter {
         }
         body + (if (o.desc) " DESC" else " ASC")
       }
+      // OrderByPrimaryKeyPrefix (ql_query_ut.cpp:857): ascending ORDER
+      // BY column refs forming a prefix of the single scanned table's
+      // declared key order elide the sort — the scan already yields key
+      // order, and the page becomes a plain limit/offset. Only for a
+      // bare single-table query: joins, grouping, totals and subquery
+      // sources all break scan order.
+      val keyPrefixElided: Boolean = q.orderBy.nonEmpty && {
+        val declaredKeys: Seq[String] = q.from match {
+          case Some(TableRef(path, _)) if q.joins.isEmpty &&
+              q.groupBy.isEmpty && q.totals == NoTotals =>
+            sortedKeysOf.value.getOrElse(path, Nil)
+          case _ => Nil
+        }
+        declaredKeys.nonEmpty && q.orderBy.length <= declaredKeys.length &&
+          q.orderBy.zip(declaredKeys).forall {
+            case (OrderItem(Ref(parts), false), k) => parts.last == k
+            case _ => false
+          }
+      }
       val ob = q.orderBy match {
         case Nil => ""
+        case _ if keyPrefixElided => ""
         case items => " ORDER BY " + items.map(orderItem).mkString(", ")
       }
       // Spark's LIMIT operand is Int; QL accepts any int64

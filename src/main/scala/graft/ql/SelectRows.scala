@@ -139,8 +139,19 @@ object SelectRows {
     cat.foreach { case (path, df) =>
       widenTypeV1(df).createOrReplaceTempView(viewName(path))
     }
+    // ascending-key prefix per table (YtSortOrderKey field metadata,
+    // contiguous from the first column) — feeds ORDER BY elision on
+    // key-sorted scans (ql_query_ut.cpp OrderByPrimaryKeyPrefix)
+    val sortedKeys: Map[String, Seq[String]] = cat.map { case (path, df) =>
+      path -> df.schema.fields.takeWhile(f =>
+        f.metadata.contains(graft.types.YtTypes.YtSortOrderKey) &&
+        f.metadata.getString(graft.types.YtTypes.YtSortOrderKey) == "ascending")
+        .map(_.name).toSeq
+    }
     val sql = QLEmitter.canonicalNulls.withValue(options.useCanonicalNullRelations) {
-      transpile(ql, anyScope(cat))
+      QLEmitter.sortedKeysOf.withValue(sortedKeys) {
+        transpile(ql, anyScope(cat))
+      }
     }
     val prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
     spark.conf.set("spark.sql.groupByOrdinal", "false")

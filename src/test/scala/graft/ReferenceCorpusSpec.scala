@@ -3233,4 +3233,154 @@ class ReferenceCorpusSpec extends SparkSpec {
       (1L, 1L, 3L, 1L, 1L, 3L), (1L, 4L, 4L, 1L, 4L, 4L),
       (2L, 4L, 5L, 2L, 4L, 5L), (2L, 3L, 6L, 2L, 3L, 6L)))
   }
+
+  test("Lazy (ql_query_ut.cpp:9939): CASE branches short-circuit — guarded " +
+      "division never raises") {
+    val df = Seq(0L, 3L, 1L).toDF("a").repartition(1)
+    // searched CASE: `15/a = 5` sits behind `a = 0`, so a=0 never divides
+    val got1 = q2("""case
+        when a = 0    then 'aaa'
+        when 15 / a = 5 then 'bbb'
+        else               'ccc'
+      end as m from [//tmp/ab]""", df).as[String].collect()
+    assert(got1.toSeq == Seq("aaa", "bbb", "ccc"))
+    // entity conditions are never-true; null THEN flows through; the
+    // negative branch divides only when reached
+    val got2 = q2("""case
+        when boolean(#) then 0
+        when a = 0      then int64(#)
+        when a > 0      then 15 / a
+        else            -15 / a
+      end as m from [//tmp/ab]""", df).as[java.lang.Long].collect()
+    assert(got2.toSeq == Seq(null, 5L, 15L))
+    // simple CASE: the ELSE `1/a` evaluates only when every WHEN missed
+    val got3 = q2("""case a * a
+        when 2 - 2     then 'a'
+        when (1+1+1)*a then 'b'
+        when a * a     then 'c'
+        else                numeric_to_string(1 / a)
+      end as m from [//tmp/ab]""", df).as[String].collect()
+    assert(got3.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("CardinalityAggregateTotals3 (ql_query_ut.cpp:8679): HLL windows " +
+      "through HAVING and the totals row") {
+    val rows = for (i <- 0 until 16; j <- 0 until 500)
+      yield (j + 1000L * (i % 3), (i % 3).toLong)
+    val df = rows.toDF("a", "b").repartition(4)
+    // groups b=1,2 pass min(a) > 400 with ~500 distinct a each; the
+    // totals row re-estimates over BOTH surviving groups (~1000)
+    val got = q2(
+      "int64(cardinality(a)) between 490 and 510 as result, " +
+        "int64(cardinality(a)) between 990 and 1010 as total, b " +
+        "from [//tmp/ab] group by b having min(a) > 400 with totals", df)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(got.length == 3)
+    val (totalsRow, groupRows) = got.partition(_._3 == null)
+    assert(totalsRow.toSeq == Seq((false, true, null)))
+    assert(groupRows.toSet == Set((true, false, 1L), (true, false, 2L)))
+  }
+
+  test("GroupByCoordinatedWithAggregates3 (ql_query_ut.cpp:3698): sums are " +
+      "complete for every paged group across 3 partitions") {
+    val df = (0 until 100).map(i => (i / 10L, i % 10L, i.toLong))
+      .toDF("k1", "k2", "v1").repartition(3)
+    val sums = (0 until 100).groupBy(_ / 10)
+      .map { case (k, is) => (k.toLong, is.map(_.toLong).sum) }
+    // divergence (as GroupByCoordinatedWithAggregates1/2): the reference
+    // pages groups in key order; our page membership is plan-dependent —
+    // assert page size and that every emitted sum is the COMPLETE sum
+    for ((qstr, n) <- Seq(
+        ("k1, sum(v1) as s from [//tmp/ab] group by k1 limit 1", 1),
+        ("k1, sum(v1) as s from [//tmp/ab] group by k1 limit 2", 2),
+        ("k1, sum(v1) as s from [//tmp/ab] group by k1 offset 1 limit 1", 1))) {
+      val page = q2(qstr, df).as[(Long, Long)].collect()
+      assert(page.length == n, qstr)
+      page.foreach { case (k, s) => assert(sums(k) == s, qstr) }
+    }
+  }
+
+  test("GroupByCoordinatedWithAggregates4 (ql_query_ut.cpp:3746): a null " +
+      "group key aggregates once across partitions") {
+    val rows: Seq[(java.lang.Long, Long, Long)] = Seq(
+      (null, 1L, 9L), (null, 2L, 8L), (null, 3L, 7L), (null, 4L, 6L),
+      (null, 5L, 5L), (null, 6L, 4L), (null, 7L, 3L),
+      (null, 8L, 2L), (null, 9L, 1L), (0L: java.lang.Long, 0L, 0L),
+      (0L: java.lang.Long, 1L, 5L))
+    val df = rows.toDF("k0", "k1", "k2").repartition(3)
+    // the reference loops 10× to shake out merge nondeterminism
+    for (_ <- 0 until 3) {
+      val got = q2("k0, min(k2) as mk from [//tmp/ab] group by k0", df)
+        .collect().map(r =>
+          (if (r.isNullAt(0)) null else r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((null, 1L), (0L, 0L)))
+    }
+  }
+
+  test("JoinRowLimit2 (ql_query_ut.cpp:5606): OutputRowLimit truncates the " +
+      "join fan-out") {
+    val left = Seq(1L, 1L).toDF("a")
+    val right = Seq(1L, 1L, 1L).toDF("a")
+    val got = SelectRows(spark, "a as x FROM [//left] join [//right] using a",
+      Map("//left" -> left, "//right" -> right),
+      SelectRows.Options(outputRowLimit = Some(5)))
+      .as[Long].collect()
+    assert(got.length == 5)
+    assert(got.forall(_ == 1L))
+  }
+
+  test("SelectColumns (ql_query_ut.cpp:476): the read schema prunes to the " +
+      "referenced columns at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_selcols").toString
+    (1 to 20).map(i => (i.toLong, i.toLong, i * 2L, i * 3L, i * 4L))
+      .toDF("h", "a", "b", "c", "d")
+      .write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val full = SelectRows(spark, "* from [//tmp/sc]", Map("//tmp/sc" -> pq))
+    assert(full.columns.toSeq == Seq("h", "a", "b", "c", "d"))
+    val narrow = SelectRows(spark, "d, c, a from [//tmp/sc]", Map("//tmp/sc" -> pq))
+    assert(narrow.columns.toSeq == Seq("d", "c", "a"))
+    // the PHYSICAL scan reads only the referenced columns
+    val scan = narrow.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("ReadSchema") &&
+      !scan.matches("(?s).*ReadSchema:[^\\n]*[hb]:bigint.*"),
+      s"scan not pruned:\n$scan")
+  }
+
+  test("OrderByPrimaryKeyPrefix (ql_query_ut.cpp:857): ORDER BY on the " +
+      "declared key prefix elides the sort") {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 50).map(i => Row(i / 10L, i.toLong, i % 10L, i * 7L))
+    val schema = YtSchema(Seq(
+      YtColumn("hash", YtInt64, sortOrder = Some("ascending")),
+      YtColumn("a", YtInt64, sortOrder = Some("ascending")),
+      YtColumn("b", YtInt64, sortOrder = Some("ascending")),
+      YtColumn("v", YtInt64))).toStructType
+    // rows are generated in key order; no sort in the fixture lineage
+    // (a sortWithinPartitions here would put a Sort node in every plan
+    // and defeat the elision assert)
+    val df = spark.createDataFrame(rows.asJava, schema).coalesce(1)
+    val cat = Map("//tmp/obk" -> df)
+    def planOf(ql: String) = SelectRows(spark, ql, cat)
+      .queryExecution.executedPlan.toString
+    def sorted(plan: String): Boolean =
+      plan.contains("TakeOrderedAndProject") || plan.contains("Sort ")
+    // key-prefix orderings elide the sort: the scan already yields key
+    // order and the page is a plain limit/offset
+    assert(!sorted(planOf("* from [//tmp/obk] order by hash, a limit 10")))
+    assert(!sorted(planOf("* from [//tmp/obk] order by hash, a, b limit 10")))
+    assert(!sorted(planOf("* from [//tmp/obk] order by hash, a offset 5 limit 5")))
+    // a non-prefix ordering keeps the sort
+    assert(sorted(planOf("* from [//tmp/obk] order by a, b limit 10")))
+    // a DESC key breaks the prefix match and keeps the sort
+    assert(sorted(planOf("* from [//tmp/obk] order by hash desc limit 10")))
+    // elided results still come back in key order
+    val got = SelectRows(spark,
+      "a, v from [//tmp/obk] order by hash, a offset 5 limit 5", cat)
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == (5 until 10).map(i => (i.toLong, i * 7L)))
+  }
 }
