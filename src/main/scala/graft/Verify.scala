@@ -49,7 +49,8 @@ object Verify {
     // writing its directory must count as a FAILURE in any gate, not
     // silently vanish from the sweep (this is how 13 queries dropped
     // between rounds 2 and 3 unnoticed).
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_(n))).sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), names)
     spark.stop()

@@ -229,8 +229,15 @@ object QLFunctions {
           Literal(org.apache.spark.unsafe.types.UTF8String.fromString(jp), StringType)
         }
       } else graft.sources.Yson.YPathToJsonPath(e)
-    def jsonGet(es: Seq[Expression]): Expression =
-      GetJsonObject(es(0), ypathArg(es(1)))
+    // Literal paths go through Spark's GetJsonObject (it caches the
+    // parsed path when foldable); column-valued paths through our
+    // navigator — GetJsonObject would re-parse the path grammar per
+    // row, the dominant cost of runtime ypaths
+    def jsonGet(es: Seq[Expression]): Expression = {
+      val p = ypathArg(es(1))
+      if (p.foldable) GetJsonObject(es(0), p)
+      else graft.sources.Yson.JsonGetScalar(es(0), p)
+    }
     // get_* raise when the path finds nothing while both inputs are
     // present (DEFINE_YPATH_GET); try_get_* return null instead
     def jsonGetRequired(es: Seq[Expression]): Expression =

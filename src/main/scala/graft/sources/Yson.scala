@@ -673,6 +673,23 @@ object Yson {
 
   private val rawMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** One-row tree cache: accessors run consecutively over the same row
+    * inside the codegen loop, so `try_get_int64(props, p),
+    * try_get_any(props, p)` hit the same doc back-to-back — the second
+    * parse is free. Thread-local (one per task thread), keyed by the
+    * doc's content. */
+  private val lastTree =
+    new ThreadLocal[(String, com.fasterxml.jackson.databind.JsonNode)]()
+  private def treeOf(doc: String): com.fasterxml.jackson.databind.JsonNode = {
+    val cached = lastTree.get()
+    if (cached != null && cached._1 == doc) cached._2
+    else {
+      val t = rawMapper.readTree(doc)
+      lastTree.set((doc, t))
+      t
+    }
+  }
+
   /** Navigate a JSON-path (as produced by [[ypathToJsonPathStrict]]:
     * `$`, `.name`, `[idx]` steps) and return the RAW JSON fragment —
     * string leaves keep their quotes, composites serialize as JSON.
@@ -680,29 +697,70 @@ object Yson {
     * itself, not an unquoted scalar (get_json_object strips quotes,
     * which breaks Any-to-Any comparison against to_any(...) values).
     * Missing path / malformed doc → null. */
+  private def navigate(doc: String, p: String): com.fasterxml.jackson.databind.JsonNode = {
+    var node = treeOf(doc)
+    var i = if (p.startsWith("$")) 1 else 0
+    while (node != null && i < p.length) {
+      p.charAt(i) match {
+        case '.' =>
+          var j = i + 1
+          while (j < p.length && p.charAt(j) != '.' && p.charAt(j) != '[') j += 1
+          node = node.get(p.substring(i + 1, j))
+          i = j
+        case '[' =>
+          val j = p.indexOf(']', i)
+          node = node.get(p.substring(i + 1, j).toInt)
+          i = j + 1
+        case _ => return null
+      }
+    }
+    node
+  }
+
   def jsonGetRaw(doc: UTF8String, path: UTF8String): UTF8String = {
     if (doc == null || path == null) return null
     try {
-      var node = rawMapper.readTree(doc.toString)
-      val p = path.toString
-      var i = if (p.startsWith("$")) 1 else 0
-      while (node != null && i < p.length) {
-        p.charAt(i) match {
-          case '.' =>
-            var j = i + 1
-            while (j < p.length && p.charAt(j) != '.' && p.charAt(j) != '[') j += 1
-            node = node.get(p.substring(i + 1, j))
-            i = j
-          case '[' =>
-            val j = p.indexOf(']', i)
-            node = node.get(p.substring(i + 1, j).toInt)
-            i = j + 1
-          case _ => return null
-        }
-      }
+      val node = navigate(doc.toString, path.toString)
       if (node == null || node.isMissingNode) null
       else UTF8String.fromString(node.toString)
     } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** get_json_object semantics over the same navigator (string leaves
+    * unquoted, composites serialized, JSON null / missing → SQL null) —
+    * the runtime-path scalar accessor. Spark's GetJsonObject re-parses
+    * its JSON path per row when the path is non-foldable (a
+    * RegexParsers grammar — the dominant cost of column-valued ypaths);
+    * this walks the pre-lowered `$.a[0].b` form directly and shares the
+    * one-row tree cache with [[jsonGetRaw]]. */
+  def jsonGetScalar(doc: UTF8String, path: UTF8String): UTF8String = {
+    if (doc == null || path == null) return null
+    try {
+      val node = navigate(doc.toString, path.toString)
+      if (node == null || node.isMissingNode || node.isNull) null
+      else if (node.isTextual) UTF8String.fromString(node.textValue)
+      else UTF8String.fromString(node.toString)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Runtime-path counterpart of GetJsonObject (see [[jsonGetScalar]]). */
+  case class JsonGetScalar(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(doc: Any, path: Any): Any =
+      jsonGetScalar(doc.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (d, p) => s"""
+        ${ev.value} = graft.sources.Yson.jsonGetScalar($d, $p);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonGetScalar =
+      copy(left = l, right = r)
   }
 
   /** An Any-carrier JSON array → its elements as canonical JSON
