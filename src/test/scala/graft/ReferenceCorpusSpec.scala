@@ -3349,6 +3349,19 @@ class ReferenceCorpusSpec extends SparkSpec {
       s"scan not pruned:\n$scan")
   }
 
+  test("test_bad_limits (test_query.py:1557): a disjunction of multi-key " +
+      "range shapes evaluates correctly") {
+    // 20 tablet pivots in the reference; the predicate mixes point,
+    // half-open and full-prefix ranges over a 3-column key — the shape
+    // that used to break key-range inference ("bad limits")
+    val df = (0 until 100).map(i => (i.toLong, i.toLong, i.toLong, i.toString))
+      .toDF("a", "b", "c", "x").repartition(4)
+    val got = q2("x from [//tmp/ab] where (a = 18 and b = 10 and c >= 70) " +
+      "or (a = 18 and b >= 10) or (a >= 18)", df)
+      .as[String].collect().map(_.toInt).sorted
+    assert(got.toSeq == (18 until 100))
+  }
+
   test("OrderByPrimaryKeyPrefix (ql_query_ut.cpp:857): ORDER BY on the " +
       "declared key prefix elides the sort") {
     import graft.types.YtTypes._
