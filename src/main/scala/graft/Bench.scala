@@ -38,7 +38,7 @@ object Bench {
     "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_simhash",
     "llm_dedup_ngram", "llm_dedup_embedding", "llm_sim_bruteforce",
     "llm_sim_lsh", "llm_sim_ivf", "llm_text_quality", "llm_decontaminate",
-    "llm_pack_sequences", "llm_pipeline_e2e",
+    "llm_pack_sequences", "llm_pipeline_e2e", "llm_dsir_select",
     "strm_window_hopping", "strm_window_session", "strm_match_recognize")
 
   def main(args: Array[String]): Unit = {

@@ -113,4 +113,70 @@ object Mixture {
       .withColumn("shuffle_key", key)
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
   }
+
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how target-like its
+    * hashed n-gram distribution is, then keep the top-k.
+    *
+    * Model: word unigrams + bigrams hash into `hexDigits` hex digits of
+    * md5 (16^hexDigits buckets — md5 keeps the whole computation
+    * portable, the same convention as [[weightedMixture]] /
+    * `Operations.hashSampleMd5`, so the DuckDB oracle replays the exact
+    * scores). Bucket counts over the target sample (p) and the full raw
+    * corpus (q) give add-one-smoothed log importance ratios; a
+    * document's score is the sum of its grams' ratios.
+    *
+    * Scale shape: the two bucket-count aggregations reduce to
+    * 16^hexDigits rows (map-side partials, tiny shuffles); the ratio
+    * table — hyperparameter-sized model state, like IVF centroids — is
+    * collected once and baked into the scoring projection as a literal
+    * array, so SCORING IS ONE SHUFFLE-FREE PASS over the corpus:
+    * explode-join-regroup would re-shuffle every token at 100 TB.
+    * Selection is a bounded top-k (TakeOrdered), deterministic under
+    * ties via the id.
+    */
+  def importanceResample(docs: DataFrame, targetPred: Column, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      hexDigits: Int = 3): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 4, s"hexDigits in 1..4: $hexDigits")
+    val nBuckets = 1 << (4 * hexDigits)
+    def grams(c: Column): Column = {
+      val w = filter(split(trim(c), " "), x => x =!= "")
+      val bi = zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      concat(w, bi)
+    }
+    val bucketed = docs.select(col(idCol), targetPred.as("__tgt"),
+        explode(grams(col(textCol))).as("g"))
+      .select(col(idCol), col("__tgt"),
+        conv(substring(md5(col("g")), 1, hexDigits), 16, 10)
+          .cast("int").as("b"))
+    val counts = bucketed.groupBy(col("b")).agg(
+      count(lit(1)).as("q"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("p"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val pTot = counts.map(_._3).sum.toDouble
+    val qTot = counts.map(_._2).sum.toDouble
+    val ratio = Array.fill(nBuckets)(
+      math.log(1.0 / (pTot + nBuckets)) - math.log(1.0 / (qTot + nBuckets)))
+    counts.foreach { case (b, q, p) =>
+      ratio(b) = math.log((p + 1.0) / (pTot + nBuckets)) -
+        math.log((q + 1.0) / (qTot + nBuckets))
+    }
+    // ONE ArrayType literal (not array(lit,...)): 16^hexDigits lit
+    // nodes would explode the generated code; a Literal is a single
+    // constant object in codegen
+    val ratioLit = typedLit(ratio.toIndexedSeq)
+    val scored = docs.select(col(idCol), col(textCol),
+        grams(col(textCol)).as("__g"))
+      .select(col(idCol),
+        aggregate(col("__g"), lit(0.0d), (acc, g) => acc +
+          element_at(ratioLit,
+            conv(substring(md5(g), 1, hexDigits), 16, 10).cast("int") + 1))
+          .as("score"),
+        size(col("__g")).cast("long").as("n_grams"))
+    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+  }
 }

@@ -383,6 +383,19 @@ object Llm {
         .select(col("doc_id"), col("shard"), col("shuffle_key"),
           col("shard_pos"))),
 
+    // DSIR data selection (Xie et al. 2023): keep the 25 raw documents
+    // whose hashed-ngram distribution is most like the English target
+    // sample. md5 buckets keep the model portable: the oracle rebuilds
+    // the same counts, smoothing and log-ratio sums in SQL. Scoring is
+    // one shuffle-free pass (ratio table baked in as a literal array);
+    // only the two 4096-bucket count aggs and the final top-k shuffle.
+    "llm_dsir_select" -> ((s, d) =>
+      Mixture.importanceResample(
+          t(s, d, "documents").select(col("doc_id"), col("text"), col("lang")),
+          targetPred = col("lang") === "en", k = 25)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_grams"))),
+
     // Feature extraction: payload → dense embedding (stubbed encoder).
     // The float vectors are pinned to an exact-integer invariant of the
     // same rolling byte hash (Sketches.RollingHashSum): Σ(vec) + len/2
@@ -848,6 +861,39 @@ object Llm {
              PARTITION BY substring(md5('r3|' || doc_id), 1, 1)
              ORDER BY md5('r3|' || doc_id), doc_id) - 1 AS shard_pos
          FROM documents""",
+    // DSIR replayed in SQL: same grams (unigrams + bigrams of the
+    // space-split text), same 3-hex-digit md5 buckets, same add-one
+    // smoothing over target (lang='en') vs raw counts, same top-25.
+    "llm_dsir_select" ->
+      """WITH words AS (
+           SELECT doc_id, lang,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         grams AS (
+           SELECT doc_id, lang,
+             unnest(list_concat(w,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS g
+           FROM words),
+         bucketed AS (
+           SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 3)) AS INTEGER) AS b
+           FROM grams),
+         q AS (
+           SELECT b, count(*) AS qc,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pc
+           FROM bucketed GROUP BY b),
+         tot AS (
+           SELECT CAST(sum(qc) AS DOUBLE) AS qt,
+                  CAST(sum(pc) AS DOUBLE) AS pt FROM q),
+         lr AS (
+           SELECT b,
+             ln((pc + 1.0) / (pt + 4096.0)) - ln((qc + 1.0) / (qt + 4096.0)) AS r
+           FROM q, tot),
+         scores AS (
+           SELECT doc_id, sum(r) AS s, count(*) AS n
+           FROM bucketed JOIN lr USING (b) GROUP BY doc_id)
+         SELECT doc_id, round(s, 4) AS score, CAST(n AS BIGINT) AS n_grams
+         FROM scores ORDER BY s DESC, doc_id LIMIT 25""",
     // Greedy packing replayed exactly: docs ordered per bucket, the
     // recursive step carries (pack_id, fill) and opens a new pack when
     // the budget would overflow — the same rule as Packing.packSequences.

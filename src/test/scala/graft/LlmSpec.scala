@@ -401,6 +401,34 @@ class LlmSpec extends SparkSpec {
     assert(rev == cc)
   }
 
+  test("DSIR importance resampling: target-like docs outrank the rest, " +
+      "deterministic under repartition") {
+    // target = "spark" dialect docs; raw corpus mixes two dialects.
+    // 40 spark-ish + 40 db-ish docs, 10 of each marked target-sample.
+    val mk = (i: Long, words: Seq[String]) =>
+      (i, Seq.tabulate(30)(j => words((i + j).toInt % words.length)).mkString(" "))
+    val sparkish = Seq("spark", "shuffle", "executor", "partition", "stage")
+    val dbish = Seq("index", "btree", "vacuum", "checkpoint", "wal")
+    val docs = ((0L until 40L).map(mk(_, sparkish)) ++
+      (100L until 140L).map(mk(_, dbish)))
+      .toDF("doc_id", "text")
+      // the target sample: a tenth of the spark-ish docs
+      .withColumn("is_target", col("doc_id") < 4)
+    val top = Mixture.importanceResample(docs, col("is_target"), k = 20)
+      .as[(Long, Double, Long)].collect()
+    assert(top.length == 20)
+    // every selected doc is spark-dialect (ids < 100): the db dialect
+    // scores below despite being 50% of the corpus
+    assert(top.forall(_._1 < 100L), top.map(_._1).toSeq)
+    // scores are descending and gram counts match the 30-word docs
+    assert(top.map(_._2).toSeq == top.map(_._2).sortBy(-_).toSeq)
+    assert(top.forall(_._3 == 59L)) // 30 unigrams + 29 bigrams
+    // partitioning must not change the selection or the scores
+    val re = Mixture.importanceResample(docs.repartition(7), col("is_target"),
+      k = 20).as[(Long, Double, Long)].collect()
+    assert(re.toSeq == top.toSeq)
+  }
+
   test("unigramStats: threshold vocabulary, OOV counting, frequency sums") {
     val docs = Seq(
       (1L, "the cat sat"),        // the:3, cat:2, sat:1
