@@ -208,7 +208,7 @@ object DynTable {
       keys: Seq[String],
       aggColumns: Map[String, String],
       withVersion: Boolean = false): DataFrame = {
-    aggColumns.values.find(f => !Set("sum", "min", "max", "first")(f))
+    aggColumns.values.find(f => !Set("sum", "min", "max", "first", "dict_sum")(f))
       .foreach(f => throw new IllegalArgumentException(
         s"Invalid aggregate function $f")) // test_invalid_aggregate
     val hasAggFlag = log.columns.contains("agg")
@@ -247,6 +247,10 @@ object DynTable {
             case "min"   => when(isnull(acc), v).otherwise(least(acc, v))
             case "max"   => when(isnull(acc), v).otherwise(greatest(acc, v))
             case "first" => when(isnull(acc), v).otherwise(acc)
+            // YSON dict merge over the Any carrier — recursive int
+            // sums, zero-pruning, mismatch keeps the pre-merge state
+            // (cg_routines.cpp DictSum; test_aggregate_dict_sum)
+            case "dict_sum" => graft.functions.DictSumMerge(acc, v)
           })
       })
       df.withColumn(s"_agg_$c", merged)

@@ -76,6 +76,23 @@ object Dyn {
     "dyn_agg_column" -> ((s, d) =>
       DynTable.readWithAggregates(log(s, d), Seq("k"), Map("price" -> "sum"))),
 
+    // dict_sum aggregate column (cg_routines.cpp:3313 DictSum;
+    // test_aggregate_columns.py test_aggregate_dict_sum): YSON dict
+    // deltas fold into the stored state — int leaves sum, zero sums
+    // prune the entry. The log's flat {"n":1,"w":±1} deltas make w
+    // cancel to 0 for some keys, so the oracle replays both the sums
+    // and the pruning in plain SQL. (Recursive-merge/mismatch rules
+    // are pinned by the DynTableSpec port of the reference fixture.)
+    "dyn_agg_dict_sum" -> ((s, d) => {
+      val l = log(s, d).withColumn("dict",
+        concat(lit("{\"n\":1,\"w\":"),
+          when(col("ts") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+            .cast("string"),
+          lit("}")))
+        .drop("price", "status")
+      DynTable.readWithAggregates(l, Seq("k"), Map("dict" -> "dict_sum"))
+    }),
+
     // Partial upserts (`insert_rows update=True`): per-COLUMN
     // latest-wins with a written-columns mask, per-column $timestamp:
     // reads (row_merger.cpp AddPartialRow; test_query.py:2183).
@@ -225,6 +242,23 @@ object Dyn {
          |  WHERE l.op = 'upsert' AND (b.del_ts IS NULL OR l.ts > b.del_ts))
          |SELECT k, sum(price) AS price, max_by(status, ts) AS status
          |FROM live GROUP BY k""".stripMargin,
+
+    // dict_sum fold replayed flat: n = live-upsert count, w = Σ±1;
+    // w = 0 vanishes from the serialized dict (zero-pruning)
+    "dyn_agg_dict_sum" ->
+      s"""WITH log AS ($logSql),
+         |bounds AS (SELECT k,
+         |    max(CASE WHEN op = 'delete' THEN ts END) AS del_ts,
+         |    max(CASE WHEN op = 'upsert' THEN ts END) AS up_ts
+         |  FROM log GROUP BY k),
+         |live AS (SELECT l.* FROM log l JOIN bounds b USING (k)
+         |  WHERE l.op = 'upsert' AND (b.del_ts IS NULL OR l.ts > b.del_ts)),
+         |sums AS (SELECT k, count(*) AS n,
+         |    sum(CASE WHEN ts % 2 = 0 THEN 1 ELSE -1 END) AS w
+         |  FROM live GROUP BY k)
+         |SELECT k, CASE WHEN w = 0 THEN '{"n":' || n || '}'
+         |  ELSE '{"n":' || n || ',"w":' || w || '}' END AS dict
+         |FROM sums""".stripMargin,
 
     "dyn_partial_update" ->
       s"""WITH log AS (SELECT *,

@@ -179,6 +179,61 @@ class DynTableSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(2L, 10L))) // time latest-wins, value first
   }
 
+  test("readWithAggregates: dict_sum merges YSON dicts recursively with " +
+      "zero-pruning (test_aggregate_columns.py:469 test_aggregate_dict_sum)") {
+    // the reference fixture verbatim, Any values as the canonical-JSON
+    // carrier (sorted keys); ts orders the writes
+    val l = Seq(
+      // initial non-aggregate inserts: key 1 no value, key 2 a deep dict
+      (1L, 1L, "upsert", false, None: Option[String]),
+      (2L, 1L, "upsert", false,
+        Some("""{"a":11,"b":{"c":{"d":7}},"e":{"f":{"g":13}},"h":5}""")),
+      // aggregate=True writes: key 1 state null → delta; key 2 merges
+      (1L, 2L, "upsert", true, Some("""{"a":3}""")),
+      (2L, 2L, "upsert", true, Some("""{"a":3,"b":{"c":{"d":17}}}""")),
+      // negative deltas: a and b.c.d sum to 0 → pruned incl. emptied b
+      (2L, 3L, "upsert", true, Some("""{"a":-14,"b":{"c":{"d":-24}}}""")),
+      // non-aggregate write overwrites the accumulated state
+      (2L, 4L, "upsert", false, Some("""{"h":25,"q":1}"""))
+    ).toDF("k", "ts", "op", "agg", "v")
+    def at(ts: Long): Map[Long, Option[String]] =
+      DynTable.readWithAggregates(l.where($"ts" <= ts), Seq("k"),
+          Map("v" -> "dict_sum"))
+        .select("k", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(at(1L) == Map(1L -> None,
+      2L -> Some("""{"a":11,"b":{"c":{"d":7}},"e":{"f":{"g":13}},"h":5}""")))
+    assert(at(2L) == Map(1L -> Some("""{"a":3}"""),
+      2L -> Some("""{"a":14,"b":{"c":{"d":24}},"e":{"f":{"g":13}},"h":5}""")))
+    assert(at(3L) == Map(1L -> Some("""{"a":3}"""),
+      2L -> Some("""{"e":{"f":{"g":13}},"h":5}""")))
+    assert(at(4L) == Map(1L -> Some("""{"a":3}"""),
+      2L -> Some("""{"h":25,"q":1}""")))
+  }
+
+  test("dict_sum merge edge rules: non-map delta keeps state, non-map state " +
+      "nulls, type mismatch abandons the whole merge (cg_routines.cpp:3313)") {
+    import graft.functions.DictSumMerge
+    import org.apache.spark.sql.functions.lit
+    def m(s: String, d: String): Option[String] = {
+      val c = DictSumMerge(
+        if (s == null) lit(null).cast("string") else lit(s),
+        if (d == null) lit(null).cast("string") else lit(d))
+      Option(spark.range(1).select(c.as("r")).collect().head.getString(0))
+    }
+    assert(m("""{"a":1}""", "3") == Some("""{"a":1}"""))      // delta not map
+    assert(m("""{"a":1}""", null) == Some("""{"a":1}"""))     // delta null
+    assert(m(null, """{"a":1}""") == Some("""{"a":1}"""))     // state null
+    assert(m("7", """{"a":1}""") == None)                     // state not map
+    // int+string mismatch anywhere abandons EVERYTHING (even the parts
+    // already merged) and returns the pre-merge state
+    assert(m("""{"a":1,"b":"x"}""", """{"a":5,"b":"y"}""") ==
+      Some("""{"a":1,"b":"x"}"""))
+    // deep zero-pruning removes emptied ancestors
+    assert(m("""{"p":{"q":{"r":2}},"z":1}""", """{"p":{"q":{"r":-2}}}""") ==
+      Some("""{"z":1}"""))
+  }
+
   test("readWithAggregates: an unknown aggregate kind raises " +
       "(test_invalid_aggregate.py)") {
     val e = intercept[IllegalArgumentException] {
