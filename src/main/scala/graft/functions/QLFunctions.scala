@@ -105,13 +105,13 @@ object QLFunctions {
     regexp_replace(s, "([.\\[\\]{}()*+?\\\\^$|])", "\\\\$1")
 
   // --- hashes -----------------------------------------------------------
-  /** 64-bit content hash. The reference uses FarmHash
-    * (udf/farm_hash.cpp); we standardize on xxhash64 — same role
-    * (stable 64-bit mix), different constants. Documented deviation:
-    * values differ from the reference's, properties don't.
-    */
-  def farm_hash(cols: Column*): Column = xxhash64(cols: _*)
-  def simple_hash(cols: Column*): Column = hash(cols: _*).cast("long")
+  /** BIT-EXACT reference hashes (ql_query_ut.cpp FarmHash pins the
+    * vectors): farm_hash = per-value Google FarmHash fingerprints
+    * chained through Fingerprint(Uint128) from 0xdeadc0de;
+    * simple_hash = the FarmHash/Murmur row-hash hybrid
+    * (cg_routines.cpp:2009). See [[graft.functions.FarmHash]]. */
+  def farm_hash(cols: Column*): Column = FarmHashExpr(cols: _*)
+  def simple_hash(cols: Column*): Column = SimpleHashExpr(cols: _*)
   /** bigb_hash (udf/bigb_hash.cpp): "" → 0u; "y" + a parseable uint64 →
     * that numeric uid verbatim; everything else hashes the raw id
     * (MultiHash("shard", uid) in the reference; xxhash64 here — same
@@ -307,8 +307,8 @@ object QLFunctions {
         if (es.length > 2) es(2) else Literal(1))
     }
     // hashes
-    reg("farm_hash")(es => new XxHash64(es))
-    reg("simple_hash")(es => Cast(new Murmur3Hash(es), LongType))
+    reg("farm_hash")(es => FarmHashExpr(es))
+    reg("simple_hash")(es => SimpleHashExpr(es))
     reg("bigb_hash")(es => org.apache.spark.sql.graft.shims.convert(
       bigb_hash(org.apache.spark.sql.graft.shims.column(es.head))))
     // datetime

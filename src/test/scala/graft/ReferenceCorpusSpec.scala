@@ -3349,6 +3349,20 @@ class ReferenceCorpusSpec extends SparkSpec {
       s"scan not pruned:\n$scan")
   }
 
+  test("FarmHash (ql_query_ut.cpp:8192): exact reference output vectors") {
+    // rows (a=3, b="hello", c=true) and (a=54, b=null, c=false) →
+    // x=13185060272037541714u and x=1607147011416532415u — the pinned
+    // uint64 outputs of the reference's own evaluate test, bit-exact
+    val df = Seq(
+      (3L, Option("hello"), true),
+      (54L, None: Option[String], false)).toDF("a", "b", "c")
+    val got = q2("farm_hash(a, b, c) as x FROM [//tmp/ab]", df)
+      .as[Long].collect()
+    assert(got.toSeq == Seq(
+      java.lang.Long.parseUnsignedLong("13185060272037541714"),
+      java.lang.Long.parseUnsignedLong("1607147011416532415")))
+  }
+
   test("test_bad_limits (test_query.py:1557): a disjunction of multi-key " +
       "range shapes evaluates correctly") {
     // 20 tablet pivots in the reference; the predicate mixes point,
