@@ -227,6 +227,154 @@ object FarmHash {
   }
 }
 
+/** Exact CityHash64 (Google CityHash, MIT — the reference vendors it
+  * as util/digest/city.cpp) plus the Arcadia hash combinators that
+  * bigb_hash's fallback uses: `MultiHash("shard", uid)` =
+  * `IntHash64(CityHash64(uid)) ^ CityHash64("shard")`
+  * (util/digest/multi.h CombineHashes, util/digest/numeric.h
+  * IntHashImpl(ui64), util/generic/string_hash.h THash<TStringBuf> =
+  * CityHash64 on 64-bit). ql_query_ut.cpp BigbHash pins six fallback
+  * vectors that this reproduces bit-exactly. */
+object CityHash {
+  private val k0 = 0xc3a5c85c97cb3127L
+  private val k1 = 0xb492b66fbe98f273L
+  private val k2 = 0x9ae16a3b2f90404fL
+  private val k3 = 0xc949d7c7509e6557L
+  private val kMul = 0x9ddfea08eb382d69L
+
+  @inline private def rot(v: Long, s: Int): Long =
+    if (s == 0) v else java.lang.Long.rotateRight(v, s)
+  @inline private def shiftMix(v: Long): Long = v ^ (v >>> 47)
+  @inline private def fetch64(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 4) & 0xffL) << 32) |
+      ((b(i + 5) & 0xffL) << 40) | ((b(i + 6) & 0xffL) << 48) |
+      ((b(i + 7) & 0xffL) << 56)
+  @inline private def fetch32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+
+  // Hash128to64: 47/47 shifts (unlike Fingerprint(uint128)'s 47/44/41)
+  private def hashLen16(u: Long, v: Long): Long = {
+    var a = (u ^ v) * kMul
+    a ^= (a >>> 47)
+    var b = (v ^ a) * kMul
+    b ^= (b >>> 47)
+    b * kMul
+  }
+
+  private def weak(w: Long, x: Long, y: Long, z: Long, a0: Long, b0: Long): (Long, Long) = {
+    var a = a0 + w
+    var b = rot(b0 + a + z, 21)
+    val c = a
+    a += x
+    a += y
+    b += rot(a, 44)
+    (a + z, b + c)
+  }
+
+  def cityHash64(s: Array[Byte]): Long = {
+    val len = s.length
+    if (len <= 16) {
+      if (len > 8) {
+        val a = fetch64(s, 0)
+        val b = fetch64(s, len - 8)
+        // RotateByAtLeast1: len in 9..16, never 0
+        hashLen16(a, java.lang.Long.rotateRight(b + len, len)) ^ b
+      } else if (len >= 4) {
+        val a = fetch32(s, 0)
+        hashLen16(len + (a << 3), fetch32(s, len - 4))
+      } else if (len > 0) {
+        val a = s(0) & 0xffL
+        val b = s(len >> 1) & 0xffL
+        val c = s(len - 1) & 0xffL
+        val y = (a + (b << 8)) & 0xffffffffL
+        val z = (len + (c << 2)) & 0xffffffffL
+        shiftMix(y * k2 ^ z * k3) * k2
+      } else k2
+    } else if (len <= 32) {
+      val a = fetch64(s, 0) * k1
+      val b = fetch64(s, 8)
+      val c = fetch64(s, len - 8) * k2
+      val d = fetch64(s, len - 16) * k0
+      hashLen16(rot(a - b, 43) + rot(c, 30) + d,
+        a + rot(b ^ k3, 20) - c + len)
+    } else if (len <= 64) {
+      var z = fetch64(s, 24)
+      var a = fetch64(s, 0) + (len + fetch64(s, len - 16)) * k0
+      var b = rot(a + z, 52)
+      var c = rot(a, 37)
+      a += fetch64(s, 8)
+      c += rot(a, 7)
+      a += fetch64(s, 16)
+      val vf = a + z
+      val vs = b + rot(a, 31) + c
+      a = fetch64(s, 16) + fetch64(s, len - 32)
+      z = fetch64(s, len - 8)
+      b = rot(a + z, 52)
+      c = rot(a, 37)
+      a += fetch64(s, len - 24)
+      c += rot(a, 7)
+      a += fetch64(s, len - 16)
+      val wf = a + z
+      val ws = b + rot(a, 31) + c
+      val r = shiftMix((vf + ws) * k2 + (wf + vs) * k0)
+      shiftMix(r * k0 + vs) * k2
+    } else {
+      var x = fetch64(s, 0)
+      var y = fetch64(s, len - 16) ^ k1
+      var z = fetch64(s, len - 56) ^ k0
+      var v = weak(fetch64(s, len - 64), fetch64(s, len - 56),
+        fetch64(s, len - 48), fetch64(s, len - 40), len.toLong, y)
+      var w = weak(fetch64(s, len - 32), fetch64(s, len - 24),
+        fetch64(s, len - 16), fetch64(s, len - 8), len * k1, k0)
+      z += shiftMix(v._2) * k1
+      x = rot(z + x, 39) * k1
+      y = rot(y, 33) * k1
+      var remaining = (len - 1) & ~63
+      var off = 0
+      while ({
+        x = rot(x + y + v._1 + fetch64(s, off + 16), 37) * k1
+        y = rot(y + v._2 + fetch64(s, off + 48), 42) * k1
+        x ^= w._2
+        y ^= v._1
+        z = rot(z ^ w._1, 33)
+        v = weak(fetch64(s, off), fetch64(s, off + 8), fetch64(s, off + 16),
+          fetch64(s, off + 24), v._2 * k1, x + w._1)
+        w = weak(fetch64(s, off + 32), fetch64(s, off + 40),
+          fetch64(s, off + 48), fetch64(s, off + 56), z + w._2, y)
+        val t = z; z = x; x = t
+        off += 64
+        remaining -= 64
+        remaining != 0
+      }) ()
+      hashLen16(hashLen16(v._1, w._1) + shiftMix(y) * k1 + z,
+        hashLen16(v._2, w._2) + x)
+    }
+  }
+
+  /** util/digest/numeric.h IntHashImpl(ui64) — Wang's 64-bit mix. */
+  def intHash64(key0: Long): Long = {
+    var key = key0
+    key += ~(key << 32)
+    key ^= (key >>> 22)
+    key += ~(key << 13)
+    key ^= (key >>> 8)
+    key += (key << 3)
+    key ^= (key >>> 15)
+    key += ~(key << 27)
+    key ^= (key >>> 31)
+    key
+  }
+
+  private val shardHash: Long =
+    cityHash64("shard".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** bigb_hash's fallback: MultiHash(TStringBuf("shard"), uid). */
+  def bigbFallback(uid: UTF8String): Long =
+    intHash64(cityHash64(uid.getBytes)) ^ shardHash
+}
+
 /** `farm_hash(args...)` — uint64 raw bits out, never null. */
 case class FarmHashExpr(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = LongType
@@ -368,6 +516,24 @@ case class SimpleHashExpr(children: Seq[Expression]) extends Expression {
 object FarmHashExpr {
   def apply(cols: Column*): Column =
     S.column(new FarmHashExpr(cols.map(S.expression)))
+}
+
+/** bigb_hash's non-uid fallback, bit-exact (see [[CityHash]]). */
+case class BigbFallbackExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    CityHash.bigbFallback(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CityHash.bigbFallback($c)")
+  override protected def withNewChildInternal(c: Expression): BigbFallbackExpr =
+    copy(child = c)
+}
+
+object BigbFallbackExpr {
+  def apply(c: Column): Column = S.column(BigbFallbackExpr(S.expression(c)))
 }
 
 object SimpleHashExpr {

@@ -112,11 +112,12 @@ object QLFunctions {
     * (cg_routines.cpp:2009). See [[graft.functions.FarmHash]]. */
   def farm_hash(cols: Column*): Column = FarmHashExpr(cols: _*)
   def simple_hash(cols: Column*): Column = SimpleHashExpr(cols: _*)
-  /** bigb_hash (udf/bigb_hash.cpp): "" → 0u; "y" + a parseable uint64 →
-    * that numeric uid verbatim; everything else hashes the raw id
-    * (MultiHash("shard", uid) in the reference; xxhash64 here — same
-    * role, different constants). The structural branches are
-    * reference-exact — only the fallback hash function differs.
+  /** bigb_hash (udf/bigb_hash.cpp), BIT-EXACT: "" → 0u; "y" + a
+    * parseable uint64 → that numeric uid verbatim; everything else is
+    * the reference's MultiHash("shard", uid) =
+    * IntHash64(CityHash64(uid)) ^ CityHash64("shard") — see
+    * [[graft.functions.CityHash]]. ql_query_ut.cpp BigbHash's pinned
+    * vectors reproduce exactly.
     */
   def bigb_hash(c: Column): Column = {
     val tail = c.substr(lit(2), length(c))
@@ -124,7 +125,7 @@ object QLFunctions {
       (tail.rlike("^[0-9]{20}$") && tail <= lit("18446744073709551615"))
     when(length(c) === 0, lit(0L))
       .when(c.startsWith("y") && fitsU64, Uint64.parse_u64(tail))
-      .otherwise(xxhash64(lit("shard"), c))
+      .otherwise(graft.functions.BigbFallbackExpr(c))
   }
 
   // --- datetime (format_timestamp / timestamp_floor_*) ------------------

@@ -2805,22 +2805,23 @@ class ReferenceCorpusSpec extends SparkSpec {
   }
 
   test("BigbHash (ql_query_ut.cpp:8219): empty id → 0, y-prefixed numeric uid → " +
-      "the uid, everything else hashes") {
-    // structural branches are reference-exact (udf/bigb_hash.cpp);
-    // the fallback is xxhash64 where the reference multi-hashes with
-    // "shard" — same role, different constants (documented deviation)
+      "the uid, everything else hashes — exact reference vectors") {
+    // all eight pinned uint64 outputs of the reference's own test:
+    // the uid branches verbatim, the fallback bit-exact via
+    // IntHash64(CityHash64(uid)) ^ CityHash64("shard")
     val df = Seq("y12345", "y12345b", "p12345", "gaid/12345", "idfa/12345",
       "12345", "", "y").toDF("A")
     val got = SelectRows(spark, "A, bigb_hash(A) as x FROM [//tmp/bb]",
       Map("//tmp/bb" -> df)).as[(String, Long)].collect().toMap
+    def u(s: String): Long = java.lang.Long.parseUnsignedLong(s)
     assert(got("y12345") == 12345L)
+    assert(got("y12345b") == u("4325840212205223962"))
+    assert(got("p12345") == u("7036960256067388486"))
+    assert(got("gaid/12345") == u("17724055447702487579"))
+    assert(got("idfa/12345") == u("5977914593781245279"))
+    assert(got("12345") == u("1820233801294503536"))
     assert(got("") == 0L)
-    // non-parseable tails and other prefixes take the hash branch —
-    // distinct from each other and from the uid branch
-    val hashed = Seq("y12345b", "p12345", "gaid/12345", "idfa/12345", "12345", "y")
-      .map(got)
-    assert(hashed.distinct.size == hashed.size)
-    assert(!hashed.contains(12345L) && !hashed.contains(0L))
+    assert(got("y") == u("15359751383596667256"))
     // "y" + digits too large for uint64 must hash, not overflow-parse
     val big = SelectRows(spark, "bigb_hash(A) as x FROM [//tmp/bb2]",
       Map("//tmp/bb2" -> Seq("y99999999999999999999999").toDF("A")))
