@@ -81,64 +81,16 @@ object Formats {
     * pushed down (no full scan feeds a UI page).
     */
   def toWebJson(df: DataFrame, maxRows: Int = 1000,
-      fieldWeightLimit: Int = 1024): String = {
-    import graft.types.YtTypes
-    val schema = df.schema
-    // WebJson stringifies $type as EValueType names (string, not the
-    // type_v3 utf8 — web_json_writer.cpp writes the value-type name)
-    val ytNames = schema.fields.map { f =>
-      if (f.dataType == org.apache.spark.sql.types.StringType) "string"
-      else YtTypes.fromSpark(f.dataType, f.nullable) match {
-        case YtTypes.YtOptional(inner) => inner.name
-        case t => t.name
-      }
-    }
-    val taken = df.limit(maxRows + 1).collect()
-    val incomplete = taken.length > maxRows
-    val rows = taken.take(maxRows)
-    val sb = new java.lang.StringBuilder()
-    def jstr(s: String): Unit = {
-      sb.append('"')
-      s.foreach {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.append('"')
-    }
-    sb.append("{\"rows\":[")
-    rows.zipWithIndex.foreach { case (r, ri) =>
-      if (ri > 0) sb.append(',')
-      sb.append('{')
-      schema.fields.zipWithIndex.foreach { case (f, i) =>
-        if (i > 0) sb.append(',')
-        jstr(f.name); sb.append(":")
-        if (r.isNullAt(i)) sb.append("null")
-        else {
-          val full = r.get(i).toString
-          val truncated = full.length > fieldWeightLimit
-          sb.append("{\"$type\":"); jstr(ytNames(i))
-          if (truncated) sb.append(",\"$incomplete\":true")
-          sb.append(",\"$value\":")
-          jstr(if (truncated) full.take(fieldWeightLimit) else full)
-          sb.append('}')
-        }
-      }
-      sb.append('}')
-    }
-    sb.append("],\"incomplete_columns\":\"false\"")
-    sb.append(",\"incomplete_all_column_names\":\"").append(incomplete).append('"')
-    sb.append(",\"all_column_names\":[")
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (i > 0) sb.append(','); jstr(f.name)
-    }
-    sb.append("]}")
-    sb.toString
-  }
+      fieldWeightLimit: Int = 1024): String =
+    WebJson.schemaless(df, WebJson.Config(
+      maxRows = maxRows, fieldWeightLimit = fieldWeightLimit))
+
+  /** WebJson with `value_format=yql` (EWebJsonValueFormat::Yql):
+    * values as `[encoded, "typeIndex"]` against `yql_type_registry`.
+    * See [[WebJson.yql]]. */
+  def toWebJsonYql(df: DataFrame, maxRows: Int = 1000,
+      columnNames: Option[Seq[String]] = None): String =
+    WebJson.yql(df, WebJson.Config(maxRows = maxRows, columnNames = columnNames))
 
   /** Yaml rows (EFormatType::Yaml, format.h:49-62): each row a block
     * mapping under a `-` sequence entry — scalars only, strings quoted

@@ -185,12 +185,95 @@ class TypesFormatsSpec extends SparkSpec {
     // long string truncates to the weight limit and is flagged
     assert(json.contains(""""$incomplete":true,"$value":"xxxxxxxxxx""""))
     // row 3 fell off the cap; all_column_names lists the full schema
+    // (sorted, uncapped here — the flag reflects the NAME cap, not rows)
     assert(!json.contains(""""$value":"5.5""""))
     assert(json.contains(""""all_column_names":["k","s","v"]"""))
-    assert(json.contains(""""incomplete_all_column_names":"true""""))
+    assert(json.contains(""""incomplete_all_column_names":"false""""))
+    assert(json.contains(""""incomplete_columns":"false""""))
     // the envelope itself is valid JSON: round-trip through Spark
     val parsed = spark.read.json(Seq(json).toDS)
     assert(parsed.columns.contains("rows"))
+  }
+
+  test("webjson schemaless column caps (web_json_writer_ut.cpp Simple): " +
+      "selected-column cap sets incomplete_columns, name cap sets " +
+      "incomplete_all_column_names, names sorted") {
+    import graft.sources.WebJson
+    val df = Seq((100500L, true, "row1_c")).toDF("column_a", "column_b", "column_c")
+    val json = WebJson.schemaless(df, WebJson.Config(
+      maxSelectedColumnCount = 2, maxAllColumnNamesCount = 2))
+    assert(json.contains(""""column_a":{"$type":"int64","$value":"100500"}"""))
+    assert(json.contains(""""column_b":{"$type":"boolean","$value":"true"}"""))
+    assert(!json.contains("row1_c")) // third column fell off the selection cap
+    assert(json.contains(""""incomplete_columns":"true""""))
+    assert(json.contains(""""incomplete_all_column_names":"true""""))
+    assert(json.contains(""""all_column_names":["column_a","column_b"]"""))
+  }
+
+  test("webjson yql value format (web_json_writer_ut.cpp YqlValueFormat_SimpleTypes): " +
+      "typed registry, [value, typeIndex] pairs, optional wrapping") {
+    import graft.sources.WebJson
+    import org.apache.spark.sql.types._
+    import graft.types.YtTypes
+    // uint64 + any columns via the yt.logicalType metadata tag; plain
+    // long/boolean/string/double map structurally
+    val uintMeta = new MetadataBuilder().putString(YtTypes.YtTypeKey, "uint64").build()
+    val anyMeta = new MetadataBuilder().putString(YtTypes.YtTypeKey, "any").build()
+    val schema = StructType(Seq(
+      StructField("column_a", LongType, nullable = false, metadata = uintMeta),
+      StructField("column_b", BooleanType, nullable = false),
+      StructField("column_c", StringType, nullable = true),
+      StructField("column_d", LongType, nullable = false),
+      StructField("column_e", DoubleType, nullable = false),
+      StructField("column_f", StringType, nullable = true, metadata = anyMeta)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(100500L, true, "row1_c", -100500L, 2.71828,
+        """{"x":2,"y":3}"""),
+      org.apache.spark.sql.Row(1L, false, null, 7L, 1.0, null))
+    val df = spark.createDataFrame(rows, schema)
+    val json = WebJson.yql(df)
+    // registry: uint64 → DataType Uint64; nullable string → OptionalType
+    assert(json.contains("""["DataType","Uint64"]"""))
+    assert(json.contains("""["DataType","Boolean"]"""))
+    assert(json.contains("""["OptionalType",["DataType","Utf8"]]"""))
+    assert(json.contains("""["DataType","Int64"]"""))
+    assert(json.contains("""["DataType","Double"]"""))
+    assert(json.contains("""["OptionalType",["DataType","Yson"]]"""))
+    // values: ints/doubles stringified, booleans plain, the uint64
+    // prints unsigned, the optional string wraps in a list, null → null
+    assert(json.contains(""""column_a":["100500","0"]"""))
+    assert(json.contains(""""column_b":[true,"1"]"""))
+    assert(json.contains(""""column_c":[["row1_c"],"2"]"""))
+    assert(json.contains(""""column_d":["-100500","3"]"""))
+    assert(json.contains(""""column_e":["2.71828","4"]"""))
+    assert(json.contains(""""column_e":["1","4"]""")) // FloatToString drops .0
+    assert(json.contains(""""column_c":[null,"2"]"""))
+    // Any carrier re-annotates scalars as {"$type","$value"} under val
+    assert(json.contains(
+      """"column_f":[[{"val":{"x":{"$type":"int64","$value":"2"},"y":{"$type":"int64","$value":"3"}}}],"5"]"""))
+    // envelope: registry present, flags false
+    assert(json.contains(""""yql_type_registry":["""))
+    assert(json.contains(""""incomplete_columns":"false""""))
+  }
+
+  test("webjson yql: timestamp columns surface as YQL Timestamp " +
+      "(test_query.py test_select_web_json)") {
+    import graft.sources.WebJson
+    val df = Seq((1L, java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-01-02T03:04:05.123456Z")))).toDF("k", "ts_column")
+    // full select and a column_names-filtered select both carry the type
+    val full = WebJson.yql(df)
+    assert(full.contains("Timestamp"))
+    val filtered = WebJson.yql(df, WebJson.Config(columnNames = Some(Seq("ts_column"))))
+    assert(filtered.contains("Timestamp"))
+    assert(!filtered.contains("\"k\":"))
+    assert(filtered.contains(""""incomplete_columns":"true""""))
+    // microsecond payload survives the uint64 stringification
+    assert(filtered.contains("1577934245123456"))
+    // strings over the weight limit truncate into {"val","inc"} wrappers
+    val longStr = Seq((1L, "x" * 500)).toDF("k", "s")
+    val t = WebJson.yql(longStr, WebJson.Config(stringWeightLimit = 10))
+    assert(t.contains(""""val":"xxxxxxxxxx","inc":true"""))
   }
 
   test("yaml rows: write then read round-trips with quoting and nulls") {
