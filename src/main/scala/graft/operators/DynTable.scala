@@ -207,7 +207,8 @@ object DynTable {
       log: DataFrame,
       keys: Seq[String],
       aggColumns: Map[String, String],
-      withVersion: Boolean = false): DataFrame = {
+      withVersion: Boolean = false,
+      withTimestamps: Boolean = false): DataFrame = {
     aggColumns.values.find(f => !Set("sum", "min", "max", "first", "dict_sum")(f))
       .foreach(f => throw new IllegalArgumentException(
         s"Invalid aggregate function $f")) // test_invalid_aggregate
@@ -220,8 +221,11 @@ object DynTable {
       Seq(
         max(when(col("op") === OpDelete, col("ts"))).as("_del_ts"),
         max(when(col("op") === OpUpsert, col("ts"))).as("_max_up_ts")) ++
-        plainCols.map(c =>
-          max_by(when(col("op") === OpUpsert, col(c)), when(col("op") === OpUpsert, col("ts"))).as(s"_lw_$c")) ++
+        plainCols.flatMap(c =>
+          max_by(when(col("op") === OpUpsert, col(c)), when(col("op") === OpUpsert, col("ts"))).as(s"_lw_$c") +:
+          (if (withTimestamps)
+            Seq(max(when(col("op") === OpUpsert && col(c).isNotNull, col("ts"))).as(s"_wts_$c"))
+          else Nil)) ++
         aggColumns.toSeq.map { case (c, _) =>
           // collect (ts, v) pairs is what we must NOT do at scale; instead
           // fold conditionally: values at ts > last delete. Since the
@@ -260,9 +264,48 @@ object DynTable {
       .select(keys.map(col) ++
         plainCols.map(c => col(s"_lw_$c").as(c)) ++
         aggColumns.keys.toSeq.map(c => col(s"_agg_$c").as(c)) ++
+        (if (withTimestamps)
+          // `$timestamp:col` read columns (test_query.py
+          // test_read_without_merge_sorted): newest non-null write of
+          // the column; an agg column reads its newest alive delta
+          plainCols.map(c => col(s"_wts_$c").as(s"$$timestamp:$c")) ++
+          aggColumns.keys.toSeq.map(c => array_max(transform(
+            filter(col(s"_vs_$c"),
+              x => x.getField("op") === OpUpsert && x.getField("v").isNotNull &&
+                (isnull(col("_del_ts")) || x.getField("ts") > col("_del_ts"))),
+            x => x.getField("ts"))).as(s"$$timestamp:$c"))
+        else Nil) ++
         (if (withVersion) Seq(col("_max_up_ts").as("_version")) else Nil): _*)
       // a key whose post-tombstone writes are all delete-free but whose
       // aggregate list is empty keeps null — same as a fresh row.
+  }
+
+  /** `select_rows(..., merge_versioned_rows=%false)` (test_query.py
+    * test_read_without_merge_sorted): versions merge WITHIN a store
+    * (a flushed chunk or the active dynamic store) but not ACROSS
+    * stores — each store contributes its own merged row state per key,
+    * so a reader sees the flushed aggregate base and the unflushed
+    * delta fold as SEPARATE rows. The log's `store` column is the
+    * flush epoch (each sync_flush starts a new one); a log without one
+    * is a single store and degenerates to the merged read.
+    *
+    * Same single-shuffle shape as the merged verbs — the store id just
+    * joins the grouping key, so unmerged reads cost exactly one hash
+    * aggregation at any scale.
+    */
+  def readUnmerged(log: DataFrame, keys: Seq[String],
+      aggColumns: Map[String, String] = Map.empty,
+      withTimestamps: Boolean = false): DataFrame = {
+    val l = if (log.columns.contains("store")) log
+      else log.withColumn("store", lit(0L))
+    val perStore = keys :+ "store"
+    val merged =
+      if (aggColumns.isEmpty) readLatestColumns(l, perStore, withTimestamps)
+      else readWithAggregates(l, perStore, aggColumns,
+        withTimestamps = withTimestamps)
+    // a caller-supplied store id stays in the output (it identifies
+    // the version state); the synthetic single store is dropped
+    if (log.columns.contains("store")) merged else merged.drop("store")
   }
 
   /** Ordered dynamic table: assign `($tablet_index, $row_index)` system

@@ -55,7 +55,14 @@ object SelectRows {
       outputRowLimit: Option[Int] = None,
       useCanonicalNullRelations: Boolean = false,
       allowFullScan: Boolean = true,
-      allowJoinWithoutIndex: Boolean = true)
+      allowJoinWithoutIndex: Boolean = true,
+      // the CLIENT default is fail-on-incomplete (client_common.h:188
+      // FailOnIncompleteResult = true); the engine surface these
+      // Options model truncates silently (ql_query_ut.cpp OutputRowLimit
+      // expects the truncated rows), so the flag is opt-in here —
+      // test_query.py test_yt_2375 passes %false explicitly for the
+      // same reason
+      failOnIncompleteResult: Boolean = false)
 
   /** Run a QL query. Tables referenced as `[//path]` must either be in
     * `catalog` (path → DataFrame) or already registered as temp views
@@ -158,7 +165,25 @@ object SelectRows {
     val df =
       try spark.sql(sql)
       finally spark.conf.set("spark.sql.groupByOrdinal", prev)
-    options.outputRowLimit.map(df.limit).getOrElse(df)
+    options.outputRowLimit match {
+      case Some(n) if options.failOnIncompleteResult =>
+        // read one row past the limit; a (n+1)-th row means the limit
+        // truncated a larger result → "query result is incomplete".
+        // The guard sees at most n+1 rows (the limit already cut the
+        // stream), so the single-partition pass is O(limit), not a
+        // driver materialization of the result.
+        import org.apache.spark.sql.Encoders
+        val schema = df.schema
+        df.limit(n + 1).coalesce(1).mapPartitions { it =>
+          val rows = it.take(n + 1).toSeq
+          if (rows.length > n) throw new IllegalStateException(
+            s"Query result is incomplete: output row limit $n exceeded " +
+            "(fail_on_incomplete_result)")
+          rows.iterator
+        }(Encoders.row(schema))
+      case Some(n) => df.limit(n)
+      case None => df
+    }
   }
 
   /** type_v1 propagation (ql_query_ut.cpp TypeV1Propagation): the v1

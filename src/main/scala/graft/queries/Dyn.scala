@@ -105,6 +105,15 @@ object Dyn {
       DynTable.readLatestColumns(l, Seq("k"), withTimestamps = true)
     }),
 
+    // Unmerged read (`merge_versioned_rows=%false`, test_query.py
+    // test_read_without_merge_sorted): versions merge within a store
+    // but not across stores — one row per (key, store) version state.
+    // Store fixture: flush epochs of 2000 versions each.
+    "dyn_read_unmerged" -> ((s, d) => {
+      val l = log(s, d).withColumn("store", (col("ts") / lit(2000)).cast("long"))
+      DynTable.readUnmerged(l, Seq("k"))
+    }),
+
     // WITH INDEX (ast.h:507; TransformWithIndexStatement,
     // secondary_index/transform.cpp:137): predicate answered by the
     // index table, surviving keys semi-join the primary.
@@ -282,6 +291,20 @@ object Dyn {
          |  CASE WHEN tss > coalesce(del_ts, -1) THEN v_status END AS status,
          |  CASE WHEN tsp > coalesce(del_ts, -1) THEN tsp END AS "$$timestamp:price",
          |  CASE WHEN tss > coalesce(del_ts, -1) THEN tss END AS "$$timestamp:status"
+         |FROM agg WHERE coalesce(up_ts, -1) > coalesce(del_ts, -1)""".stripMargin,
+
+    "dyn_read_unmerged" ->
+      s"""WITH log AS (SELECT *, CAST(ts // 2000 AS BIGINT) AS store
+         |  FROM ($logSql)),
+         |agg AS (SELECT k, store,
+         |    max(CASE WHEN op = 'delete' THEN ts END) AS del_ts,
+         |    max(CASE WHEN op = 'upsert' THEN ts END) AS up_ts,
+         |    arg_max(price, ts) FILTER (op = 'upsert') AS v_price,
+         |    arg_max(status, ts) FILTER (op = 'upsert') AS v_status
+         |  FROM log GROUP BY k, store)
+         |SELECT k, store,
+         |  CASE WHEN up_ts > coalesce(del_ts, -1) THEN v_price END AS price,
+         |  CASE WHEN up_ts > coalesce(del_ts, -1) THEN v_status END AS status
          |FROM agg WHERE coalesce(up_ts, -1) > coalesce(del_ts, -1)""".stripMargin,
 
     "dyn_with_index" ->

@@ -3411,4 +3411,135 @@ class ReferenceCorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.toSeq == (5 until 10).map(i => (i.toLong, i * 7L)))
   }
+
+  test("test_keys_coordination (test_query.py:463): join keyed on the " +
+      "foreign table's key prefix, plain and computed forms") {
+    // //tmp/t sharded at [3],[6]; //tmp/j at [3,6],[6,6] — coordination
+    // of key ranges across pivots is the reference's concern; ours is
+    // that both join spellings produce the identical full result
+    val tt = (0 until 10).map(i => (i.toLong, Option.empty[Long]))
+      .toDF("a", "dummy").repartition(3)
+    val tj = (0 until 100).map(i => (i / 10L, i % 10L, i.toLong))
+      .toDF("b", "c", "v").repartition(3)
+    val cat = Map("//tmp/t" -> tt, "//tmp/j" -> tj)
+    val expected = (0 until 100).map(i => (i / 10L, i / 10L, i % 10L, i.toLong))
+    val plain = SelectRows(spark,
+      "a, b, c, v from [//tmp/t] join [//tmp/j] on a = b", cat)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(plain.toSeq == expected)
+    val computed = SelectRows(spark,
+      "a, b, c, v from [//tmp/t] join [//tmp/j] on (a + 0) = b", cat)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(computed.toSeq == expected)
+  }
+
+  test("test_yt_2375 (test_query.py:1433): output_row_limit truncates " +
+      "without raising unless fail_on_incomplete_result") {
+    val df = (0 until 1000).map(i => (i.toLong, 10L * i)).toDF("key", "value")
+    val cat = Map("//tmp/t" -> df)
+    // fail_on_incomplete_result=%false: should not raise
+    val got = SelectRows(spark, "value from [//tmp/t]", cat,
+      SelectRows.Options(outputRowLimit = Some(1)))
+    assert(got.count() == 1)
+    // the client default raises on a truncated result
+    val ex = intercept[Exception] {
+      SelectRows(spark, "value from [//tmp/t]", cat,
+        SelectRows.Options(outputRowLimit = Some(1),
+          failOnIncompleteResult = true)).collect()
+    }
+    assert(ex.getMessage.contains("incomplete") ||
+      Option(ex.getCause).exists(_.getMessage.contains("incomplete")))
+    // a result inside the limit passes the guard untouched
+    val ok = SelectRows(spark, "value from [//tmp/t] where key < 5", cat,
+      SelectRows.Options(outputRowLimit = Some(10),
+        failOnIncompleteResult = true))
+    assert(ok.count() == 5)
+  }
+
+  test("test_udf/test_udaf/test_udf_fc/test_empty_udf (test_query.py:1166-1307): " +
+      "session-registered user functions resolve in the QL surface") {
+    // the JVM session registry replaces the cypress .bc registry: a
+    // registered Scala function is visible to the QL string by name,
+    // an unregistered name fails the query (test_empty_udf's broken
+    // registration), and an Aggregator-backed UDAF aggregates
+    spark.udf.register("abs_udf", (x: Long) => math.abs(x))
+    val got = q("abs_udf(-2 * a) as s from [//tmp/t]")
+      .as[Long].collect().sorted
+    assert(got.toSeq == (1 to 9).map(2L * _))
+    // unregistered → analysis failure, not silent null
+    intercept[Exception] { q("no_such_udf(-2 * a) as s from [//tmp/t]").collect() }
+    // UDAF (test_udaf: avg_udaf over _sample_data a=1..9 → 5.0)
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.Encoders
+    val avg = new Aggregator[java.lang.Long, (Long, Long), Double] {
+      def zero = (0L, 0L)
+      def reduce(b: (Long, Long), x: java.lang.Long) =
+        if (x == null) b else (b._1 + x, b._2 + 1)
+      def merge(a: (Long, Long), b: (Long, Long)) = (a._1 + b._1, a._2 + b._2)
+      def finish(r: (Long, Long)) = if (r._2 == 0) Double.NaN else r._1.toDouble / r._2
+      def bufferEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      def outputEncoder = Encoders.scalaDouble
+    }
+    spark.udf.register("avg_udaf", org.apache.spark.sql.functions.udaf(avg))
+    val x = q("avg_udaf(a) as x from [//tmp/t] group by 1")
+      .select("x").as[Double].collect()
+    assert(x.toSeq == Seq(5.0))
+    // test_udf_fc: a function carrying its own context (closure state)
+    val scale = 2L
+    spark.udf.register("udf_fc", (x: Long) => x * scale / 2)
+    val fc = q("udf_fc(2 * a) as s from [//tmp/t]").as[Long].collect().sorted
+    assert(fc.toSeq == (1 to 9).map(2L * _))
+  }
+
+  test("test_read_without_merge_sorted (test_query.py:1933): unmerged " +
+      "reads keep per-store states, aggregate deltas fold within a store") {
+    import graft.operators.DynTable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("key1", LongType), StructField("key2", StringType),
+      StructField("store", LongType), StructField("ts", LongType),
+      StructField("op", StringType), StructField("agg", BooleanType),
+      StructField("value1", LongType), StructField("value2", StringType),
+      StructField("aggr", LongType)))
+    val up = DynTable.OpUpsert
+    // store 0 (flushed): the full row for key 1 and a value1-only
+    // write for key 2; store 1 (active): two aggregate writes for key 1
+    val log = spark.createDataFrame(Seq(
+      Row(1L, "2", 0L, 1L, up, true, 0L, "value", 0L),
+      Row(2L, null, 0L, 2L, up, true, 2L, null, null),
+      Row(1L, "2", 1L, 3L, up, true, 2L, "new_value", 1L),
+      Row(1L, "2", 1L, 4L, up, true, 2L, "new_value", 2L)).asJava, schema)
+    // phase 1: only store 0 exists
+    val phase1 = DynTable.readUnmerged(
+      log.where(org.apache.spark.sql.functions.col("store") === 0),
+      Seq("key1", "key2"), Map("aggr" -> "sum"), withTimestamps = true)
+    val p1 = phase1.select("key1", "value2").as[(Long, Option[String])]
+      .collect().sorted
+    assert(p1.toSeq == Seq((1L, Some("value")), (2L, None)))
+    // $timestamp:value2 reads a version for the written cell, entity
+    // (null) for the never-written one
+    val ts1 = phase1.select("key1", "$timestamp:value2")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(ts1(1L).isDefined && ts1(2L).isEmpty)
+    // phase 2: both stores — three unmerged states, the active store's
+    // aggregate deltas folded together (1+2=3) but NOT onto the
+    // flushed base 0
+    val phase2 = DynTable.readUnmerged(log, Seq("key1", "key2"),
+      Map("aggr" -> "sum"))
+    val p2 = phase2.select("key1", "value2", "aggr")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(p2.toSeq == Seq(
+      (1L, Some("value"), Some(0L)),
+      (1L, Some("new_value"), Some(3L)),
+      (2L, None, None)))
+    // the merged read folds across stores: 0 + 1 + 2 = 3 on one row
+    val merged = DynTable.readWithAggregates(log.drop("store"),
+      Seq("key1", "key2"), Map("aggr" -> "sum"))
+    val m = merged.select("key1", "aggr").as[(Long, Option[Long])]
+      .collect().sorted
+    assert(m.toSeq == Seq((1L, Some(3L)), (2L, None)))
+  }
 }
