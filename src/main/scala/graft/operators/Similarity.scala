@@ -179,12 +179,16 @@ object Similarity {
       .select(col("query_id"), col("query_vec"), col("table"),
         explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*))
           .as("bucket"))
-    val candidates = c.join(broadcast(q), Seq("table", "bucket"))
+    // score BEFORE deduplicating: a pair surfacing from T tables pays
+    // up to T redundant cosines (cheap, codegen'd) so the dedup
+    // shuffle carries (ids, cos) — one double instead of 2×dim floats.
+    // At scale the network is the bottleneck, not the arithmetic.
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("item_id") =!= col("query_id"))
-      .select(col("query_id"), col("item_id"), col("query_vec"), col("item_vec"))
-      .dropDuplicates("query_id", "item_id")
-    val scored = candidates.select(col("query_id"), col("item_id"),
-      cosine(col("query_vec"), col("item_vec")).as("cos"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("query_vec"), col("item_vec")).as("cos"))
+      .groupBy(col("query_id"), col("item_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id").asc)
