@@ -89,24 +89,57 @@ object Operations {
           }
           w.flush()
         },
-        is => {
-          val br = new java.io.BufferedReader(new java.io.InputStreamReader(is))
-          Iterator.continually(br.readLine()).takeWhile(_ != null).map { line =>
-            val parts = line.split("\t", -1)
-            Row.fromSeq(outSchema.fields.zipWithIndex.map { case (f, i) =>
-              val s = if (i < parts.length) parts(i) else ""
-              if (s.isEmpty && f.nullable) null
-              else f.dataType match {
-                case org.apache.spark.sql.types.LongType => s.toLong
-                case org.apache.spark.sql.types.IntegerType => s.toInt
-                case org.apache.spark.sql.types.DoubleType => s.toDouble
-                case org.apache.spark.sql.types.BooleanType => s.toBoolean
-                case _ => s
-              }
-            }.toSeq)
-          }
-        })
+        tsvReader(outSchema))
     }(Encoders.row(outSchema))
+  }
+
+  /** Parse a job's tab-separated stdout into typed rows (the Dsv
+    * flavor both pipe operators speak). */
+  private def tsvReader(outSchema: org.apache.spark.sql.types.StructType)
+      : java.io.InputStream => Iterator[Row] = { is =>
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(is))
+    Iterator.continually(br.readLine()).takeWhile(_ != null).map { line =>
+      val parts = line.split("\t", -1)
+      Row.fromSeq(outSchema.fields.zipWithIndex.map { case (f, i) =>
+        val s = if (i < parts.length) parts(i) else ""
+        if (s.isEmpty && f.nullable) null
+        else f.dataType match {
+          case org.apache.spark.sql.types.LongType => s.toLong
+          case org.apache.spark.sql.types.IntegerType => s.toInt
+          case org.apache.spark.sql.types.DoubleType => s.toDouble
+          case org.apache.spark.sql.types.BooleanType => s.toBoolean
+          case _ => s
+        }
+      }.toSeq)
+    }
+  }
+
+  /** Vanilla operation (vanilla_controller.cpp: TVanillaTask = a pool
+    * of exactly `jobCount` jobs with NO table input): the user command
+    * runs once per job, its stdout rows become the task's output
+    * table. The cohort index reaches the job as `$YT_JOB_INDEX`
+    * (the reference's job environment contract), so jobs can shard
+    * external work deterministically.
+    *
+    * Spark shape: a `jobCount`-partition seed range, one external
+    * process per partition — the same pipe topology as [[pipeMap]]
+    * minus the input feed. Multiple named tasks = multiple calls,
+    * one output table each (TVanillaOperationSpec's task map).
+    */
+  def vanilla(spark: org.apache.spark.sql.SparkSession, jobCount: Int,
+      command: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(jobCount > 0, "vanilla: job_count must be positive")
+    val cmd = command
+    spark.range(0, jobCount, 1, jobCount)
+      .mapPartitions { it =>
+        it.flatMap { jobIndex =>
+          graft.sources.PipeJob.run(cmd,
+            os => os.close(), // no table input: the job sees EOF at once
+            tsvReader(outSchema),
+            env = Map("YT_JOB_INDEX" -> jobIndex.toString))
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Multi-output map: the mapper tags each produced row with an output

@@ -171,6 +171,20 @@ object Ops {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // Vanilla operation (vanilla_controller.cpp): 4 input-less jobs,
+    // each emitting its $YT_JOB_INDEX with 10 sequence rows — the
+    // deterministic stand-in for "run N external workers and collect
+    // their tables".
+    "op_vanilla" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("job", LongType, nullable = false),
+        StructField("n", LongType, nullable = false)))
+      Operations.vanilla(s, 4,
+        Seq("sh", "-c", "i=0; while [ $i -lt 10 ]; do printf '%s\\t%s\\n' \"$YT_JOB_INDEX\" \"$i\"; i=$((i+1)); done"),
+        schema)
+    }),
+
     // User job over a binary protobuf pipe (EFormatType::Protobuf job
     // I/O): orders stream through an identity process as lenval
     // protobuf messages, decode, then aggregate — proving the wire
@@ -229,6 +243,9 @@ object Ops {
   )
 
   val oracles: Map[String, String] = Map(
+    "op_vanilla" ->
+      """SELECT CAST(j.range AS BIGINT) AS job, CAST(i.range AS BIGINT) AS n
+        |FROM range(0, 4) j, range(0, 10) i""".stripMargin,
     // md5 of the same UTF-8 key string, same 32-bit hex-prefix
     // threshold — DuckDB reproduces the exact sampled row set.
     "op_table_sample" ->

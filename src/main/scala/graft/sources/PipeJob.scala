@@ -18,8 +18,11 @@ private[graft] object PipeJob {
 
   def run[T](command: Seq[String],
       write: java.io.OutputStream => Unit,
-      read: java.io.InputStream => Iterator[T]): Iterator[T] = {
-    val proc = new ProcessBuilder(command: _*).start()
+      read: java.io.InputStream => Iterator[T],
+      env: Map[String, String] = Map.empty): Iterator[T] = {
+    val pb = new ProcessBuilder(command: _*)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
     val stderr = new java.lang.StringBuilder
     val errThread = new Thread {
       override def run(): Unit = {

@@ -218,4 +218,23 @@ class OperationsSpec extends SparkSpec {
     assert(byCls("rare") == 100L, byCls)
     assert(byCls("common") > 40L && byCls("common") < 180L, byCls)
   }
+
+  test("vanilla: job_count input-less jobs, $YT_JOB_INDEX exported, " +
+      "non-zero exit fails the task (vanilla_controller.cpp)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("job", LongType, nullable = false),
+      StructField("v", StringType, nullable = false)))
+    val out = Operations.vanilla(spark, 3,
+      Seq("sh", "-c", "printf '%s\\thello\\n' \"$YT_JOB_INDEX\""), schema)
+      .as[(Long, String)].collect().sorted
+    assert(out.toSeq == Seq((0L, "hello"), (1L, "hello"), (2L, "hello")))
+    // a failing job fails the operation, not silently truncates
+    val ex = intercept[Exception] {
+      Operations.vanilla(spark, 2, Seq("sh", "-c", "exit 3"), schema).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exit code 3")))
+  }
 }
