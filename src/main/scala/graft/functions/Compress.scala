@@ -20,11 +20,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * is dominated by deflate itself, which is JIT-compiled JNI — the same
   * engine any JVM-side codec would use.
   */
-object Compress {
-
-  /** Static kernels — JVM static forwarders keep generated code one
-    * invoke away (see SketchOps). */
-  object CompressOps {
+/** Static kernels — TOP-LEVEL object so scalac emits static forwarders
+  * (`graft.functions.CompressOps.gzip(...)`) that Janino can resolve;
+  * a nested object has no forwarders and generated code referencing it
+  * falls back to interpreted eval on every row batch. */
+object CompressOps {
     def gzip(in: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
       val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -65,7 +65,9 @@ object Compress {
       inf.end()
       bos.toByteArray
     }
-  }
+}
+
+object Compress {
 
   abstract class CodecExpression extends UnaryExpression with ExpectsInputTypes {
     def kernel: String
@@ -77,7 +79,7 @@ object Compress {
     protected def eval0(b: Array[Byte]): Array[Byte]
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.Compress.CompressOps.$kernel($c);")
+        s"${ev.value} = graft.functions.CompressOps.$kernel($c);")
   }
 
   case class GzipCompress(child: Expression) extends CodecExpression {

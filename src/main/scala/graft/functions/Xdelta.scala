@@ -127,13 +127,194 @@ object Xdelta {
     }
   }
 
-  // --- payload codec (documented divergence: verbatim state) ---
+  // --- payload codec: COPY/ADD delta (xdelta3's core instruction set,
+  // udf/xdelta3.c). The wire format is ours (varint-framed ops), but the
+  // semantics match: a patch payload is a program rebuilding the target
+  // from base copies plus literal runs, and two patch programs compose
+  // without the base state (xdelta3's merge API — the map-side partial
+  // fold below depends on exactly that property).
 
-  /** Delta of `to` against `from` — verbatim carriage of `to`. */
-  def diff(from: Array[Byte], to: Array[Byte]): Array[Byte] = to
+  private val DeltaMagic: Int = 0xDC
+  private val OpAdd = 0
+  private val OpCopy = 1
+  private val MatchBlock = 16 // rolling index granularity over the base
+
+  private def readVarint(data: Array[Byte], pos: Array[Int]): Long = {
+    var shift = 0; var v = 0L
+    while ({
+      val b = data(pos(0)) & 0xff; pos(0) += 1
+      v |= (b & 0x7fL) << shift; shift += 7
+      (b & 0x80) != 0
+    }) ()
+    v
+  }
+
+  /** Delta of `to` against `from`: greedy block matching. The base is
+    * indexed at [[MatchBlock]]-aligned offsets by a polynomial hash;
+    * each verified seed extends forward byte-wise and backward into the
+    * pending literal, so runs far longer than a block become one COPY. */
+  def diff(from: Array[Byte], to: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(to.length / 4 + 16)
+    out.write(DeltaMagic)
+    writeVarint(out, to.length.toLong)
+    val lit = new ByteArrayOutputStream()
+    def flushLit(): Unit = if (lit.size() > 0) {
+      out.write(OpAdd); writeVarint(out, lit.size().toLong)
+      lit.writeTo(out); lit.reset()
+    }
+    def blockHash(a: Array[Byte], off: Int): Long = {
+      var h = 1125899906842597L; var i = 0
+      while (i < MatchBlock) { h = h * 31 + (a(off + i) & 0xff); i += 1 }
+      h
+    }
+    val index = new java.util.HashMap[Long, java.util.ArrayList[Integer]]()
+    if (from != null && from.length >= MatchBlock) {
+      var o = 0
+      while (o + MatchBlock <= from.length) {
+        index.computeIfAbsent(blockHash(from, o), _ => new java.util.ArrayList)
+          .add(o)
+        o += MatchBlock
+      }
+    }
+    var i = 0
+    while (i < to.length) {
+      var emitted = false
+      if (i + MatchBlock <= to.length && !index.isEmpty) {
+        val cands = index.get(blockHash(to, i))
+        if (cands != null) {
+          // best candidate = longest verified extension
+          var bestOff = -1; var bestLen = 0
+          val it = cands.iterator()
+          while (it.hasNext) {
+            val o = it.next().intValue()
+            var l = 0
+            while (o + l < from.length && i + l < to.length && from(o + l) == to(i + l)) l += 1
+            if (l >= MatchBlock && l > bestLen) { bestOff = o; bestLen = l }
+          }
+          if (bestOff >= 0) {
+            // absorb the tail of the pending literal into the copy
+            var back = 0
+            while (back < lit.size() && bestOff - back > 0 &&
+              from(bestOff - back - 1) == to(i - back - 1)) back += 1
+            if (back > 0) {
+              val keep = lit.toByteArray.dropRight(back)
+              lit.reset(); lit.write(keep, 0, keep.length)
+            }
+            flushLit()
+            out.write(OpCopy)
+            writeVarint(out, (bestOff - back).toLong)
+            writeVarint(out, (bestLen + back).toLong)
+            i += bestLen
+            emitted = true
+          }
+        }
+      }
+      if (!emitted) { lit.write(to(i)); i += 1 }
+    }
+    flushLit()
+    out.toByteArray
+  }
 
   /** Apply [[diff]] output to a base. */
-  def patch(base: Array[Byte], delta: Array[Byte]): Array[Byte] = delta
+  def patch(base: Array[Byte], delta: Array[Byte]): Array[Byte] = {
+    require(delta.nonEmpty && (delta(0) & 0xff) == DeltaMagic, "bad delta magic")
+    val pos = Array(1)
+    val targetLen = readVarint(delta, pos).toInt
+    val out = new Array[Byte](targetLen)
+    var w = 0
+    while (pos(0) < delta.length) {
+      delta(pos(0)) match {
+        case 0 =>
+          pos(0) += 1
+          val len = readVarint(delta, pos).toInt
+          System.arraycopy(delta, pos(0), out, w, len)
+          pos(0) += len; w += len
+        case 1 =>
+          pos(0) += 1
+          val off = readVarint(delta, pos).toInt
+          val len = readVarint(delta, pos).toInt
+          System.arraycopy(base, off, out, w, len)
+          w += len
+        case op => throw new IllegalArgumentException(s"bad delta op $op")
+      }
+    }
+    require(w == targetLen, s"delta produced $w of $targetLen bytes")
+    out
+  }
+
+  /** Compose `d1: base→s1` with `d2: s1→s2` into `base→s2` WITHOUT any
+    * state bytes — d2's COPY ranges (offsets into s1) resolve through
+    * d1's instruction list: sections d1 copied from the base stay
+    * copies (shifted), sections d1 added resolve to literals. */
+  def composeDeltas(d1: Array[Byte], d2: Array[Byte]): Array[Byte] = {
+    // decode d1 into (s1Start, len, op, literalBytes|baseOff) spans
+    final case class Span(start: Int, len: Int, isCopy: Boolean,
+                          baseOff: Int, lit: Array[Byte], litOff: Int)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    locally {
+      require(d1.nonEmpty && (d1(0) & 0xff) == DeltaMagic, "bad delta magic")
+      val pos = Array(1); readVarint(d1, pos) // s1 length
+      var s = 0
+      while (pos(0) < d1.length) {
+        d1(pos(0)) match {
+          case 0 =>
+            pos(0) += 1
+            val len = readVarint(d1, pos).toInt
+            spans += Span(s, len, isCopy = false, -1, d1, pos(0))
+            pos(0) += len; s += len
+          case 1 =>
+            pos(0) += 1
+            val off = readVarint(d1, pos).toInt
+            val len = readVarint(d1, pos).toInt
+            spans += Span(s, len, isCopy = true, off, null, -1)
+            s += len
+        }
+      }
+    }
+    val starts = spans.map(_.start).toArray
+    val out = new ByteArrayOutputStream(d2.length + 16)
+    out.write(DeltaMagic)
+    val pos = Array(1)
+    val targetLen = readVarint(d2, pos)
+    require((d2(0) & 0xff) == DeltaMagic, "bad delta magic")
+    writeVarint(out, targetLen)
+    def emitCopyRange(off: Int, len: Int): Unit = {
+      // walk the s1 range [off, off+len) across d1's spans
+      var cur = off; val end = off + len
+      while (cur < end) {
+        var idx = java.util.Arrays.binarySearch(starts, cur)
+        if (idx < 0) idx = -idx - 2
+        val sp = spans(idx)
+        val take = math.min(end - cur, sp.start + sp.len - cur)
+        val rel = cur - sp.start
+        if (sp.isCopy) {
+          out.write(OpCopy)
+          writeVarint(out, (sp.baseOff + rel).toLong)
+          writeVarint(out, take.toLong)
+        } else {
+          out.write(OpAdd); writeVarint(out, take.toLong)
+          out.write(sp.lit, sp.litOff + rel, take)
+        }
+        cur += take
+      }
+    }
+    while (pos(0) < d2.length) {
+      d2(pos(0)) match {
+        case 0 =>
+          pos(0) += 1
+          val len = readVarint(d2, pos).toInt
+          out.write(OpAdd); writeVarint(out, len.toLong)
+          out.write(d2, pos(0), len)
+          pos(0) += len
+        case 1 =>
+          pos(0) += 1
+          val off = readVarint(d2, pos).toInt
+          val len = readVarint(d2, pos).toInt
+          emitCopyRange(off, len)
+      }
+    }
+    out.toByteArray
+  }
 
   // --- state constructors (the write path) ---
 
@@ -176,12 +357,18 @@ object Xdelta {
           // rhs changed nothing: keep lhs's delta, extend the chain tip
           encodeState(State(lhs.header.copy(stateHash = rhs.header.stateHash,
             stateSize = rhs.header.stateSize), lhs.payload))
-        else
-          // compose: lhs's base to rhs's target
+        else {
+          // compose lhs (base→s1) with rhs (s1→s2) into base→s2 — the
+          // instruction-level merge (no state bytes needed), xdelta3's
+          // patch-merge property
+          val payload =
+            try composeDeltas(lhs.payload, rhs.payload)
+            catch { case _: Exception => return error(MergePatchesError) }
           encodeState(State(Header(tpe = Patch,
             baseHash = lhs.header.baseHash, stateHash = rhs.header.stateHash,
             stateSize = rhs.header.stateSize,
-            dataSize = rhs.payload.length.toLong), rhs.payload))
+            dataSize = payload.length.toLong), payload))
+        }
       case (Base, Patch) =>
         val baseHash = hash32(lhs.payload)
         if (baseHash != rhs.header.baseHash) error(BaseHashError)
@@ -190,7 +377,9 @@ object Xdelta {
           else if (rhs.header.stateHash != baseHash) error(StateHashError)
           else lhsData
         } else {
-          val next = patch(lhs.payload, rhs.payload)
+          val next =
+            try patch(lhs.payload, rhs.payload)
+            catch { case _: Exception => return error(StateHashError) }
           if (next.length.toLong != rhs.header.stateSize) error(StateSizeError)
           else if (hash32(next) != rhs.header.stateHash) error(StateHashError)
           else makeBase(next)

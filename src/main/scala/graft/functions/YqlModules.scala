@@ -196,6 +196,38 @@ object YqlModules {
       get_json_object(c, path).cast("double")
   }
 
+  /** Pire / Hyperscan regex modules (udfs/common/pire/pire_udf.cpp:72-75,
+    * 189, 243; hyperscan/hyperscan_udf.cpp:81-104, 260, 326). Both expose
+    * the same surface — Match (whole string), Grep (substring search),
+    * MultiMatch/MultiGrep (newline-joined alternatives, one verdict per
+    * pattern), Capture (first group, null when unmatched), Replace
+    * (global) — differing only in the backing automaton, which on Spark
+    * is always the codegen'd native regexp engine. `Hyperscan` aliases
+    * `Pire` (incl. the Backtracking* fallback names, which in the
+    * reference only select an engine). */
+  object Pire {
+    /** Whole-string match (Pire::Match). */
+    def matches(c: Column, pattern: String): Column =
+      regexp_like(c, lit("^(?:" + pattern + ")$"))
+    /** Substring search (Pire::Grep). */
+    def grep(c: Column, pattern: String): Column = regexp_like(c, lit(pattern))
+    /** One bool per newline-separated alternative (Pire::MultiGrep). */
+    def multiGrep(c: Column, patterns: Seq[String]): Column =
+      array(patterns.map(p => regexp_like(c, lit(p))): _*)
+    def multiMatch(c: Column, patterns: Seq[String]): Column =
+      array(patterns.map(p => matches(c, p)): _*)
+    /** First capture group of the first match; null when the pattern
+      * does not occur (the reference returns an empty Optional — Spark's
+      * regexp_extract would return "" and conflate no-match with an
+      * empty group). */
+    def capture(c: Column, pattern: String): Column =
+      when(regexp_like(c, lit(pattern)), regexp_extract(c, pattern, 1))
+    /** Replace every occurrence (Pire::Replace is global). */
+    def replace(c: Column, pattern: String, repl: String): Column =
+      regexp_replace(c, pattern, repl)
+  }
+  val Hyperscan: Pire.type = Pire
+
   object Ip {
     /** Dotted-quad IPv4 → uint32 (Ip::FromString for v4). */
     def fromString(c: Column): Column = {

@@ -468,7 +468,53 @@ object Yql {
         .groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_partkey")).as("d_parts"),
           count_distinct(col("l_suppkey")).as("d_supps"),
-          round(sum_distinct(col("l_quantity")), 2).as("sd_qty")))
+          round(sum_distinct(col("l_quantity")), 2).as("sd_qty"))),
+
+    // IGNORE NULLS navigation (builtin.cpp:3312 first_value/last_value/
+    // nth_value [ignore nulls] + the lag/lead skip-null forms). The
+    // nullable column is derived deterministically so the oracle can
+    // replay the exact null mask.
+    "yql_window_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 300)
+        .withColumn("big_price",
+          when(col("o_totalprice") > 150000, col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("big_price"), 1, null, ignoreNulls = true).over(w).as("prev_big"),
+          lead(col("big_price"), 1, null, ignoreNulls = true).over(w).as("next_big"),
+          first(col("big_price"), ignoreNulls = true).over(wAll).as("first_big"),
+          last(col("big_price"), ignoreNulls = true).over(wAll).as("last_big"),
+          nth_value(col("big_price"), 2, ignoreNulls = true).over(wAll).as("second_big"))
+    }),
+
+    // some (builtin.cpp:3236) — an arbitrary group member. Oracle-checkable
+    // because the sampled column is functionally dependent on the group key
+    // (every lineitem of an order shares the order's status), so "any value"
+    // and the oracle's min coincide.
+    "yql_agg_some" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(any_value(col("o_orderstatus")).as("some_status"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Pire/Hyperscan regex modules: Match / Grep / MultiGrep / Capture /
+    // Replace (pire_udf.cpp:72-75,189,243; hyperscan_udf.cpp:81-104).
+    "yql_fn_pire" -> ((s, d) => {
+      import graft.functions.YqlModules.Pire
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          Pire.grep(col("p_name"), "green").as("grep_green"),
+          Pire.matches(col("p_type"), "(ECONOMY|PROMO)").as("match_type"),
+          Pire.capture(col("p_name"), "^([a-z]+)").as("cap_first"),
+          Pire.replace(col("p_brand"), "[0-9]+", "#").as("repl_brand"),
+          Pire.multiGrep(col("p_name"), Seq("red", "green", "blue")).as("mg"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -750,6 +796,36 @@ object Yql {
            COUNT(DISTINCT l_partkey) AS d_parts,
            COUNT(DISTINCT l_suppkey) AS d_supps,
            ROUND(SUM(DISTINCT l_quantity), 2) AS sd_qty
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "yql_window_ignore_nulls" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big_price
+           FROM orders WHERE o_custkey < 300)
+         SELECT o_custkey, o_orderkey,
+           lag(big_price, 1 IGNORE NULLS) OVER w AS prev_big,
+           lead(big_price, 1 IGNORE NULLS) OVER w AS next_big,
+           first_value(big_price IGNORE NULLS) OVER wa AS first_big,
+           last_value(big_price IGNORE NULLS) OVER wa AS last_big,
+           nth_value(big_price, 2 IGNORE NULLS) OVER wa AS second_big
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "yql_agg_some" ->
+      """SELECT l_orderkey, min(o_orderstatus) AS some_status,
+           COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey""",
+    "yql_fn_pire" ->
+      """SELECT p_partkey,
+           regexp_matches(p_name, 'green') AS grep_green,
+           regexp_full_match(p_type, '(ECONOMY|PROMO)') AS match_type,
+           CASE WHEN regexp_matches(p_name, '^([a-z]+)')
+             THEN regexp_extract(p_name, '^([a-z]+)', 1) END AS cap_first,
+           regexp_replace(p_brand, '[0-9]+', '#', 'g') AS repl_brand,
+           [regexp_matches(p_name, 'red'), regexp_matches(p_name, 'green'),
+            regexp_matches(p_name, 'blue')] AS mg
+         FROM part"""
   )
 }

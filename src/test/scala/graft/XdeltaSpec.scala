@@ -48,6 +48,37 @@ class XdeltaSpec extends SparkSpec {
     assert(Xdelta.decodeState(Array[Byte](9, 9)).header.errorCode == Xdelta.HeaderParseError)
   }
 
+  test("delta codec: COPY/ADD roundtrip, compression on similar states, composition") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4096)(rnd.nextInt(256).toByte)
+    // target = base with a small splice in the middle — the delta must be
+    // tiny relative to the state (the whole point of the codec)
+    val target = base.take(1000) ++ b("spliced-in-edit") ++ base.drop(1010)
+    val d = Xdelta.diff(base, target)
+    assert(Xdelta.patch(base, d).toSeq == target.toSeq)
+    assert(d.length < target.length / 10,
+      s"delta ${d.length}B not small vs target ${target.length}B")
+    // unrelated target degrades to literals but still roundtrips
+    val unrelated = Array.fill(100)(rnd.nextInt(256).toByte)
+    assert(Xdelta.patch(base, Xdelta.diff(base, unrelated)).toSeq == unrelated.toSeq)
+    // empty/short bases
+    assert(Xdelta.patch(Array.empty, Xdelta.diff(Array.empty, b("abc"))).toSeq == b("abc").toSeq)
+    // composition: (base→s1) ∘ (s1→s2) applied to base == s2, without s1
+    val s1 = base.take(2000) ++ b("v1") ++ base.drop(2000)
+    val s2 = s1.take(300) ++ b("v2-edit") ++ s1.drop(310)
+    val composed = Xdelta.composeDeltas(Xdelta.diff(base, s1), Xdelta.diff(s1, s2))
+    assert(Xdelta.patch(base, composed).toSeq == s2.toSeq)
+  }
+
+  test("long patch chains fold to the right state through composed deltas") {
+    val states = (0 to 8).map(i => b(s"common-prefix-shared-across-versions-$i-" + "x" * 64))
+    val patches = states.sliding(2).map { case Seq(p, n) => Xdelta.makePatch(p, n) }.toSeq
+    // compose all patches first (map-side partial), then apply to the base
+    val partial = patches.reduce(Xdelta.mergeStates)
+    val applied = Xdelta.mergeStates(Xdelta.makeBase(states.head), partial)
+    assert(Xdelta.statePayload(applied).toSeq == states.last.toSeq)
+  }
+
   test("a newer BASE supersedes whatever came before") {
     val folded = Xdelta.mergeStates(Xdelta.makeBase(b("old")), Xdelta.makeBase(b("new")))
     assert(Xdelta.statePayload(folded).toSeq == b("new").toSeq)
