@@ -184,4 +184,49 @@ object TextAnalysis {
         count(when(col("cnt").isNull, 1)).as("oov"),
         sum(coalesce(col("cnt"), lit(0L))).as("freq_sum"))
   }
+
+  /** Boilerplate-line removal (the RefinedWeb / CCNet line-dedup stage:
+    * drop lines whose EXACT text repeats across the corpus ≥ minRepeats
+    * times — nav bars, cookie banners, license footers).
+    *
+    * Lines here are fixed [[wordsPerLine]]-word chunks (the synthetic
+    * corpus has no newlines); with real data pass the text pre-split on
+    * '\n' through the same pipeline.
+    *
+    * Scale shape: the corpus explodes ONCE into a line stream that
+    * feeds a partially-aggregated count (map-side combine collapses
+    * repeats before the exchange — the only shuffle, carrying distinct
+    * lines); the hot set (count ≥ minRepeats) is the boilerplate
+    * sliver, folded to one array row and broadcast, so the rebuild is a
+    * map-side array filter — the corpus itself never shuffles and never
+    * re-groups. For hot sets beyond array scale, swap the literal array
+    * for a bloom filter; membership stays map-side either way.
+    */
+  def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      wordsPerLine: Int = 5, minRepeats: Long = 3L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val withLines = docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0),
+            floor((size(col("ws")) - 1) / lit(wordsPerLine.toDouble)).cast("int")),
+          i => array_join(slice(col("ws"), i * wordsPerLine + 1, lit(wordsPerLine)), " "))
+          .as("lines"))
+    val hot = withLines
+      .select(explode(col("lines")).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minRepeats)
+      .agg(collect_set(col("line")).as("hotset"))
+    withLines.crossJoin(broadcast(hot))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => array_contains(col("hotset"), l)))
+          .cast("long").as("n_dropped"),
+        array_join(filter(col("lines"), l => !array_contains(col("hotset"), l)), " ")
+          .as("clean_text"))
+  }
 }

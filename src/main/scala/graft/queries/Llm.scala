@@ -201,6 +201,13 @@ object Llm {
       TextAnalysis.unigramStats(t(s, d, "documents"))
         .orderBy("doc_id")),
 
+    // Boilerplate-line removal (RefinedWeb/CCNet line dedup): exact
+    // 5-word lines repeated >= 3 times across the corpus are dropped;
+    // the corpus never shuffles (hot set broadcast, map-side rebuild).
+    "llm_boilerplate_lines" -> ((s, d) =>
+      TextAnalysis.removeBoilerplateLines(t(s, d, "documents"))
+        .orderBy("doc_id")),
+
     // Quality scoring components (ratios are engine-portable: counts
     // divided by counts, rounded).
     "llm_text_quality" -> ((s, d) =>
@@ -613,6 +620,30 @@ object Llm {
            CAST(SUM(COALESCE(v.cnt, 0)) AS BIGINT) AS freq_sum
          FROM toks t LEFT JOIN vocab v USING (tok)
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "llm_boilerplate_lines" ->
+      """WITH w0 AS (
+           SELECT doc_id, ws.w AS word, ws.i AS i0
+           FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(text, '\s+')) AS w,
+                generate_subscripts(string_split_regex(text, '\s+'), 1) AS i) ws
+           WHERE len(ws.w) > 0),
+         w AS (
+           SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i0) AS i
+           FROM w0),
+         l AS (
+           SELECT doc_id, CAST(floor((i - 1) / 5) AS BIGINT) AS pos,
+             string_agg(word, ' ' ORDER BY i) AS line
+           FROM w GROUP BY doc_id, floor((i - 1) / 5)),
+         hot AS (
+           SELECT line FROM l GROUP BY line HAVING COUNT(*) >= 3)
+         SELECT doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE line IN (SELECT line FROM hot)) AS n_dropped,
+           COALESCE(string_agg(
+             CASE WHEN line NOT IN (SELECT line FROM hot) THEN line END,
+             ' ' ORDER BY pos), '') AS clean_text
+         FROM l GROUP BY doc_id ORDER BY doc_id""",
     "llm_text_quality" ->
       """SELECT doc_id,
            ROUND((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) /

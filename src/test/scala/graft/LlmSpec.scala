@@ -446,4 +446,33 @@ class LlmSpec extends SparkSpec {
     val rarity = got.map { case (id, n, _, fs) => id -> fs.toDouble / n }.toMap
     assert(rarity(3L) < rarity(1L))
   }
+
+  test("removeBoilerplateLines: corpus-repeated lines drop, unique text survives, order kept") {
+    // 2-word lines; "cookie banner" appears in 3 docs → boilerplate at
+    // minRepeats=3; "unique words" repeats only twice → kept
+    val docs = Seq(
+      (1L, "cookie banner unique words alpha beta"),
+      (2L, "cookie banner unique words gamma delta"),
+      (3L, "cookie banner epsilon zeta tail"), // trailing 1-word line
+      (4L, "plain document nothing repeated here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(docs,
+        wordsPerLine = 2, minRepeats = 3L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, "unique words alpha beta"),
+      (2L, 3L, 1L, "unique words gamma delta"),
+      (3L, 3L, 1L, "epsilon zeta tail"),
+      (4L, 3L, 0L, "plain document nothing repeated here")))
+    // no boilerplate at a higher threshold: everything survives verbatim
+    val none = TextAnalysis.removeBoilerplateLines(docs,
+        wordsPerLine = 2, minRepeats = 99L)
+      .as[(Long, Long, Long, String)].collect()
+    assert(none.forall(_._3 == 0L))
+    // partitioning must not change the verdicts
+    val re = TextAnalysis.removeBoilerplateLines(docs.repartition(5),
+        wordsPerLine = 2, minRepeats = 3L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
 }

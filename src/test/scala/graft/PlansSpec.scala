@@ -233,6 +233,45 @@ class PlansSpec extends SparkSpec {
     assert(prod.contains("l_orderkey") && prod.contains("Or("), prod)
   }
 
+  test("TRefineKeyRangeTest remaining shapes reach the scan: contradiction, " +
+      "point collapse, second dimension, tuple IN permutation, short keys " +
+      "(ql_range_inference_ut.cpp ContradictiveConjuncts/EmptyRange/" +
+      "RangeToPointCollapsing/SecondDimensionRange/InTuples/" +
+      "InColumnPermutation/NegativeRange1/NormalizeShortKeys)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cat = Map("//tmp/li" -> li)
+    def qf(where: String): String = pushedFilters(graft.ql.SelectRows(
+      spark, s"l_orderkey from [//tmp/li] where $where", cat))
+
+    // ContradictiveConjuncts / EmptyRange: both bounds still push; the
+    // scan's row-group stats then prune every block (the reference
+    // collapses the key range to empty at plan time — same zero rows read)
+    val contra = qf("l_orderkey > 100 and l_orderkey < 50")
+    assert(contra.contains("GreaterThan(l_orderkey,100)") &&
+      contra.contains("LessThan(l_orderkey,50)"), contra)
+    // RangeToPointCollapsing: closed degenerate range = a point lookup
+    val pt = qf("l_orderkey >= 5 and l_orderkey <= 5")
+    assert(pt.contains("GreaterThanOrEqual(l_orderkey,5)") &&
+      pt.contains("LessThanOrEqual(l_orderkey,5)"), pt)
+    // SecondDimensionRange: point on dim 1 + range on dim 2, both pushed
+    val dim2 = qf("l_orderkey = 1 and l_linenumber > 2")
+    assert(dim2.contains("EqualNullSafe(l_orderkey,1)") &&
+      dim2.contains("GreaterThan(l_linenumber,2)"), dim2)
+    // InTuples: tuple IN lowers to a pushable Or of conjunctions
+    val tin = qf("(l_orderkey, l_linenumber) in ((1, 1), (3, 2))")
+    assert(tin.contains("Or(") && tin.contains("l_linenumber"), tin)
+    // InColumnPermutation: same ranges regardless of tuple column order
+    val perm = qf("(l_linenumber, l_orderkey) in ((1, 1), (2, 3))")
+    assert(perm.contains("Or(") && perm.contains("l_orderkey"), perm)
+    // NegativeRange1: bounds below zero push unchanged
+    assert(qf("l_orderkey < -1").contains("LessThan(l_orderkey,-1)"))
+    // NormalizeShortKeys: a prefix-only predicate on a two-part key
+    // stays a one-column range (no spurious second-dimension bound)
+    val short0 = qf("l_orderkey between 10 and 20")
+    assert(short0.contains("GreaterThanOrEqual(l_orderkey,10)") &&
+      !short0.contains("l_linenumber"), short0)
+  }
+
   // ---- ql_computed_columns_ut.cpp corpus, at the inference level ----
   // The reference tests assert inferred key RANGES; the observable here
   // is the derived image predicate (ComputedColumns.imageFor) that
