@@ -66,9 +66,39 @@ object Strm {
         measureSchema = StructType(Seq(
           StructField("start_id", LongType), StructField("end_id", LongType))),
         skip = MR.SkipToNextRow)
+    }),
+
+    // TimeOrderRecover (mkql_time_order_recover.h): restore per-key
+    // event-time order without a global sort. Arrival order is first
+    // scrambled, recovery co-locates each key and sorts within the
+    // partition, and positions are assigned by a partition-local
+    // counter — NO further exchange; the oracle's row_number() proves
+    // the recovered order is exactly event-time order per key.
+    "strm_time_order_recover" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .repartition(pmod(col("event_id"), lit(17)).cast("int"))
+      val rec = Streams.timeOrderRecover(ev, col("user_id"),
+        struct(col("ts"), col("event_id")))
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("event_id", LongType), StructField("pos", LongType)))
+      s.createDataFrame(
+        rec.select(col("user_id"), col("event_id")).rdd.mapPartitions { it =>
+          var cur = Long.MinValue; var first = true; var p = 0L
+          it.map { r =>
+            val u = r.getLong(0)
+            if (first || u != cur) { cur = u; p = 0L; first = false }
+            p += 1
+            org.apache.spark.sql.Row(u, r.getLong(1), p)
+          }
+        }, schema)
     }))
 
   val oracles: Map[String, String] = Map(
+    "strm_time_order_recover" ->
+      """SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+         FROM events""",
     "strm_interval_join" ->
       """SELECT COUNT(*) AS pairs, ROUND(SUM(p.value), 2) AS total_value
         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c

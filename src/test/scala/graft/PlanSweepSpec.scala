@@ -37,7 +37,10 @@ class PlanSweepSpec extends SparkSpec {
     * IS the IVF training/assignment cost); yql_join_cross is the CROSS
     * JOIN surface itself. */
   private val nestedLoopAllowed =
-    Set("llm_sim_bruteforce", "llm_sim_ivf", "llm_sim_lsh", "yql_join_cross")
+    Set("llm_sim_bruteforce", "llm_sim_ivf", "llm_sim_lsh", "yql_join_cross",
+      // the hot-line set folds to ONE aggregated array row broadcast
+      // against the corpus — a 1×N product by construction
+      "llm_boilerplate_lines")
 
   /** Nearly every operator fits in <= 4 exchanges (scan → shuffle agg /
     * join → final agg → order). The documented exceptions: the
