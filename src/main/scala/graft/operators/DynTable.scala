@@ -368,4 +368,104 @@ object DynTable {
       tabletIndex: Int, limit: Long): DataFrame =
     pullQueue(ordered, tabletIndex,
       consumerOffset(registry, consumer, tabletIndex.toLong), limit)
+
+  // --- Queue producer sessions: exactly-once push ---
+  // (queue_client.h:78-152 CreateQueueProducerSession/PushQueueProducer;
+  // queues.md "Writing data": a session carries (epoch, sequence_number);
+  // create bumps the epoch — zombie fencing — and push writes only rows
+  // with $sequence_number above the stored high-water mark, so a retried
+  // batch never duplicates rows.)
+
+  /** The producer table: session_id → (epoch, sequence_number), itself a
+    * latest-wins log like the consumer registry. */
+  def emptyProducer(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Long, Long, String)]
+      .toDF("session_id", "epoch", "seq", "ts", "op")
+  }
+
+  /** Current (epoch, sequence_number) of a session; (-1, -1) when the
+    * session does not exist yet (a fresh create lands at epoch 0). The
+    * producer table is hyperparameter-sized (one row per writer host) —
+    * reading it driver-side is the consumerOffset pattern, not a
+    * data-path collect. */
+  def producerSession(producer: DataFrame, sessionId: String): (Long, Long) = {
+    val rows = readLatest(producer, Seq("session_id"))
+      .where(col("session_id") === sessionId)
+      .select("epoch", "seq").collect()
+    if (rows.isEmpty) (-1L, -1L) else (rows.head.getLong(0), rows.head.getLong(1))
+  }
+
+  /** CreateQueueProducerSession: new session → epoch 0, seq -1; existing
+    * session → epoch + 1, stored seq. Returns (updated producer table,
+    * epoch, last written sequence number). */
+  def createProducerSession(producer: DataFrame, sessionId: String,
+      ts: Long): (DataFrame, Long, Long) = {
+    val spark = producer.sparkSession
+    import spark.implicits._
+    val (epoch, seq) = producerSession(producer, sessionId)
+    val newEpoch = epoch + 1
+    val upd = Seq((sessionId, newEpoch, seq, ts, OpUpsert))
+      .toDF("session_id", "epoch", "seq", "ts", "op")
+    (producer.unionByName(upd), newEpoch, seq)
+  }
+
+  /** PushQueueProducer: append `rows` (carrying `seqCol` =
+    * $sequence_number) to the queue. Rows at or below the session's
+    * high-water mark are skipped (retry dedup); a push with a stale
+    * epoch throws (zombie fencing). Returns (queue', producer'). The
+    * skip filter is a map-side predicate on the batch — the queue is
+    * never read, so a push costs O(batch), not O(queue). */
+  def pushQueueProducer(queue: DataFrame, producer: DataFrame,
+      sessionId: String, epoch: Long, rows: DataFrame, seqCol: String,
+      ts: Long): (DataFrame, DataFrame) = {
+    val spark = producer.sparkSession
+    import spark.implicits._
+    val (curEpoch, lastSeq) = producerSession(producer, sessionId)
+    if (epoch < curEpoch)
+      throw new IllegalStateException(
+        s"zombie push: session $sessionId epoch $epoch < current $curEpoch")
+    if (epoch > curEpoch)
+      throw new IllegalStateException(
+        s"unknown epoch $epoch for session $sessionId (current $curEpoch)")
+    val fresh = rows.where(col(seqCol) > lastSeq)
+    val newLast = fresh.agg(max(col(seqCol))).collect().head match {
+      case r if r.isNullAt(0) => lastSeq
+      case r => r.getLong(0)
+    }
+    val upd = Seq((sessionId, epoch, newLast, ts, OpUpsert))
+      .toDF("session_id", "epoch", "seq", "ts", "op")
+    (queue.unionByName(fresh), producer.unionByName(upd))
+  }
+
+  // --- Queue trimming (queues.md #automatic_trimming; Trim verb) ---
+
+  /** Trim one tablet of an ordered queue below `upTo` (rows with
+    * row_index < upTo drop — the Queue Agent's Trim call). */
+  def trim(ordered: DataFrame, tabletIndex: Long, upTo: Long): DataFrame =
+    ordered.where(!(col("tablet_index") === tabletIndex &&
+      col("row_index") < upTo))
+
+  /** Auto-trim by vital consumers with a retained_rows floor: each
+    * tablet trims to min(smallest vital-consumer offset, high_watermark
+    * - retainedRows). One aggregation over the (tiny) registry + one
+    * over the queue's per-tablet maxima; the queue itself is filtered
+    * map-side against the broadcast bounds. */
+  def autoTrim(ordered: DataFrame, registry: DataFrame,
+      vitalConsumers: Seq[String], retainedRows: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val minOffsets = readLatest(registry, Seq("consumer", "tablet_index"))
+      .where(col("consumer").isin(vitalConsumers: _*))
+      .groupBy(col("tablet_index"))
+      .agg(min(col("next_offset")).as("vital_min"))
+    val highs = ordered.groupBy(col("tablet_index"))
+      .agg((max(col("row_index")) + 1 - retainedRows).as("retain_floor"))
+    val bounds = highs.join(minOffsets, Seq("tablet_index"), "left")
+      .select(col("tablet_index"),
+        least(coalesce(col("vital_min"), lit(0L)),
+          greatest(col("retain_floor"), lit(0L))).as("trim_to"))
+    ordered.join(broadcast(bounds), Seq("tablet_index"), "left")
+      .where(col("trim_to").isNull || col("row_index") >= col("trim_to"))
+      .drop("trim_to")
+  }
 }

@@ -210,6 +210,62 @@ object Dyn {
         pmod(col("event_id"), lit(8)), Seq(col("event_id")))
       DynTable.pullQueue(ordered, 3, 10L, 25L)
         .select("tablet_index", "row_index", "event_id", "event_type", "value")
+    }),
+
+    // Producer sessions (queue_client.h:78-152): exactly-once push. A
+    // retried batch overlapping the high-water mark appends only the
+    // fresh suffix; an epoch bump fences the old writer (its push
+    // throws and lands nothing); the new epoch resumes from the stored
+    // sequence number.
+    "dyn_producer_push" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("seq"), col("o_totalprice").as("price"))
+      val queue0 = o.limit(0)
+      var producer = DynTable.emptyProducer(s)
+      val (p1, epoch0, _) = DynTable.createProducerSession(producer, "ingest-A", 1L)
+      producer = p1
+      val (q1, p2) = DynTable.pushQueueProducer(queue0, producer, "ingest-A",
+        epoch0, o.where(col("seq") < 100), "seq", 2L)
+      producer = p2
+      // retry with overlap: only seq 100..149 are fresh
+      val (q2, p3) = DynTable.pushQueueProducer(q1, producer, "ingest-A",
+        epoch0, o.where(col("seq") >= 50 && col("seq") < 150), "seq", 3L)
+      producer = p3
+      // writer restarts: epoch bumps, the zombie's push is rejected whole
+      val (p4, epoch1, _) = DynTable.createProducerSession(producer, "ingest-A", 4L)
+      producer = p4
+      val zombieRejected =
+        try {
+          DynTable.pushQueueProducer(q2, producer, "ingest-A", epoch0,
+            o.where(col("seq") >= 150 && col("seq") < 200), "seq", 5L)
+          false
+        } catch { case _: IllegalStateException => true }
+      require(zombieRejected, "stale-epoch push must be fenced")
+      val (q3, _) = DynTable.pushQueueProducer(q2, producer, "ingest-A",
+        epoch1, o.where(col("seq") >= 160 && col("seq") < 180), "seq", 6L)
+      q3
+    }),
+
+    // Queue trimming (queues.md #automatic_trimming): each tablet trims
+    // to min(smallest vital-consumer offset, high_watermark + 1 -
+    // retained_rows); the queue filters map-side against the broadcast
+    // per-tablet bounds.
+    "dyn_queue_trim" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "value")
+      val ordered = DynTable.withOffsets(ev,
+        pmod(col("event_id"), lit(4)), Seq(col("event_id")))
+      var reg = DynTable.emptyConsumerRegistry(s)
+      (0L until 4L).foreach { tb =>
+        reg = DynTable.advanceConsumer(reg, "c1", tb, 100L + tb * 10L, 1L)
+        reg = DynTable.advanceConsumer(reg, "c2", tb, 130L, 2L)
+      }
+      // c3 lags far behind but is NOT vital — it must not hold the trim
+      reg = DynTable.advanceConsumer(reg, "c3", 0L, 5L, 3L)
+      DynTable.autoTrim(ordered, reg, Seq("c1", "c2"), retainedRows = 10L)
+        .groupBy(col("tablet_index"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("row_index")).as("min_idx"),
+          max(col("row_index")).as("max_idx"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +393,24 @@ object Dyn {
         |    row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id) - 1 AS row_index
         |  FROM events)
         |SELECT tablet_index, row_index, event_id, event_type, value
-        |FROM ordered WHERE tablet_index = 3 AND row_index >= 10 AND row_index < 35""".stripMargin)
+        |FROM ordered WHERE tablet_index = 3 AND row_index >= 10 AND row_index < 35""".stripMargin,
+
+    // the replay: batch1 wrote [0,100), the retry appended only
+    // [100,150), the zombie batch [150,200) was fenced entirely, the
+    // new epoch appended [160,180)
+    "dyn_producer_push" ->
+      """SELECT o_orderkey AS seq, o_totalprice AS price FROM orders
+        |WHERE o_orderkey < 150
+        |   OR (o_orderkey >= 160 AND o_orderkey < 180)""".stripMargin,
+
+    "dyn_queue_trim" ->
+      """WITH o AS (
+        |  SELECT event_id % 4 AS tablet_index FROM events),
+        |hw AS (SELECT tablet_index, COUNT(*) AS cnt FROM o GROUP BY tablet_index),
+        |b AS (SELECT tablet_index,
+        |    least(least(100 + tablet_index * 10, 130), greatest(cnt - 10, 0)) AS trim_to,
+        |    cnt
+        |  FROM hw)
+        |SELECT tablet_index, cnt - trim_to AS n_rows, trim_to AS min_idx,
+        |  cnt - 1 AS max_idx FROM b""".stripMargin)
 }

@@ -336,4 +336,57 @@ class DynTableSpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(full == comp && full == Seq(Row(1L, "b", "c"), Row(2L, "x", "y")))
   }
+
+  test("producer session: retry dedup, epoch fencing, resume from stored seq") {
+    val rows = (0L until 10L).map(i => (i, s"p$i")).toDF("seq", "payload")
+    val queue0 = rows.limit(0)
+    val (p1, e0, s0) = DynTable.createProducerSession(
+      DynTable.emptyProducer(spark), "host-1", 1L)
+    assert(e0 == 0L && s0 == -1L) // fresh session
+    val (q1, p2) = DynTable.pushQueueProducer(queue0, p1, "host-1", e0,
+      rows.where($"seq" < 5), "seq", 2L)
+    // exact retry: nothing appends
+    val (q2, p3) = DynTable.pushQueueProducer(q1, p2, "host-1", e0,
+      rows.where($"seq" < 5), "seq", 3L)
+    assert(q2.count() == 5)
+    // overlapping retry: only the fresh suffix appends
+    val (q3, p4) = DynTable.pushQueueProducer(q2, p3, "host-1", e0,
+      rows.where($"seq" >= 3 && $"seq" < 8), "seq", 4L)
+    assert(q3.count() == 8 && q3.select("seq").distinct().count() == 8)
+    // restart: epoch bumps, seq carries over; the zombie is fenced
+    val (p5, e1, s1) = DynTable.createProducerSession(p4, "host-1", 5L)
+    assert(e1 == 1L && s1 == 7L)
+    intercept[IllegalStateException] {
+      DynTable.pushQueueProducer(q3, p5, "host-1", e0, rows, "seq", 6L)
+    }
+    // unknown future epoch is also rejected
+    intercept[IllegalStateException] {
+      DynTable.pushQueueProducer(q3, p5, "host-1", e1 + 1, rows, "seq", 6L)
+    }
+    val (q4, _) = DynTable.pushQueueProducer(q3, p5, "host-1", e1,
+      rows, "seq", 7L)
+    assert(q4.count() == 10)
+  }
+
+  test("autoTrim: vital-consumer minimum bounds the trim, retained_rows floors it, " +
+      "no vital consumers = no trim") {
+    val ev = (0L until 100L).map(i => (i, i * 2.0)).toDF("event_id", "value")
+    val ordered = DynTable.withOffsets(ev, pmod($"event_id", lit(2)), Seq($"event_id"))
+    var reg = DynTable.emptyConsumerRegistry(spark)
+    reg = DynTable.advanceConsumer(reg, "c1", 0L, 20L, 1L)
+    reg = DynTable.advanceConsumer(reg, "c1", 1L, 45L, 1L)
+    reg = DynTable.advanceConsumer(reg, "c2", 0L, 30L, 2L)
+    // tablet 0 trims to min(20, 30) = 20; tablet 1 to min(45, 50-5=45)
+    val t1 = DynTable.autoTrim(ordered, reg, Seq("c1", "c2"), retainedRows = 5L)
+    val mins = t1.groupBy("tablet_index").agg(min("row_index").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mins == Map(0L -> 20L, 1L -> 45L))
+    // retained_rows dominates when consumers are far ahead
+    val t2 = DynTable.autoTrim(ordered, reg, Seq("c1", "c2"), retainedRows = 40L)
+    val mins2 = t2.groupBy("tablet_index").agg(min("row_index").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mins2 == Map(0L -> 10L, 1L -> 10L)) // 50 rows/tablet - 40 retained
+    // no vital consumers: nothing drops
+    assert(DynTable.autoTrim(ordered, reg, Seq.empty, 5L).count() == 100)
+  }
 }
