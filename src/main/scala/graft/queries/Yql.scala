@@ -503,6 +503,30 @@ object Yql {
           count(lit(1)).as("n_lines"))
     }),
 
+    // SessionWindow inside OVER (yql_opt_window.cpp:3364-3377
+    // SessionWindowTraits + the session_start aggregate): sessionize by
+    // a 6h gap, then window functions PARTITION BY the session —
+    // per-session positions and session_start per row. The classic
+    // gaps-and-islands lowering: lag → boundary flag → running sum =
+    // session id; all one shuffle on user_id reused by every window.
+    "yql_window_over_session" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapSec = 6L * 3600L
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_sess",
+          when(unix_timestamp(col("ts")) -
+            lag(unix_timestamp(col("ts")), 1).over(w) > gapSec, 1)
+            .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val ws = Window.partitionBy(col("user_id"), col("sess_id"))
+      ev.select(col("user_id"), col("event_id"), col("sess_id"),
+        row_number().over(ws.orderBy(col("ts"), col("event_id"))).as("pos_in_sess"),
+        min(col("ts")).over(ws).as("session_start"))
+    }),
+
     // Pire/Hyperscan regex modules: Match / Grep / MultiGrep / Capture /
     // Replace (pire_udf.cpp:72-75,189,243; hyperscan_udf.cpp:81-104).
     "yql_fn_pire" -> ((s, d) => {
@@ -817,6 +841,24 @@ object Yql {
            COUNT(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY l_orderkey""",
+    "yql_window_over_session" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, event_id, ts,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+           FROM g)
+         SELECT user_id, event_id, sess_id,
+           CAST(row_number() OVER (PARTITION BY user_id, sess_id
+             ORDER BY ts, event_id) AS INT) AS pos_in_sess,
+           min(ts) OVER (PARTITION BY user_id, sess_id) AS session_start
+         FROM s""",
     "yql_fn_pire" ->
       """SELECT p_partkey,
            regexp_matches(p_name, 'green') AS grep_green,
