@@ -185,6 +185,97 @@ object TextAnalysis {
         sum(coalesce(col("cnt"), lit(0L))).as("freq_sum"))
   }
 
+  /** Distributed BPE vocabulary learning (Sennrich et al. 2016, the
+    * merge-learning loop behind GPT/Llama-style tokenizers).
+    *
+    * Classic formulation: merges are learned over the WORD-FREQUENCY
+    * table, not the raw corpus — the first aggregation collapses 100 TB
+    * of text to one row per distinct word (the only corpus-sized
+    * shuffle). Each merge round is then one distributed pair-count over
+    * that table (map-side combined; the candidate space is pairs of
+    * current symbols) plus a driver-side argmax of ONE (pair, count)
+    * row — the merge table itself is hyperparameter-sized state, like
+    * IVF centroids. The symbol rewrite is a map; localCheckpoint every
+    * few rounds cuts the growing lineage exactly as
+    * Dedup.connectedComponents does.
+    *
+    * Ties break deterministically (count desc, then pair lexicographic)
+    * so the learned merge sequence is reproducible across partitionings
+    * — the property the spec pins against a single-node reference
+    * implementation.
+    *
+    * Returns the learned merges in order: (rank, left, right).
+    */
+  def learnBpe(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, minPairCount: Long = 2L): Seq[(Int, String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString), c) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words.rdd
+        .flatMap { case (syms, c) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map { p => ((p.head, p(1)), c) } }
+        .reduceByKey(_ + _)
+        .takeOrdered(1)(Ordering.by { case ((a, b), c) => (-c, a, b) })
+      top.headOption.filter(_._2 >= minPairCount) match {
+        case None => exhausted = true
+        case Some(((l, r), _)) =>
+          merges += ((rank, l, r))
+          val (ml, mr) = (l, r)
+          words = words.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == ml && syms(i + 1) == mr) {
+                out += ml + mr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toIndexedSeq, c)
+          }
+          rank += 1
+          if (rank % 8 == 0) words = words.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned merge table to text: per-word greedy merge in rank
+    * order — the tokenizer's encode step, one codegen-free map over the
+    * corpus (no shuffle). Returns (doc rows + n_bpe_tokens). */
+  def bpeTokenCount(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Seq[(Int, String, String)]): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val ranked = merges.sortBy(_._1).map { case (_, l, r) => (l, r) }
+    val countUdf = udf { (text: String) =>
+      if (text == null) 0L
+      else text.toLowerCase.split("\\s+").filter(_.nonEmpty).map { w =>
+        var syms: IndexedSeq[String] = w.map(_.toString)
+        ranked.foreach { case (l, r) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toIndexedSeq
+        }
+        syms.length.toLong
+      }.sum
+    }
+    docs.withColumn("n_bpe_tokens", countUdf(col(textCol)))
+  }
+
   /** Boilerplate-line removal (the RefinedWeb / CCNet line-dedup stage:
     * drop lines whose EXACT text repeats across the corpus ≥ minRepeats
     * times — nav bars, cookie banners, license footers).

@@ -447,6 +447,59 @@ class LlmSpec extends SparkSpec {
     assert(rarity(3L) < rarity(1L))
   }
 
+  test("learnBpe: merge sequence matches a single-node BPE reference, " +
+      "deterministic under repartition; bpeTokenCount shrinks with merges") {
+    // single-node reference: the Sennrich algorithm verbatim
+    def localBpe(wordCounts: Map[String, Long], n: Int, minC: Long): Seq[(String, String)] = {
+      var words = wordCounts.toSeq.map { case (w, c) => (w.map(_.toString): IndexedSeq[String], c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var stop = false
+      while (out.length < n && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.length == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best.filter(_._2 >= minC) match {
+          case None => stop = true
+          case Some(((l, r), _)) =>
+            out += ((l, r))
+            words = words.map { case (syms, c) =>
+              val nw = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  nw += l + r; i += 2
+                } else { nw += syms(i); i += 1 }
+              }
+              (nw.toIndexedSeq, c)
+            }
+        }
+      }
+      out.toSeq
+    }
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text), (2L, "low lower newest")).toDF("doc_id", "text")
+    val wordCounts = (text + " low lower newest").split(" ")
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val expected = localBpe(wordCounts, 8, 2L)
+    val got = TextAnalysis.learnBpe(docs, "text", 8, 2L).map { case (_, l, r) => (l, r) }
+    assert(got == expected, s"got $got expected $expected")
+    // deterministic under repartition
+    val re = TextAnalysis.learnBpe(docs.repartition(7), "text", 8, 2L)
+      .map { case (_, l, r) => (l, r) }
+    assert(re == expected)
+    // encoding with more merges never increases the token count
+    val m0 = TextAnalysis.bpeTokenCount(docs, "text", Seq.empty)
+      .select("n_bpe_tokens").as[Long].collect().sum
+    val m8 = TextAnalysis.bpeTokenCount(docs, "text",
+        TextAnalysis.learnBpe(docs, "text", 8, 2L))
+      .select("n_bpe_tokens").as[Long].collect().sum
+    assert(m8 < m0, s"merges must compress: $m8 !< $m0")
+  }
+
   test("removeBoilerplateLines: corpus-repeated lines drop, unique text survives, order kept") {
     // 2-word lines; "cookie banner" appears in 3 docs → boilerplate at
     // minRepeats=3; "unique words" repeats only twice → kept
