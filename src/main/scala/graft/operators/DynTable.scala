@@ -410,15 +410,21 @@ object DynTable {
     (producer.unionByName(upd), newEpoch, seq)
   }
 
+  /** PushQueueProducer result (the reference returns
+    * last_sequence_number + skipped_row_count,
+    * test_producer.py:265-289). */
+  final case class PushResult(queue: DataFrame, producer: DataFrame,
+      lastSequenceNumber: Long, skippedRowCount: Long)
+
   /** PushQueueProducer: append `rows` (carrying `seqCol` =
     * $sequence_number) to the queue. Rows at or below the session's
-    * high-water mark are skipped (retry dedup); a push with a stale
-    * epoch throws (zombie fencing). Returns (queue', producer'). The
-    * skip filter is a map-side predicate on the batch — the queue is
-    * never read, so a push costs O(batch), not O(queue). */
+    * high-water mark are skipped (retry dedup, reported in
+    * skippedRowCount); a push with a stale epoch throws (zombie
+    * fencing). The skip filter is a map-side predicate on the batch —
+    * the queue is never read, so a push costs O(batch), not O(queue). */
   def pushQueueProducer(queue: DataFrame, producer: DataFrame,
       sessionId: String, epoch: Long, rows: DataFrame, seqCol: String,
-      ts: Long): (DataFrame, DataFrame) = {
+      ts: Long): PushResult = {
     val spark = producer.sparkSession
     import spark.implicits._
     val (curEpoch, lastSeq) = producerSession(producer, sessionId)
@@ -428,14 +434,39 @@ object DynTable {
     if (epoch > curEpoch)
       throw new IllegalStateException(
         s"unknown epoch $epoch for session $sessionId (current $curEpoch)")
+    val agg = rows.agg(
+      max(col(seqCol)),
+      count(when(col(seqCol) <= lastSeq, 1))).collect().head
+    val newLast = if (agg.isNullAt(0)) lastSeq else math.max(agg.getLong(0), lastSeq)
+    val skipped = agg.getLong(1)
     val fresh = rows.where(col(seqCol) > lastSeq)
-    val newLast = fresh.agg(max(col(seqCol))).collect().head match {
-      case r if r.isNullAt(0) => lastSeq
-      case r => r.getLong(0)
-    }
     val upd = Seq((sessionId, epoch, newLast, ts, OpUpsert))
       .toDF("session_id", "epoch", "seq", "ts", "op")
-    (queue.unionByName(fresh), producer.unionByName(upd))
+    PushResult(queue.unionByName(fresh), producer.unionByName(upd),
+      newLast, skipped)
+  }
+
+  /** Push with the start-sequence-number option
+    * (test_producer.py:218-252): rows carry no $sequence_number; they
+    * are numbered startSeq, startSeq+1, ... in `orderCol` order. */
+  def pushQueueProducerAutoSeq(queue: DataFrame, producer: DataFrame,
+      sessionId: String, epoch: Long, rows: DataFrame, orderCol: Column,
+      startSeq: Long, seqCol: String, ts: Long): PushResult = {
+    val numbered = rows.withColumn(seqCol,
+      row_number().over(Window.orderBy(orderCol)).cast("long") + lit(startSeq - 1))
+    pushQueueProducer(queue, producer, sessionId, epoch, numbered, seqCol, ts)
+  }
+
+  /** RemoveQueueProducerSession: tombstone the session row; a
+    * subsequent create starts over at epoch 0, seq -1
+    * (test_producer.py:115-129). */
+  def removeProducerSession(producer: DataFrame, sessionId: String,
+      ts: Long): DataFrame = {
+    val spark = producer.sparkSession
+    import spark.implicits._
+    val del = Seq((sessionId, -1L, -1L, ts, OpDelete))
+      .toDF("session_id", "epoch", "seq", "ts", "op")
+    producer.unionByName(del)
   }
 
   // --- Queue trimming (queues.md #automatic_trimming; Trim verb) ---

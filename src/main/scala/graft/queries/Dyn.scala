@@ -224,26 +224,27 @@ object Dyn {
       var producer = DynTable.emptyProducer(s)
       val (p1, epoch0, _) = DynTable.createProducerSession(producer, "ingest-A", 1L)
       producer = p1
-      val (q1, p2) = DynTable.pushQueueProducer(queue0, producer, "ingest-A",
+      val r1 = DynTable.pushQueueProducer(queue0, producer, "ingest-A",
         epoch0, o.where(col("seq") < 100), "seq", 2L)
-      producer = p2
-      // retry with overlap: only seq 100..149 are fresh
-      val (q2, p3) = DynTable.pushQueueProducer(q1, producer, "ingest-A",
+      producer = r1.producer
+      // retry with overlap: only seq 100..149 are fresh (50 skipped)
+      val r2 = DynTable.pushQueueProducer(r1.queue, producer, "ingest-A",
         epoch0, o.where(col("seq") >= 50 && col("seq") < 150), "seq", 3L)
-      producer = p3
+      require(r2.skippedRowCount == 50 && r2.lastSequenceNumber == 149,
+        s"retry dedup: ${r2.skippedRowCount} skipped, last ${r2.lastSequenceNumber}")
+      producer = r2.producer
       // writer restarts: epoch bumps, the zombie's push is rejected whole
       val (p4, epoch1, _) = DynTable.createProducerSession(producer, "ingest-A", 4L)
       producer = p4
       val zombieRejected =
         try {
-          DynTable.pushQueueProducer(q2, producer, "ingest-A", epoch0,
+          DynTable.pushQueueProducer(r2.queue, producer, "ingest-A", epoch0,
             o.where(col("seq") >= 150 && col("seq") < 200), "seq", 5L)
           false
         } catch { case _: IllegalStateException => true }
       require(zombieRejected, "stale-epoch push must be fenced")
-      val (q3, _) = DynTable.pushQueueProducer(q2, producer, "ingest-A",
-        epoch1, o.where(col("seq") >= 160 && col("seq") < 180), "seq", 6L)
-      q3
+      DynTable.pushQueueProducer(r2.queue, producer, "ingest-A",
+        epoch1, o.where(col("seq") >= 160 && col("seq") < 180), "seq", 6L).queue
     }),
 
     // Queue trimming (queues.md #automatic_trimming): each tablet trims

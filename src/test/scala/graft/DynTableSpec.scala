@@ -343,16 +343,19 @@ class DynTableSpec extends SparkSpec {
     val (p1, e0, s0) = DynTable.createProducerSession(
       DynTable.emptyProducer(spark), "host-1", 1L)
     assert(e0 == 0L && s0 == -1L) // fresh session
-    val (q1, p2) = DynTable.pushQueueProducer(queue0, p1, "host-1", e0,
+    val r1 = DynTable.pushQueueProducer(queue0, p1, "host-1", e0,
       rows.where($"seq" < 5), "seq", 2L)
-    // exact retry: nothing appends
-    val (q2, p3) = DynTable.pushQueueProducer(q1, p2, "host-1", e0,
+    assert(r1.lastSequenceNumber == 4L && r1.skippedRowCount == 0L)
+    // exact retry: nothing appends, every row reported skipped
+    val r2 = DynTable.pushQueueProducer(r1.queue, r1.producer, "host-1", e0,
       rows.where($"seq" < 5), "seq", 3L)
-    assert(q2.count() == 5)
+    assert(r2.queue.count() == 5 && r2.skippedRowCount == 5L)
     // overlapping retry: only the fresh suffix appends
-    val (q3, p4) = DynTable.pushQueueProducer(q2, p3, "host-1", e0,
+    val r3 = DynTable.pushQueueProducer(r2.queue, r2.producer, "host-1", e0,
       rows.where($"seq" >= 3 && $"seq" < 8), "seq", 4L)
+    val (q3, p4) = (r3.queue, r3.producer)
     assert(q3.count() == 8 && q3.select("seq").distinct().count() == 8)
+    assert(r3.skippedRowCount == 2L && r3.lastSequenceNumber == 7L)
     // restart: epoch bumps, seq carries over; the zombie is fenced
     val (p5, e1, s1) = DynTable.createProducerSession(p4, "host-1", 5L)
     assert(e1 == 1L && s1 == 7L)
@@ -363,9 +366,24 @@ class DynTableSpec extends SparkSpec {
     intercept[IllegalStateException] {
       DynTable.pushQueueProducer(q3, p5, "host-1", e1 + 1, rows, "seq", 6L)
     }
-    val (q4, _) = DynTable.pushQueueProducer(q3, p5, "host-1", e1,
-      rows, "seq", 7L)
+    val q4 = DynTable.pushQueueProducer(q3, p5, "host-1", e1,
+      rows, "seq", 7L).queue
     assert(q4.count() == 10)
+  }
+
+  test("producer session: auto-sequencing push option and session removal") {
+    val rows = (0L until 4L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val (p1, e0, _) = DynTable.createProducerSession(
+      DynTable.emptyProducer(spark), "h", 1L)
+    // start_sequence_number option: rows numbered 17, 18, 19, 20
+    val r = DynTable.pushQueueProducerAutoSeq(rows.limit(0).withColumn("seq", lit(0L)),
+      p1, "h", e0, rows, $"id", 17L, "seq", 2L)
+    assert(r.lastSequenceNumber == 20L && r.skippedRowCount == 0L)
+    assert(r.queue.select("seq").as[Long].collect().sorted.toSeq == Seq(17L, 18L, 19L, 20L))
+    // removal tombstones the session; recreation restarts at epoch 0
+    val p2 = DynTable.removeProducerSession(r.producer, "h", 3L)
+    val (_, e1, s1) = DynTable.createProducerSession(p2, "h", 4L)
+    assert(e1 == 0L && s1 == -1L)
   }
 
   test("autoTrim: vital-consumer minimum bounds the trim, retained_rows floors it, " +
