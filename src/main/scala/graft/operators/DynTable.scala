@@ -469,6 +469,60 @@ object DynTable {
     producer.unionByName(del)
   }
 
+  // --- Consumer registrations (RegisterQueueConsumer /
+  // UnregisterQueueConsumer / ListQueueConsumerRegistrations,
+  // queue_client.h:129-154; tests queues/test_consumer_registrations.py)
+  // — a latest-wins log of (queue, consumer) → vital flag. The vital
+  // flag is what gates trimming (queues.md: "trimming by vital
+  // consumers"). ---
+
+  def emptyRegistrations(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Boolean, Long, String)]
+      .toDF("queue", "consumer", "vital", "ts", "op")
+  }
+
+  def registerConsumer(regs: DataFrame, queue: String, consumer: String,
+      vital: Boolean, ts: Long): DataFrame = {
+    val spark = regs.sparkSession
+    import spark.implicits._
+    regs.unionByName(Seq((queue, consumer, vital, ts, OpUpsert))
+      .toDF("queue", "consumer", "vital", "ts", "op"))
+  }
+
+  def unregisterConsumer(regs: DataFrame, queue: String, consumer: String,
+      ts: Long): DataFrame = {
+    val spark = regs.sparkSession
+    import spark.implicits._
+    regs.unionByName(Seq((queue, consumer, false, ts, OpDelete))
+      .toDF("queue", "consumer", "vital", "ts", "op"))
+  }
+
+  /** Live registrations of a queue (ListQueueConsumerRegistrations). */
+  def listRegistrations(regs: DataFrame, queue: String): DataFrame =
+    readLatest(regs, Seq("queue", "consumer"))
+      .where(col("queue") === queue)
+      .select("consumer", "vital")
+
+  /** [[autoTrim]] driven by the registration table: vital consumers
+    * come from the registry itself, the reference's Queue Agent wiring.
+    * The registration table is tiny — the collect is registry-sized. */
+  def autoTrimRegistered(ordered: DataFrame, registry: DataFrame,
+      regs: DataFrame, queue: String, retainedRows: Long): DataFrame = {
+    val vital = listRegistrations(regs, queue)
+      .where(col("vital")).select("consumer")
+      .collect().map(_.getString(0)).toSeq
+    autoTrim(ordered, registry, vital, retainedRows)
+  }
+
+  /** Per-partition queue statistics (the Queue Agent's partition info:
+    * row counts and offset watermarks per tablet). One aggregation. */
+  def queueStats(ordered: DataFrame): DataFrame =
+    ordered.groupBy(col("tablet_index"))
+      .agg(count(lit(1)).as("row_count"),
+        min(col("row_index")).as("lower_row_index"),
+        max(col("row_index")).as("upper_row_index"))
+
   // --- Queue trimming (queues.md #automatic_trimming; Trim verb) ---
 
   /** Trim one tablet of an ordered queue below `upTo` (rows with

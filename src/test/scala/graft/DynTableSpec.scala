@@ -386,6 +386,34 @@ class DynTableSpec extends SparkSpec {
     assert(e1 == 0L && s1 == -1L)
   }
 
+  test("consumer registrations: vital flag gates trimming, unregister frees the queue") {
+    val ev = (0L until 40L).map(i => (i, i.toString)).toDF("event_id", "v")
+    val ordered = DynTable.withOffsets(ev, lit(0L), Seq($"event_id"))
+    var reg = DynTable.emptyConsumerRegistry(spark)
+    reg = DynTable.advanceConsumer(reg, "slow", 0L, 3L, 1L)
+    reg = DynTable.advanceConsumer(reg, "fast", 0L, 30L, 1L)
+    var regs = DynTable.emptyRegistrations(spark)
+    regs = DynTable.registerConsumer(regs, "q", "slow", vital = true, 1L)
+    regs = DynTable.registerConsumer(regs, "q", "fast", vital = false, 2L)
+    assert(DynTable.listRegistrations(regs, "q").collect().map(r =>
+      r.getString(0) -> r.getBoolean(1)).toMap == Map("slow" -> true, "fast" -> false))
+    // only the vital slow consumer holds the trim at 3
+    val t1 = DynTable.autoTrimRegistered(ordered, reg, regs, "q", retainedRows = 1L)
+    assert(t1.agg(min("row_index")).as[Long].collect().head == 3L)
+    // re-register slow as non-vital → no vital consumers → nothing trims
+    regs = DynTable.registerConsumer(regs, "q", "slow", vital = false, 3L)
+    assert(DynTable.autoTrimRegistered(ordered, reg, regs, "q", 1L).count() == 40)
+    // registrations are per-queue; another queue's vital rows don't leak
+    regs = DynTable.registerConsumer(regs, "other-q", "slow", vital = true, 4L)
+    assert(DynTable.autoTrimRegistered(ordered, reg, regs, "q", 1L).count() == 40)
+    // unregister drops the row entirely
+    regs = DynTable.unregisterConsumer(regs, "q", "fast", 5L)
+    assert(DynTable.listRegistrations(regs, "q").count() == 1)
+    // queue stats: one partition, contiguous offsets
+    val st = DynTable.queueStats(ordered).collect().head
+    assert(st.getLong(1) == 40L && st.getLong(2) == 0L && st.getLong(3) == 39L)
+  }
+
   test("autoTrim: vital-consumer minimum bounds the trim, retained_rows floors it, " +
       "no vital consumers = no trim") {
     val ev = (0L until 100L).map(i => (i, i * 2.0)).toDF("event_id", "value")
