@@ -276,6 +276,25 @@ object TextAnalysis {
     docs.withColumn("n_bpe_tokens", countUdf(col(textCol)))
   }
 
+  /** FNV-1a over a word-range of `words` — both boilerplate passes hash
+    * lines with THIS function, so they agree by construction (no
+    * dependence on any engine hash). */
+  private def lineHash(words: Array[String], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      val w = words(i)
+      var j = 0
+      while (j < w.length) { h ^= w.charAt(j); h *= 0x100000001b3L; j += 1 }
+      h ^= ' '; h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def splitWords(text: String): Array[String] =
+    if (text == null) Array.empty else text.split("\\s+").filter(_.nonEmpty)
+
   /** Boilerplate-line removal (the RefinedWeb / CCNet line-dedup stage:
     * drop lines whose EXACT text repeats across the corpus ≥ minRepeats
     * times — nav bars, cookie banners, license footers).
@@ -284,40 +303,56 @@ object TextAnalysis {
     * corpus has no newlines); with real data pass the text pre-split on
     * '\n' through the same pipeline.
     *
-    * Scale shape: the corpus explodes ONCE into a line stream that
-    * feeds a partially-aggregated count (map-side combine collapses
-    * repeats before the exchange — the only shuffle, carrying distinct
-    * lines); the hot set (count ≥ minRepeats) is the boilerplate
-    * sliver, folded to one array row and broadcast, so the rebuild is a
-    * map-side array filter — the corpus itself never shuffles and never
-    * re-groups. For hot sets beyond array scale, swap the literal array
-    * for a bloom filter; membership stays map-side either way.
+    * Scale shape: pass 1 hashes each doc's lines in one compiled UDF
+    * and feeds a partially-aggregated count of the 64-bit hashes (the
+    * only shuffle, carrying longs, map-side combined); the hot set
+    * (count ≥ minRepeats) is the boilerplate sliver — hundreds of longs
+    * — shipped to executors in the rebuild UDF's closure, where
+    * membership is an O(1) HashSet probe per line. The corpus never
+    * shuffles, and the whole rebuild is one compiled pass per doc (the
+    * first cut used declarative array lambdas over a broadcast array:
+    * the nested-loop join above them disabled whole-stage codegen and
+    * the interpreted per-line array scans were ~10× slower). For hot
+    * sets beyond closure scale swap in a bloom filter; membership stays
+    * map-side either way.
     */
   def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       wordsPerLine: Int = 5, minRepeats: Long = 3L): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
-    val withLines = docs
-      .select(col(idCol).as("doc_id"), ws.as("ws"))
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id"),
-        transform(
-          sequence(lit(0),
-            floor((size(col("ws")) - 1) / lit(wordsPerLine.toDouble)).cast("int")),
-          i => array_join(slice(col("ws"), i * wordsPerLine + 1, lit(wordsPerLine)), " "))
-          .as("lines"))
-    val hot = withLines
-      .select(explode(col("lines")).as("line"))
-      .groupBy(col("line")).agg(count(lit(1)).as("occ"))
+    val wpl = wordsPerLine
+    val hashesUdf = udf { (text: String) =>
+      val ws = splitWords(text)
+      Array.tabulate((ws.length + wpl - 1) / wpl) { i =>
+        lineHash(ws, i * wpl, math.min((i + 1) * wpl, ws.length)) }
+    }
+    val hot: Set[Long] = docs
+      .select(explode(hashesUdf(col(textCol))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minRepeats)
-      .agg(collect_set(col("line")).as("hotset"))
-    withLines.crossJoin(broadcast(hot))
-      .select(col("doc_id"),
-        size(col("lines")).cast("long").as("n_lines"),
-        size(filter(col("lines"), l => array_contains(col("hotset"), l)))
-          .cast("long").as("n_dropped"),
-        array_join(filter(col("lines"), l => !array_contains(col("hotset"), l)), " ")
-          .as("clean_text"))
+      .select("h").collect().map(_.getLong(0)).toSet
+    val rebuildUdf = udf { (text: String) =>
+      val ws = splitWords(text)
+      val n = (ws.length + wpl - 1) / wpl
+      val sb = new StringBuilder
+      var dropped = 0L
+      var i = 0
+      while (i < n) {
+        val until = math.min((i + 1) * wpl, ws.length)
+        if (hot.contains(lineHash(ws, i * wpl, until))) dropped += 1
+        else {
+          var j = i * wpl
+          while (j < until) {
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(ws(j)); j += 1
+          }
+        }
+        i += 1
+      }
+      (n.toLong, dropped, sb.toString)
+    }
+    docs.select(col(idCol).as("doc_id"), rebuildUdf(col(textCol)).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_lines"),
+        col("r._2").as("n_dropped"), col("r._3").as("clean_text"))
+      .filter(col("n_lines") > 0)
   }
 }
