@@ -147,6 +147,155 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011; FAISS's PQ):
+    * `m` subspaces of `dsub = dim/m` dims, `ksub` centroids each. */
+  final case class PqCodebooks(m: Int, ksub: Int, dsub: Int,
+      cents: Array[Array[Array[Double]]]) // [m][ksub][dsub]
+
+  private def normalizeVec(v: Seq[Float]): Array[Double] = {
+    val a = v.toArray.map(_.toDouble)
+    val n = math.sqrt(a.map(x => x * x).sum)
+    if (n == 0) a else a.map(_ / n)
+  }
+
+  /** Train PQ codebooks on a deterministic hash-ordered sample collected
+    * to the driver — the FAISS posture: PQ trains on a bounded sample
+    * (~100k vectors in production), and the codebooks are
+    * hyperparameter-sized (m·ksub·dsub doubles), like IVF centroids.
+    * Vectors are L2-normalized first so inner product = cosine at
+    * search time. Per-subspace Lloyd with deterministic seeding —
+    * the learned books are partition-invariant. */
+  def trainPq(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int = 8, sampleN: Int = 2048, idCol: String = "vec_id",
+      vecCol: String = "embedding"): PqCodebooks = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .collect()
+      .map(r => normalizeVec(r.getSeq[Float](1)))
+    val cents = Array.tabulate(m) { j =>
+      val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      // seed: first ksub distinct subvectors in sample order
+      var cs = subs.distinct.take(ksub)
+      if (cs.length < ksub) cs = cs ++ Array.fill(ksub - cs.length)(cs.head)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub, dsub)(0.0)
+        val counts = Array.fill(ksub)(0L)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var t = 0
+            while (t < dsub) { val x = s(t) - cs(c)(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += s(t); t += 1 }
+        }
+        cs = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cs(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      cs
+    }
+    PqCodebooks(m, ksub, dsub, cents)
+  }
+
+  /** Encode vectors to m-byte PQ codes: per subspace, the nearest
+    * codebook centroid by L2 over the normalized vector. One compiled
+    * map pass, no shuffle — the 100 TB index build. */
+  def pqEncode(corpus: DataFrame, books: PqCodebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = books
+    val enc = udf { (v: Seq[Float]) =>
+      val x = normalizeVec(v)
+      Array.tabulate(b.m) { j =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < b.ksub) {
+          var d = 0.0; var t = 0
+          while (t < b.dsub) {
+            val e = x(j * b.dsub + t) - b.cents(j)(c)(t); d += e * e; t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
+      enc(col(vecCol)).as("codes"))
+  }
+
+  /** PQ-ADC top-k with exact re-rank (FAISS IndexPQ + refine): the
+    * corpus is scanned as m-byte codes — per (query, item) the score is
+    * m table lookups against the query's precomputed subspace
+    * inner-product table (the asymmetric-distance trick: dim mults per
+    * pair become m adds), then the `refine`·k best candidates per query
+    * re-rank by exact cosine. The code scan reads m bytes instead of
+    * 4·dim — the memory-bandwidth path PQ exists for; query tables ride
+    * in the scoring UDF's closure (queries are the small broadcast side
+    * throughout this module). Compose with [[ivfTopK]] cells for
+    * sub-linear scan at extreme scale. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = trainPq(corpus, dim, m, ksub)
+    val encoded = pqEncode(corpus, books, idCol, vecCol)
+    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    // per-query ADC tables: [m][ksub] inner products, driver-computed
+    // from the (small) query side, shipped in the scoring closure
+    val tables: Map[Long, Array[Array[Double]]] = qRows.collect().map { r =>
+      val q = normalizeVec(r.getSeq[Float](1))
+      r.getLong(0) -> Array.tabulate(books.m)(j =>
+        Array.tabulate(books.ksub) { c =>
+          var s = 0.0; var t = 0
+          while (t < books.dsub) { s += q(j * books.dsub + t) * books.cents(j)(c)(t); t += 1 }
+          s
+        })
+    }.toMap
+    val adc = udf { (qid: Long, codes: Seq[Int]) =>
+      val tab = tables(qid)
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
+      s
+    }
+    // the ADC scan carries ONLY (item_id, m codes) — never the vectors;
+    // that byte-sized stream is the whole point of PQ
+    val cand = encoded.select(col("item_id"), col("codes"))
+      .join(broadcast(qRows.select(col("query_id"))),
+        col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        adc(col("query_id"), col("codes")).as("adc"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("item_id").asc)
+    val survivors = cand.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= refine * k)
+      .select(col("query_id"), col("item_id"))
+    // refine pass: fetch exact vectors for the refine·k survivors only
+    // (broadcast the per-query candidate sliver against the corpus, the
+    // FAISS refine-index id-fetch) and re-rank by true cosine
+    val reranked = corpus
+      .select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+      .join(broadcast(survivors), Seq("item_id"))
+      .join(broadcast(qRows), Seq("query_id"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("query_vec"), col("item_vec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries hashed into hyperplane-sign
     * buckets; each query scans only probed buckets — its own plus all
     * buckets within `probeRadius` flipped bits (multi-probe recovers

@@ -187,6 +187,17 @@ object Llm {
       annRecallVerdict(ann, Similarity.bruteForceTopK(emb, qs, k = 5), 0.55)
     }),
 
+    // PQ-ADC search (Jégou 2011 / FAISS IndexPQ+refine): the corpus
+    // scans as m-byte codes (m table adds per pair), the refine·k ADC
+    // survivors re-rank by exact cosine after an id-only vector fetch.
+    "llm_sim_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.pqTopK(emb, qs, k = 5, dim = 64, m = 16,
+        ksub = 32, refine = 8)
+      annRecallVerdict(ann, Similarity.bruteForceTopK(emb, qs, k = 5), 0.4)
+    }),
+
     // Token counting: whitespace + subword estimate.
     "llm_text_tokens" -> ((s, d) =>
       t(s, d, "documents")
@@ -572,6 +583,14 @@ object Llm {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) >= 0.35""",
     "llm_sim_lsh" ->
+      """SELECT q.vec_id AS query_id,
+           ROUND(MAX(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[]))), 4)
+             AS top1_cos,
+           true AS recall_ok
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         WHERE q.vec_id < 10 GROUP BY 1""",
+    "llm_sim_pq" ->
       """SELECT q.vec_id AS query_id,
            ROUND(MAX(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                             CAST(c.embedding AS DOUBLE[]))), 4)

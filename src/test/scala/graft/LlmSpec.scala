@@ -447,6 +447,22 @@ class LlmSpec extends SparkSpec {
     assert(rarity(3L) < rarity(1L))
   }
 
+  test("pqTopK: ADC + refine recovers most exact neighbors; codes are partition-invariant") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qs = emb.filter($"vec_id" < 10)
+    val ann = Similarity.pqTopK(emb, qs, k = 5, dim = 64, m = 16, ksub = 32,
+      refine = 8).select($"query_id", $"item_id")
+    val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .select($"query_id", $"item_id")
+    val hit = ann.join(exact, Seq("query_id", "item_id")).count()
+    assert(hit >= 40, s"PQ recall $hit/50") // >= 0.8 overall on the fixture
+    // training and encoding are deterministic: same books from a
+    // repartitioned corpus
+    val b1 = Similarity.trainPq(emb, dim = 64, m = 16, ksub = 32)
+    val b2 = Similarity.trainPq(emb.repartition(7), dim = 64, m = 16, ksub = 32)
+    assert(b1.cents.flatten.flatten.toSeq == b2.cents.flatten.flatten.toSeq)
+  }
+
   test("learnBpe: merge sequence matches a single-node BPE reference, " +
       "deterministic under repartition; bpeTokenCount shrinks with merges") {
     // single-node reference: the Sennrich algorithm verbatim

@@ -37,7 +37,8 @@ class PlanSweepSpec extends SparkSpec {
     * IS the IVF training/assignment cost); yql_join_cross is the CROSS
     * JOIN surface itself. */
   private val nestedLoopAllowed =
-    Set("llm_sim_bruteforce", "llm_sim_ivf", "llm_sim_lsh", "yql_join_cross",
+    Set("llm_sim_bruteforce", "llm_sim_ivf", "llm_sim_lsh", "llm_sim_pq",
+      "yql_join_cross",
       // the hot-line set folds to ONE aggregated array row broadcast
       // against the corpus — a 1×N product by construction
       "llm_boilerplate_lines")
@@ -55,7 +56,8 @@ class PlanSweepSpec extends SparkSpec {
     "llm_dedup_simhash" -> 8, // simhash pipeline + exact-Jaccard truth
     "llm_dedup_embedding_lsh" -> 11, // LSH pipeline + block-grid exact
     "llm_sim_lsh" -> 8, // 8-table ANN + brute-force truth + verdict
-    "llm_sim_ivf" -> 9) // IVF assign/probe + brute-force truth + verdict
+    "llm_sim_ivf" -> 9, // IVF assign/probe + brute-force truth + verdict
+    "llm_sim_pq" -> 10) // ADC scan + refine fetch + brute-force truth + verdict
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one
