@@ -512,12 +512,12 @@ object Yql {
     "yql_window_over_session" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val gapSec = 6L * 3600L
+      val gapUs = 6L * 3600L * 1000000L
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("ts"))
         .withColumn("new_sess",
-          when(unix_timestamp(col("ts")) -
-            lag(unix_timestamp(col("ts")), 1).over(w) > gapSec, 1)
+          when(unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w) > gapUs, 1)
             .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)))
         .withColumn("sess_id",
           sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -845,7 +845,7 @@ object Yql {
       """WITH g AS (
            SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
                   THEN 1 ELSE 0 END AS new_sess
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
