@@ -21,15 +21,6 @@ object Verify {
     // correctness gate must exercise the rewrites it ships with
     graft.plans.PushDownGroupBy.install(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,17 +33,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Manifests are written BEFORE the sweep: if the JVM is killed mid-run
+    // (driver timeout, OOM), the gate still has the authoritative query list
+    // and counts every unwritten query as a failure instead of letting it
+    // silently vanish (the round-2→3 13-query drop).
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // The authoritative registered-query list: a query that crashes before
-    // writing its directory must count as a FAILURE in any gate, not
-    // silently vanish from the sweep (this is how 13 queries dropped
-    // between rounds 2 and 3 unnoticed).
-    val names = SparkEntry.queries.keys.toSeq
+    val selected = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_(n))).sorted
-      .map(q).mkString("[", ",", "]")
-    Files.writeString(Paths.get(s"$outDir/queries.json"), names)
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      selected.map(q).mkString("[", ",", "]"))
+    val t0 = System.nanoTime()
+    selected.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    System.err.println(
+      f"[verify] sweep of ${selected.size} queries in ${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
 }
