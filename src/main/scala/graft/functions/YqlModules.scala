@@ -228,6 +228,21 @@ object YqlModules {
   }
   val Hyperscan: Pire.type = Pire
 
+  /** Stat:: module (udfs/common/stat/static/stat_udf.h): the TDigest
+    * mergeable quantile sketch. Create+AddValue = the aggregate form;
+    * Serialize/Deserialize/Merge = the binary sketch column round trip;
+    * GetPercentile reads any quantile from stored bytes. */
+  object Stat {
+    def tdigest(value: Column, delta: Double = TDigestSketch.DefaultDelta,
+        k: Double = TDigestSketch.DefaultK): Column =
+      TDigestSketch.agg(value, delta, k)
+    def tdigestMerge(sketch: Column): Column = TDigestSketch.mergeAgg(sketch)
+    def getPercentile(sketch: Column, p: Double): Column =
+      TDigestSketch.percentileOf(sketch, lit(p))
+    def getRank(sketch: Column, v: Column): Column =
+      TDigestSketch.rankOf(sketch, v)
+  }
+
   object Ip {
     /** Dotted-quad IPv4 → uint32 (Ip::FromString for v4). */
     def fromString(c: Column): Column = {

@@ -538,6 +538,58 @@ object Yql {
           Pire.capture(col("p_name"), "^([a-z]+)").as("cap_first"),
           Pire.replace(col("p_brand"), "[0-9]+", "#").as("repl_brand"),
           Pire.multiGrep(col("p_name"), Seq("red", "green", "blue")).as("mg"))
+    }),
+
+    // Stat::TDigest mergeable quantile sketch (stat_udf.h over
+    // tdigest.cpp). Approximate → verified through an in-plan verdict:
+    // the sketch's percentile estimates are ranked EXACTLY against the
+    // raw data in the same plan, and the oracle pins the rank error
+    // inside the t-digest bound (delta=0.01 → well under 0.02 here).
+    "yql_agg_tdigest" -> ((s, d) => {
+      import graft.functions.YqlModules.Stat
+      val li = t(s, d, "lineitem")
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(Stat.tdigest(col("l_extendedprice")).as("sketch"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          Stat.getPercentile(col("sketch"), 0.5).as("p50"),
+          Stat.getPercentile(col("sketch"), 0.95).as("p95"))
+      li.join(est.hint("broadcast"), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          avg(when(col("l_extendedprice") <= col("p50"), 1.0).otherwise(0.0)).as("r50"),
+          avg(when(col("l_extendedprice") <= col("p95"), 1.0).otherwise(0.0)).as("r95"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("r50") - 0.5) <= 0.02).as("p50_ok"),
+          (abs(col("r95") - 0.95) <= 0.02).as("p95_ok"))
+    }),
+
+    // The sketch COLUMN round trip — the point of the module: per-shard
+    // sketches persist as bytes (here: 8 hash shards per group, the
+    // "one sketch per day/partition" pattern), then ANY later rollup is
+    // an aggregation over kilobyte sketches, never a re-scan of raw
+    // data. Verdict: the merged sketch's percentiles rank exactly
+    // against raw data inside the same tolerance.
+    "yql_agg_tdigest_merge" -> ((s, d) => {
+      import graft.functions.YqlModules.Stat
+      val li = t(s, d, "lineitem")
+      val shardSketches = li
+        .groupBy(col("l_returnflag"), (col("l_orderkey") % 8).as("shard"))
+        .agg(Stat.tdigest(col("l_extendedprice")).as("sketch"))
+      val merged = shardSketches.groupBy(col("l_returnflag"))
+        .agg(Stat.tdigestMerge(col("sketch")).as("sketch"),
+          count(lit(1)).as("n_shards"))
+        .select(col("l_returnflag"), col("n_shards"),
+          Stat.getPercentile(col("sketch"), 0.5).as("p50"),
+          Stat.getPercentile(col("sketch"), 0.99).as("p99"))
+      li.join(merged.hint("broadcast"), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n_shards")).as("n_shards"),
+          avg(when(col("l_extendedprice") <= col("p50"), 1.0).otherwise(0.0)).as("r50"),
+          avg(when(col("l_extendedprice") <= col("p99"), 1.0).otherwise(0.0)).as("r99"))
+        .select(col("l_returnflag"), col("n_shards").cast("long").as("n_shards"),
+          (abs(col("r50") - 0.5) <= 0.02).as("p50_ok"),
+          (abs(col("r99") - 0.99) <= 0.02).as("p99_ok"))
     })
   )
 
@@ -868,6 +920,15 @@ object Yql {
            regexp_replace(p_brand, '[0-9]+', '#', 'g') AS repl_brand,
            [regexp_matches(p_name, 'red'), regexp_matches(p_name, 'green'),
             regexp_matches(p_name, 'blue')] AS mg
-         FROM part"""
+         FROM part""",
+    "yql_agg_tdigest" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           true AS p50_ok, true AS p95_ok
+         FROM lineitem GROUP BY 1""",
+    "yql_agg_tdigest_merge" ->
+      """SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey % 8) AS BIGINT) AS n_shards,
+           true AS p50_ok, true AS p99_ok
+         FROM lineitem GROUP BY 1"""
   )
 }
