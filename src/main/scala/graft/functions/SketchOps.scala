@@ -358,4 +358,87 @@ object SketchOps {
     }
     sum
   }
+
+  /** First hexDigits nibbles of md5(s) as an int — value-identical to
+    * `conv(substring(md5(s), 1, hexDigits), 16, 10)` (lowercase hex on
+    * both Spark and DuckDB). */
+  private def md5Bucket(md: java.security.MessageDigest, s: String,
+      hexDigits: Int): Int = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0
+    var i = 0
+    while (i < hexDigits) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
+  /** Split-on-space words (the values of
+    * `filter(split(trim(text), " "), _ != "")`: runs of non-0x20 chars —
+    * tabs/newlines are NOT separators in that form). */
+  private def spaceWords(s: String): java.util.ArrayList[String] = {
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (s.charAt(i) != ' ') {
+        var j = i + 1
+        while (j < len && s.charAt(j) != ' ') j += 1
+        words.add(s.substring(i, j))
+        i = j
+      } else i += 1
+    }
+    words
+  }
+
+  /** DSIR document score in ONE pass (see Mixture.importanceResample):
+    * Σ ratios[md5-bucket(gram)] over unigrams then bigrams, plus the
+    * gram count — value-identical to the declarative
+    * `aggregate(concat(words, bigrams), 0.0, acc + element_at(...))`
+    * tree, which runs as an INTERPRETED projection (HOF lambdas never
+    * codegen) and re-evaluates the split five times per row. */
+  def dsirScore(text: UTF8String, ratios: Array[Double],
+      hexDigits: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = spaceWords(text.toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wc = words.size
+    var score = 0.0
+    var i = 0
+    while (i < wc) {
+      score += ratios(md5Bucket(md, words.get(i), hexDigits))
+      i += 1
+    }
+    i = 0
+    while (i + 1 < wc) {
+      score += ratios(md5Bucket(md, words.get(i) + " " + words.get(i + 1), hexDigits))
+      i += 1
+    }
+    val nGrams = wc + math.max(wc - 1, 0)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](score, nGrams.toLong))
+  }
+
+  /** The gram → md5-bucket ids of [[dsirScore]] as an int array (the
+    * bucket-count pass explodes these instead of materializing gram
+    * strings through an interpreted generator). */
+  def dsirBuckets(text: UTF8String, hexDigits: Int): ArrayData = {
+    val words = spaceWords(text.toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wc = words.size
+    val out = new Array[Int](wc + math.max(wc - 1, 0))
+    var i = 0
+    while (i < wc) {
+      out(i) = md5Bucket(md, words.get(i), hexDigits)
+      i += 1
+    }
+    i = 0
+    while (i + 1 < wc) {
+      out(wc + i) = md5Bucket(md, words.get(i) + " " + words.get(i + 1), hexDigits)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -234,6 +234,48 @@ object Sketches {
   def portableFingerprint(text: Column, shingleSize: Int, sketchSize: Int): Column =
     S.column(PortableFingerprint(S.expression(text), shingleSize, sketchSize))
 
+  /** DSIR scoring pass (SketchOps.dsirScore): struct(score, n_grams)
+    * per document in one compiled pass. */
+  case class DsirScore(child: Expression, ratios: Array[Double], hexDigits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.dsirScore(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ratios, hexDigits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ratiosRef = ctx.addReferenceObj("ratios", ratios, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.dsirScore($c, $ratiosRef, $hexDigits);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): DsirScore =
+      copy(child = newChild)
+  }
+
+  def dsirScore(text: Column, ratios: Array[Double], hexDigits: Int): Column =
+    S.column(DsirScore(S.expression(text), ratios, hexDigits))
+
+  /** DSIR bucket ids (SketchOps.dsirBuckets) for the count pass. */
+  case class DsirBuckets(child: Expression, hexDigits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.dsirBuckets(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], hexDigits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.dsirBuckets($c, $hexDigits);")
+    override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+      copy(child = newChild)
+  }
+
+  def dsirBuckets(text: Column, hexDigits: Int): Column =
+    S.column(DsirBuckets(S.expression(text), hexDigits))
+
   /** Exact-integer pin for the stubbed feature encoder (see
     * SketchOps.rollingHashSum): lets an external oracle verify the float
     * feature vectors through an integer invariant. */

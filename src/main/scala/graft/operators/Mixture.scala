@@ -141,18 +141,12 @@ object Mixture {
       hexDigits: Int = 3): DataFrame = {
     require(hexDigits >= 1 && hexDigits <= 4, s"hexDigits in 1..4: $hexDigits")
     val nBuckets = 1 << (4 * hexDigits)
-    def grams(c: Column): Column = {
-      val w = filter(split(trim(c), " "), x => x =!= "")
-      val bi = zip_with(
-        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => concat(a, lit(" "), b))
-      concat(w, bi)
-    }
+    // compiled single-pass gram→bucket expressions (Sketches.DsirBuckets
+    // / DsirScore): the declarative split→zip_with→aggregate lambda tree
+    // computes the same values but never codegens (HOFs run interpreted)
+    // and re-evaluates the whitespace split five times per row
     val bucketed = docs.select(col(idCol), targetPred.as("__tgt"),
-        explode(grams(col(textCol))).as("g"))
-      .select(col(idCol), col("__tgt"),
-        conv(substring(md5(col("g")), 1, hexDigits), 16, 10)
-          .cast("int").as("b"))
+        explode(graft.functions.Sketches.dsirBuckets(col(textCol), hexDigits)).as("b"))
     val counts = bucketed.groupBy(col("b")).agg(
       count(lit(1)).as("q"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("p"))
@@ -165,18 +159,13 @@ object Mixture {
       ratio(b) = math.log((p + 1.0) / (pTot + nBuckets)) -
         math.log((q + 1.0) / (qTot + nBuckets))
     }
-    // ONE ArrayType literal (not array(lit,...)): 16^hexDigits lit
-    // nodes would explode the generated code; a Literal is a single
-    // constant object in codegen
-    val ratioLit = typedLit(ratio.toIndexedSeq)
-    val scored = docs.select(col(idCol), col(textCol),
-        grams(col(textCol)).as("__g"))
+    // the ratio table rides into codegen as one double[] reference
+    // object (hyperparameter-sized model state, like IVF centroids)
+    val scored = docs.select(col(idCol),
+        graft.functions.Sketches.dsirScore(col(textCol), ratio, hexDigits).as("__s"))
       .select(col(idCol),
-        aggregate(col("__g"), lit(0.0d), (acc, g) => acc +
-          element_at(ratioLit,
-            conv(substring(md5(g), 1, hexDigits), 16, 10).cast("int") + 1))
-          .as("score"),
-        size(col("__g")).cast("long").as("n_grams"))
+        col("__s.score").as("score"),
+        col("__s.n_grams").as("n_grams"))
     scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
 }
