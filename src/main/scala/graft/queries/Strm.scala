@@ -92,7 +92,17 @@ object Strm {
             org.apache.spark.sql.Row(u, r.getLong(1), p)
           }
         }, schema)
-    }))
+    }),
+
+    // Streaming::Process (streaming_udf.cpp:694): pipe string records
+    // through an external command, one process per partition. Same code
+    // path on a streaming micro-batch (StreamingSpec runs it under
+    // readStream).
+    "strm_process_pipe" -> ((s, d) =>
+      Streams.process(
+        t(s, d, "part").select(col("p_name")),
+        "p_name", Seq("tr", "a-z", "A-Z"))
+        .groupBy(col("value")).agg(count(lit(1)).as("cnt"))))
 
   val oracles: Map[String, String] = Map(
     "strm_time_order_recover" ->
@@ -132,5 +142,8 @@ object Strm {
         |    lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2,
         |    lead(event_id, 2) OVER w AS e2
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
-        |WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'""".stripMargin)
+        |WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'""".stripMargin,
+    "strm_process_pipe" ->
+      """SELECT upper(p_name) AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM part GROUP BY 1""")
 }

@@ -116,4 +116,107 @@ object Streams {
   /** Read the sink's accumulated write log back as one DataFrame. */
   def readState(spark: SparkSession, statePath: String): DataFrame =
     spark.read.option("basePath", statePath).parquet(s"$statePath/batch=*")
+
+  /** Streaming::Process (udfs/common/streaming/streaming_udf.cpp:694):
+    * pipe string records through an external command — records joined
+    * by inputDelimiter into the process stdin, stdout split on
+    * outputDelimiter into the result rows (a final unterminated chunk
+    * still emits, like the reference's stream matcher callback).
+    *
+    * One process per partition over [[graft.sources.PipeJob]] (the
+    * user-job pipe contract: exit-code check, bounded stderr capture,
+    * no pipe-buffer deadlock) — identical code path on a batch frame
+    * and a streaming micro-batch, so the module works inside
+    * `readStream → process → writeStream` unchanged. Output column:
+    * `value: string`.
+    */
+  def process(input: DataFrame, textCol: String, command: Seq[String],
+      inputDelimiter: String = "\n", outputDelimiter: String = "\n"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.STRING
+    val inDelim = inputDelimiter
+    val outDelim = outputDelimiter
+    input.select(col(textCol).cast("string")).as(enc)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else graft.sources.PipeJob.run(command,
+          out => {
+            val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              out, java.nio.charset.StandardCharsets.UTF_8))
+            it.foreach { r => w.write(r); w.write(inDelim) }
+            w.flush()
+          },
+          in => splitStream(in, outDelim))
+      }(enc).toDF("value")
+  }
+
+  /** Streaming::ProcessInline (streaming_udf.cpp:738): the command is a
+    * script BODY — written to a task-local temp file, chmod 0755 (the
+    * shebang picks the interpreter) and executed like [[process]]. */
+  def processInline(input: DataFrame, textCol: String, script: String,
+      args: Seq[String] = Nil,
+      inputDelimiter: String = "\n", outputDelimiter: String = "\n"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.STRING
+    val inDelim = inputDelimiter
+    val outDelim = outputDelimiter
+    input.select(col(textCol).cast("string")).as(enc)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val f = java.io.File.createTempFile("graft-inline-", ".sh")
+          f.deleteOnExit()
+          java.nio.file.Files.writeString(f.toPath, script)
+          f.setExecutable(true, false)
+          graft.sources.PipeJob.run(f.getAbsolutePath +: args,
+            out => {
+              val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                out, java.nio.charset.StandardCharsets.UTF_8))
+              it.foreach { r => w.write(r); w.write(inDelim) }
+              w.flush()
+            },
+            in => splitStream(in, outDelim))
+        }
+      }(enc).toDF("value")
+  }
+
+  /** Split a byte stream into records on an arbitrary delimiter. The
+    * terminal chunk emits even without a trailing delimiter; a trailing
+    * delimiter does NOT emit an empty final record. */
+  private def splitStream(in: java.io.InputStream,
+      delimiter: String): Iterator[String] = {
+    val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+      in, java.nio.charset.StandardCharsets.UTF_8))
+    if (delimiter == "\n") {
+      new Iterator[String] {
+        private var nextLine = r.readLine()
+        def hasNext: Boolean = nextLine != null
+        def next(): String = { val l = nextLine; nextLine = r.readLine(); l }
+      }
+    } else {
+      // general delimiter: buffered scan (delimiters are short strings;
+      // records emit as soon as a full delimiter is seen)
+      new Iterator[String] {
+        private val sb = new java.lang.StringBuilder
+        private var pending: String = null
+        private var eof = false
+        private def advance(): Unit = {
+          while (pending == null && !eof) {
+            val c = r.read()
+            if (c < 0) {
+              eof = true
+              if (sb.length > 0) { pending = sb.toString; sb.setLength(0) }
+            } else {
+              sb.append(c.toChar)
+              if (sb.length >= delimiter.length &&
+                  sb.indexOf(delimiter, sb.length - delimiter.length) >= 0) {
+                pending = sb.substring(0, sb.length - delimiter.length)
+                sb.setLength(0)
+              }
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); pending != null }
+        def next(): String = { advance(); val p = pending; pending = null; p }
+      }
+    }
+  }
 }

@@ -257,4 +257,37 @@ class StreamingSpec extends SparkSpec {
       Streams.readState(spark, state).drop("batch"), Seq("k"))
     assert(compacted.count() == 1)
   }
+
+  test("Streaming::Process pipes a live stream through an external command") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val piped = Streams.process(in.toDF().toDF("t"), "t",
+      Seq("tr", "a-z", "A-Z"))
+    val q = piped.writeStream.format("memory").queryName("proc")
+      .outputMode("append").start()
+    in.addData("hello", "world")
+    q.processAllAvailable()
+    in.addData("again")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("proc").as[String].collect().sorted.toSeq ==
+      Seq("AGAIN", "HELLO", "WORLD"))
+  }
+
+  test("Streaming::ProcessInline runs a script body; custom delimiters split records") {
+    import spark.implicits._
+    val df = Seq("a", "bb", "ccc").toDF("t")
+    // script body with shebang, executed from a task-local temp file
+    val out = Streams.processInline(df, "t",
+      "#!/bin/sh\nwhile read x; do echo \"len:${#x}\"; done\n")
+      .as[String].collect().sorted.toSeq
+    assert(out == Seq("len:1", "len:2", "len:3"))
+    // non-newline delimiters: records framed by '|' on both sides;
+    // final unterminated chunk still emits
+    val piped = Streams.process(Seq("x", "y", "z").toDF("t"), "t",
+      Seq("cat"), inputDelimiter = "|", outputDelimiter = "|")
+      .as[String].collect().sorted.toSeq
+    assert(piped == Seq("x", "y", "z"))
+  }
 }
