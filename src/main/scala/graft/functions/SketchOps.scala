@@ -421,6 +421,17 @@ object SketchOps {
       Array[Any](score, nGrams.toLong))
   }
 
+  /** Σ weights[b] over a bucket-id array — the linear-model scoring
+    * step over pre-materialized hashed features (weights.length-1 may
+    * serve as a per-doc bias bucket appended to the array). */
+  def bucketScore(buckets: ArrayData, weights: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = buckets.numElements()
+    while (i < n) { s += weights(buckets.getInt(i)); i += 1 }
+    s
+  }
+
   /** The gram → md5-bucket ids of [[dsirScore]] as an int array (the
     * bucket-count pass explodes these instead of materializing gram
     * strings through an interpreted generator). */

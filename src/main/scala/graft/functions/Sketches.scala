@@ -276,6 +276,29 @@ object Sketches {
   def dsirBuckets(text: Column, hexDigits: Int): Column =
     S.column(DsirBuckets(S.expression(text), hexDigits))
 
+  /** Linear score over pre-materialized bucket ids
+    * (SketchOps.bucketScore): the per-iteration scoring step of the
+    * hashed-feature classifier — weights update every iteration, so
+    * they ride as a reference object, not plan literals. */
+  case class BucketScore(child: Expression, weights: Array[Double])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.bucketScore(input.asInstanceOf[ArrayData], weights)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("weights", weights, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.bucketScore($c, $wRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BucketScore =
+      copy(child = newChild)
+  }
+
+  def bucketScore(buckets: Column, weights: Array[Double]): Column =
+    S.column(BucketScore(S.expression(buckets), weights))
+
   /** Exact-integer pin for the stubbed feature encoder (see
     * SketchOps.rollingHashSum): lets an external oracle verify the float
     * feature vectors through an integer invariant. */

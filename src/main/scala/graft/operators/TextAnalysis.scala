@@ -355,4 +355,76 @@ object TextAnalysis {
         col("r._2").as("n_dropped"), col("r._3").as("clean_text"))
       .filter(col("n_lines") > 0)
   }
+
+  /** fastText/CCNet-style trainable quality classifier: logistic
+    * regression over hashed uni+bigram PRESENCE features (the CCNet
+    * pipeline's lid/quality filter stage; same md5 feature space as
+    * DSIR — `Sketches.DsirBuckets`, binarized per doc).
+    *
+    * Distributed shape: features materialize ONCE as per-doc distinct
+    * bucket-id arrays (localCheckpoint; the corpus-sized pass). Each
+    * training iteration is then ONE aggregation — score every doc with
+    * the compiled `BucketScore` expression (weights ride as a reference
+    * object), explode bucket ids with the doc's residual and sum per
+    * bucket: a map-side-combined shuffle of (bucket, residual) pairs
+    * into ≤ 16^hexDigits+1 groups. The weight vector (hyperparameter-
+    * sized, like IVF centroids / DSIR ratios) updates driver-side with
+    * a decayed-lr full-batch gradient step — decay is what keeps the
+    * trajectory stable (plain Newton steps on thousands of correlated
+    * presence features overshoot and oscillate between the majority
+    * classes). Nothing corpus-sized ever reaches the driver; full-batch
+    * gradients are partitioning-independent up to float summation
+    * order.
+    *
+    * The last weight slot is the bias: a sentinel bucket id appended to
+    * every doc's feature array, so bias learns through the same
+    * aggregation as the weights.
+    *
+    * @return weights of length 16^hexDigits + 1 (bias last), for
+    *         [[classifierScore]].
+    */
+  def trainTextClassifier(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, labelCol: Column,
+      hexDigits: Int = 3, iters: Int = 15, lr: Double = 8.0,
+      lrDecay: Double = 0.5, l2: Double = 1e-3): Array[Double] = {
+    val nBuckets = 1 << (4 * hexDigits)
+    val feats = docs.select(
+        labelCol.cast("double").as("y"),
+        concat(
+          array_distinct(
+            graft.functions.Sketches.dsirBuckets(col(textCol), hexDigits)),
+          array(lit(nBuckets))).as("b"))
+      .localCheckpoint(eager = true)
+    val n = feats.count().toDouble
+    require(n > 0, "empty training set")
+    val w = new Array[Double](nBuckets + 1)
+    var it = 0
+    while (it < iters) {
+      val p = lit(1.0) / (lit(1.0) +
+        exp(-graft.functions.Sketches.bucketScore(col("b"), w.clone())))
+      val grad = feats.select((p - col("y")).as("r"), col("b"))
+        .select(col("r"), explode(col("b")).as("bk"))
+        .groupBy(col("bk")).agg(sum(col("r")).as("g"))
+        .collect()
+      val step = lr / (1.0 + lrDecay * it)
+      grad.foreach { row =>
+        val bk = row.getInt(0)
+        w(bk) -= step * (row.getDouble(1) / n + l2 * w(bk))
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Sigmoid probability of [[trainTextClassifier]]'s model on raw
+    * text — one compiled pass (distinct buckets scored through the
+    * trained weight array; the bias is the extra slot). */
+  def classifierScore(text: Column, weights: Array[Double], hexDigits: Int = 3): Column = {
+    val linear = graft.functions.Sketches.bucketScore(
+      concat(
+        array_distinct(
+          graft.functions.Sketches.dsirBuckets(text, hexDigits)),
+        array(lit(weights.length - 1))), weights)
+    lit(1.0) / (lit(1.0) + exp(-linear))
+  }
 }

@@ -414,6 +414,31 @@ object Llm {
         .select(col("doc_id"), round(col("score"), 4).as("score"),
           col("n_grams"))),
 
+    // Trainable quality classifier (the CCNet/fastText filter stage):
+    // hashed-gram logistic regression, trained on the even-id half,
+    // verdict = held-out accuracy on the odd-id half. The label is
+    // text-derived (contains the word 'hash', ~80% prevalence) so the
+    // oracle can pin the test-set composition exactly; accuracy ≥ 0.9
+    // is only reachable by LEARNING (the majority class scores 0.8,
+    // and the one-feature NB shortcut drowns in correlated-feature
+    // noise at 0.8 too — the logistic iterations are what pass).
+    "llm_quality_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val label = col("text").rlike("(^| )hash( |$)")
+      val w = TextAnalysis.trainTextClassifier(
+        docs.filter(col("doc_id") % 2 === 0).select(col("text"), label.as("y")),
+        "text", col("y"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(label.cast("int").as("y"),
+          TextAnalysis.classifierScore(col("text"), w).as("p"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(col("y").cast("long")).as("n_pos"),
+          avg(when((col("p") >= 0.5) === (col("y") === 1), 1.0)
+            .otherwise(0.0)).as("acc"))
+        .select(col("n_test"), col("n_pos"),
+          (col("acc") >= 0.9).as("acc_ok"))
+    }),
+
     // Feature extraction: payload → dense embedding (stubbed encoder).
     // The float vectors are pinned to an exact-integer invariant of the
     // same rolling byte hash (Sketches.RollingHashSum): Σ(vec) + len/2
@@ -944,6 +969,12 @@ object Llm {
            FROM bucketed JOIN lr USING (b) GROUP BY doc_id)
          SELECT doc_id, round(s, 4) AS score, CAST(n AS BIGINT) AS n_grams
          FROM scores ORDER BY s DESC, doc_id LIMIT 25""",
+    "llm_quality_classifier" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN regexp_matches(text, '(^| )hash( |$)')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           true AS acc_ok
+         FROM documents WHERE doc_id % 2 = 1""",
     // Greedy packing replayed exactly: docs ordered per bucket, the
     // recursive step carries (pack_id, fill) and opens a new pack when
     // the budget would overflow — the same rule as Packing.packSequences.

@@ -544,4 +544,32 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(re == got)
   }
+
+  test("trained quality classifier separates two synthetic dialects") {
+    // two overlapping vocabularies — no single word determines the
+    // class, so the model must weigh several features
+    val rnd = new scala.util.Random(11)
+    val va = Vector("alpha", "beta", "gamma", "delta", "shared", "common", "word")
+    val vb = Vector("omega", "sigma", "tau", "kappa", "shared", "common", "word")
+    val rows = (0 until 400).map { i =>
+      val v = if (i % 2 == 0) va else vb
+      val text = Seq.fill(20)(v(rnd.nextInt(v.length))).mkString(" ")
+      (i.toLong, text, i % 2 == 0)
+    }
+    val df = rows.toDF("id", "text", "y")
+    val train = df.filter($"id" < 300)
+    val w = TextAnalysis.trainTextClassifier(train, "text", $"y")
+    val scored = df.filter($"id" >= 300)
+      .select($"y", TextAnalysis.classifierScore($"text", w).as("p"))
+      .as[(Boolean, Double)].collect()
+    val acc = scored.count { case (y, p) => (p >= 0.5) == y }.toDouble / scored.length
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // training is full-batch: partitioning must not change the verdict
+    val w2 = TextAnalysis.trainTextClassifier(train.repartition(7), "text", $"y")
+    val acc2 = df.filter($"id" >= 300)
+      .select($"y", TextAnalysis.classifierScore($"text", w2).as("p"))
+      .as[(Boolean, Double)].collect()
+      .count { case (y, p) => (p >= 0.5) == y }.toDouble / scored.length
+    assert(acc2 >= 0.95, s"held-out accuracy after repartition $acc2")
+  }
 }
