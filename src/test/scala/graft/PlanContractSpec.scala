@@ -233,6 +233,20 @@ class PlanContractSpec extends SparkSpec {
         p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("tdigest sketches build map-side: partial agg below the exchange") {
+    val df = run("yql_agg_tdigest")
+    val p = planString(df)
+    // the sketch must build per-partition and MERGE across the exchange
+    // — shuffled bytes are KB sketches, not raw doubles (the whole
+    // design point of a mergeable quantile sketch at 100 TB)
+    assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    val idxPartial = p.indexOf("partial_tdigestagg")
+    val idxExchange = p.indexOf("Exchange hashpartitioning")
+    assert(idxPartial >= 0 && idxExchange >= 0 && idxExchange < idxPartial,
+      "expected partial tdigest BELOW the exchange:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+  }
+
   test("hashSample filter is evaluated at the scan, not after a shuffle") {
     val sampled = graft.operators.Operations.hashSample(
       sources.Tables.load(spark, sfDir, "lineitem"),
