@@ -299,6 +299,30 @@ object Sketches {
   def bucketScore(buckets: Column, weights: Array[Double]): Column =
     S.column(BucketScore(S.expression(buckets), weights))
 
+  /** Scan-speed membership probe against a pre-built Bloom filter (the
+    * filter rides into codegen as one reference object, shipped with
+    * the serialized plan like a broadcast variable). False positives
+    * possible per the filter's fpp; false negatives never. */
+  case class BloomProbe(child: Expression,
+      filter: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullSafeEval(input: Any): Any =
+      filter.mightContainString(input.toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fRef = ctx.addReferenceObj("bloom", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $fRef.mightContainString($c.toString());")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+      copy(child = newChild)
+  }
+
+  def bloomProbe(c: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    S.column(BloomProbe(S.expression(c), filter))
+
   /** Exact-integer pin for the stubbed feature encoder (see
     * SketchOps.rollingHashSum): lets an external oracle verify the float
     * feature vectors through an integer invariant. */

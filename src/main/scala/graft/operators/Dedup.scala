@@ -335,6 +335,33 @@ object Dedup {
       .agg(countDistinct(col("g")).as("hits"))
   }
 
+  /** Decontamination scale path for when the BENCHMARK side is itself
+    * too large to broadcast as a hash set: a distributed-built Bloom
+    * filter over the benchmark grams (`df.stat.bloomFilter`, built via
+    * treeAggregate — benchmark never collects) probes the exploded
+    * corpus grams AT SCAN SPEED (`Sketches.BloomProbe`, codegen'd;
+    * the filter is megabytes for hundreds of millions of grams at 0.1%
+    * fpp). Only the surviving sliver shuffles into the exact verify
+    * join, which removes the false positives — so the result is
+    * IDENTICAL to [[decontaminate]] while the corpus-sized gram stream
+    * never reaches an exchange. */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13,
+      fpp: Double = 0.001): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextAnalysis.wordNgrams(lower(col(benchTextCol)), n)).as("g"))
+      .distinct()
+      .localCheckpoint(eager = true) // built once, read twice (filter + verify)
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("g", expected, fpp)
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.wordNgrams(lower(col(textCol)), n)).as("g"))
+      .filter(graft.functions.Sketches.bloomProbe(col("g"), bloom))
+    docGrams.join(benchGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("hits"))
+  }
+
   /** Exact segment-level dedup (C4 / RefinedWeb style): documents are
     * cut into disjoint `segWords`-word segments, a segment that appears
     * more than `maxOccurrences` times corpus-wide is dropped from every

@@ -284,6 +284,17 @@ object Llm {
       Dedup.decontaminate(docs, "doc_id", "text", bench, "text", n = 5)
     }),
 
+    // Bloom-filter scale path: identical result to llm_decontaminate
+    // (same oracle), but the corpus gram stream is pruned at scan
+    // speed by a distributed-built Bloom filter before the exact
+    // verify join — the shape that survives a benchmark suite too
+    // large to broadcast as a set.
+    "llm_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text", n = 5)
+    }),
+
     // Gopher repetition filters (Rae et al. §A1.1): duplicate-segment
     // and top-bigram character fractions, one codegen'd pass. Segment
     // boundaries injected deterministically ('the' → '.') since the
@@ -731,6 +742,16 @@ object Llm {
            MIN(doc_id) AS min_id
          FROM deduped""",
     "llm_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+                 FROM w WHERE len(ws) >= 5)),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(DISTINCT g) AS hits
+         FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_decontaminate_bloom" ->
       """WITH w AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
            FROM documents),

@@ -247,6 +247,21 @@ class PlanContractSpec extends SparkSpec {
         p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("bloom decontamination probes grams below the exchange") {
+    val df = run("llm_decontaminate_bloom")
+    val p = planString(df)
+    // the Bloom probe must prune the exploded gram stream BEFORE any
+    // exchange/join — that pre-shuffle cut is the operator's entire
+    // reason to exist at 100 TB
+    val idxProbe = p.indexOf("bloomprobe")
+    val idxExchange = p.indexOf("Exchange")
+    assert(idxProbe >= 0, "BloomProbe missing from the plan:\n" +
+      p.linesIterator.take(15).mkString("\n"))
+    assert(idxExchange >= 0 && idxProbe > idxExchange,
+      "expected the bloom probe BELOW the exchange:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+  }
+
   test("hashSample filter is evaluated at the scan, not after a shuffle") {
     val sampled = graft.operators.Operations.hashSample(
       sources.Tables.load(spark, sfDir, "lineitem"),
