@@ -553,4 +553,56 @@ object DynTable {
       .where(col("trim_to").isNull || col("row_index") >= col("trim_to"))
       .drop("trim_to")
   }
+
+  /** Queue static export (Queue Agent queue_exporter.cpp; queues.md
+    * "exports" attribute): queue rows export into period-aligned static
+    * tables — each export table covers one `[k·period, (k+1)·period)`
+    * window of commit time, named by its `export_unix_ts` = the
+    * window's floor. Only COMPLETE windows export: the upper bound is
+    * the floor of the task instant (GetExportUnixTsUpperBound,
+    * queue_exporter.cpp:473) so a window still receiving writes never
+    * ships. Returns the rows tagged with their window.
+    */
+  def exportQueuePeriods(queue: DataFrame, tsCol: String, periodSec: Long,
+      nowEpochSec: Long): DataFrame =
+    exportQueuePeriods(queue, tsCol, periodSec, lit(nowEpochSec))
+
+  /** Column-typed task instant: lets the caller derive "now" in-plan
+    * (e.g. a broadcast scalar subquery of the ingestion high-water
+    * mark) instead of materializing it on the driver. */
+  def exportQueuePeriods(queue: DataFrame, tsCol: String, periodSec: Long,
+      nowEpochSec: Column): DataFrame = {
+    require(periodSec > 0, "export period must be positive")
+    val upper = (floor(nowEpochSec / periodSec) * periodSec).cast("long")
+    queue
+      .withColumn("export_unix_ts",
+        (floor(unix_timestamp(col(tsCol)) / periodSec) * periodSec).cast("long"))
+      .where(col("export_unix_ts") < upper)
+  }
+
+  /** One export task run (TQueueExportProgress semantics): write every
+    * complete window newer than `lastExportUnixTs` (the persisted
+    * progress cursor) as a static parquet table under
+    * `dir/export_unix_ts=<k>`, idempotently (per-window overwrite — a
+    * retried task recreates identical tables, queue_exporter.cpp's
+    * create-or-skip). Returns the new progress cursor and the
+    * per-window row counts/max timestamp (TQueueTabletExportProgress
+    * surface).
+    */
+  def exportQueueRun(queue: DataFrame, tsCol: String, dir: String,
+      periodSec: Long, nowEpochSec: Long,
+      lastExportUnixTs: Long = Long.MinValue): (Long, DataFrame) = {
+    val tagged = exportQueuePeriods(queue, tsCol, periodSec, nowEpochSec)
+      .where(col("export_unix_ts") > lit(lastExportUnixTs))
+    // dynamic partition overwrite: a retry rewrites only the windows it
+    // re-exports; previously shipped windows stay untouched
+    tagged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("export_unix_ts").parquet(dir)
+    val progress = tagged.groupBy(col("export_unix_ts"))
+      .agg(count(lit(1)).as("row_count"),
+        max(unix_timestamp(col(tsCol))).as("max_timestamp"))
+    val cursor = progress.agg(max(col("export_unix_ts"))).head()
+    (if (cursor.isNullAt(0)) lastExportUnixTs else cursor.getLong(0), progress)
+  }
 }

@@ -267,6 +267,20 @@ object Dyn {
         .agg(count(lit(1)).as("n_rows"),
           min(col("row_index")).as("min_idx"),
           max(col("row_index")).as("max_idx"))
+    }),
+
+    // Queue static export (queue_exporter.cpp): day-aligned export
+    // windows over the event stream's commit time; the task instant is
+    // the stream's own high-water mark (in-plan broadcast scalar), so
+    // the last, still-open day never ships.
+    "dyn_queue_export" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val now = ev.agg(max(unix_timestamp(col("ts"))).as("__now"))
+      DynTable.exportQueuePeriods(
+          ev.crossJoin(broadcast(now)), "ts", 86400L, col("__now"))
+        .groupBy(col("export_unix_ts"))
+        .agg(count(lit(1)).as("row_count"),
+          max(unix_timestamp(col("ts"))).as("max_timestamp"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -413,5 +427,12 @@ object Dyn {
         |    cnt
         |  FROM hw)
         |SELECT tablet_index, cnt - trim_to AS n_rows, trim_to AS min_idx,
-        |  cnt - 1 AS max_idx FROM b""".stripMargin)
+        |  cnt - 1 AS max_idx FROM b""".stripMargin,
+    "dyn_queue_export" ->
+      """WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         n AS (SELECT (max(es) // 86400) * 86400 AS upper FROM e)
+         SELECT (es // 86400) * 86400 AS export_unix_ts,
+           CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(MAX(es) AS BIGINT) AS max_timestamp
+         FROM e, n WHERE (es // 86400) * 86400 < upper GROUP BY 1""")
 }

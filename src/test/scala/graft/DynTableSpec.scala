@@ -435,4 +435,31 @@ class DynTableSpec extends SparkSpec {
     // no vital consumers: nothing drops
     assert(DynTable.autoTrim(ordered, reg, Seq.empty, 5L).count() == 100)
   }
+
+  test("queue static export: complete windows only, progress cursor, idempotent retry") {
+    import java.sql.Timestamp
+    val rows = (0L until 100L).map { i =>
+      (i, new Timestamp((1000000L + i * 100L) * 1000L)) // 10 rows per 1000s window
+    }
+    val q = rows.toDF("id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qexport").toString
+    // now = 1004500 → upper bound 1004000: windows 1000000..1003000 ship
+    val (cur1, prog1) = DynTable.exportQueueRun(q, "ts", dir, 1000L, 1004500L)
+    assert(cur1 == 1003000L)
+    val p1 = prog1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == Map(1000000L -> 10L, 1001000L -> 10L, 1002000L -> 10L, 1003000L -> 10L))
+    assert(spark.read.parquet(dir).count() == 40)
+    // time advances: only the NEW complete window exports past the cursor
+    val (cur2, prog2) = DynTable.exportQueueRun(q, "ts", dir, 1000L, 1005500L, cur1)
+    assert(cur2 == 1004000L)
+    assert(prog2.collect().map(_.getLong(0)).toSeq == Seq(1004000L))
+    // earlier exported windows survive the dynamic-partition overwrite
+    assert(spark.read.parquet(dir).count() == 50)
+    // retry of the same task recreates identical state (idempotent)
+    val (cur3, _) = DynTable.exportQueueRun(q, "ts", dir, 1000L, 1005500L, cur1)
+    assert(cur3 == 1004000L && spark.read.parquet(dir).count() == 50)
+    // a still-open window (rows at 1009900 max; now inside it) never ships
+    val taggedAll = DynTable.exportQueuePeriods(q, "ts", 1000L, 1009900L)
+    assert(!taggedAll.collect().map(_.getAs[Long]("export_unix_ts")).contains(1009000L))
+  }
 }
