@@ -171,6 +171,24 @@ object Ops {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // Multi-table user job ($table_index contract, mapreduce.md:111):
+    // orders and lineitem feed ONE skiff pipe as a tagged variant16
+    // stream (wire tag = table index); the job (cat) passes both
+    // tables through and the output decodes back with per-row table
+    // identity intact.
+    "op_pipe_multi" -> ((s, d) => {
+      val a = t(s, d, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = t(s, d, "lineitem").filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_quantity"))
+      graft.sources.Skiff.pipeMapMulti(Seq(a, b), Seq("cat"),
+          Seq(a.schema, b.schema))
+        .groupBy(col("$table_index"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(coalesce(col("t0_o_totalprice"), col("t1_l_quantity"))), 2)
+            .as("sum_val"))
+    }),
+
     // Vanilla operation (vanilla_controller.cpp): 4 input-less jobs,
     // each emitting its $YT_JOB_INDEX with 10 sequence rows — the
     // deterministic stand-in for "run N external workers and collect
@@ -272,6 +290,14 @@ object Ops {
       """SELECT o_orderstatus, COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "op_pipe_multi" ->
+      """SELECT 0 AS "$table_index", CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_val
+         FROM orders WHERE o_orderkey < 1000
+         UNION ALL
+         SELECT 1, CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(l_quantity), 2)
+         FROM lineitem WHERE l_orderkey < 1000""",
     "op_map" ->
       """SELECT l_returnflag || '/' || l_linestatus AS flag, COUNT(*) AS cnt,
            CAST(SUM(l_orderkey * 10 + l_linenumber) AS BIGINT) AS sum_uid

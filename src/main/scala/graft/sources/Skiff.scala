@@ -35,7 +35,15 @@ object Skiff {
     }
 
   /** Encode one row: variant16 tag 0 + dense fields. */
-  def encodeRow(row: Row, fields: Seq[Field]): Array[Byte] = {
+  def encodeRow(row: Row, fields: Seq[Field]): Array[Byte] =
+    encodeRowTagged(row, fields, 0, 0)
+
+  /** Multi-table form: the variant16 tag IS the table index (skiff.md —
+    * a multi-table stream is `variant16<schema0; schema1; ...>`), and
+    * `fieldOffset` lets the caller read the table's fields from a wider
+    * union row. */
+  def encodeRowTagged(row: Row, fields: Seq[Field], tag: Int,
+      fieldOffset: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream(64)
     def le(n: Int, bytes: Int): Unit = {
       var v = n; var i = 0
@@ -45,8 +53,9 @@ object Skiff {
       var v = n; var i = 0
       while (i < 8) { out.write((v & 0xffL).toInt); v >>= 8; i += 1 }
     }
-    le(0, 2) // variant16 schema tag
-    fields.zipWithIndex.foreach { case (f, i) =>
+    le(tag, 2) // variant16 schema tag = table index
+    fields.zipWithIndex.foreach { case (f, i0) =>
+      val i = i0 + fieldOffset
       val isNull = row.isNullAt(i)
       if (f.optional) out.write(if (isNull) 0 else 1)
       else if (isNull) throw new IllegalArgumentException(s"null in required ${f.name}")
@@ -107,6 +116,109 @@ object Skiff {
       def hasNext: Boolean = !done
       def next(): Row = { val r = nextRow; advance(); r }
     }
+  }
+
+  /** Decode a multi-table stream (`variant16<schema0; schema1; ...>`):
+    * each row's tag selects its table's schema; rows come back in the
+    * union layout of [[unionTagged]] — `$table_index` first, then each
+    * table's fields in table order (null outside the row's own table).
+    */
+  def decodeStreamMulti(in: InputStream, schemas: Seq[Seq[Field]]): Iterator[Row] = {
+    val din = new DataInputStream(in)
+    val offsets = schemas.scanLeft(0)(_ + _.size)
+    val width = 1 + offsets.last
+    def readLE(bytes: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < bytes) {
+        val b = din.read()
+        if (b < 0) throw new EOFException()
+        v |= (b.toLong & 0xff) << (8 * i); i += 1
+      }
+      v
+    }
+    new Iterator[Row] {
+      private var nextRow: Row = _
+      private var done = false
+      private def advance(): Unit =
+        try {
+          val tag = try readLE(2).toInt catch { case _: EOFException => done = true; return }
+          require(tag >= 0 && tag < schemas.size, s"skiff table index $tag out of range")
+          val vals = new Array[Any](width)
+          vals(0) = tag
+          schemas(tag).zipWithIndex.foreach { case (f, i) =>
+            val present = if (f.optional) readLE(1) == 1 else true
+            vals(1 + offsets(tag) + i) =
+              if (!present) null
+              else f.dataType match {
+                case LongType => readLE(8)
+                case DoubleType => java.lang.Double.longBitsToDouble(readLE(8))
+                case BooleanType => readLE(1) == 1
+                case StringType =>
+                  val n = readLE(4).toInt
+                  val b = new Array[Byte](n); din.readFully(b); new String(b, "UTF-8")
+                case BinaryType =>
+                  val n = readLE(4).toInt
+                  val b = new Array[Byte](n); din.readFully(b); b
+                case other => throw new IllegalArgumentException(other.toString)
+              }
+          }
+          nextRow = Row.fromSeq(vals.toIndexedSeq)
+        } catch { case _: EOFException => done = true }
+      advance()
+      def hasNext: Boolean = !done
+      def next(): Row = { val r = nextRow; advance(); r }
+    }
+  }
+
+  /** The union layout of a multi-table stream as a DataFrame: column 0
+    * is `$table_index` (enable_input_table_index — mapreduce.md:107),
+    * then every table's fields in table order prefixed `t<i>_` (names
+    * may repeat across tables; types may differ), null outside a row's
+    * own table. */
+  def unionTagged(inputs: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(inputs.nonEmpty, "at least one input table")
+    val allFields: Seq[Seq[StructField]] = inputs.map(_.schema.fields.toSeq)
+    inputs.zipWithIndex
+      .map { case (df, i) =>
+        val cols = lit(i).as("$table_index") +:
+          allFields.zipWithIndex.flatMap { case (fs, j) =>
+            fs.map { f =>
+              if (i == j) col(f.name).as(s"t${j}_${f.name}")
+              else lit(null).cast(f.dataType).as(s"t${j}_${f.name}")
+            }
+          }
+        df.select(cols: _*)
+      }
+      .reduce(_.union(_))
+  }
+
+  /** Multi-table user job (mapreduce.md:111 `$table_index` contract):
+    * several input tables feed ONE job as a tagged variant16 stream —
+    * the wire tag is the table index — and the job's output stream is
+    * decoded the same way into the union layout (a job may emit to any
+    * output table by writing its tag). Schemas per table are
+    * independent, like the reference's per-stream skiff schemas. */
+  def pipeMapMulti(inputs: Seq[DataFrame], command: Seq[String],
+      outSchemas: Seq[StructType]): DataFrame = {
+    val inFields = inputs.map(df => fieldsOf(df.schema))
+    val inOffsets = inFields.scanLeft(1)(_ + _.size) // col 0 = $table_index
+    val outFields = outSchemas.map(fieldsOf)
+    val outStruct = StructType(
+      StructField("$table_index", IntegerType, nullable = false) +:
+        outSchemas.zipWithIndex.flatMap { case (s, j) =>
+          s.fields.map(f => StructField(s"t${j}_${f.name}", f.dataType, nullable = true))
+        })
+    val cmd = command
+    unionTagged(inputs).mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else PipeJob.run(cmd,
+        os => rows.foreach { r =>
+          val t = r.getInt(0)
+          os.write(encodeRowTagged(r, inFields(t), t, inOffsets(t)))
+        },
+        is => decodeStreamMulti(is, outFields))
+    }(Encoders.row(outStruct))
   }
 
   /** DataFrame → per-partition Skiff byte streams (one blob per

@@ -128,6 +128,31 @@ class TypesFormatsSpec extends SparkSpec {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("skiff multi-table: variant16 tag is the table index; pipe keeps row identity") {
+    import graft.sources.Skiff
+    import spark.implicits._
+    // golden: a row of table 1 frames with tag 0x0001 LE
+    val s1 = StructType(Seq(StructField("n", LongType, nullable = false)))
+    val tagged = Skiff.encodeRowTagged(Row(7L), Skiff.fieldsOf(s1), 1, 0)
+    assert(tagged.toSeq == Seq[Byte](1, 0, 7, 0, 0, 0, 0, 0, 0, 0))
+    // two tables with DIFFERENT schemas through one cat job
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    val b = Seq((10L, 0.5), (20L, 1.5), (30L, 2.5)).toDF("k", "v")
+    val out = Skiff.pipeMapMulti(Seq(a, b), Seq("cat"), Seq(a.schema, b.schema))
+    val rows = out.collect()
+    assert(rows.length == 5)
+    val t0 = rows.filter(_.getInt(0) == 0).map(r => (r.getLong(1), r.getString(2))).toSet
+    val t1 = rows.filter(_.getInt(0) == 1).map(r => (r.getLong(3), r.getDouble(4))).toSet
+    assert(t0 == Set((1L, "x"), (2L, "y")))
+    assert(t1 == Set((10L, 0.5), (20L, 1.5), (30L, 2.5)))
+    // the reducer-side contract: sorting a group's rows by $table_index
+    // puts table-0 (primary) rows ahead of table-1 (foreign) rows —
+    // the JoinReduce single-stream pattern (mapreduce.md:111)
+    val grouped = out.orderBy(col("t0_k").isNull, col("$table_index"))
+      .select(col("$table_index")).as[Int].collect().toSeq
+    assert(grouped == Seq(0, 0, 1, 1, 1))
+  }
+
   test("binary yson: marker-byte scalars, zigzag varints, mixed text structure") {
     import graft.sources.Yson
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
