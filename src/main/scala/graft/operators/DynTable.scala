@@ -554,6 +554,25 @@ object DynTable {
       .drop("trim_to")
   }
 
+  /** Tablet index under pivot-key sharding (resharding.md: a sorted
+    * dynamic table's tablets are the half-open key ranges
+    * `(-inf, p1) [p1, p2) ... [pn, +inf)`): the number of pivots ≤ key
+    * — a MONOTONE step function of the key, so a registered
+    * [[graft.plans.ComputedColumns]] spec prunes key-range scans to the
+    * intersecting tablets (TQueryCoordinateTest UsesKeyToPruneSplits,
+    * ql_query_ut.cpp:1184). */
+  def tabletOf(key: Column, pivots: Seq[Long]): Column =
+    pivots.foldLeft(lit(0)) { (acc, p) =>
+      acc + when(key >= lit(p), 1).otherwise(0)
+    }.cast("int")
+
+  /** Reshard: materialize [[tabletOf]] as the `tablet_index` column
+    * (write-path evaluation, like every computed key column). Storage
+    * partitioned by `tablet_index` then scans only the tablets a key
+    * predicate can reach. */
+  def reshard(df: DataFrame, keyCol: String, pivots: Seq[Long]): DataFrame =
+    df.withColumn("tablet_index", tabletOf(col(keyCol), pivots))
+
   /** Queue static export (Queue Agent queue_exporter.cpp; queues.md
     * "exports" attribute): queue rows export into period-aligned static
     * tables — each export table covers one `[k·period, (k+1)·period)`

@@ -41,7 +41,10 @@ class PlanSweepSpec extends SparkSpec {
       "yql_join_cross",
       // the hot-line set folds to ONE aggregated array row broadcast
       // against the corpus — a 1×N product by construction
-      "llm_boilerplate_lines")
+      "llm_boilerplate_lines",
+      // the export task instant is a ONE-row broadcast scalar (the
+      // stream's high-water mark) crossed against the queue
+      "dyn_queue_export")
 
   /** Nearly every operator fits in <= 4 exchanges (scan → shuffle agg /
     * join → final agg → order). The documented exceptions: the

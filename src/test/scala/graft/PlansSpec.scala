@@ -462,4 +462,35 @@ class PlansSpec extends SparkSpec {
     assert(pf.contains("EqualNullSafe(l_orderkey,5)"), pf)
     assert(pf.contains("Not(EqualNullSafe(o_custkey,2))"), pf)
   }
+
+  test("UsesKeyToPruneSplits (ql_query_ut.cpp:1184): pivot-key tablets prune key-range scans") {
+    import graft.operators.DynTable
+    val dir = Files.createTempDirectory("reshard").toFile.getAbsolutePath
+    val pivots = Seq(30L, 60L)
+    // tablet assignment is a monotone step function of the key, so the
+    // ComputedColumns monotone inferrer derives the tablet interval for
+    // any bounded key range — the coordinator's split pruning
+    val spec = ComputedColumns.Spec("k", "tablet_index",
+      (c: org.apache.spark.sql.Column) => DynTable.tabletOf(c, pivots).cast("long"),
+      monotone = true)
+    val data = (0L until 90L).map(i => (i, s"v$i")).toDF("k", "v")
+    DynTable.reshard(data, "k", pivots)
+      .withColumn("tablet_index", col("tablet_index").cast("long"))
+      .write.partitionBy("tablet_index").mode("overwrite").parquet(dir)
+    ComputedColumns.register(spec)
+    ComputedColumns.install(spark)
+    try {
+      // range [35, 55] lies inside tablet 1 only
+      val q = spark.read.parquet(dir).where(col("k").between(35L, 55L))
+      assert(q.count() == 21)
+      assert(partitionFilterOn(q, "tablet_index"),
+        "key range must derive a tablet partition filter")
+      assert(q.select(col("tablet_index")).distinct().collect()
+        .map(_.getAs[Number](0).longValue).toSeq == Seq(1L))
+      // range [20, 70] spans all three tablets — still correct
+      val q2 = spark.read.parquet(dir).where(col("k").between(20L, 70L))
+      assert(q2.count() == 51)
+      assert(q2.select(col("tablet_index")).distinct().count() == 3)
+    } finally ComputedColumns.clear()
+  }
 }
