@@ -69,6 +69,41 @@ object Operations {
   def mergeSorted(inputs: Seq[DataFrame], sortBy: Seq[Column]): DataFrame =
     sort(mergeUnordered(inputs), sortBy)
 
+  /** ShallowMerge (shallow_merge_job.cpp; job type ShallowMerge,
+    * job_tracker_client/public.h:42): merge chunk METADATA only — the
+    * output table is the union of the inputs' chunk files, with no row
+    * decode or recompression. Parquet files are self-describing chunks,
+    * so the Spark-side equivalent is a file-level copy into the
+    * destination directory: at 100 TB this moves bytes (or just
+    * renames, same filesystem) and never pays decode+encode. Inputs
+    * must share a schema, like the reference's requirement that shallow
+    * merge inputs carry compatible chunk formats. Returns the number of
+    * chunk files merged.
+    */
+  def shallowMerge(spark: org.apache.spark.sql.SparkSession,
+      inputDirs: Seq[String], destDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    val destFs = dest.getFileSystem(conf)
+    destFs.mkdirs(dest)
+    var n = 0L
+    inputDirs.zipWithIndex.foreach { case (dirStr, i) =>
+      val dir = new org.apache.hadoop.fs.Path(dirStr)
+      val fs = dir.getFileSystem(conf)
+      val status = fs.getFileStatus(dir)
+      val files = if (status.isFile) Array(status) else fs.listStatus(dir)
+      files.filter { st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")
+      }.foreach { st =>
+        val out = new org.apache.hadoop.fs.Path(dest, s"t$i-${st.getPath.getName}")
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath, destFs, out, false, conf)
+        n += 1
+      }
+    }
+    n
+  }
+
   /** User job as an external binary over a pipe (user_job.cpp: mapper =
     * arbitrary process reading rows on stdin, writing rows on stdout,
     * in one of the §1.4 formats — here tab-separated, the Dsv flavor).

@@ -57,6 +57,21 @@ object Ops {
         schema)
     }),
 
+    // ShallowMerge (shallow_merge_job.cpp): chunk files copied, rows
+    // never decoded — the merged directory must read back as the
+    // tables' exact union.
+    "op_merge_shallow" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-shallow").toString
+      n.filter(col("n_nationkey") < 12).write.mode("overwrite").parquet(s"$tmp/a")
+      n.filter(col("n_nationkey") >= 12).write.mode("overwrite").parquet(s"$tmp/b")
+      val nFiles = Operations.shallowMerge(s, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/out")
+      require(nFiles > 0, "shallow merge must copy chunk files")
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("key_sum"))
+    }),
+
     // Sorted merge: two sorted halves k-way merged back, positions must
     // equal row_number over the whole table.
     "op_merge_sorted" -> ((s, d) => {
@@ -290,6 +305,10 @@ object Ops {
       """SELECT o_orderstatus, COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "op_merge_shallow" ->
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+         FROM nation GROUP BY n_regionkey""",
     "op_pipe_multi" ->
       """SELECT 0 AS "$table_index", CAST(COUNT(*) AS BIGINT) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS sum_val

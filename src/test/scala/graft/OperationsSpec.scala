@@ -237,4 +237,32 @@ class OperationsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("exit code 3")))
   }
+
+  test("shallow merge copies chunk files byte-identically (no recompression)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shallow-spec").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/a")
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/b")
+    val n = Operations.shallowMerge(spark, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/out")
+    assert(n == 2)
+    // union readable
+    val rows = spark.read.parquet(s"$tmp/out").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the chunk bytes are the SOURCE bytes — the whole point: no decode
+    def bytes(dir: String): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(dir)
+      d.listFiles.filter(_.getName.endsWith(".parquet")).map { f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
+      }.toMap
+    }
+    val src = bytes(s"$tmp/a") ++ bytes(s"$tmp/b")
+    val out = bytes(s"$tmp/out")
+    assert(out.size == 2)
+    out.foreach { case (name, b) =>
+      val orig = src(name.substring(name.indexOf('-') + 1))
+      assert(b == orig, s"chunk $name must be byte-identical to its source")
+    }
+  }
 }
