@@ -615,6 +615,31 @@ object QLEmitter {
       case IntLit(v) => s"${v}L"
       case other => emit(other)
     }
+    // Coordinated group-by key order (ql_query_ut.cpp
+    // GroupByOrderByCoordinated1 "no sorting" cases,
+    // GroupByCoordinatedWithAggregates1-4): when the group key of a
+    // single-table query LEADS with a prefix of the table's declared
+    // ascending keys, the reference's coordinator streams tablets in
+    // key order and merges groups on the fly — results arrive ordered
+    // by the group key with NO ORDER BY clause, and OFFSET/LIMIT page
+    // in that order. Reproduce the observable contract with an
+    // implicit ascending ORDER BY over the group items: under LIMIT it
+    // plans as top-k (TakeOrderedAndProject), otherwise it sorts the
+    // aggregated — already reduced — stream, never the raw scan.
+    val groupKeyOrdered: Boolean = q.orderBy.isEmpty && groupExprs.nonEmpty && {
+      val declaredKeys: Seq[String] = q.from match {
+        case Some(TableRef(path, _)) if q.joins.isEmpty =>
+          sortedKeysOf.value.getOrElse(path, Nil)
+        case _ => Nil
+      }
+      declaredKeys.nonEmpty && {
+        val lead = groupExprs.takeWhile {
+          case Ref(parts) => declaredKeys.contains(parts.last)
+          case _ => false
+        }.collect { case Ref(parts) => parts.last }
+        lead.nonEmpty && lead == declaredKeys.take(lead.length)
+      }
+    }
     val orderLimitSql: String = {
       // NaN order keys are an error in QL (ql_query_ut.cpp OrderBy) —
       // guard computed sort expressions. Bare refs stay unwrapped: they
@@ -647,6 +672,8 @@ object QLEmitter {
           }
       }
       val ob = q.orderBy match {
+        case Nil if groupKeyOrdered =>
+          " ORDER BY " + groupExprs.map(emitGroup).mkString(", ")
         case Nil => ""
         case _ if keyPrefixElided => ""
         case items => " ORDER BY " + items.map(orderItem).mkString(", ")
@@ -732,13 +759,40 @@ object QLEmitter {
           sql)
       }.mkString(", ")
       val havingSql = q.having.map(h => s" HAVING ${emit(subst(h))}").getOrElse("")
+      // HAVING inside a totals key subquery cannot see the outer select
+      // list, so aliases of aggregate-bearing select items (`sum(b) as
+      // t ... having t > 200`, ql_query_ut.cpp GroupByWithTotals) must
+      // inline their definitions.
+      val havingSubSql = {
+        val aggSelectAliases: Map[String, Expr] = select.collect {
+          case SelectItem(e, Some(a)) => a -> e
+        }.toMap
+        q.having.map(h =>
+          s" HAVING ${emit(substWith(subst(h), aggSelectAliases))}").getOrElse("")
+      }
       val groupSql = s"SELECT $groupSelect$fromWhere GROUP BY " +
         guarded.mkString(", ") + havingSql + orderLimitSql
       val totalsWhere =
-        if (q.totals == TotalsAfterHaving && q.having.isDefined) {
+        if (groupKeyOrdered && q.limit.isDefined) {
+          // Coordinated totals under a key-prefix group key + LIMIT
+          // (ql_query_ut.cpp GroupByCoordinatedWithTotalsWithLimit
+          // PrimaryKeyPrefixInGroupKey): the coordinator short-circuits
+          // the scan after `limit` key groups, so the totals row covers
+          // ONLY the emitted groups — unlike the non-key case, where
+          // the full scan happens anyway and totals span every group.
+          // Lower as: totals restricted to the paged group-key set.
+          val keys = keySqls.mkString("(", ", ", ")")
+          val page = s" ORDER BY ${keySqls.mkString(", ")}" +
+            s" LIMIT ${math.min(q.limit.get, Int.MaxValue.toLong)}" +
+            q.offset.map(n => s" OFFSET $n").getOrElse("")
+          val sub = s"SELECT ${keySqls.mkString(", ")}$fromWhere GROUP BY " +
+            keySqls.mkString(", ") + havingSubSql + page
+          val cond = s"$keys IN ($sub)"
+          if (q.where.isDefined) s" AND $cond" else s" WHERE $cond"
+        } else if (q.totals == TotalsAfterHaving && q.having.isDefined) {
           val keys = keySqls.mkString("(", ", ", ")")
           val sub = s"SELECT ${keySqls.mkString(", ")}$fromWhere GROUP BY " +
-            keySqls.mkString(", ") + havingSql
+            keySqls.mkString(", ") + havingSubSql
           val cond = s"$keys IN ($sub)"
           if (q.where.isDefined) s" AND $cond" else s" WHERE $cond"
         } else ""

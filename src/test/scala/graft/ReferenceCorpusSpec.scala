@@ -3542,4 +3542,466 @@ class ReferenceCorpusSpec extends SparkSpec {
       .collect().sorted
     assert(m.toSeq == Seq((1L, Some(3L)), (2L, None)))
   }
+
+  // ——— coordinated group-by corpus (ql_query_ut.cpp:3327-4115) ———
+  // The reference evaluates these across several sorted tablets
+  // (EvaluateCoordinatedGroupBy); the observable contract is that a
+  // group key leading with the declared key prefix yields KEY-ORDERED
+  // results with no ORDER BY, and OFFSET/LIMIT page in that order.
+  // Here "tablets" are partitions of a key-tagged DataFrame.
+
+  /** Key-sorted fixture: the first `nKeys` columns carry ascending
+    * YtSortOrderKey metadata (all int64), split across partitions. */
+  private def keyedInt64(names: Seq[String], nKeys: Int,
+      rows: Seq[Seq[Any]], parts: Int = 3) = {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val schema = YtSchema(names.zipWithIndex.map { case (n, i) =>
+      YtColumn(n, YtInt64,
+        sortOrder = if (i < nKeys) Some("ascending") else None)
+    }).toStructType
+    spark.createDataFrame(rows.map(Row.fromSeq).asJava, schema)
+      .repartition(parts)
+  }
+
+  test("GroupByOrderByCoordinated1 (ql_query_ut.cpp:3327): key-prefix " +
+      "group keys page in key order with and without ORDER BY") {
+    val rows = (1 to 9).map(i =>
+      Seq(i.toLong, ((i - 1) % 3).toLong, (i + 10).toLong, (3 - (i - 1) % 3).toLong))
+    val cat = Map("//t" -> keyedInt64(Seq("a", "b", "c", "d"), 2, rows))
+    def rq(ql: String) = SelectRows(spark, ql, cat)
+    // Simple: expression group key + explicit order
+    assert(rq("m from [//t] group by a % 3 as m order by m limit 3")
+      .as[Long].collect().toSeq == Seq(0L, 1L, 2L))
+    // No primary key inside group key
+    assert(rq("d from [//t] group by d order by d limit 3")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // Full primary key inside group key
+    assert(rq("a, b from [//t] group by a, b order by a, b limit 5")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 1L)))
+    // Full primary key inside group key, offset
+    assert(rq("a, b from [//t] group by a, b order by a, b offset 2 limit 5")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 2L), (4L, 0L), (5L, 1L), (6L, 2L), (7L, 0L)))
+    // Primary key prefix inside group key
+    assert(rq("a from [//t] group by a order by a limit 5")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // Primary key prefix, offset
+    assert(rq("a from [//t] group by a order by a offset 2 limit 5")
+      .as[Long].collect().toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+    // Primary key prefix, NO SORTING, limit — key order is implicit
+    assert(rq("a from [//t] group by a limit 5")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // Primary key prefix, NO SORTING, offset + limit
+    assert(rq("a from [//t] group by a offset 2 limit 5")
+      .as[Long].collect().toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+    // Primary key suffix: not a leading prefix, needs the explicit sort
+    assert(rq("b from [//t] group by b order by b limit 5")
+      .as[Long].collect().toSeq == Seq(0L, 1L, 2L))
+    assert(rq("b from [//t] group by b order by b offset 2 limit 5")
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("GroupByOrderByCoordinated2 (ql_query_ut.cpp:3405): offset/limit " +
+      "sweep over a single-key group-by, including past-the-end pages") {
+    val dataLength = 100
+    val rows = (0 until dataLength).map(i => Seq(i.toLong))
+    val cat = Map("//t" -> keyedInt64(Seq("a"), 1, rows, parts = 5))
+    for ((offset, limit) <- Seq((0, 7), (5, 10), (95, 20), (150, 10), (0, 200))) {
+      val got = SelectRows(spark,
+        s"a from [//t] group by a order by a offset $offset limit $limit", cat)
+        .as[Long].collect().toSeq
+      val expected = (offset until math.min(offset + limit, dataLength))
+        .map(_.toLong)
+      assert(got == expected, s"offset=$offset limit=$limit")
+    }
+  }
+
+  test("GroupByOrderByCoordinated3 (ql_query_ut.cpp:3440): key-range " +
+      "predicates compose with grouped paging (=, OR, IN forms)") {
+    val rows = (1 to 9).map(i => Seq(i.toLong, ((i - 1) % 3).toLong))
+    val cat = Map("//t" -> keyedInt64(Seq("a", "b"), 2, rows))
+    def rq(ql: String) = SelectRows(spark, ql, cat).as[(Long, Long)].collect().toSeq
+    val b0 = Seq((12L, 0L))
+    assert(rq("sum(a) as s, b FROM [//t] where b = 0 group by b order by b limit 3") == b0)
+    assert(rq("sum(a) as s, b FROM [//t] where b in (0) group by b order by b limit 3") == b0)
+    val b01 = Seq((12L, 0L), (15L, 1L))
+    assert(rq("sum(a) as s, b FROM [//t] where b = 0 or b = 1 group by b order by b limit 3") == b01)
+    assert(rq("sum(a) as s, b FROM [//t] where b in (0, 1) group by b order by b limit 3") == b01)
+    val b012 = Seq((12L, 0L), (15L, 1L), (18L, 2L))
+    assert(rq("sum(a) as s, b FROM [//t] where b = 0 or b = 1 or b = 2 group by b order by b limit 3") == b012)
+    assert(rq("sum(a) as s, b FROM [//t] where b in (0, 1, 2) group by b order by b limit 3") == b012)
+  }
+
+  test("GroupByOrderByCoordinated4 (ql_query_ut.cpp:3478): reordered key " +
+      "columns in group+order (the Group By + Order By regression)") {
+    val rows = Seq(Seq(1L, 2L, 5L), Seq(1L, 3L, 6L), Seq(1L, 3L, 8L), Seq(1L, 4L, 7L))
+    val cat = Map("//t" -> keyedInt64(Seq("k1", "k2", "k3"), 3, rows, parts = 4))
+    val got = SelectRows(spark,
+      "k1, k3, k2 from [//t] where k1 in (1) group by k1, k3, k2 " +
+        "order by k1, k3, k2 limit 10000", cat)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 2L), (1L, 6L, 3L), (1L, 7L, 4L), (1L, 8L, 3L)))
+  }
+
+  test("GroupByOrderByCoordinatedWithPrimaryKeyPrefix (ql_query_ut.cpp:3497)") {
+    val ks = Seq(1L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      6L -> 7L, 6L -> 8L, 7L -> 9L, 8L -> 10L, 9L -> 11L)
+    val rows = ks.map { case (k1, k2) => Seq(k1, k2, 0L) }
+    val cat = Map("//t" -> keyedInt64(Seq("k1", "k2", "v"), 2, rows, parts = 2))
+    val got = SelectRows(spark,
+      "k1 from [//t] group by k1 order by k1 limit 1000", cat)
+      .as[Long].collect().toSeq
+    assert(got == (1L to 9L))
+  }
+
+  test("GroupByCoordinatedWithAggregates1-3 (ql_query_ut.cpp:3623,3697): " +
+      "aggregates page in implicit key order under offset/limit") {
+    // Aggregates1: two tablets, group by k1, offset 1 limit 5
+    val rows1 = Seq(Seq(0L, 0L, 0L), Seq(1L, 0L, 1L), Seq(2L, 0L, 2L),
+      Seq(3L, 0L, 3L), Seq(3L, 1L, 4L), Seq(4L, 0L, 5L))
+    val cat1 = Map("//t" -> keyedInt64(Seq("k1", "k2", "v"), 2, rows1, parts = 2))
+    val got1 = SelectRows(spark,
+      "k1, sum(v) as sv from [//t] group by k1 offset 1 limit 5", cat1)
+      .as[(Long, Long)].collect().toSeq
+    assert(got1 == Seq((1L, 1L), (2L, 2L), (3L, 7L), (4L, 5L)))
+
+    // Aggregates2: key + non-key group columns, limit 1 picks the
+    // first (k0, v2) group in key-then-first-group order
+    val rows2 = Seq(Seq(1L, 1L, 1L, 42L), Seq(1L, 2L, 2L, 1L),
+      Seq(1L, 3L, 2L, 1L), Seq(1L, 4L, 1L, 0L))
+    val cat2 = Map("//t" -> keyedInt64(Seq("k0", "k1", "v2", "v3"), 2, rows2, parts = 2))
+    val got2 = SelectRows(spark,
+      "k0, v2, min(v3) as mv from [//t] group by k0, v2 limit 1", cat2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq((1L, 1L, 0L)))
+
+    // Aggregates3: 100 rows over keys k1 = i/10, three tablets
+    val rows3 = (0 until 100).map(i => Seq((i / 10).toLong, (i % 10).toLong, i.toLong))
+    val cat3 = Map("//t" -> keyedInt64(Seq("k1", "k2", "v1"), 2, rows3, parts = 3))
+    def rq3(ql: String) = SelectRows(spark, ql, cat3).as[(Long, Long)].collect().toSeq
+    assert(rq3("k1, sum(v1) as s from [//t] group by k1 limit 1") == Seq((0L, 45L)))
+    assert(rq3("k1, sum(v1) as s from [//t] group by k1 limit 2") ==
+      Seq((0L, 45L), (1L, 145L)))
+    assert(rq3("k1, sum(v1) as s from [//t] group by k1 offset 1 limit 1") ==
+      Seq((1L, 145L)))
+  }
+
+  test("GroupByCoordinatedWithAggregates4 (ql_query_ut.cpp:3746): null " +
+      "group key sorts first (null = smallest), stable across runs") {
+    val rows = Seq(
+      Seq(null, 1L, 9L), Seq(null, 2L, 8L), Seq(null, 3L, 7L), Seq(null, 4L, 6L),
+      Seq(null, 5L, 5L), Seq(null, 6L, 4L), Seq(null, 7L, 3L),
+      Seq(null, 8L, 2L), Seq(null, 9L, 1L), Seq(0L, 0L, 0L), Seq(0L, 1L, 5L))
+    val cat = Map("//t" -> keyedInt64(Seq("k0", "k1", "k2"), 3, rows, parts = 3))
+    for (_ <- 0 until 3) {
+      val got = SelectRows(spark,
+        "k0, min(k2) as mk from [//t] group by k0", cat)
+        .as[(Option[Long], Long)].collect().toSeq
+      assert(got == Seq((None, 1L), (Some(0L), 0L)))
+    }
+  }
+
+  test("GroupByCoordinatedWithTotals (ql_query_ut.cpp:3794,3932): totals " +
+      "span ALL groups for a non-key group key, under any limit") {
+    // deterministic stand-in for the reference's randomized fixture
+    val rows = (0 until 100).map(pk =>
+      Seq(pk.toLong, (pk * 7 % 20).toLong, (pk * 13 % 100).toLong))
+    val sums: Map[Long, Long] = rows.groupBy(_(1).asInstanceOf[Long])
+      .map { case (gk, rs) => gk -> rs.map(_(2).asInstanceOf[Long]).sum }
+    val total = rows.map(_(2).asInstanceOf[Long]).sum
+    val cat = Map("//t" -> keyedInt64(Seq("pk", "gk", "v"), 1, rows, parts = 4))
+    // no limit: every group + the totals row
+    val noLimit = SelectRows(spark,
+      "gk, sum(v) as v from [//t] group by gk with totals", cat)
+      .as[(Option[Long], Long)].collect()
+    assert(noLimit.length == sums.size + 1)
+    noLimit.foreach {
+      case (Some(gk), v) => assert(v == sums(gk))
+      case (None, v) => assert(v == total)
+    }
+    // with limit: limited group rows, but totals still span all groups
+    // (the non-key group key forces a full scan regardless)
+    for (limit <- Seq(1, 5, 19, 50)) {
+      val got = SelectRows(spark,
+        s"gk, sum(v) as v from [//t] group by gk with totals limit $limit", cat)
+        .as[(Option[Long], Long)].collect()
+      assert(got.length == math.min(sums.size, limit) + 1, s"limit=$limit")
+      got.foreach {
+        case (Some(gk), v) => assert(v == sums(gk))
+        case (None, v) => assert(v == total, s"limit=$limit totals row")
+      }
+    }
+  }
+
+  test("GroupByCoordinatedWithTotalsWithLimitPrimaryKeyPrefixInGroupKey " +
+      "(ql_query_ut.cpp:3988): key-prefix totals cover only the paged " +
+      "groups — the coordinator short-circuits the scan") {
+    val rows = (0 until 100).map(i =>
+      Seq((i / 10).toLong, (i % 10).toLong, (i * 13 % 100).toLong))
+    val cat = Map("//t" -> keyedInt64(Seq("k0", "k1", "v"), 2, rows, parts = 4))
+    val sums: Map[Long, Long] = rows.groupBy(_(0).asInstanceOf[Long])
+      .map { case (k0, rs) => k0 -> rs.map(_(2).asInstanceOf[Long]).sum }
+    for (limit <- 1 to 10) {
+      val got = SelectRows(spark,
+        s"k0, sum(v) as v from [//t] group by k0 with totals limit $limit", cat)
+        .as[(Option[Long], Long)].collect()
+      assert(got.length == math.min(10, limit) + 1, s"limit=$limit")
+      val expectedTotal = (0L until limit.toLong).filter(_ < 10)
+        .map(sums).sum
+      got.foreach {
+        case (Some(k0), v) => assert(k0 < limit && v == sums(k0), s"limit=$limit")
+        case (None, v) => assert(v == expectedTotal, s"limit=$limit totals row")
+      }
+    }
+  }
+
+  test("GroupByNoLimitCoordinated + GroupByWithNoKeyColumnsInTableSchema " +
+      "(ql_query_ut.cpp:4048,4098): mixed key/value group keys") {
+    val rows = (0 until 100).map(i =>
+      Seq((i / 10).toLong, (i % 10).toLong, i.toLong))
+    val cat = Map("//t" -> keyedInt64(Seq("a", "b", "v"), 2, rows, parts = 3))
+    val expected = (0 until 100).groupBy(i => (i / 10, i % 2))
+      .map { case ((k, x), is) => (k.toLong, x.toLong, is.map(_ % 10).sum.toLong) }
+      .toSeq.sorted
+    val got = SelectRows(spark,
+      "k, x, sum(b) as s from [//t] group by a as k, v % 2 as x", cat)
+      .as[(Long, Long, Long)].collect().toSeq
+    // key-prefix leading group item → implicit (k, x) order
+    assert(got == expected)
+
+    // no key columns in the schema: order is unspecified, values exact
+    val flat = Seq(0L -> 0L, 1L -> 1L, 2L -> 1L, 2L -> 1L, 3L -> 1L, 3L -> 1L,
+      3L -> 1L, 4L -> 1L, 4L -> 1L, 4L -> 1L, 4L -> 1L)
+      .map { case (a, b) => Seq(a, b) }
+    val cat2 = Map("//t" -> keyedInt64(Seq("a", "b"), 0, flat, parts = 4))
+    val got2 = SelectRows(spark,
+      "a, sum(b) as b from [//t] group by a", cat2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got2 == Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  // ——— simple evaluate corpus (ql_query_ut.cpp) ———
+
+  test("AverageAgg/2/3 (ql_query_ut.cpp:8439-8527): avg over groups, " +
+      "mixed aggregates, null cells and all-null groups") {
+    val t1 = Seq(3L, 53L, 8L, 24L, 33L).map(Tuple1(_)).toDF("a")
+    val r1 = SelectRows(spark, "avg(a) as x from [//t] group by 1",
+      Map("//t" -> t1)).as[Double].collect()
+    assert(r1.toSeq == Seq(24.2))
+
+    val t2 = Seq((3L, 3L, 1L), (53L, 2L, 3L), (8L, 5L, 32L), (24L, 7L, 4L),
+      (33L, 4L, 9L), (33L, 3L, 43L), (23L, 0L, 0L), (33L, 8L, 2L))
+      .toDF("a", "b", "c")
+    val r2 = SelectRows(spark,
+      "avg(a) as r1, x, max(c) as r2, avg(c) as r3, min(a) as r4 " +
+        "from [//t] group by b % 2 as x", Map("//t" -> t2))
+      .as[(Double, Long, Long, Double, Long)].collect().sortBy(_._2).reverse
+    assert(r2.toSeq == Seq((17.0, 1L, 43L, 20.0, 3L), (35.5, 0L, 9L, 3.5, 23L)))
+
+    val t3 = Seq((Some(3.0), 1L), (None, 1L), (None, 0L), (Some(7.0), 1L))
+      .toDF("a", "b")
+    val r3 = SelectRows(spark, "b, avg(a) as x from [//t] group by b",
+      Map("//t" -> t3)).as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(r3.toSeq == Seq((0L, None), (1L, Some(5.0))))
+  }
+
+  test("StringAgg (ql_query_ut.cpp:8530): min/max over strings") {
+    val t = Seq("one", "two", "three", "four", "fo").map(Tuple1(_)).toDF("a")
+    val got = SelectRows(spark,
+      "min(a) as b, max(a) as c from [//t] group by 1", Map("//t" -> t))
+      .as[(String, String)].collect()
+    assert(got.toSeq == Seq(("fo", "two")))
+  }
+
+  test("HavingClause1-3 (ql_query_ut.cpp:4741-4821): having over keys, " +
+      "aggregates, and aggregates not in the projection") {
+    val t = Seq((1L, 10L), (1L, 10L), (2L, 20L), (2L, 20L)).toDF("a", "b")
+    val cat = Map("//t" -> t)
+    assert(SelectRows(spark,
+      "a as x, sum(b) as t FROM [//t] group by a having a = 1", cat)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 20L)))
+    assert(SelectRows(spark,
+      "a as x, sum(b) as t FROM [//t] group by a having sum(b) = 20", cat)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 20L)))
+    assert(SelectRows(spark,
+      "a as x FROM [//t] group by a having sum(b) = 20", cat)
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("Complex/Complex2 (ql_query_ut.cpp:4423,4457): group-key reuse " +
+      "inside projected arithmetic, constant group keys") {
+    val t = (1 to 9).map(i => (i.toLong, 10L * i)).toDF("a", "b")
+    val cat = Map("//t" -> t)
+    val got = SelectRows(spark,
+      "x, sum(b) + x as t FROM [//t] where a > 1 group by a % 2 as x", cat)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 200L), (1L, 241L)))
+    val got2 = SelectRows(spark,
+      "x, q, sum(b) + x as t FROM [//t] where a > 1 group by a % 2 as x, 0 as q",
+      cat).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got2.toSeq == Seq((0L, 0L, 200L), (1L, 0L, 241L)))
+  }
+
+  test("SimpleIn/BigIn (ql_query_ut.cpp:2498,2523): IN with double " +
+      "literals against int64, NOT IN, 50-element lists") {
+    val t = Seq((4L, 5L), (-10L, 11L), (15L, 11L)).toDF("a", "b")
+    val cat = Map("//t" -> t)
+    assert(SelectRows(spark, "a, b FROM [//t] where a in (4.0, -10)", cat)
+      .as[(Long, Long)].collect().sorted.toSeq == Seq((-10L, 11L), (4L, 5L)))
+    assert(SelectRows(spark, "a, b FROM [//t] where a not in (4.0, -10)", cat)
+      .as[(Long, Long)].collect().toSeq == Seq((15L, 11L)))
+
+    val big = Seq(4L, 10L, 15L, 17L, 18L, 22L, 31L).map(Tuple1(_)).toDF("a")
+    val inList = (0 until 50).map(_ * 2).mkString(", ")
+    assert(SelectRows(spark, s"a FROM [//t] where a in ($inList)",
+      Map("//t" -> big)).as[Long].collect().sorted.toSeq ==
+      Seq(4L, 10L, 18L, 22L))
+  }
+
+  test("SimpleTransform (ql_query_ut.cpp:2583): scalar transform with " +
+      "double from-list matching int64 values") {
+    val t = Seq(4L, -10L, 15L).map(Tuple1(_)).toDF("a")
+    val got = SelectRows(spark,
+      "transform(a, (4.0, -10), (13, 17)) as x FROM [//t]", Map("//t" -> t))
+      .as[Option[Long]].collect()
+    assert(got.toSet == Set(Some(13L), Some(17L), None))
+  }
+
+  test("SimpleCmpString (ql_query_ut.cpp:2314): lexicographic string " +
+      "comparison operators") {
+    val t = Seq(("a", "aa"), ("aa", "aa")).toDF("a", "b")
+    val got = SelectRows(spark,
+      "a < b as r1, a > b as r2, a <= b as r3, a >= b as r4, a = b as r5 " +
+        "FROM [//t]", Map("//t" -> t))
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .sortBy(_._1).reverse
+    assert(got.toSeq == Seq(
+      (true, false, true, false, false),
+      (false, false, true, true, true)))
+  }
+
+  test("SimpleWithNull/2 (ql_query_ut.cpp:2720,2744): null cells pass " +
+      "projection, null arithmetic propagates") {
+    val t = Seq((4L, Some(5L), None), (10L, Some(11L), Some(9L)),
+      (16L, None, None)).toDF("a", "b", "c")
+    val got = SelectRows(spark, "a, b, c FROM [//t] where a > 3",
+      Map("//t" -> t)).as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((4L, Some(5L), None), (10L, Some(11L), Some(9L)),
+      (16L, None, None)))
+
+    val t2 = Seq((1L, Some(2L), Some(3L)), (4L, None, None),
+      (5L, Some(5L), None), (7L, None, Some(8L)), (10L, Some(1L), None),
+      (10L, None, Some(1L))).toDF("a", "b", "c")
+    val got2 = SelectRows(spark, "a, b + c as x FROM [//t] where a < 10",
+      Map("//t" -> t2)).as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got2.toSeq == Seq((1L, Some(5L)), (4L, None), (5L, None), (7L, None)))
+  }
+
+  test("FilterNulls1 (ql_query_ut.cpp:2213): a null cell fails a " +
+      "comparison predicate") {
+    val t = Seq((4L, Some(5L)), (6L, None), (10L, Some(11L))).toDF("a", "b")
+    val got = SelectRows(spark, "a, b FROM [//t] where b > 0",
+      Map("//t" -> t)).as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((4L, 5L), (10L, 11L)))
+  }
+
+  test("IsPrefixStrings/IsSubstrStrings (ql_query_ut.cpp:2840,2859)") {
+    val t = Seq("foobar", "bar", "baz").map(Tuple1(_)).toDF("s")
+    assert(SelectRows(spark, "s FROM [//t] where is_prefix(\"foo\", s)",
+      Map("//t" -> t)).as[String].collect().toSeq == Seq("foobar"))
+    val t2 = Seq("foobar", "barfoo", "abc", "baz foo bar", "baz fo bar",
+      "xyz", "baz").map(Tuple1(_)).toDF("s")
+    val got = SelectRows(spark,
+      "s FROM [//t] where is_substr(\"foo\", s) or is_substr(s, \"XX baz YY\")",
+      Map("//t" -> t2)).as[String].collect().sorted
+    assert(got.toSeq == Seq("barfoo", "baz", "baz foo bar", "foobar"))
+  }
+
+  test("SelectKeyword (ql_query_ut.cpp:9468): the optional SELECT keyword " +
+      "in either case") {
+    val t = Seq((4L, "four"), (10L, "ten")).toDF("a", "b")
+    val cat = Map("//t" -> t)
+    for (ql <- Seq("select a, b from [//t]", "SELECT a, b FROM [//t]",
+        "select * from [//t]", "SELECT * FROM [//t]"))
+      assert(SelectRows(spark, ql, cat).as[(Long, String)].collect()
+        .sorted.toSeq == Seq((4L, "four"), (10L, "ten")), ql)
+  }
+
+  test("OrderByWithSmallLimit (ql_query_ut.cpp:6663): limit 0 yields " +
+      "zero rows") {
+    val t = Seq(3L, 2L, 1L).map(Tuple1(_)).toDF("a")
+    assert(SelectRows(spark, "a FROM [//t] order by a limit 0",
+      Map("//t" -> t)).count() == 0)
+  }
+
+  test("GroupByWithTotals (ql_query_ut.cpp:4202): boolean group keys, " +
+      "totals position relative to HAVING selects the totals base") {
+    val t = (1 to 9).map(i => (i.toLong, 10L * i)).toDF("a", "b")
+    val cat = Map("//t" -> t)
+    // no aggregates: totals row is all-null
+    val plain = SelectRows(spark,
+      "x FROM [//t] where a > 1 group by a % 2 = 1 as x with totals", cat)
+      .as[Option[Boolean]].collect()
+    assert(plain.length == 3 && plain.count(_.isEmpty) == 1)
+    def rows(ql: String) = SelectRows(spark, ql, cat)
+      .as[(Option[Boolean], Long)].collect()
+      .sortBy(r => (r._1.isEmpty, r._1.getOrElse(false))).toSeq
+    assert(rows("x, sum(b) as t FROM [//t] where a > 1 group by a % 2 = 1 as x with totals") ==
+      Seq((Some(false), 200L), (Some(true), 240L), (None, 440L)))
+    // having BEFORE totals → AfterHaving: totals over passing groups
+    assert(rows("x, sum(b) as t FROM [//t] where a > 1 group by a % 2 = 1 as x having t > 200 with totals") ==
+      Seq((Some(true), 240L), (None, 240L)))
+    // totals BEFORE having → BeforeHaving: totals over all groups
+    assert(rows("x, sum(b) as t FROM [//t] where a > 1 group by a % 2 = 1 as x with totals having t > 200") ==
+      Seq((Some(true), 240L), (None, 440L)))
+    assert(rows("x, sum(b) as t FROM [//t] where a > 1 group by a % 2 = 1 as x with totals having t < 220") ==
+      Seq((Some(false), 200L), (None, 440L)))
+  }
+
+  test("JoinSimple2-5 (ql_query_ut.cpp:5349-5510): USING joins with " +
+      "duplicate keys multiply rows") {
+    def join(left: Seq[Long], right: Seq[Long]): Seq[Long] =
+      SelectRows(spark, "a as x FROM [//left] join [//right] using a",
+        Map("//left" -> left.map(Tuple1(_)).toDF("a"),
+            "//right" -> right.map(Tuple1(_)).toDF("a")))
+        .as[Long].collect().sorted.toSeq
+    assert(join(Seq(1L, 2L), Seq(2L, 1L)) == Seq(1L, 2L))          // JoinSimple2
+    assert(join(Seq(1L, 1L), Seq(2L, 1L)) == Seq(1L, 1L))          // JoinSimple3
+    assert(join(Seq(1L, 2L), Seq(1L, 1L)) == Seq(1L, 1L))          // JoinSimple4
+    assert(join(Seq(1L, 1L, 1L), Seq(1L, 1L, 1L)) == Seq.fill(9)(1L)) // JoinSimple5
+  }
+
+  test("SortMergeJoin (ql_query_ut.cpp:6014): equi-join on the leading " +
+      "keys of two sorted tables") {
+    val left = keyedInt64(Seq("a", "b"), 1,
+      Seq(1L, 3L, 5L, 7L, 9L).map(a => Seq(a, a * 10L)), parts = 2)
+    val right = keyedInt64(Seq("c", "d"), 1,
+      Seq(1L, 2L, 4L, 5L, 7L, 8L).map(c => Seq(c, c * 10L)), parts = 2)
+    val got = SelectRows(spark,
+      "a, b, d FROM [//left] join [//right] on a = c",
+      Map("//left" -> left, "//right" -> right))
+      .as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 10L, 10L), (5L, 50L, 50L), (7L, 70L, 70L)))
+  }
+
+  test("ListExpr/DecimalExpr (ql_query_ut.cpp:8879,8847): list and " +
+      "decimal columns survive a scan projection") {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val listSchema = YtSchema(Seq(YtColumn("a", YtList(YtInt32)))).toStructType
+    val lt = spark.createDataFrame(
+      Seq(Row(Seq(1, 2, 3))).asJava, listSchema)
+    val got = SelectRows(spark, "a FROM [//t]", Map("//t" -> lt))
+      .as[Seq[Int]].collect()
+    assert(got.toSeq == Seq(Seq(1, 2, 3)))
+
+    val decSchema = YtSchema(Seq(YtColumn("a", YtDecimal(5, 2)))).toStructType
+    val dt = spark.createDataFrame(
+      Seq(Row(new java.math.BigDecimal("108.10"))).asJava, decSchema)
+    val gotD = SelectRows(spark, "a FROM [//t]", Map("//t" -> dt))
+      .collect().map(_.get(0).toString)
+    assert(gotD.toSeq == Seq("108.10"))
+  }
 }
