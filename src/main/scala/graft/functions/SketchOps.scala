@@ -35,6 +35,114 @@ object SketchOps {
     s.substring(from, to)
   }
 
+  /** Gopher §A1.1 quality-rule raw statistics (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", appendix A1.1) in ONE pass over the document.
+    * Every output is an EXACT INTEGER so an external engine (the
+    * DuckDB oracle) recomputes them bit-for-bit; the threshold rules
+    * (word-count window, mean word length, symbol ratios, bullet/
+    * ellipsis line fractions, alpha-word share, stop-word presence)
+    * derive downstream in SQL from these counts.
+    *
+    * Definitions pinned for cross-engine parity:
+    *   - a word is a maximal run of non-whitespace, whitespace being
+    *     the RE2 `\s` set { space, \t, \n, \f, \r } — NOT Java's \s
+    *     (which adds \x0B) — so `regexp_split_to_array(text, '\s+')`
+    *     agrees;
+    *   - word length counts CODEPOINTS (DuckDB `length()`), not UTF-16
+    *     units;
+    *   - stop-word hits count how many of Gopher's eight words
+    *     { the, be, to, of, and, that, have, with } appear at least
+    *     once as a whole lowercased word;
+    *   - lines split on \n (empty lines count); a bullet line starts,
+    *     after stripping spaces/tabs, with "- ", "* " or "• "; an
+    *     ellipsis line ends, after stripping, with "..." or "…";
+    *   - n_ellipsis counts non-overlapping "..." occurrences plus "…"
+    *     chars (the `replace`-delta the oracle computes).
+    */
+  private val GopherStopwords = Array("the", "be", "to", "of", "and",
+    "that", "have", "with")
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  def gopher(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = t.toString
+    var nWords = 0L; var wordLenSum = 0L; var nAlphaWords = 0L
+    val stopSeen = new Array[Boolean](GopherStopwords.length)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var alpha = false
+        while (i < n && !isWs(text.charAt(i))) {
+          val c = text.charAt(i)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha = true
+          i += 1
+        }
+        nWords += 1
+        wordLenSum += text.codePointCount(start, i)
+        if (alpha) nAlphaWords += 1
+        val len = i - start
+        if (len >= 2 && len <= 4) {
+          var s = 0
+          while (s < GopherStopwords.length) {
+            if (!stopSeen(s) && GopherStopwords(s).length == len) {
+              var j = 0
+              var eq = true
+              while (eq && j < len) {
+                val c = text.charAt(start + j)
+                val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+                if (lc != GopherStopwords(s).charAt(j)) eq = false
+                j += 1
+              }
+              if (eq) stopSeen(s) = true
+            }
+            s += 1
+          }
+        }
+      }
+    }
+    var nStopHits = 0L
+    stopSeen.foreach(b => if (b) nStopHits += 1)
+
+    var nLines = 0L; var nBullet = 0L; var nEllipsisLines = 0L
+    var lineStart = 0
+    var k = 0
+    while (k <= n) {
+      if (k == n || text.charAt(k) == '\n') {
+        nLines += 1
+        var a = lineStart; var b = k
+        while (a < b && (text.charAt(a) == ' ' || text.charAt(a) == '\t')) a += 1
+        while (b > a && (text.charAt(b - 1) == ' ' || text.charAt(b - 1) == '\t')) b -= 1
+        if (b - a >= 2 && text.charAt(a + 1) == ' ' &&
+            (text.charAt(a) == '-' || text.charAt(a) == '*' || text.charAt(a) == '•'))
+          nBullet += 1
+        if ((b - a >= 3 && text.charAt(b - 1) == '.' && text.charAt(b - 2) == '.' &&
+            text.charAt(b - 3) == '.') || (b - a >= 1 && text.charAt(b - 1) == '…'))
+          nEllipsisLines += 1
+        lineStart = k + 1
+      }
+      k += 1
+    }
+
+    var nHash = 0L; var nEllipsis = 0L
+    var p = 0
+    while (p < n) {
+      val c = text.charAt(p)
+      if (c == '#') { nHash += 1; p += 1 }
+      else if (c == '…') { nEllipsis += 1; p += 1 }
+      else if (c == '.' && p + 2 < n && text.charAt(p + 1) == '.' &&
+          text.charAt(p + 2) == '.') { nEllipsis += 1; p += 3 }
+      else p += 1
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nWords, wordLenSum, nAlphaWords, nStopHits,
+      nLines, nBullet, nEllipsisLines, nHash, nEllipsis))
+  }
+
   /** Gopher repetition stats in one hash-count pass (no per-row array
     * sorts): returns (dup_seg_frac, dup_seg_char_frac,
     * top_bigram_char_frac) with the exact semantics of the declarative

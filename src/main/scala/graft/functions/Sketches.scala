@@ -131,6 +131,26 @@ object Sketches {
     * hash-count pass per row, replacing the declarative
     * sort+fold-over-bigram-arrays form (which spent the whole bench in
     * per-row array_sort and struct-allocating lambdas). */
+  /** Gopher §A1.1 rule-set raw counts, one compiled pass per document
+    * (see SketchOps.gopher for the pinned cross-engine definitions).
+    * Integer outputs only — the threshold rules derive in SQL. */
+  case class GopherStats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq("n_words", "word_len_sum", "n_alpha_words", "n_stop_hits",
+        "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_hash",
+        "n_ellipsis").map(n =>
+        org.apache.spark.sql.types.StructField(n, LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.gopher(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.gopher($c);")
+    override protected def withNewChildInternal(newChild: Expression): GopherStats =
+      copy(child = newChild)
+  }
+
   case class RepetitionStats(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(StringType)

@@ -131,6 +131,42 @@ object TextAnalysis {
     S.column(graft.functions.Sketches.RepetitionStats(S.expression(text)))
   }
 
+  /** Full Gopher §A1.1 rule-set raw counts (Rae et al. 2021 appendix
+    * A1.1), one compiled scan-speed pass — no shuffle, no per-rule
+    * re-tokenization. Returns exact-integer counts; pair with
+    * [[gopherPass]] for the standard accept/reject decision. */
+  def gopherStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.{shims => S}
+    S.column(graft.functions.Sketches.GopherStats(S.expression(text)))
+  }
+
+  /** The Gopher §A1.1 accept decision over [[gopherStats]] output:
+    *   - 50 ≤ word count ≤ 100,000
+    *   - 3 ≤ mean word length ≤ 10
+    *   - hash-to-word and ellipsis-to-word ratios ≤ 0.1
+    *   - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - at least 2 of Gopher's 8 English stop words present
+    * Thresholds are arguments so pipelines can re-tune per corpus. */
+  def gopherPass(stats: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L): Column = {
+    val w = stats.getField("n_words").cast("double")
+    val lines = greatest(stats.getField("n_lines"), lit(1L)).cast("double")
+    val meanLen = stats.getField("word_len_sum").cast("double") / greatest(w, lit(1.0))
+    stats.getField("n_words").between(minWords, maxWords) &&
+      meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+      (stats.getField("n_hash").cast("double") / greatest(w, lit(1.0))) <= maxSymbolRatio &&
+      (stats.getField("n_ellipsis").cast("double") / greatest(w, lit(1.0))) <= maxSymbolRatio &&
+      (stats.getField("n_bullet_lines").cast("double") / lines) <= maxBulletFrac &&
+      (stats.getField("n_ellipsis_lines").cast("double") / lines) <= maxEllipsisLineFrac &&
+      (stats.getField("n_alpha_words").cast("double") / greatest(w, lit(1.0))) >= minAlphaFrac &&
+      stats.getField("n_stop_hits") >= minStopHits
+  }
+
   /** PII redaction: emails, IPv4s and long digit runs (phone-ish)
     * replaced with typed tokens, plus per-kind match counts. RE2-safe
     * patterns (work identically in Spark and the DuckDB oracle). One

@@ -309,6 +309,26 @@ object Llm {
           col("r.top_bigram_char_frac").as("top_bigram_char_frac"))
     }),
 
+    // Full Gopher §A1.1 rule set (Rae et al. 2021): all raw counts in
+    // one compiled scan-speed pass (exact integers, no shuffle) + the
+    // standard accept decision. The oracle independently re-derives
+    // every count from the pinned cross-engine definitions.
+    "llm_gopher_rules" -> ((s, d) => {
+      val stats = TextAnalysis.gopherStats(col("text"))
+      t(s, d, "documents").select(col("doc_id"), stats.as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          col("g.word_len_sum").as("word_len_sum"),
+          col("g.n_alpha_words").as("n_alpha_words"),
+          col("g.n_stop_hits").as("n_stop_hits"),
+          col("g.n_lines").as("n_lines"),
+          col("g.n_bullet_lines").as("n_bullet_lines"),
+          col("g.n_ellipsis_lines").as("n_ellipsis_lines"),
+          col("g.n_hash").as("n_hash"),
+          col("g.n_ellipsis").as("n_ellipsis"),
+          TextAnalysis.gopherPass(col("g")).as("gopher_pass"))
+    }),
+
     // PII redaction: emails/IPv4/phone-runs → typed tokens + counts
     // (PII synthesized onto the corpus so both engines see the same
     // input). RE2-safe patterns, scan-speed rewrite.
@@ -761,6 +781,53 @@ object Llm {
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
          SELECT doc_id, count(DISTINCT g) AS hits
          FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_gopher_rules" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS ws
+           FROM documents),
+         wstats AS (
+           SELECT doc_id,
+             len(ws) AS n_words,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS word_len_sum,
+             len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+               s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS n_stop_hits
+           FROM words),
+         lstats AS (
+           SELECT doc_id,
+             len(ls) AS n_lines,
+             len(list_filter(ls, l -> starts_with(ltrim(l, ' ' || chr(9)), '- ')
+               OR starts_with(ltrim(l, ' ' || chr(9)), '* ')
+               OR starts_with(ltrim(l, ' ' || chr(9)), '• '))) AS n_bullet_lines,
+             len(list_filter(ls, l -> ends_with(rtrim(l, ' ' || chr(9)), '...')
+               OR ends_with(rtrim(l, ' ' || chr(9)), '…'))) AS n_ellipsis_lines
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+         cstats AS (
+           SELECT doc_id,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3
+               + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis
+           FROM documents)
+         SELECT w.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(word_len_sum AS BIGINT) AS word_len_sum,
+           CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+           CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+           CAST(n_hash AS BIGINT) AS n_hash,
+           CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+           (n_words BETWEEN 50 AND 100000
+             AND (word_len_sum / greatest(n_words, 1)::DOUBLE) BETWEEN 3.0 AND 10.0
+             AND (n_hash / greatest(n_words, 1)::DOUBLE) <= 0.1
+             AND (n_ellipsis / greatest(n_words, 1)::DOUBLE) <= 0.1
+             AND (n_bullet_lines / greatest(n_lines, 1)::DOUBLE) <= 0.9
+             AND (n_ellipsis_lines / greatest(n_lines, 1)::DOUBLE) <= 0.3
+             AND (n_alpha_words / greatest(n_words, 1)::DOUBLE) >= 0.8
+             AND n_stop_hits >= 2) AS gopher_pass
+         FROM wstats w JOIN lstats USING (doc_id) JOIN cstats USING (doc_id)""",
     "llm_text_repetition" ->
       """WITH base AS (SELECT doc_id, regexp_replace(text, '\bthe\b', '.', 'g') AS t
            FROM documents),

@@ -572,4 +572,52 @@ class LlmSpec extends SparkSpec {
       .count { case (y, p) => (p >= 0.5) == y }.toDouble / scored.length
     assert(acc2 >= 0.95, s"held-out accuracy after repartition $acc2")
   }
+
+  test("gopherStats counts words, lines, bullets, ellipses, stopwords " +
+      "per the pinned cross-engine definitions") {
+    import org.apache.spark.sql.functions.col
+    val text = "The cat sat with a hat.\n" +
+      "- bullet one\n" +
+      "\t* bullet two  \n" +
+      "not a bullet\n" +
+      "trailing dots...\n" +
+      "unicode dots…\n" +
+      "## two hash marks and..... five dots"
+    val df = Seq(Tuple1(text)).toDF("text")
+      .select(TextAnalysis.gopherStats(col("text")).as("g")).select("g.*")
+    val r = df.collect().head
+    val m = df.columns.zip(r.toSeq.map(_.asInstanceOf[Long])).toMap
+    // words: 6 + 3 + 3 + 3 + 2 + 2 + 7 = 26 ("dots..." is ONE token)
+    assert(m("n_words") == 26L, m)
+    assert(m("n_lines") == 7L)
+    assert(m("n_bullet_lines") == 2L)    // "- bullet one", "* bullet two"
+    assert(m("n_ellipsis_lines") == 2L)  // "...", "…" endings
+    assert(m("n_hash") == 2L)            // '#' characters
+    // "..." in line 5, '…' in line 6, "....." → one "..." = 3 total
+    assert(m("n_ellipsis") == 3L)
+    // stopwords present: the (The), with — 2 of the 8
+    assert(m("n_stop_hits") == 2L)
+    // every word has an alphabetic char except "-", "*" and "##"
+    assert(m("n_alpha_words") == 23L)
+  }
+
+  test("gopherPass applies the §A1.1 thresholds: accepts clean prose, " +
+      "rejects short, symbol-heavy and stopword-free docs") {
+    import org.apache.spark.sql.functions.col
+    val clean = ("The quick brown fox jumps with great energy over the " +
+      "lazy dog and all of its friends that have been sleeping there. ") * 5
+    val short = "The cat sat with it of that."
+    val symbols = ("word " * 60).trim + " " + ("# " * 20).trim +
+      " the of with that have"
+    val noStop = ("alpha beta gamma delta epsilon " * 15).trim
+    val df = Seq(("clean", clean), ("short", short),
+      ("symbols", symbols), ("nostop", noStop)).toDF("name", "text")
+      .select(col("name"),
+        TextAnalysis.gopherPass(TextAnalysis.gopherStats(col("text"))).as("pass"))
+    val got = df.as[(String, Boolean)].collect().toMap
+    assert(got("clean"), "clean prose must pass")
+    assert(!got("short"), "under 50 words must fail")
+    assert(!got("symbols"), "hash ratio over 0.1 must fail")
+    assert(!got("nostop"), "fewer than 2 stopwords must fail")
+  }
 }
