@@ -51,6 +51,43 @@ object Tables {
       load(spark, dir, n).createOrReplaceTempView(n)
     }
 
+  /** Register tables as EXTERNAL catalog tables over their existing
+    * parquet files (no data copy) and compute table + column
+    * statistics, then enable cost-based optimization. This is the
+    * engine's answer to the reference's cost-based join reorder
+    * (SURVEY §4.2: DPhyp over the join hypergraph,
+    * cbo_optimizer_new.cpp) — Spark's `CostBasedJoinReorder` only acts
+    * when catalog statistics exist, which temp views over bare parquet
+    * paths never carry. At 100 TB, exact row counts and NDVs are what
+    * keeps a 6-table join from materializing a mid-plan blow-up: the
+    * planner orders joins by estimated output, not by query text.
+    *
+    * Column stats are computed for atomic types only (Spark's ANALYZE
+    * rejects arrays/structs — the embedding vectors keep table-level
+    * stats, which join reorder needs most).
+    */
+  def analyzeAll(spark: SparkSession, dir: String,
+      tables: Seq[String] = all, suffix: String = "_t"): Unit = {
+    import org.apache.spark.sql.types._
+    tables.foreach { n =>
+      val t = s"$n$suffix"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t USING parquet LOCATION '${path(dir, n)}'")
+      val atomic = spark.table(t).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[NumericType] ||
+            f.dataType == StringType || f.dataType == BooleanType ||
+            f.dataType == DateType || f.dataType.isInstanceOf[TimestampType] ||
+            f.dataType.isInstanceOf[TimestampNTZType] => s"`${f.name}`"
+      }
+      if (atomic.nonEmpty)
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${atomic.mkString(", ")}")
+      else
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+  }
+
   /** Persist a table bucketed+sorted by its key prefix — the engine's
     * equivalent of the reference's sorted-table key metadata that
     * enables co-located merge joins without re-partitioning

@@ -315,4 +315,51 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1,
       p.linesIterator.take(12).mkString("\n"))
   }
+
+  test("CBO with catalog statistics reorders a star join by cost, not " +
+      "by query text (SURVEY §4.2 DPhyp ⇒ CostBasedJoinReorder)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    sources.Tables.analyzeAll(spark, sfDir,
+      tables = Seq("lineitem", "orders", "part"), suffix = "_cbo")
+    try {
+      // exact stats flow from ANALYZE into the reads
+      val liStats = spark.table("lineitem_cbo")
+        .queryExecution.optimizedPlan.stats
+      assert(liStats.rowCount.isDefined && liStats.rowCount.get.toLong > 0)
+
+      // written order joins the BIG dim first; the selective filter on
+      // part makes (lineitem ⋈ part) the cheaper inner join
+      val sql = """
+        SELECT count(*) AS cnt
+        FROM lineitem_cbo l
+        JOIN orders_cbo o ON l.l_orderkey = o.o_orderkey
+        JOIN part_cbo p ON l.l_partkey = p.p_partkey
+        WHERE p.p_partkey < 20"""
+      def innermostJoinTables(plan: LogicalPlan): Set[String] = {
+        val joins = plan.collect { case j: Join => j }
+        val deepest = joins.minBy(j => j.collect { case x: Join => x }.size)
+        deepest.collectLeaves().map(_.toString).toSet
+      }
+      val cboPlan = spark.sql(sql).queryExecution.optimizedPlan
+      assert(innermostJoinTables(cboPlan).exists(_.contains("part_cbo")),
+        s"CBO must join the filtered dim first:\n$cboPlan")
+
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val textPlan = spark.sql(sql).queryExecution.optimizedPlan
+      assert(!innermostJoinTables(textPlan).exists(_.contains("part_cbo")),
+        s"without CBO the text order (orders first) should survive:\n$textPlan")
+
+      // same rows either way
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val a = spark.sql(sql).collect().head.getLong(0)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val b = spark.sql(sql).collect().head.getLong(0)
+      assert(a == b && a > 0)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      Seq("lineitem", "orders", "part").foreach(n =>
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_cbo"))
+    }
+  }
 }
