@@ -392,6 +392,73 @@ object TextAnalysis {
       .filter(col("n_lines") > 0)
   }
 
+  /** Exact repeated-substring (span) removal — Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499, the ExactSubstr variant): any k-word span whose
+    * exact text occurs at least `minOccurrences` times across the
+    * corpus (intra-document repeats count) is removed from EVERY
+    * document — a word drops when at least one flagged overlapping
+    * k-gram covers it; surviving words keep their order.
+    *
+    * Distributed shape (the [[removeBoilerplateLines]] pattern, but
+    * over OVERLAPPING grams): pass 1 hashes every k-gram in one
+    * compiled UDF per document and partially aggregates 64-bit counts
+    * — the only corpus shuffle, carrying longs with map-side combine;
+    * the repeated sliver (count ≥ minOccurrences) ships to executors
+    * in the rebuild UDF's closure, where membership is an O(1) probe
+    * per gram and the corpus never shuffles again. For adversarial
+    * corpora where the sliver outgrows the driver, swap the set for
+    * the distributed-built Bloom probe of `Dedup.decontaminateBloom`
+    * plus an exact verify join — identical results.
+    */
+  def removeRepeatedSpans(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8, minOccurrences: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val kk = k
+    val gramsUdf = udf { (text: String) =>
+      val ws = splitWords(text)
+      if (ws.length < kk) Array.empty[Long]
+      else Array.tabulate(ws.length - kk + 1)(i => lineHash(ws, i, i + kk))
+    }
+    val hot: Set[Long] = docs
+      .select(explode(gramsUdf(col(textCol))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select("h").collect().map(_.getLong(0)).toSet
+    val rebuildUdf = udf { (text: String) =>
+      val ws = splitWords(text)
+      val n = ws.length
+      val covered = new Array[Boolean](n)
+      var flagged = 0L
+      if (n >= kk) {
+        var i = 0
+        while (i <= n - kk) {
+          if (hot.contains(lineHash(ws, i, i + kk))) {
+            flagged += 1
+            var j = i
+            while (j < i + kk) { covered(j) = true; j += 1 }
+          }
+          i += 1
+        }
+      }
+      val sb = new StringBuilder
+      var removed = 0L
+      var j = 0
+      while (j < n) {
+        if (covered(j)) removed += 1
+        else {
+          if (sb.nonEmpty) sb.append(' ')
+          sb.append(ws(j))
+        }
+        j += 1
+      }
+      (sb.toString, removed, flagged)
+    }
+    docs.select(col(idCol).as("doc_id"), rebuildUdf(col(textCol)).as("r"))
+      .select(col("doc_id"), col("r._1").as("kept_text"),
+        col("r._2").as("n_removed_words"), col("r._3").as("n_flagged_grams"))
+  }
+
   /** fastText/CCNet-style trainable quality classifier: logistic
     * regression over hashed uni+bigram PRESENCE features (the CCNet
     * pipeline's lid/quality filter stage; same md5 feature space as

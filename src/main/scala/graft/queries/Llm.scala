@@ -309,6 +309,14 @@ object Llm {
           col("r.top_bigram_char_frac").as("top_bigram_char_frac"))
     }),
 
+    // Exact repeated-span removal (Lee et al. 2021 ExactSubstr): any
+    // 8-word span occurring ≥2 times corpus-wide drops from every doc.
+    // One gram-count shuffle (longs, map-side combined); the rebuild
+    // pass never shuffles the corpus.
+    "llm_dedup_spans" -> ((s, d) =>
+      TextAnalysis.removeRepeatedSpans(t(s, d, "documents"),
+        k = 8, minOccurrences = 2L)),
+
     // Full Gopher §A1.1 rule set (Rae et al. 2021): all raw counts in
     // one compiled scan-speed pass (exact integers, no shuffle) + the
     // standard accept decision. The oracle independently re-derives
@@ -781,6 +789,31 @@ object Llm {
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
          SELECT doc_id, count(DISTINCT g) AS hits
          FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_dedup_spans" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS ws
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
+           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+                 FROM words WHERE len(ws) >= 8)),
+         counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+         flagged AS (
+           SELECT doc_id, list(i) AS fs
+           FROM grams JOIN counts USING (g) WHERE c >= 2 GROUP BY doc_id),
+         rebuilt AS (
+           SELECT w.doc_id, ws, coalesce(fs, []) AS fs,
+             list_filter(generate_series(1, len(ws)), j ->
+               len(list_filter(coalesce(fs, []), p -> p <= j AND j < p + 8)) = 0)
+               AS keep_idx
+           FROM words w LEFT JOIN flagged ON w.doc_id = flagged.doc_id)
+         SELECT doc_id,
+           coalesce(array_to_string(list_transform(keep_idx, j -> ws[j]), ' '), '')
+             AS kept_text,
+           CAST(len(ws) - len(keep_idx) AS BIGINT) AS n_removed_words,
+           CAST(len(fs) AS BIGINT) AS n_flagged_grams
+         FROM rebuilt""",
     "llm_gopher_rules" ->
       """WITH words AS (
            SELECT doc_id,

@@ -573,6 +573,38 @@ class LlmSpec extends SparkSpec {
     assert(acc2 >= 0.95, s"held-out accuracy after repartition $acc2")
   }
 
+  test("removeRepeatedSpans drops corpus-repeated k-word spans, keeps " +
+      "unique text, counts removals exactly") {
+    import org.apache.spark.sql.functions.col
+    val span = "alpha beta gamma delta" // k = 4 repeated span
+    val docs = Seq(
+      (1L, s"unique one two three $span tail1 tailA"),
+      (2L, s"other prefix words here $span tail2 tailB"),
+      (3L, "totally unrelated text with no repeats at all"),
+      (4L, "short doc"), // shorter than k: untouched
+      (5L, s"$span middle filler words $span") // intra-doc repeat too
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeRepeatedSpans(docs, k = 4, minOccurrences = 2L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    // span occurs 4 times (docs 1, 2, 5×2) → flagged everywhere
+    assert(m(1L)._2 == "unique one two three tail1 tailA")
+    assert(m(1L)._3 == 4L && m(1L)._4 == 1L)
+    assert(m(2L)._2 == "other prefix words here tail2 tailB")
+    assert(m(3L)._2 == "totally unrelated text with no repeats at all")
+    assert(m(3L)._3 == 0L && m(3L)._4 == 0L)
+    assert(m(4L)._2 == "short doc" && m(4L)._3 == 0L)
+    // doc 5: both occurrences drop, middle filler survives
+    assert(m(5L)._2 == "middle filler words")
+    assert(m(5L)._3 == 8L && m(5L)._4 == 2L)
+    // partition invariance
+    val out8 = TextAnalysis.removeRepeatedSpans(docs.repartition(8),
+      k = 4, minOccurrences = 2L).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out8.toSeq == out.toSeq)
+  }
+
   test("gopherStats counts words, lines, bullets, ellipses, stopwords " +
       "per the pinned cross-engine definitions") {
     import org.apache.spark.sql.functions.col
