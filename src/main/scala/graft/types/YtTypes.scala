@@ -62,6 +62,10 @@ object YtTypes {
 
   /** Marker in field metadata for semantic types Spark lacks natively. */
   val YtTypeKey = "yt.logicalType"
+  /** Computed-column expression text (TColumnSchema::Expression) —
+    * carried in field metadata so prepare-time analyses (explain's
+    * key-prefix evaluability, schema.h:116-246) can see it. */
+  val YtExprKey = "yt.expression"
 
   /** Field-metadata marker for key columns (TColumnSchema::SortOrder,
     * schema.h) — value "ascending"/"descending". Consumers: SelectRows'
@@ -163,6 +167,7 @@ object YtTypes {
     def toStructType: StructType = StructType(columns.map { c =>
       val mb = new MetadataBuilder().putString(YtTypeKey, c.ytType.name)
       c.sortOrder.foreach(mb.putString(YtSortOrderKey, _))
+      c.expression.foreach(mb.putString(YtExprKey, _))
       StructField(c.name, toSpark(c.ytType),
         nullable = !c.required,
         metadata = mb.build())

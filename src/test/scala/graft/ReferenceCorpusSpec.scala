@@ -3986,6 +3986,102 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10L, 10L), (5L, 50L, 50L), (7L, 70L, 70L)))
   }
 
+  // ——— ExplainQuery surface (test_explain.py; explain.cpp) ———
+
+  private def explainTable(cols: Seq[(String, Option[String], Option[String])],
+      rows: Seq[Seq[Any]]) = {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val schema = YtSchema(cols.map { case (n, sort, expr) =>
+      YtColumn(n, YtInt64, sortOrder = sort, expression = expr)
+    }).toStructType
+    spark.createDataFrame(rows.map(Row.fromSeq).asJava, schema)
+  }
+
+  test("test_explain_query_group_by_primary_key (test_explain.py:33): " +
+      "common_prefix_with_primary_key only under a full evaluable key walk") {
+    val asc = Some("ascending")
+    val t = explainTable(Seq(
+      ("hash", asc, Some("int64(farm_hash(a))")),
+      ("a", asc, None), ("b", asc, None), ("c", None, None)),
+      Seq(Seq(0L, 1L, 2L, 3L)))
+    val cat = Map("//tmp/t" -> t)
+    def cp(ql: String) =
+      graft.ql.Explain(spark, ql, cat).commonPrefixWithPrimaryKey
+    assert(cp("a from [//tmp/t] group by hash, a, b") == Some(3))
+    // hash evaluates from the grouped a → the walk covers the key;
+    // only the two grouped refs count
+    assert(cp("a from [//tmp/t] group by a, b") == Some(2))
+    // b neither grouped nor computed → walk stops short → absent
+    assert(cp("a from [//tmp/t] group by a, c") == None)
+  }
+
+  test("test_explain_sort_merge_join (test_explain.py:48): per-join " +
+      "foreign/common key prefixes with the sorted-stream running cap") {
+    val asc = Some("ascending")
+    val first = explainTable(Seq(
+      ("hash", asc, Some("int64(farm_hash(cid))")),
+      ("cid", asc, None), ("pid", asc, None),
+      ("__shard__", None, None), ("PhraseID", None, None)),
+      Seq(Seq(0L, 1L, 2L, 3L, 4L)))
+    val second = explainTable(Seq(
+      ("ExportIDHash", asc, Some("int64(farm_hash(ExportID))")),
+      ("ExportID", asc, None), ("GroupExportID", asc, None),
+      ("PhraseID", asc, None), ("UpdateTime", asc, None),
+      ("value", None, None)),
+      Seq(Seq(0L, 1L, 2L, 3L, 4L, 5L)))
+    val third = explainTable(Seq(
+      ("hash", asc, Some("int64(farm_hash(pid))")),
+      ("pid", asc, None), ("__shard__", asc, None), ("value", None, None)),
+      Seq(Seq(0L, 2L, 3L, 6L)))
+    val fourth = explainTable(Seq(
+      ("hash", asc, Some("int64(farm_hash(cid))")),
+      ("cid", asc, None), ("__shard__", asc, None), ("ExportID", None, None)),
+      Seq(Seq(0L, 1L, 3L, 1L)))
+    val cat = Map("//tmp/first" -> first, "//tmp/second" -> second,
+      "//tmp/third" -> third, "//tmp/fourth" -> fourth)
+    def prefixes(ql: String): (Seq[Int], Seq[Int]) = {
+      val js = graft.ql.Explain(spark, ql, cat).joins
+      (js.map(_.foreignKeyPrefix), js.map(_.commonKeyPrefix))
+    }
+
+    val q1 = """S.value as sv, P.value as pv from [//tmp/first] D
+      left join [//tmp/fourth] C on D.cid = C.cid
+      left join [//tmp/second] S on (D.cid, D.pid, uint64(D.PhraseID)) = (S.ExportID, S.GroupExportID, S.PhraseID)
+      left join [//tmp/third] P on (D.pid, D.__shard__) = (P.pid, P.__shard__)"""
+    assert(prefixes(q1) == (Seq(2, 4, 3), Seq(2, 2, 0)), q1)
+
+    val q2 = """D.cid as c1 from [//tmp/first] D
+      left join [//tmp/fourth] C on (D.cid, D.__shard__) = (C.cid, C.__shard__)
+      left join [//tmp/second] S on (D.cid, D.pid, uint64(D.PhraseID)) = (S.ExportID, S.GroupExportID, S.PhraseID)
+      left join [//tmp/third] P on (D.pid, D.__shard__) = (P.pid, P.__shard__)"""
+    assert(prefixes(q2) == (Seq(3, 4, 3), Seq(2, 2, 0)), q2)
+
+    // S first: its own common prefix (3) is no longer capped
+    val q3 = """D.cid as c1 from [//tmp/first] D
+      left join [//tmp/second] S on (D.cid, D.pid, uint64(D.PhraseID)) = (S.ExportID, S.GroupExportID, S.PhraseID)
+      left join [//tmp/fourth] C on (D.cid, D.__shard__) = (C.cid, C.__shard__)
+      left join [//tmp/third] P on (D.pid, D.__shard__) = (P.pid, P.__shard__)"""
+    assert(prefixes(q3) == (Seq(4, 3, 3), Seq(3, 2, 0)), q3)
+  }
+
+  test("test_explain_order_by_primary_key_prefix + where_expression " +
+      "(test_explain.py:155,170): ordered scans and the lowered WHERE") {
+    val asc = Some("ascending")
+    val t = explainTable(Seq(
+      ("hash", asc, Some("int64(farm_hash(a))")),
+      ("a", asc, None), ("b", asc, None), ("c", None, None)),
+      Seq(Seq(0L, 1L, 2L, 3L)))
+    val cat = Map("//tmp/t" -> t)
+    def ex(ql: String) = graft.ql.Explain(spark, ql, cat)
+    assert(ex("* from [//tmp/t] order by hash, a limit 10").isOrderedScan)
+    assert(ex("* from [//tmp/t] order by hash, a, b limit 10").isOrderedScan)
+    assert(!ex("* from [//tmp/t] order by a, b limit 10").isOrderedScan)
+
+    val w = ex("* from [//tmp/t] where a < b and b > c").whereExpression
+    assert(w.isDefined && w.get.contains("a < b") && w.get.contains("b > c"), w)
+  }
+
   test("ListExpr/DecimalExpr (ql_query_ut.cpp:8879,8847): list and " +
       "decimal columns survive a scan projection") {
     import graft.types.YtTypes._
