@@ -39,7 +39,8 @@ object Bench {
     "llm_dedup_ngram", "llm_dedup_embedding", "llm_sim_bruteforce",
     "llm_sim_lsh", "llm_sim_ivf", "llm_text_quality", "llm_decontaminate",
     "llm_pack_sequences", "llm_pipeline_e2e", "llm_dsir_select",
-    "llm_quality_classifier", "yql_agg_tdigest_merge",
+    "llm_quality_classifier", "llm_gopher_rules", "llm_dedup_spans",
+    "yql_agg_tdigest_merge",
     "strm_window_hopping", "strm_window_session", "strm_match_recognize")
 
   def main(args: Array[String]): Unit = {
