@@ -3986,6 +3986,86 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10L, 10L), (5L, 50L, 50L), (7L, 70L, 70L)))
   }
 
+  test("GroupByTotalsOrderBy (ql_query_ut.cpp:6678): totals row computed " +
+      "over ALL groups while ORDER BY an aggregate pages the group rows") {
+    // deterministic stand-in for the randomized fixture: 2000 rows,
+    // b = a*10, grouped by a % 200, totals over everything
+    val data = (0 until 2000).map(i => ((i * 37 + 11) % 997).toLong)
+      .map(a => (a, a * 10))
+    val t = data.toDF("a", "b")
+    val grouped = data.groupBy(_._1 % 200)
+      .map { case (x, rs) => (x, rs.map(_._2).sum) }.toSeq
+    val expect = grouped.sortBy(r => (r._2, r._1)).take(50)
+    val totalSum = data.map(_._2).sum
+    val got = SelectRows(spark,
+      "x, sum(b) as y FROM [//t] group by a % 200 as x with totals " +
+        "order by y limit 50", Map("//t" -> t))
+      .as[(Option[Long], Long)].collect()
+    val (totals, groups) = got.partition(_._1.isEmpty)
+    assert(totals.map(_._2).toSeq == Seq(totalSum), "one totals row, all groups")
+    assert(groups.length == 50)
+    assert(groups.map(_._2).sorted.toSeq == expect.map(_._2).sorted)
+  }
+
+  test("IsNull/DoubleSum/OrderByWithHugeLimit (ql_query_ut.cpp:4824," +
+      "4856,6644): null filters, double sums over null cells, int64 limits") {
+    val t = Seq((Some(1L), Some(10L)), (Some(2L), Some(20L)),
+      (Some(9L), Some(90L)), (Some(10L), None),
+      (None, Some(1L)), (None, Some(2L)), (None, Some(3L))).toDF("a", "b")
+    assert(SelectRows(spark, "b FROM [//t] where is_null(a)",
+      Map("//t" -> t)).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    val d = Seq(Some(1.0), Some(1.0), None).map(Tuple1(_)).toDF("a")
+    val got = SelectRows(spark,
+      "sum(a) as x, sum(1) as t FROM [//t] group by 1", Map("//t" -> d))
+      .as[(Double, Long)].collect()
+    assert(got.toSeq == Seq((2.0, 3L)))
+
+    val h = Seq(3L, 2L, 1L).map(Tuple1(_)).toDF("a")
+    assert(SelectRows(spark,
+      "a FROM [//t] order by a limit 9223372036854775805", Map("//t" -> h))
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("CompositeMemberAccessorStruct/2 (ql_query_ut.cpp:7791,7837): " +
+      "nested struct paths, missing members null out, group by a path") {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val inner = YtStructT(Seq("b" -> YtStructT(Seq("c" -> YtInt32))))
+    val schema = YtSchema(Seq(
+      YtColumn("struct", YtStructT(Seq("a" -> inner, "d" -> YtUtf8))))).toStructType
+    def s(c: Any, d: String) = Row(Row(Row(Row(c)), d))
+    val rows = Seq(s(1, "a"), s(2, "b"), s(3, "c"),
+      Row(Row(Row(null), "d"))) // struct={a={};d=d}: missing b
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val cat = Map("//t" -> df)
+    val got = SelectRows(spark,
+      "t.struct.a.b.c as c, t.struct.d as d from [//t] as t", cat)
+      .as[(Option[Int], String)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((Some(1), "a"), (Some(2), "b"), (Some(3), "c"),
+      (None, "d")))
+    // group by the nested path, both spellings
+    val g1 = SelectRows(spark,
+      "c from [//t] as t group by t.struct.a.b.c as c", cat)
+      .as[Option[Int]].collect().toSet
+    assert(g1 == Set(Some(1), Some(2), Some(3), None))
+
+    // Struct2: progressively absent ancestors all null out
+    val schema2 = YtSchema(Seq(
+      YtColumn("struct", YtStructT(Seq("a" -> inner))))).toStructType
+    val rows2 = Seq(
+      Row(Row(Row(Row(1)))),        // full
+      Row(Row(Row(Row(null)))),     // b={}
+      Row(Row(Row(null))),          // a={}
+      Row(Row(null)),               // struct={}
+      Row(null))                    // struct=#
+    val df2 = spark.createDataFrame(rows2.asJava, schema2)
+    val got2 = SelectRows(spark,
+      "t.struct.a.b.c as c from [//t2] as t", Map("//t2" -> df2))
+      .as[Option[Int]].collect()
+    assert(got2.count(_.isDefined) == 1 && got2.length == 5)
+  }
+
   // ——— ExplainQuery surface (test_explain.py; explain.cpp) ———
 
   private def explainTable(cols: Seq[(String, Option[String], Option[String])],
