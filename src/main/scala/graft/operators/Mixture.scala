@@ -29,6 +29,31 @@ object Mixture {
     * sampling). Determinism: the fractional-epoch key includes source
     * and epoch, so re-runs and re-partitions keep identical rows.
     */
+  /** Deterministic weighted sampling without replacement — Efraimidis
+    * & Spirakis 2006, "Weighted random sampling with a reservoir"
+    * (A-Res/A-ES): every row draws an exponential clock
+    * E = −ln(u)/w from a content-hash uniform u (the first 52 md5
+    * bits of salt|id, so any engine reproduces the draw); the k
+    * SMALLEST clocks win — selection probability ∝ weight, without
+    * replacement. One scan + one top-k (TakeOrderedAndProject): no
+    * corpus shuffle, no driver state, repartition-invariant. Rows
+    * with non-positive weight never win; clock ties (measure zero)
+    * break by id so both engines agree.
+    */
+  def weightedSample(input: DataFrame, k: Int, idCol: String,
+      weightCol: String, salt: String): DataFrame = {
+    // u = (h + 1) / (2^52 + 1) ∈ (0, 1], h = first 13 md5 hex digits
+    val h = conv(substring(md5(concat_ws("|",
+      lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10).cast("double")
+    val u = (h + lit(1.0)) / lit(4503599627370497.0)
+    val clock = -log(u) / col(weightCol).cast("double")
+    input.filter(col(weightCol) > 0.0)
+      .withColumn("__clock", clock)
+      .orderBy(col("__clock"), col(idCol))
+      .limit(k)
+      .drop("__clock")
+  }
+
   def weightedMixture(input: DataFrame, sourceCol: String,
       idCols: Seq[String], weights: Map[String, Double]): DataFrame = {
     require(weights.values.forall(w => w >= 0.0 && w.isFinite),

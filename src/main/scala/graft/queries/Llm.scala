@@ -309,6 +309,14 @@ object Llm {
           col("r.top_bigram_char_frac").as("top_bigram_char_frac"))
     }),
 
+    // Deterministic weighted sampling (Efraimidis–Spirakis A-Res):
+    // selection ∝ n_chars via content-hash exponential clocks; one
+    // scan + top-k, reproduced exactly by the oracle.
+    "llm_weighted_sample" -> ((s, d) =>
+      Mixture.weightedSample(t(s, d, "documents"), k = 50,
+        idCol = "doc_id", weightCol = "n_chars", salt = "ws1")
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // Exact repeated-span removal (Lee et al. 2021 ExactSubstr): any
     // 8-word span occurring ≥2 times corpus-wide drops from every doc.
     // One gram-count shuffle (longs, map-side combined); the rebuild
@@ -789,6 +797,15 @@ object Llm {
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
          SELECT doc_id, count(DISTINCT g) AS hits
          FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             -ln((CAST(concat('0x',
+                    substr(md5(concat('ws1|', CAST(doc_id AS VARCHAR))), 1, 13))
+                  AS BIGINT) + 1.0) / 4503599627370497.0)
+               / CAST(n_chars AS DOUBLE) AS clock
+           FROM documents WHERE n_chars > 0
+           ORDER BY clock, doc_id LIMIT 50)""",
     "llm_dedup_spans" ->
       """WITH words AS (
            SELECT doc_id,

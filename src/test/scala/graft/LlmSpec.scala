@@ -573,6 +573,35 @@ class LlmSpec extends SparkSpec {
     assert(acc2 >= 0.95, s"held-out accuracy after repartition $acc2")
   }
 
+  test("weightedSample: A-Res selection matches a single-node replay, " +
+      "is partition-invariant, and tracks the weights") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 400L).map(i => (i, if (i <= 20) 1000.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    // single-node replay of the same clocks
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = rows.filter(_._2 > 0).map { case (id, w) =>
+      val h = java.lang.Long.parseLong(md5hex(s"t|$id").take(13), 16)
+      val u = (h + 1.0) / 4503599627370497.0
+      (-math.log(u) / w, id)
+    }.sorted.take(30).map(_._2).toSet
+    val got = Mixture.weightedSample(df, 30, "id", "w", "t")
+      .select("id").as[Long].collect().toSet
+    assert(got == expect)
+    // heavy items (20 rows, weight 1000) dominate the sample
+    assert(got.count(_ <= 20L) >= 15, s"heavy hits: ${got.count(_ <= 20L)}")
+    // partition invariance
+    val got8 = Mixture.weightedSample(df.repartition(8), 30, "id", "w", "t")
+      .select("id").as[Long].collect().toSet
+    assert(got8 == got)
+    // zero/negative weights never win
+    val z = Seq((1L, 0.0), (2L, -5.0), (3L, 1.0)).toDF("id", "w")
+    assert(Mixture.weightedSample(z, 3, "id", "w", "t")
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("removeRepeatedSpans drops corpus-repeated k-word spans, keeps " +
       "unique text, counts removals exactly") {
     import org.apache.spark.sql.functions.col
