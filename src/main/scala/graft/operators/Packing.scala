@@ -32,6 +32,44 @@ import org.apache.spark.sql.types.LongType
   */
 object Packing {
 
+  /** Sliding context-window chunking (the tokenizer `stride` /
+    * `return_overflowing_tokens` stage): each document's word stream
+    * splits into windows of `window` words starting every `stride`
+    * words, so consecutive windows overlap by `window - stride` —
+    * the standard long-document treatment before packing. Emission
+    * rule, pinned for cross-engine parity: window starts are
+    * 0, stride, 2·stride, …; a document with n > 0 words emits
+    * 1 + max(0, ⌈(n − window) / stride⌉) windows (the last may be
+    * short); an empty document emits nothing.
+    *
+    * Purely map-side — one projection + explode, NO shuffle: at
+    * 100 TB the chunking rides the same scan as the quality filters.
+    */
+  def chunkWindows(input: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val n = size(ws).cast("long")
+    val m = when(n <= 0L, 0L).otherwise(
+      lit(1L) + greatest(lit(0L),
+        ceil((n - lit(window.toLong)).cast("double") / stride).cast("long")))
+    input
+      .withColumn("__ws", ws).withColumn("__n", n).withColumn("__m", m)
+      .filter(col("__m") > 0L)
+      .select(col(idCol).as("doc_id"), col("__ws"), col("__n"),
+        explode(sequence(lit(0L), col("__m") - 1L)).as("window_id"))
+      .select(col("doc_id"), col("window_id"),
+        (col("window_id") * stride).as("start_word"),
+        least(lit(window.toLong), col("__n") - col("window_id") * stride)
+          .as("n_words"),
+        concat_ws(" ", slice(col("__ws"),
+          (col("window_id") * stride + 1L).cast("int"),
+          least(lit(window.toLong),
+            col("__n") - col("window_id") * stride).cast("int")))
+          .as("window_text"))
+  }
+
   def packSequences(input: DataFrame, bucketCol: String, orderCol: String,
       tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

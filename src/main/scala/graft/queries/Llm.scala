@@ -309,6 +309,12 @@ object Llm {
           col("r.top_bigram_char_frac").as("top_bigram_char_frac"))
     }),
 
+    // Sliding context-window chunking (tokenizer stride): 40-word
+    // windows every 30 words, overlap 10 — map-side only, no shuffle.
+    "llm_chunk_windows" -> ((s, d) =>
+      Packing.chunkWindows(t(s, d, "documents"), "doc_id", "text",
+        window = 40, stride = 30)),
+
     // Deterministic weighted sampling (Efraimidis–Spirakis A-Res):
     // selection ∝ n_chars via content-hash exponential clocks; one
     // scan + top-k, reproduced exactly by the oracle.
@@ -797,6 +803,23 @@ object Llm {
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
          SELECT doc_id, count(DISTINCT g) AS hits
          FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_chunk_windows" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS ws
+           FROM documents),
+         m AS (
+           SELECT doc_id, ws, len(ws) AS n,
+             CASE WHEN len(ws) <= 0 THEN 0
+                  ELSE 1 + greatest(0, CAST(ceil((len(ws) - 40) / 30.0) AS BIGINT))
+             END AS m
+           FROM words)
+         SELECT doc_id, CAST(w AS BIGINT) AS window_id,
+           CAST(w * 30 AS BIGINT) AS start_word,
+           CAST(least(40, n - w * 30) AS BIGINT) AS n_words,
+           array_to_string(ws[w*30+1 : w*30+least(40, n - w*30)], ' ') AS window_text
+         FROM (SELECT doc_id, ws, n, unnest(generate_series(0, m - 1)) AS w
+               FROM m WHERE m > 0)""",
     "llm_weighted_sample" ->
       """SELECT doc_id, source, n_chars FROM (
            SELECT doc_id, source, n_chars,

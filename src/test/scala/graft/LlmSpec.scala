@@ -573,6 +573,27 @@ class LlmSpec extends SparkSpec {
     assert(acc2 >= 0.95, s"held-out accuracy after repartition $acc2")
   }
 
+  test("chunkWindows: stride overlap, short tails, sub-window and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10: windows [0..7],[6..9]
+      (2L, (1 to 7).map(i => s"w$i").mkString(" ")),  // n=7 < window: one short window
+      (3L, ""),                                        // empty: nothing
+      (4L, (1 to 14).map(i => s"w$i").mkString(" "))  // n=14: [0..7],[6..13]
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkWindows(docs, "doc_id", "text", window = 8, stride = 6)
+      .orderBy("doc_id", "window_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 8L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (1L, 1L, 6L, 4L, (7 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, 0L, 0L, 7L, (1 to 7).map(i => s"w$i").mkString(" ")),
+      (4L, 0L, 0L, 8L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (4L, 1L, 6L, 8L, (7 to 14).map(i => s"w$i").mkString(" "))))
+    // consecutive windows overlap by window - stride words
+    val o = out.filter(_._1 == 4L)
+    assert(o(0)._5.split(" ").takeRight(2).toSeq == o(1)._5.split(" ").take(2).toSeq)
+  }
+
   test("weightedSample: A-Res selection matches a single-node replay, " +
       "is partition-invariant, and tracks the weights") {
     import org.apache.spark.sql.functions.col
