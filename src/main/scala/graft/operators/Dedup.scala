@@ -211,6 +211,66 @@ object Dedup {
     * For the genuine near-dup regime (cos >= ~0.8) use the sub-quadratic
     * [[embeddingCosinePairsLsh]].
     */
+  /** Semantic dedup in the SemDeDup style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then drop
+    * near-duplicates WITHIN each cluster only — the pairwise work
+    * shrinks from O(n²) to Σ|cell|², and cells are independent tasks.
+    *
+    * Pinned deterministic variant (so an external engine replays the
+    * whole decision): cells are the `nCells` corpus vectors with the
+    * smallest md5(salt|id) (a content-hash sample standing in for
+    * k-means, the same posture as IVF's deterministic centroids);
+    * every vector joins its highest-cosine centroid (ties → lowest
+    * centroid id); within a cell, a vector is dropped when some
+    * LOWER-ID cell-mate has cosine ≥ tau with it (the paper ranks by
+    * distance-to-centroid; the min-id rule is the order-free
+    * equivalent the oracle can replay).
+    *
+    * Scale shape: centroids are hyperparameter-sized and ship in the
+    * assignment closure — assignment is ONE map-side pass, no shuffle,
+    * no crossJoin; the only corpus shuffle keys by cell for the
+    * bounded pairwise verify. Skewed cells split with the same
+    * salting as any hot key.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, tau: Double, salt: String): DataFrame = {
+    val ranked = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))).as("r"))
+    val centroids: Array[(Long, Array[Double])] = ranked
+      .orderBy(col("r"), col("id")).limit(nCells)
+      .select(col("id"), col("vec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // one compiled pass per row: argmax cosine over the broadcast
+    // centroid table, sequential double accumulation (the exact
+    // summation order the oracle's cosine uses)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var bestId = Long.MaxValue
+      var bestS = Double.NegativeInfinity
+      centroids.foreach { case (cid, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) {
+          val x = v(i).toDouble; val y = c(i)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val s = if (na == 0.0 || nb == 0.0) 0.0
+                else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (s > bestS || (s == bestS && cid < bestId)) { bestS = s; bestId = cid }
+      }
+      bestId
+    }
+    val assigned = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("vec"), assignUdf(col(vecCol)).as("cell"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(Similarity.cosine(col("a.vec"), col("b.vec")) >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__d").isNull.as("kept"))
+  }
+
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blocks: Int = 16): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),

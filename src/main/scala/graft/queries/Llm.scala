@@ -309,6 +309,13 @@ object Llm {
           col("r.top_bigram_char_frac").as("top_bigram_char_frac"))
     }),
 
+    // Semantic dedup (SemDeDup): deterministic md5-sampled centroids,
+    // map-side assignment, within-cell near-dup drop — the oracle
+    // replays centroids, assignment and the drop rule exactly.
+    "llm_dedup_semantic" -> ((s, d) =>
+      Dedup.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 8, tau = 0.35, salt = "sd1")),
+
     // Sliding context-window chunking (tokenizer stride): 40-word
     // windows every 30 words, overlap 10 — map-side only, no shuffle.
     "llm_chunk_windows" -> ((s, d) =>
@@ -803,6 +810,27 @@ object Llm {
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
          SELECT doc_id, count(DISTINCT g) AS hits
          FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_dedup_semantic" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings
+           ORDER BY md5(concat('sd1|', CAST(vec_id AS VARCHAR))), vec_id
+           LIMIT 8),
+         assigned AS (
+           SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS vec,
+             (SELECT cid FROM (
+                SELECT cid,
+                  list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), cvec) AS s
+                FROM cent ORDER BY s DESC, cid LIMIT 1)) AS cell
+           FROM embeddings v),
+         dropped AS (
+           SELECT DISTINCT a.vec_id
+           FROM assigned a JOIN assigned b
+             ON a.cell = b.cell AND b.vec_id < a.vec_id
+           WHERE list_cosine_similarity(a.vec, b.vec) >= 0.35)
+         SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept
+         FROM assigned a""",
     "llm_chunk_windows" ->
       """WITH words AS (
            SELECT doc_id,

@@ -573,6 +573,35 @@ class LlmSpec extends SparkSpec {
     assert(acc2 >= 0.95, s"held-out accuracy after repartition $acc2")
   }
 
+  test("semDedup: within-cell near-dups collapse to the lowest id, " +
+      "distinct directions survive, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // 4 orthogonal directions × 3 near-identical copies each
+    def vec(axis: Int, jitter: Float): Seq[Float] =
+      Seq.tabulate(8)(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == (axis + 1) % 8) jitter else 0.0f))
+    val rows = for (g <- 0 until 4; j <- 0 until 3)
+      yield ((g * 3 + j).toLong, vec(g * 2, 0.01f * j))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding",
+      nCells = 4, tau = 0.9, salt = "t")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // near-identical copies share a cell (cos ≈ 1 with their own
+    // direction's centroid); only the lowest id of each group survives
+    val byCell = out.groupBy(_._2)
+    byCell.values.foreach { cell =>
+      val kept = cell.filter(_._3).map(_._1)
+      assert(kept.length == 1 && kept.head == cell.map(_._1).min,
+        s"cell should keep exactly its min id: ${cell.toSeq}")
+    }
+    assert(out.count(_._3) == 4, "one survivor per direction group")
+    // partition invariance
+    val out8 = Dedup.semDedup(df.repartition(8), "vec_id", "embedding",
+      nCells = 4, tau = 0.9, salt = "t")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out8.toSeq == out.toSeq)
+  }
+
   test("chunkWindows: stride overlap, short tails, sub-window and empty docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10: windows [0..7],[6..9]
