@@ -29,6 +29,42 @@ object Mixture {
     * sampling). Determinism: the fractional-epoch key includes source
     * and epoch, so re-runs and re-partitions keep identical rows.
     */
+  /** Temperature-flattened source mixture (the mT5/T5 α-sampling rule,
+    * Xue et al. 2021: sample sources ∝ n_s^α, α<1 upweights rare
+    * sources): given a row budget B, the target share of source s is
+    * q_s = n_s^α / Σ n_t^α and each of its rows keeps with probability
+    * min(1, B·q_s/n_s) via the md5-threshold rule (hashSampleMd5's
+    * convention) — deterministic, repartition-invariant, replayable by
+    * any engine with md5.
+    *
+    * Distributed shape: one tiny per-source count aggregation (the
+    * only shuffle, ≤|sources| groups), thresholds computed driver-side
+    * from that hyperparameter-sized table, then a map-side filter —
+    * the corpus itself never shuffles.
+    */
+  def temperatureMixture(input: DataFrame, sourceCol: String,
+      idCols: Seq[String], alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha.isFinite, s"bad alpha $alpha")
+    val counts: Map[String, Long] = input
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    // threshold = floor(min(1, B·q_s/n_s)·2^32) as 8 hex digits; the
+    // md5 key compares lexicographically below it (prob = thr/2^32)
+    val thrOf: Map[String, String] = counts.map { case (s, n) =>
+      val q = math.pow(n.toDouble, alpha) / z
+      val p = math.min(1.0, budget.toDouble * q / n.toDouble)
+      val t = math.floor(p * 4294967296.0).toLong
+      s -> (if (t >= 4294967296L) "ffffffffg" else f"$t%08x")
+    }
+    val thr = thrOf.foldLeft(lit("00000000")) { case (acc, (name, t)) =>
+      when(col(sourceCol) === lit(name), lit(t)).otherwise(acc)
+    }
+    val key = substring(md5(concat_ws("|",
+      (col(sourceCol) +: idCols.map(c => col(c).cast("string"))): _*)), 1, 8)
+    input.filter(key < thr)
+  }
+
   /** Deterministic weighted sampling without replacement — Efraimidis
     * & Spirakis 2006, "Weighted random sampling with a reservoir"
     * (A-Res/A-ES): every row draws an exponential clock

@@ -309,6 +309,14 @@ object Llm {
           col("r.top_bigram_char_frac").as("top_bigram_char_frac"))
     }),
 
+    // Temperature-flattened mixture (mT5 α-sampling): rare sources
+    // upweighted via n^α shares; md5-threshold selection, map-side.
+    "llm_mixture_temperature" -> ((s, d) =>
+      Mixture.temperatureMixture(t(s, d, "documents"), "source",
+        Seq("doc_id"), alpha = 0.5, budget = 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"))),
+
     // Semantic dedup (SemDeDup): deterministic md5-sampled centroids,
     // map-side assignment, within-cell near-dup drop — the oracle
     // replays centroids, assignment and the drop rule exactly.
@@ -810,6 +818,20 @@ object Llm {
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
          SELECT doc_id, count(DISTINCT g) AS hits
          FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+         t AS (SELECT source, n,
+                 CAST(floor(least(1.0,
+                   300 * (pow(n, 0.5) / (SELECT z FROM z)) / n) * 4294967296.0)
+                 AS BIGINT) AS thr
+               FROM c)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_selected
+         FROM documents d JOIN t ON d.source = t.source
+         WHERE CAST(concat('0x',
+             substr(md5(concat(d.source, '|', CAST(d.doc_id AS VARCHAR))), 1, 8))
+           AS BIGINT) < thr
+         GROUP BY d.source""",
     "llm_dedup_semantic" ->
       """WITH cent AS (
            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

@@ -573,6 +573,33 @@ class LlmSpec extends SparkSpec {
     assert(acc2 >= 0.95, s"held-out accuracy after repartition $acc2")
   }
 
+  test("temperatureMixture: alpha flattens source shares toward rare " +
+      "sources, deterministic and repartition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // 1000 common rows vs 50 rare rows
+    val rows = (1L to 1000L).map(i => (i, "common")) ++
+      (1001L to 1050L).map(i => (i, "rare"))
+    val df = rows.toDF("doc_id", "source")
+    def shares(alpha: Double): Map[String, Long] =
+      Mixture.temperatureMixture(df, "source", Seq("doc_id"), alpha, 200L)
+        .groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+    val a1 = shares(1.0)   // proportional: rare gets ~200·50/1050 ≈ 10
+    val a3 = shares(0.3)   // flattened: rare share rises sharply
+    assert(a3("rare") > a1.getOrElse("rare", 0L),
+      s"alpha<1 must upweight rare: a1=$a1 a3=$a3")
+    // alpha = 0: equal shares per source (~100 each)
+    val a0 = shares(0.0)
+    assert(a0("rare") == 50L, s"rare fully kept under equal shares: $a0")
+    assert(math.abs(a0("common") - 100L) < 40L, s"common ≈ budget/2: $a0")
+    // determinism + partition invariance
+    val r1 = Mixture.temperatureMixture(df, "source", Seq("doc_id"), 0.3, 200L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val r2 = Mixture.temperatureMixture(df.repartition(8), "source",
+      Seq("doc_id"), 0.3, 200L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("semDedup: within-cell near-dups collapse to the lowest id, " +
       "distinct directions survive, partition-invariant") {
     import org.apache.spark.sql.functions.col
