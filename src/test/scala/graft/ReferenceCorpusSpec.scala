@@ -3656,6 +3656,49 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got == (1L to 9L))
   }
 
+  test("GroupByOrderByCoordinatedWithAggregates (ql_query_ut.cpp:3520): " +
+      "string keys, mixed prefixes, constant group keys under every limit") {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val schema = YtSchema(Seq(
+      YtColumn("k1", YtUtf8, sortOrder = Some("ascending")),
+      YtColumn("k2", YtInt64, sortOrder = Some("ascending")),
+      YtColumn("v1", YtInt64), YtColumn("v2", YtInt64))).toStructType
+    val rows = Seq(
+      Row("a", 0L, 1L, 1L), Row("a", 1L, 2L, 2L), Row("a", 2L, 4L, 4L),
+      Row("a", 3L, 2L, 6L), Row("a", 4L, 1L, 9L),
+      Row("b", 5L, 3L, 3L), Row("b", 6L, 1L, 5L),
+      Row("b", 7L, 3L, 7L), Row("b", 8L, 4L, 8L))
+    val cat = Map("//t" ->
+      spark.createDataFrame(rows.asJava, schema).repartition(4))
+    // group by (k1, v1): key-prefix leads → implicit (k1, v1) order
+    val g1 = SelectRows(spark,
+      "k1, v1, sum(v2) as s from [//t] group by k1, v1 order by k1, v1 limit 1000",
+      cat).as[(String, Long, Long)].collect().toSeq
+    assert(g1 == Seq(("a", 1L, 10L), ("a", 2L, 8L), ("a", 4L, 4L),
+      ("b", 1L, 5L), ("b", 3L, 10L), ("b", 4L, 8L)))
+    // project k1 only while grouping by the full key; order pages rows
+    val g2 = SelectRows(spark,
+      "k1, sum(1) as s from [//t] group by k1, k2 order by k1, k2 limit 6",
+      cat).as[(String, Long)].collect().toSeq
+    assert(g2 == Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 1L), ("a", 1L),
+      ("b", 1L)))
+    // key-prefix group with small limit
+    val g3 = SelectRows(spark,
+      "k1, sum(1) as s from [//t] group by k1 order by k1 limit 3", cat)
+      .as[(String, Long)].collect().toSeq
+    assert(g3 == Seq(("a", 5L), ("b", 4L)))
+    // constant group key: limit 0 = empty, any limit >= 1 = one row
+    assert(SelectRows(spark,
+      "sum(1) as s from [//t] group by 1000+1 limit 0", cat).count() == 0)
+    for (i <- Seq(1, 2, 14)) {
+      val got = SelectRows(spark,
+        s"sum(1) as s from [//t] group by 1000+1 limit $i", cat)
+        .as[Long].collect().toSeq
+      assert(got == Seq(9L), s"limit $i")
+    }
+  }
+
   test("GroupByCoordinatedWithAggregates1-3 (ql_query_ut.cpp:3623,3697): " +
       "aggregates page in implicit key order under offset/limit") {
     // Aggregates1: two tablets, group by k1, offset 1 limit 5
