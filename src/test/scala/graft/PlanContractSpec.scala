@@ -316,6 +316,38 @@ class PlanContractSpec extends SparkSpec {
       p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("scan-speed text operators add no exchange: gopher rules, chunk " +
+      "windows, span rebuild") {
+    // each of these must ride the document scan — a shuffle here would
+    // re-move the whole corpus at 100 TB for a per-row computation
+    for (name <- Seq("llm_gopher_rules", "llm_chunk_windows")) {
+      val p = planString(run(name))
+      assert(!p.contains("Exchange"), s"$name must be map-side only:\n" +
+        p.linesIterator.take(10).mkString("\n"))
+    }
+    // dedup_spans: the returned rebuild pass carries the hot sliver in
+    // its closure — scan + projection only (the count pass is a separate
+    // job that already ran during construction)
+    val p = planString(run("llm_dedup_spans"))
+    assert(!p.contains("Exchange"), "span rebuild must not shuffle:\n" +
+      p.linesIterator.take(10).mkString("\n"))
+  }
+
+  test("llm_weighted_sample is one top-k over the scan, never a global sort") {
+    val p = planString(run("llm_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "A-Res must not range-shuffle the corpus")
+  }
+
+  test("llm_dedup_semantic: map-side assignment, no cartesian shapes") {
+    val p = planString(run("llm_dedup_semantic"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("CBO with catalog statistics reorders a star join by cost, not " +
       "by query text (SURVEY §4.2 DPhyp ⇒ CostBasedJoinReorder)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
