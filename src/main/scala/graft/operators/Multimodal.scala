@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * per-partition passes (the Scala analog of `mapInPandas` — one
   * partition = one batch, vectorizable decode loop inside).
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * container): `decodeStub` derives deterministic fake
-  * width/height/duration from the payload bytes. The Spark-side
-  * contract — schema, batch shape, partitioning, null passthrough — is
-  * real and tested; swap `decodeStub` for a JNI/codec call in
-  * production.
+  * Metadata extraction is a REAL container-header probe — PNG IHDR,
+  * JPEG SOF marker scan, GIF/BMP headers, WAV RIFF duration — pure
+  * byte parsing with no codec library, which is exactly what a
+  * pipeline's scan-time metadata pass does (full pixel/sample DECODE
+  * needs a codec and stays out of scope: payloads that match no magic
+  * fall back to deterministic pseudo-metadata so the synthetic corpus
+  * remains covered, and `extractFeatures`/`resize` keep clearly-marked
+  * stub bodies to swap for codec calls in production).
   */
 object Multimodal {
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -30,18 +32,86 @@ object Multimodal {
   def withBinaryPayload(df: DataFrame, srcCol: String, payloadCol: String): DataFrame =
     df.withColumn(payloadCol, encode(col(srcCol), "UTF-8"))
 
-  /** STUB decode: deterministic pseudo-metadata from payload bytes.
-    * Replace with a real codec; everything around it stays unchanged.
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Real container-header metadata probe. Formats by magic:
+    *   - PNG (\x89PNG\r\n\x1a\n): IHDR width/height at offsets 16/20 (BE)
+    *   - JPEG (\xFF\xD8): marker walk to the first SOFn (C0-CF minus
+    *     C4/C8/CC); height/width big-endian after the precision byte
+    *   - GIF (GIF87a/GIF89a): logical screen w/h at 6/8 (LE)
+    *   - BMP (BM): BITMAPINFOHEADER width/height at 18/22 (LE, signed
+    *     height → abs; top-down rows encode as negative)
+    *   - WAV (RIFF....WAVE): byte_rate at 28 (LE); duration =
+    *     data-chunk bytes · 1000 / byte_rate (chunk walk)
+    * Anything else: deterministic pseudo-metadata (codec "unknown"
+    * keeps the fake/rgb|fake/yuv labels for corpus compatibility) —
+    * and any real format with a truncated header falls back the same
+    * way rather than throwing mid-pipeline.
     */
-  private def decodeStub(payload: Array[Byte]): Row = {
-    if (payload == null) Row(null, null, null, null, null)
-    else {
-      val len = payload.length.toLong
-      // ??? real decoder goes here — fake fields derived from content
+  private[graft] def probeMeta(payload: Array[Byte]): Row = {
+    if (payload == null) return Row(null, null, null, null, null)
+    val len = payload.length.toLong
+    val b = payload
+    def fallback: Row = {
       val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
       Row(len, (h % 1920 + 1).toInt, (h % 1080 + 1).toInt, len * 40L,
         if (h % 2 == 0) "fake/rgb" else "fake/yuv")
     }
+    try {
+      if (len >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+          b(3) == 'G') {
+        Row(len, be32(b, 16).toInt, be32(b, 20).toInt, null, "image/png")
+      } else if (len >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        // JPEG marker walk
+        var i = 2
+        var res: Row = null
+        while (res == null && i + 3 < len) {
+          if ((b(i) & 0xff) != 0xff) { i += 1 }
+          else {
+            val m = b(i + 1) & 0xff
+            if (m == 0xff) i += 1 // fill byte
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+            else {
+              val segLen = be16(b, i + 2)
+              if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+                  m != 0xcc && i + 8 < len) {
+                res = Row(len, be16(b, i + 7), be16(b, i + 5), null, "image/jpeg")
+              } else i += 2 + segLen
+            }
+          }
+        }
+        if (res != null) res else fallback
+      } else if (len >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+        Row(len, le16(b, 6), le16(b, 8), null, "image/gif")
+      } else if (len >= 26 && b(0) == 'B' && b(1) == 'M') {
+        Row(len, le32(b, 18).toInt, math.abs(le32(b, 22).toInt), null, "image/bmp")
+      } else if (len >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+          b(11) == 'E') {
+        val byteRate = le32(b, 28)
+        // chunk walk to the data chunk
+        var i = 12
+        var dataLen = -1L
+        while (dataLen < 0 && i + 8 <= len) {
+          val sz = le32(b, i + 4)
+          if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
+            dataLen = sz
+          else i += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        if (dataLen >= 0 && byteRate > 0)
+          Row(len, null, null, dataLen * 1000L / byteRate, "audio/wav")
+        else fallback
+      } else fallback
+    } catch { case _: IndexOutOfBoundsException => fallback }
   }
 
   /** Per-partition batched decode — schema in, schema+meta out. Runs as
@@ -54,7 +124,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ decodeStub(payload))
+        Row.fromSeq(r.toSeq :+ probeMeta(payload))
       }
     }(Encoders.row(outSchema))
   }

@@ -573,6 +573,60 @@ class LlmSpec extends SparkSpec {
     assert(acc2 >= 0.95, s"held-out accuracy after repartition $acc2")
   }
 
+  test("probeMeta parses real container headers: PNG, JPEG SOF walk, " +
+      "GIF, BMP, WAV duration; unknown bytes keep the fallback") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(64)
+      out.put(0xff.toByte).put(0xd8.toByte)                    // SOI
+      out.put(0xff.toByte).put(0xe0.toByte).putShort(16)       // APP0 len 16
+      out.put(new Array[Byte](14))                             // APP0 body
+      out.put(0xff.toByte).put(0xc0.toByte).putShort(11)       // SOF0 len 11
+      out.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      out.put(1.toByte).put(new Array[Byte](3))
+      java.util.Arrays.copyOf(out.array(), out.position())
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+      b.put(new Array[Byte](3)); b.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(-h) // top-down negative height
+      b.putShort(1).putShort(24); b.array()
+    }
+    def wav(byteRate: Int, dataBytes: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(8000).putInt(byteRate).putShort(1).putShort(8)
+      b.put("data".getBytes).putInt(dataBytes).put(new Array[Byte](dataBytes))
+      b.array()
+    }
+    def meta(p: Array[Byte]) = Multimodal.probeMeta(p)
+    assert(meta(png(640, 480)).toSeq.drop(1) == Seq(640, 480, null, "image/png"))
+    assert(meta(jpeg(1024, 768)).toSeq.drop(1) == Seq(1024, 768, null, "image/jpeg"))
+    assert(meta(gif(320, 200)).toSeq.drop(1) == Seq(320, 200, null, "image/gif"))
+    assert(meta(bmp(800, 600)).toSeq.drop(1) == Seq(800, 600, null, "image/bmp"))
+    val w = meta(wav(16000, 32000)) // 2 seconds of audio
+    assert(w.toSeq.drop(1) == Seq(null, null, 2000L, "audio/wav"))
+    // unknown payloads keep the deterministic fallback (corpus contract)
+    val f = meta("just text".getBytes)
+    assert(f.getString(4).startsWith("fake/"))
+    // truncated real magic falls back instead of throwing
+    assert(meta(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      .getString(4).startsWith("fake/"))
+  }
+
   test("temperatureMixture: alpha flattens source shares toward rare " +
       "sources, deterministic and repartition-invariant") {
     import org.apache.spark.sql.functions.col
