@@ -149,6 +149,43 @@ object DynTable {
     * The output is a fraction of the log: compaction is the cheapest
     * possible rewrite of the store.
     */
+  /** Bulk insert (bulk_insert.md; test_bulk_insert.py): a static-table
+    * operation writes straight into a sorted dynamic table — every
+    * output row lands as an upsert bearing ONE shared commit timestamp
+    * (test_multiple_output_tables_get_same_timestamp: the transaction
+    * commits atomically, so versioned reads see the whole operation or
+    * none of it; pass the same `commitTs` column for several outputs).
+    * Duplicate keys WITHIN the operation output are an error
+    * (test_not_unique_keys) — validated in-plan with a count-guarded
+    * filter, so the check distributes and costs one aggregation over
+    * the new rows only, never the table. Value columns the output
+    * doesn't carry become nulls (a full-row insert, not a partial
+    * update). `commitTs` may be a literal or an in-plan scalar
+    * subquery (e.g. `max(ts)+1`) — no driver-side action either way.
+    */
+  def bulkInsert(log: DataFrame, rows: DataFrame, keys: Seq[String],
+      commitTs: Column, validateUniqueKeys: Boolean = true): DataFrame = {
+    val valueCols = log.columns
+      .filterNot(c => keys.contains(c) || c == "ts" || c == "op").toSeq
+    val checked =
+      if (!validateUniqueKeys) rows
+      else {
+        val cnt = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+        rows.join(cnt, keys)
+          .filter(when(col("__cnt") > 1,
+            raise_error(lit("Duplicate keys in bulk insert output"))
+              .cast("boolean")).otherwise(lit(true)))
+          .drop("__cnt")
+      }
+    val appended = checked.select(
+      (keys.map(col) ++
+        Seq(commitTs.cast("long").as("ts"), lit(OpUpsert).as("op")) ++
+        valueCols.map(c =>
+          if (checked.columns.contains(c)) col(c) else lit(null).as(c))): _*)
+    log.select((keys ++ Seq("ts", "op") ++ valueCols).map(col): _*)
+      .unionByName(appended)
+  }
+
   def compact(log: DataFrame, keys: Seq[String],
       aggColumns: Map[String, String] = Map.empty): DataFrame = {
     val hasMask = log.columns.contains("written")

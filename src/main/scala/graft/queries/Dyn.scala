@@ -53,6 +53,23 @@ object Dyn {
         Seq("k"))
     }),
 
+    // Bulk insert (bulk_insert.md; test_bulk_insert.py
+    // test_basic_bulk_insert): a map operation's output lands in the
+    // sorted table atomically under ONE commit timestamp past every
+    // live version; the merged read reflects the operation, with
+    // columns the operation didn't produce as nulls.
+    "dyn_bulk_insert" -> ((s, d) => {
+      val l = log(s, d)
+      val commitTs = t(s, d, "orders")
+        .agg((max("o_orderkey") + 1).cast("long")).scalar()
+      val opOut = t(s, d, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"),
+          (col("c_acctbal") * 2).as("price"))
+      DynTable.readLatest(
+        DynTable.bulkInsert(l, opOut, Seq("k"), commitTs), Seq("k"))
+    }),
+
     // Versioned read at a client-supplied timestamp (LookupRows at ts,
     // dynamic_table_client.h:96-115): asOf = half the max version.
     "dyn_versioned_read" -> ((s, d) => {
@@ -288,6 +305,18 @@ object Dyn {
       s"""WITH log AS ($logSql),
          |ranked AS (SELECT k, ts, op, price, status,
          |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log)
+         |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    "dyn_bulk_insert" ->
+      s"""WITH log AS ($logSql),
+         |ins AS (SELECT c_custkey AS k,
+         |    (SELECT max(o_orderkey) + 1 FROM orders) AS ts,
+         |    'upsert' AS op, c_acctbal * 2 AS price,
+         |    CAST(NULL AS VARCHAR) AS status
+         |  FROM customer WHERE c_custkey % 3 = 0),
+         |merged AS (SELECT * FROM log UNION ALL SELECT * FROM ins),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM merged)
          |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
 
     // compaction is invisible: the oracle is the full-history merge

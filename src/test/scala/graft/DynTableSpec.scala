@@ -462,4 +462,45 @@ class DynTableSpec extends SparkSpec {
     val taggedAll = DynTable.exportQueuePeriods(q, "ts", 1000L, 1009900L)
     assert(!taggedAll.collect().map(_.getAs[Long]("export_unix_ts")).contains(1009000L))
   }
+
+  test("bulkInsert: atomic shared timestamp, missing columns null, " +
+      "versioned reads exclude the op before its commit, duplicate keys raise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, "upsert", Some(100.0), Some("A")),
+      (2L, 11L, "upsert", Some(200.0), Some("B")),
+      (3L, 12L, "delete", None, None)
+    ).toDF("k", "ts", "op", "price", "status")
+    val opOut = Seq((2L, 999.0), (4L, 400.0)).toDF("k", "price")
+
+    val after = DynTable.bulkInsert(log, opOut, Seq("k"), lit(20L))
+    val latest = DynTable.readLatest(after, Seq("k"))
+      .as[(Long, Option[Double], Option[String])].collect().sortBy(_._1)
+    // k=2 overwritten FULLY (status not in the op output → null);
+    // k=4 new; k=3 stays tombstoned
+    assert(latest.toSeq == Seq(
+      (1L, Some(100.0), Some("A")),
+      (2L, Some(999.0), None),
+      (4L, Some(400.0), None)))
+    // every inserted row carries the one commit timestamp
+    val tss = after.filter(col("ts") === 20L).select("k")
+      .as[Long].collect().sorted
+    assert(tss.toSeq == Seq(2L, 4L))
+    // a versioned read BEFORE the commit sees none of the operation
+    val before = DynTable.readAsOf(after, Seq("k"), lit(19L))
+      .as[(Long, Option[Double], Option[String])].collect().sortBy(_._1)
+    assert(before.toSeq == Seq(
+      (1L, Some(100.0), Some("A")), (2L, Some(200.0), Some("B"))))
+    // duplicate keys in the operation output are an error
+    val dup = Seq((5L, 1.0), (5L, 2.0)).toDF("k", "price")
+    val ex = intercept[Exception] {
+      DynTable.readLatest(
+        DynTable.bulkInsert(log, dup, Seq("k"), lit(21L)), Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("Duplicate keys in bulk insert")))
+  }
 }
