@@ -210,6 +210,41 @@ object DynTable {
       valueCols.map(col): _*)
   }
 
+  /** Version-retention compaction (sorted-dynamic-tables.md:97-118:
+    * min_data_versions / max_data_versions / min_data_ttl /
+    * max_data_ttl): per key, versions sort newest-first (tombstones
+    * count as versions) and version i at age = now − ts is DELETED iff
+    * no prohibition holds AND some permission holds —
+    *
+    *   prohibitions: i < min_data_versions; age < min_data_ttl;
+    *     (row-level $ttl, sorted-dynamic-tables.md:140-160: an
+    *     explicit per-version ttl also prohibits while age < ttl)
+    *   permissions:  i ≥ max_data_versions; age > max_data_ttl
+    *     (a version carrying an explicit $ttl is exempt from the
+    *     max_data_ttl permission — it expires by its own clock)
+    *
+    * With the defaults (1/1/30min/30min) the newest version always
+    * survives, so latest-wins reads are unaffected and only history
+    * shrinks. One window pass per key (shuffle on the key; per-key
+    * version counts are bounded by the reference's own 1024/row cap).
+    * `now` and the ttls share `ts`'s unit.
+    */
+  def compactWithRetention(log: DataFrame, keys: Seq[String],
+      minDataVersions: Int, maxDataVersions: Int,
+      minDataTtl: Long, maxDataTtl: Long, now: Column,
+      ttlCol: Option[String] = None): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ts").desc)
+    val i = row_number().over(w) - 1 // 0-based version index, newest first
+    val age = now - col("ts")
+    val explicitTtl = ttlCol.map(c => col(c)).getOrElse(lit(null))
+    val prohibited = (i < minDataVersions) || (age < minDataTtl) ||
+      (explicitTtl.isNotNull && age < explicitTtl)
+    val permitted = (i >= maxDataVersions) ||
+      (explicitTtl.isNull && age > maxDataTtl)
+    log.withColumn("__del", !prohibited && permitted)
+      .filter(!col("__del")).drop("__del")
+  }
+
   /** Point lookup by key set (`LookupRows`/`MultiLookupRows`,
     * dynamic_table_client.h:96-108): equality/IN predicates on the key
     * prefix so the scan prunes. Merge happens only on the surviving

@@ -70,6 +70,21 @@ object Dyn {
         DynTable.bulkInsert(l, opOut, Seq("k"), commitTs), Seq("k"))
     }),
 
+    // Version-retention compaction (sorted-dynamic-tables.md:97-118):
+    // keep the newest version per key plus everything younger than
+    // min_data_ttl; drop history beyond max_data_versions=2 once past
+    // max_data_ttl. min_data_versions=1 ⇒ latest-wins reads are
+    // untouched; the query proves it by reading latest AFTER retention
+    // while the oracle reads latest over the FULL history.
+    "dyn_retention" -> ((s, d) => {
+      val l = log(s, d)
+      val now = t(s, d, "orders").agg(max("o_orderkey").cast("long")).scalar()
+      val retained = DynTable.compactWithRetention(l, Seq("k"),
+        minDataVersions = 1, maxDataVersions = 2,
+        minDataTtl = 100L, maxDataTtl = 1000L, now = now)
+      DynTable.readLatest(retained, Seq("k"))
+    }),
+
     // Versioned read at a client-supplied timestamp (LookupRows at ts,
     // dynamic_table_client.h:96-115): asOf = half the max version.
     "dyn_versioned_read" -> ((s, d) => {
@@ -302,6 +317,14 @@ object Dyn {
 
   val oracles: Map[String, String] = Map(
     "dyn_upsert_latest" ->
+      s"""WITH log AS ($logSql),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log)
+         |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    // retention with min_data_versions=1 is invisible to latest-wins
+    // reads: the oracle merges the FULL history
+    "dyn_retention" ->
       s"""WITH log AS ($logSql),
          |ranked AS (SELECT k, ts, op, price, status,
          |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log)

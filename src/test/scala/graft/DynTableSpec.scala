@@ -463,6 +463,55 @@ class DynTableSpec extends SparkSpec {
     assert(!taggedAll.collect().map(_.getAs[Long]("export_unix_ts")).contains(1009000L))
   }
 
+  test("compactWithRetention: docs policies — defaults keep newest + " +
+      "recent, (0,1,0,ttl) keeps one version inside the ttl, $ttl overrides") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one key, versions at ts 10..60 (newest 60), now = 100
+    val log = (1 to 6).map(i => (1L, i * 10L, "upsert", Some(i * 1.0)))
+      .toDF("k", "ts", "op", "v")
+    def tsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("ts").as[Long].collect().sorted.toSeq
+    // defaults-shaped policy: min=1,max=1,minTtl=35,maxTtl=35 @ now=100
+    // prohibitions: newest (60) + age<35 (ts>65: none besides? age=100-ts<35 ⇒ ts>65 — none)
+    // permissions: index≥1 OR age>35 ⇒ everything but the newest deletable
+    val defaults = DynTable.compactWithRetention(log, Seq("k"),
+      1, 1, 35L, 35L, lit(100L))
+    assert(tsOf(defaults) == Seq(60L))
+    // widen minTtl: versions younger than 45 survive too (ts > 55)
+    val recent = DynTable.compactWithRetention(log, Seq("k"),
+      1, 1, 45L, 45L, lit(100L))
+    assert(tsOf(recent) == Seq(60L))
+    val recent2 = DynTable.compactWithRetention(log, Seq("k"),
+      1, 1, 55L, 55L, lit(100L))
+    assert(tsOf(recent2) == Seq(50L, 60L))
+    // docs example: (0, 1, 0, 65) — one version, anything older than 65 goes
+    val oneDay = DynTable.compactWithRetention(log, Seq("k"),
+      0, 1, 0L, 65L, lit(100L))
+    assert(tsOf(oneDay) == Seq(60L))
+    // max_data_versions=2 keeps two newest even when past maxTtl... only
+    // if minTtl protects them; with no prohibition they may be deleted
+    val two = DynTable.compactWithRetention(log, Seq("k"),
+      2, 2, 0L, 0L, lit(100L))
+    assert(tsOf(two) == Seq(50L, 60L))
+    // $ttl column: an explicit per-version ttl prohibits deletion while
+    // age < ttl and exempts the version from the max_data_ttl permission
+    val ttlLog = Seq(
+      (1L, 10L, "upsert", Some(1.0), Some(200L)), // age 90 < ttl 200: survives
+      (1L, 20L, "upsert", Some(2.0), None),       // deletable
+      (1L, 60L, "upsert", Some(6.0), None)        // newest: kept
+    ).toDF("k", "ts", "op", "v", "ttl")
+    val withTtl = DynTable.compactWithRetention(ttlLog, Seq("k"),
+      1, 1, 0L, 30L, lit(100L), ttlCol = Some("ttl"))
+    assert(tsOf(withTtl) == Seq(10L, 60L))
+    // latest-wins reads are identical before and after retention with
+    // min_data_versions >= 1
+    val merged = DynTable.readLatest(defaults, Seq("k"))
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(merged == DynTable.readLatest(log, Seq("k"))
+      .as[(Long, Option[Double])].collect().toSeq)
+  }
+
   test("bulkInsert: atomic shared timestamp, missing columns null, " +
       "versioned reads exclude the op before its commit, duplicate keys raise") {
     import org.apache.spark.sql.functions._
