@@ -257,6 +257,29 @@ object DynTable {
     readLatest(log.where(pred), keys)
   }
 
+  /** `lookup_rows keep_missing_rows=%true` (dynamic_table_client.h:
+    * TLookupRowsOptions::KeepMissingRows; test_lookup.py): the result
+    * holds EXACTLY one row per requested key, in request order, with
+    * all-null value columns where the key is absent or tombstoned —
+    * the shape callers zip against their request list. The request is
+    * client-sized, so it broadcasts; the merge still happens only on
+    * the key-pruned sliver of the log.
+    */
+  def lookupKeepMissing(log: DataFrame, keys: Seq[String],
+      keyValues: Seq[Seq[Any]]): DataFrame = {
+    val spark = log.sparkSession
+    val reqRows = keyValues.zipWithIndex.map { case (vs, i) =>
+      org.apache.spark.sql.Row.fromSeq(vs :+ i.toLong)
+    }
+    val reqSchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => log.schema(k)) :+
+        org.apache.spark.sql.types.StructField("__req", org.apache.spark.sql.types.LongType))
+    import scala.jdk.CollectionConverters._
+    val req = spark.createDataFrame(reqRows.asJava, reqSchema)
+    val found = lookup(log, keys, keyValues)
+    req.join(broadcast(found), keys, "left").orderBy(col("__req")).drop("__req")
+  }
+
   /** Aggregate-column merge (row_merger.cpp:227-246): for each key,
     * non-aggregate columns are latest-wins; each aggregate column folds
     * every write *newer than the last tombstone* with its function

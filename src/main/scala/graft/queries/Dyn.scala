@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.DynTable
+import graft.operators.{DynTable, Operations}
 import graft.plans.SecondaryIndex
 import graft.sources.Tables
 
@@ -101,6 +101,27 @@ object Dyn {
     // before the merge.
     "dyn_lookup" -> ((s, d) =>
       DynTable.lookup(log(s, d), Seq("k"), Seq(Seq(1L), Seq(2L), Seq(3L), Seq(42L)))),
+
+    // keep_missing_rows lookup (TLookupRowsOptions, test_lookup.py):
+    // one row per REQUESTED key, null values where absent/tombstoned.
+    "dyn_lookup_missing" -> ((s, d) =>
+      DynTable.lookupKeepMissing(log(s, d), Seq("k"),
+        Seq(Seq(1L), Seq(999999L), Seq(42L), Seq(7L)))),
+
+    // Operations read dynamic tables through their merged snapshot
+    // (test_map_reduce_over_dyntables): a Map with input_query over
+    // readLatest — the op sees one row per live key, never raw
+    // versions.
+    "dyn_op_map_over" -> ((s, d) => {
+      val snapshot = DynTable.readLatest(log(s, d), Seq("k"))
+      val out = Operations.mapWithInputQuery(snapshot, "price > 100000") {
+        rows => rows.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getDouble(1) / 1000.0, r.getString(2)))
+      }
+      out.groupBy(col("status"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("price")), 2).as("ksum"))
+    }),
 
     // Aggregate column: price declared sum-merged
     // (sorted-dynamic-tables.md:171-177, row_merger.cpp:227-246);
@@ -321,6 +342,26 @@ object Dyn {
          |ranked AS (SELECT k, ts, op, price, status,
          |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log)
          |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    "dyn_lookup_missing" ->
+      s"""WITH log AS ($logSql),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log),
+         |latest AS (SELECT k, price, status FROM ranked
+         |  WHERE rn = 1 AND op = 'upsert'),
+         |req AS (SELECT * FROM (VALUES (1), (999999), (42), (7)) AS t(k))
+         |SELECT CAST(req.k AS BIGINT) AS k, price, status
+         |FROM req LEFT JOIN latest ON req.k = latest.k""".stripMargin,
+
+    "dyn_op_map_over" ->
+      s"""WITH log AS ($logSql),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM log),
+         |latest AS (SELECT k, price, status FROM ranked
+         |  WHERE rn = 1 AND op = 'upsert')
+         |SELECT status, CAST(count(*) AS BIGINT) AS cnt,
+         |  ROUND(SUM(price / 1000.0), 2) AS ksum
+         |FROM latest WHERE price > 100000 GROUP BY status""".stripMargin,
 
     // retention with min_data_versions=1 is invisible to latest-wins
     // reads: the oracle merges the FULL history

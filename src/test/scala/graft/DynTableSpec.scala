@@ -463,6 +463,21 @@ class DynTableSpec extends SparkSpec {
     assert(!taggedAll.collect().map(_.getAs[Long]("export_unix_ts")).contains(1009000L))
   }
 
+  test("lookupKeepMissing: one row per requested key IN REQUEST ORDER, " +
+      "nulls for absent and tombstoned keys") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val log = Seq(
+      (5L, 1L, "upsert", Some(50.0)),
+      (3L, 2L, "upsert", Some(30.0)),
+      (3L, 3L, "delete", None) // tombstoned
+    ).toDF("k", "ts", "op", "v")
+    val got = DynTable.lookupKeepMissing(log, Seq("k"),
+      Seq(Seq(3L), Seq(99L), Seq(5L)))
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(got == Seq((3L, None), (99L, None), (5L, Some(50.0))))
+  }
+
   test("compactWithRetention: docs policies — defaults keep newest + " +
       "recent, (0,1,0,ttl) keeps one version inside the ttl, $ttl overrides") {
     import org.apache.spark.sql.functions._
