@@ -82,6 +82,12 @@ object Operations {
     */
   def shallowMerge(spark: org.apache.spark.sql.SparkSession,
       inputDirs: Seq[String], destDir: String): Long = {
+    // the reference refuses shallow merges of incompatible chunk
+    // formats (shallow_merge_job.cpp validates schemas); here the
+    // check reads parquet FOOTERS only — still no row decode
+    val schemas = inputDirs.map(d => spark.read.parquet(d).schema)
+    require(schemas.distinct.length == 1,
+      s"shallow merge inputs must share one schema, got: ${schemas.distinct}")
     val conf = spark.sparkContext.hadoopConfiguration
     val dest = new org.apache.hadoop.fs.Path(destDir)
     val destFs = dest.getFileSystem(conf)

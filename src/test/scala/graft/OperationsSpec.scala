@@ -238,6 +238,17 @@ class OperationsSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("exit code 3")))
   }
 
+  test("shallow merge rejects inputs with incompatible schemas") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shallow-bad").toString
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(s"$tmp/a")
+    Seq((2L, 3.5)).toDF("k", "x").write.mode("overwrite").parquet(s"$tmp/b")
+    val ex = intercept[IllegalArgumentException] {
+      Operations.shallowMerge(spark, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/out")
+    }
+    assert(ex.getMessage.contains("share one schema"))
+  }
+
   test("shallow merge copies chunk files byte-identically (no recompression)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-shallow-spec").toString
