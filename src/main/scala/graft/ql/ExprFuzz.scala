@@ -1,0 +1,125 @@
+package graft.ql
+
+/** Seeded differential expression fuzzer: generates random QL
+  * expressions over an int64 row (a, b, nullable c) and renders each
+  * one twice — as QL text for [[SelectRows]] (exercising the tokenizer,
+  * parser and emitter end-to-end) and as ANSI SQL for the DuckDB
+  * oracle. The driver's hash compare then checks VALUE equality of
+  * every expression on every corpus row: a cross-engine differential
+  * test in the style of the reference's randomized evaluate suites
+  * (ql_query_ut.cpp GroupByOrderByCoordinated2 and friends), running
+  * through the same correctness gate as every other query.
+  *
+  * Generator discipline keeps the semantics comparable by
+  * construction:
+  *   - canonical (SQL three-valued) null relations — the QL side runs
+  *     with UseCanonicalNullRelations, which both engines share;
+  *   - no integer division/modulo (QL raises on zero; rounding of
+  *     negatives differs between engines);
+  *   - multiplication only by small literals with a tracked magnitude
+  *     bound, so int64 arithmetic can never overflow (overflow raises
+  *     in QL, wraps in some engines);
+  *   - every case is a deterministic function of the seed.
+  */
+object ExprFuzz {
+
+  /** An expression rendered for both engines, with a magnitude bound
+    * and a flag for boolean-typed nodes. */
+  final case class FExpr(ql: String, duck: String, bound: Long, isBool: Boolean)
+
+  def exprs(n: Int, seed: Long): Seq[FExpr] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(
+      if (rnd.nextInt(3) == 0) genBool(rnd, depth = 0)
+      else genNumeric(rnd, depth = 0))
+  }
+
+  private val MaxBound = 1L << 40
+
+  private def lit(rnd: scala.util.Random): FExpr = {
+    val v = rnd.nextInt(26) - 5 // -5..20
+    FExpr(v.toString, v.toString, math.abs(v).toLong, isBool = false)
+  }
+
+  private def ref(rnd: scala.util.Random): FExpr = rnd.nextInt(3) match {
+    case 0 => FExpr("a", "a", 1L << 20, isBool = false) // o_orderkey scale
+    case 1 => FExpr("b", "b", 1L << 20, isBool = false) // o_custkey scale
+    case _ => FExpr("c", "c", 100L, isBool = false)     // nullable, 0..99
+  }
+
+  private def genNumeric(rnd: scala.util.Random, depth: Int): FExpr = {
+    if (depth >= 3 || rnd.nextInt(4) == 0) {
+      if (rnd.nextBoolean()) ref(rnd) else lit(rnd)
+    } else rnd.nextInt(6) match {
+      case 0 => // addition / subtraction
+        val l = genNumeric(rnd, depth + 1); val r = genNumeric(rnd, depth + 1)
+        val op = if (rnd.nextBoolean()) "+" else "-"
+        FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $op ${r.duck})",
+          l.bound + r.bound, isBool = false)
+      case 1 => // multiply by a small literal, bound-guarded
+        val l = genNumeric(rnd, depth + 1)
+        val f = rnd.nextInt(9) + 2 // 2..10
+        if (l.bound * f < MaxBound)
+          FExpr(s"(${l.ql} * $f)", s"(${l.duck} * $f)", l.bound * f, isBool = false)
+        else l
+      case 2 => // if(cond, x, y) — QL's `if` is a FUNCTION: a null
+        // condition yields null (TIfFunctionCodegen,
+        // builtin_function_profiler.cpp:66-74), unlike SQL CASE which
+        // falls to ELSE. The first fuzz run caught exactly this
+        // divergence; the oracle models the null-propagation.
+        val c = genBool(rnd, depth + 1)
+        val x = genNumeric(rnd, depth + 1); val y = genNumeric(rnd, depth + 1)
+        FExpr(s"if(${c.ql}, ${x.ql}, ${y.ql})",
+          s"(CASE WHEN (${c.duck}) IS NULL THEN NULL " +
+            s"WHEN ${c.duck} THEN ${x.duck} ELSE ${y.duck} END)",
+          math.max(x.bound, y.bound), isBool = false)
+      case 3 => // coalesce
+        val x = genNumeric(rnd, depth + 1); val y = genNumeric(rnd, depth + 1)
+        FExpr(s"coalesce(${x.ql}, ${y.ql})", s"coalesce(${x.duck}, ${y.duck})",
+          math.max(x.bound, y.bound), isBool = false)
+      case 4 => // unary minus (space-separated: `--` starts a SQL comment)
+        val x = genNumeric(rnd, depth + 1)
+        FExpr(s"(- ${x.ql})", s"(- ${x.duck})", x.bound, isBool = false)
+      case _ => // case searched with two branches
+        val c1 = genBool(rnd, depth + 1); val c2 = genBool(rnd, depth + 1)
+        val x = genNumeric(rnd, depth + 1); val y = genNumeric(rnd, depth + 1)
+        val z = genNumeric(rnd, depth + 1)
+        FExpr(
+          s"case when ${c1.ql} then ${x.ql} when ${c2.ql} then ${y.ql} else ${z.ql} end",
+          s"(CASE WHEN ${c1.duck} THEN ${x.duck} WHEN ${c2.duck} THEN ${y.duck} ELSE ${z.duck} END)",
+          Seq(x.bound, y.bound, z.bound).max, isBool = false)
+    }
+  }
+
+  private def genBool(rnd: scala.util.Random, depth: Int): FExpr = {
+    if (depth >= 3) cmp(rnd, depth)
+    else rnd.nextInt(6) match {
+      case 0 =>
+        val l = genBool(rnd, depth + 1); val r = genBool(rnd, depth + 1)
+        FExpr(s"(${l.ql} and ${r.ql})", s"(${l.duck} AND ${r.duck})", 1L, isBool = true)
+      case 1 =>
+        val l = genBool(rnd, depth + 1); val r = genBool(rnd, depth + 1)
+        FExpr(s"(${l.ql} or ${r.ql})", s"(${l.duck} OR ${r.duck})", 1L, isBool = true)
+      case 2 =>
+        val x = genBool(rnd, depth + 1)
+        FExpr(s"(not ${x.ql})", s"(NOT ${x.duck})", 1L, isBool = true)
+      case 3 => // IN list
+        val x = genNumeric(rnd, depth + 1)
+        val vals = Seq.fill(3)(rnd.nextInt(26) - 5).distinct.mkString(", ")
+        FExpr(s"(${x.ql} in ($vals))", s"(${x.duck} IN ($vals))", 1L, isBool = true)
+      case 4 => // BETWEEN
+        val x = genNumeric(rnd, depth + 1)
+        val lo = rnd.nextInt(20) - 5; val hi = lo + rnd.nextInt(30)
+        FExpr(s"(${x.ql} between $lo and $hi)",
+          s"(${x.duck} BETWEEN $lo AND $hi)", 1L, isBool = true)
+      case _ => cmp(rnd, depth)
+    }
+  }
+
+  private def cmp(rnd: scala.util.Random, depth: Int): FExpr = {
+    val l = genNumeric(rnd, depth + 1); val r = genNumeric(rnd, depth + 1)
+    val op = Seq("<", "<=", "=", "!=", ">", ">=")(rnd.nextInt(6))
+    val dop = if (op == "!=") "<>" else op
+    FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $dop ${r.duck})", 1L, isBool = true)
+  }
+}

@@ -75,6 +75,27 @@ object Fns {
         Map("//tmp/ev_yp" -> ev))
     }),
 
+    // Seeded differential fuzz (ql/ExprFuzz): 40 random expressions
+    // over (a, b, nullable c), rendered as QL for SelectRows and as
+    // SQL for the oracle from the SAME ASTs — the parser/emitter path
+    // must agree with an independent engine on every value of every
+    // expression on every row. Canonical null relations align the
+    // comparison semantics; the generator design (no int division, a
+    // tracked magnitude bound) rules out engine-divergent edge cases
+    // by construction, so any hash mismatch is a genuine bug.
+    "ql_fuzz_exprs" -> ((s, d) => {
+      val fixture = t(s, d, "orders").select(
+        col("o_orderkey").as("a"), col("o_custkey").as("b"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey") % 100).as("c"))
+      val es = graft.ql.ExprFuzz.exprs(40, seed = 42L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.ql} as x$i" }.mkString(", ")
+      graft.ql.SelectRows(s, s"a as id, $items from [//tmp/fz]",
+        Map("//tmp/fz" -> fixture),
+        graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
+    }),
+
     // UseCanonicalNullRelations: comparisons keep SQL three-valued
     // logic — exactly DuckDB's semantics, so the oracle is plain SQL.
     "ql_selectrows_canonical_nulls" -> ((s, d) =>
@@ -283,6 +304,16 @@ object Fns {
            CAST(json_extract(props,
              CASE WHEN event_id % 2 = 0 THEN '$.k' ELSE '$.missing' END) AS VARCHAR) AS frag
          FROM events""",
+    "ql_fuzz_exprs" -> {
+      val es = graft.ql.ExprFuzz.exprs(40, seed = 42L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.duck} AS x$i" }.mkString(", ")
+      s"""WITH base AS (SELECT o_orderkey AS a, o_custkey AS b,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |       ELSE o_custkey % 100 END AS c FROM orders)
+         |SELECT a AS id, $items FROM base""".stripMargin
+    },
+
     "ql_selectrows_canonical_nulls" ->
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) < 50 AS lt,

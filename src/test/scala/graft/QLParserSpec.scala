@@ -109,4 +109,23 @@ class QLParserSpec extends SparkSpec {
       .as[Long].collect()
     assert(got.toSeq == Seq(4L))
   }
+
+  test("fuzz: 300 seeded random expressions parse, emit and analyze " +
+      "(the ql_fuzz_exprs generator at volume)") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, Option(3L))).toDF("a", "b", "c")
+    // deterministic across runs
+    val once = graft.ql.ExprFuzz.exprs(300, seed = 7L).map(_.ql)
+    assert(once == graft.ql.ExprFuzz.exprs(300, seed = 7L).map(_.ql))
+    once.grouped(50).zipWithIndex.foreach { case (batch, g) =>
+      val items = batch.zipWithIndex
+        .map { case (ql, i) => s"$ql as x$i" }.mkString(", ")
+      val out = graft.ql.SelectRows(spark, s"$items from [//t]",
+        Map("//t" -> df),
+        graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
+      // analysis + one evaluation; values are checked cross-engine by
+      // the ql_fuzz_exprs oracle — here the contract is "never throws"
+      assert(out.collect().length == 1, s"batch $g")
+    }
+  }
 }
