@@ -116,6 +116,104 @@ object ExprFuzz {
     }
   }
 
+  /** String-domain expressions over ASCII columns s (status-like) and
+    * t (priority-like): QL's string-only `||` concat, lower(),
+    * is_prefix/is_substr, LIKE with literal patterns, lexicographic
+    * comparisons and CASE over them. ASCII-only inputs keep
+    * byte-length and char-length semantics aligned across engines.
+    */
+  def stringExprs(n: Int, seed: Long): Seq[FExpr] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(
+      if (rnd.nextInt(2) == 0) genStringBool(rnd, depth = 0)
+      else genString(rnd, depth = 0))
+  }
+
+  private def strLit(rnd: scala.util.Random): FExpr = {
+    val v = Seq("F", "O", "P", "1-URGENT", "3-MEDIUM", "x", "")(rnd.nextInt(7))
+    FExpr(s"'$v'", s"'$v'", 0L, isBool = false)
+  }
+
+  private def strRef(rnd: scala.util.Random): FExpr = rnd.nextInt(3) match {
+    case 0 => FExpr("s", "s", 0L, isBool = false)
+    case 1 => FExpr("t", "t", 0L, isBool = false)
+    case _ => FExpr("u", "u", 0L, isBool = false) // nullable
+  }
+
+  private def genString(rnd: scala.util.Random, depth: Int): FExpr = {
+    if (depth >= 2 || rnd.nextInt(3) == 0) {
+      if (rnd.nextBoolean()) strRef(rnd) else strLit(rnd)
+    } else rnd.nextInt(3) match {
+      case 0 => // concat (string-only || in QL)
+        val l = genString(rnd, depth + 1); val r = genString(rnd, depth + 1)
+        FExpr(s"(${l.ql} || ${r.ql})", s"(${l.duck} || ${r.duck})", 0L, isBool = false)
+      case 1 =>
+        val x = genString(rnd, depth + 1)
+        FExpr(s"lower(${x.ql})", s"lower(${x.duck})", 0L, isBool = false)
+      case _ => // if over strings (same null-propagating function form)
+        val c = genStringBool(rnd, depth + 1)
+        val x = genString(rnd, depth + 1); val y = genString(rnd, depth + 1)
+        FExpr(s"if(${c.ql}, ${x.ql}, ${y.ql})",
+          s"(CASE WHEN (${c.duck}) IS NULL THEN NULL " +
+            s"WHEN ${c.duck} THEN ${x.duck} ELSE ${y.duck} END)", 0L, isBool = false)
+    }
+  }
+
+  private def genStringBool(rnd: scala.util.Random, depth: Int): FExpr = {
+    if (depth >= 3) strCmp(rnd, depth)
+    else rnd.nextInt(5) match {
+      case 0 =>
+        val l = genStringBool(rnd, depth + 1); val r = genStringBool(rnd, depth + 1)
+        val op = if (rnd.nextBoolean()) ("and", "AND") else ("or", "OR")
+        FExpr(s"(${l.ql} ${op._1} ${r.ql})", s"(${l.duck} ${op._2} ${r.duck})", 1L, isBool = true)
+      case 1 => // is_prefix / is_substr (needle, haystack)
+        val needle = strLit(rnd); val hay = genString(rnd, depth + 1)
+        if (rnd.nextBoolean())
+          FExpr(s"is_prefix(${needle.ql}, ${hay.ql})",
+            s"starts_with(${hay.duck}, ${needle.duck})", 1L, isBool = true)
+        else
+          FExpr(s"is_substr(${needle.ql}, ${hay.ql})",
+            s"contains(${hay.duck}, ${needle.duck})", 1L, isBool = true)
+      case 2 => // LIKE with a literal pattern (no escape metacharacters)
+        val x = genString(rnd, depth + 1)
+        val pat = Seq("F%", "%O%", "_", "%URGENT", "3-%", "%x%")(rnd.nextInt(6))
+        FExpr(s"(${x.ql} like '$pat')", s"(${x.duck} LIKE '$pat')", 1L, isBool = true)
+      case _ => strCmp(rnd, depth)
+    }
+  }
+
+  private def strCmp(rnd: scala.util.Random, depth: Int): FExpr = {
+    val l = genString(rnd, depth + 1); val r = genString(rnd, depth + 1)
+    val op = Seq("<", "<=", "=", "!=", ">", ">=")(rnd.nextInt(6))
+    val dop = if (op == "!=") "<>" else op
+    FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $dop ${r.duck})", 1L, isBool = true)
+  }
+
+  /** Aggregate-domain cases: sum/min/max and a count_if-shaped
+    * sum(if(...)) over generated numeric expressions — exact int64
+    * arithmetic keeps the compare bit-stable. */
+  def aggExprs(n: Int, seed: Long): Seq[FExpr] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          val x = genNumeric(rnd, depth = 1)
+          FExpr(s"sum(${x.ql})", s"CAST(SUM(${x.duck}) AS BIGINT)", 0L, isBool = false)
+        case 1 =>
+          val x = genNumeric(rnd, depth = 1)
+          FExpr(s"min(${x.ql})", s"MIN(${x.duck})", 0L, isBool = false)
+        case 2 =>
+          val x = genNumeric(rnd, depth = 1)
+          FExpr(s"max(${x.ql})", s"MAX(${x.duck})", 0L, isBool = false)
+        case _ => // count_if shape with the null-propagating if
+          val c = genBool(rnd, depth = 2)
+          FExpr(s"sum(if(${c.ql}, 1, 0))",
+            s"CAST(SUM(CASE WHEN (${c.duck}) IS NULL THEN NULL " +
+              s"WHEN ${c.duck} THEN 1 ELSE 0 END) AS BIGINT)", 0L, isBool = false)
+      }
+    }
+  }
+
   private def cmp(rnd: scala.util.Random, depth: Int): FExpr = {
     val l = genNumeric(rnd, depth + 1); val r = genNumeric(rnd, depth + 1)
     val op = Seq("<", "<=", "=", "!=", ">", ">=")(rnd.nextInt(6))

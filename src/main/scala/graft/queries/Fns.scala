@@ -96,6 +96,38 @@ object Fns {
         graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
     }),
 
+    // String-domain differential fuzz: concat/lower/prefix/substr/LIKE
+    // and lexicographic comparisons over ASCII columns, one nullable.
+    "ql_fuzz_strings" -> ((s, d) => {
+      val fixture = t(s, d, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("s"),
+        col("o_orderpriority").as("t"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("u"))
+      val es = graft.ql.ExprFuzz.stringExprs(30, seed = 99L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.ql} as x$i" }.mkString(", ")
+      graft.ql.SelectRows(s, s"id, $items from [//tmp/fzs]",
+        Map("//tmp/fzs" -> fixture),
+        graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
+    }),
+
+    // Aggregate-domain differential fuzz: sum/min/max/count_if shapes
+    // over generated expressions, grouped by a % 10 — exact int64.
+    "ql_fuzz_aggs" -> ((s, d) => {
+      val fixture = t(s, d, "orders").select(
+        col("o_orderkey").as("a"), col("o_custkey").as("b"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey") % 100).as("c"))
+      val es = graft.ql.ExprFuzz.aggExprs(16, seed = 5L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.ql} as x$i" }.mkString(", ")
+      graft.ql.SelectRows(s, s"g, $items from [//tmp/fza] group by a % 10 as g",
+        Map("//tmp/fza" -> fixture),
+        graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
+    }),
+
     // UseCanonicalNullRelations: comparisons keep SQL three-valued
     // logic — exactly DuckDB's semantics, so the oracle is plain SQL.
     "ql_selectrows_canonical_nulls" -> ((s, d) =>
@@ -312,6 +344,27 @@ object Fns {
          |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
          |       ELSE o_custkey % 100 END AS c FROM orders)
          |SELECT a AS id, $items FROM base""".stripMargin
+    },
+
+    "ql_fuzz_strings" -> {
+      val es = graft.ql.ExprFuzz.stringExprs(30, seed = 99L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.duck} AS x$i" }.mkString(", ")
+      s"""WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS s,
+         |  o_orderpriority AS t,
+         |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         |       ELSE o_orderstatus END AS u FROM orders)
+         |SELECT id, $items FROM base""".stripMargin
+    },
+
+    "ql_fuzz_aggs" -> {
+      val es = graft.ql.ExprFuzz.aggExprs(16, seed = 5L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.duck} AS x$i" }.mkString(", ")
+      s"""WITH base AS (SELECT o_orderkey AS a, o_custkey AS b,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |       ELSE o_custkey % 100 END AS c FROM orders)
+         |SELECT a % 10 AS g, $items FROM base GROUP BY a % 10""".stripMargin
     },
 
     "ql_selectrows_canonical_nulls" ->

@@ -127,5 +127,16 @@ class QLParserSpec extends SparkSpec {
       // the ql_fuzz_exprs oracle — here the contract is "never throws"
       assert(out.collect().length == 1, s"batch $g")
     }
+    // string domain at volume too
+    val sdf = Seq(("F", "1-URGENT", Option.empty[String])).toDF("s", "t", "u")
+    graft.ql.ExprFuzz.stringExprs(150, seed = 11L).map(_.ql)
+      .grouped(50).zipWithIndex.foreach { case (batch, g) =>
+        val items = batch.zipWithIndex
+          .map { case (ql, i) => s"$ql as x$i" }.mkString(", ")
+        val out = graft.ql.SelectRows(spark, s"$items from [//ts]",
+          Map("//ts" -> sdf),
+          graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
+        assert(out.collect().length == 1, s"string batch $g")
+      }
   }
 }
