@@ -487,6 +487,7 @@ object QLEmitter {
           CaseExpr(o.map(go), bs.map { case (w, t) => (go(w), go(t)) }, el.map(go))
         case TupleExpr(items) => TupleExpr(items.map(go))
         case ItemAccess(x, idx) => ItemAccess(go(x), go(idx))
+        case other => other // RawSql / InlineAlias: no refs to rewrite
       }
       go(e)
     }

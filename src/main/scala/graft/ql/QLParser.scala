@@ -321,6 +321,7 @@ object QLParser {
         el.map(rw(_, active)))
       case TupleExpr(items) => TupleExpr(items.map(rw(_, active)))
       case ItemAccess(x, idx) => ItemAccess(rw(x, active), rw(idx, active))
+      case other => other // RawSql: opaque, nothing to rewrite
     }
     def r(e: Expr): Expr = rw(e, Set.empty)
     val fromR = q.from.map {
