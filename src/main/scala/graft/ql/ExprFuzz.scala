@@ -189,6 +189,43 @@ object ExprFuzz {
     FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $dop ${r.duck})", 1L, isBool = true)
   }
 
+  /** uint64-domain cases over two schema-tagged u64 columns ua/ub and
+    * full-range `Nu` literals: the string surface must route
+    * comparisons through the biased u64_* forms and `/`/`%` through
+    * unsigned division (functions/Uint64) — compared value-exact
+    * against DuckDB's native UBIGINT arithmetic. Divisors/moduli are
+    * nonzero literals (QL raises on zero); quotient/remainder outputs
+    * stay under 2^63 so they print identically as signed BIGINT.
+    */
+  def u64Exprs(n: Int, seed: Long): Seq[FExpr] = {
+    val rnd = new scala.util.Random(seed)
+    def ref: FExpr =
+      if (rnd.nextBoolean()) FExpr("ua", "ua", 0L, isBool = false)
+      else FExpr("ub", "ub", 0L, isBool = false)
+    def ulit: FExpr = {
+      val u = java.lang.Long.toUnsignedString(rnd.nextLong())
+      FExpr(s"${u}u", s"'$u'::UBIGINT", 0L, isBool = false)
+    }
+    def operand: FExpr = if (rnd.nextInt(3) == 0) ulit else ref
+    Seq.fill(n)(rnd.nextInt(3) match {
+      case 0 =>
+        val l = operand; val r = operand
+        val op = Seq("<", "<=", "=", "!=", ">", ">=")(rnd.nextInt(6))
+        val dop = if (op == "!=") "<>" else op
+        FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $dop ${r.duck})", 1L, isBool = true)
+      case 1 =>
+        val x = operand
+        val m = Seq(3L, 7L, 1000L, 123457L)(rnd.nextInt(4))
+        FExpr(s"(${x.ql} % ${m}u)",
+          s"CAST((${x.duck} % $m) AS BIGINT)", m, isBool = false)
+      case _ =>
+        val x = operand
+        val dv = Seq(1000L, 65536L, 123457L)(rnd.nextInt(3))
+        FExpr(s"(${x.ql} / ${dv}u)",
+          s"CAST((${x.duck} // $dv) AS BIGINT)", Long.MaxValue / dv, isBool = false)
+    })
+  }
+
   /** Aggregate-domain cases: sum/min/max and a count_if-shaped
     * sum(if(...)) over generated numeric expressions — exact int64
     * arithmetic keeps the compare bit-stable. */

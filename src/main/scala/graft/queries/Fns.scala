@@ -113,6 +113,23 @@ object Fns {
         graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
     }),
 
+    // uint64-domain differential fuzz: schema-tagged u64 columns +
+    // full-range literals; the string surface's u64 routing vs native
+    // UBIGINT arithmetic.
+    "ql_fuzz_u64" -> ((s, d) => {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(graft.types.YtTypes.YtTypeKey, "uint64").build()
+      val fixture = t(s, d, "orders").select(
+        col("o_orderkey").as("id"),
+        shiftleft(col("o_orderkey") + 7, 40).as("ua", md),
+        shiftleft(col("o_custkey") * 31 + 5, 38).as("ub", md))
+      val es = graft.ql.ExprFuzz.u64Exprs(24, seed = 77L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.ql} as x$i" }.mkString(", ")
+      graft.ql.SelectRows(s, s"id, $items from [//tmp/fzu]",
+        Map("//tmp/fzu" -> fixture))
+    }),
+
     // Aggregate-domain differential fuzz: sum/min/max/count_if shapes
     // over generated expressions, grouped by a % 10 — exact int64.
     "ql_fuzz_aggs" -> ((s, d) => {
@@ -354,6 +371,19 @@ object Fns {
          |  o_orderpriority AS t,
          |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
          |       ELSE o_orderstatus END AS u FROM orders)
+         |SELECT id, $items FROM base""".stripMargin
+    },
+
+    "ql_fuzz_u64" -> {
+      val es = graft.ql.ExprFuzz.u64Exprs(24, seed = 77L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.duck} AS x$i" }.mkString(", ")
+      s"""WITH base AS (SELECT o_orderkey AS id,
+         |  CAST(((o_orderkey + 7)::HUGEINT * 1099511627776) %
+         |    18446744073709551616 AS UBIGINT) AS ua,
+         |  CAST(((o_custkey * 31 + 5)::HUGEINT * 274877906944) %
+         |    18446744073709551616 AS UBIGINT) AS ub
+         |  FROM orders)
          |SELECT id, $items FROM base""".stripMargin
     },
 
