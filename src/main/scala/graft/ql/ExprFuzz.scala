@@ -189,6 +189,40 @@ object ExprFuzz {
     FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $dop ${r.duck})", 1L, isBool = true)
   }
 
+  /** Tuple-domain cases: lexicographic row comparisons and tuple IN
+    * over NON-NULL int64 elements (a, b, literals) — exercising the
+    * IsRowInRowset / prefix-range lowering (conjunction chains) against
+    * an engine with native row values. Null elements excluded: SQL row
+    * comparison with NULLs is engine-divergent by standard.
+    */
+  def tupleExprs(n: Int, seed: Long): Seq[FExpr] = {
+    val rnd = new scala.util.Random(seed)
+    def elem: (String, String) = rnd.nextInt(3) match {
+      case 0 => ("a", "a")
+      case 1 => ("b", "b")
+      case _ => { val v = rnd.nextInt(26) - 5; (v.toString, v.toString) }
+    }
+    Seq.fill(n) {
+      val arity = 2 + rnd.nextInt(2)
+      val lhs = Seq.fill(arity)(elem)
+      val lq = lhs.map(_._1).mkString("(", ", ", ")")
+      val ld = lhs.map(_._2).mkString("(", ", ", ")")
+      if (rnd.nextInt(3) == 0) { // tuple IN over literal rows
+        val rows = Seq.fill(2 + rnd.nextInt(2))(
+          Seq.fill(arity)(rnd.nextInt(26) - 5).mkString("(", ", ", ")"))
+        val list = rows.mkString("(", ", ", ")")
+        FExpr(s"($lq in $list)", s"($ld IN $list)", 1L, isBool = true)
+      } else {
+        val rhs = Seq.fill(arity)(elem)
+        val rq = rhs.map(_._1).mkString("(", ", ", ")")
+        val rd = rhs.map(_._2).mkString("(", ", ", ")")
+        val op = Seq("<", "<=", "=", "!=", ">", ">=")(rnd.nextInt(6))
+        val dop = if (op == "!=") "<>" else op
+        FExpr(s"($lq $op $rq)", s"($ld $dop $rd)", 1L, isBool = true)
+      }
+    }
+  }
+
   /** uint64-domain cases over two schema-tagged u64 columns ua/ub and
     * full-range `Nu` literals: the string surface must route
     * comparisons through the biased u64_* forms and `/`/`%` through

@@ -113,6 +113,20 @@ object Fns {
         graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
     }),
 
+    // Tuple-domain differential fuzz: lexicographic row comparisons
+    // and tuple IN through the conjunction-chain lowering.
+    "ql_fuzz_tuples" -> ((s, d) => {
+      val fixture = t(s, d, "orders").select(
+        col("o_orderkey").as("id"), col("o_orderkey").as("a"),
+        (col("o_custkey") % 23).as("b"))
+      val es = graft.ql.ExprFuzz.tupleExprs(24, seed = 13L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.ql} as x$i" }.mkString(", ")
+      graft.ql.SelectRows(s, s"id, $items from [//tmp/fzt]",
+        Map("//tmp/fzt" -> fixture),
+        graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
+    }),
+
     // uint64-domain differential fuzz: schema-tagged u64 columns +
     // full-range literals; the string surface's u64 routing vs native
     // UBIGINT arithmetic.
@@ -371,6 +385,15 @@ object Fns {
          |  o_orderpriority AS t,
          |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
          |       ELSE o_orderstatus END AS u FROM orders)
+         |SELECT id, $items FROM base""".stripMargin
+    },
+
+    "ql_fuzz_tuples" -> {
+      val es = graft.ql.ExprFuzz.tupleExprs(24, seed = 13L)
+      val items = es.zipWithIndex
+        .map { case (e, i) => s"${e.duck} AS x$i" }.mkString(", ")
+      s"""WITH base AS (SELECT o_orderkey AS id, o_orderkey AS a,
+         |  o_custkey % 23 AS b FROM orders)
          |SELECT id, $items FROM base""".stripMargin
     },
 
