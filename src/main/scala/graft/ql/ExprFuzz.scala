@@ -189,6 +189,55 @@ object ExprFuzz {
     FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $dop ${r.duck})", 1L, isBool = true)
   }
 
+  /** Join-domain cases: whole randomized queries — INNER/LEFT joins
+    * via USING with optional foreign-side AND-predicates (filtering
+    * the foreign table BEFORE a left join, TJoin::Predicate) and
+    * optional WHERE over primary columns. Rendered as QL and as SQL
+    * with the foreign predicate applied in a subquery, which is the
+    * reference's semantics for both join kinds. Output schema is fixed
+    * (tag, a, k, r) so cases union.
+    */
+  def joinCases(n: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val left = rnd.nextBoolean()
+      val qlKind = if (left) "left join" else "join"
+      val duckKind = if (left) "LEFT JOIN" else "JOIN"
+      // foreign-side predicate over r (0..4) / n (0..24)
+      val fp: Option[(String, String)] = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 =>
+          val v = rnd.nextInt(5)
+          val op = Seq("<", "<=", "!=", ">=", ">")(rnd.nextInt(5))
+          val dop = if (op == "!=") "<>" else op
+          Some((s"r $op $v", s"r $dop $v"))
+        case _ =>
+          val vals = Seq.fill(3)(rnd.nextInt(25)).distinct.mkString(", ")
+          Some((s"n in ($vals)", s"n IN ($vals)"))
+      }
+      // where over primary columns a (orderkey) / k (0..24)
+      val wp: Option[(String, String)] = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 =>
+          val v = rnd.nextInt(25)
+          Some((s"k != $v", s"k <> $v"))
+        case _ =>
+          val v = 3 + rnd.nextInt(7)
+          Some((s"a % $v = 0", s"a % $v = 0"))
+      }
+      val ql = s"$i as tag, a, k, r from [//tmp/jl] $qlKind [//tmp/jr] " +
+        s"using k${fp.map(p => s" and ${p._1}").getOrElse("")}" +
+        wp.map(p => s" where ${p._1}").getOrElse("")
+      val foreign = fp match {
+        case Some((_, d)) => s"(SELECT * FROM jr WHERE $d)"
+        case None => "jr"
+      }
+      val duck = s"SELECT $i AS tag, a, k, r FROM jl $duckKind $foreign " +
+        s"AS jrf USING (k)" + wp.map(p => s" WHERE ${p._2}").getOrElse("")
+      (ql, duck)
+    }
+  }
+
   /** Tuple-domain cases: lexicographic row comparisons and tuple IN
     * over NON-NULL int64 elements (a, b, literals) — exercising the
     * IsRowInRowset / prefix-range lowering (conjunction chains) against

@@ -113,6 +113,23 @@ object Fns {
         graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
     }),
 
+    // Join-domain differential fuzz: 12 whole randomized queries —
+    // INNER/LEFT joins with foreign-side predicates and WHERE clauses,
+    // unioned under a case tag.
+    "ql_fuzz_joins" -> ((s, d) => {
+      val jl = t(s, d, "orders").select(
+        col("o_orderkey").as("a"), (col("o_custkey") % 25).as("k"))
+      val jr = t(s, d, "nation").select(
+        col("n_nationkey").as("k"), col("n_nationkey").as("n"),
+        col("n_regionkey").as("r"))
+      val cat = Map("//tmp/jl" -> jl, "//tmp/jr" -> jr)
+      graft.ql.ExprFuzz.joinCases(12, seed = 21L)
+        .map { case (ql, _) =>
+          graft.ql.SelectRows(s, ql, cat,
+            graft.ql.SelectRows.Options(useCanonicalNullRelations = true)) }
+        .reduce(_ unionByName _)
+    }),
+
     // Tuple-domain differential fuzz: lexicographic row comparisons
     // and tuple IN through the conjunction-chain lowering.
     "ql_fuzz_tuples" -> ((s, d) => {
@@ -386,6 +403,15 @@ object Fns {
          |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
          |       ELSE o_orderstatus END AS u FROM orders)
          |SELECT id, $items FROM base""".stripMargin
+    },
+
+    "ql_fuzz_joins" -> {
+      val unions = graft.ql.ExprFuzz.joinCases(12, seed = 21L)
+        .map(_._2).mkString("\n         UNION ALL\n         ")
+      s"""WITH jl AS (SELECT o_orderkey AS a, o_custkey % 25 AS k FROM orders),
+         |jr AS (SELECT n_nationkey AS k, n_nationkey AS n,
+         |  n_regionkey AS r FROM nation)
+         |$unions""".stripMargin
     },
 
     "ql_fuzz_tuples" -> {
