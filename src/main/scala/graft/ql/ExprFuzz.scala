@@ -189,6 +189,61 @@ object ExprFuzz {
     FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $dop ${r.duck})", 1L, isBool = true)
   }
 
+  /** Whole-query cases: randomized clause ASSEMBLY — WHERE, GROUP BY
+    * with aggregates, HAVING, ORDER BY + OFFSET/LIMIT — over the
+    * numeric fixture. Paging is made deterministic by always ordering
+    * by every output column (ties impossible: the trailing key is
+    * unique per group), so LIMIT selects the same rows in both
+    * engines and the sorted-hash compare stays exact. Exercises the
+    * emitter's clause interactions (alias-substituted group keys,
+    * having over select aliases, offset/limit binding).
+    */
+  def queryCases(n: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val wp: Option[FExpr] =
+        if (rnd.nextBoolean()) Some(genBool(rnd, depth = 1)) else None
+      val grouped = rnd.nextBoolean()
+      val (qlBody, duckBody) =
+        if (grouped) {
+          val m = 2 + rnd.nextInt(9)
+          val x = genNumeric(rnd, depth = 1)
+          val hv: Option[(String, String)] =
+            if (rnd.nextInt(3) == 0) {
+              val t = rnd.nextInt(50)
+              (Some((s"having cnt > $t", s"HAVING COUNT(*) > $t")))
+            } else None
+          val ql = s"$i as tag, g, sum(${x.ql}) as sv, sum(1) as cnt " +
+            s"from [//tmp/fq]" +
+            wp.map(p => s" where ${p.ql}").getOrElse("") +
+            s" group by a % $m as g ${hv.map(_._1).getOrElse("")}"
+          val duck = s"SELECT $i AS tag, a % $m AS g, " +
+            s"CAST(SUM(${x.duck}) AS BIGINT) AS sv, " +
+            s"CAST(SUM(1) AS BIGINT) AS cnt FROM fq" +
+            wp.map(p => s" WHERE ${p.duck}").getOrElse("") +
+            s" GROUP BY a % $m ${hv.map(_._2).getOrElse("")}"
+          (ql, duck)
+        } else {
+          val x = genNumeric(rnd, depth = 1)
+          val lim = 5 + rnd.nextInt(40)
+          val off = if (rnd.nextBoolean()) rnd.nextInt(20) else 0
+          // deterministic page: order by the expression THEN the
+          // unique key a; emit cnt/sv-shaped columns for the union
+          val ql = s"$i as tag, a as g, ${x.ql} as sv, 1 as cnt " +
+            s"from [//tmp/fq]" +
+            wp.map(p => s" where ${p.ql}").getOrElse("") +
+            s" order by sv, a" +
+            (if (off > 0) s" offset $off" else "") + s" limit $lim"
+          val duck = s"SELECT $i AS tag, a AS g, ${x.duck} AS sv, " +
+            s"1 AS cnt FROM fq" +
+            wp.map(p => s" WHERE ${p.duck}").getOrElse("") +
+            s" ORDER BY ${x.duck} NULLS FIRST, a LIMIT $lim OFFSET $off"
+          (ql, duck)
+        }
+      (qlBody, duckBody)
+    }
+  }
+
   /** Join-domain cases: whole randomized queries — INNER/LEFT joins
     * via USING with optional foreign-side AND-predicates (filtering
     * the foreign table BEFORE a left join, TJoin::Predicate) and

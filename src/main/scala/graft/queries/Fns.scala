@@ -113,6 +113,21 @@ object Fns {
         graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
     }),
 
+    // Whole-query differential fuzz: randomized WHERE/GROUP BY/HAVING/
+    // ORDER BY/OFFSET/LIMIT assembly, deterministic paging.
+    "ql_fuzz_queries" -> ((s, d) => {
+      val fixture = t(s, d, "orders").select(
+        col("o_orderkey").as("a"), col("o_custkey").as("b"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey") % 100).as("c"))
+      val cat = Map("//tmp/fq" -> fixture)
+      graft.ql.ExprFuzz.queryCases(12, seed = 33L)
+        .map { case (ql, _) =>
+          graft.ql.SelectRows(s, ql, cat,
+            graft.ql.SelectRows.Options(useCanonicalNullRelations = true)) }
+        .reduce(_ unionByName _)
+    }),
+
     // Join-domain differential fuzz: 12 whole randomized queries —
     // INNER/LEFT joins with foreign-side predicates and WHERE clauses,
     // unioned under a case tag.
@@ -403,6 +418,15 @@ object Fns {
          |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
          |       ELSE o_orderstatus END AS u FROM orders)
          |SELECT id, $items FROM base""".stripMargin
+    },
+
+    "ql_fuzz_queries" -> {
+      val unions = graft.ql.ExprFuzz.queryCases(12, seed = 33L)
+        .map(p => s"(${p._2})").mkString("\n         UNION ALL\n         ")
+      s"""WITH fq AS (SELECT o_orderkey AS a, o_custkey AS b,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |       ELSE o_custkey % 100 END AS c FROM orders)
+         |$unions""".stripMargin
     },
 
     "ql_fuzz_joins" -> {
