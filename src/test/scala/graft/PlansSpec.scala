@@ -493,4 +493,62 @@ class PlansSpec extends SparkSpec {
       assert(q2.select(col("tablet_index")).distinct().count() == 3)
     } finally ComputedColumns.clear()
   }
+
+  test("randomized soundness sweep: derived-predicate pruning never drops " +
+      "rows under 60 seeded predicate shapes on hash and divide keys") {
+    import org.apache.spark.sql.Column
+    // SOUNDNESS is the property that matters: an over-derived image
+    // silently loses rows; an under-derived one only scans more. Sweep
+    // random =/IN/BETWEEN/</>= atoms and OR/AND combinations against a
+    // brute-force evaluation of the same predicate.
+    def sweep(dir: String, spec: ComputedColumns.Spec, cases: Int,
+        seed: Long): Unit = {
+      ComputedColumns.register(spec)
+      ComputedColumns.install(spark)
+      try {
+        val rnd = new scala.util.Random(seed)
+        def atom(): (Column, Long => Boolean) = rnd.nextInt(5) match {
+          case 0 =>
+            val v = rnd.nextInt(900).toLong; (col("k") === v, _ == v)
+          case 1 =>
+            val vs = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(900).toLong)
+            (col("k").isin(vs: _*), vs.toSet)
+          case 2 =>
+            val lo = rnd.nextInt(850).toLong; val hi = lo + rnd.nextInt(120)
+            (col("k").between(lo, hi), x => x >= lo && x <= hi)
+          case 3 =>
+            val v = rnd.nextInt(900).toLong; (col("k") < v, _ < v)
+          case _ =>
+            val v = rnd.nextInt(900).toLong; (col("k") >= v, _ >= v)
+        }
+        (0 until cases).foreach { i =>
+          val (c1, p1) = atom()
+          val (cond, pred): (Column, Long => Boolean) = rnd.nextInt(3) match {
+            case 0 => (c1, p1)
+            case 1 => val (c2, p2) = atom(); (c1 || c2, x => p1(x) || p2(x))
+            case _ => val (c2, p2) = atom(); (c1 && c2, x => p1(x) && p2(x))
+          }
+          val got = spark.read.parquet(dir).where(cond)
+            .select("k").as[Long].collect().sorted.toSeq
+          val want = (0L until 800L).filter(pred)
+          assert(got == want, s"case $i dropped/added rows for: $cond")
+        }
+      } finally ComputedColumns.clear()
+    }
+
+    val hashDir = Files.createTempDirectory("ccfh").toFile.getAbsolutePath
+    val hashSpec = ComputedColumns.Spec("k", "hk",
+      (c: org.apache.spark.sql.Column) => pmod(c * 31L, lit(8L)))
+    val data = (0L until 800L).map(i => (i, s"v$i")).toDF("k", "v")
+    ComputedColumns.withComputed(data, hashSpec)
+      .write.partitionBy("hk").mode("overwrite").parquet(hashDir)
+    sweep(hashDir, hashSpec, cases = 40, seed = 4242L)
+
+    val divDir = Files.createTempDirectory("ccfd").toFile.getAbsolutePath
+    val divSpec = ComputedColumns.Spec("k", "dk",
+      (c: org.apache.spark.sql.Column) => (c / lit(100L)).cast("long"))
+    ComputedColumns.withComputed(data, divSpec)
+      .write.partitionBy("dk").mode("overwrite").parquet(divDir)
+    sweep(divDir, divSpec, cases = 20, seed = 777L)
+  }
 }
