@@ -632,7 +632,23 @@ object DynTable {
     * over the queue's per-tablet maxima; the queue itself is filtered
     * map-side against the broadcast bounds. */
   def autoTrim(ordered: DataFrame, registry: DataFrame,
-      vitalConsumers: Seq[String], retainedRows: Long): DataFrame = {
+      vitalConsumers: Seq[String], retainedRows: Long): DataFrame =
+    autoTrim(ordered, registry, vitalConsumers, retainedRows,
+      retainedLifetime = None)
+
+  /** Auto-trim with the full policy set (queues.md
+    * #automatic_trimming; test_queue_agent.py test_retained_rows /
+    * test_retained_lifetime_duration / ..._and_rows): each tablet
+    * trims to the smallest vital-consumer offset, further FLOORED by
+    * `retained_rows` (that many newest rows always survive) and by
+    * `retained_lifetime_duration` — rows whose commit time is within
+    * the duration of `now` are never trimmed, so the bound caps at the
+    * first still-young row index. All bounds come from tiny
+    * aggregations (registry + per-tablet maxima/minima) broadcast back;
+    * the queue itself filters map-side. */
+  def autoTrim(ordered: DataFrame, registry: DataFrame,
+      vitalConsumers: Seq[String], retainedRows: Long,
+      retainedLifetime: Option[(String, Long, Column)]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val minOffsets = readLatest(registry, Seq("consumer", "tablet_index"))
       .where(col("consumer").isin(vitalConsumers: _*))
@@ -640,10 +656,21 @@ object DynTable {
       .agg(min(col("next_offset")).as("vital_min"))
     val highs = ordered.groupBy(col("tablet_index"))
       .agg((max(col("row_index")) + 1 - retainedRows).as("retain_floor"))
-    val bounds = highs.join(minOffsets, Seq("tablet_index"), "left")
+    val withLife = retainedLifetime match {
+      case None => highs.withColumn("life_floor", lit(null).cast("long"))
+      case Some((tsCol, lifetimeSec, now)) =>
+        val young = ordered
+          .where(unix_timestamp(col(tsCol)) > now - lifetimeSec)
+          .groupBy(col("tablet_index"))
+          .agg(min(col("row_index")).as("life_floor"))
+        highs.join(young, Seq("tablet_index"), "left")
+    }
+    val bounds = withLife.join(minOffsets, Seq("tablet_index"), "left")
       .select(col("tablet_index"),
-        least(coalesce(col("vital_min"), lit(0L)),
-          greatest(col("retain_floor"), lit(0L))).as("trim_to"))
+        least(
+          least(coalesce(col("vital_min"), lit(0L)),
+            greatest(col("retain_floor"), lit(0L))),
+          coalesce(col("life_floor"), lit(Long.MaxValue))).as("trim_to"))
     ordered.join(broadcast(bounds), Seq("tablet_index"), "left")
       .where(col("trim_to").isNull || col("row_index") >= col("trim_to"))
       .drop("trim_to")

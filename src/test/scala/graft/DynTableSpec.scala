@@ -436,6 +436,30 @@ class DynTableSpec extends SparkSpec {
     assert(DynTable.autoTrim(ordered, reg, Seq.empty, 5L).count() == 100)
   }
 
+  test("autoTrim retained_lifetime_duration: still-young rows floor the " +
+      "trim even when vital consumers are far ahead (test_queue_agent.py)") {
+    import java.sql.Timestamp
+    // tablet 0, 50 rows, one row per second from t=1000
+    val ev = (0L until 50L).map(i =>
+      (i, new Timestamp((1000L + i) * 1000L))).toDF("event_id", "ts")
+    val ordered = DynTable.withOffsets(ev, lit(0), Seq($"event_id"))
+    var reg = DynTable.emptyConsumerRegistry(spark)
+    reg = DynTable.advanceConsumer(reg, "c1", 0L, 40L, 1L)
+    // now = 1049 (last row's second); lifetime 30s → rows with ts >
+    // 1019 are young, first young row_index = 20 → trim capped at 20
+    val t = DynTable.autoTrim(ordered, reg, Seq("c1"), retainedRows = 0L,
+      retainedLifetime = Some(("ts", 30L, lit(1049L))))
+    assert(t.agg(min("row_index")).collect().head.getLong(0) == 20L)
+    // huge lifetime: everything is young, nothing trims
+    val t2 = DynTable.autoTrim(ordered, reg, Seq("c1"), 0L,
+      Some(("ts", 100000L, lit(1049L))))
+    assert(t2.count() == 50)
+    // expired lifetime: the vital bound (40) applies unchanged
+    val t3 = DynTable.autoTrim(ordered, reg, Seq("c1"), 0L,
+      Some(("ts", 1L, lit(999999L))))
+    assert(t3.agg(min("row_index")).collect().head.getLong(0) == 40L)
+  }
+
   test("queue static export: complete windows only, progress cursor, idempotent retry") {
     import java.sql.Timestamp
     val rows = (0L until 100L).map { i =>
