@@ -4109,6 +4109,37 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(got2.count(_.isDefined) == 1 && got2.length == 5)
   }
 
+  test("OrderByWithNegativeLimit/BadTableName/IncorrectDivision/" +
+      "SubqueryAliases (TQueryPrepareTest, ql_query_ut.cpp:1040,157,452,1080)") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val cat = Map("//t" -> df)
+    // limit -1: a parse error, not a plan
+    intercept[Exception] {
+      SelectRows(spark, "* from [//t] order by a limit -1", cat).collect()
+    }
+    // unknown table path
+    val e2 = intercept[Exception] {
+      SelectRows(spark, "a from [//bad/table]", cat).collect()
+    }
+    assert(e2.getMessage.contains("//bad/table") ||
+      e2.getMessage.toLowerCase.contains("table"), e2.getMessage)
+    // INT_MIN / -1 raises the reference's error
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e3 = intercept[Exception] {
+      SelectRows(spark,
+        "a from [//t] where a = -9223372036854775807 / -1 - 1 " +
+          "or a = (a - a - 9223372036854775807 - 1) / -1", cat).collect()
+    }
+    assert(messages(e3).exists(_.contains("INT_MIN")), e3.toString)
+    // subquery projection aliases chain
+    val got = SelectRows(spark,
+      "b as c from (select a as b from [//t])", cat)
+      .as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
   // ——— ExplainQuery surface (test_explain.py; explain.cpp) ———
 
   private def explainTable(cols: Seq[(String, Option[String], Option[String])],
