@@ -210,6 +210,44 @@ object DynTable {
       valueCols.map(col): _*)
   }
 
+  /** Transactional write commit (dynamic_table_transaction.h;
+    * sorted-dynamic-tables.md transactions: InsertRows/DeleteRows
+    * staged under a transaction commit ATOMICALLY with optimistic row
+    * locks): `staged` carries the transaction's writes — key columns,
+    * an `op` column (upsert|delete) and value columns — taken at
+    * `startTs`. Commit appends every staged row under ONE `commitTs`,
+    * after an in-plan conflict check: if ANY staged key gained a log
+    * version with `startTs < ts <= commitTs` written by someone else,
+    * the whole transaction aborts with the reference's "row lock
+    * conflict" error (first-committer-wins, exactly the tablet node's
+    * optimistic locking). The check is a semi-join of the staged keys
+    * (client-sized, broadcast) against the ts-pruned log sliver —
+    * never a scan of full history — and it rides the commit plan, so
+    * laziness is preserved and a retried evaluation re-validates.
+    */
+  def commitTransaction(log: DataFrame, staged: DataFrame, keys: Seq[String],
+      startTs: Column, commitTs: Column): DataFrame = {
+    val valueCols = log.columns
+      .filterNot(c => keys.contains(c) || c == "ts" || c == "op").toSeq
+    val conflicting = log
+      .where(col("ts") > startTs && col("ts") <= commitTs)
+      .join(broadcast(staged.select(keys.map(col): _*).distinct()), keys)
+      .select(keys.map(col): _*)
+    val checked = staged
+      .join(conflicting.withColumn("__cf", lit(1)).distinct(), keys, "left")
+      .filter(when(col("__cf").isNotNull,
+        raise_error(lit("Row lock conflict due to concurrent write"))
+          .cast("boolean")).otherwise(lit(true)))
+      .drop("__cf")
+    val appended = checked.select(
+      (keys.map(col) ++
+        Seq(commitTs.cast("long").as("ts"), col("op")) ++
+        valueCols.map(c =>
+          if (checked.columns.contains(c)) col(c) else lit(null).as(c))): _*)
+    log.select((keys ++ Seq("ts", "op") ++ valueCols).map(col): _*)
+      .unionByName(appended)
+  }
+
   /** Version-retention compaction (sorted-dynamic-tables.md:97-118:
     * min_data_versions / max_data_versions / min_data_ttl /
     * max_data_ttl): per key, versions sort newest-first (tombstones

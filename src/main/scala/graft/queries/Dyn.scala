@@ -70,6 +70,25 @@ object Dyn {
         DynTable.bulkInsert(l, opOut, Seq("k"), commitTs), Seq("k"))
     }),
 
+    // Transactional commit (dynamic_table_transaction.h): stage
+    // updates and deletes at a start ts, commit atomically under one
+    // commit ts with optimistic row-lock validation against the
+    // ts-pruned log sliver (no concurrent writers here, so it
+    // commits; conflict aborts are spec-verified).
+    "dyn_transaction" -> ((s, d) => {
+      val l = log(s, d)
+      val maxTs = t(s, d, "orders").agg(max("o_orderkey").cast("long")).scalar()
+      val staged = t(s, d, "customer")
+        .filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 8 === 0, DynTable.OpDelete)
+            .otherwise(DynTable.OpUpsert).as("op"),
+          (col("c_acctbal") * 3).as("price"))
+      DynTable.readLatest(
+        DynTable.commitTransaction(l, staged, Seq("k"),
+          startTs = maxTs, commitTs = maxTs + 1), Seq("k"))
+    }),
+
     // Version-retention compaction (sorted-dynamic-tables.md:97-118):
     // keep the newest version per key plus everything younger than
     // min_data_ttl; drop history beyond max_data_versions=2 once past
@@ -362,6 +381,18 @@ object Dyn {
          |SELECT status, CAST(count(*) AS BIGINT) AS cnt,
          |  ROUND(SUM(price / 1000.0), 2) AS ksum
          |FROM latest WHERE price > 100000 GROUP BY status""".stripMargin,
+
+    "dyn_transaction" ->
+      s"""WITH log AS ($logSql),
+         |txn AS (SELECT c_custkey AS k,
+         |    (SELECT max(o_orderkey) + 1 FROM orders) AS ts,
+         |    CASE WHEN c_custkey % 8 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         |    c_acctbal * 3 AS price, CAST(NULL AS VARCHAR) AS status
+         |  FROM customer WHERE c_custkey % 4 = 0),
+         |merged AS (SELECT * FROM log UNION ALL SELECT * FROM txn),
+         |ranked AS (SELECT k, ts, op, price, status,
+         |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM merged)
+         |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
 
     // retention with min_data_versions=1 is invisible to latest-wins
     // reads: the oracle merges the FULL history

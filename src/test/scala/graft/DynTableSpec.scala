@@ -487,6 +487,48 @@ class DynTableSpec extends SparkSpec {
     assert(!taggedAll.collect().map(_.getAs[Long]("export_unix_ts")).contains(1009000L))
   }
 
+  test("commitTransaction: atomic commit ts, optimistic row locks abort " +
+      "on concurrent writes, deletes stage like writes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, "upsert", Some(100.0)),
+      (2L, 11L, "upsert", Some(200.0)),
+      (3L, 12L, "upsert", Some(300.0))
+    ).toDF("k", "ts", "op", "v")
+    // txn started at ts 12, stages an update of k=1 and a delete of k=3
+    val staged = Seq((1L, "upsert", Some(111.0)), (3L, "delete", None))
+      .toDF("k", "op", "v")
+    val committed = DynTable.commitTransaction(log, staged, Seq("k"),
+      startTs = lit(12L), commitTs = lit(20L))
+    val latest = DynTable.readLatest(committed, Seq("k"))
+      .as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(latest.toSeq == Seq((1L, Some(111.0)), (2L, Some(200.0))))
+    // both staged rows share the commit timestamp
+    assert(committed.filter(col("ts") === 20L).count() == 2)
+
+    // a concurrent write to k=1 AFTER the start ts aborts the txn
+    val contended = log.unionByName(
+      Seq((1L, 15L, "upsert", Some(999.0))).toDF("k", "ts", "op", "v"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] {
+      DynTable.commitTransaction(contended, staged, Seq("k"),
+        startTs = lit(12L), commitTs = lit(20L)).collect()
+    }
+    assert(messages(ex).exists(_.contains("Row lock conflict")), ex.toString)
+
+    // a concurrent write to an UNRELATED key does not conflict
+    val unrelated = log.unionByName(
+      Seq((2L, 15L, "upsert", Some(999.0))).toDF("k", "ts", "op", "v"))
+    val ok = DynTable.commitTransaction(unrelated, staged, Seq("k"),
+      startTs = lit(12L), commitTs = lit(20L))
+    assert(DynTable.readLatest(ok, Seq("k"))
+      .as[(Long, Option[Double])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, Some(111.0)), (2L, Some(999.0))))
+  }
+
   test("lookupKeepMissing: one row per requested key IN REQUEST ORDER, " +
       "nulls for absent and tombstoned keys") {
     import org.apache.spark.sql.functions._
