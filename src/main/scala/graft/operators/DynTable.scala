@@ -228,23 +228,51 @@ object DynTable {
   def commitTransaction(log: DataFrame, staged: DataFrame, keys: Seq[String],
       startTs: Column, commitTs: Column): DataFrame = {
     val valueCols = log.columns
-      .filterNot(c => keys.contains(c) || c == "ts" || c == "op").toSeq
-    val conflicting = log
-      .where(col("ts") > startTs && col("ts") <= commitTs)
-      .join(broadcast(staged.select(keys.map(col): _*).distinct()), keys)
-      .select(keys.map(col): _*)
+      .filterNot(c => keys.contains(c) || c == "ts" || c == "op" || c == "written").toSeq
+    // column-granular locks (sorted-dynamic-tables.md locking: writes
+    // lock the column groups they touch — test_dynamic_tables.py shared
+    // lock tests): when BOTH the concurrent version and the staged row
+    // carry `written` masks (update=True partial writes), they conflict
+    // only if the masks INTERSECT; a full write (null mask) or a delete
+    // locks every column and always conflicts.
+    val hasLogMask = log.columns.contains("written")
+    val hasStagedMask = staged.columns.contains("written")
+    val stagedKeys =
+      if (hasStagedMask)
+        staged.select((keys.map(col) :+ col("written").as("__sw")): _*).distinct()
+      else staged.select(keys.map(col): _*).distinct()
+    val recent = log.where(col("ts") > startTs && col("ts") <= commitTs)
+    val touched = recent.join(broadcast(stagedKeys), keys)
+    val conflicting0 =
+      if (hasLogMask && hasStagedMask)
+        touched.where(
+          col("op") === OpDelete || col("written").isNull ||
+            col("__sw").isNull || arrays_overlap(col("written"), col("__sw")))
+      else touched
+    val conflicting = conflicting0.select(keys.map(col): _*)
     val checked = staged
       .join(conflicting.withColumn("__cf", lit(1)).distinct(), keys, "left")
       .filter(when(col("__cf").isNotNull,
         raise_error(lit("Row lock conflict due to concurrent write"))
           .cast("boolean")).otherwise(lit(true)))
       .drop("__cf")
+    val maskOut: Seq[Column] =
+      if (!hasLogMask && !hasStagedMask) Nil
+      else Seq((if (hasStagedMask) col("written")
+        else lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))).as("written"))
     val appended = checked.select(
       (keys.map(col) ++
-        Seq(commitTs.cast("long").as("ts"), col("op")) ++
+        Seq(commitTs.cast("long").as("ts"), col("op")) ++ maskOut ++
         valueCols.map(c =>
           if (checked.columns.contains(c)) col(c) else lit(null).as(c))): _*)
-    log.select((keys ++ Seq("ts", "op") ++ valueCols).map(col): _*)
+    val logMask: Seq[Column] =
+      if (maskOut.isEmpty) Nil
+      else Seq((if (hasLogMask) col("written")
+        else lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))).as("written"))
+    log.select((keys.map(col) ++ Seq(col("ts"), col("op")) ++ logMask ++
+        valueCols.map(col)): _*)
       .unionByName(appended)
   }
 

@@ -529,6 +529,43 @@ class DynTableSpec extends SparkSpec {
       Seq((1L, Some(111.0)), (2L, Some(999.0))))
   }
 
+  test("commitTransaction column locks: disjoint partial writes commit, " +
+      "overlapping masks / full writes / deletes conflict") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // log with masks: concurrent update of ONLY column v1 at ts=15
+    val log = Seq(
+      (1L, 10L, "upsert", null, Some(1.0), Some(10.0)),
+      (1L, 15L, "upsert", Seq("v1"), Some(2.0), None)
+    ).toDF("k", "ts", "op", "written", "v1", "v2")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // txn started at ts=12, writes ONLY v2: disjoint → commits
+    val stagedV2 = Seq((1L, "upsert", Seq("v2"), Option.empty[Double], Some(99.0)))
+      .toDF("k", "op", "written", "v1", "v2")
+    val ok = DynTable.commitTransaction(log, stagedV2, Seq("k"),
+      lit(12L), lit(20L))
+    val merged = DynTable.readLatestColumns(ok, Seq("k")).collect().head
+    assert(merged.getAs[Double]("v1") == 2.0 && merged.getAs[Double]("v2") == 99.0)
+    // txn writing v1 overlaps the concurrent v1 write → aborts
+    val stagedV1 = Seq((1L, "upsert", Seq("v1"), Some(7.0), Option.empty[Double]))
+      .toDF("k", "op", "written", "v1", "v2")
+    val ex = intercept[Exception] {
+      DynTable.commitTransaction(log, stagedV1, Seq("k"),
+        lit(12L), lit(20L)).collect()
+    }
+    assert(messages(ex).exists(_.contains("Row lock conflict")))
+    // a full-write txn (null mask) locks every column → aborts too
+    val stagedFull = Seq((1L, "upsert", null: Seq[String], Some(7.0), Some(8.0)))
+      .toDF("k", "op", "written", "v1", "v2")
+    val ex2 = intercept[Exception] {
+      DynTable.commitTransaction(log, stagedFull, Seq("k"),
+        lit(12L), lit(20L)).collect()
+    }
+    assert(messages(ex2).exists(_.contains("Row lock conflict")))
+  }
+
   test("lookupKeepMissing: one row per requested key IN REQUEST ORDER, " +
       "nulls for absent and tombstoned keys") {
     import org.apache.spark.sql.functions._
