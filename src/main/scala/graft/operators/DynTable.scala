@@ -237,19 +237,30 @@ object DynTable {
     // locks every column and always conflicts.
     val hasLogMask = log.columns.contains("written")
     val hasStagedMask = staged.columns.contains("written")
-    val stagedKeys =
-      if (hasStagedMask)
-        staged.select((keys.map(col) :+ col("written").as("__sw")): _*).distinct()
-      else staged.select(keys.map(col): _*).distinct()
+    // aggregate-delta writes take SHARED locks (aggregate columns
+    // commute: sorted-dynamic-tables.md:171-177 aggregate=true) — two
+    // concurrent deltas both commit; conflict only against a
+    // non-delta write. Flagged by the log model's `agg` column.
+    val hasLogAgg = log.columns.contains("agg")
+    val hasStagedAgg = staged.columns.contains("agg")
+    val stagedSel = keys.map(col) ++
+      (if (hasStagedMask) Seq(col("written").as("__sw")) else Nil) ++
+      (if (hasStagedAgg) Seq(col("agg").as("__sa")) else Nil)
+    val stagedKeys = staged.select(stagedSel: _*).distinct()
     val recent = log.where(col("ts") > startTs && col("ts") <= commitTs)
     val touched = recent.join(broadcast(stagedKeys), keys)
-    val conflicting0 =
+    val maskDisjoint: Column =
       if (hasLogMask && hasStagedMask)
-        touched.where(
-          col("op") === OpDelete || col("written").isNull ||
-            col("__sw").isNull || arrays_overlap(col("written"), col("__sw")))
-      else touched
-    val conflicting = conflicting0.select(keys.map(col): _*)
+        col("op") =!= OpDelete && col("written").isNotNull &&
+          col("__sw").isNotNull && !arrays_overlap(col("written"), col("__sw"))
+      else lit(false)
+    val bothDeltas: Column =
+      if (hasLogAgg && hasStagedAgg)
+        col("op") =!= OpDelete &&
+          coalesce(col("agg"), lit(false)) && coalesce(col("__sa"), lit(false))
+      else lit(false)
+    val conflicting = touched.where(!(maskDisjoint || bothDeltas))
+      .select(keys.map(col): _*)
     val checked = staged
       .join(conflicting.withColumn("__cf", lit(1)).distinct(), keys, "left")
       .filter(when(col("__cf").isNotNull,

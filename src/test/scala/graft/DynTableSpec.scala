@@ -566,6 +566,33 @@ class DynTableSpec extends SparkSpec {
     assert(messages(ex2).exists(_.contains("Row lock conflict")))
   }
 
+  test("commitTransaction shared aggregate locks: concurrent delta writes " +
+      "commute and commit; a delta against a plain write conflicts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // aggregate column v (sum); concurrent DELTA at ts=15
+    val log = Seq(
+      (1L, 10L, "upsert", true, Some(10L)),
+      (1L, 15L, "upsert", true, Some(5L))
+    ).toDF("k", "ts", "op", "agg", "v")
+    val delta = Seq((1L, "upsert", true, Some(3L))).toDF("k", "op", "agg", "v")
+    val ok = DynTable.commitTransaction(log, delta, Seq("k"),
+      lit(12L), lit(20L))
+    val v = DynTable.readWithAggregates(ok, Seq("k"), Map("v" -> "sum"))
+      .select("v").as[Long].collect()
+    assert(v.toSeq == Seq(18L)) // 10 + 5 + 3: both concurrent deltas land
+    // a NON-delta staged write against the concurrent delta conflicts
+    val overwrite = Seq((1L, "upsert", false, Some(99L))).toDF("k", "op", "agg", "v")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] {
+      DynTable.commitTransaction(log, overwrite, Seq("k"),
+        lit(12L), lit(20L)).collect()
+    }
+    assert(messages(ex).exists(_.contains("Row lock conflict")))
+  }
+
   test("lookupKeepMissing: one row per requested key IN REQUEST ORDER, " +
       "nulls for absent and tombstoned keys") {
     import org.apache.spark.sql.functions._
