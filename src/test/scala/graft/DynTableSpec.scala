@@ -566,6 +566,29 @@ class DynTableSpec extends SparkSpec {
     assert(messages(ex2).exists(_.contains("Row lock conflict")))
   }
 
+  test("test_transaction_locks block 1 (test_sorted_dynamic_tables.py:275): " +
+      "two update=True transactions on disjoint lock columns both commit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, String, Seq[String],
+      Option[Long], Option[Long], Option[Long])]
+      .toDF("k", "ts", "op", "written", "a", "b", "c")
+    // tx1: {key 1, a=1} update=True — commits at ts=1
+    val tx1 = Seq((1L, "upsert", Seq("a"), Some(1L),
+      Option.empty[Long], Option.empty[Long])).toDF("k", "op", "written", "a", "b", "c")
+    val afterTx1 = DynTable.commitTransaction(empty, tx1, Seq("k"),
+      lit(0L), lit(1L))
+    // tx2 started BEFORE tx1 committed: {key 1, b=2} update=True —
+    // lock columns disjoint, so it commits too
+    val tx2 = Seq((1L, "upsert", Seq("b"), Option.empty[Long], Some(2L),
+      Option.empty[Long])).toDF("k", "op", "written", "a", "b", "c")
+    val afterTx2 = DynTable.commitTransaction(afterTx1, tx2, Seq("k"),
+      lit(0L), lit(2L))
+    val row = DynTable.readLatestColumns(afterTx2, Seq("k")).collect().head
+    assert(row.getAs[Long]("a") == 1L && row.getAs[Long]("b") == 2L &&
+      row.isNullAt(row.fieldIndex("c")))
+  }
+
   test("commitTransaction shared aggregate locks: concurrent delta writes " +
       "commute and commit; a delta against a plain write conflicts") {
     import org.apache.spark.sql.functions._
