@@ -246,7 +246,7 @@ object DynTable {
     val stagedSel = keys.map(col) ++
       (if (hasStagedMask) Seq(col("written").as("__sw")) else Nil) ++
       (if (hasStagedAgg) Seq(col("agg").as("__sa")) else Nil)
-    val stagedKeys = staged.select(stagedSel: _*).distinct()
+    val stagedKeys = staged.select(stagedSel: _*)
     val recent = log.where(col("ts") > startTs && col("ts") <= commitTs)
     val touched = recent.join(broadcast(stagedKeys), keys)
     val maskDisjoint: Column =
@@ -259,14 +259,15 @@ object DynTable {
         col("op") =!= OpDelete &&
           coalesce(col("agg"), lit(false)) && coalesce(col("__sa"), lit(false))
       else lit(false)
-    val conflicting = touched.where(!(maskDisjoint || bothDeltas))
-      .select(keys.map(col): _*)
+    // one aggregate, folded in as a scalar subquery: ANY surviving
+    // conflict aborts the WHOLE transaction (it would abort anyway),
+    // so no per-key join back to the staged rows is ever needed
+    val nConflicts = touched.where(!(maskDisjoint || bothDeltas))
+      .agg(count(lit(1))).scalar()
     val checked = staged
-      .join(conflicting.withColumn("__cf", lit(1)).distinct(), keys, "left")
-      .filter(when(col("__cf").isNotNull,
+      .filter(when(nConflicts > 0,
         raise_error(lit("Row lock conflict due to concurrent write"))
           .cast("boolean")).otherwise(lit(true)))
-      .drop("__cf")
     val maskOut: Seq[Column] =
       if (!hasLogMask && !hasStagedMask) Nil
       else Seq((if (hasStagedMask) col("written")

@@ -60,7 +60,11 @@ class PlanSweepSpec extends SparkSpec {
     "llm_dedup_embedding_lsh" -> 11, // LSH pipeline + block-grid exact
     "llm_sim_lsh" -> 8, // 8-table ANN + brute-force truth + verdict
     "llm_sim_ivf" -> 9, // IVF assign/probe + brute-force truth + verdict
-    "llm_sim_pq" -> 10) // ADC scan + refine fetch + brute-force truth + verdict
+    "llm_sim_pq" -> 10, // ADC scan + refine fetch + brute-force truth + verdict
+    // commit plan: ONE corpus-sized merge shuffle; the rest are
+    // single-row scalar aggregates (commit ts ×2, conflict count) —
+    // metadata, not data volume
+    "dyn_transaction" -> 6)
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one
