@@ -23,15 +23,15 @@ object Bench {
     "ql_scan", "ql_filter_where", "ql_group_agg", "ql_group_having",
     "ql_order_limit", "ql_join_inner", "ql_join_pushdown_agg",
     "ql_array_join", "ql_with_totals", "ql_selectrows",
-    "ql_selectrows_grammar", "ql_fn_yson", "ql_fn_u64", "ql_fn_regex",
+    "ql_fn_yson", "ql_fn_u64", "ql_fn_regex",
     "ql_agg_dict_sum", "ql_agg_histogram", "ql_agg_top_by",
     "ql_any_compare", "ql_cardinality",
     "op_map", "op_sort", "op_merge_sorted", "op_sorted_reduce",
     "op_join_reduce", "op_map_reduce", "op_pipe_skiff", "op_pipe_protobuf",
     "op_asof_join",
-    "dyn_lookup", "dyn_upsert_latest", "dyn_partial_update",
+    "dyn_lookup", "dyn_upsert_latest",
     "dyn_agg_column", "dyn_versioned_read", "dyn_queue_pull",
-    "dyn_with_index",
+    "dyn_with_index", "dyn_bulk_insert", "dyn_transaction",
     "yql_join_full", "yql_window_rank", "yql_window_frame_rows",
     "yql_rollup", "yql_intersect", "yql_agg_percentile",
     "yql_agg_distinct", "yql_q3_shipping", "yql_q5_region", "yql_fn_json2",
