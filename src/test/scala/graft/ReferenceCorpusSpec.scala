@@ -3800,6 +3800,35 @@ class ReferenceCorpusSpec extends SparkSpec {
     }
   }
 
+  test("GroupByCoordinatedWithTotalsNoLimitPrimaryKeyPrefixInGroupKey " +
+      "(ql_query_ut.cpp:3932): unlimited key-prefix totals span every group") {
+    val rows = (0 until 100).map(i =>
+      Seq((i / 10).toLong, (i % 10).toLong, (i * 31 % 100).toLong))
+    val cat = Map("//t" -> keyedInt64(Seq("k0", "k1", "v"), 2, rows, parts = 4))
+    val sums: Map[Long, Long] = rows.groupBy(_(0).asInstanceOf[Long])
+      .map { case (k0, rs) => k0 -> rs.map(_(2).asInstanceOf[Long]).sum }
+    val total = rows.map(_(2).asInstanceOf[Long]).sum
+    val got = SelectRows(spark,
+      "k0, sum(v) as v from [//t] group by k0 with totals", cat)
+      .as[(Option[Long], Long)].collect()
+    assert(got.length == sums.size + 1)
+    got.foreach {
+      case (Some(k0), v) => assert(v == sums(k0))
+      case (None, v) => assert(v == total)
+    }
+  }
+
+  test("BigTransform (ql_query_ut.cpp:2608): a 100-pair transform list " +
+      "maps every branch, unmatched values null out") {
+    val t = Seq(4L, -10L, 7L, 60L).map(Tuple1(_)).toDF("a")
+    val from = (-50 until 50).mkString(", ")
+    val to = (-50 until 50).map(-_).mkString(", ")
+    val got = SelectRows(spark,
+      s"transform(a, ($from), ($to)) as x FROM [//t]", Map("//t" -> t))
+      .as[Option[Long]].collect()
+    assert(got.toSet == Set(Some(-4L), Some(10L), Some(-7L), None))
+  }
+
   test("GroupByNoLimitCoordinated + GroupByWithNoKeyColumnsInTableSchema " +
       "(ql_query_ut.cpp:4048,4098): mixed key/value group keys") {
     val rows = (0 until 100).map(i =>
