@@ -133,13 +133,16 @@ object Dyn {
     // versions.
     "dyn_op_map_over" -> ((s, d) => {
       val snapshot = DynTable.readLatest(log(s, d), Seq("k"))
+      // the user job emits exact integer cents (as integral doubles —
+      // the schema stays the input's) so the aggregate is bit-stable
+      // at every scale (fractional float sums round-flip at sf0.1)
       val out = Operations.mapWithInputQuery(snapshot, "price > 100000") {
         rows => rows.map(r => org.apache.spark.sql.Row(
-          r.getLong(0), r.getDouble(1) / 1000.0, r.getString(2)))
+          r.getLong(0), math.round(r.getDouble(1) * 100).toDouble, r.getString(2)))
       }
       out.groupBy(col("status"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("price")), 2).as("ksum"))
+          sum(col("price")).as("cents_sum"))
     }),
 
     // Aggregate column: price declared sum-merged
@@ -379,7 +382,7 @@ object Dyn {
          |latest AS (SELECT k, price, status FROM ranked
          |  WHERE rn = 1 AND op = 'upsert')
          |SELECT status, CAST(count(*) AS BIGINT) AS cnt,
-         |  ROUND(SUM(price / 1000.0), 2) AS ksum
+         |  SUM(ROUND(price * 100)) AS cents_sum
          |FROM latest WHERE price > 100000 GROUP BY status""".stripMargin,
 
     "dyn_transaction" ->
