@@ -537,7 +537,11 @@ object Yql {
           Pire.matches(col("p_type"), "(ECONOMY|PROMO)").as("match_type"),
           Pire.capture(col("p_name"), "^([a-z]+)").as("cap_first"),
           Pire.replace(col("p_brand"), "[0-9]+", "#").as("repl_brand"),
-          Pire.multiGrep(col("p_name"), Seq("red", "green", "blue")).as("mg"))
+          // mg serialized to a string: the driver's pandas compare cannot
+          // lexsort array cells (same class as ql_agg_top_by in round 2).
+          array_join(
+            transform(Pire.multiGrep(col("p_name"), Seq("red", "green", "blue")),
+              b => b.cast("string")), ",").as("mg"))
     }),
 
     // Stat::TDigest mergeable quantile sketch (stat_udf.h over
@@ -918,8 +922,10 @@ object Yql {
            CASE WHEN regexp_matches(p_name, '^([a-z]+)')
              THEN regexp_extract(p_name, '^([a-z]+)', 1) END AS cap_first,
            regexp_replace(p_brand, '[0-9]+', '#', 'g') AS repl_brand,
-           [regexp_matches(p_name, 'red'), regexp_matches(p_name, 'green'),
-            regexp_matches(p_name, 'blue')] AS mg
+           array_to_string(list_transform(
+             [regexp_matches(p_name, 'red'), regexp_matches(p_name, 'green'),
+              regexp_matches(p_name, 'blue')],
+             b -> CAST(b AS VARCHAR)), ',') AS mg
          FROM part""",
     "yql_agg_tdigest" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
