@@ -21,9 +21,9 @@ import QLParser._
   *     (ql_query_ut.cpp GroupByTotalsOrderBy / GroupByWithTotalsEmpty /
   *     GroupByWithTotalsNulls);
   *   - `OFFSET k LIMIT n` → `LIMIT n OFFSET k`;
-  *   - `WITH INDEX` is an access-path hint → dropped (the optimizer
-  *     owns access paths here; see plans/SecondaryIndex for the
-  *     physical rewrite).
+  *   - `WITH INDEX` is handled upstream by [[SelectRows]] (view swap
+  *     into the plans/SecondaryIndex scan + semi-join); the emitter
+  *     itself drops the clause from the SQL text.
   */
 object QLEmitter {
 

@@ -15,8 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - implicit SELECT: a QL query starts at the projection list;
   *   - table refs `[//path/to/table]` resolve through a caller-supplied
   *     catalog (default: last path segment = temp-view name);
-  *   - `WITH INDEX [//index]` is an access-path hint — stripped (use
-  *     [[graft.plans.SecondaryIndex]] for the physical rewrite);
+  *   - `WITH INDEX [//index]` routes through
+  *     [[graft.plans.SecondaryIndex]] when the index table is in the
+  *     catalog: index-only WHERE conjuncts prune the index scan and the
+  *     surviving keys semi-join the primary (the reference's
+  *     TransformWithIndexStatement, secondary_index/transform.cpp:137);
   *   - `JOIN ... USING a, b` → `USING (a, b)`;
   *   - tuple comparisons/IN `(a, b) = (c, d)`, `(a, b) IN ((1, 2), …)`
   *     → equality conjunctions/disjunctions (IsRowInRowset lowering);
@@ -146,6 +149,18 @@ object SelectRows {
     cat.foreach { case (path, df) =>
       widenTypeV1(df).createOrReplaceTempView(viewName(path))
     }
+    // WITH INDEX through the string surface — the reference's
+    // TransformWithIndexStatement (secondary_index/transform.cpp:137-146)
+    // rewrites the statement to scan the INDEX table with the predicate
+    // and join the primary by its key. Here: the WHERE's index-only
+    // conjuncts prune the index scan, the surviving keys broadcast
+    // left-semi-join the primary, and the full WHERE still evaluates on
+    // the (reduced) primary — a superset filter, so partially-pushable
+    // predicates stay correct and the predicated-index restriction is
+    // preserved by the semi-join itself. An unfolded index turns
+    // `list_contains(col, v)` into the index's scalar equality
+    // (transform.cpp's unfolding of `value IN unfolded_col`).
+    rewriteWithIndex(spark, ql, cat)
     // ascending-key prefix per table (YtSortOrderKey field metadata,
     // contiguous from the first column) — feeds ORDER BY elision on
     // key-sorted scans (ql_query_ut.cpp OrderByPrimaryKeyPrefix)
@@ -183,6 +198,71 @@ object SelectRows {
         }(Encoders.row(schema))
       case Some(n) => df.limit(n)
       case None => df
+    }
+  }
+
+  /** Swap the primary table's temp view for the index-scan + semi-join
+    * plan when the query names a `WITH INDEX` table that is present in
+    * the catalog. No-op (hint dropped, full scan) when the index is not
+    * in the catalog, the primary has no key columns shared with the
+    * index, or no WHERE conjunct is evaluable on the index alone. */
+  private def rewriteWithIndex(spark: SparkSession, ql: String,
+      cat: Map[String, DataFrame]): Unit = {
+    import QLParser._
+    val parsed = try Some(QLParser.parse(ql)) catch { case _: Exception => None }
+    for {
+      q <- parsed
+      idxPath <- q.withIndex
+      idx <- cat.get(idxPath)
+      primPath <- q.from.collect { case TableRef(p, _) => p }
+      prim <- cat.get(primPath)
+      where <- q.where
+    } {
+      import org.apache.spark.sql.types.ArrayType
+      val idxCols = idx.schema.fieldNames.toSet
+      val keyCols = prim.schema.fields.takeWhile(_.metadata.contains(
+        graft.types.YtTypes.YtSortOrderKey)).map(_.name).filter(idxCols).toSeq
+      def isArr(df: DataFrame, c: String): Boolean =
+        df.schema.fields.exists(f => f.name == c && f.dataType.isInstanceOf[ArrayType])
+      def colRefs(e: Expr): Set[String] = e match {
+        case Ref(ps) => Set(ps.last)
+        case Call(_, args, _) => args.flatMap(colRefs).toSet
+        case Bin(_, l, r) => colRefs(l) ++ colRefs(r)
+        case Un(_, x) => colRefs(x)
+        case IsNullOp(x, _) => colRefs(x)
+        case LikeOp(x, _, p, esc, _) =>
+          colRefs(x) ++ colRefs(p) ++ esc.toSeq.flatMap(colRefs)
+        case InList(t, rows, _) => (t ++ rows.flatten).flatMap(colRefs).toSet
+        case BetweenOp(t, rs, _) =>
+          (t ++ rs.flatMap(r => r._1 ++ r._2)).flatMap(colRefs).toSet
+        case CaseExpr(op, br, el) =>
+          (op.toSeq ++ br.flatMap(b => Seq(b._1, b._2)) ++ el.toSeq)
+            .flatMap(colRefs).toSet
+        case TupleExpr(xs) => xs.flatMap(colRefs).toSet
+        case ItemAccess(x, ix) => colRefs(x) ++ colRefs(ix)
+        case _ => Set.empty
+      }
+      def conjuncts(e: Expr): Seq[Expr] = e match {
+        case Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      // unfolded-index lowering: membership over the primary's list
+      // column is an equality scan of the index's per-element rows
+      def unfold(e: Expr): Expr = e match {
+        case Call("list_contains", Seq(Ref(ps), v), _)
+            if isArr(prim, ps.last) && idxCols(ps.last) &&
+               !isArr(idx, ps.last) =>
+          Bin("=", Ref(Seq(ps.last)), v)
+        case other => other
+      }
+      val pushed = conjuncts(where).map(unfold)
+        .filter(c => colRefs(c).nonEmpty && colRefs(c).subsetOf(idxCols))
+      if (keyCols.nonEmpty && pushed.nonEmpty) {
+        val pushedSql = pushed.map(QLEmitter.emit).mkString(" AND ")
+        graft.plans.SecondaryIndex
+          .query(widenTypeV1(prim), widenTypeV1(idx), keyCols, pushedSql)
+          .createOrReplaceTempView(viewName(primPath))
+      }
     }
   }
 

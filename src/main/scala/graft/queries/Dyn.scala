@@ -200,6 +200,26 @@ object Dyn {
         .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
     }),
 
+    // WITH INDEX through the SelectRows STRING surface
+    // (transform.cpp:137 TransformWithIndexStatement): the query names
+    // the index table in QL; SelectRows swaps the primary's view for the
+    // index-scan + semi-join plan, so the string user gets the same
+    // access path as the DataFrame surface.
+    "ql_with_index_string" -> ((s, d) => {
+      import org.apache.spark.sql.types.MetadataBuilder
+      val primary = t(s, d, "orders").withMetadata("o_orderkey",
+        new MetadataBuilder()
+          .putString(graft.types.YtTypes.YtSortOrderKey, "ascending").build())
+      val index = SecondaryIndex.build(primary,
+        Seq("o_orderpriority"), Seq("o_orderkey"))
+      graft.ql.SelectRows(s,
+        """o_orderstatus, count(1) as cnt, sum(o_totalprice) as total
+          |from [//orders] with index [//orders_by_priority]
+          |where o_orderpriority = '2-HIGH'
+          |group by o_orderstatus""".stripMargin,
+        Map("//orders" -> primary, "//orders_by_priority" -> index))
+    }),
+
     // xdelta aggregate column (builtin_function_registry.cpp:241-253):
     // per-key write log of one BASE then PATCH states, folded by the
     // reference's state machine (hash-chain verified); output is the
@@ -508,6 +528,12 @@ object Dyn {
     "dyn_with_index" ->
       """SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total
         |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "ql_with_index_string" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  sum(o_totalprice) AS total
+        |FROM orders WHERE o_orderpriority = '2-HIGH'
         |GROUP BY o_orderstatus""".stripMargin,
 
     "dyn_agg_xdelta" ->

@@ -148,6 +148,13 @@ class PlanContractSpec extends SparkSpec {
       p.linesIterator.take(10).mkString("\n"))
   }
 
+  test("ql_with_index_string: the QL string's WITH INDEX produces the " +
+      "index-scan + semi-join plan (not a dropped hint)") {
+    val p = planString(run("ql_with_index_string"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("llm_dedup_embedding_lsh candidate join carries ids only (vectors fetched post-join)") {
     val p = run("llm_dedup_embedding_lsh").queryExecution.optimizedPlan.toString
     // the chunk-bucket self-join must not project the embedding arrays;

@@ -194,6 +194,70 @@ class SelectRowsSpec extends SparkSpec {
     assert(sql.contains("any_compare(p"), sql)           // p only in ta, Any
   }
 
+  // ——— WITH INDEX through the string surface (transform.cpp:137) ———
+
+  private def keyedDf(rows: Seq[(Long, String, Long)]) = {
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val schema = YtSchema(Seq(
+      YtColumn("id", YtInt64, sortOrder = Some("ascending")),
+      YtColumn("tag", YtUtf8), YtColumn("v", YtInt64))).toStructType
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
+  }
+
+  test("WITH INDEX string: results match the full scan and the plan semi-joins") {
+    import graft.plans.SecondaryIndex
+    val prim = keyedDf(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L),
+      (4L, "c", 40L), (5L, "a", 50L)))
+    val idx = SecondaryIndex.build(prim, Seq("tag"), Seq("id"))
+    val cat = Map("//p" -> prim, "//p_by_tag" -> idx)
+    val got = SelectRows(spark,
+      "id, v FROM [//p] WITH INDEX [//p_by_tag] WHERE tag = 'a'", cat)
+    assert(got.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 30L), (5L, 50L)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+  }
+
+  test("WITH INDEX string: partially-pushable WHERE keeps non-index conjuncts") {
+    import graft.plans.SecondaryIndex
+    val prim = keyedDf(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)))
+    val idx = SecondaryIndex.build(prim, Seq("tag"), Seq("id"))
+    val got = SelectRows(spark,
+      "id FROM [//p] WITH INDEX [//p_by_tag] WHERE tag = 'a' AND v > 15",
+      Map("//p" -> prim, "//p_by_tag" -> idx))
+    assert(got.as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("WITH INDEX string over an unfolded index: list_contains becomes " +
+      "the index's scalar equality") {
+    import graft.plans.SecondaryIndex
+    import graft.types.YtTypes._
+    import scala.jdk.CollectionConverters._
+    val schema = YtSchema(Seq(
+      YtColumn("id", YtInt64, sortOrder = Some("ascending")),
+      YtColumn("tags", YtList(YtUtf8)))).toStructType
+    val prim = spark.createDataFrame(Seq(
+      Row(1L, Seq("x", "y")), Row(2L, Seq("y")), Row(3L, Seq("z", "x"))).asJava,
+      schema)
+    val idx = SecondaryIndex.buildUnfolded(prim, "tags", Seq("id"))
+    val got = SelectRows(spark,
+      "id FROM [//p] WITH INDEX [//p_tags] WHERE list_contains(tags, 'x')",
+      Map("//p" -> prim, "//p_tags" -> idx))
+    assert(got.as[Long].collect().toSet == Set(1L, 3L))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+  }
+
+  test("WITH INDEX string: index absent from catalog degrades to a full scan") {
+    val prim = keyedDf(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    val got = SelectRows(spark,
+      "id FROM [//p] WITH INDEX [//missing] WHERE tag = 'b'",
+      Map("//p" -> prim))
+    assert(got.as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("projected null-smallest comparisons are boolean-total, never SQL NULL") {
     val df = Seq[(java.lang.Long, java.lang.Long)]((1L, null), (null, 1L),
       (null, null), (1L, 2L)).toDF("a", "b")
