@@ -21,6 +21,36 @@ object Llm {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Operator-only plans for [[graft.Bench]]. The correctness entries
+    * for these keys wrap the operator in an in-plan truth + verdict
+    * harness — right for the oracle gate, wrong for timing, because the
+    * harness also computes the (sometimes quadratic) exact truth in the
+    * same plan. Bench times THESE; Verify keeps the verdict-wrapped
+    * `queries` entries. Parameters match the `queries` entries exactly.
+    */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id",
+        maxDist = 5, chunkBits = 8)),
+    "llm_dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingCosinePairsLsh(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, threshold = 0.35)),
+    "llm_sim_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        dim = 64, bits = 10, probeRadius = 3, tables = 8)
+    }),
+    "llm_sim_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 16, nprobe = 6)
+    }),
+    "llm_sim_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        dim = 64, m = 16, ksub = 32, refine = 8)
+    }))
+
   /** Per-query ANN quality verdict, computed in-plan: join the ANN
     * top-k against the brute-force top-k, emit each query's exact
     * top-1 cosine (oracle-recomputable) and whether recall clears

@@ -66,6 +66,10 @@ class QLSpec extends SparkSpec {
   test("bench headline keys exist and the JSON line fits the driver's tail capture") {
     val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"headline keys without queries: $missing")
+    // bench-only operator overrides must shadow real correctness keys
+    val orphan = graft.queries.Llm.benchOnly.keys
+      .filterNot(SparkEntry.queries.contains)
+    assert(orphan.isEmpty, s"benchOnly keys without queries: $orphan")
     // worst case: every headline query present at 999.999s
     val worst = 90 + Bench.headline.map(k => k.length + 12).sum
     assert(worst < 1850, s"worst-case bench line $worst chars — trim the headline")
