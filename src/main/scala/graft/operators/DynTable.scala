@@ -621,12 +621,25 @@ object DynTable {
 
   /** Push with the start-sequence-number option
     * (test_producer.py:218-252): rows carry no $sequence_number; they
-    * are numbered startSeq, startSeq+1, ... in `orderCol` order. */
+    * are numbered startSeq, startSeq+1, ... in `orderCol` order.
+    *
+    * The numbering is distributed: range-partition by the order column
+    * and sort within partitions (a total order across ascending
+    * partition ids), then assign ids via per-partition counts + a
+    * prefix-sum of offsets (`zipWithIndex`) — no global window funneling
+    * the batch through one partition. */
   def pushQueueProducerAutoSeq(queue: DataFrame, producer: DataFrame,
       sessionId: String, epoch: Long, rows: DataFrame, orderCol: Column,
       startSeq: Long, seqCol: String, ts: Long): PushResult = {
-    val numbered = rows.withColumn(seqCol,
-      row_number().over(Window.orderBy(orderCol)).cast("long") + lit(startSeq - 1))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = rows.sparkSession
+    val sorted = rows.repartitionByRange(orderCol).sortWithinPartitions(orderCol)
+    val schema = sorted.schema.add(seqCol, LongType, nullable = false)
+    val numbered = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (startSeq + i))
+      }, schema)
     pushQueueProducer(queue, producer, sessionId, epoch, numbered, seqCol, ts)
   }
 

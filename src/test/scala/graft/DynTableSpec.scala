@@ -386,6 +386,31 @@ class DynTableSpec extends SparkSpec {
     assert(e1 == 0L && s1 == -1L)
   }
 
+  test("auto-sequencing numbers a multi-partition batch in order without " +
+      "funneling it through one partition") {
+    val n = 5000
+    val rows = spark.range(n).select(
+      (lit(n - 1) - $"id").as("id"), concat(lit("p"), $"id").as("payload"))
+      .repartition(8)
+    val (p1, e0, _) = DynTable.createProducerSession(
+      DynTable.emptyProducer(spark), "h2", 1L)
+    val r = DynTable.pushQueueProducerAutoSeq(
+      rows.limit(0).withColumn("seq", lit(0L)), p1, "h2", e0, rows,
+      $"id", 100L, "seq", 2L)
+    assert(r.lastSequenceNumber == 100L + n - 1)
+    // seq follows id order exactly
+    val got = r.queue.select($"id", $"seq").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.zipWithIndex.forall { case ((id, seq), i) =>
+      id == i && seq == 100L + i })
+    // no global window in the numbering path: the plan must carry no
+    // Window operator and no SinglePartition exchange (AQE may still
+    // COALESCE this tiny batch — that's size-based and vanishes at
+    // scale; a Window.orderBy would be structural)
+    val plan = r.queue.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("consumer registrations: vital flag gates trimming, unregister frees the queue") {
     val ev = (0L until 40L).map(i => (i, i.toString)).toDF("event_id", "v")
     val ordered = DynTable.withOffsets(ev, lit(0L), Seq($"event_id"))
