@@ -343,6 +343,28 @@ object Sketches {
   def bloomProbe(c: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
     S.column(BloomProbe(S.expression(c), filter))
 
+  /** [[BloomProbe]] over 64-bit hash columns (the repeated-span /
+    * boilerplate-line hot sets probe as longs, not strings). */
+  case class BloomProbeLong(child: Expression,
+      filter: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(LongType)
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullSafeEval(input: Any): Any =
+      filter.mightContainLong(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fRef = ctx.addReferenceObj("bloom", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $fRef.mightContainLong($c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomProbeLong =
+      copy(child = newChild)
+  }
+
+  def bloomProbeLong(c: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    S.column(BloomProbeLong(S.expression(c), filter))
+
   /** Exact-integer pin for the stubbed feature encoder (see
     * SketchOps.rollingHashSum): lets an external oracle verify the float
     * feature vectors through an integer invariant. */

@@ -348,25 +348,25 @@ object TextAnalysis {
     * shuffles, and the whole rebuild is one compiled pass per doc (the
     * first cut used declarative array lambdas over a broadcast array:
     * the nested-loop join above them disabled whole-stage codegen and
-    * the interpreted per-line array scans were ~10× slower). For hot
-    * sets beyond closure scale swap in a bloom filter; membership stays
-    * map-side either way.
+    * the interpreted per-line array scans were ~10× slower). Hot sets
+    * beyond `maxDriverSet` switch automatically to [[hotMembership]]'s
+    * distributed Bloom-probe + exact-verify path — identical results,
+    * no driver set.
     */
   def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      wordsPerLine: Int = 5, minRepeats: Long = 3L): org.apache.spark.sql.DataFrame = {
+      wordsPerLine: Int = 5, minRepeats: Long = 3L,
+      maxDriverSet: Int = 2000000): org.apache.spark.sql.DataFrame = {
     val wpl = wordsPerLine
     val hashesUdf = udf { (text: String) =>
       val ws = splitWords(text)
       Array.tabulate((ws.length + wpl - 1) / wpl) { i =>
         lineHash(ws, i * wpl, math.min((i + 1) * wpl, ws.length)) }
     }
-    val hot: Set[Long] = docs
-      .select(explode(hashesUdf(col(textCol))).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minRepeats)
-      .select("h").collect().map(_.getLong(0)).toSet
-    val rebuildUdf = udf { (text: String) =>
+    // a local function VALUE, not a def: a nested def compiles to a
+    // module instance method and the udf closure would drag the whole
+    // (non-serializable) TextAnalysis module into the task
+    val rebuild: (String, Long => Boolean) => (Long, Long, String) = (text, isHot) => {
       val ws = splitWords(text)
       val n = (ws.length + wpl - 1) / wpl
       val sb = new StringBuilder
@@ -374,7 +374,7 @@ object TextAnalysis {
       var i = 0
       while (i < n) {
         val until = math.min((i + 1) * wpl, ws.length)
-        if (hot.contains(lineHash(ws, i * wpl, until))) dropped += 1
+        if (isHot(lineHash(ws, i * wpl, until))) dropped += 1
         else {
           var j = i * wpl
           while (j < until) {
@@ -386,10 +386,60 @@ object TextAnalysis {
       }
       (n.toLong, dropped, sb.toString)
     }
-    docs.select(col(idCol).as("doc_id"), rebuildUdf(col(textCol)).as("r"))
+    val rebuilt = hotMembership(docs, idCol, textCol, hashesUdf,
+        minRepeats, maxDriverSet) match {
+      case Left(hot) =>
+        val rebuildUdf = udf { (text: String) => rebuild(text, hot.contains) }
+        docs.select(col(idCol).as("doc_id"), rebuildUdf(col(textCol)).as("r"))
+      case Right(docHot) =>
+        val rebuildUdf = udf { (text: String, hs: Seq[Long]) =>
+          rebuild(text, if (hs == null) _ => false else hs.toSet)
+        }
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("_txt"))
+          .join(docHot, Seq("doc_id"), "left")
+          .select(col("doc_id"), rebuildUdf(col("_txt"), col("hot_hs")).as("r"))
+    }
+    rebuilt
       .select(col("doc_id"), col("r._1").as("n_lines"),
         col("r._2").as("n_dropped"), col("r._3").as("clean_text"))
       .filter(col("n_lines") > 0)
+  }
+
+  /** Hot-hash membership for the span/line dedup rebuilds. The common
+    * case (real corpora: the over-duplicated sliver is small) collects
+    * the hot hashes once and ships them in the rebuild closure —
+    * `Left(set)`. When the sliver exceeds `maxDriverSet` (adversarial
+    * corpus: every line repeated), membership resolves DISTRIBUTED
+    * instead — the [[graft.operators.Dedup.decontaminateBloom]]
+    * pattern: a distributed-built Bloom filter over the hot hashes
+    * probes each doc's hashes at scan speed, the surviving sliver
+    * exact-verifies against the true hot table (false positives drop),
+    * and each doc gets back its own verified-hot array —
+    * `Right(doc_id, hot_hs)`. Results are identical either way; the
+    * driver never holds more than `maxDriverSet` hashes. */
+  private def hotMembership(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      hashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      minOcc: Long, maxDriverSet: Int)
+      : Either[Set[Long], org.apache.spark.sql.DataFrame] = {
+    val hot = docs
+      .select(explode(hashesUdf(col(textCol))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select("h")
+      .localCheckpoint(eager = true) // one aggregation pass, both branches
+    val cap = math.min(maxDriverSet, Int.MaxValue - 1)
+    val sample = hot.limit(cap + 1).collect()
+    if (sample.length <= cap) Left(sample.map(_.getLong(0)).toSet)
+    else {
+      val bloom = hot.stat.bloomFilter("h", math.max(hot.count(), 1L), 0.001)
+      Right(docs
+        .select(col(idCol).as("doc_id"), explode(hashesUdf(col(textCol))).as("h"))
+        .filter(graft.functions.Sketches.bloomProbeLong(col("h"), bloom))
+        .join(hot, Seq("h")) // exact verify: Bloom false positives drop
+        .groupBy(col("doc_id"))
+        .agg(array_distinct(collect_list(col("h"))).as("hot_hs")))
+    }
   }
 
   /** Exact repeated-substring (span) removal — Lee et al. 2021,
@@ -406,26 +456,23 @@ object TextAnalysis {
     * — the only corpus shuffle, carrying longs with map-side combine;
     * the repeated sliver (count ≥ minOccurrences) ships to executors
     * in the rebuild UDF's closure, where membership is an O(1) probe
-    * per gram and the corpus never shuffles again. For adversarial
-    * corpora where the sliver outgrows the driver, swap the set for
-    * the distributed-built Bloom probe of `Dedup.decontaminateBloom`
-    * plus an exact verify join — identical results.
+    * per gram and the corpus never shuffles again. Slivers beyond
+    * `maxDriverSet` switch automatically to [[hotMembership]]'s
+    * distributed Bloom-probe + exact-verify path — identical results,
+    * no driver set.
     */
   def removeRepeatedSpans(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 8, minOccurrences: Long = 2L): org.apache.spark.sql.DataFrame = {
+      k: Int = 8, minOccurrences: Long = 2L,
+      maxDriverSet: Int = 2000000): org.apache.spark.sql.DataFrame = {
     val kk = k
     val gramsUdf = udf { (text: String) =>
       val ws = splitWords(text)
       if (ws.length < kk) Array.empty[Long]
       else Array.tabulate(ws.length - kk + 1)(i => lineHash(ws, i, i + kk))
     }
-    val hot: Set[Long] = docs
-      .select(explode(gramsUdf(col(textCol))).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minOccurrences)
-      .select("h").collect().map(_.getLong(0)).toSet
-    val rebuildUdf = udf { (text: String) =>
+    // function value, not def — see removeBoilerplateLines
+    val rebuild: (String, Long => Boolean) => (String, Long, Long) = (text, isHot) => {
       val ws = splitWords(text)
       val n = ws.length
       val covered = new Array[Boolean](n)
@@ -433,7 +480,7 @@ object TextAnalysis {
       if (n >= kk) {
         var i = 0
         while (i <= n - kk) {
-          if (hot.contains(lineHash(ws, i, i + kk))) {
+          if (isHot(lineHash(ws, i, i + kk))) {
             flagged += 1
             var j = i
             while (j < i + kk) { covered(j) = true; j += 1 }
@@ -454,7 +501,20 @@ object TextAnalysis {
       }
       (sb.toString, removed, flagged)
     }
-    docs.select(col(idCol).as("doc_id"), rebuildUdf(col(textCol)).as("r"))
+    val rebuilt = hotMembership(docs, idCol, textCol, gramsUdf,
+        minOccurrences, maxDriverSet) match {
+      case Left(hot) =>
+        val rebuildUdf = udf { (text: String) => rebuild(text, hot.contains) }
+        docs.select(col(idCol).as("doc_id"), rebuildUdf(col(textCol)).as("r"))
+      case Right(docHot) =>
+        val rebuildUdf = udf { (text: String, hs: Seq[Long]) =>
+          rebuild(text, if (hs == null) _ => false else hs.toSet)
+        }
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("_txt"))
+          .join(docHot, Seq("doc_id"), "left")
+          .select(col("doc_id"), rebuildUdf(col("_txt"), col("hot_hs")).as("r"))
+    }
+    rebuilt
       .select(col("doc_id"), col("r._1").as("kept_text"),
         col("r._2").as("n_removed_words"), col("r._3").as("n_flagged_grams"))
   }

@@ -765,6 +765,33 @@ class LlmSpec extends SparkSpec {
     assert(out8.toSeq == out.toSeq)
   }
 
+  test("adversarial all-repeated corpus: the hot sliver outgrows the " +
+      "driver cap and the Bloom + exact-verify path returns identical results") {
+    import org.apache.spark.sql.functions.col
+    // every doc repeats the same spans → the hot set is the whole gram
+    // space; cap the driver set at 4 so the distributed path engages
+    val body = (0 until 40).map(i => s"w${i % 10}").mkString(" ")
+    val docs = (1L to 30L).map(i => (i, s"$body extra$i $body")).toDF("doc_id", "text")
+
+    val closure = TextAnalysis.removeRepeatedSpans(docs, k = 4,
+        minOccurrences = 2L, maxDriverSet = Int.MaxValue)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    val bloomed = TextAnalysis.removeRepeatedSpans(docs, k = 4,
+        minOccurrences = 2L, maxDriverSet = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(bloomed == closure)
+    assert(closure.forall(_._3 > 0L), "adversarial corpus should flag spans")
+
+    val closureL = TextAnalysis.removeBoilerplateLines(docs,
+        wordsPerLine = 5, minRepeats = 3L, maxDriverSet = Int.MaxValue)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val bloomedL = TextAnalysis.removeBoilerplateLines(docs,
+        wordsPerLine = 5, minRepeats = 3L, maxDriverSet = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(bloomedL == closureL)
+    assert(closureL.forall(_._3 > 0L), "adversarial corpus should drop lines")
+  }
+
   test("gopherStats counts words, lines, bullets, ellipses, stopwords " +
       "per the pinned cross-engine definitions") {
     import org.apache.spark.sql.functions.col
