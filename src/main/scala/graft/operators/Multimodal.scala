@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * Metadata extraction is a REAL container-header probe — PNG IHDR,
   * JPEG SOF marker scan, GIF/BMP headers, WAV RIFF duration — pure
   * byte parsing with no codec library, which is exactly what a
-  * pipeline's scan-time metadata pass does (full pixel/sample DECODE
-  * needs a codec and stays out of scope: payloads that match no magic
-  * fall back to deterministic pseudo-metadata so the synthetic corpus
-  * remains covered, and `extractFeatures`/`resize` keep clearly-marked
-  * stub bodies to swap for codec calls in production).
+  * pipeline's scan-time metadata pass does. Pixel decode is
+  * codec-backed via javax.imageio ([[decodeImage]]): `resize` rescales
+  * real PNG/JPEG/GIF/BMP payloads and re-encodes PNG; `extractFeatures`
+  * computes block-luminance grid features from true pixels. Payloads
+  * matching no known magic keep the deterministic fallbacks so the
+  * synthetic text-byte corpus remains covered; audio/video sample
+  * decode still needs an external codec and stays out of scope.
   */
 object Multimodal {
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -31,6 +33,56 @@ object Multimodal {
     */
   def withBinaryPayload(df: DataFrame, srcCol: String, payloadCol: String): DataFrame =
     df.withColumn(payloadCol, encode(col(srcCol), "UTF-8"))
+
+  /** Codec-backed image decode (javax.imageio — PNG/JPEG/GIF/BMP): the
+    * real pixel path behind [[resize]] and [[extractFeatures]]. Only
+    * payloads whose magic names a format ImageIO handles are attempted;
+    * anything else (and any corrupt container) returns None so the
+    * deterministic fallbacks keep covering the synthetic corpus. */
+  private[graft] def decodeImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    if (payload == null || payload.length < 4) return None
+    val b = payload
+    val known =
+      ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M')
+    if (!known) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+  }
+
+  /** Deterministic real-PNG fixture generator: one solid-gray
+    * `widthCol`×`heightCol` image per row, encoded through the real
+    * PNG encoder — so decode-path tests and oracles run against true
+    * container bytes without shipping binary fixtures. */
+  def synthesizePng(df: DataFrame, widthCol: String, heightCol: String,
+      grayCol: String, outCol: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, BinaryType))
+    val (wi, hi, gi) = (inSchema.fieldIndex(widthCol),
+      inSchema.fieldIndex(heightCol), inSchema.fieldIndex(grayCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, g) = (r.getInt(wi), r.getInt(hi), r.getInt(gi))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   private def be16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -129,11 +181,14 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Feature-extraction plumbing: payload → dense Array[Float]
-    * embedding, batched per partition (stub: deterministic features
-    * from a rolling byte hash; swap for a real encoder model call).
-    * Output shape matches the `embeddings` table so the Similarity
-    * operators compose directly.
+  /** Feature extraction: payload → dense Array[Float], batched per
+    * partition. Decodable images (PNG/JPEG/GIF/BMP via
+    * [[decodeImage]]) get REAL pixel features — mean luminance
+    * (0.299r+0.587g+0.114b)/255 − 0.5 over a ⌈√dim⌉×⌈√dim⌉ block grid,
+    * the classic tiny-thumbnail embedding; non-image payloads keep the
+    * deterministic rolling-hash features (swap for an encoder model
+    * call in production). Output shape matches the `embeddings` table
+    * so the Similarity operators compose directly.
     */
   def extractFeatures(df: DataFrame, payloadCol: String, dim: Int,
       outCol: String = "vec"): DataFrame = {
@@ -145,27 +200,55 @@ object Multimodal {
         val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val vec: Array[Float] =
           if (payload == null) null
-          else {
-            val out = new Array[Float](dim)
-            var h = 1125899906842597L
-            var i = 0
-            while (i < payload.length) {
-              h = 31 * h + payload(i)
-              out(i % dim) += (h & 0xffff) / 65536.0f - 0.5f
-              i += 1
-            }
-            out
+          else decodeImage(payload) match {
+            case Some(img) =>
+              val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+              val (w, h) = (img.getWidth, img.getHeight)
+              val out = new Array[Float](dim)
+              var k = 0
+              while (k < dim) {
+                val (cx, cy) = (k % g, k / g)
+                val x0 = cx * w / g; val x1 = math.max(x0 + 1, (cx + 1) * w / g)
+                val y0 = cy * h / g; val y1 = math.max(y0 + 1, (cy + 1) * h / g)
+                var sum = 0.0; var n = 0
+                var y = y0
+                while (y < h && y < y1) {
+                  var x = x0
+                  while (x < w && x < x1) {
+                    val p = img.getRGB(x, y)
+                    sum += 0.299 * ((p >> 16) & 0xff) +
+                      0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                    n += 1; x += 1
+                  }
+                  y += 1
+                }
+                out(k) = if (n == 0) 0.0f else (sum / n / 255.0 - 0.5).toFloat
+                k += 1
+              }
+              out
+            case None =>
+              val out = new Array[Float](dim)
+              var h = 1125899906842597L
+              var i = 0
+              while (i < payload.length) {
+                h = 31 * h + payload(i)
+                out(i % dim) += (h & 0xffff) / 65536.0f - 0.5f
+                i += 1
+              }
+              out
           }
         Row.fromSeq(r.toSeq :+ vec)
       }
     }(Encoders.row(outSchema))
   }
 
-  /** Resize plumbing: payload → payload scaled to a `width`×`height`
-    * target, batched per partition. STUB scaling: stride-sample the
-    * input bytes down to `min(len, width*height/64)` — deterministic
-    * and monotone in the target like a real scaler's output size; swap
-    * the loop body for a codec resize call. Null payloads pass through.
+  /** Resize: payload → payload scaled to a `width`×`height` target,
+    * batched per partition. Decodable images ([[decodeImage]]) take the
+    * REAL codec path — bilinear rescale through Graphics2D, re-encoded
+    * as PNG, so the output is a true container whose header probes to
+    * the target dims. Non-image payloads keep the deterministic
+    * stride-sample fallback (monotone in the target like a real
+    * scaler's output size). Null payloads pass through.
     */
   def resize(df: DataFrame, payloadCol: String, width: Int, height: Int,
       outCol: String = "resized"): DataFrame = {
@@ -178,15 +261,28 @@ object Multimodal {
         val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val out: Array[Byte] =
           if (payload == null) null
-          else if (payload.length <= target) payload
-          else {
-            val res = new Array[Byte](target)
-            var i = 0
-            while (i < target) {
-              res(i) = payload((i.toLong * payload.length / target).toInt)
-              i += 1
-            }
-            res
+          else decodeImage(payload) match {
+            case Some(img) =>
+              val scaled = new java.awt.image.BufferedImage(width, height,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val gr = scaled.createGraphics()
+              gr.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              gr.drawImage(img, 0, 0, width, height, null)
+              gr.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(scaled, "png", bos)
+              bos.toByteArray
+            case None if payload.length <= target => payload
+            case None =>
+              val res = new Array[Byte](target)
+              var i = 0
+              while (i < target) {
+                res(i) = payload((i.toLong * payload.length / target).toInt)
+                i += 1
+              }
+              res
           }
         Row.fromSeq(r.toSeq :+ out)
       }

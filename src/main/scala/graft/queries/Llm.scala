@@ -457,6 +457,32 @@ object Llm {
         .select(col("doc_id"), length(col("resized")).cast("long").as("resized_len"))
     }),
 
+    // Codec-backed decode chain on REAL PNG fixtures: synthesize a
+    // solid-gray PNG per doc (true encoder bytes, dims derived from
+    // doc_id), probe its header, bilinear-resize through the codec,
+    // probe the output header, and extract pixel features. Every column
+    // is analytically known: input dims from the doc_id formulas,
+    // output dims = the resize target, features = gray/255 - 0.5.
+    "llm_multimodal_decode" -> ((s, d) => {
+      val specs = t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(23))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id") * 7, lit(17))).cast("int").as("h"),
+          pmod(col("doc_id") * 37, lit(256)).cast("int").as("g"))
+      val png = Multimodal.synthesizePng(specs, "w", "h", "g")
+      val pin = Multimodal.decodeMeta(png, "payload", "m_in")
+      val rs = Multimodal.resize(pin, "payload", width = 32, height = 24)
+      val pout = Multimodal.decodeMeta(rs, "resized", "m_out")
+      val feats = Multimodal.extractFeatures(pout, "resized", 16)
+      feats.select(col("doc_id"),
+        col("m_in.width").as("in_w"), col("m_in.height").as("in_h"),
+        col("m_in.codec").as("in_codec"),
+        col("m_out.width").as("out_w"), col("m_out.height").as("out_h"),
+        col("m_out.codec").as("out_codec"),
+        round(element_at(col("vec"), 1).cast("double"), 4).as("f0"),
+        round(element_at(col("vec"), 16).cast("double"), 4).as("f15"))
+    }),
+
     // Sequence packing (sample packing for pretraining): whole docs
     // greedily fill 512-token context windows, bucketed for parallelism
     // (bucket = doc_id % 8 here so the oracle can re-derive it; xxhash64
@@ -1034,6 +1060,16 @@ object Llm {
       """SELECT doc_id,
            LEAST(octet_length(encode(text)), 16) AS resized_len
          FROM documents WHERE doc_id < 200""",
+    "llm_multimodal_decode" ->
+      """SELECT doc_id,
+           CAST(8 + doc_id % 23 AS INT) AS in_w,
+           CAST(8 + (doc_id * 7) % 17 AS INT) AS in_h,
+           'image/png' AS in_codec,
+           CAST(32 AS INT) AS out_w, CAST(24 AS INT) AS out_h,
+           'image/png' AS out_codec,
+           ROUND((doc_id * 37 % 256) / 255.0 - 0.5, 4) AS f0,
+           ROUND((doc_id * 37 % 256) / 255.0 - 0.5, 4) AS f15
+         FROM documents WHERE doc_id < 50""",
     // The cluster CTE of llm_dedup_clusters + the md5 split rule:
     // rep = min reachable node, split by md5('split|' || rep) < 0.2·2³².
     "llm_split_leakage_safe" ->

@@ -332,6 +332,43 @@ class LlmSpec extends SparkSpec {
     assert(got(2L).isEmpty)
   }
 
+  test("codec decode: real PNGs resize to true containers; corrupt or " +
+      "non-image payloads fall back without throwing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // real PNG (5×3, gray 100), corrupt PNG magic, plain text bytes
+    val pngBytes = {
+      val img = new java.awt.image.BufferedImage(5, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 3).foreach(y => (0 until 5).foreach(x =>
+        img.setRGB(x, y, (100 << 16) | (100 << 8) | 100)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5, 6)
+    val text = "just text".getBytes("UTF-8")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, pngBytes), Row(2L, corrupt), Row(3L, text)),
+      schema)
+    val rs = Multimodal.resize(df, "payload", 4, 4)
+    val probed = Multimodal.decodeMeta(rs, "resized", "m")
+      .select(col("id"), col("m.width"), col("m.height"), col("m.codec"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getString(3))).toMap
+    assert(probed(1L) == (Some(4), Some(4), "image/png"))
+    // corrupt/non-image: stride fallback output probes as pseudo-meta
+    assert(probed(2L)._3.startsWith("fake/"))
+    assert(probed(3L)._3.startsWith("fake/"))
+    // features from true pixels: solid gray 100 → 100/255 - 0.5 everywhere
+    val f = Multimodal.extractFeatures(df.filter(col("id") === 1L), "payload", 9)
+      .select(col("vec")).as[Seq[Float]].collect().head
+    assert(f.length == 9 &&
+      f.forall(v => math.abs(v - (100.0 / 255.0 - 0.5)) < 1e-6), f)
+  }
+
   test("frame sampling emits one row per frame slice") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "s")
       .withColumn("payload", encode(col("s"), "UTF-8"))
