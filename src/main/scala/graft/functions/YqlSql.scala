@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graft.{shims => S}
+
+/** YQL's SQL-STRING entry point for module calls — the
+  * `Module::Function(args)` spelling of the reference grammar
+  * (yql/essentials/sql/v1/SQLv1.g.in, module call over `::`).
+  *
+  * Spark SQL is already the dialect for everything else in §2.D; what
+  * it lacks is the module-call SPELLING. Two pieces close that:
+  *
+  *   1. [[registerAll]] installs the [[YqlModules]] surface in the
+  *      session's FunctionRegistry under `module_function` names
+  *      (`digest_md5`, `url_gethost`, ...) — native Catalyst
+  *      expression builders, not UDFs, so everything stays codegen'd;
+  *   2. [[rewrite]] turns `Digest::Md5(x)` into `digest_md5(x)` before
+  *      the text reaches `spark.sql` (quoted strings are left alone).
+  *
+  * [[sql]] does both. Functions whose YQL signature takes a constant
+  * (regex patterns, separators, formats) require foldable literal
+  * arguments, like the reference's compile-time module-call typing.
+  */
+object YqlSql {
+
+  /** `Module::Function` → `module_function`, outside string literals. */
+  def rewrite(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    val n = sql.length
+    val id = "[A-Za-z_][A-Za-z0-9_]*"
+    val call = s"^($id)::($id)".r
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && i + 1 < n) { out.append(sql.charAt(i + 1)); i += 1 }
+        i += 1
+      } else if (c == '\'' || c == '"') { quote = c; out.append(c); i += 1 }
+      else call.findFirstMatchIn(sql.substring(i)) match {
+        case Some(m) =>
+          out.append(m.group(1).toLowerCase).append('_')
+            .append(m.group(2).toLowerCase)
+          i += m.end
+        case None => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Run a YQL-spelled SQL string: register modules, rewrite module
+    * calls, hand to Catalyst. */
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    registerAll(spark)
+    spark.sql(rewrite(query))
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def cc(e: Expression): Column = S.column(e)
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+      r.createOrReplaceTempFunction(name, b, "built-in")
+    def reg1(name: String)(f: Column => Column): Unit =
+      reg(name)(es => S.convert(f(cc(es.head))))
+    def reg2(name: String)(f: (Column, Column) => Column): Unit =
+      reg(name)(es => S.convert(f(cc(es(0)), cc(es(1)))))
+    // constant second/third args (patterns, separators, formats): the
+    // reference types module calls at compile time, so non-foldable
+    // arguments are an error, not a per-row evaluation
+    def litStr(e: Expression, fn: String): String = {
+      require(e.foldable, s"$fn requires a constant argument")
+      val v = e.eval(null)
+      require(v != null, s"$fn constant argument is null")
+      v.toString
+    }
+    def reg1s(name: String)(f: (Column, String) => Column): Unit =
+      reg(name)(es => S.convert(f(cc(es(0)), litStr(es(1), name))))
+    def reg1ss(name: String)(f: (Column, String, String) => Column): Unit =
+      reg(name)(es =>
+        S.convert(f(cc(es(0)), litStr(es(1), name), litStr(es(2), name))))
+
+    import YqlModules._
+    reg1("digest_md5")(Digest.md5)
+    reg1("digest_sha256")(Digest.sha256)
+    reg1("digest_crc32")(Digest.crc32)
+    reg1("digest_xxh")(Digest.xxh)
+    reg1("digest_murmurhash")(Digest.murmurHash)
+
+    reg1("url_gethost")(Url.getHost)
+    reg1("url_getpath")(Url.getPath)
+    reg1("url_getscheme")(Url.getScheme)
+    reg1s("url_getcgiparam")(Url.getCgiParam)
+    reg1("url_decode")(Url.decode)
+    reg1("url_encode")(Url.encode)
+
+    reg1("string_toupper")(Str.toUpper)
+    reg1("string_tolower")(Str.toLower)
+    reg1("string_strip")(Str.strip)
+    reg1s("string_splittolist")(Str.splitToList)
+    reg1s("string_joinfromlist")(Str.joinFromList)
+    reg1ss("string_replaceall")(Str.replaceAll)
+    reg1s("string_startswith")(Str.startsWith)
+    reg1s("string_endswith")(Str.endsWith)
+
+    reg1("math_sqrt")(Math.sqrt)
+    reg1("math_log")(Math.log)
+    reg1("math_abs")(Math.abs)
+    reg1("math_sigmoid")(Math.sigmoid)
+    reg2("math_pow")(Math.pow)
+    reg("math_round")(es => S.convert(
+      if (es.length > 1) Math.round(cc(es(0)), litStr(es(1), "math_round").toInt)
+      else Math.round(cc(es(0)))))
+
+    reg1("unicode_getlength")(Unicode.getLength)
+    reg1("unicode_reverse")(Unicode.reverse)
+    reg1("unicode_normalize")(Unicode.normalize)
+    reg(name = "unicode_substring")(es =>
+      S.convert(Unicode.substring(cc(es(0)), cc(es(1)), cc(es(2)))))
+
+    reg1("datetime_getyear")(DateTime.getYear)
+    reg1("datetime_getmonth")(DateTime.getMonth)
+    reg1("datetime_getdayofmonth")(DateTime.getDayOfMonth)
+    reg1("datetime_getdayofweek")(DateTime.getDayOfWeek)
+    reg1("datetime_gethour")(DateTime.getHour)
+    reg1("datetime_getminute")(DateTime.getMinute)
+    reg1("datetime_startofyear")(DateTime.startOfYear)
+    reg1("datetime_startofmonth")(DateTime.startOfMonth)
+    reg1("datetime_startofweek")(DateTime.startOfWeek)
+    reg1("datetime_startofday")(DateTime.startOfDay)
+    reg1("datetime_fromseconds")(DateTime.fromSeconds)
+    reg1("datetime_toseconds")(DateTime.toSeconds)
+    reg1s("datetime_format")(DateTime.format)
+    reg1s("datetime_parse")(DateTime.parse)
+    reg2("datetime_intervaldays")(DateTime.intervalDays)
+    reg("datetime_makedate")(es =>
+      S.convert(DateTime.makeDate(cc(es(0)), cc(es(1)), cc(es(2)))))
+
+    reg1s("json_value")(Json.value)
+    reg1s("json_exists")(Json.exists)
+    reg1s("json_query")(Json.query)
+    reg1s("json_valueint")(Json.valueInt)
+    reg1s("json_valuedouble")(Json.valueDouble)
+
+    reg1("ip_fromstring")(Ip.fromString)
+    reg1("ip_tostring")(Ip.toString)
+    reg1("ip_isprivate")(Ip.isPrivate)
+
+    reg1s("pire_match")(Pire.matches)
+    reg1s("pire_grep")(Pire.grep)
+    reg1s("pire_capture")(Pire.capture)
+    reg1ss("pire_replace")(Pire.replace)
+  }
+}

@@ -353,6 +353,22 @@ object Yql {
         Json.valueDouble(col("props"), "$.k").as("k_dbl"))
     }),
 
+    // Module calls as a SQL STRING — the YQL `Module::Function(args)`
+    // spelling (SQLv1.g.in module-call grammar) through YqlSql: the
+    // registry installs native builders (no UDFs) and the pre-rewrite
+    // lowers `Digest::Md5` → `digest_md5` outside string literals.
+    "yql_sql_module_call" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part")
+      graft.functions.YqlSql.sql(s,
+        """SELECT p_partkey,
+             Digest::Md5(p_name) AS md5_name,
+             String::ToUpper(p_type) AS type_u,
+             Url::GetHost(concat('https://h', p_partkey, '.example.com/p')) AS host,
+             round(Math::Sqrt(p_retailprice), 6) AS sqrt_price,
+             String::ReplaceAll(p_brand, '#', '-') AS brand_fix
+           FROM part""")
+    }),
+
     // Compress module (compress_base/compress_udf.cpp): gzip + zlib
     // round trips. The oracle checks decompress(compress(x)) == x —
     // compressed bytes themselves are codec-version-specific, so only
@@ -831,6 +847,14 @@ object Yql {
            CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
              AS BIGINT) AS days_since_95
          FROM orders""",
+    "yql_sql_module_call" ->
+      """SELECT p_partkey,
+           md5(p_name) AS md5_name,
+           upper(p_type) AS type_u,
+           'h' || p_partkey || '.example.com' AS host,
+           round(sqrt(p_retailprice), 6) AS sqrt_price,
+           replace(p_brand, '#', '-') AS brand_fix
+         FROM part""",
     "yql_fn_json2" ->
       """SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,

@@ -278,6 +278,30 @@ class FunctionsSpec extends SparkSpec {
       .select(F.regex_replace_first("(a+)", col("s"), """[\1]""")).as[String].head() == "[aa]b")
   }
 
+  test("YqlSql module-call rewrite: spellings lower outside strings only") {
+    import graft.functions.YqlSql
+    assert(YqlSql.rewrite("SELECT Digest::Md5(x), Url::GetHost(u) FROM t") ==
+      "SELECT digest_md5(x), url_gethost(u) FROM t")
+    // a '::' inside a string literal is untouched
+    assert(YqlSql.rewrite("SELECT 'Digest::Md5', String::ToUpper(s) FROM t") ==
+      "SELECT 'Digest::Md5', string_toupper(s) FROM t")
+  }
+
+  test("YqlSql: registered module functions run as a SQL string, codegen'd") {
+    import graft.functions.YqlSql
+    Seq(("abc", 16.0), ("dd", 25.0)).toDF("s", "v").createOrReplaceTempView("yqlsql_t")
+    val df = YqlSql.sql(spark,
+      """SELECT String::ToUpper(s) AS u, Math::Sqrt(v) AS sq,
+           Digest::Crc32(s) AS c, DateTime::GetYear(DateTime::FromSeconds(0)) AS y
+         FROM yqlsql_t""")
+    val got = df.as[(String, Double, Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2, t._4)) == Set(("ABC", 4.0, 1970L), ("DD", 5.0, 1970L)))
+    // constant-argument functions reject non-foldable args at analysis
+    intercept[Exception] {
+      YqlSql.sql(spark, "SELECT Pire::Grep(s, s) FROM yqlsql_t").collect()
+    }
+  }
+
   test("dict_sum survives keys past the 64 KiB writeUTF limit") {
     val k = "k" * 70000
     val df = Seq(Map(k -> 1L), Map(k -> 2L)).toDF("m").repartition(2)
