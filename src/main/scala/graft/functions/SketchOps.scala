@@ -540,6 +540,32 @@ object SketchOps {
     s
   }
 
+  /** SemDeDup centroid assignment: argmax cosine over the broadcast
+    * centroid table (ids/cents are parallel arrays), sequential double
+    * accumulation in index order with the min-id tiebreak — the exact
+    * summation order the DuckDB oracle replays. */
+  def centroidArgmax(v: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]]): Long = {
+    var bestId = Long.MaxValue
+    var bestS = Double.NegativeInfinity
+    var k = 0
+    while (k < ids.length) {
+      val c = cents(k)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(v.numElements(), c.length)
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble; val y = c(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0
+              else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s > bestS || (s == bestS && ids(k) < bestId)) { bestS = s; bestId = ids(k) }
+      k += 1
+    }
+    bestId
+  }
+
   /** The gram → md5-bucket ids of [[dsirScore]] as an int array (the
     * bucket-count pass explodes these instead of materializing gram
     * strings through an interpreted generator). */

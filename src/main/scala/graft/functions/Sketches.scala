@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.{shims => S}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType}
 
 /** Single-pass sketch expressions for the dedup operators.
   *
@@ -318,6 +318,30 @@ object Sketches {
 
   def bucketScore(buckets: Column, weights: Array[Double]): Column =
     S.column(BucketScore(S.expression(buckets), weights))
+
+  /** SemDeDup assignment as a compiled expression: argmax cosine over
+    * the (hyperparameter-sized) centroid table riding into codegen as
+    * reference objects — same pattern as [[BucketScore]]'s weights. */
+  case class CentroidArgmax(child: Expression, ids: Array[Long],
+      cents: Array[Array[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.centroidArgmax(input.asInstanceOf[ArrayData], ids, cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+      val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.centroidArgmax($c, $idsRef, $cRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): CentroidArgmax =
+      copy(child = newChild)
+  }
+
+  def centroidArgmax(vec: Column, ids: Array[Long],
+      cents: Array[Array[Double]]): Column =
+    S.column(CentroidArgmax(S.expression(vec), ids, cents))
 
   /** Scan-speed membership probe against a pre-built Bloom filter (the
     * filter rides into codegen as one reference object, shipped with

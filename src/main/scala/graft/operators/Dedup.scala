@@ -241,27 +241,13 @@ object Dedup {
       .select(col("id"), col("vec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // one compiled pass per row: argmax cosine over the broadcast
-    // centroid table, sequential double accumulation (the exact
-    // summation order the oracle's cosine uses)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      var bestId = Long.MaxValue
-      var bestS = Double.NegativeInfinity
-      centroids.foreach { case (cid, c) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        val n = math.min(v.length, c.length)
-        while (i < n) {
-          val x = v(i).toDouble; val y = c(i)
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        val s = if (na == 0.0 || nb == 0.0) 0.0
-                else dot / (math.sqrt(na) * math.sqrt(nb))
-        if (s > bestS || (s == bestS && cid < bestId)) { bestS = s; bestId = cid }
-      }
-      bestId
-    }
+    // centroid table (Sketches.CentroidArgmax — the table rides into
+    // codegen as reference objects, like the other sketches), with the
+    // exact sequential summation order the oracle's cosine uses
     val assigned = df.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).as("vec"), assignUdf(col(vecCol)).as("cell"))
+      col(vecCol).as("vec"),
+      graft.functions.Sketches.centroidArgmax(col(vecCol),
+        centroids.map(_._1), centroids.map(_._2)).as("cell"))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
       .filter(Similarity.cosine(col("a.vec"), col("b.vec")) >= tau)
