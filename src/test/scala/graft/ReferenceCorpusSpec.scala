@@ -4283,4 +4283,88 @@ class ReferenceCorpusSpec extends SparkSpec {
       .collect().map(_.get(0).toString)
     assert(gotD.toSeq == Seq("108.10"))
   }
+
+  // ——— round-5 ports: remaining join / coordinated-group-by families ———
+
+  test("Join (ql_query_ut.cpp:6203): USING / ON / aliased-ON forms agree " +
+      "on a join grouped by a foreign expression") {
+    val left = (1L to 9L).map(i => (i, i * 10L)).toDF("a", "b")
+    val right = (1L to 9L).map(i => (i * 10L, i)).toDF("b", "c")
+    val cat = Map("//left" -> left, "//right" -> right)
+    val expected = Set((25L, 1L), (20L, 0L))
+    for (ql <- Seq(
+      "sum(a) as x, z FROM [//left] join [//right] using b group by c % 2 as z",
+      "sum(l.a) as x, z FROM [//left] as l join [//right] as r on (l.b) = (r.b) group by r.c % 2 as z")) {
+      val got = SelectRows(spark, ql, cat).as[(Long, Long)].collect().toSet
+      assert(got == expected, ql)
+    }
+  }
+
+  test("HavingClause3 (ql_query_ut.cpp:4797): HAVING on an aggregate " +
+      "not in the projection") {
+    val df = Seq((1L, 10L), (1L, 10L), (2L, 20L), (2L, 20L)).toDF("a", "b")
+    val got = q2("a as x FROM [//tmp/ab] group by a having sum(b) = 20", df)
+      .as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("GroupByCoordinatedWithTotalsNoLimitNoPrimaryKeyInGroupKey " +
+      "(ql_query_ut.cpp:3794): non-key group keys + totals across partitions") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 100L).map(pk =>
+      (pk, rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
+    val expected: Map[Option[Long], Long] =
+      rows.groupBy(r => Option(r._2)).map { case (k, rs) => k -> rs.map(_._3).sum } +
+        (Option.empty[Long] -> rows.map(_._3).sum)
+    val df = rows.toDF("pk", "gk", "v").repartition(7)
+    val got = q2("gk, sum(v) as v from [//tmp/ab] group by gk with totals", df)
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val key = if (r.isNullAt(0)) Option.empty[Long] else Some(r.getLong(0))
+      assert(r.getLong(1) == expected(key), s"group $key")
+    }
+  }
+
+  test("GroupByCoordinatedWithTotalsWithLimitNoPrimaryKeyInGroupKey " +
+      "(ql_query_ut.cpp:3944): the totals row rides above the limit and " +
+      "totals ALL groups at every page size") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 100L).map(pk =>
+      (pk, rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
+    val expected: Map[Option[Long], Long] =
+      rows.groupBy(r => Option(r._2)).map { case (k, rs) => k -> rs.map(_._3).sum } +
+        (Option.empty[Long] -> rows.map(_._3).sum)
+    val nGroups = expected.size - 1
+    val df = rows.toDF("pk", "gk", "v").repartition(5)
+    for (limit <- Seq(1, 2, 5, 19, 20, 21, 50)) {
+      val got = q2(
+        s"gk, sum(v) as v from [//tmp/ab] group by gk with totals limit $limit", df)
+        .collect()
+      assert(got.length == math.min(nGroups + 1, limit + 1), s"limit $limit")
+      got.foreach { r =>
+        val key = if (r.isNullAt(0)) Option.empty[Long] else Some(r.getLong(0))
+        assert(r.getLong(1) == expected(key), s"limit $limit group $key")
+      }
+    }
+  }
+
+  test("UnversionedValueUdf2 (ql_query_ut.cpp): a registered scalar UDF " +
+      "resolves through the string surface; null input yields false, not null") {
+    spark.udf.register("string_equals_42_udf",
+      (s: String) => s != null && s == "42")
+    val df = Seq(Option("Hello"), Some(""), Some("42"), None).toDF("a")
+    val got = SelectRows(spark, "string_equals_42_udf(a) as x FROM [//t]",
+      Map("//t" -> df)).as[Boolean].collect()
+    assert(got.toSeq == Seq(false, false, true, false))
+  }
+
+  test("EmptySplit (ql_query_ut.cpp:1170): `where %false` folds to an " +
+      "empty relation — the coordinator reads zero splits") {
+    val got = q2("a from [//tmp/ab] where %false", ab45)
+    assert(got.count() == 0)
+    val opt = got.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LocalRelation") || opt.contains("Empty"),
+      "WHERE false must fold the scan away:\n" + opt.take(400))
+  }
 }
