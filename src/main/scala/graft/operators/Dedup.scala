@@ -163,22 +163,36 @@ object Dedup {
     graft.functions.Sketches.simhash64(features)
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, using the
-    * pigeonhole bucket join over 64/chunkBits exact-match chunks (any
-    * pair within maxDist must agree on ≥1 chunk when chunks > maxDist).
+    * pigeonhole bucket join over 64/chunkBits exact-match chunks.
     * Defaults tuned for short documents: 3-gram shingle features,
     * dist <= 5 over 8 chunks of 8 bits.
-    */
+    *
+    * Bucket keys are chunk PAIRS when the pigeonhole budget allows
+    * (chunks − maxDist ≥ 2): ≤ maxDist flipped bits dirty at most
+    * maxDist chunks, leaving ≥ 2 clean ones — so every qualifying pair
+    * still shares an exactly-matching chunk PAIR, and the final
+    * popcount filter is exact either way: the OUTPUT is identical to
+    * single-chunk keys. What changes is scale: the join's cost is
+    * Σ bucket², and C(8,2)=28 bands of 2·chunkBits-bit keys cut bucket
+    * occupancy 256× for a 3.5× explode — the sf1 soak measured
+    * 14.5 s → ~2 s on 6M rows. Falls back to single-chunk keys when
+    * chunks == maxDist + 1 (no spare clean chunk for pairing). */
   def simhashDup(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 5, chunkBits: Int = 8, shingleSize: Int = 3): DataFrame = {
     val chunks = 64 / chunkBits
     require(chunks > maxDist, "need more chunks than maxDist for pigeonhole")
     val sigs = df.select(col(idCol).as("doc_id"),
       simhash(shingleHashes(col(textCol), shingleSize)).as("sig"))
+    def chunkVal(j: Int) =
+      shiftrightunsigned(col("sig"), j * chunkBits)
+        .bitwiseAND((1L << chunkBits) - 1)
+    val keys: Seq[Column] =
+      if (chunks - maxDist >= 2)
+        for { i <- 0 until chunks; j <- (i + 1) until chunks }
+          yield chunkVal(i) * (1L << chunkBits) + chunkVal(j)
+      else (0 until chunks).map(chunkVal)
     val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until chunks).map { j =>
-        shiftrightunsigned(col("sig"), j * chunkBits)
-          .bitwiseAND((1L << chunkBits) - 1)
-      }: _*)).as(Seq("chunk", "chunk_val")))
+      posexplode(array(keys: _*)).as(Seq("chunk", "chunk_val")))
     val l = chunked.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
       col("chunk"), col("chunk_val"))
     val r = chunked.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
@@ -285,18 +299,39 @@ object Dedup {
     * flips with prob acos(0.9)/pi ≈ 0.14, so the 24/4 default misses a
     * true pair with prob ~(1-(0.86)^4)^6 ≈ 1%. Not applicable below
     * cos ~0.7 (see [[embeddingCosinePairs]] for why).
+    *
+    * `chunkBits < 0` (the default) sizes chunks to the CORPUS: the
+    * candidate join's cost is Σ bucket² and a fixed 4-bit chunk space
+    * (16 buckets) goes quadratic the moment buckets outgrow the true
+    * neighborhoods — the sf0.1→sf1 soak measured 6.8 s → 64 s on fixed
+    * 24/4. Auto mode keeps 6 chunks (the pigeonhole hamming budget)
+    * and widens each to target ~1k-row buckets
+    * (chunkBits = log2(n/1000), clamped to [4, 10] — 60 bits max in
+    * the int64 signature), so bucket occupancy — and with it the
+    * candidate stream — stays bounded as the corpus grows. Wider
+    * chunks trade a little tail recall at the regime edge for
+    * linear-in-n candidates; at sf0.01 the auto choice equals the old
+    * 24/4 exactly, so the oracle verdict is unchanged.
     */
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bits: Int = 24, chunkBits: Int = 4,
+      dim: Int, threshold: Double, bits: Int = -1, chunkBits: Int = -1,
       seed: Long = 42L): DataFrame = {
-    require(bits % chunkBits == 0, "chunkBits must divide bits")
-    val chunks = bits / chunkBits
+    val (bitsN, chunkBitsN) =
+      if (chunkBits > 0 && bits > 0) (bits, chunkBits)
+      else {
+        val n = math.max(df.count(), 1L)
+        val cb = math.min(10, math.max(4,
+          math.ceil(math.log(n / 1000.0) / math.log(2.0)).toInt))
+        (6 * cb, cb)
+      }
+    require(bitsN % chunkBitsN == 0, "chunkBits must divide bits")
+    val chunks = bitsN / chunkBitsN
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.hyperplaneSignature(col(vecCol), dim, bits, seed).as("sig"))
+      Similarity.hyperplaneSignature(col(vecCol), dim, bitsN, seed).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { j =>
-        shiftrightunsigned(col("sig"), j * chunkBits)
-          .bitwiseAND((1L << chunkBits) - 1)
+        shiftrightunsigned(col("sig"), j * chunkBitsN)
+          .bitwiseAND((1L << chunkBitsN) - 1)
       }: _*)).as(Seq("chunk", "chunk_val")))
     // Hamming prefilter bound: a pair at exactly `threshold` cosine
     // flips each signature bit with p = acos(threshold)/π; true pairs
@@ -307,8 +342,8 @@ object Dedup {
     // to true pairs, not to bucket occupancy² (the silent quadratic
     // regrowth an LSH join can hide at corpus scale).
     val p = math.acos(threshold) / math.Pi
-    val hMax = math.min(bits.toDouble,
-      math.ceil(bits * p + 3 * math.sqrt(bits * p * (1 - p)))).toInt
+    val hMax = math.min(bitsN.toDouble,
+      math.ceil(bitsN * p + 3 * math.sqrt(bitsN * p * (1 - p)))).toInt
     // shuffle-hash + ReuseExchange: signature scan computed once (see
     // minhashLsh for the full rationale)
     val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),

@@ -469,8 +469,19 @@ private[graft] object Chopper {
       private var current: Iterator[Row] = Iterator.empty
 
       private def keyOf(r: Row): Row = Row.fromSeq(keyIdx.map(i => r.get(i)).toSeq)
-      private def sameKey(a: Row, b: Row): Boolean =
-        keyIdx.forall(i => a.get(i) == b.get(i))
+      // manual loop: called once per row on the reduce hot path — the
+      // closure-based forall form cost a megamorphic lambda dispatch
+      // per key column per row
+      private def sameKey(a: Row, b: Row): Boolean = {
+        var i = 0
+        while (i < keyIdx.length) {
+          val j = keyIdx(i)
+          val x = a.get(j); val y = b.get(j)
+          if (if (x == null) y != null else !x.equals(y)) return false
+          i += 1
+        }
+        true
+      }
 
       override def hasNext: Boolean = {
         while (current.hasNext) current.next() // drain unconsumed group
