@@ -152,5 +152,50 @@ object YqlSql {
     reg1s("pire_grep")(Pire.grep)
     reg1s("pire_capture")(Pire.capture)
     reg1ss("pire_replace")(Pire.replace)
+
+    // YQL's bare builtin spellings (ListMap, AGGREGATE_LIST, ...) as
+    // aliases of the Spark builtins they denote. Spark SQL lowercases
+    // function names at resolution, so registering the lowercase name
+    // makes the YQL spelling work in any SQL string with NO rewrite —
+    // including lambda arguments (`ListMap(xs, x -> x + 1)`), which
+    // pass through untouched to the aliased higher-order function.
+    // `SOME` is NOT aliased: Spark already owns `some` (= bool_or)
+    // with different semantics; YQL's SOME is served by any_value.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    def alias(yql: String, spark: String): Unit =
+      reg(yql)(es => UnresolvedFunction(Seq(spark), es, isDistinct = false))
+    // lambda-taking aliases construct the higher-order expression
+    // directly: a lambda argument under an UnresolvedFunction alias
+    // trips the analyzer's non-higher-order check before the alias
+    // resolves, so the indirection must not exist for these
+    import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, ArrayTransform}
+    reg("listmap")(es => ArrayTransform(es(0), es(1)))
+    reg("listfilter")(es => ArrayFilter(es(0), es(1)))
+    alias("listflatmap", "flatten") // compose with ListMap for the lambda form
+    alias("listsort", "array_sort")
+    alias("listuniq", "array_distinct")
+    alias("listlength", "size")
+    alias("listconcat", "array_join")
+    alias("listextend", "concat")
+    alias("listhas", "array_contains")
+    reg("listhead")(es => UnresolvedFunction(Seq("try_element_at"),
+      es :+ org.apache.spark.sql.catalyst.expressions.Literal(1),
+      isDistinct = false))
+    reg("listlast")(es => UnresolvedFunction(Seq("try_element_at"),
+      es :+ org.apache.spark.sql.catalyst.expressions.Literal(-1),
+      isDistinct = false))
+    alias("listmin", "array_min")
+    alias("listmax", "array_max")
+    alias("listzip", "arrays_zip")
+    alias("listreverse", "reverse")
+    alias("listfromrange", "sequence")
+    alias("listreplicate", "array_repeat")
+    alias("aggregate_list", "collect_list")
+    alias("aggregate_list_distinct", "collect_set")
+    alias("dictkeys", "map_keys")
+    alias("dictpayloads", "map_values")
+    alias("dictlength", "size")
+    alias("dictcontains", "map_contains_key")
+    alias("dictlookup", "try_element_at")
   }
 }

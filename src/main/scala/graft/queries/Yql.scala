@@ -369,6 +369,21 @@ object Yql {
            FROM part""")
     }),
 
+    // Bare YQL builtin spellings in a SQL string (ListMap lambda form,
+    // AGGREGATE_LIST, ListSort/ListMax/ListLength) — registered as
+    // native aliases, so Catalyst resolves them like the builtins they
+    // denote, higher-order lambdas included.
+    "yql_sql_builtin_alias" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents")
+      graft.functions.YqlSql.sql(s,
+        """SELECT source,
+             array_join(ListSort(AGGREGATE_LIST_DISTINCT(lang)), ',') AS langs,
+             ListMax(AGGREGATE_LIST(n_chars)) AS max_chars,
+             CAST(ListLength(AGGREGATE_LIST(doc_id)) AS BIGINT) AS n_docs,
+             ListMax(ListMap(AGGREGATE_LIST(n_chars), x -> x * 2)) AS max2
+           FROM documents WHERE doc_id < 300 GROUP BY source""")
+    }),
+
     // Compress module (compress_base/compress_udf.cpp): gzip + zlib
     // round trips. The oracle checks decompress(compress(x)) == x —
     // compressed bytes themselves are codec-version-specific, so only
@@ -855,6 +870,13 @@ object Yql {
            round(sqrt(p_retailprice), 6) AS sqrt_price,
            replace(p_brand, '#', '-') AS brand_fix
          FROM part""",
+    "yql_sql_builtin_alias" ->
+      """SELECT source,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+           max(n_chars) AS max_chars,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           max(n_chars) * 2 AS max2
+         FROM documents WHERE doc_id < 300 GROUP BY source""",
     "yql_fn_json2" ->
       """SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,

@@ -302,6 +302,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("YqlSql bare builtin spellings: lambdas through ListMap/ListFilter, " +
+      "AGGREGATE_LIST, Dict accessors") {
+    import graft.functions.YqlSql
+    Seq((1L, Seq(3L, 1L, 2L)), (2L, Seq(5L, 4L)))
+      .toDF("id", "xs").createOrReplaceTempView("yqlsql_l")
+    val df = YqlSql.sql(spark,
+      """SELECT id,
+           ListMap(xs, x -> x * 10) AS mapped,
+           ListFilter(xs, x -> x > 1) AS filtered,
+           ListMax(xs) AS mx, ListHead(ListSort(xs)) AS smallest
+         FROM yqlsql_l""")
+    val got = df.as[(Long, Seq[Long], Seq[Long], Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq(30L, 10L, 20L), Seq(3L, 2L), 3L, 1L),
+      (2L, Seq(50L, 40L), Seq(5L, 4L), 5L, 4L)))
+    val agg = YqlSql.sql(spark,
+      "SELECT ListLength(AGGREGATE_LIST(id)) AS n FROM yqlsql_l")
+      .as[Int].collect()
+    assert(agg.toSeq == Seq(2))
+  }
+
   test("dict_sum survives keys past the 64 KiB writeUTF limit") {
     val k = "k" * 70000
     val df = Seq(Map(k -> 1L), Map(k -> 2L)).toDF("m").repartition(2)
