@@ -23,28 +23,49 @@ import org.apache.spark.sql.graft.{shims => S}
   */
 object YqlSql {
 
-  /** `Module::Function` → `module_function`, outside string literals. */
+  /** Module names the rewrite recognizes on the left of `::`. Anything
+    * else (`a::int` cast shorthand, unknown modules) is left verbatim
+    * for Spark to resolve. */
+  private val KnownModules: Set[String] = Set(
+    "digest", "url", "string", "math", "unicode", "datetime",
+    "json", "ip", "pire")
+
+  /** `Module::Function(` → `module_function(`, outside string literals
+    * and backtick-quoted identifiers. Only call sites of the known
+    * modules are rewritten: the match must start at an identifier
+    * boundary, the left identifier must be a registered module, and the
+    * right identifier must be immediately followed (modulo whitespace)
+    * by `(` — so Spark's `expr::type` cast shorthand survives. */
   def rewrite(sql: String): String = {
     val out = new StringBuilder
     var i = 0
     var quote: Char = 0
     val n = sql.length
     val id = "[A-Za-z_][A-Za-z0-9_]*"
-    val call = s"^($id)::($id)".r
+    val call = s"^($id)::($id)(\\s*)\\(".r
+    def identChar(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val c = sql.charAt(i)
       if (quote != 0) {
         out.append(c)
         if (c == quote) quote = 0
-        else if (c == '\\' && i + 1 < n) { out.append(sql.charAt(i + 1)); i += 1 }
+        else if (c == '\\' && quote != '`' && i + 1 < n) {
+          out.append(sql.charAt(i + 1)); i += 1
+        }
         i += 1
-      } else if (c == '\'' || c == '"') { quote = c; out.append(c); i += 1 }
-      else call.findFirstMatchIn(sql.substring(i)) match {
-        case Some(m) =>
-          out.append(m.group(1).toLowerCase).append('_')
-            .append(m.group(2).toLowerCase)
-          i += m.end
-        case None => out.append(c); i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else {
+        val atBoundary = i == 0 || !identChar(sql.charAt(i - 1))
+        val m =
+          if (atBoundary) call.findFirstMatchIn(sql.substring(i)) else None
+        m match {
+          case Some(mm) if KnownModules(mm.group(1).toLowerCase) =>
+            out.append(mm.group(1).toLowerCase).append('_')
+              .append(mm.group(2).toLowerCase).append(mm.group(3)).append('(')
+            i += mm.end
+          case _ => out.append(c); i += 1
+        }
       }
     }
     out.toString

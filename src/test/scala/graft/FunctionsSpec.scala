@@ -285,6 +285,30 @@ class FunctionsSpec extends SparkSpec {
     // a '::' inside a string literal is untouched
     assert(YqlSql.rewrite("SELECT 'Digest::Md5', String::ToUpper(s) FROM t") ==
       "SELECT 'Digest::Md5', string_toupper(s) FROM t")
+    // Spark's expr::type cast shorthand is NOT a module call — untouched
+    assert(YqlSql.rewrite("SELECT a::int, b::string FROM t") ==
+      "SELECT a::int, b::string FROM t")
+    // unknown module names stay verbatim even with a call shape
+    assert(YqlSql.rewrite("SELECT Foo::Bar(x) FROM t") ==
+      "SELECT Foo::Bar(x) FROM t")
+    // '::' inside backtick-quoted identifiers is untouched
+    assert(YqlSql.rewrite("SELECT `Digest::Md5` FROM t") ==
+      "SELECT `Digest::Md5` FROM t")
+    // mid-identifier text never matches (identifier-boundary check)
+    assert(YqlSql.rewrite("SELECT xdigest::md5(x) FROM t") ==
+      "SELECT xdigest::md5(x) FROM t")
+    // whitespace between the call name and '(' is preserved
+    assert(YqlSql.rewrite("SELECT Digest::Md5 (x) FROM t") ==
+      "SELECT digest_md5 (x) FROM t")
+  }
+
+  test("YqlSql rewrite coexists with Spark :: casts in one query") {
+    import graft.functions.YqlSql
+    Seq(("7", "abc")).toDF("a", "s").createOrReplaceTempView("yqlsql_cast")
+    val got = YqlSql.sql(spark,
+      "SELECT a::int + 1 AS n, String::ToUpper(s) AS u FROM yqlsql_cast")
+      .as[(Int, String)].head()
+    assert(got == ((8, "ABC")))
   }
 
   test("YqlSql: registered module functions run as a SQL string, codegen'd") {
