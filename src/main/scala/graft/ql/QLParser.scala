@@ -259,8 +259,15 @@ object QLParser {
       limit: Option[Long])
 
   // ----- parser -----
-  def parse(ql: String): Query =
+  /** Parse invocations since JVM start — instrumentation for the
+    * parse-once contract in [[graft.ql.SelectRows]] (asserted by
+    * QLParserSpec). */
+  val parseCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def parse(ql: String): Query = {
+    parseCount.incrementAndGet()
     desugarInlineAliases(new P(tokenize(ql)).fullQuery())
+  }
 
   /** Resolve `(expr AS x)` inline aliases (parser.ypp's AliasMap):
     * every `x` reference in the defining query's scope substitutes to

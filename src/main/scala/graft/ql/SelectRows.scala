@@ -77,11 +77,19 @@ object SelectRows {
   def apply(spark: SparkSession, ql: String, catalog: Map[String, DataFrame],
       options: Options): DataFrame = {
     graft.functions.QLFunctions.registerAll(spark)
+    // Parse ONCE; every downstream stage (option checks, index rewrite,
+    // emitter) threads this result. A parse failure is remembered: the
+    // prepare-time checks skip (as before), and the transpile stage
+    // either falls back to the legacy rewriter (QLParseException) or
+    // rethrows (anything else) — same visible behavior as the old
+    // parse-per-stage code, at one parse per query.
+    val (parsedQ, parseErr): (Option[QLParser.Query], Option[Throwable]) =
+      try (Some(QLParser.parse(ql)), None)
+      catch { case e: Exception => (None, Some(e)) }
     if (!options.allowFullScan) {
       // allow_full_scan=%false (test_query.py test_full_scan): an
       // unfiltered scan is a policy error at prepare time
-      val q = try Some(QLParser.parse(ql)) catch { case _: Exception => None }
-      q.foreach { parsed =>
+      parsedQ.foreach { parsed =>
         if (parsed.where.isEmpty && parsed.limit.isEmpty)
           throw new IllegalArgumentException(
             "Query requires a full scan, which is disabled by the allow_full_scan option")
@@ -92,7 +100,6 @@ object SelectRows {
       // the v1 engine joins on EValueType only (test_query.py
       // test_join_nonv1_types: decimal join key → "nonsimple type")
       import org.apache.spark.sql.types._
-      val q = try Some(QLParser.parse(ql)) catch { case _: Exception => None }
       def nonsimple(dt: DataType): Boolean = dt match {
         case _: DecimalType => true
         case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -100,7 +107,7 @@ object SelectRows {
              DateType | TimestampType => false
         case _ => true // struct / array / map / variant
       }
-      q.foreach { parsed =>
+      parsedQ.foreach { parsed =>
         val fromDf = parsed.from.collect {
           case QLParser.TableRef(p, _) => catalog.get(p)
         }.flatten
@@ -123,8 +130,7 @@ object SelectRows {
       // key column has ForeignKeyPrefix == 0 — every foreign row would
       // be read — and is a policy error at prepare time. Array joins
       // are exempt, as in the reference.
-      val q = try Some(QLParser.parse(ql)) catch { case _: Exception => None }
-      q.foreach(_.joins.foreach {
+      parsedQ.foreach(_.joins.foreach {
         case QLParser.JoinClause(_, table, using, on, _) =>
           val firstKey = catalog.get(table.path).flatMap(df =>
             df.schema.fields.find(_.metadata.contains(
@@ -160,7 +166,10 @@ object SelectRows {
     // preserved by the semi-join itself. An unfolded index turns
     // `list_contains(col, v)` into the index's scalar equality
     // (transform.cpp's unfolding of `value IN unfolded_col`).
-    rewriteWithIndex(spark, ql, cat)
+    // Returns a restore thunk: the view swap is scoped to THIS query's
+    // analysis (spark.sql resolves views eagerly), so other readers of
+    // the table's view name never see the semi-join-filtered plan.
+    val restoreViews = rewriteWithIndex(spark, parsedQ, cat)
     // ascending-key prefix per table (YtSortOrderKey field metadata,
     // contiguous from the first column) — feeds ORDER BY elision on
     // key-sorted scans (ql_query_ut.cpp OrderByPrimaryKeyPrefix)
@@ -172,14 +181,17 @@ object SelectRows {
     }
     val sql = QLEmitter.canonicalNulls.withValue(options.useCanonicalNullRelations) {
       QLEmitter.sortedKeysOf.withValue(sortedKeys) {
-        transpile(ql, anyScope(cat))
+        transpileParsed(parsedQ, parseErr, ql, anyScope(cat))
       }
     }
     val prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
     spark.conf.set("spark.sql.groupByOrdinal", "false")
     val df =
       try spark.sql(sql)
-      finally spark.conf.set("spark.sql.groupByOrdinal", prev)
+      finally {
+        spark.conf.set("spark.sql.groupByOrdinal", prev)
+        restoreViews()
+      }
     options.outputRowLimit match {
       case Some(n) if options.failOnIncompleteResult =>
         // read one row past the limit; a (n+1)-th row means the limit
@@ -205,42 +217,81 @@ object SelectRows {
     * plan when the query names a `WITH INDEX` table that is present in
     * the catalog. No-op (hint dropped, full scan) when the index is not
     * in the catalog, the primary has no key columns shared with the
-    * index, or no WHERE conjunct is evaluable on the index alone. */
-  private def rewriteWithIndex(spark: SparkSession, ql: String,
-      cat: Map[String, DataFrame]): Unit = {
+    * index, or no WHERE conjunct is evaluable on the index alone.
+    *
+    * Only conjuncts whose refs are unqualified or qualified by the
+    * primary's alias (or view name) are pushable, and they are emitted
+    * with qualifiers STRIPPED — the index DataFrame has no alias, so
+    * `p.tag = 'a'` pushes as `tag = 'a'`. Any resolution failure in the
+    * swap degrades to the full-scan path (hint dropped) instead of
+    * failing a query that worked without the hint.
+    *
+    * Returns a restore thunk that re-registers the primary's original
+    * view; the caller invokes it right after `spark.sql` resolves, so
+    * the filtered plan is never visible to other readers of the view
+    * name. */
+  private def rewriteWithIndex(spark: SparkSession,
+      parsed: Option[QLParser.Query],
+      cat: Map[String, DataFrame]): () => Unit = {
     import QLParser._
-    val parsed = try Some(QLParser.parse(ql)) catch { case _: Exception => None }
+    var restore: () => Unit = () => ()
     for {
       q <- parsed
       idxPath <- q.withIndex
       idx <- cat.get(idxPath)
-      primPath <- q.from.collect { case TableRef(p, _) => p }
+      (primPath, primAlias) <- q.from.collect { case TableRef(p, a) => (p, a) }
       prim <- cat.get(primPath)
       where <- q.where
     } {
       import org.apache.spark.sql.types.ArrayType
       val idxCols = idx.schema.fieldNames.toSet
+      // qualifiers that denote the primary table in this query's scope
+      val primQuals: Set[String] =
+        primAlias.toSet + viewName(primPath)
       val keyCols = prim.schema.fields.takeWhile(_.metadata.contains(
         graft.types.YtTypes.YtSortOrderKey)).map(_.name).filter(idxCols).toSeq
       def isArr(df: DataFrame, c: String): Boolean =
         df.schema.fields.exists(f => f.name == c && f.dataType.isInstanceOf[ArrayType])
-      def colRefs(e: Expr): Set[String] = e match {
-        case Ref(ps) => Set(ps.last)
-        case Call(_, args, _) => args.flatMap(colRefs).toSet
-        case Bin(_, l, r) => colRefs(l) ++ colRefs(r)
-        case Un(_, x) => colRefs(x)
-        case IsNullOp(x, _) => colRefs(x)
+      // full reference paths, so qualification is visible to the filter
+      def refPaths(e: Expr): Set[Seq[String]] = e match {
+        case Ref(ps) => Set(ps)
+        case Call(_, args, _) => args.flatMap(refPaths).toSet
+        case Bin(_, l, r) => refPaths(l) ++ refPaths(r)
+        case Un(_, x) => refPaths(x)
+        case IsNullOp(x, _) => refPaths(x)
         case LikeOp(x, _, p, esc, _) =>
-          colRefs(x) ++ colRefs(p) ++ esc.toSeq.flatMap(colRefs)
-        case InList(t, rows, _) => (t ++ rows.flatten).flatMap(colRefs).toSet
+          refPaths(x) ++ refPaths(p) ++ esc.toSeq.flatMap(refPaths)
+        case InList(t, rows, _) => (t ++ rows.flatten).flatMap(refPaths).toSet
         case BetweenOp(t, rs, _) =>
-          (t ++ rs.flatMap(r => r._1 ++ r._2)).flatMap(colRefs).toSet
+          (t ++ rs.flatMap(r => r._1 ++ r._2)).flatMap(refPaths).toSet
         case CaseExpr(op, br, el) =>
           (op.toSeq ++ br.flatMap(b => Seq(b._1, b._2)) ++ el.toSeq)
-            .flatMap(colRefs).toSet
-        case TupleExpr(xs) => xs.flatMap(colRefs).toSet
-        case ItemAccess(x, ix) => colRefs(x) ++ colRefs(ix)
+            .flatMap(refPaths).toSet
+        case TupleExpr(xs) => xs.flatMap(refPaths).toSet
+        case ItemAccess(x, ix) => refPaths(x) ++ refPaths(ix)
         case _ => Set.empty
+      }
+      // a ref is pushable when bare (`tag`) or qualified by the primary
+      // (`p.tag`); a foreign qualifier (another join's alias) is not
+      def pushableRef(ps: Seq[String]): Boolean =
+        ps.length == 1 || (ps.length == 2 && primQuals(ps.head))
+      // strip the primary qualifier for emission onto the bare index df
+      def strip(e: Expr): Expr = e match {
+        case Ref(ps) => Ref(Seq(ps.last))
+        case Call(n, args, d) => Call(n, args.map(strip), d)
+        case Bin(op, l, r) => Bin(op, strip(l), strip(r))
+        case Un(op, x) => Un(op, strip(x))
+        case IsNullOp(x, n) => IsNullOp(strip(x), n)
+        case LikeOp(x, k, p, esc, n) =>
+          LikeOp(strip(x), k, strip(p), esc.map(strip), n)
+        case InList(t, rows, n) => InList(t.map(strip), rows.map(_.map(strip)), n)
+        case BetweenOp(t, rs, n) =>
+          BetweenOp(t.map(strip), rs.map(r => (r._1.map(strip), r._2.map(strip))), n)
+        case CaseExpr(op, br, el) => CaseExpr(op.map(strip),
+          br.map(b => (strip(b._1), strip(b._2))), el.map(strip))
+        case TupleExpr(xs) => TupleExpr(xs.map(strip))
+        case ItemAccess(x, ix) => ItemAccess(strip(x), strip(ix))
+        case other => other
       }
       def conjuncts(e: Expr): Seq[Expr] = e match {
         case Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
@@ -250,20 +301,33 @@ object SelectRows {
       // column is an equality scan of the index's per-element rows
       def unfold(e: Expr): Expr = e match {
         case Call("list_contains", Seq(Ref(ps), v), _)
-            if isArr(prim, ps.last) && idxCols(ps.last) &&
+            if pushableRef(ps) && isArr(prim, ps.last) && idxCols(ps.last) &&
                !isArr(idx, ps.last) =>
           Bin("=", Ref(Seq(ps.last)), v)
         case other => other
       }
       val pushed = conjuncts(where).map(unfold)
-        .filter(c => colRefs(c).nonEmpty && colRefs(c).subsetOf(idxCols))
+        .filter { c =>
+          val refs = refPaths(c)
+          refs.nonEmpty && refs.forall(ps =>
+            pushableRef(ps) && idxCols(ps.last))
+        }
+        .map(strip)
       if (keyCols.nonEmpty && pushed.nonEmpty) {
         val pushedSql = pushed.map(QLEmitter.emit).mkString(" AND ")
-        graft.plans.SecondaryIndex
-          .query(widenTypeV1(prim), widenTypeV1(idx), keyCols, pushedSql)
-          .createOrReplaceTempView(viewName(primPath))
+        try {
+          val swapped = graft.plans.SecondaryIndex
+            .query(widenTypeV1(prim), widenTypeV1(idx), keyCols, pushedSql)
+          swapped.queryExecution.assertAnalyzed() // resolution check here
+          swapped.createOrReplaceTempView(viewName(primPath))
+          restore = () =>
+            widenTypeV1(prim).createOrReplaceTempView(viewName(primPath))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => () // full scan
+        }
       }
     }
+    restore
   }
 
   /** type_v1 propagation (ql_query_ut.cpp TypeV1Propagation): the v1
@@ -384,6 +448,32 @@ object SelectRows {
       case e: QLParser.QLParseException =>
         System.err.println(s"QLParser fallback for: ${ql.take(120)} (${e.getMessage})")
         transpileLegacy(ql)
+    }
+
+  /** [[transpile]] over an ALREADY-parsed query — the parse-once path
+    * used by [[apply]]. `parseErr` carries the original parse failure:
+    * a QLParseException falls back to the legacy rewriter (as
+    * [[transpile]] does); anything else rethrows. */
+  private def transpileParsed(parsed: Option[QLParser.Query],
+      parseErr: Option[Throwable], ql: String,
+      byTable: Map[String, QLEmitter.TableCols]): String =
+    parsed match {
+      case Some(q) =>
+        try {
+          QLEmitter.validate(q, byTable)
+          QLEmitter.toSql(q, byTable)
+        } catch {
+          case e: QLParser.QLParseException =>
+            System.err.println(s"QLParser fallback for: ${ql.take(120)} (${e.getMessage})")
+            transpileLegacy(ql)
+        }
+      case None => parseErr match {
+        case Some(e: QLParser.QLParseException) =>
+          System.err.println(s"QLParser fallback for: ${ql.take(120)} (${e.getMessage})")
+          transpileLegacy(ql)
+        case Some(e) => throw e
+        case None => transpileLegacy(ql)
+      }
     }
 
   def transpile(ql: String, anyCols: Set[String]): String =

@@ -258,6 +258,61 @@ class SelectRowsSpec extends SparkSpec {
     assert(got.as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("WITH INDEX string: conjunct qualified by the primary's alias pushes " +
+      "with the qualifier stripped") {
+    import graft.plans.SecondaryIndex
+    val prim = keyedDf(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)))
+    val idx = SecondaryIndex.build(prim, Seq("tag"), Seq("id"))
+    val got = SelectRows(spark,
+      "p.id, p.v FROM [//p] AS p WITH INDEX [//p_by_tag] WHERE p.tag = 'a'",
+      Map("//p" -> prim, "//p_by_tag" -> idx))
+    assert(got.as[(Long, Long)].collect().toSet == Set((1L, 10L), (3L, 30L)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+  }
+
+  test("WITH INDEX string: conjunct qualified by a FOREIGN alias is not " +
+      "pushed (only join-safe conjuncts reach the index)") {
+    import graft.plans.SecondaryIndex
+    val prim = keyedDf(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    val other = keyedDf(Seq((1L, "a", 1L), (2L, "z", 2L)))
+    val idx = SecondaryIndex.build(prim, Seq("tag"), Seq("id"))
+    // j.tag references the JOINED table; pushing it onto the index (which
+    // only knows the primary's rows) would be wrong — it must stay out
+    val got = SelectRows(spark,
+      "p.id FROM [//p] AS p WITH INDEX [//p_by_tag] " +
+        "JOIN [//j] AS j ON (p.id) = (j.id) WHERE p.tag = 'a' AND j.v = 1",
+      Map("//p" -> prim, "//p_by_tag" -> idx, "//j" -> other))
+    assert(got.as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("WITH INDEX string: the view swap does not leak past the query") {
+    import graft.plans.SecondaryIndex
+    val prim = keyedDf(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)))
+    val idx = SecondaryIndex.build(prim, Seq("tag"), Seq("id"))
+    val cat = Map("//p" -> prim, "//p_by_tag" -> idx)
+    val indexed = SelectRows(spark,
+      "id FROM [//p] WITH INDEX [//p_by_tag] WHERE tag = 'a'", cat)
+    assert(indexed.as[Long].collect().toSet == Set(1L, 3L))
+    // a plain reader of the view name sees the FULL table, not the
+    // semi-join-filtered swap
+    assert(spark.sql("SELECT count(*) FROM p").as[Long].head() == 3L)
+    // and a subsequent hint-free SelectRows over the same catalog too
+    val full = SelectRows(spark, "id FROM [//p]", cat)
+    assert(full.as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("SelectRows parses the query string exactly once") {
+    import graft.ql.QLParser
+    val prim = keyedDf(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    val before = QLParser.parseCount.get()
+    SelectRows(spark, "id, v FROM [//p] WHERE tag = 'a' GROUP BY id, v",
+      Map("//p" -> prim),
+      SelectRows.Options(allowFullScan = false, allowJoinWithoutIndex = false))
+      .collect()
+    assert(QLParser.parseCount.get() - before == 1L)
+  }
+
   test("projected null-smallest comparisons are boolean-total, never SQL NULL") {
     val df = Seq[(java.lang.Long, java.lang.Long)]((1L, null), (null, 1L),
       (null, null), (1L, 2L)).toDF("a", "b")
