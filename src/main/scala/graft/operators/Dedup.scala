@@ -300,39 +300,75 @@ object Dedup {
     * true pair with prob ~(1-(0.86)^4)^6 ≈ 1%. Not applicable below
     * cos ~0.7 (see [[embeddingCosinePairs]] for why).
     *
-    * `chunkBits < 0` (the default) sizes chunks to the CORPUS: the
-    * candidate join's cost is Σ bucket² and a fixed 4-bit chunk space
-    * (16 buckets) goes quadratic the moment buckets outgrow the true
-    * neighborhoods — the sf0.1→sf1 soak measured 6.8 s → 64 s on fixed
-    * 24/4. Auto mode keeps 6 chunks (the pigeonhole hamming budget)
-    * and widens each to target ~1k-row buckets
-    * (chunkBits = log2(n/1000), clamped to [4, 10] — 60 bits max in
-    * the int64 signature), so bucket occupancy — and with it the
-    * candidate stream — stays bounded as the corpus grows. Wider
-    * chunks trade a little tail recall at the regime edge for
-    * linear-in-n candidates; at sf0.01 the auto choice equals the old
-    * 24/4 exactly, so the oracle verdict is unchanged.
+    * `bits`/`chunkBits` must be given together (a half-specified pair
+    * is an error, not a silent auto-size); the default (-1/-1) sizes
+    * BOTH to the corpus: the candidate join's cost is Σ bucket² and a
+    * fixed 4-bit chunk space (16 buckets) goes quadratic the moment
+    * buckets outgrow the true neighborhoods — the sf0.1→sf1 soak
+    * measured 6.8 s → 64 s on fixed 24/4. Auto mode widens chunks to
+    * target ~1k-row buckets (chunkBits = log2(n/1000), clamped to
+    * [4, 10]) and — because a wider chunk is less likely to be clean —
+    * ADDS chunks to hold the miss probability at the design point
+    * (see [[lshAutoParams]]): a cos-0.9 pair is missed with prob ≤~1%
+    * at EVERY auto size, not just the smallest. The corpus row count
+    * comes from the `rows` hint, else the plan's catalog statistics
+    * (populated by [[graft.sources.Tables.analyzeAll]]), else one
+    * count job — at 100 TB, pass the hint or analyze the table.
+    *
+    * Each chunk is an independent cb-bit hyperplane family (its own
+    * seeded plane set), so total signature bits are not capped by a
+    * 64-bit word; the hamming prefilter popcounts across the chunk
+    * array.
     */
+  /** Auto sizing for [[embeddingCosinePairsLsh]]: (chunks, chunkBits)
+    * for a corpus of `n` rows at `threshold`. chunkBits targets
+    * ~1k-row buckets; the chunk COUNT then holds the miss probability
+    * for a true pair at the regime design point (cos 0.9, or the
+    * actual threshold when it is higher) at ≤1%:
+    * miss = (1 - (1-p)^cb)^m with p = acos(max(threshold,0.9))/π, so
+    * m = ceil(ln 0.01 / ln(1-(1-p)^cb)) — at cb=4 this is the classic
+    * 6 chunks (24/4); at cb=10 it is 20 chunks, NOT 6 (6 would miss
+    * ~24% of cos-0.9 pairs — the silent recall cliff wider chunks
+    * open without compensation). Sub-regime thresholds (< 0.9) size
+    * at the 0.9 design point: guaranteeing ~1% at, say, cos 0.35
+    * would take hundreds of chunks, and the documented contract is
+    * that this operator is not a recall-1 scheme below the near-dup
+    * regime (use [[embeddingCosinePairs]] there).
+    */
+  def lshAutoParams(n: Long, threshold: Double): (Int, Int) = {
+    val cb = math.min(10, math.max(4,
+      math.ceil(math.log(n / 1000.0) / math.log(2.0)).toInt))
+    val p = math.acos(math.min(1.0, math.max(threshold, 0.9))) / math.Pi
+    val q = math.pow(1 - p, cb) // per-chunk clean probability
+    val m = math.max(2, math.ceil(math.log(0.01) / math.log(1 - q)).toInt)
+    (m, cb)
+  }
+
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = -1, chunkBits: Int = -1,
-      seed: Long = 42L): DataFrame = {
-    val (bitsN, chunkBitsN) =
-      if (chunkBits > 0 && bits > 0) (bits, chunkBits)
-      else {
-        val n = math.max(df.count(), 1L)
-        val cb = math.min(10, math.max(4,
-          math.ceil(math.log(n / 1000.0) / math.log(2.0)).toInt))
-        (6 * cb, cb)
+      rows: Long = -1L, seed: Long = 42L): DataFrame = {
+    require((bits > 0) == (chunkBits > 0),
+      "bits and chunkBits must be specified together (or both left to auto)")
+    val (chunks, cb) =
+      if (bits > 0) {
+        require(bits % chunkBits == 0, "chunkBits must divide bits")
+        (bits / chunkBits, chunkBits)
+      } else {
+        val n = math.max(1L,
+          if (rows > 0) rows
+          else df.queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toLong).getOrElse(df.count()))
+        lshAutoParams(n, threshold)
       }
-    require(bitsN % chunkBitsN == 0, "chunkBits must divide bits")
-    val chunks = bitsN / chunkBitsN
+    val bitsN = chunks * cb
+    // one independent cb-bit hyperplane family per chunk — seeds
+    // decorrelated the same way lshTopK spaces its tables
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.hyperplaneSignature(col(vecCol), dim, bitsN, seed).as("sig"))
+      array((0 until chunks).map { j =>
+        Similarity.hyperplaneSignature(col(vecCol), dim, cb, seed + 7919L * j)
+      }: _*).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until chunks).map { j =>
-        shiftrightunsigned(col("sig"), j * chunkBitsN)
-          .bitwiseAND((1L << chunkBitsN) - 1)
-      }: _*)).as(Seq("chunk", "chunk_val")))
+      posexplode(col("sig")).as(Seq("chunk", "chunk_val")))
     // Hamming prefilter bound: a pair at exactly `threshold` cosine
     // flips each signature bit with p = acos(threshold)/π; true pairs
     // live within mean + 3σ of Binomial(bits, p). Candidates beyond
@@ -344,6 +380,9 @@ object Dedup {
     val p = math.acos(threshold) / math.Pi
     val hMax = math.min(bitsN.toDouble,
       math.ceil(bitsN * p + 3 * math.sqrt(bitsN * p * (1 - p)))).toInt
+    def hamming(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+        lit(0), (acc, x) => acc + x)
     // shuffle-hash + ReuseExchange: signature scan computed once (see
     // minhashLsh for the full rationale)
     val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
@@ -353,7 +392,7 @@ object Dedup {
     val candidates = l.hint("shuffle_hash")
       .join(r.hint("shuffle_hash"), Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b") &&
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= hMax)
+        hamming(col("sig_a"), col("sig_b")) <= hMax)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val vecs = sigs.select(col("id"), col("vec"))

@@ -79,6 +79,49 @@ class LlmSpec extends SparkSpec {
     assert(recall == 1.0, s"recall=$recall missing=${exact -- lsh}")
   }
 
+  test("embedding LSH auto sizing holds the design-point miss prob as chunks widen") {
+    // (chunks, chunkBits) per corpus decade — the chunk COUNT grows with
+    // chunk width so miss = (1-(1-p)^cb)^m stays ≤1% at cos 0.9
+    val p = math.acos(0.9) / math.Pi
+    for (n <- Seq(1000L, 100000L, 10000000L, 10000000000L)) {
+      val (m, cb) = Dedup.lshAutoParams(n, 0.9)
+      val miss = math.pow(1 - math.pow(1 - p, cb), m)
+      assert(miss <= 0.011, s"n=$n → ($m, $cb): miss=$miss")
+    }
+    // the smallest size is the classic 24/4
+    assert(Dedup.lshAutoParams(1000L, 0.9) == ((6, 4)))
+    // at cb=10 (1M+ rows) the count must be far above the old fixed 6
+    val (m10, cb10) = Dedup.lshAutoParams(2000000L, 0.9)
+    assert(cb10 == 10 && m10 >= 18, s"($m10, $cb10)")
+    // sub-regime thresholds size at the 0.9 design point (no blow-up)
+    assert(Dedup.lshAutoParams(1000L, 0.35) == Dedup.lshAutoParams(1000L, 0.9))
+    // higher thresholds need no more chunks than 0.9
+    assert(Dedup.lshAutoParams(2000000L, 0.97)._1 <= m10)
+  }
+
+  test("embedding LSH: half-specified bits/chunkBits is an error; rows hint skips the count job") {
+    val df = Seq((1L, Seq.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairsLsh(df, "vec_id", "embedding", 64, 0.9, bits = 24)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairsLsh(df, "vec_id", "embedding", 64, 0.9, chunkBits = 4)
+    }
+    // with a rows hint, building the plan runs ZERO Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.embeddingCosinePairsLsh(df, "vec_id", "embedding", 64, 0.9,
+        rows = 1000000L)
+      Thread.sleep(300) // let any (unexpected) job-start events surface
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("lsh ANN beats its scan fraction on near-orthogonal data") {
     val queries = emb.filter(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)
