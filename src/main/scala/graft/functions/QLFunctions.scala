@@ -208,11 +208,21 @@ object QLFunctions {
   /** Expose the full QL builtin registry to `spark.sql` (reference
     * builtin_function_registry.cpp) so a [[graft.ql.SelectRows]] string
     * can use QL names directly. Everything lowers to native Catalyst
-    * expressions — no UDFs, all codegen'd. Idempotent; called by
-    * SelectRows before each parse.
+    * expressions — no UDFs, all codegen'd. Idempotent — registration
+    * happens once per session (guarded below), so repeat SelectRows
+    * calls never churn the registry (or log replace WARNs).
+    *
+    * QL names that COLLIDE with Spark builtins of different semantics
+    * (`if`, `greatest`, `transform`, `cardinality`) register ONLY under
+    * `ql__`-prefixed names; [[graft.ql.QLEmitter]] rewrites QL call
+    * sites to the prefixed spelling. Spark's own `transform` HOF,
+    * `if`, `greatest` and `cardinality` stay untouched session-wide —
+    * a plain `spark.sql` after a SelectRows call sees stock Spark.
     */
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
+    if (r.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("ql__if"))) return
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =
@@ -257,7 +267,14 @@ object QLFunctions {
     // (ql_expressions_ut.cpp FunctionNullArgument: if(null, 1, 2) → #);
     // Spark's native `if` would take the else branch — lower to a CASE
     // with no ELSE so a null condition matches no branch.
-    reg("if")(es => CaseWhen(Seq((es(0), es(1)), (Not(es(0)), es(2))), None))
+    reg("ql__if") { es =>
+      // an untyped NULL condition types as VOID, which CaseWhen's
+      // type-check rejects — cast it to boolean (stays NULL, so the
+      // null-propagation semantics below are unchanged)
+      val c = if (es(0).dataType == org.apache.spark.sql.types.NullType)
+        Cast(es(0), BooleanType) else es(0)
+      CaseWhen(Seq((c, es(1)), (Not(c), es(2))), None)
+    }
     reg("if_null")(es => Coalesce(es))
     reg("is_null")(es => IsNull(es.head))
     reg("is_nan")(es => IsNaN(es.head))
@@ -274,7 +291,7 @@ object QLFunctions {
     reg("is_substr")(es => Contains(es(1), es(0)))
     reg("is_prefix")(es => StartsWith(es(1), es(0)))
     // variadic greatest incl. the 1-arg form (ql_query_ut.cpp Greatest)
-    reg("greatest")(es => if (es.length == 1) es.head else Greatest(es))
+    reg("ql__greatest")(es => if (es.length == 1) es.head else Greatest(es))
     // regex (argument order per the reference: pattern first)
     // a null subject is NOT a match (ql_query_ut.cpp RegexFullMatch:
     // the empty row evaluates to %false, not null)
@@ -503,21 +520,23 @@ object QLFunctions {
     reg("argmax")(es =>
       aggregate.MaxBy(es(0), es(1)).toAggregateExpression())
     // QL cardinality = HyperLogLog count-distinct
-    // (builtin_function_registry.cpp:255-268, udf/hyperloglog.cpp) —
-    // shadows Spark's array-size builtin of the same name inside QL.
+    // (builtin_function_registry.cpp:255-268, udf/hyperloglog.cpp).
+    // Registered under the prefixed name only — Spark's array-size
+    // `cardinality` builtin keeps its meaning outside QL strings.
     // rsd 0.01 ≈ the reference's 2^14-register precision
     // (ql_query_ut.cpp CardinalityAggregate expects ±1% on 2000 keys)
-    reg("cardinality")(es =>
+    reg("ql__cardinality")(es =>
       aggregate.HyperLogLogPlusPlus(es.head, 0.01).toAggregateExpression())
     reg("make_entity")(_ => Literal.create(null, StringType))
     reg("format_guid") { es =>
       import org.apache.spark.sql.graft.{shims => S}
       S.convert(format_guid(S.column(es(0)), S.column(es(1))))
     }
-    // QL TRANSFORM(expr, (from...), (to...)[, default]). The name also
-    // shadows Spark's array transform HOF, so dispatch on shape: a
-    // lambda second argument keeps the built-in semantics.
-    reg("transform") {
+    // QL TRANSFORM(expr, (from...), (to...)[, default]). Registered
+    // under the prefixed name so Spark's array-transform HOF keeps the
+    // bare spelling; the lambda dispatch stays for QL strings that use
+    // the HOF form through the same call site.
+    reg("ql__transform") {
       case Seq(x, l: LambdaFunction) => ArrayTransform(x, l)
       case es if es.length >= 3 =>
         def elems(e: Expression): Seq[Expression] = e match {

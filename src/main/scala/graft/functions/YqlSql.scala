@@ -80,6 +80,10 @@ object YqlSql {
 
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
+    // once per session: repeat calls would churn the registry and log a
+    // "replaced a previously registered function" WARN per name
+    if (r.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("digest_md5"))) return
     import org.apache.spark.sql.catalyst.expressions.Expression
     def cc(e: Expression): Column = S.column(e)
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =

@@ -841,7 +841,8 @@ object QLEmitter {
       sb.append(" END").toString
     case Call(name, args, distinct) =>
       val d = if (distinct) "DISTINCT " else ""
-      s"$name($d${args.map(emit).mkString(", ")})"
+      val fn = qlOnlyNames.getOrElse(name.toLowerCase, name)
+      s"$fn($d${args.map(emit).mkString(", ")})"
     case Bin(op, l, r) => emitBin(op, l, r)
     // unary ops on the null literal are null (`-#`, `~#`;
     // ql_query_ut.cpp UnaryNullOperations) — Spark's operators don't
@@ -901,6 +902,15 @@ object QLEmitter {
       s"try_element_at(${emit(x)}, ${emit(idx)})"
     case ItemAccess(x, idx) => s"${emit(x)}[${emit(idx)}]"
   }
+
+  /** QL spellings whose semantics differ from the Spark builtin of the
+    * same name — call sites rewrite to prefixed registry entries
+    * ([[graft.functions.QLFunctions.registerAll]]) so the session's
+    * stock `if`/`greatest`/`transform`/`cardinality` are never
+    * shadowed. */
+  private val qlOnlyNames = Map(
+    "if" -> "ql__if", "greatest" -> "ql__greatest",
+    "transform" -> "ql__transform", "cardinality" -> "ql__cardinality")
 
   /** QL aggregate-function names (builtin_function_registry.cpp
     * aggregate section) — used to keep aggregate-bearing select items

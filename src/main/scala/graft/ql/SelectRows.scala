@@ -513,6 +513,11 @@ object SelectRows {
     // 8. OFFSET k LIMIT n → LIMIT n OFFSET k
     q = "(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)".r
       .replaceAllIn(q, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    // 9. QL spellings that collide with Spark builtins of different
+    //    semantics route to the prefixed registry entries (the parser
+    //    path does this in QLEmitter)
+    q = "(?i)\\b(if|greatest|transform|cardinality)\\s*\\(".r
+      .replaceAllIn(q, m => "ql__" + m.group(1).toLowerCase + "(")
     q.replaceAll("\\s+", " ").trim
   }
 

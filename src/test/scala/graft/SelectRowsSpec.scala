@@ -126,6 +126,34 @@ class SelectRowsSpec extends SparkSpec {
     assert(got.head.getSeq[Int](0) == Seq(10, 20, 30))
   }
 
+  test("QL registration never shadows Spark builtins session-wide") {
+    val df = Seq((1L, "a")).toDF("k", "s")
+    // a SelectRows call registers the QL surface...
+    SelectRows(spark, "transform(k, (1), ('one'), 'other') AS t, " +
+      "if(null, 1, 2) AS i, cardinality(s) AS c, greatest(k) AS g " +
+      "FROM [//tmp/shadow] GROUP BY k, s", Map("//tmp/shadow" -> df))
+      .collect()
+    // ...after which plain spark.sql still resolves the STOCK builtins:
+    // transform = array HOF, if = non-null-propagating, cardinality =
+    // array size (not HLL), greatest = requires 2+ args
+    val r = spark.sql(
+      """SELECT transform(array(1, 2), x -> x + 1) AS hof,
+                if(NULL, 1, 2) AS spark_if,
+                cardinality(array(1, 2, 3)) AS sz""").collect().head
+    assert(r.getSeq[Int](0) == Seq(2, 3))
+    assert(r.getInt(1) == 2)       // Spark if: null condition → else
+    assert(r.getInt(2) == 3)       // Spark cardinality: array size
+    intercept[Exception] {         // Spark greatest: 1 arg rejected
+      spark.sql("SELECT greatest(1)").collect()
+    }
+    // while the QL string surface keeps QL semantics for the same names
+    val q = SelectRows(spark,
+      "if(null, 1, 2) AS i, greatest(k) AS g FROM [//tmp/shadow] GROUP BY k",
+      Map("//tmp/shadow" -> df)).collect().head
+    assert(q.isNullAt(0))          // QL if: null condition → null
+    assert(q.getLong(1) == 1L)     // QL greatest: 1-arg form allowed
+  }
+
   test("registry completeness: regex_replace_first/escape, yson_length, to_any, get_any, localtime floors") {
     val t = Seq((1L, """{"a":[1,2,3],"b":"x"}""", "a.b c"))
       .toDF("k", "any", "s")
