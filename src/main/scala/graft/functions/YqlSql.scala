@@ -30,6 +30,11 @@ object YqlSql {
     "digest", "url", "string", "math", "unicode", "datetime",
     "json", "ip", "pire")
 
+  /** Lowered module-call names that would shadow a Spark builtin of
+    * the same name (e.g. `url_decode`) — these register and rewrite
+    * under a `yql__` prefix instead. */
+  private val CollidesWithBuiltin: Set[String] = Set("url_decode", "url_encode")
+
   /** `Module::Function(` → `module_function(`, outside string literals
     * and backtick-quoted identifiers. Only call sites of the known
     * modules are rewritten: the match must start at an identifier
@@ -61,8 +66,12 @@ object YqlSql {
           if (atBoundary) call.findFirstMatchIn(sql.substring(i)) else None
         m match {
           case Some(mm) if KnownModules(mm.group(1).toLowerCase) =>
-            out.append(mm.group(1).toLowerCase).append('_')
-              .append(mm.group(2).toLowerCase).append(mm.group(3)).append('(')
+            val lowered = mm.group(1).toLowerCase + "_" + mm.group(2).toLowerCase
+            // module functions whose lowered name collides with a Spark
+            // builtin register prefixed — never shadow the session
+            val name = if (CollidesWithBuiltin(lowered)) "yql__" + lowered
+              else lowered
+            out.append(name).append(mm.group(3)).append('(')
             i += mm.end
           case _ => out.append(c); i += 1
         }
@@ -71,11 +80,15 @@ object YqlSql {
     out.toString
   }
 
-  /** Run a YQL-spelled SQL string: register modules, rewrite module
-    * calls, hand to Catalyst. */
+  /** Run a YQL-spelled SQL string or SCRIPT: statement-level
+    * constructs ($name bindings, lambda bindings, FLATTEN BY,
+    * SELECT * WITHOUT, PRAGMA) lower through [[YqlScript]], module
+    * calls through [[rewrite]], then Catalyst parses the result. A
+    * multi-statement script evaluates to its last SELECT. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     registerAll(spark)
-    spark.sql(rewrite(query))
+    val lowered = YqlScript.lower(query)
+    lowered.selects.map(s => spark.sql(rewrite(s))).last
   }
 
   def registerAll(spark: SparkSession): Unit = {
@@ -118,8 +131,8 @@ object YqlSql {
     reg1("url_getpath")(Url.getPath)
     reg1("url_getscheme")(Url.getScheme)
     reg1s("url_getcgiparam")(Url.getCgiParam)
-    reg1("url_decode")(Url.decode)
-    reg1("url_encode")(Url.encode)
+    reg1("yql__url_decode")(Url.decode)
+    reg1("yql__url_encode")(Url.encode)
 
     reg1("string_toupper")(Str.toUpper)
     reg1("string_tolower")(Str.toLower)

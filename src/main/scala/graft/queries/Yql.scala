@@ -369,6 +369,30 @@ object Yql {
            FROM part""")
     }),
 
+    // STATEMENT-level YQL in one string (SQLv1.g.in named_nodes_stmt /
+    // lambda / flatten_source / without_column_list): $name bindings,
+    // lambda bindings called AND composed, a named subselect, PRAGMA,
+    // FLATTEN BY with alias, SELECT * WITHOUT — the YqlScript
+    // pre-rewrite lowers all of it onto one Catalyst-planned query
+    // (FLATTEN BY = LATERAL VIEW explode, streaming per-element rows).
+    "yql_sql_script" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents")
+      graft.functions.YqlSql.sql(s,
+        """PRAGMA yt.Pool = 'research';
+          |$min_chars = 50;
+          |$max_id = 300;
+          |$words = ($s) -> (String::SplitToList($s, ' '));
+          |$n_words = ($s) -> (CAST(ListLength($words($s)) AS BIGINT));
+          |$src = (
+          |  SELECT doc_id, lang, $words(text) AS ws, $n_words(text) AS n_words
+          |  FROM documents
+          |  WHERE n_chars >= $min_chars AND doc_id < $max_id
+          |);
+          |SELECT * WITHOUT ws FROM $src FLATTEN BY ws AS w
+          |WHERE length(w) >= 7
+          |""".stripMargin)
+    }),
+
     // Bare YQL builtin spellings in a SQL string (ListMap lambda form,
     // AGGREGATE_LIST, ListSort/ListMax/ListLength) — registered as
     // native aliases, so Catalyst resolves them like the builtins they
@@ -870,6 +894,14 @@ object Yql {
            round(sqrt(p_retailprice), 6) AS sqrt_price,
            replace(p_brand, '#', '-') AS brand_fix
          FROM part""",
+    "yql_sql_script" ->
+      """SELECT doc_id, lang, n_words, w FROM (
+           SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS n_words,
+                  unnest(string_split(text, ' ')) AS w
+           FROM documents
+           WHERE n_chars >= 50 AND doc_id < 300
+         ) WHERE length(w) >= 7""",
     "yql_sql_builtin_alias" ->
       """SELECT source,
            array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,

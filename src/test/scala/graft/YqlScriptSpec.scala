@@ -1,0 +1,143 @@
+package graft
+
+import graft.functions.{YqlScript, YqlSql}
+
+/** YQL statement-level string surface: named expressions, lambda
+  * bindings, FLATTEN BY, SELECT * WITHOUT, PRAGMA
+  * (SQLv1.g.in named_nodes_stmt / lambda / flatten_source /
+  * without_column_list; lowering sql/v1/sql_query.cpp, select.cpp). */
+class YqlScriptSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ——— pure lowering ———
+
+  test("named scalar expressions substitute; pragmas are recorded") {
+    val l = YqlScript.lower(
+      """PRAGMA yt.Pool = 'research';
+        |$min = 10;
+        |SELECT a FROM t WHERE a > $min""".stripMargin)
+    assert(l.pragmas == Seq("yt.Pool = 'research'"))
+    assert(l.selects == Seq("SELECT a FROM t WHERE a > (10)"))
+  }
+
+  test("bindings resolve against earlier bindings at definition time") {
+    val l = YqlScript.lower(
+      """$base = 5;
+        |$lim = $base * 2;
+        |SELECT a FROM t WHERE a < $lim""".stripMargin)
+    assert(l.selects.head == "SELECT a FROM t WHERE a < ((5) * 2)")
+  }
+
+  test("a $name inside a string literal never substitutes") {
+    val l = YqlScript.lower("$x = 1;\nSELECT '$x literal', $x FROM t")
+    assert(l.selects.head == "SELECT '$x literal', (1) FROM t")
+  }
+
+  test("lambda call sites inline the body with parenthesized args") {
+    val l = YqlScript.lower(
+      """$double = ($v) -> ($v * 2);
+        |SELECT $double(a + 1) FROM t""".stripMargin)
+    assert(l.selects.head == "SELECT ((a + 1) * 2) FROM t")
+  }
+
+  test("lambdas can call earlier lambdas and scalars") {
+    val l = YqlScript.lower(
+      """$k = 3;
+        |$mul = ($v) -> ($v * $k);
+        |$mul2 = ($v) -> ($mul($v) + 1);
+        |SELECT $mul2(a) FROM t""".stripMargin)
+    assert(l.selects.head == "SELECT ((((a)) * (3)) + 1) FROM t")
+  }
+
+  test("bare lambda refs lower to Spark lambda literals") {
+    val l = YqlScript.lower(
+      """$inc = ($x) -> ($x + 1);
+        |SELECT ListMap(xs, $inc) FROM t""".stripMargin)
+    assert(l.selects.head == "SELECT ListMap(xs, __la_x -> ((__la_x) + 1)) FROM t"
+      .replace("((__la_x) + 1)", "__la_x + 1"))
+  }
+
+  test("SELECT * WITHOUT lowers to EXCEPT") {
+    assert(YqlScript.lowerWithout("SELECT * WITHOUT a, b FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(YqlScript.lowerWithout("SELECT * WITHOUT IF EXISTS a FROM t") ==
+      "SELECT * EXCEPT (a) FROM t")
+  }
+
+  test("FLATTEN BY lowers to a LATERAL VIEW derived table") {
+    val got = YqlScript.lowerFlatten("SELECT doc_id, w FROM docs FLATTEN BY ws AS w")
+    assert(got == "SELECT doc_id, w FROM (SELECT * EXCEPT (__fb), __fb AS w FROM docs " +
+      "LATERAL VIEW explode(ws) __fbv AS __fb)")
+    val noAlias = YqlScript.lowerFlatten("SELECT doc_id, ws FROM docs FLATTEN BY ws")
+    assert(noAlias == "SELECT doc_id, ws FROM (SELECT * EXCEPT (ws, __fb), __fb AS ws " +
+      "FROM docs LATERAL VIEW explode(ws) __fbv AS __fb)")
+  }
+
+  test("unsupported statements and undeclared names are errors") {
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("PROCESS t USING $f(TableRows());")
+    }
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("SELECT $nope FROM t")
+    }
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("$a, $b = (SELECT 1, 2);")
+    }
+    intercept[IllegalArgumentException] { // arity mismatch
+      YqlScript.lower("$f = ($x) -> ($x);\nSELECT $f(a, b) FROM t")
+    }
+    intercept[IllegalArgumentException] { // no select at all
+      YqlScript.lower("$x = 1;")
+    }
+  }
+
+  // ——— end-to-end through spark.sql ———
+
+  test("script runs end-to-end: bindings + lambda + FLATTEN BY + WITHOUT") {
+    Seq((1L, "a b ccc dddd", "en"), (2L, "x yy", "de"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("yqls_docs")
+    val df = YqlSql.sql(spark,
+      """PRAGMA AnsiInForEmptyOrNullableItemsCollections;
+        |$min_id = 0;
+        |$words = ($s) -> (String::SplitToList($s, ' '));
+        |$n_words = ($s) -> (ListLength($words($s)));
+        |$src = (
+        |  SELECT doc_id, lang, $words(text) AS ws, $n_words(text) AS n
+        |  FROM yqls_docs WHERE doc_id > $min_id
+        |);
+        |SELECT * WITHOUT lang FROM $src FLATTEN BY ws AS w WHERE length(w) >= 2
+        |""".stripMargin)
+    val got = df.select("doc_id", "n", "w").as[(Long, Int, String)]
+      .collect().toSet
+    assert(got == Set((1L, 4, "ccc"), (1L, 4, "dddd"), (2L, 2, "yy")))
+    assert(df.columns.toSet == Set("doc_id", "ws", "n", "w"))
+  }
+
+  test("FLATTEN OPTIONAL BY drops null rows; bare lambda feeds a HOF") {
+    Seq((1L, Some(10L), Seq(1L, 2L)), (2L, None, Seq(3L)))
+      .toDF("id", "opt", "xs").createOrReplaceTempView("yqls_opt")
+    val df = YqlSql.sql(spark,
+      """$inc = ($x) -> ($x + 100);
+        |SELECT id, opt, ListMap(xs, $inc) AS bumped
+        |FROM yqls_opt FLATTEN OPTIONAL BY opt""".stripMargin)
+    val got = df.as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(got == Seq((1L, 10L, Seq(101L, 102L))))
+  }
+
+  test("FLATTEN DICT BY explodes map entries") {
+    Seq((1L, Map("a" -> 1L, "b" -> 2L))).toDF("id", "m")
+      .createOrReplaceTempView("yqls_dict")
+    val df = YqlSql.sql(spark,
+      "SELECT id, m.key AS k, m.value AS v FROM yqls_dict FLATTEN DICT BY m")
+    val got = df.as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 1L), (1L, "b", 2L)))
+  }
+
+  test("a multi-statement script evaluates to its LAST select") {
+    val df = YqlSql.sql(spark,
+      "SELECT 1 AS a;\nSELECT 2 AS b;")
+    assert(df.columns.toSeq == Seq("b"))
+    assert(df.as[Int].head() == 2)
+  }
+}
