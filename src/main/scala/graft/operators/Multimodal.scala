@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
   * pipeline's scan-time metadata pass does. Pixel decode is
   * codec-backed via javax.imageio ([[decodeImage]]): `resize` rescales
   * real PNG/JPEG/GIF/BMP payloads and re-encodes PNG; `extractFeatures`
-  * computes block-luminance grid features from true pixels. Payloads
-  * matching no known magic keep the deterministic fallbacks so the
-  * synthetic text-byte corpus remains covered; audio/video sample
-  * decode still needs an external codec and stays out of scope.
+  * computes block-luminance grid features from true pixels. Audio
+  * sample decode is codec-backed via javax.sound.sampled
+  * ([[decodeAudio]] — WAV/AIFF/AU to mono float PCM): `extractFeatures`
+  * computes per-block RMS waveform features from true samples.
+  * Payloads matching no known magic keep the deterministic fallbacks
+  * so the synthetic text-byte corpus remains covered; video sample
+  * decode still needs an external codec and stays out of scope
+  * ([[sampleFrames]] keeps the plumbing real).
   */
 object Multimodal {
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -79,6 +83,89 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Codec-backed audio decode (javax.sound.sampled — WAV/AIFF/AU):
+    * returns channel-averaged mono samples in [-1, 1] plus the sample
+    * rate. Non-PCM encodings convert through AudioSystem to signed
+    * 16-bit PCM first. Payloads without a known audio magic (or with a
+    * corrupt container) return None so deterministic fallbacks keep
+    * covering the synthetic corpus, like [[decodeImage]]. */
+  private[graft] def decodeAudio(payload: Array[Byte])
+      : Option[(Array[Float], Float)] = {
+    if (payload == null || payload.length < 12) return None
+    val b = payload
+    val wav = b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    val aiff = b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M'
+    val au = b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'
+    if (!wav && !aiff && !au) return None
+    try {
+      import javax.sound.sampled._
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = raw.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+        f.getSampleRate, false)
+      val pcm =
+        if (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && !f.isBigEndian) raw
+        else AudioSystem.getAudioInputStream(target, raw)
+      val bytes = pcm.readAllBytes()
+      val ch = pcm.getFormat.getChannels
+      val nFrames = bytes.length / (2 * ch)
+      val out = new Array[Float](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        var sum = 0.0f
+        var c = 0
+        while (c < ch) {
+          val o = (i * ch + c) * 2
+          val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+          sum += s / 32768.0f
+          c += 1
+        }
+        out(i) = sum / ch
+        i += 1
+      }
+      Some((out, pcm.getFormat.getSampleRate))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic real-WAV fixture generator: a mono 16-bit PCM
+    * square wave per row — amplitude `ampCol`·128 (ampCol in 0..255,
+    * so decoded |sample| = amp/256 exactly), duration `durMsCol`
+    * milliseconds at `rate` Hz — through the real WAVE encoder, so
+    * decode-path tests and oracles run against true container bytes
+    * (the audio analog of [[synthesizePng]]). */
+  def synthesizeWav(df: DataFrame, ampCol: String, durMsCol: String,
+      rate: Int = 8000, outCol: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, BinaryType))
+    val (ai, di) = (inSchema.fieldIndex(ampCol), inSchema.fieldIndex(durMsCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        import javax.sound.sampled._
+        val amp = r.getInt(ai); val durMs = r.getInt(di)
+        val frames = rate * durMs / 1000
+        val v = (amp * 128).toShort
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val s: Short = if (i % 2 == 0) v else (-v).toShort
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
         Row.fromSeq(r.toSeq :+ bos.toByteArray)
       }
     }(Encoders.row(outSchema))
@@ -226,16 +313,36 @@ object Multimodal {
                 k += 1
               }
               out
-            case None =>
-              val out = new Array[Float](dim)
-              var h = 1125899906842597L
-              var i = 0
-              while (i < payload.length) {
-                h = 31 * h + payload(i)
-                out(i % dim) += (h & 0xffff) / 65536.0f - 0.5f
-                i += 1
-              }
-              out
+            case None => decodeAudio(payload) match {
+              // real waveform features: per-block RMS energy over dim
+              // windows (the audio analog of the luminance grid)
+              case Some((samples, _)) if samples.nonEmpty =>
+                val out = new Array[Float](dim)
+                val n = samples.length
+                var k = 0
+                while (k < dim) {
+                  val s0 = (k.toLong * n / dim).toInt
+                  val s1 = math.max(s0 + 1, ((k + 1).toLong * n / dim).toInt)
+                  var acc = 0.0; var m = 0
+                  var i = s0
+                  while (i < s1 && i < n) {
+                    acc += samples(i).toDouble * samples(i); m += 1; i += 1
+                  }
+                  out(k) = if (m == 0) 0.0f else math.sqrt(acc / m).toFloat
+                  k += 1
+                }
+                out
+              case _ =>
+                val out = new Array[Float](dim)
+                var h = 1125899906842597L
+                var i = 0
+                while (i < payload.length) {
+                  h = 31 * h + payload(i)
+                  out(i % dim) += (h & 0xffff) / 65536.0f - 0.5f
+                  i += 1
+                }
+                out
+            }
           }
         Row.fromSeq(r.toSeq :+ vec)
       }

@@ -483,6 +483,28 @@ object Llm {
         round(element_at(col("vec"), 16).cast("double"), 4).as("f15"))
     }),
 
+    // REAL audio pipeline over javax.sound.sampled: synthesize a
+    // square-wave WAV per doc (true WAVE encoder bytes, amplitude and
+    // duration derived from doc_id), probe the container header, and
+    // extract per-block RMS waveform features from decoded PCM. Every
+    // column is analytically known: a ±v square wave has |sample| =
+    // amp/256 exactly, so every block RMS = amp/256; duration_ms =
+    // dur_ms by construction (8 frames/ms at 8 kHz, header math exact).
+    "llm_multimodal_audio" -> ((s, d) => {
+      val specs = t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          pmod(col("doc_id") * 37, lit(256)).cast("int").as("amp"),
+          (lit(100) + pmod(col("doc_id") * 11, lit(400))).cast("int").as("dur_ms"))
+      val wav = Multimodal.synthesizeWav(specs, "amp", "dur_ms")
+      val meta = Multimodal.decodeMeta(wav, "payload", "m")
+      val feats = Multimodal.extractFeatures(meta, "payload", 8)
+      feats.select(col("doc_id"),
+        col("m.codec").as("codec"),
+        col("m.duration_ms").as("dur_decoded"),
+        round(element_at(col("vec"), 1).cast("double"), 4).as("rms0"),
+        round(element_at(col("vec"), 8).cast("double"), 4).as("rms7"))
+    }),
+
     // Sequence packing (sample packing for pretraining): whole docs
     // greedily fill 512-token context windows, bucketed for parallelism
     // (bucket = doc_id % 8 here so the oracle can re-derive it; xxhash64
@@ -1060,6 +1082,13 @@ object Llm {
       """SELECT doc_id,
            LEAST(octet_length(encode(text)), 16) AS resized_len
          FROM documents WHERE doc_id < 200""",
+    "llm_multimodal_audio" ->
+      """SELECT doc_id,
+           'audio/wav' AS codec,
+           CAST(100 + (doc_id * 11) % 400 AS BIGINT) AS dur_decoded,
+           ROUND((doc_id * 37 % 256) / 256.0, 4) AS rms0,
+           ROUND((doc_id * 37 % 256) / 256.0, 4) AS rms7
+         FROM documents WHERE doc_id < 50""",
     "llm_multimodal_decode" ->
       """SELECT doc_id,
            CAST(8 + doc_id % 23 AS INT) AS in_w,

@@ -412,6 +412,34 @@ class LlmSpec extends SparkSpec {
       f.forall(v => math.abs(v - (100.0 / 255.0 - 0.5)) < 1e-6), f)
   }
 
+  test("audio decode: real WAVs yield exact square-wave RMS features; " +
+      "header and decoded durations agree; non-audio falls back") {
+    val df = Seq((1L, 200, 250), (2L, 0, 100)).toDF("id", "amp", "dur_ms")
+    val wav = Multimodal.synthesizeWav(df, "amp", "dur_ms")
+    // decodeAudio round-trips the true WAVE container
+    val payloads = wav.select(col("id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val (samples, rate) = Multimodal.decodeAudio(payloads(1L)).get
+    assert(rate == 8000.0f)
+    assert(samples.length == 8000 * 250 / 1000)
+    assert(samples.forall(s => math.abs(math.abs(s) - 200.0 / 256.0) < 1e-6))
+    // decoded-frame duration == header-math duration (probeMeta)
+    val headerMs = Multimodal.probeMeta(payloads(1L)).getAs[Long](3)
+    val decodedMs = (samples.length.toLong * 1000 / rate.toLong)
+    assert(headerMs == 250L && decodedMs == 250L)
+    // per-block RMS features are exactly amp/256 in every block
+    val feats = Multimodal.extractFeatures(wav, "payload", 8)
+      .select(col("id"), col("vec")).as[(Long, Seq[Float])].collect().toMap
+    assert(feats(1L).length == 8 &&
+      feats(1L).forall(v => math.abs(v - 200.0 / 256.0) < 1e-6), feats(1L))
+    assert(feats(2L).forall(_ == 0.0f)) // silence
+    // non-audio payloads keep the rolling-hash fallback (unchanged)
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+    // corrupt RIFF container: None, not an exception
+    val corrupt = "RIFFxxxxWAVEbroken".getBytes("UTF-8")
+    assert(Multimodal.decodeAudio(corrupt).isEmpty)
+  }
+
   test("frame sampling emits one row per frame slice") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "s")
       .withColumn("payload", encode(col("s"), "UTF-8"))
