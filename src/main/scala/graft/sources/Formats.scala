@@ -11,6 +11,8 @@ import org.apache.spark.sql.types.StructType
   *     `spark.read.csv` with tab separator for the schemaful flavor.
   *   - SchemafulDsv: fixed column order, tab-separated, no header.
   *   - Yamr: legacy `key<TAB>value` (optionally subkey) pairs.
+  *   - YamredDsv: the Yamr/Dsv hybrid — yamr key framing over DSV
+  *     values ([[Formats.readYamredDsv]] / [[Formats.writeYamredDsv]]).
   *   - Json: `spark.read.json` (one document per line).
   *   - Yson: [[Yson.ysonToJson]] over a text column, then the JSON
   *     reader — the documented YSON⇄JSON bridge.
@@ -58,6 +60,141 @@ object Formats {
     spark.read.text(path)
       .select(m.as("__kv"))
       .select(columns.map(c => element_at(col("__kv"), lit(c)).as(c)): _*)
+  }
+
+  /** YamredDsv (EFormatType::YamredDsv, format.h:49-62; parser
+    * yamred_dsv_parser.cpp, writer yamred_dsv_writer.cpp): the
+    * Yamr/Dsv hybrid — each line is
+    * `key[\t subkey]\t k1=v1\t k2=v2...` where `key` is the key
+    * columns' VALUES joined by `yamr_keys_separator` (default space),
+    * `subkey` likewise for the subkey columns, and the value section
+    * is DSV over the remaining columns. Key splitting matches the
+    * reference exactly: the last declared field absorbs any extra
+    * separators, an empty section yields one empty field, and a field
+    * count mismatch raises. Escaping (default on, symbol '\\') covers
+    * \0, \t, \n and the symbol itself.
+    */
+  private def yamrEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '\u0000' => sb.append("\\0")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\\' => sb.append("\\\\")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def yamrUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '0' => sb.append('\u0000')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split a key/subkey section into exactly `names.size` fields: the
+    * reference's ConsumeFields (yamred_dsv_parser.cpp:50-78) — the
+    * LAST field absorbs remaining separators, an empty section is one
+    * empty field, and a count mismatch is an error. */
+  def splitYamrKeys(section: String, names: Seq[String],
+      sep: Char): Seq[String] = {
+    val fields =
+      if (section.isEmpty) Seq("")
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        var done = false
+        while (!done) {
+          val next = if (out.size + 1 == names.size) -1
+            else section.indexOf(sep, pos)
+          if (next < 0) { out += section.substring(pos); done = true }
+          else { out += section.substring(pos, next); pos = next + 1 }
+        }
+        out.toSeq
+      }
+    if (fields.size != names.size) throw new IllegalArgumentException(
+      s"Invalid number of key fields in YAMRed DSV: expected ${names.size}, " +
+      s"actual ${fields.size}")
+    fields
+  }
+
+  def readYamredDsv(spark: SparkSession, path: String,
+      keyColumns: Seq[String], valueColumns: Seq[String],
+      subkeyColumns: Seq[String] = Nil,
+      yamrKeysSeparator: Char = ' ',
+      enableEscaping: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val hasSubkey = subkeyColumns.nonEmpty
+    val outCols = keyColumns ++ subkeyColumns ++ valueColumns
+    val schema = StructType(outCols.map(c => StructField(c, StringType)))
+    val (kc, sc, vc) = (keyColumns, subkeyColumns, valueColumns)
+    spark.read.text(path).mapPartitions { rows =>
+      rows.map { r =>
+        val line = r.getString(0)
+        def un(s: String) = if (enableEscaping) yamrUnescape(s) else s
+        // delimited Yamr framing: key [tab subkey] tab value-rest —
+        // the value section keeps its own tabs (DSV pairs)
+        val t1 = line.indexOf('\t')
+        require(t1 >= 0, s"YAMRed DSV line has no value section: ${line.take(60)}")
+        val keySec = line.substring(0, t1)
+        val (subSec, valSec) =
+          if (hasSubkey) {
+            val t2 = line.indexOf('\t', t1 + 1)
+            require(t2 >= 0, "YAMRed DSV line has no subkey/value boundary")
+            (line.substring(t1 + 1, t2), line.substring(t2 + 1))
+          } else ("", line.substring(t1 + 1))
+        val keys = splitYamrKeys(un(keySec), kc, yamrKeysSeparator)
+        val subs = if (hasSubkey)
+          splitYamrKeys(un(subSec), sc, yamrKeysSeparator) else Nil
+        val kv = valSec.split('\t').filter(_.nonEmpty).map { pair =>
+          val eq = pair.indexOf('=')
+          if (eq < 0) un(pair) -> ""
+          else un(pair.substring(0, eq)) -> un(pair.substring(eq + 1))
+        }.toMap
+        Row.fromSeq(keys ++ subs ++ vc.map(kv.get(_).orNull))
+      }
+    }(Encoders.row(schema))
+  }
+
+  def writeYamredDsv(df: DataFrame, path: String,
+      keyColumns: Seq[String], subkeyColumns: Seq[String] = Nil,
+      yamrKeysSeparator: Char = ' ',
+      enableEscaping: Boolean = true): Unit = {
+    val fields = df.schema.fieldNames.toSeq
+    val valueColumns = fields.filterNot((keyColumns ++ subkeyColumns).contains)
+    val idx = fields.zipWithIndex.toMap
+    import org.apache.spark.sql.Encoders
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        def cell(c: String): String = {
+          val i = idx(c)
+          val raw = if (r.isNullAt(i)) "" else r.get(i).toString
+          if (enableEscaping) yamrEscape(raw) else raw
+        }
+        val sb = new StringBuilder
+        sb.append(keyColumns.map(cell).mkString(yamrKeysSeparator.toString))
+        if (subkeyColumns.nonEmpty) sb.append('\t')
+          .append(subkeyColumns.map(cell).mkString(yamrKeysSeparator.toString))
+        sb.append('\t')
+        sb.append(valueColumns.map(c => s"$c=${cell(c)}").mkString("\t"))
+        sb.toString
+      }
+    }(Encoders.STRING).write.mode("overwrite").text(path)
   }
 
   /** Json lines. */

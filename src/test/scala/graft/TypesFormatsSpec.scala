@@ -81,6 +81,41 @@ class TypesFormatsSpec extends SparkSpec {
     assert(yamr.toSeq == Seq(Row("k1", "v1"), Row("k2", "v2 with\ttabs")))
   }
 
+  test("yamred dsv: golden line bytes, reference key-splitting, round trip") {
+    val dir = Files.createTempDirectory("yamred").toFile.getAbsolutePath
+    // golden bytes (yamred_dsv_writer.cpp layout): key values joined by
+    // the yamr keys separator, then TAB, then DSV value pairs; escaped
+    // \t \n \\ in cells
+    val df = Seq(
+      ("u1", "s1", "x\ty", "10"),
+      ("u2", "s2", "plain", "20")).toDF("user", "session", "payload", "n")
+    Formats.writeYamredDsv(df, s"$dir/out", keyColumns = Seq("user", "session"))
+    val lines = spark.read.text(s"$dir/out").as[String].collect().sorted
+    assert(lines.toSeq == Seq(
+      "u1 s1\tpayload=x\\ty\tn=10",
+      "u2 s2\tpayload=plain\tn=20"))
+    // read back: keys split per ConsumeFields, values unescaped
+    val back = Formats.readYamredDsv(spark, s"$dir/out",
+      keyColumns = Seq("user", "session"), valueColumns = Seq("payload", "n"))
+      .orderBy("user").collect()
+    assert(back.toSeq == Seq(
+      Row("u1", "s1", "x\ty", "10"), Row("u2", "s2", "plain", "20")))
+    // reference key-split semantics: last field absorbs extra
+    // separators; empty section = one empty field; mismatch raises
+    assert(Formats.splitYamrKeys("a b c", Seq("k1", "k2"), ' ') == Seq("a", "b c"))
+    assert(Formats.splitYamrKeys("", Seq("k"), ' ') == Seq(""))
+    intercept[IllegalArgumentException] {
+      Formats.splitYamrKeys("a", Seq("k1", "k2"), ' ')
+    }
+    // subkey framing: key TAB subkey TAB value
+    Files.write(java.nio.file.Paths.get(dir, "sk.txt"),
+      "k\tsub1 sub2\ta=1\n".getBytes)
+    val sk = Formats.readYamredDsv(spark, s"$dir/sk.txt",
+      keyColumns = Seq("k"), valueColumns = Seq("a"),
+      subkeyColumns = Seq("s1", "s2")).collect()
+    assert(sk.toSeq == Seq(Row("k", "sub1", "sub2", "1")))
+  }
+
   test("dsv key=value pairs project onto requested columns") {
     val dir = Files.createTempDirectory("dsv").toFile.getAbsolutePath
     Files.write(java.nio.file.Paths.get(dir, "d.txt"),
