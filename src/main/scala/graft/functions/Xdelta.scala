@@ -215,6 +215,33 @@ object Xdelta {
     out.toByteArray
   }
 
+  /** Walk a [[diff]] delta's instruction stream — the hook
+    * [[Vcdiff.toVcdiff]] re-encodes from (`onAdd` receives the delta
+    * buffer + offset/length of the literal run; `onCopy` the base
+    * offset and length). */
+  private[functions] def foreachInstruction(delta: Array[Byte])(
+      onAdd: (Array[Byte], Int, Int) => Unit,
+      onCopy: (Int, Int) => Unit): Unit = {
+    require(delta.nonEmpty && (delta(0) & 0xff) == DeltaMagic, "bad delta magic")
+    val pos = Array(1)
+    readVarint(delta, pos) // target length
+    while (pos(0) < delta.length) {
+      delta(pos(0)) match {
+        case 0 =>
+          pos(0) += 1
+          val len = readVarint(delta, pos).toInt
+          onAdd(delta, pos(0), len)
+          pos(0) += len
+        case 1 =>
+          pos(0) += 1
+          val off = readVarint(delta, pos).toInt
+          val len = readVarint(delta, pos).toInt
+          onCopy(off, len)
+        case op => throw new IllegalArgumentException(s"bad delta op $op")
+      }
+    }
+  }
+
   /** Apply [[diff]] output to a base. */
   def patch(base: Array[Byte], delta: Array[Byte]): Array[Byte] = {
     require(delta.nonEmpty && (delta(0) & 0xff) == DeltaMagic, "bad delta magic")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Xdelta
+import graft.functions.{Vcdiff, Xdelta}
 
 /** The xdelta aggregate state machine (merge.cpp semantics): header
   * wire codec, hash-chain verification, error lowering, fold order.
@@ -77,6 +77,74 @@ class XdeltaSpec extends SparkSpec {
     val partial = patches.reduce(Xdelta.mergeStates)
     val applied = Xdelta.mergeStates(Xdelta.makeBase(states.head), partial)
     assert(Xdelta.statePayload(applied).toSeq == states.last.toSeq)
+  }
+
+  test("vcdiff: golden RFC 3284 bytes for an ADD-only delta") {
+    // no base match possible (base shorter than the match block) → the
+    // whole target is one ADD; window has no source segment
+    val base = "hello world".getBytes("UTF-8")
+    val target = "hello spark world".getBytes("UTF-8")
+    val vc = Vcdiff.encode(base, target)
+    val expected =
+      Array(0xd6, 0xc3, 0xc4, // "VCD" | 0x80
+        0x00, // version
+        0x00, // hdr_indicator
+        0x00, // win_indicator: no source segment
+        24,   // delta encoding length: 1+1+1+1+1 + 17 data + 2 inst
+        17,   // target window length
+        0x00, // delta_indicator
+        17,   // data section length
+        2,    // inst section length
+        0     // addr section length
+      ).map(_.toByte) ++ target ++ Array(0x01, 17).map(_.toByte)
+    assert(vc.toSeq == expected.toSeq,
+      vc.map(b => b & 0xff).mkString(","))
+    assert(Vcdiff.fromVcdiff(base, vc).toSeq == target.toSeq)
+  }
+
+  test("vcdiff: copies emit VCD_SOURCE windows and self-decode exactly") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(512)(rnd.nextInt(256).toByte)
+    // target = two base slices + noise between
+    val target = base.slice(0, 200) ++ "NEW BYTES".getBytes ++
+      base.slice(300, 500) ++ "tail".getBytes
+    val vc = Vcdiff.encode(base, target)
+    assert((vc(5) & 0x01) == 0x01, "expected VCD_SOURCE window")
+    assert(Vcdiff.fromVcdiff(base, vc).toSeq == target.toSeq)
+    // and the wire is a real delta, not a literal dump
+    assert(vc.length < target.length / 2, s"${vc.length} vs ${target.length}")
+    // random-pair property: always reconstructs
+    (0 until 20).foreach { i =>
+      val b = Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      val t0 = if (b.nonEmpty && i % 2 == 0)
+        b.slice(0, rnd.nextInt(b.length)) ++
+          Array.fill(rnd.nextInt(50))(rnd.nextInt(256).toByte) ++ b
+      else Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      assert(Vcdiff.fromVcdiff(b, Vcdiff.encode(b, t0)).toSeq == t0.toSeq)
+    }
+  }
+
+  test("vcdiff decoder covers the default code table beyond our encoder") {
+    // hand-built window using compact opcodes: ADD size 3 (index 4),
+    // then RUN (index 0, size 2), then combined ADD(1)+COPY(4, SELF)
+    // (index 163) — none of which our encoder emits
+    val base = "abcdefgh".getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(0xd6, 0xc3, 0xc4, 0x00, 0x00).foreach(out.write)
+    out.write(0x01) // VCD_SOURCE
+    out.write(8); out.write(0) // source segment: whole base at 0
+    val data = "XYZq!".getBytes("UTF-8") // ADD 3 takes XYZ, RUN takes q, ADD 1 takes !
+    val inst = Array(4, 0, 2, 163) // ADD3, RUN(size 2), ADD1+COPY4-SELF
+    val addr = Array(2) // COPY from base offset 2 → cdef
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(10) // target window length: 3 + 2 + 1 + 4
+    body.write(0)
+    body.write(data.length); body.write(inst.length); body.write(addr.length)
+    body.write(data); inst.foreach(body.write); addr.foreach(body.write)
+    out.write(body.size())
+    body.writeTo(out)
+    val got = Vcdiff.fromVcdiff(base, out.toByteArray)
+    assert(new String(got, "UTF-8") == "XYZqq!cdef")
   }
 
   test("a newer BASE supersedes whatever came before") {
