@@ -395,4 +395,68 @@ object ExprFuzz {
     val dop = if (op == "!=") "<>" else op
     FExpr(s"(${l.ql} $op ${r.ql})", s"(${l.duck} $dop ${r.duck})", 1L, isBool = true)
   }
+
+  /** Window-domain cases over a fixture (a unique BIGINT, k small
+    * partition key, v BIGINT value): random ranking / analytic /
+    * framed-aggregate window columns, rendered once — the texts are
+    * ANSI and shared by Spark SQL and DuckDB verbatim. Generator
+    * discipline for cross-engine determinism: every ORDER BY ends in
+    * the unique key `a` (ties impossible), aggregate inputs are
+    * integers (no float summation-order divergence), and frames are
+    * explicit wherever the ANSI default would surprise (last_value).
+    */
+  def windowCases(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val part = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => "PARTITION BY k "
+        case _ => s"PARTITION BY k % ${2 + rnd.nextInt(3)} "
+      }
+      val ord = if (rnd.nextBoolean()) "ORDER BY v, a" else "ORDER BY v DESC, a"
+      def frame: String = rnd.nextInt(4) match {
+        case 0 => " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        case 1 => s" ROWS BETWEEN ${1 + rnd.nextInt(4)} PRECEDING AND CURRENT ROW"
+        case 2 => s" ROWS BETWEEN CURRENT ROW AND ${1 + rnd.nextInt(4)} FOLLOWING"
+        case _ => " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+      }
+      val core = rnd.nextInt(10) match {
+        case 0 => s"ROW_NUMBER() OVER ($part$ord)"
+        case 1 => s"RANK() OVER ($part$ord)"
+        case 2 => s"DENSE_RANK() OVER ($part$ord)"
+        case 3 => s"NTILE(${2 + rnd.nextInt(5)}) OVER ($part$ord)"
+        case 4 => s"LAG(v, ${1 + rnd.nextInt(3)}) OVER ($part$ord)"
+        case 5 => s"LEAD(v, ${1 + rnd.nextInt(3)}) OVER ($part$ord)"
+        case 6 => s"FIRST_VALUE(a) OVER ($part$ord$frame)"
+        case 7 => s"LAST_VALUE(a) OVER ($part$ord$frame)"
+        case 8 => s"SUM(v) OVER ($part$ord$frame)"
+        case _ => s"COUNT(*) OVER ($part$ord$frame)"
+      }
+      // int-width spellings differ between engines (ROW_NUMBER is int
+      // in Spark, bigint in DuckDB) — pin the output type in the text
+      s"CAST($core AS BIGINT)"
+    }
+  }
+
+  /** Set-operation cases: UNION / UNION ALL / INTERSECT [ALL] /
+    * EXCEPT [ALL] between two filtered projections of the fixture —
+    * ANSI text shared verbatim by both engines, each case wrapped
+    * under a tag so all cases union into one result. */
+  def setOpCases(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val op = Seq("UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+        "EXCEPT", "EXCEPT ALL")(rnd.nextInt(6))
+      val m1 = 2 + rnd.nextInt(5); val r1 = rnd.nextInt(m1)
+      val m2 = 2 + rnd.nextInt(5); val r2 = rnd.nextInt(m2)
+      val proj = rnd.nextInt(3) match {
+        case 0 => "k, v % 100 AS x"
+        case 1 => "k % 3 AS k, v % 50 AS x"
+        case _ => "k, k + v % 10 AS x"
+      }
+      s"SELECT $i AS tag, * FROM (" +
+        s"(SELECT $proj FROM fw WHERE a % $m1 = $r1) $op " +
+        s"(SELECT $proj FROM fw WHERE a % $m2 = $r2))"
+    }
+  }
 }

@@ -191,6 +191,33 @@ object Fns {
         graft.ql.SelectRows.Options(useCanonicalNullRelations = true))
     }),
 
+    // Window-domain differential fuzz: 14 randomized window columns
+    // (ranking / analytic / framed aggregates) with deterministic
+    // tie-broken orders and integer inputs — shared ANSI text, so the
+    // oracle replays the exact spelling.
+    "ql_fuzz_windows" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey").as("a"),
+        (col("o_custkey") % 7).as("k"),
+        (col("o_custkey") % 997).as("v"))
+        .createOrReplaceTempView("fw")
+      val cols = graft.ql.ExprFuzz.windowCases(14, seed = 31L)
+        .zipWithIndex.map { case (w, i) => s"$w AS w$i" }.mkString(", ")
+      s.sql(s"SELECT a, $cols FROM fw")
+    }),
+
+    // Set-op-domain differential fuzz: UNION / INTERSECT / EXCEPT
+    // (plain and ALL) between filtered projections — shared ANSI text.
+    "ql_fuzz_setops" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey").as("a"),
+        (col("o_custkey") % 7).as("k"),
+        (col("o_custkey") % 997).as("v"))
+        .createOrReplaceTempView("fw")
+      graft.ql.ExprFuzz.setOpCases(12, seed = 47L)
+        .map(s.sql).reduce(_ unionByName _)
+    }),
+
     // UseCanonicalNullRelations: comparisons keep SQL three-valued
     // logic — exactly DuckDB's semantics, so the oracle is plain SQL.
     "ql_selectrows_canonical_nulls" -> ((s, d) =>
@@ -468,6 +495,22 @@ object Fns {
          |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
          |       ELSE o_custkey % 100 END AS c FROM orders)
          |SELECT a % 10 AS g, $items FROM base GROUP BY a % 10""".stripMargin
+    },
+
+    "ql_fuzz_windows" -> {
+      val cols = graft.ql.ExprFuzz.windowCases(14, seed = 31L)
+        .zipWithIndex.map { case (w, i) => s"$w AS w$i" }.mkString(", ")
+      s"""WITH fw AS (SELECT o_orderkey AS a, o_custkey % 7 AS k,
+         |  o_custkey % 997 AS v FROM orders)
+         |SELECT a, $cols FROM fw""".stripMargin
+    },
+
+    "ql_fuzz_setops" -> {
+      val cases = graft.ql.ExprFuzz.setOpCases(12, seed = 47L)
+        .mkString("\n         UNION ALL\n         ")
+      s"""WITH fw AS (SELECT o_orderkey AS a, o_custkey % 7 AS k,
+         |  o_custkey % 997 AS v FROM orders)
+         |$cases""".stripMargin
     },
 
     "ql_selectrows_canonical_nulls" ->
