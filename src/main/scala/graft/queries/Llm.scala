@@ -21,35 +21,51 @@ object Llm {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared operator invocations: the SAME closure feeds both the
+    * verdict-wrapped `defs` entry (correctness sweep) and [[benchOnly]]
+    * (throughput), so operator parameters CANNOT drift between what the
+    * oracle verifies and what the bench times. */
+  private val simhashOp: (SparkSession, String) => DataFrame = (s, d) =>
+    Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id",
+      maxDist = 5, chunkBits = 8)
+  private val embeddingLshOp: (SparkSession, String) => DataFrame = (s, d) =>
+    Dedup.embeddingCosinePairsLsh(t(s, d, "embeddings"), "vec_id",
+      "embedding", dim = 64, threshold = 0.35)
+  private def annCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = t(s, d, "embeddings")
+    (emb, emb.filter(col("vec_id") < 10))
+  }
+  // radius 3 (≤3 flipped bits of 10) keeps the recall gate clear of
+  // its 0.5 threshold on every testdata generation — radius 2 sat
+  // right at the margin (one query at sf0.001 recalled 2/5)
+  private val lshTopKOp: (SparkSession, String) => DataFrame = (s, d) => {
+    val (emb, qs) = annCorpus(s, d)
+    Similarity.lshTopK(emb, qs, k = 5, dim = 64, bits = 10,
+      probeRadius = 3, tables = 8)
+  }
+  private val ivfTopKOp: (SparkSession, String) => DataFrame = (s, d) => {
+    val (emb, qs) = annCorpus(s, d)
+    Similarity.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = 6)
+  }
+  private val pqTopKOp: (SparkSession, String) => DataFrame = (s, d) => {
+    val (emb, qs) = annCorpus(s, d)
+    Similarity.pqTopK(emb, qs, k = 5, dim = 64, m = 16, ksub = 32, refine = 8)
+  }
+
   /** Operator-only plans for [[graft.Bench]]. The correctness entries
     * for these keys wrap the operator in an in-plan truth + verdict
     * harness — right for the oracle gate, wrong for timing, because the
     * harness also computes the (sometimes quadratic) exact truth in the
     * same plan. Bench times THESE; Verify keeps the verdict-wrapped
-    * `queries` entries. Parameters match the `queries` entries exactly.
+    * `queries` entries. Each value IS the closure the `queries` entry
+    * wraps, so the parameters are shared by construction.
     */
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id",
-        maxDist = 5, chunkBits = 8)),
-    "llm_dedup_embedding_lsh" -> ((s, d) =>
-      Dedup.embeddingCosinePairsLsh(t(s, d, "embeddings"), "vec_id",
-        "embedding", dim = 64, threshold = 0.35)),
-    "llm_sim_lsh" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        dim = 64, bits = 10, probeRadius = 3, tables = 8)
-    }),
-    "llm_sim_ivf" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        nlist = 16, nprobe = 6)
-    }),
-    "llm_sim_pq" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        dim = 64, m = 16, ksub = 32, refine = 8)
-    }))
+    "llm_dedup_simhash" -> simhashOp,
+    "llm_dedup_embedding_lsh" -> embeddingLshOp,
+    "llm_sim_lsh" -> lshTopKOp,
+    "llm_sim_ivf" -> ivfTopKOp,
+    "llm_sim_pq" -> pqTopKOp)
 
   /** Per-query ANN quality verdict, computed in-plan: join the ANN
     * top-k against the brute-force top-k, emit each query's exact
@@ -144,8 +160,7 @@ object Llm {
     // values themselves stay engine-specific.
     "llm_dedup_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val found = Dedup.simhashDup(docs, "text", "doc_id",
-        maxDist = 5, chunkBits = 8).select(col("id_a"), col("id_b"))
+      val found = simhashOp(s, d).select(col("id_a"), col("id_b"))
       val truth = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         shingleSize = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
       found.withColumn("f", lit(1L))
@@ -171,14 +186,9 @@ object Llm {
     // recomputes each query's exact top-1 cosine and neighbor count
     // independently and pins the expected per-query recall verdict.
     "llm_sim_lsh" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val qs = emb.filter(col("vec_id") < 10)
-      // radius 3 (≤3 flipped bits of 10) keeps the recall gate clear of
-      // its 0.5 threshold on every testdata generation — radius 2 sat
-      // right at the margin (one query at sf0.001 recalled 2/5)
-      val ann = Similarity.lshTopK(emb, qs, k = 5, dim = 64,
-        bits = 10, probeRadius = 3, tables = 8)
-      annRecallVerdict(ann, Similarity.bruteForceTopK(emb, qs, k = 5), 0.5)
+      val (emb, qs) = annCorpus(s, d)
+      annRecallVerdict(lshTopKOp(s, d),
+        Similarity.bruteForceTopK(emb, qs, k = 5), 0.5)
     }),
 
     // Embedding-cosine near-dup pairs: exact block-grid pair join (no
@@ -193,8 +203,7 @@ object Llm {
     // recall gated at the level this out-of-regime threshold supports.
     "llm_dedup_embedding_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val found = Dedup.embeddingCosinePairsLsh(emb, "vec_id", "embedding",
-        dim = 64, threshold = 0.35).select(col("id_a"), col("id_b"))
+      val found = embeddingLshOp(s, d).select(col("id_a"), col("id_b"))
       val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.35)
         .select(col("id_a"), col("id_b"))
       found.withColumn("f", lit(1L))
@@ -211,21 +220,18 @@ object Llm {
     // IVF-partitioned ANN (FAISS-style nlist/nprobe) — the third scale
     // path; same in-plan recall verdict, oracle-pinned.
     "llm_sim_ivf" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val qs = emb.filter(col("vec_id") < 10)
-      val ann = Similarity.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = 6)
-      annRecallVerdict(ann, Similarity.bruteForceTopK(emb, qs, k = 5), 0.55)
+      val (emb, qs) = annCorpus(s, d)
+      annRecallVerdict(ivfTopKOp(s, d),
+        Similarity.bruteForceTopK(emb, qs, k = 5), 0.55)
     }),
 
     // PQ-ADC search (Jégou 2011 / FAISS IndexPQ+refine): the corpus
     // scans as m-byte codes (m table adds per pair), the refine·k ADC
     // survivors re-rank by exact cosine after an id-only vector fetch.
     "llm_sim_pq" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val qs = emb.filter(col("vec_id") < 10)
-      val ann = Similarity.pqTopK(emb, qs, k = 5, dim = 64, m = 16,
-        ksub = 32, refine = 8)
-      annRecallVerdict(ann, Similarity.bruteForceTopK(emb, qs, k = 5), 0.4)
+      val (emb, qs) = annCorpus(s, d)
+      annRecallVerdict(pqTopKOp(s, d),
+        Similarity.bruteForceTopK(emb, qs, k = 5), 0.4)
     }),
 
     // Token counting: whitespace + subword estimate.

@@ -54,6 +54,12 @@ object Proto {
     * simply absent — proto3 presence semantics. */
   def encodeRow(row: Row, fields: Seq[Field]): Array[Byte] = {
     val out = new ByteArrayOutputStream(64)
+    encodeRowTo(out, row, fields)
+    out.toByteArray
+  }
+
+  private def encodeRowTo(out: ByteArrayOutputStream, row: Row,
+      fields: Seq[Field]): Unit = {
     fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) {
         def key(wire: Int): Unit = writeVarint(out, (f.number.toLong << 3) | wire)
@@ -78,7 +84,20 @@ object Proto {
         }
       }
     }
-    out.toByteArray
+  }
+
+  /** Stream rows onto `os` as lenval frames through ONE reused scratch
+    * buffer — the pipe write hot path (no per-row array churn). */
+  def encodeFramedStream(rows: Iterator[Row], fields: Seq[Field],
+      os: java.io.OutputStream): Unit = {
+    val scratch = new ByteArrayOutputStream(64)
+    rows.foreach { r =>
+      scratch.reset()
+      encodeRowTo(scratch, r, fields)
+      var v = scratch.size(); var i = 0
+      while (i < 4) { os.write(v & 0xff); v >>= 8; i += 1 }
+      scratch.writeTo(os)
+    }
   }
 
   /** Encode one row with the reference's lenval frame. */
@@ -91,11 +110,33 @@ object Proto {
     out.toByteArray
   }
 
+  /** Field-number lookup tables, built ONCE per stream — the per-row
+    * decode previously rebuilt two Maps per message, which dominated
+    * the pipe hot path at bench scale. Numbers index dense arrays
+    * (fieldsOf assigns 1..n; foreign descriptors with larger numbers
+    * fall back to the slow map). */
+  final class DecodeTables(fields: Seq[Field]) {
+    private val maxN = fields.map(_.number).max
+    val fieldAt: Array[Field] = {
+      val a = new Array[Field](maxN + 1)
+      fields.foreach(f => a(f.number) = f)
+      a
+    }
+    val slotAt: Array[Int] = {
+      val a = Array.fill(maxN + 1)(-1)
+      fields.zipWithIndex.foreach { case (f, i) => a(f.number) = i }
+      a
+    }
+    val n: Int = fields.length
+  }
+
   /** Decode one message with the table descriptor; unknown fields skip
     * by wire type, absent fields decode to null. */
-  def decodeRow(msg: Array[Byte], fields: Seq[Field]): Row = {
-    val byNumber = fields.map(f => f.number -> f).toMap
-    val idx = fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+  def decodeRow(msg: Array[Byte], fields: Seq[Field]): Row =
+    decodeRow(msg, fields, new DecodeTables(fields))
+
+  private def decodeRow(msg: Array[Byte], fields: Seq[Field],
+      tables: DecodeTables): Row = {
     val vals = new Array[Any](fields.length)
     var p = 0
     def varint(): Long = {
@@ -117,38 +158,39 @@ object Proto {
       val k = varint()
       val number = (k >>> 3).toInt
       val wire = (k & 7).toInt
-      byNumber.get(number) match {
-        case Some(f) =>
-          val v: Any = (wire, f.dataType) match {
-            case (0, LongType) => varint()
-            case (0, IntegerType) => varint().toInt
-            case (0, BooleanType) => varint() != 0L
-            case (1, DoubleType) => java.lang.Double.longBitsToDouble(fixed64())
-            case (2, StringType) =>
-              val n = varint().toInt
-              val s = new String(msg, p, n, "UTF-8"); p += n; s
-            case (2, BinaryType) =>
-              val n = varint().toInt
-              val b = java.util.Arrays.copyOfRange(msg, p, p + n); p += n; b
-            case _ => throw new IllegalArgumentException(
-              s"wire type $wire does not match ${f.dataType} for field $number")
-          }
-          vals(idx(number)) = v
-        case None => wire match { // unknown field: standard skip
-          case 0 => varint()
-          case 1 => p += 8
-          case 2 => p += varint().toInt
-          case 5 => p += 4
-          case other => throw new IllegalArgumentException(s"wire type $other")
+      val f = if (number < tables.fieldAt.length) tables.fieldAt(number) else null
+      if (f != null) {
+        val v: Any = (wire, f.dataType) match {
+          case (0, LongType) => varint()
+          case (0, IntegerType) => varint().toInt
+          case (0, BooleanType) => varint() != 0L
+          case (1, DoubleType) => java.lang.Double.longBitsToDouble(fixed64())
+          case (2, StringType) =>
+            val n = varint().toInt
+            val s = new String(msg, p, n, "UTF-8"); p += n; s
+          case (2, BinaryType) =>
+            val n = varint().toInt
+            val b = java.util.Arrays.copyOfRange(msg, p, p + n); p += n; b
+          case _ => throw new IllegalArgumentException(
+            s"wire type $wire does not match ${f.dataType} for field $number")
         }
+        vals(tables.slotAt(number)) = v
+      } else wire match { // unknown field: standard skip
+        case 0 => varint()
+        case 1 => p += 8
+        case 2 => p += varint().toInt
+        case 5 => p += 4
+        case other => throw new IllegalArgumentException(s"wire type $other")
       }
     }
     Row.fromSeq(vals.toIndexedSeq)
   }
 
-  /** Decode a lenval-framed stream of row messages. */
+  /** Decode a lenval-framed stream of row messages. Lookup tables are
+    * built once for the whole stream, not per row. */
   def decodeStream(in: InputStream, fields: Seq[Field]): Iterator[Row] =
     new Iterator[Row] {
+      private val tables = new DecodeTables(fields)
       private var nextRow: Row = _
       private var done = false
       private def advance(): Unit = {
@@ -165,7 +207,7 @@ object Proto {
           if (n < 0) throw new EOFException("truncated lenval frame")
           off += n
         }
-        nextRow = decodeRow(msg, fields)
+        nextRow = decodeRow(msg, fields, tables)
       }
       advance()
       def hasNext: Boolean = !done
@@ -203,7 +245,7 @@ object Proto {
     input.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else PipeJob.run(cmd,
-        os => rows.foreach(r => os.write(encodeFramed(r, inFields))),
+        os => encodeFramedStream(rows, inFields, os),
         is => decodeStream(is, outFields))
     }(Encoders.row(outSchema))
   }
