@@ -45,6 +45,15 @@ object Skiff {
   def encodeRowTagged(row: Row, fields: Seq[Field], tag: Int,
       fieldOffset: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream(64)
+    encodeRowTaggedTo(out, row, fields, tag, fieldOffset)
+    out.toByteArray
+  }
+
+  /** Streaming form: encode one tagged row directly onto `out` — skiff
+    * frames are self-delimiting, so the pipe write path needs no
+    * per-row byte[] materialization. */
+  def encodeRowTaggedTo(out: java.io.OutputStream, row: Row,
+      fields: Seq[Field], tag: Int, fieldOffset: Int): Unit = {
     def le(n: Int, bytes: Int): Unit = {
       var v = n; var i = 0
       while (i < bytes) { out.write(v & 0xff); v >>= 8; i += 1 }
@@ -72,7 +81,6 @@ object Skiff {
         case other => throw new IllegalArgumentException(other.toString)
       }
     }
-    out.toByteArray
   }
 
   /** Decode a stream of framed rows. */
@@ -215,7 +223,7 @@ object Skiff {
       else PipeJob.run(cmd,
         os => rows.foreach { r =>
           val t = r.getInt(0)
-          os.write(encodeRowTagged(r, inFields(t), t, inOffsets(t)))
+          encodeRowTaggedTo(os, r, inFields(t), t, inOffsets(t))
         },
         is => decodeStreamMulti(is, outFields))
     }(Encoders.row(outStruct))
@@ -243,7 +251,7 @@ object Skiff {
     input.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else PipeJob.run(cmd,
-        os => rows.foreach(r => os.write(encodeRow(r, inFields))),
+        os => rows.foreach(r => encodeRowTaggedTo(os, r, inFields, 0, 0)),
         is => decodeStream(is, outFields))
     }(Encoders.row(outSchema))
   }
