@@ -54,7 +54,7 @@ object YqlScript {
           // bindings resolve at DEFINITION time against earlier ones,
           // so later substitution is a single non-recursive pass; a
           // lambda's own parameters are kept for call-time binding
-          parseLambda(rhs.trim) match {
+          parseLambda(rhs.trim, scalars, lambdas) match {
             case Some(Lambda(params, rawBody)) =>
               lambdas(name) = Lambda(params,
                 substitute(rawBody, scalars, lambdas, keep = params.toSet))
@@ -95,8 +95,8 @@ object YqlScript {
       } else {
         c match {
           case '\'' | '"' | '`' => quote = c; cur.append(c)
-          case '(' => depth += 1; cur.append(c)
-          case ')' => depth -= 1; cur.append(c)
+          case '(' | '{' => depth += 1; cur.append(c)
+          case ')' | '}' => depth -= 1; cur.append(c)
           case ';' if depth == 0 => out += cur.toString; cur.clear()
           case _ => cur.append(c)
         }
@@ -120,17 +120,47 @@ object YqlScript {
       .map(mm => (mm.group(1), mm.group(2)))
   }
 
-  /** `($a, $b) -> ( body )` — the simple-expression lambda form. */
-  private[functions] def parseLambda(rhs: String): Option[Lambda] = {
+  /** `($a, $b) -> ( body )` — the simple-expression lambda form — or
+    * the statement-body form `($a) -> { $x = e1; RETURN e2 }`
+    * (SQLv1.g.in `lambda_body`): local `$x` bindings resolve in order
+    * (parameters and outer bindings visible), and the lambda's body is
+    * the fully-substituted RETURN expression. */
+  private[functions] def parseLambda(rhs: String,
+      outerScalars: collection.Map[String, String] = Map.empty,
+      outerLambdas: collection.Map[String, Lambda] = Map.empty): Option[Lambda] = {
     val t = rhs.trim
-    val m = "^\\(\\s*((?:\\$[A-Za-z_][A-Za-z0-9_]*\\??\\s*,\\s*)*\\$[A-Za-z_][A-Za-z0-9_]*\\??)?\\s*\\)\\s*->\\s*\\(".r
+    val m = "^\\(\\s*((?:\\$[A-Za-z_][A-Za-z0-9_]*\\??\\s*,\\s*)*\\$[A-Za-z_][A-Za-z0-9_]*\\??)?\\s*\\)\\s*->\\s*([({])".r
       .findFirstMatchIn(t).getOrElse(return None)
-    val bodyStart = m.end // position just past the opening '(' of the body
-    val bodyEnd = matchParen(t, bodyStart - 1)
-    if (bodyEnd != t.length - 1) return None
     val params = Option(m.group(1)).toSeq.flatMap(_.split(",").toSeq)
       .map(_.trim.stripSuffix("?").stripPrefix("$"))
-    Some(Lambda(params, t.substring(bodyStart, bodyEnd).trim))
+    if (m.group(2) == "(") {
+      val bodyStart = m.end
+      val bodyEnd = matchParen(t, bodyStart - 1)
+      if (bodyEnd != t.length - 1) return None
+      Some(Lambda(params, t.substring(bodyStart, bodyEnd).trim))
+    } else { // statement body: { stmt; ...; RETURN expr; }
+      if (!t.endsWith("}")) return None
+      val body = t.substring(m.end, t.length - 1)
+      val locals = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var ret: Option[String] = None
+      splitStatements(body).map(_.trim).filter(_.nonEmpty).foreach { st =>
+        def scope = outerScalars ++ locals // locals shadow outer names
+        if (st.take(6).equalsIgnoreCase("RETURN")) {
+          require(ret.isEmpty, "lambda body has multiple RETURN statements")
+          ret = Some(substitute(st.drop(6).trim, scope,
+            outerLambdas, keep = params.toSet))
+        } else {
+          require(ret.isEmpty, "statements after RETURN in lambda body")
+          val (name, r) = bindingOf(st).getOrElse(
+            throw new IllegalArgumentException(
+              s"unsupported lambda-body statement: ${st.take(60)}"))
+          locals(name) = "(" + substitute(r.trim, scope,
+            outerLambdas, keep = params.toSet) + ")"
+        }
+      }
+      Some(Lambda(params, ret.getOrElse(throw new IllegalArgumentException(
+        "lambda body has no RETURN statement"))))
+    }
   }
 
   /** index of the ')' matching the '(' at `open` (quote-aware). */
@@ -254,14 +284,30 @@ object YqlScript {
   }
 
   /** `src [AS a] FLATTEN [OPTIONAL|LIST|DICT] BY col [AS alias]` →
-    * a derived table over LATERAL VIEW explode. */
+    * a derived table over LATERAL VIEW explode. The parenthesized
+    * multi-column form `FLATTEN BY (a, b [AS y], ...)` builds the
+    * Cartesian product of the flattened columns (the reference's
+    * FlattenByColumns list, source.cpp:471) via chained LATERAL
+    * VIEWs. */
   def lowerFlatten(sql: String): String = {
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
     val re = ("(?i)\\bFLATTEN\\s+(?:(OPTIONAL|LIST|DICT)\\s+)?BY\\s+" +
-      "([A-Za-z_][A-Za-z0-9_]*)(\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*))?").r
+      s"(?:($ident)(\\s+AS\\s+($ident))?|\\(([^)]*)\\))").r
     val m = re.findFirstMatchIn(sql).getOrElse(return sql)
     val mode = Option(m.group(1)).map(_.toUpperCase).getOrElse("LIST")
-    val col = m.group(2)
-    val alias = Option(m.group(4))
+    // one (col, alias) per flattened column: single-ident form or the
+    // parenthesized list
+    val colSpecs: Seq[(String, Option[String])] =
+      if (m.group(2) != null) Seq((m.group(2), Option(m.group(4))))
+      else m.group(5).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+        val asRe = s"(?i)^($ident)(?:\\s+AS\\s+($ident))?$$".r
+        asRe.findFirstMatchIn(p) match {
+          case Some(mm) => (mm.group(1), Option(mm.group(2)))
+          case None => throw new IllegalArgumentException(
+            s"unsupported FLATTEN BY item: $p")
+        }
+      }
+    require(colSpecs.nonEmpty, "empty FLATTEN BY list")
     // backward scan over `src [AS a]` — src is an identifier chain or
     // a parenthesized derived table
     var e = m.start - 1
@@ -302,22 +348,25 @@ object YqlScript {
       } else wordEndingAt(srcEnd)._2 + 1
     val src = sql.substring(srcStart, srcEnd + 1)
     val inner = mode match {
-      case "OPTIONAL" => alias match {
-        case Some(a) => s"(SELECT *, $col AS $a FROM $src WHERE $col IS NOT NULL)"
-        case None => s"(SELECT * FROM $src WHERE $col IS NOT NULL)"
-      }
-      case "DICT" => alias match {
-        case Some(a) =>
-          s"(SELECT * EXCEPT (__fb), __fb AS $a FROM $src LATERAL VIEW explode(map_entries($col)) __fbv AS __fb)"
-        case None =>
-          s"(SELECT * EXCEPT ($col, __fb), __fb AS $col FROM $src LATERAL VIEW explode(map_entries($col)) __fbv AS __fb)"
-      }
-      case _ => alias match { // LIST / default
-        case Some(a) =>
-          s"(SELECT * EXCEPT (__fb), __fb AS $a FROM $src LATERAL VIEW explode($col) __fbv AS __fb)"
-        case None =>
-          s"(SELECT * EXCEPT ($col, __fb), __fb AS $col FROM $src LATERAL VIEW explode($col) __fbv AS __fb)"
-      }
+      case "OPTIONAL" =>
+        val conds = colSpecs.map(_._1).map(c => s"$c IS NOT NULL")
+          .mkString(" AND ")
+        val aliasSel = colSpecs.collect { case (c, Some(a)) => s", $c AS $a" }
+          .mkString
+        s"(SELECT *$aliasSel FROM $src WHERE $conds)"
+      case _ => // LIST (default) / DICT — chained LATERAL VIEWs build
+        // the Cartesian product across the flattened columns
+        def ex(c: String): String =
+          if (mode == "DICT") s"explode(map_entries($c))" else s"explode($c)"
+        val views = colSpecs.zipWithIndex.map { case ((c, _), i) =>
+          s" LATERAL VIEW ${ex(c)} __fbv$i AS __fb$i"
+        }.mkString
+        val except = (colSpecs.collect { case (c, None) => c } ++
+          colSpecs.indices.map(i => s"__fb$i")).mkString(", ")
+        val sel = colSpecs.zipWithIndex.map { case ((c, a), i) =>
+          s"__fb$i AS ${a.getOrElse(c)}"
+        }.mkString(", ")
+        s"(SELECT * EXCEPT ($except), $sel FROM $src$views)"
     }
     val replaced = sql.substring(0, srcStart) + inner +
       srcAlias.map(a => s" AS $a").getOrElse("") + sql.substring(m.end)

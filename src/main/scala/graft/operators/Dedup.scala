@@ -380,9 +380,13 @@ object Dedup {
     val p = math.acos(threshold) / math.Pi
     val hMax = math.min(bitsN.toDouble,
       math.ceil(bitsN * p + 3 * math.sqrt(bitsN * p * (1 - p)))).toInt
+    // static sum of per-chunk popcounts — a fixed codegen expression
+    // per candidate pair (the lambda-aggregate form allocates per row,
+    // and this runs once per CANDIDATE, the operator's hottest loop)
     def hamming(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-        lit(0), (acc, x) => acc + x)
+      (1 to chunks).map(i =>
+        bit_count(element_at(a, i).bitwiseXOR(element_at(b, i)))
+      ).reduce(_ + _)
     // shuffle-hash + ReuseExchange: signature scan computed once (see
     // minhashLsh for the full rationale)
     val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),

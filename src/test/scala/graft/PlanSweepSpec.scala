@@ -64,7 +64,11 @@ class PlanSweepSpec extends SparkSpec {
     // commit plan: ONE corpus-sized merge shuffle; the rest are
     // single-row scalar aggregates (commit ts ×2, conflict count) —
     // metadata, not data volume
-    "dyn_transaction" -> 6)
+    "dyn_transaction" -> 6,
+    // fuzz harness of 12 INDEPENDENT set-op cases unioned — INTERSECT/
+    // EXCEPT legitimately shuffle both sides per case; the budget is
+    // per-case ~2, not per-query
+    "ql_fuzz_setops" -> 24)
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one

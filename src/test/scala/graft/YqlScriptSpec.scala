@@ -58,6 +58,23 @@ class YqlScriptSpec extends SparkSpec {
       .replace("((__la_x) + 1)", "__la_x + 1"))
   }
 
+  test("statement-body lambdas: local bindings, outer scope, RETURN") {
+    val l = YqlScript.lower(
+      """$k = 7;
+        |$f = ($v) -> {
+        |  $sq = $v * $v;
+        |  RETURN $sq + $k;
+        |};
+        |SELECT $f(a) FROM t""".stripMargin)
+    assert(l.selects.head == "SELECT (((a) * (a)) + (7)) FROM t")
+    intercept[IllegalArgumentException] { // no RETURN
+      YqlScript.lower("$f = ($v) -> { $x = 1; };\nSELECT $f(a) FROM t")
+    }
+    intercept[IllegalArgumentException] { // statements after RETURN
+      YqlScript.lower("$f = ($v) -> { RETURN $v; $x = 1; };\nSELECT $f(a) FROM t")
+    }
+  }
+
   test("SELECT * WITHOUT lowers to EXCEPT") {
     assert(YqlScript.lowerWithout("SELECT * WITHOUT a, b FROM t") ==
       "SELECT * EXCEPT (a, b) FROM t")
@@ -67,11 +84,11 @@ class YqlScriptSpec extends SparkSpec {
 
   test("FLATTEN BY lowers to a LATERAL VIEW derived table") {
     val got = YqlScript.lowerFlatten("SELECT doc_id, w FROM docs FLATTEN BY ws AS w")
-    assert(got == "SELECT doc_id, w FROM (SELECT * EXCEPT (__fb), __fb AS w FROM docs " +
-      "LATERAL VIEW explode(ws) __fbv AS __fb)")
+    assert(got == "SELECT doc_id, w FROM (SELECT * EXCEPT (__fb0), __fb0 AS w FROM docs " +
+      "LATERAL VIEW explode(ws) __fbv0 AS __fb0)")
     val noAlias = YqlScript.lowerFlatten("SELECT doc_id, ws FROM docs FLATTEN BY ws")
-    assert(noAlias == "SELECT doc_id, ws FROM (SELECT * EXCEPT (ws, __fb), __fb AS ws " +
-      "FROM docs LATERAL VIEW explode(ws) __fbv AS __fb)")
+    assert(noAlias == "SELECT doc_id, ws FROM (SELECT * EXCEPT (ws, __fb0), __fb0 AS ws " +
+      "FROM docs LATERAL VIEW explode(ws) __fbv0 AS __fb0)")
   }
 
   test("unsupported statements and undeclared names are errors") {
@@ -132,6 +149,16 @@ class YqlScriptSpec extends SparkSpec {
       "SELECT id, m.key AS k, m.value AS v FROM yqls_dict FLATTEN DICT BY m")
     val got = df.as[(Long, String, Long)].collect().toSet
     assert(got == Set((1L, "a", 1L), (1L, "b", 2L)))
+  }
+
+  test("FLATTEN BY (a, b) builds the Cartesian product of both lists") {
+    Seq((1L, Seq("x", "y"), Seq(10L, 20L))).toDF("id", "ls", "ns")
+      .createOrReplaceTempView("yqls_multi")
+    val df = YqlSql.sql(spark,
+      "SELECT id, l, n FROM yqls_multi FLATTEN BY (ls AS l, ns AS n)")
+    val got = df.as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "x", 10L), (1L, "x", 20L),
+      (1L, "y", 10L), (1L, "y", 20L)))
   }
 
   test("a multi-statement script evaluates to its LAST select") {
