@@ -32,7 +32,10 @@ object YqlScript {
 
   final case class Lambda(params: Seq[String], body: String)
 
-  final case class Lowered(pragmas: Seq[String], selects: Seq[String])
+  /** `discards` are DISCARD statements: analyzed (type-checked) but
+    * never a script result — the reference's validation spelling. */
+  final case class Lowered(pragmas: Seq[String], selects: Seq[String],
+      discards: Seq[String] = Nil)
 
   /** Lower a YQL script to Spark SQL statement texts (module-call
     * `::` spellings are left for [[YqlSql.rewrite]]). */
@@ -42,11 +45,17 @@ object YqlScript {
     val lambdas = scala.collection.mutable.LinkedHashMap.empty[String, Lambda]
     val pragmas = scala.collection.mutable.ArrayBuffer.empty[String]
     val selects = scala.collection.mutable.ArrayBuffer.empty[String]
-    val unsupported = Set("USE", "IMPORT", "EXPORT", "DEFINE", "PROCESS",
+    val discards = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unsupported = Set("USE", "IMPORT", "EXPORT", "DEFINE",
       "REDUCE", "DECLARE", "COMMIT", "ROLLBACK")
     stmts.map(_.trim).filter(_.nonEmpty).foreach { st =>
       val firstWord = st.takeWhile(c => c.isLetter).toUpperCase
       if (firstWord == "PRAGMA") pragmas += st.drop("PRAGMA".length).trim
+      else if (firstWord == "DISCARD")
+        discards += lowerSelect(substitute(st.drop("DISCARD".length).trim,
+          scalars, lambdas))
+      else if (firstWord == "PROCESS")
+        selects += lowerProcess(st, scalars, lambdas)
       else if (unsupported(firstWord)) throw new IllegalArgumentException(
         s"unsupported YQL statement: $firstWord")
       else bindingOf(st) match {
@@ -71,7 +80,81 @@ object YqlScript {
     }
     if (selects.isEmpty) throw new IllegalArgumentException(
       "YQL script has no SELECT statement")
-    Lowered(pragmas.toSeq, selects.toSeq)
+    Lowered(pragmas.toSeq, selects.toSeq, discards.toSeq)
+  }
+
+  /** `PROCESS [STREAM] src [USING $f(TableRows()) [AS a]] [WHERE p]`
+    * (SQLv1.g.in process_core): without USING, the documented
+    * passthrough (`SELECT *`); with USING, the lambda applies per row —
+    * `$p.col` references become column refs, and the body must be
+    * `AsStruct(expr AS name, ...)` (the row-building idiom), which
+    * lowers to the projection list. REDUCE (grouped streams) stays
+    * unsupported. */
+  private def lowerProcess(st: String,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): String = {
+    // top-level USING / WHERE boundaries (quote-aware, depth 0)
+    def findKw(kw: String): Int = {
+      var i = 0; var quote: Char = 0; var depth = 0
+      val up = st.toUpperCase
+      while (i < st.length) {
+        val c = st.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '\'' | '"' | '`' => quote = c
+          case '(' | '{' => depth += 1
+          case ')' | '}' => depth -= 1
+          case _ =>
+            if (depth == 0 && up.startsWith(kw, i) &&
+                (i == 0 || !st.charAt(i - 1).isLetterOrDigit) &&
+                (i + kw.length >= st.length ||
+                  !st.charAt(i + kw.length).isLetterOrDigit)) return i
+        }
+        i += 1
+      }
+      -1
+    }
+    val usingAt = findKw("USING")
+    val whereAt = findKw("WHERE")
+    val srcEnd = Seq(usingAt, whereAt, st.length).filter(_ >= 0).min
+    var head = st.substring(0, srcEnd).trim
+    head = head.substring("PROCESS".length).trim
+    if (head.toUpperCase.startsWith("STREAM "))
+      head = head.substring("STREAM".length).trim
+    val src = substitute(head, scalars, lambdas)
+    val where = if (whereAt < 0) ""
+      else " WHERE " + substitute(st.substring(whereAt + 5).trim, scalars, lambdas)
+    val items =
+      if (usingAt < 0) "*"
+      else {
+        val usingEnd = if (whereAt > usingAt) whereAt else st.length
+        val call = st.substring(usingAt + 5, usingEnd).trim
+        val m = ("(?i)^\\$([A-Za-z_][A-Za-z0-9_]*)\\s*\\(\\s*TableRows\\s*\\(\\s*\\)\\s*\\)" +
+          "(\\s+AS\\s+[A-Za-z_][A-Za-z0-9_]*)?$").r
+          .findFirstMatchIn(call).getOrElse(throw new IllegalArgumentException(
+            s"PROCESS USING supports `$$lambda(TableRows())`, got: ${call.take(60)}"))
+        val lam = lambdas.getOrElse(m.group(1),
+          throw new IllegalArgumentException(s"undeclared lambda $$${m.group(1)}"))
+        require(lam.params.length == 1,
+          "PROCESS lambda takes exactly one row parameter")
+        val p = lam.params.head
+        // $p.col → col; a bare whole-row $p is out of scope
+        val body = ("\\$" + java.util.regex.Pattern.quote(p) + "\\.").r
+          .replaceAllIn(lam.body, "")
+        if (body.contains("$" + p)) throw new IllegalArgumentException(
+          "whole-row lambda references are not supported in PROCESS; " +
+          "use $" + p + ".column")
+        val asStruct = "(?i)^AsStruct\\s*\\(".r.findFirstMatchIn(body.trim)
+          .getOrElse(throw new IllegalArgumentException(
+            "PROCESS lambda body must be AsStruct(expr AS name, ...)"))
+        val open = body.trim
+        val close = matchParen(open, asStruct.end - 1)
+        require(close == open.length - 1,
+          "PROCESS lambda body must be a single AsStruct(...) call")
+        splitTopLevel(open.substring(asStruct.end, close))
+          .map(_.trim).filter(_.nonEmpty).mkString(", ")
+      }
+    lowerSelect(s"SELECT $items FROM $src$where")
   }
 
   // ——— statement splitting (quote- and comment-aware, ';' at paren

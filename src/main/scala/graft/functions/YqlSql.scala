@@ -88,6 +88,10 @@ object YqlSql {
   def sql(spark: SparkSession, query: String): DataFrame = {
     registerAll(spark)
     val lowered = YqlScript.lower(query)
+    // DISCARD statements type-check (spark.sql analyzes eagerly) but
+    // never execute or produce a result — the reference's validation
+    // spelling
+    lowered.discards.foreach(s => spark.sql(rewrite(s)))
     lowered.selects.map(s => spark.sql(rewrite(s))).last
   }
 

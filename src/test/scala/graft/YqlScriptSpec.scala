@@ -161,6 +161,45 @@ class YqlScriptSpec extends SparkSpec {
       (1L, "y", 10L), (1L, "y", 20L)))
   }
 
+  test("PROCESS: passthrough, AsStruct lambda projection, WHERE on input") {
+    // pure lowering
+    val l = YqlScript.lower(
+      """$f = ($r) -> (AsStruct($r.id * 2 AS id2, $r.name AS n));
+        |PROCESS docs USING $f(TableRows()) WHERE id > 3""".stripMargin)
+    assert(l.selects.head == "SELECT id * 2 AS id2, name AS n FROM docs WHERE id > 3")
+    assert(YqlScript.lower("PROCESS docs").selects.head == "SELECT * FROM docs")
+    // end-to-end
+    Seq((1L, "a"), (5L, "b")).toDF("id", "name")
+      .createOrReplaceTempView("yqls_proc")
+    val df = YqlSql.sql(spark,
+      """$f = ($r) -> (AsStruct($r.id * 10 AS id10, upper($r.name) AS nm));
+        |PROCESS yqls_proc USING $f(TableRows()) WHERE id > 2""".stripMargin)
+    assert(df.as[(Long, String)].collect().toSeq == Seq((50L, "B")))
+    // negative cases: whole-row refs, non-AsStruct bodies, REDUCE
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("$f = ($r) -> (AsStruct($r AS row));\n" +
+        "PROCESS t USING $f(TableRows())")
+    }
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("$f = ($r) -> ($r.x + 1);\nPROCESS t USING $f(TableRows())")
+    }
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("REDUCE t ON k USING $f(TableRows());\nSELECT 1")
+    }
+  }
+
+  test("DISCARD statements type-check but never become the result") {
+    Seq(Tuple1(1L)).toDF("x").createOrReplaceTempView("yqls_disc")
+    val df = YqlSql.sql(spark,
+      "DISCARD SELECT x FROM yqls_disc;\nSELECT 42 AS answer")
+    assert(df.columns.toSeq == Seq("answer"))
+    assert(df.as[Int].head() == 42)
+    // an invalid DISCARD still fails analysis (that is its purpose)
+    intercept[Exception] {
+      YqlSql.sql(spark, "DISCARD SELECT nope FROM yqls_disc;\nSELECT 1")
+    }
+  }
+
   test("a multi-statement script evaluates to its LAST select") {
     val df = YqlSql.sql(spark,
       "SELECT 1 AS a;\nSELECT 2 AS b;")
