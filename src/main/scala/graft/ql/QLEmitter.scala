@@ -901,6 +901,9 @@ object QLEmitter {
     case ItemAccess(x, idx @ (StrLit(_) | Call(_, _, _))) =>
       s"try_element_at(${emit(x)}, ${emit(idx)})"
     case ItemAccess(x, idx) => s"${emit(x)}[${emit(idx)}]"
+    // InlineAlias never reaches the emitter — QLParser.parse desugars
+    // it — but emit the inner expression defensively rather than crash
+    case InlineAlias(x, _) => emit(x)
   }
 
   /** QL spellings whose semantics differ from the Spark builtin of the

@@ -155,6 +155,23 @@ class PlanContractSpec extends SparkSpec {
       p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("yql_sql_script: the lowered YQL script plans shuffle-free with " +
+      "filters pushed to the parquet scan") {
+    val df = run("yql_sql_script")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // named-subselect filters reach the scan ($min_chars / $max_id)
+    assert(formatted.contains("GreaterThanOrEqual(n_chars,50)") &&
+      formatted.contains("LessThan(doc_id,300)"),
+      formatted.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // bindings + lambdas + FLATTEN BY + WITHOUT lower to one
+    // map-side stage: projection + explode, zero exchanges
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty, s"expected no shuffle, got ${exchanges.length}")
+  }
+
   test("llm_dedup_embedding_lsh candidate join carries ids only (vectors fetched post-join)") {
     val p = run("llm_dedup_embedding_lsh").queryExecution.optimizedPlan.toString
     // the chunk-bucket self-join must not project the embedding arrays;
