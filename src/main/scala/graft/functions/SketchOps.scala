@@ -566,6 +566,30 @@ object SketchOps {
     bestId
   }
 
+  /** Max cosine of `v` against a reference vector table — the
+    * map-side kernel of semantic decontamination ([[graft.operators
+    * .Dedup.decontaminateEmbedding]]): the benchmark set is eval-sized
+    * by contract, so it rides into codegen like the centroid table. */
+  def maxCosine(v: ArrayData, refs: Array[Array[Double]]): Double = {
+    var best = -1.0
+    var k = 0
+    while (k < refs.length) {
+      val c = refs(k)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(v.numElements(), c.length)
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble; val y = c(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0
+              else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s > best) best = s
+      k += 1
+    }
+    best
+  }
+
   /** The gram → md5-bucket ids of [[dsirScore]] as an int array (the
     * bucket-count pass explodes these instead of materializing gram
     * strings through an interpreted generator). */

@@ -343,6 +343,27 @@ object Sketches {
       cents: Array[Array[Double]]): Column =
     S.column(CentroidArgmax(S.expression(vec), ids, cents))
 
+  /** Max cosine against a reference vector table as a compiled
+    * expression — the semantic-decontamination kernel (the benchmark
+    * embeddings ride into codegen as one reference object). */
+  case class MaxCosine(child: Expression, refs: Array[Array[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.maxCosine(input.asInstanceOf[ArrayData], refs)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rRef = ctx.addReferenceObj("refVecs", refs, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.maxCosine($c, $rRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MaxCosine =
+      copy(child = newChild)
+  }
+
+  def maxCosine(vec: Column, refs: Array[Array[Double]]): Column =
+    S.column(MaxCosine(S.expression(vec), refs))
+
   /** Scan-speed membership probe against a pre-built Bloom filter (the
     * filter rides into codegen as one reference object, shipped with
     * the serialized plan like a broadcast variable). False positives

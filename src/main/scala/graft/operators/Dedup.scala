@@ -486,6 +486,29 @@ object Dedup {
       .agg(countDistinct(col("g")).as("hits"))
   }
 
+  /** SEMANTIC decontamination (FineWeb/embedding-space posture): flag
+    * corpus items whose embedding lies within cosine `threshold` of
+    * ANY benchmark/eval item. The benchmark set is eval-sized by
+    * contract, so its vectors ship in the compiled expression
+    * ([[graft.functions.Sketches.maxCosine]]) — ONE map-side scan
+    * pass over the corpus, no join, no shuffle, exactly the
+    * decontamination analog of semDedup's centroid assignment. For
+    * benchmark sets beyond closure size, compose
+    * [[Similarity.lshTopK]]/[[Similarity.ivfTopK]] with the corpus as
+    * queries instead. */
+  def decontaminateEmbedding(corpus: DataFrame, idCol: String,
+      vecCol: String, benchmark: DataFrame, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val refs: Array[Array[Double]] = benchmark
+      .select(col(benchVecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(refs.nonEmpty, "empty benchmark set")
+    corpus.select(col(idCol).as("doc_id"),
+        round(graft.functions.Sketches.maxCosine(col(vecCol), refs), 4)
+          .as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= threshold)
+  }
+
   /** Exact segment-level dedup (C4 / RefinedWeb style): documents are
     * cut into disjoint `segWords`-word segments, a segment that appears
     * more than `maxOccurrences` times corpus-wide is dropped from every

@@ -331,6 +331,17 @@ object Llm {
       Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text", n = 5)
     }),
 
+    // SEMANTIC decontamination: flag corpus embeddings within cosine
+    // 0.35 of any eval-set embedding. The eval set (vec_id < 20) ships
+    // in the compiled max-cosine expression — one map-side scan pass,
+    // no join, no shuffle (the embedding analog of the n-gram path).
+    "llm_decontaminate_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Dedup.decontaminateEmbedding(
+        emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "embedding", threshold = 0.35)
+    }),
+
     // Gopher repetition filters (Rae et al. §A1.1): duplicate-segment
     // and top-bigram character fractions, one codegen'd pass. Segment
     // boundaries injected deterministically ('the' → '.') since the
@@ -902,6 +913,17 @@ object Llm {
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
          SELECT doc_id, count(DISTINCT g) AS hits
          FROM g JOIN bench USING (g) GROUP BY doc_id""",
+    "llm_decontaminate_semantic" ->
+      """SELECT c.vec_id AS doc_id,
+           ROUND(MAX(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))), 4)
+             AS max_cos,
+           ROUND(MAX(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))), 4)
+             >= 0.35 AS contaminated
+         FROM embeddings c, embeddings b
+         WHERE c.vec_id >= 20 AND b.vec_id < 20
+         GROUP BY c.vec_id""",
     "llm_mixture_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
