@@ -305,12 +305,14 @@ object Dedup {
     * BOTH to the corpus: the candidate join's cost is Σ bucket² and a
     * fixed 4-bit chunk space (16 buckets) goes quadratic the moment
     * buckets outgrow the true neighborhoods — the sf0.1→sf1 soak
-    * measured 6.8 s → 64 s on fixed 24/4. Auto mode widens chunks to
-    * target ~1k-row buckets (chunkBits = log2(n/1000), clamped to
-    * [4, 10]) and — because a wider chunk is less likely to be clean —
-    * ADDS chunks to hold the miss probability at the design point
-    * (see [[lshAutoParams]]): a cos-0.9 pair is missed with prob ≤~1%
-    * at EVERY auto size, not just the smallest. The corpus row count
+    * measured 6.8 s → 64 s on fixed 24/4. Auto mode narrows buckets
+    * to ~32 rows (chunkBits = log2(n/32), clamped to [4, 20]) and —
+    * because a wider chunk is less likely to be clean — ADDS chunks
+    * to hold the miss probability at the design point (see
+    * [[lshAutoParams]]): a cos-0.9 pair is missed with prob ≤~1% at
+    * EVERY auto size, not just the smallest. Auto mode also DELEGATES
+    * sub-regime thresholds (< 0.7) to the exact block-grid, where no
+    * LSH scheme can prune (see the in-body note). The corpus row count
     * comes from the `rows` hint, else the plan's catalog statistics
     * (populated by [[graft.sources.Tables.analyzeAll]]), else one
     * count job — at 100 TB, pass the hint or analyze the table.
@@ -321,23 +323,25 @@ object Dedup {
     * array.
     */
   /** Auto sizing for [[embeddingCosinePairsLsh]]: (chunks, chunkBits)
-    * for a corpus of `n` rows at `threshold`. chunkBits targets
-    * ~1k-row buckets; the chunk COUNT then holds the miss probability
-    * for a true pair at the regime design point (cos 0.9, or the
-    * actual threshold when it is higher) at ≤1%:
+    * for a corpus of `n` rows at `threshold`.
+    *
+    * chunkBits targets ~32-row buckets (`cb = log2(n/32)`, clamped to
+    * [4, 20]): the bucket-collision join volume is m·n²/2^cb + true
+    * pairs, so small constant buckets keep the candidate stream
+    * near-linear in n — each extra chunk bit halves collisions while
+    * costing only ~1.17× more chunks, so narrow buckets strictly win
+    * until per-row signature cost takes over around bucket ≈ tens of
+    * rows. The chunk COUNT then holds the miss probability for a true
+    * pair at the regime design point (cos 0.9, or the actual
+    * threshold when higher) at ≤1%:
     * miss = (1 - (1-p)^cb)^m with p = acos(max(threshold,0.9))/π, so
-    * m = ceil(ln 0.01 / ln(1-(1-p)^cb)) — at cb=4 this is the classic
-    * 6 chunks (24/4); at cb=10 it is 20 chunks, NOT 6 (6 would miss
-    * ~24% of cos-0.9 pairs — the silent recall cliff wider chunks
-    * open without compensation). Sub-regime thresholds (< 0.9) size
-    * at the 0.9 design point: guaranteeing ~1% at, say, cos 0.35
-    * would take hundreds of chunks, and the documented contract is
-    * that this operator is not a recall-1 scheme below the near-dup
-    * regime (use [[embeddingCosinePairs]] there).
+    * m = ceil(ln 0.01 / ln(1-(1-p)^cb)). The m(cb) growth is the
+    * hyperplane-LSH ρ exponent (ρ = ln p₁ / ln ½ ≈ 0.22 at cos 0.9) —
+    * sub-linear in n, the standard LSH trade.
     */
   def lshAutoParams(n: Long, threshold: Double): (Int, Int) = {
-    val cb = math.min(10, math.max(4,
-      math.ceil(math.log(n / 1000.0) / math.log(2.0)).toInt))
+    val cb = math.min(20, math.max(4,
+      math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
     val p = math.acos(math.min(1.0, math.max(threshold, 0.9))) / math.Pi
     val q = math.pow(1 - p, cb) // per-chunk clean probability
     val m = math.max(2, math.ceil(math.log(0.01) / math.log(1 - q)).toInt)
@@ -349,6 +353,16 @@ object Dedup {
       rows: Long = -1L, seed: Long = 42L): DataFrame = {
     require((bits > 0) == (chunkBits > 0),
       "bits and chunkBits must be specified together (or both left to auto)")
+    // SUB-REGIME delegation: below cos ~0.7 a hyperplane bit agrees
+    // with prob ≤0.75 for a true pair vs 0.5 for a random one — no
+    // banding scheme prunes anything while keeping recall, and the
+    // measured crossover agrees (at sf1 the exact grid beats every
+    // LSH configuration at threshold 0.35). Auto mode therefore runs
+    // the exact block-grid there: same output columns, recall 1.0 by
+    // construction. Explicit bits/chunkBits keep the LSH path — the
+    // caller asked for that specific configuration.
+    if (bits <= 0 && threshold < 0.7)
+      return embeddingCosinePairs(df, idCol, vecCol, threshold)
     val (chunks, cb) =
       if (bits > 0) {
         require(bits % chunkBits == 0, "chunkBits must divide bits")

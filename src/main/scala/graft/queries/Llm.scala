@@ -28,9 +28,24 @@ object Llm {
   private val simhashOp: (SparkSession, String) => DataFrame = (s, d) =>
     Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id",
       maxDist = 5, chunkBits = 8)
+  /** In-regime near-dup fixture for the embedding-LSH path: the
+    * corpus unioned with a deterministic perturbed copy of itself
+    * (first component × 1.5, ids shifted by 10⁷). For ANY vector the
+    * original↔perturbed cosine is (1+t/2)/√(1+1.25t) with
+    * t = e₁²/‖v‖² ∈ [0,1], whose minimum is 0.9798 — every copy pair
+    * is in the near-dup regime by construction, all cross pairs stay
+    * at corpus background (≤~0.5), and DuckDB replays the perturbation
+    * exactly. */
+  private def perturbedUnion(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.select((col("vec_id") + 10000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.5f)).cast("float")),
+          slice(col("embedding"), 2, 10000)).as("embedding")))
+
   private val embeddingLshOp: (SparkSession, String) => DataFrame = (s, d) =>
-    Dedup.embeddingCosinePairsLsh(t(s, d, "embeddings"), "vec_id",
-      "embedding", dim = 64, threshold = 0.35)
+    Dedup.embeddingCosinePairsLsh(perturbedUnion(t(s, d, "embeddings")),
+      "vec_id", "embedding", dim = 64, threshold = 0.9)
   private def annCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = t(s, d, "embeddings")
     (emb, emb.filter(col("vec_id") < 10))
@@ -196,15 +211,18 @@ object Llm {
     "llm_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.35)),
 
-    // Sub-quadratic LSH variant for the high-similarity near-dup
-    // regime: pigeonhole chunk candidates + exact verify. Driver-
-    // verified through an in-plan verdict against the exact block-grid
-    // pairs: precision is exact-verified by construction (asserted),
-    // recall gated at the level this out-of-regime threshold supports.
+    // Sub-quadratic LSH for the high-similarity near-dup regime,
+    // exercised IN its regime: the corpus unions with a deterministic
+    // perturbed copy (every copy pair lands at cos ≥ 0.9798 by
+    // construction, cross pairs stay at background), threshold 0.9.
+    // In-plan verdict against the exact block-grid: precision is
+    // exact-verified by construction, recall gated at 0.95 — the auto
+    // sizing's ≤1% design-point miss bound holds with margin at every
+    // corpus size, which is exactly what this query now proves.
     "llm_dedup_embedding_lsh" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val corpus2 = perturbedUnion(t(s, d, "embeddings"))
       val found = embeddingLshOp(s, d).select(col("id_a"), col("id_b"))
-      val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.35)
+      val exact = Dedup.embeddingCosinePairs(corpus2, "vec_id", "embedding", 0.9)
         .select(col("id_a"), col("id_b"))
       found.withColumn("f", lit(1L))
         .join(exact.withColumn("t", lit(1L)), Seq("id_a", "id_b"), "full")
@@ -214,7 +232,7 @@ object Llm {
         .select(col("n_exact_pairs"),
           (coalesce(col("n_false"), lit(0L)) === 0).as("precision_ok"),
           (coalesce(col("n_hit"), lit(0L)) >=
-            col("n_exact_pairs") * 0.5).as("recall_ok"))
+            col("n_exact_pairs") * 0.95).as("recall_ok"))
     }),
 
     // IVF-partitioned ANN (FAISS-style nlist/nprobe) — the third scale
@@ -765,11 +783,18 @@ object Llm {
          SELECT COUNT(*) AS n_true_pairs, true AS all_found_are_dups,
            true AS recall_ok FROM truth""",
     "llm_dedup_embedding_lsh" ->
-      """SELECT COUNT(*) AS n_exact_pairs, true AS precision_ok,
+      """WITH c2 AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000,
+             CAST(list_concat(
+               [CAST(embedding[1] * CAST(1.5 AS FLOAT) AS FLOAT)],
+               embedding[2:]) AS DOUBLE[])
+           FROM embeddings)
+         SELECT COUNT(*) AS n_exact_pairs, true AS precision_ok,
            true AS recall_ok
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) >= 0.35""",
+         FROM c2 a JOIN c2 b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.e, b.e) >= 0.9""",
     "llm_sim_lsh" ->
       """SELECT q.vec_id AS query_id,
            ROUND(MAX(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

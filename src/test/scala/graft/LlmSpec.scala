@@ -88,15 +88,38 @@ class LlmSpec extends SparkSpec {
       val miss = math.pow(1 - math.pow(1 - p, cb), m)
       assert(miss <= 0.011, s"n=$n → ($m, $cb): miss=$miss")
     }
-    // the smallest size is the classic 24/4
-    assert(Dedup.lshAutoParams(1000L, 0.9) == ((6, 4)))
-    // at cb=10 (1M+ rows) the count must be far above the old fixed 6
-    val (m10, cb10) = Dedup.lshAutoParams(2000000L, 0.9)
-    assert(cb10 == 10 && m10 >= 18, s"($m10, $cb10)")
+    // ~32-row buckets: 1k rows → 5-bit chunks, 8 of them
+    assert(Dedup.lshAutoParams(1000L, 0.9) == ((8, 5)))
+    // at 2M rows buckets stay ~32 (cb=16) and the chunk count grows to
+    // hold the miss bound — far above the fixed 6 that silently lost
+    // ~24% of true near-dups
+    val (m16, cb16) = Dedup.lshAutoParams(2000000L, 0.9)
+    assert(cb16 == 16 && m16 >= 40, s"($m16, $cb16)")
     // sub-regime thresholds size at the 0.9 design point (no blow-up)
     assert(Dedup.lshAutoParams(1000L, 0.35) == Dedup.lshAutoParams(1000L, 0.9))
     // higher thresholds need no more chunks than 0.9
-    assert(Dedup.lshAutoParams(2000000L, 0.97)._1 <= m10)
+    assert(Dedup.lshAutoParams(2000000L, 0.97)._1 <= m16)
+  }
+
+  test("embedding LSH auto mode delegates sub-regime thresholds to the exact grid") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian()).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    // below cos 0.7 no banding scheme prunes while keeping recall —
+    // auto mode runs the exact block-grid: identical pair set
+    val lsh = Dedup.embeddingCosinePairsLsh(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && lsh == exact)
+    // explicit bits/chunkBits keep the LSH path even sub-regime (the
+    // caller asked for that configuration) — output ⊆ exact
+    val pinned = Dedup.embeddingCosinePairsLsh(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.3, bits = 24, chunkBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pinned.subsetOf(exact))
   }
 
   test("embedding LSH: half-specified bits/chunkBits is an error; rows hint skips the count job") {
