@@ -307,6 +307,25 @@ object Dyn {
         .select("tablet_index", "row_index", "event_id", "event_type", "value")
     }),
 
+    // Consumer registration + advance + pull (queue_client.h
+    // AdvanceQueueConsumer; queues.md "consumers"): the registry is a
+    // latest-wins offset log — two advances land, the later one wins,
+    // and PullQueueConsumer reads [registered_offset, +limit) of the
+    // consumer's tablet. The registry is client-sized; the queue scan
+    // prunes to one tablet before offsets are assigned.
+    "dyn_consumer_advance" -> ((s, d) => {
+      val tablet2 = t(s, d, "events").select("event_id", "event_type", "value")
+        .where(pmod(col("event_id"), lit(8)) === 2)
+      val ordered = DynTable.withOffsets(tablet2,
+        pmod(col("event_id"), lit(8)), Seq(col("event_id")))
+      var reg = DynTable.emptyConsumerRegistry(s)
+      reg = DynTable.advanceConsumer(reg, "c1", 2L, 5L, ts = 100L)
+      reg = DynTable.advanceConsumer(reg, "c1", 2L, 12L, ts = 200L) // wins
+      reg = DynTable.advanceConsumer(reg, "c2", 2L, 999L, ts = 150L) // other consumer
+      DynTable.pullForConsumer(ordered, reg, "c1", 2, limit = 20L)
+        .select("tablet_index", "row_index", "event_id", "event_type", "value")
+    }),
+
     // Producer sessions (queue_client.h:78-152): exactly-once push. A
     // retried batch overlapping the high-water mark appends only the
     // fresh suffix; an epoch bump fences the old writer (its push
@@ -562,6 +581,14 @@ object Dyn {
         |  FROM events)
         |SELECT tablet_index, row_index, event_id, event_type, value
         |FROM ordered WHERE tablet_index = 3 AND row_index >= 10 AND row_index < 35""".stripMargin,
+
+    "dyn_consumer_advance" ->
+      """WITH ordered AS (SELECT event_id, event_type, value,
+        |    event_id % 8 AS tablet_index,
+        |    row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id) - 1 AS row_index
+        |  FROM events)
+        |SELECT tablet_index, row_index, event_id, event_type, value
+        |FROM ordered WHERE tablet_index = 2 AND row_index >= 12 AND row_index < 32""".stripMargin,
 
     // the replay: batch1 wrote [0,100), the retry appended only
     // [100,150), the zombie batch [150,200) was fenced entirely, the
