@@ -20,7 +20,7 @@ object Bench {
     * key exists in SparkEntry.queries and that the worst-case JSON line
     * stays inside the driver's ~2000-char tail capture. */
   val headline: Vector[String] = Vector(
-    "ql_scan", "ql_filter_where", "ql_group_agg", "ql_group_having",
+    "ql_scan", "ql_group_agg", "ql_group_having",
     "ql_order_limit", "ql_join_inner", "ql_join_pushdown_agg",
     "ql_array_join", "ql_with_totals", "ql_selectrows",
     "ql_fn_yson", "ql_fn_u64", "ql_fn_regex",
@@ -36,7 +36,8 @@ object Bench {
     "yql_rollup", "yql_intersect", "yql_agg_percentile",
     "yql_agg_distinct", "yql_q3_shipping", "yql_q5_region", "yql_fn_json2",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_simhash",
-    "llm_dedup_ngram", "llm_dedup_embedding", "llm_sim_bruteforce",
+    "llm_dedup_ngram", "llm_dedup_embedding", "llm_dedup_embedding_lsh",
+    "llm_sim_bruteforce",
     "llm_sim_lsh", "llm_sim_ivf", "llm_text_quality", "llm_decontaminate",
     "llm_pack_sequences", "llm_pipeline_e2e", "llm_dsir_select",
     "llm_quality_classifier", "llm_gopher_rules", "llm_dedup_spans",
