@@ -18,11 +18,15 @@ import org.apache.spark.sql.types._
   * computes block-luminance grid features from true pixels. Audio
   * sample decode is codec-backed via javax.sound.sampled
   * ([[decodeAudio]] — WAV/AIFF/AU to mono float PCM): `extractFeatures`
-  * computes per-block RMS waveform features from true samples.
-  * Payloads matching no known magic keep the deterministic fallbacks
-  * so the synthetic text-byte corpus remains covered; video sample
-  * decode still needs an external codec and stays out of scope
-  * ([[sampleFrames]] keeps the plumbing real).
+  * computes per-block RMS waveform features from true samples. Video
+  * sample decode is codec-backed for MJPEG-in-AVI ([[decodeVideo]] —
+  * the RIFF container walk is ours, each frame chunk is a complete
+  * JPEG through javax.imageio): [[videoStats]] reports real decoded
+  * frame counts, durations and mean luminance. Payloads matching no
+  * known magic keep the deterministic fallbacks so the synthetic
+  * text-byte corpus remains covered; other video codecs (H.264 etc.)
+  * still need an external codec — [[sampleFrames]] keeps that
+  * plumbing real.
   */
 object Multimodal {
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -171,6 +175,157 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Codec-backed VIDEO decode for MJPEG-in-AVI: the RIFF/AVI
+    * container walk is pure byte parsing (like [[probeMeta]]), each
+    * `00dc`/`00db` frame chunk is a complete JPEG decoded through
+    * javax.imageio. Returns (frames, microSecPerFrame, headerFrames).
+    * Non-AVI payloads and non-MJPEG streams return None so the
+    * deterministic fallbacks keep covering them. */
+  private[graft] def decodeVideo(payload: Array[Byte])
+      : Option[(Seq[java.awt.image.BufferedImage], Long, Int)] = {
+    if (payload == null || payload.length < 12) return None
+    val b = payload
+    def fourcc(i: Int): String =
+      if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    try {
+      var musPerFrame = 0L
+      var headerFrames = 0
+      val frames = scala.collection.mutable.ArrayBuffer
+        .empty[java.awt.image.BufferedImage]
+      def walk(start: Int, end: Int): Unit = {
+        var i = start
+        while (i + 8 <= end) {
+          val id = fourcc(i)
+          val sz = le32(b, i + 4).toInt
+          if (id == "LIST") {
+            walk(i + 12, i + 8 + sz) // skip the list-type fourcc
+          } else if (id == "avih" && sz >= 40) {
+            musPerFrame = le32(b, i + 8)
+            headerFrames = le32(b, i + 24).toInt
+          } else if ((id == "00dc" || id == "00db") && sz > 0) {
+            val jpeg = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + sz)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            if (img != null) frames += img
+          }
+          i += 8 + sz + (sz & 1) // chunks pad to even
+        }
+      }
+      walk(12, math.min(b.length, 8 + le32(b, 4).toInt))
+      if (frames.isEmpty) None else Some((frames.toSeq, musPerFrame, headerFrames))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic real-AVI fixture generator: one MJPEG-in-AVI clip
+    * per row — `framesCol` solid-gray `widthCol`×`heightCol` frames at
+    * `fps`, each frame a true JPEG through the real encoder, wrapped
+    * in a standards-shaped RIFF/AVI container (avih + strl headers +
+    * movi chunk list) — the video analog of [[synthesizePng]] /
+    * [[synthesizeWav]]. */
+  def synthesizeAviMjpeg(df: DataFrame, widthCol: String, heightCol: String,
+      grayCol: String, framesCol: String, fps: Int = 10,
+      outCol: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, BinaryType))
+    val (wi, hi, gi, fi) = (inSchema.fieldIndex(widthCol),
+      inSchema.fieldIndex(heightCol), inSchema.fieldIndex(grayCol),
+      inSchema.fieldIndex(framesCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, g, nf) = (r.getInt(wi), r.getInt(hi), r.getInt(gi), r.getInt(fi))
+        val out = new java.io.ByteArrayOutputStream()
+        def le(v: Long, n: Int): Unit = {
+          var x = v; var i = 0
+          while (i < n) { out.write((x & 0xff).toInt); x >>= 8; i += 1 }
+        }
+        def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+        // one JPEG per frame (solid gray — true encoder bytes)
+        val jpegs = (0 until nf).map { _ =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val musPerFrame = 1000000L / fps
+        def chunkLen(payload: Int) = 8 + payload + (payload & 1)
+        val moviSize = 4 + jpegs.map(j => chunkLen(j.length)).sum
+        val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+        val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+        cc("RIFF"); le(riffSize.toLong, 4); cc("AVI ")
+        cc("LIST"); le(hdrlSize.toLong, 4); cc("hdrl")
+        cc("avih"); le(56, 4)
+        le(musPerFrame, 4); le(0, 4); le(0, 4); le(0, 4) // musPerFrame..flags
+        le(nf.toLong, 4); le(0, 4); le(1, 4); le(0, 4)   // totalFrames..sugBuf
+        le(w.toLong, 4); le(h.toLong, 4)
+        le(0, 4); le(0, 4); le(0, 4); le(0, 4)           // reserved
+        cc("LIST"); le((4 + (8 + 56) + (8 + 40)).toLong, 4); cc("strl")
+        cc("strh"); le(56, 4)
+        cc("vids"); cc("MJPG")
+        le(0, 4); le(0, 4); le(0, 4)                     // flags, prio, init
+        le(1, 4); le(fps.toLong, 4)                      // scale, rate
+        le(0, 4); le(nf.toLong, 4); le(0, 4); le(0, 4); le(0, 4)
+        le(0, 2); le(0, 2); le(w.toLong, 2); le(h.toLong, 2) // rcFrame
+        cc("strf"); le(40, 4)
+        le(40, 4); le(w.toLong, 4); le(h.toLong, 4); le(1, 2); le(24, 2)
+        cc("MJPG"); le((w * h * 3).toLong, 4)
+        le(0, 4); le(0, 4); le(0, 4); le(0, 4)
+        cc("LIST"); le(moviSize.toLong, 4); cc("movi")
+        jpegs.foreach { j =>
+          cc("00dc"); le(j.length.toLong, 4); out.write(j)
+          if ((j.length & 1) == 1) out.write(0)
+        }
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decoded-video stats, batched per partition: frame count from the
+    * REAL frame decode, header frame count, duration from decoded
+    * frames × the header frame interval, and mean luminance over every
+    * decoded pixel — the verdict surface for the MJPEG path (JPEG is
+    * lossy, so luminance verifies within a tolerance, while counts and
+    * durations are exact). Non-video payloads yield nulls. */
+  def videoStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("frames_decoded", IntegerType))
+      .add(StructField("frames_header", IntegerType))
+      .add(StructField("video_ms", LongType))
+      .add(StructField("mean_luma", DoubleType))
+    val idx = inSchema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val extra: Seq[Any] = decodeVideo(payload) match {
+          case Some((frames, mus, headerFrames)) =>
+            var sum = 0.0; var n = 0L
+            frames.foreach { img =>
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sum += 0.299 * ((p >> 16) & 0xff) +
+                    0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+            }
+            Seq(frames.length, headerFrames,
+              frames.length * mus / 1000L,
+              if (n == 0) 0.0 else sum / n)
+          case None => Seq(null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private def be16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
   private def be32(b: Array[Byte], i: Int): Long =
@@ -233,6 +388,25 @@ object Multimodal {
         Row(len, le16(b, 6), le16(b, 8), null, "image/gif")
       } else if (len >= 26 && b(0) == 'B' && b(1) == 'M') {
         Row(len, le32(b, 18).toInt, math.abs(le32(b, 22).toInt), null, "image/bmp")
+      } else if (len >= 72 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' &&
+          b(11) == ' ') {
+        // AVI: chunk-walk to the avih main header (width/height at
+        // +32/+36, duration = musPerFrame × totalFrames)
+        var i = 12
+        var res: Row = null
+        while (res == null && i + 8 <= len) {
+          val id = new String(b, i, 4, "US-ASCII")
+          val sz = le32(b, i + 4).toInt
+          if (id == "LIST") i += 12
+          else if (id == "avih" && sz >= 40) {
+            val mus = le32(b, i + 8)
+            val nf = le32(b, i + 24)
+            res = Row(len, le32(b, i + 40).toInt, le32(b, i + 44).toInt,
+              mus * nf / 1000L, "video/avi")
+          } else i += 8 + sz + (sz & 1)
+        }
+        if (res != null) res else fallback
       } else if (len >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
           b(11) == 'E') {

@@ -540,6 +540,31 @@ object Llm {
         round(element_at(col("vec"), 8).cast("double"), 4).as("rms7"))
     }),
 
+    // REAL video pipeline over MJPEG-in-AVI: synthesize a true AVI
+    // container (solid-gray JPEG frames through the real encoder, dims
+    // and frame counts derived from doc_id), probe the container
+    // header (exact math), and decode every frame through the real
+    // JPEG codec. Counts and durations are exact; JPEG is lossy, so
+    // mean luminance verifies within ±8/255 as an in-plan verdict.
+    "llm_multimodal_video" -> ((s, d) => {
+      val specs = t(s, d, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          (lit(16) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
+          (lit(16) + pmod(col("doc_id") * 5, lit(7))).cast("int").as("h"),
+          pmod(col("doc_id") * 37, lit(256)).cast("int").as("g"),
+          (lit(2) + pmod(col("doc_id"), lit(4))).cast("int").as("nf"))
+      val avi = Multimodal.synthesizeAviMjpeg(specs, "w", "h", "g", "nf")
+      val meta = Multimodal.decodeMeta(avi, "payload", "m")
+      val stats = Multimodal.videoStats(meta, "payload")
+      stats.select(col("doc_id"),
+        col("m.codec").as("codec"),
+        col("m.width").as("hdr_w"), col("m.height").as("hdr_h"),
+        col("m.duration_ms").as("hdr_ms"),
+        col("frames_decoded").cast("long").as("n_frames"),
+        col("video_ms").as("decoded_ms"),
+        (abs(col("mean_luma") - col("g")) <= 8.0).as("luma_ok"))
+    }),
+
     // Sequence packing (sample packing for pretraining): whole docs
     // greedily fill 512-token context windows, bucketed for parallelism
     // (bucket = doc_id % 8 here so the oracle can re-derive it; xxhash64
@@ -1142,6 +1167,16 @@ object Llm {
            ROUND((doc_id * 37 % 256) / 256.0, 4) AS rms0,
            ROUND((doc_id * 37 % 256) / 256.0, 4) AS rms7
          FROM documents WHERE doc_id < 50""",
+    "llm_multimodal_video" ->
+      """SELECT doc_id,
+           'video/avi' AS codec,
+           CAST(16 + doc_id % 9 AS INT) AS hdr_w,
+           CAST(16 + (doc_id * 5) % 7 AS INT) AS hdr_h,
+           CAST((2 + doc_id % 4) * 100 AS BIGINT) AS hdr_ms,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+           CAST((2 + doc_id % 4) * 100 AS BIGINT) AS decoded_ms,
+           true AS luma_ok
+         FROM documents WHERE doc_id < 30""",
     "llm_multimodal_decode" ->
       """SELECT doc_id,
            CAST(8 + doc_id % 23 AS INT) AS in_w,

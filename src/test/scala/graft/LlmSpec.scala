@@ -463,6 +463,40 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(corrupt).isEmpty)
   }
 
+  test("video decode: MJPEG-in-AVI round-trips through the real JPEG codec; " +
+      "header probe and decoded stats agree; non-video falls back") {
+    val df = Seq((1L, 20, 16, 120, 3), (2L, 16, 16, 240, 5))
+      .toDF("id", "w", "h", "g", "nf")
+    val avi = Multimodal.synthesizeAviMjpeg(df, "w", "h", "g", "nf")
+    val payloads = avi.select(col("id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // real decode: frame count, header agreement, lossy-tolerant luma
+    val (frames, mus, hdrFrames) = Multimodal.decodeVideo(payloads(1L)).get
+    assert(frames.length == 3 && hdrFrames == 3 && mus == 100000L)
+    assert(frames.forall(f => f.getWidth == 20 && f.getHeight == 16))
+    frames.foreach { f =>
+      val p = f.getRGB(3, 3)
+      assert(math.abs(((p >> 16) & 0xff) - 120) <= 8, (p >> 16) & 0xff)
+    }
+    // container header probe (exact math, no codec)
+    val m = Multimodal.probeMeta(payloads(2L))
+    assert(m.getString(4) == "video/avi")
+    assert(m.getInt(1) == 16 && m.getInt(2) == 16)
+    assert(m.getAs[Long](3) == 500L) // 5 frames @ 10 fps
+    // videoStats: decoded == header, duration from decoded frames
+    val stats = Multimodal.videoStats(avi, "payload")
+      .select(col("id"), col("frames_decoded"), col("frames_header"),
+        col("video_ms"), col("mean_luma"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(stats(1L)._1 == 3 && stats(1L)._2 == 3 && stats(1L)._3 == 300L)
+    assert(math.abs(stats(1L)._4 - 120.0) <= 8.0, stats(1L)._4)
+    assert(math.abs(stats(2L)._4 - 240.0) <= 8.0, stats(2L)._4)
+    // non-video payloads: None, nulls in stats, no exception
+    assert(Multimodal.decodeVideo("not a container".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo("RIFFxxxxAVI corrupt".getBytes).isEmpty)
+  }
+
   test("frame sampling emits one row per frame slice") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "s")
       .withColumn("payload", encode(col("s"), "UTF-8"))
