@@ -38,17 +38,19 @@ object YqlScript {
       discards: Seq[String] = Nil)
 
   /** Lower a YQL script to Spark SQL statement texts (module-call
-    * `::` spellings are left for [[YqlSql.rewrite]]). */
-  def lower(script: String): Lowered = {
-    val stmts = splitStatements(script)
+    * `::` spellings are left for [[YqlSql.rewrite]]). `params` binds
+    * DECLARE'd parameters by name to SQL literal/expression text. */
+  def lower(script: String, params: Map[String, String] = Map.empty): Lowered = {
+    val sts = splitStatements(script).map(_.trim).filter(_.nonEmpty)
     val scalars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val lambdas = scala.collection.mutable.LinkedHashMap.empty[String, Lambda]
     val pragmas = scala.collection.mutable.ArrayBuffer.empty[String]
     val selects = scala.collection.mutable.ArrayBuffer.empty[String]
     val discards = scala.collection.mutable.ArrayBuffer.empty[String]
-    val unsupported = Set("USE", "IMPORT", "EXPORT", "DEFINE",
-      "REDUCE", "DECLARE", "COMMIT", "ROLLBACK")
-    stmts.map(_.trim).filter(_.nonEmpty).foreach { st =>
+    val unsupported = Set("USE", "IMPORT", "EXPORT", "COMMIT", "ROLLBACK")
+    var idx = 0
+    while (idx < sts.length) {
+      var st = sts(idx)
       val firstWord = st.takeWhile(c => c.isLetter).toUpperCase
       if (firstWord == "PRAGMA") pragmas += st.drop("PRAGMA".length).trim
       else if (firstWord == "DISCARD")
@@ -56,6 +58,20 @@ object YqlScript {
           scalars, lambdas))
       else if (firstWord == "PROCESS")
         selects += lowerProcess(st, scalars, lambdas)
+      else if (firstWord == "REDUCE")
+        selects += lowerReduce(st, scalars, lambdas)
+      else if (firstWord == "DECLARE")
+        lowerDeclare(st, params, scalars)
+      else if (firstWord == "DEFINE") {
+        // the body's internal ';' separators were statement splits —
+        // rejoin fragments until the closing END DEFINE
+        while (!st.toUpperCase.endsWith("END DEFINE")) {
+          idx += 1
+          require(idx < sts.length, "DEFINE without END DEFINE")
+          st = st + "; " + sts(idx)
+        }
+        defineSubquery(st, scalars, lambdas)
+      }
       else if (unsupported(firstWord)) throw new IllegalArgumentException(
         s"unsupported YQL statement: $firstWord")
       else bindingOf(st) match {
@@ -77,10 +93,34 @@ object YqlScript {
           }
         case None => selects += lowerSelect(substitute(st, scalars, lambdas))
       }
+      idx += 1
     }
     if (selects.isEmpty) throw new IllegalArgumentException(
       "YQL script has no SELECT statement")
     Lowered(pragmas.toSeq, selects.toSeq, discards.toSeq)
+  }
+
+  /** First index of keyword `kw` in `s` at paren depth 0 outside
+    * quotes (whole-word match), or -1. */
+  private def findTopKw(s: String, kw: String, from: Int = 0): Int = {
+    var i = from; var quote: Char = 0; var depth = 0
+    val up = s.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' | '{' => depth += 1
+        case ')' | '}' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.startsWith(kw, i) &&
+              (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+              (i + kw.length >= s.length ||
+                !s.charAt(i + kw.length).isLetterOrDigit)) return i
+      }
+      i += 1
+    }
+    -1
   }
 
   /** `PROCESS [STREAM] src [USING $f(TableRows()) [AS a]] [WHERE p]`
@@ -88,32 +128,11 @@ object YqlScript {
     * passthrough (`SELECT *`); with USING, the lambda applies per row —
     * `$p.col` references become column refs, and the body must be
     * `AsStruct(expr AS name, ...)` (the row-building idiom), which
-    * lowers to the projection list. REDUCE (grouped streams) stays
-    * unsupported. */
+    * lowers to the projection list. */
   private def lowerProcess(st: String,
       scalars: collection.Map[String, String],
       lambdas: collection.Map[String, Lambda]): String = {
-    // top-level USING / WHERE boundaries (quote-aware, depth 0)
-    def findKw(kw: String): Int = {
-      var i = 0; var quote: Char = 0; var depth = 0
-      val up = st.toUpperCase
-      while (i < st.length) {
-        val c = st.charAt(i)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else c match {
-          case '\'' | '"' | '`' => quote = c
-          case '(' | '{' => depth += 1
-          case ')' | '}' => depth -= 1
-          case _ =>
-            if (depth == 0 && up.startsWith(kw, i) &&
-                (i == 0 || !st.charAt(i - 1).isLetterOrDigit) &&
-                (i + kw.length >= st.length ||
-                  !st.charAt(i + kw.length).isLetterOrDigit)) return i
-        }
-        i += 1
-      }
-      -1
-    }
+    def findKw(kw: String): Int = findTopKw(st, kw)
     val usingAt = findKw("USING")
     val whereAt = findKw("WHERE")
     val srcEnd = Seq(usingAt, whereAt, st.length).filter(_ >= 0).min
@@ -144,17 +163,281 @@ object YqlScript {
         if (body.contains("$" + p)) throw new IllegalArgumentException(
           "whole-row lambda references are not supported in PROCESS; " +
           "use $" + p + ".column")
-        val asStruct = "(?i)^AsStruct\\s*\\(".r.findFirstMatchIn(body.trim)
-          .getOrElse(throw new IllegalArgumentException(
-            "PROCESS lambda body must be AsStruct(expr AS name, ...)"))
-        val open = body.trim
-        val close = matchParen(open, asStruct.end - 1)
-        require(close == open.length - 1,
-          "PROCESS lambda body must be a single AsStruct(...) call")
-        splitTopLevel(open.substring(asStruct.end, close))
-          .map(_.trim).filter(_.nonEmpty).mkString(", ")
+        asStructItems(body, "PROCESS")
       }
     lowerSelect(s"SELECT $items FROM $src$where")
+  }
+
+  /** Unwrap `AsStruct(item AS name, ...)` — the row-building idiom —
+    * into a projection list. */
+  private def asStructItems(body: String, ctx: String): String = {
+    val t = body.trim
+    val m = "(?i)^AsStruct\\s*\\(".r.findFirstMatchIn(t)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ctx lambda body must be AsStruct(expr AS name, ...)"))
+    val close = matchParen(t, m.end - 1)
+    require(close == t.length - 1,
+      s"$ctx lambda body must be a single AsStruct(...) call")
+    splitTopLevel(t.substring(m.end, close))
+      .map(_.trim).filter(_.nonEmpty).mkString(", ")
+  }
+
+  /** `REDUCE src [PRESORT s [ASC|DESC], ...] ON k1, k2 USING $f(arg)
+    * [AS a] [WHERE pre] [HAVING post] [ASSUME ORDER BY ...]`
+    * (SQLv1.g.in reduce_core; semantics
+    * yt/docs/en/yql/syntax/reduce.md): group `src` by the ON columns
+    * and call the two-parameter lambda once per group with
+    * (key, lazy value stream). The supported lambda shape is the
+    * row-building idiom `($k, $vs) -> (AsStruct(item AS name, ...))`:
+    * items reference the key — `$k` for a single column, `$k.N` tuple
+    * access for multi-column keys (the documented Tuple key) — and
+    * aggregate the stream, `$vs` inside aggregate calls; with
+    * `$f(TableRow())` the stream items are whole rows and `$vs.col`
+    * projects a column. Lowered to a grouped aggregation — Spark's
+    * partial/final hash aggregate IS the distributed reduce (map-side
+    * combine, no whole-group materialization).
+    *
+    * PRESORT orders each group's stream (the docs' in-group sequence):
+    * order-insensitive aggregates are unaffected; for
+    * `AGGREGATE_LIST($vs)` (or `AGGREGATE_LIST($vs.col)` with
+    * TableRow()) the lowering collects (presort-keys, value) structs
+    * and sorts each group's array with a comparator — the documented
+    * order, exactly, with no global sort. `ASSUME ORDER BY` is
+    * accepted and ignored (it asserts an order without sorting; result
+    * ROWS are identical). `USING ALL` (one call over all groups as a
+    * single stream) and multi-input REDUCE are rejected. */
+  private def lowerReduce(st: String,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): String = {
+    import java.util.regex.{Matcher, Pattern}
+    val presortAt = findTopKw(st, "PRESORT")
+    val onAt = findTopKw(st, "ON")
+    val usingAt = findTopKw(st, "USING")
+    require(onAt >= 0 && usingAt > onAt, "REDUCE requires ON ... USING ...")
+    val whereAt = findTopKw(st, "WHERE", usingAt)
+    val havingAt = findTopKw(st, "HAVING", usingAt)
+    val assumeAt = findTopKw(st, "ASSUME", usingAt)
+    val usingEnd = Seq(whereAt, havingAt, assumeAt, st.length)
+      .filter(_ >= 0).min
+    val srcEnd = if (presortAt >= 0) presortAt else onAt
+    val head = st.substring(0, srcEnd).trim.substring("REDUCE".length).trim
+    require(splitTopLevel(head).length == 1,
+      "multi-input REDUCE is not supported")
+    val src = substitute(head, scalars, lambdas)
+    val presort: Seq[(String, Boolean)] =
+      if (presortAt < 0) Nil
+      else splitTopLevel(st.substring(presortAt + "PRESORT".length, onAt))
+        .map(_.trim).filter(_.nonEmpty).map { item =>
+          val up = item.toUpperCase
+          if (up.endsWith(" DESC")) (item.dropRight(5).trim, false)
+          else if (up.endsWith(" ASC")) (item.dropRight(4).trim, true)
+          else (item, true)
+        }.map { case (e, asc) => (substitute(e, scalars, lambdas), asc) }
+    val keys = splitTopLevel(st.substring(onAt + 2, usingAt))
+      .map(_.trim).filter(_.nonEmpty)
+    require(keys.nonEmpty, "REDUCE ON requires at least one key column")
+    var call = st.substring(usingAt + "USING".length, usingEnd).trim
+    if (call.toUpperCase.matches("^ALL\\b[\\s\\S]*"))
+      throw new IllegalArgumentException(
+        "REDUCE USING ALL (one call over every group) is not supported; " +
+        "use USING (one call per group)")
+    call = "(?i)\\s+AS\\s+[A-Za-z_][A-Za-z0-9_]*$".r.replaceFirstIn(call, "")
+    val m = "^\\$([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r.findFirstMatchIn(call)
+      .getOrElse(throw new IllegalArgumentException(
+        s"REDUCE USING supports `$$lambda(arg)`, got: ${call.take(60)}"))
+    val close = matchParen(call, m.end - 1)
+    require(call.substring(close + 1).trim.isEmpty,
+      "trailing text after the REDUCE USING call")
+    val lam = lambdas.getOrElse(m.group(1),
+      throw new IllegalArgumentException(s"undeclared lambda $$${m.group(1)}"))
+    require(lam.params.length == 2,
+      "REDUCE lambda takes two parameters: (key, values)")
+    val rawArg = call.substring(m.end, close).trim
+    val wholeRow = rawArg.matches("(?i)TableRow\\s*\\(\\s*\\)")
+    val argExpr = if (wholeRow) "" else substitute(rawArg, scalars, lambdas)
+    val Seq(kp, vp) = lam.params
+    // sorted in-group collect: (presort keys, value) structs, one
+    // array_sort comparator per group's array — PRESORT order, exact
+    def sortedCollect(valueExpr: String): String = {
+      val fields = presort.zipWithIndex
+        .map { case ((e, _), i) => s"'__ps$i', ($e)" }
+        .mkString(", ")
+      def cmp(i: Int): String =
+        if (i == presort.length) "0"
+        else {
+          val (lt, gt) = if (presort(i)._2) (-1, 1) else (1, -1)
+          s"CASE WHEN l.__ps$i < r.__ps$i THEN $lt " +
+            s"WHEN l.__ps$i > r.__ps$i THEN $gt ELSE ${cmp(i + 1)} END"
+        }
+      s"transform(array_sort(collect_list(named_struct($fields, " +
+        s"'__pv', ($valueExpr))), (l, r) -> ${cmp(0)}), x -> x.__pv)"
+    }
+    def rewriteRefs(text0: String): String = {
+      var text = text0
+      // key references: bare $k (single column) or $k.N tuple access
+      if (keys.length == 1) {
+        require(!text.contains("$" + kp + "."),
+          s"$$$kp is the bare key value for a single-column key")
+        text = ("\\$" + Pattern.quote(kp) + "\\b").r.replaceAllIn(text,
+          Matcher.quoteReplacement("(" + keys.head + ")"))
+      } else {
+        text = ("\\$" + Pattern.quote(kp) + "\\.(\\d+)").r
+          .replaceAllIn(text, mm => {
+            val i = mm.group(1).toInt
+            require(i < keys.length,
+              s"key tuple index $i out of range (${keys.length} key columns)")
+            Matcher.quoteReplacement("(" + keys(i) + ")")
+          })
+        if (("\\$" + Pattern.quote(kp) + "\\b").r.findFirstIn(text).isDefined)
+          throw new IllegalArgumentException("bare $" + kp +
+            " with a multi-column key; use $" + kp + ".N tuple access")
+      }
+      // value-stream references
+      if (wholeRow) {
+        if (presort.nonEmpty) {
+          val re = ("(?i)AGGREGATE_LIST\\s*\\(\\s*\\$" + Pattern.quote(vp) +
+            "\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\)").r
+          text = re.replaceAllIn(text,
+            mm => Matcher.quoteReplacement(sortedCollect(mm.group(1))))
+        }
+        text = ("\\$" + Pattern.quote(vp) + "\\.").r.replaceAllIn(text, "")
+        if (("\\$" + Pattern.quote(vp) + "\\b").r.findFirstIn(text).isDefined)
+          throw new IllegalArgumentException("bare $" + vp +
+            " with TableRow(); project columns as $" + vp + ".col")
+      } else {
+        require(!text.contains("$" + vp + "."),
+          s"$$$vp is the stream of `$rawArg` values; member access needs TableRow()")
+        if (presort.nonEmpty) {
+          val re = ("(?i)AGGREGATE_LIST\\s*\\(\\s*\\$" + Pattern.quote(vp) +
+            "\\s*\\)").r
+          text = re.replaceAllIn(text,
+            Matcher.quoteReplacement(sortedCollect(argExpr)))
+        }
+        text = ("\\$" + Pattern.quote(vp) + "\\b").r.replaceAllIn(text,
+          Matcher.quoteReplacement("(" + argExpr + ")"))
+      }
+      text
+    }
+    val items = asStructItems(rewriteRefs(lam.body), "REDUCE")
+    val where = if (whereAt < 0) "" else " WHERE " +
+      substitute(st.substring(whereAt + 5,
+        Seq(havingAt, assumeAt, st.length).filter(_ >= 0).min).trim,
+        scalars, lambdas)
+    val having = if (havingAt < 0) "" else " HAVING " +
+      substitute(rewriteRefs(st.substring(havingAt + 6,
+        Seq(assumeAt, st.length).filter(_ >= havingAt).min).trim),
+        scalars, lambdas)
+    lowerSelect(
+      s"SELECT $items FROM $src$where GROUP BY ${keys.mkString(", ")}$having")
+  }
+
+  /** `DECLARE $p AS type_name [= default]` (SQLv1.g.in declare_stmt):
+    * a typed external parameter. The value comes from the caller's
+    * `params` map (SQL literal/expression text) or the declared
+    * default; the declared YQL type lowers to a CAST so the parameter
+    * enters the query with the reference's declared type, not the
+    * literal's inferred one. */
+  private def lowerDeclare(st: String, params: Map[String, String],
+      scalars: scala.collection.mutable.LinkedHashMap[String, String]): Unit = {
+    val m = ("(?i)^DECLARE\\s+\\$([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*(?:\\s*\\([^)]*\\))?\\s*\\??)" +
+      "(?:\\s*=\\s*([\\s\\S]+))?$").r.findFirstMatchIn(st)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed DECLARE: ${st.take(60)}"))
+    val name = m.group(1)
+    val value = params.get(name).orElse(Option(m.group(3)).map(_.trim))
+      .getOrElse(throw new IllegalArgumentException(
+        s"DECLARE $$$name has no binding: pass params(\"$name\") " +
+        "or declare a default"))
+    scalars(name) = declaredSparkType(m.group(2)) match {
+      case Some(t) => s"(CAST(($value) AS $t))"
+      case None => s"($value)"
+    }
+  }
+
+  /** YQL type_name → Spark SQL cast type for DECLARE'd parameters
+    * (type bijection as in types/YtTypes; unsigned widens to the next
+    * signed type, uint64 rides the engine's biased-BIGINT domain). */
+  private def declaredSparkType(yql: String): Option[String] = {
+    val t = yql.trim.stripSuffix("?").trim
+    val up = t.toUpperCase
+    if (up.startsWith("DECIMAL")) Some(up)
+    else up match {
+      case "STRING" | "UTF8" => Some("STRING")
+      case "INT8" | "UINT8" => Some("TINYINT")
+      case "INT16" | "UINT16" => Some("SMALLINT")
+      case "INT32" => Some("INT")
+      case "UINT32" | "INT64" | "UINT64" => Some("BIGINT")
+      case "FLOAT" => Some("FLOAT")
+      case "DOUBLE" => Some("DOUBLE")
+      case "BOOL" => Some("BOOLEAN")
+      case "DATE" => Some("DATE")
+      case "DATETIME" | "TIMESTAMP" => Some("TIMESTAMP")
+      case _ => None
+    }
+  }
+
+  /** `DEFINE SUBQUERY $s($a, ...) AS <bindings>; SELECT ... END
+    * DEFINE` (SQLv1.g.in define_action_or_subquery_stmt): a
+    * parameterized subquery template. The body is a scriptlet — named
+    * scalar/lambda bindings plus exactly one final SELECT — processed
+    * in its own scope (outer bindings visible, locals shadow, the
+    * parameters kept for call-time binding). A call site `$s(args)`
+    * (typically `FROM $s(...)`) inlines the final SELECT as a
+    * parenthesized derived table with arguments substituted — plain
+    * Catalyst planning, so the template composes with joins/windows
+    * for free. DEFINE ACTION (side-effecting templates driven by DO)
+    * is rejected. */
+  private def defineSubquery(st: String,
+      scalars: scala.collection.mutable.LinkedHashMap[String, String],
+      lambdas: scala.collection.mutable.LinkedHashMap[String, Lambda]): Unit = {
+    val m = "(?i)^DEFINE\\s+(ACTION|SUBQUERY)\\s+\\$([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+      .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
+        s"malformed DEFINE: ${st.take(60)}"))
+    if (m.group(1).equalsIgnoreCase("ACTION"))
+      throw new IllegalArgumentException(
+        "DEFINE ACTION (side-effect templates) is not supported; " +
+        "use DEFINE SUBQUERY")
+    val name = m.group(2)
+    val close = matchParen(st, m.end - 1)
+    val params = splitTopLevel(st.substring(m.end, close)).map(_.trim)
+      .filter(_.nonEmpty).map(_.stripSuffix("?").stripPrefix("$"))
+    val rest = st.substring(close + 1).trim
+    require(rest.take(2).equalsIgnoreCase("AS"),
+      "DEFINE SUBQUERY requires AS before the body")
+    val bodyAll = rest.substring(2).trim
+    require(bodyAll.toUpperCase.endsWith("END DEFINE"),
+      "DEFINE without END DEFINE")
+    val body = bodyAll.substring(0, bodyAll.length - "END DEFINE".length).trim
+    val locals = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val localLams = scala.collection.mutable.LinkedHashMap.empty[String, Lambda]
+    var select: Option[String] = None
+    splitStatements(body).map(_.trim).filter(_.nonEmpty).foreach { s0 =>
+      val scope = scalars ++ locals
+      val lamScope = lambdas ++ localLams
+      bindingOf(s0) match {
+        case Some((n, rhs)) =>
+          require(select.isEmpty, "bindings after the subquery's final SELECT")
+          parseLambda(rhs.trim, scope, lamScope) match {
+            case Some(Lambda(ps, rb)) =>
+              localLams(n) = Lambda(ps,
+                substitute(rb, scope, lamScope, keep = (ps ++ params).toSet))
+            case None =>
+              val b = lowerSelect(substitute(rhs.trim, scope, lamScope,
+                keep = params.toSet))
+              locals(n) =
+                if (b.startsWith("(") && matchParen(b, 0) == b.length - 1) b
+                else "(" + b + ")"
+          }
+        case None =>
+          require(select.isEmpty,
+            "DEFINE SUBQUERY body must end in exactly one SELECT")
+          select = Some(lowerSelect(substitute(s0, scope, lamScope,
+            keep = params.toSet)))
+      }
+    }
+    lambdas(name) = Lambda(params, select.getOrElse(
+      throw new IllegalArgumentException("DEFINE SUBQUERY body has no SELECT")))
   }
 
   // ——— statement splitting (quote- and comment-aware, ';' at paren
@@ -321,8 +604,10 @@ object YqlScript {
           out.append(text.substring(i, j)); i = j
         } else if (isCall) {
           val close = matchParen(text, k)
+          // arguments resolve in the CALLER's scope before binding
           val args = splitTopLevel(text.substring(k + 1, close)).map(_.trim)
             .filter(_.nonEmpty)
+            .map(a => substitute(a, scalars, lambdas, keep))
           val lam = lambdas(name)
           require(args.length == lam.params.length,
             s"lambda $$$name expects ${lam.params.length} args, got ${args.length}")

@@ -85,9 +85,10 @@ object YqlSql {
     * SELECT * WITHOUT, PRAGMA) lower through [[YqlScript]], module
     * calls through [[rewrite]], then Catalyst parses the result. A
     * multi-statement script evaluates to its last SELECT. */
-  def sql(spark: SparkSession, query: String): DataFrame = {
+  def sql(spark: SparkSession, query: String,
+      params: Map[String, String] = Map.empty): DataFrame = {
     registerAll(spark)
-    val lowered = YqlScript.lower(query)
+    val lowered = YqlScript.lower(query, params)
     // DISCARD statements type-check (spark.sql analyzes eagerly) but
     // never execute or produce a result — the reference's validation
     // spelling

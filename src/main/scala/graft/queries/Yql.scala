@@ -393,6 +393,38 @@ object Yql {
           |""".stripMargin)
     }),
 
+    // The remaining STATEMENT-level grammar (SQLv1.g.in declare_stmt /
+    // define_action_or_subquery_stmt / reduce_core): DECLARE'd typed
+    // external parameters (caller-bound or defaulted), a parameterized
+    // DEFINE SUBQUERY template inlined at its call site, and REDUCE —
+    // YQL's grouped-stream verb — with a multi-column (tuple) key,
+    // PRESORT in-group ordering feeding AGGREGATE_LIST, TableRow()
+    // whole-row streams, and a post-aggregation HAVING over the
+    // stream. Lowers to ONE Catalyst hash aggregation: the partial/
+    // final split IS the distributed reduce, and the PRESORT order is
+    // realized per group by an array_sort comparator over collected
+    // (sort-key, value) structs — no global sort, no per-group
+    // shuffle beyond the group-by exchange.
+    "yql_sql_reduce" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents")
+      graft.functions.YqlSql.sql(s,
+        """DECLARE $lim AS Int64 = 400;
+          |DEFINE SUBQUERY $docs($hi) AS
+          |  SELECT source, lang, n_chars, doc_id FROM documents
+          |  WHERE doc_id < $hi;
+          |END DEFINE;
+          |$r = ($key, $rows) -> (AsStruct(
+          |  $key.0 AS source, $key.1 AS lang,
+          |  CAST(COUNT($rows.doc_id) AS BIGINT) AS n_docs,
+          |  CAST(SUM($rows.n_chars) AS BIGINT) AS total_chars,
+          |  array_join(ListMap(AGGREGATE_LIST($rows.doc_id),
+          |    x -> CAST(x AS STRING)), ',') AS id_seq));
+          |REDUCE $docs($lim) PRESORT n_chars DESC, doc_id
+          |ON source, lang USING $r(TableRow())
+          |HAVING COUNT($rows.doc_id) >= 2
+          |""".stripMargin)
+    }),
+
     // Bare YQL builtin spellings in a SQL string (ListMap lambda form,
     // AGGREGATE_LIST, ListSort/ListMax/ListLength) — registered as
     // native aliases, so Catalyst resolves them like the builtins they
@@ -902,6 +934,16 @@ object Yql {
            FROM documents
            WHERE n_chars >= 50 AND doc_id < 300
          ) WHERE length(w) >= 7""",
+    "yql_sql_reduce" ->
+      """SELECT source, lang,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           array_to_string(list(CAST(doc_id AS VARCHAR)
+             ORDER BY n_chars DESC, doc_id ASC), ',') AS id_seq
+         FROM (SELECT source, lang, n_chars, doc_id FROM documents
+               WHERE doc_id < 400)
+         GROUP BY source, lang
+         HAVING COUNT(doc_id) >= 2""",
     "yql_sql_builtin_alias" ->
       """SELECT source,
            array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,

@@ -183,8 +183,108 @@ class YqlScriptSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       YqlScript.lower("$f = ($r) -> ($r.x + 1);\nPROCESS t USING $f(TableRows())")
     }
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { // undeclared reduce lambda
       YqlScript.lower("REDUCE t ON k USING $f(TableRows());\nSELECT 1")
+    }
+  }
+
+  // ——— REDUCE (SQLv1.g.in reduce_core; yt/docs yql/syntax/reduce.md) ———
+
+  test("REDUCE lowers to a grouped aggregation: key + value-stream refs") {
+    val l = YqlScript.lower(
+      """$r = ($k, $vs) -> (AsStruct($k AS key, SUM($vs) AS s));
+        |REDUCE t ON k USING $r(v)""".stripMargin)
+    assert(l.selects.head == "SELECT (k) AS key, SUM((v)) AS s FROM t GROUP BY k")
+    // multi-column key = documented Tuple: $k.N access; TableRow()
+    // streams whole rows, $vs.col projects
+    val l2 = YqlScript.lower(
+      """$r = ($k, $rows) -> (AsStruct($k.0 AS a, $k.1 AS b, MAX($rows.x) AS mx));
+        |REDUCE t ON a, b USING $r(TableRow()) WHERE x > 0""".stripMargin)
+    assert(l2.selects.head ==
+      "SELECT (a) AS a, (b) AS b, MAX(x) AS mx FROM t WHERE x > 0 GROUP BY a, b")
+  }
+
+  test("REDUCE negative cases: USING ALL, bare refs, arity, multi-input") {
+    def bad(s: String) = intercept[IllegalArgumentException](YqlScript.lower(s))
+    val lam = "$r = ($k, $vs) -> (AsStruct($k AS key, SUM($vs) AS s));\n"
+    bad(lam + "REDUCE t ON k USING ALL $r(v)")
+    bad(lam + "REDUCE t, u ON k USING $r(v)")         // multi-input
+    bad(lam + "REDUCE t ON k1, k2 USING $r(v)")        // bare $k, 2 keys
+    bad("$r = ($k, $vs) -> (AsStruct($vs AS rows));\n" +
+      "REDUCE t ON k USING $r(TableRow())")            // bare $vs + TableRow
+    bad("$r = ($k, $vs) -> (AsStruct($vs.x AS x));\n" +
+      "REDUCE t ON k USING $r(v)")                     // member access, no TableRow
+    bad("$r = ($v) -> (AsStruct($v AS v));\nREDUCE t ON k USING $r(v)") // arity
+    bad(lam + "REDUCE t ON k USING $r(v) extra")       // trailing text
+  }
+
+  test("REDUCE end-to-end: PRESORT orders each group's AGGREGATE_LIST") {
+    Seq((1L, 3L, "a"), (1L, 1L, "b"), (1L, 2L, "c"), (2L, 9L, "z"))
+      .toDF("k", "ord", "v").createOrReplaceTempView("yqls_red")
+    val df = YqlSql.sql(spark,
+      """$r = ($key, $vs) -> (AsStruct(
+        |  $key AS k,
+        |  array_join(AGGREGATE_LIST($vs), ',') AS seq,
+        |  CAST(COUNT($vs) AS BIGINT) AS n));
+        |REDUCE yqls_red PRESORT ord DESC ON k USING $r(v)""".stripMargin)
+    val got = df.as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a,c,b", 3L), (2L, "z", 1L)))
+    // ascending presort + HAVING over the stream
+    val df2 = YqlSql.sql(spark,
+      """$r = ($key, $rows) -> (AsStruct(
+        |  $key AS k, array_join(AGGREGATE_LIST($rows.v), ',') AS seq));
+        |REDUCE yqls_red PRESORT ord ON k USING $r(TableRow())
+        |HAVING COUNT($rows.ord) > 1""".stripMargin)
+    assert(df2.as[(Long, String)].collect().toSeq == Seq((1L, "b,c,a")))
+  }
+
+  // ——— DECLARE (SQLv1.g.in declare_stmt) ———
+
+  test("DECLARE binds typed parameters from the caller or the default") {
+    Seq((1L, "x"), (5L, "y"), (9L, "z")).toDF("id", "s")
+      .createOrReplaceTempView("yqls_decl")
+    val script =
+      """DECLARE $lo AS Int64;
+        |DECLARE $tag AS String = 'y';
+        |SELECT id, s FROM yqls_decl WHERE id >= $lo AND s != $tag""".stripMargin
+    val df = YqlSql.sql(spark, script, Map("lo" -> "2"))
+    assert(df.as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // the declared type CASTs the binding: Int32 parameter is INT
+    val typed = YqlScript.lower("DECLARE $n AS Int32 = 7;\nSELECT $n AS n")
+    assert(typed.selects.head == "SELECT (CAST((7) AS INT)) AS n")
+    // missing binding without a default is an error
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("DECLARE $missing AS Int64;\nSELECT $missing")
+    }
+  }
+
+  // ——— DEFINE SUBQUERY (SQLv1.g.in define_action_or_subquery_stmt) ———
+
+  test("DEFINE SUBQUERY templates inline at call sites as derived tables") {
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .createOrReplaceTempView("yqls_sub")
+    val df = YqlSql.sql(spark,
+      """DEFINE SUBQUERY $top($src, $lim) AS
+        |  $dbl = ($x) -> ($x * 2);
+        |  SELECT id, $dbl(v) AS v2 FROM $src WHERE id <= $lim;
+        |END DEFINE;
+        |SELECT * FROM $top(yqls_sub, 2) ORDER BY id""".stripMargin)
+    assert(df.as[(Long, Long)].collect().toSeq == Seq((1L, 20L), (2L, 40L)))
+    // local bindings stay local; outer scope visible inside the body
+    val df2 = YqlSql.sql(spark,
+      """$base = 100;
+        |DEFINE SUBQUERY $plus($src) AS
+        |  SELECT id, v + $base AS vb FROM $src;
+        |END DEFINE;
+        |SELECT CAST(COUNT(id) AS BIGINT) AS n, MIN(vb) AS lo
+        |FROM $plus(yqls_sub)""".stripMargin)
+    assert(df2.as[(Long, Long)].head() == ((3L, 110L)))
+    // ACTION templates and bodies without a SELECT are rejected
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("DEFINE ACTION $a() AS SELECT 1; END DEFINE;\nSELECT 1")
+    }
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("DEFINE SUBQUERY $s() AS $x = 1; END DEFINE;\nSELECT 1")
     }
   }
 
