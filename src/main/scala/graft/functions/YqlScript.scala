@@ -21,7 +21,15 @@ package graft.functions
   *     → `SELECT * EXCEPT (c1, c2)`;
   *   - `PRAGMA ...;` statements are accepted and recorded (the
   *     reference's pragmas steer its own optimizer/runtime; Catalyst
-  *     owns those decisions here).
+  *     owns those decisions here);
+  *   - `DECLARE $p AS Type [= default];` typed external parameters,
+  *     `DEFINE SUBQUERY ... END DEFINE;` templates, `REDUCE` (the
+  *     grouped-stream verb), `PROCESS`, `DISCARD`;
+  *   - `USE cluster;` / `COMMIT;` accepted as validated no-ops
+  *     (single catalog; statements already execute in source order);
+  *   - `INSERT INTO target [WITH TRUNCATE] SELECT ...` → Spark
+  *     `INSERT INTO` / `INSERT OVERWRITE TABLE`, interleaved with
+  *     SELECTs in source order.
   *
   * Everything is a source-to-source rewrite: Catalyst still does all
   * parsing, resolution and optimization of the final text, so the
@@ -32,10 +40,22 @@ object YqlScript {
 
   final case class Lambda(params: Seq[String], body: String)
 
+  /** A lowered script statement, in source order: result-producing
+    * SELECTs interleaved with side-effecting INSERTs (a later SELECT
+    * may read a table an earlier INSERT wrote, so order is part of the
+    * semantics — the reference serializes them the same way within a
+    * transaction). */
+  sealed trait Stmt { def sql: String }
+  final case class SelectStmt(sql: String) extends Stmt
+  final case class InsertStmt(sql: String) extends Stmt
+
   /** `discards` are DISCARD statements: analyzed (type-checked) but
     * never a script result — the reference's validation spelling. */
-  final case class Lowered(pragmas: Seq[String], selects: Seq[String],
-      discards: Seq[String] = Nil)
+  final case class Lowered(pragmas: Seq[String], stmts: Seq[Stmt],
+      discards: Seq[String] = Nil) {
+    def selects: Seq[String] = stmts.collect { case SelectStmt(s) => s }
+    def inserts: Seq[String] = stmts.collect { case InsertStmt(s) => s }
+  }
 
   /** Lower a YQL script to Spark SQL statement texts (module-call
     * `::` spellings are left for [[YqlSql.rewrite]]). `params` binds
@@ -45,21 +65,44 @@ object YqlScript {
     val scalars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val lambdas = scala.collection.mutable.LinkedHashMap.empty[String, Lambda]
     val pragmas = scala.collection.mutable.ArrayBuffer.empty[String]
-    val selects = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[Stmt]
     val discards = scala.collection.mutable.ArrayBuffer.empty[String]
-    val unsupported = Set("USE", "IMPORT", "EXPORT", "COMMIT", "ROLLBACK")
+    val unsupported = Set("IMPORT", "EXPORT", "ROLLBACK")
     var idx = 0
     while (idx < sts.length) {
       var st = sts(idx)
       val firstWord = st.takeWhile(c => c.isLetter).toUpperCase
       if (firstWord == "PRAGMA") pragmas += st.drop("PRAGMA".length).trim
+      // USE cluster; — cluster selection (SQLv1.g.in use_stmt). This
+      // engine is its own single catalog: accepted, validated, no-op.
+      else if (firstWord == "USE") {
+        require(st.drop("USE".length).trim
+          .matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"),
+          s"malformed USE: ${st.take(60)}")
+      }
+      // COMMIT; — sequences writes before later reads. Statements
+      // already execute eagerly in source order here, so the barrier
+      // is trivially satisfied.
+      else if (firstWord == "COMMIT") {
+        require(st.drop("COMMIT".length).trim.isEmpty,
+          s"malformed COMMIT: ${st.take(60)}")
+      }
       else if (firstWord == "DISCARD")
         discards += lowerSelect(substitute(st.drop("DISCARD".length).trim,
           scalars, lambdas))
       else if (firstWord == "PROCESS")
-        selects += lowerProcess(st, scalars, lambdas)
+        stmts += SelectStmt(lowerProcess(st, scalars, lambdas))
       else if (firstWord == "REDUCE")
-        selects += lowerReduce(st, scalars, lambdas)
+        stmts += SelectStmt(lowerReduce(st, scalars, lambdas))
+      else if (firstWord == "INSERT")
+        stmts += InsertStmt(lowerInsert(st, scalars, lambdas))
+      // UPSERT/REPLACE key-merge onto sorted dynamic tables is the
+      // DynTable API's territory (insertRows/latest-wins); a silent
+      // INSERT lowering would change semantics, so these raise.
+      else if (firstWord == "UPSERT" || firstWord == "REPLACE")
+        throw new IllegalArgumentException(
+          s"$firstWord INTO (key-merge write) is not expressible as an " +
+          "INSERT; use the DynTable API for keyed upserts")
       else if (firstWord == "DECLARE")
         lowerDeclare(st, params, scalars)
       else if (firstWord == "DEFINE") {
@@ -91,13 +134,14 @@ object YqlScript {
                   body
                 else "(" + body + ")"
           }
-        case None => selects += lowerSelect(substitute(st, scalars, lambdas))
+        case None =>
+          stmts += SelectStmt(lowerSelect(substitute(st, scalars, lambdas)))
       }
       idx += 1
     }
-    if (selects.isEmpty) throw new IllegalArgumentException(
-      "YQL script has no SELECT statement")
-    Lowered(pragmas.toSeq, selects.toSeq, discards.toSeq)
+    if (stmts.isEmpty) throw new IllegalArgumentException(
+      "YQL script has no SELECT or INSERT statement")
+    Lowered(pragmas.toSeq, stmts.toSeq, discards.toSeq)
   }
 
   /** First index of keyword `kw` in `s` at paren depth 0 outside
@@ -329,6 +373,35 @@ object YqlScript {
         scalars, lambdas)
     lowerSelect(
       s"SELECT $items FROM $src$where GROUP BY ${keys.mkString(", ")}$having")
+  }
+
+  /** `INSERT INTO target [WITH TRUNCATE] <select>` (SQLv1.g.in
+    * into_table_stmt; `WITH TRUNCATE` is the overwrite spelling,
+    * semantics yt/docs en/yql/syntax/insert_into.md): the write verb
+    * of a YQL script. Targets are session-catalog tables (identifier
+    * or backticked name); the source select goes through the full
+    * statement lowering (bindings, FLATTEN BY, WITHOUT), then the
+    * whole statement lowers to Spark's `INSERT INTO` / `INSERT
+    * OVERWRITE TABLE` — a distributed write planned by Catalyst, with
+    * WITH TRUNCATE mapping to overwrite exactly. */
+  private def lowerInsert(st: String,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): String = {
+    val m = ("(?i)^INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_.]*|`[^`]+`)" +
+      "(\\s+WITH\\s+TRUNCATE\\b)?\\s+([\\s\\S]+)$").r.findFirstMatchIn(st)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed INSERT: ${st.take(60)}"))
+    val target = m.group(1)
+    val truncate = m.group(2) != null
+    val src = m.group(3).trim
+    val kw = src.takeWhile(_.isLetter).toUpperCase
+    require(kw == "SELECT" || kw == "VALUES" || src.startsWith("("),
+      "INSERT source must be a SELECT, VALUES, or parenthesized query")
+    val lowered =
+      if (kw == "VALUES") substitute(src, scalars, lambdas)
+      else lowerSelect(substitute(src, scalars, lambdas))
+    if (truncate) s"INSERT OVERWRITE TABLE $target $lowered"
+    else s"INSERT INTO $target $lowered"
   }
 
   /** `DECLARE $p AS type_name [= default]` (SQLv1.g.in declare_stmt):

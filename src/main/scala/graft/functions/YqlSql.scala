@@ -93,7 +93,16 @@ object YqlSql {
     // never execute or produce a result — the reference's validation
     // spelling
     lowered.discards.foreach(s => spark.sql(rewrite(s)))
-    lowered.selects.map(s => spark.sql(rewrite(s))).last
+    // SOURCE order: an INSERT must complete before a later SELECT that
+    // reads its target (spark.sql executes INSERT eagerly). The script
+    // evaluates to its last SELECT; an all-INSERT script returns an
+    // empty frame (the write IS the result).
+    var last: Option[DataFrame] = None
+    lowered.stmts.foreach {
+      case YqlScript.SelectStmt(s) => last = Some(spark.sql(rewrite(s)))
+      case YqlScript.InsertStmt(s) => spark.sql(rewrite(s))
+    }
+    last.getOrElse(spark.emptyDataFrame)
   }
 
   def registerAll(spark: SparkSession): Unit = {

@@ -306,4 +306,54 @@ class YqlScriptSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("b"))
     assert(df.as[Int].head() == 2)
   }
+
+  // ——— USE / COMMIT / INSERT INTO (SQLv1.g.in use_stmt,
+  // commit_stmt, into_table_stmt) ———
+
+  test("USE and COMMIT are accepted as no-ops; malformed forms raise") {
+    val l = YqlScript.lower("USE hahn;\nSELECT 1 AS x;\nCOMMIT;")
+    assert(l.selects == Seq("SELECT 1 AS x"))
+    intercept[IllegalArgumentException](YqlScript.lower("USE a b;\nSELECT 1"))
+    intercept[IllegalArgumentException](YqlScript.lower("COMMIT x;\nSELECT 1"))
+  }
+
+  test("INSERT INTO [WITH TRUNCATE] writes in source order; later SELECTs see it") {
+    spark.sql("DROP TABLE IF EXISTS yqls_sink")
+    val dir = new java.io.File("/tmp/graft-warehouse/yqls_sink")
+    if (dir.exists) { import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively() }
+    spark.sql("CREATE TABLE yqls_sink (id BIGINT, v STRING) USING parquet")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("yqls_src")
+    // append, then a same-script read sees the write
+    val df = YqlSql.sql(spark,
+      """USE cluster1;
+        |$cut = 3;
+        |INSERT INTO yqls_sink SELECT id, v FROM yqls_src WHERE id < $cut;
+        |COMMIT;
+        |SELECT CAST(COUNT(id) AS BIGINT) AS n FROM yqls_sink""".stripMargin)
+    assert(df.as[Long].head() == 2L)
+    // WITH TRUNCATE overwrites instead of appending
+    val df2 = YqlSql.sql(spark,
+      """INSERT INTO yqls_sink WITH TRUNCATE
+        |SELECT id, v FROM yqls_src WHERE id = 3;
+        |SELECT id, v FROM yqls_sink""".stripMargin)
+    assert(df2.as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    // an all-INSERT script is legal: the write is the result
+    val df3 = YqlSql.sql(spark,
+      "INSERT INTO yqls_sink SELECT 9 AS id, 'z' AS v;")
+    assert(df3.isEmpty)
+    assert(spark.table("yqls_sink").count() == 2)
+    // UPSERT/REPLACE key-merges are the DynTable API's territory
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("UPSERT INTO t SELECT 1 AS k")
+    }
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("REPLACE INTO t SELECT 1 AS k")
+    }
+    intercept[IllegalArgumentException] { // malformed source
+      YqlScript.lower("INSERT INTO t SET x = 1")
+    }
+    spark.sql("DROP TABLE IF EXISTS yqls_sink")
+  }
 }
