@@ -459,4 +459,83 @@ object ExprFuzz {
         s"(SELECT $proj FROM fw WHERE a % $m2 = $r2))"
     }
   }
+
+  /** YQL-SCRIPT-domain cases: each case is a (script, oracleSql) pair
+    * over the `fw` fixture. The script exercises the statement-level
+    * surface — named scalar bindings, lambda bindings called AND
+    * composed, statement-body lambdas with local bindings, named
+    * subselects, DECLARE'd defaults, REDUCE — while the oracle is the
+    * hand-expanded plain SQL generated from the SAME random draws, so
+    * any divergence in the lowering's substitution semantics (not
+    * just its parse) breaks the value compare. Integer-only math, all
+    * operands non-negative: every value is exact in both engines. */
+  def scriptCases(n: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val m = 1 + rnd.nextInt(50)
+      val c = 2 + rnd.nextInt(8)
+      val d = 3 + rnd.nextInt(95)
+      val w = 2 + rnd.nextInt(6); val r = rnd.nextInt(w)
+      rnd.nextInt(4) match {
+        case 0 =>
+          // lambda called directly AND composed through a second lambda
+          val script =
+            "$m = " + m + ";\n" +
+            "$f = ($x) -> ($x * " + c + " + $m);\n" +
+            "$g = ($x) -> ($f($x) % " + d + ");\n" +
+            s"SELECT $i AS tag, a, CAST(" + "$f(v)" + s" AS BIGINT) AS x1, " +
+            "CAST($g(k) AS BIGINT) AS x2 " +
+            s"FROM fw WHERE v % $w = $r"
+          val sql =
+            s"SELECT $i AS tag, a, CAST(v * $c + $m AS BIGINT) AS x1, " +
+            s"CAST((k * $c + $m) % $d AS BIGINT) AS x2 " +
+            s"FROM fw WHERE v % $w = $r"
+          (script, sql)
+        case 1 =>
+          // statement-body lambda: local binding + RETURN
+          val script =
+            "$m = " + m + ";\n" +
+            "$h = ($x) -> {\n  $t = $x + $m;\n  RETURN $t * " + c + "\n};\n" +
+            s"SELECT $i AS tag, a, CAST(" + "$h(v)" + s" AS BIGINT) AS x1, " +
+            "CAST($h(k) - $m AS BIGINT) AS x2 " +
+            s"FROM fw WHERE k % $w = $r"
+          val sql =
+            s"SELECT $i AS tag, a, CAST((v + $m) * $c AS BIGINT) AS x1, " +
+            s"CAST((k + $m) * $c - $m AS BIGINT) AS x2 " +
+            s"FROM fw WHERE k % $w = $r"
+          (script, sql)
+        case 2 =>
+          // named subselect + DECLARE'd default in the outer WHERE
+          val q = rnd.nextInt(2)
+          val script =
+            "DECLARE $cut AS Int64 = " + m + ";\n" +
+            "$src = (SELECT a, k, v FROM fw WHERE v % " + w + " = " + r + ");\n" +
+            s"SELECT $i AS tag, a, CAST(v + " + "$cut" + s" AS BIGINT) AS x1, " +
+            s"CAST(k * $c AS BIGINT) AS x2 " +
+            "FROM $src WHERE a % " + d + " != " + q
+          val sql =
+            s"SELECT $i AS tag, a, CAST(v + $m AS BIGINT) AS x1, " +
+            s"CAST(k * $c AS BIGINT) AS x2 " +
+            s"FROM (SELECT a, k, v FROM fw WHERE v % $w = $r) " +
+            s"WHERE a % $d != $q"
+          (script, sql)
+        case _ =>
+          // REDUCE with a scalar woven into the aggregate items
+          val script =
+            "$m = " + m + ";\n" +
+            "$red = ($key, $vs) -> (AsStruct(" + i + " AS tag, " +
+            "$key AS a, " +
+            "CAST(SUM($vs) + $m AS BIGINT) AS x1, " +
+            "CAST(COUNT($vs) * " + c + " AS BIGINT) AS x2));\n" +
+            s"REDUCE fw ON k USING " + "$red(v % " + d + ")" +
+            s" WHERE v % $w = $r"
+          val sql =
+            s"SELECT $i AS tag, k AS a, " +
+            s"CAST(SUM(v % $d) + $m AS BIGINT) AS x1, " +
+            s"CAST(COUNT(v % $d) * $c AS BIGINT) AS x2 " +
+            s"FROM fw WHERE v % $w = $r GROUP BY k"
+          (script, sql)
+      }
+    }
+  }
 }

@@ -393,6 +393,22 @@ object Yql {
           |""".stripMargin)
     }),
 
+    // Script-domain differential fuzz: randomized YQL SCRIPTS (scalar
+    // bindings, lambda calls + composition, statement-body lambdas,
+    // named subselects, DECLARE defaults, REDUCE) against
+    // hand-expanded plain SQL generated from the SAME random draws —
+    // the substitution/lowering semantics themselves are under test,
+    // value-exact.
+    "yql_fuzz_script" -> ((s, d) => {
+      t(s, d, "orders").select(col("o_orderkey").as("a"),
+        (col("o_custkey") % 7).as("k"),
+        (col("o_custkey") % 997).as("v"))
+        .createOrReplaceTempView("fw")
+      graft.ql.ExprFuzz.scriptCases(12, seed = 61L)
+        .map { case (script, _) => graft.functions.YqlSql.sql(s, script) }
+        .reduce(_ unionByName _)
+    }),
+
     // The remaining STATEMENT-level grammar (SQLv1.g.in declare_stmt /
     // define_action_or_subquery_stmt / reduce_core): DECLARE'd typed
     // external parameters (caller-bound or defaulted), a parameterized
@@ -934,6 +950,13 @@ object Yql {
            FROM documents
            WHERE n_chars >= 50 AND doc_id < 300
          ) WHERE length(w) >= 7""",
+    "yql_fuzz_script" -> {
+      val cases = graft.ql.ExprFuzz.scriptCases(12, seed = 61L)
+        .map(_._2).mkString("\n         UNION ALL\n         ")
+      s"""WITH fw AS (SELECT o_orderkey AS a, o_custkey % 7 AS k,
+         |  o_custkey % 997 AS v FROM orders)
+         |$cases""".stripMargin
+    },
     "yql_sql_reduce" ->
       """SELECT source, lang,
            CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
