@@ -393,15 +393,28 @@ object YqlScript {
         s"malformed INSERT: ${st.take(60)}"))
     val target = m.group(1)
     val truncate = m.group(2) != null
-    val src = m.group(3).trim
+    var src = m.group(3).trim
+    // optional column list `(a, b)` between target and source
+    var colList = ""
+    if (src.startsWith("(")) {
+      val close = matchParen(src, 0)
+      val inner = src.substring(1, close)
+      val rest = src.substring(close + 1).trim
+      val restKw = rest.takeWhile(_.isLetter).toUpperCase
+      if ((restKw == "SELECT" || restKw == "VALUES") &&
+          splitTopLevel(inner).forall(
+            _.trim.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"))) {
+        colList = s" ($inner)"; src = rest
+      }
+    }
     val kw = src.takeWhile(_.isLetter).toUpperCase
     require(kw == "SELECT" || kw == "VALUES" || src.startsWith("("),
       "INSERT source must be a SELECT, VALUES, or parenthesized query")
     val lowered =
       if (kw == "VALUES") substitute(src, scalars, lambdas)
       else lowerSelect(substitute(src, scalars, lambdas))
-    if (truncate) s"INSERT OVERWRITE TABLE $target $lowered"
-    else s"INSERT INTO $target $lowered"
+    if (truncate) s"INSERT OVERWRITE TABLE $target$colList $lowered"
+    else s"INSERT INTO $target$colList $lowered"
   }
 
   /** `DECLARE $p AS type_name [= default]` (SQLv1.g.in declare_stmt):

@@ -172,6 +172,25 @@ class PlanContractSpec extends SparkSpec {
     assert(exchanges.isEmpty, s"expected no shuffle, got ${exchanges.length}")
   }
 
+  test("yql_sql_reduce: REDUCE lowers to ONE partial/final hash aggregation " +
+      "with a single exchange; the DECLARE'd limit reaches the scan") {
+    val df = run("yql_sql_reduce")
+    val p = planString(df)
+    // the grouped-stream verb = Spark's distributed reduce: partial
+    // (map-side combine) + final agg around exactly one shuffle, no
+    // window, no global sort (PRESORT is per-group array_sort)
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r
+      .findAllIn(p).length >= 2, p.linesIterator.take(8).mkString("\n"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      "PRESORT must not become a global sort or window")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("LessThan(doc_id,400)"),
+      formatted.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("llm_dedup_embedding_lsh candidate join carries ids only (vectors fetched post-join)") {
     val p = run("llm_dedup_embedding_lsh").queryExecution.optimizedPlan.toString
     // the chunk-bucket self-join must not project the embedding arrays;

@@ -344,6 +344,10 @@ class YqlScriptSpec extends SparkSpec {
       "INSERT INTO yqls_sink SELECT 9 AS id, 'z' AS v;")
     assert(df3.isEmpty)
     assert(spark.table("yqls_sink").count() == 2)
+    // explicit column list reorders the projection onto the schema
+    YqlSql.sql(spark, "INSERT INTO yqls_sink (v, id) VALUES ('q', 7);")
+    assert(spark.table("yqls_sink").filter("id = 7").select("v")
+      .as[String].head() == "q")
     // UPSERT/REPLACE key-merges are the DynTable API's territory
     intercept[IllegalArgumentException] {
       YqlScript.lower("UPSERT INTO t SELECT 1 AS k")
