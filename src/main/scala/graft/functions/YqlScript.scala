@@ -61,9 +61,12 @@ object YqlScript {
     * `::` spellings are left for [[YqlSql.rewrite]]). `params` binds
     * DECLARE'd parameters by name to SQL literal/expression text. */
   def lower(script: String, params: Map[String, String] = Map.empty): Lowered = {
-    val sts = splitStatements(script).map(_.trim).filter(_.nonEmpty)
+    val sts = scala.collection.mutable.ArrayBuffer(
+      splitStatements(script).map(_.trim).filter(_.nonEmpty): _*)
     val scalars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val lambdas = scala.collection.mutable.LinkedHashMap.empty[String, Lambda]
+    val actions = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[String], String)]
     val pragmas = scala.collection.mutable.ArrayBuffer.empty[String]
     val stmts = scala.collection.mutable.ArrayBuffer.empty[Stmt]
     val discards = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -71,6 +74,21 @@ object YqlScript {
     var idx = 0
     while (idx < sts.length) {
       var st = sts(idx)
+      // DO BEGIN / EVALUATE ... DO BEGIN inline bodies: internal ';'
+      // were statement splits — rejoin until the closing END DO
+      if (st.takeWhile(_.isLetter).toUpperCase.matches("DO|EVALUATE") &&
+          findTopKw(st, "BEGIN") >= 0) {
+        while (findTopKw(st, "END DO") < 0) {
+          idx += 1
+          require(idx < sts.length, "BEGIN without END DO")
+          st = st + "; " + sts(idx)
+        }
+      }
+      // `SELECT ... INTO RESULT name` (select_kind suffix): names the
+      // result set in the reference's multi-result protocol; here the
+      // script evaluates to its last SELECT, so the name is validated
+      // and dropped.
+      st = stripIntoResult(st)
       val firstWord = st.takeWhile(c => c.isLetter).toUpperCase
       if (firstWord == "PRAGMA") pragmas += st.drop("PRAGMA".length).trim
       // USE cluster; — cluster selection (SQLv1.g.in use_stmt). This
@@ -113,8 +131,21 @@ object YqlScript {
           require(idx < sts.length, "DEFINE without END DEFINE")
           st = st + "; " + sts(idx)
         }
-        defineSubquery(st, scalars, lambdas)
+        if ("(?i)^DEFINE\\s+ACTION\\b".r.findFirstIn(st).isDefined)
+          defineAction(st, actions)
+        else defineSubquery(st, scalars, lambdas)
       }
+      // DO $action(args); / DO BEGIN ... END DO; / DO EMPTY_ACTION()
+      // (do_stmt): splice the action's statements at the call site
+      // with parameters textually bound — the reference's
+      // translation-time macro expansion, exactly.
+      else if (firstWord == "DO")
+        sts.insertAll(idx + 1,
+          expandDo(st.drop("DO".length).trim, actions))
+      // EVALUATE FOR $x IN <list literal> DO ... [ELSE DO ...]
+      // (evaluate_for_stmt): translation-time loop unrolling.
+      else if (firstWord == "EVALUATE")
+        sts.insertAll(idx + 1, evaluateFor(st, actions, scalars, lambdas))
       else if (unsupported(firstWord)) throw new IllegalArgumentException(
         s"unsupported YQL statement: $firstWord")
       else bindingOf(st) match {
@@ -524,6 +555,172 @@ object YqlScript {
     }
     lambdas(name) = Lambda(params, select.getOrElse(
       throw new IllegalArgumentException("DEFINE SUBQUERY body has no SELECT")))
+  }
+
+  /** `DEFINE ACTION $a($p, ...) AS <stmts> END DEFINE`
+    * (define_action_or_subquery_stmt): a statement-list template.
+    * The body is stored RAW; `DO $a(args)` splices it at the call
+    * site with parameters textually bound — the reference expands
+    * actions at translation time the same way. */
+  private def defineAction(st: String,
+      actions: scala.collection.mutable.LinkedHashMap[String, (Seq[String], String)]): Unit = {
+    val m = "(?i)^DEFINE\\s+ACTION\\s+\\$([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+      .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
+        s"malformed DEFINE ACTION: ${st.take(60)}"))
+    val name = m.group(1)
+    val close = matchParen(st, m.end - 1)
+    val params = splitTopLevel(st.substring(m.end, close)).map(_.trim)
+      .filter(_.nonEmpty).map(_.stripSuffix("?").stripPrefix("$"))
+    val rest = st.substring(close + 1).trim
+    require(rest.take(2).equalsIgnoreCase("AS"),
+      "DEFINE ACTION requires AS before the body")
+    val bodyAll = rest.substring(2).trim
+    require(bodyAll.toUpperCase.endsWith("END DEFINE"),
+      "DEFINE without END DEFINE")
+    actions(name) =
+      (params, bodyAll.substring(0, bodyAll.length - "END DEFINE".length).trim)
+  }
+
+  /** Expand the text after a `DO` keyword into raw statements to
+    * splice: `$action(args)` binds the stored template's parameters,
+    * `BEGIN <stmts> END DO` is an inline body, `EMPTY_ACTION()` is
+    * nothing (the documented no-op action). */
+  private def expandDo(body0: String,
+      actions: collection.Map[String, (Seq[String], String)]): Seq[String] = {
+    val body = body0.trim
+    if (body.toUpperCase.startsWith("BEGIN")) {
+      val up = body.toUpperCase
+      require(up.endsWith("END DO"), "DO BEGIN without END DO")
+      splitStatements(
+        body.substring("BEGIN".length, body.length - "END DO".length))
+        .map(_.trim).filter(_.nonEmpty)
+    } else if (body.matches("(?i)EMPTY_ACTION\\s*\\(\\s*\\)")) Nil
+    else {
+      val m = "^\\$([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r.findFirstMatchIn(body)
+        .getOrElse(throw new IllegalArgumentException(
+          s"DO expects $$action(args), BEGIN...END DO, or EMPTY_ACTION(): ${body.take(60)}"))
+      val close = matchParen(body, m.end - 1)
+      require(body.substring(close + 1).trim.isEmpty,
+        "trailing text after the DO call")
+      val (params, tmpl) = actions.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"undeclared action $$${m.group(1)}"))
+      val args = splitTopLevel(body.substring(m.end, close)).map(_.trim)
+        .filter(_.nonEmpty)
+      require(args.length == params.length,
+        s"action $$${m.group(1)} expects ${params.length} args, got ${args.length}")
+      val bound = params.zip(args).map { case (p, a) => p -> s"($a)" }.toMap
+      splitStatements(replaceNames(tmpl, bound))
+        .map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  /** `EVALUATE FOR $x IN <list> DO <do> [ELSE DO <do>]`
+    * (evaluate_for_stmt): translation-time loop unrolling over a
+    * LITERAL list — `AsList(e1, ...)` or `[e1, ...]` — substituting
+    * each element text for `$x` in the DO body; the ELSE branch runs
+    * for an empty list. Non-literal lists require runtime evaluation
+    * the reference performs in its evaluation phase; they raise here. */
+  private def evaluateFor(st: String,
+      actions: collection.Map[String, (Seq[String], String)],
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): Seq[String] = {
+    val m = "(?i)^EVALUATE\\s+FOR\\s+\\$([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s+".r
+      .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
+        if ("(?i)^EVALUATE\\s+IF\\b".r.findFirstIn(st).isDefined)
+          "EVALUATE IF needs runtime condition evaluation; inline the branch"
+        else s"malformed EVALUATE FOR: ${st.take(60)}"))
+    val x = m.group(1)
+    val doAt = findTopKw(st, "DO", m.end)
+    require(doAt > 0, "EVALUATE FOR requires DO")
+    var listText = substitute(st.substring(m.end, doAt).trim, scalars, lambdas)
+    // a $binding substitutes as one parenthesized group — unwrap it
+    while (listText.startsWith("(") &&
+        matchParen(listText, 0) == listText.length - 1)
+      listText = listText.substring(1, listText.length - 1).trim
+    val elems: Seq[String] = {
+      val asList = "(?i)^AsList\\s*\\(".r.findFirstMatchIn(listText)
+      if (asList.isDefined) {
+        val close = matchParen(listText, asList.get.end - 1)
+        require(listText.substring(close + 1).trim.isEmpty,
+          "EVALUATE FOR list must be a single AsList(...) literal")
+        splitTopLevel(listText.substring(asList.get.end, close))
+          .map(_.trim).filter(_.nonEmpty)
+      } else if (listText.startsWith("[") && listText.endsWith("]"))
+        splitTopLevel(listText.substring(1, listText.length - 1))
+          .map(_.trim).filter(_.nonEmpty)
+      else throw new IllegalArgumentException(
+        "EVALUATE FOR supports literal lists (AsList(...) or [...]); " +
+        s"got: ${listText.take(60)}")
+    }
+    // the loop DO body ends either at a top-level ELSE or at the end
+    val afterDo = st.substring(doAt + 2).trim
+    val (loopBody, elseBody) = {
+      val endDo = findTopKw(st, "END DO", doAt)
+      val elseAt = findTopKw(st, "ELSE",
+        if (endDo >= 0) endDo else doAt)
+      if (elseAt < 0) (afterDo, None)
+      else {
+        val eb = st.substring(elseAt + "ELSE".length).trim
+        require(eb.toUpperCase.startsWith("DO"),
+          "EVALUATE FOR ELSE requires a DO branch")
+        (st.substring(doAt + 2, elseAt).trim,
+          Some(eb.substring(2).trim))
+      }
+    }
+    if (elems.isEmpty)
+      elseBody.toSeq.flatMap(b => expandDo(b, actions))
+    else elems.flatMap { e =>
+      expandDo(replaceNames(loopBody, Map(x -> s"($e)")), actions)
+    }
+  }
+
+  /** Strip a trailing top-level `INTO RESULT name` (select_kind
+    * suffix), validating its shape. */
+  private def stripIntoResult(st: String): String = {
+    val at = findTopKw(st, "INTO RESULT")
+    // `INSERT INTO result ...` is a write to a table named "result",
+    // not the select_kind suffix
+    if (at < 0 || st.trim.toUpperCase.startsWith("INSERT")) st
+    else {
+      val name = st.substring(at + "INTO RESULT".length).trim
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"),
+        s"malformed INTO RESULT: ${st.take(60)}")
+      st.substring(0, at).trim
+    }
+  }
+
+  /** Quote-aware replacement of ONLY the given `$name` references;
+    * every other `$ref` passes through untouched (unlike
+    * [[substitute]], which rejects unknown names — templates are
+    * expanded before their spliced statements resolve bindings). */
+  private def replaceNames(text: String, map: Map[String, String]): String = {
+    val out = new StringBuilder
+    var i = 0; var quote: Char = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < n) {
+          out.append(text.charAt(i + 1)); i += 1
+        }
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '$' && i + 1 < n &&
+          (text.charAt(i + 1).isLetter || text.charAt(i + 1) == '_')) {
+        var j = i + 1
+        while (j < n && (text.charAt(j).isLetterOrDigit || text.charAt(j) == '_')) j += 1
+        val name = text.substring(i + 1, j)
+        map.get(name) match {
+          case Some(repl) => out.append(repl)
+          case None => out.append(text.substring(i, j))
+        }
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   // ——— statement splitting (quote- and comment-aware, ';' at paren

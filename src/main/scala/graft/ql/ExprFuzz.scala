@@ -234,10 +234,13 @@ object ExprFuzz {
             wp.map(p => s" where ${p.ql}").getOrElse("") +
             s" order by sv, a" +
             (if (off > 0) s" offset $off" else "") + s" limit $lim"
+          // order by the ALIAS, not the re-rendered expression: a
+          // constant-folded expr would render as a bare integer
+          // literal, which ORDER BY reads as a positional ordinal
           val duck = s"SELECT $i AS tag, a AS g, ${x.duck} AS sv, " +
             s"1 AS cnt FROM fq" +
             wp.map(p => s" WHERE ${p.duck}").getOrElse("") +
-            s" ORDER BY ${x.duck} NULLS FIRST, a LIMIT $lim OFFSET $off"
+            s" ORDER BY sv NULLS FIRST, a LIMIT $lim OFFSET $off"
           (ql, duck)
         }
       (qlBody, duckBody)

@@ -37,7 +37,92 @@ object FuzzSweep {
     val queries = scala.collection.mutable.LinkedHashMap
       .empty[String, (() => org.apache.spark.sql.DataFrame, String)]
 
+    // QL-surface fixtures (same shapes as the shipped ql_fuzz_* queries)
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    val nation = graft.sources.Tables.load(spark, sfDir, "nation")
+    val numFix = orders.select(
+      col("o_orderkey").as("a"), col("o_custkey").as("b"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey") % 100).as("c"))
+    val numCte = """WITH base AS (SELECT o_orderkey AS a, o_custkey AS b,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE o_custkey % 100 END AS c FROM orders)""".stripMargin
+    val strFix = orders.select(
+      col("o_orderkey").as("id"), col("o_orderstatus").as("s"),
+      col("o_orderpriority").as("t"),
+      when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("u"))
+    val strCte = """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS s,
+      |  o_orderpriority AS t,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |       ELSE o_orderstatus END AS u FROM orders)""".stripMargin
+    val tupFix = orders.select(
+      col("o_orderkey").as("id"), col("o_orderkey").as("a"),
+      (col("o_custkey") % 23).as("b"))
+    val tupCte = """WITH base AS (SELECT o_orderkey AS id, o_orderkey AS a,
+      |  o_custkey % 23 AS b FROM orders)""".stripMargin
+    val jl = orders.select(col("o_orderkey").as("a"),
+      (col("o_custkey") % 25).as("k"))
+    val jr = nation.select(col("n_nationkey").as("k"),
+      col("n_nationkey").as("n"), col("n_regionkey").as("r"))
+    val joinCte =
+      """WITH jl AS (SELECT o_orderkey AS a, o_custkey % 25 AS k FROM orders),
+        |jr AS (SELECT n_nationkey AS k, n_nationkey AS n,
+        |  n_regionkey AS r FROM nation)""".stripMargin
+    val canon = graft.ql.SelectRows.Options(useCanonicalNullRelations = true)
+
+    def exprDomain(name: String, cte: String, fix: org.apache.spark.sql.DataFrame,
+        idItem: (String, String),
+        gen: => Seq[graft.ql.ExprFuzz.FExpr]): Unit = {
+      val es = gen
+      val qlItems = es.zipWithIndex
+        .map { case (e, i) => s"${e.ql} as x$i" }.mkString(", ")
+      val duckItems = es.zipWithIndex
+        .map { case (e, i) => s"${e.duck} AS x$i" }.mkString(", ")
+      queries(name) = (() =>
+        graft.ql.SelectRows(spark, s"${idItem._1}, $qlItems from [//tmp/fx]",
+          Map("//tmp/fx" -> fix), canon),
+        s"$cte\nSELECT ${idItem._2}, $duckItems FROM base")
+    }
+
     for (seed <- seedLo to seedHi) {
+      import graft.ql.ExprFuzz
+      exprDomain(s"fz_expr_$seed", numCte, numFix, ("a as id", "a AS id"),
+        ExprFuzz.exprs(25, seed))
+      exprDomain(s"fz_str_$seed", strCte, strFix, ("id", "id"),
+        ExprFuzz.stringExprs(20, seed))
+      exprDomain(s"fz_tup_$seed", tupCte, tupFix, ("id", "id"),
+        ExprFuzz.tupleExprs(16, seed))
+      // aggregates group by a % 10
+      locally {
+        val es = ExprFuzz.aggExprs(12, seed)
+        val qlItems = es.zipWithIndex
+          .map { case (e, i) => s"${e.ql} as x$i" }.mkString(", ")
+        val duckItems = es.zipWithIndex
+          .map { case (e, i) => s"${e.duck} AS x$i" }.mkString(", ")
+        queries(s"fz_agg_$seed") = (() =>
+          graft.ql.SelectRows(spark, s"g, $qlItems from [//tmp/fx] group by a % 10 as g",
+            Map("//tmp/fx" -> numFix), canon),
+          s"$numCte\nSELECT a % 10 AS g, $duckItems FROM base GROUP BY a % 10")
+      }
+      locally {
+        val cases = ExprFuzz.queryCases(8, seed)
+        queries(s"fz_q_$seed") = (() =>
+          cases.map { case (ql, _) =>
+            graft.ql.SelectRows(spark, ql, Map("//tmp/fq" -> numFix), canon) }
+            .reduce(_ unionByName _),
+          numCte.replace("base AS", "fq AS") + "\n" +
+            cases.map(p => s"(${p._2})").mkString("\nUNION ALL\n"))
+      }
+      locally {
+        val cases = ExprFuzz.joinCases(8, seed)
+        queries(s"fz_join_$seed") = (() =>
+          cases.map { case (ql, _) =>
+            graft.ql.SelectRows(spark, ql,
+              Map("//tmp/jl" -> jl, "//tmp/jr" -> jr), canon) }
+            .reduce(_ unionByName _),
+          joinCte + "\n" + cases.map(_._2).mkString("\nUNION ALL\n"))
+      }
       queries(s"fz_win_$seed") = (() => {
         val cols = graft.ql.ExprFuzz.windowCases(10, seed)
           .zipWithIndex.map { case (w, i) => s"$w AS w$i" }.mkString(", ")

@@ -279,10 +279,7 @@ class YqlScriptSpec extends SparkSpec {
         |SELECT CAST(COUNT(id) AS BIGINT) AS n, MIN(vb) AS lo
         |FROM $plus(yqls_sub)""".stripMargin)
     assert(df2.as[(Long, Long)].head() == ((3L, 110L)))
-    // ACTION templates and bodies without a SELECT are rejected
-    intercept[IllegalArgumentException] {
-      YqlScript.lower("DEFINE ACTION $a() AS SELECT 1; END DEFINE;\nSELECT 1")
-    }
+    // a SUBQUERY body without a SELECT is rejected
     intercept[IllegalArgumentException] {
       YqlScript.lower("DEFINE SUBQUERY $s() AS $x = 1; END DEFINE;\nSELECT 1")
     }
@@ -359,5 +356,84 @@ class YqlScriptSpec extends SparkSpec {
       YqlScript.lower("INSERT INTO t SET x = 1")
     }
     spark.sql("DROP TABLE IF EXISTS yqls_sink")
+  }
+
+  // ——— DEFINE ACTION / DO / EVALUATE FOR / INTO RESULT
+  // (define_action_or_subquery_stmt, do_stmt, evaluate_for_stmt) ———
+
+  test("DEFINE ACTION + DO splice statements at the call site") {
+    val l = YqlScript.lower(
+      """DEFINE ACTION $mk($n) AS
+        |  $v = $n * 10;
+        |  SELECT $v AS out;
+        |END DEFINE;
+        |DO $mk(2);
+        |DO $mk(3)""".stripMargin)
+    assert(l.selects == Seq("SELECT ((2) * 10) AS out",
+      "SELECT ((3) * 10) AS out"))
+    // EMPTY_ACTION is the documented no-op; inline BEGIN bodies splice
+    val l2 = YqlScript.lower(
+      "DO EMPTY_ACTION();\nDO BEGIN $x = 5; SELECT $x AS v; END DO")
+    assert(l2.selects == Seq("SELECT (5) AS v"))
+    intercept[IllegalArgumentException] { // undeclared action
+      YqlScript.lower("DO $nope(1);\nSELECT 1")
+    }
+    intercept[IllegalArgumentException] { // arity
+      YqlScript.lower(
+        "DEFINE ACTION $a($x) AS SELECT $x; END DEFINE;\nDO $a(1, 2)")
+    }
+  }
+
+  test("EVALUATE FOR unrolls literal lists; ELSE covers the empty list") {
+    val l = YqlScript.lower(
+      """DEFINE ACTION $emit($k) AS
+        |  SELECT $k AS tag;
+        |END DEFINE;
+        |EVALUATE FOR $i IN AsList(7, 8, 9) DO $emit($i)""".stripMargin)
+    assert(l.selects == Seq("SELECT ((7)) AS tag", "SELECT ((8)) AS tag",
+      "SELECT ((9)) AS tag"))
+    // bracket literal + inline body; $binding list through substitution
+    val l2 = YqlScript.lower(
+      """$xs = [1, 2];
+        |EVALUATE FOR $i IN $xs DO BEGIN SELECT $i AS v; END DO""".stripMargin)
+    assert(l2.selects == Seq("SELECT (1) AS v", "SELECT (2) AS v"))
+    // empty list takes the ELSE branch
+    val l3 = YqlScript.lower(
+      """DEFINE ACTION $none() AS SELECT 0 AS v; END DEFINE;
+        |EVALUATE FOR $i IN AsList() DO BEGIN SELECT $i AS v; END DO
+        |ELSE DO $none()""".stripMargin)
+    assert(l3.selects == Seq("SELECT 0 AS v"))
+    intercept[IllegalArgumentException] { // non-literal list
+      YqlScript.lower("EVALUATE FOR $i IN someCol DO BEGIN SELECT 1; END DO")
+    }
+    intercept[IllegalArgumentException] { // EVALUATE IF raises
+      YqlScript.lower("EVALUATE IF 1 > 0 DO BEGIN SELECT 1; END DO")
+    }
+  }
+
+  test("EVALUATE FOR drives INSERT loops end-to-end") {
+    spark.sql("DROP TABLE IF EXISTS yqls_loop")
+    val dir = new java.io.File("/tmp/graft-warehouse/yqls_loop")
+    if (dir.exists) { import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively() }
+    spark.sql("CREATE TABLE yqls_loop (k BIGINT) USING parquet")
+    val df = YqlSql.sql(spark,
+      """DEFINE ACTION $put($k) AS
+        |  INSERT INTO yqls_loop SELECT CAST($k AS BIGINT) AS k;
+        |END DEFINE;
+        |EVALUATE FOR $i IN AsList(10, 20, 30) DO $put($i);
+        |SELECT CAST(SUM(k) AS BIGINT) AS total FROM yqls_loop""".stripMargin)
+    assert(df.as[Long].head() == 60L)
+    spark.sql("DROP TABLE IF EXISTS yqls_loop")
+  }
+
+  test("INTO RESULT is validated and dropped; INSERT INTO result is untouched") {
+    val l = YqlScript.lower("SELECT 1 AS a INTO RESULT my_result")
+    assert(l.selects == Seq("SELECT 1 AS a"))
+    assert(YqlScript.lower("INSERT INTO result SELECT 1 AS a")
+      .inserts == Seq("INSERT INTO result SELECT 1 AS a"))
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("SELECT 1 INTO RESULT 'not an ident'")
+    }
   }
 }
