@@ -59,8 +59,13 @@ object YqlScript {
 
   /** Lower a YQL script to Spark SQL statement texts (module-call
     * `::` spellings are left for [[YqlSql.rewrite]]). `params` binds
-    * DECLARE'd parameters by name to SQL literal/expression text. */
-  def lower(script: String, params: Map[String, String] = Map.empty): Lowered = {
+    * DECLARE'd parameters by name to SQL literal/expression text.
+    * `evalCond` evaluates an `EVALUATE IF` condition (SQL boolean
+    * expression text → value) — the reference folds these in its
+    * evaluation phase; [[YqlSql.sql]] passes a Catalyst-backed hook,
+    * and without one EVALUATE IF raises. */
+  def lower(script: String, params: Map[String, String] = Map.empty,
+      evalCond: Option[String => Boolean] = None): Lowered = {
     val sts = scala.collection.mutable.ArrayBuffer(
       splitStatements(script).map(_.trim).filter(_.nonEmpty): _*)
     val scalars = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -75,10 +80,16 @@ object YqlScript {
     while (idx < sts.length) {
       var st = sts(idx)
       // DO BEGIN / EVALUATE ... DO BEGIN inline bodies: internal ';'
-      // were statement splits — rejoin until the closing END DO
+      // were statement splits — rejoin until every BEGIN (including an
+      // ELSE branch's) has its closing END DO
       if (st.takeWhile(_.isLetter).toUpperCase.matches("DO|EVALUATE") &&
           findTopKw(st, "BEGIN") >= 0) {
-        while (findTopKw(st, "END DO") < 0) {
+        def countTopKw(s: String, kw: String): Int = {
+          var c = 0; var at = findTopKw(s, kw)
+          while (at >= 0) { c += 1; at = findTopKw(s, kw, at + kw.length) }
+          c
+        }
+        while (countTopKw(st, "BEGIN") > countTopKw(st, "END DO")) {
           idx += 1
           require(idx < sts.length, "BEGIN without END DO")
           st = st + "; " + sts(idx)
@@ -144,8 +155,15 @@ object YqlScript {
           expandDo(st.drop("DO".length).trim, actions))
       // EVALUATE FOR $x IN <list literal> DO ... [ELSE DO ...]
       // (evaluate_for_stmt): translation-time loop unrolling.
-      else if (firstWord == "EVALUATE")
-        sts.insertAll(idx + 1, evaluateFor(st, actions, scalars, lambdas))
+      // EVALUATE IF <cond> DO ... [ELSE DO ...] (evaluate_if_stmt):
+      // the condition folds through the evalCond hook.
+      else if (firstWord == "EVALUATE") {
+        if ("(?i)^EVALUATE\\s+IF\\b".r.findFirstIn(st).isDefined)
+          sts.insertAll(idx + 1,
+            evaluateIf(st, actions, scalars, lambdas, evalCond))
+        else
+          sts.insertAll(idx + 1, evaluateFor(st, actions, scalars, lambdas))
+      }
       else if (unsupported(firstWord)) throw new IllegalArgumentException(
         s"unsupported YQL statement: $firstWord")
       else bindingOf(st) match {
@@ -626,9 +644,7 @@ object YqlScript {
       lambdas: collection.Map[String, Lambda]): Seq[String] = {
     val m = "(?i)^EVALUATE\\s+FOR\\s+\\$([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s+".r
       .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
-        if ("(?i)^EVALUATE\\s+IF\\b".r.findFirstIn(st).isDefined)
-          "EVALUATE IF needs runtime condition evaluation; inline the branch"
-        else s"malformed EVALUATE FOR: ${st.take(60)}"))
+        s"malformed EVALUATE FOR: ${st.take(60)}"))
     val x = m.group(1)
     val doAt = findTopKw(st, "DO", m.end)
     require(doAt > 0, "EVALUATE FOR requires DO")
@@ -672,6 +688,35 @@ object YqlScript {
     else elems.flatMap { e =>
       expandDo(replaceNames(loopBody, Map(x -> s"($e)")), actions)
     }
+  }
+
+  /** `EVALUATE IF <cond> DO <do> [ELSE DO <do>]` (evaluate_if_stmt):
+    * the condition is a constant boolean expression folded through
+    * `evalCond` (the reference evaluates these in its evaluation
+    * phase before execution); the matching DO branch splices. */
+  private def evaluateIf(st: String,
+      actions: collection.Map[String, (Seq[String], String)],
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda],
+      evalCond: Option[String => Boolean]): Seq[String] = {
+    val m = "(?i)^EVALUATE\\s+IF\\s+".r.findFirstMatchIn(st).get
+    val doAt = findTopKw(st, "DO", m.end)
+    require(doAt > 0, "EVALUATE IF requires DO")
+    val cond = substitute(st.substring(m.end, doAt).trim, scalars, lambdas)
+    val hook = evalCond.getOrElse(throw new IllegalArgumentException(
+      "EVALUATE IF needs a condition evaluator; run through YqlSql.sql"))
+    val endDo = findTopKw(st, "END DO", doAt)
+    val elseAt = findTopKw(st, "ELSE", if (endDo >= 0) endDo else doAt)
+    val (thenBody, elseBody) =
+      if (elseAt < 0) (st.substring(doAt + 2).trim, None)
+      else {
+        val eb = st.substring(elseAt + "ELSE".length).trim
+        require(eb.toUpperCase.startsWith("DO"),
+          "EVALUATE IF ELSE requires a DO branch")
+        (st.substring(doAt + 2, elseAt).trim, Some(eb.substring(2).trim))
+      }
+    if (hook(cond)) expandDo(thenBody, actions)
+    else elseBody.toSeq.flatMap(b => expandDo(b, actions))
   }
 
   /** Strip a trailing top-level `INTO RESULT name` (select_kind

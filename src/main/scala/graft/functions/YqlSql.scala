@@ -88,7 +88,13 @@ object YqlSql {
   def sql(spark: SparkSession, query: String,
       params: Map[String, String] = Map.empty): DataFrame = {
     registerAll(spark)
-    val lowered = YqlScript.lower(query, params)
+    // EVALUATE IF conditions fold through Catalyst: a constant boolean
+    // expression evaluated once at lowering time (matching the
+    // reference's evaluation phase)
+    val lowered = YqlScript.lower(query, params, Some { cond =>
+      val r = spark.sql(s"SELECT CAST((${rewrite(cond)}) AS BOOLEAN) AS c").head
+      !r.isNullAt(0) && r.getBoolean(0)
+    })
     // DISCARD statements type-check (spark.sql analyzes eagerly) but
     // never execute or produce a result — the reference's validation
     // spelling

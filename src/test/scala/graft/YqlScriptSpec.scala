@@ -406,9 +406,28 @@ class YqlScriptSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // non-literal list
       YqlScript.lower("EVALUATE FOR $i IN someCol DO BEGIN SELECT 1; END DO")
     }
-    intercept[IllegalArgumentException] { // EVALUATE IF raises
+    intercept[IllegalArgumentException] { // EVALUATE IF needs the hook
       YqlScript.lower("EVALUATE IF 1 > 0 DO BEGIN SELECT 1; END DO")
     }
+  }
+
+  test("EVALUATE IF folds its condition through Catalyst and picks a branch") {
+    val df = YqlSql.sql(spark,
+      """$n = 7;
+        |EVALUATE IF $n > 5 DO BEGIN SELECT 'big' AS verdict; END DO
+        |ELSE DO BEGIN SELECT 'small' AS verdict; END DO""".stripMargin)
+    assert(df.as[String].head() == "big")
+    val df2 = YqlSql.sql(spark,
+      """$n = 3;
+        |EVALUATE IF $n > 5 DO BEGIN SELECT 'big' AS verdict; END DO
+        |ELSE DO BEGIN SELECT 'small' AS verdict; END DO""".stripMargin)
+    assert(df2.as[String].head() == "small")
+    // false with no ELSE expands to nothing; a NULL condition is false
+    val df3 = YqlSql.sql(spark,
+      """EVALUATE IF 1 > 2 DO BEGIN SELECT 'x' AS v; END DO;
+        |EVALUATE IF NULL DO BEGIN SELECT 'y' AS v; END DO;
+        |SELECT 'fallthrough' AS v""".stripMargin)
+    assert(df3.as[String].head() == "fallthrough")
   }
 
   test("EVALUATE FOR drives INSERT loops end-to-end") {
