@@ -48,6 +48,39 @@ object YqlScript {
   sealed trait Stmt { def sql: String }
   final case class SelectStmt(sql: String) extends Stmt
   final case class InsertStmt(sql: String) extends Stmt
+  /** Ready-to-run Spark DDL text (CREATE/DROP/ALTER TABLE lowered). */
+  final case class DdlStmt(sql: String) extends Stmt
+  /** `UPSERT INTO` / `REPLACE INTO` (SQLv1.g.in:579 into_table_stmt):
+    * a key-merge write onto a KEYED table — UPSERT keeps unlisted
+    * columns of existing rows, REPLACE nulls them (full-row image).
+    * `source` is the lowered SELECT/VALUES text; `columns` the
+    * explicit column list (empty = source column names apply). */
+  final case class UpsertStmt(target: String, columns: Seq[String],
+      source: String, replace: Boolean) extends Stmt {
+    def sql: String = (if (replace) "REPLACE INTO " else "UPSERT INTO ") +
+      target + (if (columns.isEmpty) "" else columns.mkString(" (", ", ", ")")) +
+      " " + source
+  }
+  /** `DELETE FROM t [WHERE p | ON <keys-select>]` (SQLv1.g.in:968
+    * delete_stmt): `where` and `keySource` are mutually exclusive;
+    * both empty = delete every row. */
+  final case class DeleteStmt(target: String, where: Option[String],
+      keySource: Option[String]) extends Stmt {
+    def sql: String = s"DELETE FROM $target" +
+      where.map(" WHERE " + _).getOrElse("") +
+      keySource.map(" ON " + _).getOrElse("")
+  }
+  /** `UPDATE t SET c = e, ... [WHERE p]` or `UPDATE t ON <select>`
+    * (SQLv1.g.in:969 update_stmt): a partial update of matching rows —
+    * key columns are immutable. */
+  final case class UpdateStmt(target: String, sets: Seq[(String, String)],
+      where: Option[String], keySource: Option[String]) extends Stmt {
+    def sql: String = s"UPDATE $target" +
+      (if (sets.isEmpty) "" else
+        sets.map { case (c, e) => s"$c = $e" }.mkString(" SET ", ", ", "")) +
+      where.map(" WHERE " + _).getOrElse("") +
+      keySource.map(" ON " + _).getOrElse("")
+  }
 
   /** `discards` are DISCARD statements: analyzed (type-checked) but
     * never a script result — the reference's validation spelling. */
@@ -125,13 +158,17 @@ object YqlScript {
         stmts += SelectStmt(lowerReduce(st, scalars, lambdas))
       else if (firstWord == "INSERT")
         stmts += InsertStmt(lowerInsert(st, scalars, lambdas))
-      // UPSERT/REPLACE key-merge onto sorted dynamic tables is the
-      // DynTable API's territory (insertRows/latest-wins); a silent
-      // INSERT lowering would change semantics, so these raise.
+      // key-merge DML (SQLv1.g.in:579,968-969) — parsed here, executed
+      // by YqlSql against the keyed target with DynTable semantics
       else if (firstWord == "UPSERT" || firstWord == "REPLACE")
-        throw new IllegalArgumentException(
-          s"$firstWord INTO (key-merge write) is not expressible as an " +
-          "INSERT; use the DynTable API for keyed upserts")
+        stmts += lowerUpsert(st, scalars, lambdas)
+      else if (firstWord == "DELETE")
+        stmts += lowerDelete(st, scalars, lambdas)
+      else if (firstWord == "UPDATE")
+        stmts += lowerUpdate(st, scalars, lambdas)
+      else if (firstWord == "CREATE" || firstWord == "DROP" ||
+          firstWord == "ALTER")
+        stmts += lowerDdl(st, scalars, lambdas)
       else if (firstWord == "DECLARE")
         lowerDeclare(st, params, scalars)
       else if (firstWord == "DEFINE") {
@@ -189,7 +226,7 @@ object YqlScript {
       idx += 1
     }
     if (stmts.isEmpty) throw new IllegalArgumentException(
-      "YQL script has no SELECT or INSERT statement")
+      "YQL script has no executable statement (SELECT/INSERT/DML/DDL)")
     Lowered(pragmas.toSeq, stmts.toSeq, discards.toSeq)
   }
 
@@ -436,8 +473,10 @@ object YqlScript {
   private def lowerInsert(st: String,
       scalars: collection.Map[String, String],
       lambdas: collection.Map[String, Lambda]): String = {
+    // `\s*` before the source: `INSERT INTO t(a, b) SELECT ...` — the
+    // column list glued to the table name — is standard spelling
     val m = ("(?i)^INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_.]*|`[^`]+`)" +
-      "(\\s+WITH\\s+TRUNCATE\\b)?\\s+([\\s\\S]+)$").r.findFirstMatchIn(st)
+      "(\\s+WITH\\s+TRUNCATE\\b)?\\s*([\\s\\S]+)$").r.findFirstMatchIn(st)
       .getOrElse(throw new IllegalArgumentException(
         s"malformed INSERT: ${st.take(60)}"))
     val target = m.group(1)
@@ -464,6 +503,188 @@ object YqlScript {
       else lowerSelect(substitute(src, scalars, lambdas))
     if (truncate) s"INSERT OVERWRITE TABLE $target$colList $lowered"
     else s"INSERT INTO $target$colList $lowered"
+  }
+
+  private val TargetRe = "[A-Za-z_][A-Za-z0-9_.]*|`[^`]+`"
+
+  /** `UPSERT INTO t [(cols)] <select|values>` / `REPLACE INTO ...`
+    * (SQLv1.g.in:579 into_table_stmt, UPSERT|REPLACE alternatives;
+    * semantics yt/docs sorted-dynamic-tables.md:171-177): the keyed
+    * write verbs. Lowered to an [[UpsertStmt]]; execution (the
+    * full-outer key merge onto the target, latest-wins) lives in
+    * [[YqlDml]] — the same semantics DynTable.insertRows gives the
+    * API surface. */
+  private def lowerUpsert(st: String,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): Stmt = {
+    val m = (s"(?i)^(UPSERT|REPLACE)\\s+INTO\\s+($TargetRe)\\s*([\\s\\S]+)$$").r
+      .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
+        s"malformed ${st.takeWhile(_.isLetter).toUpperCase}: ${st.take(60)}"))
+    val replace = m.group(1).equalsIgnoreCase("REPLACE")
+    val target = m.group(2)
+    var src = m.group(3).trim
+    var cols: Seq[String] = Nil
+    if (src.startsWith("(")) {
+      val close = matchParen(src, 0)
+      val inner = src.substring(1, close)
+      val rest = src.substring(close + 1).trim
+      val restKw = rest.takeWhile(_.isLetter).toUpperCase
+      if ((restKw == "SELECT" || restKw == "VALUES") &&
+          splitTopLevel(inner).forall(
+            _.trim.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"))) {
+        cols = splitTopLevel(inner).map(_.trim); src = rest
+      }
+    }
+    val kw = src.takeWhile(_.isLetter).toUpperCase
+    require(kw == "SELECT" || kw == "VALUES" || src.startsWith("("),
+      s"${m.group(1).toUpperCase} source must be a SELECT, VALUES, or " +
+      "parenthesized query")
+    val lowered =
+      if (kw == "VALUES") substitute(src, scalars, lambdas)
+      else lowerSelect(substitute(src, scalars, lambdas))
+    UpsertStmt(target, cols, lowered, replace)
+  }
+
+  /** Unwrap one level of full-statement parentheses (`ON (SELECT ...)`). */
+  private def unwrapGroup(s0: String): String = {
+    var s = s0.trim
+    while (s.startsWith("(") && matchParen(s, 0) == s.length - 1)
+      s = s.substring(1, s.length - 1).trim
+    s
+  }
+
+  /** `DELETE FROM t [WHERE p | ON <keys-select>]` (SQLv1.g.in:968
+    * delete_stmt): WHERE keeps the non-matching rows; ON is the
+    * by-key form (the source must project exactly the key columns).
+    * Execution in [[YqlDml.delete]] — DynTable.deleteRows semantics. */
+  private def lowerDelete(st: String,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): Stmt = {
+    val m = (s"(?i)^DELETE\\s+FROM\\s+($TargetRe)\\s*([\\s\\S]*)$$").r
+      .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
+        s"malformed DELETE: ${st.take(60)}"))
+    val target = m.group(1)
+    val rest = m.group(2).trim
+    if (rest.isEmpty) DeleteStmt(target, None, None)
+    else {
+      val kw = rest.takeWhile(_.isLetter).toUpperCase
+      if (kw == "WHERE")
+        DeleteStmt(target,
+          Some(substitute(rest.drop("WHERE".length).trim, scalars, lambdas)),
+          None)
+      else if (kw == "ON")
+        DeleteStmt(target, None, Some(lowerSelect(substitute(
+          unwrapGroup(rest.drop("ON".length)), scalars, lambdas))))
+      else throw new IllegalArgumentException(
+        s"DELETE expects WHERE or ON, got: ${rest.take(60)}")
+    }
+  }
+
+  /** `UPDATE t SET c = e, ... [WHERE p]` or `UPDATE t ON <select>`
+    * (SQLv1.g.in:969 update_stmt): partial update — SET assignments
+    * all evaluate against the OLD row (simultaneous assignment); the
+    * ON form updates the source's non-key columns for matching keys.
+    * Execution in [[YqlDml]] — the DynTable partial-update semantics. */
+  private def lowerUpdate(st: String,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): Stmt = {
+    val m = (s"(?i)^UPDATE\\s+($TargetRe)\\s+([\\s\\S]+)$$").r
+      .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
+        s"malformed UPDATE: ${st.take(60)}"))
+    val target = m.group(1)
+    val rest = m.group(2).trim
+    val kw = rest.takeWhile(_.isLetter).toUpperCase
+    if (kw == "ON")
+      UpdateStmt(target, Nil, None, Some(lowerSelect(substitute(
+        unwrapGroup(rest.drop("ON".length)), scalars, lambdas))))
+    else {
+      require(kw == "SET", s"UPDATE expects SET or ON, got: ${rest.take(60)}")
+      val whereAt = findTopKw(rest, "WHERE")
+      val setText = rest.substring("SET".length,
+        if (whereAt >= 0) whereAt else rest.length)
+      val sets = splitTopLevel(setText).map(_.trim).filter(_.nonEmpty).map { item =>
+        val mm = "^([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*=\\s*([\\s\\S]+)$".r
+          .findFirstMatchIn(item).getOrElse(
+            throw new IllegalArgumentException(
+              s"malformed SET assignment: ${item.take(60)}"))
+        require(!mm.group(2).startsWith("="),
+          s"malformed SET assignment: ${item.take(60)}")
+        (mm.group(1), substitute(mm.group(2).trim, scalars, lambdas))
+      }
+      require(sets.nonEmpty, "UPDATE SET list is empty")
+      val where =
+        if (whereAt < 0) None
+        else Some(substitute(rest.substring(whereAt + "WHERE".length).trim,
+          scalars, lambdas))
+      UpdateStmt(target, sets, where, None)
+    }
+  }
+
+  /** Script DDL (SQLv1.g.in:647 create_table_stmt, :833
+    * drop_table_stmt, :698 alter_table_stmt) lowered to Spark DDL
+    * over parquet: `CREATE TABLE t (a Int64, ..., PRIMARY KEY (k))`
+    * maps YQL types through [[declaredSparkType]] and records the key
+    * columns as the `graft.key_columns` table property — the keyed-
+    * table marker the DML verbs require; `CREATE TABLE ... AS
+    * <select>` runs the select through the full statement lowering;
+    * DROP and ALTER pass through shape-checked. */
+  private def lowerDdl(st: String,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): Stmt = {
+    val first = st.takeWhile(_.isLetter).toUpperCase
+    if (first == "DROP") {
+      require(st.matches(s"(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?($TargetRe)\\s*$$"),
+        s"malformed DROP TABLE: ${st.take(60)}")
+      DdlStmt(st)
+    } else if (first == "ALTER") {
+      // column add/drop/rename pass through to Spark's ALTER TABLE
+      require(st.matches(s"(?is)^ALTER\\s+TABLE\\s+($TargetRe)\\s+[\\s\\S]+$$"),
+        s"malformed ALTER TABLE: ${st.take(60)}")
+      DdlStmt(st)
+    } else {
+      val m = (s"(?i)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?($TargetRe)\\s*([\\s\\S]*)$$").r
+        .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
+          s"malformed CREATE TABLE: ${st.take(60)}"))
+      val ifNot = if (m.group(1) != null) "IF NOT EXISTS " else ""
+      val name = m.group(2)
+      val rest = m.group(3).trim
+      if (rest.startsWith("(")) {
+        val close = matchParen(rest, 0)
+        require(rest.substring(close + 1).trim.isEmpty,
+          s"trailing text after the CREATE TABLE column list: ${st.take(60)}")
+        var keys = Seq.empty[String]
+        val cols = splitTopLevel(rest.substring(1, close)).map(_.trim)
+          .filter(_.nonEmpty).flatMap { item =>
+            val pk = "(?i)^PRIMARY\\s+KEY\\s*\\(([^)]*)\\)$".r
+              .findFirstMatchIn(item)
+            if (pk.isDefined) {
+              require(keys.isEmpty, "multiple PRIMARY KEY clauses")
+              keys = pk.get.group(1).split(",").toSeq.map(_.trim)
+                .filter(_.nonEmpty)
+              require(keys.nonEmpty, "empty PRIMARY KEY column list")
+              None
+            } else {
+              val cm = "^([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s+([\\s\\S]+)$".r
+                .findFirstMatchIn(item).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"malformed column definition: ${item.take(60)}"))
+              Some(cm.group(1) + " " +
+                declaredSparkType(cm.group(2)).getOrElse(cm.group(2)))
+            }
+          }
+        require(cols.nonEmpty, "CREATE TABLE has no columns")
+        val props = if (keys.isEmpty) ""
+          else s" TBLPROPERTIES ('graft.key_columns'='${keys.mkString(",")}')"
+        DdlStmt(s"CREATE TABLE $ifNot$name (${cols.mkString(", ")}) " +
+          s"USING parquet$props")
+      } else if (rest.take(2).equalsIgnoreCase("AS") &&
+          (rest.length == 2 || !rest.charAt(2).isLetterOrDigit)) {
+        val sel = lowerSelect(substitute(unwrapGroup(rest.drop(2)),
+          scalars, lambdas))
+        DdlStmt(s"CREATE TABLE $ifNot$name USING parquet AS $sel")
+      } else throw new IllegalArgumentException(
+        s"malformed CREATE TABLE: ${st.take(60)}")
+    }
   }
 
   /** `DECLARE $p AS type_name [= default]` (SQLv1.g.in declare_stmt):
@@ -723,9 +944,10 @@ object YqlScript {
     * suffix), validating its shape. */
   private def stripIntoResult(st: String): String = {
     val at = findTopKw(st, "INTO RESULT")
-    // `INSERT INTO result ...` is a write to a table named "result",
-    // not the select_kind suffix
-    if (at < 0 || st.trim.toUpperCase.startsWith("INSERT")) st
+    // `INSERT/UPSERT/REPLACE INTO result ...` is a write to a table
+    // named "result", not the select_kind suffix
+    val first = st.trim.takeWhile(_.isLetter).toUpperCase
+    if (at < 0 || first == "INSERT" || first == "UPSERT" || first == "REPLACE") st
     else {
       val name = st.substring(at + "INTO RESULT".length).trim
       require(name.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"),
@@ -971,12 +1193,42 @@ object YqlScript {
   private[functions] def lowerSelect(sql: String): String =
     lowerFlatten(lowerWithout(sql))
 
-  /** `* WITHOUT a, b` → `* EXCEPT (a, b)`. */
+  /** Copy of `s` with the INSIDE of quoted spans overwritten by 
+    * so keyword/regex scans cannot match into string literals. Same
+    * length as `s`, so match positions map 1:1 onto the original —
+    * scan the mask, splice from the original. */
+  private def maskQuotes(s: String): String = {
+    val a = s.toCharArray
+    var i = 0; var quote: Char = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < a.length) {
+          a(i) = ''; i += 1; a(i) = ''
+        } else a(i) = ''
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** `* WITHOUT a, b` → `* EXCEPT (a, b)` (matched against the
+    * quote mask, so the words inside a string literal pass through). */
   def lowerWithout(sql: String): String = {
     val ident = "[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)?"
     val re = s"(?i)\\*\\s+WITHOUT\\s+(?:IF\\s+EXISTS\\s+)?($ident(?:\\s*,\\s*$ident)*)".r
-    re.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
-      "* EXCEPT (" + m.group(1) + ")"))
+    val masked = maskQuotes(sql)
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      out.append(sql.substring(last, m.start))
+        .append("* EXCEPT (").append(sql.substring(m.start(1), m.end(1)))
+        .append(")")
+      last = m.end
+    }
+    out.append(sql.substring(last))
+    out.toString
   }
 
   /** `src [AS a] FLATTEN [OPTIONAL|LIST|DICT] BY col [AS alias]` →
@@ -989,7 +1241,12 @@ object YqlScript {
     val ident = "[A-Za-z_][A-Za-z0-9_]*"
     val re = ("(?i)\\bFLATTEN\\s+(?:(OPTIONAL|LIST|DICT)\\s+)?BY\\s+" +
       s"(?:($ident)(\\s+AS\\s+($ident))?|\\(([^)]*)\\))").r
-    val m = re.findFirstMatchIn(sql).getOrElse(return sql)
+    // keyword search and the backward source scan both run over the
+    // quote mask, so 'FLATTEN BY x' inside a string literal (and
+    // quoted parens in the source) can't derail the rewrite; the
+    // matched spans are spliced from the original text
+    val masked = maskQuotes(sql)
+    val m = re.findFirstMatchIn(masked).getOrElse(return sql)
     val mode = Option(m.group(1)).map(_.toUpperCase).getOrElse("LIST")
     // one (col, alias) per flattened column: single-ident form or the
     // parenthesized list
@@ -1007,32 +1264,32 @@ object YqlScript {
     // backward scan over `src [AS a]` — src is an identifier chain or
     // a parenthesized derived table
     var e = m.start - 1
-    while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+    while (e >= 0 && masked.charAt(e).isWhitespace) e -= 1
     def wordEndingAt(p: Int): (String, Int) = {
       var s0 = p
-      while (s0 >= 0 && (sql.charAt(s0).isLetterOrDigit ||
-        sql.charAt(s0) == '_' || sql.charAt(s0) == '.')) s0 -= 1
+      while (s0 >= 0 && (masked.charAt(s0).isLetterOrDigit ||
+        masked.charAt(s0) == '_' || masked.charAt(s0) == '.')) s0 -= 1
       (sql.substring(s0 + 1, p + 1), s0)
     }
     var srcAlias: Option[String] = None
     var srcEnd = e
-    if (sql.charAt(e) != ')') {
+    if (masked.charAt(e) != ')') {
       val (w, before) = wordEndingAt(e)
       var b = before
-      while (b >= 0 && sql.charAt(b).isWhitespace) b -= 1
-      if (b >= 1 && sql.substring(b - 1, b + 1).equalsIgnoreCase("AS") &&
-          (b < 2 || !(sql.charAt(b - 2).isLetterOrDigit || sql.charAt(b - 2) == '_'))) {
+      while (b >= 0 && masked.charAt(b).isWhitespace) b -= 1
+      if (b >= 1 && masked.substring(b - 1, b + 1).equalsIgnoreCase("AS") &&
+          (b < 2 || !(masked.charAt(b - 2).isLetterOrDigit || masked.charAt(b - 2) == '_'))) {
         srcAlias = Some(w)
         srcEnd = b - 2
-        while (srcEnd >= 0 && sql.charAt(srcEnd).isWhitespace) srcEnd -= 1
+        while (srcEnd >= 0 && masked.charAt(srcEnd).isWhitespace) srcEnd -= 1
       }
     }
     val srcStart =
-      if (sql.charAt(srcEnd) == ')') {
+      if (masked.charAt(srcEnd) == ')') {
         // match backward to the opening paren of the derived table
         var d = 0; var p = srcEnd; var found = -1
         while (p >= 0 && found < 0) {
-          sql.charAt(p) match {
+          masked.charAt(p) match {
             case ')' => d += 1
             case '(' => d -= 1; if (d == 0) found = p
             case _ =>

@@ -99,14 +99,29 @@ object YqlSql {
     // never execute or produce a result — the reference's validation
     // spelling
     lowered.discards.foreach(s => spark.sql(rewrite(s)))
-    // SOURCE order: an INSERT must complete before a later SELECT that
-    // reads its target (spark.sql executes INSERT eagerly). The script
-    // evaluates to its last SELECT; an all-INSERT script returns an
-    // empty frame (the write IS the result).
+    // SOURCE order: a write (INSERT/DML/DDL) must complete before a
+    // later SELECT that reads its target (spark.sql executes these
+    // eagerly). The script evaluates to its last SELECT; an all-write
+    // script returns an empty frame (the write IS the result).
     var last: Option[DataFrame] = None
     lowered.stmts.foreach {
       case YqlScript.SelectStmt(s) => last = Some(spark.sql(rewrite(s)))
       case YqlScript.InsertStmt(s) => spark.sql(rewrite(s))
+      case YqlScript.DdlStmt(s) => spark.sql(rewrite(s))
+      case YqlScript.UpsertStmt(tgt, cols, src, repl) =>
+        YqlDml.upsert(spark, tgt, spark.sql(rewrite(src)), cols, repl)
+      case YqlScript.DeleteStmt(tgt, where, keySrc) =>
+        YqlDml.delete(spark, tgt,
+          where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))),
+          keySrc.map(k => spark.sql(rewrite(k))))
+      case YqlScript.UpdateStmt(tgt, sets, where, keySrc) =>
+        keySrc match {
+          case Some(k) => YqlDml.updateOn(spark, tgt, spark.sql(rewrite(k)))
+          case None => YqlDml.update(spark, tgt,
+            sets.map { case (c, e) =>
+              c -> org.apache.spark.sql.functions.expr(rewrite(e)) },
+            where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))))
+        }
     }
     last.getOrElse(spark.emptyDataFrame)
   }

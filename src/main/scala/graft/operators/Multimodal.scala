@@ -198,6 +198,9 @@ object Multimodal {
         while (i + 8 <= end) {
           val id = fourcc(i)
           val sz = le32(b, i + 4).toInt
+          // corrupt/adversarial sizes (negative after .toInt, or past the
+          // container) would stall or reverse the walk — stop instead
+          if (sz < 0 || sz > end - (i + 8)) return
           if (id == "LIST") {
             walk(i + 12, i + 8 + sz) // skip the list-type fourcc
           } else if (id == "avih" && sz >= 40) {
@@ -398,7 +401,8 @@ object Multimodal {
         while (res == null && i + 8 <= len) {
           val id = new String(b, i, 4, "US-ASCII")
           val sz = le32(b, i + 4).toInt
-          if (id == "LIST") i += 12
+          if (sz < 0 || sz > len - (i + 8)) i = b.length // corrupt size: stop
+          else if (id == "LIST") i += 12
           else if (id == "avih" && sz >= 40) {
             val mus = le32(b, i + 8)
             val nf = le32(b, i + 24)
@@ -418,6 +422,7 @@ object Multimodal {
           val sz = le32(b, i + 4)
           if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
             dataLen = sz
+          else if (sz > len - (i + 8)) i = b.length // corrupt size: stop
           else i += 8 + sz.toInt + (sz.toInt & 1)
         }
         if (dataLen >= 0 && byteRate > 0)

@@ -515,10 +515,36 @@ object SelectRows {
       .replaceAllIn(q, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     // 9. QL spellings that collide with Spark builtins of different
     //    semantics route to the prefixed registry entries (the parser
-    //    path does this in QLEmitter)
-    q = "(?i)\\b(if|greatest|transform|cardinality)\\s*\\(".r
-      .replaceAllIn(q, m => "ql__" + m.group(1).toLowerCase + "(")
+    //    path does this in QLEmitter); applied only OUTSIDE string
+    //    literals so a constant like 'if(x)' is left untouched
+    q = mapOutsideQuotes(q,
+      seg => "(?i)\\b(if|greatest|transform|cardinality)\\s*\\(".r
+        .replaceAllIn(seg, m => "ql__" + m.group(1).toLowerCase + "("))
     q.replaceAll("\\s+", " ").trim
+  }
+
+  /** Apply `f` to each maximal segment of `q` outside single/double
+    * quoted spans; the quoted spans pass through verbatim. */
+  private def mapOutsideQuotes(q: String, f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0; var segStart = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"') {
+        out.append(f(q.substring(segStart, i)))
+        var j = i + 1
+        while (j < n && q.charAt(j) != c) {
+          if (q.charAt(j) == '\\' && j + 1 < n) j += 1
+          j += 1
+        }
+        val end = math.min(j + 1, n)
+        out.append(q.substring(i, end))
+        i = end; segStart = end
+      } else i += 1
+    }
+    out.append(f(q.substring(segStart, n)))
+    out.toString
   }
 
   /** Unsigned-literal lowering. An operand adjacent to a `Nu` literal

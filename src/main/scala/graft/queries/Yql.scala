@@ -442,6 +442,39 @@ object Yql {
     }),
 
     // Bare YQL builtin spellings in a SQL string (ListMap lambda form,
+    // Script DML + DDL in one YQL string (SQLv1.g.in:579 into_table_stmt
+    // UPSERT|REPLACE, :968-969 delete/update_stmt, :647 create_table_stmt):
+    // CREATE a KEYED table (PRIMARY KEY → the graft.key_columns marker),
+    // seed it with INSERT, UPSERT an overlapping aggregate (listed columns
+    // update, unlisted KEEP, new keys appear), REPLACE a key range
+    // (unlisted columns null — full-row image), DELETE by predicate,
+    // UPDATE a partial column set, then SELECT the final image. Each verb
+    // is one distributed key-partitioned merge pass (YqlDml) staged and
+    // swapped — DynTable's latest-wins semantics, no driver loops.
+    "yql_sql_upsert" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlDml.dropTableDeep(s, "dml_accounts")
+      graft.functions.YqlSql.sql(s,
+        """$seed = (SELECT o_custkey AS acct,
+          |  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS bal,
+          |  CAST(COUNT(o_orderkey) AS BIGINT) AS n
+          |  FROM orders WHERE o_custkey < 400 GROUP BY o_custkey);
+          |CREATE TABLE dml_accounts (acct Int64, bal Int64, n Int64,
+          |  PRIMARY KEY (acct));
+          |INSERT INTO dml_accounts SELECT acct, bal, n FROM $seed;
+          |UPSERT INTO dml_accounts (acct, bal)
+          |  SELECT o_custkey AS acct,
+          |         CAST(COUNT(o_orderkey) * 1000 AS BIGINT) AS bal
+          |  FROM orders WHERE o_custkey >= 300 AND o_custkey < 500
+          |  GROUP BY o_custkey;
+          |REPLACE INTO dml_accounts (acct, n)
+          |  SELECT acct, CAST(-1 AS BIGINT) AS n FROM $seed WHERE acct < 50;
+          |DELETE FROM dml_accounts WHERE acct % 10 = 7;
+          |UPDATE dml_accounts SET bal = bal + 500, n = n * 2
+          |  WHERE acct % 2 = 0;
+          |SELECT acct, bal, n FROM dml_accounts""".stripMargin)
+    }),
+
     // AGGREGATE_LIST, ListSort/ListMax/ListLength) — registered as
     // native aliases, so Catalyst resolves them like the builtins they
     // denote, higher-order lambdas included.
@@ -967,6 +1000,30 @@ object Yql {
                WHERE doc_id < 400)
          GROUP BY source, lang
          HAVING COUNT(doc_id) >= 2""",
+    "yql_sql_upsert" ->
+      """WITH seed AS (SELECT o_custkey AS acct,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS bal,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS n
+           FROM orders WHERE o_custkey < 400 GROUP BY o_custkey),
+         ups AS (SELECT o_custkey AS acct,
+             CAST(COUNT(o_orderkey) * 1000 AS BIGINT) AS bal
+           FROM orders WHERE o_custkey >= 300 AND o_custkey < 500
+           GROUP BY o_custkey),
+         m1 AS (SELECT coalesce(s.acct, u.acct) AS acct,
+             CASE WHEN u.acct IS NOT NULL THEN u.bal ELSE s.bal END AS bal,
+             s.n AS n
+           FROM seed s FULL OUTER JOIN ups u ON s.acct = u.acct),
+         rep AS (SELECT acct, CAST(-1 AS BIGINT) AS n
+           FROM seed WHERE acct < 50),
+         m2 AS (SELECT coalesce(m.acct, r.acct) AS acct,
+             CASE WHEN r.acct IS NOT NULL THEN NULL ELSE m.bal END AS bal,
+             CASE WHEN r.acct IS NOT NULL THEN r.n ELSE m.n END AS n
+           FROM m1 m FULL OUTER JOIN rep r ON m.acct = r.acct),
+         m3 AS (SELECT acct, bal, n FROM m2 WHERE acct % 10 <> 7)
+         SELECT acct,
+           CAST(CASE WHEN acct % 2 = 0 THEN bal + 500 ELSE bal END AS BIGINT) AS bal,
+           CAST(CASE WHEN acct % 2 = 0 THEN n * 2 ELSE n END AS BIGINT) AS n
+         FROM m3""",
     "yql_sql_builtin_alias" ->
       """SELECT source,
            array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,

@@ -345,16 +345,18 @@ class YqlScriptSpec extends SparkSpec {
     YqlSql.sql(spark, "INSERT INTO yqls_sink (v, id) VALUES ('q', 7);")
     assert(spark.table("yqls_sink").filter("id = 7").select("v")
       .as[String].head() == "q")
-    // UPSERT/REPLACE key-merges are the DynTable API's territory
-    intercept[IllegalArgumentException] {
-      YqlScript.lower("UPSERT INTO t SELECT 1 AS k")
-    }
-    intercept[IllegalArgumentException] {
-      YqlScript.lower("REPLACE INTO t SELECT 1 AS k")
-    }
+    // UPSERT/REPLACE lower to key-merge statements (executed by YqlDml)
+    assert(YqlScript.lower("UPSERT INTO t SELECT 1 AS k").stmts ==
+      Seq(YqlScript.UpsertStmt("t", Nil, "SELECT 1 AS k", replace = false)))
+    assert(YqlScript.lower("REPLACE INTO t (k, v) SELECT 1, 2").stmts ==
+      Seq(YqlScript.UpsertStmt("t", Seq("k", "v"), "SELECT 1, 2",
+        replace = true)))
     intercept[IllegalArgumentException] { // malformed source
       YqlScript.lower("INSERT INTO t SET x = 1")
     }
+    // the glued column-list spelling is standard SQL
+    assert(YqlScript.lower("INSERT INTO t(a, b) VALUES (1, 2)").inserts ==
+      Seq("INSERT INTO t (a, b) VALUES (1, 2)"))
     spark.sql("DROP TABLE IF EXISTS yqls_sink")
   }
 
