@@ -1080,7 +1080,7 @@ object YqlScript {
   }
 
   /** index of the ')' matching the '(' at `open` (quote-aware). */
-  private def matchParen(s: String, open: Int): Int = {
+  private[functions] def matchParen(s: String, open: Int): Int = {
     var i = open; var depth = 0; var quote: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -1098,7 +1098,7 @@ object YqlScript {
     throw new IllegalArgumentException(s"unbalanced parentheses in: ${s.take(80)}")
   }
 
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[functions] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var d = 0; var start = 0; var i = 0; var quote: Char = 0
     while (i < s.length) {
@@ -1197,7 +1197,7 @@ object YqlScript {
     * so keyword/regex scans cannot match into string literals. Same
     * length as `s`, so match positions map 1:1 onto the original —
     * scan the mask, splice from the original. */
-  private def maskQuotes(s: String): String = {
+  private[functions] def maskQuotes(s: String): String = {
     val a = s.toCharArray
     var i = 0; var quote: Char = 0
     while (i < a.length) {

@@ -88,6 +88,9 @@ object YqlSql {
   def sql(spark: SparkSession, query: String,
       params: Map[String, String] = Map.empty): DataFrame = {
     registerAll(spark)
+    // module-call spellings + FROM-position table-path functions
+    // (RANGE/EACH/CONCAT/FOLDER/LIKE/REGEXP — YqlTablePaths)
+    def full(s: String): String = YqlTablePaths.rewrite(rewrite(s))
     // EVALUATE IF conditions fold through Catalyst: a constant boolean
     // expression evaluated once at lowering time (matching the
     // reference's evaluation phase)
@@ -98,25 +101,25 @@ object YqlSql {
     // DISCARD statements type-check (spark.sql analyzes eagerly) but
     // never execute or produce a result — the reference's validation
     // spelling
-    lowered.discards.foreach(s => spark.sql(rewrite(s)))
+    lowered.discards.foreach(s => spark.sql(full(s)))
     // SOURCE order: a write (INSERT/DML/DDL) must complete before a
     // later SELECT that reads its target (spark.sql executes these
     // eagerly). The script evaluates to its last SELECT; an all-write
     // script returns an empty frame (the write IS the result).
     var last: Option[DataFrame] = None
     lowered.stmts.foreach {
-      case YqlScript.SelectStmt(s) => last = Some(spark.sql(rewrite(s)))
-      case YqlScript.InsertStmt(s) => spark.sql(rewrite(s))
-      case YqlScript.DdlStmt(s) => spark.sql(rewrite(s))
+      case YqlScript.SelectStmt(s) => last = Some(spark.sql(full(s)))
+      case YqlScript.InsertStmt(s) => spark.sql(full(s))
+      case YqlScript.DdlStmt(s) => spark.sql(full(s))
       case YqlScript.UpsertStmt(tgt, cols, src, repl) =>
-        YqlDml.upsert(spark, tgt, spark.sql(rewrite(src)), cols, repl)
+        YqlDml.upsert(spark, tgt, spark.sql(full(src)), cols, repl)
       case YqlScript.DeleteStmt(tgt, where, keySrc) =>
         YqlDml.delete(spark, tgt,
           where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))),
-          keySrc.map(k => spark.sql(rewrite(k))))
+          keySrc.map(k => spark.sql(full(k))))
       case YqlScript.UpdateStmt(tgt, sets, where, keySrc) =>
         keySrc match {
-          case Some(k) => YqlDml.updateOn(spark, tgt, spark.sql(rewrite(k)))
+          case Some(k) => YqlDml.updateOn(spark, tgt, spark.sql(full(k)))
           case None => YqlDml.update(spark, tgt,
             sets.map { case (c, e) =>
               c -> org.apache.spark.sql.functions.expr(rewrite(e)) },

@@ -1,0 +1,207 @@
+package graft.functions
+
+/** Table-path functions in FROM — the multi-table read idiom of the
+  * YQL string surface (SQLv1.g.in:952 table_ref's function-call form;
+  * discovery yt/yql/providers/yt/provider/yql_yt_key.cpp:20,147
+  * MrFolderName / MrTableRange[Strict]Name and
+  * yql_yt_io_discovery.cpp:99-200):
+  *
+  *   - `RANGE(dir[, from[, to]])` — every member table of `dir` whose
+  *     NAME falls in the inclusive lexicographic range (the standard
+  *     "read a month of daily logs" spelling);
+  *   - `CONCAT(p1, p2, ...)` — the named tables, unioned;
+  *   - `EACH($list)` — like CONCAT over a LITERAL list of paths
+  *     (`AsList(...)` / `[...]`);
+  *   - `LIKE(dir, pattern)` / `REGEXP(dir, pattern)` — members whose
+  *     name matches the SQL-LIKE pattern / the (unanchored) regexp;
+  *   - `FOLDER(dir)` — the directory LISTING itself as a relation
+  *     (Path, Type), the discovery primitive.
+  *
+  * The "cypress directory" is a filesystem directory of parquet
+  * tables: a member is either `<name>.parquet` or a parquet directory
+  * `<name>`. Discovery happens at REWRITE time (the reference resolves
+  * ranges in its compile-time IO-discovery phase the same way), and
+  * the lowered text reads the selected members only:
+  *
+  *   - one member → a single `parquet.`path`` scan;
+  *   - several members of one directory with glob-safe names → ONE
+  *     scan over a `{n1,n2,...}` path glob: a single FileSourceScan
+  *     over exactly the selected files, so filter pushdown, column
+  *     pruning and partition coalescing behave as if it were one
+  *     table — at a 1000-table month this is one scan node, not a
+  *     1000-way union;
+  *   - otherwise a `UNION ALL` of per-member scans.
+  *
+  * Members OUTSIDE the range never appear in the plan at all — the
+  * pruning is structural, not a runtime filter (PlanSpec asserts via
+  * `df.inputFiles`). An empty selection lowers to a `LIMIT 0` scan of
+  * any member (the schema source), matching the reference's empty
+  * range = empty table.
+  */
+object YqlTablePaths {
+
+  private val Fns = Set("RANGE", "EACH", "CONCAT", "FOLDER", "LIKE", "REGEXP")
+
+  /** Rewrite every FROM/JOIN-position table-path call in `sql`;
+    * scalar uses of the same names (string CONCAT, the LIKE operator)
+    * are untouched because only `FROM <fn>(` / `JOIN <fn>(` spans
+    * match. Quote-masked scanning; fixpoint over multiple calls. */
+  def rewrite(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val re = "(?i)\\b(FROM|JOIN)\\s+(RANGE|EACH|CONCAT|FOLDER|LIKE|REGEXP)\\s*\\(".r
+    val m = re.findFirstMatchIn(masked).getOrElse(return sql)
+    val fn = m.group(2).toUpperCase
+    val open = m.end - 1
+    val close = YqlScript.matchParen(sql, open)
+    val args = YqlScript.splitTopLevel(sql.substring(open + 1, close))
+      .map(_.trim).filter(_.nonEmpty)
+    val replacement = lower(fn, args)
+    val out = sql.substring(0, m.start) + m.group(1) + " " + replacement +
+      sql.substring(close + 1)
+    rewrite(out)
+  }
+
+  // ——— lowering per function ———
+
+  private def lower(fn: String, args: Seq[String]): String = fn match {
+    case "RANGE" =>
+      require(args.nonEmpty && args.length <= 3,
+        s"RANGE takes (dir[, from[, to]]), got ${args.length} args")
+      val dir = strArg(args(0), "RANGE")
+      val from = args.lift(1).map(strArg(_, "RANGE"))
+      val to = args.lift(2).map(strArg(_, "RANGE"))
+      val ms = members(dir)
+      val sel = ms.filter { case (n, _) =>
+        from.forall(n >= _) && to.forall(n <= _)
+      }
+      union(dir, sel, ms)
+    case "CONCAT" =>
+      require(args.nonEmpty, "CONCAT needs at least one table path")
+      val paths = args.map(a => resolve(strArg(a, "CONCAT")))
+      unionPaths(paths)
+    case "EACH" =>
+      require(args.length == 1, "EACH takes one list argument")
+      val elems = listArg(args.head)
+      require(elems.nonEmpty, "EACH list is empty")
+      unionPaths(elems.map(resolve))
+    case "LIKE" =>
+      require(args.length == 2, "LIKE takes (dir, pattern)")
+      val dir = strArg(args(0), "LIKE")
+      val pat = likeToRegex(strArg(args(1), "LIKE"))
+      val ms = members(dir)
+      union(dir, ms.filter { case (n, _) => pat.matcher(n).matches() }, ms)
+    case "REGEXP" =>
+      require(args.length == 2, "REGEXP takes (dir, pattern)")
+      val dir = strArg(args(0), "REGEXP")
+      val pat = java.util.regex.Pattern.compile(strArg(args(1), "REGEXP"))
+      val ms = members(dir)
+      // unanchored, like the reference's partial-match semantics
+      union(dir, ms.filter { case (n, _) => pat.matcher(n).find() }, ms)
+    case "FOLDER" =>
+      require(args.nonEmpty && args.length <= 2,
+        "FOLDER takes (dir[, attrs])")
+      val dir = strArg(args(0), "FOLDER")
+      val ms = members(dir)
+      if (ms.isEmpty)
+        "(SELECT CAST(NULL AS STRING) AS Path, CAST(NULL AS STRING) AS Type " +
+          "WHERE 1 = 0)"
+      else
+        "(SELECT * FROM VALUES " + ms.map { case (n, _) =>
+          s"('${dir.stripSuffix("/")}/$n', 'table')"
+        }.mkString(", ") + " AS __gfolder(Path, Type))"
+    case other => throw new IllegalStateException(other)
+  }
+
+  // ——— argument parsing ———
+
+  /** A constant path argument: quoted string or backticked identifier
+    * (substituted `$bindings` arrive as one parenthesized group). */
+  private def strArg(a0: String, fn: String): String = {
+    var a = a0.trim
+    while (a.startsWith("(") && YqlScript.matchParen(a, 0) == a.length - 1)
+      a = a.substring(1, a.length - 1).trim
+    if ((a.startsWith("'") && a.endsWith("'") && a.length >= 2) ||
+        (a.startsWith("\"") && a.endsWith("\"") && a.length >= 2) ||
+        (a.startsWith("`") && a.endsWith("`") && a.length >= 2))
+      a.substring(1, a.length - 1)
+    else throw new IllegalArgumentException(
+      s"$fn expects constant path strings, got: ${a0.take(60)}")
+  }
+
+  /** A literal list: `AsList('a', 'b')` or `['a', 'b']`. */
+  private def listArg(a0: String): Seq[String] = {
+    var a = a0.trim
+    while (a.startsWith("(") && YqlScript.matchParen(a, 0) == a.length - 1)
+      a = a.substring(1, a.length - 1).trim
+    val inner =
+      if (a.startsWith("[") && a.endsWith("]")) a.substring(1, a.length - 1)
+      else {
+        val m = "(?i)^AsList\\s*\\(".r.findFirstMatchIn(a).getOrElse(
+          throw new IllegalArgumentException(
+            "EACH expects a literal list (AsList(...) or [...]); " +
+            s"got: ${a0.take(60)}"))
+        val close = YqlScript.matchParen(a, m.end - 1)
+        require(a.substring(close + 1).trim.isEmpty,
+          s"trailing text after the EACH list: ${a0.take(60)}")
+        a.substring(m.end, close)
+      }
+    YqlScript.splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
+      .map(strArg(_, "EACH"))
+  }
+
+  private def likeToRegex(pat: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    pat.foreach {
+      case '%' => sb.append(".*")
+      case '_' => sb.append('.')
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    java.util.regex.Pattern.compile(sb.toString)
+  }
+
+  // ——— directory listing & scan text ———
+
+  /** Member tables of a directory: (name, absolute path), name-sorted.
+    * A member is `<name>.parquet` or a directory `<name>`. */
+  private def members(dir: String): Seq[(String, String)] = {
+    val d = new java.io.File(dir)
+    require(d.isDirectory, s"not a table directory: $dir")
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .filter(f => f.isDirectory || f.getName.endsWith(".parquet"))
+      .map(f => (f.getName.stripSuffix(".parquet"), f.getAbsolutePath))
+      .sortBy(_._1)
+  }
+
+  /** A named path: used verbatim if it exists, else with `.parquet`. */
+  private def resolve(p: String): String = {
+    if (new java.io.File(p).exists) p
+    else if (new java.io.File(p + ".parquet").exists) p + ".parquet"
+    else throw new IllegalArgumentException(s"no such table: $p")
+  }
+
+  private def scan(path: String): String = s"SELECT * FROM parquet.`$path`"
+
+  private val GlobMeta = "{}[],*?\\".toSet
+
+  /** Union of selected members; one glob scan when they share `dir`
+    * and the basenames are glob-safe. `all` supplies the schema
+    * source for an empty selection. */
+  private def union(dir: String, sel: Seq[(String, String)],
+      all: Seq[(String, String)]): String =
+    if (sel.isEmpty) {
+      require(all.nonEmpty, s"empty table directory: $dir")
+      s"(${scan(all.head._2)} LIMIT 0)"
+    } else if (sel.length == 1) s"(${scan(sel.head._2)})"
+    else {
+      val bases = sel.map(p => new java.io.File(p._2).getName)
+      if (bases.forall(b => !b.exists(GlobMeta))) {
+        val glob = s"${dir.stripSuffix("/")}/{${bases.mkString(",")}}"
+        s"(${scan(glob)})"
+      } else unionPaths(sel.map(_._2))
+    }
+
+  private def unionPaths(paths: Seq[String]): String =
+    if (paths.length == 1) s"(${scan(paths.head)})"
+    else "(" + paths.map(scan).mkString(" UNION ALL ") + ")"
+}

@@ -18,6 +18,30 @@ object Yql {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The table-path-function fixture: a "cypress directory" of
+    * per-month order tables (1996-01..1996-04), one parquet directory
+    * per month, derived from the sf dir's `orders` — written once per
+    * sf dir and reused (members are tiny; the INTERESTING part, the
+    * multi-table read, is what the queries exercise). */
+  private[graft] def tablePathDir(d: String): String =
+    s"/tmp/graft_paths/${new java.io.File(d).getName}/orders_by_month"
+
+  private[graft] val tablePathMonths = Seq("1996-01", "1996-02", "1996-03", "1996-04")
+
+  private[graft] def tablePathFixture(s: SparkSession, d: String): Unit =
+    this.synchronized {
+      val base = tablePathDir(d)
+      val done = new java.io.File(base, "_FIXTURE_OK")
+      if (done.exists) return
+      val o = t(s, d, "orders")
+      tablePathMonths.foreach { m =>
+        o.filter(date_format(col("o_orderdate"), "yyyy-MM") === m)
+          .write.mode("overwrite").parquet(s"$base/$m")
+      }
+      done.createNewFile()
+      ()
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ranking window family. Order keys end in the unique o_orderkey so
     // every rank is total (ties would be engine-dependent).
@@ -442,6 +466,38 @@ object Yql {
     }),
 
     // Bare YQL builtin spellings in a SQL string (ListMap lambda form,
+    // Table-path functions in FROM (SQLv1.g.in:952 table_ref
+    // function-call form; yql_yt_key.cpp MrTableRange, io_discovery):
+    // a directory of per-month order tables read through RANGE with
+    // lexicographic name bounds. Discovery happens at rewrite time;
+    // the lowered plan is ONE parquet scan over a {m1,m2} path glob —
+    // out-of-range members are structurally absent (TablePathsSpec
+    // asserts via inputFiles), so at a 1000-table month this stays a
+    // single scan node with pushdown intact, not a 1000-way union.
+    "yql_table_range" -> ((s, d) => {
+      tablePathFixture(s, d)
+      graft.functions.YqlSql.sql(s,
+        s"""$$lo = '1996-02';
+           |SELECT CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total,
+           |  min(o_orderdate) AS lo_date, max(o_orderdate) AS hi_date
+           |FROM RANGE('${tablePathDir(d)}', $$lo, '1996-03')""".stripMargin)
+    }),
+
+    // CONCAT (explicit member union) + EACH (literal path list): two
+    // disjoint months each way, same aggregate — the two spellings
+    // must agree with each other and the oracle.
+    "yql_table_concat" -> ((s, d) => {
+      tablePathFixture(s, d)
+      graft.functions.YqlSql.sql(s,
+        s"""$$months = AsList('${tablePathDir(d)}/1996-01', '${tablePathDir(d)}/1996-04');
+           |SELECT
+           |  (SELECT CAST(COUNT(o_orderkey) AS BIGINT)
+           |   FROM CONCAT('${tablePathDir(d)}/1996-01', '${tablePathDir(d)}/1996-04')) AS n_concat,
+           |  (SELECT CAST(COUNT(o_orderkey) AS BIGINT)
+           |   FROM EACH($$months)) AS n_each""".stripMargin)
+    }),
+
     // Script DML + DDL in one YQL string (SQLv1.g.in:579 into_table_stmt
     // UPSERT|REPLACE, :968-969 delete/update_stmt, :647 create_table_stmt):
     // CREATE a KEYED table (PRIMARY KEY → the graft.key_columns marker),
@@ -1000,6 +1056,18 @@ object Yql {
                WHERE doc_id < 400)
          GROUP BY source, lang
          HAVING COUNT(doc_id) >= 2""",
+    "yql_table_range" ->
+      """SELECT CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total,
+           min(o_orderdate) AS lo_date, max(o_orderdate) AS hi_date
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-02' AND '1996-03'""",
+    "yql_table_concat" ->
+      """SELECT
+           (SELECT CAST(COUNT(o_orderkey) AS BIGINT) FROM orders
+            WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_concat,
+           (SELECT CAST(COUNT(o_orderkey) AS BIGINT) FROM orders
+            WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_each""",
     "yql_sql_upsert" ->
       """WITH seed AS (SELECT o_custkey AS acct,
              CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS bal,

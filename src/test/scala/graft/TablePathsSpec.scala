@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{YqlSql, YqlTablePaths}
+
+/** Table-path functions in FROM (SQLv1.g.in:952; yql_yt_key.cpp
+  * MrTableRange/MrFolder discovery): RANGE/EACH/CONCAT/FOLDER/LIKE/
+  * REGEXP over a directory of parquet tables, with STRUCTURAL pruning
+  * — out-of-range members never enter the plan. */
+class TablePathsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_tp").toFile
+    Seq("2024-01-01" -> 1, "2024-01-02" -> 2, "2024-01-03" -> 3,
+      "2024-02-01" -> 4).foreach { case (name, base) =>
+      Seq((base.toLong, s"d$base")).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/$name")
+    }
+    d.getAbsolutePath
+  }
+
+  test("RANGE unions name-bounded members; out-of-range never scanned") {
+    val df = YqlSql.sql(spark,
+      s"SELECT k, v FROM RANGE('$dir', '2024-01-02', '2024-02-01') ORDER BY k")
+    assert(df.as[(Long, String)].collect().toSeq ==
+      Seq((2L, "d2"), (3L, "d3"), (4L, "d4")))
+    // structural pruning: the 2024-01-01 member is absent from the scan
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(!files.exists(_.contains("2024-01-01")),
+      s"out-of-range member scanned: $files")
+    // and it is ONE scan (a path glob), not an N-way union
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    assert(scans.length == 1, s"expected one scan node, got ${scans.length}")
+  }
+
+  test("RANGE with one bound / no bounds; empty range is an empty table") {
+    assert(YqlSql.sql(spark, s"SELECT k FROM RANGE('$dir', '2024-02-01')")
+      .as[Long].collect().toSeq == Seq(4L))
+    assert(YqlSql.sql(spark, s"SELECT k FROM RANGE('$dir')")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    val empty = YqlSql.sql(spark, s"SELECT k FROM RANGE('$dir', '2030', '2031')")
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq == Seq("k")) // schema survives
+  }
+
+  test("CONCAT and EACH union the named tables") {
+    val df = YqlSql.sql(spark,
+      s"""$$paths = ['$dir/2024-01-01', '$dir/2024-02-01'];
+         |SELECT
+         |  (SELECT CAST(SUM(k) AS BIGINT) FROM CONCAT('$dir/2024-01-01', '$dir/2024-01-02')) AS a,
+         |  (SELECT CAST(SUM(k) AS BIGINT) FROM EACH($$paths)) AS b""".stripMargin)
+    assert(df.as[(Long, Long)].head() == ((3L, 5L)))
+  }
+
+  test("LIKE and REGEXP filter members by name") {
+    assert(YqlSql.sql(spark,
+      s"SELECT CAST(SUM(k) AS BIGINT) AS s FROM LIKE('$dir', '2024-01-%')")
+      .as[Long].head() == 6L)
+    assert(YqlSql.sql(spark,
+      s"SELECT CAST(SUM(k) AS BIGINT) AS s FROM REGEXP('$dir', '-0[23]$$')")
+      .as[Long].head() == 5L)
+  }
+
+  test("FOLDER lists the directory as (Path, Type)") {
+    val rows = YqlSql.sql(spark,
+      s"SELECT Path, Type FROM FOLDER('$dir') ORDER BY Path")
+      .as[(String, String)].collect().toSeq
+    assert(rows.map(_._2).forall(_ == "table"))
+    assert(rows.map(_._1) == Seq("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-02-01").map(n => s"$dir/$n"))
+  }
+
+  test("scalar CONCAT/LIKE spellings are untouched; errors are clear") {
+    // string concat in a projection is NOT a table function
+    assert(YqlSql.sql(spark, "SELECT CONCAT('a', 'b') AS x")
+      .as[String].head() == "ab")
+    // LIKE as an operator survives
+    assert(YqlSql.sql(spark, "SELECT 'abc' LIKE 'a%' AS x").as[Boolean].head())
+    intercept[IllegalArgumentException] {
+      YqlTablePaths.rewrite("SELECT * FROM RANGE('/nonexistent_graft_dir')")
+    }
+    intercept[IllegalArgumentException] {
+      YqlTablePaths.rewrite(s"SELECT * FROM CONCAT('$dir/nope')")
+    }
+    intercept[IllegalArgumentException] {
+      YqlTablePaths.rewrite(s"SELECT * FROM EACH(table_names)")
+    }
+    // quoted text never triggers a rewrite
+    assert(YqlTablePaths.rewrite("SELECT 'FROM RANGE(x)' AS s") ==
+      "SELECT 'FROM RANGE(x)' AS s")
+  }
+}
