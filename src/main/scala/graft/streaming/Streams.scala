@@ -71,11 +71,20 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, lower: String, upper: String): DataFrame = {
-    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
+    // both sides aliased: when left and right derive from the SAME
+    // frame (two filters of one source — the common pattern),
+    // `left(k) === right(k)` is the Dataset API's self-join ambiguity
+    // trap (Spark logs "trivially true equals predicate" and rescues
+    // it heuristically); alias-qualified refs are unambiguous
+    val l = left.alias("__ij_l")
+    val r = right.alias("__ij_r")
+    def lc(c: String) = col(s"__ij_l.$c")
+    def rc(c: String) = col(s"__ij_r.$c")
+    val keyCond = keys.map(k => lc(k) === rc(k)).reduce(_ && _)
     val timeCond =
-      right(rightTs) >= left(leftTs) + expr(s"INTERVAL $lower") &&
-        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upper")
-    left.join(right, keyCond && timeCond)
+      rc(rightTs) >= lc(leftTs) + expr(s"INTERVAL $lower") &&
+        rc(rightTs) <= lc(leftTs) + expr(s"INTERVAL $upper")
+    l.join(r, keyCond && timeCond)
   }
 
   /** Streaming exact deduplication: first occurrence per key wins;

@@ -58,6 +58,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("a", 1.5)))
   }
 
+  test("interval join of two filters of ONE source is unambiguous (no self-join trap)") {
+    // clicks and purchases as two filters of the same frame — the
+    // pattern that makes unaliased left(k) === right(k) trivially true
+    val ev = Seq((1L, ts(10), "click"), (1L, ts(12), "buy"),
+      (1L, ts(30), "buy"), (2L, ts(12), "buy"))
+      .toDF("k", "ets", "kind")
+    val clicks = ev.filter(col("kind") === "click")
+      .withColumnRenamed("ets", "lts")
+    val buys = ev.filter(col("kind") === "buy")
+      .withColumnRenamed("ets", "rts")
+    val j = Streams.intervalJoin(clicks, buys, Seq("k"), "lts", "rts",
+      "0 seconds", "5 minutes")
+    // only (k=1 click@10, k=1 buy@12) matches: k=2 has no click, the
+    // @30 buy is outside the bound — a trivially-true key equality
+    // would also admit (click@10, buy@12 of k=2)
+    assert(j.count() == 1)
+    val cond = j.queryExecution.analyzed.collectFirst {
+      case join: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        join.condition.get
+    }.get
+    // the key equality compares two DISTINCT attribute ids
+    val eqs = cond.collect {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+        l: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+        r: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+        (l.exprId, r.exprId)
+    }
+    assert(eqs.nonEmpty && eqs.forall { case (a, b) => a != b })
+  }
+
   test("streaming dedup drops late duplicates with watermark-bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
