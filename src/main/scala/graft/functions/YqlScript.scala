@@ -98,7 +98,8 @@ object YqlScript {
     * evaluation phase; [[YqlSql.sql]] passes a Catalyst-backed hook,
     * and without one EVALUATE IF raises. */
   def lower(script: String, params: Map[String, String] = Map.empty,
-      evalCond: Option[String => Boolean] = None): Lowered = {
+      evalCond: Option[String => Boolean] = None,
+      libraries: Map[String, String] = Map.empty): Lowered = {
     val sts = scala.collection.mutable.ArrayBuffer(
       splitStatements(script).map(_.trim).filter(_.nonEmpty): _*)
     val scalars = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -108,7 +109,9 @@ object YqlScript {
     val pragmas = scala.collection.mutable.ArrayBuffer.empty[String]
     val stmts = scala.collection.mutable.ArrayBuffer.empty[Stmt]
     val discards = scala.collection.mutable.ArrayBuffer.empty[String]
-    val unsupported = Set("IMPORT", "EXPORT", "ROLLBACK")
+    val libCache = scala.collection.mutable.Map
+      .empty[String, (Map[String, String], Map[String, Lambda], Set[String])]
+    val unsupported = Set("ROLLBACK")
     var idx = 0
     while (idx < sts.length) {
       var st = sts(idx)
@@ -201,6 +204,37 @@ object YqlScript {
         else
           sts.insertAll(idx + 1, evaluateFor(st, actions, scalars, lambdas))
       }
+      // IMPORT lib SYMBOLS $a, $b; (SQLv1.g.in import_stmt): bind the
+      // library module's EXPORTed named nodes into this script's scope.
+      // Libraries come from the caller's `libraries` map (name → module
+      // text), lowered once per script and cached.
+      else if (firstWord == "IMPORT") {
+        val m = (s"(?i)^IMPORT\\s+($TargetRe)\\s+SYMBOLS\\s+([\\s\\S]+)$$").r
+          .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
+            s"malformed IMPORT (IMPORT lib SYMBOLS $$a, ...): ${st.take(60)}"))
+        val lib = m.group(1).stripPrefix("`").stripSuffix("`")
+        val syms = splitTopLevel(m.group(2)).map(_.trim).filter(_.nonEmpty)
+          .map { s0 =>
+            require(s0.matches("\\$[A-Za-z_][A-Za-z0-9_]*"),
+              s"malformed IMPORT symbol: ${s0.take(40)}")
+            s0.stripPrefix("$")
+          }
+        require(syms.nonEmpty, "IMPORT without symbols")
+        val text = libraries.getOrElse(lib,
+          throw new IllegalArgumentException(
+            s"unknown library `$lib`; register it in the libraries map"))
+        val (ls, ll, ex) = libCache.getOrElseUpdate(lib,
+          lowerLibrary(lib, text))
+        syms.foreach { sym =>
+          require(ex(sym), s"library `$lib` does not export $$$sym")
+          if (ll.contains(sym)) lambdas(sym) = ll(sym)
+          else scalars(sym) = ls(sym)
+        }
+      }
+      // EXPORT only terminates a library module (lowerLibrary); in a
+      // main script it is an error, like the reference's SQL mode check
+      else if (firstWord == "EXPORT") throw new IllegalArgumentException(
+        "EXPORT is only allowed inside a library module")
       else if (unsupported(firstWord)) throw new IllegalArgumentException(
         s"unsupported YQL statement: $firstWord")
       else bindingOf(st) match {
@@ -818,6 +852,67 @@ object YqlScript {
       "DEFINE without END DEFINE")
     actions(name) =
       (params, bodyAll.substring(0, bodyAll.length - "END DEFINE".length).trim)
+  }
+
+  /** Lower a LIBRARY module (SQLv1.g.in export_stmt; modules are the
+    * reuse unit IMPORT pulls from): named scalar/lambda bindings and
+    * DEFINE SUBQUERY templates, terminated by `EXPORT $a, $b;`
+    * statements naming the public symbols. Bindings resolve against
+    * earlier LIBRARY bindings only (a module is self-contained);
+    * non-exported names stay private. Returns (scalars, lambdas,
+    * exported names). */
+  private def lowerLibrary(name: String, text: String)
+      : (Map[String, String], Map[String, Lambda], Set[String]) = {
+    val scalars = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val lambdas = scala.collection.mutable.LinkedHashMap.empty[String, Lambda]
+    var exports = Set.empty[String]
+    val sts = scala.collection.mutable.ArrayBuffer(
+      splitStatements(text).map(_.trim).filter(_.nonEmpty): _*)
+    var idx = 0
+    while (idx < sts.length) {
+      var st = sts(idx)
+      val first = st.takeWhile(_.isLetter).toUpperCase
+      if (first == "EXPORT") {
+        val names = splitTopLevel(st.drop("EXPORT".length)).map(_.trim)
+          .filter(_.nonEmpty).map { s0 =>
+            require(s0.matches("\\$[A-Za-z_][A-Za-z0-9_]*"),
+              s"library `$name`: malformed EXPORT symbol: ${s0.take(40)}")
+            s0.stripPrefix("$")
+          }
+        require(names.nonEmpty, s"library `$name`: EXPORT without symbols")
+        exports ++= names
+      } else if (first == "DEFINE") {
+        while (!st.toUpperCase.endsWith("END DEFINE")) {
+          idx += 1
+          require(idx < sts.length,
+            s"library `$name`: DEFINE without END DEFINE")
+          st = st + "; " + sts(idx)
+        }
+        defineSubquery(st, scalars, lambdas)
+      } else bindingOf(st) match {
+        case Some((n, rhs)) =>
+          parseLambda(rhs.trim, scalars, lambdas) match {
+            case Some(Lambda(ps, rawBody)) =>
+              lambdas(n) = Lambda(ps,
+                substitute(rawBody, scalars, lambdas, keep = ps.toSet))
+            case None =>
+              val body = lowerSelect(substitute(rhs.trim, scalars, lambdas))
+              scalars(n) =
+                if (body.startsWith("(") && matchParen(body, 0) == body.length - 1)
+                  body
+                else "(" + body + ")"
+          }
+        case None => throw new IllegalArgumentException(
+          s"library `$name`: only bindings, DEFINE SUBQUERY and EXPORT " +
+          s"are allowed, got: ${st.take(60)}")
+      }
+      idx += 1
+    }
+    exports.foreach { e =>
+      require(scalars.contains(e) || lambdas.contains(e),
+        s"library `$name` EXPORTs undefined $$$e")
+    }
+    (scalars.toMap, lambdas.toMap, exports)
   }
 
   /** Expand the text after a `DO` keyword into raw statements to

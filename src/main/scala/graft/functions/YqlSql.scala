@@ -86,7 +86,8 @@ object YqlSql {
     * calls through [[rewrite]], then Catalyst parses the result. A
     * multi-statement script evaluates to its last SELECT. */
   def sql(spark: SparkSession, query: String,
-      params: Map[String, String] = Map.empty): DataFrame = {
+      params: Map[String, String] = Map.empty,
+      libraries: Map[String, String] = Map.empty): DataFrame = {
     registerAll(spark)
     // module-call spellings + FROM-position table-path functions
     // (RANGE/EACH/CONCAT/FOLDER/LIKE/REGEXP — YqlTablePaths)
@@ -97,7 +98,7 @@ object YqlSql {
     val lowered = YqlScript.lower(query, params, Some { cond =>
       val r = spark.sql(s"SELECT CAST((${rewrite(cond)}) AS BOOLEAN) AS c").head
       !r.isNullAt(0) && r.getBoolean(0)
-    })
+    }, libraries)
     // DISCARD statements type-check (spark.sql analyzes eagerly) but
     // never execute or produce a result — the reference's validation
     // spelling

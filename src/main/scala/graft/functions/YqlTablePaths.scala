@@ -45,20 +45,42 @@ object YqlTablePaths {
   /** Rewrite every FROM/JOIN-position table-path call in `sql`;
     * scalar uses of the same names (string CONCAT, the LIKE operator)
     * are untouched because only `FROM <fn>(` / `JOIN <fn>(` spans
-    * match. Quote-masked scanning; fixpoint over multiple calls. */
-  def rewrite(sql: String): String = {
+    * match, and calls whose first argument is NOT a constant path
+    * string (a literal list for EACH) pass through to Spark — that
+    * keeps `FROM range(10)` and table-valued functions intact.
+    * Quote-masked scanning; fixpoint over multiple calls. */
+  def rewrite(sql: String): String = rewriteFrom(sql, 0)
+
+  private val CallRe =
+    "(?i)\\b(FROM|JOIN)\\s+(RANGE|EACH|CONCAT|FOLDER|LIKE|REGEXP)\\s*\\(".r
+
+  @annotation.tailrec
+  private def rewriteFrom(sql: String, from: Int): String = {
     val masked = YqlScript.maskQuotes(sql)
-    val re = "(?i)\\b(FROM|JOIN)\\s+(RANGE|EACH|CONCAT|FOLDER|LIKE|REGEXP)\\s*\\(".r
-    val m = re.findFirstMatchIn(masked).getOrElse(return sql)
-    val fn = m.group(2).toUpperCase
-    val open = m.end - 1
-    val close = YqlScript.matchParen(sql, open)
-    val args = YqlScript.splitTopLevel(sql.substring(open + 1, close))
-      .map(_.trim).filter(_.nonEmpty)
-    val replacement = lower(fn, args)
-    val out = sql.substring(0, m.start) + m.group(1) + " " + replacement +
-      sql.substring(close + 1)
-    rewrite(out)
+    CallRe.findAllMatchIn(masked).find(_.start >= from) match {
+      case None => sql
+      case Some(m) =>
+        val fn = m.group(2).toUpperCase
+        val open = m.end - 1
+        val close = YqlScript.matchParen(sql, open)
+        val args = YqlScript.splitTopLevel(sql.substring(open + 1, close))
+          .map(_.trim).filter(_.nonEmpty)
+        if (!eligible(fn, args)) rewriteFrom(sql, close + 1)
+        else {
+          val replacement = lower(fn, args)
+          rewriteFrom(sql.substring(0, m.start) + m.group(1) + " " +
+            replacement + sql.substring(close + 1), 0)
+        }
+    }
+  }
+
+  private def eligible(fn: String, args: Seq[String]): Boolean = fn match {
+    case "EACH" => args.length == 1 &&
+      (try { listArg(args.head); true }
+       catch { case _: IllegalArgumentException => false })
+    case _ => args.nonEmpty &&
+      (try { strArg(args.head, fn); true }
+       catch { case _: IllegalArgumentException => false })
   }
 
   // ——— lowering per function ———

@@ -498,6 +498,25 @@ object Yql {
            |   FROM EACH($$months)) AS n_each""".stripMargin)
     }),
 
+    // IMPORT/EXPORT library modules (SQLv1.g.in import_stmt/
+    // export_stmt): a library of lambda bindings — one private helper
+    // ($words, NOT exported), two public symbols — imported into the
+    // main script and applied. Module text registers via the
+    // `libraries` map; the bindings inline at lowering time, so the
+    // final plan is ordinary Catalyst projection (no call overhead).
+    "yql_sql_import" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents")
+      graft.functions.YqlSql.sql(s,
+        """IMPORT textlib SYMBOLS $n_words, $cap;
+          |SELECT doc_id, $n_words(text) AS n_words, $cap(lang) AS lang_u
+          |FROM documents WHERE doc_id < 200""".stripMargin,
+        libraries = Map("textlib" ->
+          """$words = ($s) -> (String::SplitToList($s, ' '));
+            |$n_words = ($s) -> (CAST(ListLength($words($s)) AS BIGINT));
+            |$cap = ($s) -> (String::ToUpper($s));
+            |EXPORT $n_words, $cap;""".stripMargin))
+    }),
+
     // Script DML + DDL in one YQL string (SQLv1.g.in:579 into_table_stmt
     // UPSERT|REPLACE, :968-969 delete/update_stmt, :647 create_table_stmt):
     // CREATE a KEYED table (PRIMARY KEY → the graft.key_columns marker),
@@ -1068,6 +1087,11 @@ object Yql {
             WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_concat,
            (SELECT CAST(COUNT(o_orderkey) AS BIGINT) FROM orders
             WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_each""",
+    "yql_sql_import" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           upper(lang) AS lang_u
+         FROM documents WHERE doc_id < 200""",
     "yql_sql_upsert" ->
       """WITH seed AS (SELECT o_custkey AS acct,
              CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS bal,

@@ -84,9 +84,14 @@ class TablePathsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       YqlTablePaths.rewrite(s"SELECT * FROM CONCAT('$dir/nope')")
     }
-    intercept[IllegalArgumentException] {
-      YqlTablePaths.rewrite(s"SELECT * FROM EACH(table_names)")
-    }
+    // non-constant args pass through to Spark (table-valued functions,
+    // the builtin range(n)) — no rewrite, no error here
+    assert(YqlTablePaths.rewrite("SELECT * FROM EACH(table_names)") ==
+      "SELECT * FROM EACH(table_names)")
+    assert(YqlTablePaths.rewrite("SELECT id FROM range(10)") ==
+      "SELECT id FROM range(10)")
+    assert(YqlSql.sql(spark, "SELECT CAST(COUNT(id) AS BIGINT) AS n FROM range(10)")
+      .as[Long].head() == 10L)
     // quoted text never triggers a rewrite
     assert(YqlTablePaths.rewrite("SELECT 'FROM RANGE(x)' AS s") ==
       "SELECT 'FROM RANGE(x)' AS s")

@@ -109,6 +109,56 @@ class YqlScriptSpec extends SparkSpec {
     }
   }
 
+  // ——— IMPORT / EXPORT library modules (SQLv1.g.in import_stmt /
+  // export_stmt) ———
+
+  test("IMPORT binds a library's exported symbols; private names stay hidden") {
+    val lib = Map("m" ->
+      """$helper = ($x) -> ($x * 10);
+        |$pub = ($x) -> ($helper($x) + 1);
+        |$k = 7;
+        |EXPORT $pub, $k;""".stripMargin)
+    val l = YqlScript.lower(
+      "IMPORT m SYMBOLS $pub, $k;\nSELECT $pub(a) AS p, $k AS k FROM t",
+      libraries = lib)
+    assert(l.selects == Seq("SELECT ((((a)) * 10) + 1) AS p, (7) AS k FROM t"))
+    // non-exported symbol is invisible
+    val e1 = intercept[IllegalArgumentException] {
+      YqlScript.lower("IMPORT m SYMBOLS $helper;\nSELECT 1 AS a",
+        libraries = lib)
+    }
+    assert(e1.getMessage.contains("does not export"))
+    // unresolved library / undefined export / main-script EXPORT
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("IMPORT nope SYMBOLS $x;\nSELECT 1 AS a",
+        libraries = lib)
+    }
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("IMPORT m SYMBOLS $x;\nSELECT 1 AS a",
+        libraries = Map("m" -> "EXPORT $x;"))
+    }
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("$x = 1;\nEXPORT $x;\nSELECT 1 AS a")
+    }
+    // a library statement that isn't a binding/DEFINE/EXPORT is an error
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("IMPORT m SYMBOLS $x;\nSELECT 1 AS a",
+        libraries = Map("m" -> "SELECT 1;\nEXPORT $x;"))
+    }
+  }
+
+  test("IMPORTed DEFINE SUBQUERY template inlines at the call site") {
+    val lib = Map("tpl" ->
+      """DEFINE SUBQUERY $top($n) AS
+        |  SELECT a FROM src ORDER BY a DESC LIMIT $n;
+        |END DEFINE;
+        |EXPORT $top;""".stripMargin)
+    val l = YqlScript.lower(
+      "IMPORT tpl SYMBOLS $top;\nSELECT a FROM $top(3)", libraries = lib)
+    assert(l.selects ==
+      Seq("SELECT a FROM (SELECT a FROM src ORDER BY a DESC LIMIT (3))"))
+  }
+
   // ——— end-to-end through spark.sql ———
 
   test("script runs end-to-end: bindings + lambda + FLATTEN BY + WITHOUT") {
