@@ -541,4 +541,93 @@ object ExprFuzz {
       }
     }
   }
+
+  /** SCRIPT-DML-domain cases: each case is (script, oracleSql,
+    * tableName) over the `fw` fixture. The script CREATEs a keyed
+    * table, seeds it, then applies 2–4 random UPSERT/REPLACE/DELETE/
+    * UPDATE statements (SQLv1.g.in:579,968-969) and SELECTs the final
+    * image; the oracle is the HAND-EXPANDED relational algebra of the
+    * same draws — full-outer key merges for the write verbs, filters
+    * and gated projections for DELETE/UPDATE — nested as derived
+    * tables, so any divergence in YqlDml's merge semantics (listed vs
+    * unlisted columns, REPLACE nulling, old-row SET evaluation) breaks
+    * the value compare. Integer-only; source keys are DISTINCT over a
+    * deterministic function of the key, so engine dedup and oracle
+    * DISTINCT agree. Callers must dropTableDeep each returned table
+    * first. */
+  def dmlCases(n: Int, seed: Long, prefix: String = "fuzz_dml")
+      : Seq[(String, String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val tbl = s"${prefix}_$i"
+      val M = 20 + rnd.nextInt(180)
+      val c1 = 2 + rnd.nextInt(9); val c2 = rnd.nextInt(50)
+      val d1 = 3 + rnd.nextInt(97)
+      val seedSel = s"SELECT DISTINCT v % $M AS k, " +
+        s"(v % $M) * $c1 + $c2 AS v1, (v % $M) % $d1 AS v2 FROM fw"
+      var oracle = s"($seedSel)"
+      val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+      val nOps = 2 + rnd.nextInt(3)
+      (0 until nOps).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 => // UPSERT listed (k, v1): v2 keeps / null for new keys
+            val e = 2 + rnd.nextInt(7); val f = rnd.nextInt(40)
+            val m2 = 10 + rnd.nextInt(150)
+            val w = 2 + rnd.nextInt(5); val r = rnd.nextInt(w)
+            val s2 = s"SELECT DISTINCT v % $m2 AS k, (v % $m2) * $e + $f AS v1 " +
+              s"FROM fw WHERE (v % $m2) % $w = $r"
+            ops += s"UPSERT INTO $tbl (k, v1) $s2"
+            oracle = s"(SELECT coalesce(u.k, t.k) AS k, " +
+              s"CASE WHEN u.k IS NOT NULL THEN u.v1 ELSE t.v1 END AS v1, " +
+              s"t.v2 AS v2 FROM $oracle t FULL OUTER JOIN ($s2) u ON t.k = u.k)"
+          case 1 => // full-row UPSERT
+            val e = 2 + rnd.nextInt(7); val f = rnd.nextInt(40)
+            val g = 1 + rnd.nextInt(60)
+            val m2 = 10 + rnd.nextInt(150)
+            val w = 2 + rnd.nextInt(5); val r = rnd.nextInt(w)
+            val s2 = s"SELECT DISTINCT v % $m2 AS k, (v % $m2) * $e + $f AS v1, " +
+              s"(v % $m2) + $g AS v2 FROM fw WHERE (v % $m2) % $w = $r"
+            ops += s"UPSERT INTO $tbl $s2"
+            oracle = s"(SELECT coalesce(u.k, t.k) AS k, " +
+              s"CASE WHEN u.k IS NOT NULL THEN u.v1 ELSE t.v1 END AS v1, " +
+              s"CASE WHEN u.k IS NOT NULL THEN u.v2 ELSE t.v2 END AS v2 " +
+              s"FROM $oracle t FULL OUTER JOIN ($s2) u ON t.k = u.k)"
+          case 2 => // REPLACE listed (k, v2): v1 nulled for written keys
+            val g = 1 + rnd.nextInt(60)
+            val m2 = 10 + rnd.nextInt(150)
+            val w = 2 + rnd.nextInt(5); val r = rnd.nextInt(w)
+            val s2 = s"SELECT DISTINCT v % $m2 AS k, (v % $m2) + $g AS v2 " +
+              s"FROM fw WHERE (v % $m2) % $w = $r"
+            ops += s"REPLACE INTO $tbl (k, v2) $s2"
+            oracle = s"(SELECT coalesce(u.k, t.k) AS k, " +
+              s"CASE WHEN u.k IS NOT NULL THEN NULL ELSE t.v1 END AS v1, " +
+              s"CASE WHEN u.k IS NOT NULL THEN u.v2 ELSE t.v2 END AS v2 " +
+              s"FROM $oracle t FULL OUTER JOIN ($s2) u ON t.k = u.k)"
+          case 3 => // DELETE by predicate (keys non-null by construction)
+            val w = 2 + rnd.nextInt(6); val r = rnd.nextInt(w)
+            ops += s"DELETE FROM $tbl WHERE k % $w = $r"
+            oracle = s"(SELECT k, v1, v2 FROM $oracle t " +
+              s"WHERE NOT (k % $w = $r))"
+          case _ => // UPDATE: SET reads the OLD row, gated by WHERE
+            val q = 1 + rnd.nextInt(99)
+            val w = 2 + rnd.nextInt(6); val r = rnd.nextInt(w)
+            ops += s"UPDATE $tbl SET v1 = v1 + $q, v2 = v2 * 2 + v1 % 7 " +
+              s"WHERE k % $w = $r"
+            oracle = s"(SELECT k, " +
+              s"CASE WHEN k % $w = $r THEN v1 + $q ELSE v1 END AS v1, " +
+              s"CASE WHEN k % $w = $r THEN v2 * 2 + v1 % 7 ELSE v2 END AS v2 " +
+              s"FROM $oracle t)"
+        }
+      }
+      val script =
+        s"CREATE TABLE $tbl (k Int64, v1 Int64, v2 Int64, PRIMARY KEY (k));\n" +
+        s"INSERT INTO $tbl $seedSel;\n" +
+        ops.mkString(";\n") + ";\n" +
+        s"SELECT $i AS tag, k, CAST(v1 AS BIGINT) AS v1, " +
+        s"CAST(v2 AS BIGINT) AS v2 FROM $tbl"
+      val sql = s"SELECT $i AS tag, k, CAST(v1 AS BIGINT) AS v1, " +
+        s"CAST(v2 AS BIGINT) AS v2 FROM $oracle fin"
+      (script, sql, tbl)
+    }
+  }
 }

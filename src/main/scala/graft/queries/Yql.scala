@@ -498,6 +498,23 @@ object Yql {
            |   FROM EACH($$months)) AS n_each""".stripMargin)
     }),
 
+    // Script-DML differential fuzz: randomized UPSERT/REPLACE/DELETE/
+    // UPDATE interleavings on keyed tables vs the hand-expanded
+    // relational algebra of the SAME draws (full-outer key merges,
+    // gated projections) — YqlDml's merge semantics themselves are
+    // under test, value-exact. Same pattern yql_fuzz_script proved.
+    "yql_fuzz_dml" -> ((s, d) => {
+      t(s, d, "orders").select(col("o_orderkey").as("a"),
+        (col("o_custkey") % 7).as("k"),
+        (col("o_custkey") % 997).as("v"))
+        .createOrReplaceTempView("fw")
+      val cases = graft.ql.ExprFuzz.dmlCases(6, seed = 73L)
+      cases.foreach { case (_, _, tbl) =>
+        graft.functions.YqlDml.dropTableDeep(s, tbl) }
+      cases.map { case (script, _, _) => graft.functions.YqlSql.sql(s, script) }
+        .reduce(_ unionByName _)
+    }),
+
     // IMPORT/EXPORT library modules (SQLv1.g.in import_stmt/
     // export_stmt): a library of lambda bindings — one private helper
     // ($words, NOT exported), two public symbols — imported into the
@@ -1087,6 +1104,13 @@ object Yql {
             WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_concat,
            (SELECT CAST(COUNT(o_orderkey) AS BIGINT) FROM orders
             WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_each""",
+    "yql_fuzz_dml" -> {
+      val cases = graft.ql.ExprFuzz.dmlCases(6, seed = 73L)
+        .map(_._2).mkString("\n         UNION ALL\n         ")
+      s"""WITH fw AS (SELECT o_orderkey AS a, o_custkey % 7 AS k,
+         |  o_custkey % 997 AS v FROM orders)
+         |$cases""".stripMargin
+    },
     "yql_sql_import" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

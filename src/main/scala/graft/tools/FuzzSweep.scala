@@ -143,6 +143,16 @@ object FuzzSweep {
           .reduce(_ unionByName _)
       }, fwCte + "\n" +
         graft.ql.ExprFuzz.scriptCases(8, seed).map(_._2).mkString("\nUNION ALL\n"))
+      queries(s"fz_dml_$seed") = (() => {
+        val cases = graft.ql.ExprFuzz.dmlCases(4, seed,
+          prefix = s"fz_dml_${seed}_t")
+        cases.foreach { case (_, _, tbl) =>
+          graft.functions.YqlDml.dropTableDeep(spark, tbl) }
+        cases.map { case (sc, _, _) => graft.functions.YqlSql.sql(spark, sc) }
+          .reduce(_ unionByName _)
+      }, fwCte + "\n" +
+        graft.ql.ExprFuzz.dmlCases(4, seed, prefix = s"fz_dml_${seed}_t")
+          .map(_._2).mkString("\nUNION ALL\n"))
     }
 
     def q(s: String): String = "\"" + s.flatMap {
