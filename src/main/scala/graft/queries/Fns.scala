@@ -201,7 +201,18 @@ object Fns {
         (col("o_custkey") % 7).as("k"),
         (col("o_custkey") % 997).as("v"))
         .createOrReplaceTempView("fw")
-      val cols = graft.ql.ExprFuzz.windowCases(14, seed = 31L)
+      val cases = graft.ql.ExprFuzz.windowCases(14, seed = 31L)
+      // ~1/3 of the cases deliberately have an empty PARTITION BY —
+      // cross-engine coverage of GLOBAL windows over the 15k-row
+      // fixture. Attribute the resulting WindowExec "No Partition
+      // Defined" WARNs here so a log reader can tell fuzz coverage
+      // from a product plan.
+      val global = cases.count(c => !c.toUpperCase.contains("PARTITION BY"))
+      System.err.println(s"[fuzz] ql_fuzz_windows: $global of " +
+        s"${cases.length} cases use empty PARTITION BY (global windows) " +
+        "by design; WindowExec 'No Partition Defined' WARNs are fuzz " +
+        "coverage, not product plans")
+      val cols = cases
         .zipWithIndex.map { case (w, i) => s"$w AS w$i" }.mkString(", ")
       s.sql(s"SELECT a, $cols FROM fw")
     }),
