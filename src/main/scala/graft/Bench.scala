@@ -85,10 +85,12 @@ object Bench {
       // per-operator numbers measure GC debt, not the operator
       System.gc()
       // Verdict-wrapped correctness keys time the OPERATOR alone here
-      // (queries.Llm.benchOnly): their `queries` entries also compute
-      // the exact truth + verdict in-plan, which belongs to the
-      // correctness sweep, not the throughput number.
-      val timed = graft.queries.Llm.benchOnly.getOrElse(name, fn)
+      // (queries.{Llm,Yql}.benchOnly): their `queries` entries also
+      // compute the exact truth + verdict (or a full fuzz sweep),
+      // which belongs to the correctness gate, not the throughput
+      // number.
+      val timed = (graft.queries.Llm.benchOnly ++ graft.queries.Yql.benchOnly)
+        .getOrElse(name, fn)
       // MEDIAN of three runs (first also pays plan compilation): for
       // sub-0.3 s queries job-fixed overhead dominates and best-of-N
       // drifts with scheduler luck — the median is noise-robust, so

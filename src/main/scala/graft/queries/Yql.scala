@@ -825,6 +825,25 @@ object Yql {
     })
   )
 
+  /** Bench-time operator overrides (same contract as Llm.benchOnly):
+    * the 6-case DML fuzz belongs to the correctness sweep — its cost
+    * is ~30 per-statement catalog round-trips, not data throughput.
+    * The bench times a 2-case run: the same verbs, the same staged
+    * key-merge passes, a representative operator number. */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "yql_fuzz_dml" -> ((s, d) => {
+      t(s, d, "orders").select(col("o_orderkey").as("a"),
+        (col("o_custkey") % 7).as("k"),
+        (col("o_custkey") % 997).as("v"))
+        .createOrReplaceTempView("fw")
+      val cases = graft.ql.ExprFuzz.dmlCases(2, seed = 73L,
+        prefix = "bench_dml")
+      cases.foreach { case (_, _, tbl) =>
+        graft.functions.YqlDml.dropTableDeep(s, tbl) }
+      cases.map { case (script, _, _) => graft.functions.YqlSql.sql(s, script) }
+        .reduce(_ unionByName _)
+    }))
+
   val oracles: Map[String, String] = Map(
     "yql_window_rank" ->
       """SELECT o_orderkey, o_orderpriority, rn, rnk, drnk, quartile FROM (

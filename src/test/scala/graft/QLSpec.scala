@@ -67,8 +67,8 @@ class QLSpec extends SparkSpec {
     val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"headline keys without queries: $missing")
     // bench-only operator overrides must shadow real correctness keys
-    val orphan = graft.queries.Llm.benchOnly.keys
-      .filterNot(SparkEntry.queries.contains)
+    val orphan = (graft.queries.Llm.benchOnly ++ graft.queries.Yql.benchOnly)
+      .keys.filterNot(SparkEntry.queries.contains)
     assert(orphan.isEmpty, s"benchOnly keys without queries: $orphan")
     // worst case: every headline query present at 999.999s (base covers
     // the fixed fields incl. "stat":"median3")
