@@ -107,7 +107,8 @@ object YqlDml {
     * last-wins applies to an ORDERED write stream, and a DataFrame
     * source has no order to win by. */
   def upsert(spark: SparkSession, target: String, src0: DataFrame,
-      cols: Seq[String], replace: Boolean): Unit = {
+      cols: Seq[String], replace: Boolean,
+      returning: Option[Seq[String]] = None): Option[DataFrame] = {
     val verb = if (replace) "REPLACE INTO" else "UPSERT INTO"
     val keys = requireKeyed(spark, target, verb)
     val cur = spark.table(target)
@@ -129,14 +130,22 @@ object YqlDml {
         else col(s"t.$c")
       merged.cast(f.dataType).as(c)
     }
-    overwrite(spark, target, t.join(s, cond, "full_outer").select(out: _*))
+    val image = t.join(s, cond, "full_outer")
+    // RETURNING: the WRITTEN rows' new image (rows whose key the
+    // source carried), snapshotted BEFORE the swap so a
+    // self-referencing source cannot re-read post-write state
+    val ret = returning.map(cols0 =>
+      snapshot(image.filter(sExists).select(out: _*), cols0, schema))
+    overwrite(spark, target, image.select(out: _*))
+    ret
   }
 
   /** `DELETE FROM t WHERE p` (rows where p is TRUE go; NULL keeps) /
     * `DELETE FROM t ON <keys>` (anti join on the key columns) /
     * bare `DELETE FROM t` (every row). */
   def delete(spark: SparkSession, target: String, where: Option[Column],
-      keySource: Option[DataFrame]): Unit = {
+      keySource: Option[DataFrame],
+      returning: Option[Seq[String]] = None): Option[DataFrame] = {
     val keys = requireKeyed(spark, target, "DELETE FROM")
     val cur = spark.table(target)
     val remaining = (where, keySource) match {
@@ -150,14 +159,23 @@ object YqlDml {
       case _ => throw new IllegalArgumentException(
         "DELETE takes WHERE or ON, not both")
     }
+    // RETURNING: the DELETED rows (old image), snapshotted pre-swap
+    val deleted = (where, keySource) match {
+      case (Some(p), None) => cur.filter(coalesce(p, lit(false)))
+      case (None, Some(ks)) => cur.join(ks.dropDuplicates(), keys, "left_semi")
+      case _ => cur
+    }
+    val ret = returning.map(cols0 => snapshot(deleted, cols0, cur.schema))
     overwrite(spark, target, remaining)
+    ret
   }
 
   /** `UPDATE t SET c = e, ... [WHERE p]`: one projection pass — every
     * SET expression evaluates against the OLD row, gated by the
     * predicate. Key columns cannot be assigned. */
   def update(spark: SparkSession, target: String,
-      sets: Seq[(String, Column)], where: Option[Column]): Unit = {
+      sets: Seq[(String, Column)], where: Option[Column],
+      returning: Option[Seq[String]] = None): Option[DataFrame] = {
     val keys = requireKeyed(spark, target, "UPDATE")
     val cur = spark.table(target)
     val schema = cur.schema
@@ -178,14 +196,19 @@ object YqlDml {
         case None => col(f.name)
       }
     }
+    // RETURNING: the UPDATED rows' NEW image — the gate evaluates over
+    // the old row, the projection carries the assignments
+    val ret = returning.map(cols0 =>
+      snapshot(cur.filter(cond).select(out: _*), cols0, schema))
     overwrite(spark, target, cur.select(out: _*))
+    ret
   }
 
   /** `UPDATE t ON <select>`: by-key partial update — the source's
     * non-key columns overwrite matching rows; source rows with no
     * matching key are IGNORED (unlike UPSERT, no insert). */
-  def updateOn(spark: SparkSession, target: String,
-      src0: DataFrame): Unit = {
+  def updateOn(spark: SparkSession, target: String, src0: DataFrame,
+      returning: Option[Seq[String]] = None): Option[DataFrame] = {
     val keys = requireKeyed(spark, target, "UPDATE ... ON")
     val cur = spark.table(target)
     val schema = cur.schema
@@ -207,7 +230,24 @@ object YqlDml {
         else col(s"t.$c")
       v.cast(f.dataType).as(c)
     }
-    overwrite(spark, target, t.join(s, cond, "left_outer").select(out: _*))
+    val image = t.join(s, cond, "left_outer")
+    val ret = returning.map(cols0 =>
+      snapshot(image.filter(sExists).select(out: _*), cols0, schema))
+    overwrite(spark, target, image.select(out: _*))
+    ret
+  }
+
+  /** Materialize a RETURNING set before the table swap: project the
+    * requested columns (empty = all, schema order) and localCheckpoint
+    * eagerly — the result must not lazily re-read the target after the
+    * overwrite. The set is bounded by the statement's affected rows. */
+  private def snapshot(df: DataFrame, cols: Seq[String],
+      schema: StructType): DataFrame = {
+    val unknown = cols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"RETURNING: unknown columns ${unknown.mkString(", ")}")
+    val proj = if (cols.isEmpty) df else df.select(cols.map(col): _*)
+    proj.localCheckpoint(true)
   }
 
   /** Two-phase table rewrite: stage the new image as its own parquet

@@ -56,30 +56,39 @@ object YqlScript {
     * `source` is the lowered SELECT/VALUES text; `columns` the
     * explicit column list (empty = source column names apply). */
   final case class UpsertStmt(target: String, columns: Seq[String],
-      source: String, replace: Boolean) extends Stmt {
+      source: String, replace: Boolean,
+      returning: Option[Seq[String]] = None) extends Stmt {
     def sql: String = (if (replace) "REPLACE INTO " else "UPSERT INTO ") +
       target + (if (columns.isEmpty) "" else columns.mkString(" (", ", ", ")")) +
-      " " + source
+      " " + source + retSql(returning)
   }
   /** `DELETE FROM t [WHERE p | ON <keys-select>]` (SQLv1.g.in:968
     * delete_stmt): `where` and `keySource` are mutually exclusive;
     * both empty = delete every row. */
   final case class DeleteStmt(target: String, where: Option[String],
-      keySource: Option[String]) extends Stmt {
+      keySource: Option[String],
+      returning: Option[Seq[String]] = None) extends Stmt {
     def sql: String = s"DELETE FROM $target" +
       where.map(" WHERE " + _).getOrElse("") +
-      keySource.map(" ON " + _).getOrElse("")
+      keySource.map(" ON " + _).getOrElse("") + retSql(returning)
   }
   /** `UPDATE t SET c = e, ... [WHERE p]` or `UPDATE t ON <select>`
     * (SQLv1.g.in:969 update_stmt): a partial update of matching rows —
     * key columns are immutable. */
   final case class UpdateStmt(target: String, sets: Seq[(String, String)],
-      where: Option[String], keySource: Option[String]) extends Stmt {
+      where: Option[String], keySource: Option[String],
+      returning: Option[Seq[String]] = None) extends Stmt {
     def sql: String = s"UPDATE $target" +
       (if (sets.isEmpty) "" else
         sets.map { case (c, e) => s"$c = $e" }.mkString(" SET ", ", ", "")) +
       where.map(" WHERE " + _).getOrElse("") +
-      keySource.map(" ON " + _).getOrElse("")
+      keySource.map(" ON " + _).getOrElse("") + retSql(returning)
+  }
+
+  private def retSql(r: Option[Seq[String]]): String = r match {
+    case None => ""
+    case Some(Nil) => " RETURNING *"
+    case Some(cols) => cols.mkString(" RETURNING ", ", ", "")
   }
 
   /** `discards` are DISCARD statements: analyzed (type-checked) but
@@ -507,6 +516,9 @@ object YqlScript {
   private def lowerInsert(st: String,
       scalars: collection.Map[String, String],
       lambdas: collection.Map[String, Lambda]): String = {
+    if (stripReturning(st)._2.isDefined) throw new IllegalArgumentException(
+      "INSERT ... RETURNING is not supported; UPSERT/REPLACE/DELETE/UPDATE " +
+      "support RETURNING")
     // `\s*` before the source: `INSERT INTO t(a, b) SELECT ...` — the
     // column list glued to the table name — is standard spelling
     val m = ("(?i)^INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_.]*|`[^`]+`)" +
@@ -541,6 +553,28 @@ object YqlScript {
 
   private val TargetRe = "[A-Za-z_][A-Za-z0-9_.]*|`[^`]+`"
 
+  /** Strip a trailing top-level `RETURNING *|c1, c2` clause
+    * (SQLv1.g.in:577 returning_columns_list) from a DML statement.
+    * Returns (statement without the clause, Some(Nil) for `*` /
+    * Some(cols) / None). Only a TRAILING clause whose tail parses as
+    * a column list counts — `returning` as an identifier elsewhere is
+    * left alone. */
+  private def stripReturning(st: String): (String, Option[Seq[String]]) = {
+    var at = findTopKw(st, "RETURNING")
+    var last = -1
+    while (at >= 0) { last = at; at = findTopKw(st, "RETURNING", at + 9) }
+    if (last < 0) return (st, None)
+    val tail = st.substring(last + "RETURNING".length).trim
+    if (tail == "*") (st.substring(0, last).trim, Some(Nil))
+    else {
+      val cols = splitTopLevel(tail).map(_.trim)
+      if (cols.nonEmpty &&
+          cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`")))
+        (st.substring(0, last).trim, Some(cols))
+      else (st, None)
+    }
+  }
+
   /** `UPSERT INTO t [(cols)] <select|values>` / `REPLACE INTO ...`
     * (SQLv1.g.in:579 into_table_stmt, UPSERT|REPLACE alternatives;
     * semantics yt/docs sorted-dynamic-tables.md:171-177): the keyed
@@ -548,9 +582,10 @@ object YqlScript {
     * full-outer key merge onto the target, latest-wins) lives in
     * [[YqlDml]] — the same semantics DynTable.insertRows gives the
     * API surface. */
-  private def lowerUpsert(st: String,
+  private def lowerUpsert(st0: String,
       scalars: collection.Map[String, String],
       lambdas: collection.Map[String, Lambda]): Stmt = {
+    val (st, returning) = stripReturning(st0)
     val m = (s"(?i)^(UPSERT|REPLACE)\\s+INTO\\s+($TargetRe)\\s*([\\s\\S]+)$$").r
       .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
         s"malformed ${st.takeWhile(_.isLetter).toUpperCase}: ${st.take(60)}"))
@@ -576,7 +611,7 @@ object YqlScript {
     val lowered =
       if (kw == "VALUES") substitute(src, scalars, lambdas)
       else lowerSelect(substitute(src, scalars, lambdas))
-    UpsertStmt(target, cols, lowered, replace)
+    UpsertStmt(target, cols, lowered, replace, returning)
   }
 
   /** Unwrap one level of full-statement parentheses (`ON (SELECT ...)`). */
@@ -591,24 +626,25 @@ object YqlScript {
     * delete_stmt): WHERE keeps the non-matching rows; ON is the
     * by-key form (the source must project exactly the key columns).
     * Execution in [[YqlDml.delete]] — DynTable.deleteRows semantics. */
-  private def lowerDelete(st: String,
+  private def lowerDelete(st0: String,
       scalars: collection.Map[String, String],
       lambdas: collection.Map[String, Lambda]): Stmt = {
+    val (st, returning) = stripReturning(st0)
     val m = (s"(?i)^DELETE\\s+FROM\\s+($TargetRe)\\s*([\\s\\S]*)$$").r
       .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
         s"malformed DELETE: ${st.take(60)}"))
     val target = m.group(1)
     val rest = m.group(2).trim
-    if (rest.isEmpty) DeleteStmt(target, None, None)
+    if (rest.isEmpty) DeleteStmt(target, None, None, returning)
     else {
       val kw = rest.takeWhile(_.isLetter).toUpperCase
       if (kw == "WHERE")
         DeleteStmt(target,
           Some(substitute(rest.drop("WHERE".length).trim, scalars, lambdas)),
-          None)
+          None, returning)
       else if (kw == "ON")
         DeleteStmt(target, None, Some(lowerSelect(substitute(
-          unwrapGroup(rest.drop("ON".length)), scalars, lambdas))))
+          unwrapGroup(rest.drop("ON".length)), scalars, lambdas))), returning)
       else throw new IllegalArgumentException(
         s"DELETE expects WHERE or ON, got: ${rest.take(60)}")
     }
@@ -619,9 +655,10 @@ object YqlScript {
     * all evaluate against the OLD row (simultaneous assignment); the
     * ON form updates the source's non-key columns for matching keys.
     * Execution in [[YqlDml]] — the DynTable partial-update semantics. */
-  private def lowerUpdate(st: String,
+  private def lowerUpdate(st0: String,
       scalars: collection.Map[String, String],
       lambdas: collection.Map[String, Lambda]): Stmt = {
+    val (st, returning) = stripReturning(st0)
     val m = (s"(?i)^UPDATE\\s+($TargetRe)\\s+([\\s\\S]+)$$").r
       .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(
         s"malformed UPDATE: ${st.take(60)}"))
@@ -630,7 +667,7 @@ object YqlScript {
     val kw = rest.takeWhile(_.isLetter).toUpperCase
     if (kw == "ON")
       UpdateStmt(target, Nil, None, Some(lowerSelect(substitute(
-        unwrapGroup(rest.drop("ON".length)), scalars, lambdas))))
+        unwrapGroup(rest.drop("ON".length)), scalars, lambdas))), returning)
     else {
       require(kw == "SET", s"UPDATE expects SET or ON, got: ${rest.take(60)}")
       val whereAt = findTopKw(rest, "WHERE")
@@ -650,7 +687,7 @@ object YqlScript {
         if (whereAt < 0) None
         else Some(substitute(rest.substring(whereAt + "WHERE".length).trim,
           scalars, lambdas))
-      UpdateStmt(target, sets, where, None)
+      UpdateStmt(target, sets, where, None, returning)
     }
   }
 

@@ -107,24 +107,31 @@ object YqlSql {
     // later SELECT that reads its target (spark.sql executes these
     // eagerly). The script evaluates to its last SELECT; an all-write
     // script returns an empty frame (the write IS the result).
+    // A DML statement with RETURNING produces a result set (the
+    // affected rows), so it participates in "the script evaluates to
+    // its last result" exactly like a SELECT.
     var last: Option[DataFrame] = None
+    def ret(r: Option[DataFrame]): Unit = r.foreach(df => last = Some(df))
     lowered.stmts.foreach {
       case YqlScript.SelectStmt(s) => last = Some(spark.sql(full(s)))
       case YqlScript.InsertStmt(s) => spark.sql(full(s))
       case YqlScript.DdlStmt(s) => spark.sql(full(s))
-      case YqlScript.UpsertStmt(tgt, cols, src, repl) =>
-        YqlDml.upsert(spark, tgt, spark.sql(full(src)), cols, repl)
-      case YqlScript.DeleteStmt(tgt, where, keySrc) =>
-        YqlDml.delete(spark, tgt,
+      case YqlScript.UpsertStmt(tgt, cols, src, repl, returning) =>
+        ret(YqlDml.upsert(spark, tgt, spark.sql(full(src)), cols, repl,
+          returning))
+      case YqlScript.DeleteStmt(tgt, where, keySrc, returning) =>
+        ret(YqlDml.delete(spark, tgt,
           where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))),
-          keySrc.map(k => spark.sql(full(k))))
-      case YqlScript.UpdateStmt(tgt, sets, where, keySrc) =>
+          keySrc.map(k => spark.sql(full(k))), returning))
+      case YqlScript.UpdateStmt(tgt, sets, where, keySrc, returning) =>
         keySrc match {
-          case Some(k) => YqlDml.updateOn(spark, tgt, spark.sql(full(k)))
-          case None => YqlDml.update(spark, tgt,
+          case Some(k) =>
+            ret(YqlDml.updateOn(spark, tgt, spark.sql(full(k)), returning))
+          case None => ret(YqlDml.update(spark, tgt,
             sets.map { case (c, e) =>
               c -> org.apache.spark.sql.functions.expr(rewrite(e)) },
-            where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))))
+            where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))),
+            returning))
         }
     }
     last.getOrElse(spark.emptyDataFrame)

@@ -498,6 +498,24 @@ object Yql {
            |   FROM EACH($$months)) AS n_each""".stripMargin)
     }),
 
+    // RETURNING clauses (SQLv1.g.in:577 returning_columns_list on
+    // into_table/delete/update_stmt): the script's LAST statement is an
+    // UPDATE ... RETURNING * — the affected rows' NEW image is the
+    // script result, snapshotted before the table swap. A DELETE
+    // RETURNING runs mid-script too (its result is superseded, but the
+    // statement still executes its removal).
+    "yql_sql_returning" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlDml.dropTableDeep(s, "dml_ret")
+      graft.functions.YqlSql.sql(s,
+        """$seed = (SELECT DISTINCT o_custkey % 60 AS k,
+          |         (o_custkey % 60) * 3 AS v FROM orders);
+          |CREATE TABLE dml_ret (k Int64, v Int64, PRIMARY KEY (k));
+          |UPSERT INTO dml_ret SELECT k, v FROM $seed;
+          |DELETE FROM dml_ret WHERE k % 4 = 1 RETURNING k;
+          |UPDATE dml_ret SET v = v + 7 WHERE k % 3 = 0 RETURNING *""".stripMargin)
+    }),
+
     // Script-DML differential fuzz: randomized UPSERT/REPLACE/DELETE/
     // UPDATE interleavings on keyed tables vs the hand-expanded
     // relational algebra of the SAME draws (full-outer key merges,
@@ -1123,6 +1141,10 @@ object Yql {
             WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_concat,
            (SELECT CAST(COUNT(o_orderkey) AS BIGINT) FROM orders
             WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_each""",
+    "yql_sql_returning" ->
+      """SELECT k, CAST(k * 3 + 7 AS BIGINT) AS v
+         FROM (SELECT DISTINCT o_custkey % 60 AS k FROM orders) t
+         WHERE k % 3 = 0 AND k % 4 <> 1""",
     "yql_fuzz_dml" -> {
       val cases = graft.ql.ExprFuzz.dmlCases(6, seed = 73L)
         .map(_._2).mkString("\n         UNION ALL\n         ")

@@ -165,6 +165,41 @@ class YqlDmlSpec extends SparkSpec {
         replace = false)))
   }
 
+  // ——— RETURNING (SQLv1.g.in:577 returning_columns_list) ———
+
+  test("RETURNING: upsert new image, delete old image, update new image") {
+    drop("dmlspec_ret")
+    // UPSERT RETURNING: written rows' new image (kept column rides along)
+    val up = YqlSql.sql(spark,
+      """CREATE TABLE dmlspec_ret (k Int64, v Utf8, n Int64, PRIMARY KEY (k));
+        |UPSERT INTO dmlspec_ret VALUES (1, 'a', 10), (2, 'b', 20);
+        |UPSERT INTO dmlspec_ret (k, v) VALUES (2, 'B'), (3, 'c') RETURNING k, v, n""".stripMargin)
+    assert(up.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((2L, "B", Some(20L)), (3L, "c", None)))
+    // DELETE RETURNING: the deleted rows (old image)
+    val del = YqlSql.sql(spark,
+      "DELETE FROM dmlspec_ret WHERE k <= 2 RETURNING *")
+    assert(del.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", Some(10L)), (2L, "B", Some(20L))))
+    assert(spark.table("dmlspec_ret").count() == 1)
+    // UPDATE RETURNING: new image of the matched rows only
+    val upd = YqlSql.sql(spark,
+      "UPDATE dmlspec_ret SET v = 'z' WHERE k = 3 RETURNING v")
+    assert(upd.columns.toSeq == Seq("v"))
+    assert(upd.as[String].collect().toSeq == Seq("z"))
+    // unknown RETURNING column raises
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        "DELETE FROM dmlspec_ret WHERE k = 3 RETURNING nope")
+    }
+    // INSERT RETURNING is rejected with a clear message
+    val e = intercept[IllegalArgumentException] {
+      YqlScript.lower("INSERT INTO t SELECT 1 AS k RETURNING k")
+    }
+    assert(e.getMessage.contains("RETURNING"))
+    drop("dmlspec_ret")
+  }
+
   test("statement rendering round-trips the parsed pieces") {
     val l = YqlScript.lower(
       """UPSERT INTO t (k, v) SELECT 1, 2;
