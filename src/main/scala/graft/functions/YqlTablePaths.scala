@@ -49,27 +49,57 @@ object YqlTablePaths {
     * string (a literal list for EACH) pass through to Spark — that
     * keeps `FROM range(10)` and table-valued functions intact.
     * Quote-masked scanning; fixpoint over multiple calls. */
-  def rewrite(sql: String): String = rewriteFrom(sql, 0)
+  def rewrite(sql: String): String = {
+    // TablePath()/TableName() (zero-arg pseudo-functions; the
+    // reference's per-row source-table accessors, the standard
+    // companions of RANGE reads): when referenced, each member scan
+    // carries its LOGICAL path as a `__g_tp` column and the pseudo-
+    // functions lower onto it. This forces the per-member UNION ALL
+    // lowering (a literal per scan) instead of the single glob scan —
+    // the price of per-row provenance, paid only when asked for.
+    // Caveat: `SELECT *` then includes __g_tp; these functions are
+    // used with explicit projections (GROUP BY TableName()).
+    val wantPath = PseudoRe
+      .findFirstIn(YqlScript.maskQuotes(sql)).isDefined
+    val (out, loweredCalls) = rewriteFrom(sql, 0, wantPath, 0)
+    if (!wantPath || loweredCalls == 0) out
+    else {
+      val masked = YqlScript.maskQuotes(out)
+      val sb = new StringBuilder
+      var last = 0
+      PseudoRe.findAllMatchIn(masked).foreach { m =>
+        sb.append(out.substring(last, m.start))
+        if (m.group(1).equalsIgnoreCase("Path")) sb.append("__g_tp")
+        else sb.append("regexp_extract(__g_tp, '[^/]+$', 0)")
+        last = m.end
+      }
+      sb.append(out.substring(last))
+      sb.toString
+    }
+  }
+
+  private val PseudoRe = "(?i)\\bTable(Path|Name)\\s*\\(\\s*\\)".r
 
   private val CallRe =
     "(?i)\\b(FROM|JOIN)\\s+(RANGE|EACH|CONCAT|FOLDER|LIKE|REGEXP)\\s*\\(".r
 
   @annotation.tailrec
-  private def rewriteFrom(sql: String, from: Int): String = {
+  private def rewriteFrom(sql: String, from: Int, withPath: Boolean,
+      lowered: Int): (String, Int) = {
     val masked = YqlScript.maskQuotes(sql)
     CallRe.findAllMatchIn(masked).find(_.start >= from) match {
-      case None => sql
+      case None => (sql, lowered)
       case Some(m) =>
         val fn = m.group(2).toUpperCase
         val open = m.end - 1
         val close = YqlScript.matchParen(sql, open)
         val args = YqlScript.splitTopLevel(sql.substring(open + 1, close))
           .map(_.trim).filter(_.nonEmpty)
-        if (!eligible(fn, args)) rewriteFrom(sql, close + 1)
+        if (!eligible(fn, args)) rewriteFrom(sql, close + 1, withPath, lowered)
         else {
-          val replacement = lower(fn, args)
+          val replacement = lower(fn, args, withPath && fn != "FOLDER")
           rewriteFrom(sql.substring(0, m.start) + m.group(1) + " " +
-            replacement + sql.substring(close + 1), 0)
+            replacement + sql.substring(close + 1), 0, withPath, lowered + 1)
         }
     }
   }
@@ -85,7 +115,8 @@ object YqlTablePaths {
 
   // ——— lowering per function ———
 
-  private def lower(fn: String, args: Seq[String]): String = fn match {
+  private def lower(fn: String, args: Seq[String],
+      withPath: Boolean): String = fn match {
     case "RANGE" =>
       require(args.nonEmpty && args.length <= 3,
         s"RANGE takes (dir[, from[, to]]), got ${args.length} args")
@@ -96,29 +127,31 @@ object YqlTablePaths {
       val sel = ms.filter { case (n, _) =>
         from.forall(n >= _) && to.forall(n <= _)
       }
-      union(dir, sel, ms)
+      union(dir, sel, ms, withPath)
     case "CONCAT" =>
       require(args.nonEmpty, "CONCAT needs at least one table path")
       val paths = args.map(a => resolve(strArg(a, "CONCAT")))
-      unionPaths(paths)
+      unionPaths(paths, withPath)
     case "EACH" =>
       require(args.length == 1, "EACH takes one list argument")
       val elems = listArg(args.head)
       require(elems.nonEmpty, "EACH list is empty")
-      unionPaths(elems.map(resolve))
+      unionPaths(elems.map(resolve), withPath)
     case "LIKE" =>
       require(args.length == 2, "LIKE takes (dir, pattern)")
       val dir = strArg(args(0), "LIKE")
       val pat = likeToRegex(strArg(args(1), "LIKE"))
       val ms = members(dir)
-      union(dir, ms.filter { case (n, _) => pat.matcher(n).matches() }, ms)
+      union(dir, ms.filter { case (n, _) => pat.matcher(n).matches() }, ms,
+        withPath)
     case "REGEXP" =>
       require(args.length == 2, "REGEXP takes (dir, pattern)")
       val dir = strArg(args(0), "REGEXP")
       val pat = java.util.regex.Pattern.compile(strArg(args(1), "REGEXP"))
       val ms = members(dir)
       // unanchored, like the reference's partial-match semantics
-      union(dir, ms.filter { case (n, _) => pat.matcher(n).find() }, ms)
+      union(dir, ms.filter { case (n, _) => pat.matcher(n).find() }, ms,
+        withPath)
     case "FOLDER" =>
       require(args.nonEmpty && args.length <= 2,
         "FOLDER takes (dir[, attrs])")
@@ -204,26 +237,40 @@ object YqlTablePaths {
 
   private def scan(path: String): String = s"SELECT * FROM parquet.`$path`"
 
+  /** The logical (extension-less) path of a member file/dir. */
+  private def logical(path: String): String = path.stripSuffix(".parquet")
+
+  /** A member scan carrying its logical path for TablePath()/
+    * TableName(). */
+  private def scanWithPath(path: String): String =
+    s"SELECT *, '${logical(path)}' AS __g_tp FROM parquet.`$path`"
+
   private val GlobMeta = "{}[],*?\\".toSet
 
   /** Union of selected members; one glob scan when they share `dir`
     * and the basenames are glob-safe. `all` supplies the schema
     * source for an empty selection. */
   private def union(dir: String, sel: Seq[(String, String)],
-      all: Seq[(String, String)]): String =
+      all: Seq[(String, String)], withPath: Boolean): String =
     if (sel.isEmpty) {
       require(all.nonEmpty, s"empty table directory: $dir")
-      s"(${scan(all.head._2)} LIMIT 0)"
-    } else if (sel.length == 1) s"(${scan(sel.head._2)})"
+      if (withPath)
+        s"(SELECT *, CAST(NULL AS STRING) AS __g_tp " +
+          s"FROM parquet.`${all.head._2}` LIMIT 0)"
+      else s"(${scan(all.head._2)} LIMIT 0)"
+    } else if (withPath) unionPaths(sel.map(_._2), withPath = true)
+    else if (sel.length == 1) s"(${scan(sel.head._2)})"
     else {
       val bases = sel.map(p => new java.io.File(p._2).getName)
       if (bases.forall(b => !b.exists(GlobMeta))) {
         val glob = s"${dir.stripSuffix("/")}/{${bases.mkString(",")}}"
         s"(${scan(glob)})"
-      } else unionPaths(sel.map(_._2))
+      } else unionPaths(sel.map(_._2), withPath = false)
     }
 
-  private def unionPaths(paths: Seq[String]): String =
-    if (paths.length == 1) s"(${scan(paths.head)})"
-    else "(" + paths.map(scan).mkString(" UNION ALL ") + ")"
+  private def unionPaths(paths: Seq[String], withPath: Boolean): String = {
+    val one: String => String = if (withPath) scanWithPath else scan
+    if (paths.length == 1) s"(${one(paths.head)})"
+    else "(" + paths.map(one).mkString(" UNION ALL ") + ")"
+  }
 }

@@ -484,6 +484,18 @@ object Yql {
            |FROM RANGE('${tablePathDir(d)}', $$lo, '1996-03')""".stripMargin)
     }),
 
+    // TableName() provenance (the reference's per-row source-table
+    // accessor, the standard GROUP BY companion of RANGE): per-member
+    // scans carry their logical path, the pseudo-function lowers onto
+    // it — per-table aggregates from one multi-table read.
+    "yql_table_name" -> ((s, d) => {
+      tablePathFixture(s, d)
+      graft.functions.YqlSql.sql(s,
+        s"""SELECT TableName() AS t, CAST(COUNT(o_orderkey) AS BIGINT) AS n
+           |FROM RANGE('${tablePathDir(d)}', '1996-01', '1996-03')
+           |GROUP BY TableName()""".stripMargin)
+    }),
+
     // CONCAT (explicit member union) + EACH (literal path list): two
     // disjoint months each way, same aggregate — the two spellings
     // must agree with each other and the oracle.
@@ -1135,6 +1147,12 @@ object Yql {
            min(o_orderdate) AS lo_date, max(o_orderdate) AS hi_date
          FROM orders
          WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-02' AND '1996-03'""",
+    "yql_table_name" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS t,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-03'
+         GROUP BY 1""",
     "yql_table_concat" ->
       """SELECT
            (SELECT CAST(COUNT(o_orderkey) AS BIGINT) FROM orders

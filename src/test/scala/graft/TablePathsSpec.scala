@@ -72,6 +72,27 @@ class TablePathsSpec extends SparkSpec {
       "2024-02-01").map(n => s"$dir/$n"))
   }
 
+  test("TablePath()/TableName() carry per-row provenance through RANGE") {
+    val rows = YqlSql.sql(spark,
+      s"""SELECT TableName() AS t, TablePath() AS p, CAST(SUM(k) AS BIGINT) AS s
+         |FROM RANGE('$dir', '2024-01-01', '2024-01-02')
+         |GROUP BY TableName(), TablePath() ORDER BY t""".stripMargin)
+      .as[(String, String, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("2024-01-01", s"$dir/2024-01-01", 1L),
+      ("2024-01-02", s"$dir/2024-01-02", 2L)))
+    // without the pseudo-functions the plan stays ONE glob scan;
+    // with them it becomes a per-member union (the provenance price)
+    val plain = YqlSql.sql(spark,
+      s"SELECT k FROM RANGE('$dir', '2024-01-01', '2024-01-02')")
+    assert(plain.queryExecution.executedPlan.collectLeaves().length == 1)
+    // TableName() over EACH uses the logical (extension-less) name
+    val e = YqlSql.sql(spark,
+      s"SELECT TableName() AS t FROM EACH(['$dir/2024-02-01']) GROUP BY 1")
+      .as[String].head()
+    assert(e == "2024-02-01")
+  }
+
   test("scalar CONCAT/LIKE spellings are untouched; errors are clear") {
     // string concat in a projection is NOT a table function
     assert(YqlSql.sql(spark, "SELECT CONCAT('a', 'b') AS x")
