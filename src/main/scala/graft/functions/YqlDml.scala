@@ -140,6 +140,44 @@ object YqlDml {
     ret
   }
 
+  /** `INSERT OR ABORT|REVERT|IGNORE INTO` (SQLv1.g.in:579): keyed
+    * insert with a conflict policy — ABORT/REVERT fail the statement
+    * when ANY source key already exists (checked with one
+    * `limit(1)`-bounded job, nothing written); IGNORE inserts only the
+    * non-conflicting keys. New rows APPEND through a stage table (no
+    * existing row changes, so no full-image rewrite — at 100 TB this
+    * writes only the inserted rows). */
+  def insertOr(spark: SparkSession, target: String, src0: DataFrame,
+      cols: Seq[String], mode: String,
+      returning: Option[Seq[String]] = None): Option[DataFrame] = {
+    val verb = s"INSERT OR ${mode.toUpperCase} INTO"
+    val keys = requireKeyed(spark, target, verb)
+    val cur = spark.table(target)
+    val schema = cur.schema
+    val src = aligned(src0, cols, schema, verb)
+    val listed = src.columns.toSeq
+    checkColumns(listed, keys, schema, verb)
+    val s = src.dropDuplicates(keys)
+    if (mode.equalsIgnoreCase("abort") || mode.equalsIgnoreCase("revert")) {
+      val conflict = s.join(cur.select(keys.map(col): _*), keys, "left_semi")
+        .limit(1).collect()
+      if (conflict.nonEmpty) throw new IllegalArgumentException(
+        s"$verb: key already exists " +
+        conflict.head.toSeq.take(keys.length).mkString("(", ", ", ")"))
+    }
+    val fresh =
+      if (mode.equalsIgnoreCase("ignore"))
+        s.join(cur.select(keys.map(col): _*), keys, "left_anti")
+      else s
+    val rows = fresh.select(schema.fields.toSeq.map { f =>
+      (if (listed.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)
+    }: _*)
+    val ret = returning.map(cols0 => snapshot(rows, cols0, schema))
+    append(spark, target, rows)
+    ret
+  }
+
   /** `DELETE FROM t WHERE p` (rows where p is TRUE go; NULL keeps) /
     * `DELETE FROM t ON <keys>` (anti join on the key columns) /
     * bare `DELETE FROM t` (every row). */
@@ -256,12 +294,22 @@ object YqlDml {
     * is illegal in Spark; on a cluster this staging is also the
     * metastore-atomic swap you want. */
   private def overwrite(spark: SparkSession, target: String,
-      df: DataFrame): Unit = {
+      df: DataFrame): Unit = staged(spark, target, df, overwrite = true)
+
+  /** Stage-then-append: for inserts that change no existing row the
+    * write is only the NEW rows (the stage breaks the read-from-target
+    * lineage Spark rightly refuses). */
+  private def append(spark: SparkSession, target: String,
+      df: DataFrame): Unit = staged(spark, target, df, overwrite = false)
+
+  private def staged(spark: SparkSession, target: String,
+      df: DataFrame, overwrite: Boolean): Unit = {
     val stage = "graft_dml_stage_" +
       java.lang.Integer.toHexString(target.hashCode & 0x7fffffff)
     spark.sql(s"DROP TABLE IF EXISTS `$stage`")
     df.write.format("parquet").saveAsTable(stage)
-    try spark.sql(s"INSERT OVERWRITE TABLE $target SELECT * FROM `$stage`")
+    val kw = if (overwrite) "OVERWRITE TABLE" else "INTO"
+    try spark.sql(s"INSERT $kw $target SELECT * FROM `$stage`")
     finally spark.sql(s"DROP TABLE IF EXISTS `$stage`")
   }
 }

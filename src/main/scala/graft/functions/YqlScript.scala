@@ -62,6 +62,17 @@ object YqlScript {
       target + (if (columns.isEmpty) "" else columns.mkString(" (", ", ", ")")) +
       " " + source + retSql(returning)
   }
+  /** `INSERT OR ABORT|REVERT|IGNORE INTO` (SQLv1.g.in:579): keyed
+    * insert with a conflict policy — abort/revert fail on any existing
+    * key, ignore inserts only fresh keys. */
+  final case class InsertOrStmt(target: String, columns: Seq[String],
+      source: String, mode: String,
+      returning: Option[Seq[String]] = None) extends Stmt {
+    def sql: String = s"INSERT OR ${mode.toUpperCase} INTO " + target +
+      (if (columns.isEmpty) "" else columns.mkString(" (", ", ", ")")) +
+      " " + source + retSql(returning)
+  }
+
   /** `DELETE FROM t [WHERE p | ON <keys-select>]` (SQLv1.g.in:968
     * delete_stmt): `where` and `keySource` are mutually exclusive;
     * both empty = delete every row. */
@@ -145,7 +156,18 @@ object YqlScript {
       // script evaluates to its last SELECT, so the name is validated
       // and dropped.
       st = stripIntoResult(st)
-      val firstWord = st.takeWhile(c => c.isLetter).toUpperCase
+      var firstWord = st.takeWhile(c => c.isLetter).toUpperCase
+      // `BATCH DELETE|UPDATE` (SQLv1.g.in:968-969): the reference
+      // chunks the write into independent transactions to bound
+      // transaction size; here every statement is already one
+      // distributed job with no row-count ceiling, so the modifier
+      // validates and drops
+      if (firstWord == "BATCH") {
+        st = st.drop("BATCH".length).trim
+        firstWord = st.takeWhile(c => c.isLetter).toUpperCase
+        require(firstWord == "DELETE" || firstWord == "UPDATE",
+          s"BATCH applies to DELETE/UPDATE, got: ${st.take(40)}")
+      }
       if (firstWord == "PRAGMA") pragmas += st.drop("PRAGMA".length).trim
       // USE cluster; — cluster selection (SQLv1.g.in use_stmt). This
       // engine is its own single catalog: accepted, validated, no-op.
@@ -168,8 +190,17 @@ object YqlScript {
         stmts += SelectStmt(lowerProcess(st, scalars, lambdas))
       else if (firstWord == "REDUCE")
         stmts += SelectStmt(lowerReduce(st, scalars, lambdas))
-      else if (firstWord == "INSERT")
-        stmts += InsertStmt(lowerInsert(st, scalars, lambdas))
+      else if (firstWord == "INSERT") {
+        // `INSERT OR ABORT|REVERT|IGNORE INTO` (SQLv1.g.in:579) is the
+        // keyed conflict-policy insert; bare INSERT INTO stays the
+        // static-table append
+        val or = "(?i)^INSERT\\s+OR\\s+(ABORT|REVERT|IGNORE)\\s+INTO\\b".r
+          .findFirstMatchIn(st)
+        if (or.isDefined)
+          stmts += lowerInsertOr(st, or.get.group(1).toLowerCase,
+            or.get.end, scalars, lambdas)
+        else stmts += InsertStmt(lowerInsert(st, scalars, lambdas))
+      }
       // key-merge DML (SQLv1.g.in:579,968-969) — parsed here, executed
       // by YqlSql against the keyed target with DynTable semantics
       else if (firstWord == "UPSERT" || firstWord == "REPLACE")
@@ -612,6 +643,42 @@ object YqlScript {
       if (kw == "VALUES") substitute(src, scalars, lambdas)
       else lowerSelect(substitute(src, scalars, lambdas))
     UpsertStmt(target, cols, lowered, replace, returning)
+  }
+
+  /** `INSERT OR ABORT|REVERT|IGNORE INTO t [(cols)] <select|values>`
+    * (SQLv1.g.in:579): keyed insert with a conflict policy, executed
+    * by [[YqlDml.insertOr]]. `afterInto` is the match end of the
+    * `INSERT OR <mode> INTO` head. */
+  private def lowerInsertOr(st0: String, mode: String, afterInto: Int,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): Stmt = {
+    val (stFull, returning) = stripReturning(st0)
+    val rest0 = stFull.substring(math.min(afterInto, stFull.length)).trim
+    val m = (s"^($TargetRe)\\s*([\\s\\S]+)$$").r.findFirstMatchIn(rest0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed INSERT OR ${mode.toUpperCase}: ${st0.take(60)}"))
+    val target = m.group(1)
+    var src = m.group(2).trim
+    var cols: Seq[String] = Nil
+    if (src.startsWith("(")) {
+      val close = matchParen(src, 0)
+      val inner = src.substring(1, close)
+      val rest = src.substring(close + 1).trim
+      val restKw = rest.takeWhile(_.isLetter).toUpperCase
+      if ((restKw == "SELECT" || restKw == "VALUES") &&
+          splitTopLevel(inner).forall(
+            _.trim.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"))) {
+        cols = splitTopLevel(inner).map(_.trim); src = rest
+      }
+    }
+    val kw = src.takeWhile(_.isLetter).toUpperCase
+    require(kw == "SELECT" || kw == "VALUES" || src.startsWith("("),
+      s"INSERT OR ${mode.toUpperCase} source must be a SELECT, VALUES, " +
+      "or parenthesized query")
+    val lowered =
+      if (kw == "VALUES") substitute(src, scalars, lambdas)
+      else lowerSelect(substitute(src, scalars, lambdas))
+    InsertOrStmt(target, cols, lowered, mode, returning)
   }
 
   /** Unwrap one level of full-statement parentheses (`ON (SELECT ...)`). */

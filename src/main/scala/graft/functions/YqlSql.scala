@@ -119,6 +119,9 @@ object YqlSql {
       case YqlScript.UpsertStmt(tgt, cols, src, repl, returning) =>
         ret(YqlDml.upsert(spark, tgt, spark.sql(full(src)), cols, repl,
           returning))
+      case YqlScript.InsertOrStmt(tgt, cols, src, mode, returning) =>
+        ret(YqlDml.insertOr(spark, tgt, spark.sql(full(src)), cols, mode,
+          returning))
       case YqlScript.DeleteStmt(tgt, where, keySrc, returning) =>
         ret(YqlDml.delete(spark, tgt,
           where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))),

@@ -569,7 +569,7 @@ object ExprFuzz {
       val ops = scala.collection.mutable.ArrayBuffer.empty[String]
       val nOps = 2 + rnd.nextInt(3)
       (0 until nOps).foreach { _ =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 => // UPSERT listed (k, v1): v2 keeps / null for new keys
             val e = 2 + rnd.nextInt(7); val f = rnd.nextInt(40)
             val m2 = 10 + rnd.nextInt(150)
@@ -608,7 +608,7 @@ object ExprFuzz {
             ops += s"DELETE FROM $tbl WHERE k % $w = $r"
             oracle = s"(SELECT k, v1, v2 FROM $oracle t " +
               s"WHERE NOT (k % $w = $r))"
-          case _ => // UPDATE: SET reads the OLD row, gated by WHERE
+          case 4 => // UPDATE: SET reads the OLD row, gated by WHERE
             val q = 1 + rnd.nextInt(99)
             val w = 2 + rnd.nextInt(6); val r = rnd.nextInt(w)
             ops += s"UPDATE $tbl SET v1 = v1 + $q, v2 = v2 * 2 + v1 % 7 " +
@@ -617,6 +617,18 @@ object ExprFuzz {
               s"CASE WHEN k % $w = $r THEN v1 + $q ELSE v1 END AS v1, " +
               s"CASE WHEN k % $w = $r THEN v2 * 2 + v1 % 7 ELSE v2 END AS v2 " +
               s"FROM $oracle t)"
+          case _ => // INSERT OR IGNORE: only fresh keys land (old row wins)
+            val e = 2 + rnd.nextInt(7); val f = rnd.nextInt(40)
+            val g = 1 + rnd.nextInt(60)
+            val m2 = 10 + rnd.nextInt(150)
+            val w = 2 + rnd.nextInt(5); val r = rnd.nextInt(w)
+            val s2 = s"SELECT DISTINCT v % $m2 AS k, (v % $m2) * $e + $f AS v1, " +
+              s"(v % $m2) + $g AS v2 FROM fw WHERE (v % $m2) % $w = $r"
+            ops += s"INSERT OR IGNORE INTO $tbl $s2"
+            oracle = s"(SELECT coalesce(t.k, u.k) AS k, " +
+              s"CASE WHEN t.k IS NOT NULL THEN t.v1 ELSE u.v1 END AS v1, " +
+              s"CASE WHEN t.k IS NOT NULL THEN t.v2 ELSE u.v2 END AS v2 " +
+              s"FROM $oracle t FULL OUTER JOIN ($s2) u ON t.k = u.k)"
         }
       }
       val script =

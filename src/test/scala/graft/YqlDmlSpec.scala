@@ -200,6 +200,47 @@ class YqlDmlSpec extends SparkSpec {
     drop("dmlspec_ret")
   }
 
+  test("INSERT OR ABORT/IGNORE conflict policies; BATCH modifier") {
+    drop("dmlspec_io")
+    val df = YqlSql.sql(spark,
+      """CREATE TABLE dmlspec_io (k Int64, v Utf8, PRIMARY KEY (k));
+        |INSERT OR IGNORE INTO dmlspec_io VALUES (1, 'a'), (2, 'b');
+        |INSERT OR IGNORE INTO dmlspec_io VALUES (2, 'DUP'), (3, 'c') RETURNING k, v;
+        |SELECT k, v FROM dmlspec_io""".stripMargin)
+    // the conflicting key 2 was skipped, 3 inserted
+    assert(df.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // ABORT: any existing key fails the statement, nothing written
+    val e = intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        "INSERT OR ABORT INTO dmlspec_io VALUES (3, 'x'), (9, 'y'); SELECT 1 AS one")
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(spark.table("dmlspec_io").count() == 3)
+    // fresh keys pass ABORT
+    YqlSql.sql(spark,
+      "INSERT OR ABORT INTO dmlspec_io VALUES (9, 'y'); SELECT 1 AS one")
+    assert(spark.table("dmlspec_io").count() == 4)
+    // BATCH DELETE/UPDATE validate and drop the modifier
+    YqlSql.sql(spark,
+      "BATCH DELETE FROM dmlspec_io WHERE k = 9; SELECT 1 AS one")
+    assert(spark.table("dmlspec_io").count() == 3)
+    YqlSql.sql(spark,
+      "BATCH UPDATE dmlspec_io SET v = 'Z' WHERE k = 1; SELECT 1 AS one")
+    assert(spark.table("dmlspec_io").filter("k = 1").select("v")
+      .as[String].head() == "Z")
+    intercept[IllegalArgumentException](
+      YqlScript.lower("BATCH UPSERT INTO t SELECT 1 AS k"))
+    // non-keyed target raises
+    drop("dmlspec_io")
+    spark.sql("CREATE TABLE dmlspec_io (k BIGINT) USING parquet")
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        "INSERT OR IGNORE INTO dmlspec_io VALUES (1); SELECT 1 AS one")
+    }
+    drop("dmlspec_io")
+  }
+
   test("statement rendering round-trips the parsed pieces") {
     val l = YqlScript.lower(
       """UPSERT INTO t (k, v) SELECT 1, 2;
