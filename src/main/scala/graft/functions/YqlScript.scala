@@ -131,6 +131,9 @@ object YqlScript {
     val discards = scala.collection.mutable.ArrayBuffer.empty[String]
     val libCache = scala.collection.mutable.Map
       .empty[String, (Map[String, String], Map[String, Lambda], Set[String])]
+    // modules attached in-script via PRAGMA library('file.sql');
+    // caller-supplied `libraries` win on name collision
+    val pragmaLibs = scala.collection.mutable.Map.empty[String, String]
     val unsupported = Set("ROLLBACK")
     var idx = 0
     while (idx < sts.length) {
@@ -168,7 +171,24 @@ object YqlScript {
         require(firstWord == "DELETE" || firstWord == "UPDATE",
           s"BATCH applies to DELETE/UPDATE, got: ${st.take(40)}")
       }
-      if (firstWord == "PRAGMA") pragmas += st.drop("PRAGMA".length).trim
+      if (firstWord == "PRAGMA") {
+        val p = st.drop("PRAGMA".length).trim
+        pragmas += p
+        // PRAGMA library('lib.sql') (SQLv1.g.in pragma_stmt; the
+        // reference attaches the named file to the translation) — here
+        // the argument is a filesystem path whose BASENAME (minus
+        // extension) becomes the module name IMPORT resolves
+        val lib = "(?i)^library\\s*\\(\\s*('[^']*'|\"[^\"]*\")\\s*\\)$".r
+          .findFirstMatchIn(p)
+        lib.foreach { m =>
+          val path = m.group(1).drop(1).dropRight(1)
+          val f = new java.io.File(path)
+          require(f.isFile, s"PRAGMA library: no such file: $path")
+          val name = f.getName.replaceAll("\\.[^.]*$", "")
+          pragmaLibs(name) =
+            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        }
+      }
       // USE cluster; — cluster selection (SQLv1.g.in use_stmt). This
       // engine is its own single catalog: accepted, validated, no-op.
       else if (firstWord == "USE") {
@@ -260,9 +280,10 @@ object YqlScript {
             s0.stripPrefix("$")
           }
         require(syms.nonEmpty, "IMPORT without symbols")
-        val text = libraries.getOrElse(lib,
-          throw new IllegalArgumentException(
-            s"unknown library `$lib`; register it in the libraries map"))
+        val text = libraries.get(lib).orElse(pragmaLibs.get(lib))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown library `$lib`; register it in the libraries map " +
+            "or attach it with PRAGMA library('path.sql')"))
         val (ls, ll, ex) = libCache.getOrElseUpdate(lib,
           lowerLibrary(lib, text))
         syms.foreach { sym =>

@@ -147,6 +147,27 @@ class YqlScriptSpec extends SparkSpec {
     }
   }
 
+  test("PRAGMA library('file.sql') attaches a module IMPORT can resolve") {
+    val f = java.io.File.createTempFile("graft_lib", ".sql")
+    java.nio.file.Files.writeString(f.toPath,
+      "$mul = ($x) -> ($x * 5);\nEXPORT $mul;")
+    val libName = f.getName.replaceAll("\\.[^.]*$", "")
+    val l = YqlScript.lower(
+      s"PRAGMA library('${f.getAbsolutePath}');\n" +
+      s"IMPORT $libName SYMBOLS $$mul;\nSELECT $$mul(a) AS m FROM t")
+    assert(l.selects == Seq("SELECT ((a) * 5) AS m FROM t"))
+    // caller-supplied libraries win on name collision
+    val l2 = YqlScript.lower(
+      s"PRAGMA library('${f.getAbsolutePath}');\n" +
+      s"IMPORT $libName SYMBOLS $$mul;\nSELECT $$mul(a) AS m FROM t",
+      libraries = Map(libName -> "$mul = ($x) -> ($x * 9);\nEXPORT $mul;"))
+    assert(l2.selects == Seq("SELECT ((a) * 9) AS m FROM t"))
+    f.delete()
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("PRAGMA library('/nonexistent_lib.sql');\nSELECT 1 AS a")
+    }
+  }
+
   test("IMPORTed DEFINE SUBQUERY template inlines at the call site") {
     val lib = Map("tpl" ->
       """DEFINE SUBQUERY $top($n) AS
