@@ -241,6 +241,20 @@ class YqlDmlSpec extends SparkSpec {
     drop("dmlspec_io")
   }
 
+  test("DELETE/UPDATE predicates may carry IN-subqueries over views") {
+    drop("dmlspec_sq")
+    Seq(1L, 3L).toDF("bad").createOrReplaceTempView("dmlspec_badkeys")
+    val df = YqlSql.sql(spark,
+      """CREATE TABLE dmlspec_sq (k Int64, v Int64, PRIMARY KEY (k));
+        |UPSERT INTO dmlspec_sq VALUES (1, 10), (2, 20), (3, 30), (4, 40);
+        |DELETE FROM dmlspec_sq WHERE k IN (SELECT bad FROM dmlspec_badkeys);
+        |UPDATE dmlspec_sq SET v = v + 1
+        |  WHERE k = (SELECT min(bad) + 1 FROM dmlspec_badkeys);
+        |SELECT k, v FROM dmlspec_sq""".stripMargin)
+    assert(df.as[(Long, Long)].collect().toSet == Set((2L, 21L), (4L, 40L)))
+    drop("dmlspec_sq")
+  }
+
   test("statement rendering round-trips the parsed pieces") {
     val l = YqlScript.lower(
       """UPSERT INTO t (k, v) SELECT 1, 2;
