@@ -114,8 +114,25 @@ object YqlDml {
     val cur = spark.table(target)
     val schema = cur.schema
     val src = aligned(src0, cols, schema, verb)
+    checkColumns(src.columns.toSeq, keys, schema, verb)
+    val (image, written) = upsertImage(cur, src, keys, replace)
+    // RETURNING: the WRITTEN rows' new image (rows whose key the
+    // source carried), snapshotted BEFORE the swap so a
+    // self-referencing source cannot re-read post-write state
+    val ret = returning.map(cols0 => snapshot(written, cols0, schema))
+    overwrite(spark, target, image)
+    ret
+  }
+
+  /** The UPSERT/REPLACE merge image: (full new table image, written
+    * rows' new image). One full-outer sort-merge join keyed on the
+    * table keys — the plan shape YqlDmlPlanSpec pins: exactly the two
+    * key exchanges (full outer cannot broadcast), no nested-loop or
+    * cartesian anywhere, the projection folded into the join output. */
+  private[graft] def upsertImage(cur: DataFrame, src: DataFrame,
+      keys: Seq[String], replace: Boolean): (DataFrame, DataFrame) = {
+    val schema = cur.schema
     val listed = src.columns.toSeq
-    checkColumns(listed, keys, schema, verb)
     val s = src.dropDuplicates(keys).withColumn("__gs", lit(true)).alias("s")
     val t = cur.alias("t")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
@@ -130,14 +147,8 @@ object YqlDml {
         else col(s"t.$c")
       merged.cast(f.dataType).as(c)
     }
-    val image = t.join(s, cond, "full_outer")
-    // RETURNING: the WRITTEN rows' new image (rows whose key the
-    // source carried), snapshotted BEFORE the swap so a
-    // self-referencing source cannot re-read post-write state
-    val ret = returning.map(cols0 =>
-      snapshot(image.filter(sExists).select(out: _*), cols0, schema))
-    overwrite(spark, target, image.select(out: _*))
-    ret
+    val joined = t.join(s, cond, "full_outer")
+    (joined.select(out: _*), joined.filter(sExists).select(out: _*))
   }
 
   /** `INSERT OR ABORT|REVERT|IGNORE INTO` (SQLv1.g.in:579): keyed
