@@ -141,7 +141,8 @@ object YqlScript {
       // DO BEGIN / EVALUATE ... DO BEGIN inline bodies: internal ';'
       // were statement splits — rejoin until every BEGIN (including an
       // ELSE branch's) has its closing END DO
-      if (st.takeWhile(_.isLetter).toUpperCase.matches("DO|EVALUATE") &&
+      if (st.takeWhile(_.isLetter).toUpperCase
+            .matches("DO|EVALUATE|IF|FOR|PARALLEL") &&
           findTopKw(st, "BEGIN") >= 0) {
         def countTopKw(s: String, kw: String): Int = {
           var c = 0; var at = findTopKw(s, kw)
@@ -257,12 +258,28 @@ object YqlScript {
       // (evaluate_for_stmt): translation-time loop unrolling.
       // EVALUATE IF <cond> DO ... [ELSE DO ...] (evaluate_if_stmt):
       // the condition folds through the evalCond hook.
-      else if (firstWord == "EVALUATE") {
-        if ("(?i)^EVALUATE\\s+IF\\b".r.findFirstIn(st).isDefined)
+      // if_stmt/for_stmt (SQLv1.g.in:949-950): the EVALUATE prefix is
+      // OPTIONAL, and FOR takes an optional PARALLEL hint (unrolled
+      // bodies here are independent statements either way)
+      else if (firstWord == "EVALUATE" || firstWord == "IF" ||
+          firstWord == "FOR" || firstWord == "PARALLEL") {
+        var norm = st
+        if (firstWord == "PARALLEL") {
+          norm = norm.drop("PARALLEL".length).trim
+          require(norm.takeWhile(_.isLetter).equalsIgnoreCase("FOR"),
+            s"PARALLEL applies to FOR, got: ${norm.take(40)}")
+        }
+        if (!norm.takeWhile(_.isLetter).equalsIgnoreCase("EVALUATE"))
+          norm = "EVALUATE " + norm
+        if ("(?i)^EVALUATE\\s+IF\\b".r.findFirstIn(norm).isDefined)
           sts.insertAll(idx + 1,
-            evaluateIf(st, actions, scalars, lambdas, evalCond))
-        else
-          sts.insertAll(idx + 1, evaluateFor(st, actions, scalars, lambdas))
+            evaluateIf(norm, actions, scalars, lambdas, evalCond))
+        else {
+          // EVALUATE PARALLEL FOR normalizes to EVALUATE FOR
+          norm = "(?i)^EVALUATE\\s+PARALLEL\\s+FOR\\b".r
+            .replaceFirstIn(norm, "EVALUATE FOR")
+          sts.insertAll(idx + 1, evaluateFor(norm, actions, scalars, lambdas))
+        }
       }
       // IMPORT lib SYMBOLS $a, $b; (SQLv1.g.in import_stmt): bind the
       // library module's EXPORTed named nodes into this script's scope.

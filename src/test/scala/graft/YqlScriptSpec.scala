@@ -484,6 +484,28 @@ class YqlScriptSpec extends SparkSpec {
     }
   }
 
+  test("plain IF/FOR (EVALUATE optional), PARALLEL FOR, top-level VALUES") {
+    // if_stmt/for_stmt (SQLv1.g.in:949-950): EVALUATE? IF / EVALUATE?
+    // PARALLEL? FOR
+    val l = YqlScript.lower(
+      "FOR $i IN [4, 5] DO BEGIN SELECT $i AS v; END DO")
+    assert(l.selects == Seq("SELECT (4) AS v", "SELECT (5) AS v"))
+    val l2 = YqlScript.lower(
+      "PARALLEL FOR $i IN AsList(1) DO BEGIN SELECT $i AS v; END DO")
+    assert(l2.selects == Seq("SELECT (1) AS v"))
+    val df = YqlSql.sql(spark,
+      """$n = 7;
+        |IF $n > 5 DO BEGIN SELECT 'big' AS verdict; END DO
+        |ELSE DO BEGIN SELECT 'small' AS verdict; END DO""".stripMargin)
+    assert(df.as[String].head() == "big")
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("PARALLEL SELECT 1 AS a")
+    }
+    // values_stmt (SQLv1.g.in:586): a bare VALUES statement is a result
+    val v = YqlSql.sql(spark, "VALUES (1, 'a'), (2, 'b');")
+    assert(v.count() == 2)
+  }
+
   test("EVALUATE IF folds its condition through Catalyst and picks a branch") {
     val df = YqlSql.sql(spark,
       """$n = 7;
