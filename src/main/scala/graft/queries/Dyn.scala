@@ -40,6 +40,22 @@ object Dyn {
     "dyn_upsert_latest" -> ((s, d) =>
       DynTable.readLatest(log(s, d), Seq("k"))),
 
+    // Resharding (tablet pivot keys, reshard-table.md): tabletOf maps
+    // each key to the tablet whose [pivot_i, pivot_i+1) range holds it;
+    // the oracle replays the pivot arithmetic, proving the boundary
+    // semantics (inclusive lower pivots) exactly — the per-tablet
+    // min/max also pin that ranges never overlap.
+    "dyn_reshard" -> ((s, d) => {
+      val pivots = Seq(500L, 2000L, 10000L)
+      DynTable.reshard(
+        t(s, d, "orders").select(col("o_orderkey").as("k")), "k", pivots)
+        .groupBy("tablet_index")
+        .agg(count("k").cast("long").as("n"),
+          min("k").as("lo"), max("k").as("hi"))
+        .select(col("tablet_index").cast("int").as("tablet_index"),
+          col("n"), col("lo"), col("hi"))
+    }),
+
     // Major compaction transparency (store_compactor.cpp semantics):
     // compact the log's older half, keep the newer half as live writes,
     // read latest — the oracle merges the FULL history, so the compare
@@ -455,6 +471,16 @@ object Dyn {
          |ranked AS (SELECT k, ts, op, price, status,
          |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM merged)
          |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    "dyn_reshard" ->
+      """SELECT CAST(tablet_index AS INTEGER) AS tablet_index,
+           CAST(COUNT(k) AS BIGINT) AS n, min(k) AS lo, max(k) AS hi
+         FROM (SELECT o_orderkey AS k,
+             (CASE WHEN o_orderkey >= 500 THEN 1 ELSE 0 END +
+              CASE WHEN o_orderkey >= 2000 THEN 1 ELSE 0 END +
+              CASE WHEN o_orderkey >= 10000 THEN 1 ELSE 0 END) AS tablet_index
+           FROM orders) t
+         GROUP BY tablet_index""",
 
     // compaction is invisible: the oracle is the full-history merge
     "dyn_compact" ->

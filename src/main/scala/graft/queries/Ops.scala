@@ -19,6 +19,23 @@ object Ops {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Map operation: per-row user transform as a partition closure
     // (user_job.cpp mapper ≈ Scala closure).
+    // OrderedMap (ordered_controller.cpp): per-partition transform
+    // preserving input row order. The map emits each row WITH ITS
+    // PREDECESSOR — a chain only an order-preserving pass can produce —
+    // and the oracle replays it as lag() over the sort order, so any
+    // reordering breaks the value compare. Single split here makes the
+    // chain global (the per-partition contract at scale is the same
+    // chain per split; specs cover multi-split).
+    "op_map_ordered" -> ((s, d) => {
+      import s.implicits._
+      val sorted = t(s, d, "orders").select(col("o_orderkey").as("k"))
+        .orderBy("k").coalesce(1).as[Long]
+      Operations.mapOrdered(sorted) { it =>
+        var prev = -1L
+        it.map { k => val r = (k, prev); prev = k; r }
+      }.toDF("k", "prev_k")
+    }),
+
     "op_map" -> ((s, d) => {
       val in = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))
@@ -317,6 +334,9 @@ object Ops {
          SELECT 1, CAST(COUNT(*) AS BIGINT),
            ROUND(SUM(l_quantity), 2)
          FROM lineitem WHERE l_orderkey < 1000""",
+    "op_map_ordered" ->
+      """SELECT k, coalesce(lag(k) OVER (ORDER BY k), -1) AS prev_k
+         FROM (SELECT o_orderkey AS k FROM orders) t""",
     "op_map" ->
       """SELECT l_returnflag || '/' || l_linestatus AS flag, COUNT(*) AS cnt,
            CAST(SUM(l_orderkey * 10 + l_linenumber) AS BIGINT) AS sum_uid
