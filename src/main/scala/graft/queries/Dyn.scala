@@ -40,6 +40,22 @@ object Dyn {
     "dyn_upsert_latest" -> ((s, d) =>
       DynTable.readLatest(log(s, d), Seq("k"))),
 
+    // Computed key columns (column_evaluator.h EvaluateKeys; the
+    // write-path evaluation the derived-predicate pruning rule relies
+    // on): the computed `h := k % 120` materializes on write, and the
+    // oracle replays the arithmetic over the key-range read — the
+    // evaluation semantics themselves hash-gated (the pruning side
+    // keeps its ql_computed_columns_ut.cpp port specs).
+    "dyn_computed_column" -> ((s, d) => {
+      import graft.plans.ComputedColumns
+      val spec = ComputedColumns.Spec("k", "h", (c: org.apache.spark.sql.Column) => c % 120)
+      ComputedColumns.withComputed(
+        t(s, d, "orders").select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("p")), spec)
+        .filter(col("k") >= 100 && col("k") < 5000)
+        .select(col("h").cast("long").as("h"), col("k"), col("p"))
+    }),
+
     // Resharding (tablet pivot keys, reshard-table.md): tabletOf maps
     // each key to the tablet whose [pivot_i, pivot_i+1) range holds it;
     // the oracle replays the pivot arithmetic, proving the boundary
@@ -472,6 +488,10 @@ object Dyn {
          |  row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM merged)
          |SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'upsert'""".stripMargin,
 
+    "dyn_computed_column" ->
+      """SELECT CAST(k % 120 AS BIGINT) AS h, k, p
+         FROM (SELECT o_orderkey AS k, o_totalprice AS p FROM orders) t
+         WHERE k >= 100 AND k < 5000""",
     "dyn_reshard" ->
       """SELECT CAST(tablet_index AS INTEGER) AS tablet_index,
            CAST(COUNT(k) AS BIGINT) AS n, min(k) AS lo, max(k) AS hi
