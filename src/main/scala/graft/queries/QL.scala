@@ -24,6 +24,33 @@ object QL {
     Tables.load(s, dir, name)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // UDF/UDAF extension surface (the reference's registered-UDF
+    // contract, test_udf/test_udaf): a USER-defined scalar udf and an
+    // Aggregator-backed UDAF run inside a grouped query, value-exact
+    // against the oracle's replayed arithmetic. Integer-only so the
+    // compare is bit-exact; the spec-side ports keep covering
+    // signature/registration breadth.
+    "ql_udaf_custom" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Aggregator
+      import org.apache.spark.sql.Encoders
+      val sumSq = new Aggregator[java.lang.Long, Long, Long] {
+        def zero: Long = 0L
+        def reduce(b: Long, a: java.lang.Long): Long =
+          b + (if (a == null) 0L else (a % 97L) * (a % 97L))
+        def merge(b1: Long, b2: Long): Long = b1 + b2
+        def finish(r: Long): Long = r
+        def bufferEncoder = Encoders.scalaLong
+        def outputEncoder = Encoders.scalaLong
+      }
+      s.udf.register("graft_sumsq97", org.apache.spark.sql.functions.udaf(sumSq))
+      s.udf.register("graft_mix", (k: Long) => (k * 31L + 7L) % 1000L)
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderpriority,
+                 CAST(graft_sumsq97(o_orderkey) AS BIGINT) AS ssq,
+                 CAST(SUM(graft_mix(o_custkey)) AS BIGINT) AS mix
+               FROM orders GROUP BY o_orderpriority""")
+    }),
+
     // Scan + projection pruning: only 2 columns must reach the parquet scan.
     "ql_scan" -> ((s, d) =>
       t(s, d, "nation").select(col("n_nationkey").cast("long").as("n_nationkey"),
@@ -305,6 +332,11 @@ object QL {
   )
 
   val oracles: Map[String, String] = Map(
+    "ql_udaf_custom" ->
+      """SELECT o_orderpriority,
+           CAST(SUM((o_orderkey % 97) * (o_orderkey % 97)) AS BIGINT) AS ssq,
+           CAST(SUM((o_custkey * 31 + 7) % 1000) AS BIGINT) AS mix
+         FROM orders GROUP BY o_orderpriority""",
     "ql_any_compare" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
          CASE WHEN [l_orderkey % 7, CAST(l_linenumber AS BIGINT)] <

@@ -17,6 +17,18 @@ object Strm {
     Tables.load(s, dir, name)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact streaming dedup, BATCH contract: dedupStream falls back to
+    // dropDuplicates on a non-streaming frame. The projection is
+    // key-determined (every column a function of the dedup key), so
+    // which duplicate survives is immaterial and the oracle is a plain
+    // DISTINCT — the streaming side (watermark-bounded state) keeps
+    // its MemoryStream specs.
+    "strm_dedup_exact" -> ((s, d) =>
+      Streams.dedupStream(
+        t(s, d, "events").select((col("event_id") % 500).as("k"),
+          ((col("event_id") % 500) * 3 + 1).as("v")),
+        Seq("k"))),
+
     // Hopping window 6h size / 3h hop (mkql_multihopping.h): each
     // event contributes to two windows.
     "strm_window_hopping" -> ((s, d) =>
@@ -105,6 +117,9 @@ object Strm {
         .groupBy(col("value")).agg(count(lit(1)).as("cnt"))))
 
   val oracles: Map[String, String] = Map(
+    "strm_dedup_exact" ->
+      """SELECT DISTINCT event_id % 500 AS k,
+           (event_id % 500) * 3 + 1 AS v FROM events""",
     "strm_time_order_recover" ->
       """SELECT user_id, event_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
