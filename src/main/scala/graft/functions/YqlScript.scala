@@ -29,12 +29,24 @@ package graft.functions
   *     (single catalog; statements already execute in source order);
   *   - `INSERT INTO target [WITH TRUNCATE] SELECT ...` → Spark
   *     `INSERT INTO` / `INSERT OVERWRITE TABLE`, interleaved with
-  *     SELECTs in source order.
+  *     SELECTs in source order;
+  *   - the DML verbs over KEYED tables (SQLv1.g.in:579,968-969):
+  *     `UPSERT INTO` / `REPLACE INTO`, `INSERT OR
+  *     ABORT|REVERT|IGNORE`, `[BATCH] DELETE FROM ... [WHERE|ON]`,
+  *     `[BATCH] UPDATE ... [SET ...|ON]`, each with an optional
+  *     `RETURNING *|cols` — parsed here, executed by [[YqlDml]];
+  *   - script DDL (:647,:698,:833): `CREATE TABLE (cols, PRIMARY
+  *     KEY)` / CTAS / `DROP TABLE [IF EXISTS]` / ALTER pass-through;
+  *   - `IMPORT lib SYMBOLS $f` / library `EXPORT` modules, attached
+  *     via the caller's libraries map or `PRAGMA library('f.sql')`;
+  *   - `[EVALUATE] IF` / `[EVALUATE] [PARALLEL] FOR` statement
+  *     folding/unrolling, `DO` action splicing, bare `VALUES`.
   *
   * Everything is a source-to-source rewrite: Catalyst still does all
   * parsing, resolution and optimization of the final text, so the
   * whole surface (joins, windows, aggregates) composes with these
-  * spellings for free. Scripts evaluate to the LAST select statement.
+  * spellings for free. Scripts evaluate to the LAST result-producing
+  * statement (a SELECT, VALUES, or DML-with-RETURNING).
   */
 object YqlScript {
 

@@ -73,7 +73,11 @@ object QLParser {
         if (i + 1 < n && s.charAt(i + 1) == '/' && close > i) {
           out += TTable(s.substring(i + 1, close), i); i = close + 1
         } else if (i + 1 < n && s.charAt(i + 1) == '$' && close > i &&
-            s.substring(i + 2, close).forall(isIdentChar)) {
+            s.substring(i + 2, close)
+              .matches("[A-Za-z_][A-Za-z0-9_]*(:[A-Za-z_][A-Za-z0-9_]*)?")) {
+          // [$tablet_index] (test_query.py:2332) and the per-column
+          // read-timestamp refs [$timestamp:col] (test_query.py:2183
+          // test_versioned_select) — one bracket-escaped identifier
           out += TIdent(s.substring(i + 1, close), i); i = close + 1
         } else { out += TOp("[", i); i += 1 }
       } else if (c == '`') {

@@ -212,6 +212,24 @@ object Dyn {
       DynTable.readLatestColumns(l, Seq("k"), withTimestamps = true)
     }),
 
+    // The STRING-surface form of the versioned read (test_query.py:2183
+    // test_versioned_select): `[$timestamp:col]` bracket-escaped
+    // per-column read-timestamp references inside a SelectRows query
+    // string, aliased and filtered like any column — the API-level
+    // merge is dyn_partial_update's; here the QL lexer/emitter path is
+    // under test too.
+    "dyn_ts_string" -> ((s, d) => {
+      val l = log(s, d).withColumn("written",
+        when(col("ts") % 3 === 1, array(lit("price")))
+          .when(col("ts") % 3 === 2, array(lit("status"))))
+      val merged = DynTable.readLatestColumns(l, Seq("k"), withTimestamps = true)
+      graft.ql.SelectRows(s,
+        """k, price, [$timestamp:price] as ts_price,
+          |[$timestamp:status] as ts_status
+          |from [//tmp/vt] where k % 5 = 0""".stripMargin,
+        Map("//tmp/vt" -> merged))
+    }),
+
     // Unmerged read (`merge_versioned_rows=%false`, test_query.py
     // test_read_without_merge_sorted): versions merge within a store
     // but not across stores — one row per (key, store) version state.
@@ -575,6 +593,28 @@ object Dyn {
          |  CASE WHEN tsp > coalesce(del_ts, -1) THEN tsp END AS "$$timestamp:price",
          |  CASE WHEN tss > coalesce(del_ts, -1) THEN tss END AS "$$timestamp:status"
          |FROM agg WHERE coalesce(up_ts, -1) > coalesce(del_ts, -1)""".stripMargin,
+
+    "dyn_ts_string" ->
+      s"""WITH log AS (SELECT *,
+         |    CASE WHEN ts % 3 = 1 THEN ['price']
+         |         WHEN ts % 3 = 2 THEN ['status'] END AS written
+         |  FROM ($logSql)),
+         |agg AS (SELECT k,
+         |    max(CASE WHEN op = 'delete' THEN ts END) AS del_ts,
+         |    max(CASE WHEN op = 'upsert' THEN ts END) AS up_ts,
+         |    arg_max(price, ts) FILTER (op = 'upsert'
+         |      AND (written IS NULL OR list_contains(written, 'price'))) AS v_price,
+         |    max(ts) FILTER (op = 'upsert'
+         |      AND (written IS NULL OR list_contains(written, 'price'))) AS tsp,
+         |    max(ts) FILTER (op = 'upsert'
+         |      AND (written IS NULL OR list_contains(written, 'status'))) AS tss
+         |  FROM log GROUP BY k)
+         |SELECT k,
+         |  CASE WHEN tsp > coalesce(del_ts, -1) THEN v_price END AS price,
+         |  CASE WHEN tsp > coalesce(del_ts, -1) THEN tsp END AS ts_price,
+         |  CASE WHEN tss > coalesce(del_ts, -1) THEN tss END AS ts_status
+         |FROM agg
+         |WHERE coalesce(up_ts, -1) > coalesce(del_ts, -1) AND k % 5 = 0""".stripMargin,
 
     "dyn_read_unmerged" ->
       s"""WITH log AS (SELECT *, CAST(ts // 2000 AS BIGINT) AS store
