@@ -255,6 +255,23 @@ class YqlDmlSpec extends SparkSpec {
     drop("dmlspec_sq")
   }
 
+  test("self-referencing sources read the pre-write image (staged swap)") {
+    drop("dmlspec_self")
+    val df = YqlSql.sql(spark,
+      """CREATE TABLE dmlspec_self (k Int64, v Int64, PRIMARY KEY (k));
+        |UPSERT INTO dmlspec_self VALUES (1, 10), (2, 20);
+        |UPSERT INTO dmlspec_self SELECT k, v + 1 AS v FROM dmlspec_self;
+        |SELECT k, v FROM dmlspec_self""".stripMargin)
+    assert(df.as[(Long, Long)].collect().toSet == Set((1L, 11L), (2L, 21L)))
+    // and with RETURNING: the snapshot is of the pre-swap merge, so a
+    // self-referencing source cannot observe its own write
+    val ret = YqlSql.sql(spark,
+      "UPSERT INTO dmlspec_self SELECT k + 10 AS k, v FROM dmlspec_self RETURNING k, v")
+    assert(ret.as[(Long, Long)].collect().toSet == Set((11L, 11L), (12L, 21L)))
+    assert(spark.table("dmlspec_self").count() == 4)
+    drop("dmlspec_self")
+  }
+
   test("statement rendering round-trips the parsed pieces") {
     val l = YqlScript.lower(
       """UPSERT INTO t (k, v) SELECT 1, 2;
