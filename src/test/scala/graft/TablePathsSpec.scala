@@ -93,6 +93,18 @@ class TablePathsSpec extends SparkSpec {
     assert(e == "2024-02-01")
   }
 
+  test("filters push down into the glob scan; TableName() fans out per member") {
+    val df = YqlSql.sql(spark,
+      s"SELECT k FROM RANGE('$dir', '2024-01-01', '2024-01-03') WHERE k >= 2")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThanOrEqual"),
+      s"filter not pushed to the multi-member scan: $scan")
+    // provenance forces one scan per member (the literal-per-scan price)
+    val prov = YqlSql.sql(spark,
+      s"SELECT TableName() AS t, k FROM RANGE('$dir', '2024-01-01', '2024-01-03')")
+    assert(prov.queryExecution.executedPlan.collectLeaves().length == 3)
+  }
+
   test("scalar CONCAT/LIKE spellings are untouched; errors are clear") {
     // string concat in a projection is NOT a table function
     assert(YqlSql.sql(spark, "SELECT CONCAT('a', 'b') AS x")
