@@ -913,7 +913,11 @@ object QLEmitter {
     * shadowed. */
   private val qlOnlyNames = Map(
     "if" -> "ql__if", "greatest" -> "ql__greatest",
-    "transform" -> "ql__transform", "cardinality" -> "ql__cardinality")
+    "transform" -> "ql__transform", "cardinality" -> "ql__cardinality",
+    // QL strings are BYTE strings (builtin_function_registry.cpp:30
+    // registers length: String → Int64 over the byte payload); Spark's
+    // length counts characters, so the spelling maps to octet_length
+    "length" -> "octet_length")
 
   /** QL aggregate-function names (builtin_function_registry.cpp
     * aggregate section) — used to keep aggregate-bearing select items

@@ -515,11 +515,15 @@ object SelectRows {
       .replaceAllIn(q, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     // 9. QL spellings that collide with Spark builtins of different
     //    semantics route to the prefixed registry entries (the parser
-    //    path does this in QLEmitter); applied only OUTSIDE string
-    //    literals so a constant like 'if(x)' is left untouched
+    //    path does this in QLEmitter); `length` is QL's BYTE length →
+    //    octet_length; applied only OUTSIDE string literals so a
+    //    constant like 'if(x)' is left untouched
     q = mapOutsideQuotes(q,
-      seg => "(?i)\\b(if|greatest|transform|cardinality)\\s*\\(".r
-        .replaceAllIn(seg, m => "ql__" + m.group(1).toLowerCase + "("))
+      seg => "(?i)\\b(if|greatest|transform|cardinality|length)\\s*\\(".r
+        .replaceAllIn(seg, m => {
+          val n = m.group(1).toLowerCase
+          (if (n == "length") "octet_length" else "ql__" + n) + "("
+        }))
     q.replaceAll("\\s+", " ").trim
   }
 

@@ -51,6 +51,17 @@ object QL {
                FROM orders GROUP BY o_orderpriority""")
     }),
 
+    // QL `length` is BYTE length (builtin_function_registry.cpp:30 —
+    // QL strings are byte payloads): the spelling lowers to
+    // octet_length, and the oracle uses DuckDB's strlen (bytes). The
+    // multibyte suffix makes char-counting diverge by 1 per row.
+    "ql_fn_length" -> ((s, d) =>
+      graft.ql.SelectRows(s,
+        """n_name, length(n_name) as blen,
+          |length(concat(n_name, 'é')) as blen2
+          |from [//nation]""".stripMargin,
+        Map("//nation" -> t(s, d, "nation")))),
+
     // Scan + projection pruning: only 2 columns must reach the parquet scan.
     "ql_scan" -> ((s, d) =>
       t(s, d, "nation").select(col("n_nationkey").cast("long").as("n_nationkey"),
@@ -332,6 +343,10 @@ object QL {
   )
 
   val oracles: Map[String, String] = Map(
+    "ql_fn_length" ->
+      """SELECT n_name, CAST(strlen(n_name) AS INTEGER) AS blen,
+           CAST(strlen(n_name || 'é') AS INTEGER) AS blen2
+         FROM nation""",
     "ql_udaf_custom" ->
       """SELECT o_orderpriority,
            CAST(SUM((o_orderkey % 97) * (o_orderkey % 97)) AS BIGINT) AS ssq,
