@@ -38,6 +38,12 @@ object YqlDml {
   /** Table property naming the key columns of a keyed table. */
   val KeyProp = "graft.key_columns"
 
+  /** Table property set by the DDL when every key column is NOT NULL
+    * (parquet reads erase DDL nullability, so the fact must ride the
+    * catalog): lets the merge join use plain key equality, which a
+    * bucketed table satisfies without shuffling. */
+  val NonNullProp = "graft.keys_nonnull"
+
   /** DROP TABLE IF EXISTS plus removal of a stale warehouse location.
     * With the default in-memory catalog a restart forgets the table
     * metadata but leaves its managed directory on disk, so the next
@@ -65,6 +71,10 @@ object YqlDml {
       .collectFirst { case r if r.getString(0) == KeyProp => r.getString(1) }
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
+
+  def keysNonNull(spark: SparkSession, target: String): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES $target").collect()
+      .exists(r => r.getString(0) == NonNullProp && r.getString(1) == "true")
 
   private def requireKeyed(spark: SparkSession, target: String,
       verb: String): Seq[String] = {
@@ -101,6 +111,19 @@ object YqlDml {
       s"$verb source must include every key column (${keys.mkString(", ")})")
   }
 
+  /** The merge-join key condition. Null-safe `<=>` in general (YT key
+    * columns may be null); PLAIN `===` when every key field is
+    * non-nullable in the table schema — the equality Spark can satisfy
+    * from a BUCKETED table's hash distribution, so the big side of the
+    * merge never shuffles (a `<=>` join hashes coalesce(k)/isnull(k)
+    * and cannot reuse the buckets). A null-keyed source row then
+    * surfaces as a write-time null-constraint error, like the
+    * reference's non-null key check. */
+  private def keyCond(keys: Seq[String], nonNull: Boolean): Column =
+    keys.map(k =>
+      if (nonNull) col(s"t.$k") === col(s"s.$k")
+      else col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+
   /** `UPSERT INTO` / `REPLACE INTO`: full-outer key merge of the
     * source onto the current table image. Duplicate source keys are
     * collapsed (`dropDuplicates` on the keys): the reference's
@@ -115,7 +138,8 @@ object YqlDml {
     val schema = cur.schema
     val src = aligned(src0, cols, schema, verb)
     checkColumns(src.columns.toSeq, keys, schema, verb)
-    val (image, written) = upsertImage(cur, src, keys, replace)
+    val (image, written) =
+      upsertImage(cur, src, keys, replace, keysNonNull(spark, target))
     // RETURNING: the WRITTEN rows' new image (rows whose key the
     // source carried), snapshotted BEFORE the swap so a
     // self-referencing source cannot re-read post-write state
@@ -130,12 +154,13 @@ object YqlDml {
     * key exchanges (full outer cannot broadcast), no nested-loop or
     * cartesian anywhere, the projection folded into the join output. */
   private[graft] def upsertImage(cur: DataFrame, src: DataFrame,
-      keys: Seq[String], replace: Boolean): (DataFrame, DataFrame) = {
+      keys: Seq[String], replace: Boolean,
+      nonNullKeys: Boolean = false): (DataFrame, DataFrame) = {
     val schema = cur.schema
     val listed = src.columns.toSeq
     val s = src.dropDuplicates(keys).withColumn("__gs", lit(true)).alias("s")
     val t = cur.alias("t")
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val cond = keyCond(keys, nonNullKeys)
     val sExists = col("s.__gs")
     val out = schema.fields.toSeq.map { f =>
       val c = f.name
@@ -269,7 +294,7 @@ object YqlDml {
       "UPDATE ... ON source must carry at least one non-key column")
     val s = src.dropDuplicates(keys).withColumn("__gs", lit(true)).alias("s")
     val t = cur.alias("t")
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val cond = keyCond(keys, keysNonNull(spark, target))
     val sExists = col("s.__gs")
     val out = schema.fields.toSeq.map { f =>
       val c = f.name

@@ -838,8 +838,6 @@ object YqlScript {
       val rest = m.group(3).trim
       if (rest.startsWith("(")) {
         val close = matchParen(rest, 0)
-        require(rest.substring(close + 1).trim.isEmpty,
-          s"trailing text after the CREATE TABLE column list: ${st.take(60)}")
         var keys = Seq.empty[String]
         val cols = splitTopLevel(rest.substring(1, close)).map(_.trim)
           .filter(_.nonEmpty).flatMap { item =>
@@ -856,15 +854,73 @@ object YqlScript {
                 .findFirstMatchIn(item).getOrElse(
                   throw new IllegalArgumentException(
                     s"malformed column definition: ${item.take(60)}"))
-              Some(cm.group(1) + " " +
-                declaredSparkType(cm.group(2)).getOrElse(cm.group(2)))
+              // `Type [NOT NULL]` — map the type, keep the constraint
+              val rawTy = cm.group(2).trim
+              val notNull = "(?i)\\s+NOT\\s+NULL$".r.findFirstIn(rawTy).isDefined
+              val ty = "(?i)\\s+NOT\\s+NULL$".r.replaceFirstIn(rawTy, "")
+              Some((cm.group(1),
+                declaredSparkType(ty).getOrElse(ty), notNull))
             }
-          }
+          }.toBuffer
         require(cols.nonEmpty, "CREATE TABLE has no columns")
+        // `PARTITION BY HASH (cols)` + `WITH (UNIFORM_PARTITIONS = n)`
+        // (SQLv1.g.in:690-693): the reference's hash-partitioned keyed
+        // table → Spark BUCKETED-SORTED storage. Partition columns
+        // must be key columns and become NOT NULL (the reference
+        // requires non-null partitioning keys; non-null keys also let
+        // the DML merge join reuse the bucket distribution — the big
+        // side of an UPSERT never shuffles). Other WITH settings
+        // (AUTO_PARTITIONING_*) validate and drop: Spark owns runtime
+        // re-partitioning via AQE.
+        val trail = rest.substring(close + 1).trim
+        var bucketCols = Seq.empty[String]
+        var buckets = 32
+        if (trail.nonEmpty) {
+          val pbm = ("(?i)^PARTITION\\s+BY\\s+HASH\\s*\\(([^)]*)\\)" +
+            "\\s*([\\s\\S]*)$").r.findFirstMatchIn(trail).getOrElse(
+              throw new IllegalArgumentException(
+                s"trailing text after the CREATE TABLE column list: ${st.take(80)}"))
+          bucketCols = pbm.group(1).split(",").toSeq.map(_.trim)
+            .filter(_.nonEmpty)
+          require(bucketCols.nonEmpty, "empty PARTITION BY HASH column list")
+          require(bucketCols.forall(keys.contains),
+            "PARTITION BY HASH columns must be PRIMARY KEY columns")
+          val w = pbm.group(2).trim
+          if (w.nonEmpty) {
+            val wm = "(?i)^WITH\\s*\\(([\\s\\S]*)\\)$".r.findFirstMatchIn(w)
+              .getOrElse(throw new IllegalArgumentException(
+                s"malformed WITH table settings: ${w.take(60)}"))
+            splitTopLevel(wm.group(1)).map(_.trim).filter(_.nonEmpty)
+              .foreach { entry =>
+                val em = "^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*([\\s\\S]+)$".r
+                  .findFirstMatchIn(entry).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"malformed table setting: ${entry.take(60)}"))
+                if (em.group(1).equalsIgnoreCase("UNIFORM_PARTITIONS"))
+                  buckets = em.group(2).trim.toInt
+                // other settings (AUTO_PARTITIONING_*) validate + drop
+              }
+          }
+        }
+        val colSql = cols.map { case (n, t0, nn) =>
+          val forced = nn || bucketCols.contains(n)
+          s"$n $t0" + (if (forced) " NOT NULL" else "")
+        }
+        val bucketSql =
+          if (bucketCols.isEmpty) ""
+          else s" CLUSTERED BY (${bucketCols.mkString(", ")}) " +
+            s"SORTED BY (${bucketCols.mkString(", ")}) INTO $buckets BUCKETS"
+        // parquet reads surface every column nullable regardless of the
+        // DDL, so "all keys NOT NULL" is recorded as a property the DML
+        // merge consults for the bucket-compatible plain-equality join
+        val keysNonNull = keys.nonEmpty && keys.forall(k =>
+          cols.exists { case (n, _, nn) =>
+            n == k && (nn || bucketCols.contains(n)) })
         val props = if (keys.isEmpty) ""
-          else s" TBLPROPERTIES ('graft.key_columns'='${keys.mkString(",")}')"
-        DdlStmt(s"CREATE TABLE $ifNot$name (${cols.mkString(", ")}) " +
-          s"USING parquet$props")
+          else s" TBLPROPERTIES ('graft.key_columns'='${keys.mkString(",")}'" +
+            (if (keysNonNull) ", 'graft.keys_nonnull'='true'" else "") + ")"
+        DdlStmt(s"CREATE TABLE $ifNot$name (${colSql.mkString(", ")}) " +
+          s"USING parquet$bucketSql$props")
       } else if (rest.take(2).equalsIgnoreCase("AS") &&
           (rest.length == 2 || !rest.charAt(2).isLetterOrDigit)) {
         val sel = lowerSelect(substitute(unwrapGroup(rest.drop(2)),

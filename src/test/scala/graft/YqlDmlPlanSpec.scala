@@ -80,6 +80,51 @@ class YqlDmlPlanSpec extends SparkSpec {
     }
   }
 
+  test("PARTITION BY HASH buckets the table; the table side of a merge never shuffles") {
+    graft.functions.YqlDml.dropTableDeep(spark, "dmlplan_bk")
+    graft.functions.YqlSql.sql(spark,
+      """CREATE TABLE dmlplan_bk (k Int64, v Int64, PRIMARY KEY (k))
+        |PARTITION BY HASH (k)
+        |WITH (UNIFORM_PARTITIONS = 4, AUTO_PARTITIONING_BY_SIZE = 'ENABLED');
+        |UPSERT INTO dmlplan_bk
+        |  SELECT CAST(id AS BIGINT) AS k, id * 2 AS v FROM range(5000);
+        |SELECT 1 AS one""".stripMargin)
+    // hash-partition keys are forced NOT NULL, recorded as the
+    // keys_nonnull property (parquet reads erase DDL nullability) —
+    // what lets the merge join reuse the bucket distribution
+    assert(graft.functions.YqlDml.keysNonNull(spark, "dmlplan_bk"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val src = spark.range(2500, 7500)
+        .select(org.apache.spark.sql.functions.col("id").as("k"),
+          (org.apache.spark.sql.functions.col("id") * 3).as("v"))
+      val (image, _) = graft.functions.YqlDml.upsertImage(
+        spark.table("dmlplan_bk"), src, Seq("k"), replace = false,
+        nonNullKeys = true)
+      assert(image.count() == 7500)
+      val nodes = allNodes(image.queryExecution.executedPlan)
+      // the bucketed table's scan sits under NO exchange: only the
+      // source side shuffles (to the bucket count)
+      val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty, "expected the source side to shuffle")
+      shuffles.foreach { sh =>
+        val leaves = allNodes(sh).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(leaves.forall(!_.toString.contains("dmlplan_bk")),
+          "the bucketed table side must not shuffle")
+      }
+      val scan = nodes.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("dmlplan_bk") => f
+      }
+      assert(scan.nonEmpty && scan.head.bucketedScan,
+        "expected a bucketed scan of the keyed table")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    graft.functions.YqlDml.dropTableDeep(spark, "dmlplan_bk")
+  }
+
   test("DELETE WHERE is a single filtered pass; DELETE ON a keyed anti join") {
     val cur = (0L until 1000L).map(k => (k, k * 2)).toDF("k", "n")
     val remaining = cur.filter(!(org.apache.spark.sql.functions.col("k") % 7 === 0))
