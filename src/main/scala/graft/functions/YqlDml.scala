@@ -50,6 +50,13 @@ object YqlDml {
     * CREATE TABLE fails with locationAlreadyExists; a metastore-backed
     * deployment doesn't need this. */
   def dropTableDeep(spark: SparkSession, name: String): Unit = {
+    val bare = name.stripPrefix("`").stripSuffix("`")
+    // a keyed table's registered secondary indexes go with it
+    if (spark.catalog.tableExists(bare))
+      indexes(spark, name).values.foreach { case (_, _, idxTable) =>
+        if (idxTable.nonEmpty && idxTable != bare)
+          dropTableDeep(spark, s"`$idxTable`")
+      }
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir", "")
     if (wh.nonEmpty) {
@@ -344,8 +351,90 @@ object YqlDml {
       java.lang.Integer.toHexString(target.hashCode & 0x7fffffff)
     spark.sql(s"DROP TABLE IF EXISTS `$stage`")
     df.write.format("parquet").saveAsTable(stage)
+    // SYNC secondary indexes rebuild from the NEW image into their own
+    // stages BEFORE the target swap: a failed rebuild (e.g. a unique
+    // conflict) aborts the whole statement with the target untouched —
+    // the reference's atomic write+index contract. A full rebuild per
+    // statement is the correct full-sync semantics; delta maintenance
+    // is the production optimization the per-key merge already enables.
+    val idxs = indexes(spark, target)
+    val idxStages = idxs.toSeq.map { case (name, (cols, unique, idxTable)) =>
+      val image =
+        if (overwrite) spark.table(s"`$stage`")
+        else spark.table(target).unionByName(spark.table(s"`$stage`"))
+      val keys = keyColumns(spark, target)
+      val built = if (unique) graft.plans.SecondaryIndex.buildUnique(image, cols, keys)
+        else graft.plans.SecondaryIndex.build(image, cols, keys)
+      val is = s"${idxTable}__stage"
+      spark.sql(s"DROP TABLE IF EXISTS `$is`")
+      built.write.format("parquet").saveAsTable(is)
+      (idxTable, is)
+    }
     val kw = if (overwrite) "OVERWRITE TABLE" else "INTO"
-    try spark.sql(s"INSERT $kw $target SELECT * FROM `$stage`")
-    finally spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+    try {
+      spark.sql(s"INSERT $kw $target SELECT * FROM `$stage`")
+      idxStages.foreach { case (idxTable, is) =>
+        spark.sql(s"INSERT OVERWRITE TABLE `$idxTable` SELECT * FROM `$is`")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+      idxStages.foreach { case (_, is) =>
+        spark.sql(s"DROP TABLE IF EXISTS `$is`") }
+    }
+  }
+
+  // ——— secondary indexes (SQLv1.g.in:744 alter_table_add_index) ———
+
+  /** Prefix of per-index table properties on the primary:
+    * `graft.index.<name>` = `cols=c1,c2;table=<idx table>[;unique]`. */
+  val IndexPropPrefix = "graft.index."
+
+  /** Registered indexes of `target`: name → (cols, unique, table). */
+  def indexes(spark: SparkSession, target: String)
+      : Map[String, (Seq[String], Boolean, String)] =
+    spark.sql(s"SHOW TBLPROPERTIES $target").collect()
+      .filter(_.getString(0).startsWith(IndexPropPrefix))
+      .map { r =>
+        val name = r.getString(0).stripPrefix(IndexPropPrefix)
+        val parts = r.getString(1).split(";").map(_.trim)
+        val cols = parts.collectFirst {
+          case p if p.startsWith("cols=") =>
+            p.stripPrefix("cols=").split(",").toSeq.map(_.trim)
+        }.getOrElse(Nil)
+        val table = parts.collectFirst {
+          case p if p.startsWith("table=") => p.stripPrefix("table=")
+        }.getOrElse("")
+        name -> ((cols, parts.contains("unique"), table))
+      }.toMap
+
+  /** `ALTER TABLE t ADD INDEX name GLOBAL [UNIQUE] ON (cols)`: backfill
+    * the index table from the current image (one distributed
+    * range-partitioned write) and register it on the primary; later
+    * DML statements maintain it synchronously. */
+  def addIndex(spark: SparkSession, target: String, name: String,
+      cols: Seq[String], unique: Boolean): Unit = {
+    val keys = requireKeyed(spark, target, "ADD INDEX")
+    val cur = spark.table(target)
+    val bad = cols.filterNot(cur.schema.fieldNames.contains)
+    require(bad.isEmpty, s"ADD INDEX: unknown columns ${bad.mkString(", ")}")
+    require(!indexes(spark, target).contains(name),
+      s"index $name already exists on $target")
+    val idxTable = s"${target.stripPrefix("`").stripSuffix("`")}__idx_$name"
+    dropTableDeep(spark, s"`$idxTable`")
+    val built = if (unique) graft.plans.SecondaryIndex.buildUnique(cur, cols, keys)
+      else graft.plans.SecondaryIndex.build(cur, cols, keys)
+    built.write.format("parquet").saveAsTable(idxTable)
+    val spec = s"cols=${cols.mkString(",")};table=$idxTable" +
+      (if (unique) ";unique" else "")
+    spark.sql(s"ALTER TABLE $target SET TBLPROPERTIES " +
+      s"('$IndexPropPrefix$name'='$spec')")
+  }
+
+  def dropIndex(spark: SparkSession, target: String, name: String): Unit = {
+    val idx = indexes(spark, target).getOrElse(name,
+      throw new IllegalArgumentException(s"no index $name on $target"))
+    spark.sql(s"ALTER TABLE $target UNSET TBLPROPERTIES " +
+      s"('$IndexPropPrefix$name')")
+    dropTableDeep(spark, s"`${idx._3}`")
   }
 }

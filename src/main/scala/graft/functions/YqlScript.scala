@@ -85,6 +85,18 @@ object YqlScript {
       " " + source + retSql(returning)
   }
 
+  /** `ALTER TABLE t ADD INDEX name GLOBAL [UNIQUE] ON (cols)` /
+    * `ALTER TABLE t DROP INDEX name` (SQLv1.g.in:744
+    * alter_table_add_index, :764 table_index): secondary-index DDL on
+    * a keyed table, executed by [[YqlDml.addIndex]]/[[YqlDml.dropIndex]]. */
+  final case class IndexStmt(target: String, name: String,
+      columns: Seq[String], unique: Boolean, drop: Boolean) extends Stmt {
+    def sql: String =
+      if (drop) s"ALTER TABLE $target DROP INDEX $name"
+      else s"ALTER TABLE $target ADD INDEX $name GLOBAL" +
+        (if (unique) " UNIQUE" else "") + columns.mkString(" ON (", ", ", ")")
+  }
+
   /** `DELETE FROM t [WHERE p | ON <keys-select>]` (SQLv1.g.in:968
     * delete_stmt): `where` and `keySource` are mutually exclusive;
     * both empty = delete every row. */
@@ -825,10 +837,27 @@ object YqlScript {
         s"malformed DROP TABLE: ${st.take(60)}")
       DdlStmt(st)
     } else if (first == "ALTER") {
+      // ADD/DROP INDEX (SQLv1.g.in:744,:764) executes through YqlDml;
       // column add/drop/rename pass through to Spark's ALTER TABLE
-      require(st.matches(s"(?is)^ALTER\\s+TABLE\\s+($TargetRe)\\s+[\\s\\S]+$$"),
-        s"malformed ALTER TABLE: ${st.take(60)}")
-      DdlStmt(st)
+      val add = (s"(?i)^ALTER\\s+TABLE\\s+($TargetRe)\\s+ADD\\s+INDEX\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s+GLOBAL(\\s+UNIQUE)?(\\s+SYNC)?" +
+        "\\s+ON\\s*\\(([^)]*)\\)\\s*$").r.findFirstMatchIn(st)
+      val drop = (s"(?i)^ALTER\\s+TABLE\\s+($TargetRe)\\s+DROP\\s+INDEX\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r.findFirstMatchIn(st)
+      if (add.isDefined) {
+        val m = add.get
+        val cols = m.group(5).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "empty index column list")
+        IndexStmt(m.group(1), m.group(2), cols,
+          unique = m.group(3) != null, drop = false)
+      } else if (drop.isDefined)
+        IndexStmt(drop.get.group(1), drop.get.group(2), Nil,
+          unique = false, drop = true)
+      else {
+        require(st.matches(s"(?is)^ALTER\\s+TABLE\\s+($TargetRe)\\s+[\\s\\S]+$$"),
+          s"malformed ALTER TABLE: ${st.take(60)}")
+        DdlStmt(st)
+      }
     } else {
       val m = (s"(?i)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?($TargetRe)\\s*([\\s\\S]*)$$").r
         .findFirstMatchIn(st).getOrElse(throw new IllegalArgumentException(

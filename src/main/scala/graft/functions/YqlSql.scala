@@ -116,6 +116,9 @@ object YqlSql {
       case YqlScript.SelectStmt(s) => last = Some(spark.sql(full(s)))
       case YqlScript.InsertStmt(s) => spark.sql(full(s))
       case YqlScript.DdlStmt(s) => spark.sql(full(s))
+      case YqlScript.IndexStmt(tgt, nm, cols, unique, drop) =>
+        if (drop) YqlDml.dropIndex(spark, tgt, nm)
+        else YqlDml.addIndex(spark, tgt, nm, cols, unique)
       case YqlScript.UpsertStmt(tgt, cols, src, repl, returning) =>
         ret(YqlDml.upsert(spark, tgt, spark.sql(full(src)), cols, repl,
           returning))

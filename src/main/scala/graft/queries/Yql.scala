@@ -510,6 +510,30 @@ object Yql {
            |   FROM EACH($$months)) AS n_each""".stripMargin)
     }),
 
+    // Secondary-index DDL + sync maintenance (SQLv1.g.in:744
+    // alter_table_add_index, :764 table_index): ADD INDEX backfills
+    // the index table from the current image; every later DML
+    // statement rebuilds it from the NEW image into a stage BEFORE the
+    // primary swap (atomic write+index, the reference's sync-index
+    // contract). The script's final SELECT reads the INDEX table
+    // itself — the oracle replays the whole DML chain projected to
+    // (indexed, key).
+    "yql_sql_index" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlDml.dropTableDeep(s, "dml_idx")
+      graft.functions.YqlSql.sql(s,
+        """$seed = (SELECT DISTINCT o_custkey % 40 AS k,
+          |         (o_custkey % 40) * 3 AS v FROM orders);
+          |CREATE TABLE dml_idx (k Int64, v Int64, PRIMARY KEY (k));
+          |INSERT INTO dml_idx SELECT k, v FROM $seed;
+          |ALTER TABLE dml_idx ADD INDEX by_v GLOBAL ON (v);
+          |UPSERT INTO dml_idx
+          |  SELECT DISTINCT o_custkey % 60 AS k, (o_custkey % 60) * 7 AS v
+          |  FROM orders WHERE o_custkey % 60 >= 30;
+          |DELETE FROM dml_idx WHERE k % 4 = 2;
+          |SELECT v, k FROM dml_idx__idx_by_v""".stripMargin)
+    }),
+
     // RETURNING clauses (SQLv1.g.in:577 returning_columns_list on
     // into_table/delete/update_stmt): the script's LAST statement is an
     // UPDATE ... RETURNING * — the affected rows' NEW image is the
@@ -1159,6 +1183,16 @@ object Yql {
             WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_concat,
            (SELECT CAST(COUNT(o_orderkey) AS BIGINT) FROM orders
             WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-04')) AS n_each""",
+    "yql_sql_index" ->
+      """WITH seed AS (SELECT DISTINCT o_custkey % 40 AS k,
+             (o_custkey % 40) * 3 AS v FROM orders),
+         ups AS (SELECT DISTINCT o_custkey % 60 AS k, (o_custkey % 60) * 7 AS v
+           FROM orders WHERE o_custkey % 60 >= 30),
+         m1 AS (SELECT coalesce(u.k, s.k) AS k,
+             CASE WHEN u.k IS NOT NULL THEN u.v ELSE s.v END AS v
+           FROM seed s FULL OUTER JOIN ups u ON s.k = u.k),
+         fin AS (SELECT k, v FROM m1 WHERE k % 4 <> 2)
+         SELECT v, k FROM fin""",
     "yql_sql_returning" ->
       """SELECT k, CAST(k * 3 + 7 AS BIGINT) AS v
          FROM (SELECT DISTINCT o_custkey % 60 AS k FROM orders) t

@@ -272,6 +272,47 @@ class YqlDmlSpec extends SparkSpec {
     drop("dmlspec_self")
   }
 
+  test("ADD INDEX backfills; DML maintains; unique conflicts abort pre-swap") {
+    drop("dmlspec_ix")
+    val df = YqlSql.sql(spark,
+      """CREATE TABLE dmlspec_ix (k Int64, v Int64, PRIMARY KEY (k));
+        |UPSERT INTO dmlspec_ix VALUES (1, 10), (2, 20);
+        |ALTER TABLE dmlspec_ix ADD INDEX by_v GLOBAL ON (v);
+        |UPSERT INTO dmlspec_ix VALUES (3, 30);
+        |SELECT v, k FROM dmlspec_ix__idx_by_v""".stripMargin)
+    // backfill covered (1, 2); sync maintenance covered (3)
+    assert(df.as[(Long, Long)].collect().toSet ==
+      Set((10L, 1L), (20L, 2L), (30L, 3L)))
+    YqlSql.sql(spark, "DELETE FROM dmlspec_ix WHERE k = 1; SELECT 1 AS one")
+    assert(spark.table("dmlspec_ix__idx_by_v").count() == 2)
+    // unique index: a conflicting write fails BEFORE the table swap
+    YqlSql.sql(spark,
+      "ALTER TABLE dmlspec_ix ADD INDEX uv GLOBAL UNIQUE ON (v); SELECT 1 AS one")
+    intercept[Exception] {
+      YqlSql.sql(spark,
+        "UPSERT INTO dmlspec_ix VALUES (9, 20); SELECT 1 AS one")
+    }
+    assert(spark.table("dmlspec_ix").count() == 2,
+      "failed statement must leave the table untouched")
+    // duplicate index name / unknown column / unknown index raise
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        "ALTER TABLE dmlspec_ix ADD INDEX uv GLOBAL ON (v); SELECT 1 AS one")
+    }
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        "ALTER TABLE dmlspec_ix ADD INDEX zz GLOBAL ON (nope); SELECT 1 AS one")
+    }
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark, "ALTER TABLE dmlspec_ix DROP INDEX nope; SELECT 1 AS one")
+    }
+    // DROP INDEX unregisters + drops its table; DROP TABLE takes the rest
+    YqlSql.sql(spark, "ALTER TABLE dmlspec_ix DROP INDEX uv; SELECT 1 AS one")
+    assert(!spark.catalog.tableExists("dmlspec_ix__idx_uv"))
+    drop("dmlspec_ix")
+    assert(!spark.catalog.tableExists("dmlspec_ix__idx_by_v"))
+  }
+
   test("statement rendering round-trips the parsed pieces") {
     val l = YqlScript.lower(
       """UPSERT INTO t (k, v) SELECT 1, 2;
