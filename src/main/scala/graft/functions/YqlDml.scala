@@ -349,7 +349,11 @@ object YqlDml {
       df: DataFrame, overwrite: Boolean): Unit = {
     val stage = "graft_dml_stage_" +
       java.lang.Integer.toHexString(target.hashCode & 0x7fffffff)
-    spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+    // dropTableDeep, not bare DROP: an ABORTED earlier statement (e.g.
+    // a unique-index conflict raised mid-write) can leave an orphan
+    // stage DIRECTORY with no catalog entry, which would fail the next
+    // saveAsTable with LOCATION_ALREADY_EXISTS
+    dropTableDeep(spark, s"`$stage`")
     df.write.format("parquet").saveAsTable(stage)
     // SYNC secondary indexes rebuild from the NEW image into their own
     // stages BEFORE the target swap: a failed rebuild (e.g. a unique
@@ -366,7 +370,7 @@ object YqlDml {
       val built = if (unique) graft.plans.SecondaryIndex.buildUnique(image, cols, keys)
         else graft.plans.SecondaryIndex.build(image, cols, keys)
       val is = s"${idxTable}__stage"
-      spark.sql(s"DROP TABLE IF EXISTS `$is`")
+      dropTableDeep(spark, s"`$is`")
       built.write.format("parquet").saveAsTable(is)
       (idxTable, is)
     }
@@ -377,9 +381,8 @@ object YqlDml {
         spark.sql(s"INSERT OVERWRITE TABLE `$idxTable` SELECT * FROM `$is`")
       }
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
-      idxStages.foreach { case (_, is) =>
-        spark.sql(s"DROP TABLE IF EXISTS `$is`") }
+      dropTableDeep(spark, s"`$stage`")
+      idxStages.foreach { case (_, is) => dropTableDeep(spark, s"`$is`") }
     }
   }
 
