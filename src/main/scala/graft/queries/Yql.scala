@@ -534,6 +534,23 @@ object Yql {
           |SELECT v, k FROM dml_idx__idx_by_v""".stripMargin)
     }),
 
+    // Index READS — `FROM t VIEW idx` (SQLv1.g.in:952 table_ref VIEW
+    // suffix): the read goes through the index table — index-only
+    // scan, sorted by the indexed column so the range predicate prunes
+    // row groups; the oracle replays the same projection of the chain.
+    "yql_sql_view" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlDml.dropTableDeep(s, "dml_view")
+      graft.functions.YqlSql.sql(s,
+        """$seed = (SELECT DISTINCT o_custkey % 50 AS k,
+          |         (o_custkey % 50) * 9 AS v FROM orders);
+          |CREATE TABLE dml_view (k Int64, v Int64, PRIMARY KEY (k));
+          |INSERT INTO dml_view SELECT k, v FROM $seed;
+          |ALTER TABLE dml_view ADD INDEX by_v GLOBAL ON (v);
+          |UPDATE dml_view SET v = v + 1 WHERE k % 5 = 0;
+          |SELECT v, k FROM dml_view VIEW by_v WHERE v >= 100""".stripMargin)
+    }),
+
     // RETURNING clauses (SQLv1.g.in:577 returning_columns_list on
     // into_table/delete/update_stmt): the script's LAST statement is an
     // UPDATE ... RETURNING * — the affected rows' NEW image is the
@@ -1193,6 +1210,12 @@ object Yql {
            FROM seed s FULL OUTER JOIN ups u ON s.k = u.k),
          fin AS (SELECT k, v FROM m1 WHERE k % 4 <> 2)
          SELECT v, k FROM fin""",
+    "yql_sql_view" ->
+      """WITH seed AS (SELECT DISTINCT o_custkey % 50 AS k,
+             (o_custkey % 50) * 9 AS v FROM orders),
+         upd AS (SELECT k, CASE WHEN k % 5 = 0 THEN v + 1 ELSE v END AS v
+           FROM seed)
+         SELECT v, k FROM upd WHERE v >= 100""",
     "yql_sql_returning" ->
       """SELECT k, CAST(k * 3 + 7 AS BIGINT) AS v
          FROM (SELECT DISTINCT o_custkey % 60 AS k FROM orders) t

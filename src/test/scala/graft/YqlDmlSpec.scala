@@ -313,6 +313,24 @@ class YqlDmlSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("dmlspec_ix__idx_by_v"))
   }
 
+  test("FROM t VIEW idx reads the index table; unknown index raises") {
+    drop("dmlspec_vw")
+    val df = YqlSql.sql(spark,
+      """CREATE TABLE dmlspec_vw (k Int64, v Int64, PRIMARY KEY (k));
+        |UPSERT INTO dmlspec_vw VALUES (1, 30), (2, 10), (3, 20);
+        |ALTER TABLE dmlspec_vw ADD INDEX by_v GLOBAL ON (v);
+        |SELECT v, k FROM dmlspec_vw VIEW by_v WHERE v >= 20""".stripMargin)
+    assert(df.as[(Long, Long)].collect().toSet == Set((30L, 1L), (20L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      YqlSql.sql(spark, "SELECT v FROM dmlspec_vw VIEW nope")
+    }
+    assert(e.getMessage.contains("no index"))
+    // a string literal containing the words never triggers the rewrite
+    assert(YqlSql.sql(spark, "SELECT 'FROM t VIEW x' AS s").as[String]
+      .head() == "FROM t VIEW x")
+    drop("dmlspec_vw")
+  }
+
   test("statement rendering round-trips the parsed pieces") {
     val l = YqlScript.lower(
       """UPSERT INTO t (k, v) SELECT 1, 2;
