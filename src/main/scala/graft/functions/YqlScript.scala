@@ -36,7 +36,11 @@ package graft.functions
   *     `[BATCH] UPDATE ... [SET ...|ON]`, each with an optional
   *     `RETURNING *|cols` — parsed here, executed by [[YqlDml]];
   *   - script DDL (:647,:698,:833): `CREATE TABLE (cols, PRIMARY
-  *     KEY)` / CTAS / `DROP TABLE [IF EXISTS]` / ALTER pass-through;
+  *     KEY)` (+ `PARTITION BY HASH` bucketing, :690-693) / CTAS /
+  *     `DROP TABLE [IF EXISTS]` / ALTER pass-through, and the
+  *     secondary-index verbs `ALTER TABLE ... ADD INDEX name GLOBAL
+  *     [UNIQUE] ON (cols)` / `DROP INDEX` (:744,:764) with `FROM t
+  *     VIEW idx` index reads (:952);
   *   - `IMPORT lib SYMBOLS $f` / library `EXPORT` modules, attached
   *     via the caller's libraries map or `PRAGMA library('f.sql')`;
   *   - `[EVALUATE] IF` / `[EVALUATE] [PARALLEL] FOR` statement

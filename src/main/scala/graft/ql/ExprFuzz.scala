@@ -631,15 +631,35 @@ object ExprFuzz {
               s"FROM $oracle t FULL OUTER JOIN ($s2) u ON t.k = u.k)"
         }
       }
+      // with p=1/3 an index on v1 is added at a RANDOM point of the
+      // chain and the FINAL READ goes through the index table — its
+      // content must equal the final state's (k, v1) projection no
+      // matter when it was added (backfill + sync maintenance under
+      // every later verb are both on the hook)
+      val withIndex = rnd.nextInt(3) == 0
+      if (withIndex) {
+        val pos = rnd.nextInt(ops.length + 1)
+        ops.insert(pos, s"ALTER TABLE $tbl ADD INDEX byv GLOBAL ON (v1)")
+      }
+      val finalRead =
+        if (withIndex)
+          s"SELECT $i AS tag, k, CAST(v1 AS BIGINT) AS v1, " +
+          s"CAST(-999 AS BIGINT) AS v2 FROM ${tbl}__idx_byv"
+        else
+          s"SELECT $i AS tag, k, CAST(v1 AS BIGINT) AS v1, " +
+          s"CAST(v2 AS BIGINT) AS v2 FROM $tbl"
+      val finalOracle =
+        if (withIndex)
+          s"SELECT $i AS tag, k, CAST(v1 AS BIGINT) AS v1, " +
+          s"CAST(-999 AS BIGINT) AS v2 FROM $oracle fin"
+        else
+          s"SELECT $i AS tag, k, CAST(v1 AS BIGINT) AS v1, " +
+          s"CAST(v2 AS BIGINT) AS v2 FROM $oracle fin"
       val script =
         s"CREATE TABLE $tbl (k Int64, v1 Int64, v2 Int64, PRIMARY KEY (k));\n" +
         s"INSERT INTO $tbl $seedSel;\n" +
-        ops.mkString(";\n") + ";\n" +
-        s"SELECT $i AS tag, k, CAST(v1 AS BIGINT) AS v1, " +
-        s"CAST(v2 AS BIGINT) AS v2 FROM $tbl"
-      val sql = s"SELECT $i AS tag, k, CAST(v1 AS BIGINT) AS v1, " +
-        s"CAST(v2 AS BIGINT) AS v2 FROM $oracle fin"
-      (script, sql, tbl)
+        ops.mkString(";\n") + ";\n" + finalRead
+      (script, finalOracle, tbl)
     }
   }
 }
