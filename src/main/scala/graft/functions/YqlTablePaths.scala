@@ -81,7 +81,7 @@ object YqlTablePaths {
   private val PseudoRe = "(?i)\\bTable(Path|Name)\\s*\\(\\s*\\)".r
 
   private val CallRe =
-    "(?i)\\b(FROM|JOIN)\\s+(RANGE|EACH|CONCAT|FOLDER|LIKE|REGEXP)\\s*\\(".r
+    "(?i)\\b(FROM|JOIN)\\s+(RANGE|EACH|CONCAT|FOLDER|LIKE|REGEXP|AS_TABLE)\\s*\\(".r
 
   @annotation.tailrec
   private def rewriteFrom(sql: String, from: Int, withPath: Boolean,
@@ -105,6 +105,7 @@ object YqlTablePaths {
   }
 
   private def eligible(fn: String, args: Seq[String]): Boolean = fn match {
+    case "AS_TABLE" => args.length == 1
     case "EACH" => args.length == 1 &&
       (try { listArg(args.head); true }
        catch { case _: IllegalArgumentException => false })
@@ -152,6 +153,12 @@ object YqlTablePaths {
       // unanchored, like the reference's partial-match semantics
       union(dir, ms.filter { case (n, _) => pat.matcher(n).find() }, ms,
         withPath)
+    case "AS_TABLE" =>
+      // AS_TABLE($rows): a LITERAL list of AsStruct(...) rows becomes a
+      // derived table (the reference's parameterized-table idiom,
+      // yql/docs select/from_as_table). AsStruct(e AS n, ...) →
+      // named_struct('n', e, ...), the list → inline(array(...)).
+      asTable(args.head)
     case "FOLDER" =>
       require(args.nonEmpty && args.length <= 2,
         "FOLDER takes (dir[, attrs])")
@@ -202,6 +209,46 @@ object YqlTablePaths {
       }
     YqlScript.splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
       .map(strArg(_, "EACH"))
+  }
+
+  /** `AS_TABLE(AsList(AsStruct(e AS n, ...), ...))` →
+    * `(SELECT inline(array(named_struct('n', e, ...), ...)))`. */
+  private def asTable(a0: String): String = {
+    var a = a0.trim
+    while (a.startsWith("(") && YqlScript.matchParen(a, 0) == a.length - 1)
+      a = a.substring(1, a.length - 1).trim
+    val inner =
+      if (a.startsWith("[") && a.endsWith("]")) a.substring(1, a.length - 1)
+      else {
+        val m = "(?i)^AsList\\s*\\(".r.findFirstMatchIn(a).getOrElse(
+          throw new IllegalArgumentException(
+            "AS_TABLE expects a literal list of AsStruct rows " +
+            s"(AsList(AsStruct(...), ...)); got: ${a0.take(60)}"))
+        val close = YqlScript.matchParen(a, m.end - 1)
+        require(a.substring(close + 1).trim.isEmpty,
+          s"trailing text after the AS_TABLE list: ${a0.take(60)}")
+        a.substring(m.end, close)
+      }
+    val rows = YqlScript.splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
+    require(rows.nonEmpty, "AS_TABLE list is empty")
+    val structs = rows.map { r =>
+      val m = "(?i)^AsStruct\\s*\\(".r.findFirstMatchIn(r).getOrElse(
+        throw new IllegalArgumentException(
+          s"AS_TABLE rows must be AsStruct(expr AS name, ...): ${r.take(60)}"))
+      val close = YqlScript.matchParen(r, m.end - 1)
+      require(r.substring(close + 1).trim.isEmpty,
+        s"trailing text after an AS_TABLE row: ${r.take(60)}")
+      val fields = YqlScript.splitTopLevel(r.substring(m.end, close))
+        .map(_.trim).filter(_.nonEmpty).map { item =>
+          val am = "(?i)^([\\s\\S]+?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+            .findFirstMatchIn(item).getOrElse(
+              throw new IllegalArgumentException(
+                s"AsStruct item needs `expr AS name`: ${item.take(60)}"))
+          s"'${am.group(2)}', ${am.group(1)}"
+        }
+      s"named_struct(${fields.mkString(", ")})"
+    }
+    s"(SELECT inline(array(${structs.mkString(", ")})))"
   }
 
   private def likeToRegex(pat: String): java.util.regex.Pattern = {

@@ -534,6 +534,24 @@ object Yql {
           |SELECT v, k FROM dml_idx__idx_by_v""".stripMargin)
     }),
 
+    // AS_TABLE($rows) (yql docs select/from_as_table): a literal list
+    // of AsStruct rows as a derived table — the parameterized-lookup
+    // idiom (join your query's parameters against a big table, no temp
+    // table round trip). Lowers to inline(array(named_struct...)).
+    "yql_sql_astable" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """$wanted = AsList(
+          |  AsStruct(1 AS o_custkey, 'alpha' AS label),
+          |  AsStruct(7 AS o_custkey, 'beta' AS label),
+          |  AsStruct(13 AS o_custkey, 'gamma' AS label));
+          |SELECT w.label, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS total
+          |FROM AS_TABLE($wanted) AS w
+          |JOIN orders AS o ON o.o_custkey = w.o_custkey
+          |GROUP BY w.label""".stripMargin)
+    }),
+
     // Index READS — `FROM t VIEW idx` (SQLv1.g.in:952 table_ref VIEW
     // suffix): the read goes through the index table — index-only
     // scan, sorted by the indexed column so the range predicate prunes
@@ -1210,6 +1228,13 @@ object Yql {
            FROM seed s FULL OUTER JOIN ups u ON s.k = u.k),
          fin AS (SELECT k, v FROM m1 WHERE k % 4 <> 2)
          SELECT v, k FROM fin""",
+    "yql_sql_astable" ->
+      """WITH w AS (SELECT * FROM (VALUES (1, 'alpha'), (7, 'beta'),
+           (13, 'gamma')) AS t(o_custkey, label))
+         SELECT w.label, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS total
+         FROM w JOIN orders o ON o.o_custkey = w.o_custkey
+         GROUP BY w.label""",
     "yql_sql_view" ->
       """WITH seed AS (SELECT DISTINCT o_custkey % 50 AS k,
              (o_custkey % 50) * 9 AS v FROM orders),

@@ -105,6 +105,22 @@ class TablePathsSpec extends SparkSpec {
     assert(prov.queryExecution.executedPlan.collectLeaves().length == 3)
   }
 
+  test("AS_TABLE turns a literal struct list into a derived table") {
+    val df = YqlSql.sql(spark,
+      """$rows = AsList(
+        |  AsStruct(1 AS id, 'a' AS tag),
+        |  AsStruct(2 AS id, 'b' AS tag));
+        |SELECT t.id, t.tag FROM AS_TABLE($rows) AS t
+        |JOIN AS_TABLE([AsStruct(1 AS id)]) AS f ON t.id = f.id""".stripMargin)
+    assert(df.as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark, "SELECT * FROM AS_TABLE(AsList())")
+    }
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark, "SELECT * FROM AS_TABLE(AsList(1, 2))")
+    }
+  }
+
   test("scalar CONCAT/LIKE spellings are untouched; errors are clear") {
     // string concat in a projection is NOT a table function
     assert(YqlSql.sql(spark, "SELECT CONCAT('a', 'b') AS x")
