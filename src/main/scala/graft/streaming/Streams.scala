@@ -122,6 +122,27 @@ object Streams {
       .foreachBatch(upsertSinkBatch(statePath) _)
       .start()
 
+  /** Queue → KEYED catalog table: each micro-batch UPSERTs into the
+    * target through [[graft.functions.YqlDml]]'s key merge — the
+    * streaming face of the script-DML surface (queues.md's standard
+    * consumer loop landing in a sorted table). Duplicate delivery is
+    * absorbed by the merge itself: replaying an epoch upserts the same
+    * keys to the same values (idempotent by construction), so the
+    * checkpoint's at-least-once becomes effectively-once in the table.
+    * Registered secondary indexes stay in sync per batch (YqlDml's
+    * pre-swap maintenance). */
+  def keyedUpsertSink(stream: DataFrame, target: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.functions.YqlDml.upsert(batch.sparkSession, target,
+            batch, Nil, replace = false)
+        ()
+      }
+      .start()
+
   /** Read the sink's accumulated write log back as one DataFrame. */
   def readState(spark: SparkSession, statePath: String): DataFrame =
     spark.read.option("basePath", statePath).parquet(s"$statePath/batch=*")

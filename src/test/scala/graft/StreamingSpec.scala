@@ -88,6 +88,24 @@ class StreamingSpec extends SparkSpec {
     assert(eqs.nonEmpty && eqs.forall { case (a, b) => a != b })
   }
 
+  test("keyedUpsertSink: micro-batches key-merge into a keyed table, idempotent replay") {
+    graft.functions.YqlDml.dropTableDeep(spark, "strm_keyed")
+    graft.functions.YqlSql.sql(spark,
+      "CREATE TABLE strm_keyed (k Int64, v Utf8, PRIMARY KEY (k)); SELECT 1 AS one")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kus").toString
+    val q = Streams.keyedUpsertSink(in.toDF().toDF("k", "v"), "strm_keyed", ckpt)
+    in.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    in.addData((2L, "B"), (3L, "c"), (2L, "B")) // update + insert + dup delivery
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("strm_keyed").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+    graft.functions.YqlDml.dropTableDeep(spark, "strm_keyed")
+  }
+
   test("streaming dedup drops late duplicates with watermark-bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
