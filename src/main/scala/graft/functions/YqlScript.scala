@@ -372,7 +372,7 @@ object YqlScript {
 
   /** First index of keyword `kw` in `s` at paren depth 0 outside
     * quotes (whole-word match), or -1. */
-  private def findTopKw(s: String, kw: String, from: Int = 0): Int = {
+  private[functions] def findTopKw(s: String, kw: String, from: Int = 0): Int = {
     var i = from; var quote: Char = 0; var depth = 0
     val up = s.toUpperCase
     while (i < s.length) {
@@ -1529,7 +1529,7 @@ object YqlScript {
 
   // ——— select-level lowerings ———
   private[functions] def lowerSelect(sql: String): String =
-    lowerFlatten(lowerWithout(sql))
+    lowerFlatten(lowerWithout(lowerHints(sql)))
 
   /** Copy of `s` with the INSIDE of quoted spans overwritten by 
     * so keyword/regex scans cannot match into string literals. Same
@@ -1662,5 +1662,213 @@ object YqlScript {
     val replaced = sql.substring(0, srcStart) + inner +
       srcAlias.map(a => s" AS $a").getOrElse("") + sql.substring(m.end)
     lowerFlatten(replaced) // additional FLATTEN clauses, to fixpoint
+  }
+
+  /** Optimizer-hint spellings that carry no semantics on Spark —
+    * `GROUP COMPACT BY` / `PARTITION COMPACT BY` / `IN COMPACT`
+    * (SQLv1.g.in:510,1061,100: COMPACT promises few distinct keys, so
+    * the reference skips its map-side combine phase; Catalyst owns the
+    * partial-aggregation decision here, so the hint validates and
+    * drops) — and `ASSUME ORDER BY sort_list` (:508
+    * ext_order_by_clause: the writer's claim that output is ALREADY in
+    * that order — the reference runs NO sort for it, so the lowering
+    * drops the whole clause rather than adding one). Both scans run
+    * over the quote mask; the spellings inside string literals pass
+    * through untouched. */
+  def lowerHints(sql: String): String = {
+    def isW(c: Char) = c.isLetterOrDigit || c == '_'
+    // COMPACT hint: drop the word, keep the construct
+    var text = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskQuotes(text)
+      "(?i)\\b(GROUP|PARTITION|IN)\\s+COMPACT\\b".r
+        .findFirstMatchIn(masked).foreach { m =>
+          text = text.substring(0, m.start) +
+            text.substring(m.start(1), m.end(1)) + text.substring(m.end)
+          changed = true
+        }
+    }
+    // ASSUME ORDER BY <sort list>: drop through the end of the list —
+    // the list ends at the enclosing ')' or the next top-level clause
+    changed = true
+    while (changed) {
+      changed = false
+      val masked = maskQuotes(text)
+      "(?i)\\bASSUME\\s+ORDER\\s+BY\\b".r.findFirstMatchIn(masked).foreach { mm =>
+        val up = masked.toUpperCase
+        var i = mm.end; var depth = 0; var cut = -1
+        while (i < up.length && cut < 0) {
+          up.charAt(i) match {
+            case '(' | '{' => depth += 1
+            case ')' | '}' => if (depth == 0) cut = i else depth -= 1
+            case _ => if (depth == 0) {
+              def word(kw: String) = up.startsWith(kw, i) &&
+                !isW(up.charAt(i - 1)) &&
+                (i + kw.length >= up.length || !isW(up.charAt(i + kw.length)))
+              if (Seq("LIMIT", "OFFSET", "UNION", "INTO", "HAVING",
+                  "WINDOW").exists(word)) cut = i
+            }
+          }
+          if (cut < 0) i += 1
+        }
+        if (cut < 0) cut = text.length
+        text = text.substring(0, mm.start) + text.substring(cut)
+        changed = true
+      }
+    }
+    text
+  }
+
+  /** YQL `UNION [ALL]` modes (select.cpp:2803-2852 TUnion;
+    * sql_select.cpp:1380-1412 chain building; docs
+    * yql/syntax/select.md#union-all): the DEFAULT mode combines
+    * branches BY COLUMN NAME — the result carries every column found
+    * in at least one branch, a branch missing a column supplies NULL,
+    * the output column order is the largest common prefix of the
+    * branch orders followed by the remaining names alphabetically, and
+    * heterogeneous types for one name (string vs numeric) raise.
+    * `PRAGMA PositionalUnionAll` switches to ANSI positional mode =
+    * Spark's native UNION, a pass-through. A trailing ORDER BY /
+    * LIMIT / OFFSET after the LAST branch binds to the whole union
+    * (the reference reads it off the last select kind,
+    * sql_select.cpp:1385 `if (last) orderBy = ...`; Spark parses the
+    * original text the same way), so the rewrite lifts it out of the
+    * last branch before wrapping. `schemaOf` is Catalyst ANALYSIS of
+    * branch text (spark.sql(...).schema — no job runs); recursion
+    * covers union chains inside derived tables and subquery
+    * expressions. Branches whose column-name sequences already agree
+    * pass through unchanged — positional and by-name coincide, and
+    * existing plans keep their shape. */
+  def lowerUnions(sql: String, positional: Boolean,
+      schemaOf: String => Seq[(String, org.apache.spark.sql.types.DataType)])
+      : String = {
+    if (positional) return sql
+    def isW(c: Char) = c.isLetterOrDigit || c == '_'
+    // recurse into parenthesized groups that could hold a select chain
+    val text = {
+      val out = new StringBuilder
+      val masked = maskQuotes(sql)
+      var i = 0; var last = 0
+      while (i < masked.length) {
+        if (masked.charAt(i) == '(') {
+          val close = matchParen(masked, i)
+          val innerUp = masked.substring(i + 1, close).toUpperCase
+          if (innerUp.contains("UNION") && innerUp.contains("SELECT")) {
+            out.append(sql.substring(last, i + 1))
+              .append(lowerUnions(sql.substring(i + 1, close), positional,
+                schemaOf))
+            last = close // keep ')'
+          }
+          i = close
+        }
+        i += 1
+      }
+      out.append(sql.substring(last)).toString
+    }
+    // the top-level UNION [ALL] chain at THIS level
+    final case class Op(start: Int, end: Int, all: Boolean)
+    val masked = maskQuotes(text)
+    val up = masked.toUpperCase
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
+    locally {
+      var i = 0; var depth = 0
+      while (i < up.length) {
+        up.charAt(i) match {
+          case '(' | '{' => depth += 1; i += 1
+          case ')' | '}' => depth -= 1; i += 1
+          case _ =>
+            if (depth == 0 && up.startsWith("UNION", i) &&
+                (i == 0 || !isW(up.charAt(i - 1))) &&
+                (i + 5 >= up.length || !isW(up.charAt(i + 5)))) {
+              var j = i + 5
+              while (j < up.length && up.charAt(j).isWhitespace) j += 1
+              if (up.startsWith("ALL", j) &&
+                  (j + 3 >= up.length || !isW(up.charAt(j + 3)))) {
+                ops += Op(i, j + 3, all = true); i = j + 3
+              } else { ops += Op(i, i + 5, all = false); i += 5 }
+            } else i += 1
+        }
+      }
+    }
+    if (ops.isEmpty) return text
+    var branches = (0 +: ops.map(_.end).toSeq)
+      .zip(ops.map(_.start).toSeq :+ text.length)
+      .map { case (s, e) => text.substring(s, e) }
+    // a leading WITH prefix (CTE list) scopes the whole statement:
+    // keep it in front, analyze every branch under it
+    var prefix = ""
+    if ("(?is)^\\s*WITH\\b".r.findFirstIn(branches.head).isDefined) {
+      val selAt = findTopKw(branches.head, "SELECT")
+      require(selAt > 0,
+        s"cannot locate the main SELECT after WITH in: ${branches.head.take(80)}")
+      prefix = branches.head.substring(0, selAt)
+      branches = branches.updated(0, branches.head.substring(selAt))
+    }
+    // lift the whole-union ORDER BY / LIMIT / OFFSET off the last branch
+    var tail = ""
+    locally {
+      val lb = branches.last
+      val lup = maskQuotes(lb).toUpperCase
+      var i = 0; var depth = 0; var cut = -1
+      while (i < lup.length && cut < 0) {
+        lup.charAt(i) match {
+          case '(' | '{' => depth += 1
+          case ')' | '}' => depth -= 1
+          case _ => if (depth == 0 && i > 0) {
+            def word(kw: String) = lup.startsWith(kw, i) &&
+              !isW(lup.charAt(i - 1)) &&
+              (i + kw.length >= lup.length || !isW(lup.charAt(i + kw.length)))
+            if (word("ORDER") || word("LIMIT") || word("OFFSET")) cut = i
+          }
+        }
+        if (cut < 0) i += 1
+      }
+      if (cut >= 0) {
+        tail = " " + lb.substring(cut)
+        branches = branches.updated(branches.length - 1, lb.substring(0, cut))
+      }
+    }
+    val bodies = branches.map(b => unwrapGroup(b))
+    val schemas = bodies.map(b =>
+      schemaOf(if (prefix.isEmpty) b else prefix + b))
+    val nameSeqs = schemas.map(_.map(_._1))
+    // already aligned by position AND name → modes coincide, pass through
+    if (nameSeqs.map(_.map(_.toLowerCase)).distinct.size == 1) return text
+    // largest common prefix of the branch column orders
+    var lcp = 0
+    while (nameSeqs.forall(_.length > lcp) &&
+        nameSeqs.map(ns => ns(lcp).toLowerCase).distinct.size == 1) lcp += 1
+    val head = nameSeqs.head.take(lcp)
+    val rest = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    nameSeqs.foreach(_.foreach(n =>
+      if (!rest.contains(n.toLowerCase)) rest(n.toLowerCase) = n))
+    head.foreach(n => rest.remove(n.toLowerCase))
+    val outCols = head ++ rest.values.toSeq.sortBy(_.toLowerCase)
+    // shared-type check: the docs raise on heterogeneous types
+    outCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ts = schemas.flatMap(_.collectFirst {
+        case (n, t) if n.equalsIgnoreCase(c) => t
+      }).distinct.filterNot(_ == NullType)
+      val ok = ts.size <= 1 ||
+        ts.forall(_.isInstanceOf[NumericType]) ||
+        ts.forall(t => t == DateType || t == TimestampType ||
+          t == TimestampNTZType) ||
+        ts.forall(_.isInstanceOf[StringType])
+      require(ok, s"UNION by name: column $c has incompatible types " +
+        s"across branches: ${ts.mkString(", ")}")
+    }
+    def q(c: String) = "`" + c.replace("`", "``") + "`"
+    val rewritten = bodies.zip(schemas).map { case (b, sch) =>
+      val have = sch.map(_._1.toLowerCase).toSet
+      val items = outCols.map(c =>
+        if (have(c.toLowerCase)) q(c) else s"NULL AS ${q(c)}")
+      s"SELECT ${items.mkString(", ")} FROM ($b)"
+    }
+    prefix + rewritten.head + ops.toSeq.zip(rewritten.tail).map {
+      case (op, b) => (if (op.all) " UNION ALL " else " UNION ") + b
+    }.mkString + tail
   }
 }

@@ -105,10 +105,19 @@ object YqlSql {
       val r = spark.sql(s"SELECT CAST((${rewrite(cond)}) AS BOOLEAN) AS c").head
       !r.isNullAt(0) && r.getBoolean(0)
     }, libraries)
+    // UNION [ALL] mode (select.cpp:2846-2852): by NAME unless
+    // PRAGMA PositionalUnionAll selects ANSI positional mode.
+    // lowerUnions analyzes branch shapes through Catalyst (schema
+    // only — no job) and aligns columns; identical branch shapes
+    // pass through untouched.
+    val positional =
+      lowered.pragmas.exists(_.trim.equalsIgnoreCase("PositionalUnionAll"))
+    def unions(s: String): String = YqlScript.lowerUnions(s, positional,
+      b => spark.sql(b).schema.fields.toSeq.map(f => f.name -> f.dataType))
     // DISCARD statements type-check (spark.sql analyzes eagerly) but
     // never execute or produce a result — the reference's validation
     // spelling
-    lowered.discards.foreach(s => spark.sql(full(s)))
+    lowered.discards.foreach(s => spark.sql(unions(full(s))))
     // SOURCE order: a write (INSERT/DML/DDL) must complete before a
     // later SELECT that reads its target (spark.sql executes these
     // eagerly). The script evaluates to its last SELECT; an all-write
@@ -119,22 +128,29 @@ object YqlSql {
     var last: Option[DataFrame] = None
     def ret(r: Option[DataFrame]): Unit = r.foreach(df => last = Some(df))
     lowered.stmts.foreach {
-      case YqlScript.SelectStmt(s) => last = Some(spark.sql(full(s)))
-      case YqlScript.InsertStmt(s) => spark.sql(full(s))
+      case YqlScript.SelectStmt(s) => last = Some(spark.sql(unions(full(s))))
+      case YqlScript.InsertStmt(s) =>
+        // the union lowering applies to the SOURCE query of the
+        // INSERT — never analyze the INSERT head itself (spark.sql
+        // on a command would execute it)
+        val f = full(s)
+        val selAt = YqlScript.findTopKw(f, "SELECT")
+        spark.sql(if (selAt < 0) f
+          else f.substring(0, selAt) + unions(f.substring(selAt)))
       case YqlScript.DdlStmt(s) => spark.sql(full(s))
       case YqlScript.IndexStmt(tgt, nm, cols, unique, drop) =>
         if (drop) YqlDml.dropIndex(spark, tgt, nm)
         else YqlDml.addIndex(spark, tgt, nm, cols, unique)
       case YqlScript.UpsertStmt(tgt, cols, src, repl, returning) =>
-        ret(YqlDml.upsert(spark, tgt, spark.sql(full(src)), cols, repl,
-          returning))
+        ret(YqlDml.upsert(spark, tgt, spark.sql(unions(full(src))), cols,
+          repl, returning))
       case YqlScript.InsertOrStmt(tgt, cols, src, mode, returning) =>
-        ret(YqlDml.insertOr(spark, tgt, spark.sql(full(src)), cols, mode,
-          returning))
+        ret(YqlDml.insertOr(spark, tgt, spark.sql(unions(full(src))), cols,
+          mode, returning))
       case YqlScript.DeleteStmt(tgt, where, keySrc, returning) =>
         ret(YqlDml.delete(spark, tgt,
           where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))),
-          keySrc.map(k => spark.sql(full(k))), returning))
+          keySrc.map(k => spark.sql(unions(full(k)))), returning))
       case YqlScript.UpdateStmt(tgt, sets, where, keySrc, returning) =>
         keySrc match {
           case Some(k) =>

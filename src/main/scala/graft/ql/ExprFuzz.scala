@@ -479,7 +479,7 @@ object ExprFuzz {
       val c = 2 + rnd.nextInt(8)
       val d = 3 + rnd.nextInt(95)
       val w = 2 + rnd.nextInt(6); val r = rnd.nextInt(w)
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 =>
           // lambda called directly AND composed through a second lambda
           val script =
@@ -522,7 +522,7 @@ object ExprFuzz {
             s"FROM (SELECT a, k, v FROM fw WHERE v % $w = $r) " +
             s"WHERE a % $d != $q"
           (script, sql)
-        case _ =>
+        case 3 =>
           // REDUCE with a scalar woven into the aggregate items
           val script =
             "$m = " + m + ";\n" +
@@ -537,6 +537,31 @@ object ExprFuzz {
             s"CAST(SUM(v % $d) + $m AS BIGINT) AS x1, " +
             s"CAST(COUNT(v % $d) * $c AS BIGINT) AS x2 " +
             s"FROM fw WHERE v % $w = $r GROUP BY k"
+          (script, sql)
+        case _ =>
+          // by-name UNION ALL (select.cpp:2846-2852 UnionAll mode)
+          // inside a named subselect: branches with DIFFERENT column
+          // orders and one column absent per side — absent columns
+          // fill NULL; the oracle is the hand-aligned positional form
+          val script =
+            "$u = (SELECT a, CAST(v * " + c + " AS BIGINT) AS p, " +
+            "CAST(k AS BIGINT) AS lo FROM fw WHERE v % " + w + " = " + r +
+            "\n  UNION ALL\n" +
+            "  SELECT CAST(v % " + d + " AS BIGINT) AS hi, a, " +
+            "CAST(v * " + c + " + 1 AS BIGINT) AS p FROM fw " +
+            "WHERE v % " + w + " != " + r + ");\n" +
+            s"SELECT $i AS tag, a, " +
+            "CAST(p + coalesce(lo, 0) AS BIGINT) AS x1, " +
+            "CAST(coalesce(hi, -1) * 3 AS BIGINT) AS x2 FROM $u"
+          val sql =
+            s"SELECT $i AS tag, a, " +
+            "CAST(p + coalesce(lo, 0) AS BIGINT) AS x1, " +
+            "CAST(coalesce(hi, -1) * 3 AS BIGINT) AS x2 FROM (" +
+            s"SELECT a, CAST(v * $c AS BIGINT) AS p, " +
+            s"CAST(k AS BIGINT) AS lo, NULL AS hi FROM fw WHERE v % $w = $r" +
+            " UNION ALL " +
+            s"SELECT a, CAST(v * $c + 1 AS BIGINT), NULL, " +
+            s"CAST(v % $d AS BIGINT) FROM fw WHERE v % $w != $r)"
           (script, sql)
       }
     }

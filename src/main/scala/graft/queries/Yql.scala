@@ -552,6 +552,71 @@ object Yql {
           |GROUP BY w.label""".stripMargin)
     }),
 
+    // UNION ALL in the script surface — YQL's DEFAULT by-NAME mode
+    // (select.cpp:2846-2852 UnionAll vs UnionAllPositional; docs
+    // select.md#union-all): the result carries every column found in
+    // any branch (absent → NULL), column order = largest common prefix
+    // of the branch orders then the rest alphabetically, and the
+    // trailing ORDER BY/LIMIT binds to the WHOLE union
+    // (sql_select.cpp:1385). The lowering aligns branch columns from
+    // Catalyst ANALYSIS only (schema, no job) and keeps Spark's native
+    // UNION ALL underneath — still one exchange-free concat of the
+    // branch plans.
+    "yql_sql_union_byname" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      t(s, d, "region").createOrReplaceTempView("region")
+      graft.functions.YqlSql.sql(s,
+        """SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rk,
+          |       'nation' AS src
+          |FROM nation
+          |UNION ALL
+          |SELECT 'R_' || r_name AS name,
+          |       CAST(r_regionkey * 10 AS BIGINT) AS pop,
+          |       CAST(r_regionkey AS BIGINT) AS rk
+          |FROM region
+          |ORDER BY name
+          |LIMIT 40""".stripMargin)
+    }),
+
+    // The ANSI positional mode behind PRAGMA PositionalUnionAll
+    // (sql_query.cpp:3170; select.cpp:2849 UnionAllPositional):
+    // first-branch names win, branches align by position — Spark's
+    // native UNION ALL, pass-through.
+    "yql_sql_union_positional" -> ((s, d) => {
+      t(s, d, "region").createOrReplaceTempView("region")
+      graft.functions.YqlSql.sql(s,
+        """PRAGMA PositionalUnionAll;
+          |SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region
+          |UNION ALL
+          |SELECT CAST(r_regionkey + 100 AS BIGINT) AS kk, upper(r_name) AS w
+          |FROM region
+          |ORDER BY k""".stripMargin)
+    }),
+
+    // Optimizer-hint spellings (SQLv1.g.in:510 GROUP COMPACT BY, :1061
+    // PARTITION COMPACT BY, :100 IN COMPACT, :508 ASSUME ORDER BY):
+    // COMPACT promises few distinct keys so the reference skips its
+    // map-side combine — Catalyst owns that decision here, so the word
+    // validates and drops; ASSUME ORDER BY declares the output already
+    // sorted WITHOUT running a sort, so the clause drops entirely (the
+    // oracle runs unordered — the compare is order-insensitive, which
+    // is exactly the reference's contract for an ASSUME).
+    "yql_sql_hints" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT pri, CAST(SUM(n1) AS BIGINT) AS n,
+          |       CAST(MAX(rk) AS BIGINT) AS max_rk
+          |FROM (
+          |  SELECT o_orderpriority AS pri, 1 AS n1,
+          |    rank() OVER (PARTITION COMPACT BY o_orderpriority
+          |                 ORDER BY o_orderkey) AS rk
+          |  FROM orders
+          |  WHERE o_custkey % 10 IN COMPACT (1, 2, 3)
+          |)
+          |GROUP COMPACT BY pri
+          |ASSUME ORDER BY pri""".stripMargin)
+    }),
+
     // Index READS — `FROM t VIEW idx` (SQLv1.g.in:952 table_ref VIEW
     // suffix): the read goes through the index table — index-only
     // scan, sorted by the indexed column so the range predicate prunes
@@ -1235,6 +1300,31 @@ object Yql {
            CAST(SUM(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS total
          FROM w JOIN orders o ON o.o_custkey = w.o_custkey
          GROUP BY w.label""",
+    "yql_sql_union_byname" ->
+      """SELECT name, pop, rk, src FROM (
+           SELECT n_name AS name, NULL AS pop,
+                  CAST(n_regionkey AS BIGINT) AS rk, 'nation' AS src
+           FROM nation
+           UNION ALL
+           SELECT 'R_' || r_name, CAST(r_regionkey * 10 AS BIGINT),
+                  CAST(r_regionkey AS BIGINT), NULL
+           FROM region)
+         ORDER BY name LIMIT 40""",
+    "yql_sql_union_positional" ->
+      """SELECT k, v FROM (
+           SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region
+           UNION ALL
+           SELECT CAST(r_regionkey + 100 AS BIGINT), upper(r_name)
+           FROM region)
+         ORDER BY k""",
+    "yql_sql_hints" ->
+      """SELECT pri, CAST(SUM(n1) AS BIGINT) AS n,
+              CAST(MAX(rk) AS BIGINT) AS max_rk
+         FROM (SELECT o_orderpriority AS pri, 1 AS n1,
+                 rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_orderkey) AS rk
+               FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
+         GROUP BY pri""",
     "yql_sql_view" ->
       """WITH seed AS (SELECT DISTINCT o_custkey % 50 AS k,
              (o_custkey % 50) * 9 AS v FROM orders),

@@ -550,4 +550,139 @@ class YqlScriptSpec extends SparkSpec {
       YqlScript.lower("SELECT 1 INTO RESULT 'not an ident'")
     }
   }
+
+  // ——— COMPACT / ASSUME hint spellings (SQLv1.g.in:510,1061,100,508) ———
+
+  test("GROUP/PARTITION/IN COMPACT hints validate and drop") {
+    assert(YqlScript.lowerHints(
+      "SELECT k, rank() OVER (PARTITION COMPACT BY k ORDER BY v) FROM t " +
+        "WHERE k IN COMPACT (1, 2) GROUP COMPACT BY k") ==
+      "SELECT k, rank() OVER (PARTITION BY k ORDER BY v) FROM t " +
+        "WHERE k IN (1, 2) GROUP BY k")
+  }
+
+  test("COMPACT and ASSUME inside string literals pass through") {
+    val s = "SELECT 'GROUP COMPACT BY x', 'ASSUME ORDER BY y' FROM t"
+    assert(YqlScript.lowerHints(s) == s)
+  }
+
+  test("ASSUME ORDER BY drops through the end of its sort list") {
+    assert(YqlScript.lowerHints(
+      "SELECT a, b FROM t ASSUME ORDER BY a DESC, f(b, 1) LIMIT 5") ==
+      "SELECT a, b FROM t LIMIT 5")
+    // at end of text, and inside a subquery (stops at the closing paren)
+    assert(YqlScript.lowerHints("SELECT a FROM t ASSUME ORDER BY a") ==
+      "SELECT a FROM t ")
+    assert(YqlScript.lowerHints(
+      "SELECT * FROM (SELECT a FROM t ASSUME ORDER BY a, b) q") ==
+      "SELECT * FROM (SELECT a FROM t ) q")
+  }
+
+  // ——— UNION [ALL] by-name mode (select.cpp:2846-2852) ———
+
+  private def schemaOf(sql: String) =
+    spark.sql(sql).schema.fields.toSeq
+      .map(f => f.name -> f.dataType)
+
+  test("UNION ALL merges branches by column name; absent columns fill NULL") {
+    Seq((1L, "x")).toDF("a", "b").createOrReplaceTempView("ub1")
+    Seq((2L, 9L)).toDF("a", "c").createOrReplaceTempView("ub2")
+    val out = YqlScript.lowerUnions(
+      "SELECT a, b FROM ub1 UNION ALL SELECT a, c FROM ub2",
+      positional = false, schemaOf)
+    val df = spark.sql(out)
+    // common prefix [a], rest alphabetic [b, c]
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    val rows = df.orderBy("a").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "x" &&
+      rows(0).isNullAt(2))
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1) &&
+      rows(1).getLong(2) == 9L)
+  }
+
+  test("trailing ORDER BY / LIMIT binds to the whole union") {
+    Seq(3L, 1L).toDF("a").createOrReplaceTempView("ub3")
+    Seq((2L, "z")).toDF("a", "b").createOrReplaceTempView("ub4")
+    val out = YqlScript.lowerUnions(
+      "SELECT a FROM ub3 UNION ALL SELECT a, b FROM ub4 ORDER BY a LIMIT 2",
+      positional = false, schemaOf)
+    val rows = spark.sql(out).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(1).getString(1) == "z")
+  }
+
+  test("identical branch shapes pass through untouched") {
+    Seq(1L).toDF("a").createOrReplaceTempView("ub5")
+    val s = "SELECT a FROM ub5 UNION ALL SELECT a FROM ub5"
+    assert(YqlScript.lowerUnions(s, positional = false, schemaOf) == s)
+  }
+
+  test("positional mode is a pass-through") {
+    val s = "SELECT a FROM x UNION ALL SELECT b FROM y"
+    assert(YqlScript.lowerUnions(s, positional = true,
+      sql => fail(s"must not analyze: $sql")) == s)
+  }
+
+  test("union chains inside derived tables lower recursively") {
+    Seq((1L, "x")).toDF("a", "b").createOrReplaceTempView("ub6")
+    Seq((2L, 9L)).toDF("a", "c").createOrReplaceTempView("ub7")
+    val out = YqlScript.lowerUnions(
+      "SELECT count(*) AS n, count(b) AS nb, count(c) AS nc FROM " +
+        "(SELECT a, b FROM ub6 UNION ALL SELECT a, c FROM ub7) q",
+      positional = false, schemaOf)
+    val r = spark.sql(out).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
+  test("a leading WITH prefix scopes every branch") {
+    Seq((1L, "x")).toDF("a", "b").createOrReplaceTempView("ub8")
+    val out = YqlScript.lowerUnions(
+      "WITH w AS (SELECT a, b FROM ub8) " +
+        "SELECT a, b FROM w UNION ALL SELECT a, upper(b) AS c FROM w",
+      positional = false, schemaOf)
+    val df = spark.sql(out)
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 2L)
+  }
+
+  test("bare UNION dedups over the merged columns") {
+    Seq(1L, 1L).toDF("a").createOrReplaceTempView("ub9")
+    Seq((1L, "x")).toDF("a", "b").createOrReplaceTempView("ub10")
+    val out = YqlScript.lowerUnions(
+      "SELECT a FROM ub9 UNION SELECT a, b FROM ub10",
+      positional = false, schemaOf)
+    // (1, NULL) ×2 collapses to one row; (1, 'x') stays distinct
+    assert(spark.sql(out).count() == 2L)
+  }
+
+  test("heterogeneous types for one name raise, like the reference") {
+    Seq(1L).toDF("a").createOrReplaceTempView("ub11")
+    Seq("s").toDF("a").createOrReplaceTempView("ub12")
+    intercept[IllegalArgumentException] {
+      YqlScript.lowerUnions(
+        "SELECT a, 1 AS k FROM ub11 UNION ALL SELECT a, 's' AS k2 FROM ub12",
+        positional = false, schemaOf)
+    }
+  }
+
+  test("UNION inside a string literal never rewrites") {
+    val s = "SELECT 'a UNION ALL b' AS t FROM x"
+    assert(YqlScript.lowerUnions(s, positional = false,
+      sql => fail(s"must not analyze: $sql")) == s)
+  }
+
+  test("by-name union end-to-end through YqlSql.sql, and the pragma flips it") {
+    Seq((1L, "x")).toDF("a", "b").createOrReplaceTempView("ub13")
+    Seq((2L, "y")).toDF("a", "c").createOrReplaceTempView("ub14")
+    val byName = YqlSql.sql(spark,
+      "SELECT a, b FROM ub13 UNION ALL SELECT a, c FROM ub14 ORDER BY a")
+    assert(byName.columns.toSeq == Seq("a", "b", "c"))
+    assert(byName.count() == 2L)
+    val positional = YqlSql.sql(spark,
+      """PRAGMA PositionalUnionAll;
+        |SELECT a, b FROM ub13 UNION ALL SELECT a, c FROM ub14
+        |ORDER BY a""".stripMargin)
+    assert(positional.columns.toSeq == Seq("a", "b"))
+    assert(positional.count() == 2L)
+  }
 }
