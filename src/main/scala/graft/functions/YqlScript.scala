@@ -1529,7 +1529,7 @@ object YqlScript {
 
   // ——— select-level lowerings ———
   private[functions] def lowerSelect(sql: String): String =
-    lowerFlatten(lowerWithout(lowerHints(sql)))
+    lowerFlatten(lowerWithout(lowerSample(lowerHints(sql))))
 
   /** Copy of `s` with the INSIDE of quoted spans overwritten by 
     * so keyword/regex scans cannot match into string literals. Same
@@ -1716,6 +1716,60 @@ object YqlScript {
         if (cut < 0) cut = text.length
         text = text.substring(0, mm.start) + text.substring(cut)
         changed = true
+      }
+    }
+    text
+  }
+
+  /** YQL sampling clauses (SQLv1.g.in:559,561 sample_clause /
+    * tablesample_clause; sql_select.cpp:608-668 SetSamplingOptions):
+    * `src SAMPLE fraction` (Bernoulli, fraction in [0,1]) and
+    * `src TABLESAMPLE BERNOULLI(percent) [REPEATABLE(seed)]` /
+    * `TABLESAMPLE SYSTEM(percent)` lower to Spark's native postfix
+    * `TABLESAMPLE (p PERCENT) [REPEATABLE (seed)]` — the same
+    * grammatical position (after the source and its alias), so the
+    * rewrite is in-place. SYSTEM mode (block sampling in the
+    * reference — sampled storage chunks, a throughput optimization)
+    * maps to row-level Bernoulli: the sampling CONTRACT (approximate
+    * fraction, optional seed determinism) is what queries observe;
+    * block selection is a storage-layer detail Spark's scan does not
+    * expose. SAMPLE requires a numeric-literal fraction (named
+    * expressions have already substituted by this point). */
+  def lowerSample(sql: String): String = {
+    var text = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskQuotes(text)
+      val m1 = "(?i)\\bTABLESAMPLE\\s+(BERNOULLI|SYSTEM)\\s*\\(".r
+        .findFirstMatchIn(masked)
+      m1 match {
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(masked, open)
+          val pct = text.substring(open + 1, close).trim
+          text = text.substring(0, m.start) +
+            s"TABLESAMPLE ($pct PERCENT)" + text.substring(close + 1)
+          changed = true
+        case None =>
+          // the fraction may arrive parenthesized — named expressions
+          // substitute as "(lit)"; the alternation never consumes an
+          // enclosing paren that was not part of the match
+          val m2 = ("(?i)\\bSAMPLE\\s+(?:\\(\\s*([0-9]*\\.?[0-9]+)\\s*\\)" +
+            "|([0-9]*\\.?[0-9]+)\\b)").r.findFirstMatchIn(masked)
+          m2.foreach { m =>
+            val g = if (m.group(1) != null) 1 else 2
+            val frac = text.substring(m.start(g), m.end(g)).toDouble
+            require(frac >= 0.0 && frac <= 1.0,
+              s"SAMPLE fraction must be in [0, 1], got $frac")
+            // keep full precision: fraction → percent in decimal text
+            val pct = java.math.BigDecimal.valueOf(frac)
+              .multiply(java.math.BigDecimal.valueOf(100)).stripTrailingZeros
+              .toPlainString
+            text = text.substring(0, m.start) +
+              s"TABLESAMPLE ($pct PERCENT)" + text.substring(m.end)
+            changed = true
+          }
       }
     }
     text

@@ -617,6 +617,37 @@ object Yql {
           |ASSUME ORDER BY pri""".stripMargin)
     }),
 
+    // Sampling clauses (SQLv1.g.in:559 sample_clause, :561
+    // tablesample_clause; sql_select.cpp:608-668): `SAMPLE fraction`,
+    // `TABLESAMPLE BERNOULLI(pct) [REPEATABLE(seed)]`, `TABLESAMPLE
+    // SYSTEM(pct)` — lowered to Spark's native postfix TABLESAMPLE
+    // (sampling happens AT THE SCAN, before any shuffle: the 100 TB
+    // posture). Sampling is pseudo-random by contract, so the oracle
+    // pins an exact-integer VERDICT row (fractions inside ±5σ bands,
+    // REPEATABLE determinism), the same pattern as the ANN recall
+    // verdicts.
+    "yql_sql_sample" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """$n = (SELECT COUNT(*) FROM orders);
+          |SELECT
+          |  CAST(CASE WHEN ts.c BETWEEN 0.12 * $n AND 0.28 * $n
+          |       THEN 1 ELSE 0 END AS BIGINT) AS bernoulli_ok,
+          |  CAST(CASE WHEN sy.c BETWEEN 0.01 * $n AND 0.09 * $n
+          |       THEN 1 ELSE 0 END AS BIGINT) AS system_ok,
+          |  CAST(CASE WHEN sm.c BETWEEN 0.42 * $n AND 0.58 * $n
+          |       THEN 1 ELSE 0 END AS BIGINT) AS sample_ok,
+          |  CAST(CASE WHEN rep.c = ts.c THEN 1 ELSE 0 END AS BIGINT)
+          |    AS repeatable_ok
+          |FROM
+          |  (SELECT COUNT(*) AS c FROM orders
+          |     TABLESAMPLE BERNOULLI(20) REPEATABLE(42)) AS ts,
+          |  (SELECT COUNT(*) AS c FROM orders
+          |     TABLESAMPLE BERNOULLI(20) REPEATABLE(42)) AS rep,
+          |  (SELECT COUNT(*) AS c FROM orders TABLESAMPLE SYSTEM(5)) AS sy,
+          |  (SELECT COUNT(*) AS c FROM orders SAMPLE 0.5) AS sm""".stripMargin)
+    }),
+
     // Index READS — `FROM t VIEW idx` (SQLv1.g.in:952 table_ref VIEW
     // suffix): the read goes through the index table — index-only
     // scan, sorted by the indexed column so the range predicate prunes
@@ -1325,6 +1356,11 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_sql_sample" ->
+      """SELECT CAST(1 AS BIGINT) AS bernoulli_ok,
+              CAST(1 AS BIGINT) AS system_ok,
+              CAST(1 AS BIGINT) AS sample_ok,
+              CAST(1 AS BIGINT) AS repeatable_ok""",
     "yql_sql_view" ->
       """WITH seed AS (SELECT DISTINCT o_custkey % 50 AS k,
              (o_custkey % 50) * 9 AS v FROM orders),

@@ -578,6 +578,44 @@ class YqlScriptSpec extends SparkSpec {
       "SELECT * FROM (SELECT a FROM t ) q")
   }
 
+  // ——— sampling clauses (SQLv1.g.in:559,561) ———
+
+  test("SAMPLE and TABLESAMPLE clauses lower to Spark TABLESAMPLE") {
+    assert(YqlScript.lowerSample(
+      "SELECT * FROM t TABLESAMPLE BERNOULLI(30) REPEATABLE(7)") ==
+      "SELECT * FROM t TABLESAMPLE (30 PERCENT) REPEATABLE(7)")
+    assert(YqlScript.lowerSample("SELECT * FROM t TABLESAMPLE SYSTEM(1.5)") ==
+      "SELECT * FROM t TABLESAMPLE (1.5 PERCENT)")
+    assert(YqlScript.lowerSample(
+      "SELECT * FROM (SELECT a FROM t) q SAMPLE 0.25") ==
+      "SELECT * FROM (SELECT a FROM t) q TABLESAMPLE (25 PERCENT)")
+    // substituted named fractions arrive parenthesized
+    assert(YqlScript.lowerSample("SELECT * FROM t SAMPLE (0.5)") ==
+      "SELECT * FROM t TABLESAMPLE (50 PERCENT)")
+    // never consumes an enclosing paren
+    assert(YqlScript.lowerSample(
+      "SELECT * FROM (SELECT * FROM t SAMPLE 0.3) q") ==
+      "SELECT * FROM (SELECT * FROM t TABLESAMPLE (30 PERCENT)) q")
+    // string literals pass through
+    assert(YqlScript.lowerSample("SELECT 'SAMPLE 0.3' AS s FROM t") ==
+      "SELECT 'SAMPLE 0.3' AS s FROM t")
+    intercept[IllegalArgumentException] {
+      YqlScript.lowerSample("SELECT * FROM t SAMPLE 1.5")
+    }
+  }
+
+  test("sampling end-to-end: fractions land in range, seeds repeat") {
+    spark.range(10000).toDF("id").createOrReplaceTempView("ust")
+    val r = YqlSql.sql(spark,
+      "SELECT " +
+        "(SELECT COUNT(*) FROM ust TABLESAMPLE BERNOULLI(20) REPEATABLE(42)) AS a, " +
+        "(SELECT COUNT(*) FROM ust TABLESAMPLE BERNOULLI(20) REPEATABLE(42)) AS a2, " +
+        "(SELECT COUNT(*) FROM ust SAMPLE 0.2) AS b").head
+    assert(r.getLong(0) > 1200 && r.getLong(0) < 2800)
+    assert(r.getLong(0) == r.getLong(1)) // REPEATABLE determinism
+    assert(r.getLong(2) > 1200 && r.getLong(2) < 2800)
+  }
+
   // ——— UNION [ALL] by-name mode (select.cpp:2846-2852) ———
 
   private def schemaOf(sql: String) =
