@@ -97,7 +97,8 @@ object YqlSql {
     // row groups; columns outside the index error at analysis, like
     // the reference's covered-column check
     def full(s: String): String =
-      viewRewrite(spark, YqlTablePaths.rewrite(rewrite(s)))
+      MatchRecognizeSql.rewrite(spark,
+        viewRewrite(spark, YqlTablePaths.rewrite(rewrite(s))))
     // EVALUATE IF conditions fold through Catalyst: a constant boolean
     // expression evaluated once at lowering time (matching the
     // reference's evaluation phase)

@@ -648,6 +648,36 @@ object Yql {
           |  (SELECT COUNT(*) AS c FROM orders SAMPLE 0.5) AS sm""".stripMargin)
     }),
 
+    // MATCH_RECOGNIZE as a SQL STRING (SQLv1.g.in:550
+    // row_pattern_recognition_clause; sql_match_recognize.cpp;
+    // executor mkql_match_recognize*.h): a click followed by a MAXIMAL
+    // run of strictly-increasing values — PREV() navigation, a greedy
+    // + quantifier, FIRST/LAST/COUNT measures, overlapping matches
+    // (SKIP TO NEXT ROW). The lowering turns PREV into a lag() window
+    // column and each DEFINE into a precomputed boolean column
+    // (predicates evaluate at scan speed under codegen; the NFA reads
+    // flags), then splices the matched rows in as a temp view. The
+    // oracle replays the run structure with lag + a non-increase
+    // running count (gaps-and-islands) — value-exact, including
+    // greediness and overlap.
+    "yql_sql_match_recognize" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """SELECT user_id, s_id, u_end, CAST(n_up AS BIGINT) AS n_up
+          |FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY event_id
+          |  MEASURES FIRST(S.event_id) AS s_id,
+          |           LAST(U.event_id) AS u_end,
+          |           COUNT(U.*) AS n_up
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (S U+)
+          |  DEFINE S AS event_type = 'click',
+          |         U AS value > PREV(value)
+          |) AS m""".stripMargin)
+    }),
+
     // Index READS — `FROM t VIEW idx` (SQLv1.g.in:952 table_ref VIEW
     // suffix): the read goes through the index table — index-only
     // scan, sorted by the indexed column so the range predicate prunes
@@ -1356,6 +1386,23 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_sql_match_recognize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, value,
+             CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk,
+             row_number() OVER w AS pos
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ), s AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY pos) AS grp
+           FROM e
+         )
+         SELECT c.user_id, c.event_id AS s_id, MAX(u.event_id) AS u_end,
+                CAST(COUNT(u.event_id) AS BIGINT) AS n_up
+         FROM s c JOIN s u
+           ON u.user_id = c.user_id AND u.pos > c.pos AND u.grp = c.grp
+         WHERE c.event_type = 'click'
+         GROUP BY c.user_id, c.event_id""",
     "yql_sql_sample" ->
       """SELECT CAST(1 AS BIGINT) AS bernoulli_ok,
               CAST(1 AS BIGINT) AS system_ok,

@@ -616,6 +616,89 @@ class YqlScriptSpec extends SparkSpec {
     assert(r.getLong(2) > 1200 && r.getLong(2) < 2800)
   }
 
+  // ——— MATCH_RECOGNIZE in SQL strings (SQLv1.g.in:550) ———
+
+  test("MATCH_RECOGNIZE string surface: pattern, PREV, measures, skip") {
+    Seq(
+      (1L, 1L, "click", 1.0), (1L, 2L, "view", 2.0), (1L, 3L, "view", 3.0),
+      (1L, 4L, "view", 1.5), (1L, 5L, "click", 9.0), (1L, 6L, "view", 0.5),
+      (2L, 7L, "click", 1.0), (2L, 8L, "view", 4.0))
+      .toDF("uid", "eid", "etype", "v").createOrReplaceTempView("mre")
+    val df = YqlSql.sql(spark,
+      """SELECT uid, s_id, u_end, n_up FROM mre MATCH_RECOGNIZE (
+        |  PARTITION BY uid
+        |  ORDER BY eid
+        |  MEASURES FIRST(S.eid) AS s_id, LAST(U.eid) AS u_end,
+        |           COUNT(U.*) AS n_up
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (S U+)
+        |  DEFINE S AS etype = 'click', U AS v > PREV(v)
+        |) AS m""".stripMargin)
+    val rows = df.orderBy("s_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // uid 1: click@1 then 2.0,3.0 increasing (1.5 breaks) → run 2..3;
+    //        click@5 then 0.5 not increasing → no match
+    // uid 2: click@7 then 4.0 > 1.0 → run 8..8
+    assert(rows.toSeq == Seq((1L, 1L, 3L, 2L), (2L, 7L, 8L, 1L)))
+  }
+
+  test("MATCH_RECOGNIZE alternation and {n} quantifiers; undefined vars match") {
+    Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "c"))
+      .toDF("uid", "eid", "t").createOrReplaceTempView("mra")
+    val df = YqlSql.sql(spark,
+      """SELECT uid, f, l FROM mra MATCH_RECOGNIZE (
+        |  PARTITION BY uid
+        |  ORDER BY eid
+        |  MEASURES FIRST(X.eid) AS f, LAST(Y.eid) AS l
+        |  PATTERN (X B{2} (Y | Z))
+        |  DEFINE X AS t = 'a', B AS t = 'b', Y AS t = 'c', Z AS t = 'z'
+        |) AS m""".stripMargin)
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 4L)))
+  }
+
+  test("MATCH_RECOGNIZE raises on unsupported forms") {
+    Seq((1L, 1L, "a")).toDF("uid", "eid", "t").createOrReplaceTempView("mrx")
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        """SELECT * FROM mrx MATCH_RECOGNIZE (
+          |  ORDER BY eid
+          |  MEASURES FIRST(A.eid) AS f
+          |  ALL ROWS PER MATCH
+          |  PATTERN (A) DEFINE A AS t = 'a') m""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        """SELECT * FROM mrx MATCH_RECOGNIZE (
+          |  ORDER BY eid DESC
+          |  MEASURES FIRST(A.eid) AS f
+          |  PATTERN (A) DEFINE A AS t = 'a') m""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        """SELECT * FROM mrx MATCH_RECOGNIZE (
+          |  ORDER BY eid
+          |  MEASURES FIRST(A.eid) AS f
+          |  PATTERN (A) DEFINE A AS t = NEXT(t)) m""".stripMargin)
+    }
+  }
+
+  test("MATCH_RECOGNIZE inside a script composes with bindings and WHERE") {
+    Seq((1L, 1L, "click", 1.0), (1L, 2L, "view", 5.0), (3L, 3L, "click", 1.0),
+      (3L, 4L, "view", 0.5))
+      .toDF("uid", "eid", "etype", "v").createOrReplaceTempView("mrs")
+    val df = YqlSql.sql(spark,
+      """$min_uid = 0;
+        |SELECT uid, n_up FROM mrs MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY eid
+        |  MEASURES COUNT(U.*) AS n_up
+        |  PATTERN (S U)
+        |  DEFINE S AS etype = 'click', U AS v > PREV(v)
+        |) WHERE uid > $min_uid""".stripMargin)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 1L)))
+  }
+
   // ——— UNION [ALL] by-name mode (select.cpp:2846-2852) ———
 
   private def schemaOf(sql: String) =
