@@ -300,6 +300,37 @@ object SketchOps {
     case _ => arr.getInt(i).toDouble
   }
 
+  /** All hyperplane signatures of one vector in ONE tight loop:
+    * signature s packs the sign bits of planes[s·bitsPer .. s·bitsPer
+    * + bitsPer − 1] (bit k = 1 when the dot clears 0) — the same
+    * arithmetic, element order and bit layout as the per-plane
+    * `Similarity.hyperplaneSignature` expression chain, which at
+    * LSH-auto chunk counts (hundreds of planes) grows generated code
+    * past the JVM's 64 KB method limit and silently drops the whole
+    * projection out of codegen. The plane table rides into codegen as
+    * one reference object. */
+  def hyperplaneSigs(v: ArrayData, code: Int, planes: Array[Array[Double]],
+      nSigs: Int, bitsPer: Int): ArrayData = {
+    val out = new Array[Long](nSigs)
+    var s = 0
+    while (s < nSigs) {
+      var w = 0L
+      var k = 0
+      while (k < bitsPer) {
+        val p = planes(s * bitsPer + k)
+        val n = math.min(v.numElements(), p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += numAt(v, code, i) * p(i); i += 1 }
+        if (acc > 0) w |= 1L << k
+        k += 1
+      }
+      out(s) = w
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def dot(x: ArrayData, y: ArrayData, cx: Int, cy: Int): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0; var i = 0

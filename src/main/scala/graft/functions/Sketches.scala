@@ -233,6 +233,36 @@ object Sketches {
   def cosineSim(a: Column, b: Column): Column =
     S.column(CosineSim(S.expression(a), S.expression(b)))
 
+  /** All hyperplane signatures in ONE compiled pass (see
+    * SketchOps.hyperplaneSigs): returns `array<long>` of `nSigs`
+    * packed sign-bit words, bit-identical to chaining
+    * `Similarity.hyperplaneSignature` per signature, without the
+    * hundreds of per-plane literal-array expressions that blow the
+    * 64 KB codegen method limit at LSH-auto chunk counts. */
+  case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
+      nSigs: Int, bitsPer: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val code =
+      SketchOps.typeCode(child.dataType.asInstanceOf[ArrayType].elementType)
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.hyperplaneSigs(input.asInstanceOf[ArrayData], code, planes,
+        nSigs, bitsPer)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.hyperplaneSigs($c, $code, " +
+          s"$pRef, $nSigs, $bitsPer);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+      copy(child = newChild)
+  }
+
+  def hyperplaneSigs(vec: Column, planes: Array[Array[Double]],
+      nSigs: Int, bitsPer: Int): Column =
+    S.column(HyperplaneSigs(S.expression(vec), planes, nSigs, bitsPer))
+
   /** Portable md5 min-k fingerprint (see SketchOps.portableFingerprint)
     * — one pass per document; the declarative HOF form re-evaluates the
     * whitespace split once per gram. */

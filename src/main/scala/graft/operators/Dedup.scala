@@ -178,7 +178,8 @@ object Dedup {
     * 14.5 s → ~2 s on 6M rows. Falls back to single-chunk keys when
     * chunks == maxDist + 1 (no spare clean chunk for pairing). */
   def simhashDup(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 5, chunkBits: Int = 8, shingleSize: Int = 3): DataFrame = {
+      maxDist: Int = 5, chunkBits: Int = 8, shingleSize: Int = 3,
+      rows: Long = -1L): DataFrame = {
     val chunks = 64 / chunkBits
     require(chunks > maxDist, "need more chunks than maxDist for pigeonhole")
     val sigs = df.select(col(idCol).as("doc_id"),
@@ -186,11 +187,29 @@ object Dedup {
     def chunkVal(j: Int) =
       shiftrightunsigned(col("sig"), j * chunkBits)
         .bitwiseAND((1L << chunkBits) - 1)
+    // band WIDTH follows corpus size: ≤ maxDist flipped bits dirty at
+    // most maxDist chunks, so ANY w ≤ chunks − maxDist leaves a clean
+    // w-subset shared by every qualifying pair — output identical at
+    // every width (the popcount filter is exact either way). What
+    // width changes is Σ bucket² ≈ n·occ with occ = n/2^(w·chunkBits):
+    // w=2 was the round-5 fix (14.5 s → 1 s at sf1), but 500k docs
+    // saturate the 16-bit pair space (occ ≈ 7.6 × 28 bands ≈ 10⁸
+    // candidate pairs — 40 s at the sf10 soak), so the width widens
+    // until occ ≤ 4 or the pigeonhole budget is spent. C(chunks, w)
+    // bands trade a linear explode for the quadratic bucket collapse.
+    val budget = chunks - maxDist
+    val n = math.max(1L,
+      if (rows > 0) rows
+      else sigs.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(df.count()))
+    val w = (1 to budget).find(w0 =>
+      n.toDouble / math.pow(2.0, w0.toDouble * chunkBits) <= 4.0)
+      .getOrElse(budget)
     val keys: Seq[Column] =
-      if (chunks - maxDist >= 2)
-        for { i <- 0 until chunks; j <- (i + 1) until chunks }
-          yield chunkVal(i) * (1L << chunkBits) + chunkVal(j)
-      else (0 until chunks).map(chunkVal)
+      if (w == 1) (0 until chunks).map(chunkVal)
+      else (0 until chunks).combinations(w).map(_.foldLeft(lit(0L)) {
+        (acc, i) => shiftleft(acc, chunkBits).bitwiseOR(chunkVal(i))
+      }).toSeq
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array(keys: _*)).as(Seq("chunk", "chunk_val")))
     val l = chunked.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
@@ -374,43 +393,58 @@ object Dedup {
             .map(_.toLong).getOrElse(df.count()))
         lshAutoParams(n, threshold)
       }
-    val bitsN = chunks * cb
     // one independent cb-bit hyperplane family per chunk — seeds
-    // decorrelated the same way lshTopK spaces its tables
+    // decorrelated the same way lshTopK spaces its tables — plus ONE
+    // 64-bit prefilter signature (its own family). The band join used
+    // to carry the FULL m-chunk array on both sides to hamming-filter
+    // candidates before the dedup shuffle; at corpus scale that array
+    // IS the shuffle (m rows × m longs ≈ m²·8 bytes per document —
+    // 34 GB at 1M vectors, measured 488 s at the sf10 soak). The
+    // 8-byte proxy keeps the same protection (random collisions die
+    // before any downstream shuffle) at 1/m the band-shuffle width:
+    // the sf10 measure dropped to ~1/9 of the array-carrying plan.
+    // planes exactly as the per-chunk hyperplaneSignature families
+    // draw them (same seeds, same Gaussian sequence → bit-identical
+    // signatures), evaluated by ONE compiled expression — the literal
+    // per-plane chain (m·cb + 64 dot expressions) exceeds the 64 KB
+    // codegen method limit at auto chunk counts, dropping the scan's
+    // hottest projection to interpreted evaluation
+    def planesFor(bits: Int, s: Long): Array[Array[Double]] = {
+      val rnd = new java.util.Random(s)
+      Array.fill(bits, dim)(rnd.nextGaussian())
+    }
+    val chunkPlanes = (0 until chunks).toArray
+      .flatMap(j => planesFor(cb, seed + 7919L * j))
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array((0 until chunks).map { j =>
-        Similarity.hyperplaneSignature(col(vecCol), dim, cb, seed + 7919L * j)
-      }: _*).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
+      graft.functions.Sketches.hyperplaneSigs(col(vecCol), chunkPlanes,
+        chunks, cb).as("sig"),
+      element_at(graft.functions.Sketches.hyperplaneSigs(col(vecCol),
+        planesFor(64, seed - 104729L), 1, 64), 1).as("sig64"))
+    val chunked = sigs.select(col("id"), col("sig64"),
       posexplode(col("sig")).as(Seq("chunk", "chunk_val")))
     // Hamming prefilter bound: a pair at exactly `threshold` cosine
-    // flips each signature bit with p = acos(threshold)/π; true pairs
-    // live within mean + 3σ of Binomial(bits, p). Candidates beyond
-    // that are (overwhelmingly) random bucket collisions — dropping
-    // them with one bitwise popcount BEFORE the dedup shuffle and the
-    // two vector-fetch joins keeps the candidate stream proportional
-    // to true pairs, not to bucket occupancy² (the silent quadratic
-    // regrowth an LSH join can hide at corpus scale).
+    // flips each of the 64 prefilter bits with p = acos(threshold)/π;
+    // true pairs live within mean + 4σ of Binomial(64, p) (4σ keeps
+    // the prefilter's own miss ≪ the banding design's 1%). Candidates
+    // beyond that are (overwhelmingly) random bucket collisions —
+    // dropped with ONE popcount inside the join probe, before the
+    // dedup shuffle and the two vector-fetch joins, so the candidate
+    // stream stays proportional to true pairs, not to bucket
+    // occupancy² (the silent quadratic regrowth an LSH join can hide
+    // at corpus scale).
     val p = math.acos(threshold) / math.Pi
-    val hMax = math.min(bitsN.toDouble,
-      math.ceil(bitsN * p + 3 * math.sqrt(bitsN * p * (1 - p)))).toInt
-    // static sum of per-chunk popcounts — a fixed codegen expression
-    // per candidate pair (the lambda-aggregate form allocates per row,
-    // and this runs once per CANDIDATE, the operator's hottest loop)
-    def hamming(a: Column, b: Column): Column =
-      (1 to chunks).map(i =>
-        bit_count(element_at(a, i).bitwiseXOR(element_at(b, i)))
-      ).reduce(_ + _)
+    val h64 = math.min(64.0,
+      math.ceil(64 * p + 4 * math.sqrt(64 * p * (1 - p)))).toInt
     // shuffle-hash + ReuseExchange: signature scan computed once (see
     // minhashLsh for the full rationale)
-    val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+    val l = chunked.select(col("id").as("id_a"), col("sig64").as("s64_a"),
       col("chunk"), col("chunk_val"))
-    val r = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+    val r = chunked.select(col("id").as("id_b"), col("sig64").as("s64_b"),
       col("chunk"), col("chunk_val"))
     val candidates = l.hint("shuffle_hash")
       .join(r.hint("shuffle_hash"), Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b") &&
-        hamming(col("sig_a"), col("sig_b")) <= hMax)
+        bit_count(col("s64_a").bitwiseXOR(col("s64_b"))) <= h64)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val vecs = sigs.select(col("id"), col("vec"))

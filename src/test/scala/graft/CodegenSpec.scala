@@ -69,4 +69,32 @@ class CodegenSpec extends SparkSpec {
       }
     }
   }
+
+  test("HyperplaneSigs is bit-identical to the per-plane signature chain") {
+    // the chain form at LSH-auto chunk counts blows the 64 KB codegen
+    // method limit (ERROR CodeGenerator + interpreted fallback — the
+    // sf10 soak measured 488 s); the compiled expression must produce
+    // the SAME bits so recall behavior is unchanged
+    val dim = 8
+    val vecs = Seq(
+      (1L, Seq(0.3f, -1.2f, 0.7f, 2.2f, -0.1f, 0.9f, -0.6f, 1.4f)),
+      (2L, Seq(-0.8f, 0.2f, 1.1f, -2.0f, 0.5f, -0.9f, 1.6f, 0.05f)))
+      .toDF("id", "vec")
+    val chunks = 5; val cb = 9; val seed = 42L
+    def planesFor(bits: Int, s: Long): Array[Array[Double]] = {
+      val rnd = new java.util.Random(s)
+      Array.fill(bits, dim)(rnd.nextGaussian())
+    }
+    val planes = (0 until chunks).toArray.flatMap(j => planesFor(cb, seed + 7919L * j))
+    val both = vecs.select(
+      graft.functions.Sketches.hyperplaneSigs(col("vec"), planes, chunks, cb)
+        .as("fast"),
+      array((0 until chunks).map { j =>
+        graft.operators.Similarity.hyperplaneSignature(col("vec"), dim, cb,
+          seed + 7919L * j)
+      }: _*).as("chain")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
 }
