@@ -28,7 +28,10 @@ import graft.streaming.{MatchRecognize => MR}
   *     streaming posture orders by event time ascending),
   *   - MEASURES: `FIRST(X.col)`, `LAST(X.col)`, `X.col` (= LAST),
   *     `COUNT(X.*)`,
-  *   - ONE ROW PER MATCH (default; ALL ROWS PER MATCH raises),
+  *   - ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (every
+  *     matched row + the match-level measures, FINAL semantics —
+  *     mkql_match_recognize_rows_formatter.cpp TAllRowsFormatter
+  *     computes measures once per match and repeats them per row),
   *   - AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW (default),
   *   - PATTERN: sequence of variables with `+ * ? {n}` quantifiers and
   *     unquantified alternation groups `(A | B C)`,
@@ -130,8 +133,9 @@ object MatchRecognizeSql {
         val until = if (i + 1 < marks.length) marks(i + 1)._1 else body.length
         body.substring(e0, until).trim
       }
-    require(section("ALL ROWS PER MATCH").isEmpty,
-      "ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+    // ALL ROWS PER MATCH (TAllRowsFormatter): every matched row with
+    // its input columns + the match-level (FINAL) measures
+    val allRows = section("ALL ROWS PER MATCH").isDefined
 
     def idents(s: String): Seq[String] =
       YqlScript.splitTopLevel(s).map(_.trim).filter(_.nonEmpty).map { it =>
@@ -329,7 +333,15 @@ object MatchRecognizeSql {
         s"unsupported AFTER MATCH clause: $other")
     }
 
-    MR.oneRowPerMatchPattern(aug, partCols, ordCols, pattern,
-      measureFn, measureSchema, skip)
+    if (allRows) {
+      // emitted rows carry the AUGMENTED frame's columns — drop the
+      // internal lag/define helpers so the view exposes exactly the
+      // source columns + measures (the reference's output order)
+      val helpers = aug.columns.filter(_.startsWith("__mr_"))
+      MR.allRowsPerMatchPattern(aug, partCols, ordCols, pattern,
+        measureFn, measureSchema, skip).drop(helpers: _*)
+    } else
+      MR.oneRowPerMatchPattern(aug, partCols, ordCols, pattern,
+        measureFn, measureSchema, skip)
   }
 }

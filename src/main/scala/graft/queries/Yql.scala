@@ -678,6 +678,30 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // ALL ROWS PER MATCH (mkql_match_recognize_rows_formatter.cpp
+    // TAllRowsFormatter): every matched row emits with its input
+    // columns plus the match-level measures — the reference computes
+    // measures ONCE per match and repeats them per row (FINAL
+    // semantics). Overlapping matches (SKIP TO NEXT ROW) re-emit
+    // shared rows once per match; the oracle expands each match's
+    // row range from the same gaps-and-islands replay.
+    "yql_sql_match_all_rows" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """SELECT event_id, user_id, event_type, s_id,
+          |       CAST(n_up AS BIGINT) AS n_up
+          |FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY event_id
+          |  MEASURES FIRST(S.event_id) AS s_id, COUNT(U.*) AS n_up
+          |  ALL ROWS PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (S U+)
+          |  DEFINE S AS event_type = 'click',
+          |         U AS value > PREV(value)
+          |) AS m""".stripMargin)
+    }),
+
     // Index READS — `FROM t VIEW idx` (SQLv1.g.in:952 table_ref VIEW
     // suffix): the read goes through the index table — index-only
     // scan, sorted by the indexed column so the range predicate prunes
@@ -1403,6 +1427,27 @@ object Yql {
            ON u.user_id = c.user_id AND u.pos > c.pos AND u.grp = c.grp
          WHERE c.event_type = 'click'
          GROUP BY c.user_id, c.event_id""",
+    "yql_sql_match_all_rows" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, value,
+             CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk,
+             row_number() OVER w AS pos
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ), s AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY pos) AS grp
+           FROM e
+         ), m AS (
+           SELECT c.user_id, c.pos AS s_pos, MAX(u.pos) AS e_pos,
+                  c.event_id AS s_id,
+                  CAST(COUNT(u.event_id) AS BIGINT) AS n_up
+           FROM s c JOIN s u
+             ON u.user_id = c.user_id AND u.pos > c.pos AND u.grp = c.grp
+           WHERE c.event_type = 'click'
+           GROUP BY c.user_id, c.pos, c.event_id)
+         SELECT r.event_id, r.user_id, r.event_type, m.s_id, m.n_up
+         FROM m JOIN s r
+           ON r.user_id = m.user_id AND r.pos BETWEEN m.s_pos AND m.e_pos""",
     "yql_sql_sample" ->
       """SELECT CAST(1 AS BIGINT) AS bernoulli_ok,
               CAST(1 AS BIGINT) AS system_ok,

@@ -44,7 +44,11 @@ class PlanSweepSpec extends SparkSpec {
       "llm_boilerplate_lines",
       // the export task instant is a ONE-row broadcast scalar (the
       // stream's high-water mark) crossed against the queue
-      "dyn_queue_export")
+      "dyn_queue_export",
+      // the sampling verdict crosses FOUR one-row count aggregates
+      // (three sampled counts + the total) — 1×1 products by
+      // construction
+      "yql_sql_sample")
 
   /** Nearly every operator fits in <= 4 exchanges (scan → shuffle agg /
     * join → final agg → order). The documented exceptions: the
@@ -68,7 +72,10 @@ class PlanSweepSpec extends SparkSpec {
     // fuzz harness of 12 INDEPENDENT set-op cases unioned — INTERSECT/
     // EXCEPT legitimately shuffle both sides per case; the budget is
     // per-case ~2, not per-query
-    "ql_fuzz_setops" -> 24)
+    "ql_fuzz_setops" -> 24,
+    // FOUR independent single-row count aggregates (2 exchanges each)
+    // + the scalar-subquery total — per-aggregate budget, single rows
+    "yql_sql_sample" -> 12)
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one

@@ -657,16 +657,29 @@ class YqlScriptSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 4L)))
   }
 
+  test("MATCH_RECOGNIZE ALL ROWS PER MATCH emits matched rows + final measures") {
+    Seq((1L, 1L, "click", 1.0), (1L, 2L, "view", 2.0), (1L, 3L, "view", 3.0),
+      (1L, 4L, "view", 0.5))
+      .toDF("uid", "eid", "etype", "v").createOrReplaceTempView("mrar")
+    val df = YqlSql.sql(spark,
+      """SELECT eid, etype, n_up FROM mrar MATCH_RECOGNIZE (
+        |  PARTITION BY uid ORDER BY eid
+        |  MEASURES COUNT(U.*) AS n_up
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S U+)
+        |  DEFINE S AS etype = 'click', U AS v > PREV(v)
+        |) AS m""".stripMargin)
+    // one match: rows 1 (S), 2, 3 (U) — each emitted with the FINAL
+    // measure (n_up = 2 on every row); row 4 breaks the run
+    val rows = df.orderBy("eid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "click", 2L), (2L, "view", 2L), (3L, "view", 2L)))
+    // helper columns never leak into the view
+    assert(!df.columns.exists(_.startsWith("__mr_")))
+  }
+
   test("MATCH_RECOGNIZE raises on unsupported forms") {
     Seq((1L, 1L, "a")).toDF("uid", "eid", "t").createOrReplaceTempView("mrx")
-    intercept[IllegalArgumentException] {
-      YqlSql.sql(spark,
-        """SELECT * FROM mrx MATCH_RECOGNIZE (
-          |  ORDER BY eid
-          |  MEASURES FIRST(A.eid) AS f
-          |  ALL ROWS PER MATCH
-          |  PATTERN (A) DEFINE A AS t = 'a') m""".stripMargin)
-    }
     intercept[IllegalArgumentException] {
       YqlSql.sql(spark,
         """SELECT * FROM mrx MATCH_RECOGNIZE (
