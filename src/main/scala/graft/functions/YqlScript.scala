@@ -1529,7 +1529,7 @@ object YqlScript {
 
   // ——— select-level lowerings ———
   private[functions] def lowerSelect(sql: String): String =
-    lowerFlatten(lowerWithout(lowerSample(lowerHints(sql))))
+    lowerFlatten(lowerWithout(lowerSample(lowerTableHints(lowerHints(sql)))))
 
   /** Copy of `s` with the INSIDE of quoted spans overwritten by 
     * so keyword/regex scans cannot match into string literals. Same
@@ -1715,6 +1715,106 @@ object YqlScript {
         }
         if (cut < 0) cut = text.length
         text = text.substring(0, mm.start) + text.substring(cut)
+        changed = true
+      }
+    }
+    text
+  }
+
+  /** Table-ref hints — `FROM t WITH SCHEMA (a Int32, ...)` /
+    * `WITH INFER_SCHEMA` / `WITH (hint, hint, ...)` (SQLv1.g.in:956-960
+    * table_hints). In the reference, SCHEMA declares the shape of a
+    * weak/schemaless YT table at read time; every table here is
+    * schema-carrying parquet, so the hint lowers to the read-time
+    * CONTRACT it states: project to EXACTLY the declared columns, each
+    * CAST to the declared YT type (extra columns drop, declared order
+    * holds) — a derived table Catalyst plans like any other, with
+    * pruning/pushdown intact. All other hints (INFER_SCHEMA, XLOCK,
+    * INLINE, provider steering) validate and drop. */
+  def lowerTableHints(sql: String): String = {
+    val aliasStop = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+      "OFFSET", "UNION", "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT",
+      "FULL", "INNER", "CROSS", "ON", "USING", "SAMPLE", "TABLESAMPLE",
+      "MATCH_RECOGNIZE", "WINDOW", "FLATTEN", "VIEW", "WITH", "INTO",
+      "ASSUME", "SEMI", "ANTI", "NATURAL")
+    val re = ("(?i)\\b(FROM|JOIN)\\s+" +
+      "([A-Za-z_][A-Za-z0-9_.]*|`[^`]+`)\\s+WITH\\b").r
+    var text = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskQuotes(text)
+      re.findFirstMatchIn(masked).foreach { m =>
+        val tbl = text.substring(m.start(2), m.end(2))
+        var i = m.end
+        while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+        // collect the hint list: parenthesized group, or one hint
+        val hints = scala.collection.mutable.ArrayBuffer.empty[String]
+        var end = i
+        if (i < masked.length && masked.charAt(i) == '(') {
+          val close = matchParen(masked, i)
+          hints ++= splitTopLevel(text.substring(i + 1, close))
+            .map(_.trim).filter(_.nonEmpty)
+          end = close + 1
+        } else {
+          // single hint: IDENT [= tag | ( ... )] — SCHEMA's struct
+          // group included
+          var j = i
+          while (j < masked.length && (masked.charAt(j).isLetterOrDigit ||
+            masked.charAt(j) == '_')) j += 1
+          var k = j
+          while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+          if (k < masked.length && masked.charAt(k) == '=') {
+            k += 1
+            while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+          }
+          if (k < masked.length && masked.charAt(k) == '(')
+            k = matchParen(masked, k) + 1
+          else if (text.substring(i, j).equalsIgnoreCase("SCHEMA") ||
+              text.substring(i, j).equalsIgnoreCase("COLUMNS")) {
+            // unparenthesized type form: consume one type token
+            while (k < masked.length && (masked.charAt(k).isLetterOrDigit ||
+              "_<>?,".contains(masked.charAt(k)))) k += 1
+          } else k = j
+          hints += text.substring(i, k).trim
+          end = k
+        }
+        // SCHEMA hint → projection contract; everything else drops
+        val schemaHint = hints.map(_.trim).find(h =>
+          h.toUpperCase.startsWith("SCHEMA"))
+        val replacement = schemaHint match {
+          case Some(h) =>
+            val open = h.indexOf('(')
+            require(open > 0 && h.endsWith(")"),
+              s"unsupported SCHEMA hint form: $h")
+            val items = splitTopLevel(h.substring(open + 1, h.length - 1))
+              .map(_.trim).filter(_.nonEmpty)
+            require(items.nonEmpty, "empty SCHEMA hint")
+            val casts = items.map { it =>
+              val sp = it.indexWhere(_.isWhitespace)
+              require(sp > 0, s"SCHEMA hint item needs 'name Type': $it")
+              val name = it.substring(0, sp)
+              val tp = declaredSparkType(it.substring(sp + 1)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"unsupported type in SCHEMA hint: $it"))
+              s"CAST(`$name` AS $tp) AS `$name`"
+            }
+            // keep a following alias if one is spelled; otherwise the
+            // table's base name stays addressable
+            var a = end
+            while (a < masked.length && masked.charAt(a).isWhitespace) a += 1
+            var b = a
+            while (b < masked.length && (masked.charAt(b).isLetterOrDigit ||
+              masked.charAt(b) == '_')) b += 1
+            val word = if (b > a) text.substring(a, b).toUpperCase else ""
+            val hasAlias = word == "AS" ||
+              (word.nonEmpty && !aliasStop.contains(word))
+            val base = tbl.split("\\.").last.replaceAll("`", "")
+            s"(SELECT ${casts.mkString(", ")} FROM $tbl)" +
+              (if (hasAlias) "" else s" `$base`")
+          case None => tbl
+        }
+        text = text.substring(0, m.start(2)) + replacement + text.substring(end)
         changed = true
       }
     }

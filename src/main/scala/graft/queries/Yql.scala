@@ -702,6 +702,23 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // Table-ref hints (SQLv1.g.in:956-960 table_hints): `WITH SCHEMA
+    // (cols)` — the reference's read-time schema declaration for weak
+    // tables — lowers to its contract (project to EXACTLY the declared
+    // columns, each CAST to the declared YT type); non-SCHEMA hints
+    // (XLOCK etc.) validate and drop. Pruning/pushdown survive: the
+    // derived table is a plain projection Catalyst collapses into the
+    // scan.
+    "yql_sql_with_schema" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(o_custkey) AS BIGINT) AS sum_ck
+          |FROM orders WITH (XLOCK, SCHEMA (o_custkey Int32,
+          |                                 o_orderpriority Utf8))
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     // Index READS — `FROM t VIEW idx` (SQLv1.g.in:952 table_ref VIEW
     // suffix): the read goes through the index table — index-only
     // scan, sorted by the indexed column so the range predicate prunes
@@ -1448,6 +1465,10 @@ object Yql {
          SELECT r.event_id, r.user_id, r.event_type, m.s_id, m.n_up
          FROM m JOIN s r
            ON r.user_id = m.user_id AND r.pos BETWEEN m.s_pos AND m.e_pos""",
+    "yql_sql_with_schema" ->
+      """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(o_custkey AS INT)) AS BIGINT) AS sum_ck
+         FROM orders GROUP BY o_orderpriority""",
     "yql_sql_sample" ->
       """SELECT CAST(1 AS BIGINT) AS bernoulli_ok,
               CAST(1 AS BIGINT) AS system_ok,

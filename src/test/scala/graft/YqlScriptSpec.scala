@@ -578,6 +578,41 @@ class YqlScriptSpec extends SparkSpec {
       "SELECT * FROM (SELECT a FROM t ) q")
   }
 
+  // ——— table-ref hints (SQLv1.g.in:956-960) ———
+
+  test("WITH SCHEMA projects to declared columns/types; other hints drop") {
+    assert(YqlScript.lowerTableHints(
+      "SELECT * FROM t WITH SCHEMA (a Int32, b String) WHERE a > 1") ==
+      "SELECT * FROM (SELECT CAST(`a` AS INT) AS `a`, " +
+        "CAST(`b` AS STRING) AS `b` FROM t) `t` WHERE a > 1")
+    // a spelled alias wins over the synthesized one
+    assert(YqlScript.lowerTableHints(
+      "SELECT * FROM t WITH SCHEMA (a Int64) AS x") ==
+      "SELECT * FROM (SELECT CAST(`a` AS BIGINT) AS `a` FROM t) AS x")
+    // hint-list form; non-SCHEMA hints validate and drop
+    assert(YqlScript.lowerTableHints(
+      "SELECT * FROM t WITH (XLOCK, SCHEMA (a Double))") ==
+      "SELECT * FROM (SELECT CAST(`a` AS DOUBLE) AS `a` FROM t) `t`")
+    assert(YqlScript.lowerTableHints(
+      "SELECT * FROM t WITH INFER_SCHEMA WHERE a = 1") ==
+      "SELECT * FROM t WHERE a = 1")
+    // string literals pass through
+    val s = "SELECT 'FROM t WITH SCHEMA (a Int32)' AS lit FROM u"
+    assert(YqlScript.lowerTableHints(s) == s)
+  }
+
+  test("WITH SCHEMA end-to-end: declared order, casts, extra columns drop") {
+    Seq((1L, "x", 2.5, true)).toDF("a", "b", "c", "extra")
+      .createOrReplaceTempView("ths")
+    val df = YqlSql.sql(spark,
+      "SELECT * FROM ths WITH SCHEMA (c Int32, a String)")
+    assert(df.columns.toSeq == Seq("c", "a"))
+    assert(df.schema("c").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val r = df.head
+    assert(r.getInt(0) == 2 && r.getString(1) == "1")
+  }
+
   // ——— sampling clauses (SQLv1.g.in:559,561) ———
 
   test("SAMPLE and TABLESAMPLE clauses lower to Spark TABLESAMPLE") {
