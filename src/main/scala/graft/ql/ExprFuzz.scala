@@ -479,7 +479,7 @@ object ExprFuzz {
       val c = 2 + rnd.nextInt(8)
       val d = 3 + rnd.nextInt(95)
       val w = 2 + rnd.nextInt(6); val r = rnd.nextInt(w)
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 =>
           // lambda called directly AND composed through a second lambda
           val script =
@@ -537,6 +537,29 @@ object ExprFuzz {
             s"CAST(SUM(v % $d) + $m AS BIGINT) AS x1, " +
             s"CAST(COUNT(v % $d) * $c AS BIGINT) AS x2 " +
             s"FROM fw WHERE v % $w = $r GROUP BY k"
+          (script, sql)
+        case 4 =>
+          // hint spellings + WITH SCHEMA in one statement: GROUP
+          // COMPACT BY / IN COMPACT / ASSUME ORDER BY drop (no sort
+          // runs — the compare is order-insensitive), the SCHEMA hint
+          // projects/casts; the oracle is the hand-expanded plain form
+          val s32 = rnd.nextBoolean()
+          val kT = if (s32) "Int32" else "Int64"
+          val kC = if (s32) "INT" else "BIGINT"
+          val script =
+            s"SELECT $i AS tag, a, " +
+            s"CAST(SUM(k % $d) + $m AS BIGINT) AS x1, " +
+            s"CAST(COUNT(*) * $c AS BIGINT) AS x2 " +
+            s"FROM fw WITH SCHEMA (a Int64, k $kT, v Int64) " +
+            s"WHERE v % $w = $r AND a % 3 IN COMPACT (0, 1) " +
+            "GROUP COMPACT BY a ASSUME ORDER BY a"
+          val sql =
+            s"SELECT $i AS tag, a, " +
+            s"CAST(SUM(k % $d) + $m AS BIGINT) AS x1, " +
+            s"CAST(COUNT(*) * $c AS BIGINT) AS x2 " +
+            s"FROM (SELECT CAST(a AS BIGINT) AS a, CAST(k AS $kC) AS k, " +
+            "CAST(v AS BIGINT) AS v FROM fw) " +
+            s"WHERE v % $w = $r AND a % 3 IN (0, 1) GROUP BY a"
           (script, sql)
         case _ =>
           // by-name UNION ALL (select.cpp:2846-2852 UnionAll mode)
