@@ -327,6 +327,23 @@ object YqlSql {
     alias("listreplicate", "array_repeat")
     alias("aggregate_list", "collect_list")
     alias("aggregate_list_distinct", "collect_set")
+    // CurrentUtcDate/Datetime/Timestamp (builtins/basic.md — the
+    // reference's NOW() alternatives; session timezone is pinned UTC).
+    // Datetime is YQL's SECONDS-precision type → truncate. The
+    // optional dependency arguments (the reference's spelling to
+    // defeat per-query constant folding) are accepted and ignored:
+    // Spark evaluates these once per query, which IS the reference's
+    // no-argument behavior.
+    reg("currentutcdate")(_ =>
+      UnresolvedFunction(Seq("current_date"), Nil, isDistinct = false))
+    reg("currentutctimestamp")(_ =>
+      UnresolvedFunction(Seq("current_timestamp"), Nil, isDistinct = false))
+    reg("currentutcdatetime")(_ =>
+      UnresolvedFunction(Seq("date_trunc"),
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal("second"),
+          UnresolvedFunction(Seq("current_timestamp"), Nil,
+            isDistinct = false)),
+        isDistinct = false))
     alias("dictkeys", "map_keys")
     alias("dictpayloads", "map_values")
     alias("dictlength", "size")

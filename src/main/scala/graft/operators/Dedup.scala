@@ -266,11 +266,28 @@ object Dedup {
     * salting as any hot key.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, tau: Double, salt: String): DataFrame = {
+      nCells: Int, tau: Double, salt: String,
+      rows: Long = -1L): DataFrame = {
+    // nCells <= 0 → AUTO: cells sized to ~64 rows so the within-cell
+    // pairwise work stays Σ|cell|² ≈ 64·n — LINEAR in the corpus (a
+    // fixed cell count bends quadratic: the sf10 soak measured 103 s
+    // at 200k vectors / 8 cells). The centroid table stays
+    // hyperparameter-sized (capped 65536 ≈ 32 MB of 64-dim doubles);
+    // past the cap, swap the deterministic sample for the distributed
+    // k-means in Similarity (same assignment expression).
+    val k =
+      if (nCells > 0) nCells
+      else {
+        val n = math.max(1L,
+          if (rows > 0) rows
+          else df.queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toLong).getOrElse(df.count()))
+        math.min(65536L, math.max(16L, n / 64L)).toInt
+      }
     val ranked = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
       md5(concat_ws("|", lit(salt), col(idCol).cast("string"))).as("r"))
     val centroids: Array[(Long, Array[Double])] = ranked
-      .orderBy(col("r"), col("id")).limit(nCells)
+      .orderBy(col("r"), col("id")).limit(k)
       .select(col("id"), col("vec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // one compiled pass per row: argmax cosine over the broadcast

@@ -78,6 +78,14 @@ object Llm {
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_simhash" -> simhashOp,
     "llm_dedup_embedding_lsh" -> embeddingLshOp,
+    // scale-honest configuration: AUTO cell count (~64-row cells —
+    // linear Σ|cell|²). The correctness query pins nCells=8 so the
+    // oracle can replay the centroid draw exactly; a fixed cell count
+    // is quadratic by construction and belongs to the gate, not the
+    // throughput number.
+    "llm_dedup_semantic" -> ((s, d) =>
+      graft.operators.Dedup.semDedup(t(s, d, "embeddings"), "vec_id",
+        "embedding", nCells = -1, tau = 0.35, salt = "sd1")),
     "llm_sim_lsh" -> lshTopKOp,
     "llm_sim_ivf" -> ivfTopKOp,
     "llm_sim_pq" -> pqTopKOp)

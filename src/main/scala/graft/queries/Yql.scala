@@ -837,6 +837,28 @@ object Yql {
            FROM documents WHERE doc_id < 300 GROUP BY source""")
     }),
 
+    // CurrentUtcDate / CurrentUtcDatetime / CurrentUtcTimestamp
+    // (builtins/basic.md — the documented NOW() alternatives; UTC
+    // session). Time is nondeterministic, so the oracle pins an
+    // exact-integer VERDICT: plausibility window, date/datetime
+    // agreement, Datetime's SECONDS precision, timestamp ordering.
+    "yql_fn_current" -> ((s, d) => {
+      t(s, d, "region").createOrReplaceTempView("region")
+      graft.functions.YqlSql.sql(s,
+        """SELECT
+          |  CAST(CASE WHEN CurrentUtcDate()
+          |    BETWEEN DATE '2020-01-01' AND DATE '2100-01-01'
+          |    THEN 1 ELSE 0 END AS BIGINT) AS date_ok,
+          |  CAST(CASE WHEN abs(datediff(CAST(CurrentUtcDatetime() AS DATE),
+          |    CurrentUtcDate())) <= 1 THEN 1 ELSE 0 END AS BIGINT) AS dt_ok,
+          |  CAST(CASE WHEN date_format(CurrentUtcDatetime(), 'SSS') = '000'
+          |    THEN 1 ELSE 0 END AS BIGINT) AS seconds_ok,
+          |  CAST(CASE WHEN CurrentUtcTimestamp() >= CurrentUtcDatetime()
+          |    THEN 1 ELSE 0 END AS BIGINT) AS order_ok,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM region""".stripMargin)
+    }),
+
     // Compress module (compress_base/compress_udf.cpp): gzip + zlib
     // round trips. The oracle checks decompress(compress(x)) == x —
     // compressed bytes themselves are codec-version-specific, so only
@@ -1465,6 +1487,10 @@ object Yql {
          SELECT r.event_id, r.user_id, r.event_type, m.s_id, m.n_up
          FROM m JOIN s r
            ON r.user_id = m.user_id AND r.pos BETWEEN m.s_pos AND m.e_pos""",
+    "yql_fn_current" ->
+      """SELECT CAST(1 AS BIGINT) AS date_ok, CAST(1 AS BIGINT) AS dt_ok,
+              CAST(1 AS BIGINT) AS seconds_ok, CAST(1 AS BIGINT) AS order_ok,
+              CAST(COUNT(*) AS BIGINT) AS n FROM region""",
     "yql_sql_with_schema" ->
       """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(CAST(o_custkey AS INT)) AS BIGINT) AS sum_ck

@@ -1004,4 +1004,26 @@ class LlmSpec extends SparkSpec {
     assert(!got("symbols"), "hash ratio over 0.1 must fail")
     assert(!got("nostop"), "fewer than 2 stopwords must fail")
   }
+
+  test("semDedup auto cell count sizes ~64-row cells and matches the " +
+      "explicit configuration") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq.tabulate(2048) { i =>
+      (i.toLong, Seq.tabulate(8)(j => (((i * 31 + j * 7) % 17) - 8).toFloat))
+    }.toDF("id", "vec")
+    // 2048 rows / 64 → auto k = 32: identical output to explicit 32
+    val auto = Dedup.semDedup(df, "id", "vec", nCells = -1, tau = 0.95,
+      salt = "sda", rows = 2048L)
+      .select(col("vec_id"), col("cell"), col("kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val explicit = Dedup.semDedup(df, "id", "vec", nCells = 32, tau = 0.95,
+      salt = "sda")
+      .select(col("vec_id"), col("cell"), col("kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(auto == explicit)
+    // the floor holds for tiny corpora (16 cells even at 100 rows)
+    val tiny = Dedup.semDedup(df.limit(100), "id", "vec", nCells = -1,
+      tau = 0.95, salt = "sda", rows = 100L)
+    assert(tiny.select(col("cell")).distinct().count() <= 16L)
+  }
 }
