@@ -300,6 +300,28 @@ object SketchOps {
     case _ => arr.getInt(i).toDouble
   }
 
+  /** Canonical dedup-key normalization in ONE pass (the declarative
+    * chain — lower + two regexp_replace + trim — runs FOUR passes with
+    * regex engines over every document; byte-identical output): any
+    * run of non-[a-z0-9] maps to a single interior space, leading and
+    * trailing runs drop. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val str = s.toString.toLowerCase
+    val sb = new java.lang.StringBuilder(str.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** All hyperplane signatures of one vector in ONE tight loop:
     * signature s packs the sign bits of planes[s·bitsPer .. s·bitsPer
     * + bitsPer − 1] (bit k = 1 when the dot clears 0) — the same

@@ -263,6 +263,26 @@ object Sketches {
       nSigs: Int, bitsPer: Int): Column =
     S.column(HyperplaneSigs(S.expression(vec), planes, nSigs, bitsPer))
 
+  /** One-pass dedup-key text normalization (see SketchOps.normalizeText
+    * — byte-identical to the lower/regexp_replace/trim chain at 1/4 the
+    * passes and no regex engine). */
+  case class NormalizeText(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.normalizeText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchOps.normalizeText($c);")
+    override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+      copy(child = newChild)
+  }
+
+  def normalizeText(text: Column): Column =
+    S.column(NormalizeText(S.expression(text)))
+
   /** Portable md5 min-k fingerprint (see SketchOps.portableFingerprint)
     * — one pass per document; the declarative HOF form re-evaluates the
     * whitespace split once per gram. */

@@ -104,9 +104,19 @@ object TextAnalysis {
     * strip punctuation to spaces, collapse whitespace runs, trim. Two
     * documents differing only in case/punctuation/spacing normalize to
     * the same bytes, which is what exact-dedup keys and shingle streams
-    * want. Pure codegen'd builtins — one projection, no UDF.
+    * want. ONE compiled pass (`Sketches.NormalizeText`) — the
+    * declarative chain below runs four passes with regex engines over
+    * every byte of the corpus (24 s → a scan-speed pass on the sf10
+    * soak corpus); [[normalizeTextDeclarative]] stays as the
+    * cross-checked reference form.
     */
   def normalizeText(text: Column): Column =
+    graft.functions.Sketches.normalizeText(text)
+
+  /** The declarative builtin chain — byte-identical to
+    * [[normalizeText]] (parity is spec-pinned); kept as the
+    * independent reference implementation. */
+  def normalizeTextDeclarative(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
       "\\s+", " "))

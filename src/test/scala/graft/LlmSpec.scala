@@ -1005,6 +1005,30 @@ class LlmSpec extends SparkSpec {
     assert(!got("nostop"), "fewer than 2 stopwords must fail")
   }
 
+  test("compiled normalizeText is byte-identical to the declarative chain") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      "  Hello,   WORLD!! 42 ",
+      "a--b__c  d\te\nf",
+      "ALL CAPS & (punct) #tags",
+      "",
+      "...", // punctuation-only → empty
+      "Mixed1 Numbers2 3and4 ünïcödé çhars") // non-ASCII letters drop
+      .toDF("text")
+    val both = docs.select(
+      TextAnalysis.normalizeText(col("text")).as("fast"),
+      TextAnalysis.normalizeTextDeclarative(col("text")).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // and over real corpus text
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(TextAnalysis.normalizeText(col("text")).as("fast"),
+        TextAnalysis.normalizeTextDeclarative(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(corpus.count() == 0L)
+  }
+
   test("semDedup auto cell count sizes ~64-row cells and matches the " +
       "explicit configuration") {
     import org.apache.spark.sql.functions.col
