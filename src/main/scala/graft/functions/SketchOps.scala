@@ -306,7 +306,10 @@ object SketchOps {
     * run of non-[a-z0-9] maps to a single interior space, leading and
     * trailing runs drop. */
   def normalizeText(s: UTF8String): UTF8String = {
-    val str = s.toString.toLowerCase
+    // Locale.ROOT: locale-independent mapping — identical to Spark's
+    // ASCII fast path for every character that survives the filter
+    // (a Turkish-locale JVM would otherwise map 'I' to dotless 'ı')
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(str.length)
     var pendingSpace = false
     var i = 0
