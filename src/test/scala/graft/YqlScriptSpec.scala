@@ -601,6 +601,24 @@ class YqlScriptSpec extends SparkSpec {
     assert(YqlScript.lowerTableHints(s) == s)
   }
 
+  test("WITH SCHEMA keeps column pruning at the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("ths_o")
+    // the hint's projection collapses into the scan: ReadSchema
+    // carries ONLY the declared columns, not the table's full shape
+    val df = YqlSql.sql(spark,
+      "SELECT count(*) AS n FROM ths_o WITH SCHEMA (o_orderkey Int64, " +
+        "o_orderpriority Utf8) WHERE o_orderpriority = '1-URGENT'")
+    val scans = df.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.requiredSchema.fieldNames.toSet
+    assert(read.subsetOf(Set("o_orderkey", "o_orderpriority")),
+      s"scan read $read — the SCHEMA hint must prune the scan")
+    assert(df.head.getLong(0) > 0)
+  }
+
   test("WITH SCHEMA end-to-end: declared order, casts, extra columns drop") {
     Seq((1L, "x", 2.5, true)).toDF("a", "b", "c", "extra")
       .createOrReplaceTempView("ths")
