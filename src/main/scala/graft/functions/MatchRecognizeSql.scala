@@ -206,10 +206,18 @@ object MatchRecognizeSql {
           s"$kw() navigation in DEFINE is not supported (PREV only)")
       }
       // strip pattern-variable qualifiers: conditions evaluate on the
-      // candidate row
+      // candidate row. Scan the quote mask and splice from the
+      // original (as the PREV rewrite does) so a string literal
+      // containing e.g. 'A.foo' survives untouched.
       varNames.foldLeft(ex) { (e0, v) =>
-        ("(?i)\\b" + java.util.regex.Pattern.quote(v) +
-          "\\.(?=[A-Za-z_])").r.replaceAllIn(e0, "")
+        val re = ("(?i)\\b" + java.util.regex.Pattern.quote(v) +
+          "\\.(?=[A-Za-z_])").r
+        val out = new StringBuilder
+        var last = 0
+        re.findAllMatchIn(YqlScript.maskQuotes(e0)).foreach { m =>
+          out.append(e0.substring(last, m.start)); last = m.end
+        }
+        out.append(e0.substring(last)).toString
       }
     }
 

@@ -203,10 +203,10 @@ object YqlDml {
     val s = src.dropDuplicates(keys)
     if (mode.equalsIgnoreCase("abort") || mode.equalsIgnoreCase("revert")) {
       val conflict = s.join(cur.select(keys.map(col): _*), keys, "left_semi")
-        .limit(1).collect()
+        .select(keys.map(col): _*).limit(1).collect()
       if (conflict.nonEmpty) throw new IllegalArgumentException(
         s"$verb: key already exists " +
-        conflict.head.toSeq.take(keys.length).mkString("(", ", ", ")"))
+        conflict.head.toSeq.mkString("(", ", ", ")"))
     }
     val fresh =
       if (mode.equalsIgnoreCase("ignore"))

@@ -1529,9 +1529,89 @@ object YqlScript {
 
   // ——— select-level lowerings ———
   private[functions] def lowerSelect(sql: String): String =
-    lowerFlatten(lowerWithout(lowerSample(lowerTableHints(lowerHints(sql)))))
+    lowerFlatten(lowerWithout(lowerSample(lowerTableHints(lowerHints(
+      lowerHop(sql))))))
 
-  /** Copy of `s` with the INSIDE of quoted spans overwritten by 
+  /** `GROUP BY HOP(time, hop, interval, delay)` — the streaming
+    * hopping-window grouping (SQLv1.g.in:533
+    * hopping_window_specification; executor mkql_multihopping.h;
+    * parse sql_group_by.cpp:364 — arg order time/hop/interval/delay).
+    * Lowered onto Spark's sliding `window(time, interval, hop)`
+    * grouping: each event lands in interval/hop epoch-aligned windows,
+    * the same placement the reference computes. `HOP_START()` /
+    * `HOP_END()` (builtin.cpp:3190) become the window-struct bounds.
+    * `delay` bounds late-event admission: on a batch frame every row
+    * is already final, so it validates and drops; the streaming
+    * operator path (Streams.hoppingWindow over a watermarked frame)
+    * owns state eviction.
+    */
+  def lowerHop(sql: String): String = {
+    val masked = maskQuotes(sql)
+    "(?i)\\bHOP\\s*\\(".r.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        val gb = "(?i)\\bGROUP\\s+BY\\b".r.findFirstMatchIn(masked)
+        require(gb.exists(_.end <= m.start),
+          "HOP(...) is only valid as a GROUP BY hopping window " +
+            "specification (SQLv1.g.in:533)")
+        val close = matchParen(sql, m.end - 1)
+        val args = splitTopLevel(sql.substring(m.end, close)).map(_.trim)
+        require(args.length == 4,
+          s"HOP takes (time_extractor, hop, interval, delay), got " +
+            s"${args.length} argument(s)")
+        val te = args.head
+        def interval(a: String, what: String): java.time.Duration = {
+          val lit =
+            if (a.length >= 2 && (a.head == '\'' || a.head == '"') &&
+                a.last == a.head) a.substring(1, a.length - 1)
+            else throw new IllegalArgumentException(
+              s"HOP $what must be a constant interval string, got: $a")
+          // sql_group_by.cpp:399 — the designator 'T' shall be absent
+          // if all time components are absent
+          if (lit.endsWith("T")) throw new IllegalArgumentException(
+            "Time prefix 'T' at end of interval constant. The " +
+              "designator 'T' shall be absent if all of the time " +
+              "components are absent.")
+          try java.time.Duration.parse(lit)
+          catch { case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"Expected interval in ISO 8601 format, got: '$lit'") }
+        }
+        val hop = interval(args(1), "hop")
+        val size = interval(args(2), "interval")
+        interval(args(3), "delay") // validated; inert on final batch rows
+        require(!hop.isZero && !hop.isNegative,
+          s"HOP hop must be a positive interval, got: ${args(1)}")
+        require(!size.isZero && !size.isNegative,
+          s"HOP interval must be a positive interval, got: ${args(2)}")
+        val lowered = sql.substring(0, m.start) +
+          s"window($te, '${size.toMillis} milliseconds', " +
+          s"'${hop.toMillis} milliseconds')" + sql.substring(close + 1)
+        // duplicate spec raises, as the reference does
+        // (sql_group_by.cpp:366)
+        require("(?i)\\bHOP\\s*\\(".r
+          .findFirstIn(maskQuotes(lowered)).isEmpty,
+          "Duplicate hopping window specification.")
+        // HOP_START()/HOP_END() → the grouped window's bounds (scan
+        // the mask, splice the original)
+        var out = lowered
+        Seq("HOP_START" -> "window.start", "HOP_END" -> "window.end")
+          .foreach { case (kw, repl) =>
+            val re = s"(?i)\\b$kw\\s*\\(\\s*\\)".r
+            val msk = maskQuotes(out)
+            val sb = new StringBuilder
+            var last = 0
+            re.findAllMatchIn(msk).foreach { mm =>
+              sb.append(out.substring(last, mm.start)).append(repl)
+              last = mm.end
+            }
+            out = sb.append(out.substring(last)).toString
+          }
+        out
+    }
+  }
+
+  /** Copy of `s` with the INSIDE of quoted spans overwritten by \u0001
     * so keyword/regex scans cannot match into string literals. Same
     * length as `s`, so match positions map 1:1 onto the original —
     * scan the mask, splice from the original. */
@@ -1543,8 +1623,8 @@ object YqlScript {
       if (quote != 0) {
         if (c == quote) quote = 0
         else if (c == '\\' && quote != '`' && i + 1 < a.length) {
-          a(i) = ''; i += 1; a(i) = ''
-        } else a(i) = ''
+          a(i) = '\u0001'; i += 1; a(i) = '\u0001'
+        } else a(i) = '\u0001'
       } else if (c == '\'' || c == '"' || c == '`') quote = c
       i += 1
     }

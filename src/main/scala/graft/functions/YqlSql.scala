@@ -155,7 +155,8 @@ object YqlSql {
       case YqlScript.UpdateStmt(tgt, sets, where, keySrc, returning) =>
         keySrc match {
           case Some(k) =>
-            ret(YqlDml.updateOn(spark, tgt, spark.sql(full(k)), returning))
+            ret(YqlDml.updateOn(spark, tgt, spark.sql(unions(full(k))),
+              returning))
           case None => ret(YqlDml.update(spark, tgt,
             sets.map { case (c, e) =>
               c -> org.apache.spark.sql.functions.expr(rewrite(e)) },

@@ -169,7 +169,7 @@ object YqlTablePaths {
           "WHERE 1 = 0)"
       else
         "(SELECT * FROM VALUES " + ms.map { case (n, _) =>
-          s"('${dir.stripSuffix("/")}/$n', 'table')"
+          s"('${qLit(dir.stripSuffix("/") + "/" + n)}', 'table')"
         }.mkString(", ") + " AS __gfolder(Path, Type))"
     case other => throw new IllegalStateException(other)
   }
@@ -282,7 +282,15 @@ object YqlTablePaths {
     else throw new IllegalArgumentException(s"no such table: $p")
   }
 
-  private def scan(path: String): String = s"SELECT * FROM parquet.`$path`"
+  /** Filesystem paths go into the SQL text as identifiers/literals, so
+    * they must be escaped (a quote or backslash in a directory name
+    * must not break — or worse, redirect — the lowered scan). */
+  private def qIdent(path: String): String = path.replace("`", "``")
+  private def qLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  private def scan(path: String): String =
+    s"SELECT * FROM parquet.`${qIdent(path)}`"
 
   /** The logical (extension-less) path of a member file/dir. */
   private def logical(path: String): String = path.stripSuffix(".parquet")
@@ -290,7 +298,8 @@ object YqlTablePaths {
   /** A member scan carrying its logical path for TablePath()/
     * TableName(). */
   private def scanWithPath(path: String): String =
-    s"SELECT *, '${logical(path)}' AS __g_tp FROM parquet.`$path`"
+    s"SELECT *, '${qLit(logical(path))}' AS __g_tp " +
+      s"FROM parquet.`${qIdent(path)}`"
 
   private val GlobMeta = "{}[],*?\\".toSet
 
@@ -309,7 +318,10 @@ object YqlTablePaths {
     else if (sel.length == 1) s"(${scan(sel.head._2)})"
     else {
       val bases = sel.map(p => new java.io.File(p._2).getName)
-      if (bases.forall(b => !b.exists(GlobMeta))) {
+      // the dir prefix rides into the glob verbatim too — a
+      // metacharacter there would misroute the scan just like one in
+      // a basename
+      if (!dir.exists(GlobMeta) && bases.forall(b => !b.exists(GlobMeta))) {
         val glob = s"${dir.stripSuffix("/")}/{${bases.mkString(",")}}"
         s"(${scan(glob)})"
       } else unionPaths(sel.map(_._2), withPath = false)

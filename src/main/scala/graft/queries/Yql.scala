@@ -46,15 +46,38 @@ object Yql {
     // Ranking window family. Order keys end in the unique o_orderkey so
     // every rank is total (ties would be engine-dependent).
     "yql_window_rank" -> ((s, d) => {
+      // The rank trio rides ONE window so the `rn <= 10` filter lowers
+      // to WindowGroupLimitExec on BOTH sides of the exchange (partial
+      // top-k per input split BEFORE the shuffle) — with only 5
+      // distinct priorities the exchange otherwise fans the whole
+      // table into 5 tasks. ntile(4) in the same window would block
+      // that pushdown (it needs the full partition), so the quartile
+      // is derived arithmetically for the ~50 survivors from a
+      // pre-aggregated partition count: ntile gives the first (n mod
+      // 4) buckets ceil(n/4) rows and the rest floor(n/4).
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders")
+      val ranked = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           row_number().over(w).as("rn"),
           rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
+          dense_rank().over(w).as("drnk"))
         .filter(col("rn") <= 10)
+      val counts = t(s, d, "orders")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("__n"))
+      val n = col("__n")
+      val small = floor(n / lit(4))            // floor bucket size
+      val rem = n % lit(4)                     // buckets that get +1
+      val big = rem * (small + lit(1L))        // rows in the +1 buckets
+      val rnL = col("rn").cast("long")
+      val quartile = when(rnL <= big,
+          floor((rnL - lit(1L)) / (small + lit(1L))))
+        .otherwise(rem +
+          floor((rnL - big - lit(1L)) / greatest(small, lit(1L))))
+      ranked.join(broadcast(counts), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("rn"), col("rnk"), col("drnk"),
+          (quartile + lit(1L)).cast("int").as("quartile"))
     }),
 
     // lag/lead analytic functions.
@@ -646,6 +669,20 @@ object Yql {
           |     TABLESAMPLE BERNOULLI(20) REPEATABLE(42)) AS rep,
           |  (SELECT COUNT(*) AS c FROM orders TABLESAMPLE SYSTEM(5)) AS sy,
           |  (SELECT COUNT(*) AS c FROM orders SAMPLE 0.5) AS sm""".stripMargin)
+    }),
+
+    // GROUP BY HOP(...) in the SQL STRING surface (SQLv1.g.in:533
+    // hopping_window_specification; sql_group_by.cpp:364 arg order
+    // time/hop/interval/delay; executor mkql_multihopping.h): 6h
+    // windows sliding by 3h per user — every event lands in two
+    // windows. HOP_START()/HOP_END() return the window bounds.
+    "yql_sql_hop" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """SELECT user_id, HOP_START() AS hs, HOP_END() AS he,
+          |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+          |FROM events
+          |GROUP BY HOP(ts, 'PT3H', 'PT6H', 'PT1H'), user_id""".stripMargin)
     }),
 
     // MATCH_RECOGNIZE as a SQL STRING (SQLv1.g.in:550

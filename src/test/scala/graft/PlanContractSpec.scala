@@ -132,6 +132,23 @@ class PlanContractSpec extends SparkSpec {
       s"exchange above the join: $offenders\n" + finalPlan.toString.take(2000))
   }
 
+  test("yql_window_rank pushes the rank limit below the exchange " +
+      "(WindowGroupLimit), quartile from a broadcast count join") {
+    val df = run("yql_window_rank")
+    val p = planString(df)
+    // partial WindowGroupLimit per input split BEFORE the shuffle +
+    // final above — only ~top-k rows per split reach the 5-value
+    // partition fan-in, so the exchange no longer sees the table
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "expected partial+final WindowGroupLimit:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+    assert(!p.contains("ntile"),
+      "ntile must not ride the rank window — it blocks the pushdown")
+    assert(p.contains("BroadcastHashJoin"),
+      "the partition-count join must broadcast:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("llm_dedup_embedding is a grid equi-join: no cross join, no corpus broadcast hint") {
     // The exact pair scan must distribute as block-grid equi-join cells.
     // (AQE may still size-pick a broadcast build for the tiny test

@@ -609,14 +609,16 @@ class YqlScriptSpec extends SparkSpec {
     val df = YqlSql.sql(spark,
       "SELECT count(*) AS n FROM ths_o WITH SCHEMA (o_orderkey Int64, " +
         "o_orderpriority Utf8) WHERE o_orderpriority = '1-URGENT'")
-    val scans = df.queryExecution.executedPlan.collectWithSubqueries {
+    // execute first: under AQE the top node is an AdaptiveSparkPlanExec
+    // whose inner tree only materializes after the frame runs
+    assert(df.head.getLong(0) > 0)
+    val scans = PlanTest.finalNodes(df).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.nonEmpty)
     val read = scans.head.requiredSchema.fieldNames.toSet
     assert(read.subsetOf(Set("o_orderkey", "o_orderpriority")),
       s"scan read $read — the SCHEMA hint must prune the scan")
-    assert(df.head.getLong(0) > 0)
   }
 
   test("WITH SCHEMA end-to-end: declared order, casts, extra columns drop") {
