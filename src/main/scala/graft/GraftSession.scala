@@ -44,6 +44,14 @@ object GraftSession {
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Glob-path reads (table-path functions' {a,b} scans) probe for a
+    // streaming-sink metadata dir and WARN with a full
+    // FileNotFoundException stack ("Assume no metadata directory") —
+    // routine for any non-streaming path, but it reads like a query
+    // failure in the Verify log. The probe result is unaffected.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     // QL's join+agg push-down (eager aggregation on the foreign side)
     graft.plans.PushDownGroupBy.install(spark)
     spark

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+import graft.types.YtTypes
+
+/** `EnsureType` / `EnsureConvertibleTo` (reference
+  * yql/essentials/sql/v1/builtin.cpp:3005-3006 TYqlTypeAssert; docs
+  * yt/docs/en/yql/builtins/basic.md "Ensure..."): assert at ANALYSIS
+  * time that the expression's type exactly matches (strict) or is
+  * implicitly convertible to (lenient) the named type, then pass the
+  * value through untouched — zero runtime cost, the check lives in
+  * `checkInputDataTypes` and the codegen is the child's.
+  *
+  * The type argument is YQL type text (`Uint64`, `Optional<Utf8>`,
+  * `List<Int64>`, ...) resolved through the engine's type bijection
+  * (types/YtTypes.scala) — Uint64/Int64 both map to LongType there, so
+  * strict matching is up to that documented erasure.
+  */
+final case class EnsureTypeExpr(
+    child: Expression,
+    typeText: String,
+    strict: Boolean,
+    message: Option[String]) extends UnaryExpression {
+
+  private lazy val expected: DataType = EnsureTypeExpr.parse(typeText)
+  private def fn = if (strict) "EnsureType" else "EnsureConvertibleTo"
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = fn.toLowerCase
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok =
+      // .sql ignores nullability — the right equivalence here, since
+      // Optional<> nullability lives at the field level in this engine
+      if (strict) child.dataType.sql == expected.sql
+      else Cast.canCast(child.dataType, expected)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(message.getOrElse(
+      s"$fn: expression type ${child.dataType.simpleString} " +
+        (if (strict) "does not match " else "is not convertible to ") +
+        typeText))
+  }
+
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.genCode(ctx)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object EnsureTypeExpr {
+  import YtTypes._
+
+  /** Split on commas outside nested `<>` depth. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' => d += 1
+        case '>' => d -= 1
+        case ',' if d == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim)
+  }
+
+  /** YQL type text → Spark DataType (subset: simple types +
+    * Optional/List/Dict composites; Spark DDL accepted as a
+    * fallback spelling). */
+  def parse(text0: String): DataType = {
+    val text = text0.trim
+    val lower = text.toLowerCase
+    def inner(prefix: String): String = {
+      require(lower.endsWith(">"), s"malformed type: $text0")
+      text.substring(prefix.length, text.length - 1)
+    }
+    val simple: Map[String, YtType] = Map(
+      "bool" -> YtBoolean, "boolean" -> YtBoolean,
+      "int8" -> YtInt8, "int16" -> YtInt16, "int32" -> YtInt32,
+      "int64" -> YtInt64, "uint8" -> YtUint8, "uint16" -> YtUint16,
+      "uint32" -> YtUint32, "uint64" -> YtUint64,
+      "float" -> YtFloat, "double" -> YtDouble,
+      "string" -> YtString, "utf8" -> YtUtf8, "json" -> YtJson,
+      "uuid" -> YtUuid, "date" -> YtDate, "datetime" -> YtDatetime,
+      "timestamp" -> YtTimestamp, "interval" -> YtInterval)
+    if (simple.contains(lower)) toSpark(simple(lower))
+    else if (lower.startsWith("optional<")) parse(inner("Optional<"))
+    else if (lower.startsWith("list<"))
+      ArrayType(parse(inner("List<")), containsNull = true)
+    else if (lower.startsWith("dict<")) {
+      val parts = splitTop(inner("Dict<"))
+      require(parts.length == 2, s"malformed Dict type: $text0")
+      MapType(parse(parts(0)), parse(parts(1)), valueContainsNull = true)
+    } else
+      try DataType.fromDDL(text)
+      catch { case _: Exception => throw new IllegalArgumentException(
+        s"unknown type in EnsureType/EnsureConvertibleTo: $text0") }
+  }
+}

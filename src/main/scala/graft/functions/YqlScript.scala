@@ -202,6 +202,20 @@ object YqlScript {
       }
       if (firstWord == "PRAGMA") {
         val p = st.drop("PRAGMA".length).trim
+        // Result-AFFECTING pragmas must not be silently inert: a script
+        // that sets one would run here and return different rows than
+        // the reference (sql_query.cpp pragma table). Raise, naming the
+        // unimplemented semantics; operational/optimizer pragmas keep
+        // the accept-and-record behavior.
+        val name = p.takeWhile(c => c.isLetterOrDigit || c == '.' || c == '_')
+          .split('.').last.toLowerCase
+        semanticPragmas.get(name).foreach { why =>
+          throw new IllegalArgumentException(
+            s"PRAGMA ${p.takeWhile(c => c.isLetterOrDigit || c == '.')}: " +
+              s"$why — this engine does not implement that mode, and " +
+              "accepting it silently would change query results; remove " +
+              "the pragma or port the query")
+        }
         pragmas += p
         // PRAGMA library('lib.sql') (SQLv1.g.in pragma_stmt; the
         // reference attaches the named file to the translation) — here
@@ -372,6 +386,31 @@ object YqlScript {
 
   /** First index of keyword `kw` in `s` at paren depth 0 outside
     * quotes (whole-word match), or -1. */
+  /** Pragmas whose semantics CHANGE query results relative to this
+    * engine's behavior (reference pragma table sql_query.cpp:2939-3337)
+    * → lowercase name → why it must raise instead of silently no-op.
+    * Operational/optimizer pragmas (pools, Dq engine, warnings, ...)
+    * stay accept-and-record. */
+  private val semanticPragmas: Map[String, String] = Map(
+    "disablesimplecolumns" ->
+      ("qualified join-output columns (a.b-style) are not implemented; " +
+        "this engine always produces SimpleColumns naming"),
+    "coalescejoinkeysonqualifiedall" ->
+      "coalesced join keys under qualified * are not implemented",
+    "ansiinforemptyornullableitemscollections" ->
+      "the ANSI/legacy IN-with-NULLs mode switch is not implemented",
+    "disableansiinforemptyornullableitemscollections" ->
+      "the ANSI/legacy IN-with-NULLs mode switch is not implemented",
+    "orderedcolumns" ->
+      "a guaranteed projection column order is not implemented",
+    "ansirankfornullablekeys" ->
+      "ANSI rank() over nullable keys is not implemented",
+    "ansicurrentrow" ->
+      ("the ANSI implicit window frame (CURRENT ROW) switch is not " +
+        "implemented"),
+    "distinctoverwindow" ->
+      "DISTINCT inside window aggregates is not implemented")
+
   private[functions] def findTopKw(s: String, kw: String, from: Int = 0): Int = {
     var i = from; var quote: Char = 0; var depth = 0
     val up = s.toUpperCase

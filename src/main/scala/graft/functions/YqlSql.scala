@@ -345,6 +345,56 @@ object YqlSql {
           UnresolvedFunction(Seq("current_timestamp"), Nil,
             isDistinct = false)),
         isDistinct = false))
+    // Ensure / EnsureType / EnsureConvertibleTo (builtin.cpp:3005-3007;
+    // docs builtins/basic.md "Ensure..."): pass the value through, fail
+    // the query when the check fails. Ensure checks its predicate at
+    // EXECUTION (raise_error short-circuits under the CASE, so rows
+    // that satisfy the predicate never evaluate it); the type asserts
+    // check at ANALYSIS and cost nothing at runtime.
+    reg("ensure") { es =>
+      require(es.length == 2 || es.length == 3,
+        "Ensure takes (value, predicate[, message])")
+      val msg = if (es.length == 3) es(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(
+          "Ensure: condition violated")
+      org.apache.spark.sql.catalyst.expressions.CaseWhen(
+        Seq((es(1), es(0))),
+        Some(UnresolvedFunction(Seq("raise_error"), Seq(msg),
+          isDistinct = false)))
+    }
+    def regEnsureType(name: String, strict: Boolean): Unit =
+      reg(name.toLowerCase) { es =>
+        require(es.length == 2 || es.length == 3,
+          s"$name takes (value, type[, message])")
+        EnsureTypeExpr(es(0), litStr(es(1), name), strict,
+          if (es.length == 3) Some(litStr(es(2), name)) else None)
+      }
+    regEnsureType("EnsureType", strict = true)
+    regEnsureType("EnsureConvertibleTo", strict = false)
+
+    // Random / RandomNumber / RandomUuid (builtin.cpp:3155-3157; docs
+    // "Random..."): nondeterministic, one fresh value per row. The
+    // required arguments exist only to control call-site dedup in the
+    // reference (the values are never read) — same here: required,
+    // ignored. RandomNumber spans the full 64-bit range via a hash of
+    // a per-row v4 uuid; RandomUuid is the string form of the v4 uuid
+    // (this engine's Uuid representation).
+    def regRandom(name: String, build: () => Expression): Unit =
+      reg(name.toLowerCase) { es =>
+        require(es.nonEmpty,
+          s"$name requires at least one dependency argument " +
+            "(builtins/basic.md: arguments only control the call time)")
+        build()
+      }
+    regRandom("Random",
+      () => UnresolvedFunction(Seq("rand"), Nil, isDistinct = false))
+    regRandom("RandomNumber",
+      () => UnresolvedFunction(Seq("xxhash64"),
+        Seq(UnresolvedFunction(Seq("uuid"), Nil, isDistinct = false)),
+        isDistinct = false))
+    regRandom("RandomUuid",
+      () => UnresolvedFunction(Seq("uuid"), Nil, isDistinct = false))
+
     alias("dictkeys", "map_keys")
     alias("dictpayloads", "map_values")
     alias("dictlength", "size")

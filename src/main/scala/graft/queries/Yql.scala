@@ -1537,6 +1537,17 @@ object Yql {
               CAST(1 AS BIGINT) AS system_ok,
               CAST(1 AS BIGINT) AS sample_ok,
               CAST(1 AS BIGINT) AS repeatable_ok""",
+    // replay of HOP(ts, PT3H, PT6H): each event lands in the two
+    // 6h windows whose epoch-aligned 3h start covers it
+    "yql_sql_hop" ->
+      """SELECT user_id, ws AS hs, ws + INTERVAL '6 hours' AS he,
+        |  count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM (SELECT user_id, value,
+        |        unnest([time_bucket(INTERVAL '3 hours', ts),
+        |                time_bucket(INTERVAL '3 hours', ts)
+        |                  - INTERVAL '3 hours']) AS ws
+        |      FROM events)
+        |GROUP BY user_id, ws""".stripMargin,
     "yql_sql_view" ->
       """WITH seed AS (SELECT DISTINCT o_custkey % 50 AS k,
              (o_custkey % 50) * 9 AS v FROM orders),

@@ -186,7 +186,7 @@ class YqlScriptSpec extends SparkSpec {
     Seq((1L, "a b ccc dddd", "en"), (2L, "x yy", "de"))
       .toDF("doc_id", "text", "lang").createOrReplaceTempView("yqls_docs")
     val df = YqlSql.sql(spark,
-      """PRAGMA AnsiInForEmptyOrNullableItemsCollections;
+      """PRAGMA yt.Pool = 'research';
         |$min_id = 0;
         |$words = ($s) -> (String::SplitToList($s, ' '));
         |$n_words = ($s) -> (ListLength($words($s)));
@@ -873,5 +873,161 @@ class YqlScriptSpec extends SparkSpec {
         |ORDER BY a""".stripMargin)
     assert(positional.columns.toSeq == Seq("a", "b"))
     assert(positional.count() == 2L)
+  }
+
+  // ——— semantic pragmas raise; operational pragmas stay recorded ———
+
+  test("result-affecting PRAGMAs raise naming the unimplemented mode") {
+    for (pr <- Seq("DisableSimpleColumns", "OrderedColumns",
+        "AnsiInForEmptyOrNullableItemsCollections",
+        "DisableAnsiInForEmptyOrNullableItemsCollections",
+        "AnsiRankForNullableKeys", "AnsiCurrentRow", "DistinctOverWindow",
+        "CoalesceJoinKeysOnQualifiedAll")) {
+      val e = intercept[IllegalArgumentException] {
+        YqlScript.lower(s"PRAGMA $pr;\nSELECT 1 AS a")
+      }
+      assert(e.getMessage.contains(pr) &&
+        e.getMessage.contains("not implement"), s"$pr: ${e.getMessage}")
+    }
+    // case-insensitive, and the yt.-prefixed spelling raises too
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("PRAGMA orderedcolumns;\nSELECT 1 AS a")
+    }
+    // operational pragmas keep accept-and-record
+    val ok = YqlScript.lower(
+      "PRAGMA yt.Pool = 'research';\nPRAGMA warning('disable', '1108');\n" +
+        "SELECT 1 AS a")
+    assert(ok.pragmas.length == 2)
+  }
+
+  // ——— GROUP BY HOP(...) string surface ———
+
+  test("GROUP BY HOP lowers to a sliding window group; HOP_START/HOP_END " +
+      "become the window bounds") {
+    Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), 2.0),
+        ("u1", java.sql.Timestamp.valueOf("2024-01-01 02:50:00"), 3.0),
+        ("u2", java.sql.Timestamp.valueOf("2024-01-01 07:00:00"), 5.0))
+      .toDF("user_id", "ts", "value").createOrReplaceTempView("hop_ev")
+    val df = YqlSql.sql(spark,
+      """SELECT user_id, HOP_START() AS hs, HOP_END() AS he,
+        |  COUNT(*) AS cnt, SUM(value) AS sv
+        |FROM hop_ev
+        |GROUP BY HOP(ts, 'PT3H', 'PT6H', 'PT1H'), user_id""".stripMargin)
+    val rows = df.collect()
+    // every event lands in interval/hop = 2 windows
+    assert(rows.map(_.getLong(3)).sum == 6L)
+    // u1's two events share the 00:00-06:00 window
+    val shared = rows.filter(r => r.getString(0) == "u1" &&
+      r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(shared.length == 1 && shared.head.getLong(3) == 2L &&
+      shared.head.getDouble(4) == 5.0)
+    // window bounds are hop-aligned and interval long
+    rows.foreach { r =>
+      assert(r.getTimestamp(2).getTime - r.getTimestamp(1).getTime ==
+        6L * 3600 * 1000)
+      assert(r.getTimestamp(1).getTime % (3L * 3600 * 1000) == 0)
+    }
+  }
+
+  test("HOP raises on malformed specs like the reference") {
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] { YqlScript.lowerHop(sql) }
+        .getMessage
+    assert(bad("SELECT 1 FROM t GROUP BY HOP(ts, 'PT1M', 'nonsense', 'PT1M'), k")
+      .contains("ISO 8601"))
+    assert(bad("SELECT 1 FROM t GROUP BY HOP(ts, 'P1DT', 'PT1M', 'PT1M'), k")
+      .contains("designator 'T' shall be absent"))
+    assert(bad("SELECT 1 FROM t GROUP BY HOP(ts, 'PT1M', 'PT10M'), k")
+      .contains("HOP takes"))
+    assert(bad("SELECT HOP(ts, 'PT1M', 'PT10M', 'PT1M') FROM t")
+      .contains("only valid"))
+    assert(bad("SELECT 1 FROM t GROUP BY HOP(ts, 'PT0S', 'PT10M', 'PT1M'), k")
+      .contains("positive"))
+    assert(bad("SELECT 1 FROM t GROUP BY HOP(ts, some_col, 'PT10M', 'PT1M'), k")
+      .contains("constant interval"))
+    assert(bad("SELECT 1 FROM t " +
+      "GROUP BY HOP(ts,'PT1M','PT2M','PT1M'), HOP(ts,'PT1M','PT2M','PT1M')")
+      .contains("Duplicate hopping window"))
+    // a string literal containing HOP( is not a spec
+    assert(YqlScript.lowerHop("SELECT 'HOP(' AS s FROM t") ==
+      "SELECT 'HOP(' AS s FROM t")
+  }
+
+  // ——— Ensure / EnsureType / Random family (builtin.cpp:3005-3007,
+  // 3155-3157) ———
+
+  test("Ensure passes values through and fails the query on violation") {
+    Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("ens_t")
+    val ok = YqlSql.sql(spark,
+      "SELECT Ensure(v, v > 0, 'must be positive') AS v FROM ens_t")
+    assert(ok.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val e = intercept[Exception] {
+      YqlSql.sql(spark,
+        "SELECT Ensure(v, v > 2, 'too small') AS v FROM ens_t").collect()
+    }
+    assert(e.getMessage.contains("too small"), e.getMessage)
+    // default message
+    val e2 = intercept[Exception] {
+      YqlSql.sql(spark, "SELECT Ensure(v, v > 2) AS v FROM ens_t").collect()
+    }
+    assert(e2.getMessage.contains("condition violated"), e2.getMessage)
+    // arity raises
+    intercept[Exception] {
+      YqlSql.sql(spark, "SELECT Ensure(v) AS v FROM ens_t")
+    }
+  }
+
+  test("EnsureType asserts the exact type at analysis; " +
+      "EnsureConvertibleTo the implicit-cast rule") {
+    Seq(1L).toDF("v").createOrReplaceTempView("ens_ty")
+    assert(YqlSql.sql(spark,
+      "SELECT EnsureType(v, 'Int64') AS v FROM ens_ty")
+      .as[Long].head() == 1L)
+    // composites parse
+    assert(YqlSql.sql(spark,
+      "SELECT EnsureType(ListFromRange(1, 3), 'List<Int32>') AS l " +
+        "FROM ens_ty").count() == 1L)
+    val e = intercept[Exception] {
+      YqlSql.sql(spark,
+        "SELECT EnsureType(v, 'Utf8', 'wrong type') AS v FROM ens_ty")
+        .collect()
+    }
+    assert(e.getMessage.contains("wrong type"), e.getMessage)
+    // Int64 converts to Double implicitly; Utf8 does not convert to a
+    // list
+    assert(YqlSql.sql(spark,
+      "SELECT EnsureConvertibleTo(v, 'Double') AS v FROM ens_ty")
+      .as[Long].head() == 1L)
+    intercept[Exception] {
+      YqlSql.sql(spark,
+        "SELECT EnsureConvertibleTo('x', 'List<Int64>') AS v FROM ens_ty")
+        .collect()
+    }
+    // unknown type text raises
+    intercept[Exception] {
+      YqlSql.sql(spark,
+        "SELECT EnsureType(v, 'Whatever64') AS v FROM ens_ty").collect()
+    }
+  }
+
+  test("Random/RandomNumber/RandomUuid: per-row nondeterministic values " +
+      "in range; the dependency argument is required") {
+    spark.range(200).createOrReplaceTempView("rnd_t")
+    val rows = YqlSql.sql(spark,
+      """SELECT Random(id) AS r, RandomNumber(id) AS n, RandomUuid(id) AS u
+        |FROM rnd_t""".stripMargin).collect()
+    assert(rows.length == 200)
+    assert(rows.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0))
+    // fresh value per row (collision over 200 draws ~ impossible)
+    assert(rows.map(_.getDouble(0)).distinct.length > 190)
+    assert(rows.map(_.getLong(1)).distinct.length > 190)
+    // RandomNumber spans the full 64-bit range: some draws land
+    // negative as raw-bits longs (P(all 200 positive) = 2^-200)
+    assert(rows.exists(_.getLong(1) < 0) && rows.exists(_.getLong(1) > 0))
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"
+    assert(rows.forall(_.getString(2).matches(uuidRe)))
+    intercept[Exception] {
+      YqlSql.sql(spark, "SELECT Random() AS r FROM rnd_t")
+    }
   }
 }
