@@ -710,4 +710,156 @@ object ExprFuzz {
       (script, finalOracle, tbl)
     }
   }
+
+  /** Table-path-function domain: randomized RANGE bounds / LIKE /
+    * REGEXP member patterns / EACH-CONCAT subsets over a month-named
+    * table directory. The Spark side selects members through the
+    * engine's directory listing (functions/YqlTablePaths); the oracle
+    * replays the SAME selection computed directly over the known month
+    * list as a strftime predicate on the base table — a genuine
+    * differential on the selection logic (inclusive lexicographic
+    * RANGE, full-match LIKE, unanchored REGEXP).
+    *
+    * Returns (FROM-expression with a `$DIR` placeholder, DuckDB WHERE
+    * clause over `strftime(o_orderdate, '%Y-%m')`).
+    */
+  def tablePathCases(n: Int, seed: Long,
+      months: Seq[String]): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val bounds = ("1995-12" +: months :+ "1996-05").distinct
+    def likeMatch(m: String, pat: String): Boolean = {
+      val re = pat.flatMap {
+        case '%' => ".*"
+        case '_' => "."
+        case c => java.util.regex.Pattern.quote(c.toString)
+      }
+      m.matches(re)
+    }
+    def where(sel: Seq[String]): String =
+      if (sel.isEmpty) "FALSE"
+      else "strftime(o_orderdate, '%Y-%m') IN (" +
+        sel.map(m => s"'$m'").mkString(", ") + ")"
+    val likePats = Seq("1996-0%", "%-02", "%96%", "1996-0_", "%-0%", "1995%")
+    val rePats = Seq("1996-0[12]", "-0[24]$", "^1996", "0[13]$", "9[67]")
+    (0 until n).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val lo = if (rnd.nextBoolean()) Some(bounds(rnd.nextInt(bounds.length))) else None
+          val hi = lo.flatMap(_ => if (rnd.nextBoolean())
+            Some(bounds(rnd.nextInt(bounds.length))) else None)
+          val sel = months.filter(m =>
+            lo.forall(m >= _) && hi.forall(m <= _))
+          val args = Seq(Some("'$DIR'"), lo.map(l => s"'$l'"),
+            hi.map(h => s"'$h'")).flatten.mkString(", ")
+          (s"RANGE($args)", where(sel))
+        case 1 =>
+          val pat = likePats(rnd.nextInt(likePats.length))
+          (s"LIKE('$$DIR', '$pat')", where(months.filter(likeMatch(_, pat))))
+        case 2 =>
+          val pat = rePats(rnd.nextInt(rePats.length))
+          val re = java.util.regex.Pattern.compile(pat)
+          (s"REGEXP('$$DIR', '$pat')",
+            where(months.filter(m => re.matcher(m).find())))
+        case _ =>
+          var sub = months.filter(_ => rnd.nextBoolean())
+          if (sub.isEmpty) sub = Seq(months(rnd.nextInt(months.length)))
+          val paths = sub.map(m => s"'$$DIR/$m'").mkString(", ")
+          val fn = if (rnd.nextBoolean()) s"EACH(AsList($paths))"
+            else s"CONCAT($paths)"
+          (fn, where(sub))
+      }
+    }
+  }
+
+  /** MATCH_RECOGNIZE domain: randomized FIXED-LENGTH patterns (2-3
+    * vars, {1..2} quantifiers, predicates over value thresholds /
+    * event_type / PREV navigation) with AFTER MATCH SKIP TO NEXT ROW —
+    * fixed length + skip-to-next makes the DuckDB replay a mechanical
+    * lead()-chain check at every anchor row (zero NFA ambiguity on the
+    * oracle side) while the engine still parses the pattern, compiles
+    * DEFINE flags + PREV lag columns and runs the NFA. Undefined vars
+    * (always-true, row-existence only) appear with probability ~1/6.
+    *
+    * Returns (full MATCH_RECOGNIZE SELECT over `events`, DuckDB
+    * replay SELECT) — both emit (user_id, a_id, z_id).
+    */
+  def matchRecognizeCases(n: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    sealed trait Pred
+    case class Gt(c: Int) extends Pred
+    case class Lt(c: Int) extends Pred
+    case class IsType(t: String) extends Pred
+    case object PrevUp extends Pred
+    case object AnyRow extends Pred
+    val types = Seq("click", "purchase", "view")
+    def genPred(): Pred = rnd.nextInt(6) match {
+      case 0 | 1 => Gt(50 + rnd.nextInt(350))
+      case 2 => Lt(50 + rnd.nextInt(350))
+      case 3 => IsType(types(rnd.nextInt(types.length)))
+      case 4 => PrevUp
+      case _ => AnyRow
+    }
+    (0 until n).map { ci =>
+      val nVars = 2 + rnd.nextInt(2)
+      val vars = (0 until nVars).map { vi =>
+        val p0 = genPred()
+        // keep at least one DEFINE so the clause is never empty
+        val p = if (vi == 0 && p0 == AnyRow) Gt(50 + rnd.nextInt(350)) else p0
+        (s"V$vi", p, 1 + rnd.nextInt(2)) // (name, pred, {reps})
+      }
+      val total = vars.map(_._3).sum
+      val pattern = vars.map { case (v, _, r) =>
+        if (r == 1) v else s"$v{$r}" }.mkString(" ")
+      val defines = vars.collect { case (v, p, _) if p != AnyRow =>
+        val cond = p match {
+          case Gt(c) => s"value > $c"
+          case Lt(c) => s"value < $c"
+          case IsType(t) => s"event_type = '$t'"
+          case PrevUp => "value > PREV(value)"
+          case AnyRow => "TRUE"
+        }
+        s"$v AS $cond"
+      }
+      val defineClause =
+        if (defines.isEmpty) "" else "  DEFINE " + defines.mkString(", ") + "\n"
+      val lastVar = vars.last._1
+      val spark =
+        s"""SELECT user_id, a_id, z_id, CAST($ci AS BIGINT) AS case_id
+           |FROM events MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY event_id
+           |  MEASURES FIRST(V0.event_id) AS a_id,
+           |           LAST($lastVar.event_id) AS z_id
+           |  ONE ROW PER MATCH
+           |  AFTER MATCH SKIP TO NEXT ROW
+           |  PATTERN ($pattern)
+           |$defineClause) AS m""".stripMargin
+      // replay: per-offset lead() conditions; offset j's PREV is
+      // offset j-1 (lag(value) at the anchor for j = 0). Window names
+      // are per-case: DuckDB scopes WINDOW clauses across parenthesized
+      // UNION branches, so a shared name collides.
+      val w = s"w$ci"
+      val offsets = vars.flatMap { case (_, p, r) => Seq.fill(r)(p) }
+      def v(j: Int) = if (j == 0) "value" else s"lead(value, $j) OVER $w"
+      def ty(j: Int) = if (j == 0) "event_type" else s"lead(event_type, $j) OVER $w"
+      def pv(j: Int) = if (j == 0) s"lag(value) OVER $w" else v(j - 1)
+      val conds = offsets.zipWithIndex.map { case (p, j) =>
+        p match {
+          case Gt(c) => s"${v(j)} > $c"
+          case Lt(c) => s"${v(j)} < $c"
+          case IsType(t) => s"${ty(j)} = '$t'"
+          case PrevUp => s"${v(j)} > ${pv(j)}"
+          case AnyRow => s"lead(event_id, $j) OVER $w IS NOT NULL"
+        }
+      } :+ s"lead(event_id, ${total - 1}) OVER $w IS NOT NULL"
+      val duck =
+        s"""SELECT user_id, event_id AS a_id,
+           |  ${if (total == 1) "event_id" else s"lead(event_id, ${total - 1}) OVER $w"} AS z_id,
+           |  CAST($ci AS BIGINT) AS case_id
+           |FROM events
+           |WINDOW $w AS (PARTITION BY user_id ORDER BY event_id)
+           |QUALIFY ${conds.mkString("\n  AND ")}""".stripMargin
+      (spark, duck)
+    }
+  }
 }

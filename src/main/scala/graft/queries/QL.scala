@@ -328,6 +328,11 @@ object QL {
     // ql_query_ut.cpp CompareAny): list Anys built per-row, compared
     // through any_compare via the QL string surface. DuckDB's native
     // list comparison is the oracle (same itemwise-then-length order).
+    // The CASE evaluates the same any_compare pair in both branches ON
+    // PURPOSE (the reference test shape); whole-stage codegen's
+    // subexpression elimination collapses it — the generated code calls
+    // compareAnyJson exactly once per row (verified by codegen dump,
+    // round 8).
     "ql_any_compare" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))

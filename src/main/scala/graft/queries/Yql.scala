@@ -715,6 +715,36 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // MATCH_RECOGNIZE differential fuzz: randomized fixed-length
+    // patterns ({1..2} quantifiers, threshold/type/PREV predicates,
+    // SKIP TO NEXT ROW) — the fixed length makes the DuckDB replay a
+    // mechanical lead()-chain check while the engine runs the full
+    // parse → DEFINE flags → NFA path.
+    "yql_fuzz_matchrec" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.ql.ExprFuzz.matchRecognizeCases(6, seed = 59L)
+        .map { case (q, _) => graft.functions.YqlSql.sql(s, q) }
+        .reduce(_ unionByName _)
+    }),
+
+    // Table-path-function differential fuzz: randomized RANGE bounds /
+    // LIKE / REGEXP patterns / EACH-CONCAT subsets; the oracle replays
+    // the member selection computed independently over the known month
+    // list.
+    "yql_fuzz_tablepaths" -> ((s, d) => {
+      tablePathFixture(s, d)
+      val dir = tablePathDir(d)
+      graft.ql.ExprFuzz.tablePathCases(10, seed = 83L, tablePathMonths)
+        .zipWithIndex.map { case ((from, _), i) =>
+          graft.functions.YqlSql.sql(s,
+            s"""SELECT CAST($i AS BIGINT) AS case_id,
+               |  CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+               |  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+               |    AS total
+               |FROM ${from.replace("$DIR", dir)}""".stripMargin)
+        }.reduce(_ unionByName _)
+    }),
+
     // ALL ROWS PER MATCH (mkql_match_recognize_rows_formatter.cpp
     // TAllRowsFormatter): every matched row emits with its input
     // columns plus the match-level measures — the reference computes
@@ -1486,6 +1516,18 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_fuzz_matchrec" ->
+      graft.ql.ExprFuzz.matchRecognizeCases(6, seed = 59L)
+        .map { case (_, duck) => s"($duck)" }.mkString("\nUNION ALL\n"),
+    "yql_fuzz_tablepaths" ->
+      graft.ql.ExprFuzz.tablePathCases(10, seed = 83L, tablePathMonths)
+        .zipWithIndex.map { case ((_, where), i) =>
+          s"""(SELECT CAST($i AS BIGINT) AS case_id,
+             |  CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+             |    AS total
+             |FROM orders WHERE $where)""".stripMargin
+        }.mkString("\nUNION ALL\n"),
     "yql_sql_match_recognize" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, value,

@@ -153,6 +153,34 @@ object FuzzSweep {
       }, fwCte + "\n" +
         graft.ql.ExprFuzz.dmlCases(4, seed, prefix = s"fz_dml_${seed}_t")
           .map(_._2).mkString("\nUNION ALL\n"))
+      queries(s"fz_mr_$seed") = (() => {
+        graft.sources.Tables.load(spark, sfDir, "events")
+          .createOrReplaceTempView("events")
+        graft.ql.ExprFuzz.matchRecognizeCases(4, seed)
+          .map { case (sc, _) => graft.functions.YqlSql.sql(spark, sc) }
+          .reduce(_ unionByName _)
+      }, graft.ql.ExprFuzz.matchRecognizeCases(4, seed)
+        .map(p => s"(${p._2})").mkString("\nUNION ALL\n"))
+      queries(s"fz_paths_$seed") = (() => {
+        graft.queries.Yql.tablePathFixture(spark, sfDir)
+        val dir = graft.queries.Yql.tablePathDir(sfDir)
+        graft.ql.ExprFuzz.tablePathCases(6, seed,
+            graft.queries.Yql.tablePathMonths).zipWithIndex
+          .map { case ((from, _), i) =>
+            graft.functions.YqlSql.sql(spark,
+              s"SELECT CAST($i AS BIGINT) AS case_id, " +
+                "CAST(COUNT(o_orderkey) AS BIGINT) AS n, " +
+                "CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) " +
+                s"AS total FROM ${from.replace("$DIR", dir)}")
+          }.reduce(_ unionByName _)
+      }, graft.ql.ExprFuzz.tablePathCases(6, seed,
+          graft.queries.Yql.tablePathMonths).zipWithIndex
+        .map { case ((_, where), i) =>
+          s"(SELECT CAST($i AS BIGINT) AS case_id, " +
+            "CAST(COUNT(o_orderkey) AS BIGINT) AS n, " +
+            "CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) " +
+            s"AS total FROM orders WHERE $where)"
+        }.mkString("\nUNION ALL\n"))
     }
 
     def q(s: String): String = "\"" + s.flatMap {
