@@ -387,27 +387,31 @@ object YqlScript {
   /** First index of keyword `kw` in `s` at paren depth 0 outside
     * quotes (whole-word match), or -1. */
   /** Pragmas whose semantics CHANGE query results relative to this
-    * engine's behavior (reference pragma table sql_query.cpp:2939-3337)
-    * → lowercase name → why it must raise instead of silently no-op.
-    * Operational/optimizer pragmas (pools, Dq engine, warnings, ...)
-    * stay accept-and-record. */
+    * engine's behavior (reference pragma table sql_query.cpp:2939-3337;
+    * docs yt/docs/en/yql/syntax/pragma.md) → lowercase name → why it
+    * must raise instead of silently no-op. Only the modes this engine
+    * genuinely cannot produce raise. The ANSI-mode pragmas
+    * (AnsiInForEmptyOrNullableItemsCollections, AnsiRankForNullableKeys,
+    * AnsiCurrentRow, OrderedColumns, SimpleColumns) request exactly the
+    * semantics this engine ALWAYS runs (Spark/ANSI: standard IN with
+    * NULLs, null-peer rank, RANGE implicit frame, preserved projection
+    * order, unprefixed join columns) — those accept-and-record, which
+    * is "implemented", not "ignored". Operational/optimizer pragmas
+    * stay accept-and-record too. */
   private val semanticPragmas: Map[String, String] = Map(
     "disablesimplecolumns" ->
       ("qualified join-output columns (a.b-style) are not implemented; " +
         "this engine always produces SimpleColumns naming"),
     "coalescejoinkeysonqualifiedall" ->
       "coalesced join keys under qualified * are not implemented",
-    "ansiinforemptyornullableitemscollections" ->
-      "the ANSI/legacy IN-with-NULLs mode switch is not implemented",
     "disableansiinforemptyornullableitemscollections" ->
-      "the ANSI/legacy IN-with-NULLs mode switch is not implemented",
-    "orderedcolumns" ->
-      "a guaranteed projection column order is not implemented",
-    "ansirankfornullablekeys" ->
-      "ANSI rank() over nullable keys is not implemented",
-    "ansicurrentrow" ->
-      ("the ANSI implicit window frame (CURRENT ROW) switch is not " +
-        "implemented"),
+      ("legacy non-ANSI IN-with-NULLs (pragma.md: '1 IN (2,3,NULL) = " +
+        "Just(False)') is not implemented; this engine always runs the " +
+        "standard semantics"),
+    "disableansirankfornullablekeys" ->
+      ("legacy rank() over nullable keys (NULL result, NULL keys " +
+        "unequal) is not implemented; this engine always runs the " +
+        "ANSI null-peer semantics"),
     "distinctoverwindow" ->
       "DISTINCT inside window aggregates is not implemented")
 

@@ -877,11 +877,11 @@ class YqlScriptSpec extends SparkSpec {
 
   // ——— semantic pragmas raise; operational pragmas stay recorded ———
 
-  test("result-affecting PRAGMAs raise naming the unimplemented mode") {
-    for (pr <- Seq("DisableSimpleColumns", "OrderedColumns",
-        "AnsiInForEmptyOrNullableItemsCollections",
+  test("result-affecting PRAGMAs raise naming the unimplemented mode; " +
+      "ANSI-mode pragmas matching the engine's semantics accept") {
+    for (pr <- Seq("DisableSimpleColumns",
         "DisableAnsiInForEmptyOrNullableItemsCollections",
-        "AnsiRankForNullableKeys", "AnsiCurrentRow", "DistinctOverWindow",
+        "DisableAnsiRankForNullableKeys", "DistinctOverWindow",
         "CoalesceJoinKeysOnQualifiedAll")) {
       val e = intercept[IllegalArgumentException] {
         YqlScript.lower(s"PRAGMA $pr;\nSELECT 1 AS a")
@@ -889,10 +889,19 @@ class YqlScriptSpec extends SparkSpec {
       assert(e.getMessage.contains(pr) &&
         e.getMessage.contains("not implement"), s"$pr: ${e.getMessage}")
     }
-    // case-insensitive, and the yt.-prefixed spelling raises too
+    // case-insensitive raise
     intercept[IllegalArgumentException] {
-      YqlScript.lower("PRAGMA orderedcolumns;\nSELECT 1 AS a")
+      YqlScript.lower("PRAGMA distinctoverwindow;\nSELECT 1 AS a")
     }
+    // ANSI-mode pragmas request what this engine always runs (standard
+    // IN-with-NULLs, null-peer rank, RANGE implicit frame, preserved
+    // column order, SimpleColumns naming) — accepted AND recorded
+    val ansi = YqlScript.lower(
+      Seq("AnsiInForEmptyOrNullableItemsCollections",
+        "AnsiRankForNullableKeys", "AnsiCurrentRow", "OrderedColumns",
+        "SimpleColumns").map(p => s"PRAGMA $p;").mkString("\n") +
+        "\nSELECT 1 AS a")
+    assert(ansi.pragmas.length == 5)
     // operational pragmas keep accept-and-record
     val ok = YqlScript.lower(
       "PRAGMA yt.Pool = 'research';\nPRAGMA warning('disable', '1108');\n" +
