@@ -411,9 +411,10 @@ object YqlScript {
     "disableansirankfornullablekeys" ->
       ("legacy rank() over nullable keys (NULL result, NULL keys " +
         "unequal) is not implemented; this engine always runs the " +
-        "ANSI null-peer semantics"),
-    "distinctoverwindow" ->
-      "DISTINCT inside window aggregates is not implemented")
+        "ANSI null-peer semantics"))
+  // (DistinctOverWindow is IMPLEMENTED: lowerDistinctOverWindow
+  // rewrites agg(DISTINCT) OVER onto collect_set when the pragma is
+  // set, and raises the reference's error without it.)
 
   private[functions] def findTopKw(s: String, kw: String, from: Int = 0): Int = {
     var i = from; var quote: Char = 0; var depth = 0
@@ -1652,6 +1653,78 @@ object YqlScript {
           }
         out
     }
+  }
+
+  /** `agg(DISTINCT x) OVER w` — gated behind `PRAGMA
+    * DistinctOverWindow` exactly like the reference (source.cpp:290
+    * AddAggregationOverWindow raises "Aggregation with distinct is not
+    * allowed over window" without the pragma; sql_call_expr.cpp:392
+    * SetOverWindowDistinct with it). Spark has no distinct window
+    * aggregates, so with the pragma the call rewrites onto the
+    * per-frame distinct SET:
+    *   - COUNT(DISTINCT x) -> CAST(size(collect_set(x) OVER w) AS BIGINT)
+    *   - SUM(DISTINCT x)   -> aggregate(collect_set(x) OVER w, zero, +)
+    *     where zero = element_at(set,1) - element_at(set,1) keeps the
+    *     element's own type (NULL start on an empty set = SQL's NULL
+    *     sum over zero rows)
+    *   - AVG(DISTINCT x)   -> distinct sum / CAST(distinct count AS DOUBLE)
+    *   - MIN/MAX(DISTINCT x) -> MIN/MAX(x) (DISTINCT is a no-op there)
+    * collect_set skips NULLs exactly as DISTINCT aggregation does, and
+    * the set is computed over the window's own frame, so running
+    * frames give running distinct aggregates. Repeated subtrees
+    * collapse under whole-stage codegen subexpression elimination.
+    */
+  def lowerDistinctOverWindow(sql: String, enabled: Boolean): String = {
+    val re = "(?i)\\b(count|sum|avg|min|max)(\\s*\\()\\s*distinct\\b".r
+    def step(s: String, from: Int): String = {
+      val masked = maskQuotes(s)
+      re.findFirstMatchIn(masked.substring(from))
+        .map(m => (m, m.start + from, m.end + from)) match {
+        case None => s
+        case Some((m, start, end)) =>
+          val open = s.indexOf('(', from + m.start(2))
+          val close = matchParen(s, open)
+          val expr = s.substring(end, close).trim
+          // OVER follows? if not, it's an ordinary distinct aggregate —
+          // Spark handles those natively
+          var i = close + 1
+          while (i < s.length && s.charAt(i).isWhitespace) i += 1
+          val isOver = i + 4 <= s.length &&
+            s.substring(i, i + 4).equalsIgnoreCase("OVER") &&
+            (i + 4 == s.length || !s.charAt(i + 4).isLetterOrDigit)
+          if (!isOver) return step(s, close + 1)
+          if (!enabled) throw new IllegalArgumentException(
+            "Aggregation with distinct is not allowed over window " +
+              "(source.cpp AddAggregationOverWindow); set PRAGMA " +
+              "DistinctOverWindow to enable it")
+          require(splitTopLevel(expr).length == 1,
+            "DISTINCT over window supports a single argument, got: " +
+              expr.take(60))
+          var j = i + 4
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          val overEnd =
+            if (j < s.length && s.charAt(j) == '(') matchParen(s, j) + 1
+            else {
+              var k = j
+              while (k < s.length &&
+                (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k += 1
+              require(k > j, s"malformed OVER clause: ${s.substring(i).take(40)}")
+              k
+            }
+          val over = s.substring(j, overEnd)
+          val set = s"collect_set($expr) OVER $over"
+          val sum = s"aggregate($set, element_at($set, 1) - " +
+            s"element_at($set, 1), (__da, __db) -> __da + __db)"
+          val repl = m.group(1).toLowerCase match {
+            case "count" => s"CAST(size($set) AS BIGINT)"
+            case "sum" => sum
+            case "avg" => s"($sum / CAST(size($set) AS DOUBLE))"
+            case mm => s"$mm($expr) OVER $over"
+          }
+          step(s.substring(0, start) + repl + s.substring(overEnd), 0)
+      }
+    }
+    step(sql, 0)
   }
 
   /** Copy of `s` with the INSIDE of quoted spans overwritten by \u0001

@@ -113,7 +113,12 @@ object YqlSql {
     // pass through untouched.
     val positional =
       lowered.pragmas.exists(_.trim.equalsIgnoreCase("PositionalUnionAll"))
-    def unions(s: String): String = YqlScript.lowerUnions(s, positional,
+    // PRAGMA DistinctOverWindow gates agg(DISTINCT) OVER w exactly like
+    // the reference; the lowering raises without it
+    val distinctWin =
+      lowered.pragmas.exists(_.trim.equalsIgnoreCase("DistinctOverWindow"))
+    def unions(s: String): String = YqlScript.lowerUnions(
+      YqlScript.lowerDistinctOverWindow(s, distinctWin), positional,
       b => spark.sql(b).schema.fields.toSeq.map(f => f.name -> f.dataType))
     // DISCARD statements type-check (spark.sql analyzes eagerly) but
     // never execute or produce a result — the reference's validation

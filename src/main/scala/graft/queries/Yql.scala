@@ -715,6 +715,31 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // DISTINCT window aggregates behind PRAGMA DistinctOverWindow
+    // (source.cpp:290 gates agg(DISTINCT) OVER; sql_call_expr.cpp:392
+    // SetOverWindowDistinct): lowered onto the per-frame collect_set —
+    // whole-partition AND running-frame forms.
+    "yql_sql_distinct_window" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """PRAGMA DistinctOverWindow;
+          |SELECT o_orderkey,
+          |  COUNT(DISTINCT o_orderpriority)
+          |    OVER (PARTITION BY o_custkey % 20) AS cd,
+          |  SUM(DISTINCT o_custkey % 7)
+          |    OVER (PARTITION BY o_custkey % 20) AS sd,
+          |  AVG(DISTINCT o_custkey % 7)
+          |    OVER (PARTITION BY o_custkey % 20) AS ad,
+          |  MIN(DISTINCT o_orderpriority)
+          |    OVER (PARTITION BY o_custkey % 20) AS md,
+          |  COUNT(DISTINCT o_orderpriority)
+          |    OVER (PARTITION BY o_custkey % 20
+          |          ORDER BY o_orderkey
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS running_cd
+          |FROM orders WHERE o_custkey < 300""".stripMargin)
+    }),
+
     // MATCH_RECOGNIZE differential fuzz: randomized fixed-length
     // patterns ({1..2} quantifiers, threshold/type/PREV predicates,
     // SKIP TO NEXT ROW) — the fixed length makes the DuckDB replay a
@@ -1516,6 +1541,22 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_sql_distinct_window" ->
+      """SELECT o_orderkey,
+           COUNT(DISTINCT o_orderpriority)
+             OVER (PARTITION BY o_custkey % 20) AS cd,
+           CAST(SUM(DISTINCT o_custkey % 7)
+             OVER (PARTITION BY o_custkey % 20) AS BIGINT) AS sd,
+           AVG(DISTINCT o_custkey % 7)
+             OVER (PARTITION BY o_custkey % 20) AS ad,
+           MIN(o_orderpriority)
+             OVER (PARTITION BY o_custkey % 20) AS md,
+           COUNT(DISTINCT o_orderpriority)
+             OVER (PARTITION BY o_custkey % 20
+                   ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_cd
+         FROM orders WHERE o_custkey < 300""",
     "yql_fuzz_matchrec" ->
       graft.ql.ExprFuzz.matchRecognizeCases(6, seed = 59L)
         .map { case (_, duck) => s"($duck)" }.mkString("\nUNION ALL\n"),

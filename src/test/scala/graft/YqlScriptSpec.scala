@@ -1039,4 +1039,43 @@ class YqlScriptSpec extends SparkSpec {
       YqlSql.sql(spark, "SELECT Random() AS r FROM rnd_t")
     }
   }
+
+  // ——— DISTINCT window aggregates (PRAGMA DistinctOverWindow) ———
+
+  test("agg(DISTINCT) OVER raises without PRAGMA DistinctOverWindow, " +
+      "and lowers onto collect_set with it") {
+    Seq((1L, 2L, "a"), (2L, 2L, "a"), (3L, 2L, "b"), (4L, 5L, "b"))
+      .toDF("id", "v", "p").createOrReplaceTempView("dw_t")
+    val e = intercept[IllegalArgumentException] {
+      YqlSql.sql(spark,
+        "SELECT COUNT(DISTINCT p) OVER (PARTITION BY id % 2) FROM dw_t")
+    }
+    assert(e.getMessage.contains("not allowed over window"), e.getMessage)
+    val df = YqlSql.sql(spark,
+      """PRAGMA DistinctOverWindow;
+        |SELECT id,
+        |  COUNT(DISTINCT p) OVER w AS cd,
+        |  SUM(DISTINCT v) OVER w AS sd,
+        |  AVG(DISTINCT v) OVER w AS ad,
+        |  MAX(DISTINCT p) OVER w AS xd
+        |FROM dw_t WINDOW w AS (PARTITION BY 1)""".stripMargin)
+    val r = df.orderBy("id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L, 2L)) // {a,b}
+    assert(r.map(_.getLong(2)).toSeq == Seq(7L, 7L, 7L, 7L)) // {2,5}
+    assert(r.forall(_.getDouble(3) == 3.5))
+    assert(r.forall(_.getString(4) == "b"))
+    // ordinary DISTINCT aggregates (no OVER) pass through untouched
+    assert(YqlScript.lowerDistinctOverWindow(
+      "SELECT COUNT(DISTINCT p) FROM t", enabled = false) ==
+      "SELECT COUNT(DISTINCT p) FROM t")
+    // string literals never rewrite
+    val lit = "SELECT 'count(distinct x) over w' AS s FROM t"
+    assert(YqlScript.lowerDistinctOverWindow(lit, enabled = false) == lit)
+    // multi-argument DISTINCT raises
+    intercept[IllegalArgumentException] {
+      YqlScript.lowerDistinctOverWindow(
+        "SELECT COUNT(DISTINCT a, b) OVER (PARTITION BY k) FROM t",
+        enabled = true)
+    }
+  }
 }
