@@ -1574,7 +1574,7 @@ object YqlScript {
   // ——— select-level lowerings ———
   private[functions] def lowerSelect(sql: String): String =
     lowerFlatten(lowerWithout(lowerSample(lowerTableHints(lowerHints(
-      lowerHop(sql))))))
+      lowerSessionWindow(lowerHop(sql)))))))
 
   /** `GROUP BY HOP(time, hop, interval, delay)` — the streaming
     * hopping-window grouping (SQLv1.g.in:533
@@ -1604,23 +1604,8 @@ object YqlScript {
           s"HOP takes (time_extractor, hop, interval, delay), got " +
             s"${args.length} argument(s)")
         val te = args.head
-        def interval(a: String, what: String): java.time.Duration = {
-          val lit =
-            if (a.length >= 2 && (a.head == '\'' || a.head == '"') &&
-                a.last == a.head) a.substring(1, a.length - 1)
-            else throw new IllegalArgumentException(
-              s"HOP $what must be a constant interval string, got: $a")
-          // sql_group_by.cpp:399 — the designator 'T' shall be absent
-          // if all time components are absent
-          if (lit.endsWith("T")) throw new IllegalArgumentException(
-            "Time prefix 'T' at end of interval constant. The " +
-              "designator 'T' shall be absent if all of the time " +
-              "components are absent.")
-          try java.time.Duration.parse(lit)
-          catch { case _: java.time.format.DateTimeParseException =>
-            throw new IllegalArgumentException(
-              s"Expected interval in ISO 8601 format, got: '$lit'") }
-        }
+        def interval(a: String, what: String): java.time.Duration =
+          isoInterval(a, "HOP", what)
         val hop = interval(args(1), "hop")
         val size = interval(args(2), "interval")
         interval(args(3), "delay") // validated; inert on final batch rows
@@ -1651,6 +1636,106 @@ object YqlScript {
             }
             out = sb.append(out.substring(last)).toString
           }
+        out
+    }
+  }
+
+  /** A constant ISO-8601 interval argument, with the reference's
+    * raises (sql_group_by.cpp:393-401 processIntervalParam). */
+  private def isoInterval(a: String, fn: String,
+      what: String): java.time.Duration = {
+    val lit =
+      if (a.length >= 2 && (a.head == '\'' || a.head == '"') &&
+          a.last == a.head) a.substring(1, a.length - 1)
+      else throw new IllegalArgumentException(
+        s"$fn $what must be a constant interval string, got: $a")
+    // the designator 'T' shall be absent if all time components are
+    // absent
+    if (lit.endsWith("T")) throw new IllegalArgumentException(
+      "Time prefix 'T' at end of interval constant. The " +
+        "designator 'T' shall be absent if all of the time " +
+        "components are absent.")
+    try java.time.Duration.parse(lit)
+    catch { case _: java.time.format.DateTimeParseException =>
+      throw new IllegalArgumentException(
+        s"Expected interval in ISO 8601 format, got: '$lit'") }
+  }
+
+  /** `GROUP BY [keys,] SessionWindow(time, timeout) [AS name]` — the
+    * reference's session grouping (docs syntax/group_by.md
+    * "GROUP BY ... SessionWindow()"): each partition (the OTHER group
+    * keys) splits into sessions at neighbor gaps exceeding `timeout`;
+    * the session key column — also readable via the `SessionStart()`
+    * aggregate — is the session's minimum `time`. Lowered onto Spark's
+    * `session_window(time, gap)` grouping, whose `.start` is exactly
+    * that minimum; the alias and SessionStart() become
+    * `session_window.start`. The extended 4-argument lambda form
+    * raises (use the typed operator path for custom session logic).
+    */
+  def lowerSessionWindow(sql: String): String = {
+    val masked = maskQuotes(sql)
+    "(?i)\\bSessionWindow\\s*\\(".r.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        val gb = "(?i)\\bGROUP\\s+BY\\b".r.findFirstMatchIn(masked)
+        require(gb.exists(_.end <= m.start),
+          "SessionWindow(...) is only valid in GROUP BY " +
+            "(docs syntax/group_by.md#session-window)")
+        val close = matchParen(sql, m.end - 1)
+        val args = splitTopLevel(sql.substring(m.end, close)).map(_.trim)
+        require(args.length != 4,
+          "the extended 4-argument SessionWindow(order, init, update, " +
+            "calculate) is not supported in the string surface — use " +
+            "the typed session operator for custom session logic")
+        require(args.length == 2,
+          s"SessionWindow takes (time_expr, timeout), got " +
+            s"${args.length} argument(s)")
+        val te = args.head
+        val gap = isoInterval(args(1), "SessionWindow", "timeout")
+        require(!gap.isZero && !gap.isNegative,
+          s"SessionWindow timeout must be a positive interval, got: " +
+            args(1))
+        // optional `AS name` after the close paren
+        val aliasRe = "(?i)^\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+        val alias = aliasRe.findFirstMatchIn(masked.substring(close + 1))
+        val tailStart = close + 1 + alias.map(_.end).getOrElse(0)
+        val lowered = sql.substring(0, m.start) +
+          s"session_window($te, '${gap.toMillis} milliseconds')" +
+          sql.substring(tailStart)
+        require("(?i)\\bSessionWindow\\s*\\(".r
+          .findFirstIn(maskQuotes(lowered)).isEmpty,
+          "Duplicate session window specification.")
+        // the alias and SessionStart() read the session key. A BARE
+        // select-list occurrence of the alias (preceded by SELECT or a
+        // comma, followed by a comma or FROM) re-aliases itself so the
+        // output column keeps the user's name, like the reference's
+        // GROUP BY-aliased key column.
+        var out = lowered
+        val repls = alias.map(a =>
+          (s"\\b${java.util.regex.Pattern.quote(a.group(1))}\\b",
+            Some(a.group(1)))).toSeq :+
+          (("(?i)\\bSessionStart\\s*\\(\\s*\\)", None: Option[String]))
+        repls.foreach { case (pat, name) =>
+          val re = pat.r
+          val msk = maskQuotes(out)
+          val sb = new StringBuilder
+          var last = 0
+          re.findAllMatchIn(msk).foreach { mm =>
+            val before = msk.substring(0, mm.start).reverse
+              .dropWhile(_.isWhitespace)
+            val after = msk.substring(mm.end).dropWhile(_.isWhitespace)
+            val bareItem = name.isDefined &&
+              (before.headOption.contains(',') ||
+                before.take(6).reverse.equalsIgnoreCase("SELECT")) &&
+              (after.headOption.contains(',') ||
+                after.take(5).toUpperCase.startsWith("FROM "))
+            sb.append(out.substring(last, mm.start))
+              .append(if (bareItem) s"session_window.start AS ${name.get}"
+                else "session_window.start")
+            last = mm.end
+          }
+          out = sb.append(out.substring(last)).toString
+        }
         out
     }
   }

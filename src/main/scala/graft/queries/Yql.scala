@@ -715,6 +715,20 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // GROUP BY SessionWindow(time, timeout) in the SQL string surface
+    // (docs syntax/group_by.md#session-window): per-user sessions split
+    // at >6h gaps; the session key (and SessionStart()) is the
+    // session's minimum ts — lowered onto Spark's session_window
+    // grouping whose .start is exactly that minimum.
+    "yql_sql_session_window" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """SELECT user_id, session_start, SessionStart() AS ss,
+          |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+          |FROM events
+          |GROUP BY user_id, SessionWindow(ts, 'PT6H') AS session_start""".stripMargin)
+    }),
+
     // DISTINCT window aggregates behind PRAGMA DistinctOverWindow
     // (source.cpp:290 gates agg(DISTINCT) OVER; sql_call_expr.cpp:392
     // SetOverWindowDistinct): lowered onto the per-frame collect_set —
@@ -1541,6 +1555,19 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    // islands replay: session id = running count of >6h breaks; the
+    // session key is MIN(ts) per island
+    "yql_sql_session_window" ->
+      """WITH marked AS (SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0
+             END AS brk
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         islands AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+         SELECT user_id, MIN(ts) AS session_start, MIN(ts) AS ss,
+           count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+         FROM islands GROUP BY user_id, sid""",
     "yql_sql_distinct_window" ->
       """SELECT o_orderkey,
            COUNT(DISTINCT o_orderpriority)

@@ -1078,4 +1078,50 @@ class YqlScriptSpec extends SparkSpec {
         enabled = true)
     }
   }
+
+  // ——— GROUP BY SessionWindow(...) string surface ———
+
+  test("GROUP BY SessionWindow lowers to session_window; the alias and " +
+      "SessionStart() read the session key") {
+    Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2.0),
+        ("u1", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3.0),
+        ("u1", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 5.0),
+        ("u2", java.sql.Timestamp.valueOf("2024-01-01 04:00:00"), 7.0))
+      .toDF("user_id", "ts", "value").createOrReplaceTempView("sw_ev")
+    val df = YqlSql.sql(spark,
+      """SELECT user_id, s_start, SessionStart() AS ss,
+        |  COUNT(*) AS cnt, SUM(value) AS sv
+        |FROM sw_ev
+        |GROUP BY user_id, SessionWindow(ts, 'PT6H') AS s_start""".stripMargin)
+    assert(df.columns.toSeq ==
+      Seq("user_id", "s_start", "ss", "cnt", "sv"))
+    val rows = df.orderBy("user_id", "s_start").collect()
+    assert(rows.length == 3) // u1 splits at the 10h gap; u2 one session
+    val first = rows.head
+    // the session key is the session's minimum ts, repeated by
+    // SessionStart()
+    assert(first.getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))
+    assert(first.getTimestamp(2) == first.getTimestamp(1))
+    assert(first.getLong(3) == 2L && first.getDouble(4) == 5.0)
+  }
+
+  test("SessionWindow raises on malformed specs") {
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException] {
+        YqlScript.lowerSessionWindow(sql) }.getMessage
+    assert(bad("SELECT 1 FROM t GROUP BY SessionWindow(ts, 'oops'), k")
+      .contains("ISO 8601"))
+    assert(bad("SELECT 1 FROM t GROUP BY SessionWindow(ts), k")
+      .contains("SessionWindow takes"))
+    assert(bad("SELECT 1 FROM t GROUP BY " +
+      "SessionWindow(ts, $i, $u, $c), k").contains("extended"))
+    assert(bad("SELECT SessionWindow(ts, 'PT1H') FROM t")
+      .contains("only valid"))
+    assert(bad("SELECT 1 FROM t GROUP BY SessionWindow(ts, 'PT0S'), k")
+      .contains("positive"))
+    // a string literal containing SessionWindow( is untouched
+    val lit = "SELECT 'SessionWindow(' AS s FROM t"
+    assert(YqlScript.lowerSessionWindow(lit) == lit)
+  }
 }
