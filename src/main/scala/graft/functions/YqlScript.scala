@@ -2176,6 +2176,74 @@ object YqlScript {
     * expressions. Branches whose column-name sequences already agree
     * pass through unchanged — positional and by-name coincide, and
     * existing plans keep their shape. */
+  /** `FROM src [AS a] FLATTEN COLUMNS` (docs syntax/flatten.md
+    * #flatten-columns): every column of `src` must be a struct; the
+    * result has one column per struct FIELD (source column names are
+    * dropped). Lowered to a derived table expanding `c.*` per struct —
+    * schema comes from Catalyst ANALYSIS only (no job), the same
+    * pattern lowerUnions uses.
+    */
+  def lowerFlattenColumns(sql: String,
+      schemaOf: String => Seq[(String, org.apache.spark.sql.types.DataType)])
+      : String = {
+    val masked = maskQuotes(sql)
+    val re = "(?i)\\bFLATTEN\\s+COLUMNS\\b".r
+    re.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        // scan BACKWARD over [alias] and the source (paren subquery or
+        // table identifier)
+        var j = m.start - 1
+        def skipWs(): Unit = while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+        def identStart(): Int = {
+          var k = j
+          while (k >= 0 && (sql.charAt(k).isLetterOrDigit ||
+            "_.`".contains(sql.charAt(k)))) k -= 1
+          k + 1
+        }
+        skipWs()
+        var alias = ""
+        if (j >= 0 && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) {
+          // possible `AS alias` — only treat as alias if preceded by AS
+          val is = identStart()
+          var k = is - 1
+          while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+          if (k >= 1 && sql.substring(k - 1, k + 1).equalsIgnoreCase("AS") &&
+              (k - 2 < 0 || !sql.charAt(k - 2).isLetterOrDigit)) {
+            alias = sql.substring(is, j + 1)
+            j = k - 2
+            skipWs()
+          }
+        }
+        val srcEnd = j + 1
+        val srcStart =
+          if (j >= 0 && sql.charAt(j) == ')') {
+            // backward paren matching on the mask
+            var depth = 0; var k = j
+            while (k >= 0 && { val c = masked.charAt(k)
+              if (c == ')') depth += 1 else if (c == '(') depth -= 1
+              depth != 0 }) k -= 1
+            require(k >= 0, s"unbalanced parens before FLATTEN COLUMNS")
+            k
+          } else identStart()
+        val src = sql.substring(srcStart, srcEnd)
+        require(src.nonEmpty, "FLATTEN COLUMNS needs a FROM source")
+        val cols = schemaOf(s"SELECT * FROM $src")
+        val bad = cols.filterNot(
+          _._2.isInstanceOf[org.apache.spark.sql.types.StructType])
+        require(bad.isEmpty,
+          "FLATTEN COLUMNS requires every source column to be a " +
+            s"structure, got: ${bad.map(c => c._1 + ": " +
+              c._2.simpleString).mkString(", ")}")
+        val expand = cols.map(c => s"`${c._1}`.*").mkString(", ")
+        val aliasSql = if (alias.nonEmpty) s" AS $alias" else ""
+        lowerFlattenColumns(
+          sql.substring(0, srcStart) +
+            s"(SELECT $expand FROM $src)$aliasSql" + sql.substring(m.end),
+          schemaOf)
+    }
+  }
+
   def lowerUnions(sql: String, positional: Boolean,
       schemaOf: String => Seq[(String, org.apache.spark.sql.types.DataType)])
       : String = {

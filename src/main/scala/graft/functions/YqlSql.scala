@@ -117,9 +117,12 @@ object YqlSql {
     // the reference; the lowering raises without it
     val distinctWin =
       lowered.pragmas.exists(_.trim.equalsIgnoreCase("DistinctOverWindow"))
+    def analyze(b: String): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      spark.sql(b).schema.fields.toSeq.map(f => f.name -> f.dataType)
     def unions(s: String): String = YqlScript.lowerUnions(
-      YqlScript.lowerDistinctOverWindow(s, distinctWin), positional,
-      b => spark.sql(b).schema.fields.toSeq.map(f => f.name -> f.dataType))
+      YqlScript.lowerFlattenColumns(
+        YqlScript.lowerDistinctOverWindow(s, distinctWin), analyze),
+      positional, analyze)
     // DISCARD statements type-check (spark.sql analyzes eagerly) but
     // never execute or produce a result — the reference's validation
     // spelling

@@ -715,6 +715,19 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // FLATTEN COLUMNS (docs syntax/flatten.md#flatten-columns): struct
+    // columns expand to one column per field, source names dropped.
+    "yql_sql_flatten_columns" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT ks, vs, o FROM (
+          |  SELECT named_struct('ks', o_custkey % 50) AS a,
+          |         named_struct('vs', o_custkey % 7, 'o', o_orderkey) AS b
+          |  FROM orders
+          |) FLATTEN COLUMNS
+          |WHERE ks < 25""".stripMargin)
+    }),
+
     // GROUP BY SessionWindow(time, timeout) in the SQL string surface
     // (docs syntax/group_by.md#session-window): per-user sessions split
     // at >6h gaps; the session key (and SessionStart()) is the
@@ -1555,6 +1568,10 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_sql_flatten_columns" ->
+      """SELECT o_custkey % 50 AS ks, o_custkey % 7 AS vs,
+           o_orderkey AS o
+         FROM orders WHERE o_custkey % 50 < 25""",
     // islands replay: session id = running count of >6h breaks; the
     // session key is MIN(ts) per island
     "yql_sql_session_window" ->

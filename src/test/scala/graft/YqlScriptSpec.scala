@@ -1124,4 +1124,27 @@ class YqlScriptSpec extends SparkSpec {
     val lit = "SELECT 'SessionWindow(' AS s FROM t"
     assert(YqlScript.lowerSessionWindow(lit) == lit)
   }
+
+  test("FLATTEN COLUMNS expands struct columns; non-struct columns raise") {
+    Seq((1L, 2L)).toDF("x", "y").createOrReplaceTempView("fc_t")
+    val df = YqlSql.sql(spark,
+      """SELECT ks, v FROM (
+        |  SELECT named_struct('ks', x) AS a, named_struct('v', y) AS b
+        |  FROM fc_t) FLATTEN COLUMNS""".stripMargin)
+    assert(df.columns.toSeq == Seq("ks", "v"))
+    assert(df.as[(Long, Long)].head() == ((1L, 2L)))
+    // aliased source keeps working
+    val df2 = YqlSql.sql(spark,
+      """SELECT t.ks FROM (
+        |  SELECT named_struct('ks', x) AS a FROM fc_t) AS t
+        |FLATTEN COLUMNS""".stripMargin)
+    assert(df2.as[Long].head() == 1L)
+    val e = intercept[IllegalArgumentException] {
+      YqlSql.sql(spark, "SELECT * FROM fc_t FLATTEN COLUMNS")
+    }
+    assert(e.getMessage.contains("structure"), e.getMessage)
+    // inside a string literal: untouched
+    val lit = "SELECT 'FLATTEN COLUMNS' AS s FROM fc_t"
+    assert(YqlSql.sql(spark, lit).as[String].head() == "FLATTEN COLUMNS")
+  }
 }
