@@ -2060,9 +2060,16 @@ object YqlScript {
           hints += text.substring(i, k).trim
           end = k
         }
-        // SCHEMA hint → projection contract; everything else drops
+        // SCHEMA hint → projection contract; INLINE → broadcast (the
+        // reference's "small table, process via its in-memory view" is
+        // exactly Spark's broadcast side — the hint rides a derived
+        // table, ResolveJoinStrategyHints attaches it to the scan and
+        // the enclosing join sees it); everything else drops
         val schemaHint = hints.map(_.trim).find(h =>
           h.toUpperCase.startsWith("SCHEMA"))
+        val inline = hints.exists(_.trim.equalsIgnoreCase("INLINE"))
+        def hintHead: String =
+          if (inline) s"/*+ BROADCAST(${tbl.split("\\.").last}) */ " else ""
         val replacement = schemaHint match {
           case Some(h) =>
             val open = h.indexOf('(')
@@ -2091,9 +2098,24 @@ object YqlScript {
             val hasAlias = word == "AS" ||
               (word.nonEmpty && !aliasStop.contains(word))
             val base = tbl.split("\\.").last.replaceAll("`", "")
-            s"(SELECT ${casts.mkString(", ")} FROM $tbl)" +
+            s"(SELECT $hintHead${casts.mkString(", ")} FROM $tbl)" +
               (if (hasAlias) "" else s" `$base`")
-          case None => tbl
+          case None =>
+            if (!inline) tbl
+            else {
+              // keep a following alias addressable, like the SCHEMA arm
+              var a = end
+              while (a < masked.length && masked.charAt(a).isWhitespace) a += 1
+              var b = a
+              while (b < masked.length && (masked.charAt(b).isLetterOrDigit ||
+                masked.charAt(b) == '_')) b += 1
+              val word = if (b > a) text.substring(a, b).toUpperCase else ""
+              val hasAlias = word == "AS" ||
+                (word.nonEmpty && !aliasStop.contains(word))
+              val base = tbl.split("\\.").last.replaceAll("`", "")
+              s"(SELECT $hintHead* FROM $tbl)" +
+                (if (hasAlias) "" else s" `$base`")
+            }
         }
         text = text.substring(0, m.start(2)) + replacement + text.substring(end)
         changed = true

@@ -1147,4 +1147,29 @@ class YqlScriptSpec extends SparkSpec {
     val lit = "SELECT 'FLATTEN COLUMNS' AS s FROM fc_t"
     assert(YqlSql.sql(spark, lit).as[String].head() == "FLATTEN COLUMNS")
   }
+
+  test("WITH INLINE hints the table side to broadcast; the join plan shows it") {
+    import org.apache.spark.sql.functions._
+    spark.range(0, 50000).select(col("id").as("k"),
+      (col("id") % 97).as("v")).createOrReplaceTempView("inl_big")
+    spark.range(0, 40).select(col("id").as("k"),
+      (col("id") * 2).as("w")).createOrReplaceTempView("inl_dim")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = YqlSql.sql(spark,
+        """SELECT b.k, d.w FROM inl_big AS b
+          |JOIN inl_dim WITH INLINE AS d ON b.k = d.k""".stripMargin)
+      df.collect()
+      val plan = PlanTest.finalNodes(df).map(_.nodeName).mkString(",")
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // without the hint (threshold off) the same join sort-merges
+      val df2 = YqlSql.sql(spark,
+        """SELECT b.k, d.w FROM inl_big AS b
+          |JOIN inl_dim AS d ON b.k = d.k""".stripMargin)
+      df2.collect()
+      val plan2 = PlanTest.finalNodes(df2).map(_.nodeName).mkString(",")
+      assert(!plan2.contains("BroadcastHashJoin"), plan2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
