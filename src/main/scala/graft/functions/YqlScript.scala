@@ -61,6 +61,8 @@ object YqlScript {
     * may read a table an earlier INSERT wrote, so order is part of the
     * semantics — the reference serializes them the same way within a
     * transaction). */
+  private val anonCounter = new java.util.concurrent.atomic.AtomicLong()
+
   sealed trait Stmt { def sql: String }
   final case class SelectStmt(sql: String) extends Stmt
   final case class InsertStmt(sql: String) extends Stmt
@@ -133,7 +135,7 @@ object YqlScript {
   /** `discards` are DISCARD statements: analyzed (type-checked) but
     * never a script result — the reference's validation spelling. */
   final case class Lowered(pragmas: Seq[String], stmts: Seq[Stmt],
-      discards: Seq[String] = Nil) {
+      discards: Seq[String] = Nil, anonTables: Seq[String] = Nil) {
     def selects: Seq[String] = stmts.collect { case SelectStmt(s) => s }
     def inserts: Seq[String] = stmts.collect { case InsertStmt(s) => s }
   }
@@ -163,6 +165,39 @@ object YqlScript {
     // caller-supplied `libraries` win on name collision
     val pragmaLibs = scala.collection.mutable.Map.empty[String, String]
     val unsupported = Set("ROLLBACK")
+    // `@name` anonymous (temporary) tables (docs select.md
+    // #temporary-tables): each name maps, per script run, to a
+    // globally unique catalog table that the executor creates on first
+    // INSERT and drops when the script completes — the reference's
+    // auto-deleted temp-directory tables. `@$name` resolves the named
+    // string first.
+    val anonRun = anonCounter.incrementAndGet()
+    val anonNames = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def rewriteAnon(text: String): String = {
+      val masked = maskQuotes(text)
+      val re = "@(\\$?[A-Za-z_][A-Za-z0-9_]*)".r
+      val sb = new StringBuilder
+      var last = 0
+      re.findAllMatchIn(masked).foreach { m =>
+        val raw = text.substring(m.start(1), m.end(1))
+        val key =
+          if (!raw.startsWith("$")) raw
+          else {
+            val bound = scalars.getOrElse(raw.substring(1),
+              throw new IllegalArgumentException(
+                s"@$raw: undeclared named expression"))
+            val t = bound.trim.stripPrefix("(").stripSuffix(")").trim
+            require(t.length >= 2 && (t.head == '\'' || t.head == '"') &&
+              t.last == t.head,
+              s"@$raw must bind to a constant string, got: ${t.take(40)}")
+            t.substring(1, t.length - 1)
+          }
+        val tbl = anonNames.getOrElseUpdate(key, s"graft_anon_${anonRun}_$key")
+        sb.append(text.substring(last, m.start)).append(tbl)
+        last = m.end
+      }
+      sb.append(text.substring(last)).toString
+    }
     var idx = 0
     while (idx < sts.length) {
       var st = sts(idx)
@@ -188,6 +223,7 @@ object YqlScript {
       // script evaluates to its last SELECT, so the name is validated
       // and dropped.
       st = stripIntoResult(st)
+      if (st.indexOf('@') >= 0) st = rewriteAnon(st)
       var firstWord = st.takeWhile(c => c.isLetter).toUpperCase
       // `BATCH DELETE|UPDATE` (SQLv1.g.in:968-969): the reference
       // chunks the write into independent transactions to bound
@@ -381,7 +417,8 @@ object YqlScript {
     }
     if (stmts.isEmpty) throw new IllegalArgumentException(
       "YQL script has no executable statement (SELECT/INSERT/DML/DDL)")
-    Lowered(pragmas.toSeq, stmts.toSeq, discards.toSeq)
+    Lowered(pragmas.toSeq, stmts.toSeq, discards.toSeq,
+      anonNames.values.toSeq)
   }
 
   /** First index of keyword `kw` in `s` at paren depth 0 outside

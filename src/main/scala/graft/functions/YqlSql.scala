@@ -144,8 +144,24 @@ object YqlSql {
         // on a command would execute it)
         val f = full(s)
         val selAt = YqlScript.findTopKw(f, "SELECT")
-        spark.sql(if (selAt < 0) f
-          else f.substring(0, selAt) + unions(f.substring(selAt)))
+        val stmt = if (selAt < 0) f
+          else f.substring(0, selAt) + unions(f.substring(selAt))
+        // first write to an @anonymous table creates it (docs
+        // select.md#temporary-tables — the table exists only for this
+        // script run); later writes append/overwrite normally
+        val anonTarget = "(?i)^INSERT\\s+(?:INTO|OVERWRITE\\s+TABLE)\\s+" +
+          "(graft_anon_\\w+)"
+        val create = anonTarget.r.findFirstMatchIn(stmt)
+          .map(_.group(1)).filter(t => !spark.catalog.tableExists(t))
+        create match {
+          case Some(t) =>
+            val body = stmt.substring(stmt.indexOf(t) + t.length).trim
+            require(!body.startsWith("("),
+              "a column list on the FIRST write to an @anonymous " +
+                "table is not supported (the write defines the schema)")
+            spark.sql(s"CREATE TABLE $t USING parquet AS $body")
+          case None => spark.sql(stmt)
+        }
       case YqlScript.DdlStmt(s) => spark.sql(full(s))
       case YqlScript.IndexStmt(tgt, nm, cols, unique, drop) =>
         if (drop) YqlDml.dropIndex(spark, tgt, nm)
@@ -171,6 +187,13 @@ object YqlSql {
             where.map(w => org.apache.spark.sql.functions.expr(rewrite(w))),
             returning))
         }
+    }
+    // @anonymous tables die with the script (the reference deletes its
+    // temp directory on query completion): materialize the result off
+    // the tables first — localCheckpoint cuts the lineage — then drop
+    if (lowered.anonTables.nonEmpty) {
+      last = last.map(_.localCheckpoint())
+      lowered.anonTables.foreach(t => YqlDml.dropTableDeep(spark, t))
     }
     last.getOrElse(spark.emptyDataFrame)
   }

@@ -715,6 +715,26 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // @anonymous temp tables (docs select.md#temporary-tables): the
+    // multiphase pattern — stage two INSERT phases into @tmp, COMMIT,
+    // then aggregate the union. The table is per-run unique and
+    // dropped when the script ends.
+    "yql_sql_anon_table" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """INSERT INTO @phase
+          |SELECT o_custkey % 10 AS k, o_totalprice AS p FROM orders
+          |WHERE o_orderstatus = 'F';
+          |COMMIT;
+          |INSERT INTO @phase
+          |SELECT o_custkey % 10 AS k, o_totalprice * 2 AS p FROM orders
+          |WHERE o_orderstatus = 'O';
+          |COMMIT;
+          |SELECT k, COUNT(*) AS n,
+          |  CAST(SUM(CAST(floor(p) AS BIGINT)) AS BIGINT) AS total
+          |FROM @phase GROUP BY k""".stripMargin)
+    }),
+
     // FLATTEN COLUMNS (docs syntax/flatten.md#flatten-columns): struct
     // columns expand to one column per field, source names dropped.
     "yql_sql_flatten_columns" -> ((s, d) => {
@@ -1568,6 +1588,16 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_sql_anon_table" ->
+      """WITH phase AS (
+           SELECT o_custkey % 10 AS k, o_totalprice AS p FROM orders
+           WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT o_custkey % 10 AS k, o_totalprice * 2 AS p FROM orders
+           WHERE o_orderstatus = 'O')
+         SELECT k, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(p) AS BIGINT)) AS BIGINT) AS total
+         FROM phase GROUP BY k""",
     "yql_sql_flatten_columns" ->
       """SELECT o_custkey % 50 AS ks, o_custkey % 7 AS vs,
            o_orderkey AS o

@@ -1172,4 +1172,44 @@ class YqlScriptSpec extends SparkSpec {
       assert(!plan2.contains("BroadcastHashJoin"), plan2)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ——— @anonymous temporary tables (select.md#temporary-tables) ———
+
+  test("@name anonymous tables: created on first INSERT, append on the " +
+      "second, readable across COMMIT, dropped when the script ends") {
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
+      .createOrReplaceTempView("anon_src")
+    val df = YqlSql.sql(spark,
+      """INSERT INTO @stage
+        |SELECT id, tag FROM anon_src WHERE tag = 'a';
+        |COMMIT;
+        |INSERT INTO @stage
+        |SELECT id, tag FROM anon_src WHERE tag = 'b';
+        |COMMIT;
+        |SELECT tag, COUNT(*) AS n FROM @stage GROUP BY tag""".stripMargin)
+    assert(df.orderBy("tag").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    // the anonymous table is gone after the script
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_anon_")))
+    // two runs get DIFFERENT physical names: no cross-run collision
+    val again = YqlSql.sql(spark,
+      """INSERT INTO @stage SELECT 9 AS id, 'z' AS tag;
+        |SELECT COUNT(*) AS n FROM @stage""".stripMargin)
+    assert(again.as[Long].head() == 1L)
+  }
+
+  test("@$name resolves the named string; WITH TRUNCATE overwrites") {
+    val df = YqlSql.sql(spark,
+      """$t = 'scratch';
+        |INSERT INTO @$t SELECT 1 AS v;
+        |COMMIT;
+        |INSERT INTO @$t WITH TRUNCATE SELECT 7 AS v;
+        |COMMIT;
+        |SELECT v FROM @$t""".stripMargin)
+    assert(df.as[Int].collect().toSeq == Seq(7))
+    intercept[IllegalArgumentException] {
+      YqlScript.lower("INSERT INTO @$nope SELECT 1 AS v;\nSELECT 1 AS a")
+    }
+  }
 }
