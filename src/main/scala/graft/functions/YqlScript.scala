@@ -1611,7 +1611,49 @@ object YqlScript {
   // ——— select-level lowerings ———
   private[functions] def lowerSelect(sql: String): String =
     lowerFlatten(lowerWithout(lowerSample(lowerTableHints(lowerHints(
-      lowerSessionWindow(lowerHop(sql)))))))
+      lowerSessionWindow(lowerHop(lowerBitcast(sql))))))))
+
+  /** `BITCAST(x AS IntN|UintN)` (docs syntax/expressions.md#bitcast):
+    * bitwise integer conversion — always succeeds, truncates to the
+    * low N bits with two's-complement sign for signed targets. ANSI
+    * CAST raises on overflow, so the lowering wraps explicitly:
+    * signed = arithmetic-shift sign extension of the low bits,
+    * unsigned = mask, landing on the engine's unsigned representation
+    * types (types/YtTypes.scala: Uint8→SMALLINT, Uint16→INT,
+    * Uint32/Uint64→BIGINT raw bits).
+    */
+  def lowerBitcast(sql: String): String = {
+    val re = "(?i)\\bBITCAST\\s*\\(".r
+    re.findFirstMatchIn(maskQuotes(sql)) match {
+      case None => sql
+      case Some(m) =>
+        val close = matchParen(sql, m.end - 1)
+        val inner = sql.substring(m.end, close)
+        val at = findTopKw(inner, "AS")
+        require(at > 0, s"BITCAST takes (expr AS IntType): ${inner.take(40)}")
+        val x = inner.substring(0, at).trim
+        val t = inner.substring(at + 2).trim
+        def signed(bits: Int, sqlT: String) =
+          s"CAST(shiftright(shiftleft(CAST(($x) AS BIGINT), ${64 - bits}), " +
+            s"${64 - bits}) AS $sqlT)"
+        def unsigned(mask: String, sqlT: String) =
+          s"CAST((CAST(($x) AS BIGINT) & $mask) AS $sqlT)"
+        val repl = t.toLowerCase match {
+          case "int8" => signed(8, "TINYINT")
+          case "int16" => signed(16, "SMALLINT")
+          case "int32" => signed(32, "INT")
+          case "int64" => s"CAST(($x) AS BIGINT)"
+          case "uint8" => unsigned("255", "SMALLINT")
+          case "uint16" => unsigned("65535", "INT")
+          case "uint32" => unsigned("4294967295", "BIGINT")
+          case "uint64" => s"CAST(($x) AS BIGINT)" // raw 64 bits
+          case other => throw new IllegalArgumentException(
+            s"BITCAST target must be an integer type, got: $other")
+        }
+        lowerBitcast(sql.substring(0, m.start) + repl +
+          sql.substring(close + 1))
+    }
+  }
 
   /** `GROUP BY HOP(time, hop, interval, delay)` — the streaming
     * hopping-window grouping (SQLv1.g.in:533

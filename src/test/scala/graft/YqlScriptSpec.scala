@@ -1212,4 +1212,40 @@ class YqlScriptSpec extends SparkSpec {
       YqlScript.lower("INSERT INTO @$nope SELECT 1 AS v;\nSELECT 1 AS a")
     }
   }
+
+  test("FROM ... SELECT ... inverted form runs (select.md#from-select)") {
+    Seq((4L, "x")).toDF("k", "v").createOrReplaceTempView("inv_t")
+    assert(YqlSql.sql(spark, "FROM inv_t SELECT k, v")
+      .as[(Long, String)].head() == ((4L, "x")))
+    assert(YqlSql.sql(spark,
+      "FROM inv_t AS a JOIN inv_t AS b USING (k) SELECT a.k, b.v")
+      .as[(Long, String)].head() == ((4L, "x")))
+  }
+
+  test("BITCAST wraps bits like the reference's doc examples; " +
+      "IS DISTINCT FROM is native") {
+    // expressions.md#bitcast worked examples
+    val r = YqlSql.sql(spark,
+      """SELECT BITCAST(100000 AS Uint32) AS a,
+        |  BITCAST(100000 AS Int16) AS b,
+        |  BITCAST(100000 AS Uint16) AS c,
+        |  BITCAST(-1 AS Int16) AS d,
+        |  BITCAST(-1 AS Uint16) AS e""".stripMargin).head()
+    assert(r.getLong(0) == 100000L)
+    assert(r.getShort(1) == -31072)
+    assert(r.getInt(2) == 34464)
+    assert(r.getShort(3) == -1)
+    assert(r.getInt(4) == 65535)
+    intercept[IllegalArgumentException] {
+      YqlScript.lowerBitcast("SELECT BITCAST(1 AS Double) FROM t")
+    }
+    val lit = "SELECT 'BITCAST(1 AS Int8)' AS s FROM t"
+    assert(YqlScript.lowerBitcast(lit) == lit)
+    // IS [NOT] DISTINCT FROM: NULLs compare equal (native Spark)
+    val d = YqlSql.sql(spark,
+      """SELECT CAST(NULL AS INT) IS NOT DISTINCT FROM CAST(NULL AS INT)
+        |  AS nn, 1 IS DISTINCT FROM CAST(NULL AS INT) AS vn""".stripMargin)
+      .head()
+    assert(d.getBoolean(0) && d.getBoolean(1))
+  }
 }
