@@ -228,6 +228,83 @@ object YqlModules {
   }
   val Hyperscan: Pire.type = Pire
 
+  /** Re2:: module (udfs/common/re2/re2_udf.cpp; docs udf/list/re2.md).
+    * The reference's signatures are CURRIED — `Re2::Grep(pattern)`
+    * returns a callable — which the script surface supports through
+    * lambda bindings and inline application fusion (YqlScript /
+    * YqlSql.rewrite); these are the fused implementations over the
+    * codegen'd native regex engine. `Re2::Options` is not supported
+    * (raises at binding). */
+  object Re2 {
+    /** Partial match (Re2::Grep). */
+    def grep(c: Column, pattern: String): Column =
+      regexp_like(c, lit(pattern))
+    /** Whole-string match (Re2::Match — RE2::FullMatch). */
+    def matches(c: Column, pattern: String): Column =
+      regexp_like(c, lit("^(?:" + pattern + ")$"))
+    /** Count of non-overlapping matches (Re2::Count, Uint32). */
+    def count(c: Column, pattern: String): Column =
+      size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+    /** Successive captures (Re2::FindAndConsume): group 1 per match
+      * when the pattern captures, else the full match. */
+    def findAndConsume(c: Column, pattern: String): Column = {
+      val idx = if (countGroups(pattern)._1 > 0) 1 else 0
+      regexp_extract_all(c, lit(pattern), lit(idx))
+    }
+    /** Global replace (RE2::GlobalReplace) — re2 `\\1` group refs
+      * translate to the native engine's `$1`. */
+    def replace(c: Column, pattern: String, rewrite: String): Column = {
+      val translated = rewrite
+        .replace("$", "\\$")
+        .replaceAll("\\\\(\\d)", "\\$$1")
+      regexp_replace(c, pattern, translated)
+    }
+    /** First-match capture struct (Re2::Capture): one member per
+      * capturing group — named groups keep their names, unnamed get
+      * `_0, _1, ...` in order INCLUDING the full match as group 0
+      * (re2_udf.cpp:465-485). NULL members when the pattern does not
+      * match. */
+    def capture(c: Column, pattern: String): Column = {
+      val (_, names) = countGroups(pattern)
+      val p = pattern.replace("(?P<", "(?<") // re2 → java named spelling
+      val fields = names.zipWithIndex.flatMap { case (nm, g) =>
+        Seq(lit(nm), when(regexp_like(c, lit(p)), regexp_extract(c, p, g)))
+      }
+      named_struct(fields: _*)
+    }
+    /** (capturing-group count, member names for groups 0..n) by a
+      * quote-aware scan of the pattern text: `(` opens a capturing
+      * group unless followed by `?` (except the named forms
+      * `(?P<name>` / `(?<name>`). */
+    private[functions] def countGroups(pattern: String): (Int, Seq[String]) = {
+      val names = scala.collection.mutable.ArrayBuffer[String]("_0")
+      var unnamed = 1
+      var i = 0
+      var inClass = false
+      while (i < pattern.length) {
+        pattern.charAt(i) match {
+          case '\\' => i += 1
+          case '[' => inClass = true
+          case ']' => inClass = false
+          case '(' if !inClass =>
+            val rest = pattern.substring(i + 1)
+            if (rest.startsWith("?P<") || (rest.startsWith("?<") &&
+                !rest.startsWith("?<=") && !rest.startsWith("?<!"))) {
+              val from = i + (if (rest.startsWith("?P<")) 4 else 3)
+              val end = pattern.indexOf('>', from)
+              require(end > from, s"malformed named group in: $pattern")
+              names += pattern.substring(from, end)
+            } else if (!rest.startsWith("?")) {
+              names += s"_$unnamed"; unnamed += 1
+            }
+          case _ =>
+        }
+        i += 1
+      }
+      (names.length - 1, names.toSeq)
+    }
+  }
+
   /** Stat:: module (udfs/common/stat/static/stat_udf.h): the TDigest
     * mergeable quantile sketch. Create+AddValue = the aggregate form;
     * Serialize/Deserialize/Merge = the binary sketch column round trip;

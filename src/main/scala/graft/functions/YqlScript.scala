@@ -403,12 +403,40 @@ object YqlScript {
               lambdas(name) = Lambda(params,
                 substitute(rawBody, scalars, lambdas, keep = params.toSet))
             case None =>
-              val body = lowerSelect(substitute(rhs.trim, scalars, lambdas))
-              // wrap unless already ONE balanced group (a subselect)
-              scalars(name) =
-                if (body.startsWith("(") && matchParen(body, 0) == body.length - 1)
-                  body
-                else "(" + body + ")"
+              // curried regex-module factory (docs udf/list/re2.md,
+              // pire.md): `$f = Re2::Grep(pattern)` binds a CALLABLE —
+              // lower to a lambda over the flat registered function so
+              // the existing call-site inlining applies
+              val factory = ("(?i)^(Re2|Pire|Hyperscan)::" +
+                "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(").r
+                .findFirstMatchIn(rhs.trim)
+              val curried = factory.filter { fm =>
+                matchParen(rhs.trim, fm.end - 1) == rhs.trim.length - 1 }
+              curried match {
+                case Some(fm) =>
+                  val fn = fm.group(2).toLowerCase
+                  require(fn != "options",
+                    "Re2::Options is not supported — the engine runs " +
+                      "the native regex engine's defaults")
+                  val mod =
+                    if (fm.group(1).equalsIgnoreCase("re2")) "re2" else "pire"
+                  val t = rhs.trim
+                  val args = substitute(
+                    t.substring(fm.end, t.length - 1), scalars, lambdas)
+                  if (fn == "replace")
+                    lambdas(name) = Lambda(Seq("__s", "__r"),
+                      s"${mod}_replace($$__s, $args, $$__r)")
+                  else
+                    lambdas(name) = Lambda(Seq("__s"),
+                      s"${mod}_$fn($$__s, $args)")
+                case None =>
+                  val body = lowerSelect(substitute(rhs.trim, scalars, lambdas))
+                  // wrap unless already ONE balanced group (a subselect)
+                  scalars(name) =
+                    if (body.startsWith("(") && matchParen(body, 0) == body.length - 1)
+                      body
+                    else "(" + body + ")"
+              }
           }
         case None =>
           stmts += SelectStmt(lowerSelect(substitute(st, scalars, lambdas)))

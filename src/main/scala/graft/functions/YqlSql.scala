@@ -28,7 +28,17 @@ object YqlSql {
     * for Spark to resolve. */
   private val KnownModules: Set[String] = Set(
     "digest", "url", "string", "math", "unicode", "datetime",
-    "json", "ip", "pire")
+    "json", "ip", "pire", "re2", "hyperscan")
+
+  /** Modules whose reference signatures are CURRIED factories —
+    * `Re2::Grep(pattern)(string)` (udf/list/re2.md, pire.md). An inline
+    * double application fuses to the flat registered call
+    * `re2_grep(string, pattern[, rewrite])`; the `$f = Re2::Grep(p)`
+    * binding form lowers to a lambda in YqlScript. Hyperscan aliases
+    * Pire (same regex surface). */
+  private val CurriedModules: Set[String] = Set("re2", "pire", "hyperscan")
+  private[functions] def moduleName(m: String): String =
+    if (m.equalsIgnoreCase("hyperscan")) "pire" else m.toLowerCase
 
   /** Lowered module-call names that would shadow a Spark builtin of
     * the same name (e.g. `url_decode`) — these register and rewrite
@@ -66,13 +76,41 @@ object YqlSql {
           if (atBoundary) call.findFirstMatchIn(sql.substring(i)) else None
         m match {
           case Some(mm) if KnownModules(mm.group(1).toLowerCase) =>
-            val lowered = mm.group(1).toLowerCase + "_" + mm.group(2).toLowerCase
+            val lowered =
+              moduleName(mm.group(1)) + "_" + mm.group(2).toLowerCase
             // module functions whose lowered name collides with a Spark
             // builtin register prefixed — never shadow the session
             val name = if (CollidesWithBuiltin(lowered)) "yql__" + lowered
               else lowered
-            out.append(name).append(mm.group(3)).append('(')
-            i += mm.end
+            // curried inline application `Re2::Grep(p)(s)` fuses to the
+            // flat registered call `re2_grep(s, p)` (replace:
+            // `re2_replace(s, p, rewrite)`)
+            val open = i + mm.end - 1
+            val fused =
+              if (!CurriedModules(mm.group(1).toLowerCase)) None
+              else try {
+                val close = YqlScript.matchParen(sql, open)
+                var j = close + 1
+                while (j < n && sql.charAt(j).isWhitespace) j += 1
+                if (j < n && sql.charAt(j) == '(') {
+                  val close2 = YqlScript.matchParen(sql, j)
+                  val args1 = sql.substring(open + 1, close)
+                  val args2 = YqlScript
+                    .splitTopLevel(sql.substring(j + 1, close2))
+                    .map(_.trim).filter(_.nonEmpty)
+                  require(args2.nonEmpty,
+                    s"$name application needs at least the string argument")
+                  Some((s"$name(${rewrite(args2.head)}, ${rewrite(args1)}" +
+                    args2.tail.map(a => s", ${rewrite(a)}").mkString + ")",
+                    close2 + 1))
+                } else None
+              } catch { case _: IllegalArgumentException => None }
+            fused match {
+              case Some((text, next)) => out.append(text); i = next
+              case None =>
+                out.append(name).append(mm.group(3)).append('(')
+                i += mm.end
+            }
           case _ => out.append(c); i += 1
         }
       }
@@ -319,6 +357,13 @@ object YqlSql {
     reg1s("pire_grep")(Pire.grep)
     reg1s("pire_capture")(Pire.capture)
     reg1ss("pire_replace")(Pire.replace)
+
+    reg1s("re2_grep")(Re2.grep)
+    reg1s("re2_match")(Re2.matches)
+    reg1s("re2_count")(Re2.count)
+    reg1s("re2_findandconsume")(Re2.findAndConsume)
+    reg1s("re2_capture")(Re2.capture)
+    reg1ss("re2_replace")(Re2.replace)
 
     // YQL's bare builtin spellings (ListMap, AGGREGATE_LIST, ...) as
     // aliases of the Spark builtins they denote. Spark SQL lowercases

@@ -715,6 +715,22 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // Re2:: module (curried factories, udf/list/re2.md): binding +
+    // inline application forms, fused onto the native regex engine.
+    "yql_fn_re2" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """$num = Re2::Capture('(?P<num>\\d)-(?P<word>[A-Z0-9 ]+)');
+          |$fix = Re2::Replace('(\\d)-');
+          |SELECT o_orderkey,
+          |  Re2::Grep('\\d-')(o_orderpriority) AS g,
+          |  Re2::Match('\\d-[A-Z0-9 ]+')(o_orderpriority) AS m,
+          |  CAST(Re2::Count('[A-Z]')(o_orderpriority) AS BIGINT) AS c,
+          |  $fix(o_orderpriority, '[\\1] ') AS r,
+          |  $num(o_orderpriority).word AS w
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
     // @anonymous temp tables (docs select.md#temporary-tables): the
     // multiphase pattern — stage two INSERT phases into @tmp, COMMIT,
     // then aggregate the union. The table is per-run unique and
@@ -1588,6 +1604,15 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_fn_re2" ->
+      """SELECT o_orderkey,
+           regexp_matches(o_orderpriority, '\d-') AS g,
+           regexp_full_match(o_orderpriority, '\d-[A-Z0-9 ]+') AS m,
+           CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]'))
+             AS BIGINT) AS c,
+           regexp_replace(o_orderpriority, '(\d)-', '[\1] ', 'g') AS r,
+           regexp_extract(o_orderpriority, '(\d)-([A-Z0-9 ]+)', 2) AS w
+         FROM orders WHERE o_orderkey < 2000""",
     "yql_sql_anon_table" ->
       """WITH phase AS (
            SELECT o_custkey % 10 AS k, o_totalprice AS p FROM orders

@@ -1248,4 +1248,42 @@ class YqlScriptSpec extends SparkSpec {
       .head()
     assert(d.getBoolean(0) && d.getBoolean(1))
   }
+
+  // ——— Re2:: module (curried factories, udf/list/re2.md) ———
+
+  test("Re2:: curried factories: the doc's worked examples, binding and " +
+      "inline forms") {
+    val df = YqlSql.sql(spark,
+      """$value = 'xaaxaaxaa';
+        |$match = Re2::Match('[ax]+\\d');
+        |$grep = Re2::Grep('a.*');
+        |$capture = Re2::Capture('.*(?P<foo>xa?)(a{2,}).*');
+        |$replace = Re2::Replace('x(a+)x');
+        |$count = Re2::Count('a');
+        |SELECT
+        |  $match($value) AS m,
+        |  $grep($value) AS g,
+        |  $capture($value)._1 AS cap1,
+        |  $capture($value).foo AS capfoo,
+        |  $replace($value, 'b\\1z') AS r,
+        |  CAST($count($value) AS BIGINT) AS c,
+        |  Re2::Grep('a.*')('xaaxaaxaa') AS inline_g""".stripMargin)
+    val r = df.head()
+    assert(!r.getBoolean(0))          // match: false
+    assert(r.getBoolean(1))           // grep: true
+    assert(r.getString(2) == "aa")    // _1 = unnamed group
+    assert(r.getString(3) == "x")     // named group foo
+    assert(r.getString(4) == "baazaaxaa")
+    assert(r.getLong(5) == 6L)
+    assert(r.getBoolean(6))
+    // Options factory raises (unsupported mode switch)
+    val e = intercept[IllegalArgumentException] {
+      YqlScript.lower(
+        "$o = Re2::Options(false AS CaseSensitive);\nSELECT 1 AS a")
+    }
+    assert(e.getMessage.contains("Options"), e.getMessage)
+    // Hyperscan:: aliases the same surface
+    assert(YqlSql.sql(spark,
+      "SELECT Hyperscan::Grep('aa')('xaax') AS g").head().getBoolean(0))
+  }
 }
