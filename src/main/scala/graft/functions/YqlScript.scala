@@ -407,7 +407,7 @@ object YqlScript {
               // pire.md): `$f = Re2::Grep(pattern)` binds a CALLABLE —
               // lower to a lambda over the flat registered function so
               // the existing call-site inlining applies
-              val factory = ("(?i)^(Re2|Pire|Hyperscan)::" +
+              val factory = ("(?i)^(Re2|Pire|Hyperscan|Pcre)::" +
                 "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(").r
                 .findFirstMatchIn(rhs.trim)
               val curried = factory.filter { fm =>

@@ -28,7 +28,7 @@ object YqlSql {
     * for Spark to resolve. */
   private val KnownModules: Set[String] = Set(
     "digest", "url", "string", "math", "unicode", "datetime",
-    "json", "ip", "pire", "re2", "hyperscan")
+    "json", "ip", "pire", "re2", "hyperscan", "pcre")
 
   /** Modules whose reference signatures are CURRIED factories —
     * `Re2::Grep(pattern)(string)` (udf/list/re2.md, pire.md). An inline
@@ -36,9 +36,13 @@ object YqlSql {
     * `re2_grep(string, pattern[, rewrite])`; the `$f = Re2::Grep(p)`
     * binding form lowers to a lambda in YqlScript. Hyperscan aliases
     * Pire (same regex surface). */
-  private val CurriedModules: Set[String] = Set("re2", "pire", "hyperscan")
+  private val CurriedModules: Set[String] =
+    Set("re2", "pire", "hyperscan", "pcre")
   private[functions] def moduleName(m: String): String =
-    if (m.equalsIgnoreCase("hyperscan")) "pire" else m.toLowerCase
+    // Pcre is "currently an alias to Hyperscan" (docs udf/list/pcre.md),
+    // and Hyperscan shares the Pire surface here
+    if (m.equalsIgnoreCase("hyperscan") || m.equalsIgnoreCase("pcre")) "pire"
+    else m.toLowerCase
 
   /** Lowered module-call names that would shadow a Spark builtin of
     * the same name (e.g. `url_decode`) — these register and rewrite

@@ -1282,8 +1282,10 @@ class YqlScriptSpec extends SparkSpec {
         "$o = Re2::Options(false AS CaseSensitive);\nSELECT 1 AS a")
     }
     assert(e.getMessage.contains("Options"), e.getMessage)
-    // Hyperscan:: aliases the same surface
+    // Hyperscan:: and Pcre:: alias the same surface (udf/list/pcre.md)
     assert(YqlSql.sql(spark,
       "SELECT Hyperscan::Grep('aa')('xaax') AS g").head().getBoolean(0))
+    assert(YqlSql.sql(spark,
+      "SELECT Pcre::Match('x(a)+x')('xaax') AS m").head().getBoolean(0))
   }
 }
