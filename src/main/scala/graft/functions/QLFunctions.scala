@@ -465,9 +465,76 @@ object QLFunctions {
         Literal.create(null, StringType),
         Substring(js, Literal(2), Subtract(Length(js), Literal(2))))
     }
-    reg("yson_length")(es => Coalesce(Seq(
+    def ysonLen(es: Seq[Expression]): Expression = Coalesce(Seq(
       LengthOfJsonArray(es.head),
-      Size(JsonObjectKeys(es.head)))))
+      Size(JsonObjectKeys(es.head))))
+    reg("yson_length")(ysonLen)
+
+    // ——— Yson:: module (docs udf/list/yson.md) over the canonical-JSON
+    // Any representation. Parse/Serialize bridge YSON text/binary;
+    // ParseJson/SerializeJson are identities BY DESIGN (the Any carrier
+    // IS canonical JSON); ConvertTo* read the ROOT scalar with strict
+    // (ANSI) casts — the module's "fails the query" contract; Lookup*/
+    // YPath* are the optional (try) forms per the docs' Optional return
+    // types. Attributes are not modeled (WithAttributes/Attributes
+    // raise at resolution since they are not registered). ———
+    def ysonRoot(es: Seq[Expression]): Expression =
+      GetJsonObject(es.head, Literal("$"))
+    for (n <- Seq("yson_parse", "yson_parsetext", "yson_parsebinary"))
+      reg(n)(es => graft.sources.Yson.YsonToJson(es.head))
+    reg("yson_parsejson")(es => es.head)
+    reg("yson_from") { es =>
+      val js = StructsToJson(Map.empty, CreateArray(es))
+      If(IsNull(es.head),
+        Literal.create(null, StringType),
+        Substring(js, Literal(2), Subtract(Length(js), Literal(2))))
+    }
+    for (n <- Seq("yson_serialize", "yson_serializetext",
+        "yson_serializebinary", "yson_serializepretty"))
+      reg(n)(es => graft.sources.Yson.JsonToYsonText(es.head))
+    reg("yson_serializejson")(es => es.head)
+    reg("yson_converttoint64")(es => ansiCast(ysonRoot(es), LongType))
+    reg("yson_converttouint64")(es => ParseUnsigned(ysonRoot(es)))
+    reg("yson_converttodouble")(es => ansiCast(ysonRoot(es), DoubleType))
+    reg("yson_converttobool")(es => ansiCast(ysonRoot(es), BooleanType))
+    reg("yson_converttostring")(es => ysonRoot(es))
+    // Lookup takes a bare dict KEY (docs #ysonlookup) — it becomes a
+    // one-segment ypath
+    def keyed(es: Seq[Expression]): Seq[Expression] =
+      Seq(es(0), Concat(Seq(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("/"),
+        StringType), es(1))))
+    reg("yson_lookup")(es => jsonGetAny(keyed(es)))
+    reg("yson_lookupint64")(es => tryCast(jsonGet(keyed(es)), LongType))
+    reg("yson_lookupuint64")(es => u64Carrier(jsonGet(keyed(es))))
+    reg("yson_lookupdouble")(es => tryCast(jsonGet(keyed(es)), DoubleType))
+    reg("yson_lookupbool")(es => tryCast(jsonGet(keyed(es)), BooleanType))
+    reg("yson_lookupstring")(es => jsonGet(keyed(es)))
+    reg("yson_ypath")(jsonGetAny)
+    reg("yson_ypathint64")(es => tryCast(jsonGet(es), LongType))
+    reg("yson_ypathuint64")(es => u64Carrier(jsonGet(es)))
+    reg("yson_ypathdouble")(es => tryCast(jsonGet(es), DoubleType))
+    reg("yson_ypathbool")(es => tryCast(jsonGet(es), BooleanType))
+    reg("yson_ypathstring")(jsonGet)
+    reg("yson_contains")(es => IsNotNull(jsonGetAny(keyed(es))))
+    reg("yson_getlength")(ysonLen)
+    reg("yson_equals")(es =>
+      EqualTo(graft.sources.Yson.AnyCompare(es(0), es(1)), Literal(0)))
+    reg("yson_gethash")(es => XxHash64(Seq(es.head), 42L))
+    // Is* family: node-kind tests read the canonical text's shape
+    def txt(es: Seq[Expression]) = es.head
+    reg("yson_isentity")(es => EqualTo(txt(es), Literal("null")))
+    reg("yson_isstring")(es => StartsWith(txt(es), Literal("\"")))
+    reg("yson_isbool")(es => In(txt(es),
+      Seq(Literal("true"), Literal("false"))))
+    reg("yson_isint64")(es => RLike(txt(es), Literal("^-?\\d+$")))
+    reg("yson_isuint64")(es => RLike(txt(es), Literal("^\\d+$")))
+    reg("yson_isdouble")(es => And(
+      RLike(txt(es),
+        Literal("^-?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$")),
+      RLike(txt(es), Literal("[.eE]"))))
+    reg("yson_islist")(es => StartsWith(txt(es), Literal("[")))
+    reg("yson_isdict")(es => StartsWith(txt(es), Literal("{")))
     reg("try_get_int64")(es => tryCast(jsonGet(es), LongType))
     reg("get_int64")(es => ansiCast(jsonGetRequired(es), LongType))
     // uint64 accessors: raw-bits parse of the full unsigned range (a

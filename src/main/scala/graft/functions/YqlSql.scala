@@ -28,7 +28,7 @@ object YqlSql {
     * for Spark to resolve. */
   private val KnownModules: Set[String] = Set(
     "digest", "url", "string", "math", "unicode", "datetime",
-    "json", "ip", "pire", "re2", "hyperscan", "pcre")
+    "json", "ip", "pire", "re2", "hyperscan", "pcre", "yson")
 
   /** Modules whose reference signatures are CURRIED factories —
     * `Re2::Grep(pattern)(string)` (udf/list/re2.md, pire.md). An inline
@@ -263,6 +263,8 @@ object YqlSql {
   }
 
   def registerAll(spark: SparkSession): Unit = {
+    // the Yson:: module lowers onto the QL registry's yson_* functions
+    graft.functions.QLFunctions.registerAll(spark)
     val r = spark.sessionState.functionRegistry
     // once per session: repeat calls would churn the registry and log a
     // "replaced a previously registered function" WARN per name

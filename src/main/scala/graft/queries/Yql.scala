@@ -715,6 +715,23 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // Yson:: module (udf/list/yson.md) over the canonical-JSON Any:
+    // lookups, typed conversions, node-kind tests, length, equality.
+    "yql_fn_yson_module" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """$a = Yson::ParseJson(props);
+          |SELECT event_id,
+          |  Yson::LookupInt64($a, 'k') AS k,
+          |  Yson::ConvertToDouble(Yson::Lookup($a, 'k')) AS kd,
+          |  Yson::Contains($a, 'k') AS has_k,
+          |  Yson::Contains($a, 'missing') AS has_missing,
+          |  CAST(Yson::GetLength($a) AS BIGINT) AS n,
+          |  Yson::IsDict($a) AS isd,
+          |  Yson::Equals($a, $a) AS eq
+          |FROM events WHERE event_id < 2000""".stripMargin)
+    }),
+
     // Re2:: module (curried factories, udf/list/re2.md): binding +
     // inline application forms, fused onto the native regex engine.
     "yql_fn_re2" -> ((s, d) => {
@@ -1604,6 +1621,16 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_fn_yson_module" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd,
+           json_extract(props, '$.k') IS NOT NULL AS has_k,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing,
+           CAST(len(json_keys(props)) AS BIGINT) AS n,
+           json_type(props) = 'OBJECT' AS isd,
+           TRUE AS eq
+         FROM events WHERE event_id < 2000""",
     "yql_fn_re2" ->
       """SELECT o_orderkey,
            regexp_matches(o_orderpriority, '\d-') AS g,

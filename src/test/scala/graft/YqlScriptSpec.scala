@@ -1288,4 +1288,48 @@ class YqlScriptSpec extends SparkSpec {
     assert(YqlSql.sql(spark,
       "SELECT Pcre::Match('x(a)+x')('xaax') AS m").head().getBoolean(0))
   }
+
+  // ——— Yson:: module (udf/list/yson.md) over the canonical-JSON Any ———
+
+  test("Yson:: module: parse/serialize round trip, typed conversions, " +
+      "lookups, node-kind tests") {
+    Seq(("{a=1;b=[2;3];c=\"x\"}", "[1;2.5;#]"))
+      .toDF("y", "l").createOrReplaceTempView("ys_t")
+    val df = YqlSql.sql(spark,
+      """$a = Yson::Parse(y);
+        |$lst = Yson::Parse(l);
+        |SELECT
+        |  Yson::ConvertToInt64(Yson::Lookup($a, 'a')) AS ai,
+        |  Yson::LookupInt64($a, 'a') AS li,
+        |  Yson::LookupString($a, 'c') AS lc,
+        |  Yson::GetLength($a) AS n,
+        |  Yson::GetLength($lst) AS nl,
+        |  Yson::IsDict($a) AS isd,
+        |  Yson::IsList($lst) AS isl,
+        |  Yson::IsInt64(Yson::Lookup($a, 'a')) AS isi,
+        |  Yson::IsString(Yson::Lookup($a, 'c')) AS iss,
+        |  Yson::IsDouble(Yson::YPath($lst, '/1')) AS isdbl,
+        |  Yson::Contains($a, 'b') AS hasb,
+        |  Yson::Contains($a, 'z') AS hasz,
+        |  Yson::Equals(Yson::Parse('[1;2]'), Yson::Parse('[1; 2]')) AS eq,
+        |  Yson::Serialize(Yson::Lookup($a, 'b')) AS ser,
+        |  Yson::ConvertToDouble(Yson::YPath($lst, '/1')) AS d1
+        |FROM ys_t""".stripMargin)
+    val r = df.head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getString(2) == "x")
+    assert(r.getInt(3) == 3 && r.getInt(4) == 3)
+    assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) &&
+      r.getBoolean(8) && r.getBoolean(9))
+    assert(r.getBoolean(10) && !r.getBoolean(11))
+    assert(r.getBoolean(12))
+    assert(r.getString(13) == "[2;3;]") // YT text format: trailing separators
+    assert(r.getDouble(14) == 2.5)
+    // strict ConvertTo raises on a non-convertible root
+    intercept[Exception] {
+      YqlSql.sql(spark,
+        "SELECT Yson::ConvertToInt64(Yson::Parse('\"abc\"')) AS v")
+        .collect()
+    }
+  }
 }
