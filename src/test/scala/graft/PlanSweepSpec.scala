@@ -75,7 +75,11 @@ class PlanSweepSpec extends SparkSpec {
     "ql_fuzz_setops" -> 24,
     // FOUR independent single-row count aggregates (2 exchanges each)
     // + the scalar-subquery total — per-aggregate budget, single rows
-    "yql_sql_sample" -> 12)
+    "yql_sql_sample" -> 12,
+    // fuzz harnesses of INDEPENDENT unioned cases — one shuffle per
+    // NFA case / two per count-aggregate case; per-case budget ~2
+    "yql_fuzz_matchrec" -> 12,
+    "yql_fuzz_tablepaths" -> 20)
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one

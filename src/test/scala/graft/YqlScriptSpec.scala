@@ -879,9 +879,11 @@ class YqlScriptSpec extends SparkSpec {
 
   test("result-affecting PRAGMAs raise naming the unimplemented mode; " +
       "ANSI-mode pragmas matching the engine's semantics accept") {
+    // (DistinctOverWindow is IMPLEMENTED — gated at the lowering, its
+    // own test covers both modes)
     for (pr <- Seq("DisableSimpleColumns",
         "DisableAnsiInForEmptyOrNullableItemsCollections",
-        "DisableAnsiRankForNullableKeys", "DistinctOverWindow",
+        "DisableAnsiRankForNullableKeys",
         "CoalesceJoinKeysOnQualifiedAll")) {
       val e = intercept[IllegalArgumentException] {
         YqlScript.lower(s"PRAGMA $pr;\nSELECT 1 AS a")
@@ -891,7 +893,7 @@ class YqlScriptSpec extends SparkSpec {
     }
     // case-insensitive raise
     intercept[IllegalArgumentException] {
-      YqlScript.lower("PRAGMA distinctoverwindow;\nSELECT 1 AS a")
+      YqlScript.lower("PRAGMA disablesimplecolumns;\nSELECT 1 AS a")
     }
     // ANSI-mode pragmas request what this engine always runs (standard
     // IN-with-NULLs, null-peer rank, RANGE implicit frame, preserved
