@@ -41,6 +41,56 @@ object YqlModules {
       regexp_replace(c, java.util.regex.Pattern.quote(from), java.util.regex.Matcher.quoteReplacement(to))
     def startsWith(c: Column, p: String): Column = c.startsWith(p)
     def endsWith(c: Column, s: String): Column = c.endsWith(s)
+    // ——— round-8 breadth (docs udf/list/string.md) ———
+    def contains(c: Column, s: String): Column = c.contains(s)
+    /** 0-based first index, -1 when absent (String::Find). */
+    def find(c: Column, s: String): Column =
+      (instr(c, s) - lit(1)).cast("long")
+    /** 0-based LAST index, -1 when absent (String::ReverseFind). */
+    def reverseFind(c: Column, s: String): Column =
+      when(c.contains(s),
+        length(c) - instr(org.apache.spark.sql.functions.reverse(c),
+          org.apache.spark.sql.functions.reverse(lit(s))) - lit(s.length) +
+          lit(1))
+        .otherwise(lit(-1)).cast("long")
+    /** 0-based Substring(s, pos[, len]). */
+    def substring(c: Column, pos: Column, len: Column): Column =
+      c.substr(pos + lit(1), len)
+    def reverse(c: Column): Column = org.apache.spark.sql.functions.reverse(c)
+    def levensteinDistance(a: Column, b: Column): Column =
+      levenshtein(a, b).cast("long")
+    def leftPad(c: Column, len: Column, pad: String): Column =
+      lpad(c, len.cast("int"), lit(pad))
+    def rightPad(c: Column, len: Column, pad: String): Column =
+      rpad(c, len.cast("int"), lit(pad))
+    /** Remove every occurrence of each char in `symbols`. */
+    def removeAll(c: Column, symbols: String): Column =
+      translate(c, symbols, "")
+    /** Replace the FIRST occurrence of a literal substring. */
+    def replaceFirst(c: Column, from: String, to: String): Column = {
+      val at = instr(c, from)
+      when(at > 0, concat(c.substr(lit(1), at - 1), lit(to),
+        c.substr(at + lit(from.length), length(c)))).otherwise(c)
+    }
+    /** Replace the LAST occurrence of a literal substring. */
+    def replaceLast(c: Column, from: String, to: String): Column = {
+      val revAt = instr(org.apache.spark.sql.functions.reverse(c),
+        org.apache.spark.sql.functions.reverse(lit(from)))
+      val at = length(c) - revAt - lit(from.length) + lit(2) // 1-based
+      when(revAt > 0, concat(c.substr(lit(1), at - 1), lit(to),
+        c.substr(at + lit(from.length), length(c)))).otherwise(c)
+    }
+    /** Collapse consecutive whitespace to one space. */
+    def collapse(c: Column): Column = regexp_replace(c, "\\s+", " ")
+    def hexEncode(c: Column): Column = hex(c)
+    def hexDecode(c: Column): Column = unhex(c).cast("string")
+    def isAscii(c: Column): Column = c.rlike("^[\\x00-\\x7F]*$")
+    def isAsciiAlpha(c: Column): Column = c.rlike("^[A-Za-z]+$")
+    def isAsciiAlnum(c: Column): Column = c.rlike("^[A-Za-z0-9]+$")
+    def isAsciiHex(c: Column): Column = c.rlike("^[0-9A-Fa-f]+$")
+    def isAsciiLower(c: Column): Column = c.rlike("^[a-z]+$")
+    def isAsciiUpper(c: Column): Column = c.rlike("^[A-Z]+$")
+    def isAsciiSpace(c: Column): Column = c.rlike("^\\s+$")
   }
 
   object Math {
@@ -51,6 +101,45 @@ object YqlModules {
     def log(c: Column): Column = org.apache.spark.sql.functions.log(c)
     def abs(c: Column): Column = org.apache.spark.sql.functions.abs(c)
     def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+    // ——— round-8 breadth (docs udf/list/math.md) ———
+    def pi(): Column = lit(scala.math.Pi)
+    def e(): Column = lit(scala.math.E)
+    def eps(): Column = lit(java.lang.Math.ulp(1.0))
+    def exp2(c: Column): Column =
+      org.apache.spark.sql.functions.pow(lit(2.0), c)
+    def log2(c: Column): Column = org.apache.spark.sql.functions.log2(c)
+    def log10(c: Column): Column = org.apache.spark.sql.functions.log10(c)
+    /** Truncate toward zero (C trunc). */
+    def trunc(c: Column): Column = {
+      val d = c.cast("double")
+      signum(d) * floor(org.apache.spark.sql.functions.abs(d))
+    }
+    /** Round half to even, as a double (C rint — decimal literals
+      * cast first so the result type is double like the reference). */
+    def rint(c: Column): Column = bround(c.cast("double"), 0)
+    /** C fmod — the % of two doubles keeps the dividend's sign. */
+    def fmod(a: Column, b: Column): Column = a % b
+    def hypot(a: Column, b: Column): Column =
+      org.apache.spark.sql.functions.hypot(a, b)
+    def ldexp(x: Column, ex: Column): Column =
+      x * org.apache.spark.sql.functions.pow(lit(2.0), ex)
+    def cbrt(c: Column): Column = org.apache.spark.sql.functions.cbrt(c)
+    def isNaN(c: Column): Column = c.isNaN
+    def isInf(c: Column): Column =
+      c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity)
+    def isFinite(c: Column): Column = !c.isNaN && !isInf(c)
+    /** |a-b| <= eps (Math::FuzzyEquals; reference default 1e-13). */
+    def fuzzyEquals(a: Column, b: Column, eps: Column): Column =
+      org.apache.spark.sql.functions.abs(a - b) <= eps
+    /** Integer mod/rem with NULL on zero divisor (the Optional
+      * contract, lib/round.h:16-33): Mod keeps the DIVISOR's sign,
+      * Rem the dividend's (plain C %). */
+    def mod(a: Column, b: Column): Column = {
+      val d = nullif(b, lit(0))
+      val r = a % d
+      when((r < 0 && d > 0) || (r > 0 && d < 0), r + d).otherwise(r)
+    }
+    def rem(a: Column, b: Column): Column = a % nullif(b, lit(0))
   }
 
   object Unicode {
@@ -58,6 +147,20 @@ object YqlModules {
     def substring(c: Column, from: Column, len: Column): Column = c.substr(from, len)
     def reverse(c: Column): Column = org.apache.spark.sql.functions.reverse(c)
     def normalize(c: Column): Column = c // NFC normalization: Spark strings are UTF-8 pass-through
+    // ——— round-8 breadth (docs udf/list/unicode.md) ———
+    def toLower(c: Column): Column = lower(c)
+    def toUpper(c: Column): Column = upper(c)
+    def toTitle(c: Column): Column = initcap(c)
+    def strip(c: Column): Column = trim(c)
+    /** 0-based first index, -1 when absent (Unicode::Find). */
+    def find(c: Column, s: String): Column =
+      (instr(c, s) - lit(1)).cast("long")
+    def isAlpha(c: Column): Column = c.rlike("^\\p{L}+$")
+    def isDigit(c: Column): Column = c.rlike("^\\p{Nd}+$")
+    def isAlnum(c: Column): Column = c.rlike("^[\\p{L}\\p{Nd}]+$")
+    def isSpace(c: Column): Column = c.rlike("^\\s+$")
+    def isLower(c: Column): Column = c.rlike("^\\p{Ll}+$")
+    def isUpper(c: Column): Column = c.rlike("^\\p{Lu}+$")
   }
 
   /** List builtins (yt/docs/en/yql/builtins/list.md) — YQL's lambda

@@ -294,6 +294,8 @@ object YqlSql {
         S.convert(f(cc(es(0)), litStr(es(1), name), litStr(es(2), name))))
 
     import YqlModules._
+    import org.apache.spark.sql.functions.{atan2, ceil, exp, floor, lit,
+      lower, upper}
     reg1("digest_md5")(Digest.md5)
     reg1("digest_sha256")(Digest.sha256)
     reg1("digest_crc32")(Digest.crc32)
@@ -316,6 +318,44 @@ object YqlSql {
     reg1s("string_startswith")(Str.startsWith)
     reg1s("string_endswith")(Str.endsWith)
 
+    // String:: breadth (docs udf/list/string.md)
+    reg1s("string_contains")(Str.contains)
+    reg1s("string_find")(Str.find)
+    reg1s("string_reversefind")(Str.reverseFind)
+    reg1s("string_hasprefix")(Str.startsWith)
+    reg1s("string_hassuffix")(Str.endsWith)
+    reg1s("string_hasprefixignorecase")((c, p) =>
+      Str.startsWith(lower(c), p.toLowerCase))
+    reg1s("string_hassuffixignorecase")((c, p) =>
+      Str.endsWith(lower(c), p.toLowerCase))
+    reg1s("string_startswithignorecase")((c, p) =>
+      Str.startsWith(lower(c), p.toLowerCase))
+    reg1s("string_endswithignorecase")((c, p) =>
+      Str.endsWith(lower(c), p.toLowerCase))
+    reg1("string_asciitolower")(lower)
+    reg1("string_asciitoupper")(upper)
+    reg1("string_reverse")(Str.reverse)
+    reg("string_substring")(es => S.convert(Str.substring(cc(es(0)),
+      cc(es(1)), if (es.length > 2) cc(es(2)) else lit(Int.MaxValue))))
+    reg2("string_levensteindistance")(Str.levensteinDistance)
+    reg("string_leftpad")(es => S.convert(Str.leftPad(cc(es(0)), cc(es(1)),
+      if (es.length > 2) litStr(es(2), "string_leftpad") else " ")))
+    reg("string_rightpad")(es => S.convert(Str.rightPad(cc(es(0)), cc(es(1)),
+      if (es.length > 2) litStr(es(2), "string_rightpad") else " ")))
+    reg1s("string_removeall")(Str.removeAll)
+    reg1ss("string_replacefirst")(Str.replaceFirst)
+    reg1ss("string_replacelast")(Str.replaceLast)
+    reg1("string_collapse")(Str.collapse)
+    reg1("string_hexencode")(Str.hexEncode)
+    reg1("string_hexdecode")(Str.hexDecode)
+    reg1("string_isascii")(Str.isAscii)
+    reg1("string_isasciialpha")(Str.isAsciiAlpha)
+    reg1("string_isasciialnum")(Str.isAsciiAlnum)
+    reg1("string_isasciihex")(Str.isAsciiHex)
+    reg1("string_isasciilower")(Str.isAsciiLower)
+    reg1("string_isasciiupper")(Str.isAsciiUpper)
+    reg1("string_isasciispace")(Str.isAsciiSpace)
+
     reg1("math_sqrt")(Math.sqrt)
     reg1("math_log")(Math.log)
     reg1("math_abs")(Math.abs)
@@ -325,7 +365,53 @@ object YqlSql {
       if (es.length > 1) Math.round(cc(es(0)), litStr(es(1), "math_round").toInt)
       else Math.round(cc(es(0)))))
 
+    // Math:: breadth (docs udf/list/math.md); trig/hyperbolic map to
+    // the Spark builtins of the same name
+    def alias2(yql: String, spark: String): Unit =
+      reg(yql)(es => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedFunction(Seq(spark), es, isDistinct = false))
+    reg("math_pi")(_ => S.convert(Math.pi()))
+    reg("math_e")(_ => S.convert(Math.e()))
+    reg("math_eps")(_ => S.convert(Math.eps()))
+    reg1("math_exp")(exp)
+    reg1("math_exp2")(Math.exp2)
+    reg1("math_ln")(org.apache.spark.sql.functions.log)
+    reg1("math_log2")(Math.log2)
+    reg1("math_log10")(Math.log10)
+    reg1("math_ceil")(ceil)
+    reg1("math_floor")(floor)
+    reg1("math_trunc")(Math.trunc)
+    reg1("math_rint")(Math.rint)
+    reg1("math_nearbyint")(Math.rint)
+    reg1("math_cbrt")(Math.cbrt)
+    reg1("math_fabs")(org.apache.spark.sql.functions.abs)
+    reg2("math_fmod")(Math.fmod)
+    reg2("math_hypot")(Math.hypot)
+    reg2("math_ldexp")(Math.ldexp)
+    reg2("math_atan2")(atan2)
+    for (n <- Seq("sin", "cos", "tan", "asin", "acos", "atan",
+        "sinh", "cosh", "tanh", "asinh", "acosh", "atanh"))
+      alias2(s"math_$n", n)
+    reg1("math_isnan")(Math.isNaN)
+    reg1("math_isinf")(Math.isInf)
+    reg1("math_isfinite")(Math.isFinite)
+    reg("math_fuzzyequals")(es => S.convert(Math.fuzzyEquals(cc(es(0)),
+      cc(es(1)), if (es.length > 2) cc(es(2)) else lit(1e-13))))
+    reg2("math_mod")(Math.mod)
+    reg2("math_rem")(Math.rem)
+
     reg1("unicode_getlength")(Unicode.getLength)
+    reg1("unicode_tolower")(Unicode.toLower)
+    reg1("unicode_toupper")(Unicode.toUpper)
+    reg1("unicode_totitle")(Unicode.toTitle)
+    reg1("unicode_strip")(Unicode.strip)
+    reg1s("unicode_find")(Unicode.find)
+    reg1("unicode_isalpha")(Unicode.isAlpha)
+    reg1("unicode_isdigit")(Unicode.isDigit)
+    reg1("unicode_isalnum")(Unicode.isAlnum)
+    reg1("unicode_isspace")(Unicode.isSpace)
+    reg1("unicode_islower")(Unicode.isLower)
+    reg1("unicode_isupper")(Unicode.isUpper)
     reg1("unicode_reverse")(Unicode.reverse)
     reg1("unicode_normalize")(Unicode.normalize)
     reg(name = "unicode_substring")(es =>

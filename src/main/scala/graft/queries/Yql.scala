@@ -715,6 +715,40 @@ object Yql {
           |) AS m""".stripMargin)
     }),
 
+    // Round-8 module breadth: the everyday String::/Math::/Unicode::
+    // functions (docs udf/list/{string,math,unicode}.md) differentially
+    // vs DuckDB's native equivalents.
+    "yql_fn_modules2" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderkey,
+          |  String::Contains(o_orderpriority, 'URG') AS s_contains,
+          |  String::Find(o_orderpriority, '-') AS s_find,
+          |  String::ReverseFind(o_orderpriority, 'E') AS s_rfind,
+          |  String::Substring(o_orderpriority, 2, 3) AS s_sub,
+          |  String::LevensteinDistance(o_orderstatus, 'O') AS s_lev,
+          |  String::LeftPad(o_orderstatus, 3, '_') AS s_lpad,
+          |  String::RemoveAll(o_orderpriority, '-0123456789') AS s_rm,
+          |  String::ReplaceFirst(o_orderpriority, 'E', 'e') AS s_rf,
+          |  String::ReplaceLast(o_orderpriority, 'E', 'e') AS s_rl,
+          |  String::Collapse('a  b   c ' || o_orderstatus) AS s_col,
+          |  String::HexEncode(o_orderstatus) AS s_hex,
+          |  String::IsAsciiUpper(o_orderstatus) AS s_up,
+          |  Math::Trunc(o_totalprice / 1000 - 3) AS m_trunc,
+          |  ROUND(Math::Hypot(o_totalprice / 1000, 2.0), 6) AS m_hyp,
+          |  ROUND(Math::Fmod(o_totalprice, 7.0), 6) AS m_fmod,
+          |  Math::Mod(o_orderkey - 500, 7) AS m_mod,
+          |  Math::Mod(o_orderkey - 500, -7) AS m_modn,
+          |  Math::Rem(o_orderkey - 500, 7) AS m_rem,
+          |  Math::Mod(o_orderkey, 0) AS m_mod0,
+          |  Math::IsFinite(o_totalprice) AS m_fin,
+          |  ROUND(Math::Ldexp(3.0, 4), 1) AS m_ldexp,
+          |  ROUND(Math::Log2(o_totalprice), 6) AS m_log2,
+          |  Unicode::IsAlpha(o_orderstatus) AS u_alpha,
+          |  Unicode::Find(o_orderpriority, 'U') AS u_find
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
     // Yson:: module (udf/list/yson.md) over the canonical-JSON Any:
     // lookups, typed conversions, node-kind tests, length, equality.
     "yql_fn_yson_module" -> ((s, d) => {
@@ -1621,6 +1655,39 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_fn_modules2" ->
+      """SELECT o_orderkey,
+           contains(o_orderpriority, 'URG') AS s_contains,
+           CAST(strpos(o_orderpriority, '-') - 1 AS BIGINT) AS s_find,
+           CAST(CASE WHEN contains(o_orderpriority, 'E')
+             THEN length(o_orderpriority)
+               - strpos(reverse(o_orderpriority), 'E')
+             ELSE -1 END AS BIGINT) AS s_rfind,
+           substring(o_orderpriority, 3, 3) AS s_sub,
+           CAST(levenshtein(o_orderstatus, 'O') AS BIGINT) AS s_lev,
+           lpad(o_orderstatus, 3, '_') AS s_lpad,
+           translate(o_orderpriority, '-0123456789', '') AS s_rm,
+           regexp_replace(o_orderpriority, 'E', 'e') AS s_rf,
+           reverse(regexp_replace(reverse(o_orderpriority), 'E', 'e'))
+             AS s_rl,
+           regexp_replace('a  b   c ' || o_orderstatus, '\s+', ' ', 'g')
+             AS s_col,
+           hex(o_orderstatus) AS s_hex,
+           regexp_full_match(o_orderstatus, '[A-Z]+') AS s_up,
+           trunc(o_totalprice / 1000 - 3) AS m_trunc,
+           ROUND(sqrt((o_totalprice/1000)*(o_totalprice/1000) + 4.0), 6)
+             AS m_hyp,
+           ROUND(fmod(o_totalprice, 7.0), 6) AS m_fmod,
+           ((o_orderkey - 500) % 7 + 7) % 7 AS m_mod,
+           ((o_orderkey - 500) % -7 + -7) % -7 AS m_modn,
+           (o_orderkey - 500) % 7 AS m_rem,
+           CAST(NULL AS BIGINT) AS m_mod0,
+           isfinite(o_totalprice) AS m_fin,
+           48.0 AS m_ldexp,
+           ROUND(log2(o_totalprice), 6) AS m_log2,
+           regexp_full_match(o_orderstatus, '\p{L}+') AS u_alpha,
+           CAST(strpos(o_orderpriority, 'U') - 1 AS BIGINT) AS u_find
+         FROM orders WHERE o_orderkey < 2000""",
     "yql_fn_yson_module" ->
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -1334,4 +1334,37 @@ class YqlScriptSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("module breadth: Math constants/rint/fuzzy, Unicode classify, " +
+      "String ascii family") {
+    val r = YqlSql.sql(spark,
+      """SELECT ROUND(Math::Pi(), 6) AS pi, ROUND(Math::E(), 6) AS e,
+        |  Math::Eps() < 1e-10 AS eps_small,
+        |  Math::Rint(2.5) AS r25, Math::Rint(3.5) AS r35,
+        |  Math::Exp2(10.0) AS e2,
+        |  Math::FuzzyEquals(0.1 + 0.2, 0.3) AS fz,
+        |  Math::FuzzyEquals(0.1, 0.2) AS fz2,
+        |  ROUND(Math::Sin(0.0), 6) AS sn,
+        |  ROUND(Math::Atan2(1.0, 1.0) * 4, 6) AS at4,
+        |  Math::Mod(-5, 3) AS md, Math::Rem(-5, 3) AS rm,
+        |  Unicode::ToTitle('hello world') AS tt,
+        |  Unicode::IsAlpha('Ünïcødé') AS ua,
+        |  Unicode::IsDigit('१२३') AS ud,
+        |  String::IsAsciiAlpha('Ünïcødé') AS sa,
+        |  String::IsAsciiHex('DEADbeef') AS sh,
+        |  String::HexDecode(String::HexEncode('hi')) AS hd""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 3.141593 && r.getDouble(1) == 2.718282)
+    assert(r.getBoolean(2))
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 4.0) // half-even
+    assert(r.getDouble(5) == 1024.0)
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getDouble(8) == 0.0)
+    assert(math.abs(r.getDouble(9) - java.lang.Math.PI) < 1e-5)
+    assert(r.getInt(10) == 1 && r.getInt(11) == -2) // divisor/dividend sign
+    assert(r.getString(12) == "Hello World")
+    assert(r.getBoolean(13) && r.getBoolean(14))
+    assert(!r.getBoolean(15) && r.getBoolean(16))
+    assert(r.getString(17) == "hi")
+  }
 }
