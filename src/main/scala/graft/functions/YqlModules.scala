@@ -284,6 +284,36 @@ object YqlModules {
     def format(c: Column, fmt: String): Column = date_format(c, fmt)
     def parse(c: Column, fmt: String): Column = to_timestamp(c, fmt)
     def intervalDays(a: Column, b: Column): Column = datediff(a, b).cast("long")
+    // ——— round-8 breadth (docs udf/list/datetime.md) ———
+    def getSecond(c: Column): Column = second(c).cast("long")
+    def getDayOfYear(c: Column): Column = dayofyear(c).cast("long")
+    /** ISO 8601 week number (the reference's GetWeekOfYearIso;
+      * Spark's weekofyear IS ISO). */
+    def getWeekOfYearIso(c: Column): Column = weekofyear(c).cast("long")
+    def getMonthName(c: Column): Column = date_format(c, "MMMM")
+    def getDayOfWeekName(c: Column): Column = date_format(c, "EEEE")
+    /** Session timezone is pinned UTC (GraftSession). */
+    def getTimezoneName(c: Column): Column = lit("UTC")
+    def fromMilliseconds(c: Column): Column = timestamp_millis(c)
+    def fromMicroseconds(c: Column): Column = timestamp_micros(c)
+    def toMilliseconds(c: Column): Column = unix_millis(c.cast("timestamp"))
+    def toMicroseconds(c: Column): Column = unix_micros(c.cast("timestamp"))
+    def toDays(c: Column): Column = (unix_timestamp(c) / 86400L).cast("long")
+    def toHours(c: Column): Column = (unix_timestamp(c) / 3600L).cast("long")
+    def toMinutes(c: Column): Column = (unix_timestamp(c) / 60L).cast("long")
+    def makeDatetime(y: Column, mo: Column, d: Column, h: Column,
+        mi: Column, se: Column): Column =
+      make_timestamp(y, mo, d, h, mi, se)
+    def shiftQuarters(c: Column, n: Int): Column = add_months(c, 3 * n)
+    def endOfMonth(c: Column): Column = last_day(c)
+    def intervalFromDays(c: Column): Column =
+      make_dt_interval(c, lit(0), lit(0), lit(0))
+    def intervalFromHours(c: Column): Column =
+      make_dt_interval(lit(0), c, lit(0), lit(0))
+    def intervalFromMinutes(c: Column): Column =
+      make_dt_interval(lit(0), lit(0), c, lit(0))
+    def intervalFromSeconds(c: Column): Column =
+      make_dt_interval(lit(0), lit(0), lit(0), c)
   }
 
   /** Json2 module + SQL-standard JSON_VALUE/JSON_EXISTS/JSON_QUERY

@@ -434,6 +434,34 @@ object YqlSql {
     reg2("datetime_intervaldays")(DateTime.intervalDays)
     reg("datetime_makedate")(es =>
       S.convert(DateTime.makeDate(cc(es(0)), cc(es(1)), cc(es(2)))))
+    reg1("datetime_getsecond")(DateTime.getSecond)
+    reg1("datetime_getdayofyear")(DateTime.getDayOfYear)
+    reg1("datetime_getweekofyear")(DateTime.getWeekOfYearIso)
+    reg1("datetime_getweekofyeariso")(DateTime.getWeekOfYearIso)
+    reg1("datetime_getmonthname")(DateTime.getMonthName)
+    reg1("datetime_getdayofweekname")(DateTime.getDayOfWeekName)
+    reg1("datetime_gettimezonename")(DateTime.getTimezoneName)
+    reg1("datetime_frommilliseconds")(DateTime.fromMilliseconds)
+    reg1("datetime_frommicroseconds")(DateTime.fromMicroseconds)
+    reg1("datetime_tomilliseconds")(DateTime.toMilliseconds)
+    reg1("datetime_tomicroseconds")(DateTime.toMicroseconds)
+    reg1("datetime_todays")(DateTime.toDays)
+    reg1("datetime_tohours")(DateTime.toHours)
+    reg1("datetime_tominutes")(DateTime.toMinutes)
+    reg1("datetime_startofquarter")(DateTime.startOfQuarter)
+    reg1("datetime_endofmonth")(DateTime.endOfMonth)
+    reg("datetime_makedatetime")(es => S.convert(DateTime.makeDatetime(
+      cc(es(0)), cc(es(1)), cc(es(2)), cc(es(3)), cc(es(4)), cc(es(5)))))
+    reg("datetime_maketimestamp")(es => S.convert(DateTime.makeDatetime(
+      cc(es(0)), cc(es(1)), cc(es(2)), cc(es(3)), cc(es(4)), cc(es(5)))))
+    reg1s("datetime_shiftyears")((c, n) => DateTime.shiftYears(c, n.toInt))
+    reg1s("datetime_shiftquarters")((c, n) =>
+      DateTime.shiftQuarters(c, n.toInt))
+    reg1s("datetime_shiftmonths")((c, n) => DateTime.shiftMonths(c, n.toInt))
+    reg1("datetime_intervalfromdays")(DateTime.intervalFromDays)
+    reg1("datetime_intervalfromhours")(DateTime.intervalFromHours)
+    reg1("datetime_intervalfromminutes")(DateTime.intervalFromMinutes)
+    reg1("datetime_intervalfromseconds")(DateTime.intervalFromSeconds)
 
     reg1s("json_value")(Json.value)
     reg1s("json_exists")(Json.exists)

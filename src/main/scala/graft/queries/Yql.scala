@@ -749,6 +749,26 @@ object Yql {
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
+    // DateTime:: breadth (docs udf/list/datetime.md).
+    "yql_fn_datetime_breadth" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """SELECT event_id,
+          |  DateTime::GetSecond(ts) AS sec,
+          |  DateTime::GetDayOfYear(ts) AS doy,
+          |  DateTime::GetWeekOfYearIso(ts) AS wk,
+          |  DateTime::GetMonthName(ts) AS mn,
+          |  DateTime::GetDayOfWeekName(ts) AS dn,
+          |  DateTime::ToDays(ts) AS tdays,
+          |  DateTime::ToMinutes(ts) AS tmin,
+          |  DateTime::FromMicroseconds(DateTime::ToMicroseconds(ts)) AS rt,
+          |  CAST(DateTime::StartOfQuarter(ts) AS DATE) AS soq,
+          |  DateTime::EndOfMonth(ts) AS eom,
+          |  DateTime::ShiftQuarters(ts, 2) AS sq,
+          |  ts + DateTime::IntervalFromHours(3) AS plus3h
+          |FROM events WHERE event_id < 2000""".stripMargin)
+    }),
+
     // Yson:: module (udf/list/yson.md) over the canonical-JSON Any:
     // lookups, typed conversions, node-kind tests, length, equality.
     "yql_fn_yson_module" -> ((s, d) => {
@@ -1655,6 +1675,21 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_fn_datetime_breadth" ->
+      """SELECT event_id,
+           CAST(date_part('second', ts) AS BIGINT) AS sec,
+           CAST(date_part('doy', ts) AS BIGINT) AS doy,
+           CAST(date_part('week', ts) AS BIGINT) AS wk,
+           strftime(ts, '%B') AS mn,
+           strftime(ts, '%A') AS dn,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS tdays,
+           CAST(floor(epoch(ts) / 60) AS BIGINT) AS tmin,
+           ts AS rt,
+           CAST(date_trunc('quarter', ts) AS DATE) AS soq,
+           last_day(ts) AS eom,
+           CAST(ts + INTERVAL 6 MONTH AS DATE) AS sq,
+           ts + INTERVAL 3 HOUR AS plus3h
+         FROM events WHERE event_id < 2000""",
     "yql_fn_modules2" ->
       """SELECT o_orderkey,
            contains(o_orderpriority, 'URG') AS s_contains,
