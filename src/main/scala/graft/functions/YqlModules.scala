@@ -19,6 +19,8 @@ object YqlModules {
     def crc32(c: Column): Column = org.apache.spark.sql.functions.crc32(c)
     def xxh(c: Column): Column = xxhash64(c)
     def murmurHash(c: Column): Column = hash(c).cast("long")
+    // ——— round-8 breadth (docs udf/list/digest.md) ———
+    def sha1(c: Column): Column = org.apache.spark.sql.functions.sha1(c)
   }
 
   object Url {
@@ -29,6 +31,41 @@ object YqlModules {
     def getScheme(c: Column): Column = parse_url(c, lit("PROTOCOL"))
     def decode(c: Column): Column = url_decode(c)
     def encode(c: Column): Column = url_encode(c)
+    // ——— round-8 breadth (docs udf/list/url.md) ———
+    /** Last host label (Url::GetTLD). */
+    def getTld(c: Column): Column =
+      element_at(split(getHost(c), "\\."), -1)
+    /** Last `level` host labels joined (Url::GetDomain). */
+    def getDomain(c: Column, level: Int): Column = {
+      val labels = split(getHost(c), "\\.")
+      when(size(labels) >= level,
+        array_join(slice(labels, -level, level), "."))
+        .otherwise(getHost(c))
+    }
+    def getDomainLevel(c: Column): Column =
+      size(split(getHost(c), "\\.")).cast("long")
+    /** Strip a leading `www.` from a HOST string (Url::CutWWW). */
+    def cutWww(c: Column): Column = regexp_replace(c, "^www\\.", "")
+    /** Strip the scheme prefix (Url::CutScheme). */
+    def cutScheme(c: Column): Column =
+      regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    def getFragment(c: Column): Column = parse_url(c, lit("REF"))
+    def getHostPort(c: Column): Column = parse_url(c, lit("AUTHORITY"))
+    /** Port number; NULL when the URL spells none (Url::GetPort). */
+    def getPort(c: Column): Column = {
+      val p = regexp_extract(getHostPort(c), ":(\\d+)$", 1)
+      when(p =!= "", p.cast("long"))
+    }
+    def getSchemeHost(c: Column): Column =
+      concat(getScheme(c), lit("://"), getHost(c))
+    def getSchemeHostPort(c: Column): Column =
+      concat(getScheme(c), lit("://"), getHostPort(c))
+    /** Everything after the authority (Url::GetTail). */
+    def getTail(c: Column): Column =
+      regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    /** `a=1&b=2` → map (Url::QueryStringToDict; later keys win). */
+    def queryStringToDict(c: Column): Column = str_to_map(c, lit("&"), lit("="))
+    def queryStringToList(c: Column): Column = split(c, "&")
   }
 
   object Str {
@@ -474,5 +511,20 @@ object YqlModules {
         (v >= 2886729728L && v <= 2887778303L) || // 172.16/12
         (v >= 3232235520L && v <= 3232301055L)    // 192.168/16
     }
+    // ——— round-8 breadth (docs udf/list/ip.md) ———
+    def isIPv4(c: Column): Column =
+      c.rlike("^(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)" +
+        "(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}$")
+    def isIPv6(c: Column): Column =
+      c.rlike("^[0-9A-Fa-f:]+(:[0-9.]+)?$") && c.contains(":")
+    /** First `bits` of a dotted-quad kept, rest zeroed
+      * (Ip::GetSubnet; reference default /24). */
+    def getSubnet(c: Column, bits: Int = 24): Column = {
+      val mask = if (bits >= 32) -1L >>> 32 else ~((1L << (32 - bits)) - 1) & 0xFFFFFFFFL
+      toString(org.apache.spark.sql.functions
+        .lit(mask).bitwiseAND(fromString(c)))
+    }
+    /** v4 → IPv4-mapped IPv6 text (Ip::ConvertToIPv6 observable form). */
+    def convertToIPv6(c: Column): Column = concat(lit("::ffff:"), c)
   }
 }

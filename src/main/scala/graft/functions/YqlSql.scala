@@ -308,6 +308,28 @@ object YqlSql {
     reg1s("url_getcgiparam")(Url.getCgiParam)
     reg1("yql__url_decode")(Url.decode)
     reg1("yql__url_encode")(Url.encode)
+    reg1("url_gettld")(Url.getTld)
+    reg1s("url_getdomain")((c, n) => Url.getDomain(c, n.toInt))
+    reg1("url_getdomainlevel")(Url.getDomainLevel)
+    reg1("url_cutwww")(Url.cutWww)
+    reg1("url_cutscheme")(Url.cutScheme)
+    reg1("url_getfragment")(Url.getFragment)
+    reg1("url_gethostport")(Url.getHostPort)
+    reg1("url_getport")(Url.getPort)
+    reg1("url_getschemehost")(Url.getSchemeHost)
+    reg1("url_getschemehostport")(Url.getSchemeHostPort)
+    reg1("url_gettail")(Url.getTail)
+    reg1("url_querystringtodict")(Url.queryStringToDict)
+    reg1("url_querystringtolist")(Url.queryStringToList)
+    reg1("digest_sha1")(Digest.sha1)
+    reg1("digest_md5hex")(Digest.md5)
+    reg("digest_farmhashfingerprint")(es => FarmHashExpr(es))
+    reg("digest_farmhashfingerprint64")(es => FarmHashExpr(es))
+    reg1("ip_isipv4")(Ip.isIPv4)
+    reg1("ip_isipv6")(Ip.isIPv6)
+    reg("ip_getsubnet")(es => S.convert(Ip.getSubnet(cc(es(0)),
+      if (es.length > 1) litStr(es(1), "ip_getsubnet").toInt else 24)))
+    reg1("ip_converttoipv6")(Ip.convertToIPv6)
 
     reg1("string_toupper")(Str.toUpper)
     reg1("string_tolower")(Str.toLower)

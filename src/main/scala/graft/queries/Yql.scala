@@ -749,6 +749,35 @@ object Yql {
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
+    // Url::/Ip::/Digest:: breadth (docs udf/list/{url,ip,digest}.md)
+    // over per-row synthesized URLs.
+    "yql_fn_url_breadth" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """$url = 'https://www.shop' || CAST(o_custkey % 50 AS String)
+          |  || '.example.com:8080/item/' || CAST(o_orderkey AS String)
+          |  || '?q=' || o_orderstatus || '&p=2#frag';
+          |SELECT o_orderkey,
+          |  Url::GetTLD($url) AS tld,
+          |  Url::GetDomain($url, 2) AS dom2,
+          |  Url::GetDomainLevel($url) AS dl,
+          |  Url::CutWWW(Url::GetHost($url)) AS cw,
+          |  Url::CutScheme($url) AS cs,
+          |  Url::GetFragment($url) AS fr,
+          |  Url::GetPort($url) AS port,
+          |  Url::GetSchemeHost($url) AS sh,
+          |  Url::GetTail($url) AS tail,
+          |  element_at(Url::QueryStringToDict(
+          |    'q=' || o_orderstatus || '&p=2'), 'q') AS qv,
+          |  Digest::Md5Hex(o_orderstatus) AS mh,
+          |  Ip::IsIPv4('10.1.2.3') AS v4,
+          |  Ip::IsIPv4('10.1.2.345') AS v4bad,
+          |  Ip::IsIPv6('fe80::1') AS v6,
+          |  Ip::GetSubnet('10.11.12.13') AS sub,
+          |  Ip::ConvertToIPv6('1.2.3.4') AS v6m
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
     // DateTime:: breadth (docs udf/list/datetime.md).
     "yql_fn_datetime_breadth" -> ((s, d) => {
       t(s, d, "events").createOrReplaceTempView("events")
@@ -1675,6 +1704,29 @@ object Yql {
                               ORDER BY o_orderkey) AS rk
                FROM orders WHERE o_custkey % 10 IN (1, 2, 3))
          GROUP BY pri""",
+    "yql_fn_url_breadth" ->
+      """WITH u AS (SELECT o_orderkey, o_orderstatus,
+           'https://www.shop' || CAST(o_custkey % 50 AS VARCHAR)
+             || '.example.com:8080/item/' || CAST(o_orderkey AS VARCHAR)
+             || '?q=' || o_orderstatus || '&p=2#frag' AS url,
+           'www.shop' || CAST(o_custkey % 50 AS VARCHAR)
+             || '.example.com' AS host
+         FROM orders WHERE o_orderkey < 2000)
+         SELECT o_orderkey,
+           'com' AS tld,
+           'example.com' AS dom2,
+           CAST(4 AS BIGINT) AS dl,
+           regexp_replace(host, '^www\.', '') AS cw,
+           regexp_replace(url, '^[a-z]+://', '') AS cs,
+           'frag' AS fr,
+           CAST(8080 AS BIGINT) AS port,
+           'https://' || host AS sh,
+           regexp_replace(url, '^[a-z]+://[^/?#]*', '') AS tail,
+           o_orderstatus AS qv,
+           md5(o_orderstatus) AS mh,
+           TRUE AS v4, FALSE AS v4bad, TRUE AS v6,
+           '10.11.12.0' AS sub, '::ffff:1.2.3.4' AS v6m
+         FROM u""",
     "yql_fn_datetime_breadth" ->
       """SELECT event_id,
            CAST(date_part('second', ts) AS BIGINT) AS sec,
