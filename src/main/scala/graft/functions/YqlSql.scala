@@ -538,9 +538,53 @@ object YqlSql {
     reg("listlast")(es => UnresolvedFunction(Seq("try_element_at"),
       es :+ org.apache.spark.sql.catalyst.expressions.Literal(-1),
       isDistinct = false))
+    // List:: breadth (docs builtins/list.md) — Column-API higher-order
+    // functions (codegen'd ArrayAggregate/Transform/Exists under the
+    // hood)
+    import org.apache.spark.sql.functions.{aggregate => cAgg, arrays_zip,
+      exists => cExists, filter => cFilter, flatten => cFlatten,
+      greatest => cGreatest, least => cLeast, forall => cForall,
+      size => cSize, slice => cSlice, sort_array, struct => cStruct,
+      transform => cTransform, try_element_at, when => cWhen,
+      array_position}
+    // sum with a zero of the ELEMENT's own type (first - first); an
+    // empty list gives NULL — YQL's empty Optional sum
+    def listSum(c: Column): Column = {
+      val z = try_element_at(c, lit(1)) - try_element_at(c, lit(1))
+      cAgg(c, z, (a, b) => a + b)
+    }
+    reg1("listsum")(listSum)
+    reg1("listavg")(c =>
+      listSum(c).cast("double") / cSize(c).cast("double"))
+    reg1("listhasitems")(c => cSize(c) > 0)
+    /** 0-based (index, value) tuples (ListEnumerate). */
+    reg1("listenumerate")(c => cTransform(c, (v, i) =>
+      cStruct(i.cast("long").as("_1"), v.as("_2"))))
+    reg2("listindexof")((c, v) => {
+      val pos = array_position(c, v)
+      cWhen(pos > 0, pos - 1)
+    })
+    reg1("listany")(c => cExists(c, b => b))
+    reg1("listall")(c => cForall(c, b => b))
+    reg1("listnotnull")(c => cFilter(c, _.isNotNull))
+    reg1("listflatten")(cFlatten)
+    reg2("listskip")((c, n) => cSlice(c, (n + lit(1)).cast("int"),
+      cGreatest(cSize(c) - n.cast("int"), lit(0))))
+    reg2("listtake")((c, n) => cSlice(c, lit(1), n.cast("int")))
+    reg1("listsortdesc")(c => sort_array(c, asc = false))
+    reg1s("listextract")((c, field) =>
+      cTransform(c, _.getField(field)))
+    // the list/tuple constructors (builtins/basic.md AsList/AsTuple)
+    alias("aslist", "array")
+    alias("astuple", "struct")
+    // ListZip truncates to the SHORTEST input (builtins/list.md);
+    // arrays_zip pads with NULL, so cut back — ListZipAll is the
+    // padded form
+    reg2("listzip")((a, b) =>
+      cSlice(arrays_zip(a, b), lit(1), cLeast(cSize(a), cSize(b))))
+    alias("listzipall", "arrays_zip")
     alias("listmin", "array_min")
     alias("listmax", "array_max")
-    alias("listzip", "arrays_zip")
     alias("listreverse", "reverse")
     alias("listfromrange", "sequence")
     alias("listreplicate", "array_repeat")

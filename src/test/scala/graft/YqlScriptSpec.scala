@@ -1367,4 +1367,49 @@ class YqlScriptSpec extends SparkSpec {
     assert(!r.getBoolean(15) && r.getBoolean(16))
     assert(r.getString(17) == "hi")
   }
+
+  test("List:: builtin breadth: sum/avg/enumerate/indexof/any/all/" +
+      "notnull/flatten/skip/take/zip truncation") {
+    val r = YqlSql.sql(spark,
+      """SELECT
+        |  ListSum(AsList(1, 2, 3)) AS s,
+        |  ListSum(ListTake(AsList(1), 0)) AS s_empty,
+        |  ListAvg(AsList(1, 2, 3, 4)) AS av,
+        |  ListHasItems(AsList(1)) AS hi,
+        |  ListEnumerate(AsList('a', 'b'))[1]._1 AS en_i,
+        |  ListEnumerate(AsList('a', 'b'))[1]._2 AS en_v,
+        |  ListIndexOf(AsList(5, 7, 9), 7) AS idx,
+        |  ListIndexOf(AsList(5, 7, 9), 8) AS idx_missing,
+        |  ListAny(AsList(false, true)) AS anyb,
+        |  ListAll(AsList(false, true)) AS allb,
+        |  ListNotNull(AsList(1, NULL, 3)) AS nn,
+        |  ListFlatten(AsList(AsList(1, 2), AsList(3))) AS fl,
+        |  ListSkip(AsList(1, 2, 3, 4), 2) AS sk,
+        |  ListTake(AsList(1, 2, 3, 4), 2) AS tk,
+        |  ListSortDesc(AsList(2, 3, 1)) AS sd,
+        |  ListZip(AsList(1, 2, 3), AsList('a', 'b')) AS z,
+        |  ListZipAll(AsList(1, 2, 3), AsList('a', 'b')) AS za,
+        |  ListExtract(AsList(AsStruct2(1, 'x'), AsStruct2(2, 'y')), 'b')
+        |    AS ex""".stripMargin
+        .replace("AsStruct2(1, 'x')", "named_struct('a', 1, 'b', 'x')")
+        .replace("AsStruct2(2, 'y')", "named_struct('a', 2, 'b', 'y')"))
+      .head()
+    assert(r.getInt(0) == 6)
+    assert(r.isNullAt(1)) // empty-list sum = empty Optional
+    assert(r.getDouble(2) == 2.5)
+    assert(r.getBoolean(3))
+    assert(r.getLong(4) == 1L && r.getString(5) == "b")
+    assert(r.getLong(6) == 1L && r.isNullAt(7))
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getSeq[Int](10) == Seq(1, 3))
+    assert(r.getSeq[Int](11) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](12) == Seq(3, 4))
+    assert(r.getSeq[Int](13) == Seq(1, 2))
+    assert(r.getSeq[Int](14) == Seq(3, 2, 1))
+    // ListZip truncates to the shortest; ListZipAll pads with NULL
+    assert(r.getSeq[org.apache.spark.sql.Row](15).length == 2)
+    val za = r.getSeq[org.apache.spark.sql.Row](16)
+    assert(za.length == 3 && za(2).isNullAt(1))
+    assert(r.getSeq[String](17) == Seq("x", "y"))
+  }
 }
