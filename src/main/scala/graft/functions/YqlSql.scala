@@ -658,6 +658,16 @@ object YqlSql {
       () => UnresolvedFunction(Seq("uuid"), Nil, isDistinct = false))
 
     alias("dictkeys", "map_keys")
+    // DictItems → (_1, _2) tuples; DictHasItems (builtins/dict.md)
+    reg1("dictitems")(c => {
+      import org.apache.spark.sql.functions.{map_entries, struct => cS,
+        transform => cT}
+      cT(map_entries(c), e =>
+        cS(e.getField("key").as("_1"), e.getField("value").as("_2")))
+    })
+    reg1("dicthasitems")(c =>
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.map_keys(c)) > 0)
     alias("dictpayloads", "map_values")
     alias("dictlength", "size")
     alias("dictcontains", "map_contains_key")

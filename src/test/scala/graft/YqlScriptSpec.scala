@@ -1412,4 +1412,14 @@ class YqlScriptSpec extends SparkSpec {
     assert(za.length == 3 && za(2).isNullAt(1))
     assert(r.getSeq[String](17) == Seq("x", "y"))
   }
+
+  test("DictItems/DictHasItems over map columns") {
+    val r = YqlSql.sql(spark,
+      """SELECT DictItems(map('a', 1, 'b', 2)) AS it,
+        |  DictHasItems(map('a', 1)) AS hi""".stripMargin).head()
+    val it = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(it.map(t => (t.getString(0), t.getInt(1))).toSet ==
+      Set(("a", 1), ("b", 2)))
+    assert(r.getBoolean(1))
+  }
 }
