@@ -577,6 +577,35 @@ object YqlSql {
     // the list/tuple constructors (builtins/basic.md AsList/AsTuple)
     alias("aslist", "array")
     alias("astuple", "struct")
+    // the Set* builtins (builtins/dict.md) — canonical sorted arrays
+    reg2("setintersection")(SetOps.intersection)
+    reg2("setunion")(SetOps.union)
+    reg2("setdifference")(SetOps.difference)
+    reg2("setsymmetricdifference")(SetOps.symmetricDifference)
+    reg2("setincludes")(SetOps.includes)
+    reg2("setisdisjoint")(SetOps.isDisjoint)
+    // ToDict: list of (_1,_2) tuples → dict, FIRST key wins
+    // (builtins/dict.md; map_from_entries raises on duplicates, so
+    // dedup by key first); ToSet: list → Set (here: the distinct
+    // sorted array the Set* builtins consume)
+    reg1("todict")(c => {
+      import org.apache.spark.sql.functions.{aggregate => cAgg,
+        array => cArr, concat => cConcat, exists => cExists,
+        map_from_entries, slice => cSlice, struct => cStruct,
+        transform => cTransform, when => cWhen}
+      // first key wins: fold keeping only first occurrences (slice to
+      // length 0 makes an empty array of the element's own type)
+      val dedup = cAgg(c, cSlice(c, lit(1), lit(0)), (acc, t) =>
+        cWhen(cExists(acc, e =>
+            e.getField("_1") === t.getField("_1")), acc)
+          .otherwise(cConcat(acc, cArr(t))))
+      map_from_entries(cTransform(dedup, t =>
+        cStruct(t.getField("_1").as("key"),
+          t.getField("_2").as("value"))))
+    })
+    reg1("toset")(c =>
+      org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.array_distinct(c)))
     // ListZip truncates to the SHORTEST input (builtins/list.md);
     // arrays_zip pads with NULL, so cut back — ListZipAll is the
     // padded form

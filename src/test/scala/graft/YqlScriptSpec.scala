@@ -1422,4 +1422,28 @@ class YqlScriptSpec extends SparkSpec {
       Set(("a", 1), ("b", 2)))
     assert(r.getBoolean(1))
   }
+
+  test("Set* builtins, ToDict (first key wins) and ToSet") {
+    val r = YqlSql.sql(spark,
+      """SELECT
+        |  SetIntersection(AsList(1, 2, 3), AsList(2, 3, 4)) AS si,
+        |  SetUnion(AsList(1, 2), AsList(2, 3)) AS su,
+        |  SetDifference(AsList(1, 2, 3), AsList(2)) AS sd,
+        |  SetSymmetricDifference(AsList(1, 2), AsList(2, 3)) AS ss,
+        |  SetIncludes(AsList(1, 2, 3), AsList(2, 3)) AS inc,
+        |  SetIncludes(AsList(1, 2), AsList(3)) AS inc2,
+        |  SetIsDisjoint(AsList(1, 2), AsList(3, 4)) AS dj,
+        |  element_at(ToDict(AsList(
+        |    named_struct('_1', 'a', '_2', 1),
+        |    named_struct('_1', 'a', '_2', 9),
+        |    named_struct('_1', 'b', '_2', 2))), 'a') AS td,
+        |  ToSet(AsList(3, 1, 2, 3, 1)) AS ts""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(2, 3))
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](2) == Seq(1, 3))
+    assert(r.getSeq[Int](3) == Seq(1, 3))
+    assert(r.getBoolean(4) && !r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getInt(7) == 1) // FIRST key wins
+    assert(r.getSeq[Int](8) == Seq(1, 2, 3))
+  }
 }
