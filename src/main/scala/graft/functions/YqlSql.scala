@@ -574,6 +574,46 @@ object YqlSql {
     reg1("listsortdesc")(c => sort_array(c, asc = false))
     reg1s("listextract")((c, field) =>
       cTransform(c, _.getField(field)))
+    // ListTakeWhile / ListSkipWhile (builtins/list.md): the user lambda
+    // arrives as a Spark lambda expression — map it over the list, find
+    // the first FALSE, slice around it (no per-row driver logic, stays
+    // codegen'd)
+    // the analyzer demands the TOP resolved node be a higher-order
+    // function when a lambda argument is present, so both are one
+    // ArrayFilter keyed on the 0-based index of the first FALSE of
+    // transform(list, userLambda) (array_position is 1-based; 0 =
+    // no false = take everything / skip everything)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{And,
+        ArrayFilter, ArrayTransform, Cast, EqualTo, GreaterThanOrEqual,
+        LambdaFunction, LessThan, Literal => CLit, Not, Or, Subtract,
+        UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.types.LongType
+      def firstFalse(es: Seq[Expression]): Expression =
+        UnresolvedFunction(Seq("array_position"),
+          Seq(ArrayTransform(es(0), es(1)), CLit(false)),
+          isDistinct = false)
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      reg("listtakewhile") { es =>
+        require(es.length == 2, "ListTakeWhile takes (list, lambda)")
+        val pos = firstFalse(es)
+        val v = lv("__tw_v"); val i = lv("__tw_i")
+        ArrayFilter(es(0), LambdaFunction(
+          Or(EqualTo(pos, CLit(0L)),
+            LessThan(Cast(i, LongType), Subtract(pos, CLit(1L)))),
+          Seq(v, i)))
+      }
+      reg("listskipwhile") { es =>
+        require(es.length == 2, "ListSkipWhile takes (list, lambda)")
+        val pos = firstFalse(es)
+        val v = lv("__sw_v"); val i = lv("__sw_i")
+        ArrayFilter(es(0), LambdaFunction(
+          And(Not(EqualTo(pos, CLit(0L))),
+            GreaterThanOrEqual(Cast(i, LongType), Subtract(pos, CLit(1L)))),
+          Seq(v, i)))
+      }
+    }
+
     // the list/tuple constructors (builtins/basic.md AsList/AsTuple)
     alias("aslist", "array")
     alias("astuple", "struct")

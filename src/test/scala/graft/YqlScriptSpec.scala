@@ -1446,4 +1446,19 @@ class YqlScriptSpec extends SparkSpec {
     assert(r.getInt(7) == 1) // FIRST key wins
     assert(r.getSeq[Int](8) == Seq(1, 2, 3))
   }
+
+  test("ListTakeWhile/ListSkipWhile with user lambdas") {
+    val r = YqlSql.sql(spark,
+      """$small = ($x) -> ($x < 3);
+        |SELECT
+        |  ListTakeWhile(AsList(1, 2, 5, 1), $small) AS tw,
+        |  ListSkipWhile(AsList(1, 2, 5, 1), $small) AS sw,
+        |  ListTakeWhile(AsList(1, 2), $small) AS tw_all,
+        |  ListSkipWhile(AsList(1, 2), $small) AS sw_all""".stripMargin)
+      .head()
+    assert(r.getSeq[Int](0) == Seq(1, 2))
+    assert(r.getSeq[Int](1) == Seq(5, 1))
+    assert(r.getSeq[Int](2) == Seq(1, 2))
+    assert(r.getSeq[Int](3) == Seq.empty)
+  }
 }
