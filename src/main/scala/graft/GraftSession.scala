@@ -41,17 +41,24 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
   }
 
-  def get(): SparkSession = {
-    val spark = builder().getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Glob-path reads (table-path functions' {a,b} scans) probe for a
-    // streaming-sink metadata dir and WARN with a full
-    // FileNotFoundException stack ("Assume no metadata directory") —
-    // routine for any non-streaming path, but it reads like a query
-    // failure in the Verify log. The probe result is unaffected.
+  /** Log posture shared by EVERY main (engine, Verify, Bench, FuzzSweep,
+    * ScaleUp). Glob-path reads (table-path functions' {a,b} scans) probe
+    * for a streaming-sink metadata dir and WARN with a full
+    * FileNotFoundException stack ("Assume no metadata directory") —
+    * routine for any non-streaming path, but it reads like a query
+    * failure in a log tail. The probe result is unaffected, so that
+    * logger is pinned to ERROR wherever the session was built.
+    */
+  def quietLogs(spark: SparkSession, level: String = "WARN"): Unit = {
+    spark.sparkContext.setLogLevel(level)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+  }
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    quietLogs(spark)
     // QL's join+agg push-down (eager aggregation on the foreign side)
     graft.plans.PushDownGroupBy.install(spark)
     spark

@@ -17,7 +17,7 @@ object Verify {
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietLogs(spark)
     // same optimizer extensions the engine session installs — the
     // correctness gate must exercise the rewrites it ships with
     graft.plans.PushDownGroupBy.install(spark)

@@ -1790,10 +1790,10 @@ object YqlScript {
             "(docs syntax/group_by.md#session-window)")
         val close = matchParen(sql, m.end - 1)
         val args = splitTopLevel(sql.substring(m.end, close)).map(_.trim)
-        require(args.length != 4,
-          "the extended 4-argument SessionWindow(order, init, update, " +
-            "calculate) is not supported in the string surface — use " +
-            "the typed session operator for custom session logic")
+        // the extended 4-argument form (order, init, update, calculate)
+        // needs a session — [[SessionLambda.rewrite]] owns it later in
+        // the pipeline; pass the text through untouched
+        if (args.length == 4) return sql
         require(args.length == 2,
           s"SessionWindow takes (time_expr, timeout), got " +
             s"${args.length} argument(s)")

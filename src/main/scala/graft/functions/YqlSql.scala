@@ -119,7 +119,49 @@ object YqlSql {
         }
       }
     }
-    out.toString
+    tupleAccess(out.toString)
+  }
+
+  /** YQL's 0-based tuple element access `t.0` (docs
+    * types/containers.md — tuples index with a dot and a 0-based
+    * literal) onto the engine's canonical `_1.._n` struct fields
+    * (what [[registerAll]]'s AsTuple builds): `expr.K` → `expr._{K+1}`
+    * when `expr` ends in an identifier, `)` or `]`. A preceding run of
+    * pure digits stays a numeric literal (`1.5`, `1.0e3`); nested
+    * accesses (`t.0.1`) resolve through the fixpoint. */
+  private def tupleAccess(sql: String): String = {
+    def identChar(c: Char) = c.isLetterOrDigit || c == '_'
+    def pass(s: String): String = {
+      val masked = YqlScript.maskQuotes(s)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '.' && masked.charAt(i) == '.' && i + 1 < s.length &&
+            s.charAt(i + 1).isDigit && i > 0) {
+          val prev = s.charAt(i - 1)
+          val isAccess =
+            if (prev == ')' || prev == ']') true
+            else if (identChar(prev)) {
+              var j = i - 1
+              while (j >= 0 && identChar(s.charAt(j))) j -= 1
+              !s.substring(j + 1, i).forall(_.isDigit)
+            } else false
+          var e = i + 1
+          while (e < s.length && s.charAt(e).isDigit) e += 1
+          val after = if (e < s.length) s.charAt(e) else ' '
+          if (isAccess && !identChar(after)) {
+            sb.append("._").append(s.substring(i + 1, e).toInt + 1)
+            i = e
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    var cur = sql
+    var next = pass(cur)
+    while (next != cur) { cur = next; next = pass(cur) }
+    cur
   }
 
   /** Run a YQL-spelled SQL string or SCRIPT: statement-level
@@ -139,8 +181,8 @@ object YqlSql {
     // row groups; columns outside the index error at analysis, like
     // the reference's covered-column check
     def full(s: String): String =
-      MatchRecognizeSql.rewrite(spark,
-        viewRewrite(spark, YqlTablePaths.rewrite(rewrite(s))))
+      SessionLambda.rewrite(spark, MatchRecognizeSql.rewrite(spark,
+        viewRewrite(spark, YqlTablePaths.rewrite(rewrite(s)))))
     // EVALUATE IF conditions fold through Catalyst: a constant boolean
     // expression evaluated once at lowering time (matching the
     // reference's evaluation phase)
@@ -614,9 +656,17 @@ object YqlSql {
       }
     }
 
-    // the list/tuple constructors (builtins/basic.md AsList/AsTuple)
+    // the list/tuple constructors (builtins/basic.md AsList/AsTuple).
+    // AsTuple builds the engine's canonical tuple shape — a struct with
+    // positional fields _1.._n (what ToDict/DictItems consume); YQL's
+    // 0-based element access `t.0` rewrites onto `._1` in [[rewrite]]
     alias("aslist", "array")
-    alias("astuple", "struct")
+    reg("astuple") { es =>
+      org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+        es.zipWithIndex.flatMap { case (e, i) =>
+          Seq(org.apache.spark.sql.catalyst.expressions
+            .Literal(s"_${i + 1}"), e) })
+    }
     // the Set* builtins (builtins/dict.md) — canonical sorted arrays
     reg2("setintersection")(SetOps.intersection)
     reg2("setunion")(SetOps.union)

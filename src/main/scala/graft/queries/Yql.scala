@@ -878,6 +878,27 @@ object Yql {
           |GROUP BY user_id, SessionWindow(ts, 'PT6H') AS session_start""".stripMargin)
     }),
 
+    // the extended 4-argument SessionWindow(order, init, update,
+    // calculate) (docs group_by.md#session-window;
+    // sql_group_by.cpp): custom session logic via user lambdas — here
+    // a VALUE-DEPENDENT timeout (clicks time out in 2h, everything
+    // else in 6h), which the 2-arg form cannot express. The state is
+    // the previous row's ts; calculate returns the session's first ts.
+    "yql_sql_session_lambda" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """$init = ($row) -> ($row.ts);
+          |$update = ($row, $state) -> (AsTuple(
+          |  unix_timestamp($row.ts) - unix_timestamp($state) >
+          |    IF($row.event_type = 'click', 7200, 21600), $row.ts));
+          |$calculate = ($row, $state) -> ($state);
+          |SELECT user_id, session_start, SessionStart() AS ss,
+          |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+          |FROM events
+          |GROUP BY user_id, SessionWindow(ts, $init, $update, $calculate)
+          |  AS session_start""".stripMargin)
+    }),
+
     // DISTINCT window aggregates behind PRAGMA DistinctOverWindow
     // (source.cpp:290 gates agg(DISTINCT) OVER; sql_call_expr.cpp:392
     // SetOverWindowDistinct): lowered onto the per-frame collect_set —
@@ -1815,6 +1836,21 @@ object Yql {
            CASE WHEN lag(ts) OVER w IS NULL
              OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0
              END AS brk
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         islands AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+         SELECT user_id, MIN(ts) AS session_start, MIN(ts) AS ss,
+           count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+         FROM islands GROUP BY user_id, sid""",
+    // islands replay with the VALUE-DEPENDENT timeout: a break when
+    // the gap to the previous event exceeds the CURRENT row's limit
+    // (2h for clicks, 6h otherwise) — same machine as the lambda form
+    "yql_sql_session_lambda" ->
+      """WITH marked AS (SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+             OR epoch(ts) - epoch(lag(ts) OVER w) >
+               (CASE WHEN event_type = 'click' THEN 7200 ELSE 21600 END)
+             THEN 1 ELSE 0 END AS brk
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          islands AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
              ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked)

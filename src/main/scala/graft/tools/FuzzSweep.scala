@@ -23,7 +23,7 @@ object FuzzSweep {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.quietLogs(spark, "ERROR")
     new java.io.File(outDir).mkdirs()
 
     val fw = graft.sources.Tables.load(spark, sfDir, "orders").select(

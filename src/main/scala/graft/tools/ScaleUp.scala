@@ -38,7 +38,7 @@ object ScaleUp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.quietLogs(spark)
     new java.io.File(dst).mkdirs()
 
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
