@@ -28,7 +28,8 @@ object YqlSql {
     * for Spark to resolve. */
   private val KnownModules: Set[String] = Set(
     "digest", "url", "string", "math", "unicode", "datetime",
-    "json", "ip", "pire", "re2", "hyperscan", "pcre", "yson")
+    "json", "ip", "pire", "re2", "hyperscan", "pcre", "yson",
+    "histogram")
 
   /** Modules whose reference signatures are CURRIED factories —
     * `Re2::Grep(pattern)(string)` (udf/list/re2.md, pire.md). An inline
@@ -312,6 +313,8 @@ object YqlSql {
     // "replaced a previously registered function" WARN per name
     if (r.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("digest_md5"))) return
+    // Histogram:: post-processing + the struct-producing aggregates
+    HistogramModule.register(spark)
     import org.apache.spark.sql.catalyst.expressions.Expression
     def cc(e: Expression): Column = S.column(e)
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =

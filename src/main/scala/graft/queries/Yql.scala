@@ -899,6 +899,40 @@ object Yql {
           |  AS session_start""".stripMargin)
     }),
 
+    // the Histogram:: post-processing module
+    // (udfs/common/histogram/histogram_udf.cpp:18-28,622,790) over the
+    // struct-returning HISTOGRAM aggregate. 97 distinct input values
+    // (< the 100-bin cap) keep the adaptive histogram exact and
+    // order-independent, so the trapezoid interpolation replays
+    // bit-for-bit in DuckDB over the same buckets.
+    "yql_fn_histogram_module" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """$v = CAST(o_custkey % 97 AS DOUBLE);
+          |SELECT
+          |  ROUND(Histogram::GetSumAboveBound(HISTOGRAM($v), 30.5), 4)
+          |    AS sab,
+          |  ROUND(Histogram::GetSumBelowBound(HISTOGRAM($v), 30.5), 4)
+          |    AS sbb,
+          |  ROUND(Histogram::GetSumInRange(HISTOGRAM($v), 10.5, 60.5), 4)
+          |    AS sir,
+          |  ROUND(Histogram::CalcUpperBound(HISTOGRAM($v), 3700.0), 6)
+          |    AS cub,
+          |  ROUND(Histogram::CalcLowerBound(HISTOGRAM($v), 3700.0), 6)
+          |    AS clb,
+          |  ROUND(Histogram::CalcUpperBoundSafe(HISTOGRAM($v), 1.0), 6)
+          |    AS cubs,
+          |  ROUND(Histogram::CalcLowerBoundSafe(HISTOGRAM($v), 1.0), 6)
+          |    AS clbs,
+          |  ROUND(element_at(
+          |    Histogram::Normalize(HISTOGRAM($v), 50.0).bins, 4).frequency,
+          |    6) AS norm_b4,
+          |  ROUND(element_at(
+          |    Histogram::ToCumulativeDistributionFunction(
+          |      HISTOGRAM($v)).bins, 4).frequency, 2) AS cdf_b4
+          |FROM orders""".stripMargin)
+    }),
+
     // DISTINCT window aggregates behind PRAGMA DistinctOverWindow
     // (source.cpp:290 gates agg(DISTINCT) OVER; sql_call_expr.cpp:392
     // SetOverWindowDistinct): lowered onto the per-frame collect_set —
@@ -1842,6 +1876,86 @@ object Yql {
          SELECT user_id, MIN(ts) AS session_start, MIN(ts) AS ss,
            count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
          FROM islands GROUP BY user_id, sid""",
+    // trapezoid-interpolation replay over the same 97 exact buckets
+    // (positions 0..96, unit spacing): running sums + lag/lead give
+    // the left/right bins of adaptive_histogram.cpp's formulas
+    "yql_fn_histogram_module" ->
+      """WITH b AS (SELECT CAST(o_custkey % 97 AS DOUBLE) AS p,
+               CAST(count(*) AS DOUBLE) AS f FROM orders GROUP BY 1),
+         s AS (SELECT p, f,
+             sum(f) OVER (ORDER BY p) AS rs,
+             sum(f) OVER (ORDER BY p DESC) AS rs2,
+             lag(p) OVER (ORDER BY p) AS pl, lag(f) OVER (ORDER BY p) AS fl,
+             lead(p) OVER (ORDER BY p) AS pr, lead(f) OVER (ORDER BY p) AS fr,
+             min(p) OVER () AS mn, max(p) OVER () AS mx,
+             sum(f) OVER () AS tot
+           FROM b),
+         above1 AS (SELECT f/2 + (COALESCE(fl,0)+f)/2 * (p-30.5)/(p-COALESCE(pl,mn))
+             + (tot-rs) AS v FROM s WHERE p >= 30.5 ORDER BY p LIMIT 1),
+         below1 AS (SELECT COALESCE(fl,0)/2 + (COALESCE(fl,0)+f)/2
+               * (30.5-COALESCE(pl,mn))/(p-COALESCE(pl,mn))
+             + CASE WHEN pl IS NULL THEN 0 ELSE rs - f - fl END AS v
+           FROM s WHERE p >= 30.5 ORDER BY p LIMIT 1),
+         above2 AS (SELECT f/2 + (COALESCE(fl,0)+f)/2 * (p-10.5)/(p-COALESCE(pl,mn))
+             + (tot-rs) AS v FROM s WHERE p >= 10.5 ORDER BY p LIMIT 1),
+         below2 AS (SELECT COALESCE(fl,0)/2 + (COALESCE(fl,0)+f)/2
+               * (60.5-COALESCE(pl,mn))/(p-COALESCE(pl,mn))
+             + CASE WHEN pl IS NULL THEN 0 ELSE rs - f - fl END AS v
+           FROM s WHERE p >= 60.5 ORDER BY p LIMIT 1),
+         cub1 AS (SELECT CASE
+             WHEN (3700.0 - (rs - f - COALESCE(fl,0)/2))
+                 <= (f + COALESCE(fl,0))/2
+             THEN COALESCE(pl,mn) + 2*(3700.0 - (rs - f - COALESCE(fl,0)/2))
+               * (p-COALESCE(pl,mn))/(f+COALESCE(fl,0))
+             ELSE p + 2*((3700.0 - (rs - f - COALESCE(fl,0)/2))
+                 - (f+COALESCE(fl,0))/2)
+               * (COALESCE(pr,mx)-p)/(COALESCE(fr,0)+f) END AS v
+           FROM s WHERE rs >= 3700.0 ORDER BY p LIMIT 1),
+         clb1 AS (SELECT CASE
+             WHEN (3700.0 - (rs2 - f - COALESCE(fr,0)/2))
+                 <= (f + COALESCE(fr,0))/2
+             THEN COALESCE(pr,mx) - 2*(3700.0 - (rs2 - f - COALESCE(fr,0)/2))
+               * (COALESCE(pr,mx)-p)/(f+COALESCE(fr,0))
+             ELSE p - 2*((3700.0 - (rs2 - f - COALESCE(fr,0)/2))
+                 - (f+COALESCE(fr,0))/2)
+               * (p-COALESCE(pl,mn))/(COALESCE(fl,0)+f) END AS v
+           FROM s WHERE rs2 >= 3700.0 ORDER BY p DESC LIMIT 1),
+         sfirst AS (SELECT f AS v FROM s ORDER BY p LIMIT 1),
+         slast AS (SELECT f AS v FROM s ORDER BY p DESC LIMIT 1),
+         cubs1 AS (SELECT CASE
+             WHEN ((SELECT v FROM sfirst) - (rs - f - COALESCE(fl,0)/2))
+                 <= (f + COALESCE(fl,0))/2
+             THEN COALESCE(pl,mn) + 2*((SELECT v FROM sfirst)
+                 - (rs - f - COALESCE(fl,0)/2))
+               * (p-COALESCE(pl,mn))/(f+COALESCE(fl,0))
+             ELSE p + 2*(((SELECT v FROM sfirst)
+                 - (rs - f - COALESCE(fl,0)/2)) - (f+COALESCE(fl,0))/2)
+               * (COALESCE(pr,mx)-p)/(COALESCE(fr,0)+f) END AS v
+           FROM s WHERE rs >= (SELECT v FROM sfirst) ORDER BY p LIMIT 1),
+         clbs1 AS (SELECT CASE
+             WHEN ((SELECT v FROM slast) - (rs2 - f - COALESCE(fr,0)/2))
+                 <= (f + COALESCE(fr,0))/2
+             THEN COALESCE(pr,mx) - 2*((SELECT v FROM slast)
+                 - (rs2 - f - COALESCE(fr,0)/2))
+               * (COALESCE(pr,mx)-p)/(f+COALESCE(fr,0))
+             ELSE p - 2*(((SELECT v FROM slast)
+                 - (rs2 - f - COALESCE(fr,0)/2)) - (f+COALESCE(fr,0))/2)
+               * (p-COALESCE(pl,mn))/(COALESCE(fl,0)+f) END AS v
+           FROM s WHERE rs2 >= (SELECT v FROM slast) ORDER BY p DESC LIMIT 1),
+         nb4 AS (SELECT 50.0 * f / tot AS v FROM s ORDER BY p
+           LIMIT 1 OFFSET 3),
+         cb4 AS (SELECT rs AS v FROM s ORDER BY p LIMIT 1 OFFSET 3)
+         SELECT
+           ROUND((SELECT v FROM above1), 4) AS sab,
+           ROUND((SELECT v FROM below1), 4) AS sbb,
+           ROUND((SELECT v FROM above2) + (SELECT v FROM below2)
+             - (SELECT max(tot) FROM s), 4) AS sir,
+           ROUND((SELECT v FROM cub1), 6) AS cub,
+           ROUND((SELECT v FROM clb1), 6) AS clb,
+           ROUND((SELECT v FROM cubs1), 6) AS cubs,
+           ROUND((SELECT v FROM clbs1), 6) AS clbs,
+           ROUND((SELECT v FROM nb4), 6) AS norm_b4,
+           ROUND((SELECT v FROM cb4), 2) AS cdf_b4""",
     // islands replay with the VALUE-DEPENDENT timeout: a break when
     // the gap to the previous event exceeds the CURRENT row's limit
     // (2h for clicks, 6h otherwise) — same machine as the lambda form
