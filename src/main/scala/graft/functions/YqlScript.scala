@@ -1749,7 +1749,7 @@ object YqlScript {
 
   /** A constant ISO-8601 interval argument, with the reference's
     * raises (sql_group_by.cpp:393-401 processIntervalParam). */
-  private def isoInterval(a: String, fn: String,
+  private[functions] def isoInterval(a: String, fn: String,
       what: String): java.time.Duration = {
     val lit =
       if (a.length >= 2 && (a.head == '\'' || a.head == '"') &&

@@ -165,6 +165,65 @@ object YqlSql {
     cur
   }
 
+  private val hopWmCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming `GROUP BY HOP`: when the statement's FROM names a
+    * STREAMING temp view, the validated `delay` argument becomes the
+    * frame's WATERMARK before the textual lowering turns HOP into
+    * `window()` — the source re-registers with a derived `__hop_te`
+    * event-time column watermarked by `delay`, and HOP groups on that
+    * column, so rows later than `delay` are dropped and window state
+    * evicts as the watermark advances (the mkql_multihopping.h delay
+    * contract, same eviction the typed Streams.hoppingWindow path
+    * uses). Batch frames pass through untouched: their rows are final,
+    * so lowerHop validates and drops delay there. Bails conservatively
+    * (leaving batch semantics) on unresolvable shapes: named-$ args,
+    * subquery FROM, non-streaming sources. */
+  private[functions] def hopStreamRewrite(spark: SparkSession,
+      sql0: String): String = {
+    val masked = YqlScript.maskQuotes(sql0)
+    val m = "(?i)\\bHOP\\s*\\(".r.findFirstMatchIn(masked)
+      .getOrElse(return sql0)
+    val close =
+      try YqlScript.matchParen(sql0, m.end - 1)
+      catch { case _: IllegalArgumentException => return sql0 }
+    val args = YqlScript.splitTopLevel(sql0.substring(m.end, close))
+      .map(_.trim)
+    if (args.length != 4 || args.exists(_.contains("$"))) return sql0
+    val delay =
+      try YqlScript.isoInterval(args(3), "HOP", "delay")
+      catch { case _: IllegalArgumentException => return sql0 }
+    // statement scope (masked ';' boundaries), then FROM <identifier>
+    val stmtStart = masked.lastIndexOf(';', m.start) + 1
+    val stmtEnd = {
+      val e = masked.indexOf(';', m.start)
+      if (e < 0) sql0.length else e
+    }
+    val stmt = sql0.substring(stmtStart, stmtEnd)
+    val fromAt = YqlScript.findTopKw(stmt, "FROM")
+    if (fromAt < 0) return sql0
+    val afterFrom = stmt.substring(fromAt + 4)
+    val leadWs = afterFrom.indexWhere(!_.isWhitespace)
+    if (leadWs < 0) return sql0
+    val src = "^([A-Za-z_][A-Za-z0-9_]*)\\b".r
+      .findFirstMatchIn(afterFrom.substring(leadWs))
+      .map(_.group(1)).getOrElse(return sql0)
+    val streaming =
+      try spark.table(src).isStreaming catch { case _: Exception => false }
+    if (!streaming) return sql0
+    val wm = spark.table(src)
+      .withColumn("__hop_te",
+        org.apache.spark.sql.functions.expr(rewrite(args.head)))
+      .withWatermark("__hop_te", s"${delay.toMillis} milliseconds")
+    val view = s"graft_hopwm_${hopWmCounter.incrementAndGet()}"
+    wm.createOrReplaceTempView(view)
+    val srcAbs = stmtStart + fromAt + 4 + leadWs
+    val newArgs = ("__hop_te" +: args.tail).mkString(", ")
+    sql0.substring(0, srcAbs) + view +
+      sql0.substring(srcAbs + src.length, m.end) + newArgs +
+      sql0.substring(close)
+  }
+
   /** Run a YQL-spelled SQL string or SCRIPT: statement-level
     * constructs ($name bindings, lambda bindings, FLATTEN BY,
     * SELECT * WITHOUT, PRAGMA) lower through [[YqlScript]], module
@@ -187,7 +246,8 @@ object YqlSql {
     // EVALUATE IF conditions fold through Catalyst: a constant boolean
     // expression evaluated once at lowering time (matching the
     // reference's evaluation phase)
-    val lowered = YqlScript.lower(query, params, Some { cond =>
+    val lowered = YqlScript.lower(hopStreamRewrite(spark, query),
+        params, Some { cond =>
       val r = spark.sql(s"SELECT CAST((${rewrite(cond)}) AS BOOLEAN) AS c").head
       !r.isNullAt(0) && r.getBoolean(0)
     }, libraries)

@@ -862,4 +862,83 @@ object ExprFuzz {
       (spark, duck)
     }
   }
+
+  /** GROUP BY HOP / SessionWindow fuzz over `events`: randomized
+    * hop/interval multiples, timeouts, partitioning, and 4-argument
+    * lambda sessions with value-dependent timeouts. Each case reduces
+    * to an order-free signature (window/session count, Σcnt², Σcnt) so
+    * the DuckDB replay — time_bucket+unnest for HOP placement,
+    * gaps-and-islands for sessions — compares exactly. Value-dependent
+    * thresholds only run per-user ((user_id, ts) is unique there;
+    * global ties would make the break order-dependent). */
+  def hopSessionCases(n: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    def sig(ci: Int, inner: String): String =
+      s"""SELECT CAST($ci AS BIGINT) AS case_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(cnt*cnt) AS BIGINT) AS q,
+         |  CAST(SUM(cnt) AS BIGINT) AS t
+         |FROM ($inner)""".stripMargin
+    def islands(ci: Int, byUser: Boolean, thr: String): String = {
+      val pk = if (byUser) "PARTITION BY user_id " else ""
+      val gk = if (byUser) "user_id, " else ""
+      sig(ci,
+        s"""SELECT count(*) AS cnt FROM (
+           |  SELECT user_id, sid FROM (
+           |    SELECT user_id, ts, sum(brk) OVER (${pk}ORDER BY ts
+           |        ROWS UNBOUNDED PRECEDING) AS sid FROM (
+           |      SELECT user_id, ts,
+           |        CASE WHEN lag(ts) OVER (${pk}ORDER BY ts) IS NULL
+           |          OR epoch(ts) - epoch(lag(ts) OVER (${pk}ORDER BY ts))
+           |            > ($thr) THEN 1 ELSE 0 END AS brk
+           |      FROM events)))
+           |GROUP BY ${gk}sid""".stripMargin)
+    }
+    (0 until n).map { ci =>
+      rnd.nextInt(3) match {
+        case 0 => // hopping windows: size = k × hop, epoch-aligned
+          val hopH = Seq(1, 2, 3, 6)(rnd.nextInt(4))
+          val k = 1 + rnd.nextInt(3)
+          val byUser = rnd.nextBoolean()
+          val gk = if (byUser) "user_id, " else ""
+          val spark = sig(ci,
+            s"""SELECT COUNT(*) AS cnt FROM events
+               |  GROUP BY ${gk}HOP(ts, 'PT${hopH}H', 'PT${hopH * k}H',
+               |    'PT1H')""".stripMargin)
+          val buckets = (0 until k).map { j =>
+            val b = s"time_bucket(INTERVAL '$hopH hours', ts)"
+            if (j == 0) b else s"$b - INTERVAL '${j * hopH} hours'"
+          }.mkString("[", ", ", "]")
+          val duck = sig(ci,
+            s"""SELECT count(*) AS cnt
+               |FROM (SELECT ${gk}unnest($buckets) AS ws FROM events)
+               |GROUP BY ${gk}ws""".stripMargin)
+          (spark, duck)
+        case 1 => // 2-arg SessionWindow, fixed timeout
+          val tH = Seq(1, 2, 4, 6, 12)(rnd.nextInt(5))
+          val byUser = rnd.nextBoolean()
+          val gk = if (byUser) "user_id, " else ""
+          val spark = sig(ci,
+            s"""SELECT COUNT(*) AS cnt FROM events
+               |  GROUP BY ${gk}SessionWindow(ts, 'PT${tH}H') AS ss""".stripMargin)
+          (spark, islands(ci, byUser, (tH * 3600).toString))
+        case _ => // 4-arg lambda session, value-dependent timeout
+          val ty = Seq("click", "purchase", "view")(rnd.nextInt(3))
+          val t1 = (1 + rnd.nextInt(4)) * 1800
+          val t2 = (2 + rnd.nextInt(6)) * 3600
+          val spark =
+            s"""$$init = ($$row) -> ($$row.ts);
+               |$$update = ($$row, $$state) -> (AsTuple(
+               |  unix_timestamp($$row.ts) - unix_timestamp($$state) >
+               |    IF($$row.event_type = '$ty', $t1, $t2), $$row.ts));
+               |$$calculate = ($$row, $$state) -> ($$state);
+               |""".stripMargin + sig(ci,
+              s"""SELECT COUNT(*) AS cnt FROM events
+                 |  GROUP BY user_id, SessionWindow(ts, $$init, $$update,
+                 |    $$calculate) AS ss""".stripMargin)
+          (spark, islands(ci, byUser = true,
+            s"CASE WHEN event_type = '$ty' THEN $t1 ELSE $t2 END"))
+      }
+    }
+  }
 }

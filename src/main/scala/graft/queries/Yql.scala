@@ -970,6 +970,18 @@ object Yql {
         .reduce(_ unionByName _)
     }),
 
+    // HOP / SessionWindow differential fuzz: randomized hop×interval
+    // multiples, session timeouts, partitioning, and 4-argument
+    // lambda sessions with value-dependent timeouts; the oracle
+    // replays window placement (time_bucket + unnest) and session
+    // islands independently in DuckDB (ExprFuzz.hopSessionCases).
+    "yql_fuzz_hopsession" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.ql.ExprFuzz.hopSessionCases(8, seed = 67L)
+        .map { case (q, _) => graft.functions.YqlSql.sql(s, q) }
+        .reduce(_ unionByName _)
+    }),
+
     // Table-path-function differential fuzz: randomized RANGE bounds /
     // LIKE / REGEXP patterns / EACH-CONCAT subsets; the oracle replays
     // the member selection computed independently over the known month
@@ -1989,6 +2001,9 @@ object Yql {
          FROM orders WHERE o_custkey < 300""",
     "yql_fuzz_matchrec" ->
       graft.ql.ExprFuzz.matchRecognizeCases(6, seed = 59L)
+        .map { case (_, duck) => s"($duck)" }.mkString("\nUNION ALL\n"),
+    "yql_fuzz_hopsession" ->
+      graft.ql.ExprFuzz.hopSessionCases(8, seed = 67L)
         .map { case (_, duck) => s"($duck)" }.mkString("\nUNION ALL\n"),
     "yql_fuzz_tablepaths" ->
       graft.ql.ExprFuzz.tablePathCases(10, seed = 83L, tablePathMonths)

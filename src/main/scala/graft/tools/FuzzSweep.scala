@@ -161,6 +161,14 @@ object FuzzSweep {
           .reduce(_ unionByName _)
       }, graft.ql.ExprFuzz.matchRecognizeCases(4, seed)
         .map(p => s"(${p._2})").mkString("\nUNION ALL\n"))
+      queries(s"fz_hopsess_$seed") = (() => {
+        graft.sources.Tables.load(spark, sfDir, "events")
+          .createOrReplaceTempView("events")
+        graft.ql.ExprFuzz.hopSessionCases(5, seed)
+          .map { case (sc, _) => graft.functions.YqlSql.sql(spark, sc) }
+          .reduce(_ unionByName _)
+      }, graft.ql.ExprFuzz.hopSessionCases(5, seed)
+        .map(p => s"(${p._2})").mkString("\nUNION ALL\n"))
       queries(s"fz_paths_$seed") = (() => {
         graft.queries.Yql.tablePathFixture(spark, sfDir)
         val dir = graft.queries.Yql.tablePathDir(sfDir)

@@ -37,6 +37,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(-300L -> 1.0, 0L -> 3.0, 300L -> 6.0, 600L -> 4.0))
   }
 
+  test("string-surface GROUP BY HOP wires delay to the watermark on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    in.toDF().toDF("ts", "v").createOrReplaceTempView("hopstream")
+    // HOP(time, hop, interval, delay): 5m hop, 10m windows, 10m delay —
+    // the delay becomes withWatermark on the lowered streaming frame
+    val agg = graft.functions.YqlSql.sql(spark,
+      """SELECT HOP_START() AS ws, SUM(v) AS s
+        |FROM hopstream
+        |GROUP BY HOP(ts, 'PT5M', 'PT10M', 'PT10M')""".stripMargin)
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("hopwm")
+      .outputMode("append").start()
+    in.addData((ts(1), 1.0), (ts(6), 2.0))
+    q.processAllAvailable()
+    // advance the watermark to 40-10=30m: windows ending <= 30 finalize
+    in.addData((ts(40), 8.0))
+    q.processAllAvailable()
+    // a row at 2m is older than the watermark → DROPPED per delay
+    in.addData((ts(2), 100.0))
+    q.processAllAvailable()
+    // advance to 80-10=70m so the 40m row's windows finalize too
+    in.addData((ts(80), 16.0))
+    q.processAllAvailable()
+    val got = spark.table("hopwm")
+      .select(col("ws").cast("long").as("w"), col("s"))
+      .as[(Long, Double)].collect().toMap
+    q.stop()
+    // the late 100.0 never lands: [0,10) stays 3.0
+    assert(got.get(-300L).contains(1.0) && got.get(0L).contains(3.0) &&
+      got.get(300L).contains(2.0))
+    assert(got.get(2100L).contains(8.0) && got.get(2400L).contains(8.0))
+    assert(!got.values.exists(_ >= 100.0))
+  }
+
   test("stream-stream interval join matches within the time bound, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val l = MemoryStream[(Long, Timestamp, String)]
