@@ -34,28 +34,103 @@ object HistogramModule {
 
   // ——— struct-producing aggregates ———
 
-  /** Wrap a (position, count) adaptive aggregator with true-min/max
-    * tracking (the reference keeps MinValue/MaxValue beside the bins —
-    * merged bin positions are weighted means, not extremes). */
-  private def structAgg(kind: String,
-      base: Aggregator[Double, Seq[(Double, Long)], Seq[(Double, Long)]])
-      : Aggregator[Double, (Seq[(Double, Long)], Double, Double), HGram] =
-    new Aggregator[Double, (Seq[(Double, Long)], Double, Double), HGram] {
-      def zero = (base.zero, Double.PositiveInfinity, Double.NegativeInfinity)
-      def reduce(b: (Seq[(Double, Long)], Double, Double), a: Double) =
-        (base.reduce(b._1, a), math.min(b._2, a), math.max(b._3, a))
-      def merge(x: (Seq[(Double, Long)], Double, Double),
-          y: (Seq[(Double, Long)], Double, Double)) =
-        (base.merge(x._1, y._1), math.min(x._2, y._2), math.max(x._3, y._3))
-      def finish(r: (Seq[(Double, Long)], Double, Double)): HGram = {
-        val bins = base.finish(r._1).map { case (p, c) => HBin(p, c.toDouble) }
+  /** The weighted streaming-histogram core behind every struct
+    * producer (histogram_udf.cpp TAdaptiveWardHistogram default;
+    * TLinearHistogram/TLogarithmicHistogram snap values first and
+    * inherit the Ward core with an effectively-unbounded bin cap;
+    * adaptive_histogram.cpp Ben-Haim/Tom-Tov insert-then-merge):
+    * sorted (position, weight) centroids; past `maxBins` the
+    * lowest-`cost` adjacent pair merges into its weighted mean. True
+    * min/max track beside the bins (merged positions are means, not
+    * extremes). `tf` is the bin-snap transform; NaN positions drop,
+    * as TLogarithmicHistogram::Add does.
+    */
+  private def weightedCore(kind: String, maxBins: Int,
+      tf: Double => Double,
+      cost: (Double, Double, Double, Double) => Double)
+      : Aggregator[(Option[Double], Option[Double]), (Seq[(Double, Double)], Double, Double), HGram] =
+    new Aggregator[(Option[Double], Option[Double]), (Seq[(Double, Double)], Double, Double), HGram] {
+      type Buf = (Seq[(Double, Double)], Double, Double)
+      private def compact(bins: Seq[(Double, Double)]): Seq[(Double, Double)] =
+        if (bins.length <= maxBins) bins
+        else {
+          var best = 0; var bestCost = Double.MaxValue
+          var i = 0
+          while (i < bins.length - 1) {
+            val (p1, w1) = bins(i); val (p2, w2) = bins(i + 1)
+            val c = cost(p1, w1, p2, w2)
+            if (c < bestCost) { bestCost = c; best = i }
+            i += 1
+          }
+          val (p1, w1) = bins(best); val (p2, w2) = bins(best + 1)
+          val merged = ((p1 * w1 + p2 * w2) / (w1 + w2), w1 + w2)
+          compact((bins.take(best) :+ merged) ++ bins.drop(best + 2))
+        }
+      private def insert(b: Buf, p0: Double, w: Double): Buf = {
+        val p = tf(p0)
+        if (p.isNaN) return b
+        val bins = b._1
+        val i = bins.indexWhere(_._1 >= p)
+        val withNew =
+          if (i >= 0 && bins(i)._1 == p) bins.updated(i, (p, bins(i)._2 + w))
+          else if (i < 0) bins :+ ((p, w))
+          else (bins.take(i) :+ ((p, w))) ++ bins.drop(i)
+        (compact(withNew), math.min(b._2, p), math.max(b._3, p))
+      }
+      def zero: Buf =
+        (Seq.empty, Double.PositiveInfinity, Double.NegativeInfinity)
+      // Optional input: a NULL value or weight adds nothing — the
+      // reference's HISTOGRAM(Double?) skips NULLs (a primitive-typed
+      // aggregator would silently coerce them to 0.0 bins)
+      def reduce(b: Buf, a: (Option[Double], Option[Double])): Buf =
+        (for (v <- a._1; w <- a._2) yield insert(b, v, w)).getOrElse(b)
+      def merge(x: Buf, y: Buf): Buf =
+        y._1.foldLeft((x._1, math.min(x._2, y._2), math.max(x._3, y._3))) {
+          case (acc, (p, w)) =>
+            // positions are already snapped; insert with identity
+            val bins = acc._1
+            val i = bins.indexWhere(_._1 >= p)
+            val withNew =
+              if (i >= 0 && bins(i)._1 == p)
+                bins.updated(i, (p, bins(i)._2 + w))
+              else if (i < 0) bins :+ ((p, w))
+              else (bins.take(i) :+ ((p, w))) ++ bins.drop(i)
+            (compact(withNew), acc._2, acc._3)
+        }
+      def finish(r: Buf): HGram = {
+        val bins = r._1.map { case (p, w) => HBin(p, w) }
         if (bins.isEmpty) HGram(kind, Nil, 0.0, 0.0, 0.0)
         else HGram(kind, bins, r._2, r._3, bins.map(_.frequency).sum)
       }
-      def bufferEncoder: Encoder[(Seq[(Double, Long)], Double, Double)] =
-        ExpressionEncoder[(Seq[(Double, Long)], Double, Double)]()
+      def bufferEncoder: Encoder[Buf] =
+        ExpressionEncoder[(Seq[(Double, Double)], Double, Double)]()
       def outputEncoder: Encoder[HGram] = ExpressionEncoder[HGram]()
     }
+
+  /** Ward criterion (TAdaptiveWardHistogram): least variance
+    * increase. */
+  private val wardCost =
+    (p1: Double, w1: Double, p2: Double, w2: Double) =>
+      (w1 * w2 / (w1 + w2)) * (p2 - p1) * (p2 - p1)
+
+  /** TLinearHistogram::Add — clamp to [begin,end], else snap to the
+    * nearest step multiple. */
+  private def linearSnap(step: Double, begin: Double, end: Double)
+      (v: Double): Double =
+    if (v < begin) begin
+    else if (v > end) end
+    else math.floor(v / step + 0.5) * step
+
+  /** TLogarithmicHistogram::Add — snap to the nearest power of the
+    * base, then clamp. */
+  private def logSnap(base: Double, begin: Double, end: Double)
+      (v: Double): Double = {
+    val l = math.log(v) / math.log(base)
+    val prev = math.pow(base, math.floor(l))
+    val next = math.pow(base, math.ceil(l))
+    val snapped = if (math.abs(v - next) > math.abs(v - prev)) prev else next
+    if (snapped < begin) begin else if (snapped > end) end else snapped
+  }
 
   // ——— the interpolation arithmetic (adaptive_histogram.cpp) ———
 
@@ -232,19 +307,87 @@ object HistogramModule {
 
   // ——— registration ———
 
-  /** Register the aggregate producers and module functions; the
-    * variadic spellings (Print/Normalize optional args) pad defaults
-    * through registry builders onto fixed-arity internal UDFs. */
+  /** Register the aggregate producers and module functions. The
+    * producers dispatch on the reference's overloads
+    * (aggregation.md#histogram): `HISTOGRAM(x)`,
+    * `HISTOGRAM(x, weight)`, `HISTOGRAM(x, intervals)` (an integer
+    * LITERAL second argument means intervals, anything else is
+    * weight — the reference's own disambiguation rule),
+    * `HISTOGRAM(x, weight, intervals)`;
+    * `LinearHistogram/LogarithmicHistogram/LogHistogram(x[, step
+    * [, min[, max]]])`. Variadic module spellings (Print/Normalize
+    * optional args) pad defaults through registry builders onto
+    * fixed-arity internal UDFs. */
   def register(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.functions.udaf
-    spark.udf.register("histogram",
-      udaf(structAgg("AdaptiveWard", Aggregators.adaptiveWardHistogram(100))))
-    spark.udf.register("adaptivewardhistogram",
-      udaf(structAgg("AdaptiveWard", Aggregators.adaptiveWardHistogram(100))))
-    spark.udf.register("adaptivedistancehistogram",
-      udaf(structAgg("AdaptiveDistance", Aggregators.adaptiveHistogram(100))))
-    spark.udf.register("adaptiveweighthistogram",
-      udaf(structAgg("AdaptiveWeight", Aggregators.adaptiveWeightHistogram(100))))
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.functions.{lit, udaf}
+    import org.apache.spark.sql.graft.{shims => S}
+    val r = spark.sessionState.functionRegistry
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+      r.createOrReplaceTempFunction(name, b, "built-in")
+    def litD(e: Expression, fn: String): Double = {
+      require(e.foldable, s"$fn takes constant numeric parameters")
+      val v = e.eval(null)
+      require(v != null, s"$fn constant parameter is null")
+      v match {
+        case n: Number => n.doubleValue()
+        case other => other.toString.toDouble
+      }
+    }
+    def isIntLit(e: Expression): Boolean = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    def cc(e: Expression) = S.column(e)
+    // adaptive family: (x[, weight][, intervals-literal])
+    def adaptive(name: String, kind: String,
+        cost: (Double, Double, Double, Double) => Double): Unit =
+      reg(name) { es =>
+        require(es.nonEmpty && es.length <= 3,
+          s"$name takes (value[, weight][, intervals])")
+        val (weight, bins) = es.drop(1) match {
+          case Seq() => (lit(1.0), 100)
+          case Seq(e) if isIntLit(e) => (lit(1.0), litD(e, name).toInt)
+          case Seq(e) => (cc(e).cast("double"), 100)
+          case Seq(w, n) =>
+            require(isIntLit(n), s"$name intervals must be an integer literal")
+            (cc(w).cast("double"), litD(n, name).toInt)
+        }
+        require(bins > 0, s"$name intervals must be positive")
+        S.convert(udaf(weightedCore(kind, bins, identity, cost))
+          .apply(cc(es.head).cast("double"), weight))
+      }
+    adaptive("histogram", "AdaptiveWard", wardCost)
+    adaptive("adaptivewardhistogram", "AdaptiveWard", wardCost)
+    adaptive("adaptivedistancehistogram", "AdaptiveDistance",
+      (p1, _, p2, _) => p2 - p1)
+    adaptive("adaptiveweighthistogram", "AdaptiveWeight",
+      (_, w1, _, w2) => w1 + w2)
+    // fixed-grid family: (x[, step/base[, min[, max]]]) — snap, then
+    // the Ward core with the reference's effectively-unbounded cap
+    def fixedGrid(name: String, kind: String,
+        snap: (Double, Double, Double) => Double => Double): Unit =
+      reg(name) { es =>
+        require(es.nonEmpty && es.length <= 4,
+          s"$name takes (value[, step[, min[, max]]])")
+        val step = es.lift(1).map(litD(_, name)).getOrElse(10.0)
+        val begin = es.lift(2).map(litD(_, name))
+          .getOrElse(Double.NegativeInfinity)
+        val end = es.lift(3).map(litD(_, name))
+          .getOrElse(Double.PositiveInfinity)
+        S.convert(udaf(weightedCore(kind, 1 << 24,
+            snap(step, begin, end), wardCost))
+          .apply(cc(es.head).cast("double"), lit(1.0)))
+      }
+    fixedGrid("linearhistogram", "Linear",
+      (s, b, e) => linearSnap(s, b, e))
+    fixedGrid("logarithmichistogram", "Logarithmic",
+      (s, b, e) => logSnap(s, b, e))
+    fixedGrid("loghistogram", "Logarithmic",
+      (s, b, e) => logSnap(s, b, e))
 
     spark.udf.register("histogram_getsumabovebound",
       udf((h: Row, b: Double) => sumAbove(parse(h), b)))
@@ -268,16 +411,15 @@ object HistogramModule {
       udf((h: Row, area: Double, cdf: Boolean) =>
         normalize(parse(h), area, cdf)))
 
-    val r = spark.sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     def pad(name: String, target: String, defaults: Seq[Literal]): Unit =
-      r.createOrReplaceTempFunction(name, (es: Seq[Expression]) => {
+      reg(name) { es =>
         require(es.nonEmpty && es.length <= 1 + defaults.length,
           s"$name takes 1..${1 + defaults.length} arguments")
-        val padded = es ++ defaults.drop(es.length - 1)
-        UnresolvedFunction(Seq(target), padded, isDistinct = false)
-      }, "built-in")
+        UnresolvedFunction(Seq(target), es ++ defaults.drop(es.length - 1),
+          isDistinct = false)
+      }
     pad("histogram_print", "__histogram_print2", Seq(Literal(25)))
     pad("histogram_normalize", "__histogram_normalize3",
       Seq(Literal(100.0), Literal(false)))

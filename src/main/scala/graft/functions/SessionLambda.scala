@@ -86,9 +86,9 @@ object SessionLambda {
     val re = "(?i)\\bSessionWindow\\s*\\(".r
     val m = re.findFirstMatchIn(masked).getOrElse(return sql)
     // nested scope? recurse into the innermost enclosing parens
-    var depth = 0; var openAt = -1
+    var depth = 0
     for (i <- 0 until m.start) masked.charAt(i) match {
-      case '(' => depth += 1; if (depth > 0 && openAt < depth) openAt = depth
+      case '(' => depth += 1
       case ')' => depth -= 1
       case _ =>
     }

@@ -29,7 +29,7 @@ object YqlSql {
   private val KnownModules: Set[String] = Set(
     "digest", "url", "string", "math", "unicode", "datetime",
     "json", "ip", "pire", "re2", "hyperscan", "pcre", "yson",
-    "histogram")
+    "histogram", "vector")
 
   /** Modules whose reference signatures are CURRIED factories —
     * `Re2::Grep(pattern)(string)` (udf/list/re2.md, pire.md). An inline
@@ -120,7 +120,111 @@ object YqlSql {
         }
       }
     }
-    tupleAccess(out.toString)
+    tupleAccess(lowerAggregateBy(out.toString))
+  }
+
+  /** `AGGREGATE_BY([DISTINCT] expr, AggregationFactory('NAME'[, p...]))`
+    * and `MULTI_AGGREGATE_BY(listExpr, factory)`
+    * (builtins/aggregation.md#aggregate-by; factory basic.md
+    * #aggregationfactory). The factory is a compile-time descriptor —
+    * a `$f = AggregationFactory(...)` binding inlines to the literal
+    * call before this pass — so AGGREGATE_BY lowers to the named
+    * aggregate spelled directly (`COUNT(DISTINCT x)`,
+    * `percentile(x, 0.9)`, every registered aggregate name works).
+    *
+    * MULTI_AGGREGATE_BY applies the factory item-by-item over a LIST
+    * column, truncated to the shortest list (the reference's rule):
+    * lowered onto `transform(sequence(1, min(size(l))), i -> f_i)`
+    * over `collect_list`, with per-index count/min/max/sum/avg/
+    * median/percentile as array HOFs (percentile = the exact
+    * linear-interpolation rank, Spark `percentile` semantics). The
+    * collected group is one array per row of the group — the same
+    * per-group state the reference's item-wise traits hold.
+    */
+  private def lowerAggregateBy(sql: String): String = {
+    val re = "(?i)\\b(MULTI_)?AGGREGATE_BY\\s*\\(".r
+    val m = re.findFirstMatchIn(YqlScript.maskQuotes(sql))
+      .getOrElse(return sql)
+    val multi = m.group(1) != null
+    val close = YqlScript.matchParen(sql, m.end - 1)
+    val args = YqlScript.splitTopLevel(sql.substring(m.end, close))
+      .map(_.trim)
+    require(args.length == 2,
+      "AGGREGATE_BY takes (expression, aggregation factory)")
+    // the factory literal (possibly parenthesized by $-binding inlining)
+    var fac = args(1)
+    while (fac.startsWith("(") && YqlScript.matchParen(fac, 0) == fac.length - 1)
+      fac = fac.substring(1, fac.length - 1).trim
+    val fm = "(?i)^AggregationFactory\\s*\\(".r.findFirstMatchIn(fac)
+      .getOrElse(throw new IllegalArgumentException(
+        "AGGREGATE_BY factory must be AggregationFactory('name'[, ...]), " +
+          s"got: ${fac.take(60)}"))
+    val fclose = YqlScript.matchParen(fac, fm.end - 1)
+    val fargs = YqlScript.splitTopLevel(fac.substring(fm.end, fclose))
+      .map(_.trim)
+    require(fargs.nonEmpty && fargs.head.length >= 2 &&
+      (fargs.head.head == '\'' || fargs.head.head == '"'),
+      "AggregationFactory takes a constant aggregate name")
+    val name = fargs.head.substring(1, fargs.head.length - 1).toLowerCase
+    val params = fargs.tail
+    // DISTINCT prefix on the aggregated expression
+    val dm = "(?i)^DISTINCT\\b".r.findFirstMatchIn(args(0))
+    val ex = dm.map(d => args(0).substring(d.end).trim).getOrElse(args(0))
+    val dkw = if (dm.isDefined) "DISTINCT " else ""
+    val repl =
+      if (!multi) {
+        val (fn, ps) = name match {
+          case "median" if params.isEmpty => ("percentile", Seq("0.5"))
+          case "median" => ("percentile", params)
+          case n => (n, params)
+        }
+        s"$fn($dkw$ex${ps.map(p => s", $p").mkString})"
+      } else {
+        require(dm.isEmpty,
+          "MULTI_AGGREGATE_BY does not take DISTINCT (apply the factory " +
+            "item-by-item over the list instead)")
+        val rows = s"collect_list($ex)"
+        def fi =
+          s"filter(transform($rows, __magg_r -> " +
+            "element_at(__magg_r, CAST(__magg_i AS INT))), " +
+            "__magg_x -> __magg_x IS NOT NULL)"
+        def pctl(p: String): String = {
+          val s = s"array_sort(transform($fi, __magg_x -> " +
+            "CAST(__magg_x AS DOUBLE)))"
+          val r = s"((size($s) - 1) * CAST($p AS DOUBLE))"
+          s"CASE WHEN size($s) = 0 THEN NULL ELSE " +
+            s"element_at($s, CAST(floor($r) AS INT) + 1) * " +
+            s"(1.0D - ($r - floor($r))) + " +
+            s"element_at($s, CAST(ceil($r) AS INT) + 1) * " +
+            s"($r - floor($r)) END"
+        }
+        val perIndex = name match {
+          case "count" => s"CAST(size($fi) AS BIGINT)"
+          case "min" => s"array_min($fi)"
+          case "max" => s"array_max($fi)"
+          case "sum" => s"aggregate($fi, element_at($fi, 1) - " +
+            s"element_at($fi, 1), (__magg_a, __magg_x) -> " +
+            "__magg_a + __magg_x)"
+          case "avg" => s"aggregate(transform($fi, __magg_x -> " +
+            s"CAST(__magg_x AS DOUBLE)), 0.0D, " +
+            s"(__magg_a, __magg_x) -> __magg_a + __magg_x) / size($fi)"
+          case "median" => pctl(params.headOption.getOrElse("0.5"))
+          case "percentile" => pctl(params.headOption.getOrElse(
+            throw new IllegalArgumentException(
+              "AggregationFactory('percentile') needs the level parameter")))
+          case other => throw new IllegalArgumentException(
+            s"MULTI_AGGREGATE_BY supports count/min/max/sum/avg/median/" +
+              s"percentile factories, got: $other")
+        }
+        // size(NULL) = -1 in Spark: NULL lists must not poison the
+        // shortest-length rule (collect_list skips the rows; min must too)
+        val minLen = s"min(CASE WHEN $ex IS NULL THEN NULL " +
+          s"ELSE size($ex) END)"
+        s"CASE WHEN $minLen < 1 THEN array() ELSE " +
+          s"transform(sequence(1, $minLen), __magg_i -> $perIndex) END"
+      }
+    lowerAggregateBy(sql.substring(0, m.start) + repl +
+      sql.substring(close + 1))
   }
 
   /** YQL's 0-based tuple element access `t.0` (docs
@@ -759,6 +863,38 @@ object YqlSql {
     reg1("toset")(c =>
       org.apache.spark.sql.functions.array_sort(
         org.apache.spark.sql.functions.array_distinct(c)))
+    // the Vector:: module (udfs/common/vector/vector_udf.cpp): a
+    // positional accumulator — Create(reserve) / Emplace(v, i, x)
+    // (set index i if i < size, else push_back) / Swap(v, a, b)
+    // (no-op out of range) / GetResult(v). The reference's mutable
+    // resource is an immutable ARRAY value here, so the module is four
+    // pure codegen'd array expressions; the reserve hint has no
+    // immutable-array equivalent and drops.
+    locally {
+      import org.apache.spark.sql.functions.{array, concat, element_at,
+        size, slice, transform, when}
+      reg1("vector_create")(_ => array())
+      reg("vector_emplace") { es =>
+        require(es.length == 3, "Vector::Emplace takes (vector, index, value)")
+        val v = cc(es(0)); val i = cc(es(1)).cast("int"); val x = cc(es(2))
+        S.convert(when(i >= 0 && i < size(v),
+          concat(slice(v, lit(1), i), array(x),
+            slice(v, i + lit(2), size(v) - i - lit(1))))
+          .otherwise(concat(v, array(x))))
+      }
+      reg("vector_swap") { es =>
+        require(es.length == 3, "Vector::Swap takes (vector, a, b)")
+        val v = cc(es(0)); val a = cc(es(1)).cast("int")
+        val b = cc(es(2)).cast("int")
+        S.convert(when(a >= 0 && b >= 0 && a < size(v) && b < size(v),
+          transform(v, (e, j) =>
+            when(j === a, element_at(v, b + lit(1)))
+              .when(j === b, element_at(v, a + lit(1)))
+              .otherwise(e)))
+          .otherwise(v))
+      }
+      reg1("vector_getresult")(c => c)
+    }
     // ListZip truncates to the SHORTEST input (builtins/list.md);
     // arrays_zip pads with NULL, so cut back — ListZipAll is the
     // padded form

@@ -609,7 +609,11 @@ object Dedup {
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOccurrences)
       .select(col("seg"), lit(true).as("dup"))
-    segs.join(broadcast(flagged), Seq("seg"), "left")
+    // flagged is usually the tiny duplicated sliver — but it is
+    // corpus-proportional in the worst case, so the planner (AQE
+    // runtime upgrade) picks broadcast when it truly is small instead
+    // of a hint forcing it past the 8 GiB cap on a pathological corpus
+    segs.join(flagged, Seq("seg"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),

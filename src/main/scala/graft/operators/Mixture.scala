@@ -136,7 +136,10 @@ object Mixture {
     val comps = Dedup.connectedComponents(dupPairs, aCol, bCol)
     val thr = f"${math.floor(valFraction * 4294967296.0).toLong}%08x"
     docs
-      .join(broadcast(comps), docs(idCol) === comps("node"), "left")
+      // comps is the duplicated sliver — small in practice, corpus-
+      // proportional in the worst case: let AQE upgrade to broadcast
+      // from the RUNTIME size rather than forcing it by hint
+      .join(comps, docs(idCol) === comps("node"), "left")
       .withColumn("split_key",
         coalesce(col("component"), docs(idCol)).cast("long"))
       .withColumn("split",

@@ -189,12 +189,17 @@ object QL {
         .select(col("o_orderkey"), col("o_custkey"))
         .offset(100).limit(50)),
 
-    // Lookup join: fact stream joined to a (broadcast) foreign table —
-    // QL's collected-key batch lookup ≈ broadcast hash join.
+    // Lookup join: fact stream joined to a foreign table — QL's
+    // collected-key batch lookup ≈ broadcast hash join WHEN the foreign
+    // side is small, and the PLANNER decides that (static threshold +
+    // AQE runtime upgrade), not a hint: a forced broadcast(orders) dies
+    // at Spark's 8 GiB broadcast cap once orders outgrows it (caught by
+    // the sf100 soak: 9.1 GiB build side), and at 100 TB the correct
+    // plan is the shuffle join the planner falls back to.
     "ql_join_inner" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")
-      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
           count(lit(1)).as("cnt"))

@@ -933,6 +933,30 @@ object Yql {
           |FROM orders""".stripMargin)
     }),
 
+    // AGGREGATE_BY / MULTI_AGGREGATE_BY / AggregationFactory
+    // (builtins/aggregation.md#aggregate-by; basic.md
+    // #aggregationfactory): factory descriptors lower to the named
+    // aggregates; MULTI applies item-by-item over a list column via
+    // transform/sequence HOFs over the collected group.
+    "yql_fn_aggregate_by" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """$cnt = AggregationFactory("COUNT");
+          |$nums = array(o_custkey % 7, o_orderkey % 13, o_custkey % 97);
+          |SELECT
+          |  AGGREGATE_BY(DISTINCT o_custkey % 50, $cnt) AS cd,
+          |  CAST(AGGREGATE_BY(o_custkey % 7, AggregationFactory('sum'))
+          |    AS BIGINT) AS s7,
+          |  ROUND(AGGREGATE_BY(o_totalprice,
+          |    AggregationFactory('percentile', 0.9)), 4) AS p90,
+          |  MULTI_AGGREGATE_BY($nums, AggregationFactory('min')) AS mmin,
+          |  MULTI_AGGREGATE_BY($nums, AggregationFactory('max')) AS mmax,
+          |  MULTI_AGGREGATE_BY($nums, AggregationFactory('count')) AS mcnt,
+          |  transform(MULTI_AGGREGATE_BY($nums, AggregationFactory('avg')),
+          |    __x -> ROUND(__x, 6)) AS mavg
+          |FROM orders""".stripMargin)
+    }),
+
     // DISTINCT window aggregates behind PRAGMA DistinctOverWindow
     // (source.cpp:290 gates agg(DISTINCT) OVER; sql_call_expr.cpp:392
     // SetOverWindowDistinct): lowered onto the per-frame collect_set —
@@ -1888,6 +1912,20 @@ object Yql {
          SELECT user_id, MIN(ts) AS session_start, MIN(ts) AS ss,
            count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
          FROM islands GROUP BY user_id, sid""",
+    "yql_fn_aggregate_by" ->
+      """SELECT CAST(count(DISTINCT o_custkey % 50) AS BIGINT) AS cd,
+           CAST(sum(o_custkey % 7) AS BIGINT) AS s7,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           [min(o_custkey % 7), min(o_orderkey % 13),
+            min(o_custkey % 97)] AS mmin,
+           [max(o_custkey % 7), max(o_orderkey % 13),
+            max(o_custkey % 97)] AS mmax,
+           [CAST(count(o_custkey % 7) AS BIGINT),
+            CAST(count(o_orderkey % 13) AS BIGINT),
+            CAST(count(o_custkey % 97) AS BIGINT)] AS mcnt,
+           [ROUND(avg(o_custkey % 7), 6), ROUND(avg(o_orderkey % 13), 6),
+            ROUND(avg(o_custkey % 97), 6)] AS mavg
+         FROM orders""",
     // trapezoid-interpolation replay over the same 97 exact buckets
     // (positions 0..96, unit spacing): running sums + lag/lead give
     // the left/right bins of adaptive_histogram.cpp's formulas

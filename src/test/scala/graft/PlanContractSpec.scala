@@ -49,7 +49,10 @@ class PlanContractSpec extends SparkSpec {
     assert(read == Set("n_nationkey", "n_name"), read)
   }
 
-  test("ql_join_inner broadcasts the dimension side (batched-lookup join)") {
+  test("ql_join_inner: the PLANNER broadcasts the small foreign side") {
+    // no hint in the query — at test scale the planner (threshold/AQE)
+    // picks broadcast; at sf100 the same query survives as a shuffle
+    // join instead of dying at the 8 GiB broadcast cap (sf100 soak)
     val p = planString(run("ql_join_inner"))
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
   }
