@@ -120,7 +120,98 @@ object YqlSql {
         }
       }
     }
-    tupleAccess(lowerAggregateBy(out.toString))
+    tupleAccess(aggSpellings(lowerAggregateBy(out.toString)))
+  }
+
+  /** Aggregate-function SPELLINGS the reference names differently from
+    * Spark (docs builtins/aggregation.md): SOME, the HLL trio, the
+    * AGGREGATE_LIST family, TOPFREQ/MODE, the STDDEV/VARIANCE alias
+    * zoo, CORRELATION/COVARIANCE (which per the docs do NOT skip NULL —
+    * it counts as 0), and the BOOL_* trio (which per the docs DO
+    * poison on NULL, unlike Spark's null-skipping bool_and/bool_or).
+    * Pure text lowering onto Spark aggregates — everything stays
+    * codegen'd and map-side-combined; TOPFREQ lands on the registered
+    * bounded-buffer [[TopFreqAgg]]. */
+  private def aggSpellings(sql: String): String = {
+    val names = Seq(
+      // longest-first so CORRELATION wins over CORR etc.
+      "AGGREGATE_LIST_DISTINCT", "AGG_LIST_DISTINCT", "AGGREGATE_LIST",
+      "AGG_LIST", "COUNTDISTINCTESTIMATE", "HYPERLOGLOG", "HLL",
+      "CORRELATION", "CORR", "COVARIANCE_POPULATION", "COVAR_POPULATION",
+      "COVARIANCE_SAMPLE", "COVAR_SAMPLE", "COVARIANCE", "COVAR",
+      "STDDEV_POPULATION", "POPULATION_STDDEV", "STDDEVPOP",
+      "STDDEV_SAMPLE", "SAMPLE_STDDEV", "STDDEVSAMP",
+      "VARIANCE_POPULATION", "POPULATION_VARIANCE", "VARPOP",
+      "VARIANCE_SAMPLE", "SAMPLE_VARIANCE", "VARSAMP",
+      "TOPFREQ", "MODE", "SOME", "BOOL_AND", "BOOL_OR", "BOOL_XOR")
+    val re = ("(?i)(?<![A-Za-z0-9_])(" + names.mkString("|") + ")\\s*\\(").r
+    val masked = YqlScript.maskQuotes(sql)
+    val m = re.findFirstMatchIn(masked).getOrElse(return sql)
+    val name = m.group(1).toUpperCase
+    val close = YqlScript.matchParen(sql, m.end - 1)
+    val rawArgs = YqlScript.splitTopLevel(sql.substring(m.end, close))
+      .map(_.trim).filter(_.nonEmpty)
+    // DISTINCT prefix (AGGREGATE_LIST(DISTINCT x))
+    val dm = rawArgs.headOption.flatMap(a =>
+      "(?i)^DISTINCT\\b".r.findFirstMatchIn(a))
+    val args = dm match {
+      case Some(d) => rawArgs.head.substring(d.end).trim +: rawArgs.tail
+      case None => rawArgs
+    }
+    // corr/covar route through registered yql_* builders (never the
+    // bare Spark names — `corr(` would re-match the CORR spelling and
+    // recurse); the builder adds the NULL-as-0 cast and accepts the
+    // AggregationFactory one-Tuple form
+    def twoArg(fn: String): String = s"$fn(${args.mkString(", ")})"
+    def listAgg(distinct: Boolean): String = {
+      val fn = if (distinct) "collect_set" else "collect_list"
+      val base = s"$fn(${args(0)})"
+      if (args.length > 1) s"slice($base, 1, ${args(1)})" else base
+    }
+    def nullPoison(inner: String): String =
+      s"CASE WHEN count_if((${args(0)}) IS NULL) > 0 THEN NULL ELSE $inner END"
+    val repl = name match {
+      case "SOME" => s"any_value(${args(0)}, true)"
+      case "COUNTDISTINCTESTIMATE" | "HYPERLOGLOG" | "HLL" =>
+        if (args.length > 1) {
+          val p = args(1).trim.toIntOption.getOrElse(throw
+            new IllegalArgumentException(
+              s"$name precision must be an integer literal, got ${args(1)}"))
+          require(p >= 4 && p <= 18, s"$name precision must be in [4, 18]")
+          // HLL precision p (2^p registers) → Spark's relative SD knob
+          val rsd = 1.04 / math.sqrt(math.pow(2.0, p.toDouble))
+          s"approx_count_distinct(${args(0)}, ${rsd}D)"
+        } else s"approx_count_distinct(${args(0)})"
+      case "AGGREGATE_LIST" | "AGG_LIST" => listAgg(dm.isDefined)
+      case "AGGREGATE_LIST_DISTINCT" | "AGG_LIST_DISTINCT" => listAgg(true)
+      case "TOPFREQ" | "MODE" =>
+        val num = if (name == "MODE") args.lift(1).getOrElse("1")
+          else args.lift(1).getOrElse("1")
+        val buf = args.lift(2).getOrElse("100")
+        s"yql_topfreq(${args(0)}, $num, $buf)"
+      case "CORRELATION" | "CORR" => twoArg("yql_corr")
+      case "COVARIANCE" | "COVAR" | "COVARIANCE_SAMPLE" | "COVAR_SAMPLE" =>
+        twoArg("yql_covar_samp")
+      case "COVARIANCE_POPULATION" | "COVAR_POPULATION" =>
+        twoArg("yql_covar_pop")
+      case "STDDEV_POPULATION" | "POPULATION_STDDEV" | "STDDEVPOP" =>
+        s"stddev_pop(${args(0)})"
+      case "STDDEV_SAMPLE" | "SAMPLE_STDDEV" | "STDDEVSAMP" =>
+        s"stddev_samp(${args(0)})"
+      case "VARIANCE_POPULATION" | "POPULATION_VARIANCE" | "VARPOP" =>
+        s"var_pop(${args(0)})"
+      case "VARIANCE_SAMPLE" | "SAMPLE_VARIANCE" | "VARSAMP" =>
+        s"var_samp(${args(0)})"
+      // every/any are Spark's aliases of bool_and/bool_or — spelled so
+      // because `bool_and(` in the replacement would re-match BOOL_AND
+      case "BOOL_AND" => nullPoison(s"every(${args(0)})")
+      case "BOOL_OR" => nullPoison(s"any(${args(0)})")
+      case "BOOL_XOR" => nullPoison(
+        s"CASE WHEN count(${args(0)}) = 0 THEN NULL " +
+          s"ELSE count_if(${args(0)}) % 2 = 1 END")
+      case other => throw new IllegalStateException(other)
+    }
+    aggSpellings(sql.substring(0, m.start) + repl + sql.substring(close + 1))
   }
 
   /** `AGGREGATE_BY([DISTINCT] expr, AggregationFactory('NAME'[, p...]))`
@@ -534,6 +625,40 @@ object YqlSql {
     reg1("digest_md5hex")(Digest.md5)
     reg("digest_farmhashfingerprint")(es => FarmHashExpr(es))
     reg("digest_farmhashfingerprint64")(es => FarmHashExpr(es))
+
+    // CORRELATION/COVARIANCE (aggregation.md#correlation-covariance):
+    // NULL counts as 0 per the docs (unlike Spark's pair-skipping
+    // corr/covar), and the AggregationFactory form passes ONE Tuple
+    // argument carrying both columns
+    locally {
+      import org.apache.spark.sql.functions.{coalesce, corr, covar_pop,
+        covar_samp, lit}
+      def corrLike(fn: (Column, Column) => Column)(es: Seq[Expression]): Expression = {
+        def dz(c: Column) = coalesce(c.cast("double"), lit(0d))
+        val (a, b) =
+          if (es.length >= 2) (cc(es(0)), cc(es(1)))
+          else (cc(es(0)).getField("_1"), cc(es(0)).getField("_2"))
+        S.convert(fn(dz(a), dz(b)))
+      }
+      reg("yql_corr")(corrLike(corr))
+      reg("yql_covar_samp")(corrLike(covar_samp))
+      reg("yql_covar_pop")(corrLike(covar_pop))
+    }
+
+    // TOPFREQ/MODE (aggregation.md#topfreq-mode) — the [[aggSpellings]]
+    // rewrite lands here; num/bufSize are compile-time constants like
+    // the reference's typed UDAF parameters
+    reg("yql_topfreq") { es =>
+      require(es.nonEmpty, "TOPFREQ takes (value[, num[, bufSize]])")
+      def lint(i: Int, dflt: Int): Int = if (es.length > i) {
+        require(es(i).foldable, "TOPFREQ num/buffer must be constants")
+        val v = es(i).eval(null)
+        require(v != null, "TOPFREQ num/buffer constant is null")
+        v.toString.toDouble.toInt
+      } else dflt
+      org.apache.spark.sql.graft.TopFreqAgg(es.head, lint(1, 1), lint(2, 100))
+        .toAggregateExpression()
+    }
     reg1("ip_isipv4")(Ip.isIPv4)
     reg1("ip_isipv6")(Ip.isIPv6)
     reg("ip_getsubnet")(es => S.convert(Ip.getSubnet(cc(es(0)),

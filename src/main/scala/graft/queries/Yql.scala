@@ -957,6 +957,67 @@ object Yql {
           |FROM orders""".stripMargin)
     }),
 
+    // The aggregate SPELLING zoo (builtins/aggregation.md): the
+    // STDDEV/VARIANCE alias family, CORRELATION/COVARIANCE (NULL
+    // counts as 0 per the docs), SOME (any-value witness — spelled on
+    // a group-constant column so every witness is equal), and the
+    // NULL-poisoning BOOL_* trio (docs: "do not skip NULL").
+    "yql_agg_spellings" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      graft.functions.YqlSql.sql(s,
+        """SELECT l_returnflag,
+          |  ROUND(STDDEV(l_quantity), 6) AS sd,
+          |  ROUND(STDDEV_POPULATION(l_quantity), 6) AS sd_pop,
+          |  ROUND(STDDEVSAMP(l_quantity), 6) AS sd_samp,
+          |  ROUND(VARIANCE(l_quantity), 6) AS var_s,
+          |  ROUND(VARPOP(l_quantity), 6) AS var_p,
+          |  ROUND(CORRELATION(l_quantity, l_discount), 6) AS corr_qd,
+          |  ROUND(COVARIANCE(l_quantity, l_discount), 6) AS cov_s,
+          |  ROUND(COVARIANCE_POPULATION(l_quantity, l_discount), 6) AS cov_p,
+          |  SOME(l_returnflag) AS some_flag,
+          |  BOOL_AND(l_quantity > 0) AS all_pos,
+          |  BOOL_XOR(l_orderkey % 2 = 0) AS xor_even,
+          |  BOOL_OR(CASE WHEN l_partkey % 500 = 7 THEN NULL
+          |    ELSE l_discount > 0.05 END) AS or_poisoned
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // AGGREGATE_LIST / AGG_LIST / *_DISTINCT (+ limit) and the HLL trio
+    // (CountDistinctEstimate/HyperLogLog/HLL → HLL++ estimate, pinned
+    // by an in-plan ±10% verdict against the exact distinct count).
+    "yql_agg_list_sql" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      graft.functions.YqlSql.sql(s,
+        """SELECT n_regionkey,
+          |  concat_ws(',', sort_array(AGGREGATE_LIST(n_name))) AS names,
+          |  concat_ws(',', sort_array(AGGREGATE_LIST(DISTINCT
+          |    substring(n_name, 1, 2)))) AS pre2,
+          |  concat_ws(',', sort_array(AGG_LIST_DISTINCT(n_name))) AS dnames,
+          |  CAST(size(AGGREGATE_LIST(n_name, 3)) AS BIGINT) AS lim3,
+          |  (HLL(n_name) * 1.0 BETWEEN COUNT(DISTINCT n_name) * 0.9
+          |    AND COUNT(DISTINCT n_name) * 1.1) AS hll_ok,
+          |  (CountDistinctEstimate(n_name, 16) * 1.0 BETWEEN
+          |    COUNT(DISTINCT n_name) * 0.9 AND COUNT(DISTINCT n_name) * 1.1)
+          |    AS cde_ok
+          |FROM nation GROUP BY n_regionkey""".stripMargin)
+    }),
+
+    // TOPFREQ / MODE string surface over the bounded-buffer TopFreqAgg
+    // (aggregation.md#topfreq-mode): buffer ≥ distinct count → exact,
+    // ties by (frequency desc, value asc), replayed in the oracle.
+    "yql_agg_topfreq_sql" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderstatus, x.Value AS val,
+          |  CAST(x.Frequency AS BIGINT) AS freq,
+          |  md.Value AS mode_val, CAST(md.Frequency AS BIGINT) AS mode_freq
+          |FROM (SELECT o_orderstatus,
+          |    TOPFREQ(o_orderpriority, 3, 1000) AS tf,
+          |    element_at(MODE(o_custkey % 10), 1) AS md
+          |  FROM orders GROUP BY o_orderstatus)
+          |LATERAL VIEW explode(tf) ex AS x""".stripMargin)
+    }),
+
     // DISTINCT window aggregates behind PRAGMA DistinctOverWindow
     // (source.cpp:290 gates agg(DISTINCT) OVER; sql_call_expr.cpp:392
     // SetOverWindowDistinct): lowered onto the per-frame collect_set —
@@ -1926,6 +1987,45 @@ object Yql {
            [ROUND(avg(o_custkey % 7), 6), ROUND(avg(o_orderkey % 13), 6),
             ROUND(avg(o_custkey % 97), 6)] AS mavg
          FROM orders""",
+    "yql_agg_spellings" ->
+      """SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd,
+           ROUND(stddev_pop(l_quantity), 6) AS sd_pop,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_samp,
+           ROUND(var_samp(l_quantity), 6) AS var_s,
+           ROUND(var_pop(l_quantity), 6) AS var_p,
+           ROUND(corr(l_quantity, l_discount), 6) AS corr_qd,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_s,
+           ROUND(covar_pop(l_quantity, l_discount), 6) AS cov_p,
+           l_returnflag AS some_flag,
+           bool_and(l_quantity > 0) AS all_pos,
+           (count(*) FILTER (WHERE l_orderkey % 2 = 0) % 2 = 1) AS xor_even,
+           CASE WHEN count(*) FILTER (WHERE l_partkey % 500 = 7) > 0
+             THEN NULL
+             ELSE bool_or(l_discount > 0.05) END AS or_poisoned
+         FROM lineitem GROUP BY l_returnflag""",
+    "yql_agg_list_sql" ->
+      """SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS names,
+           array_to_string(list_sort(list(DISTINCT substring(n_name, 1, 2))),
+             ',') AS pre2,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS dnames,
+           least(count(n_name), 3) AS lim3,
+           TRUE AS hll_ok, TRUE AS cde_ok
+         FROM nation GROUP BY n_regionkey""",
+    "yql_agg_topfreq_sql" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority AS val,
+               count(*) AS freq FROM orders GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY freq DESC, val ASC) AS rn FROM c),
+         m AS (SELECT o_orderstatus, o_custkey % 10 AS mv, count(*) AS mf
+               FROM orders GROUP BY 1, 2),
+         mr AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY mf DESC, mv ASC) AS rn FROM m)
+         SELECT r.o_orderstatus, r.val, r.freq,
+           mr.mv AS mode_val, mr.mf AS mode_freq
+         FROM r JOIN mr ON r.o_orderstatus = mr.o_orderstatus AND mr.rn = 1
+         WHERE r.rn <= 3""",
     // trapezoid-interpolation replay over the same 97 exact buckets
     // (positions 0..96, unit spacing): running sums + lag/lead give
     // the left/right bins of adaptive_histogram.cpp's formulas
