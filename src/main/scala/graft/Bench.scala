@@ -95,9 +95,21 @@ object Bench {
       // sub-0.3 s queries job-fixed overhead dominates and best-of-N
       // drifts with scheduler luck — the median is noise-robust, so
       // real regressions stand out across rounds. bench_full.json
-      // keeps best AND median per query.
-      val runs = Seq.fill(3)(once(name, timed)).sorted
-      name -> (runs(1), runs.head)
+      // keeps best AND median per query. SPARK_GRAFT_BENCH_RUNS=1
+      // for scale soaks: at sf100 a single shuffle-heavy run can
+      // spill tens of GB, and repeat runs accumulate shuffle files
+      // faster than ContextCleaner frees them (the sf100 ENOSPC).
+      val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+        .map(_.toInt).getOrElse(3)
+      val runs = Seq.fill(nRuns) {
+        val t = once(name, timed)
+        // release the previous run's shuffle files before the next:
+        // ContextCleaner frees them only after their references are
+        // GC'd, and three sf100-sized runs otherwise coexist on disk
+        if (nRuns > 1) System.gc()
+        t
+      }.sorted
+      name -> (runs(runs.length / 2), runs.head)
     }
     // The driver captures only the tail of the run output (~2000 chars), so
     // the JSON line must stay well under that: per-query seconds are rounded

@@ -120,7 +120,58 @@ object YqlSql {
         }
       }
     }
-    tupleAccess(aggSpellings(lowerAggregateBy(out.toString)))
+    tupleAccess(aggSpellings(lowerAggregateBy(structSugar(out.toString))))
+  }
+
+  /** The named-argument sugar of `AsStruct(value AS name, ...)` and
+    * `ExpandStruct(struct, value AS name, ...)` (struct.md;
+    * basic.md#asstruct) — Spark SQL cannot parse `AS` inside call
+    * arguments, so the items lower to alternating ('name', value)
+    * arguments of the registered builders. */
+  private def structSugar(sql: String): String = {
+    val re = "(?i)(?<![A-Za-z0-9_])(ExpandStruct|AsStruct)\\s*\\(".r
+    val m = re.findFirstMatchIn(YqlScript.maskQuotes(sql))
+      .getOrElse(return sql)
+    val fn = m.group(1).toLowerCase
+    val close = YqlScript.matchParen(sql, m.end - 1)
+    val args = YqlScript.splitTopLevel(sql.substring(m.end, close))
+      .map(_.trim).filter(_.nonEmpty)
+    // split one argument at its TOP-LEVEL trailing `AS name` (the AS
+    // inside CAST(x AS t) sits behind parens and is ignored)
+    def asItem(a: String): (String, String) = {
+      val masked = YqlScript.maskQuotes(a)
+      var depth = 0; var at = -1; var nm = ""
+      // anchored: the AS at position i must run to the END of the item
+      val re2 = "(?i)^AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+      var i = 0
+      while (i < masked.length) {
+        masked.charAt(i) match {
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case 'a' | 'A' if depth == 0 =>
+            re2.findFirstMatchIn(masked.substring(i)).foreach { mm =>
+              if (i == 0 || (!masked.charAt(i - 1).isLetterOrDigit &&
+                  masked.charAt(i - 1) != '_')) {
+                at = i; nm = mm.group(1)
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
+      require(at > 0, s"$fn items must be spelled `value AS name`, " +
+        s"got: ${a.take(60)}")
+      (nm, a.substring(0, at).trim)
+    }
+    val (head, items) =
+      if (fn == "expandstruct") (Seq(rewrite(args.head)), args.tail)
+      else (Seq.empty, args)
+    val lowered = items.map(asItem).flatMap { case (n, v) =>
+      Seq(s"'$n'", rewrite(v)) }
+    val target = if (fn == "expandstruct") "yql_expandstruct" else "yql_asstruct"
+    structSugar(sql.substring(0, m.start) +
+      s"$target(${(head ++ lowered).mkString(", ")})" +
+      sql.substring(close + 1))
   }
 
   /** Aggregate-function SPELLINGS the reference names differently from
@@ -625,6 +676,118 @@ object YqlSql {
     reg1("digest_md5hex")(Digest.md5)
     reg("digest_farmhashfingerprint")(es => FarmHashExpr(es))
     reg("digest_farmhashfingerprint64")(es => FarmHashExpr(es))
+
+    // ——— the struct-builtins family (struct.md; StructModule.scala).
+    // AddMember/ExpandStruct/RemoveMember(s) ride Spark's own
+    // UpdateFields (full codegen) behind the AssertFieldsExpr guard;
+    // struct-producing results re-sort into the reference's canonical
+    // lexicographic member order.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct,
+        DropField, Literal, UpdateFields, WithField}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      def litStrings(e: Expression, fn: String): Seq[String] = {
+        require(e.foldable, s"$fn requires a constant member-name list")
+        val v = e.eval(null)
+        require(v != null, s"$fn member-name list is null")
+        v.asInstanceOf[ArrayData].toArray[UTF8String](StringType)
+          .map(_.toString).toSeq
+      }
+      def litPairs(e: Expression, fn: String): Seq[(String, String)] = {
+        require(e.foldable, s"$fn requires a constant rename-rule list")
+        val arr = e.eval(null).asInstanceOf[ArrayData]
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2)
+          (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+        }
+      }
+      reg("trymember")(es =>
+        TryMemberExpr(es(0), litStr(es(1), "TryMember"), es(2)))
+      reg("addmember") { es =>
+        val n = litStr(es(1), "AddMember")
+        SortStructExpr(UpdateFields(
+          AssertFieldsExpr(es(0), Seq(n), mustExist = false, "AddMember"),
+          Seq(WithField(n, es(2)))))
+      }
+      reg("yql_expandstruct") { es =>
+        require(es.length >= 3 && es.length % 2 == 1,
+          "ExpandStruct takes (struct, value AS name, ...)")
+        val items = es.tail.grouped(2)
+          .map(g => (litStr(g(0), "ExpandStruct"), g(1))).toSeq
+        val dup = items.map(_._1).groupBy(identity)
+          .collectFirst { case (n, g) if g.length > 1 => n }
+        require(dup.isEmpty, s"ExpandStruct: duplicate member '${dup.get}'")
+        SortStructExpr(UpdateFields(
+          AssertFieldsExpr(es(0), items.map(_._1), mustExist = false,
+            "ExpandStruct"),
+          items.map { case (n, v) => WithField(n, v) }))
+      }
+      reg("removemember") { es =>
+        val n = litStr(es(1), "RemoveMember")
+        SortStructExpr(UpdateFields(
+          AssertFieldsExpr(es(0), Seq(n), mustExist = true, "RemoveMember"),
+          Seq(DropField(n))))
+      }
+      reg("forceremovemember") { es =>
+        SortStructExpr(UpdateFields(es(0),
+          Seq(DropField(litStr(es(1), "ForceRemoveMember")))))
+      }
+      reg("choosemembers") { es =>
+        val names = litStrings(es(1), "ChooseMembers")
+        require(names.nonEmpty, "ChooseMembers needs at least one member")
+        CreateNamedStruct(names.sorted.flatMap(n =>
+          Seq(Literal(n), UnresolvedExtractValue(es(0), Literal(n)))))
+      }
+      reg("removemembers") { es =>
+        val names = litStrings(es(1), "RemoveMembers")
+        SortStructExpr(UpdateFields(
+          AssertFieldsExpr(es(0), names, mustExist = true, "RemoveMembers"),
+          names.map(DropField.apply)))
+      }
+      reg("forceremovemembers") { es =>
+        val names = litStrings(es(1), "ForceRemoveMembers")
+        SortStructExpr(UpdateFields(es(0), names.map(DropField.apply)))
+      }
+      reg("combinemembers") { es =>
+        require(es.length >= 2, "CombineMembers takes two or more structs")
+        CombineMembersExpr(es, es.map(_ => ""), "CombineMembers")
+      }
+      reg("flattenmembers") { es =>
+        require(es.length >= 2,
+          "FlattenMembers takes two or more (prefix, struct) tuples")
+        val parts = es.map {
+          case cns: CreateNamedStruct if cns.valExprs.length == 2 &&
+              cns.valExprs.head.foldable =>
+            (String.valueOf(cns.valExprs.head.eval(null)), cns.valExprs(1))
+          case other => throw new IllegalArgumentException(
+            "FlattenMembers arguments must be AsTuple(prefix, struct) " +
+              s"with a constant prefix, got ${other.sql}")
+        }
+        CombineMembersExpr(parts.map(_._2), parts.map(_._1),
+          "FlattenMembers")
+      }
+      reg("structmembers")(es => StructMembersExpr(es.head))
+      reg("gathermembers")(es => GatherMembersExpr(es.head))
+      reg("renamemembers")(es => RenameMembersExpr(es(0),
+        litPairs(es(1), "RenameMembers"), force = false))
+      reg("forcerenamemembers")(es => RenameMembersExpr(es(0),
+        litPairs(es(1), "ForceRenameMembers"), force = true))
+      reg("spreadmembers")(es => SpreadMembersExpr(es(0),
+        litStrings(es(1), "SpreadMembers"), force = false))
+      reg("forcespreadmembers")(es => SpreadMembersExpr(es(0),
+        litStrings(es(1), "ForceSpreadMembers"), force = true))
+      // AsStruct(e AS n, ...) — the struct constructor itself
+      // (basic.md#asstruct); the AS-argument sugar lowers in
+      // [[structSugar]] to alternating name/value arguments
+      reg("yql_asstruct") { es =>
+        require(es.length % 2 == 0, "AsStruct takes value AS name items")
+        SortStructExpr(CreateNamedStruct(es.grouped(2).flatMap(g =>
+          Seq(Literal(litStr(g(0), "AsStruct")), g(1))).toSeq))
+      }
+    }
 
     // CORRELATION/COVARIANCE (aggregation.md#correlation-covariance):
     // NULL counts as 0 per the docs (unlike Spark's pair-skipping

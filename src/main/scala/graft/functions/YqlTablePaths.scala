@@ -232,6 +232,15 @@ object YqlTablePaths {
     val rows = YqlScript.splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
     require(rows.nonEmpty, "AS_TABLE list is empty")
     val structs = rows.map { r =>
+      // rows may arrive pre-lowered by YqlSql.structSugar —
+      // yql_asstruct('n', e, ...) is already named_struct-shaped
+      val pre = "(?i)^yql_asstruct\\s*\\(".r.findFirstMatchIn(r)
+      if (pre.isDefined) {
+        val close = YqlScript.matchParen(r, pre.get.end - 1)
+        require(r.substring(close + 1).trim.isEmpty,
+          s"trailing text after an AS_TABLE row: ${r.take(60)}")
+        s"named_struct(${r.substring(pre.get.end, close)})"
+      } else {
       val m = "(?i)^AsStruct\\s*\\(".r.findFirstMatchIn(r).getOrElse(
         throw new IllegalArgumentException(
           s"AS_TABLE rows must be AsStruct(expr AS name, ...): ${r.take(60)}"))
@@ -247,6 +256,7 @@ object YqlTablePaths {
           s"'${am.group(2)}', ${am.group(1)}"
         }
       s"named_struct(${fields.mkString(", ")})"
+      }
     }
     s"(SELECT inline(array(${structs.mkString(", ")})))"
   }

@@ -957,6 +957,42 @@ object Yql {
           |FROM orders""".stripMargin)
     }),
 
+    // The struct-builtins family over the string surface (struct.md:
+    // TryMember/AddMember/ExpandStruct/RemoveMember/ChooseMembers/
+    // StructMembers/CombineMembers/FlattenMembers/RenameMembers/
+    // SpreadMembers/GatherMembers) — each member re-read as a scalar so
+    // the DuckDB oracle replays the arithmetic directly.
+    "yql_fn_struct_module" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part")
+      graft.functions.YqlSql.sql(s,
+        """SELECT p_partkey,
+          |  TryMember(AsStruct(p_brand AS brand, p_size AS size),
+          |    'brand', 'none') AS tm_hit,
+          |  TryMember(AsStruct(p_brand AS brand), 'sometype', 'none')
+          |    AS tm_miss,
+          |  (AddMember(AsStruct(p_brand AS brand), 'sz', p_size)).sz
+          |    AS am_sz,
+          |  (ExpandStruct(AsStruct(p_brand AS brand), p_size AS size,
+          |    p_type AS ptype)).ptype AS es_type,
+          |  (RemoveMember(AsStruct(p_brand AS brand, p_size AS size),
+          |    'brand')).size AS rm_size,
+          |  (ChooseMembers(AsStruct(p_brand AS b, p_size AS s,
+          |    p_type AS tt), array('b', 'tt'))).tt AS cm_t,
+          |  concat_ws(',', StructMembers(AsStruct(p_size AS z,
+          |    p_brand AS a))) AS sm,
+          |  (CombineMembers(AsStruct(p_brand AS b1),
+          |    AsStruct(p_type AS b2))).b2 AS comb_t,
+          |  (FlattenMembers(AsTuple('x', AsStruct(p_size AS n)),
+          |    AsTuple('y', AsStruct(p_size AS n)))).yn AS fm_yn,
+          |  (RenameMembers(AsStruct(p_brand AS a, p_size AS b),
+          |    array(AsTuple('a', 'c')))).c AS ren_c,
+          |  (SpreadMembers(array(AsTuple('k', p_size),
+          |    AsTuple('k', p_size + 1)), array('k', 'm'))).k AS sp_k,
+          |  element_at(GatherMembers(AsStruct(p_size AS a,
+          |    p_size * 2 AS b)), 2)._2 AS gm_b
+          |FROM part""".stripMargin)
+    }),
+
     // The aggregate SPELLING zoo (builtins/aggregation.md): the
     // STDDEV/VARIANCE alias family, CORRELATION/COVARIANCE (NULL
     // counts as 0 per the docs), SOME (any-value witness — spelled on
@@ -1987,6 +2023,21 @@ object Yql {
            [ROUND(avg(o_custkey % 7), 6), ROUND(avg(o_orderkey % 13), 6),
             ROUND(avg(o_custkey % 97), 6)] AS mavg
          FROM orders""",
+    "yql_fn_struct_module" ->
+      """SELECT p_partkey,
+           p_brand AS tm_hit,
+           'none' AS tm_miss,
+           p_size AS am_sz,
+           p_type AS es_type,
+           p_size AS rm_size,
+           p_type AS cm_t,
+           'a,z' AS sm,
+           p_type AS comb_t,
+           p_size AS fm_yn,
+           p_brand AS ren_c,
+           p_size + 1 AS sp_k,
+           p_size * 2 AS gm_b
+         FROM part""",
     "yql_agg_spellings" ->
       """SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity), 6) AS sd,
