@@ -94,6 +94,8 @@ object EnsureTypeExpr {
       "uuid" -> YtUuid, "date" -> YtDate, "datetime" -> YtDatetime,
       "timestamp" -> YtTimestamp, "interval" -> YtInterval)
     if (simple.contains(lower)) toSpark(simple(lower))
+    // the `T?` optional suffix spelling (types/type_string.md)
+    else if (lower.endsWith("?")) parse(text.dropRight(1))
     else if (lower.startsWith("optional<")) parse(inner("Optional<"))
     else if (lower.startsWith("list<"))
       ArrayType(parse(inner("List<")), containsNull = true)
@@ -101,6 +103,18 @@ object EnsureTypeExpr {
       val parts = splitTop(inner("Dict<"))
       require(parts.length == 2, s"malformed Dict type: $text0")
       MapType(parse(parts(0)), parse(parts(1)), valueContainsNull = true)
+    } else if (lower.startsWith("tuple<")) {
+      // YQL tuples are the engine's canonical _1.._n positional structs
+      val parts = splitTop(inner("Tuple<"))
+      StructType(parts.zipWithIndex.map { case (t, i) =>
+        StructField(s"_${i + 1}", parse(t)) })
+    } else if (lower.startsWith("struct<") && text.contains(":")) {
+      val parts = splitTop(inner("Struct<"))
+      StructType(parts.map { p =>
+        val i = p.indexOf(':')
+        require(i > 0, s"malformed Struct member: $p")
+        StructField(p.substring(0, i).trim, parse(p.substring(i + 1)))
+      })
     } else
       try DataType.fromDDL(text)
       catch { case _: Exception => throw new IllegalArgumentException(

@@ -346,6 +346,80 @@ final case class SpreadMembersExpr(
     copy(pairs = newChild)
 }
 
+/** ListUnionAll (list.md#listunionall): concatenate lists of structs;
+  * the result struct carries the union of the member names (canonical
+  * order), members absent from a source list are null. Same-named
+  * members must agree on type (the documented common-type widening is
+  * served by the engine's type bijection — mismatches error at
+  * analysis). */
+final case class ListUnionAllExpr(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  private lazy val parts: Seq[StructType] = children.map(_.dataType match {
+    case ArrayType(s: StructType, _) => s
+    case other => throw new IllegalArgumentException(
+      s"ListUnionAll expects lists of structs, got ${other.simpleString}")
+  })
+  private lazy val fields: Seq[StructField] =
+    parts.flatMap(_.fields).groupBy(_.name).toSeq.sortBy(_._1)
+      .map { case (n, fs) => StructField(n, fs.head.dataType,
+        nullable = true) }
+  // per source: result-field index → source-field index (or -1)
+  private lazy val mapping: Seq[Array[Int]] = parts.map { s =>
+    fields.map(f => s.fieldNames.indexOf(f.name)).toArray
+  }
+
+  override def dataType: DataType =
+    ArrayType(StructType(fields.toArray), containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "listunionall"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val notList = children.find(c => !(c.dataType match {
+      case ArrayType(_: StructType, _) => true
+      case _ => false
+    }))
+    if (notList.isDefined)
+      return TypeCheckResult.TypeCheckFailure(
+        "ListUnionAll expects lists of structs, got " +
+          notList.get.dataType.simpleString)
+    val clash = parts.flatMap(_.fields).groupBy(_.name).collectFirst {
+      case (n, fs) if fs.map(_.dataType.sql).distinct.length > 1 => n
+    }
+    clash match {
+      case Some(n) => TypeCheckResult.TypeCheckFailure(
+        s"ListUnionAll: member '$n' has conflicting types across lists")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    children.indices.foreach { ci =>
+      val v = children(ci).eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        val src = parts(ci)
+        var i = 0
+        while (i < arr.numElements()) {
+          val row = arr.getStruct(i, src.fields.length)
+          out += new GenericInternalRow(mapping(ci).zipWithIndex.map {
+            case (si, fi) =>
+              if (si < 0 || row == null) null
+              else row.get(si, src.fields(si).dataType)
+          }.toArray[Any])
+          i += 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** TryMember (struct.md#trymember): the member's value if the member
   * exists AND is non-null, else the default; member and default types
   * must agree when the member exists. Null struct → null. */

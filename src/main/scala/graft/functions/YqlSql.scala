@@ -120,7 +120,300 @@ object YqlSql {
         }
       }
     }
-    tupleAccess(aggSpellings(lowerAggregateBy(structSugar(out.toString))))
+    tupleAccess(aggSpellings(lowerAggregateBy(lowerContainerAggregate(
+      structSugar(containerLiterals(typeArgSugar(out.toString)))))))
+  }
+
+  /** `ListAggregate(list, AggregationFactory('NAME'[, p]))` and
+    * `DictAggregate(dict-of-lists, factory)` (list.md#listaggregate,
+    * dict.md#dictaggregate): the factory applies to a LIST value, not
+    * a group — lowered onto array expressions (count/min/max/sum/avg
+    * and the exact interpolated median/percentile), per dict key for
+    * DictAggregate with empty-list keys removed, all inside one
+    * codegen'd projection. */
+  private def lowerContainerAggregate(sql: String): String = {
+    val re = "(?i)\\b(List|Dict)Aggregate\\s*\\(".r
+    val m = re.findFirstMatchIn(YqlScript.maskQuotes(sql))
+      .getOrElse(return sql)
+    val dict = m.group(1).equalsIgnoreCase("Dict")
+    val close = YqlScript.matchParen(sql, m.end - 1)
+    val args = YqlScript.splitTopLevel(sql.substring(m.end, close))
+      .map(_.trim)
+    require(args.length == 2,
+      s"${m.group(1)}Aggregate takes (container, aggregation factory)")
+    var fac = args(1)
+    while (fac.startsWith("(") && YqlScript.matchParen(fac, 0) == fac.length - 1)
+      fac = fac.substring(1, fac.length - 1).trim
+    val fm = "(?i)^AggregationFactory\\s*\\(".r.findFirstMatchIn(fac)
+      .getOrElse(throw new IllegalArgumentException(
+        s"${m.group(1)}Aggregate factory must be AggregationFactory(...)"))
+    val fclose = YqlScript.matchParen(fac, fm.end - 1)
+    val fargs = YqlScript.splitTopLevel(fac.substring(fm.end, fclose))
+      .map(_.trim)
+    require(fargs.nonEmpty && fargs.head.length >= 2 &&
+      (fargs.head.head == '\'' || fargs.head.head == '"'),
+      "AggregationFactory takes a constant aggregate name")
+    val name = fargs.head.substring(1, fargs.head.length - 1).toLowerCase
+    val params = fargs.tail
+    def overList(l: String): String = {
+      val nn = s"filter($l, __lagg_x -> __lagg_x IS NOT NULL)"
+      def pctl(p: String): String = {
+        val s = s"array_sort(transform($nn, __lagg_x -> " +
+          "CAST(__lagg_x AS DOUBLE)))"
+        val r = s"((size($s) - 1) * CAST($p AS DOUBLE))"
+        s"CASE WHEN size($s) = 0 THEN NULL ELSE " +
+          s"element_at($s, CAST(floor($r) AS INT) + 1) * " +
+          s"(1.0D - ($r - floor($r))) + " +
+          s"element_at($s, CAST(ceil($r) AS INT) + 1) * " +
+          s"($r - floor($r)) END"
+      }
+      name match {
+        case "count" => s"CAST(size($nn) AS BIGINT)"
+        case "min" => s"array_min($nn)"
+        case "max" => s"array_max($nn)"
+        case "sum" => s"aggregate($nn, try_element_at($nn, 1) - " +
+          s"try_element_at($nn, 1), (__lagg_a, __lagg_x) -> " +
+          "__lagg_a + __lagg_x)"
+        case "avg" => s"CASE WHEN size($nn) = 0 THEN NULL ELSE " +
+          s"aggregate(transform($nn, __lagg_x -> " +
+          s"CAST(__lagg_x AS DOUBLE)), 0.0D, " +
+          s"(__lagg_a, __lagg_x) -> __lagg_a + __lagg_x) / size($nn) END"
+        case "median" => pctl(params.headOption.getOrElse("0.5"))
+        case "percentile" => pctl(params.headOption.getOrElse(
+          throw new IllegalArgumentException(
+            "AggregationFactory('percentile') needs the level parameter")))
+        case other => throw new IllegalArgumentException(
+          s"${m.group(1)}Aggregate supports count/min/max/sum/avg/" +
+            s"median/percentile factories, got: $other")
+      }
+    }
+    val container = rewrite(args(0))
+    val repl =
+      if (!dict) overList(s"($container)")
+      else "map_from_entries(transform(filter(map_entries(" +
+        s"$container), __dagg_e -> size(__dagg_e.value) > 0), " +
+        s"__dagg_e -> struct(__dagg_e.key, " +
+        s"${overList("__dagg_e.value")})))"
+    lowerContainerAggregate(
+      sql.substring(0, m.start) + repl + sql.substring(close + 1))
+  }
+
+  /** The bare-type-token argument of `Nothing(Optional<Int32>)`,
+    * `FromBytes(b, Uint64)` and `Unpickle(Uint32, b)` (basic.md) —
+    * Spark SQL cannot parse a type expression in argument position, so
+    * the type text quotes into the string literal the builders take. */
+  private def typeArgSugar(sql: String): String = {
+    val re = ("(?i)(?<![A-Za-z0-9_])(Nothing|FromBytes|Unpickle|" +
+      "ListCreate|DictCreate|SetCreate)\\s*\\(").r
+    val masked = YqlScript.maskQuotes(sql)
+    var out = sql
+    // right-to-left so earlier offsets stay valid after replacement
+    // split args tracking <> depth too: Tuple<Utf8,Double?> must stay
+    // one argument
+    def splitAngleAware(s: String): Seq[String] = {
+      val outB = scala.collection.mutable.ArrayBuffer.empty[String]
+      var d = 0; var start = 0; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' | '[' | '{' | '<' => d += 1
+          case ')' | ']' | '}' | '>' => d -= 1
+          case ',' if d == 0 => outB += s.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      outB += s.substring(start)
+      outB.toSeq.map(_.trim)
+    }
+    for (m <- re.findAllMatchIn(masked).toSeq.reverseIterator) {
+      val close = YqlScript.matchParen(out, m.end - 1)
+      val args = splitAngleAware(out.substring(m.end, close))
+      val tis: Seq[Int] = m.group(1).toLowerCase match {
+        case "frombytes" => Seq(1)
+        case "dictcreate" => Seq(0, 1)
+        case _ => Seq(0)
+      }
+      var newArgs = args
+      var changed = false
+      for (ti <- tis if ti < args.length) {
+        val t = args(ti)
+        val isType = t.nonEmpty && t.head.isLetter &&
+          t.forall(c => c.isLetterOrDigit || "<>?,:_ ".contains(c)) &&
+          !t.equalsIgnoreCase("null")
+        if (isType) { newArgs = newArgs.updated(ti, s"'$t'"); changed = true }
+      }
+      if (changed)
+        out = out.substring(0, m.end) + newArgs.mkString(", ") +
+          out.substring(close)
+    }
+    out
+  }
+
+  /** YQL container literals (basic.md#containerliteral):
+    * `<|name: value, ...|>` (struct), `[v, ...]` (list), `{k: v, ...}`
+    * (dict) and `{k, ...}` (set) — lowered onto the same builders the
+    * spelled-out constructors use (AsStruct/AsList/AsDict/AsSet).
+    * Tuple literals `(a, b)` stay with AsTuple: bare parens are
+    * ambiguous with SQL grouping and row constructors.
+    *
+    * `[` directly after an identifier/`)`/`]` is element access, not a
+    * literal; `{` inside a MATCH_RECOGNIZE PATTERN(...) is a
+    * quantifier, so PATTERN regions are skipped. */
+  private def containerLiterals(sql: String): String = {
+    val masked0 = YqlScript.maskQuotes(sql)
+    // mask PATTERN ( ... ) regions — `{n,m}` quantifiers live there
+    val masked = {
+      val sb = new StringBuilder(masked0)
+      val p = "(?i)\\bPATTERN\\s*\\(".r
+      for (m <- p.findAllMatchIn(masked0)) {
+        try {
+          val close = YqlScript.matchParen(masked0, m.end - 1)
+          for (i <- m.end until close) sb.setCharAt(i, 'x')
+        } catch { case _: IllegalArgumentException => }
+      }
+      sb.toString
+    }
+    def identChar(c: Char) = c.isLetterOrDigit || c == '_'
+    def prevNonSpace(i: Int): Char = {
+      var j = i - 1
+      while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+      if (j < 0) ' ' else masked.charAt(j)
+    }
+    // `[` after an identifier is element access — except after a SQL
+    // keyword, where an expression (so a list literal) begins
+    val kw = Set("SELECT", "DISTINCT", "WHERE", "HAVING", "WHEN", "THEN",
+      "ELSE", "AND", "OR", "NOT", "IN", "BY", "AS", "ON", "RETURN",
+      "RETURNING", "UNION", "ALL", "VALUES", "SET", "BETWEEN", "LIKE",
+      "ILIKE", "RLIKE", "IS", "CASE", "OVER", "PARTITION", "ORDER",
+      "GROUP", "LIMIT", "OFFSET", "ASC", "DESC", "JOIN", "FROM", "USING")
+    def prevWordIsKeyword(i: Int): Boolean = {
+      var j = i - 1
+      while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+      val end = j
+      while (j >= 0 && identChar(masked.charAt(j))) j -= 1
+      end > j && kw(masked.substring(j + 1, end + 1).toUpperCase)
+    }
+    // matching closer with <| |> / [ ] / { } / ( ) depth tracking
+    def matchClose(open: Int): Int = {
+      var i = open; var depth = 0
+      while (i < masked.length) {
+        val c = masked.charAt(i)
+        if (c == '<' && i + 1 < masked.length && masked.charAt(i + 1) == '|') {
+          depth += 1; i += 2
+        } else if (c == '|' && i + 1 < masked.length &&
+            masked.charAt(i + 1) == '|') {
+          i += 2 // string concat operator
+        } else if (c == '|' && i + 1 < masked.length &&
+            masked.charAt(i + 1) == '>') {
+          depth -= 1; if (depth == 0) return i; i += 2
+        } else {
+          if (c == '(' || c == '[' || c == '{') depth += 1
+          else if (c == ')' || c == ']' || c == '}') {
+            depth -= 1; if (depth == 0) return i
+          }
+          i += 1
+        }
+      }
+      throw new IllegalArgumentException(
+        s"unbalanced container literal at $open: ${sql.take(80)}")
+    }
+    // split items at top level of the SAME bracket classes
+    def splitItems(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var start = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '|') {
+          depth += 1; i += 2
+        } else if (c == '|' && i + 1 < s.length &&
+            (s.charAt(i + 1) == '|' || s.charAt(i + 1) == '>')) {
+          if (s.charAt(i + 1) == '>') depth -= 1
+          i += 2
+        } else {
+          if (c == '(' || c == '[' || c == '{') depth += 1
+          else if (c == ')' || c == ']' || c == '}') depth -= 1
+          else if (c == ',' && depth == 0) { out += s.substring(start, i); start = i + 1 }
+          i += 1
+        }
+      }
+      out += s.substring(start)
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    // first top-level single ':' (':: module calls don't split)
+    def splitColon(s: String): Option[(String, String)] = {
+      var depth = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '|') {
+          depth += 1; i += 2
+        } else if (c == '|' && i + 1 < s.length &&
+            (s.charAt(i + 1) == '|' || s.charAt(i + 1) == '>')) {
+          if (s.charAt(i + 1) == '>') depth -= 1
+          i += 2
+        } else if (c == ':' && depth == 0) {
+          if (i + 1 < s.length && s.charAt(i + 1) == ':') i += 2
+          else if (i > 0 && s.charAt(i - 1) == ':') i += 1
+          else return Some((s.substring(0, i).trim, s.substring(i + 1).trim))
+        } else {
+          if (c == '(' || c == '[' || c == '{') depth += 1
+          else if (c == ')' || c == ']' || c == '}') depth -= 1
+          i += 1
+        }
+      }
+      None
+    }
+    def structName(raw: String): String = {
+      val t = raw.trim
+      if (t.startsWith("`") && t.endsWith("`") && t.length >= 2)
+        "'" + t.substring(1, t.length - 1).replace("'", "\\'") + "'"
+      else if (t.nonEmpty && (t.head.isLetter || t.head == '_') &&
+          t.forall(identChar))
+        s"'$t'"
+      else t // expression form — the builder requires it foldable
+    }
+    var i = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '<' && i + 1 < masked.length && masked.charAt(i + 1) == '|') {
+        val close = matchClose(i) // at the '|' of '|>'
+        val items = splitItems(sql.substring(i + 2, close))
+        val parts = items.map { it =>
+          splitColon(it) match {
+            case Some((n, v)) => s"${structName(n)}, ${containerLiterals(v)}"
+            case None => throw new IllegalArgumentException(
+              s"struct literal items need `name: value`: ${it.take(60)}")
+          }
+        }
+        return containerLiterals(sql.substring(0, i) +
+          s"yql_asstruct(${parts.mkString(", ")})" + sql.substring(close + 2))
+      } else if (c == '[' &&
+          ((!identChar(prevNonSpace(i)) && prevNonSpace(i) != ')' &&
+            prevNonSpace(i) != ']') || prevWordIsKeyword(i))) {
+        val close = matchClose(i)
+        val items = splitItems(sql.substring(i + 1, close))
+          .map(containerLiterals)
+        return containerLiterals(sql.substring(0, i) +
+          s"array(${items.mkString(", ")})" + sql.substring(close + 1))
+      } else if (c == '{') {
+        val close = matchClose(i)
+        val items = splitItems(sql.substring(i + 1, close))
+        val entries = items.map(splitColon)
+        val repl =
+          if (items.nonEmpty && entries.forall(_.isDefined))
+            "todict(array(" + entries.flatten.map { case (k, v) =>
+              s"named_struct('_1', ${containerLiterals(k)}, " +
+                s"'_2', ${containerLiterals(v)})" }.mkString(", ") + "))"
+          else if (entries.forall(_.isEmpty))
+            s"toset(array(${items.map(containerLiterals).mkString(", ")}))"
+          else throw new IllegalArgumentException(
+            "a container literal mixes dict `k: v` and set items: " +
+              sql.substring(i, math.min(close + 1, i + 60)))
+        return containerLiterals(
+          sql.substring(0, i) + repl + sql.substring(close + 1))
+      }
+      i += 1
+    }
+    sql
   }
 
   /** The named-argument sugar of `AsStruct(value AS name, ...)` and
@@ -769,6 +1062,10 @@ object YqlSql {
         CombineMembersExpr(parts.map(_._2), parts.map(_._1),
           "FlattenMembers")
       }
+      reg("listunionall") { es =>
+        require(es.length >= 2, "ListUnionAll takes two or more lists")
+        ListUnionAllExpr(es)
+      }
       reg("structmembers")(es => StructMembersExpr(es.head))
       reg("gathermembers")(es => GatherMembersExpr(es.head))
       reg("renamemembers")(es => RenameMembersExpr(es(0),
@@ -1022,6 +1319,85 @@ object YqlSql {
     import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, ArrayTransform}
     reg("listmap")(es => ArrayTransform(es(0), es(1)))
     reg("listfilter")(es => ArrayFilter(es(0), es(1)))
+    // ListCollect: Spark arrays are eager — identity (list.md
+    // #listcollect exists to force a LAZY list; there is none here)
+    reg("listcollect")(es => es.head)
+    // ListCreate / DictCreate / SetCreate (list.md, dict.md): empty
+    // containers of an explicitly named type (typeArgSugar quotes the
+    // bare type token); a set is the engine's canonical sorted array
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, MapType}
+      reg("listcreate")(es => Literal.create(Seq.empty[Any],
+        ArrayType(EnsureTypeExpr.parse(litStr(es.head, "ListCreate")))))
+      reg("setcreate")(es => Literal.create(Seq.empty[Any],
+        ArrayType(EnsureTypeExpr.parse(litStr(es.head, "SetCreate")))))
+      reg("dictcreate")(es => Literal.create(Map.empty[Any, Any],
+        MapType(EnsureTypeExpr.parse(litStr(es(0), "DictCreate")),
+          EnsureTypeExpr.parse(litStr(es(1), "DictCreate")))))
+    }
+    // ListFold / ListFoldMap (list.md): the user lambda is
+    // (item, state) — Spark's aggregate merge is (state, item), so the
+    // lambda's parameter list swaps. ListFoldMap's per-step (newItem,
+    // newState) tuple is obtained by APPLYING the user lambda through
+    // a single-element zip_with (Catalyst has no direct lambda-apply),
+    // then the fold accumulates (items array, state).
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate,
+        CreateArray, CreateNamedStruct, GetStructField, LambdaFunction,
+        Literal => CLit, UnresolvedNamedLambdaVariable, ZipWith}
+      def swap(lam: Expression): Expression = lam match {
+        case lf: LambdaFunction if lf.arguments.length == 2 =>
+          lf.copy(arguments = Seq(lf.arguments(1), lf.arguments(0)))
+        case other => throw new IllegalArgumentException(
+          "ListFold takes a two-argument (item, state) lambda, got: " +
+            other.sql)
+      }
+      def freshVar(n: String) =
+        UnresolvedNamedLambdaVariable(Seq(n))
+      reg("listfold") { es =>
+        require(es.length == 3, "ListFold takes (list, state, lambda)")
+        val v = freshVar("__lf_fin")
+        ArrayAggregate(es(0), es(1), swap(es(2)),
+          LambdaFunction(v, Seq(v)))
+      }
+      reg("listfoldmap") { es =>
+        require(es.length == 3, "ListFoldMap takes (list, state, lambda)")
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        def fld(e: Expression, n: String): Expression =
+          UnresolvedExtractValue(e, CLit(n))
+        // apply the user (item, state) lambda: Catalyst has no direct
+        // lambda-apply, so ride a single-element zip_with
+        def applyLam(item: Expression, state: Expression): Expression =
+          UnresolvedFunction(Seq("element_at"),
+            Seq(ZipWith(CreateArray(Seq(item)), CreateArray(Seq(state)),
+              es(2).asInstanceOf[LambdaFunction]), CLit(1)),
+            isDistinct = false)
+        // acc: struct<_1: array<newItem>, _2: state>
+        val acc = freshVar("__lfm_acc")
+        val x = freshVar("__lfm_x")
+        val pair = applyLam(x, fld(acc, "_2"))
+        val merge = LambdaFunction(
+          CreateNamedStruct(Seq(
+            CLit("_1"), UnresolvedFunction(Seq("concat"), Seq(
+              fld(acc, "_1"), CreateArray(Seq(fld(pair, "_1")))),
+              isDistinct = false),
+            CLit("_2"), fld(pair, "_2"))),
+          Seq(acc, x))
+        // zero's empty item array gets the newItem TYPE from a sliced
+        // transform over the input (nothing survives the 0-length slice)
+        val q = freshVar("__lfm_q")
+        val zero = CreateNamedStruct(Seq(
+          CLit("_1"), UnresolvedFunction(Seq("slice"),
+            Seq(ArrayTransform(es(0),
+              LambdaFunction(fld(applyLam(q, es(1)), "_1"), Seq(q))),
+              CLit(1), CLit(0)), isDistinct = false),
+          CLit("_2"), es(1)))
+        val fin = freshVar("__lfm_fin")
+        ArrayAggregate(es(0), zero, merge,
+          LambdaFunction(fld(fin, "_1"), Seq(fin)))
+      }
+    }
     alias("listflatmap", "flatten") // compose with ListMap for the lambda form
     alias("listsort", "array_sort")
     alias("listuniq", "array_distinct")
@@ -1262,6 +1638,86 @@ object YqlSql {
         isDistinct = false))
     regRandom("RandomUuid",
       () => UnresolvedFunction(Seq("uuid"), Nil, isDistinct = false))
+
+    // ——— basic.md stragglers: optional ops, byte/bit surgery, the
+    // remaining As* container constructors, hint passthroughs,
+    // timezone shifts and the (engine-canonical) Pickle wire
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray,
+        CreateNamedStruct, Literal}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      import org.apache.spark.sql.types.{BinaryType, StringType, StructField,
+        StructType}
+      def ufn(name: String, args: Seq[Expression]): Expression =
+        UnresolvedFunction(Seq(name), args, isDistinct = false)
+      alias("max_of", "greatest")
+      alias("min_of", "least")
+      alias("asliststrict", "array")
+      // Just is the optional wrap — Spark nullability is the optional
+      // layer, the value itself is unchanged; AssumeStrict/Likely are
+      // optimizer hints with pass-through semantics (basic.md: "the
+      // result ... is the same as its argument"); EvaluateExpr forces
+      // evaluation before the main run — Catalyst constant-folding
+      // already does exactly that for the foldable expressions the
+      // reference accepts there
+      reg("just")(es => es.head)
+      reg("assumestrict")(es => es.head)
+      reg("likely")(es => es.head)
+      reg("evaluateexpr")(es => es.head)
+      reg("evaluateatom")(es => es.head)
+      reg("unwrap")(es => UnwrapExpr(es.head,
+        if (es.length > 1) litStr(es(1), "Unwrap") else ""))
+      reg("nothing")(es => Literal.create(null,
+        EnsureTypeExpr.parse(litStr(es.head, "Nothing"))))
+      reg("byteat")(es => ByteAtExpr(es(0), es(1)))
+      reg("tobytes")(es => ToBytesExpr(es.head))
+      reg("frombytes")(es =>
+        FromBytesExpr(es(0), litStr(es(1), "FromBytes")))
+      reg("testbit")(es => BitOpExpr(es(0), es(1), "test"))
+      reg("setbit")(es => BitOpExpr(es(0), es(1), "set"))
+      reg("clearbit")(es => BitOpExpr(es(0), es(1), "clear"))
+      reg("flipbit")(es => BitOpExpr(es(0), es(1), "flip"))
+      // AsDict: first key wins (ToDict's rule); AsDictStrict raises on
+      // duplicates (map_from_entries under the default EXCEPTION dedup
+      // policy); AsSet(Strict) land on the canonical sorted array
+      reg("asdict")(es => ufn("todict", Seq(CreateArray(es))))
+      reg("asdictstrict")(es => ufn("map_from_entries", Seq(CreateArray(es))))
+      reg("asset")(es => ufn("toset", Seq(CreateArray(es))))
+      reg("assetstrict") { es =>
+        val arr = CreateArray(es)
+        org.apache.spark.sql.catalyst.expressions.CaseWhen(
+          Seq((org.apache.spark.sql.catalyst.expressions.Not(
+            org.apache.spark.sql.catalyst.expressions.EqualTo(
+              ufn("size", Seq(ufn("array_distinct", Seq(arr)))),
+              ufn("size", Seq(arr)))),
+            ufn("raise_error",
+              Seq(Literal("AsSetStrict: duplicate set items"))))),
+          Some(ufn("toset", Seq(arr))))
+      }
+      // AddTimezone/RemoveTimezone (basic.md): the engine carries one
+      // timestamp type — the shift IS the timezone application
+      reg("addtimezone")(es =>
+        ufn("from_utc_timestamp", Seq(es(0), es(1))))
+      reg("removetimezone")(es =>
+        ufn("to_utc_timestamp", Seq(es(0), es(1))))
+      // Pickle/StablePickle/Unpickle (basic.md#pickle): the reference
+      // leaves the wire format unspecified ("can change"); this
+      // engine's canonical wire is the JSON image of the value —
+      // deterministic, self-describing, round-trips through Unpickle
+      // with the type text
+      def pickle(es: Seq[Expression]): Expression =
+        Cast(ufn("to_json", Seq(CreateNamedStruct(
+          Seq(Literal("v"), es.head)))), BinaryType)
+      reg("pickle")(pickle)
+      reg("stablepickle")(pickle)
+      reg("unpickle") { es =>
+        val t = EnsureTypeExpr.parse(litStr(es(0), "Unpickle"))
+        S.convert(S.column(ufn("from_json",
+          Seq(Cast(es(1), StringType),
+            Literal(StructType(Seq(StructField("v", t))).toDDL))))
+          .getField("v"))
+      }
+    }
 
     alias("dictkeys", "map_keys")
     // DictItems → (_1, _2) tuples; DictHasItems (builtins/dict.md)

@@ -198,7 +198,8 @@ object YqlTablePaths {
     val inner =
       if (a.startsWith("[") && a.endsWith("]")) a.substring(1, a.length - 1)
       else {
-        val m = "(?i)^AsList\\s*\\(".r.findFirstMatchIn(a).getOrElse(
+        // `[...]` literals arrive pre-lowered as array(...)
+        val m = "(?i)^(AsList|array)\\s*\\(".r.findFirstMatchIn(a).getOrElse(
           throw new IllegalArgumentException(
             "EACH expects a literal list (AsList(...) or [...]); " +
             s"got: ${a0.take(60)}"))
@@ -220,7 +221,8 @@ object YqlTablePaths {
     val inner =
       if (a.startsWith("[") && a.endsWith("]")) a.substring(1, a.length - 1)
       else {
-        val m = "(?i)^AsList\\s*\\(".r.findFirstMatchIn(a).getOrElse(
+        // `[...]` literals arrive pre-lowered as array(...) rows
+        val m = "(?i)^(AsList|array)\\s*\\(".r.findFirstMatchIn(a).getOrElse(
           throw new IllegalArgumentException(
             "AS_TABLE expects a literal list of AsStruct rows " +
             s"(AsList(AsStruct(...), ...)); got: ${a0.take(60)}"))

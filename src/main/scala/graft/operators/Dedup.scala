@@ -375,18 +375,23 @@ object Dedup {
     * hyperplane-LSH ρ exponent (ρ = ln p₁ / ln ½ ≈ 0.22 at cos 0.9) —
     * sub-linear in n, the standard LSH trade.
     */
-  def lshAutoParams(n: Long, threshold: Double): (Int, Int) = {
+  def lshAutoParams(n: Long, threshold: Double,
+      missTarget: Double = 0.01): (Int, Int) = {
+    require(missTarget > 0 && missTarget < 1,
+      "missTarget must be a probability in (0, 1)")
     val cb = math.min(20, math.max(4,
       math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
     val p = math.acos(math.min(1.0, math.max(threshold, 0.9))) / math.Pi
     val q = math.pow(1 - p, cb) // per-chunk clean probability
-    val m = math.max(2, math.ceil(math.log(0.01) / math.log(1 - q)).toInt)
+    val m = math.max(2,
+      math.ceil(math.log(missTarget) / math.log(1 - q)).toInt)
     (m, cb)
   }
 
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = -1, chunkBits: Int = -1,
-      rows: Long = -1L, seed: Long = 42L): DataFrame = {
+      rows: Long = -1L, seed: Long = 42L,
+      missTarget: Double = 0.01): DataFrame = {
     require((bits > 0) == (chunkBits > 0),
       "bits and chunkBits must be specified together (or both left to auto)")
     // SUB-REGIME delegation: below cos ~0.7 a hyperplane bit agrees
@@ -408,7 +413,7 @@ object Dedup {
           if (rows > 0) rows
           else df.queryExecution.optimizedPlan.stats.rowCount
             .map(_.toLong).getOrElse(df.count()))
-        lshAutoParams(n, threshold)
+        lshAutoParams(n, threshold, missTarget)
       }
     // one independent cb-bit hyperplane family per chunk — seeds
     // decorrelated the same way lshTopK spaces its tables — plus ONE
@@ -452,11 +457,25 @@ object Dedup {
     val p = math.acos(threshold) / math.Pi
     val h64 = math.min(64.0,
       math.ceil(64 * p + 4 * math.sqrt(64 * p * (1 - p)))).toInt
-    // shuffle-hash + ReuseExchange: signature scan computed once (see
-    // minhashLsh for the full rationale)
-    val l = chunked.select(col("id").as("id_a"), col("sig64").as("s64_a"),
+    // ONE materialization of the banded stream. The naive shape — a
+    // (chunk, chunk_val) self-join of two RENAMED projections — wrote
+    // the m·n-row banded stream to shuffle TWICE: the exchanges sat
+    // ABOVE the differently-aliased projections, so their canonical
+    // plans differ and ReuseExchange cannot unify them. At sf100 (8M
+    // vectors, auto m = 73 chunks → 584M banded rows) the doubled
+    // exchange exhausted the soak host's disk. (A groupBy/collect_list
+    // bucket-gather was measured WORSE: partial aggregation wraps
+    // every row in a one-element array buffer — ~2-3× the bytes.)
+    // The fix is structural: repartition by the bucket key BELOW the
+    // aliasing, so both join inputs are projections of the SAME
+    // exchange — the join's distribution requirement is already
+    // satisfied (projections preserve partitioning), planner inserts
+    // no further exchanges, and ReuseExchange collapses the two
+    // identical subtrees to one write + two reads.
+    val parted = chunked.repartition(col("chunk"), col("chunk_val"))
+    val l = parted.select(col("id").as("id_a"), col("sig64").as("s64_a"),
       col("chunk"), col("chunk_val"))
-    val r = chunked.select(col("id").as("id_b"), col("sig64").as("s64_b"),
+    val r = parted.select(col("id").as("id_b"), col("sig64").as("s64_b"),
       col("chunk"), col("chunk_val"))
     val candidates = l.hint("shuffle_hash")
       .join(r.hint("shuffle_hash"), Seq("chunk", "chunk_val"))

@@ -1,0 +1,184 @@
+package graft
+
+import graft.functions.YqlSql
+import org.apache.spark.sql.Row
+
+/** builtins/basic.md stragglers: optional ops, byte/bit surgery,
+  * container constructors and literals, hints, Pickle. */
+class BasicOpsSpec extends SparkSpec {
+
+  private def one(sql: String): Row = YqlSql.sql(spark, sql).head()
+
+  test("Just / Unwrap / Nothing") {
+    val r = one(
+      """SELECT Just('my_string') AS j,
+        |  Unwrap(Just(42)) AS u,
+        |  Nothing(Optional<Int32>) AS n""".stripMargin)
+    assert(r.getString(0) == "my_string" && r.getInt(1) == 42)
+    assert(r.isNullAt(2))
+    assert(r.schema(2).dataType.simpleString == "int")
+    val e = intercept[Exception] {
+      one("SELECT Unwrap(IF(1 = 2, 5, NULL), 'custom boom') AS x")
+    }
+    assert(e.getMessage == null || // wrapped SparkException
+      e.toString.contains("boom") || e.getCause != null)
+  }
+
+  test("ByteAt: doc examples") {
+    val r = one(
+      """SELECT ByteAt('foo', 0) AS a, ByteAt('foo', 1) AS b,
+        |  ByteAt('foo', 9) AS c""".stripMargin)
+    assert(r.getInt(0) == 102 && r.getInt(1) == 111 && r.isNullAt(2))
+  }
+
+  test("TestBit / SetBit / ClearBit / FlipBit: doc examples") {
+    val r = one(
+      """SELECT TestBit(1, 0) AS t, SetBit(8, 0) AS s,
+        |  ClearBit(9, 3) AS c, FlipBit(8, 0) AS f,
+        |  TestBit(CAST(NULL AS BIGINT), 1) AS n""".stripMargin)
+    assert(r.getBoolean(0))
+    assert(r.getInt(1) == 9 && r.getInt(2) == 1 && r.getInt(3) == 9)
+    assert(r.isNullAt(4))
+  }
+
+  test("ToBytes / FromBytes: little-endian round trip") {
+    val r = one(
+      """SELECT ToBytes(123) AS b,
+        |  FromBytes(ToBytes(1234567890), Int32) AS i,
+        |  FromBytes(ToBytes(CAST(1234567890 AS BIGINT)), Uint64) AS l,
+        |  FromBytes(ToBytes(2.5e0), Double) AS d,
+        |  FromBytes(ToBytes(1), Uint64) AS bad""".stripMargin)
+    assert(r.getAs[Array[Byte]](0).toSeq == Seq[Byte](123, 0, 0, 0))
+    assert(r.getInt(1) == 1234567890)
+    assert(r.getLong(2) == 1234567890L)
+    assert(r.getDouble(3) == 2.5)
+    assert(r.isNullAt(4)) // 4-byte image is not a valid Uint64
+  }
+
+  test("AsDict / AsDictStrict / AsSet / AsSetStrict / AsListStrict") {
+    val r = one(
+      """SELECT AsDict(AsTuple('a', 1), AsTuple('b', 2),
+        |    AsTuple('a', 9)) AS d,
+        |  AsSet(3, 1, 2, 3) AS s,
+        |  AsListStrict(1, 2, 3) AS l""".stripMargin)
+    assert(r.getMap[String, Int](0) == Map("a" -> 1, "b" -> 2)) // first wins
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3)) // canonical sorted distinct
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    intercept[Exception] {
+      one("SELECT AsSetStrict(1, 1) AS x")
+    }
+    intercept[Exception] {
+      one("SELECT AsDictStrict(AsTuple('a', 1), AsTuple('a', 2)) AS x")
+    }
+  }
+
+  test("MAX_OF / MIN_OF / NANVL; AssumeStrict / Likely pass through") {
+    val r = one(
+      """SELECT MAX_OF(1, 7, 3) AS mx, MIN_OF(1, 7, 3) AS mn,
+        |  NANVL(CAST('NaN' AS DOUBLE), 1.5) AS nv,
+        |  AssumeStrict(2 + 2) AS a, Likely(1 < 2) AS lk,
+        |  EvaluateExpr(3 * 3) AS ev""".stripMargin)
+    assert(r.getInt(0) == 7 && r.getInt(1) == 1)
+    assert(r.getDouble(2) == 1.5)
+    assert(r.getInt(3) == 4 && r.getBoolean(4) && r.getInt(5) == 9)
+  }
+
+  test("container literals: struct, list, dict, set") {
+    val r = one(
+      """SELECT <|a: 1, `complex name`: 2.5e0, b: 'x'|> AS st,
+        |  [1, 2, 3] AS li,
+        |  {'a': 1, 'b': 2} AS di,
+        |  {3, 1, 2} AS se""".stripMargin)
+    // canonical member order: a, b, complex name
+    assert(r.getStruct(0).schema.fieldNames.toSeq ==
+      Seq("a", "b", "complex name"))
+    assert(r.getStruct(0) == Row(1, "x", 2.5))
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getMap[String, Int](2) == Map("a" -> 1, "b" -> 2))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+  }
+
+  test("container literals nest and respect element access") {
+    val r = one(
+      """SELECT [<|k: 1|>, <|k: 2|>] AS ls,
+        |  [10, 20, 30][1] AS idx,
+        |  {'a': [1, 2]} AS dl""".stripMargin)
+    assert(r.getSeq[Row](0) == Seq(Row(1), Row(2)))
+    assert(r.getInt(1) == 20)
+    assert(r.getMap[String, scala.collection.Seq[Int]](2)("a").toSeq ==
+      Seq(1, 2))
+  }
+
+  test("Pickle / StablePickle / Unpickle round trip") {
+    val r = one(
+      """SELECT Unpickle(Int32, Pickle(7)) AS i,
+        |  Unpickle(Utf8, StablePickle('hi')) AS s""".stripMargin)
+    assert(r.getInt(0) == 7 && r.getString(1) == "hi")
+  }
+
+  test("ListCreate / DictCreate / SetCreate build typed empties") {
+    val r = one(
+      """SELECT ListCreate(Tuple<Utf8,Double?>) AS lt,
+        |  ListCreate(Int32) AS li,
+        |  DictCreate(Utf8, Int64) AS d,
+        |  SetCreate(Int32) AS s,
+        |  ListCollect([1, 2]) AS lc""".stripMargin)
+    assert(r.getSeq[Row](0).isEmpty && r.getSeq[Int](1).isEmpty)
+    assert(r.schema(0).dataType.simpleString ==
+      "array<struct<_1:string,_2:double>>")
+    assert(r.getMap[String, Long](2).isEmpty)
+    assert(r.getSeq[Int](3).isEmpty)
+    assert(r.getSeq[Int](4) == Seq(1, 2))
+  }
+
+  test("ListFold / ListFoldMap: (item, state) lambdas") {
+    val r = one(
+      """SELECT ListFold([1, 2, 3], 100, (x, s) -> s + x) AS folded,
+        |  ListFold(ListCreate(Int32), 7, (x, s) -> s + x) AS empty,
+        |  ListFoldMap([1, 2, 3], 0,
+        |    (x, s) -> AsTuple(x + s, s + x)) AS running""".stripMargin)
+    assert(r.getInt(0) == 106)
+    assert(r.getInt(1) == 7)
+    assert(r.getSeq[Int](2) == Seq(1, 3, 6)) // running prefix sums
+  }
+
+  test("ListUnionAll: doc example — union of member sets, nulls fill") {
+    val r = one(
+      """SELECT ListUnionAll(
+        |  AsList(<|value: 1|>, <|value: 2|>),
+        |  AsList(<|key: 'a'|>, <|key: 'b'|>)) AS u""".stripMargin)
+    val rows = r.getSeq[Row](0)
+    assert(r.schema(0).dataType.simpleString ==
+      "array<struct<key:string,value:int>>")
+    assert(rows == Seq(Row(null, 1), Row(null, 2),
+      Row("a", null), Row("b", null)))
+  }
+
+  test("ListAggregate / DictAggregate: doc examples") {
+    val r = one(
+      """SELECT ListAggregate(AsList(1, 2, 3),
+        |    AggregationFactory('Sum')) AS s,
+        |  ListAggregate(ListCreate(Int32),
+        |    AggregationFactory('Count')) AS c0,
+        |  ListAggregate(ListCreate(Int32),
+        |    AggregationFactory('Sum')) AS s0,
+        |  DictAggregate(AsDict(
+        |    AsTuple(1, AsList('foo', 'bar')),
+        |    AsTuple(2, AsList('baz', 'qwe'))),
+        |    AggregationFactory('Max')) AS dm""".stripMargin)
+    assert(r.getInt(0) == 6)
+    assert(r.getLong(1) == 0L) // empty list counts like an empty table
+    assert(r.isNullAt(2))
+    assert(r.getMap[Int, String](3) == Map(1 -> "foo", 2 -> "qwe"))
+  }
+
+  test("AddTimezone / RemoveTimezone shift the instant") {
+    val r = one(
+      """SELECT AddTimezone(TIMESTAMP'2024-01-01 00:00:00',
+        |  'Europe/Moscow') AS plus,
+        |  RemoveTimezone(AddTimezone(TIMESTAMP'2024-01-01 00:00:00',
+        |    'Europe/Moscow'), 'Europe/Moscow') AS back""".stripMargin)
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-01 03:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-01 00:00"))
+  }
+}

@@ -457,4 +457,31 @@ class PlanContractSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS ${n}_cbo"))
     }
   }
+
+  test("embedding LSH band join materializes the banded stream ONCE " +
+      "(ReusedExchange, the sf100 disk-exhaustion fix)") {
+    // The band self-join's two inputs must be projections of the SAME
+    // repartition-by-bucket exchange: two independent exchanges write
+    // the m·n-row banded stream twice, which exhausted the sf100 soak
+    // host's disk (SCALING.md, round 9). Checked without AQE — the
+    // non-adaptive planner shows the ReusedExchange node statically;
+    // AQE reuses the same stage by the same canonical-plan equality.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      val df = graft.operators.Dedup.embeddingCosinePairsLsh(
+        emb, "vec_id", "embedding", dim = 64, threshold = 0.9)
+      val p = df.queryExecution.executedPlan.toString
+      assert("ReusedExchange".r.findAllIn(p).nonEmpty,
+        "band join must reuse the banded-stream exchange:\n" +
+          p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+      // a ReusedExchange line echoes the original exchange's text, so
+      // count only the lines that MATERIALIZE (non-reuse) the stream
+      val real = p.split("\n").count(l =>
+        l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+      assert(real == 1,
+        s"exactly one materialization of the banded stream, got $real")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -79,7 +79,10 @@ class PlanSweepSpec extends SparkSpec {
     // fuzz harnesses of INDEPENDENT unioned cases — one shuffle per
     // NFA case / two per count-aggregate case; per-case budget ~2
     "yql_fuzz_matchrec" -> 12,
-    "yql_fuzz_tablepaths" -> 20)
+    "yql_fuzz_tablepaths" -> 20,
+    // hop/session fuzz harness: independent window-grouping cases
+    // unioned — each case carries its own agg exchange by design
+    "yql_fuzz_hopsession" -> 24)
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one

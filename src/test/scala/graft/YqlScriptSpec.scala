@@ -1116,8 +1116,12 @@ class YqlScriptSpec extends SparkSpec {
       .contains("ISO 8601"))
     assert(bad("SELECT 1 FROM t GROUP BY SessionWindow(ts), k")
       .contains("SessionWindow takes"))
-    assert(bad("SELECT 1 FROM t GROUP BY " +
-      "SessionWindow(ts, $i, $u, $c), k").contains("extended"))
+    // the extended 4-argument form is implemented (SessionLambda owns
+    // it later in the pipeline): lowerSessionWindow passes it through
+    assert(YqlScript.lowerSessionWindow("SELECT 1 FROM t GROUP BY " +
+      "SessionWindow(ts, $i, $u, $c), k").contains("SessionWindow"))
+    assert(bad("SELECT 1 FROM t GROUP BY SessionWindow(ts, a, b), k")
+      .contains("SessionWindow takes"))
     assert(bad("SELECT SessionWindow(ts, 'PT1H') FROM t")
       .contains("only valid"))
     assert(bad("SELECT 1 FROM t GROUP BY SessionWindow(ts, 'PT0S'), k")
