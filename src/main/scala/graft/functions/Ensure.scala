@@ -103,6 +103,28 @@ object EnsureTypeExpr {
       val parts = splitTop(inner("Dict<"))
       require(parts.length == 2, s"malformed Dict type: $text0")
       MapType(parse(parts(0)), parse(parts(1)), valueContainsNull = true)
+    } else if (lower.startsWith("variant<")) {
+      // Variant over struct (name: T pairs) or tuple (positional) —
+      // the engine's shape is a __tag discriminator plus one nullable
+      // member per alternative
+      val parts = splitTop(inner("Variant<"))
+      val named = parts.forall(_.contains(":"))
+      val fields = if (named) parts.map { p =>
+        val i = p.indexOf(':')
+        StructField(p.substring(0, i).trim, parse(p.substring(i + 1)))
+      } else parts.zipWithIndex.map { case (t, i) =>
+        StructField(s"_${i + 1}", parse(t)) }
+      StructType(StructField("__tag", toSpark(YtUtf8), nullable = false) +:
+        fields)
+    } else if (lower.startsWith("enum<")) {
+      // enum values are their tag strings in this engine
+      toSpark(YtUtf8)
+    } else if (lower.startsWith("tagged<")) {
+      // Tagged<T, tag>: the tag is type-level metadata the engine's
+      // bijection erases — the physical type is T
+      val parts = splitTop(inner("Tagged<"))
+      require(parts.length == 2, s"malformed Tagged type: $text0")
+      parse(parts(0))
     } else if (lower.startsWith("tuple<")) {
       // YQL tuples are the engine's canonical _1.._n positional structs
       val parts = splitTop(inner("Tuple<"))

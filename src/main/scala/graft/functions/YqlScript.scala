@@ -401,7 +401,7 @@ object YqlScript {
           parseLambda(rhs.trim, scalars, lambdas) match {
             case Some(Lambda(params, rawBody)) =>
               lambdas(name) = Lambda(params,
-                substitute(rawBody, scalars, lambdas, keep = params.toSet))
+                substitute(rawBody, scalars, lambdas, keep0 = params.toSet))
             case None =>
               // curried regex-module factory (docs udf/list/re2.md,
               // pire.md): `$f = Re2::Grep(pattern)` binds a CALLABLE —
@@ -1163,10 +1163,10 @@ object YqlScript {
           parseLambda(rhs.trim, scope, lamScope) match {
             case Some(Lambda(ps, rb)) =>
               localLams(n) = Lambda(ps,
-                substitute(rb, scope, lamScope, keep = (ps ++ params).toSet))
+                substitute(rb, scope, lamScope, keep0 = (ps ++ params).toSet))
             case None =>
               val b = lowerSelect(substitute(rhs.trim, scope, lamScope,
-                keep = params.toSet))
+                keep0 = params.toSet))
               locals(n) =
                 if (b.startsWith("(") && matchParen(b, 0) == b.length - 1) b
                 else "(" + b + ")"
@@ -1175,7 +1175,7 @@ object YqlScript {
           require(select.isEmpty,
             "DEFINE SUBQUERY body must end in exactly one SELECT")
           select = Some(lowerSelect(substitute(s0, scope, lamScope,
-            keep = params.toSet)))
+            keep0 = params.toSet)))
       }
     }
     lambdas(name) = Lambda(params, select.getOrElse(
@@ -1246,7 +1246,7 @@ object YqlScript {
           parseLambda(rhs.trim, scalars, lambdas) match {
             case Some(Lambda(ps, rawBody)) =>
               lambdas(n) = Lambda(ps,
-                substitute(rawBody, scalars, lambdas, keep = ps.toSet))
+                substitute(rawBody, scalars, lambdas, keep0 = ps.toSet))
             case None =>
               val body = lowerSelect(substitute(rhs.trim, scalars, lambdas))
               scalars(n) =
@@ -1511,14 +1511,14 @@ object YqlScript {
         if (st.take(6).equalsIgnoreCase("RETURN")) {
           require(ret.isEmpty, "lambda body has multiple RETURN statements")
           ret = Some(substitute(st.drop(6).trim, scope,
-            outerLambdas, keep = params.toSet))
+            outerLambdas, keep0 = params.toSet))
         } else {
           require(ret.isEmpty, "statements after RETURN in lambda body")
           val (name, r) = bindingOf(st).getOrElse(
             throw new IllegalArgumentException(
               s"unsupported lambda-body statement: ${st.take(60)}"))
           locals(name) = "(" + substitute(r.trim, scope,
-            outerLambdas, keep = params.toSet) + ")"
+            outerLambdas, keep0 = params.toSet) + ")"
         }
       }
       Some(Lambda(params, ret.getOrElse(throw new IllegalArgumentException(
@@ -1574,7 +1574,17 @@ object YqlScript {
   private[functions] def substitute(text: String,
       scalars: collection.Map[String, String],
       lambdas: collection.Map[String, Lambda],
-      keep: Set[String] = Set.empty): String = {
+      keep0: Set[String] = Set.empty): String = {
+    // INLINE lambda literals (`($x) -> ...` inside a scalar binding,
+    // e.g. an AggregateTransformInput argument) bind their own $params
+    // — those names stay verbatim for the downstream lambda lowering
+    // rather than erroring as undeclared bindings
+    val keep = keep0 ++
+      "\\(\\s*\\$[A-Za-z_][A-Za-z0-9_]*(\\s*,\\s*\\$[A-Za-z_][A-Za-z0-9_]*)*\\s*\\)\\s*->".r
+        .findAllIn(maskQuotes(text))
+        .flatMap(h => "\\$([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(h)
+          .map(_.group(1)))
+        .toSet
     val out = new StringBuilder
     var i = 0; var quote: Char = 0
     val n = text.length

@@ -141,22 +141,17 @@ object YqlSql {
       .map(_.trim)
     require(args.length == 2,
       s"${m.group(1)}Aggregate takes (container, aggregation factory)")
-    var fac = args(1)
-    while (fac.startsWith("(") && YqlScript.matchParen(fac, 0) == fac.length - 1)
-      fac = fac.substring(1, fac.length - 1).trim
-    val fm = "(?i)^AggregationFactory\\s*\\(".r.findFirstMatchIn(fac)
-      .getOrElse(throw new IllegalArgumentException(
-        s"${m.group(1)}Aggregate factory must be AggregationFactory(...)"))
-    val fclose = YqlScript.matchParen(fac, fm.end - 1)
-    val fargs = YqlScript.splitTopLevel(fac.substring(fm.end, fclose))
-      .map(_.trim)
-    require(fargs.nonEmpty && fargs.head.length >= 2 &&
-      (fargs.head.head == '\'' || fargs.head.head == '"'),
-      "AggregationFactory takes a constant aggregate name")
-    val name = fargs.head.substring(1, fargs.head.length - 1).toLowerCase
-    val params = fargs.tail
-    def overList(l: String): String = {
-      val nn = s"filter($l, __lagg_x -> __lagg_x IS NOT NULL)"
+    val factory = parseFactory(args(1), s"${m.group(1)}Aggregate")
+    val name = factory.name
+    val params = factory.params
+    def overList(l0: String): String = {
+      // combinators: flatten the list-of-lists input; apply the input
+      // transformation per item (basic.md#aggregatetransform)
+      val flat = if (factory.flatten) s"flatten($l0)" else l0
+      val txd =
+        if (factory.inputTx("__id") == "__id") flat
+        else s"transform($flat, __lagg_i -> ${factory.inputTx("__lagg_i")})"
+      val nn = s"filter($txd, __lagg_x -> __lagg_x IS NOT NULL)"
       def pctl(p: String): String = {
         val s = s"array_sort(transform($nn, __lagg_x -> " +
           "CAST(__lagg_x AS DOUBLE)))"
@@ -182,18 +177,22 @@ object YqlSql {
         case "percentile" => pctl(params.headOption.getOrElse(
           throw new IllegalArgumentException(
             "AggregationFactory('percentile') needs the level parameter")))
+        case "aggregate_list" | "agg_list" => nn
+        case "aggregate_list_distinct" | "agg_list_distinct" =>
+          s"array_sort(array_distinct($nn))"
         case other => throw new IllegalArgumentException(
           s"${m.group(1)}Aggregate supports count/min/max/sum/avg/" +
-            s"median/percentile factories, got: $other")
+            s"median/percentile/AGGREGATE_LIST[_DISTINCT] factories, " +
+            s"got: $other")
       }
     }
     val container = rewrite(args(0))
     val repl =
-      if (!dict) overList(s"($container)")
+      if (!dict) factory.outputTx(overList(s"($container)"))
       else "map_from_entries(transform(filter(map_entries(" +
         s"$container), __dagg_e -> size(__dagg_e.value) > 0), " +
         s"__dagg_e -> struct(__dagg_e.key, " +
-        s"${overList("__dagg_e.value")})))"
+        s"${factory.outputTx(overList("__dagg_e.value"))})))"
     lowerContainerAggregate(
       sql.substring(0, m.start) + repl + sql.substring(close + 1))
   }
@@ -204,7 +203,7 @@ object YqlSql {
     * the type text quotes into the string literal the builders take. */
   private def typeArgSugar(sql: String): String = {
     val re = ("(?i)(?<![A-Za-z0-9_])(Nothing|FromBytes|Unpickle|" +
-      "ListCreate|DictCreate|SetCreate)\\s*\\(").r
+      "ListCreate|DictCreate|SetCreate|Variant|Enum)\\s*\\(").r
     val masked = YqlScript.maskQuotes(sql)
     var out = sql
     // right-to-left so earlier offsets stay valid after replacement
@@ -231,12 +230,18 @@ object YqlSql {
       val tis: Seq[Int] = m.group(1).toLowerCase match {
         case "frombytes" => Seq(1)
         case "dictcreate" => Seq(0, 1)
+        case "variant" => Seq(2)
+        case "enum" => Seq(1)
         case _ => Seq(0)
       }
       var newArgs = args
       var changed = false
       for (ti <- tis if ti < args.length) {
-        val t = args(ti)
+        // substituted $type bindings arrive parenthesized
+        var t = args(ti)
+        while (t.startsWith("(") && t.endsWith(")") &&
+            YqlScript.matchParen(t, 0) == t.length - 1)
+          t = t.substring(1, t.length - 1).trim
         val isType = t.nonEmpty && t.head.isLetter &&
           t.forall(c => c.isLetterOrDigit || "<>?,:_ ".contains(c)) &&
           !t.equalsIgnoreCase("null")
@@ -576,8 +581,90 @@ object YqlSql {
     * collected group is one array per row of the group — the same
     * per-group state the reference's item-wise traits hold.
     */
+  /** A resolved aggregation factory: the base aggregate name/params
+    * plus the input/output transformations and list-flattening the
+    * AggregateTransformInput/Output and AggregateFlatten combinators
+    * (basic.md#aggregatetransform, #aggregateflatten) layered on. */
+  private case class Factory(name: String, params: Seq[String],
+      inputTx: String => String, outputTx: String => String,
+      flatten: Boolean)
+
+  /** One-argument lambda text `($x) -> (body)` → textual application. */
+  private def lambdaTx(t0: String, ctx: String): String => String = {
+    var t = t0.trim
+    while (t.startsWith("(") && YqlScript.matchParen(t, 0) == t.length - 1 &&
+        !"(?s)^\\(\\s*\\$".r.findFirstIn(t).isDefined)
+      t = t.substring(1, t.length - 1).trim
+    val m = "(?s)^\\(\\s*\\$([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*->\\s*".r
+      .findFirstMatchIn(t).getOrElse(throw new IllegalArgumentException(
+        s"$ctx takes a one-argument lambda (($$x) -> (expr)), got: " +
+          t0.take(60)))
+    val param = m.group(1)
+    var body = t.substring(m.end).trim
+    if (body.startsWith("(") && YqlScript.matchParen(body, 0) == body.length - 1)
+      body = body.substring(1, body.length - 1).trim
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote("$" + param) + "(?![A-Za-z0-9_])")
+    arg => pat.matcher(body).replaceAll(
+      java.util.regex.Matcher.quoteReplacement(s"($arg)"))
+  }
+
+  /** Parse a factory expression: AggregationFactory('name'[, p...]),
+    * possibly wrapped in AggregateTransformInput/Output or
+    * AggregateFlatten combinators (arbitrarily nested). */
+  private def parseFactory(fac0: String, ctx: String): Factory = {
+    var fac = fac0.trim
+    while (fac.startsWith("(") && YqlScript.matchParen(fac, 0) == fac.length - 1)
+      fac = fac.substring(1, fac.length - 1).trim
+    def wrapped(kw: String): Option[Seq[String]] =
+      s"(?i)^$kw\\s*\\(".r.findFirstMatchIn(fac).map { m =>
+        val close = YqlScript.matchParen(fac, m.end - 1)
+        require(fac.substring(close + 1).trim.isEmpty,
+          s"trailing text after $kw: ${fac0.take(60)}")
+        YqlScript.splitTopLevel(fac.substring(m.end, close)).map(_.trim)
+      }
+    wrapped("AggregateTransformInput") match {
+      case Some(args) =>
+        require(args.length == 2,
+          "AggregateTransformInput takes (factory, lambda)")
+        val inner = parseFactory(args(0), ctx)
+        val lam = lambdaTx(args(1), "AggregateTransformInput")
+        return inner.copy(inputTx = x => inner.inputTx(lam(x)))
+      case None =>
+    }
+    wrapped("AggregateTransformOutput") match {
+      case Some(args) =>
+        require(args.length == 2,
+          "AggregateTransformOutput takes (factory, lambda)")
+        val inner = parseFactory(args(0), ctx)
+        val lam = lambdaTx(args(1), "AggregateTransformOutput")
+        return inner.copy(outputTx = r => lam(inner.outputTx(r)))
+      case None =>
+    }
+    wrapped("AggregateFlatten") match {
+      case Some(args) =>
+        require(args.length == 1, "AggregateFlatten takes (factory)")
+        val inner = parseFactory(args(0), ctx)
+        require(!inner.flatten, "AggregateFlatten cannot nest")
+        return inner.copy(flatten = true)
+      case None =>
+    }
+    val fm = "(?i)^AggregationFactory\\s*\\(".r.findFirstMatchIn(fac)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ctx factory must be AggregationFactory('name'[, ...]) or a " +
+          s"combinator over one, got: ${fac0.take(60)}"))
+    val fclose = YqlScript.matchParen(fac, fm.end - 1)
+    val fargs = YqlScript.splitTopLevel(fac.substring(fm.end, fclose))
+      .map(_.trim)
+    require(fargs.nonEmpty && fargs.head.length >= 2 &&
+      (fargs.head.head == '\'' || fargs.head.head == '"'),
+      "AggregationFactory takes a constant aggregate name")
+    Factory(fargs.head.substring(1, fargs.head.length - 1).toLowerCase,
+      fargs.tail, identity, identity, flatten = false)
+  }
+
   private def lowerAggregateBy(sql: String): String = {
-    val re = "(?i)\\b(MULTI_)?AGGREGATE_BY\\s*\\(".r
+    val re = "(?i)\\b(MULTI_)?(AGGREGATE_BY|AGGREGATEBY)\\s*\\(".r
     val m = re.findFirstMatchIn(YqlScript.maskQuotes(sql))
       .getOrElse(return sql)
     val multi = m.group(1) != null
@@ -586,35 +673,53 @@ object YqlSql {
       .map(_.trim)
     require(args.length == 2,
       "AGGREGATE_BY takes (expression, aggregation factory)")
-    // the factory literal (possibly parenthesized by $-binding inlining)
-    var fac = args(1)
-    while (fac.startsWith("(") && YqlScript.matchParen(fac, 0) == fac.length - 1)
-      fac = fac.substring(1, fac.length - 1).trim
-    val fm = "(?i)^AggregationFactory\\s*\\(".r.findFirstMatchIn(fac)
-      .getOrElse(throw new IllegalArgumentException(
-        "AGGREGATE_BY factory must be AggregationFactory('name'[, ...]), " +
-          s"got: ${fac.take(60)}"))
-    val fclose = YqlScript.matchParen(fac, fm.end - 1)
-    val fargs = YqlScript.splitTopLevel(fac.substring(fm.end, fclose))
-      .map(_.trim)
-    require(fargs.nonEmpty && fargs.head.length >= 2 &&
-      (fargs.head.head == '\'' || fargs.head.head == '"'),
-      "AggregationFactory takes a constant aggregate name")
-    val name = fargs.head.substring(1, fargs.head.length - 1).toLowerCase
-    val params = fargs.tail
+    val factory = parseFactory(args(1), "AGGREGATE_BY")
+    val name = factory.name
+    val params = factory.params
     // DISTINCT prefix on the aggregated expression
     val dm = "(?i)^DISTINCT\\b".r.findFirstMatchIn(args(0))
-    val ex = dm.map(d => args(0).substring(d.end).trim).getOrElse(args(0))
+    val ex0 = dm.map(d => args(0).substring(d.end).trim).getOrElse(args(0))
+    val ex = factory.inputTx(ex0)
     val dkw = if (dm.isDefined) "DISTINCT " else ""
-    val repl =
-      if (!multi) {
+    val repl = factory.outputTx(
+      if (!multi && factory.flatten) {
+        // AggregateFlatten (basic.md#aggregateflatten): the input is a
+        // LIST column and every item aggregates, like FLATTEN LIST BY.
+        // Decomposable aggregates lower to a per-row list reduction
+        // under the matching corpus-level combiner.
+        require(dm.isEmpty, "AggregateFlatten does not combine with DISTINCT")
+        val nn = s"filter($ex, __afl_x -> __afl_x IS NOT NULL)"
+        name match {
+          case "count" => s"CAST(sum(size($nn)) AS BIGINT)"
+          case "sum" => s"sum(aggregate($nn, try_element_at($nn, 1) - " +
+            s"try_element_at($nn, 1), (__afl_a, __afl_x) -> " +
+            "__afl_a + __afl_x))"
+          case "min" => s"min(array_min($nn))"
+          case "max" => s"max(array_max($nn))"
+          case "avg" => s"sum(aggregate(transform($nn, __afl_x -> " +
+            s"CAST(__afl_x AS DOUBLE)), 0.0D, (__afl_a, __afl_x) -> " +
+            s"__afl_a + __afl_x)) / sum(size($nn))"
+          case "aggregate_list" | "agg_list" =>
+            s"flatten(collect_list($ex))"
+          case "aggregate_list_distinct" | "agg_list_distinct" =>
+            s"array_sort(array_distinct(flatten(collect_list($ex))))"
+          case other => throw new IllegalArgumentException(
+            "AggregateFlatten supports count/sum/min/max/avg/" +
+              s"AGGREGATE_LIST[_DISTINCT] factories, got: $other")
+        }
+      } else if (!multi) {
         val (fn, ps) = name match {
           case "median" if params.isEmpty => ("percentile", Seq("0.5"))
           case "median" => ("percentile", params)
+          case "aggregate_list" | "agg_list" => ("collect_list", params)
+          case "aggregate_list_distinct" | "agg_list_distinct" =>
+            ("collect_set", params)
           case n => (n, params)
         }
         s"$fn($dkw$ex${ps.map(p => s", $p").mkString})"
       } else {
+        require(!factory.flatten,
+          "MULTI_AGGREGATE_BY does not combine with AggregateFlatten")
         require(dm.isEmpty,
           "MULTI_AGGREGATE_BY does not take DISTINCT (apply the factory " +
             "item-by-item over the list instead)")
@@ -657,7 +762,7 @@ object YqlSql {
           s"ELSE size($ex) END)"
         s"CASE WHEN $minLen < 1 THEN array() ELSE " +
           s"transform(sequence(1, $minLen), __magg_i -> $perIndex) END"
-      }
+      })
     lowerAggregateBy(sql.substring(0, m.start) + repl +
       sql.substring(close + 1))
   }
@@ -1076,6 +1181,59 @@ object YqlSql {
         litStrings(es(1), "SpreadMembers"), force = false))
       reg("forcespreadmembers")(es => SpreadMembersExpr(es(0),
         litStrings(es(1), "ForceSpreadMembers"), force = true))
+      // Variant / AsVariant / Enum / AsEnum / AsTagged / Untag
+      // (basic.md#variant, #enum, #as-tagged). The engine's variant
+      // shape is struct<__tag, one nullable member per alternative>;
+      // enum values are their tag strings; Tagged is type-level
+      // metadata the bijection erases (the docs: "preserving the
+      // physical data type").
+      locally {
+        import org.apache.spark.sql.types.{StringType, StructType}
+        import org.apache.spark.unsafe.types.UTF8String
+        reg("variant") { es =>
+          require(es.length == 3, "Variant takes (value, name, type)")
+          val name0 = litStr(es(1), "Variant")
+          val t = EnsureTypeExpr.parse(litStr(es(2), "Variant"))
+            .asInstanceOf[StructType]
+          // tuple-variant index spelling: "0" names the first field
+          val name = if (name0.forall(_.isDigit)) s"_${name0.toInt + 1}"
+            else name0
+          require(t.fieldNames.contains(name) && name != "__tag",
+            s"Variant: '$name0' is not an alternative of ${t.simpleString}")
+          CreateNamedStruct(t.fields.toSeq.flatMap { f =>
+            Seq(Literal(f.name),
+              if (f.name == "__tag") Literal(UTF8String.fromString(name),
+                StringType)
+              else if (f.name == name) es(0)
+              else Literal.create(null, f.dataType))
+          })
+        }
+        reg("asvariant") { es =>
+          val name = litStr(es(1), "AsVariant")
+          CreateNamedStruct(Seq(
+            Literal("__tag"), Literal(UTF8String.fromString(name),
+              StringType),
+            Literal(name), es(0)))
+        }
+        reg("enum") { es =>
+          require(es.length == 2, "Enum takes (name, type)")
+          val name = litStr(es(0), "Enum")
+          val typeText = litStr(es(1), "Enum").trim
+          require(typeText.toLowerCase.startsWith("enum<") &&
+            typeText.endsWith(">"), s"Enum needs an Enum<...> type")
+          val members = typeText.substring(5, typeText.length - 1)
+            .split(",").map(_.trim)
+          require(members.contains(name),
+            s"Enum: '$name' is not a member of $typeText")
+          Literal(UTF8String.fromString(name), StringType)
+        }
+        reg("asenum")(es =>
+          Literal(UTF8String.fromString(litStr(es.head, "AsEnum")),
+            StringType))
+        reg("astagged")(es => es.head)
+        reg("untag")(es => es.head)
+      }
+
       // AsStruct(e AS n, ...) — the struct constructor itself
       // (basic.md#asstruct); the AS-argument sugar lowers in
       // [[structSugar]] to alternating name/value arguments

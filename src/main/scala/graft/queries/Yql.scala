@@ -993,6 +993,28 @@ object Yql {
           |FROM part""".stripMargin)
     }),
 
+    // basic.md breadth over real column data: byte/bit surgery, the
+    // ToBytes/FromBytes round trip, MAX_OF, Just/Unwrap, ListFoldMap
+    // (stateful scan), ListAggregate and a struct container literal —
+    // every output a scalar the DuckDB oracle replays arithmetically.
+    "yql_fn_basics" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderkey,
+          |  ByteAt(o_orderpriority, 0) AS ba,
+          |  TestBit(o_orderkey, 0) AS tb,
+          |  SetBit(o_orderkey % 16, 2) AS sb,
+          |  FromBytes(ToBytes(o_orderkey), Uint64) AS rt,
+          |  MAX_OF(o_custkey % 7, o_orderkey % 5, 3) AS mx,
+          |  Unwrap(Just(o_orderkey)) AS uw,
+          |  element_at(ListFoldMap([1, 2, 3], o_orderkey % 5,
+          |    (x, st) -> AsTuple(x + st, st + x)), 3) AS lfm,
+          |  ListAggregate([o_custkey % 7, o_orderkey % 13],
+          |    AggregationFactory('Sum')) AS lagg,
+          |  (<|k: o_orderkey % 9, m: 'z'|>).k AS litk
+          |FROM orders""".stripMargin)
+    }),
+
     // The aggregate SPELLING zoo (builtins/aggregation.md): the
     // STDDEV/VARIANCE alias family, CORRELATION/COVARIANCE (NULL
     // counts as 0 per the docs), SOME (any-value witness — spelled on
@@ -2022,6 +2044,18 @@ object Yql {
             CAST(count(o_custkey % 97) AS BIGINT)] AS mcnt,
            [ROUND(avg(o_custkey % 7), 6), ROUND(avg(o_orderkey % 13), 6),
             ROUND(avg(o_custkey % 97), 6)] AS mavg
+         FROM orders""",
+    "yql_fn_basics" ->
+      """SELECT o_orderkey,
+           ord(substr(o_orderpriority, 1, 1)) AS ba,
+           (o_orderkey % 2) = 1 AS tb,
+           (o_orderkey % 16) | 4 AS sb,
+           o_orderkey AS rt,
+           greatest(o_custkey % 7, o_orderkey % 5, 3) AS mx,
+           o_orderkey AS uw,
+           6 + (o_orderkey % 5) AS lfm,
+           (o_custkey % 7) + (o_orderkey % 13) AS lagg,
+           o_orderkey % 9 AS litk
          FROM orders""",
     "yql_fn_struct_module" ->
       """SELECT p_partkey,

@@ -172,6 +172,54 @@ class BasicOpsSpec extends SparkSpec {
     assert(r.getMap[Int, String](3) == Map(1 -> "foo", 2 -> "qwe"))
   }
 
+  test("AggregateTransformInput/Output and AggregateFlatten combinators") {
+    // the doc examples of basic.md#aggregatetransform / #aggregateflatten
+    val r = one(
+      """$f = AggregationFactory('sum');
+        |$g = AggregateTransformInput($f, ($x) -> (CAST($x AS INT)));
+        |$h = AggregateTransformInput($f, ($x) -> ($x * 2));
+        |$o = AggregateTransformOutput($f, ($x) -> ($x * 2));
+        |SELECT ListAggregate([1, 2, 3], $f) AS plain,
+        |  ListAggregate(['1', '2', '3'], $g) AS cast_in,
+        |  ListAggregate([1, 2, 3], $h) AS doubled_in,
+        |  ListAggregate([1, 2, 3], $o) AS doubled_out""".stripMargin)
+    assert(r.getInt(0) == 6 && r.getInt(1) == 6)
+    assert(r.getInt(2) == 12 && r.getInt(3) == 12)
+    val fl = YqlSql.sql(spark,
+      """$i = AggregationFactory('AGGREGATE_LIST_DISTINCT');
+        |$j = AggregateFlatten($i);
+        |SELECT AggregateBy(x, $j) AS merged FROM (
+        |  SELECT [1, 2] AS x UNION ALL SELECT [2, 3] AS x)""".stripMargin)
+      .head()
+    assert(fl.getSeq[Int](0) == Seq(1, 2, 3))
+  }
+
+  test("Variant / AsVariant / Enum / AsEnum / AsTagged / Untag") {
+    val r = one(
+      """$vt = Variant<foo: Int32, bar: Bool>;
+        |SELECT Variant(6, 'foo', $vt) AS v1,
+        |  Variant(false, 'bar', $vt) AS v2,
+        |  AsVariant(6, 'foo') AS av,
+        |  Enum('Foo', Enum<Foo, Bar>) AS e1,
+        |  AsEnum('Foo') AS e2,
+        |  Untag(AsTagged(42, 'image')) AS t
+        |""".stripMargin)
+    assert(r.getStruct(0).getAs[String]("__tag") == "foo")
+    assert(r.getStruct(0).getAs[Int]("foo") == 6)
+    assert(r.getStruct(0).isNullAt(r.getStruct(0).fieldIndex("bar")))
+    assert(r.getStruct(1).getAs[String]("__tag") == "bar")
+    assert(r.getStruct(1).getAs[Boolean]("bar") == false)
+    assert(r.getStruct(2).getAs[Int]("foo") == 6)
+    assert(r.getString(3) == "Foo" && r.getString(4) == "Foo")
+    assert(r.getInt(5) == 42)
+    intercept[Exception] {
+      one("SELECT Enum('Baz', Enum<Foo, Bar>) AS x")
+    }
+    intercept[Exception] {
+      one("SELECT Variant(6, 'baz', Variant<foo: Int32>) AS x")
+    }
+  }
+
   test("AddTimezone / RemoveTimezone shift the instant") {
     val r = one(
       """SELECT AddTimezone(TIMESTAMP'2024-01-01 00:00:00',
