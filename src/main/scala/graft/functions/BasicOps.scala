@@ -160,6 +160,25 @@ final case class BitOpExpr(left: Expression, right: Expression, op: String)
     copy(left = newLeft, right = newRight)
 }
 
+/** TypeOf (builtins/types.md#typeof): the argument's type — in this
+  * engine a TYPE VALUE is its canonical YQL type text, so TypeOf is a
+  * per-schema constant string. */
+final case class TypeOfExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  private lazy val text: UTF8String = UTF8String.fromString(
+    EnsureTypeExpr.print(child.dataType, child.nullable))
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def prettyName: String = "typeof"
+
+  override def eval(input: InternalRow): Any = text
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** FromBytes (basic.md#to-from-bytes): parse the little-endian binary
   * image back into the named primitive type; NULL when the payload
   * length does not match. */

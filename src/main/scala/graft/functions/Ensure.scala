@@ -58,7 +58,7 @@ object EnsureTypeExpr {
   import YtTypes._
 
   /** Split on commas outside nested `<>` depth. */
-  private def splitTop(s: String): Seq[String] = {
+  private[functions] def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var d = 0; var start = 0; var i = 0
     while (i < s.length) {
@@ -141,5 +141,47 @@ object EnsureTypeExpr {
       try DataType.fromDDL(text)
       catch { case _: Exception => throw new IllegalArgumentException(
         s"unknown type in EnsureType/EnsureConvertibleTo: $text0") }
+  }
+
+  /** The canonical YQL type TEXT of a Spark type — the inverse of
+    * [[parse]] up to the engine's documented erasures (unsigned widths
+    * collapse onto the signed Spark integrals, String prints for
+    * BinaryType, Utf8 for StringType). Tuples (the canonical `_1.._n`
+    * positional structs) print as Tuple<...>; variant-shaped structs
+    * (leading `__tag`) print as Variant<...>. */
+  def print(dt: DataType, nullable: Boolean = false): String = {
+    val base = dt match {
+      case org.apache.spark.sql.types.NullType => "Null"
+      case org.apache.spark.sql.types.ByteType => "Int8"
+      case org.apache.spark.sql.types.ShortType => "Int16"
+      case org.apache.spark.sql.types.IntegerType => "Int32"
+      case org.apache.spark.sql.types.LongType => "Int64"
+      case org.apache.spark.sql.types.FloatType => "Float"
+      case org.apache.spark.sql.types.DoubleType => "Double"
+      case org.apache.spark.sql.types.BooleanType => "Bool"
+      case org.apache.spark.sql.types.BinaryType => "String"
+      case org.apache.spark.sql.types.StringType => "Utf8"
+      case org.apache.spark.sql.types.DateType => "Date"
+      case org.apache.spark.sql.types.TimestampType => "Timestamp"
+      case _: org.apache.spark.sql.types.DayTimeIntervalType => "Interval"
+      case d: org.apache.spark.sql.types.DecimalType =>
+        s"Decimal(${d.precision},${d.scale})"
+      case ArrayType(e, n) => s"List<${print(e, n)}>"
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        s"Dict<${print(k)},${print(v, n)}>"
+      case s: StructType
+          if s.fields.nonEmpty && s.fieldNames.head == "__tag" =>
+        "Variant<" + s.fields.tail.map(f =>
+          s"${f.name}:${print(f.dataType)}").mkString(",") + ">"
+      case s: StructType if s.fields.nonEmpty &&
+          s.fieldNames.zipWithIndex.forall { case (n, i) => n == s"_${i + 1}" } =>
+        "Tuple<" + s.fields.map(f =>
+          print(f.dataType, f.nullable)).mkString(",") + ">"
+      case s: StructType =>
+        "Struct<" + s.fields.map(f =>
+          s"${f.name}:${print(f.dataType, f.nullable)}").mkString(",") + ">"
+      case other => other.sql
+    }
+    if (nullable && base != "Null") s"Optional<$base>" else base
   }
 }

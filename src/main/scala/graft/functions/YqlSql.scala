@@ -427,7 +427,7 @@ object YqlSql {
     * arguments, so the items lower to alternating ('name', value)
     * arguments of the registered builders. */
   private def structSugar(sql: String): String = {
-    val re = "(?i)(?<![A-Za-z0-9_])(ExpandStruct|AsStruct)\\s*\\(".r
+    val re = "(?i)(?<![A-Za-z0-9_])(ExpandStruct|AsStruct|StructType)\\s*\\(".r
     val m = re.findFirstMatchIn(YqlScript.maskQuotes(sql))
       .getOrElse(return sql)
     val fn = m.group(1).toLowerCase
@@ -466,7 +466,11 @@ object YqlSql {
       else (Seq.empty, args)
     val lowered = items.map(asItem).flatMap { case (n, v) =>
       Seq(s"'$n'", rewrite(v)) }
-    val target = if (fn == "expandstruct") "yql_expandstruct" else "yql_asstruct"
+    val target = fn match {
+      case "expandstruct" => "yql_expandstruct"
+      case "structtype" => "yql_structtype"
+      case _ => "yql_asstruct"
+    }
     structSugar(sql.substring(0, m.start) +
       s"$target(${(head ++ lowered).mkString(", ")})" +
       sql.substring(close + 1))
@@ -1181,6 +1185,176 @@ object YqlSql {
         litStrings(es(1), "SpreadMembers"), force = false))
       reg("forcespreadmembers")(es => SpreadMembersExpr(es(0),
         litStrings(es(1), "ForceSpreadMembers"), force = true))
+      // ——— the type-introspection module (builtins/types.md). A TYPE
+      // VALUE in this engine is its canonical YQL type text: every
+      // constructor/accessor is a compile-time text transform, TypeOf
+      // reads the child's resolved Spark type through the bijection,
+      // and a TypeHandle IS the same text (the reference splits the
+      // compile-time and runtime representations; one canonical text
+      // serves both here, so EvaluateType/ParseTypeHandle compose).
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray,
+          Literal}
+        import org.apache.spark.sql.types.StringType
+        import org.apache.spark.unsafe.types.UTF8String
+        def litT(s: String): Expression =
+          Literal(UTF8String.fromString(s), StringType)
+        // TEXTUAL canonicalization (capitalization, ? → Optional<>,
+        // recursive over composites) — parse() validates but its
+        // containsNull defaults must not leak Optional<> into the text
+        val simpleNames = Seq("Bool", "Int8", "Int16", "Int32", "Int64",
+          "Uint8", "Uint16", "Uint32", "Uint64", "Float", "Double",
+          "String", "Utf8", "Json", "Uuid", "Date", "Datetime",
+          "Timestamp", "Interval", "Null")
+          .map(n => n.toLowerCase -> n).toMap
+        def canon(s0: String): String = {
+          val s = s0.trim
+          val low = s.toLowerCase
+          def inner(p: String) = s.substring(p.length + 1, s.length - 1)
+          def wrap(p: String) =
+            s"$p<${EnsureTypeExpr.splitTop(inner(p)).map(canon).mkString(",")}>"
+          if (s.endsWith("?")) s"Optional<${canon(s.dropRight(1))}>"
+          else if (low.startsWith("optional<")) wrap("Optional")
+          else if (low.startsWith("list<")) wrap("List")
+          else if (low.startsWith("stream<")) s"List<${canon(inner("Stream"))}>"
+          else if (low.startsWith("dict<")) wrap("Dict")
+          else if (low.startsWith("tuple<")) wrap("Tuple")
+          else if (low.startsWith("struct<") || low.startsWith("variant<")) {
+            val p = if (low.startsWith("struct<")) "Struct" else "Variant"
+            p + "<" + EnsureTypeExpr.splitTop(inner(p)).map { m =>
+              val i = m.indexOf(':')
+              if (i > 0 && !m.substring(0, i).contains("<"))
+                s"${m.substring(0, i).trim.stripPrefix("'").stripSuffix("'")}:" +
+                  canon(m.substring(i + 1))
+              else canon(m)
+            }.mkString(",") + ">"
+          } else simpleNames.getOrElse(low, {
+            EnsureTypeExpr.parse(s) // validates or raises
+            s
+          })
+        }
+        // validate the whole text once (raises on malformed types)
+        def canonV(s: String): String = {
+          EnsureTypeExpr.parse(s); canon(s)
+        }
+        def peel(s0: String, prefix: String, fn: String): String = {
+          val s = s0.trim
+          require(s.toLowerCase.startsWith(prefix.toLowerCase + "<") &&
+            s.endsWith(">"), s"$fn expects a $prefix<...> type, got $s0")
+          s.substring(prefix.length + 1, s.length - 1).trim
+        }
+        def tyArg(es: Seq[Expression], i: Int, fn: String): String =
+          litStr(es(i), fn).trim
+        reg("typeof")(es => TypeOfExpr(es.head))
+        reg("formattype")(es => es.head)
+        reg("formattypediff")(es => es.head) // diff of equal texts = text
+        reg("parsetype")(es => litT(canonV(tyArg(es, 0, "ParseType"))))
+        reg("instanceof")(es => Literal.create(null,
+          EnsureTypeExpr.parse(tyArg(es, 0, "InstanceOf"))))
+        reg("datatype")(es => litT(canonV(tyArg(es, 0, "DataType"))))
+        reg("optionaltype")(es =>
+          litT(s"Optional<${tyArg(es, 0, "OptionalType")}>"))
+        reg("listtype")(es => litT(s"List<${tyArg(es, 0, "ListType")}>"))
+        reg("streamtype")(es => litT(s"List<${tyArg(es, 0, "StreamType")}>"))
+        reg("dicttype")(es => litT(
+          s"Dict<${tyArg(es, 0, "DictType")},${tyArg(es, 1, "DictType")}>"))
+        reg("settype")(es => litT(s"List<${tyArg(es, 0, "SetType")}>"))
+        reg("tupletype")(es => litT("Tuple<" + es.indices.map(i =>
+          tyArg(es, i, "TupleType")).mkString(",") + ">"))
+        // StructType(Type AS Name, ...) — the AS sugar lowers to
+        // alternating ('Name', type) arguments (structSugar)
+        reg("yql_structtype") { es =>
+          require(es.length % 2 == 0, "StructType takes Type AS Name items")
+          litT("Struct<" + es.grouped(2).map(g =>
+            s"${litStr(g(0), "StructType")}:${litStr(g(1), "StructType")}")
+            .mkString(",") + ">")
+        }
+        reg("varianttype") { es =>
+          val t = tyArg(es, 0, "VariantType")
+          val low = t.toLowerCase
+          val inner =
+            if (low.startsWith("struct<")) peel(t, "Struct", "VariantType")
+            else if (low.startsWith("tuple<")) peel(t, "Tuple", "VariantType")
+            else throw new IllegalArgumentException(
+              s"VariantType expects a Struct<> or Tuple<> type, got $t")
+          litT(s"Variant<$inner>")
+        }
+        reg("optionalitemtype") { es =>
+          val t = tyArg(es, 0, "OptionalItemType")
+          litT(if (t.endsWith("?")) t.dropRight(1).trim
+            else peel(t, "Optional", "OptionalItemType"))
+        }
+        reg("listitemtype")(es =>
+          litT(peel(tyArg(es, 0, "ListItemType"), "List", "ListItemType")))
+        reg("streamitemtype")(es =>
+          litT(peel(tyArg(es, 0, "StreamItemType"), "List",
+            "StreamItemType")))
+        def dictPart(es: Seq[Expression], i: Int, fn: String): String = {
+          val parts = EnsureTypeExpr.splitTop(peel(tyArg(es, 0, fn),
+            "Dict", fn))
+          require(parts.length == 2, s"$fn: malformed Dict type")
+          parts(i)
+        }
+        reg("dictkeytype")(es => litT(dictPart(es, 0, "DictKeyType")))
+        reg("dictpayloadtype")(es =>
+          litT(dictPart(es, 1, "DictPayloadType")))
+        reg("tupleelementtype") { es =>
+          val parts = EnsureTypeExpr.splitTop(peel(
+            tyArg(es, 0, "TupleElementType"), "Tuple", "TupleElementType"))
+          val i = litStr(es(1), "TupleElementType").trim.toInt
+          require(i >= 0 && i < parts.length,
+            s"TupleElementType: index $i out of ${parts.length}")
+          litT(parts(i))
+        }
+        reg("structmembertype") { es =>
+          val parts = EnsureTypeExpr.splitTop(peel(
+            tyArg(es, 0, "StructMemberType"), "Struct", "StructMemberType"))
+          val name = litStr(es(1), "StructMemberType").trim
+          parts.collectFirst {
+            case p if p.substring(0, math.max(p.indexOf(':'), 0)).trim
+              .stripPrefix("'").stripSuffix("'") == name =>
+              litT(p.substring(p.indexOf(':') + 1).trim)
+          }.getOrElse(throw new IllegalArgumentException(
+            s"StructMemberType: no member '$name'"))
+        }
+        reg("variantunderlyingtype") { es =>
+          val inner = peel(tyArg(es, 0, "VariantUnderlyingType"),
+            "Variant", "VariantUnderlyingType")
+          litT(if (EnsureTypeExpr.splitTop(inner).forall(_.contains(":")))
+            s"Struct<$inner>" else s"Tuple<$inner>")
+        }
+        reg("typekind") { es =>
+          val t = tyArg(es, 0, "TypeKind")
+          val low = t.toLowerCase
+          val kind = Seq("Optional", "List", "Dict", "Tuple", "Struct",
+            "Variant", "Stream", "Enum", "Tagged")
+            .find(k => low.startsWith(k.toLowerCase + "<"))
+            .getOrElse(if (low == "null") "Null" else "Data")
+          litT(kind)
+        }
+        // TypeHandle family: one canonical text serves both worlds
+        reg("typehandle")(es => es.head)
+        reg("evaluatetype")(es => es.head)
+        reg("parsetypehandle")(es =>
+          litT(canonV(tyArg(es, 0, "ParseTypeHandle"))))
+        reg("formattypehandle")(es => es.head)
+        reg("datatypehandle")(es =>
+          litT(canonV(tyArg(es, 0, "DataTypeHandle"))))
+        reg("optionaltypehandle")(es =>
+          litT(s"Optional<${tyArg(es, 0, "OptionalTypeHandle")}>"))
+        reg("listtypehandle")(es =>
+          litT(s"List<${tyArg(es, 0, "ListTypeHandle")}>"))
+        reg("streamtypehandle")(es =>
+          litT(s"List<${tyArg(es, 0, "StreamTypeHandle")}>"))
+        reg("emptylisttypehandle")(_ => litT("EmptyList"))
+        reg("emptydicttypehandle")(_ => litT("EmptyDict"))
+        reg("tupletypecomponents")(es => CreateArray(
+          EnsureTypeExpr.splitTop(peel(tyArg(es, 0, "TupleTypeComponents"),
+            "Tuple", "TupleTypeComponents")).map(litT)))
+        reg("datatypecomponents")(es => CreateArray(Seq(
+          litT(canonV(tyArg(es, 0, "DataTypeComponents"))))))
+      }
+
       // Variant / AsVariant / Enum / AsEnum / AsTagged / Untag
       // (basic.md#variant, #enum, #as-tagged). The engine's variant
       // shape is struct<__tag, one nullable member per alternative>;
