@@ -99,14 +99,17 @@ object Bench {
       // for scale soaks: at sf100 a single shuffle-heavy run can
       // spill tens of GB, and repeat runs accumulate shuffle files
       // faster than ContextCleaner frees them (the sf100 ENOSPC).
-      val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-        .map(_.toInt).getOrElse(3)
+      val runsEnv = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      val nRuns = runsEnv.map(_.toInt).getOrElse(3)
       val runs = Seq.fill(nRuns) {
         val t = once(name, timed)
-        // release the previous run's shuffle files before the next:
-        // ContextCleaner frees them only after their references are
-        // GC'd, and three sf100-sized runs otherwise coexist on disk
-        if (nRuns > 1) System.gc()
+        // soak mode only: release the previous run's shuffle files
+        // before the next (ContextCleaner frees them only after their
+        // references are GC'd; sf100-sized repeat runs otherwise
+        // coexist on disk). The default sweep keeps runs back-to-back
+        // — an extra GC between them cools caches and skews sub-second
+        // medians upward.
+        if (runsEnv.isDefined && nRuns > 1) System.gc()
         t
       }.sorted
       name -> (runs(runs.length / 2), runs.head)

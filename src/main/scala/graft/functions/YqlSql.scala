@@ -531,7 +531,12 @@ object YqlSql {
             new IllegalArgumentException(
               s"$name precision must be an integer literal, got ${args(1)}"))
           require(p >= 4 && p <= 18, s"$name precision must be in [4, 18]")
-          // HLL precision p (2^p registers) → Spark's relative SD knob
+          // HLL precision p (2^p registers) → Spark's relative SD knob.
+          // COST NOTE: HLL++ flattens its registers into the agg buffer
+          // (2^p/6 longs per group) — precision ≥14 inflates the
+          // aggregation schema enough to blow past whole-stage-codegen
+          // limits (a measured 25-row query took 12 s at p=16). High
+          // precision is for genuinely large groups.
           val rsd = 1.04 / math.sqrt(math.pow(2.0, p.toDouble))
           s"approx_count_distinct(${args(0)}, ${rsd}D)"
         } else s"approx_count_distinct(${args(0)})"

@@ -1054,7 +1054,7 @@ object Yql {
           |  CAST(size(AGGREGATE_LIST(n_name, 3)) AS BIGINT) AS lim3,
           |  (HLL(n_name) * 1.0 BETWEEN COUNT(DISTINCT n_name) * 0.9
           |    AND COUNT(DISTINCT n_name) * 1.1) AS hll_ok,
-          |  (CountDistinctEstimate(n_name, 16) * 1.0 BETWEEN
+          |  (CountDistinctEstimate(n_name) * 1.0 BETWEEN
           |    COUNT(DISTINCT n_name) * 0.9 AND COUNT(DISTINCT n_name) * 1.1)
           |    AS cde_ok
           |FROM nation GROUP BY n_regionkey""".stripMargin)
