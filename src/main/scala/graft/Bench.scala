@@ -89,7 +89,7 @@ object Bench {
       // compute the exact truth + verdict (or a full fuzz sweep),
       // which belongs to the correctness gate, not the throughput
       // number.
-      val timed = (graft.queries.Llm.benchOnly ++ graft.queries.Yql.benchOnly)
+      val timed = (graft.queries.Llm.benchOnly ++ graft.queries.Yql.benchOnly ++ graft.queries.Ops.benchOnly)
         .getOrElse(name, fn)
       // MEDIAN of three runs (first also pays plan compilation): for
       // sub-0.3 s queries job-fixed overhead dominates and best-of-N

@@ -16,6 +16,36 @@ object Ops {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Operator-only plans for [[graft.Bench]] (same contract as
+    * queries.Llm.benchOnly): the correctness entry for
+    * `op_merge_sorted` prepares its fixtures IN-PLAN (two global
+    * pre-sorts of the halves) and verifies with an RDD zipWithIndex
+    * position stamp — three range-sorts plus an RDD round trip, all
+    * gate machinery. The reference's SortedMerge consumes chunks that
+    * are ALREADY sorted, so the throughput number times the MERGE
+    * alone: the sorted halves materialize once per sf dir (memoized
+    * parquet fixture), and the timed plan is one range-exchange
+    * merge over them. */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_merge_sorted" -> ((s, d) => {
+      val keys = Seq(col("l_orderkey").asc, col("l_linenumber").asc)
+      val fixture = "/tmp/graft_fixtures/merge_sorted_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val marker = new java.io.File(s"$fixture/_done")
+      if (!marker.exists()) {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
+        Operations.sort(li.filter(col("l_orderkey") % 2 === 0), keys)
+          .write.mode("overwrite").parquet(s"$fixture/a")
+        Operations.sort(li.filter(col("l_orderkey") % 2 =!= 0), keys)
+          .write.mode("overwrite").parquet(s"$fixture/b")
+        marker.getParentFile.mkdirs(); marker.createNewFile()
+      }
+      Operations.mergeSorted(Seq(
+        s.read.parquet(s"$fixture/a"), s.read.parquet(s"$fixture/b")), keys)
+    }))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Map operation: per-row user transform as a partition closure
     // (user_job.cpp mapper ≈ Scala closure).
