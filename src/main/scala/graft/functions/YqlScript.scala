@@ -1649,7 +1649,7 @@ object YqlScript {
   // ——— select-level lowerings ———
   private[functions] def lowerSelect(sql: String): String =
     lowerFlatten(lowerWithout(lowerSample(lowerTableHints(lowerHints(
-      lowerSessionWindow(lowerHop(lowerBitcast(sql))))))))
+      lowerSessionWindow(lowerSessionWindowOver(lowerHop(lowerBitcast(sql)))))))))
 
   /** `BITCAST(x AS IntN|UintN)` (docs syntax/expressions.md#bitcast):
     * bitwise integer conversion — always succeeds, truncates to the
@@ -1789,6 +1789,99 @@ object YqlScript {
     * `session_window.start`. The extended 4-argument lambda form
     * raises (use the typed operator path for custom session logic).
     */
+  /** `SessionWindow(time, timeout)` inside a WINDOW/OVER
+    * `PARTITION BY` (docs syntax/window.md#partition: "Both in
+    * PARTITION BY and GROUP BY you can use ... SessionWindow") —
+    * sessionize the window input inside the OTHER partition keys, then
+    * PARTITION BY the session. `SessionStart()` reads the session key
+    * (the session's minimum time, like the GROUP BY form).
+    *
+    * The classic gaps-and-islands splice: the FROM (with its WHERE —
+    * sessionization runs over the window INPUT) wraps into a derived
+    * table computing boundary flag → running count = session ordinal →
+    * min(time) per session = the key; the window's SessionWindow item
+    * rewrites to that key column. All the added windows ride the SAME
+    * (keys, time) sort order, so one exchange serves the whole stack.
+    */
+  private[graft] def lowerSessionWindowOver(sql: String): String = {
+    val masked = maskQuotes(sql)
+    // a window-definition region: inline `OVER (...)` or `WINDOW w AS (...)`
+    val regionRe = "(?i)\\b(OVER|WINDOW\\s+[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(".r
+    val region = regionRe.findAllMatchIn(masked).flatMap { m =>
+      val close = matchParen(sql, m.end - 1)
+      val inner = masked.substring(m.end, close)
+      "(?i)\\bSessionWindow\\s*\\(".r.findFirstMatchIn(inner)
+        .map(sm => (m, close, sm))
+    }.toSeq.headOption.getOrElse(return sql)
+    val (m, close, _) = region
+    val inner = sql.substring(m.end, close)
+    val innerMasked = masked.substring(m.end, close)
+    val pb = "(?i)\\bPARTITION\\s+BY\\b".r.findFirstMatchIn(innerMasked)
+      .getOrElse(throw new IllegalArgumentException(
+        "SessionWindow in a window definition needs PARTITION BY " +
+          "(docs syntax/window.md#partition)"))
+    // the PARTITION BY list runs to ORDER BY / ROWS / RANGE / end
+    val stop = Seq("ORDER", "ROWS", "RANGE")
+      .map(k => findTopKw(inner, k, pb.end)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(inner.length)
+    val items = splitTopLevel(inner.substring(pb.end, stop))
+      .map(_.trim).filter(_.nonEmpty)
+    val (sessItems, keys) = items.partition(i =>
+      "(?i)^SessionWindow\\s*\\(".r.findFirstIn(i).isDefined)
+    require(sessItems.length == 1,
+      "exactly one SessionWindow(...) per window definition")
+    val sm = "(?i)^SessionWindow\\s*\\(".r.findFirstMatchIn(sessItems.head).get
+    val sClose = matchParen(sessItems.head, sm.end - 1)
+    val sArgs = splitTopLevel(sessItems.head.substring(sm.end, sClose))
+      .map(_.trim)
+    require(sArgs.length == 2,
+      "SessionWindow in a window definition takes (time_expr, timeout)")
+    val te = sArgs.head
+    val gap = isoInterval(sArgs(1), "SessionWindow", "timeout")
+    require(!gap.isZero && !gap.isNegative,
+      s"SessionWindow timeout must be a positive interval, got: ${sArgs(1)}")
+    // splice the sessionized derived table around FROM [... WHERE ...]
+    val fromAt = findTopKw(sql, "FROM")
+    require(fromAt >= 0, "SessionWindow window needs a FROM source")
+    require(findTopKw(sql, "GROUP") < 0,
+      "SessionWindow in a window definition cannot combine with GROUP BY")
+    val fromEndCandidates = Seq("WINDOW", "ORDER", "LIMIT", "HAVING")
+      .map(k => findTopKw(sql, k, fromAt + 4)).filter(_ >= 0)
+    val fromEnd = fromEndCandidates.sorted.headOption.getOrElse(sql.length)
+    val src = sql.substring(fromAt + 4, fromEnd).trim // incl. WHERE
+    val pbKeys = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
+    val pbOnly = if (keys.isEmpty) "" else "PARTITION BY " + keys.mkString(", ")
+    val ord = s"ORDER BY unix_micros($te)"
+    val w1 = s"OVER (${if (keys.isEmpty) "" else pbOnly + " "}$ord)"
+    val inner1 =
+      s"SELECT *, CASE WHEN lag(unix_micros($te)) $w1 IS NULL OR " +
+        s"unix_micros($te) - lag(unix_micros($te)) $w1 > ${gap.toMillis * 1000L} " +
+        s"THEN 1 ELSE 0 END AS __sess_new FROM $src"
+    val inner2 =
+      s"SELECT *, sum(__sess_new) OVER (${if (keys.isEmpty) "" else pbOnly + " "}" +
+        s"$ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        s"AS __sess_id FROM ($inner1)"
+    val inner3 =
+      s"SELECT *, min($te) OVER (PARTITION BY ${pbKeys}__sess_id) " +
+        s"AS __sess_key FROM ($inner2)"
+    // the window's SessionWindow item → the session key column
+    val newInner = inner.substring(0, pb.end) + " " +
+      (keys :+ "__sess_key").mkString(", ") + " " + inner.substring(stop)
+    // two disjoint spans replace (window-def inner, FROM source) — the
+    // window definition may sit before OR after FROM (inline OVER in
+    // the select list vs a trailing WINDOW clause)
+    val repls = Seq(
+      (m.end, close, newInner),
+      (fromAt, fromEnd, s"FROM ($inner3) ")).sortBy(-_._1)
+    var out = sql
+    for ((a, b, r) <- repls) out = out.substring(0, a) + r + out.substring(b)
+    // SessionStart() reads the session key; drop any OVER qualifier
+    out = ("(?i)\\bSessionStart\\s*\\(\\s*\\)" +
+      "(\\s+OVER\\s+[A-Za-z_][A-Za-z0-9_]*|\\s*OVER\\s*\\([^)]*\\))?").r
+      .replaceAllIn(out, "__sess_key")
+    lowerSessionWindowOver(out)
+  }
+
   def lowerSessionWindow(sql: String): String = {
     val masked = maskQuotes(sql)
     "(?i)\\bSessionWindow\\s*\\(".r.findFirstMatchIn(masked) match {

@@ -993,6 +993,23 @@ object Yql {
           |FROM part""".stripMargin)
     }),
 
+    // SessionWindow inside a WINDOW definition's PARTITION BY — the
+    // STRING spelling (syntax/window.md#partition: "Both in PARTITION
+    // BY and GROUP BY you can use ... SessionWindow") — lowered by
+    // YqlScript.lowerSessionWindowOver onto the gaps-and-islands
+    // splice; SessionStart() reads the session key. The DuckDB oracle
+    // replays the islands arithmetic directly.
+    "yql_sql_window_over_session" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """SELECT user_id, event_id,
+          |  row_number() OVER w AS pos_in_sess,
+          |  SessionStart() AS session_start
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id, SessionWindow(ts, 'PT6H')
+          |  ORDER BY ts, event_id)""".stripMargin)
+    }),
+
     // basic.md breadth over real column data: byte/bit surgery, the
     // ToBytes/FromBytes round trip, MAX_OF, Just/Unwrap, ListFoldMap
     // (stateful scan), ListAggregate and a struct container literal —
@@ -2045,6 +2062,22 @@ object Yql {
            [ROUND(avg(o_custkey % 7), 6), ROUND(avg(o_orderkey % 13), 6),
             ROUND(avg(o_custkey % 97), 6)] AS mavg
          FROM orders""",
+    "yql_sql_window_over_session" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts) > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
+           FROM events),
+         s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM b),
+         k AS (SELECT *, min(ts) OVER (PARTITION BY user_id, sid)
+             AS session_start FROM s)
+         SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id, sid
+             ORDER BY ts, event_id) AS pos_in_sess,
+           session_start
+         FROM k""",
     "yql_fn_basics" ->
       """SELECT o_orderkey,
            ord(substr(o_orderpriority, 1, 1)) AS ba,

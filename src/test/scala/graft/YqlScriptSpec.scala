@@ -1108,6 +1108,39 @@ class YqlScriptSpec extends SparkSpec {
     assert(first.getLong(3) == 2L && first.getDouble(4) == 5.0)
   }
 
+  test("SessionWindow inside an inline OVER: sessionized partition key") {
+    import spark.implicits._
+    Seq(("u1", 1L, "2024-01-01 01:00:00"), ("u1", 2L, "2024-01-01 02:00:00"),
+      ("u1", 3L, "2024-01-01 20:00:00"), ("u2", 4L, "2024-01-01 03:00:00"))
+      .toDF("user_id", "event_id", "tstr")
+      .selectExpr("user_id", "event_id", "CAST(tstr AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("swo_t")
+    val rows = graft.functions.YqlSql.sql(spark,
+      """SELECT user_id, event_id,
+        |  count(*) OVER (PARTITION BY user_id,
+        |    SessionWindow(ts, 'PT6H')) AS sess_n,
+        |  SessionStart() AS ss
+        |FROM swo_t""".stripMargin)
+      .orderBy("event_id").collect()
+    // u1 splits at the 18h gap: events 1,2 share a session (n=2),
+    // event 3 alone, u2 alone; SessionStart = session min ts
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 2L, 1L, 1L))
+    assert(rows(0).getTimestamp(3) == rows(1).getTimestamp(3))
+    assert(rows(2).getTimestamp(3).toString.startsWith("2024-01-01 20:00"))
+    // raise paths: no PARTITION BY; combined with GROUP BY
+    val e = intercept[IllegalArgumentException] {
+      YqlScript.lowerSessionWindowOver(
+        "SELECT count(*) OVER (ORDER BY SessionWindow(ts, 'PT1H')) FROM t")
+    }
+    assert(e.getMessage.contains("PARTITION BY"))
+    val e2 = intercept[IllegalArgumentException] {
+      YqlScript.lowerSessionWindowOver(
+        "SELECT count(*) OVER (PARTITION BY SessionWindow(ts, 'PT1H')) " +
+          "FROM t GROUP BY k")
+    }
+    assert(e2.getMessage.contains("GROUP BY"))
+  }
+
   test("SessionWindow raises on malformed specs") {
     def bad(sql: String): String =
       intercept[IllegalArgumentException] {
