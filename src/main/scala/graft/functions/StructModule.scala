@@ -420,6 +420,59 @@ final case class ListUnionAllExpr(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** StaticZip (basic.md#staticzip): merge structs (same member names)
+  * or tuples (same length) element-by-element — each result member is
+  * the tuple of the inputs' members. */
+final case class StaticZipExpr(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  private lazy val parts: Seq[StructType] =
+    children.map(c => StructModule.structOf(c.dataType, "StaticZip"))
+  private lazy val names: Seq[String] = parts.head.fieldNames.toSeq
+  // per input: member index aligned to names
+  private lazy val align: Seq[Array[Int]] =
+    parts.map(p => names.map(n => p.fieldNames.indexOf(n)).toArray)
+
+  override def dataType: DataType = StructType(names.zipWithIndex.map {
+    case (n, i) =>
+      StructField(n, StructType(parts.zip(align).zipWithIndex.map {
+        case ((p, a), pi) =>
+          val f = p.fields(a(i))
+          StructField(s"_${pi + 1}", f.dataType, f.nullable)
+      }.toArray))
+  }.toArray)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "staticzip"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val notStruct = children.find(!_.dataType.isInstanceOf[StructType])
+    if (notStruct.isDefined)
+      return TypeCheckResult.TypeCheckFailure(
+        "StaticZip expects structs or tuples, got " +
+          notStruct.get.dataType.simpleString)
+    if (parts.exists(p => p.fieldNames.toSet != names.toSet))
+      TypeCheckResult.TypeCheckFailure(
+        "StaticZip arguments must share one member set: " +
+          parts.map(_.simpleString).mkString(" vs "))
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val rows = children.map(_.eval(input))
+    if (rows.exists(_ == null)) return null
+    new GenericInternalRow(names.indices.map { i =>
+      new GenericInternalRow(parts.indices.map { pi =>
+        rows(pi).asInstanceOf[InternalRow]
+          .get(align(pi)(i), parts(pi).fields(align(pi)(i)).dataType)
+      }.toArray[Any]): Any
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** TryMember (struct.md#trymember): the member's value if the member
   * exists AND is non-null, else the default; member and default types
   * must agree when the member exists. Null struct → null. */

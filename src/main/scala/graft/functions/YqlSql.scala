@@ -120,8 +120,86 @@ object YqlSql {
         }
       }
     }
-    tupleAccess(aggSpellings(lowerAggregateBy(lowerContainerAggregate(
-      structSugar(containerLiterals(typeArgSugar(out.toString)))))))
+    tupleAccess(inlineLambdas(aggSpellings(lowerAggregateBy(
+      lowerContainerAggregate(structSugar(containerLiterals(
+        typeArgSugar(out.toString))))))))
+  }
+
+  /** YQL's inline lambda spelling `($x[, $y]) -> (expr)` and the
+    * statement-body form `($x) -> { RETURN expr; }` → Spark lambda
+    * syntax (`__la_x -> expr` with `$x` occurrences renamed). Runs
+    * LAST: the factory-combinator passes (AGGREGATE_BY,
+    * List/DictAggregate) consume their lambdas textually first, so
+    * whatever still spells `($x) ->` here binds as a real Spark lambda
+    * (ListMap, ListFold, StaticMap, ...). */
+  private def inlineLambdas(sql: String): String = {
+    val headRe = ("\\(\\s*\\$([A-Za-z_][A-Za-z0-9_]*)" +
+      "((\\s*,\\s*\\$[A-Za-z_][A-Za-z0-9_]*)*)\\s*\\)\\s*->\\s*").r
+    val masked = YqlScript.maskQuotes(sql)
+    val m = headRe.findFirstMatchIn(masked).getOrElse(return sql)
+    val params = ("\\$([A-Za-z_][A-Za-z0-9_]*)".r
+      .findAllMatchIn(masked.substring(m.start, m.end))
+      .map(_.group(1))).toSeq
+    // body: a parenthesized/braced group, or a single expression the
+    // caller delimits (leave the latter's extent alone)
+    var i = m.end
+    var body: String = null
+    var bodyEnd = m.end
+    if (i < sql.length && sql.charAt(i) == '(') {
+      val close = YqlScript.matchParen(sql, i)
+      body = sql.substring(i, close + 1) // keep the parens
+      bodyEnd = close + 1
+    } else if (i < sql.length && sql.charAt(i) == '{') {
+      // matchParen tracks () only — braces need their own scan
+      var depth = 0; var j = i
+      var close = -1
+      val mk = masked
+      while (j < mk.length && close < 0) {
+        mk.charAt(j) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) close = j
+          case _ =>
+        }
+        j += 1
+      }
+      require(close > 0, s"unbalanced lambda body braces: ${sql.take(80)}")
+      val stmts = sql.substring(i + 1, close).trim.stripSuffix(";").trim
+      val rm = "(?i)^RETURN\\b".r.findFirstMatchIn(stmts).getOrElse(
+        throw new IllegalArgumentException(
+          "lambda statement bodies support a single RETURN expr; got: " +
+            stmts.take(60)))
+      body = "(" + stmts.substring(rm.end).trim + ")"
+      bodyEnd = close + 1
+    } else {
+      // un-delimited body: runs to the end of the current argument
+      // (top-level comma or closing paren)
+      var depth = 0
+      var j = i
+      val mk = masked
+      while (j < mk.length && (depth > 0 ||
+          (mk.charAt(j) != ',' && mk.charAt(j) != ')'))) {
+        mk.charAt(j) match {
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      body = sql.substring(i, j)
+      bodyEnd = j
+    }
+    var newBody = body
+    for (p <- params)
+      newBody = java.util.regex.Pattern
+        .compile(java.util.regex.Pattern.quote("$" + p) + "(?![A-Za-z0-9_])")
+        .matcher(newBody)
+        .replaceAll(java.util.regex.Matcher.quoteReplacement(s"__la_$p"))
+    // Spark's lambda grammar parenthesizes only MULTI-param heads
+    val head =
+      if (params.length == 1) s"__la_${params.head} -> "
+      else params.map(p => s"__la_$p").mkString("(", ", ", ")") + " -> "
+    inlineLambdas(sql.substring(0, m.start) + head + newBody +
+      sql.substring(bodyEnd))
   }
 
   /** `ListAggregate(list, AggregationFactory('NAME'[, p]))` and
@@ -399,7 +477,13 @@ object YqlSql {
           .map(containerLiterals)
         return containerLiterals(sql.substring(0, i) +
           s"array(${items.mkString(", ")})" + sql.substring(close + 1))
-      } else if (c == '{') {
+      } else if (c == '{' && !(prevNonSpace(i) == '>' && {
+        // a `{` right after `->` is a lambda statement body
+        // (inlineLambdas owns it), not a dict/set literal
+        var j = i - 1
+        while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+        j >= 1 && masked.charAt(j - 1) == '-'
+      })) {
         val close = matchClose(i)
         val items = splitItems(sql.substring(i + 1, close))
         val entries = items.map(splitColon)
@@ -1181,6 +1265,15 @@ object YqlSql {
         ListUnionAllExpr(es)
       }
       reg("structmembers")(es => StructMembersExpr(es.head))
+      // StaticMap / StaticZip (basic.md): member-wise lambda / zip
+      reg("staticmap") { es =>
+        require(es.length == 2, "StaticMap takes (struct, lambda)")
+        org.apache.spark.sql.graft.StaticMapExpr(es(0), es(1))
+      }
+      reg("staticzip") { es =>
+        require(es.nonEmpty, "StaticZip takes one or more structs")
+        StaticZipExpr(es)
+      }
       reg("gathermembers")(es => GatherMembersExpr(es.head))
       reg("renamemembers")(es => RenameMembersExpr(es(0),
         litPairs(es(1), "RenameMembers"), force = false))

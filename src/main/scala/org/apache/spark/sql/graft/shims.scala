@@ -12,6 +12,11 @@ object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AnyDataType` is `protected[sql]` — exposed for custom
+    * HigherOrderFunction argumentTypes. */
+  val anyDataType: org.apache.spark.sql.types.AbstractDataType =
+    org.apache.spark.sql.types.AnyDataType
+
   /** Eagerly convert a Column's node tree to a Catalyst expression
     * (UnresolvedFunction names resolved via the registry) — what the
     * classic Dataset API does on select; needed when building

@@ -220,6 +220,25 @@ class BasicOpsSpec extends SparkSpec {
     }
   }
 
+  test("StaticMap / StaticZip: doc examples incl. mixed member types") {
+    val r = one(
+      """$one = <|k1: 1, k2: 2.0e0|>;
+        |$two = <|k1: 3.0e0, k2: 4|>;
+        |SELECT StaticMap(<|a: 1, b: 2|>, ($item) -> ($item * 10)) AS m,
+        |  StaticZip($one, $two) AS z,
+        |  StaticMap(StaticZip($one, $two),
+        |    ($tuple) -> ($tuple.0 + $tuple.1)) AS sum,
+        |  StaticMap(AsTuple(1, 2), ($item) -> {
+        |    RETURN CAST($item AS String); }) AS t""".stripMargin)
+    assert(r.getStruct(0) == Row(10, 20))
+    // z: k1 = (1, 3.0), k2 = (2.0, 4)
+    assert(r.getStruct(1).getStruct(0) == Row(1, 3.0))
+    assert(r.getStruct(1).getStruct(1) == Row(2.0, 4))
+    // sum: heterogeneous member types — the lambda binds per member
+    assert(r.getStruct(2) == Row(4.0, 6.0))
+    assert(r.getStruct(3) == Row("1", "2"))
+  }
+
   test("AddTimezone / RemoveTimezone shift the instant") {
     val r = one(
       """SELECT AddTimezone(TIMESTAMP'2024-01-01 00:00:00',
