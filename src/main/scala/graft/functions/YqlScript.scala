@@ -164,6 +164,10 @@ object YqlScript {
     // modules attached in-script via PRAGMA library('file.sql');
     // caller-supplied `libraries` win on name collision
     val pragmaLibs = scala.collection.mutable.Map.empty[String, String]
+    // PRAGMA File("alias", "path") attachments: alias → local path
+    // (basic.md#file-content-path; syntax/pragma.md#file). This engine
+    // is zero-egress — URLs raise, local files attach.
+    val pragmaFiles = scala.collection.mutable.Map.empty[String, String]
     val unsupported = Set("ROLLBACK")
     // `@name` anonymous (temporary) tables (docs select.md
     // #temporary-tables): each name maps, per script run, to a
@@ -236,6 +240,10 @@ object YqlScript {
         require(firstWord == "DELETE" || firstWord == "UPDATE",
           s"BATCH applies to DELETE/UPDATE, got: ${st.take(40)}")
       }
+      if (firstWord != "PRAGMA" && pragmaFiles.nonEmpty &&
+          "(?i)\\b(FileContent|FilePath|FolderPath|ParseFile)\\s*\\(".r
+            .findFirstIn(maskQuotes(st)).isDefined)
+        st = lowerFileFns(st, pragmaFiles)
       if (firstWord == "PRAGMA") {
         val p = st.drop("PRAGMA".length).trim
         // Result-AFFECTING pragmas must not be silently inert: a script
@@ -266,6 +274,33 @@ object YqlScript {
           val name = f.getName.replaceAll("\\.[^.]*$", "")
           pragmaLibs(name) =
             new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        }
+        // PRAGMA File("alias", "path") / PRAGMA Folder("prefix", "dir")
+        // — attach files for FileContent/FilePath/FolderPath/ParseFile
+        val fileP = ("(?i)^file\\s*\\(\\s*('[^']*'|\"[^\"]*\")\\s*,\\s*" +
+          "('[^']*'|\"[^\"]*\")\\s*\\)$").r.findFirstMatchIn(p)
+        fileP.foreach { m =>
+          val alias = m.group(1).drop(1).dropRight(1)
+          val path = m.group(2).drop(1).dropRight(1)
+          require(!path.matches("(?i)^[a-z][a-z0-9+.-]*://.*"),
+            s"PRAGMA File: this engine is zero-egress — attach a local " +
+              s"path, got a URL: $path")
+          require(new java.io.File(path).isFile,
+            s"PRAGMA File: no such file: $path")
+          pragmaFiles(alias) = path
+        }
+        val folderP = ("(?i)^folder\\s*\\(\\s*('[^']*'|\"[^\"]*\")\\s*,\\s*" +
+          "('[^']*'|\"[^\"]*\")\\s*\\)$").r.findFirstMatchIn(p)
+        folderP.foreach { m =>
+          val prefix = m.group(1).drop(1).dropRight(1)
+          val dir = new java.io.File(m.group(2).drop(1).dropRight(1))
+          require(dir.isDirectory,
+            s"PRAGMA Folder: no such directory: ${dir.getPath}")
+          def walk(f: java.io.File, rel: String): Unit =
+            if (f.isFile) pragmaFiles(s"$prefix/$rel") = f.getPath
+            else if (f.isDirectory) f.listFiles.foreach(c =>
+              walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+          dir.listFiles.foreach(c => walk(c, c.getName))
         }
       }
       // USE cluster; — cluster selection (SQLv1.g.in use_stmt). This
@@ -1439,6 +1474,87 @@ object YqlScript {
 
   // ——— statement splitting (quote- and comment-aware, ';' at paren
   // depth 0 only) ———
+  /** FileContent / FilePath / FolderPath / ParseFile over the
+    * PRAGMA File/Folder attachments (basic.md#file-content-path):
+    * everything resolves at LOWERING time — content and paths inline
+    * as literals, ParseFile's one-value-per-line list becomes a typed
+    * array literal. FolderPath materializes a directory whose layout
+    * mirrors the alias structure (symlinks; copies where links fail). */
+  private def lowerFileFns(st0: String,
+      files: collection.Map[String, String]): String = {
+    def lit(s: String): String = "'" + s.replace("\\", "\\\\")
+      .replace("'", "\\'").replace("\n", "\\n").replace("\r", "\\r")
+      .replace("\t", "\\t") + "'"
+    def unq(a: String, fn: String): String = {
+      val t = a.trim
+      require(t.length >= 2 && (t.head == '\'' || t.head == '"') &&
+        t.last == t.head, s"$fn takes a constant string, got: ${a.take(40)}")
+      t.substring(1, t.length - 1)
+    }
+    var st = st0
+    val re = "(?i)\\b(FileContent|FilePath|FolderPath|ParseFile)\\s*\\(".r
+    var m = re.findFirstMatchIn(maskQuotes(st))
+    while (m.isDefined) {
+      val mm = m.get
+      val fn = mm.group(1).toLowerCase
+      val close = matchParen(st, mm.end - 1)
+      val args = splitTopLevel(st.substring(mm.end, close)).map(_.trim)
+      def pathOf(alias: String): String =
+        files.getOrElse(alias, throw new IllegalArgumentException(
+          s"${mm.group(1)}: no attached file '$alias' " +
+            "(declare it with PRAGMA File(\"alias\", \"path\"))"))
+      val repl = fn match {
+        case "filepath" => lit(pathOf(unq(args(0), "FilePath")))
+        case "filecontent" =>
+          lit(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(pathOf(unq(args(0), "FileContent")))),
+            "UTF-8"))
+        case "folderpath" =>
+          val prefix = unq(args(0), "FolderPath")
+          val members = files.toSeq.collect {
+            case (a, p) if a.startsWith(prefix + "/") =>
+              (a.substring(prefix.length + 1), p)
+          }
+          require(members.nonEmpty,
+            s"FolderPath: no attached files under '$prefix/'")
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_folder_").toFile
+          members.foreach { case (rel, p) =>
+            val dst = new java.io.File(root, rel)
+            dst.getParentFile.mkdirs()
+            try java.nio.file.Files.createSymbolicLink(
+              dst.toPath, java.nio.file.Paths.get(p).toAbsolutePath)
+            catch { case _: Exception =>
+              java.nio.file.Files.copy(java.nio.file.Paths.get(p), dst.toPath)
+            }
+          }
+          lit(root.getPath)
+        case "parsefile" =>
+          require(args.length == 2, "ParseFile takes (type, alias)")
+          val t = EnsureTypeExpr.parse(unq(args(0), "ParseFile"))
+          val lines = scala.io.Source.fromFile(
+            pathOf(unq(args(1), "ParseFile")), "UTF-8").getLines().toSeq
+          // `x IN ParseFile(...)` — the docs' canonical use — needs
+          // SQL's value-list form, not an array expression
+          val inPos = {
+            var j = mm.start - 1
+            while (j >= 0 && st.charAt(j).isWhitespace) j -= 1
+            j >= 1 && st.substring(math.max(0, j - 1), j + 1)
+              .equalsIgnoreCase("IN") &&
+              (j < 2 || !st.charAt(j - 2).isLetterOrDigit)
+          }
+          if (inPos)
+            lines.map(l => s"CAST(${lit(l)} AS ${t.sql})")
+              .mkString("(", ", ", ")")
+          else
+            s"CAST(array(${lines.map(lit).mkString(", ")}) AS ARRAY<${t.sql}>)"
+      }
+      st = st.substring(0, mm.start) + repl + st.substring(close + 1)
+      m = re.findFirstMatchIn(maskQuotes(st))
+    }
+    st
+  }
+
   private[functions] def splitStatements(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder

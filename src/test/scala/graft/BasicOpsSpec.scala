@@ -239,6 +239,40 @@ class BasicOpsSpec extends SparkSpec {
     assert(r.getStruct(3) == Row("1", "2"))
   }
 
+  test("PRAGMA File + FileContent/FilePath/FolderPath/ParseFile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_files_").toFile
+    val f1 = new java.io.File(dir, "vals.txt")
+    java.nio.file.Files.writeString(f1.toPath, "10\n20\n30\n")
+    val f2 = new java.io.File(dir, "hello.txt")
+    java.nio.file.Files.writeString(f2.toPath, "hi there")
+    val r = one(
+      s"""PRAGMA File('my/vals.txt', '${f1.getPath}');
+         |PRAGMA File('my/hello.txt', '${f2.getPath}');
+         |SELECT FileContent('my/hello.txt') AS c,
+         |  FilePath('my/vals.txt') AS p,
+         |  ListLength(ParseFile('Int64', 'my/vals.txt')) AS n,
+         |  ListAggregate(ParseFile('Int64', 'my/vals.txt'),
+         |    AggregationFactory('Sum')) AS s,
+         |  FolderPath('my') AS fp""".stripMargin)
+    assert(r.getString(0) == "hi there")
+    assert(r.getString(1) == f1.getPath)
+    assert(r.getInt(2) == 3 && r.getLong(3) == 60L)
+    assert(new java.io.File(r.getString(4), "vals.txt").exists())
+    assert(new java.io.File(r.getString(4), "hello.txt").exists())
+    // IN over a parsed file (the docs' canonical use)
+    val rows = YqlSql.sql(spark,
+      s"""PRAGMA File('my/vals.txt', '${f1.getPath}');
+         |SELECT x FROM (SELECT explode(array(5, 10, 25, 30)) AS x)
+         |WHERE x IN ParseFile('Int64', 'my/vals.txt')""".stripMargin)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(10, 30))
+    // URLs raise: zero-egress engine
+    val e = intercept[Exception] {
+      one("PRAGMA File('a.txt', 'http://example.invalid/x'); SELECT 1 AS a")
+    }
+    assert(e.getMessage.contains("zero-egress"))
+  }
+
   test("AddTimezone / RemoveTimezone shift the instant") {
     val r = one(
       """SELECT AddTimezone(TIMESTAMP'2024-01-01 00:00:00',
