@@ -1167,6 +1167,11 @@ object YqlSql {
     reg1("digest_md5hex")(Digest.md5)
     reg("digest_farmhashfingerprint")(es => FarmHashExpr(es))
     reg("digest_farmhashfingerprint64")(es => FarmHashExpr(es))
+    // the Digest:: long tail (digest_udf.cpp) — bit-exact public
+    // algorithms in DigestOps
+    Seq("crc32c", "superfasthash", "fnv32", "fnv64", "siphash",
+      "numerichash", "inthash64", "md5raw", "md5halfmix").foreach(fn =>
+      reg(s"digest_$fn")(es => DigestFnExpr(fn, es)))
 
     // ——— the struct-builtins family (struct.md; StructModule.scala).
     // AddMember/ExpandStruct/RemoveMember(s) ride Spark's own

@@ -273,6 +273,52 @@ class BasicOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("zero-egress"))
   }
 
+  test("Digest:: long tail: published test vectors") {
+    val r = one(
+      """SELECT Digest::Crc32c('123456789') AS crc,
+        |  Digest::Fnv64('a') AS f64,
+        |  Digest::Fnv32('a') AS f32,
+        |  Digest::SipHash(CAST(506097522914230528 AS BIGINT),
+        |    CAST(1084818905618843912 AS BIGINT), '') AS sip,
+        |  Digest::SuperFastHash('') AS sfh0,
+        |  Digest::IntHash64(1) AS ih,
+        |  Digest::NumericHash(1) AS nh,
+        |  length(Digest::Md5Raw('abc')) AS raw_len,
+        |  Digest::Md5HalfMix('abc') AS hm""".stripMargin)
+    // CRC32C("123456789") = 0xE3069283 (RFC 3720 test vector)
+    assert(r.getLong(0) == 0xe3069283L)
+    // FNV-1 64/32 of "a" (multiply-then-xor — util/digest/fnv.h)
+    assert(r.getLong(1) == 0xaf63bd4c8601b7beL)
+    assert(r.getLong(2) == 0x050c5d7eL)
+    // SipHash-2-4 reference vector: key bytes 00..0f, empty input
+    assert(r.getLong(3) == 0x726fdb47dd0e0e31L)
+    assert(r.getLong(4) == 0L) // SuperFastHash("") = 0 by definition
+    // the two integer mixers replay the reference formulas (spec
+    // replays them independently below)
+    def intHash64(x0: Long): Long = {
+      var x = x0 ^ 0x4cf2d2baae6da887L
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    assert(r.getLong(5) == intHash64(1L))
+    assert(r.getLong(6) != 1L && r.getLong(6) == {
+      var k = 1L
+      k += ~(k << 32); k ^= (k >>> 22); k += ~(k << 13); k ^= (k >>> 8)
+      k += (k << 3); k ^= (k >>> 15); k += ~(k << 27); k ^= (k >>> 31); k
+    })
+    assert(r.getInt(7) == 16)
+    // HalfMix folds md5[i]^md5[i+8] — recompute from the raw digest
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes)
+    var hm = 0L
+    for (i <- 3 to 0 by -1) {
+      hm |= ((d(i) ^ d(8 + i)) & 0xffL) << ((3 - i) << 3)
+      hm |= ((d(4 + i) ^ d(12 + i)) & 0xffL) << ((7 - i) << 3)
+    }
+    assert(r.getLong(8) == hm)
+  }
+
   test("AddTimezone / RemoveTimezone shift the instant") {
     val r = one(
       """SELECT AddTimezone(TIMESTAMP'2024-01-01 00:00:00',
