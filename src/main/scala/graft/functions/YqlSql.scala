@@ -122,7 +122,97 @@ object YqlSql {
     }
     tupleAccess(inlineLambdas(aggSpellings(lowerAggregateBy(
       lowerContainerAggregate(structSugar(containerLiterals(
-        typeArgSugar(out.toString))))))))
+        coalesceOp(typeArgSugar(out.toString)))))))))
+  }
+
+  /** YQL's `a ?? b` coalesce operator (basic.md#coalesce; grammar
+    * truth SQLv1.g.in:113-117: `double_question` lives in
+    * neq_subexpr — BELOW the bit/add/mul/concat operators, ABOVE
+    * comparisons and booleans, right-associative). Operands therefore
+    * run to the nearest comparison/boolean/clause boundary:
+    * `u > 1 AND v ?? false` = u > 1 AND coalesce(v, false);
+    * `a ?? b > c` = coalesce(a, b) > c. `A ?? B ?? C` flattens into
+    * one coalesce (associative either way). The NVL alias is Spark's
+    * own nvl. */
+  private def coalesceOp(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val at = masked.indexOf("??")
+    if (at < 0) return sql
+    val stops = Set("SELECT", "FROM", "WHERE", "GROUP", "ORDER", "HAVING",
+      "LIMIT", "OFFSET", "AS", "WHEN", "THEN", "ELSE", "END", "ON",
+      "RETURN", "RETURNING", "BY", "UNION", "ALL", "SET", "VALUES",
+      "JOIN", "WINDOW", "OVER", "PARTITION", "ASC", "DESC", "DISTINCT",
+      "CASE", "INTO", "ASSUME",
+      // ?? binds above comparisons and booleans (neq_subexpr)
+      "AND", "OR", "XOR", "NOT", "IN", "IS", "LIKE", "ILIKE", "GLOB",
+      "REGEXP", "RLIKE", "MATCH", "BETWEEN", "ESCAPE")
+    val stopChars = Set('<', '>', '=', '!')
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    // the expression slot around position `at`: scan out to depth
+    // drops, top-level commas, or clause keywords
+    var lo = at
+    var depth = 0
+    var done = false
+    while (lo > 0 && !done) {
+      val c = masked.charAt(lo - 1)
+      c match {
+        case ')' | ']' | '}' => depth += 1; lo -= 1
+        case '(' | '[' | '{' => if (depth == 0) done = true else { depth -= 1; lo -= 1 }
+        case ',' | ';' if depth == 0 => done = true
+        case ch if depth == 0 && stopChars(ch) => done = true
+        case _ =>
+          if (depth == 0 && isIdent(c)) {
+            var ws = lo - 1
+            while (ws > 0 && isIdent(masked.charAt(ws - 1))) ws -= 1
+            val w = masked.substring(ws, lo).toUpperCase
+            if (stops(w) && (ws == 0 || !isIdent(masked.charAt(ws - 1))))
+              done = true
+            else lo = ws
+          } else lo -= 1
+      }
+    }
+    var hi = at + 2
+    depth = 0
+    done = false
+    while (hi < masked.length && !done) {
+      val c = masked.charAt(hi)
+      c match {
+        case '(' | '[' | '{' => depth += 1; hi += 1
+        case ')' | ']' | '}' =>
+          if (depth == 0) done = true else { depth -= 1; hi += 1 }
+        case ',' | ';' if depth == 0 => done = true
+        case ch if depth == 0 && stopChars(ch) => done = true
+        case _ =>
+          if (depth == 0 && isIdent(c) &&
+              (hi == 0 || !isIdent(masked.charAt(hi - 1)))) {
+            var we = hi
+            while (we < masked.length && isIdent(masked.charAt(we))) we += 1
+            if (stops(masked.substring(hi, we).toUpperCase)) done = true
+            else hi = we
+          } else hi += 1
+      }
+    }
+    val slot = sql.substring(lo, hi)
+    val slotMasked = masked.substring(lo, hi)
+    // split the slot at its top-level `??`s
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0; var i = 0; var d = 0
+    while (i < slotMasked.length) {
+      slotMasked.charAt(i) match {
+        case '(' | '[' | '{' => d += 1; i += 1
+        case ')' | ']' | '}' => d -= 1; i += 1
+        case '?' if d == 0 && i + 1 < slotMasked.length &&
+            slotMasked.charAt(i + 1) == '?' =>
+          parts += slot.substring(start, i); start = i + 2; i += 2
+        case _ => i += 1
+      }
+    }
+    parts += slot.substring(start)
+    val trimmed = parts.map(_.trim)
+    require(trimmed.forall(_.nonEmpty),
+      s"malformed ?? expression: ${slot.take(60)}")
+    coalesceOp(sql.substring(0, lo) +
+      s" coalesce(${trimmed.mkString(", ")}) " + sql.substring(hi))
   }
 
   /** YQL's inline lambda spelling `($x[, $y]) -> (expr)` and the

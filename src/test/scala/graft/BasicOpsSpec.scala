@@ -319,6 +319,22 @@ class BasicOpsSpec extends SparkSpec {
     assert(r.getLong(8) == hm)
   }
 
+  test("?? coalesce operator: grammar precedence (SQLv1 neq_subexpr)") {
+    val r = one(
+      """SELECT NULL ?? 7 AS a,
+        |  1 ?? 2 ?? 3 AS chain,
+        |  IF(1 = 2, 5, NULL) ?? 0 > 1 AS cmp, -- (x ?? 0) > 1 = false
+        |  1 + IF(1 = 2, 5, NULL) ?? 100 AS arith, -- (1 + x) ?? 100
+        |  NVL(NULL, 'n') AS nvl_alias,
+        |  TRUE AND IF(1 = 2, TRUE, NULL) ?? FALSE AS bools
+        |""".stripMargin)
+    assert(r.getInt(0) == 7 && r.getInt(1) == 1)
+    assert(!r.getBoolean(2))
+    assert(r.getInt(3) == 100)
+    assert(r.getString(4) == "n")
+    assert(!r.getBoolean(5)) // AND binds LOOSER than ??
+  }
+
   test("AddTimezone / RemoveTimezone shift the instant") {
     val r = one(
       """SELECT AddTimezone(TIMESTAMP'2024-01-01 00:00:00',
