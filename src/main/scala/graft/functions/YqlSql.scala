@@ -1697,6 +1697,17 @@ object YqlSql {
     reg1("string_isasciiupper")(Str.isAsciiUpper)
     reg1("string_isasciispace")(Str.isAsciiSpace)
 
+    // String:: formatting/escaping tail (string_udf.cpp; StringOps.scala)
+    Seq("escapec", "unescapec", "encodehtml", "decodehtml", "cgiescape",
+      "cgiunescape", "collapsetext", "hex", "shex", "bin", "sbin",
+      "hextext", "bintext", "humanreadablebytes", "humanreadablequantity",
+      "humanreadableduration", "prec", "base64decode", "base64strictdecode",
+      "removefirst", "removelast", "asciitotitle", "tobytelist",
+      "frombytelist").foreach(fn =>
+      reg(s"string_$fn")(es => StringFnExpr(fn, es)))
+    reg1("string_base64encode")(c => org.apache.spark.sql.functions
+      .base64(c.cast(org.apache.spark.sql.types.BinaryType)))
+
     reg1("math_sqrt")(Math.sqrt)
     reg1("math_log")(Math.log)
     reg1("math_abs")(Math.abs)
@@ -1740,6 +1751,9 @@ object YqlSql {
       cc(es(1)), if (es.length > 2) cc(es(2)) else lit(1e-13))))
     reg2("math_mod")(Math.mod)
     reg2("math_rem")(Math.rem)
+    // Math:: special-function tail (math_udf.cpp; MathOps.scala)
+    Seq("erf", "erfinv", "erfcinv", "lgamma", "tgamma", "remainder")
+      .foreach(fn => reg(s"math_$fn")(es => MathFnExpr(fn, es)))
 
     reg1("unicode_getlength")(Unicode.getLength)
     reg1("unicode_tolower")(Unicode.toLower)

@@ -749,6 +749,78 @@ object Yql {
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
+    // Round-9: the Math:: special-function tail (math_udf.cpp via
+    // MathOps.scala) — gamma family vs DuckDB's libm, erf family via
+    // roundtrip identities + pinned anchors.
+    "yql_fn_math_tail" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderkey,
+          |  ROUND(Math::Tgamma((o_orderkey % 380) / 100.0 + 0.25), 6) AS g,
+          |  ROUND(Math::Lgamma((o_orderkey % 380) / 100.0 + 0.25), 6) AS lg,
+          |  ROUND(Math::Erf(Math::ErfInv(
+          |    (o_orderkey % 1997) / 1000.0 - 0.998)), 9) AS erf_rt,
+          |  ROUND(Math::ErfInv(Math::Erf(
+          |    (o_orderkey % 300) / 100.0 - 1.5)), 9) AS einv_rt,
+          |  ROUND(Math::ErfcInv(1.0 - ((o_orderkey % 1997) / 1000.0 - 0.998))
+          |    - Math::ErfInv((o_orderkey % 1997) / 1000.0 - 0.998), 9)
+          |    + 0.0 AS ecinv_d,
+          |  ROUND(Math::Erf(1.0), 9) AS erf1,
+          |  ROUND(Math::Erf(-0.5), 9) AS erfm05,
+          |  ROUND(Math::Tgamma(0.5) * Math::Tgamma(0.5), 9) AS gpi,
+          |  ROUND(Math::Remainder(o_totalprice, 7.3), 6) AS rem73
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
+    // Round-9: the String:: formatting/escaping tail (string_udf.cpp via
+    // StringOps.scala) — escape families replayed structurally in DuckDB,
+    // roundtrips, and pinned formatting anchors.
+    "yql_fn_string_tail" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderkey,
+          |  String::EscapeC(o_orderpriority || chr(9) || chr(34)
+          |    || chr(92) || chr(10)) AS esc,
+          |  String::UnescapeC(String::EscapeC(
+          |    o_orderpriority || chr(9) || chr(34))) AS unesc_rt,
+          |  String::EncodeHtml('<a href="' || o_orderstatus || '">&')
+          |    AS enc_html,
+          |  String::DecodeHtml(String::EncodeHtml(
+          |    o_orderpriority || '<&>')) AS dec_rt,
+          |  String::CgiEscape('a b/c?' || o_orderstatus) AS cgi,
+          |  String::CgiUnescape(String::CgiEscape(
+          |    o_orderpriority || ' ?=')) AS cgi_rt,
+          |  String::CollapseText('  ' || o_orderpriority
+          |    || '   padding   words  here', 15) AS ct,
+          |  String::Hex(o_orderkey) AS hx,
+          |  String::SHex(0 - o_orderkey) AS shx,
+          |  String::Bin(o_orderkey) AS bn,
+          |  String::HexText(o_orderstatus) AS hxt,
+          |  String::BinText(o_orderstatus) AS bnt,
+          |  String::ToByteList(o_orderstatus) AS tbl,
+          |  String::Base64Encode(o_orderpriority) AS b64,
+          |  String::Base64Decode(String::Base64Encode(o_orderpriority))
+          |    AS b64_rt,
+          |  String::Base64StrictDecode(String::Base64Encode(o_orderpriority))
+          |    AS b64s_rt,
+          |  String::RemoveFirst(o_orderpriority, '-') AS rmf,
+          |  String::RemoveLast(o_orderpriority, 'E') AS rml,
+          |  String::AsciiToTitle(lower(o_orderstatus) || o_orderpriority)
+          |    AS ttl,
+          |  String::FromByteList(String::ToByteList(o_orderpriority))
+          |    AS bl_rt,
+          |  String::HumanReadableBytes(1234567890) AS hrb,
+          |  String::HumanReadableQuantity(1234567890) AS hrq,
+          |  String::HumanReadableDuration(93784000000) AS hrd,
+          |  String::HumanReadableDuration(1500) AS hrd2,
+          |  String::Prec(1234.5678, 4) AS prc1,
+          |  String::Prec(1234.5678, 6) AS prc2,
+          |  String::Prec(0.000123456, 4) AS prc3,
+          |  String::Prec(0.0000123, 3) AS prc4,
+          |  String::Prec(123456789.0, 3) AS prc5
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
     // Url::/Ip::/Digest:: breadth (docs udf/list/{url,ip,digest}.md)
     // over per-row synthesized URLs.
     "yql_fn_url_breadth" -> ((s, d) => {
@@ -1969,6 +2041,55 @@ object Yql {
            CAST(ts + INTERVAL 6 MONTH AS DATE) AS sq,
            ts + INTERVAL 3 HOUR AS plus3h
          FROM events WHERE event_id < 2000""",
+    "yql_fn_math_tail" ->
+      """SELECT o_orderkey,
+           ROUND(gamma((o_orderkey % 380) / 100.0 + 0.25), 6) AS g,
+           ROUND(lgamma((o_orderkey % 380) / 100.0 + 0.25), 6) AS lg,
+           ROUND(CAST(o_orderkey % 1997 AS DOUBLE) / 1000.0 - 0.998, 9)
+             AS erf_rt,
+           ROUND(CAST(o_orderkey % 300 AS DOUBLE) / 100.0 - 1.5, 9)
+             AS einv_rt,
+           CAST(0.0 AS DOUBLE) AS ecinv_d,
+           ROUND(CAST(0.8427007929497149 AS DOUBLE), 9) AS erf1,
+           ROUND(CAST(-0.5204998778130465 AS DOUBLE), 9) AS erfm05,
+           ROUND(pi(), 9) AS gpi,
+           ROUND(o_totalprice - 7.3 * round(o_totalprice / 7.3), 6) AS rem73
+         FROM orders WHERE o_orderkey < 2000""",
+    "yql_fn_string_tail" ->
+      """SELECT o_orderkey,
+           o_orderpriority || chr(92) || 't' || chr(92) || '"'
+             || chr(92) || chr(92) || chr(92) || 'n' AS esc,
+           o_orderpriority || chr(9) || chr(34) AS unesc_rt,
+           '&lt;a href=&quot;' || o_orderstatus || '&quot;&gt;&amp;'
+             AS enc_html,
+           o_orderpriority || '<&>' AS dec_rt,
+           'a+b/c%3F' || o_orderstatus AS cgi,
+           o_orderpriority || ' ?=' AS cgi_rt,
+           split_part(o_orderpriority, ' ', 1) || ' ...' AS ct,
+           '0x' || lpad(hex(o_orderkey), 16, '0') AS hx,
+           CASE WHEN o_orderkey > 0 THEN '-' ELSE '' END
+             || '0x' || lpad(hex(o_orderkey), 16, '0') AS shx,
+           '0b' || lpad(bin(o_orderkey), 64, '0') AS bn,
+           hex(o_orderstatus) AS hxt,
+           lpad(bin(ascii(o_orderstatus)), 8, '0') AS bnt,
+           [ascii(o_orderstatus)] AS tbl,
+           to_base64(o_orderpriority::BLOB) AS b64,
+           o_orderpriority AS b64_rt,
+           o_orderpriority AS b64s_rt,
+           regexp_replace(o_orderpriority, '-', '') AS rmf,
+           reverse(regexp_replace(reverse(o_orderpriority), 'E', '')) AS rml,
+           o_orderstatus || lower(o_orderpriority) AS ttl,
+           o_orderpriority AS bl_rt,
+           '1.15GiB' AS hrb,
+           '1.23G' AS hrq,
+           '1d 2h 3m 4s' AS hrd,
+           '1.5ms' AS hrd2,
+           '1235' AS prc1,
+           '1234.57' AS prc2,
+           '0.0001235' AS prc3,
+           '1.23e-05' AS prc4,
+           '1.23e+08' AS prc5
+         FROM orders WHERE o_orderkey < 2000""",
     "yql_fn_modules2" ->
       """SELECT o_orderkey,
            contains(o_orderpriority, 'URG') AS s_contains,
