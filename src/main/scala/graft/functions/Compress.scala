@@ -48,6 +48,42 @@ object CompressOps {
       bos.toByteArray
     }
 
+    def gzipLevel(in: Array[Byte], level: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
+      val gz = new java.util.zip.GZIPOutputStream(bos) {
+        `def`.setLevel(level)
+      }
+      gz.write(in); gz.close()
+      bos.toByteArray
+    }
+
+    def zlibLevel(in: Array[Byte], level: Int): Array[Byte] = {
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(in); d.finish()
+      val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+
+    // Zstd/Snappy ride the codec jars Spark itself ships (zstd-jni,
+    // snappy-java on the unmanaged classpath) — no new dependencies.
+    def zstd(in: Array[Byte], level: Int): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(in, level)
+
+    def unzstd(in: Array[Byte]): Array[Byte] = {
+      val s = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(in))
+      try s.readAllBytes() finally s.close()
+    }
+
+    def snappy(in: Array[Byte]): Array[Byte] =
+      org.xerial.snappy.Snappy.compress(in)
+
+    def unsnappy(in: Array[Byte]): Array[Byte] =
+      org.xerial.snappy.Snappy.uncompress(in)
+
     def unzlib(in: Array[Byte]): Array[Byte] = {
       val inf = new java.util.zip.Inflater()
       inf.setInput(in)
@@ -111,4 +147,67 @@ object Compress {
   def gunzip(c: Column): Column = S.column(GzipDecompress(S.expression(c)))
   def zlib(c: Column): Column = S.column(ZlibCompress(S.expression(c)))
   def unzlib(c: Column): Column = S.column(ZlibDecompress(S.expression(c)))
+
+  /** SQL-surface dispatch for the module spellings
+    * `Compress::Gzip(data, level)` / `Decompress::Gzip(data)` /
+    * `TryDecompress::Gzip(data)` (compress_udf.cpp module triple).
+    * CodegenFallback: deflate/zstd/snappy dominate per-row cost by
+    * orders of magnitude, so interpreted dispatch is invisible here.
+    * `tryMode` maps any codec failure to NULL (the TryDecompress
+    * TOptional<char*> contract); plain Decompress lets it raise. */
+  final case class CodecFnExpr(codec: String, tryMode: Boolean,
+      children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String =
+      (if (tryMode) "trydecompress_" else "") + codec
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      val want = codec match {
+        case "gzip" | "zlib" | "zstd" => 2 // (data, ui8 level)
+        case _ => 1
+      }
+      if (children.length == want) TypeCheckSuccess
+      else TypeCheckFailure(s"$prettyName expects $want argument(s)")
+    }
+
+    private def bytes(v: Any): Array[Byte] = v match {
+      case b: Array[Byte] => b
+      case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
+    }
+
+    override def eval(
+        input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      val data = bytes(vs.head)
+      def level = vs(1) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+      }
+      try codec match {
+        case "gzip" => CompressOps.gzipLevel(data, level)
+        case "zlib" => CompressOps.zlibLevel(data, level)
+        case "zstd" => CompressOps.zstd(data, level)
+        case "snappy" => CompressOps.snappy(data)
+        case "ungzip" => CompressOps.gunzip(data)
+        case "unzlib" => CompressOps.unzlib(data)
+        case "unzstd" => CompressOps.unzstd(data)
+        case "unsnappy" => CompressOps.unsnappy(data)
+      } catch {
+        case _: Exception if tryMode => null
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
+  }
 }

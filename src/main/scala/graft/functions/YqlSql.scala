@@ -29,7 +29,8 @@ object YqlSql {
   private val KnownModules: Set[String] = Set(
     "digest", "url", "string", "math", "unicode", "datetime",
     "json", "ip", "pire", "re2", "hyperscan", "pcre", "yson",
-    "histogram", "vector")
+    "histogram", "vector", "compress", "decompress", "trydecompress",
+    "stat", "json2", "datetime2")
 
   /** Modules whose reference signatures are CURRIED factories —
     * `Re2::Grep(pattern)(string)` (udf/list/re2.md, pire.md). An inline
@@ -43,6 +44,10 @@ object YqlSql {
     // Pcre is "currently an alias to Hyperscan" (docs udf/list/pcre.md),
     // and Hyperscan shares the Pire surface here
     if (m.equalsIgnoreCase("hyperscan") || m.equalsIgnoreCase("pcre")) "pire"
+    // Json2/DateTime2 are the reference's module NAMES for the modern
+    // json/datetime surfaces this engine registers under json_/datetime_
+    else if (m.equalsIgnoreCase("json2")) "json"
+    else if (m.equalsIgnoreCase("datetime2")) "datetime"
     else m.toLowerCase
 
   /** Lowered module-call names that would shadow a Spark builtin of
@@ -1823,6 +1828,62 @@ object YqlSql {
     reg1s("json_query")(Json.query)
     reg1s("json_valueint")(Json.valueInt)
     reg1s("json_valuedouble")(Json.valueDouble)
+
+    // Compress::/Decompress::/TryDecompress:: (compress_udf.cpp module
+    // triple) — the codecs with JVM bindings: JDK deflate family plus
+    // the zstd-jni/snappy-java jars Spark itself ships. The reference's
+    // remaining codecs (Brotli/Lzma/BZip2/Xz) have no codec on this
+    // classpath and raise naming the codec at analysis time.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.BinaryType
+      def codec(name: String, fn: String, tryMode: Boolean): Unit =
+        reg(name)(es => {
+          require(es.nonEmpty, s"$name needs the data argument")
+          Compress.CodecFnExpr(fn, tryMode,
+            Cast(es.head, BinaryType) +: es.tail)
+        })
+      codec("compress_gzip", "gzip", tryMode = false)
+      codec("compress_zlib", "zlib", tryMode = false)
+      codec("compress_zstd", "zstd", tryMode = false)
+      codec("compress_snappy", "snappy", tryMode = false)
+      codec("decompress_gzip", "ungzip", tryMode = false)
+      codec("decompress_zlib", "unzlib", tryMode = false)
+      codec("decompress_zstd", "unzstd", tryMode = false)
+      codec("decompress_snappy", "unsnappy", tryMode = false)
+      codec("trydecompress_gzip", "ungzip", tryMode = true)
+      codec("trydecompress_zlib", "unzlib", tryMode = true)
+      codec("trydecompress_zstd", "unzstd", tryMode = true)
+      codec("trydecompress_snappy", "unsnappy", tryMode = true)
+      for (m <- Seq("compress", "decompress", "trydecompress");
+           c <- Seq("brotli", "lzma", "bzip2", "xz")
+           if !(m == "compress" && c == "xz"))
+        reg(s"${m}_$c")(_ => throw new IllegalArgumentException(
+          s"$m::$c is not bound in this build (no JVM codec on the " +
+            "Spark classpath); available: Gzip, Zlib, Zstd, Snappy"))
+    }
+
+    // Stat:: t-digest (stat_udf.h): the Create/AddValue/Merge resource
+    // verbs are aggregation in a declarative engine — Stat::TDigest is
+    // the build aggregate, TDigest_Merge the sketch-rollup aggregate;
+    // Serialize/Deserialize are identity because the engine's sketch
+    // COLUMN representation already is the serialized wire form.
+    reg("stat_tdigest")(es => {
+      require(es.nonEmpty && es.length <= 3,
+        "Stat::TDigest takes (value[, delta[, k]])")
+      val delta = if (es.length > 1) litStr(es(1), "stat_tdigest").toDouble
+        else TDigestSketch.DefaultDelta
+      val k = if (es.length > 2) litStr(es(2), "stat_tdigest").toDouble
+        else TDigestSketch.DefaultK
+      S.convert(TDigestSketch.agg(cc(es.head).cast("double"), delta, k))
+    })
+    reg1("stat_tdigest_merge")(c => TDigestSketch.mergeAgg(c))
+    reg2("stat_tdigest_getpercentile")((s, p) =>
+      TDigestSketch.percentileOf(s, p.cast("double")))
+    reg2("stat_tdigest_getrank")((s, v) =>
+      TDigestSketch.rankOf(s, v.cast("double")))
+    reg("stat_tdigest_serialize")(es => es.head)
+    reg("stat_tdigest_deserialize")(es => es.head)
 
     reg1("ip_fromstring")(Ip.fromString)
     reg1("ip_tostring")(Ip.toString)

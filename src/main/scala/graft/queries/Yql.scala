@@ -821,6 +821,60 @@ object Yql {
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
+    // Round-9: Compress::/Decompress::/TryDecompress:: module triple
+    // (compress_udf.cpp) — roundtrips for every bound codec,
+    // TryDecompress's NULL-on-garbage contract.
+    "yql_fn_compress_module" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderkey,
+          |  CAST(Decompress::Gzip(Compress::Gzip(o_orderpriority, 6))
+          |    AS STRING) AS gz_rt,
+          |  CAST(Decompress::Zlib(Compress::Zlib(o_orderpriority, 9))
+          |    AS STRING) AS zl_rt,
+          |  CAST(Decompress::Zstd(Compress::Zstd(o_orderpriority, 3))
+          |    AS STRING) AS zs_rt,
+          |  CAST(Decompress::Snappy(Compress::Snappy(o_orderpriority))
+          |    AS STRING) AS sn_rt,
+          |  CAST(TryDecompress::Gzip(Compress::Gzip(o_orderpriority, 1))
+          |    AS STRING) AS try_ok,
+          |  TryDecompress::Gzip(CAST(o_orderpriority AS BINARY)) IS NULL
+          |    AS try_bad,
+          |  TryDecompress::Zstd(CAST('junk' AS BINARY)) IS NULL
+          |    AS try_bad2,
+          |  length(Compress::Gzip(o_orderpriority, 9)) > 0 AS gz_n
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
+    // Round-9: the Stat:: module spelling over the SQL string —
+    // TDigest build aggregate, Serialize/Deserialize passthrough,
+    // GetPercentile read — verified by the same in-plan exact-rank
+    // verdict as the typed yql_agg_tdigest oracle.
+    "yql_fn_stat_module" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      graft.functions.YqlSql.sql(s,
+        """WITH sk AS (
+          |  SELECT l_returnflag,
+          |    Stat::TDigest_Serialize(Stat::TDigest(l_extendedprice))
+          |      AS sketch,
+          |    COUNT(*) AS n
+          |  FROM lineitem GROUP BY l_returnflag),
+          |m AS (
+          |  SELECT l_returnflag, n,
+          |    Stat::TDigest_GetPercentile(
+          |      Stat::TDigest_Deserialize(sketch), 0.5) AS p50,
+          |    Stat::TDigest_GetPercentile(sketch, 0.9) AS p90
+          |  FROM sk)
+          |SELECT l.l_returnflag,
+          |  CAST(MAX(m.n) AS BIGINT) AS n,
+          |  abs(avg(CASE WHEN l.l_extendedprice <= m.p50
+          |    THEN 1.0 ELSE 0.0 END) - 0.5) <= 0.02 AS p50_ok,
+          |  abs(avg(CASE WHEN l.l_extendedprice <= m.p90
+          |    THEN 1.0 ELSE 0.0 END) - 0.9) <= 0.02 AS p90_ok
+          |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+          |GROUP BY l.l_returnflag""".stripMargin)
+    }),
+
     // Url::/Ip::/Digest:: breadth (docs udf/list/{url,ip,digest}.md)
     // over per-row synthesized URLs.
     "yql_fn_url_breadth" -> ((s, d) => {
@@ -2090,6 +2144,23 @@ object Yql {
            '1.23e-05' AS prc4,
            '1.23e+08' AS prc5
          FROM orders WHERE o_orderkey < 2000""",
+    "yql_fn_compress_module" ->
+      """SELECT o_orderkey,
+           o_orderpriority AS gz_rt,
+           o_orderpriority AS zl_rt,
+           o_orderpriority AS zs_rt,
+           o_orderpriority AS sn_rt,
+           o_orderpriority AS try_ok,
+           TRUE AS try_bad,
+           TRUE AS try_bad2,
+           TRUE AS gz_n
+         FROM orders WHERE o_orderkey < 2000""",
+    "yql_fn_stat_module" ->
+      """SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+         FROM lineitem GROUP BY l_returnflag""",
     "yql_fn_modules2" ->
       """SELECT o_orderkey,
            contains(o_orderpriority, 'URG') AS s_contains,
