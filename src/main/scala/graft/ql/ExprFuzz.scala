@@ -941,4 +941,70 @@ object ExprFuzz {
       }
     }
   }
+
+  /** String-formatting/Math-tail domain (round 9): randomized
+    * `Module::Fn` calls over the orders text/key columns, each paired
+    * with a structural DuckDB replay — escape-family roundtrips with
+    * random injected control bytes, width-pinned hex/bin, removeAny
+    * char classes, erf roundtrips at random scales, gamma differential
+    * at random positive offsets. Items are SELECT fragments for
+    * `FROM orders` (both engines). */
+  def strFmtItems(n: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed * 31 + 17)
+    val ctrl = Seq(1, 2, 3, 7, 9, 10, 13, 27, 31, 34, 63, 92, 127)
+    (0 until n).map { _ =>
+      rnd.nextInt(10) match {
+        case 0 => // EscapeC/UnescapeC roundtrip with a control byte
+          val r = ctrl(rnd.nextInt(ctrl.length))
+          (s"String::UnescapeC(String::EscapeC(o_orderpriority || chr($r)))",
+           s"o_orderpriority || chr($r)")
+        case 1 => // Cgi roundtrip with a random reserved-char suffix
+          val s = Seq(" ", "?", "=", "%", "&", "~", "+", "/")
+            .take(1 + rnd.nextInt(7)).mkString
+          (s"String::CgiUnescape(String::CgiEscape(o_orderpriority || '$s'))",
+           s"o_orderpriority || '$s'")
+        case 2 => // Html roundtrip with markup-ish suffix
+          val s = Seq("<", ">", "&", "a", " b").take(1 + rnd.nextInt(5)).mkString
+          (s"String::DecodeHtml(String::EncodeHtml(o_orderpriority || '$s'))",
+           s"o_orderpriority || '$s'")
+        case 3 => // Collapse over mixed whitespace runs
+          val r = Seq(9, 10, 13).apply(rnd.nextInt(3))
+          (s"String::Collapse(o_orderpriority || chr($r) || chr($r) || 'x  y')",
+           s"regexp_replace(o_orderpriority || chr($r) || chr($r) || 'x  y'," +
+             " '\\s+', ' ', 'g')")
+        case 4 => // Hex width pin at a random positive scale
+          val k1 = 1 + rnd.nextInt(999); val k2 = rnd.nextInt(9999)
+          (s"String::Hex(o_orderkey * $k1 + $k2)",
+           s"'0x' || lpad(hex(o_orderkey * $k1 + $k2), 16, '0')")
+        case 5 => // SHex of a strictly negative value
+          val k = 1 + rnd.nextInt(9999)
+          (s"String::SHex(0 - (o_orderkey + $k))",
+           s"'-0x' || lpad(hex(o_orderkey + $k), 16, '0')")
+        case 6 => // RemoveFirst/RemoveLast over a random char class
+          val set = rnd.shuffle("E-RUGHNT10 ".toList).take(1 + rnd.nextInt(3))
+            .mkString.replace("-", "\\-")
+          val plain = set.replace("\\-", "-")
+          if (rnd.nextBoolean())
+            (s"String::RemoveFirst(o_orderpriority, '$plain')",
+             s"regexp_replace(o_orderpriority, '[$set]', '')")
+          else
+            (s"String::RemoveLast(o_orderpriority, '$plain')",
+             s"reverse(regexp_replace(reverse(o_orderpriority), '[$set]', ''))")
+        case 7 => // base64 + bytelist identity chains
+          (s"String::FromByteList(String::ToByteList(" +
+             "String::Base64Decode(String::Base64Encode(o_orderpriority))))",
+           "o_orderpriority")
+        case 8 => // erf roundtrip at a random modulus/scale
+          val m = 500 + rnd.nextInt(2500)
+          (s"ROUND(Math::Erf(Math::ErfInv((o_orderkey % $m) / " +
+             s"CAST($m AS DOUBLE) * 1.9 - 0.95)), 8)",
+           s"ROUND(CAST(o_orderkey % $m AS DOUBLE) / $m * 1.9 - 0.95, 8)")
+        case 9 => // gamma differential on a random positive grid
+          val m = 100 + rnd.nextInt(300)
+          val off = Seq("0.1", "0.25", "0.5", "1.0", "1.5")(rnd.nextInt(5))
+          (s"ROUND(Math::Tgamma((o_orderkey % $m) / 100.0 + $off), 6)",
+           s"ROUND(gamma((o_orderkey % $m) / 100.0 + $off), 6)")
+      }
+    }
+  }
 }

@@ -875,6 +875,19 @@ object Yql {
           |GROUP BY l.l_returnflag""".stripMargin)
     }),
 
+    // Round-9: pinned seed of the string-formatting/math-tail fuzz
+    // domain (ExprFuzz.strFmtItems; FuzzSweep runs it at fresh seeds) —
+    // randomized escape roundtrips, width pins, char-class removals,
+    // erf/gamma differentials vs DuckDB.
+    "yql_fuzz_strfmt" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      val items = graft.ql.ExprFuzz.strFmtItems(14, seed = 53L)
+      val ql = items.zipWithIndex
+        .map { case ((y, _), i) => s"$y AS x$i" }.mkString(", ")
+      graft.functions.YqlSql.sql(s,
+        s"SELECT o_orderkey AS id, $ql FROM orders WHERE o_orderkey < 3000")
+    }),
+
     // Url::/Ip::/Digest:: breadth (docs udf/list/{url,ip,digest}.md)
     // over per-row synthesized URLs.
     "yql_fn_url_breadth" -> ((s, d) => {
@@ -2144,6 +2157,12 @@ object Yql {
            '1.23e-05' AS prc4,
            '1.23e+08' AS prc5
          FROM orders WHERE o_orderkey < 2000""",
+    "yql_fuzz_strfmt" -> {
+      val items = graft.ql.ExprFuzz.strFmtItems(14, seed = 53L)
+      val dk = items.zipWithIndex
+        .map { case ((_, d), i) => s"$d AS x$i" }.mkString(", ")
+      s"SELECT o_orderkey AS id, $dk FROM orders WHERE o_orderkey < 3000"
+    },
     "yql_fn_compress_module" ->
       """SELECT o_orderkey,
            o_orderpriority AS gz_rt,

@@ -189,6 +189,19 @@ object FuzzSweep {
             "CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) " +
             s"AS total FROM orders WHERE $where)"
         }.mkString("\nUNION ALL\n"))
+      queries(s"fz_strfmt_$seed") = (() => {
+        orders.createOrReplaceTempView("orders")
+        val items = graft.ql.ExprFuzz.strFmtItems(12, seed)
+        val ql = items.zipWithIndex
+          .map { case ((y, _), i) => s"$y AS x$i" }.mkString(", ")
+        graft.functions.YqlSql.sql(spark,
+          s"SELECT o_orderkey AS id, $ql FROM orders WHERE o_orderkey < 3000")
+      }, {
+        val items = graft.ql.ExprFuzz.strFmtItems(12, seed)
+        val dk = items.zipWithIndex
+          .map { case ((_, d), i) => s"$d AS x$i" }.mkString(", ")
+        s"SELECT o_orderkey AS id, $dk FROM orders WHERE o_orderkey < 3000"
+      })
     }
 
     def q(s: String): String = "\"" + s.flatMap {
