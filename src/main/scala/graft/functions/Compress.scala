@@ -25,45 +25,118 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * a nested object has no forwarders and generated code referencing it
   * falls back to interpreted eval on every row batch. */
 object CompressOps {
-    def gzip(in: Array[Byte]): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(in); gz.close()
-      bos.toByteArray
-    }
+    import java.util.zip.{CRC32, Deflater, Inflater}
 
-    def gunzip(in: Array[Byte]): Array[Byte] = {
-      val gz = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(in))
-      try gz.readAllBytes() finally gz.close()
-    }
+    // Per-thread codec state. zlib's deflateInit/inflateInit allocate
+    // ~256 KB of native state; paying that PER ROW dominated the
+    // compress path in the sf10 soak (105 s for 15M short rows).
+    // One Deflater/Inflater pair per executor thread, reset() between
+    // rows, makes the codec itself the cost — the 100 TB posture.
+    private val rawDef = ThreadLocal.withInitial[Deflater](() =>
+      new Deflater(Deflater.DEFAULT_COMPRESSION, true))
+    private val wrapDef = ThreadLocal.withInitial[Deflater](() =>
+      new Deflater(Deflater.DEFAULT_COMPRESSION, false))
+    private val rawInf = ThreadLocal.withInitial[Inflater](() =>
+      new Inflater(true))
+    private val wrapInf = ThreadLocal.withInitial[Inflater](() =>
+      new Inflater(false))
+    private val crc = ThreadLocal.withInitial[CRC32](() => new CRC32)
 
-    def zlib(in: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater()
+    private def deflateAll(d: Deflater, in: Array[Byte],
+        bos: java.io.ByteArrayOutputStream): Unit = {
       d.setInput(in); d.finish()
-      val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
       val buf = new Array[Byte](8192)
       while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-      d.end()
+    }
+
+    private def inflateAll(inf: Inflater,
+        bos: java.io.ByteArrayOutputStream): Unit = {
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        bos.write(buf, 0, n)
+        // inflate() may emit 0 bytes on the call that consumes the
+        // stream terminator — only a 0-byte round that still wants
+        // input without having finished is a truncated stream.
+        if (n == 0 && !inf.finished() && inf.needsInput())
+          throw new java.util.zip.DataFormatException("truncated stream")
+      }
+    }
+
+    /** RFC 1952 gzip framing over the per-thread raw deflater:
+      * 10-byte header, raw deflate body, CRC32 + ISIZE trailer. */
+    def gzipLevel(in: Array[Byte], level: Int): Array[Byte] = {
+      val d = rawDef.get(); d.reset(); d.setLevel(level)
+      val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
+      bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+        0xff.toByte))
+      deflateAll(d, in, bos)
+      val c = crc.get(); c.reset(); c.update(in)
+      val v = c.getValue; val n = in.length
+      bos.write(Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte,
+        (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
       bos.toByteArray
     }
 
-    def gzipLevel(in: Array[Byte], level: Int): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
-      val gz = new java.util.zip.GZIPOutputStream(bos) {
-        `def`.setLevel(level)
+    def gzip(in: Array[Byte]): Array[Byte] =
+      gzipLevel(in, Deflater.DEFAULT_COMPRESSION)
+
+    /** RFC 1952 header walk (FEXTRA/FNAME/FCOMMENT/FHCRC) + raw
+      * inflate over the per-thread inflater; multi-member streams
+      * concatenate like GZIPInputStream. CRC32 + ISIZE verified. */
+    def gunzip(in: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(in.length * 2 + 32)
+      var off = 0
+      while (off < in.length) {
+        require(in.length - off >= 18 &&
+          (in(off) & 0xff) == 0x1f && (in(off + 1) & 0xff) == 0x8b &&
+          in(off + 2) == 8, "not a gzip stream")
+        val flg = in(off + 3) & 0xff
+        var p = off + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          val xlen = (in(p) & 0xff) | ((in(p + 1) & 0xff) << 8)
+          p += 2 + xlen
+        }
+        if ((flg & 8) != 0) { while (in(p) != 0) p += 1; p += 1 } // FNAME
+        if ((flg & 16) != 0) { while (in(p) != 0) p += 1; p += 1 } // FCOMMENT
+        if ((flg & 2) != 0) p += 2 // FHCRC
+        val inf = rawInf.get(); inf.reset()
+        inf.setInput(in, p, in.length - p)
+        val before = bos.size()
+        inflateAll(inf, bos)
+        val trailerAt = p + (in.length - p - inf.getRemaining)
+        require(in.length - trailerAt >= 8, "truncated gzip trailer")
+        val c = crc.get(); c.reset()
+        val out = bos.toByteArray // member boundary check only
+        c.update(out, before, out.length - before)
+        def le32(at: Int): Long =
+          (in(at) & 0xffL) | ((in(at + 1) & 0xffL) << 8) |
+            ((in(at + 2) & 0xffL) << 16) | ((in(at + 3) & 0xffL) << 24)
+        require(le32(trailerAt) == c.getValue, "gzip CRC mismatch")
+        require(le32(trailerAt + 4) == ((out.length - before) & 0xffffffffL),
+          "gzip ISIZE mismatch")
+        off = trailerAt + 8
       }
-      gz.write(in); gz.close()
       bos.toByteArray
     }
 
     def zlibLevel(in: Array[Byte], level: Int): Array[Byte] = {
-      val d = new java.util.zip.Deflater(level)
-      d.setInput(in); d.finish()
+      val d = wrapDef.get(); d.reset(); d.setLevel(level)
       val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-      d.end()
+      deflateAll(d, in, bos)
+      bos.toByteArray
+    }
+
+    def zlib(in: Array[Byte]): Array[Byte] =
+      zlibLevel(in, Deflater.DEFAULT_COMPRESSION)
+
+    def unzlib(in: Array[Byte]): Array[Byte] = {
+      val inf = wrapInf.get(); inf.reset()
+      inf.setInput(in)
+      val bos = new java.io.ByteArrayOutputStream(in.length * 2 + 32)
+      inflateAll(inf, bos)
       bos.toByteArray
     }
 
@@ -73,9 +146,16 @@ object CompressOps {
       com.github.luben.zstd.Zstd.compress(in, level)
 
     def unzstd(in: Array[Byte]): Array[Byte] = {
-      val s = new com.github.luben.zstd.ZstdInputStream(
-        new java.io.ByteArrayInputStream(in))
-      try s.readAllBytes() finally s.close()
+      // single-JNI-call fast path when the frame declares its size
+      // (Zstd.compress always does); stream fallback otherwise
+      val size = com.github.luben.zstd.Zstd.getFrameContentSize(in)
+      if (size >= 0 && size <= Int.MaxValue.toLong)
+        com.github.luben.zstd.Zstd.decompress(in, size.toInt)
+      else {
+        val s = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(in))
+        try s.readAllBytes() finally s.close()
+      }
     }
 
     def snappy(in: Array[Byte]): Array[Byte] =
@@ -83,24 +163,6 @@ object CompressOps {
 
     def unsnappy(in: Array[Byte]): Array[Byte] =
       org.xerial.snappy.Snappy.uncompress(in)
-
-    def unzlib(in: Array[Byte]): Array[Byte] = {
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(in)
-      val bos = new java.io.ByteArrayOutputStream(in.length * 2 + 32)
-      val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        bos.write(buf, 0, n)
-        // inflate() may emit 0 bytes on the call that consumes the
-        // stream terminator — only a 0-byte round that still wants
-        // input without having finished is a truncated stream.
-        if (n == 0 && !inf.finished() && inf.needsInput())
-          throw new java.util.zip.DataFormatException("truncated zlib stream")
-      }
-      inf.end()
-      bos.toByteArray
-    }
 }
 
 object Compress {

@@ -526,5 +526,9 @@ object YqlModules {
     }
     /** v4 → IPv4-mapped IPv6 text (Ip::ConvertToIPv6 observable form). */
     def convertToIPv6(c: Column): Column = concat(lit("::ffff:"), c)
+    /** Ip::IsEmbeddedIPv4 — an IPv6 address carrying an IPv4
+      * (IPv4-mapped ::ffff:a.b.c.d or IPv4-compatible ::a.b.c.d). */
+    def isEmbeddedIPv4(c: Column): Column =
+      lower(c).rlike("^::(ffff:)?(\\d{1,3}\\.){3}\\d{1,3}$")
   }
 }

@@ -1776,6 +1776,17 @@ object YqlSql {
     reg1("unicode_normalize")(Unicode.normalize)
     reg(name = "unicode_substring")(es =>
       S.convert(Unicode.substring(cc(es(0)), cc(es(1)), cc(es(2)))))
+    // Unicode:: tail (unicode_base_udf.h; UnicodeOps.scala)
+    Seq("normalizenfc", "normalizenfd", "normalizenfkc", "normalizenfkd",
+      "fold", "isutf", "isascii", "ishex", "isunicodeset", "rfind",
+      "replaceall", "replacefirst", "replacelast", "removeall",
+      "removefirst", "removelast", "tocodepointlist", "fromcodepointlist",
+      "splittolist", "joinfromlist", "levensteindistance", "touint64",
+      "trytouint64").foreach(fn =>
+      reg(s"unicode_$fn")(es => UnicodeFnExpr(fn, es)))
+    reg("unicode_translit")(_ => throw new IllegalArgumentException(
+      "Unicode::Translit is not bound in this build (needs the " +
+        "reference's per-language transliteration tables)"))
 
     reg1("datetime_getyear")(DateTime.getYear)
     reg1("datetime_getmonth")(DateTime.getMonth)
@@ -1888,6 +1899,7 @@ object YqlSql {
     reg1("ip_fromstring")(Ip.fromString)
     reg1("ip_tostring")(Ip.toString)
     reg1("ip_isprivate")(Ip.isPrivate)
+    reg1("ip_isembeddedipv4")(Ip.isEmbeddedIPv4)
 
     reg1s("pire_match")(Pire.matches)
     reg1s("pire_grep")(Pire.grep)

@@ -1741,6 +1741,36 @@ object Yql {
         graft.functions.YqlDml.dropTableDeep(s, tbl) }
       cases.map { case (script, _, _) => graft.functions.YqlSql.sql(s, script) }
         .reduce(_ unionByName _)
+    }),
+    // Codec throughput over the FULL orders table (the correctness
+    // query key-filters to a constant 2000 rows — right for the
+    // oracle, wrong for a scale soak): gzip+zstd+snappy roundtrips
+    // per row, reduced to a count so timing is the codecs, not I/O.
+    "yql_fn_compress_module" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT COUNT(*) AS n FROM orders
+          |WHERE CAST(Decompress::Gzip(Compress::Gzip(o_orderpriority, 1))
+          |        AS STRING) = o_orderpriority
+          |  AND CAST(Decompress::Zstd(Compress::Zstd(o_orderpriority, 3))
+          |        AS STRING) = o_orderpriority
+          |  AND CAST(Decompress::Snappy(Compress::Snappy(o_orderpriority))
+          |        AS STRING) = o_orderpriority""".stripMargin)
+    }),
+    // Sketch build + merge + percentile read alone — the correctness
+    // query adds the exact-rank verdict join (a second full scan),
+    // which belongs to the gate, not the throughput number.
+    "yql_fn_stat_module" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      graft.functions.YqlSql.sql(s,
+        """SELECT l_returnflag,
+          |  Stat::TDigest_GetPercentile(
+          |    Stat::TDigest_Merge(sketch), 0.5) AS p50
+          |FROM (
+          |  SELECT l_returnflag,
+          |    Stat::TDigest(l_extendedprice) AS sketch
+          |  FROM lineitem GROUP BY l_returnflag, l_orderkey % 16)
+          |GROUP BY l_returnflag""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
