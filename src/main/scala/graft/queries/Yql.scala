@@ -875,6 +875,45 @@ object Yql {
           |GROUP BY l.l_returnflag""".stripMargin)
     }),
 
+    // Round-9: the Unicode:: tail (unicode_base_udf.h via
+    // UnicodeOps.scala) — normalization forms, fold, codepoint lists,
+    // set membership, replace/remove families, uint64 parsing.
+    "yql_fn_unicode_tail" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderkey,
+          |  Unicode::NormalizeNFC('é') AS nfc,
+          |  Unicode::NormalizeNFD('é') = 'é' AS nfd,
+          |  Unicode::NormalizeNFKC('Ⅸ') AS nfkc,
+          |  Unicode::Fold('Kongreßstraße') AS fold1,
+          |  Unicode::Fold('Eylül ' || o_orderpriority) AS fold2,
+          |  Unicode::IsAscii(o_orderpriority) AS isasc,
+          |  Unicode::IsAscii('café') AS isasc2,
+          |  Unicode::IsHex(o_orderstatus) AS ishex,
+          |  Unicode::IsUtf(o_orderpriority) AS isutf,
+          |  Unicode::IsUnicodeSet(o_orderstatus, '[FOP]') AS inset,
+          |  Unicode::IsUnicodeSet(o_orderpriority, '[A-Z0-9 -]') AS inset2,
+          |  Unicode::IsUnicodeSet(o_orderstatus, '[^FOP]') AS inset3,
+          |  Unicode::RFind(o_orderpriority, 'E') AS rf,
+          |  Unicode::ReplaceAll(o_orderpriority, 'E', 'e') AS rall,
+          |  Unicode::ReplaceFirst(o_orderpriority, 'E', 'e') AS rfirst,
+          |  Unicode::ReplaceLast(o_orderpriority, 'E', 'e') AS rlast,
+          |  Unicode::RemoveAll(o_orderpriority, 'AEIOU') AS rmall,
+          |  Unicode::RemoveFirst(o_orderpriority, 'E') AS rmf,
+          |  Unicode::RemoveLast(o_orderpriority, 'E') AS rml,
+          |  Unicode::ToCodePointList(o_orderstatus) AS cpl,
+          |  Unicode::FromCodePointList(
+          |    Unicode::ToCodePointList(o_orderpriority)) AS cpl_rt,
+          |  Unicode::SplitToList(o_orderpriority, '-') AS spl,
+          |  Unicode::JoinFromList(
+          |    Unicode::SplitToList(o_orderpriority, '-'), '_') AS joined,
+          |  Unicode::LevensteinDistance(o_orderpriority, 'URGENT') AS lev,
+          |  Unicode::ToUint64(CAST(o_orderkey AS STRING)) AS u64,
+          |  Unicode::ToUint64('0x' || hex(o_orderkey)) AS u64h,
+          |  Unicode::TryToUint64(o_orderpriority) AS u64bad
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
     // Round-9: pinned seed of the string-formatting/math-tail fuzz
     // domain (ExprFuzz.strFmtItems; FuzzSweep runs it at fresh seeds) —
     // randomized escape roundtrips, width pins, char-class removals,
@@ -2186,6 +2225,41 @@ object Yql {
            '0.0001235' AS prc3,
            '1.23e-05' AS prc4,
            '1.23e+08' AS prc5
+         FROM orders WHERE o_orderkey < 2000""",
+    "yql_fn_unicode_tail" ->
+      """SELECT o_orderkey,
+           nfc_normalize('e' || chr(769)) AS nfc,
+           TRUE AS nfd,
+           'IX' AS nfkc,
+           'kongressstrasse' AS fold1,
+           'eylul ' || lower(o_orderpriority) AS fold2,
+           TRUE AS isasc,
+           FALSE AS isasc2,
+           o_orderstatus = 'F' AS ishex,
+           TRUE AS isutf,
+           TRUE AS inset,
+           TRUE AS inset2,
+           FALSE AS inset3,
+           CAST(CASE WHEN contains(o_orderpriority, 'E')
+             THEN length(o_orderpriority)
+               - strpos(reverse(o_orderpriority), 'E')
+             ELSE NULL END AS BIGINT) AS rf,
+           replace(o_orderpriority, 'E', 'e') AS rall,
+           regexp_replace(o_orderpriority, 'E', 'e') AS rfirst,
+           reverse(regexp_replace(reverse(o_orderpriority), 'E', 'e'))
+             AS rlast,
+           translate(o_orderpriority, 'AEIOU', '') AS rmall,
+           regexp_replace(o_orderpriority, 'E', '') AS rmf,
+           reverse(regexp_replace(reverse(o_orderpriority), 'E', ''))
+             AS rml,
+           [CAST(ascii(o_orderstatus) AS BIGINT)] AS cpl,
+           o_orderpriority AS cpl_rt,
+           string_split(o_orderpriority, '-') AS spl,
+           replace(o_orderpriority, '-', '_') AS joined,
+           CAST(levenshtein(o_orderpriority, 'URGENT') AS BIGINT) AS lev,
+           o_orderkey AS u64,
+           o_orderkey AS u64h,
+           CAST(NULL AS BIGINT) AS u64bad
          FROM orders WHERE o_orderkey < 2000""",
     "yql_fuzz_strfmt" -> {
       val items = graft.ql.ExprFuzz.strFmtItems(14, seed = 53L)
