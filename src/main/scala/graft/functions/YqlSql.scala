@@ -1258,6 +1258,18 @@ object YqlSql {
     reg1("url_gettail")(Url.getTail)
     reg1("url_querystringtodict")(Url.queryStringToDict)
     reg1("url_querystringtolist")(Url.queryStringToList)
+    // Url:: tail (url_base; UrlOps.scala)
+    Seq("normalize", "normalizewithdefaulthttpscheme", "isknowntld",
+      "iswellknowntld", "getsignificantdomain", "getowner", "cutwww2",
+      "cutquerystringandfragment", "hostnametopunycode",
+      "forcehostnametopunycode", "punycodetohostname",
+      "forcepunycodetohostname", "canbepunycodehostname",
+      "buildquerystring", "parse").foreach(fn =>
+      reg(s"url_$fn")(es => UrlFnExpr(fn, es)))
+    reg("url_isallowedbyrobotstxt")(_ =>
+      throw new IllegalArgumentException(
+        "Url::IsAllowedByRobotsTxt is not bound in this build (needs " +
+          "the reference's packed robots.txt data format)"))
     reg1("digest_sha1")(Digest.sha1)
     reg1("digest_md5hex")(Digest.md5)
     reg("digest_farmhashfingerprint")(es => FarmHashExpr(es))

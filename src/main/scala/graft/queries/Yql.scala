@@ -914,6 +914,46 @@ object Yql {
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
+    // Round-9: the Url:: tail (url_base via UrlOps.scala) —
+    // normalization, parse struct, TLD tests, significant domain,
+    // punycode family, query-string building.
+    "yql_fn_url_tail" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """$u = 'hTTp://wWw.shop' || CAST(o_custkey % 50 AS STRING)
+          |  || '.Example.COM:8080/item/' || CAST(o_orderkey AS STRING)
+          |  || '?q=' || o_orderstatus || '#frag';
+          |SELECT o_orderkey,
+          |  Url::Normalize($u) AS norm,
+          |  Url::Normalize('not a url') IS NULL AS norm_bad,
+          |  Url::NormalizeWithDefaultHttpScheme(
+          |    'wWw.yDb.TECH') AS norm_dflt,
+          |  Url::Parse($u).Host AS p_host,
+          |  Url::Parse($u).Port AS p_port,
+          |  Url::Parse($u).Scheme AS p_scheme,
+          |  Url::Parse($u).Query AS p_query,
+          |  Url::Parse($u).Frag AS p_frag,
+          |  Url::Parse($u).Path AS p_path,
+          |  Url::IsKnownTLD($u) AS known,
+          |  Url::IsKnownTLD('http://x.nosuchtldzz/') AS known_bad,
+          |  Url::IsWellKnownTLD($u) AS wellknown,
+          |  Url::GetSignificantDomain($u) AS sig,
+          |  Url::GetSignificantDomain(
+          |    'http://a.b.co.uk/x') AS sig_couk,
+          |  Url::GetOwner('http://x.blogs.livejournal.com/') AS owner,
+          |  Url::CutWWW2('www2.host.com/x') AS cw2,
+          |  Url::CutQueryStringAndFragment($u) AS cqf,
+          |  Url::HostNameToPunycode('пример.испытание') AS puny,
+          |  Url::PunycodeToHostName(
+          |    Url::HostNameToPunycode('пример.испытание')) AS puny_rt,
+          |  Url::ForcePunycodeToHostName('plain.com') AS puny_f,
+          |  Url::CanBePunycodeHostName('xn--e1afmkfd.com') AS puny_can,
+          |  Url::CanBePunycodeHostName('plain.com') AS puny_not,
+          |  Url::BuildQueryString(AsDict(
+          |    AsTuple('a', '1'), AsTuple('b', 'x y'))) AS bq
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
     // Round-9: pinned seed of the string-formatting/math-tail fuzz
     // domain (ExprFuzz.strFmtItems; FuzzSweep runs it at fresh seeds) —
     // randomized escape roundtrips, width pins, char-class removals,
@@ -2225,6 +2265,37 @@ object Yql {
            '0.0001235' AS prc3,
            '1.23e-05' AS prc4,
            '1.23e+08' AS prc5
+         FROM orders WHERE o_orderkey < 2000""",
+    "yql_fn_url_tail" ->
+      """SELECT o_orderkey,
+           'http://www.shop' || CAST(o_custkey % 50 AS VARCHAR)
+             || '.example.com:8080/item/' || CAST(o_orderkey AS VARCHAR)
+             || '?q=' || o_orderstatus AS norm,
+           TRUE AS norm_bad,
+           'http://www.ydb.tech/' AS norm_dflt,
+           'wWw.shop' || CAST(o_custkey % 50 AS VARCHAR)
+             || '.Example.COM' AS p_host,
+           '8080' AS p_port,
+           'hTTp' AS p_scheme,
+           'q=' || o_orderstatus AS p_query,
+           'frag' AS p_frag,
+           '/item/' || CAST(o_orderkey AS VARCHAR) AS p_path,
+           TRUE AS known,
+           FALSE AS known_bad,
+           TRUE AS wellknown,
+           'example.com' AS sig,
+           'b.co.uk' AS sig_couk,
+           'blogs.livejournal.com' AS owner,
+           'host.com/x' AS cw2,
+           'hTTp://wWw.shop' || CAST(o_custkey % 50 AS VARCHAR)
+             || '.Example.COM:8080/item/' || CAST(o_orderkey AS VARCHAR)
+             AS cqf,
+           'xn--e1afmkfd.xn--80akhbyknj4f' AS puny,
+           'пример.испытание' AS puny_rt,
+           'plain.com' AS puny_f,
+           TRUE AS puny_can,
+           FALSE AS puny_not,
+           'a=1&b=x+y' AS bq
          FROM orders WHERE o_orderkey < 2000""",
     "yql_fn_unicode_tail" ->
       """SELECT o_orderkey,
