@@ -225,6 +225,121 @@ object FarmHash {
     result ^= (result >>> 47)
     result
   }
+
+  // ——— Fingerprint32 = farmhashmk::Hash32 (farmhash_iface.cc:88 —
+  // the portable forever-fixed 32-bit fingerprint; farmhashmk.cc) ———
+  private val C1 = 0xcc9e2d51
+  private val C2 = 0x1b873593
+  @inline private def rot32(v: Int, s: Int): Int =
+    Integer.rotateRight(v, s)
+  @inline private def fmix32(h0: Int): Int = {
+    var h = h0
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+  @inline private def mur(a0: Int, h0: Int): Int = {
+    var a = a0 * C1
+    a = rot32(a, 17)
+    a *= C2
+    var h = h0 ^ a
+    h = rot32(h, 19)
+    h * 5 + 0xe6546b64
+  }
+  @inline private def f32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+
+  private def hash32Len0to4(s: Array[Byte], len: Int): Int = {
+    var b = 0
+    var c = 9
+    var i = 0
+    while (i < len) {
+      b = b * C1 + s(i) // SIGNED byte, like the reference's signed char
+      c ^= b
+      i += 1
+    }
+    fmix32(mur(b, mur(len, c)))
+  }
+
+  private def hash32Len5to12(s: Array[Byte], len: Int): Int = {
+    var a = len; var b = len * 5; val c = 9; val d = b
+    a += f32(s, 0)
+    b += f32(s, len - 4)
+    val c2 = c + f32(s, (len >> 1) & 4)
+    fmix32(mur(c2, mur(b, mur(a, d))))
+  }
+
+  private def hash32Len13to24(s: Array[Byte], len: Int): Int = {
+    var a = f32(s, (len >> 1) - 4)
+    val b = f32(s, 4)
+    val c = f32(s, len - 8)
+    val d = f32(s, len >> 1)
+    val e = f32(s, 0)
+    val f = f32(s, len - 4)
+    var h = d * C1 + len
+    a = rot32(a, 12) + f
+    h = mur(c, h) + a
+    a = rot32(a, 3) + c
+    h = mur(e, h) + a
+    a = rot32(a + f, 12) + d
+    h = mur(b, h) + a
+    fmix32(h)
+  }
+
+  /** farmhash util::Fingerprint32 — returned as the uint32 value in a
+    * Long (0..2^32-1). */
+  def fingerprint32(s: Array[Byte]): Long = {
+    val len = s.length
+    val r: Int =
+      if (len <= 4) hash32Len0to4(s, len)
+      else if (len <= 12) hash32Len5to12(s, len)
+      else if (len <= 24) hash32Len13to24(s, len)
+      else {
+        var h = len; var g = C1 * len; var f = g
+        val a0 = rot32(f32(s, len - 4) * C1, 17) * C2
+        val a1 = rot32(f32(s, len - 8) * C1, 17) * C2
+        val a2 = rot32(f32(s, len - 16) * C1, 17) * C2
+        val a3 = rot32(f32(s, len - 12) * C1, 17) * C2
+        val a4 = rot32(f32(s, len - 20) * C1, 17) * C2
+        h ^= a0; h = rot32(h, 19); h = h * 5 + 0xe6546b64
+        h ^= a2; h = rot32(h, 19); h = h * 5 + 0xe6546b64
+        g ^= a1; g = rot32(g, 19); g = g * 5 + 0xe6546b64
+        g ^= a3; g = rot32(g, 19); g = g * 5 + 0xe6546b64
+        f += a4; f = rot32(f, 19) + 113
+        var iters = (len - 1) / 20
+        var off = 0
+        while (iters != 0) {
+          val a = f32(s, off)
+          val b = f32(s, off + 4)
+          val c = f32(s, off + 8)
+          val d = f32(s, off + 12)
+          val e = f32(s, off + 16)
+          h += a
+          g += b
+          f += c
+          h = mur(d, h) + e
+          g = mur(c, g) + a
+          f = mur(b + e * C1, f) + d
+          f += g
+          g += f
+          off += 20
+          iters -= 1
+        }
+        g = rot32(g, 11) * C1
+        g = rot32(g, 17) * C1
+        f = rot32(f, 11) * C1
+        f = rot32(f, 17) * C1
+        h = rot32(h + g, 19)
+        h = h * 5 + 0xe6546b64
+        h = rot32(h, 17) * C1
+        h = rot32(h + f, 19)
+        h = h * 5 + 0xe6546b64
+        rot32(h, 17) * C1
+      }
+    r.toLong & 0xffffffffL
+  }
 }
 
 /** Exact CityHash64 (Google CityHash, MIT — the reference vendors it
@@ -351,6 +466,127 @@ object CityHash {
       hashLen16(hashLen16(v._1, w._1) + shiftMix(y) * k1 + z,
         hashLen16(v._2, w._2) + x)
     }
+  }
+
+  /** CityHash64WithSeed = HashLen16(CityHash64(s) - k2, seed)
+    * (city.cpp:200-206; Digest::CityHash's optional-seed form). */
+  def cityHash64WithSeed(s: Array[Byte], seed: Long): Long =
+    hashLen16(cityHash64(s) - k2, seed)
+
+  @inline private def weakAt(s: Array[Byte], off: Int,
+      a: Long, b: Long): (Long, Long) =
+    weak(fetch64(s, off), fetch64(s, off + 8), fetch64(s, off + 16),
+      fetch64(s, off + 24), a, b)
+
+  /** CityMurmur — the <128-byte 128-bit path (city.cpp:210-240). */
+  private def cityMurmur(s: Array[Byte], off: Int, len: Int,
+      seedLo: Long, seedHi: Long): (Long, Long) = {
+    var a = seedLo
+    var b = seedHi
+    var c = 0L
+    var d = 0L
+    if (len <= 16) {
+      c = b * k1 + hashLen0to16City(s, off, len)
+      d = rot(a + (if (len >= 8) fetch64(s, off) else c), 32)
+    } else {
+      c = hashLen16(fetch64(s, off + len - 8) + k1, a)
+      d = hashLen16(b + len, c + fetch64(s, off + len - 16))
+      a += d
+      var p = off
+      var rem = len - 16
+      while (rem > 0) {
+        a ^= shiftMix(fetch64(s, p) * k1) * k1
+        a *= k1
+        b ^= a
+        c ^= shiftMix(fetch64(s, p + 8) * k1) * k1
+        c *= k1
+        d ^= c
+        p += 16
+        rem -= 16
+      }
+    }
+    a = hashLen16(a, c)
+    b = hashLen16(d, b)
+    (a ^ b, hashLen16(b, a))
+  }
+
+  // HashLen0to16 over an offset window (shared by CityMurmur)
+  private def hashLen0to16City(s: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 8) {
+      val a = fetch64(s, off)
+      val b = fetch64(s, off + len - 8)
+      hashLen16(a, java.lang.Long.rotateRight(b + len, len)) ^ b
+    } else if (len >= 4) {
+      val a = fetch32(s, off)
+      hashLen16(len + (a << 3), fetch32(s, off + len - 4))
+    } else if (len > 0) {
+      val a = s(off) & 0xffL
+      val b = s(off + (len >> 1)) & 0xffL
+      val c = s(off + len - 1) & 0xffL
+      val y = (a + (b << 8)) & 0xffffffffL
+      val z = (len + (c << 2)) & 0xffffffffL
+      shiftMix(y * k2 ^ z * k3) * k2
+    } else k2
+  }
+
+  /** CityHash128WithSeed (city.cpp:242-293). */
+  def cityHash128WithSeed(s: Array[Byte], off0: Int, len0: Int,
+      seedLo: Long, seedHi: Long): (Long, Long) = {
+    if (len0 < 128) return cityMurmur(s, off0, len0, seedLo, seedHi)
+    var x = seedLo
+    var y = seedHi
+    var z = len0.toLong * k1
+    var vf = rot(y ^ k1, 49) * k1 + fetch64(s, off0)
+    var vs = rot(vf, 42) * k1 + fetch64(s, off0 + 8)
+    var wf = rot(y + z, 35) * k1 + x
+    var ws = rot(x + fetch64(s, off0 + 88), 53) * k1
+    var off = off0
+    var len = len0
+    while (len >= 128) {
+      var i = 0
+      while (i < 2) {
+        x = rot(x + y + vf + fetch64(s, off + 16), 37) * k1
+        y = rot(y + vs + fetch64(s, off + 48), 42) * k1
+        x ^= ws
+        y ^= vf
+        z = rot(z ^ wf, 33)
+        val v = weakAt(s, off, vs * k1, x + wf)
+        val w = weakAt(s, off + 32, z + ws, y)
+        vf = v._1; vs = v._2; wf = w._1; ws = w._2
+        val t = z; z = x; x = t
+        off += 64
+        i += 1
+      }
+      len -= 128
+    }
+    y += rot(wf, 37) * k0 + z
+    x += rot(vf + z, 49) * k0
+    var tailDone = 0
+    while (tailDone < len) {
+      tailDone += 32
+      y = rot(y - x, 42) * k0 + vs
+      wf += fetch64(s, off + len - tailDone + 16)
+      x = rot(x, 49) * k0 + wf
+      wf += vf
+      val v = weakAt(s, off + len - tailDone, vf, vs)
+      vf = v._1; vs = v._2
+    }
+    x = hashLen16(x, vf)
+    y = hashLen16(y, wf)
+    (hashLen16(x + vs, ws) + y, hashLen16(x + ws, y + vs))
+  }
+
+  /** CityHash128 (city.cpp:295-310); also farmhash's Fingerprint128
+    * (farmhash_iface.cc binds it to the cc/City 128-bit path). */
+  def cityHash128(s: Array[Byte]): (Long, Long) = {
+    val len = s.length
+    if (len >= 16)
+      cityHash128WithSeed(s, 16, len - 16, fetch64(s, 0) ^ k3, fetch64(s, 8))
+    else if (len >= 8)
+      cityHash128WithSeed(Array.emptyByteArray, 0, 0,
+        fetch64(s, 0) ^ (len.toLong * k0), fetch64(s, len - 8) ^ k1)
+    else
+      cityHash128WithSeed(s, 0, len, k0, k1)
   }
 
   /** util/digest/numeric.h IntHashImpl(ui64) — Wang's 64-bit mix. */

@@ -1237,7 +1237,7 @@ object YqlSql {
     reg1("digest_sha256")(Digest.sha256)
     reg1("digest_crc32")(Digest.crc32)
     reg1("digest_xxh")(Digest.xxh)
-    reg1("digest_murmurhash")(Digest.murmurHash)
+    // MurMurHash family re-registered bit-exact below (DigestFnExpr)
 
     reg1("url_gethost")(Url.getHost)
     reg1("url_getpath")(Url.getPath)
@@ -1272,12 +1272,18 @@ object YqlSql {
           "the reference's packed robots.txt data format)"))
     reg1("digest_sha1")(Digest.sha1)
     reg1("digest_md5hex")(Digest.md5)
-    reg("digest_farmhashfingerprint")(es => FarmHashExpr(es))
-    reg("digest_farmhashfingerprint64")(es => FarmHashExpr(es))
     // the Digest:: long tail (digest_udf.cpp) — bit-exact public
-    // algorithms in DigestOps
+    // algorithms in DigestOps/FarmHash (the farmhash fingerprints are
+    // the portable forever-fixed variants farmhash_iface.cc binds:
+    // Fingerprint(ui64), Fingerprint(Uint128), mk::Hash32,
+    // na::Hash64, cc Fingerprint128 = CityHash128)
     Seq("crc32c", "superfasthash", "fnv32", "fnv64", "siphash",
-      "numerichash", "inthash64", "md5raw", "md5halfmix").foreach(fn =>
+      "numerichash", "inthash64", "md5raw", "md5halfmix",
+      "cityhash", "cityhash128", "farmhashfingerprint",
+      "farmhashfingerprint2", "farmhashfingerprint32",
+      "farmhashfingerprint64", "farmhashfingerprint128",
+      "crc64", "murmurhash", "murmurhash32", "murmurhash2a",
+      "murmurhash2a32", "blake2b").foreach(fn =>
       reg(s"digest_$fn")(es => DigestFnExpr(fn, es)))
 
     // ——— the struct-builtins family (struct.md; StructModule.scala).
@@ -1771,6 +1777,14 @@ object YqlSql {
     // Math:: special-function tail (math_udf.cpp; MathOps.scala)
     Seq("erf", "erfinv", "erfcinv", "lgamma", "tgamma", "remainder")
       .foreach(fn => reg(s"math_$fn")(es => MathFnExpr(fn, es)))
+    // Digest:: functions that need vendor runtimes raise naming them
+    for ((fn, need) <- Seq(
+        "argon2" -> "the argonish Argon2d kernel (password-KDF runtime)",
+        "highwayhash" -> "the HighwayHash SIMD reference implementation",
+        "xxh3" -> "the XXH3 64-bit kernel",
+        "xxh3_128" -> "the XXH3 128-bit kernel"))
+      reg(s"digest_$fn")(_ => throw new IllegalArgumentException(
+        s"Digest::$fn is not bound in this build (needs $need)"))
 
     reg1("unicode_getlength")(Unicode.getLength)
     reg1("unicode_tolower")(Unicode.toLower)

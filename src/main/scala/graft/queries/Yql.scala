@@ -954,6 +954,38 @@ object Yql {
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
+    // Round-9: the Digest:: round-9 tail (digest_udf.cpp) — murmur
+    // family + crc64 + cityhash + farmhash fingerprints + blake2b.
+    // The KERNELS are pinned to the reference's own unit-test vectors
+    // in DigestTailSpec; this oracle replays the per-row values as a
+    // CASE over the 5 distinct priorities (DuckDB has none of these
+    // hashes natively) plus fixed-input constants.
+    "yql_fn_digest_tail" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      graft.functions.YqlSql.sql(s,
+        """SELECT o_orderkey,
+          |  Digest::MurMurHash(o_orderpriority) AS mm64,
+          |  Digest::MurMurHash32('abc') AS mm32,
+          |  Digest::MurMurHash2A('abc') AS mm2a,
+          |  Digest::MurMurHash2A32('abc') AS mm2a32,
+          |  Digest::MurMurHash('abc', 7) AS mm64s,
+          |  Digest::Crc64(o_orderpriority) AS c64,
+          |  Digest::CityHash(o_orderpriority) AS ch,
+          |  Digest::CityHash('abc', 7) AS chs,
+          |  Digest::CityHash128('abcdefghijklmnopqrstuvwxyz')._1
+          |    AS ch128lo,
+          |  Digest::CityHash128('abcdefghijklmnopqrstuvwxyz')._2
+          |    AS ch128hi,
+          |  Digest::FarmHashFingerprint(42) AS ff,
+          |  Digest::FarmHashFingerprint2(1, 2) AS ff2,
+          |  Digest::FarmHashFingerprint32(o_orderpriority) AS ff32,
+          |  Digest::FarmHashFingerprint64(o_orderpriority) AS ff64,
+          |  Digest::FarmHashFingerprint128('abc')._1 AS ff128lo,
+          |  hex(Digest::Blake2B('abc')) AS b2,
+          |  hex(Digest::Blake2B('abc', 'key')) AS b2k
+          |FROM orders WHERE o_orderkey < 2000""".stripMargin)
+    }),
+
     // Round-9: pinned seed of the string-formatting/math-tail fuzz
     // domain (ExprFuzz.strFmtItems; FuzzSweep runs it at fresh seeds) —
     // randomized escape roundtrips, width pins, char-class removals,
@@ -2265,6 +2297,53 @@ object Yql {
            '0.0001235' AS prc3,
            '1.23e-05' AS prc4,
            '1.23e+08' AS prc5
+         FROM orders WHERE o_orderkey < 2000""",
+    "yql_fn_digest_tail" ->
+      """SELECT o_orderkey,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN -1756338073613600836
+             WHEN '2-HIGH' THEN -8882383915502825076
+             WHEN '3-MEDIUM' THEN 5403922537970934214
+             WHEN '4-NOT SPECIFIED' THEN -6563467656494465888
+             ELSE -369815453453677322 END AS mm64,
+           CAST(324500635 AS BIGINT) AS mm32,
+           CAST(-6439925614760200953 AS BIGINT) AS mm2a,
+           CAST(291020647 AS BIGINT) AS mm2a32,
+           CAST(-3710278708678922331 AS BIGINT) AS mm64s,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN -4267019873658003815
+             WHEN '2-HIGH' THEN -191787588133768311
+             WHEN '3-MEDIUM' THEN 1896930977549945703
+             WHEN '4-NOT SPECIFIED' THEN 247480518405168666
+             ELSE 7850154475183006739 END AS c64,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 6595855365265119375
+             WHEN '2-HIGH' THEN 8516156941437443355
+             WHEN '3-MEDIUM' THEN 2904524822257699640
+             WHEN '4-NOT SPECIFIED' THEN 8840848403906418221
+             ELSE 721541947387550445 END AS ch,
+           CAST(2074823558260706704 AS BIGINT) AS chs,
+           CAST(-8102775896137942285 AS BIGINT) AS ch128lo,
+           CAST(3615022465783845260 AS BIGINT) AS ch128hi,
+           CAST(-1091526158063241018 AS BIGINT) AS ff,
+           CAST(-8298615604817036194 AS BIGINT) AS ff2,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 909926459
+             WHEN '2-HIGH' THEN 1799001613
+             WHEN '3-MEDIUM' THEN 519482611
+             WHEN '4-NOT SPECIFIED' THEN 4267649364
+             ELSE 2425214584 END AS ff32,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN -5759174117798200650
+             WHEN '2-HIGH' THEN 1510206931830867796
+             WHEN '3-MEDIUM' THEN -224986514317311442
+             WHEN '4-NOT SPECIFIED' THEN 337671425332023790
+             ELSE -2487857790183472212 END AS ff64,
+           CAST(-2655780917820445336 AS BIGINT) AS ff128lo,
+           'BDDD813C634239723171EF3FEE98579B94964E3BB1CB3E427262C8C068D52319'
+             AS b2,
+           '0330531D097355A3F72E80D55C1245CCF79F1704431C6E3887938320442C23C0'
+             AS b2k
          FROM orders WHERE o_orderkey < 2000""",
     "yql_fn_url_tail" ->
       """SELECT o_orderkey,
