@@ -516,6 +516,31 @@ object QLFunctions {
     reg("yson_ypathdouble")(es => tryCast(jsonGet(es), DoubleType))
     reg("yson_ypathbool")(es => tryCast(jsonGet(es), BooleanType))
     reg("yson_ypathstring")(jsonGet)
+    // ConvertTo*List / ConvertTo*Dict family + Attributes
+    // (yson2 udf; typed element extraction with the strict default)
+    import graft.sources.Yson.YsonTypedExpr
+    for (kind <- Seq("any", "string", "int64", "uint64", "double", "bool")) {
+      val prefix = if (kind == "any") "" else kind
+      reg(s"yson_convertto${prefix}list")(es =>
+        YsonTypedExpr("list", kind, es.take(1)))
+      reg(s"yson_convertto${prefix}dict")(es =>
+        YsonTypedExpr("dict", kind, es.take(1)))
+    }
+    reg("yson_lookuplist")(es =>
+      YsonTypedExpr("list", "any", Seq(jsonGetAny(keyed(es)))))
+    reg("yson_lookupdict")(es =>
+      YsonTypedExpr("dict", "any", Seq(jsonGetAny(keyed(es)))))
+    reg("yson_ypathlist")(es =>
+      YsonTypedExpr("list", "any", Seq(jsonGetAny(es))))
+    reg("yson_ypathdict")(es =>
+      YsonTypedExpr("dict", "any", Seq(jsonGetAny(es))))
+    reg("yson_attributes")(es => YsonTypedExpr("attributes", "any", es))
+    reg("yson_withattributes")(es =>
+      YsonTypedExpr("withattributes", "any", es))
+    reg("yson_parsejsondecodeutf8")(es => es.head)
+    reg("yson_options")(_ => throw new IllegalArgumentException(
+      "Yson::Options (AutoConvert/Strict resource) is not bound — this " +
+        "engine runs the reference's strict default; pass no options"))
     reg("yson_contains")(es => IsNotNull(jsonGetAny(keyed(es))))
     reg("yson_getlength")(ysonLen)
     reg("yson_equals")(es =>

@@ -986,6 +986,35 @@ object Yql {
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
+    // Round-9: the Yson:: conversion tail (yson2 udf) — typed
+    // list/dict conversions, Lookup/YPath containers, attributes.
+    "yql_fn_yson_tail" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """SELECT event_id,
+          |  Yson::ConvertToInt64List('[1,2,'
+          |    || CAST(event_id % 5 AS STRING) || ']') AS il,
+          |  Yson::ConvertToStringList('["a","b"]') AS sl,
+          |  Yson::ConvertToDoubleList('[1.5,2.5]') AS dl,
+          |  Yson::ConvertToBoolList('[true,false]') AS bl,
+          |  Yson::ConvertToList('[1,"x",true]') AS anyl,
+          |  element_at(Yson::ConvertToInt64Dict(props), 'k') AS dk,
+          |  element_at(Yson::ConvertToDict(props), 'k') AS dka,
+          |  element_at(Yson::LookupDict('{"m":{"a":1,"b":2}}', 'm'),
+          |    'b') AS ld,
+          |  Yson::ConvertToInt64List(
+          |    Yson::YPath('{"m":[7,8]}', '/m'))[1] AS yl,
+          |  Yson::YPathList('{"m":[7,8]}', '/m')[0] AS ylf,
+          |  element_at(Yson::ConvertToInt64Dict(Yson::Attributes(
+          |    Yson::Parse('<a=7>5'))), 'a') AS attr,
+          |  Yson::SerializeText(Yson::WithAttributes(
+          |    Yson::Parse('5'), Yson::Parse('{a=1}'))) AS wattr,
+          |  Yson::ConvertToInt64List(props) IS NULL AS not_list,
+          |  Yson::ConvertToList(Yson::ParseJsonDecodeUtf8('[3,4]'))
+          |    AS pj
+          |FROM events WHERE event_id < 2000""".stripMargin)
+    }),
+
     // Round-9: pinned seed of the string-formatting/math-tail fuzz
     // domain (ExprFuzz.strFmtItems; FuzzSweep runs it at fresh seeds) —
     // randomized escape roundtrips, width pins, char-class removals,
@@ -2298,6 +2327,23 @@ object Yql {
            '1.23e-05' AS prc4,
            '1.23e+08' AS prc5
          FROM orders WHERE o_orderkey < 2000""",
+    "yql_fn_yson_tail" ->
+      """SELECT event_id,
+           [1, 2, event_id % 5] AS il,
+           ['a', 'b'] AS sl,
+           [1.5, 2.5] AS dl,
+           [TRUE, FALSE] AS bl,
+           ['1', '"x"', 'true'] AS anyl,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS dk,
+           json_extract_string(props, '$.k') AS dka,
+           '2' AS ld,
+           CAST(8 AS BIGINT) AS yl,
+           '7' AS ylf,
+           CAST(7 AS BIGINT) AS attr,
+           '<"a"=1;>5' AS wattr,
+           TRUE AS not_list,
+           ['3', '4'] AS pj
+         FROM events WHERE event_id < 2000""",
     "yql_fn_digest_tail" ->
       """SELECT o_orderkey,
            CASE o_orderpriority

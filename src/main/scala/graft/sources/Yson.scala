@@ -784,6 +784,151 @@ object Yson {
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
+  /** Typed element extraction for Yson::ConvertTo*List/Dict
+    * (yson2 udf docs): container mismatch → null result; element type
+    * mismatch raises (the reference's strict default); entities are
+    * null elements. kind ∈ any|string|int64|uint64|double|bool. */
+  private def typedOf(el: com.fasterxml.jackson.databind.JsonNode,
+      kind: String): Any = {
+    if (el == null || el.isNull) return null
+    kind match {
+      case "any" => UTF8String.fromString(el.toString)
+      case "string" =>
+        if (!el.isTextual)
+          throw new IllegalArgumentException(
+            s"Yson::ConvertTo: expected string, got: ${el.toString.take(40)}")
+        UTF8String.fromString(el.asText)
+      case "int64" =>
+        if (!el.canConvertToLong || !el.isIntegralNumber)
+          throw new IllegalArgumentException(
+            s"Yson::ConvertTo: expected int64, got: ${el.toString.take(40)}")
+        el.asLong
+      case "uint64" =>
+        if (!el.isIntegralNumber)
+          throw new IllegalArgumentException(
+            s"Yson::ConvertTo: expected uint64, got: ${el.toString.take(40)}")
+        java.lang.Long.parseUnsignedLong(el.asText)
+      case "double" =>
+        if (!el.isNumber)
+          throw new IllegalArgumentException(
+            s"Yson::ConvertTo: expected double, got: ${el.toString.take(40)}")
+        el.asDouble
+      case "bool" =>
+        if (!el.isBoolean)
+          throw new IllegalArgumentException(
+            s"Yson::ConvertTo: expected bool, got: ${el.toString.take(40)}")
+        el.asBoolean
+    }
+  }
+
+  def jsonArrayTyped(doc: UTF8String, kind: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (doc == null) return null
+    val node =
+      try rawMapper.readTree(doc.toString)
+      catch { case scala.util.control.NonFatal(_) => return null }
+    if (node == null || !node.isArray) return null
+    val out = new Array[Any](node.size)
+    var i = 0
+    while (i < node.size) { out(i) = typedOf(node.get(i), kind); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def jsonDictTyped(doc: UTF8String, kind: String)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    if (doc == null) return null
+    val node =
+      try rawMapper.readTree(doc.toString)
+      catch { case scala.util.control.NonFatal(_) => return null }
+    if (node == null || !node.isObject) return null
+    val ks = new Array[Any](node.size)
+    val vs = new Array[Any](node.size)
+    val it = node.fields()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ks(i) = UTF8String.fromString(e.getKey)
+      vs(i) = typedOf(e.getValue, kind)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+  }
+
+  /** Yson::Attributes — the node's attribute dict as an Any carrier
+    * (`{}` when the node carries none). */
+  def jsonAttributes(doc: UTF8String): UTF8String = {
+    if (doc == null) return null
+    try {
+      val node = rawMapper.readTree(doc.toString)
+      if (node != null && node.isObject && node.has("$attributes"))
+        UTF8String.fromString(node.get("$attributes").toString)
+      else UTF8String.fromString("{}")
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Yson::WithAttributes — attach an attribute dict to a node
+    * (the `$attributes`/`$value` carrier encoding). */
+  def jsonWithAttributes(doc: UTF8String, attrs: UTF8String): UTF8String = {
+    if (doc == null || attrs == null) return null
+    try {
+      val a = rawMapper.readTree(attrs.toString)
+      if (a == null || !a.isObject) return null
+      val node = rawMapper.readTree(doc.toString)
+      val value =
+        if (node != null && node.isObject && node.has("$value"))
+          node.get("$value").toString
+        else doc.toString
+      UTF8String.fromString(
+        "{\"$attributes\":" + a.toString + ",\"$value\":" + value + "}")
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Dispatch for the typed list/dict conversions + attribute pair. */
+  case class YsonTypedExpr(fn: String, kind: String, children: Seq[Expression])
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    private def elemType: DataType = kind match {
+      case "int64" | "uint64" => LongType
+      case "double" => DoubleType
+      case "bool" => BooleanType
+      case _ => StringType
+    }
+    override def dataType: DataType = fn match {
+      case "list" => ArrayType(elemType, containsNull = true)
+      case "dict" => MapType(StringType, elemType, valueContainsNull = true)
+      case _ => StringType
+    }
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      val want = if (fn == "withattributes") 2 else 1
+      if (children.length == want &&
+          children.forall(_.dataType == StringType)) TypeCheckSuccess
+      else TypeCheckFailure(s"Yson::$fn: expects $want Any argument(s)")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = children.head.eval(input)
+      if (v == null) return null
+      val doc = v.asInstanceOf[UTF8String]
+      fn match {
+        case "list" => jsonArrayTyped(doc, kind)
+        case "dict" => jsonDictTyped(doc, kind)
+        case "attributes" => jsonAttributes(doc)
+        case "withattributes" =>
+          val a = children(1).eval(input)
+          if (a == null) null
+          else jsonWithAttributes(doc, a.asInstanceOf[UTF8String])
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
+  }
+
   case class JsonArrayFragments(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(StringType)
