@@ -429,7 +429,7 @@ final case class DigestFnExpr(fn: String,
 
   override def dataType: DataType = fn match {
     case "md5raw" | "blake2b" => BinaryType
-    case "cityhash128" | "farmhashfingerprint128" =>
+    case "cityhash128" | "farmhashfingerprint128" | "xxh3_128" =>
       // the reference returns Tuple<ui64,ui64> — the engine's tuple
       // representation is the positional _1.._n struct
       StructType(Seq(StructField("_1", LongType, nullable = false),
@@ -461,6 +461,10 @@ final case class DigestFnExpr(fn: String,
         (children.length == 1 || children.length == 2) &&
           children.forall(c => c.dataType == StringType ||
             c.dataType == BinaryType)
+      case "xxh3" | "xxh3_128" =>
+        children.length == 1 &&
+          (children.head.dataType == StringType ||
+            children.head.dataType == BinaryType)
       case "farmhashfingerprint" =>
         children.length == 1 && (children.head.dataType match {
           case LongType | IntegerType | ShortType | ByteType => true
@@ -549,6 +553,10 @@ final case class DigestFnExpr(fn: String,
         if (vs.length == 2) vs(1).asInstanceOf[Number].intValue() else 0)
       case "blake2b" => DigestOps.blake2b(bytesOf(vs.head),
         if (vs.length == 2) bytesOf(vs(1)) else Array.emptyByteArray, 32)
+      case "xxh3" => Xxh3.hash64(bytesOf(vs.head))
+      case "xxh3_128" =>
+        val (lo, hi) = Xxh3.hash128(bytesOf(vs.head))
+        org.apache.spark.sql.catalyst.InternalRow(lo, hi)
       case "md5raw" => DigestOps.md5Raw(bytesOf(vs.head))
       case "md5halfmix" => DigestOps.md5HalfMix(bytesOf(vs.head))
       case other => throw new IllegalStateException(other)

@@ -1283,7 +1283,7 @@ object YqlSql {
       "farmhashfingerprint2", "farmhashfingerprint32",
       "farmhashfingerprint64", "farmhashfingerprint128",
       "crc64", "murmurhash", "murmurhash32", "murmurhash2a",
-      "murmurhash2a32", "blake2b").foreach(fn =>
+      "murmurhash2a32", "blake2b", "xxh3", "xxh3_128").foreach(fn =>
       reg(s"digest_$fn")(es => DigestFnExpr(fn, es)))
 
     // ——— the struct-builtins family (struct.md; StructModule.scala).
@@ -1780,9 +1780,7 @@ object YqlSql {
     // Digest:: functions that need vendor runtimes raise naming them
     for ((fn, need) <- Seq(
         "argon2" -> "the argonish Argon2d kernel (password-KDF runtime)",
-        "highwayhash" -> "the HighwayHash SIMD reference implementation",
-        "xxh3" -> "the XXH3 64-bit kernel",
-        "xxh3_128" -> "the XXH3 128-bit kernel"))
+        "highwayhash" -> "the HighwayHash SIMD reference implementation"))
       reg(s"digest_$fn")(_ => throw new IllegalArgumentException(
         s"Digest::$fn is not bound in this build (needs $need)"))
 

@@ -981,6 +981,9 @@ object Yql {
           |  Digest::FarmHashFingerprint32(o_orderpriority) AS ff32,
           |  Digest::FarmHashFingerprint64(o_orderpriority) AS ff64,
           |  Digest::FarmHashFingerprint128('abc')._1 AS ff128lo,
+          |  Digest::XXH3(o_orderpriority) AS x3,
+          |  Digest::XXH3_128(o_orderpriority)._1 AS x3lo,
+          |  Digest::XXH3_128('abc')._2 AS x3hi,
           |  hex(Digest::Blake2B('abc')) AS b2,
           |  hex(Digest::Blake2B('abc', 'key')) AS b2k
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
@@ -2386,6 +2389,19 @@ object Yql {
              WHEN '4-NOT SPECIFIED' THEN 337671425332023790
              ELSE -2487857790183472212 END AS ff64,
            CAST(-2655780917820445336 AS BIGINT) AS ff128lo,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 6974033431943394111
+             WHEN '2-HIGH' THEN -5247187312437299321
+             WHEN '3-MEDIUM' THEN -2652197090706926334
+             WHEN '4-NOT SPECIFIED' THEN -8640159110052916009
+             ELSE 3201324245181176382 END AS x3,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 3793211497494154732
+             WHEN '2-HIGH' THEN 2553476539985885296
+             WHEN '3-MEDIUM' THEN 9211604638583415098
+             WHEN '4-NOT SPECIFIED' THEN -4307038664200482933
+             ELSE -8129235703678004015 END AS x3lo,
+           CAST(481984899792396677 AS BIGINT) AS x3hi,
            'BDDD813C634239723171EF3FEE98579B94964E3BB1CB3E427262C8C068D52319'
              AS b2,
            '0330531D097355A3F72E80D55C1245CCF79F1704431C6E3887938320442C23C0'
