@@ -428,7 +428,7 @@ final case class DigestFnExpr(fn: String,
   import org.apache.spark.unsafe.types.UTF8String
 
   override def dataType: DataType = fn match {
-    case "md5raw" | "blake2b" => BinaryType
+    case "md5raw" | "blake2b" | "argon2" => BinaryType
     case "cityhash128" | "farmhashfingerprint128" | "xxh3_128" =>
       // the reference returns Tuple<ui64,ui64> — the engine's tuple
       // representation is the positional _1.._n struct
@@ -461,6 +461,16 @@ final case class DigestFnExpr(fn: String,
         (children.length == 1 || children.length == 2) &&
           children.forall(c => c.dataType == StringType ||
             c.dataType == BinaryType)
+      case "argon2" =>
+        children.length == 2 &&
+          children.forall(c => c.dataType == StringType ||
+            c.dataType == BinaryType)
+      case "highwayhash" => children.length == 5 &&
+        children.take(4).forall(_.dataType match {
+          case LongType | IntegerType | ShortType | ByteType => true
+          case _ => false
+        }) && (children(4).dataType == StringType ||
+          children(4).dataType == BinaryType)
       case "xxh3" | "xxh3_128" =>
         children.length == 1 &&
           (children.head.dataType == StringType ||
@@ -553,6 +563,15 @@ final case class DigestFnExpr(fn: String,
         if (vs.length == 2) vs(1).asInstanceOf[Number].intValue() else 0)
       case "blake2b" => DigestOps.blake2b(bytesOf(vs.head),
         if (vs.length == 2) bytesOf(vs(1)) else Array.emptyByteArray, 32)
+      case "argon2" =>
+        // digest_udf.cpp:226-240: Argon2d, tcost=1, mcost=32 KiB,
+        // single lane, 32-byte tag, (password, salt)
+        Argon2.argon2d(bytesOf(vs(0)), bytesOf(vs(1)), 32, 1, 32)
+      case "highwayhash" => HighwayHash.hash64(
+        vs(0).asInstanceOf[Number].longValue(),
+        vs(1).asInstanceOf[Number].longValue(),
+        vs(2).asInstanceOf[Number].longValue(),
+        vs(3).asInstanceOf[Number].longValue(), bytesOf(vs(4)))
       case "xxh3" => Xxh3.hash64(bytesOf(vs.head))
       case "xxh3_128" =>
         val (lo, hi) = Xxh3.hash128(bytesOf(vs.head))

@@ -1283,7 +1283,8 @@ object YqlSql {
       "farmhashfingerprint2", "farmhashfingerprint32",
       "farmhashfingerprint64", "farmhashfingerprint128",
       "crc64", "murmurhash", "murmurhash32", "murmurhash2a",
-      "murmurhash2a32", "blake2b", "xxh3", "xxh3_128").foreach(fn =>
+      "murmurhash2a32", "blake2b", "xxh3", "xxh3_128", "argon2",
+      "highwayhash").foreach(fn =>
       reg(s"digest_$fn")(es => DigestFnExpr(fn, es)))
 
     // ——— the struct-builtins family (struct.md; StructModule.scala).
@@ -1777,12 +1778,7 @@ object YqlSql {
     // Math:: special-function tail (math_udf.cpp; MathOps.scala)
     Seq("erf", "erfinv", "erfcinv", "lgamma", "tgamma", "remainder")
       .foreach(fn => reg(s"math_$fn")(es => MathFnExpr(fn, es)))
-    // Digest:: functions that need vendor runtimes raise naming them
-    for ((fn, need) <- Seq(
-        "argon2" -> "the argonish Argon2d kernel (password-KDF runtime)",
-        "highwayhash" -> "the HighwayHash SIMD reference implementation"))
-      reg(s"digest_$fn")(_ => throw new IllegalArgumentException(
-        s"Digest::$fn is not bound in this build (needs $need)"))
+
 
     reg1("unicode_getlength")(Unicode.getLength)
     reg1("unicode_tolower")(Unicode.toLower)

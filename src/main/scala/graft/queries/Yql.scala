@@ -985,7 +985,11 @@ object Yql {
           |  Digest::XXH3_128(o_orderpriority)._1 AS x3lo,
           |  Digest::XXH3_128('abc')._2 AS x3hi,
           |  hex(Digest::Blake2B('abc')) AS b2,
-          |  hex(Digest::Blake2B('abc', 'key')) AS b2k
+          |  hex(Digest::Blake2B('abc', 'key')) AS b2k,
+          |  Digest::HighwayHash(3, 5, 7, 11, o_orderpriority) AS hwh,
+          |  hex(Digest::Argon2(o_orderpriority, 'saltsalt')) IS NOT NULL
+          |    AND length(Digest::Argon2(o_orderpriority, 'saltsalt')) = 32
+          |    AS a2ok
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
@@ -2405,7 +2409,14 @@ object Yql {
            'BDDD813C634239723171EF3FEE98579B94964E3BB1CB3E427262C8C068D52319'
              AS b2,
            '0330531D097355A3F72E80D55C1245CCF79F1704431C6E3887938320442C23C0'
-             AS b2k
+             AS b2k,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 21724992619218809
+             WHEN '2-HIGH' THEN -4292954990267673821
+             WHEN '3-MEDIUM' THEN 4892185950546122591
+             WHEN '4-NOT SPECIFIED' THEN -6307410791967047682
+             ELSE -3061477688745576606 END AS hwh,
+           TRUE AS a2ok
          FROM orders WHERE o_orderkey < 2000""",
     "yql_fn_url_tail" ->
       """SELECT o_orderkey,

@@ -83,6 +83,40 @@ class DigestTailSpec extends AnyFunSuite {
     assert(h4 == CityHash.cityHash128(buf ++ buf))
   }
 
+  test("Argon2d: the reference's own GenKat vector (argonish ut.cpp)") {
+    import graft.functions.Argon2
+    val pwd = Array.fill[Byte](32)(1)
+    val salt = Array.fill[Byte](16)(2)
+    val secret = Array.fill[Byte](8)(3)
+    val aad = Array.fill[Byte](12)(4)
+    val out = Argon2.argon2d(pwd, salt, outLen = 32, tcost = 1,
+      mcost = 32, secret = secret, aad = aad)
+    assert(out.map(b => f"${b & 0xff}%02x").mkString ==
+      "7ba5a17a72f7e59977f7f23d10e621898c63cebeeddabd15d8c68f53eab21a32")
+    // the UDF shape (no secret/aad) is deterministic and 32 bytes
+    val plain = Argon2.argon2d("pw".getBytes, "salt1234".getBytes,
+      32, 1, 32)
+    assert(plain.length == 32 &&
+      plain.sameElements(Argon2.argon2d("pw".getBytes,
+        "salt1234".getBytes, 32, 1, 32)))
+  }
+
+  test("HighwayHash64: vectors from the compiled portable reference") {
+    import graft.functions.HighwayHash
+    val b = Array.tabulate(300)(i => (i * 5 + 1).toByte)
+    def u(s: String): Long = java.lang.Long.parseLong(s)
+    val vectors = Seq(
+      0 -> "-7884613048793268310", 1 -> "-1862221780390536124",
+      7 -> "4459024606219849120", 8 -> "-7181347219771715199",
+      31 -> "4082723100616778578", 32 -> "2884648749012212238",
+      33 -> "6107723036756187764", 63 -> "8667125734454074179",
+      64 -> "-5724584494035669791", 100 -> "2816362944579813499",
+      255 -> "2990118825558070390")
+    for ((n, exp) <- vectors)
+      assert(HighwayHash.hash64(1L, 2L, 3L, 4L, b.take(n)) == u(exp),
+        s"len=$n")
+  }
+
   test("farmhash fingerprints: fixed points + 32-bit range") {
     // Fingerprint(uint64) matches the QL farm_hash building block
     assert(FarmHash.fpU64(0L) == FarmHash.NULL_FP)
