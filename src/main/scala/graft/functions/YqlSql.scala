@@ -1924,6 +1924,26 @@ object YqlSql {
     reg1s("pire_match")(Pire.matches)
     reg1s("pire_grep")(Pire.grep)
     reg1s("pire_capture")(Pire.capture)
+    // BacktrackingGrep/Match: the reference swaps the regex ENGINE
+    // (pire's DFA limits vs full backtracking); the JVM engine here is
+    // already backtracking, so the observable contract is Grep/Match
+    reg1s("pire_backtrackinggrep")(Pire.grep)
+    reg1s("pire_backtrackingmatch")(Pire.matches)
+    // MultiGrep/MultiMatch: one regex per LINE of the pattern literal,
+    // one Bool per regex, as the reference's Tuple (positional struct)
+    def multi(name: String, f: (Column, String) => Column): Unit =
+      reg(name)(es => {
+        val pats = litStr(es(1), name).split("\n").toSeq
+        require(pats.nonEmpty, s"$name needs at least one pattern line")
+        S.convert(org.apache.spark.sql.functions.struct(
+          pats.zipWithIndex.map { case (p, i) =>
+            f(cc(es(0)), p).as(s"_${i + 1}") }: _*))
+      })
+    multi("pire_multigrep", Pire.grep)
+    multi("pire_multimatch", Pire.matches)
+    reg("re2_options")(_ => throw new IllegalArgumentException(
+      "Re2::Options is not bound — this engine runs the default " +
+        "options; pass the pattern without an options resource"))
     reg1ss("pire_replace")(Pire.replace)
 
     reg1s("re2_grep")(Re2.grep)

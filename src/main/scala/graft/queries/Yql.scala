@@ -1113,7 +1113,14 @@ object Yql {
           |  Re2::Match('\\d-[A-Z0-9 ]+')(o_orderpriority) AS m,
           |  CAST(Re2::Count('[A-Z]')(o_orderpriority) AS BIGINT) AS c,
           |  $fix(o_orderpriority, '[\\1] ') AS r,
-          |  $num(o_orderpriority).word AS w
+          |  $num(o_orderpriority).word AS w,
+          |  Pire::BacktrackingGrep('URG')(o_orderpriority) AS bg,
+          |  Pire::BacktrackingMatch('\\d-[A-Z ]+')(o_orderpriority) AS bm,
+          |  Pire::MultiGrep('URG\nLOW\n\\d-')(o_orderpriority)._1 AS mg1,
+          |  Pire::MultiGrep('URG\nLOW\n\\d-')(o_orderpriority)._2 AS mg2,
+          |  Pire::MultiGrep('URG\nLOW\n\\d-')(o_orderpriority)._3 AS mg3,
+          |  Pire::MultiMatch('.*URGENT\n.*')(o_orderpriority)._1 AS mm1,
+          |  Pire::MultiMatch('.*URGENT\n.*')(o_orderpriority)._2 AS mm2
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
@@ -2557,7 +2564,14 @@ object Yql {
            CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]'))
              AS BIGINT) AS c,
            regexp_replace(o_orderpriority, '(\d)-', '[\1] ', 'g') AS r,
-           regexp_extract(o_orderpriority, '(\d)-([A-Z0-9 ]+)', 2) AS w
+           regexp_extract(o_orderpriority, '(\d)-([A-Z0-9 ]+)', 2) AS w,
+           contains(o_orderpriority, 'URG') AS bg,
+           regexp_full_match(o_orderpriority, '\d-[A-Z ]+') AS bm,
+           contains(o_orderpriority, 'URG') AS mg1,
+           contains(o_orderpriority, 'LOW') AS mg2,
+           TRUE AS mg3,
+           o_orderpriority LIKE '%URGENT' AS mm1,
+           TRUE AS mm2
          FROM orders WHERE o_orderkey < 2000""",
     "yql_sql_anon_table" ->
       """WITH phase AS (
