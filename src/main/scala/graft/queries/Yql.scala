@@ -18,6 +18,78 @@ object Yql {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** TPC-H pack: one ANSI text per query, identical on Spark and
+    * DuckDB (the oracle map reuses these verbatim). Standard queries
+    * adapted to the driver's column subset; thresholds replace the
+    * float-ranked top-k cuts so the result SET is deterministic. */
+  private val tpchSql: Map[String, String] = Map(
+    // Q6: forecast revenue change — one filtered aggregate
+    "yql_tpch_q6" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q10: returned-item reporting (threshold instead of top-20)
+    "yql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  ROUND(c_acctbal, 2) AS c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |HAVING SUM(l_extendedprice * (1 - l_discount)) > 50000""".stripMargin,
+    // Q14: promotion effect
+    "yql_tpch_q14" ->
+      """SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    // Q18: large-volume customers
+    "yql_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  ROUND(o_totalprice, 2) AS o_totalprice,
+        |  SUM(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        |HAVING SUM(l_quantity) > 300""".stripMargin,
+    // Q19: discounted revenue over disjunctive brand/size/qty bands
+    "yql_tpch_q19" ->
+      """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    // Q4: order-priority checking (EXISTS semijoin)
+    "yql_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin)
+
+  private def tpchDef(name: String)
+      : (SparkSession, String) => DataFrame = (s, d) => {
+    for (tbl <- Seq("lineitem", "orders", "customer", "nation", "part"))
+      t(s, d, tbl).createOrReplaceTempView(tbl)
+    graft.functions.YqlSql.sql(s, tpchSql(name))
+  }
+
   /** The table-path-function fixture: a "cypress directory" of
     * per-month order tables (1996-01..1996-04), one parquet directory
     * per month, derived from the sf dir's `orders` — written once per
@@ -874,6 +946,19 @@ object Yql {
           |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
           |GROUP BY l.l_returnflag""".stripMargin)
     }),
+
+    // Round-9: a TPC-H pack through the SQL-string surface — the
+    // standard queries adapted to the driver's column subset (no
+    // partsupp/commitdate/shipmode columns in the testdata). One ANSI
+    // text per query runs verbatim on BOTH engines, so the oracle is
+    // the same string (tpchSql below). Deterministic outputs: fixed
+    // thresholds instead of float-rank top-k cuts.
+    "yql_tpch_q6" -> tpchDef("yql_tpch_q6"),
+    "yql_tpch_q10" -> tpchDef("yql_tpch_q10"),
+    "yql_tpch_q14" -> tpchDef("yql_tpch_q14"),
+    "yql_tpch_q18" -> tpchDef("yql_tpch_q18"),
+    "yql_tpch_q19" -> tpchDef("yql_tpch_q19"),
+    "yql_tpch_q4" -> tpchDef("yql_tpch_q4"),
 
     // Round-9: the Unicode:: tail (unicode_base_udf.h via
     // UnicodeOps.scala) — normalization forms, fold, codepoint lists,
@@ -2341,6 +2426,12 @@ object Yql {
            '1.23e-05' AS prc4,
            '1.23e+08' AS prc5
          FROM orders WHERE o_orderkey < 2000""",
+    "yql_tpch_q6" -> tpchSql("yql_tpch_q6"),
+    "yql_tpch_q10" -> tpchSql("yql_tpch_q10"),
+    "yql_tpch_q14" -> tpchSql("yql_tpch_q14"),
+    "yql_tpch_q18" -> tpchSql("yql_tpch_q18"),
+    "yql_tpch_q19" -> tpchSql("yql_tpch_q19"),
+    "yql_tpch_q4" -> tpchSql("yql_tpch_q4"),
     "yql_fn_yson_tail" ->
       """SELECT event_id,
            [1, 2, event_id % 5] AS il,
