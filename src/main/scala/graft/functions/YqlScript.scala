@@ -1765,7 +1765,136 @@ object YqlScript {
   // ——— select-level lowerings ———
   private[functions] def lowerSelect(sql: String): String =
     lowerFlatten(lowerWithout(lowerSample(lowerTableHints(lowerHints(
-      lowerSessionWindow(lowerSessionWindowOver(lowerHop(lowerBitcast(sql)))))))))
+      lowerSessionWindow(lowerSessionWindowOver(lowerHop(lowerBitcast(
+        lowerJsonSql(sql))))))))))
+
+  /** SQL-standard JSON accessors with their clause forms (docs
+    * builtins/json.md): `JSON_VALUE(j, path [RETURNING T]
+    * [{NULL|ERROR|DEFAULT e} ON EMPTY] [... ON ERROR])`,
+    * `JSON_EXISTS(j, path [{TRUE|FALSE|UNKNOWN|ERROR} ON ERROR])`,
+    * `JSON_QUERY(j, path [wrapper] [{ERROR|NULL|EMPTY ARRAY|EMPTY
+    * OBJECT} ON EMPTY/ERROR])`. The engine evaluates JsonPath in lax
+    * mode where a non-existent path IS the empty case — so the ON
+    * ERROR handler only has the empty case to fire on and both
+    * handlers lower onto the missing-path branch; `strict` paths
+    * raise naming the unimplemented mode. */
+  private[functions] def lowerJsonSql(sql: String): String = {
+    val names = Seq("JSON_VALUE", "JSON_EXISTS", "JSON_QUERY")
+    var text = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val lower = text.toUpperCase
+      var best = -1
+      var bestName: String = null
+      for (n <- names) {
+        // advance past boundary-invalid hits (e.g. the emitted
+        // yql__json_value placeholder contains the name as a substring)
+        var from = 0
+        var done = false
+        while (!done) {
+          val at = lower.indexOf(n + "(", from)
+          if (at < 0) done = true
+          else if (at == 0 || (!text.charAt(at - 1).isLetterOrDigit &&
+              text.charAt(at - 1) != '_')) {
+            if (best < 0 || at < best) { best = at; bestName = n }
+            done = true
+          } else from = at + 1
+        }
+      }
+      if (best >= 0) {
+        val open = text.indexOf('(', best)
+        val close = matchParen(text, open)
+        val inner = text.substring(open + 1, close)
+        val parts = splitTopLevel(inner).map(_.trim)
+        require(parts.length == 2,
+          s"$bestName takes (json, 'path' [clauses])")
+        val jsonExpr = parts.head
+        // the path literal leads the second chunk; clauses follow
+        val chunk = parts(1)
+        require(chunk.startsWith("'") || chunk.startsWith("\""),
+          s"$bestName: the JsonPath must be a string literal")
+        val qc = chunk.head
+        var pe = 1
+        while (pe < chunk.length && chunk.charAt(pe) != qc) {
+          if (chunk.charAt(pe) == '\\') pe += 1
+          pe += 1
+        }
+        val path0 = chunk.substring(1, pe)
+        val clauses = chunk.substring(pe + 1).trim
+        require(!path0.trim.toLowerCase.startsWith("strict"),
+          s"$bestName: strict-mode JsonPath is not implemented here " +
+            "(the engine evaluates lax mode); drop the strict prefix")
+        val path = path0.trim.stripPrefix("lax").trim
+        val cu = clauses.toUpperCase
+        def ret(t: String): String = t.toLowerCase match {
+          case "int8" | "int16" | "int32" | "int64" | "uint8" | "uint16" |
+               "uint32" | "uint64" => "BIGINT"
+          case "float" => "FLOAT"
+          case "double" => "DOUBLE"
+          case "bool" => "BOOLEAN"
+          case "string" | "utf8" => "STRING"
+          case other => throw new IllegalArgumentException(
+            s"JSON_VALUE RETURNING: unsupported type $other")
+        }
+        val lowered = bestName match {
+          case "JSON_EXISTS" =>
+            // lax mode: no error case remains, the handler is inert
+            require(cu.isEmpty || cu.endsWith("ON ERROR"),
+              s"JSON_EXISTS: unexpected clause: $clauses")
+            s"yql__json_exists($jsonExpr, '$path')"
+          case "JSON_VALUE" =>
+            var castTo = "STRING"
+            var rest = clauses
+            val rm = "(?i)^RETURNING\\s+([A-Za-z0-9_]+)\\s*".r
+            rm.findFirstMatchIn(rest).foreach { m =>
+              castTo = ret(m.group(1)); rest = rest.substring(m.end)
+            }
+            val base = s"CAST(yql__json_value($jsonExpr, '$path') AS $castTo)"
+            val ru = rest.trim
+            val handler =
+              "(?i)^(NULL|ERROR|DEFAULT\\s+.+?)\\s+ON\\s+(EMPTY|ERROR)"
+                .r.findFirstMatchIn(ru)
+            handler.map(_.group(1).trim) match {
+              case None =>
+                require(ru.isEmpty,
+                  s"JSON_VALUE: unexpected clause: $rest")
+                base
+              case Some(h) if h.equalsIgnoreCase("NULL") => base
+              case Some(h) if h.equalsIgnoreCase("ERROR") =>
+                s"CASE WHEN yql__json_exists($jsonExpr, '$path') THEN $base " +
+                  s"ELSE CAST(raise_error('JSON_VALUE: empty result on " +
+                  s"path $path') AS $castTo) END"
+              case Some(h) => // DEFAULT <expr>
+                val dflt = h.substring("DEFAULT".length).trim
+                s"COALESCE($base, CAST($dflt AS $castTo))"
+            }
+          case "JSON_QUERY" =>
+            val base = s"yql__json_query($jsonExpr, '$path')"
+            val wrapped =
+              if (cu.contains("WITH") && cu.contains("WRAPPER") &&
+                  !cu.contains("WITHOUT")) {
+                if (cu.contains("UNCONDITIONAL") || !cu.contains("CONDITIONAL"))
+                  s"CASE WHEN $base IS NULL THEN NULL ELSE " +
+                    s"concat('[', $base, ']') END"
+                else
+                  s"CASE WHEN $base IS NULL THEN NULL " +
+                    s"WHEN $base LIKE '[%' THEN $base " +
+                    s"ELSE concat('[', $base, ']') END"
+              } else base
+            if (cu.contains("EMPTY ARRAY ON"))
+              s"COALESCE($wrapped, '[]')"
+            else if (cu.contains("EMPTY OBJECT ON"))
+              s"COALESCE($wrapped, '{}')"
+            else wrapped
+        }
+        text = text.substring(0, best) + "(" + lowered + ")" +
+          text.substring(close + 1)
+        changed = true
+      }
+    }
+    text
+  }
 
   /** `BITCAST(x AS IntN|UintN)` (docs syntax/expressions.md#bitcast):
     * bitwise integer conversion — always succeeds, truncates to the

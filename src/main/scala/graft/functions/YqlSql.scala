@@ -1857,6 +1857,11 @@ object YqlSql {
     reg1s("json_value")(Json.value)
     reg1s("json_exists")(Json.exists)
     reg1s("json_query")(Json.query)
+    // placeholder spellings the JSON_VALUE/EXISTS/QUERY clause lowering
+    // emits (lowerJsonSql) — same kernels, names the scanner skips
+    reg1s("yql__json_value")(Json.value)
+    reg1s("yql__json_exists")(Json.exists)
+    reg1s("yql__json_query")(Json.query)
     reg1s("json_valueint")(Json.valueInt)
     reg1s("json_valuedouble")(Json.valueDouble)
 

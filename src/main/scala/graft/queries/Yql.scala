@@ -960,6 +960,29 @@ object Yql {
     "yql_tpch_q19" -> tpchDef("yql_tpch_q19"),
     "yql_tpch_q4" -> tpchDef("yql_tpch_q4"),
 
+    // Round-9: the SQL-standard JSON accessors WITH their clause
+    // forms (builtins/json.md): RETURNING casts, ON EMPTY handlers,
+    // JSON_QUERY wrappers. Lax-mode evaluation (strict raises).
+    "yql_sql_json_accessors" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """SELECT event_id,
+          |  JSON_VALUE(props, '$.k') AS v,
+          |  JSON_VALUE(props, '$.k' RETURNING Int64) AS vi,
+          |  JSON_VALUE(props, '$.missing'
+          |    RETURNING Int64 DEFAULT -1 ON EMPTY) AS vd,
+          |  JSON_VALUE(props, '$.missing' NULL ON EMPTY) AS vn,
+          |  JSON_VALUE(props, '$.k' RETURNING Double ERROR ON EMPTY)
+          |    AS ve,
+          |  JSON_EXISTS(props, '$.k') AS e,
+          |  JSON_EXISTS(props, '$.missing' FALSE ON ERROR) AS en,
+          |  JSON_QUERY(props, '$.k'
+          |    WITH UNCONDITIONAL ARRAY WRAPPER) AS qw,
+          |  JSON_QUERY(props, '$.missing' EMPTY ARRAY ON EMPTY) AS qe,
+          |  JSON_QUERY(props, '$.missing' EMPTY OBJECT ON ERROR) AS qo
+          |FROM events WHERE event_id < 2000""".stripMargin)
+    }),
+
     // Round-9: the Unicode:: tail (unicode_base_udf.h via
     // UnicodeOps.scala) — normalization forms, fold, codepoint lists,
     // set membership, replace/remove families, uint64 parsing.
@@ -2547,6 +2570,19 @@ object Yql {
            FALSE AS puny_not,
            'a=1&b=x+y' AS bq
          FROM orders WHERE o_orderkey < 2000""",
+    "yql_sql_json_accessors" ->
+      """SELECT event_id,
+           json_extract_string(props, '$.k') AS v,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS vi,
+           CAST(-1 AS BIGINT) AS vd,
+           CAST(NULL AS VARCHAR) AS vn,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS ve,
+           TRUE AS e,
+           FALSE AS en,
+           '[' || json_extract_string(props, '$.k') || ']' AS qw,
+           '[]' AS qe,
+           '{}' AS qo
+         FROM events WHERE event_id < 2000""",
     "yql_fn_unicode_tail" ->
       """SELECT o_orderkey,
            nfc_normalize('e' || chr(769)) AS nfc,
