@@ -65,6 +65,13 @@ object YqlScript {
 
   sealed trait Stmt { def sql: String }
   final case class SelectStmt(sql: String) extends Stmt
+  /** `PROCESS src USING Streaming::Process(TableRows(), cmd, ...)` —
+    * pipe the single string column of `sql` through an external
+    * command (streaming_udf.cpp TStreamingProcess; Inline writes the
+    * script to a temp file first). */
+  final case class PipeStmt(sql: String, command: Seq[String],
+      inlineScript: Option[String], inputDelimiter: String,
+      outputDelimiter: String) extends Stmt
   final case class InsertStmt(sql: String) extends Stmt
   /** Ready-to-run Spark DDL text (CREATE/DROP/ALTER TABLE lowered). */
   final case class DdlStmt(sql: String) extends Stmt
@@ -321,7 +328,8 @@ object YqlScript {
         discards += lowerSelect(substitute(st.drop("DISCARD".length).trim,
           scalars, lambdas))
       else if (firstWord == "PROCESS")
-        stmts += SelectStmt(lowerProcess(st, scalars, lambdas))
+        stmts += lowerProcessPipe(st, scalars, lambdas)
+          .getOrElse(SelectStmt(lowerProcess(st, scalars, lambdas)))
       else if (firstWord == "REDUCE")
         stmts += SelectStmt(lowerReduce(st, scalars, lambdas))
       else if (firstWord == "INSERT") {
@@ -535,6 +543,70 @@ object YqlScript {
       i += 1
     }
     -1
+  }
+
+  /** The `Streaming::Process` / `Streaming::ProcessInline` spelling of
+    * PROCESS USING (streaming_udf.cpp:694,765; signature
+    * (stream, command[, arguments][, inputDelimiter][, outputDelimiter])):
+    * parsed here into a [[PipeStmt]] the executor runs as one external
+    * process per partition. Literal-typed arguments, like the
+    * reference's compile-time signature. Returns None when the USING
+    * call is not the Streaming module (the lambda path handles it). */
+  private def lowerProcessPipe(st: String,
+      scalars: collection.Map[String, String],
+      lambdas: collection.Map[String, Lambda]): Option[PipeStmt] = {
+    val usingAt = findTopKw(st, "USING")
+    if (usingAt < 0) return None
+    val whereAt = findTopKw(st, "WHERE")
+    val usingEnd = if (whereAt > usingAt) whereAt else st.length
+    val call = substitute(st.substring(usingAt + 5, usingEnd).trim,
+      scalars, lambdas)
+    val m = "(?i)^Streaming\\s*::\\s*(Process|ProcessInline)\\s*\\("
+      .r.findFirstMatchIn(call).getOrElse(return None)
+    val open = call.indexOf('(', m.end - 1)
+    val close = matchParen(call, open)
+    val args = splitTopLevel(call.substring(open + 1, close))
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.nonEmpty &&
+      args.head.replaceAll("\\s", "").equalsIgnoreCase("TableRows()"),
+      "Streaming::Process takes TableRows() as its stream argument")
+    require(args.length >= 2,
+      "Streaming::Process needs the command argument")
+    def strLit(s: String, what: String): String = {
+      val t = s.trim
+      require(t.length >= 2 && (t.head == '\'' || t.head == '"') &&
+        t.last == t.head,
+        s"Streaming::Process: $what must be a string literal, got: $t")
+      t.substring(1, t.length - 1)
+    }
+    val cmdOrScript = strLit(args(1), "the command")
+    val extra: Seq[String] =
+      if (args.length >= 3 && args(2).replaceAll("\\s", "")
+          .toLowerCase.startsWith("aslist(")) {
+        val o2 = args(2).indexOf('(')
+        splitTopLevel(args(2).substring(o2 + 1,
+          matchParen(args(2), o2))).map(a => strLit(a, "an argument"))
+      } else Seq.empty
+    val delims = args.drop(if (extra.nonEmpty) 3 else 2)
+      .map(a => strLit(a, "a delimiter"))
+    require(delims.length <= 2,
+      "Streaming::Process takes at most (in, out) delimiters")
+    val inDelim = delims.headOption.getOrElse("\n")
+    val outDelim = delims.lift(1).getOrElse("\n")
+
+    var head = st.substring(0, usingAt).trim
+      .substring("PROCESS".length).trim
+    if (head.toUpperCase.startsWith("STREAM "))
+      head = head.substring("STREAM".length).trim
+    val src = substitute(head, scalars, lambdas)
+    val where = if (whereAt < 0) ""
+      else " WHERE " + substitute(st.substring(whereAt + 5).trim,
+        scalars, lambdas)
+    val srcSql = lowerSelect(s"SELECT * FROM $src$where")
+    if (m.group(1).equalsIgnoreCase("ProcessInline"))
+      Some(PipeStmt(srcSql, extra, Some(cmdOrScript), inDelim, outDelim))
+    else
+      Some(PipeStmt(srcSql, cmdOrScript +: extra, None, inDelim, outDelim))
   }
 
   /** `PROCESS [STREAM] src [USING $f(TableRows()) [AS a]] [WHERE p]`

@@ -1115,6 +1115,26 @@ object YqlSql {
     def ret(r: Option[DataFrame]): Unit = r.foreach(df => last = Some(df))
     lowered.stmts.foreach {
       case YqlScript.SelectStmt(s) => last = Some(spark.sql(unions(full(s))))
+      case YqlScript.PipeStmt(s, command, inline, inDelim, outDelim) =>
+        // Streaming::Process[Inline]: one external process per
+        // partition over the single string column of the source
+        val src = spark.sql(unions(full(s)))
+        require(src.schema.length == 1,
+          "Streaming::Process expects a single string column; project " +
+            s"one, got: ${src.schema.fieldNames.mkString(", ")}")
+        val cmd = inline match {
+          case Some(script) =>
+            // ProcessInline (streaming_udf.cpp:729-765): the script
+            // text lands in an executable temp file
+            val f = java.nio.file.Files.createTempFile("graft_pipe", ".sh")
+            java.nio.file.Files.writeString(f, script)
+            f.toFile.setExecutable(true)
+            f.toFile.deleteOnExit()
+            Seq("/bin/sh", f.toString) ++ command
+          case None => command
+        }
+        last = Some(graft.streaming.Streams.process(
+          src, src.schema.fieldNames.head, cmd, inDelim, outDelim))
       case YqlScript.InsertStmt(s) =>
         // the union lowering applies to the SOURCE query of the
         // INSERT — never analyze the INSERT head itself (spark.sql

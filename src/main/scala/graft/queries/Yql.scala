@@ -960,6 +960,19 @@ object Yql {
     "yql_tpch_q19" -> tpchDef("yql_tpch_q19"),
     "yql_tpch_q4" -> tpchDef("yql_tpch_q4"),
 
+    // Round-9: the Streaming::Process STRING spelling of PROCESS USING
+    // (streaming_udf.cpp TStreamingProcess) — one external process per
+    // partition, rows piped through stdin/stdout.
+    "yql_sql_streaming_process" -> ((s, d) => {
+      t(s, d, "orders").where(col("o_orderkey") < 2000)
+        .select(col("o_orderpriority"))
+        .createOrReplaceTempView("pipe_src")
+      graft.functions.YqlSql.sql(s,
+        """PROCESS pipe_src
+          |USING Streaming::Process(TableRows(), 'sed',
+          |  AsList('s/-/_/'))""".stripMargin)
+    }),
+
     // Round-9: the SQL-standard JSON accessors WITH their clause
     // forms (builtins/json.md): RETURNING casts, ON EMPTY handlers,
     // JSON_QUERY wrappers. Lax-mode evaluation (strict raises).
@@ -2569,6 +2582,9 @@ object Yql {
            TRUE AS puny_can,
            FALSE AS puny_not,
            'a=1&b=x+y' AS bq
+         FROM orders WHERE o_orderkey < 2000""",
+    "yql_sql_streaming_process" ->
+      """SELECT replace(o_orderpriority, '-', '_') AS value
          FROM orders WHERE o_orderkey < 2000""",
     "yql_sql_json_accessors" ->
       """SELECT event_id,
