@@ -25,12 +25,12 @@ object GraftSession {
       // Big-shuffle headroom: start wide and let AQE coalesce back
       // down. With only `cpus` initial partitions, a 60M-row join
       // shuffle at sf100 lands ~2M rows in each sort and spills; with
-      // 8× headroom AQE merges the small cases to ~cpus partitions
+      // 4× headroom AQE merges the small cases to ~cpus partitions
       // anyway (advisory size below), so small scale pays nothing and
       // the sf100 decade stops spilling. The same posture holds on a
       // real cluster: initialPartitionNum >> cores, AQE right-sizes.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        (cpus.toInt * 4).toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
