@@ -2338,6 +2338,14 @@ object YqlSql {
       // already does exactly that for the foldable expressions the
       // reference accepts there
       reg("just")(es => es.head)
+      // TableRow() (basic.md#tablerow): the whole row as a struct —
+      // star expansion resolves in analysis, so this works anywhere a
+      // scalar can appear (registry lookup is case-insensitive)
+      reg("tablerow")(es => {
+        require(es.isEmpty, "TableRow() takes no arguments")
+        org.apache.spark.sql.catalyst.expressions.CreateStruct(
+          Seq(org.apache.spark.sql.catalyst.analysis.UnresolvedStar(None)))
+      })
       reg("assumestrict")(es => es.head)
       reg("likely")(es => es.head)
       reg("evaluateexpr")(es => es.head)

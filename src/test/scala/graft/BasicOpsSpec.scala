@@ -344,4 +344,20 @@ class BasicOpsSpec extends SparkSpec {
     assert(r.getTimestamp(0).toString.startsWith("2024-01-01 03:00"))
     assert(r.getTimestamp(1).toString.startsWith("2024-01-01 00:00"))
   }
+
+  test("TableRow(): the whole row as a struct (basic.md#tablerow)") {
+    import graft.functions.YqlSql
+    spark.range(3).selectExpr("id", "id * 2 AS b")
+      .createOrReplaceTempView("tr_src")
+    val r = YqlSql.sql(spark,
+      "SELECT TableRow() AS r, TableRow().b AS b2 FROM tr_src WHERE id = 1")
+      .collect().head
+    assert(r.getStruct(0).getLong(0) == 1L)
+    assert(r.getStruct(0).getLong(1) == 2L)
+    assert(r.getLong(1) == 2L)
+    val e = intercept[Exception] {
+      YqlSql.sql(spark, "SELECT TableRow(1) AS r FROM tr_src").collect()
+    }
+    assert(e.getMessage.contains("no arguments"))
+  }
 }
