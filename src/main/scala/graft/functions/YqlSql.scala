@@ -2346,6 +2346,38 @@ object YqlSql {
         org.apache.spark.sql.catalyst.expressions.CreateStruct(
           Seq(org.apache.spark.sql.catalyst.analysis.UnresolvedStar(None)))
       })
+      // Operation metadata (basic.md "Access to the metadata of the
+      // current operation"): the Spark application IS the operation
+      reg("currentoperationid")(es => {
+        require(es.isEmpty, "CurrentOperationId() takes no arguments")
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+          spark.sparkContext.applicationId), StringType)
+      })
+      reg("currentoperationsharedid")(es => {
+        require(es.isEmpty,
+          "CurrentOperationSharedId() takes no arguments")
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+          spark.sparkContext.applicationId), StringType)
+      })
+      reg("currentauthenticateduser")(es => {
+        require(es.isEmpty,
+          "CurrentAuthenticatedUser() takes no arguments")
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+          spark.sparkContext.sparkUser), StringType)
+      })
+      // Named raises for the basic.md stragglers whose semantics need
+      // a context this engine deliberately does not model
+      reg("tablerecordindex")(_ => throw new IllegalArgumentException(
+        "TableRecordIndex() needs the MapReduce input-chunk scan order" +
+          " — not meaningful over an unordered parquet scan; use" +
+          " row_number() OVER an explicit ORDER BY instead"))
+      reg("weakfield")(_ => throw new IllegalArgumentException(
+        "WeakField() reads weak-schema tables; this engine's parquet" +
+          " schemas are strong — reference the column directly"))
+      reg("jointablerow")(_ => throw new IllegalArgumentException(
+        "JoinTableRow() (prefixed whole-row struct) is not implemented" +
+          " — project the joined columns or use TableRow() per side" +
+          " before the join"))
       reg("assumestrict")(es => es.head)
       reg("likely")(es => es.head)
       reg("evaluateexpr")(es => es.head)

@@ -360,4 +360,21 @@ class BasicOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no arguments"))
   }
+
+  test("operation metadata + straggler raises (basic.md)") {
+    import graft.functions.YqlSql
+    spark.range(1).createOrReplaceTempView("md_src")
+    val r = YqlSql.sql(spark,
+      "SELECT CurrentOperationId() AS op, CurrentAuthenticatedUser() AS u " +
+        "FROM md_src").collect().head
+    assert(r.getString(0).nonEmpty && r.getString(1).nonEmpty)
+    for ((fn, word) <- Seq("TableRecordIndex()" -> "scan order",
+        "WeakField(id, 'Int64')" -> "strong",
+        "JoinTableRow()" -> "TableRow")) {
+      val e = intercept[Exception] {
+        YqlSql.sql(spark, s"SELECT $fn AS v FROM md_src").collect()
+      }
+      assert(e.getMessage.contains(word), s"$fn: ${e.getMessage}")
+    }
+  }
 }
