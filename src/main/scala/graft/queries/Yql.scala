@@ -869,7 +869,7 @@ object Yql {
           |  String::Bin(o_orderkey) AS bn,
           |  String::HexText(o_orderstatus) AS hxt,
           |  String::BinText(o_orderstatus) AS bnt,
-          |  String::ToByteList(o_orderstatus) AS tbl,
+          |  to_json(String::ToByteList(o_orderstatus)) AS tbl,
           |  String::Base64Encode(o_orderpriority) AS b64,
           |  String::Base64Decode(String::Base64Encode(o_orderpriority))
           |    AS b64_rt,
@@ -1022,10 +1022,10 @@ object Yql {
           |  Unicode::RemoveAll(o_orderpriority, 'AEIOU') AS rmall,
           |  Unicode::RemoveFirst(o_orderpriority, 'E') AS rmf,
           |  Unicode::RemoveLast(o_orderpriority, 'E') AS rml,
-          |  Unicode::ToCodePointList(o_orderstatus) AS cpl,
+          |  to_json(Unicode::ToCodePointList(o_orderstatus)) AS cpl,
           |  Unicode::FromCodePointList(
           |    Unicode::ToCodePointList(o_orderpriority)) AS cpl_rt,
-          |  Unicode::SplitToList(o_orderpriority, '-') AS spl,
+          |  to_json(Unicode::SplitToList(o_orderpriority, '-')) AS spl,
           |  Unicode::JoinFromList(
           |    Unicode::SplitToList(o_orderpriority, '-'), '_') AS joined,
           |  Unicode::LevensteinDistance(o_orderpriority, 'URGENT') AS lev,
@@ -1120,12 +1120,12 @@ object Yql {
       t(s, d, "events").createOrReplaceTempView("events")
       graft.functions.YqlSql.sql(s,
         """SELECT event_id,
-          |  Yson::ConvertToInt64List('[1,2,'
-          |    || CAST(event_id % 5 AS STRING) || ']') AS il,
-          |  Yson::ConvertToStringList('["a","b"]') AS sl,
-          |  Yson::ConvertToDoubleList('[1.5,2.5]') AS dl,
-          |  Yson::ConvertToBoolList('[true,false]') AS bl,
-          |  Yson::ConvertToList('[1,"x",true]') AS anyl,
+          |  to_json(Yson::ConvertToInt64List('[1,2,'
+          |    || CAST(event_id % 5 AS STRING) || ']')) AS il,
+          |  to_json(Yson::ConvertToStringList('["a","b"]')) AS sl,
+          |  to_json(Yson::ConvertToDoubleList('[1.5,2.5]')) AS dl,
+          |  to_json(Yson::ConvertToBoolList('[true,false]')) AS bl,
+          |  to_json(Yson::ConvertToList('[1,"x",true]')) AS anyl,
           |  element_at(Yson::ConvertToInt64Dict(props), 'k') AS dk,
           |  element_at(Yson::ConvertToDict(props), 'k') AS dka,
           |  element_at(Yson::LookupDict('{"m":{"a":1,"b":2}}', 'm'),
@@ -1138,7 +1138,7 @@ object Yql {
           |  Yson::SerializeText(Yson::WithAttributes(
           |    Yson::Parse('5'), Yson::Parse('{a=1}'))) AS wattr,
           |  Yson::ConvertToInt64List(props) IS NULL AS not_list,
-          |  Yson::ConvertToList(Yson::ParseJsonDecodeUtf8('[3,4]'))
+          |  to_json(Yson::ConvertToList(Yson::ParseJsonDecodeUtf8('[3,4]')))
           |    AS pj
           |FROM events WHERE event_id < 2000""".stripMargin)
     }),
@@ -1363,11 +1363,15 @@ object Yql {
           |    AS BIGINT) AS s7,
           |  ROUND(AGGREGATE_BY(o_totalprice,
           |    AggregationFactory('percentile', 0.9)), 4) AS p90,
-          |  MULTI_AGGREGATE_BY($nums, AggregationFactory('min')) AS mmin,
-          |  MULTI_AGGREGATE_BY($nums, AggregationFactory('max')) AS mmax,
-          |  MULTI_AGGREGATE_BY($nums, AggregationFactory('count')) AS mcnt,
-          |  transform(MULTI_AGGREGATE_BY($nums, AggregationFactory('avg')),
-          |    __x -> ROUND(__x, 6)) AS mavg
+          |  to_json(MULTI_AGGREGATE_BY($nums, AggregationFactory('min')))
+          |    AS mmin,
+          |  to_json(MULTI_AGGREGATE_BY($nums, AggregationFactory('max')))
+          |    AS mmax,
+          |  to_json(MULTI_AGGREGATE_BY($nums, AggregationFactory('count')))
+          |    AS mcnt,
+          |  to_json(transform(
+          |    MULTI_AGGREGATE_BY($nums, AggregationFactory('avg')),
+          |    __x -> ROUND(__x, 6))) AS mavg
           |FROM orders""".stripMargin)
     }),
 
@@ -2444,7 +2448,7 @@ object Yql {
            '0b' || lpad(bin(o_orderkey), 64, '0') AS bn,
            hex(o_orderstatus) AS hxt,
            lpad(bin(ascii(o_orderstatus)), 8, '0') AS bnt,
-           [ascii(o_orderstatus)] AS tbl,
+           to_json([ascii(o_orderstatus)]) AS tbl,
            to_base64(o_orderpriority::BLOB) AS b64,
            o_orderpriority AS b64_rt,
            o_orderpriority AS b64s_rt,
@@ -2470,11 +2474,11 @@ object Yql {
     "yql_tpch_q4" -> tpchSql("yql_tpch_q4"),
     "yql_fn_yson_tail" ->
       """SELECT event_id,
-           [1, 2, event_id % 5] AS il,
-           ['a', 'b'] AS sl,
-           [1.5, 2.5] AS dl,
-           [TRUE, FALSE] AS bl,
-           ['1', '"x"', 'true'] AS anyl,
+           to_json([1, 2, event_id % 5]) AS il,
+           to_json(['a', 'b']) AS sl,
+           to_json([1.5, 2.5]) AS dl,
+           to_json([TRUE, FALSE]) AS bl,
+           to_json(['1', '"x"', 'true']) AS anyl,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS dk,
            json_extract_string(props, '$.k') AS dka,
            '2' AS ld,
@@ -2483,7 +2487,7 @@ object Yql {
            CAST(7 AS BIGINT) AS attr,
            '<"a"=1;>5' AS wattr,
            TRUE AS not_list,
-           ['3', '4'] AS pj
+           to_json(['3', '4']) AS pj
          FROM events WHERE event_id < 2000""",
     "yql_fn_digest_tail" ->
       """SELECT o_orderkey,
@@ -2625,9 +2629,9 @@ object Yql {
            regexp_replace(o_orderpriority, 'E', '') AS rmf,
            reverse(regexp_replace(reverse(o_orderpriority), 'E', ''))
              AS rml,
-           [CAST(ascii(o_orderstatus) AS BIGINT)] AS cpl,
+           to_json([CAST(ascii(o_orderstatus) AS BIGINT)]) AS cpl,
            o_orderpriority AS cpl_rt,
-           string_split(o_orderpriority, '-') AS spl,
+           to_json(string_split(o_orderpriority, '-')) AS spl,
            replace(o_orderpriority, '-', '_') AS joined,
            CAST(levenshtein(o_orderpriority, 'URGENT') AS BIGINT) AS lev,
            o_orderkey AS u64,
@@ -2747,15 +2751,16 @@ object Yql {
       """SELECT CAST(count(DISTINCT o_custkey % 50) AS BIGINT) AS cd,
            CAST(sum(o_custkey % 7) AS BIGINT) AS s7,
            ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           [min(o_custkey % 7), min(o_orderkey % 13),
-            min(o_custkey % 97)] AS mmin,
-           [max(o_custkey % 7), max(o_orderkey % 13),
-            max(o_custkey % 97)] AS mmax,
-           [CAST(count(o_custkey % 7) AS BIGINT),
+           to_json([min(o_custkey % 7), min(o_orderkey % 13),
+            min(o_custkey % 97)]) AS mmin,
+           to_json([max(o_custkey % 7), max(o_orderkey % 13),
+            max(o_custkey % 97)]) AS mmax,
+           to_json([CAST(count(o_custkey % 7) AS BIGINT),
             CAST(count(o_orderkey % 13) AS BIGINT),
-            CAST(count(o_custkey % 97) AS BIGINT)] AS mcnt,
-           [ROUND(avg(o_custkey % 7), 6), ROUND(avg(o_orderkey % 13), 6),
-            ROUND(avg(o_custkey % 97), 6)] AS mavg
+            CAST(count(o_custkey % 97) AS BIGINT)]) AS mcnt,
+           to_json([ROUND(avg(o_custkey % 7), 6),
+            ROUND(avg(o_orderkey % 13), 6),
+            ROUND(avg(o_custkey % 97), 6)]) AS mavg
          FROM orders""",
     "yql_sql_window_over_session" ->
       """WITH b AS (SELECT user_id, event_id, ts,
