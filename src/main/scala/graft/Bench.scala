@@ -47,6 +47,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    // scale-aware AQE headroom: fan-out follows the corpus size
+    GraftSession.tuneShuffleFor(spark, sfDir)
     // Warm the session: parquet footers, filesystem metadata, codegen
     // infrastructure — so the first timed query isn't charged for
     // JVM/session cold start.

@@ -493,38 +493,86 @@ object QLFunctions {
         "yson_serializebinary", "yson_serializepretty"))
       reg(n)(es => graft.sources.Yson.JsonToYsonText(es.head))
     reg("yson_serializejson")(es => es.head)
-    reg("yson_converttoint64")(es => ansiCast(ysonRoot(es), LongType))
-    reg("yson_converttouint64")(es => ParseUnsigned(ysonRoot(es)))
-    reg("yson_converttodouble")(es => ansiCast(ysonRoot(es), DoubleType))
-    reg("yson_converttobool")(es => ansiCast(ysonRoot(es), BooleanType))
-    reg("yson_converttostring")(es => ysonRoot(es))
+    // Yson::Options (yson2_udf.cpp TOptions): the parser lowers the
+    // named-bool call to an opaque token literal ('ysonopts:aXsX');
+    // every convert/lookup lowering sniffs a trailing token and
+    // dispatches its (Strict, AutoConvert) mode. No-options call sites
+    // keep the engine's original lowering bit-for-bit.
+    def ysonOptsOf(es: Seq[Expression]): Option[(Boolean, Boolean)] =
+      es.drop(1).collectFirst {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+            if s != null && s.toString.startsWith("ysonopts:") =>
+          val t = s.toString
+          (t.contains("s1"), t.contains("a1")) // (strict, autoConvert)
+      }
+    def ysonModeName(es: Seq[Expression]): String = ysonOptsOf(es) match {
+      case None => "legacy"
+      case Some((_, true)) => "auto" // AutoConvert beats Strict per table
+      case Some((true, _)) => "strict"
+      case Some(_) => "lenient"
+    }
+    def scalarConv(target: String, legacy: Seq[Expression] => Expression)
+        (es: Seq[Expression]): Expression = ysonOptsOf(es) match {
+      case None => legacy(es)
+      case Some((strict, auto)) =>
+        graft.sources.Yson.YsonConvertScalar(es.head, target, strict, auto)
+    }
+    reg("yson_converttoint64")(
+      scalarConv("int64", es => ansiCast(ysonRoot(es), LongType)))
+    reg("yson_converttouint64")(
+      scalarConv("uint64", es => ParseUnsigned(ysonRoot(es))))
+    reg("yson_converttodouble")(
+      scalarConv("double", es => ansiCast(ysonRoot(es), DoubleType)))
+    reg("yson_converttobool")(
+      scalarConv("bool", es => ansiCast(ysonRoot(es), BooleanType)))
+    reg("yson_converttostring")(
+      scalarConv("string", es => ysonRoot(es)))
     // Lookup takes a bare dict KEY (docs #ysonlookup) — it becomes a
     // one-segment ypath
     def keyed(es: Seq[Expression]): Seq[Expression] =
       Seq(es(0), Concat(Seq(Literal(
         org.apache.spark.unsafe.types.UTF8String.fromString("/"),
         StringType), es(1))))
+    // Lookup/YPath typed forms take an optional Options 3rd argument
+    // (yson2_udf.cpp LookupImpl/YPathImpl): the mode applies to the
+    // extracted fragment's scalar conversion.
+    def lookupConv(target: String, legacy: Seq[Expression] => Expression,
+        path: Seq[Expression] => Seq[Expression])
+        (es: Seq[Expression]): Expression = ysonOptsOf(es) match {
+      case None => legacy(es)
+      case Some((strict, auto)) => graft.sources.Yson.YsonConvertScalar(
+        jsonGetAny(path(es)), target, strict, auto)
+    }
     reg("yson_lookup")(es => jsonGetAny(keyed(es)))
-    reg("yson_lookupint64")(es => tryCast(jsonGet(keyed(es)), LongType))
-    reg("yson_lookupuint64")(es => u64Carrier(jsonGet(keyed(es))))
-    reg("yson_lookupdouble")(es => tryCast(jsonGet(keyed(es)), DoubleType))
-    reg("yson_lookupbool")(es => tryCast(jsonGet(keyed(es)), BooleanType))
-    reg("yson_lookupstring")(es => jsonGet(keyed(es)))
+    reg("yson_lookupint64")(lookupConv("int64",
+      es => tryCast(jsonGet(keyed(es)), LongType), keyed))
+    reg("yson_lookupuint64")(lookupConv("uint64",
+      es => u64Carrier(jsonGet(keyed(es))), keyed))
+    reg("yson_lookupdouble")(lookupConv("double",
+      es => tryCast(jsonGet(keyed(es)), DoubleType), keyed))
+    reg("yson_lookupbool")(lookupConv("bool",
+      es => tryCast(jsonGet(keyed(es)), BooleanType), keyed))
+    reg("yson_lookupstring")(lookupConv("string",
+      es => jsonGet(keyed(es)), keyed))
     reg("yson_ypath")(jsonGetAny)
-    reg("yson_ypathint64")(es => tryCast(jsonGet(es), LongType))
-    reg("yson_ypathuint64")(es => u64Carrier(jsonGet(es)))
-    reg("yson_ypathdouble")(es => tryCast(jsonGet(es), DoubleType))
-    reg("yson_ypathbool")(es => tryCast(jsonGet(es), BooleanType))
-    reg("yson_ypathstring")(jsonGet)
+    reg("yson_ypathint64")(lookupConv("int64",
+      es => tryCast(jsonGet(es), LongType), _.take(2)))
+    reg("yson_ypathuint64")(lookupConv("uint64",
+      es => u64Carrier(jsonGet(es)), _.take(2)))
+    reg("yson_ypathdouble")(lookupConv("double",
+      es => tryCast(jsonGet(es), DoubleType), _.take(2)))
+    reg("yson_ypathbool")(lookupConv("bool",
+      es => tryCast(jsonGet(es), BooleanType), _.take(2)))
+    reg("yson_ypathstring")(lookupConv("string", jsonGet, _.take(2)))
     // ConvertTo*List / ConvertTo*Dict family + Attributes
     // (yson2 udf; typed element extraction with the strict default)
     import graft.sources.Yson.YsonTypedExpr
     for (kind <- Seq("any", "string", "int64", "uint64", "double", "bool")) {
       val prefix = if (kind == "any") "" else kind
       reg(s"yson_convertto${prefix}list")(es =>
-        YsonTypedExpr("list", kind, es.take(1)))
+        YsonTypedExpr("list", kind, es.take(1), ysonModeName(es)))
       reg(s"yson_convertto${prefix}dict")(es =>
-        YsonTypedExpr("dict", kind, es.take(1)))
+        YsonTypedExpr("dict", kind, es.take(1), ysonModeName(es)))
     }
     reg("yson_lookuplist")(es =>
       YsonTypedExpr("list", "any", Seq(jsonGetAny(keyed(es)))))
@@ -538,9 +586,12 @@ object QLFunctions {
     reg("yson_withattributes")(es =>
       YsonTypedExpr("withattributes", "any", es))
     reg("yson_parsejsondecodeutf8")(es => es.head)
-    reg("yson_options")(_ => throw new IllegalArgumentException(
-      "Yson::Options (AutoConvert/Strict resource) is not bound — this " +
-        "engine runs the reference's strict default; pass no options"))
+    // Yson::Options itself: the parser sugar already folded the named
+    // bools into the token literal — pass it through so the enclosing
+    // convert/lookup lowering can sniff it.
+    reg("yson_options")(es => es.headOption.getOrElse(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ysonopts:a0s0"),
+      StringType)))
     reg("yson_contains")(es => IsNotNull(jsonGetAny(keyed(es))))
     reg("yson_getlength")(ysonLen)
     reg("yson_equals")(es =>

@@ -76,30 +76,49 @@ object UnicodeOps {
   def isHex(s: String): Boolean = s.nonEmpty && s.forall(c =>
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))
 
-  /** Bracket unicode-set membership (docs IsUnicodeSet): every
-    * codepoint of `s` is in the set. Supports `[chars]`, ranges `a-b`
-    * and negation `[^...]` — the documented literal-set forms; property
-    * classes (\p{...}) raise. */
+  /** Unicode-set membership (docs IsUnicodeSet; reference:
+    * unicode_base_udf.h:632 TUnicodeSetMatcher over an ICU-style
+    * UnicodeSet): every codepoint of `s` is in the set. Supports the
+    * literal forms (`[chars]`, ranges `a-b`, negation `[^...]`) AND
+    * property classes — `\p{L}`/`\P{N}` (Java's Unicode property
+    * engine carries the same UCD categories/scripts/blocks ICU reads)
+    * plus the ICU POSIX spelling `[:Alpha:]`, translated to `\p{..}`.
+    * Compiled per distinct set text (per-thread cache), matched
+    * codepoint-at-a-time so supplementary planes behave. */
   def isUnicodeSet(s: String, set: String): Boolean = {
     require(set.length >= 2 && set.head == '[' && set.last == ']',
       s"Unicode::IsUnicodeSet: expected a [..] set, got: $set")
-    var body = set.substring(1, set.length - 1)
-    require(!body.contains("\\p") && !body.contains("\\P"),
-      "Unicode::IsUnicodeSet: property classes (\\p{...}) are not bound" +
-        " — use literal sets [chars], ranges and [^...] negation")
-    val negate = body.startsWith("^")
-    if (negate) body = body.substring(1)
-    val bcp = cps(body)
-    val members = scala.collection.mutable.Set.empty[Int]
-    var i = 0
-    while (i < bcp.length) {
-      if (i + 2 < bcp.length && bcp(i + 1) == '-') {
-        var c = bcp(i)
-        while (c <= bcp(i + 2)) { members += c; c += 1 }
-        i += 3
-      } else { members += bcp(i); i += 1 }
+    val p = compiledSet(set)
+    cps(s).forall { c =>
+      p.matcher(new String(Character.toChars(c))).matches()
     }
-    cps(s).forall(c => members.contains(c) != negate)
+  }
+
+  private val setCache =
+    new ThreadLocal[java.util.HashMap[String, java.util.regex.Pattern]] {
+      override def initialValue() =
+        new java.util.HashMap[String, java.util.regex.Pattern]()
+    }
+
+  private def compiledSet(set: String): java.util.regex.Pattern = {
+    val cache = setCache.get()
+    val hit = cache.get(set)
+    if (hit != null) return hit
+    if (cache.size > 256) cache.clear()
+    // ICU's POSIX-style [:Name:] inner sets → Java \p{Name}
+    val javaSet = "\\[:([A-Za-z][A-Za-z0-9_= ]*):\\]".r
+      .replaceAllIn(set, m => java.util.regex.Matcher
+        .quoteReplacement(s"\\p{${m.group(1)}}"))
+    val p =
+      try java.util.regex.Pattern.compile(javaSet)
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"Unicode::IsUnicodeSet: unsupported set syntax: $set " +
+              s"(${e.getDescription})")
+      }
+    cache.put(set, p)
+    p
   }
 
   /** Codepoint index of the LAST occurrence of sub at or before pos

@@ -126,8 +126,42 @@ object YqlSql {
       }
     }
     tupleAccess(inlineLambdas(aggSpellings(lowerAggregateBy(
-      lowerContainerAggregate(structSugar(containerLiterals(
-        coalesceOp(typeArgSugar(out.toString)))))))))
+      lowerContainerAggregate(structSugar(ysonOptionsSugar(containerLiterals(
+        coalesceOp(typeArgSugar(out.toString))))))))))
+  }
+
+  /** `Yson::Options(true AS AutoConvert, false AS Strict)` → the
+    * opaque token literal `'ysonopts:aXsX'` (yson2_udf.cpp:56-99
+    * TOptions: two OPTIONAL named bools, positionally AutoConvert then
+    * Strict; an unset argument is false). The bools are literals in
+    * every reference spelling, so the resource folds at parse time and
+    * the enclosing ConvertTo / Lookup lowering dispatches statically —
+    * no runtime resource value exists in the plan. */
+  private def ysonOptionsSugar(sql: String): String = {
+    val re = "(?i)(?<![A-Za-z0-9_])yson_options\\s*\\(".r
+    val m = re.findAllMatchIn(YqlScript.maskQuotes(sql))
+      .find(mm => !sql.substring(mm.end).trim.startsWith("'ysonopts:"))
+      .getOrElse(return sql)
+    val close = YqlScript.matchParen(sql, m.end - 1)
+    val args = YqlScript.splitTopLevel(sql.substring(m.end, close))
+      .map(_.trim).filter(_.nonEmpty)
+    var auto = false; var strict = false
+    val named = "(?i)^(TRUE|FALSE|NULL)\\s+AS\\s+(AutoConvert|Strict)$".r
+    val bare = "(?i)^(TRUE|FALSE|NULL)$".r
+    def b(v: String) = v.equalsIgnoreCase("true")
+    args.zipWithIndex.foreach { case (a, idx) =>
+      a match {
+        case named(v, nm) =>
+          if (nm.equalsIgnoreCase("autoconvert")) auto = b(v) else strict = b(v)
+        case bare(v) => if (idx == 0) auto = b(v) else strict = b(v)
+        case other => throw new IllegalArgumentException(
+          "Yson::Options expects literal bools (optionally `AS " +
+            s"AutoConvert`/`AS Strict`), got: ${other.take(40)}")
+      }
+    }
+    val tok = s"'ysonopts:a${if (auto) 1 else 0}s${if (strict) 1 else 0}'"
+    ysonOptionsSugar(sql.substring(0, m.start) + s"yson_options($tok)" +
+      sql.substring(close + 1))
   }
 
   /** YQL's `a ?? b` coalesce operator (basic.md#coalesce; grammar

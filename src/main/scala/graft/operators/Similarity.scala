@@ -244,13 +244,24 @@ object Similarity {
     * sub-linear scan at extreme scale. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       m: Int = 8, ksub: Int = 16, refine: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueryBatch: Int = 4096): DataFrame = {
     val books = trainPq(corpus, dim, m, ksub)
     val encoded = pqEncode(corpus, books, idCol, vecCol)
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     // per-query ADC tables: [m][ksub] inner products, driver-computed
-    // from the (small) query side, shipped in the scoring closure
-    val tables: Map[Long, Array[Array[Double]]] = qRows.collect().map { r =>
+    // from the (small) query side, shipped in the scoring closure.
+    // The query side is BY CONTRACT a bounded batch (it broadcasts and
+    // its ADC tables ride in a closure): the collect is capped at
+    // `maxQueryBatch` (default 4096 ≈ m·ksub·8B·4096 = 4 MB of tables)
+    // and overflow fails loudly — chunk the query set and union the
+    // per-chunk results to go wider, the corpus side stays streaming.
+    val collected = qRows.limit(maxQueryBatch + 1).collect()
+    require(collected.length <= maxQueryBatch,
+      s"pqTopK: query batch exceeds maxQueryBatch=$maxQueryBatch — " +
+        "split the query set into chunks and union the results " +
+        "(the corpus side is unbounded; only queries must be a batch)")
+    val tables: Map[Long, Array[Array[Double]]] = collected.map { r =>
       val q = normalizeVec(r.getSeq[Float](1))
       r.getLong(0) -> Array.tabulate(books.m)(j =>
         Array.tabulate(books.ksub) { c =>

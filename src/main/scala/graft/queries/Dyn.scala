@@ -147,6 +147,15 @@ object Dyn {
       DynTable.readAsOf(l, Seq("k"), asOf)
     }),
 
+    // Round-10: pinned seed of the dynamic-table differential fuzz
+    // domain (graft.ql.DynFuzz; FuzzSweep runs `fz_dyn` at fresh
+    // seeds) — a seeded MVCC write/delete log pushed through
+    // readLatest / readAsOf / per-column partial-write merge /
+    // aggregate folds / compaction, each checksummed against a
+    // first-principles DuckDB replay.
+    "dyn_fuzz_log" -> ((s, d) =>
+      graft.ql.DynFuzz.run(s, t(s, d, "orders"), seed = 47L)),
+
     // Point lookup of a key set (MultiLookupRows,
     // dynamic_table_client.h:104-108): key IN-predicate prunes the scan
     // before the merge.
@@ -519,6 +528,8 @@ object Dyn {
               CASE WHEN o_orderkey >= 10000 THEN 1 ELSE 0 END) AS tablet_index
            FROM orders) t
          GROUP BY tablet_index""",
+
+    "dyn_fuzz_log" -> graft.ql.DynFuzz.oracleSql(47L),
 
     // compaction is invisible: the oracle is the full-history merge
     "dyn_compact" ->

@@ -1015,6 +1015,10 @@ object Yql {
           |  Unicode::IsUnicodeSet(o_orderstatus, '[FOP]') AS inset,
           |  Unicode::IsUnicodeSet(o_orderpriority, '[A-Z0-9 -]') AS inset2,
           |  Unicode::IsUnicodeSet(o_orderstatus, '[^FOP]') AS inset3,
+          |  Unicode::IsUnicodeSet(o_orderpriority, '[' || chr(92)
+          |    || 'p{Lu}' || chr(92) || 'p{N} -]') AS inset_prop,
+          |  Unicode::IsUnicodeSet(o_orderstatus, '[' || chr(92)
+          |    || 'p{N}]') AS inset_prop2,
           |  Unicode::RFind(o_orderpriority, 'E') AS rf,
           |  Unicode::ReplaceAll(o_orderpriority, 'E', 'e') AS rall,
           |  Unicode::ReplaceFirst(o_orderpriority, 'E', 'e') AS rfirst,
@@ -1140,6 +1144,64 @@ object Yql {
           |  Yson::ConvertToInt64List(props) IS NULL AS not_list,
           |  to_json(Yson::ConvertToList(Yson::ParseJsonDecodeUtf8('[3,4]')))
           |    AS pj
+          |FROM events WHERE event_id < 2000""".stripMargin)
+    }),
+
+    // Round-10: Yson::Options (yson2_udf.cpp TOptions + dom/convert.h)
+    // — the AutoConvert and Strict=false modes over scalar converts,
+    // typed list/dict conversions, and lookups. Every branch of the
+    // lenient/auto tables is pinned: mismatches NULL out instead of
+    // raising (lenient), or coerce (auto: numbers↔bool, parse-or-zero
+    // strings, zero-valued entities/containers, dropped lenient list
+    // elements).
+    "yql_fn_yson_options" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events")
+      graft.functions.YqlSql.sql(s,
+        """$lax = Yson::Options(false AS Strict);
+          |$ac = Yson::Options(true AS AutoConvert);
+          |SELECT event_id,
+          |  Yson::ConvertToInt64('"x"', $lax) IS NULL AS li_null,
+          |  Yson::ConvertToInt64('' || CAST(event_id % 7 AS STRING),
+          |    $lax) AS li_ok,
+          |  Yson::ConvertToInt64('3.5', $lax) IS NULL AS li_dbl,
+          |  Yson::ConvertToInt64('"12"', $ac) AS ai_parse,
+          |  Yson::ConvertToInt64('"junk"', $ac) AS ai_junk,
+          |  Yson::ConvertToInt64('3.9', $ac) AS ai_trunc,
+          |  Yson::ConvertToInt64('true', $ac) AS ai_bool,
+          |  Yson::ConvertToInt64('[1,2]', $ac) AS ai_list,
+          |  Yson::ConvertToInt64('null', $ac) AS ai_ent,
+          |  Yson::ConvertToDouble('"x"', $lax) IS NULL AS ld_null,
+          |  Yson::ConvertToDouble('' || CAST(event_id % 7 AS STRING),
+          |    $lax) AS ld_int,
+          |  Yson::ConvertToDouble('"2.5"', $ac) AS ad_parse,
+          |  Yson::ConvertToDouble('false', $ac) AS ad_bool,
+          |  Yson::ConvertToBool('5', $lax) IS NULL AS lb_null,
+          |  Yson::ConvertToBool('' || CAST(event_id % 7 AS STRING),
+          |    $ac) AS ab_num,
+          |  Yson::ConvertToBool('"yes"', $ac) AS ab_str,
+          |  Yson::ConvertToBool('""', $ac) AS ab_empty,
+          |  Yson::ConvertToBool('[]', $ac) AS ab_elist,
+          |  Yson::ConvertToString('5', $lax) IS NULL AS ls_null,
+          |  Yson::ConvertToString('' || CAST(event_id % 7 AS STRING),
+          |    $ac) AS as_num,
+          |  Yson::ConvertToString('true', $ac) AS as_bool,
+          |  Yson::ConvertToString('{"a":1}', $ac) AS as_dict,
+          |  to_json(Yson::ConvertToInt64List('[1,"x",2.5,'
+          |    || CAST(event_id % 7 AS STRING) || ',null]', $lax))
+          |    AS ll_drop,
+          |  to_json(Yson::ConvertToInt64List('[1,"12",2.5,true,null]',
+          |    $ac)) AS la_coerce,
+          |  to_json(Yson::ConvertToInt64List('"notalist"', $lax))
+          |    AS ll_empty,
+          |  to_json(Yson::ConvertToStringList('["a",7,null]', $lax))
+          |    AS ls_drop,
+          |  element_at(Yson::ConvertToInt64Dict(
+          |    '{"g":"9","b":true}', $ac), 'g') AS da_parse,
+          |  element_at(Yson::ConvertToInt64Dict(
+          |    '{"g":"9","k":3}', $lax), 'k') AS dl_keep,
+          |  Yson::LookupInt64(props, 'k', $lax) AS lk_lax,
+          |  Yson::LookupInt64('{"k":"7"}', 'k', $ac) AS lk_auto,
+          |  Yson::YPathInt64('{"m":{"v":"8"}}', '/m/v', $ac) AS yp_auto
           |FROM events WHERE event_id < 2000""".stripMargin)
     }),
 
@@ -2489,6 +2551,40 @@ object Yql {
            TRUE AS not_list,
            to_json(['3', '4']) AS pj
          FROM events WHERE event_id < 2000""",
+    "yql_fn_yson_options" ->
+      """SELECT event_id,
+           TRUE AS li_null,
+           event_id % 7 AS li_ok,
+           TRUE AS li_dbl,
+           CAST(12 AS BIGINT) AS ai_parse,
+           CAST(0 AS BIGINT) AS ai_junk,
+           CAST(3 AS BIGINT) AS ai_trunc,
+           CAST(1 AS BIGINT) AS ai_bool,
+           CAST(0 AS BIGINT) AS ai_list,
+           CAST(0 AS BIGINT) AS ai_ent,
+           TRUE AS ld_null,
+           CAST(event_id % 7 AS DOUBLE) AS ld_int,
+           CAST(2.5 AS DOUBLE) AS ad_parse,
+           CAST(0.0 AS DOUBLE) AS ad_bool,
+           TRUE AS lb_null,
+           (event_id % 7) <> 0 AS ab_num,
+           TRUE AS ab_str,
+           FALSE AS ab_empty,
+           FALSE AS ab_elist,
+           TRUE AS ls_null,
+           CAST(event_id % 7 AS VARCHAR) AS as_num,
+           'true' AS as_bool,
+           '' AS as_dict,
+           to_json([1, event_id % 7]) AS ll_drop,
+           to_json([1, 12, 2, 1, 0]) AS la_coerce,
+           to_json(CAST([] AS BIGINT[])) AS ll_empty,
+           to_json(['a']) AS ls_drop,
+           CAST(9 AS BIGINT) AS da_parse,
+           CAST(3 AS BIGINT) AS dl_keep,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS lk_lax,
+           CAST(7 AS BIGINT) AS lk_auto,
+           CAST(8 AS BIGINT) AS yp_auto
+         FROM events WHERE event_id < 2000""",
     "yql_fn_digest_tail" ->
       """SELECT o_orderkey,
            CASE o_orderpriority
@@ -2617,6 +2713,8 @@ object Yql {
            TRUE AS inset,
            TRUE AS inset2,
            FALSE AS inset3,
+           TRUE AS inset_prop,
+           FALSE AS inset_prop2,
            CAST(CASE WHEN contains(o_orderpriority, 'E')
              THEN length(o_orderpriority)
                - strpos(reverse(o_orderpriority), 'E')

@@ -856,6 +856,217 @@ object Yson {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
   }
 
+  // ——— Yson::Options modes (yson2_udf.cpp:33-99 TOptions +
+  // minikql/dom/convert.h conversion tables). A mode is one of:
+  //   legacy  — the engine's pre-Options posture (kept verbatim so the
+  //             no-options call sites keep their proven semantics)
+  //   strict  — type mismatch fails the query (convert.h `Strict`)
+  //   lenient — Strict=false: mismatch → NULL scalar; list/dict
+  //             conversions DROP unconvertible elements and a
+  //             non-container input becomes an EMPTY container
+  //             (ConvertToListImpl yson2_udf.cpp:203-252)
+  //   auto    — AutoConvert=true: scalars coerce per convert.h
+  //             (numbers↔bool, string parse-or-zero, entity/containers
+  //             → zero values); checked BEFORE Strict in every table.
+
+  private def convFail(what: String, node: com.fasterxml.jackson.databind.JsonNode): Nothing =
+    throw new IllegalArgumentException(
+      s"Yson::ConvertTo: cannot parse $what value from " +
+        (if (node == null) "malformed input" else node.toString.take(60)))
+
+  /** AutoConvert coercion table (convert.h, the `AutoConvert` arms). */
+  private def autoOf(node: com.fasterxml.jackson.databind.JsonNode,
+      target: String): Any = target match {
+    case "bool" =>
+      if (node.isNull) false
+      else if (node.isNumber) node.asDouble != 0.0
+      else if (node.isArray || node.isObject) node.size > 0
+      else node.asText.nonEmpty // string not "true"/"false"
+    case "int64" | "uint64" =>
+      if (node.isNull || node.isArray || node.isObject) 0L
+      else if (node.isBoolean) { if (node.asBoolean) 1L else 0L }
+      else if (node.isTextual) {
+        // FromStringWithDefault(str, 0): full integer parse or zero
+        val t = node.asText
+        try {
+          if (target == "uint64") java.lang.Long.parseUnsignedLong(t)
+          else java.lang.Long.parseLong(t)
+        } catch { case _: NumberFormatException => 0L }
+      } else if (node.isIntegralNumber) node.bigIntegerValue.longValue // wrap
+      else node.asDouble.toLong // C-cast truncation toward zero
+    case "double" =>
+      if (node.isNull || node.isArray || node.isObject) 0.0
+      else if (node.isBoolean) { if (node.asBoolean) 1.0 else 0.0 }
+      else if (node.isTextual) {
+        try java.lang.Double.parseDouble(node.asText)
+        catch { case _: NumberFormatException => 0.0 }
+      } else node.asDouble
+    case _ => // string
+      if (node.isNull || node.isArray || node.isObject)
+        UTF8String.fromString("")
+      else UTF8String.fromString(node.asText) // bool → true/false, numbers → decimal text
+  }
+
+  /** One node → target scalar under (strict, auto) — the four
+    * ConvertTo{Bool,Integral,Float,String} tables of convert.h.
+    * Returns null for a lenient mismatch. */
+  private[graft] def convertNode(node: com.fasterxml.jackson.databind.JsonNode,
+      target: String, strict: Boolean, auto: Boolean): Any = {
+    if (node == null || node.isMissingNode) return null
+    // attributed carrier {"$attributes":..,"$value":..} = ENodeType::Attr
+    if (node.isObject && node.has("$value") && node.has("$attributes"))
+      return convertNode(node.get("$value"), target, strict, auto)
+    def miss(what: String): Any =
+      if (auto) autoOf(node, target)
+      else if (strict) convFail(what, node)
+      else null
+    target match {
+      case "bool" =>
+        if (node.isBoolean) node.asBoolean
+        else if (node.isTextual) node.asText match {
+          case "true" => true
+          case "false" => false
+          case _ => miss("boolean")
+        }
+        else miss("boolean")
+      case "int64" =>
+        if (!node.isIntegralNumber) miss("integer")
+        else if (auto) node.bigIntegerValue.longValue // wrap-through
+        else {
+          val big = node.bigIntegerValue
+          if (big.bitLength <= 63) big.longValue
+          else if (strict) convFail("integer", node) else null
+        }
+      case "uint64" =>
+        if (!node.isIntegralNumber) miss("integer")
+        else if (auto) node.bigIntegerValue.longValue
+        else {
+          val big = node.bigIntegerValue
+          if (big.signum >= 0 && big.bitLength <= 64) big.longValue
+          else if (strict) convFail("integer", node) else null
+        }
+      case "double" =>
+        // int64/uint64/double ALWAYS convert (ConvertToFloat)
+        if (node.isNumber) node.asDouble else miss("floating point")
+      case _ => // string
+        if (node.isTextual) UTF8String.fromString(node.asText)
+        else miss("string")
+    }
+  }
+
+  /** Root-scalar conversion with an explicit Options mode. */
+  def convertScalar(doc: UTF8String, target: String,
+      strict: Boolean, auto: Boolean): Any = {
+    if (doc == null) return null
+    val node =
+      try rawMapper.readTree(doc.toString)
+      catch { case scala.util.control.NonFatal(_) => return null }
+    convertNode(node, target, strict, auto)
+  }
+
+  /** Yson::ConvertToX(node, Yson::Options(...)) — the scalar family
+    * with an explicit mode (the no-options sites keep their original
+    * ansi-cast lowering untouched). */
+  case class YsonConvertScalar(child: Expression, target: String,
+      strict: Boolean, autoConvert: Boolean)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = target match {
+      case "int64" | "uint64" => LongType
+      case "double" => DoubleType
+      case "bool" => BooleanType
+      case _ => StringType
+    }
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      if (child.dataType == StringType) TypeCheckSuccess
+      else TypeCheckFailure("Yson::ConvertTo: expects an Any argument")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) null
+      else convertScalar(v.asInstanceOf[UTF8String], target, strict, autoConvert)
+    }
+    override protected def withNewChildInternal(c: Expression): YsonConvertScalar =
+      copy(child = c)
+  }
+
+  /** Mode-aware list conversion (ConvertToListImpl): non-list input is
+    * an error under strict and an EMPTY list otherwise; lenient DROPS
+    * unconvertible elements; auto coerces every element. */
+  def jsonArrayTypedMode(doc: UTF8String, kind: String, mode: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (mode == "legacy") return jsonArrayTyped(doc, kind)
+    if (doc == null) return null
+    var node =
+      try rawMapper.readTree(doc.toString)
+      catch { case scala.util.control.NonFatal(_) => return null }
+    if (node != null && node.isObject && node.has("$value") &&
+        node.has("$attributes")) node = node.get("$value")
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    if (node == null || !node.isArray) {
+      if (mode == "strict") convFail("list", node) else return empty
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < node.size) {
+      val el = node.get(i)
+      val v = kind match {
+        case "any" => if (el.isNull) null else UTF8String.fromString(el.toString)
+        case k => convertNode(el, k,
+          strict = mode == "strict", auto = mode == "auto")
+      }
+      // lenient: failed conversions (null from a non-entity, or an
+      // entity itself — convert.h's `{}` arm) are dropped
+      if (mode == "lenient") { if (v != null) out += v }
+      else out += v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Mode-aware dict conversion (ConvertToDictImpl): same contract as
+    * [[jsonArrayTypedMode]] over values; lenient drops failed pairs. */
+  def jsonDictTypedMode(doc: UTF8String, kind: String, mode: String)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    if (mode == "legacy") return jsonDictTyped(doc, kind)
+    if (doc == null) return null
+    var node =
+      try rawMapper.readTree(doc.toString)
+      catch { case scala.util.control.NonFatal(_) => return null }
+    if (node != null && node.isObject && node.has("$value") &&
+        node.has("$attributes")) node = node.get("$value")
+    def emptyMap = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0)),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0)))
+    if (node == null || !node.isObject) {
+      if (mode == "strict") convFail("dict", node) else return emptyMap
+    }
+    val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val v = kind match {
+        case "any" =>
+          if (e.getValue.isNull) null
+          else UTF8String.fromString(e.getValue.toString)
+        case k => convertNode(e.getValue, k,
+          strict = mode == "strict", auto = mode == "auto")
+      }
+      if (mode != "lenient" || v != null) {
+        ks += UTF8String.fromString(e.getKey); vs += v
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ks.toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vs.toArray))
+  }
+
   /** Yson::Attributes — the node's attribute dict as an Any carrier
     * (`{}` when the node carries none). */
   def jsonAttributes(doc: UTF8String): UTF8String = {
@@ -885,8 +1096,11 @@ object Yson {
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
-  /** Dispatch for the typed list/dict conversions + attribute pair. */
-  case class YsonTypedExpr(fn: String, kind: String, children: Seq[Expression])
+  /** Dispatch for the typed list/dict conversions + attribute pair.
+    * `mode` ∈ legacy|strict|lenient|auto (Yson::Options; "legacy" is
+    * the pre-Options engine default, kept for no-options call sites). */
+  case class YsonTypedExpr(fn: String, kind: String, children: Seq[Expression],
+      mode: String = "legacy")
       extends Expression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
     import org.apache.spark.sql.types._
@@ -915,8 +1129,8 @@ object Yson {
       if (v == null) return null
       val doc = v.asInstanceOf[UTF8String]
       fn match {
-        case "list" => jsonArrayTyped(doc, kind)
-        case "dict" => jsonDictTyped(doc, kind)
+        case "list" => jsonArrayTypedMode(doc, kind, mode)
+        case "dict" => jsonDictTypedMode(doc, kind, mode)
         case "attributes" => jsonAttributes(doc)
         case "withattributes" =>
           val a = children(1).eval(input)

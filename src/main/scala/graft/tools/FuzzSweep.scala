@@ -169,6 +169,9 @@ object FuzzSweep {
           .reduce(_ unionByName _)
       }, graft.ql.ExprFuzz.hopSessionCases(5, seed)
         .map(p => s"(${p._2})").mkString("\nUNION ALL\n"))
+      queries(s"fz_dyn_$seed") = (() =>
+        graft.ql.DynFuzz.run(spark, orders, seed),
+        graft.ql.DynFuzz.oracleSql(seed))
       queries(s"fz_paths_$seed") = (() => {
         graft.queries.Yql.tablePathFixture(spark, sfDir)
         val dir = graft.queries.Yql.tablePathDir(sfDir)

@@ -626,6 +626,13 @@ class LlmSpec extends SparkSpec {
     val b1 = Similarity.trainPq(emb, dim = 64, m = 16, ksub = 32)
     val b2 = Similarity.trainPq(emb.repartition(7), dim = 64, m = 16, ksub = 32)
     assert(b1.cents.flatten.flatten.toSeq == b2.cents.flatten.flatten.toSeq)
+    // the driver-side ADC-table collect is CAPPED: an oversized query
+    // batch fails loudly instead of materializing unbounded state
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, emb.filter($"vec_id" < 10), k = 2, dim = 64,
+        m = 16, ksub = 32, maxQueryBatch = 4)
+    }
+    assert(err.getMessage.contains("maxQueryBatch"))
   }
 
   test("learnBpe: merge sequence matches a single-node BPE reference, " +

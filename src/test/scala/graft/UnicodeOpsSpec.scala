@@ -41,10 +41,38 @@ class UnicodeOpsSpec extends AnyFunSuite {
     assert(!UnicodeOps.isUnicodeSet("abc!", "[a-z]"))
     assert(UnicodeOps.isUnicodeSet("xyz", "[^0-9]"))
     intercept[IllegalArgumentException] {
-      UnicodeOps.isUnicodeSet("x", "[\\p{L}]")
-    }
-    intercept[IllegalArgumentException] {
       UnicodeOps.isUnicodeSet("x", "no-brackets")
+    }
+  }
+
+  test("isUnicodeSet: property classes (unicode_base_udf.h:632)") {
+    // general categories
+    assert(UnicodeOps.isUnicodeSet("Кongreß", "[\\p{L}]"))
+    assert(!UnicodeOps.isUnicodeSet("a1", "[\\p{L}]"))
+    assert(UnicodeOps.isUnicodeSet("a1", "[\\p{L}\\p{N}]"))
+    assert(UnicodeOps.isUnicodeSet("١٢٣", "[\\p{N}]")) // Arabic-Indic digits
+    assert(UnicodeOps.isUnicodeSet("ABC", "[\\p{Lu}]"))
+    assert(!UnicodeOps.isUnicodeSet("AbC", "[\\p{Lu}]"))
+    // complement property
+    assert(UnicodeOps.isUnicodeSet("!?.", "[\\P{L}]"))
+    // negated set of a property
+    assert(UnicodeOps.isUnicodeSet("123", "[^\\p{L}]"))
+    // scripts
+    assert(UnicodeOps.isUnicodeSet("привет", "[\\p{IsCyrillic}]"))
+    assert(!UnicodeOps.isUnicodeSet("hello", "[\\p{IsCyrillic}]"))
+    // mixed literal + property
+    assert(UnicodeOps.isUnicodeSet("ab-cd", "[\\p{Ll}\\-]"))
+    // ICU POSIX spelling translates
+    assert(UnicodeOps.isUnicodeSet("abc", "[[:Alpha:]]"))
+    assert(!UnicodeOps.isUnicodeSet("ab1", "[[:Alpha:]]"))
+    // supplementary plane: mathematical alphanumerics are \p{L}
+    assert(UnicodeOps.isUnicodeSet(
+      new String(Character.toChars(0x1d538)), "[\\p{L}]"))
+    // empty string is vacuously inside any set
+    assert(UnicodeOps.isUnicodeSet("", "[\\p{L}]"))
+    // garbage property still raises a named error
+    intercept[IllegalArgumentException] {
+      UnicodeOps.isUnicodeSet("x", "[\\p{NoSuchProp}]")
     }
   }
 

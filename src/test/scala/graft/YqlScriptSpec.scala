@@ -1372,6 +1372,64 @@ class YqlScriptSpec extends SparkSpec {
     }
   }
 
+  test("Yson::Options: lenient NULLs, AutoConvert coercions, strict " +
+      "raise, uint64 wrap (yson2_udf.cpp TOptions + dom/convert.h)") {
+    val r = YqlSql.sql(spark,
+      """$lax = Yson::Options(false AS Strict);
+        |$ac = Yson::Options(true AS AutoConvert);
+        |$strict = Yson::Options(false AS AutoConvert, true AS Strict);
+        |SELECT
+        |  Yson::ConvertToInt64('"7"', $lax) AS l_str,
+        |  Yson::ConvertToInt64('true', $lax) AS l_bool,
+        |  Yson::ConvertToInt64('"7"', $ac) AS a_str,
+        |  Yson::ConvertToUint64('18446744073709551615', $lax) AS u_max,
+        |  Yson::ConvertToInt64('18446744073709551615', $ac) AS i_wrap,
+        |  Yson::ConvertToDouble('5', $lax) AS d_int,
+        |  Yson::ConvertToString('5', $ac) AS s_num,
+        |  Yson::ConvertToString('[1]', $ac) AS s_list,
+        |  Yson::ConvertToBool('"true"', $lax) AS b_txt,
+        |  Yson::ConvertToInt64('5', $strict) AS ok_strict""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getLong(2) == 7L)
+    assert(r.getLong(3) == -1L) // ui64 max in the signed carrier
+    assert(r.getLong(4) == -1L) // AutoConvert wrap-through
+    assert(r.getDouble(5) == 5.0)
+    assert(r.getString(6) == "5" && r.getString(7) == "")
+    assert(r.getBoolean(8))
+    assert(r.getLong(9) == 5L)
+    // Strict=true still fails the query on a real mismatch
+    intercept[Exception] {
+      YqlSql.sql(spark,
+        """$strict = Yson::Options(true AS Strict);
+          |SELECT Yson::ConvertToInt64('"abc"', $strict) AS v""".stripMargin)
+        .collect()
+    }
+    // strict list conversion raises on a NON-LIST input (lenient
+    // yields empty — ConvertToListImpl yson2_udf.cpp:244-249)
+    intercept[Exception] {
+      YqlSql.sql(spark,
+        """$strict = Yson::Options(true AS Strict);
+          |SELECT Yson::ConvertToInt64List('"x"', $strict) AS v""".stripMargin)
+        .collect()
+    }
+    // positional spelling: (AutoConvert, Strict)
+    val p = YqlSql.sql(spark,
+      "SELECT Yson::ConvertToInt64('\"9\"', Yson::Options(true, false)) AS v")
+      .head()
+    assert(p.getLong(0) == 9L)
+    // dict modes: lenient drops failed values, auto coerces them
+    val d = YqlSql.sql(spark,
+      """$lax = Yson::Options(false AS Strict);
+        |$ac = Yson::Options(true AS AutoConvert);
+        |SELECT
+        |  Yson::ConvertToInt64Dict('{"a":1,"b":"x"}', $lax) AS dl,
+        |  Yson::ConvertToInt64Dict('{"a":1,"b":"x"}', $ac) AS da""".stripMargin)
+      .head()
+    assert(d.getMap[String, Long](0) == Map("a" -> 1L))
+    assert(d.getMap[String, Long](1) == Map("a" -> 1L, "b" -> 0L))
+  }
+
   test("module breadth: Math constants/rint/fuzzy, Unicode classify, " +
       "String ascii family") {
     val r = YqlSql.sql(spark,
