@@ -46,11 +46,18 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       selected.map(q).mkString("[", ",", "]"))
     val t0 = System.nanoTime()
+    // GRAFT_VERIFY_TIMES=1: per-query wall seconds on stderr — the
+    // scale-soak decades grep these for the ratio tables in SCALING.md
+    val times = sys.env.contains("GRAFT_VERIFY_TIMES")
     selected.foreach { name =>
       val fn = SparkEntry.queries(name)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val q0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (times) System.err.println(
+          f"[vtime] $name ${(System.nanoTime() - q0) / 1e9}%.3f")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         if (sys.env.contains("GRAFT_VERIFY_STACK")) e.printStackTrace()
       }

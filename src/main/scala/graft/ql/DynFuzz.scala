@@ -26,7 +26,7 @@ object DynFuzz {
   /** Seeded log parameters — small co-prime moduli so keys collide
     * across many versions and tombstones interleave. */
   final case class Params(keyMod: Long, delMod: Long, valMod: Long,
-      cutoff: Long, aggFn: String)
+      cutoff: Long, aggFn: String, maxVersions: Int, stagedRes: Long)
 
   def params(seed: Long): Params = {
     // splitmix-style bit mixing: decorrelate the parameter draws
@@ -45,8 +45,16 @@ object DynFuzz {
       delMod = delMods(((mix(seed + 1) & Long.MaxValue) % 4).toInt),
       valMod = valMods(((mix(seed + 2) & Long.MaxValue) % 3).toInt),
       cutoff = 1L + ((mix(seed + 3) & Long.MaxValue) % 7) * 2048L,
-      aggFn = aggFns(((mix(seed + 4) & Long.MaxValue) % 4).toInt))
+      aggFn = aggFns(((mix(seed + 4) & Long.MaxValue) % 4).toInt),
+      maxVersions = Array(1, 2, 4)(((mix(seed + 5) & Long.MaxValue) % 3).toInt),
+      stagedRes = (mix(seed + 6) & Long.MaxValue) % 3)
   }
+
+  // transaction-case version bounds: the staged batch commits at a ts
+  // strictly above every log version, so the conflict window is empty
+  // by construction and the commit must succeed deterministically
+  private val TxStartTs = 10000000000L
+  private val TxCommitTs = TxStartTs + 1000L
 
   /** The engine-side log: (k, ts, op, v1, v2) + the partial-write mask
     * case adds `written`. ts = o_orderkey is a total version order
@@ -116,7 +124,29 @@ object DynFuzz {
     val c5 = summarize(
       DynTable.readAsOfColumns(logM, Seq("k"), lit(p.cutoff)), 5,
       chk2(col("v1"), col("v2")))
-    Seq(c0, c1, c2, c3, c4, c5).reduce(_ unionByName _)
+    // retention by version count alone (minV=1, ttls neutral): the log
+    // keeps exactly the newest max(1, maxVersions) versions per key —
+    // checksummed at the LOG level, so the deletion rule itself is
+    // pinned, not just the merged read over it
+    val retained = DynTable.compactWithRetention(log0, Seq("k"),
+      minDataVersions = 1, maxDataVersions = p.maxVersions,
+      minDataTtl = 0L, maxDataTtl = Long.MaxValue / 4,
+      now = lit(TxStartTs))
+    val c6 = summarize(retained, 6,
+      col("k") * 1000003L + col("ts") * 7L + col("v1"))
+    // transaction commit with an empty conflict window: one staged
+    // upsert per selected key at TxCommitTs, values derived from the
+    // key so the oracle rebuilds the batch exactly
+    val staged = spark.range(p.keyMod).select(col("id").as("k"))
+      .where(col("k") % 3 === p.stagedRes)
+      .select(col("k"), lit(DynTable.OpUpsert).as("op"),
+        ((col("k") * 5 + seed) % p.valMod).as("v1"),
+        ((col("k") * 11 + seed) % p.valMod).as("v2"))
+    val committed = DynTable.commitTransaction(log0, staged, Seq("k"),
+      lit(TxStartTs), lit(TxCommitTs))
+    val c7 = summarize(DynTable.readLatest(committed, Seq("k")), 7,
+      chk2(col("v1"), col("v2")))
+    Seq(c0, c1, c2, c3, c4, c5, c6, c7).reduce(_ unionByName _)
   }
 
   /** DuckDB replay of every case's contract. */
@@ -190,6 +220,37 @@ object DynFuzz {
          |  HAVING coalesce(max(CASE WHEN l.op = 'upsert' THEN l.ts END), -1)
          |    > coalesce(max(CASE WHEN l.op = 'delete' THEN l.ts END), -1))"""
         .stripMargin
+    // retention: keep the newest max(1, maxVersions) versions per key
+    val keep = math.max(1, p.maxVersions)
+    val ret6 =
+      s"""SELECT CAST(6 AS BIGINT) AS case_id,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(k * 1000003 + ts * 7 + v1), 0) AS BIGINT)
+         |    AS chk
+         |FROM (
+         |  SELECT k, ts, v1,
+         |    row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+         |  FROM lg)
+         |WHERE rn <= $keep""".stripMargin
+    // transaction: the staged batch lands at TxCommitTs, newest for
+    // every staged key — ordinary latest-wins over log ∪ batch
+    val tx7 =
+      s"""SELECT CAST(7 AS BIGINT) AS case_id,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(${sum2("v1", "v2")}), 0) AS BIGINT) AS chk
+         |FROM (
+         |  SELECT k, arg_max(v1, ts) AS v1, arg_max(v2, ts) AS v2,
+         |    arg_max(op, ts) AS lop
+         |  FROM (
+         |    SELECT k, ts, op, v1, v2 FROM lg
+         |    UNION ALL
+         |    SELECT k, $TxCommitTs AS ts, 'upsert' AS op,
+         |      (k * 5 + ${seed}) %% ${p.valMod} AS v1,
+         |      (k * 11 + ${seed}) %% ${p.valMod} AS v2
+         |    FROM range(0, ${p.keyMod}) AS t(k)
+         |    WHERE k %% 3 = ${p.stagedRes})
+         |  GROUP BY k)
+         |WHERE lop = 'upsert'""".stripMargin.replace("%%", "%")
     s"""WITH lg AS ($log)
        |${latest(0, "")}
        |UNION ALL
@@ -201,6 +262,10 @@ object DynFuzz {
        |UNION ALL
        |${latest(4, "")}
        |UNION ALL
-       |${columns(5, s"AND ts <= ${p.cutoff}")}""".stripMargin
+       |${columns(5, s"AND ts <= ${p.cutoff}")}
+       |UNION ALL
+       |$ret6
+       |UNION ALL
+       |$tx7""".stripMargin
   }
 }

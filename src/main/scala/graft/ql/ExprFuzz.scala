@@ -879,9 +879,23 @@ object ExprFuzz {
          |  CAST(SUM(cnt*cnt) AS BIGINT) AS q,
          |  CAST(SUM(cnt) AS BIGINT) AS t
          |FROM ($inner)""".stripMargin
-    def islands(ci: Int, byUser: Boolean, thr: String): String = {
+    // Gap arithmetic must mirror the ENGINE form under replay:
+    //  - the 4-arg lambda computes `unix_timestamp(a) - unix_timestamp(b)`
+    //    = INTEGER seconds (floored) with a strict `>` — the round-10
+    //    sf10 soak caught the fractional replay breaking one session
+    //    the floored lambda does not (gap 21600.714 floors to 21600)
+    //  - the 2-arg form lowers to Spark's native session_window, which
+    //    compares at FULL microsecond precision with half-open windows
+    //    (a new event exactly at prev_ts + gap starts a session → >=)
+    def islands(ci: Int, byUser: Boolean, thr: String,
+        floorSecs: Boolean): String = {
       val pk = if (byUser) "PARTITION BY user_id " else ""
       val gk = if (byUser) "user_id, " else ""
+      val gap =
+        if (floorSecs)
+          s"floor(epoch(ts)) - floor(epoch(lag(ts) OVER (${pk}ORDER BY ts)))"
+        else s"epoch(ts) - epoch(lag(ts) OVER (${pk}ORDER BY ts))"
+      val cmp = if (floorSecs) ">" else ">="
       sig(ci,
         s"""SELECT count(*) AS cnt FROM (
            |  SELECT user_id, sid FROM (
@@ -889,8 +903,7 @@ object ExprFuzz {
            |        ROWS UNBOUNDED PRECEDING) AS sid FROM (
            |      SELECT user_id, ts,
            |        CASE WHEN lag(ts) OVER (${pk}ORDER BY ts) IS NULL
-           |          OR epoch(ts) - epoch(lag(ts) OVER (${pk}ORDER BY ts))
-           |            > ($thr) THEN 1 ELSE 0 END AS brk
+           |          OR $gap $cmp ($thr) THEN 1 ELSE 0 END AS brk
            |      FROM events)))
            |GROUP BY ${gk}sid""".stripMargin)
     }
@@ -921,7 +934,8 @@ object ExprFuzz {
           val spark = sig(ci,
             s"""SELECT COUNT(*) AS cnt FROM events
                |  GROUP BY ${gk}SessionWindow(ts, 'PT${tH}H') AS ss""".stripMargin)
-          (spark, islands(ci, byUser, (tH * 3600).toString))
+          (spark, islands(ci, byUser, (tH * 3600).toString,
+            floorSecs = false))
         case _ => // 4-arg lambda session, value-dependent timeout
           val ty = Seq("click", "purchase", "view")(rnd.nextInt(3))
           val t1 = (1 + rnd.nextInt(4)) * 1800
@@ -937,7 +951,8 @@ object ExprFuzz {
                  |  GROUP BY user_id, SessionWindow(ts, $$init, $$update,
                  |    $$calculate) AS ss""".stripMargin)
           (spark, islands(ci, byUser = true,
-            s"CASE WHEN event_type = '$ty' THEN $t1 ELSE $t2 END"))
+            s"CASE WHEN event_type = '$ty' THEN $t1 ELSE $t2 END",
+            floorSecs = true))
       }
     }
   }

@@ -168,13 +168,19 @@ object Llm {
         shingleSize = 3, threshold = 0.5)),
 
     // MinHash+LSH near-dup pairs. The output pairs carry EXACT n-gram
-    // Jaccard (LSH only proposes candidates), and on this corpus the
-    // 16×8 band scheme recalls every true pair — so the oracle is the
+    // Jaccard (LSH only proposes candidates), so the oracle is the
     // full exact-Jaccard pair list at the same threshold, compared
-    // pair-for-pair, value-for-value.
+    // pair-for-pair, value-for-value. Bands: 32×4 — at the 0.8
+    // threshold a true pair misses all bands with prob (1-0.8⁴)³² ≈
+    // 5e-8, so recall is structural at ANY corpus size (the round-10
+    // sf10 soak caught the old 16×8 scheme dropping 1 of 2560 true
+    // pairs — a borderline j≈0.8 pair loses that coin flip ~5% of the
+    // time; wider-band candidate volume stays bounded because only
+    // j≳0.5 pairs collide on 4-row bands with non-trivial rate and the
+    // exact-Jaccard filter discards them).
     "llm_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
-        shingleSize = 3, numHashes = 128, bands = 16, threshold = 0.8)),
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)),
 
     // SimHash near-dup detection, driver-verified through an in-plan
     // verdict: the hamming-ball pairs are joined against the exact

@@ -287,12 +287,21 @@ object QL {
     }),
 
     // Aggregates argmin/argmax (QL argmin/argmax → min_by/max_by).
+    // The ordering key is (price, orderkey), NOT bare price: argmax
+    // under a tied extreme is "any row" in BOTH engines, and the
+    // round-10 sf10 soak (10 key-shifted copies ⇒ every extreme
+    // 10-way tied) caught the two "any"s disagreeing — the composite
+    // key pins a deterministic winner without changing the operator.
     "ql_argminmax" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
-          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"))),
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey")))
+            .as("priciest_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey")))
+            .as("cheapest_order"))),
 
     // cardinality() HyperLogLog. Estimator values differ between HLL
     // implementations, so the oracle can't compare them directly;
@@ -483,8 +492,10 @@ object QL {
          WHERE qty > 150""",
     "ql_argminmax" ->
       """SELECT o_orderpriority,
-         arg_max(o_orderkey, o_totalprice) AS priciest_order,
-         arg_min(o_orderkey, o_totalprice) AS cheapest_order
+         (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+           AS priciest_order,
+         (min(struct_pack(p := o_totalprice, k := o_orderkey))).k
+           AS cheapest_order
          FROM orders GROUP BY o_orderpriority""",
     "ql_timestamp_floor" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,

@@ -3026,9 +3026,13 @@ object Yql {
     // the gap to the previous event exceeds the CURRENT row's limit
     // (2h for clicks, 6h otherwise) — same machine as the lambda form
     "yql_sql_session_lambda" ->
+      // the lambda computes unix_timestamp(a)-unix_timestamp(b) =
+      // INTEGER seconds, so the replay must floor both epochs — the
+      // round-10 sf10 soak caught the fractional replay splitting a
+      // session the floored lambda keeps (gap 21600.714 → 21600)
       """WITH marked AS (SELECT user_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
-             OR epoch(ts) - epoch(lag(ts) OVER w) >
+             OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) >
                (CASE WHEN event_type = 'click' THEN 7200 ELSE 21600 END)
              THEN 1 ELSE 0 END AS brk
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -82,7 +82,12 @@ class PlanSweepSpec extends SparkSpec {
     "yql_fuzz_tablepaths" -> 20,
     // hop/session fuzz harness: independent window-grouping cases
     // unioned — each case carries its own agg exchange by design
-    "yql_fuzz_hopsession" -> 24)
+    "yql_fuzz_hopsession" -> 24,
+    // dyn-table fuzz harness: 8 INDEPENDENT merge cases unioned, each
+    // a key-grouped merge + its single-row summary aggregate (~2
+    // shuffles per case); retention adds a window pass, the
+    // transaction case a staged-batch union — per-case budget ~2.5
+    "dyn_fuzz_log" -> 22)
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one
