@@ -10,14 +10,16 @@ object Verify {
     // the driver always runs the full sweep)
     val only = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // The gate runs the ENGINE's session posture (AQE, broadcast
+    // threshold, compression-aware scan estimates, scale-aware shuffle
+    // headroom), not a bare session: correctness must hold under the
+    // exact optimizer configuration the engine ships, and the round-10
+    // sf100 sweep showed a bare 32-partition session re-opens the
+    // spill bend GraftSession already closed (dict_sum 225 s → the
+    // aggregate class back to linear under the shipped posture).
+    val spark = GraftSession.builder(s"local[$cpus]").getOrCreate()
     GraftSession.quietLogs(spark)
+    GraftSession.tuneShuffleFor(spark, sfDir)
     // same optimizer extensions the engine session installs — the
     // correctness gate must exercise the rewrites it ships with
     graft.plans.PushDownGroupBy.install(spark)
@@ -49,8 +51,15 @@ object Verify {
     // GRAFT_VERIFY_TIMES=1: per-query wall seconds on stderr — the
     // scale-soak decades grep these for the ratio tables in SCALING.md
     val times = sys.env.contains("GRAFT_VERIFY_TIMES")
+    // GRAFT_VERIFY_GC=1 (scale soaks only): ContextCleaner frees a
+    // query's shuffle files only after its references are GC'd — at
+    // sf100 a hundred queries' worth of undeleted spill otherwise
+    // accumulates to an ENOSPC (the same posture Bench takes for
+    // SPARK_GRAFT_BENCH_RUNS soaks)
+    val gcEach = sys.env.contains("GRAFT_VERIFY_GC")
     selected.foreach { name =>
       val fn = SparkEntry.queries(name)
+      if (gcEach) System.gc()
       val q0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1839,13 +1839,21 @@ object Yql {
     // percent_rank / cume_dist / ntile — the rest of the ranking family
     // (yql_opt_window.cpp dispatch :1761-1773). Unique order key keeps
     // every value engine-independent.
+    // pct/cume emit in MICRO-UNITS via floor(x*1e6+0.5): the raw
+    // doubles are bit-identical across engines (exact integer rank
+    // divisions), but ROUND-to-6-decimals goes through each engine's
+    // decimal-string tie handling — the round-10 sf100 compare found
+    // 93 of 15M cume values flipping one last digit. Identical IEEE
+    // arithmetic on identical doubles is deterministic by definition.
     "yql_window_pct" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
       t(s, d, "orders").select(
         col("o_orderkey"), col("o_orderpriority"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        floor(percent_rank().over(w) * 1000000d + 0.5d).cast("long")
+          .as("pct_rank"),
+        floor(cume_dist().over(w) * 1000000d + 0.5d).cast("long")
+          .as("cume"),
         ntile(10).over(w).cast("long").as("decile"))
     }),
 
@@ -2264,8 +2272,10 @@ object Yql {
          FROM part""",
     "yql_window_pct" ->
       """SELECT o_orderkey, o_orderpriority,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS pct_rank,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS cume,
            CAST(ntile(10) OVER w AS BIGINT) AS decile
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority

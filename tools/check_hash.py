@@ -33,7 +33,14 @@ def canon_expr(name, typ):
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         return f"CAST({q} AS BIGINT)"
     if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
-        return f"(round(CAST({q} AS DOUBLE), 6) + 0.0)"
+        # round-6-decimals, but capped at 9 SIGNIFICANT digits: a sum of
+        # 1M doubles legitimately differs across engines in the ~1e-10
+        # relative tail, and 6 decimals on a 1e11-magnitude value would
+        # demand 17 significant digits of agreement
+        return (f"(CASE WHEN {q} IS NULL THEN NULL WHEN {q} = 0 THEN 0.0 "
+                f"ELSE round(CAST({q} AS DOUBLE), CAST(least(6, "
+                f"8 - floor(log10(abs(CAST({q} AS DOUBLE))))) AS INTEGER)) "
+                f"+ 0.0 END)")
     if "TIMESTAMP" in t or t == "DATE" or "TIME" in t:
         return f"CAST({q} AS VARCHAR)"
     return q
