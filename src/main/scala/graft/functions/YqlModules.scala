@@ -403,8 +403,10 @@ object YqlModules {
     * returns a callable — which the script surface supports through
     * lambda bindings and inline application fusion (YqlScript /
     * YqlSql.rewrite); these are the fused implementations over the
-    * codegen'd native regex engine. `Re2::Options` is not supported
-    * (raises at binding). */
+    * codegen'd native regex engine. `Re2::Options` (round 10) folds at
+    * parse time: CaseSensitive/DotNl/Literal transform the pattern,
+    * Utf8/LogErrors/MaxMem are accepted with no JVM-engine effect, and
+    * the automaton-level fields raise when set (YqlSql.re2OptionsSugar). */
   object Re2 {
     /** Partial match (Re2::Grep). */
     def grep(c: Column, pattern: String): Column =

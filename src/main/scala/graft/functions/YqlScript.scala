@@ -453,14 +453,17 @@ object YqlScript {
               val factory = ("(?i)^(Re2|Pire|Hyperscan|Pcre)::" +
                 "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(").r
                 .findFirstMatchIn(rhs.trim)
-              val curried = factory.filter { fm =>
-                matchParen(rhs.trim, fm.end - 1) == rhs.trim.length - 1 }
+              // Re2::Options is NOT a factory: it binds a scalar
+              // options resource (folded to a token by the statement
+              // rewrite) that later factory calls carry as a trailing
+              // argument — route it to the scalar branch below
+              val curried = factory
+                .filterNot(_.group(2).equalsIgnoreCase("options"))
+                .filter { fm =>
+                  matchParen(rhs.trim, fm.end - 1) == rhs.trim.length - 1 }
               curried match {
                 case Some(fm) =>
                   val fn = fm.group(2).toLowerCase
-                  require(fn != "options",
-                    "Re2::Options is not supported — the engine runs " +
-                      "the native regex engine's defaults")
                   val mod =
                     if (fm.group(1).equalsIgnoreCase("re2")) "re2" else "pire"
                   val t = rhs.trim

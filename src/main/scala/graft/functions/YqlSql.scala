@@ -126,8 +126,52 @@ object YqlSql {
       }
     }
     tupleAccess(inlineLambdas(aggSpellings(lowerAggregateBy(
-      lowerContainerAggregate(structSugar(ysonOptionsSugar(containerLiterals(
-        coalesceOp(typeArgSugar(out.toString))))))))))
+      lowerContainerAggregate(structSugar(re2OptionsSugar(ysonOptionsSugar(
+        containerLiterals(coalesceOp(typeArgSugar(out.toString)))))))))))
+  }
+
+  /** `Re2::Options(false AS CaseSensitive, ...)` → the token literal
+    * `'re2opts:cXdXlX'` (re2_udf.cpp:39-66 TOptionsSchema — ALL fields
+    * are named optionals). CaseSensitive / DotNl / Literal carry
+    * behavior; Utf8 / LogErrors / MaxMem are accepted and ignored (no
+    * JVM-engine effect); the automaton-level fields Java regex cannot
+    * express (PosixSyntax, LongestMatch, NeverNl, NeverCapture) raise
+    * here, at fold time, when set true. */
+  private def re2OptionsSugar(sql: String): String = {
+    val re = "(?i)(?<![A-Za-z0-9_])re2_options\\s*\\(".r
+    val m = re.findAllMatchIn(YqlScript.maskQuotes(sql))
+      .find(mm => !sql.substring(mm.end).trim.startsWith("'re2opts:"))
+      .getOrElse(return sql)
+    val close = YqlScript.matchParen(sql, m.end - 1)
+    val args = YqlScript.splitTopLevel(sql.substring(m.end, close))
+      .map(_.trim).filter(_.nonEmpty)
+    var caseSens = true; var dotNl = false; var literal = false
+    val named = ("(?i)^(TRUE|FALSE|NULL|[0-9]+)\\s+AS\\s+" +
+      "([A-Za-z][A-Za-z0-9_]*)$").r
+    def b(v: String) = v.equalsIgnoreCase("true")
+    args.foreach {
+      case named(v, nm) => nm.toLowerCase match {
+        case "casesensitive" => caseSens = b(v)
+        case "dotnl" => dotNl = b(v)
+        case "literal" => literal = b(v)
+        case "utf8" | "logerrors" | "maxmem" => // no JVM-engine effect
+        case "posixsyntax" | "longestmatch" | "nevernl" |
+            "nevercapture" =>
+          if (b(v)) throw new IllegalArgumentException(
+            s"Re2::Options($nm) is not expressible on the JVM regex " +
+              "engine (leftmost-longest / capture-stripping are " +
+              "automaton semantics) — unset it or use the default")
+        case _ => throw new IllegalArgumentException(
+          s"Re2::Options: unknown field $nm (re2_udf.cpp:39-66)")
+      }
+      case other => throw new IllegalArgumentException(
+        "Re2::Options takes NAMED literal fields (`false AS " +
+          s"CaseSensitive`, ...), got: ${other.take(40)}")
+    }
+    val tok = s"'re2opts:c${if (caseSens) 1 else 0}d${if (dotNl) 1 else 0}" +
+      s"l${if (literal) 1 else 0}'"
+    re2OptionsSugar(sql.substring(0, m.start) + s"re2_options($tok)" +
+      sql.substring(close + 1))
   }
 
   /** `Yson::Options(true AS AutoConvert, false AS Strict)` → the
@@ -2000,17 +2044,54 @@ object YqlSql {
       })
     multi("pire_multigrep", Pire.grep)
     multi("pire_multimatch", Pire.matches)
-    reg("re2_options")(_ => throw new IllegalArgumentException(
-      "Re2::Options is not bound — this engine runs the default " +
-        "options; pass the pattern without an options resource"))
+    // Re2::Options (re2_udf.cpp:39-66 TOptionsSchema, named optional
+    // bools): folded to a token at parse time (re2OptionsSugar); the
+    // fused factory call carries it as a TRAILING argument and the
+    // PATTERN transforms at lowering — CaseSensitive=false → (?i),
+    // DotNl=true → (?s), Literal=true → \Q…\E quoting. Utf8/LogErrors/
+    // MaxMem are accepted with no JVM-engine effect (the native engine
+    // is UTF-16 internally and never logs to stderr); the automaton
+    // semantics Java regex cannot express (PosixSyntax leftmost-longest,
+    // LongestMatch, NeverNl, NeverCapture) raise AT FOLD TIME when set.
+    reg("re2_options")(es => es.headOption.getOrElse(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("re2opts:"),
+        org.apache.spark.sql.types.StringType)))
+    def re2Opts(name: String, es: Seq[Expression]): Seq[Expression] =
+      es.lastOption match {
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _))
+            if s != null && s.toString.startsWith("re2opts:") =>
+          val tok = s.toString
+          val pat = litStr(es(1), name)
+          val quoted =
+            if (tok.contains("l1")) java.util.regex.Pattern.quote(pat)
+            else pat
+          val flags = (if (tok.contains("c0")) "(?i)" else "") +
+            (if (tok.contains("d1")) "(?s)" else "")
+          es.updated(1, org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              flags + quoted),
+            org.apache.spark.sql.types.StringType)).dropRight(1)
+        case _ => es
+      }
+    def reg1sOpt(name: String)(f: (Column, String) => Column): Unit =
+      reg(name) { es0 =>
+        val es = re2Opts(name, es0)
+        S.convert(f(cc(es(0)), litStr(es(1), name)))
+      }
     reg1ss("pire_replace")(Pire.replace)
 
-    reg1s("re2_grep")(Re2.grep)
-    reg1s("re2_match")(Re2.matches)
-    reg1s("re2_count")(Re2.count)
-    reg1s("re2_findandconsume")(Re2.findAndConsume)
-    reg1s("re2_capture")(Re2.capture)
-    reg1ss("re2_replace")(Re2.replace)
+    reg1sOpt("re2_grep")(Re2.grep)
+    reg1sOpt("re2_match")(Re2.matches)
+    reg1sOpt("re2_count")(Re2.count)
+    reg1sOpt("re2_findandconsume")(Re2.findAndConsume)
+    reg1sOpt("re2_capture")(Re2.capture)
+    reg(name = "re2_replace") { es0 =>
+      val es = re2Opts("re2_replace", es0)
+      S.convert(Re2.replace(cc(es(0)), litStr(es(1), "re2_replace"),
+        litStr(es(2), "re2_replace")))
+    }
 
     // YQL's bare builtin spellings (ListMap, AGGREGATE_LIST, ...) as
     // aliases of the Spark builtins they denote. Spark SQL lowercases

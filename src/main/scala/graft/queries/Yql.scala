@@ -1303,7 +1303,14 @@ object Yql {
           |  Pire::MultiGrep('URG\nLOW\n\\d-')(o_orderpriority)._2 AS mg2,
           |  Pire::MultiGrep('URG\nLOW\n\\d-')(o_orderpriority)._3 AS mg3,
           |  Pire::MultiMatch('.*URGENT\n.*')(o_orderpriority)._1 AS mm1,
-          |  Pire::MultiMatch('.*URGENT\n.*')(o_orderpriority)._2 AS mm2
+          |  Pire::MultiMatch('.*URGENT\n.*')(o_orderpriority)._2 AS mm2,
+          |  Re2::Grep('urgent', Re2::Options(false AS CaseSensitive))
+          |    (o_orderpriority) AS oi,
+          |  Re2::Grep('urgent')(o_orderpriority) AS oi_def,
+          |  Re2::Grep('T.D', Re2::Options(true AS Literal))
+          |    (o_orderpriority || 'T.D') AS olit,
+          |  Re2::Grep('T.D', Re2::Options(true AS Literal))
+          |    (o_orderpriority || 'TXD') AS olit_no
           |FROM orders WHERE o_orderkey < 2000""".stripMargin)
     }),
 
@@ -2826,7 +2833,11 @@ object Yql {
            contains(o_orderpriority, 'LOW') AS mg2,
            TRUE AS mg3,
            o_orderpriority LIKE '%URGENT' AS mm1,
-           TRUE AS mm2
+           TRUE AS mm2,
+           contains(lower(o_orderpriority), 'urgent') AS oi,
+           FALSE AS oi_def,
+           TRUE AS olit,
+           FALSE AS olit_no
          FROM orders WHERE o_orderkey < 2000""",
     "yql_sql_anon_table" ->
       """WITH phase AS (

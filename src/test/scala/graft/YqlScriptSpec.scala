@@ -1315,12 +1315,37 @@ class YqlScriptSpec extends SparkSpec {
     assert(r.getString(4) == "baazaaxaa")
     assert(r.getLong(5) == 6L)
     assert(r.getBoolean(6))
-    // Options factory raises (unsupported mode switch)
+    // Re2::Options (re2_udf.cpp TOptionsSchema): CaseSensitive/DotNl/
+    // Literal transform the pattern at fold time; unsupported automaton
+    // fields raise when SET
+    val ro = YqlSql.sql(spark,
+      """$o = Re2::Options(false AS CaseSensitive);
+        |$lit = Re2::Options(true AS Literal);
+        |$g = Re2::Grep('A.*B', $o);
+        |SELECT
+        |  $g('xaazb') AS ci_bound,
+        |  Re2::Grep('A.*B', $o)('xaazb') AS ci_inline,
+        |  Re2::Grep('A.*B')('xaazb') AS cs_default,
+        |  Re2::Grep('a.b', $lit)('xa.bz') AS lit_hit""".stripMargin)
+    val rr = ro.head()
+    assert(rr.getBoolean(0) && rr.getBoolean(1)) // (?i) via options
+    assert(!rr.getBoolean(2))                    // default stays sensitive
+    assert(rr.getBoolean(3))                     // Literal: '.' not a wildcard
+    assert(!YqlSql.sql(spark,
+      "SELECT Re2::Grep('a.b', Re2::Options(true AS Literal))('xaXbz') AS g")
+      .head().getBoolean(0)) // literal mode must NOT wildcard-match
+    assert(YqlSql.sql(spark,
+      """SELECT Re2::Match('a.*', Re2::Options(true AS DotNl))('a
+        |b') AS m""".stripMargin).head().getBoolean(0)) // (?s)
+    // ignored-by-contract fields accept; automaton fields raise when set
+    assert(YqlSql.sql(spark,
+      "SELECT Re2::Grep('a', Re2::Options(true AS Utf8))('xa') AS g")
+      .head().getBoolean(0))
     val e = intercept[IllegalArgumentException] {
-      YqlScript.lower(
-        "$o = Re2::Options(false AS CaseSensitive);\nSELECT 1 AS a")
+      YqlSql.sql(spark,
+        "SELECT Re2::Grep('a', Re2::Options(true AS PosixSyntax))('xa') AS g")
     }
-    assert(e.getMessage.contains("Options"), e.getMessage)
+    assert(e.getMessage.contains("PosixSyntax"), e.getMessage)
     // Hyperscan:: and Pcre:: alias the same surface (udf/list/pcre.md)
     assert(YqlSql.sql(spark,
       "SELECT Hyperscan::Grep('aa')('xaax') AS g").head().getBoolean(0))
