@@ -1022,4 +1022,79 @@ object ExprFuzz {
       }
     }
   }
+
+  /** Yson::Options differential domain (round 10): randomized
+    * (carrier node kind × target type × options mode) triples over
+    * orders columns. The ENGINE parses a data-built carrier text
+    * through the convert.h kernel; the DUCKDB side re-derives the
+    * expected value from the SAME base columns by the semantic rules —
+    * a true differential, no shared code path. Items are SELECT
+    * fragments for `FROM orders` (both engines). */
+  def ysonOptItems(n: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed * 53 + 7)
+    // carrier builders: (yql carrier text expr, node kind, duck value expr)
+    // kinds: int (value expr v), numstr ("v"), junk (unparseable str),
+    // bool, dbl (v.5), entity, list, dict
+    def item(): (String, String) = {
+      val m = 3 + rnd.nextInt(96)
+      val v = s"(o_custkey % $m)" // BIGINT value both engines
+      val kind = rnd.nextInt(8)
+      val (carrY, carrD) = kind match {
+        case 0 => (s"('' || CAST($v AS STRING))", "int")
+        case 1 => (s"('\"' || CAST($v AS STRING) || '\"')", "numstr")
+        case 2 => ("('\"x' || o_orderstatus || '\"')", "junk")
+        case 3 => (s"(CASE WHEN $v % 2 = 0 THEN 'true' ELSE 'false' END)", "bool")
+        case 4 => (s"('' || CAST($v AS STRING) || '.5')", "dbl")
+        case 5 => ("'null'", "entity")
+        case 6 => (s"('[1,' || CAST($v AS STRING) || ']')", "list")
+        case _ => (s"('{\"a\":' || CAST($v AS STRING) || '}')", "dict")
+      }
+      val target = Seq("Int64", "Double", "Bool", "String")(rnd.nextInt(4))
+      val auto = rnd.nextBoolean()
+      val mode = if (auto) "Yson::Options(true AS AutoConvert)"
+        else "Yson::Options(false AS Strict)"
+      val y = s"Yson::ConvertTo$target($carrY, $mode)"
+      val even = s"($v % 2 = 0)" // the bool carrier's truth value
+      // expected value per convert.h, re-derived over base columns
+      val d = (carrD, target, auto) match {
+        // ——— Int64 ———
+        case ("int", "Int64", _) => s"CAST($v AS BIGINT)"
+        case ("numstr", "Int64", true) => s"CAST($v AS BIGINT)"
+        case ("dbl", "Int64", true) => s"CAST($v AS BIGINT)" // trunc v.5 → v
+        case ("bool", "Int64", true) =>
+          s"CAST(CASE WHEN $even THEN 1 ELSE 0 END AS BIGINT)"
+        case ("junk", "Int64", true) => "CAST(0 AS BIGINT)"
+        case (("entity" | "list" | "dict"), "Int64", true) => "CAST(0 AS BIGINT)"
+        case (_, "Int64", false) => "CAST(NULL AS BIGINT)"
+        // ——— Double: int/dbl nodes always convert ———
+        case ("int", "Double", _) => s"CAST($v AS DOUBLE)"
+        case ("dbl", "Double", _) => s"CAST($v AS DOUBLE) + 0.5"
+        case ("numstr", "Double", true) => s"CAST($v AS DOUBLE)"
+        case ("bool", "Double", true) =>
+          s"CAST(CASE WHEN $even THEN 1 ELSE 0 END AS DOUBLE)"
+        case ("junk", "Double", true) => "CAST(0 AS DOUBLE)"
+        case (("entity" | "list" | "dict"), "Double", true) => "CAST(0 AS DOUBLE)"
+        case (_, "Double", false) => "CAST(NULL AS DOUBLE)"
+        // ——— Bool: only the bool node and 'true'/'false' strings hit ———
+        case ("bool", "Bool", _) => even
+        case ("int", "Bool", true) => s"$v <> 0"
+        case ("dbl", "Bool", true) => "TRUE" // v.5 never zero
+        case (("numstr" | "junk"), "Bool", true) => "TRUE" // non-empty str
+        case ("entity", "Bool", true) => "FALSE"
+        case (("list" | "dict"), "Bool", true) => "TRUE" // non-empty
+        case (_, "Bool", false) => "CAST(NULL AS BOOLEAN)"
+        // ——— String ———
+        case ("numstr", "String", _) => s"CAST($v AS VARCHAR)"
+        case ("junk", "String", _) => "'x' || o_orderstatus"
+        case ("int", "String", true) => s"CAST($v AS VARCHAR)"
+        case ("dbl", "String", true) => s"CAST($v AS VARCHAR) || '.5'"
+        case ("bool", "String", true) =>
+          s"CASE WHEN $even THEN 'true' ELSE 'false' END"
+        case (("entity" | "list" | "dict"), "String", true) => "''"
+        case (_, "String", false) => "CAST(NULL AS VARCHAR)"
+      }
+      (y, d)
+    }
+    (0 until n).map(_ => item())
+  }
 }

@@ -1205,6 +1205,19 @@ object Yql {
           |FROM events WHERE event_id < 2000""".stripMargin)
     }),
 
+    // Round-10: pinned seed of the Yson::Options differential domain
+    // (ExprFuzz.ysonOptItems; FuzzSweep sweeps fresh seeds) — random
+    // carrier-node × target × mode triples, the DuckDB side re-derived
+    // from base columns by the convert.h rules.
+    "yql_fuzz_ysonopt" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      val items = graft.ql.ExprFuzz.ysonOptItems(16, seed = 71L)
+      val ql = items.zipWithIndex
+        .map { case ((y, _), i) => s"$y AS x$i" }.mkString(", ")
+      graft.functions.YqlSql.sql(s,
+        s"SELECT o_orderkey AS id, $ql FROM orders WHERE o_orderkey < 3000")
+    }),
+
     // Round-9: pinned seed of the string-formatting/math-tail fuzz
     // domain (ExprFuzz.strFmtItems; FuzzSweep runs it at fresh seeds) —
     // randomized escape roundtrips, width pins, char-class removals,
@@ -2753,6 +2766,12 @@ object Yql {
            o_orderkey AS u64h,
            CAST(NULL AS BIGINT) AS u64bad
          FROM orders WHERE o_orderkey < 2000""",
+    "yql_fuzz_ysonopt" -> {
+      val items = graft.ql.ExprFuzz.ysonOptItems(16, seed = 71L)
+      val dk = items.zipWithIndex
+        .map { case ((_, d), i) => s"$d AS x$i" }.mkString(", ")
+      s"SELECT o_orderkey AS id, $dk FROM orders WHERE o_orderkey < 3000"
+    },
     "yql_fuzz_strfmt" -> {
       val items = graft.ql.ExprFuzz.strFmtItems(14, seed = 53L)
       val dk = items.zipWithIndex

@@ -169,6 +169,19 @@ object FuzzSweep {
           .reduce(_ unionByName _)
       }, graft.ql.ExprFuzz.hopSessionCases(5, seed)
         .map(p => s"(${p._2})").mkString("\nUNION ALL\n"))
+      queries(s"fz_ysonopt_$seed") = (() => {
+        orders.createOrReplaceTempView("orders")
+        val items = graft.ql.ExprFuzz.ysonOptItems(12, seed)
+        val ql = items.zipWithIndex
+          .map { case ((y, _), i) => s"$y AS x$i" }.mkString(", ")
+        graft.functions.YqlSql.sql(spark,
+          s"SELECT o_orderkey AS id, $ql FROM orders WHERE o_orderkey < 3000")
+      }, {
+        val items = graft.ql.ExprFuzz.ysonOptItems(12, seed)
+        val dk = items.zipWithIndex
+          .map { case ((_, d), i) => s"$d AS x$i" }.mkString(", ")
+        s"SELECT o_orderkey AS id, $dk FROM orders WHERE o_orderkey < 3000"
+      })
       queries(s"fz_dyn_$seed") = (() =>
         graft.ql.DynFuzz.run(spark, orders, seed),
         graft.ql.DynFuzz.oracleSql(seed))
