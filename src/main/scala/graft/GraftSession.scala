@@ -89,6 +89,9 @@ object GraftSession {
     def walk(f: java.io.File): Long =
       if (f.isFile) f.length
       else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    // An explicit SPARK_GRAFT_HEADROOM override (read at builder time)
+    // wins over the data-derived estimate — don't clobber it here.
+    if (sys.env.contains("SPARK_GRAFT_HEADROOM")) return
     val bytes = try walk(new java.io.File(dir)) catch { case _: Exception => 0L }
     val cpus = spark.sparkContext.defaultParallelism.max(1)
     val advisory = 64L << 20

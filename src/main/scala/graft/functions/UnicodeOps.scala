@@ -109,8 +109,11 @@ object UnicodeOps {
     val javaSet = "\\[:([A-Za-z][A-Za-z0-9_= ]*):\\]".r
       .replaceAllIn(set, m => java.util.regex.Matcher
         .quoteReplacement(s"\\p{${m.group(1)}}"))
+    // ICU POSIX classes ([:Alpha:] etc.) are Unicode-wide; Java's
+    // \p{Alpha} is US-ASCII-only unless UNICODE_CHARACTER_CLASS is on.
     val p =
-      try java.util.regex.Pattern.compile(javaSet)
+      try java.util.regex.Pattern.compile(javaSet,
+        java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
       catch {
         case e: java.util.regex.PatternSyntaxException =>
           throw new IllegalArgumentException(

@@ -149,7 +149,19 @@ object YqlSql {
     val named = ("(?i)^(TRUE|FALSE|NULL|[0-9]+)\\s+AS\\s+" +
       "([A-Za-z][A-Za-z0-9_]*)$").r
     def b(v: String) = v.equalsIgnoreCase("true")
+    // A NULL literal is an UNSET optional — it keeps the field's
+    // default (CaseSensitive defaults TRUE per re2_udf.cpp:34), it
+    // does not mean false.
+    def isNull(v: String) = v.equalsIgnoreCase("null")
     args.foreach {
+      case named(v, nm) if isNull(v) =>
+        nm.toLowerCase match {
+          case "casesensitive" | "dotnl" | "literal" | "utf8" |
+              "logerrors" | "maxmem" | "posixsyntax" | "longestmatch" |
+              "nevernl" | "nevercapture" => // unset: keep default
+          case _ => throw new IllegalArgumentException(
+            s"Re2::Options: unknown field $nm (re2_udf.cpp:39-66)")
+        }
       case named(v, nm) => nm.toLowerCase match {
         case "casesensitive" => caseSens = b(v)
         case "dotnl" => dotNl = b(v)
@@ -193,8 +205,14 @@ object YqlSql {
     val named = "(?i)^(TRUE|FALSE|NULL)\\s+AS\\s+(AutoConvert|Strict)$".r
     val bare = "(?i)^(TRUE|FALSE|NULL)$".r
     def b(v: String) = v.equalsIgnoreCase("true")
+    // NULL = unset optional → keep the field's default (both default
+    // false here, so skipping is behavior-identical but keeps the
+    // unset-vs-false distinction explicit).
+    def isNull(v: String) = v.equalsIgnoreCase("null")
     args.zipWithIndex.foreach { case (a, idx) =>
       a match {
+        case named(v, _) if isNull(v) => // unset: keep default
+        case bare(v) if isNull(v) => // unset: keep default
         case named(v, nm) =>
           if (nm.equalsIgnoreCase("autoconvert")) auto = b(v) else strict = b(v)
         case bare(v) => if (idx == 0) auto = b(v) else strict = b(v)
@@ -2067,7 +2085,10 @@ object YqlSql {
           val quoted =
             if (tok.contains("l1")) java.util.regex.Pattern.quote(pat)
             else pat
-          val flags = (if (tok.contains("c0")) "(?i)" else "") +
+          // RE2 case folding with the default Utf8=true is Unicode-wide,
+          // so (?i) alone (ASCII-only in java.util.regex) would diverge
+          // on non-ASCII patterns — (?iu) adds UNICODE_CASE.
+          val flags = (if (tok.contains("c0")) "(?iu)" else "") +
             (if (tok.contains("d1")) "(?s)" else "")
           es.updated(1, org.apache.spark.sql.catalyst.expressions.Literal(
             org.apache.spark.unsafe.types.UTF8String.fromString(

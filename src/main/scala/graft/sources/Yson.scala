@@ -958,9 +958,16 @@ object Yson {
   def convertScalar(doc: UTF8String, target: String,
       strict: Boolean, auto: Boolean): Any = {
     if (doc == null) return null
+    // Strict mode errors on input that is not parseable Yson/Json
+    // (dom/convert.h docs); only the lenient modes map it to NULL.
     val node =
       try rawMapper.readTree(doc.toString)
-      catch { case scala.util.control.NonFatal(_) => return null }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (strict) throw new IllegalArgumentException(
+            s"Yson::ConvertTo (Strict): unparseable input: ${e.getMessage}")
+          return null
+      }
     convertNode(node, target, strict, auto)
   }
 
@@ -1003,7 +1010,12 @@ object Yson {
     if (doc == null) return null
     var node =
       try rawMapper.readTree(doc.toString)
-      catch { case scala.util.control.NonFatal(_) => return null }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (mode == "strict") throw new IllegalArgumentException(
+            s"Yson::ConvertToList (Strict): unparseable input: ${e.getMessage}")
+          return null
+      }
     if (node != null && node.isObject && node.has("$value") &&
         node.has("$attributes")) node = node.get("$value")
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -1037,7 +1049,12 @@ object Yson {
     if (doc == null) return null
     var node =
       try rawMapper.readTree(doc.toString)
-      catch { case scala.util.control.NonFatal(_) => return null }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (mode == "strict") throw new IllegalArgumentException(
+            s"Yson::ConvertToDict (Strict): unparseable input: ${e.getMessage}")
+          return null
+      }
     if (node != null && node.isObject && node.has("$value") &&
         node.has("$attributes")) node = node.get("$value")
     def emptyMap = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(

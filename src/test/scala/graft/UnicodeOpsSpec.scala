@@ -65,6 +65,13 @@ class UnicodeOpsSpec extends AnyFunSuite {
     // ICU POSIX spelling translates
     assert(UnicodeOps.isUnicodeSet("abc", "[[:Alpha:]]"))
     assert(!UnicodeOps.isUnicodeSet("ab1", "[[:Alpha:]]"))
+    // ICU POSIX classes are Unicode-wide, not US-ASCII-only
+    // (UNICODE_CHARACTER_CLASS compile flag)
+    assert(UnicodeOps.isUnicodeSet("абв", "[[:Alpha:]]"))
+    assert(UnicodeOps.isUnicodeSet("١٢٣", "[[:Digit:]]"))
+    assert(UnicodeOps.isUnicodeSet("ПРИВЕТ", "[[:Upper:]]"))
+    assert(!UnicodeOps.isUnicodeSet("привет", "[[:Upper:]]"))
+    assert(UnicodeOps.isUnicodeSet("aб1٢", "[[:Alnum:]]"))
     // supplementary plane: mathematical alphanumerics are \p{L}
     assert(UnicodeOps.isUnicodeSet(
       new String(Character.toChars(0x1d538)), "[\\p{L}]"))

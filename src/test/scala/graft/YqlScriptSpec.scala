@@ -1337,6 +1337,16 @@ class YqlScriptSpec extends SparkSpec {
     assert(YqlSql.sql(spark,
       """SELECT Re2::Match('a.*', Re2::Options(true AS DotNl))('a
         |b') AS m""".stripMargin).head().getBoolean(0)) // (?s)
+    // RE2 case folding is Unicode-wide (Utf8 defaults true) — (?iu),
+    // not ASCII-only (?i)
+    assert(YqlSql.sql(spark,
+      "SELECT Re2::Grep('ПРИВЕТ', Re2::Options(false AS CaseSensitive))" +
+        "('да привет да') AS g").head().getBoolean(0))
+    // NULL = unset optional keeps the field default (CaseSensitive
+    // defaults TRUE, re2_udf.cpp:34) — it does NOT mean false
+    assert(!YqlSql.sql(spark,
+      "SELECT Re2::Grep('A.B', Re2::Options(NULL AS CaseSensitive))" +
+        "('xazbz') AS g").head().getBoolean(0))
     // ignored-by-contract fields accept; automaton fields raise when set
     assert(YqlSql.sql(spark,
       "SELECT Re2::Grep('a', Re2::Options(true AS Utf8))('xa') AS g")
@@ -1438,6 +1448,26 @@ class YqlScriptSpec extends SparkSpec {
           |SELECT Yson::ConvertToInt64List('"x"', $strict) AS v""".stripMargin)
         .collect()
     }
+    // strict mode errors on UNPARSEABLE input too (dom/convert.h:
+    // "an attempt to parse a string that is not Yson/Json" is an
+    // error, not NULL)
+    intercept[Exception] {
+      YqlSql.sql(spark,
+        """$strict = Yson::Options(true AS Strict);
+          |SELECT Yson::ConvertToInt64('{not yson', $strict) AS v""".stripMargin)
+        .collect()
+    }
+    intercept[Exception] {
+      YqlSql.sql(spark,
+        """$strict = Yson::Options(true AS Strict);
+          |SELECT Yson::ConvertToInt64List('[1,', $strict) AS v""".stripMargin)
+        .collect()
+    }
+    // ...but lenient still maps unparseable input to NULL
+    assert(YqlSql.sql(spark,
+      """$lax = Yson::Options(false AS Strict);
+        |SELECT Yson::ConvertToInt64('{not yson', $lax) AS v""".stripMargin)
+      .head().isNullAt(0))
     // positional spelling: (AutoConvert, Strict)
     val p = YqlSql.sql(spark,
       "SELECT Yson::ConvertToInt64('\"9\"', Yson::Options(true, false)) AS v")
