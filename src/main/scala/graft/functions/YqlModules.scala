@@ -396,7 +396,62 @@ object YqlModules {
     def replace(c: Column, pattern: String, repl: String): Column =
       regexp_replace(c, pattern, repl)
   }
-  val Hyperscan: Pire.type = Pire
+  /** Hyperscan:: — its own semantics, NOT a Pire alias (round-11
+    * differential audit vs hyperscan_udf.cpp):
+    *
+    * - **Match anchors TEXTUALLY**: the reference builds `^regex$` by
+    *   string concatenation WITHOUT grouping (hyperscan_udf.cpp:135
+    *   `'^' << regex << '$'`), so `Hyperscan::Match('a|b')` compiles
+    *   `^a|b$` — which SCANS for either `^a` or `b$` — and matches
+    *   'aX', where Re2::Match / Pire::Match (true full-match) do not.
+    *   Reproduced exactly: an unanchored search of `^regex$`.
+    * - **Capture returns the WHOLE matched substring** (the first
+    *   Scan callback with SOM_LEFTMOST, :260-290), not a capture
+    *   group. Adjudicated divergence inside that contract: hyperscan
+    *   reports the EARLIEST-ENDING match (event-per-end scan), Java
+    *   regex the leftmost-GREEDY one — `Capture('a+')('xaaay')` is
+    *   "a" in the reference, "aaa" here. Earliest-end is not
+    *   expressible on java.util.regex without an O(n²) end-position
+    *   scan; the leftmost-start anchor is shared, only the extent on
+    *   variable-length patterns differs (HyperscanDiffSpec pins both
+    *   facts).
+    * - **Replace is LITERAL** (:344-360 splices the replacement text
+    *   verbatim — no $1/\1 group expansion): `$` and `\` are escaped
+    *   before the native regexp_replace. Adjudicated divergence: the
+    *   reference fires its callback per match EVENT (per end
+    *   position), which on overlapping events (`a+` over runs) yields
+    *   progressive splices; here each leftmost-greedy match replaces
+    *   once — the common non-overlapping case is identical.
+    * - Backtracking* select an ENGINE in the reference (PCRE confirm
+    *   over a prefilter, :139-151); the JVM engine already
+    *   backtracks, so they share Match/Grep semantics — including
+    *   backreferences and lookaround, which plain Hyperscan::Match
+    *   would reject at compile in the reference (compile errors
+    *   surface lazily per-row on the JVM: the cost of an
+    *   expression-level binding).
+    * - The `(?i)` PREFIX contract (:26-31: strip + CASELESS, ASCII
+    *   folding — no HS_FLAG_UCP) matches Java's default ASCII-only
+    *   inline `(?i)`.
+    */
+  object Hyperscan {
+    /** Textually anchored match — `^pattern$` UNGROUPED, searched. */
+    def matches(c: Column, pattern: String): Column =
+      regexp_like(c, lit("^" + pattern + "$"))
+    def grep(c: Column, pattern: String): Column =
+      regexp_like(c, lit(pattern))
+    def multiGrep(c: Column, patterns: Seq[String]): Column =
+      array(patterns.map(p => regexp_like(c, lit(p))): _*)
+    def multiMatch(c: Column, patterns: Seq[String]): Column =
+      array(patterns.map(p => matches(c, p)): _*)
+    /** Whole matched substring of the first (leftmost) match; null
+      * when unmatched (the reference's empty Optional). */
+    def capture(c: Column, pattern: String): Column =
+      when(regexp_like(c, lit(pattern)), regexp_extract(c, pattern, 0))
+    /** Global replace with a LITERAL replacement. */
+    def replace(c: Column, pattern: String, repl: String): Column =
+      regexp_replace(c, pattern,
+        repl.replace("\\", "\\\\").replace("$", "\\$"))
+  }
 
   /** Re2:: module (udfs/common/re2/re2_udf.cpp; docs udf/list/re2.md).
     * The reference's signatures are CURRIED — `Re2::Grep(pattern)`

@@ -36,14 +36,16 @@ object YqlSql {
     * `Re2::Grep(pattern)(string)` (udf/list/re2.md, pire.md). An inline
     * double application fuses to the flat registered call
     * `re2_grep(string, pattern[, rewrite])`; the `$f = Re2::Grep(p)`
-    * binding form lowers to a lambda in YqlScript. Hyperscan aliases
-    * Pire (same regex surface). */
+    * binding form lowers to a lambda in YqlScript. Hyperscan/Pcre have
+    * their own registrations (audited vs hyperscan_udf.cpp). */
   private val CurriedModules: Set[String] =
     Set("re2", "pire", "hyperscan", "pcre")
   private[functions] def moduleName(m: String): String =
-    // Pcre is "currently an alias to Hyperscan" (docs udf/list/pcre.md),
-    // and Hyperscan shares the Pire surface here
-    if (m.equalsIgnoreCase("hyperscan") || m.equalsIgnoreCase("pcre")) "pire"
+    // Pcre is "currently an alias to Hyperscan" (docs udf/list/pcre.md);
+    // Hyperscan has its own registrations (textual anchoring,
+    // whole-match capture, literal replace — see YqlModules.Hyperscan)
+    if (m.equalsIgnoreCase("hyperscan") || m.equalsIgnoreCase("pcre"))
+      "hyperscan"
     // Json2/DateTime2 are the reference's module NAMES for the modern
     // json/datetime surfaces this engine registers under json_/datetime_
     else if (m.equalsIgnoreCase("json2")) "json"
@@ -2062,6 +2064,17 @@ object YqlSql {
       })
     multi("pire_multigrep", Pire.grep)
     multi("pire_multimatch", Pire.matches)
+    // Hyperscan:: own surface (hyperscan_udf.cpp; NOT a Pire alias —
+    // textual `^p$` anchoring, whole-match capture, literal replace;
+    // see YqlModules.Hyperscan for the audited divergence notes)
+    reg1s("hyperscan_match")(Hyperscan.matches)
+    reg1s("hyperscan_grep")(Hyperscan.grep)
+    reg1s("hyperscan_backtrackingmatch")(Hyperscan.matches)
+    reg1s("hyperscan_backtrackinggrep")(Hyperscan.grep)
+    reg1s("hyperscan_capture")(Hyperscan.capture)
+    reg1ss("hyperscan_replace")(Hyperscan.replace)
+    multi("hyperscan_multigrep", Hyperscan.grep)
+    multi("hyperscan_multimatch", Hyperscan.matches)
     // Re2::Options (re2_udf.cpp:39-66 TOptionsSchema, named optional
     // bools): folded to a token at parse time (re2OptionsSugar); the
     // fused factory call carries it as a TRAILING argument and the

@@ -388,10 +388,35 @@ object Dedup {
     (m, cb)
   }
 
+  /** Measured on-disk cost of ONE banded row through the candidate
+    * join (shuffle write + the two ReuseExchange reads): the sf100
+    * soak put 584M rows at ~90 GB. */
+  val lshBandedRowBytes = 160L
+
+  /** [[lshAutoParams]] capped to a shuffle-scratch budget: the banded
+    * stream materializes m·n rows once (~[[lshBandedRowBytes]] each),
+    * so a chunk count the scratch volume cannot hold is shrunk to the
+    * largest m that fits and the ACHIEVED miss probability
+    * (1-(1-p)^cb)^m is reported back — recall degrades loudly (the
+    * caller logs it), never by an OOD crash mid-soak. Returns
+    * (chunks, chunkBits, achievedMiss). */
+  def lshParamsForBudget(n: Long, threshold: Double, missTarget: Double,
+      budgetBytes: Long): (Int, Int, Double) = {
+    val (m0, cb) = lshAutoParams(n, threshold, missTarget)
+    val mFit = math.max(2L, budgetBytes / (lshBandedRowBytes * math.max(1L, n)))
+      .min(Int.MaxValue).toInt
+    if (mFit >= m0) (m0, cb, missTarget)
+    else {
+      val p = math.acos(math.min(1.0, math.max(threshold, 0.9))) / math.Pi
+      val q = math.pow(1 - p, cb)
+      (mFit, cb, math.pow(1 - q, mFit))
+    }
+  }
+
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = -1, chunkBits: Int = -1,
       rows: Long = -1L, seed: Long = 42L,
-      missTarget: Double = 0.01): DataFrame = {
+      missTarget: Double = 0.01, scratchBytes: Long = -1L): DataFrame = {
     require((bits > 0) == (chunkBits > 0),
       "bits and chunkBits must be specified together (or both left to auto)")
     // SUB-REGIME delegation: below cos ~0.7 a hyperplane bit agrees
@@ -413,7 +438,32 @@ object Dedup {
           if (rows > 0) rows
           else df.queryExecution.optimizedPlan.stats.rowCount
             .map(_.toLong).getOrElse(df.count()))
-        lshAutoParams(n, threshold, missTarget)
+        // scratch-budget fit: the default config must COMPLETE on the
+        // host it runs on. Budget = explicit param, else half the
+        // usable space of the first shuffle-scratch dir (each executor
+        // of a real cluster probes its own volume; local mode probes
+        // the single host's). When the design-point chunk count does
+        // not fit, shrink to the largest that does and log the
+        // achieved recall target — never cap silently.
+        val budget =
+          if (scratchBytes > 0) scratchBytes
+          else {
+            val dir = df.sparkSession.conf.getOption("spark.local.dir")
+              .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+              .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+            new java.io.File(dir.split(",").head).getUsableSpace / 2
+          }
+        val (m, cbFit, achieved) =
+          lshParamsForBudget(n, threshold, missTarget, budget)
+        if (achieved > missTarget)
+          System.err.println(
+            f"[graft] embeddingCosinePairsLsh: banded stream at the " +
+              f"design point needs ${lshAutoParams(n, threshold, missTarget)._1}%d" +
+              f" chunks x $n%d rows > scratch budget ${budget / (1L << 30)}%d GiB" +
+              f" — capped to $m%d chunks; true-pair miss probability at " +
+              f"cos ${math.max(threshold, 0.9)}%.2f relaxes to $achieved%.4f " +
+              f"(pass scratchBytes or a lower missTarget to choose explicitly)")
+        (m, cbFit)
       }
     // one independent cb-bit hyperplane family per chunk — seeds
     // decorrelated the same way lshTopK spaces its tables — plus ONE

@@ -186,6 +186,48 @@ object DynTable {
       .unionByName(appended)
   }
 
+  /** SYNC secondary-index maintenance over a full-row write/delete
+    * log — the write-path contract of the reference's
+    * TSecondaryIndexModifier (secondary_index_modification.cpp:
+    * LookupRows the current row, then emit a Delete of the stale
+    * index row + a Write of the new one in the SAME commit,
+    * ~:443-568): replayed here as a window pass per primary key in
+    * ts order, so the derived INDEX LOG carries, for every primary
+    * mutation, the index upsert it writes and the index tombstone it
+    * places on the displaced indexed value. The invariant this buys
+    * (and the `fz_dynidx` differential fuzz pins): at every
+    * timestamp, `readLatest/readAsOf` of the index log on
+    * `indexed ++ keys` ≡ the same projection of the merged primary.
+    *
+    * `pred` (applied to the indexed columns) models a PREDICATED
+    * index (TIndexSchema::Predicate): a row entering the predicate
+    * writes its index row, a row leaving it tombstones the old one.
+    * One shuffle on the primary key; per-key sequential replay is
+    * inherent to sync maintenance.
+    */
+  def maintainIndexLog(log: DataFrame, keys: Seq[String],
+      indexed: Seq[String],
+      pred: Seq[Column] => Column = _ => lit(true)): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ts"))
+    val prevCols = indexed.map(c => lag(col(c), 1).over(w).as(s"_prev_$c"))
+    val base = log.select(log.columns.map(col) ++ prevCols :+
+      lag(col("op"), 1).over(w).as("_prev_op"): _*)
+    val curUp = col("op") === OpUpsert
+    val prevAlive = col("_prev_op") === OpUpsert
+    val predCur = pred(indexed.map(col))
+    val predPrev = pred(indexed.map(c => col(s"_prev_$c")))
+    val changed = indexed.map(c => !(col(c) <=> col(s"_prev_$c")))
+      .reduce(_ || _)
+    val outCols = (indexed ++ keys).map(col) :+ col("ts")
+    val ups = base.where(curUp && predCur)
+      .select(outCols :+ lit(OpUpsert).as("op"): _*)
+    val dels = base.where(prevAlive && predPrev &&
+        (col("op") === OpDelete || changed))
+      .select(indexed.map(c => col(s"_prev_$c").as(c)) ++
+        keys.map(col) :+ col("ts") :+ lit(OpDelete).as("op"): _*)
+    ups.unionByName(dels)
+  }
+
   def compact(log: DataFrame, keys: Seq[String],
       aggColumns: Map[String, String] = Map.empty): DataFrame = {
     val hasMask = log.columns.contains("written")

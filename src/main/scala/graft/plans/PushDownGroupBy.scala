@@ -30,8 +30,14 @@ object PushDownGroupBy {
 
   def install(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_.isInstanceOf[PushAggThroughJoinRule.type]))
-      spark.experimental.extraOptimizations = existing :+ PushAggThroughJoinRule
+    val withPush =
+      if (!existing.exists(_.isInstanceOf[PushAggThroughJoinRule.type]))
+        existing :+ PushAggThroughJoinRule
+      else existing
+    spark.experimental.extraOptimizations =
+      if (!withPush.exists(_.isInstanceOf[EagerAggUniqueJoinRule.type]))
+        withPush :+ EagerAggUniqueJoinRule
+      else withPush
   }
 
   object PushAggThroughJoinRule extends Rule[LogicalPlan] {
@@ -130,6 +136,145 @@ object PushDownGroupBy {
         }.asInstanceOf[NamedExpression]
       }
       Some(agg.copy(aggregateExpressions = replaced, child = newJoin))
+    }
+
+    private def splitConjunctive(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConjunctive(l) ++ splitConjunctive(r)
+      case other => Seq(other)
+    }
+  }
+
+  /** The LEFT-side eager aggregation the reference fires when the
+    * RIGHT side of an equi-join is provably unique on its join key
+    * (yql_yt_join_impl.cpp:1030-1150: key uniqueness derived from
+    * sorted-table schemas drives the rewrite; here the uniqueness
+    * rides as `graft.unique` column metadata stamped by
+    * `Tables.load`, a schema-level fact of the data model).
+    *
+    * `Aggregate(G, aggs, Join(L, R, L.k = R.k))` where G ⊆ L contains
+    * every left join key, R is unique on R.k, and each aggregate is
+    * (a) over L-only columns (incl. count(*)) or (b) a collapse-safe
+    * min/max/first/last/any_value over R-only columns, rewrites to
+    *
+    * `Project(aggs', Join(Aggregate(G, partials, L), R, L.k = R.k))`
+    *
+    * — the aggregate runs BEFORE the join (map-side partial combine
+    * over the raw left table), the join input shrinks from |L| rows
+    * to |groups|, and the post-join aggregate disappears entirely:
+    * within a group every row shares the join key, the unique right
+    * side contributes exactly one row per key, so (b)-aggregates over
+    * n identical values ARE the value. At 60M⋈15M scale this replaces
+    * shuffle-join-60M-then-aggregate with aggregate-15M-then-join —
+    * the exchange the aggregate introduces is on the same key the
+    * join needs, so the left side shuffles combined partials once.
+    *
+    * Correctness at the edges: inner join drops unmatched/NULL-key
+    * groups atomically (the whole group shares the key); left outer
+    * keeps them with NULL right columns, exactly what each collapse-
+    * safe aggregate returns over an absent right row.
+    */
+  object EagerAggUniqueJoinRule extends Rule[LogicalPlan] {
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case agg @ Aggregate(_, _, join: Join, _) =>
+        rewrite(agg, join).getOrElse(agg)
+      case agg @ Aggregate(_, _, Project(list, join: Join), _)
+          if list.forall(_.isInstanceOf[Attribute]) =>
+        rewrite(agg, join).getOrElse(agg)
+    }
+
+    private def rewrite(agg: Aggregate, join: Join): Option[LogicalPlan] = {
+      val Join(left, right, joinType, condOpt, hint) = join
+      if (joinType != Inner && joinType != LeftOuter) return None
+      val cond = condOpt.getOrElse(return None)
+
+      val keyPairs = splitConjunctive(cond).map {
+        case EqualTo(a: Attribute, b: Attribute)
+            if left.outputSet.contains(a) && right.outputSet.contains(b) =>
+          (a, b)
+        case EqualTo(b: Attribute, a: Attribute)
+            if left.outputSet.contains(a) && right.outputSet.contains(b) =>
+          (a, b)
+        case _ => return None
+      }
+      val leftKeys = keyPairs.map(_._1).distinct
+      val rightKeys = keyPairs.map(_._2).distinct
+      if (!uniqueOn(rightKeys, right)) return None
+
+      // grouping must be left-only ATTRIBUTES covering every left key
+      // (so groups align 1:1 with join-key values and the pre-agg
+      // output still carries the key to join on)
+      val gAttrs = agg.groupingExpressions.map {
+        case a: Attribute if left.outputSet.contains(a) => a
+        case _ => return None
+      }
+      if (!leftKeys.forall(k => gAttrs.exists(_.semanticEquals(k))))
+        return None
+
+      val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      }).distinct
+      if (aggCalls.isEmpty) return None
+
+      // classify: Left(pushed partial) vs Right(collapsed to its arg)
+      val classified: Seq[(AggregateExpression, Either[Alias, Expression])] =
+        aggCalls.map { ae =>
+          if (ae.isDistinct || ae.filter.isDefined) return None
+          val refs = ae.references
+          if (refs.subsetOf(left.outputSet)) // incl. count(*): no refs
+            ae -> scala.util.Left(Alias(ae, "_eager")())
+          else if (refs.nonEmpty && refs.subsetOf(right.outputSet)) {
+            val collapsed = ae.aggregateFunction match {
+              case First(c, _) => c
+              case Last(c, _) => c
+              case Min(c) => c
+              case Max(c) => c
+              case AnyValue(c, _) => c
+              case _ => return None
+            }
+            ae -> scala.util.Right(collapsed)
+          } else return None
+        }
+
+      val partials = classified.collect { case (ae, scala.util.Left(al)) => ae -> al }
+      val partialAgg = Aggregate(
+        gAttrs, (gAttrs: Seq[NamedExpression]) ++ partials.map(_._2), left)
+      val newJoin = Join(partialAgg, right, joinType, condOpt, hint)
+
+      val replaced = agg.aggregateExpressions.map { ne =>
+        ne.transformDown {
+          case ae: AggregateExpression =>
+            classified.find(_._1.semanticEquals(ae)).get._2 match {
+              case scala.util.Left(al) => al.toAttribute
+              case scala.util.Right(c) => c
+            }
+        }.asInstanceOf[NamedExpression]
+      }
+      Some(Project(replaced, newJoin))
+    }
+
+    /** Is `plan` guaranteed to have at most one row per value of
+      * `keys`? True when the walk to a leaf crosses only row-
+      * multiplicity-preserving nodes and the (single) key attribute
+      * carries the base-table uniqueness metadata, or when an
+      * intervening Aggregate groups by a subset of the keys. */
+    private def uniqueOn(keys: Seq[Attribute],
+        plan: LogicalPlan): Boolean = plan match {
+      case Aggregate(ge, _, _, _) =>
+        ge.nonEmpty && ge.forall {
+          case a: Attribute => keys.exists(_.semanticEquals(a))
+          case _ => false
+        }
+      case Distinct(child) => child.outputSet.subsetOf(AttributeSet(keys))
+      case Project(_, child) => uniqueOn(keys, child)
+      case Filter(_, child) => uniqueOn(keys, child)
+      case SubqueryAlias(_, child) => uniqueOn(keys, child)
+      case s: Sort => uniqueOn(keys, s.child)
+      case _: LeafNode =>
+        keys.size == 1 &&
+          keys.head.metadata.contains(graft.sources.Tables.UniqueMetaKey) &&
+          keys.head.metadata.getBoolean(graft.sources.Tables.UniqueMetaKey)
+      case _ => false
     }
 
     private def splitConjunctive(e: Expression): Seq[Expression] = e match {

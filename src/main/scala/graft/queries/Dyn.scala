@@ -156,6 +156,18 @@ object Dyn {
     "dyn_fuzz_log" -> ((s, d) =>
       graft.ql.DynFuzz.run(s, t(s, d, "orders"), seed = 47L)),
 
+    // Round-11: pinned seeds of the two dyn surfaces fz_dyn doesn't
+    // reach — secondary-index SYNC maintenance under randomized DML
+    // (index view ≡ primary projection at every horizon; the oracle
+    // projects the merged primary, never running the maintenance) and
+    // queue-consumer exactly-once under randomized pull/advance/trim
+    // interleavings (consumed multiset ≡ the queue; the oracle is the
+    // queue itself). FuzzSweep runs `fz_dynidx` / `fz_dynq` fresh.
+    "dyn_fuzz_index" -> ((s, d) =>
+      graft.ql.DynIndexFuzz.run(s, t(s, d, "orders"), seed = 53L)),
+    "dyn_fuzz_queue" -> ((s, d) =>
+      graft.ql.DynQueueFuzz.run(s, t(s, d, "events"), seed = 59L)),
+
     // Point lookup of a key set (MultiLookupRows,
     // dynamic_table_client.h:104-108): key IN-predicate prunes the scan
     // before the merge.
@@ -530,6 +542,8 @@ object Dyn {
          GROUP BY tablet_index""",
 
     "dyn_fuzz_log" -> graft.ql.DynFuzz.oracleSql(47L),
+    "dyn_fuzz_index" -> graft.ql.DynIndexFuzz.oracleSql(53L),
+    "dyn_fuzz_queue" -> graft.ql.DynQueueFuzz.oracleSql(59L),
 
     // compaction is invisible: the oracle is the full-history merge
     "dyn_compact" ->

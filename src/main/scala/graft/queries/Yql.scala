@@ -115,6 +115,51 @@ object Yql {
     }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PG-syntax frontend (translation_settings.cpp:131 `--!syntax_pg` →
+    // pg_sql.cpp): the scoped read-side subset through graft.functions.
+    // PgSql — CTE, ::casts with PG type names, || concat, the ~/~~
+    // match-operator family (incl. (?i) via ~*), E'' escapes, ""
+    // identifiers, positional $n params, LIMIT/OFFSET.
+    "yql_pg_select" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      graft.functions.PgSql.sql(s,
+        """--!syntax_pg
+          |WITH big AS (
+          |  SELECT o_custkey, count(*)::int8 AS n,
+          |         sum(o_totalprice) AS sp
+          |  FROM orders
+          |  WHERE o_orderpriority ~~ '1-URG%'
+          |     OR o_orderpriority ~* $1
+          |  GROUP BY o_custkey
+          |)
+          |SELECT c.c_custkey, c.c_name || E'\t' || c.c_mktsegment AS tag,
+          |       big.n, (big.n * 3)::numeric(12,2)::float8 AS n3,
+          |       round(big.sp::numeric(18,4), 2)::float8 AS sp,
+          |       strpos(c.c_name, $3)::int8 AS at_sub
+          |FROM customer AS c
+          |JOIN big ON c.c_custkey = big.o_custkey
+          |WHERE c.c_name !~~ '%00001%' AND c.c_mktsegment ~ $2
+          |ORDER BY big.n DESC, c.c_custkey
+          |LIMIT 40 OFFSET 5""".stripMargin,
+        Map("1" -> "'^2-high'", "2" -> "'^(BUIL|AUTO)'",
+          "3" -> "'mer#0000'"))
+    }),
+    // Hyperscan:: audited surface (hyperscan_udf.cpp — NOT a Pire
+    // alias): Match anchors TEXTUALLY (^p$ ungrouped :135, so
+    // alternation splits across the anchors), Capture returns the
+    // whole matched substring (:260-290), Replace splices literally
+    // (:344-360). The oracle replays each contract first-principles.
+    "yql_fn_hyperscan" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      graft.functions.YqlSql.sql(s,
+        """SELECT p_partkey,
+          |  Hyperscan::Match('almond|lace')(p_name) AS m_alt,
+          |  Hyperscan::Match('(?i)STANDARD.*')(p_type) AS m_ci,
+          |  Hyperscan::Grep('o[nl]')(p_name) AS g,
+          |  Hyperscan::Capture('[a-z]+ss[a-z]*')(p_name) AS cap,
+          |  Hyperscan::Replace('[aeiou]+')(p_brand, '$.') AS repl
+          |FROM part""".stripMargin)
+    }),
     // Ranking window family. Order keys end in the unique o_orderkey so
     // every rank is total (ties would be engine-dependent).
     "yql_window_rank" -> ((s, d) => {
@@ -2143,6 +2188,35 @@ object Yql {
     }))
 
   val oracles: Map[String, String] = Map(
+    // textual ^p$ anchoring: '^almond|lace$' is (^almond)|(lace$);
+    // capture = whole first match; replace = literal splice
+    "yql_fn_hyperscan" ->
+      """SELECT p_partkey,
+           regexp_matches(p_name, '^almond|lace$') AS m_alt,
+           regexp_matches(p_type, '(?i)^STANDARD.*$') AS m_ci,
+           regexp_matches(p_name, 'o[nl]') AS g,
+           CASE WHEN regexp_matches(p_name, '[a-z]+ss[a-z]*')
+                THEN regexp_extract(p_name, '[a-z]+ss[a-z]*', 0) END AS cap,
+           regexp_replace(p_brand, '[aeiou]+', '$.', 'g') AS repl
+         FROM part""",
+    "yql_pg_select" ->
+      """WITH big AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                  sum(o_totalprice) AS sp
+           FROM orders
+           WHERE o_orderpriority LIKE '1-URG%'
+              OR regexp_matches(o_orderpriority, '(?i)^2-high')
+           GROUP BY o_custkey)
+         SELECT c.c_custkey, c.c_name || chr(9) || c.c_mktsegment AS tag,
+                big.n,
+                CAST(CAST(big.n * 3 AS DECIMAL(12,2)) AS DOUBLE) AS n3,
+                CAST(ROUND(CAST(big.sp AS DECIMAL(18,4)), 2) AS DOUBLE) AS sp,
+                CAST(strpos(c.c_name, 'mer#0000') AS BIGINT) AS at_sub
+         FROM customer c JOIN big ON c.c_custkey = big.o_custkey
+         WHERE c.c_name NOT LIKE '%00001%'
+           AND regexp_matches(c.c_mktsegment, '^(BUIL|AUTO)')
+         ORDER BY big.n DESC, c.c_custkey
+         LIMIT 40 OFFSET 5""",
     "yql_window_rank" ->
       """SELECT o_orderkey, o_orderpriority, rn, rnk, drnk, quartile FROM (
            SELECT o_orderkey, o_orderpriority,

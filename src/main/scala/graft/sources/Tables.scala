@@ -18,6 +18,31 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Single-column unique keys of the catalog tables — schema-level
+    * facts of the data model (TPC-H primary keys; the synthetic tables'
+    * generated row ids). The reference derives the same property from
+    * sorted-table schemas' unique flags and uses it to drive join
+    * rewrites (yql_yt_join_impl.cpp:1030-1150); here it rides as column
+    * metadata on the loaded DataFrame so optimizer rules
+    * (plans/PushDownGroupBy) can prove "≤1 right row per key" at plan
+    * time. lineitem's key is composite — no single-column entry.
+    */
+  val uniqueKeys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** Metadata key marking an attribute as unique in its base table. */
+  val UniqueMetaKey = "graft.unique"
+
+  private def tagUnique(df: DataFrame, name: String): DataFrame =
+    uniqueKeys.get(name).filter(df.columns.contains).fold(df) { k =>
+      df.withMetadata(k, new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(UniqueMetaKey, true).build())
+    }
+
   /** Load one table. Never caches — Catalyst column pruning + filter
     * pushdown on the parquet scan beat an uncompressed memory cache at
     * 100 TB scale.
@@ -32,7 +57,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events") {
+    val normalized = if (name == "events") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
       df.schema("ts").dataType match {
@@ -43,6 +68,7 @@ object Tables {
         case _ => df
       }
     } else df
+    tagUnique(normalized, name)
   }
 
   /** Register every table in `dir` as a temp view (idempotent). */

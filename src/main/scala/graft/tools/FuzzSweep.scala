@@ -185,6 +185,13 @@ object FuzzSweep {
       queries(s"fz_dyn_$seed") = (() =>
         graft.ql.DynFuzz.run(spark, orders, seed),
         graft.ql.DynFuzz.oracleSql(seed))
+      queries(s"fz_dynidx_$seed") = (() =>
+        graft.ql.DynIndexFuzz.run(spark, orders, seed),
+        graft.ql.DynIndexFuzz.oracleSql(seed))
+      queries(s"fz_dynq_$seed") = (() =>
+        graft.ql.DynQueueFuzz.run(spark,
+          graft.sources.Tables.load(spark, sfDir, "events"), seed),
+        graft.ql.DynQueueFuzz.oracleSql(seed))
       queries(s"fz_paths_$seed") = (() => {
         graft.queries.Yql.tablePathFixture(spark, sfDir)
         val dir = graft.queries.Yql.tablePathDir(sfDir)

@@ -103,6 +103,30 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.lshAutoParams(2000000L, 0.97)._1 <= m16)
   }
 
+  test("embedding LSH scratch budget caps the chunk count and reports " +
+      "the achieved miss probability") {
+    val n = 8000000L // sf100-scale corpus
+    val (m0, cb0) = Dedup.lshAutoParams(n, 0.9)
+    // roomy budget: design point untouched
+    val (mBig, cbBig, missBig) =
+      Dedup.lshParamsForBudget(n, 0.9, 0.01, Long.MaxValue)
+    assert((mBig, cbBig, missBig) == ((m0, cb0, 0.01)))
+    // tight budget (10 GiB at 160 B/row · 8M rows → 8 chunks max):
+    // m shrinks to fit, cb unchanged, achieved miss honestly > target
+    val tight = 10L << 30
+    val (mFit, cbFit, missFit) = Dedup.lshParamsForBudget(n, 0.9, 0.01, tight)
+    assert(mFit.toLong * n * Dedup.lshBandedRowBytes <= tight,
+      s"m=$mFit does not fit the budget")
+    assert(cbFit == cb0 && mFit < m0 && missFit > 0.01,
+      s"($mFit, $cbFit, $missFit) vs design ($m0, $cb0)")
+    // achieved miss = (1-(1-p)^cb)^m exactly
+    val p = math.acos(0.9) / math.Pi
+    val expect = math.pow(1 - math.pow(1 - p, cbFit), mFit)
+    assert(math.abs(missFit - expect) < 1e-12)
+    // floor: never below 2 chunks even under an absurd budget
+    assert(Dedup.lshParamsForBudget(n, 0.9, 0.01, 1L)._1 == 2)
+  }
+
   test("embedding LSH auto mode delegates sub-regime thresholds to the exact grid") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 60).map(i =>

@@ -112,6 +112,73 @@ class PlanContractSpec extends SparkSpec {
     assert(aggBelowJoin, "no partial aggregate below the join:\n" + optimized)
   }
 
+  test("yql_agg_some: eager aggregation fires through the unique-key " +
+      "join (aggregate below, no aggregate above)") {
+    // EagerAggUniqueJoinRule (yql_yt_join_impl.cpp:1030-1150): orders
+    // is unique on o_orderkey (graft.unique metadata), the grouping is
+    // the left join key, count(*) pushes into a pre-aggregate on
+    // lineitem and any_value(o_orderstatus) collapses to the plain
+    // column — the 60M⋈15M-shaped join consumes |groups| rows and NO
+    // aggregate remains above the join.
+    val df = run("yql_agg_some")
+    val optimized = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = optimized.collect { case j: Join => j }
+    assert(joins.nonEmpty, optimized.toString)
+    // pre-aggregate on the LEFT (lineitem) side of the join
+    val aggBelow = joins.exists(_.left.collectFirst {
+      case a: Aggregate => a }.isDefined)
+    assert(aggBelow, "no pre-aggregate below the join:\n" + optimized)
+    // no aggregate above any join
+    def aboveJoin(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: Join => false
+      case a: Aggregate => a.collectFirst { case _: Join => () }.isDefined
+      case other => other.children.exists(aboveJoin)
+    }
+    assert(!aboveJoin(optimized),
+      "aggregate still above the join:\n" + optimized)
+  }
+
+  test("eager aggregation through a unique-key join: values identical " +
+      "to the unrewritten plan (inner + left outer, null keys, " +
+      "unmatched groups)") {
+    import org.apache.spark.sql.functions._
+    // a session WITHOUT the rewrite rules = the semantic baseline
+    val bare = spark.newSession()
+    def results(s: org.apache.spark.sql.SparkSession) = {
+      val l = graft.sources.Tables.load(s, sfDir, "lineitem")
+      val o = graft.sources.Tables.load(s, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(any_value(col("o_orderstatus")).as("some_status"),
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).as("qty"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 100))).sortBy(_._1)
+    }
+    assert(results(spark).toSeq == results(bare).toSeq)
+    // synthetic: left outer + null keys + unmatched keys; right made
+    // unique via groupBy (the Aggregate arm of uniqueOn)
+    import spark.implicits._
+    def syn(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      val l = Seq((Some(1L), 10), (Some(1L), 20), (Some(2L), 30),
+        (None, 40), (None, 50), (Some(9L), 60))
+        .toDF("k", "v") // k=9 unmatched, None keys
+      val r = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("rk", "tag").groupBy("rk").agg(first("tag").as("tag"))
+      l.join(r, l("k") === r("rk"), "left_outer")
+        .groupBy(col("k"))
+        .agg(min(col("tag")).as("t"), count(lit(1)).as("n"),
+          sum(col("v")).as("sv"))
+        .collect().map(r0 => (Option(r0.get(0)), Option(r0.get(1)),
+          r0.getLong(2), r0.getLong(3))).sortBy(_._1.map(_.toString))
+    }
+    assert(syn(spark).toSeq == syn(bare).toSeq)
+  }
+
   test("op_join_reduce never re-shuffles the joined stream") {
     // The joined stream is the biggest intermediate of a JoinReduce; the
     // only exchanges allowed are the per-input ones BELOW the join. After

@@ -87,7 +87,15 @@ class PlanSweepSpec extends SparkSpec {
     // a key-grouped merge + its single-row summary aggregate (~2
     // shuffles per case); retention adds a window pass, the
     // transaction case a staged-batch union — per-case budget ~2.5
-    "dyn_fuzz_log" -> 22)
+    "dyn_fuzz_log" -> 22,
+    // index-maintenance fuzz: 5 INDEPENDENT cases unioned, each a
+    // window pass over the primary log (maintenance replay) + the
+    // index-key merge + its single-row summary (~3 shuffles per case)
+    "dyn_fuzz_index" -> 16,
+    // queue fuzz: per-case summary aggregates over the consumed
+    // batches + the retained-tail window + producer push — the pull
+    // loop itself is collect-driven, so only summaries shuffle
+    "dyn_fuzz_queue" -> 8)
 
   /** Deep plan census. Each plan INSTANCE counts once: a scalar
     * subquery referenced from several scans is one execution, not one
