@@ -372,6 +372,107 @@ object PgSql {
       }
     s = replaceTopLevel(s, "(?i)(?<![A-Za-z0-9_])now\\s*\\(\\s*\\)",
       "current_timestamp()")
+    s = rewriteExtractEpoch(s)
+    s = rewriteGenerateSeries(s)
     s
+  }
+
+  /** `extract(epoch from x)` → seconds-since-epoch as DOUBLE (PG
+    * returns a fractional numeric; `unix_micros` keeps sub-second
+    * precision). Spark's own EXTRACT covers every other field, so
+    * only the `epoch` keyword rewrites; the inner expression is cast
+    * to timestamp first (PG accepts date/timestamp alike). */
+  private def rewriteExtractEpoch(sql: String): String = {
+    var s = sql
+    var m = "(?i)(?<![A-Za-z0-9_])extract\\s*\\(\\s*epoch\\s+from\\s".r
+      .findFirstMatchIn(YqlScript.maskQuotes(s))
+    while (m.isDefined) {
+      val open = s.indexOf('(', m.get.start)
+      val close = YqlScript.matchParen(s, open)
+      val inner = s.substring(m.get.end - 1, close).trim
+      s = s.substring(0, m.get.start) +
+        s"(CAST(unix_micros(CAST(($inner) AS TIMESTAMP)) AS DOUBLE) / 1000000.0)" +
+        s.substring(close + 1)
+      m = "(?i)(?<![A-Za-z0-9_])extract\\s*\\(\\s*epoch\\s+from\\s".r
+        .findFirstMatchIn(YqlScript.maskQuotes(s))
+    }
+    s
+  }
+
+  /** `FROM generate_series(a, b [, step])` — PG's ubiquitous rowset
+    * generator — becomes a Spark lateral-free subquery
+    * `(SELECT explode(sequence(a, b [, step])) AS generate_series)`;
+    * a following `AS g(i)` column-alias list is Spark-native and
+    * passes through. Outside table position (select-list SRFs) the
+    * construct raises with a named reason, like the other
+    * out-of-subset PG forms. */
+  private def rewriteGenerateSeries(sql: String): String = {
+    var s = sql
+    var found = true
+    while (found) {
+      val masked = YqlScript.maskQuotes(s)
+      "(?i)(?<![A-Za-z0-9_])generate_series\\s*\\(".r
+        .findFirstMatchIn(masked) match {
+        case None => found = false
+        case Some(m) =>
+          // table position = preceded (ignoring whitespace) by FROM,
+          // JOIN or a comma inside a FROM list; anything else is a
+          // select-list set-returning call — out of subset
+          val before = masked.substring(0, m.start)
+          val afterKw = "(?is).*(\\bfrom|\\bjoin)\\s*$".r
+            .pattern.matcher(before).matches()
+          // a comma counts as table position only when the current
+          // CLAUSE is a FROM list (last FROM after last SELECT at the
+          // call's own paren depth — nested subqueries, including
+          // already-rewritten generate_series calls, are blanked out)
+          val ctx = clauseContext(before).toLowerCase
+          val afterComma = "(?s).*,\\s*$".r.pattern.matcher(ctx).matches() &&
+            ctx.lastIndexOf("from") > ctx.lastIndexOf("select")
+          val tablePos = afterKw || afterComma
+          if (!tablePos) throw new IllegalArgumentException(
+            "generate_series outside FROM position is a set-returning " +
+              "function in the select list — not in the bound PG " +
+              "subset; move it to the FROM clause")
+          val open = s.indexOf('(', m.start)
+          val close = YqlScript.matchParen(s, open)
+          val args = YqlScript.splitTopLevel(s.substring(open + 1, close))
+          require(args.length == 2 || args.length == 3,
+            "generate_series takes (start, stop [, step])")
+          s = s.substring(0, m.start) +
+            s"(SELECT explode(sequence(${args.map(_.trim).mkString(", ")})) " +
+            "AS generate_series)" + s.substring(close + 1)
+      }
+    }
+    s
+  }
+
+  /** The text of the CURRENT clause: characters at the same paren
+    * depth as the end of `before`, from where that depth was last
+    * entered; everything nested deeper (subqueries) or shallower
+    * (enclosing query) blanks to spaces. */
+  private def clauseContext(before: String): String = {
+    val n = before.length
+    val atDepth = new Array[Int](n)
+    var depth = 0
+    var i = 0
+    while (i < n) {
+      val ch = before.charAt(i)
+      if (ch == '(') { atDepth(i) = depth; depth += 1 }
+      else if (ch == ')') { depth -= 1; atDepth(i) = depth }
+      else atDepth(i) = depth
+      i += 1
+    }
+    var start = 0
+    i = 0
+    while (i < n) { if (atDepth(i) < depth) start = i + 1; i += 1 }
+    val sb = new StringBuilder
+    i = start
+    while (i < n) {
+      val ch = before.charAt(i)
+      sb.append(
+        if (atDepth(i) == depth && ch != '(' && ch != ')') ch else ' ')
+      i += 1
+    }
+    sb.toString
   }
 }

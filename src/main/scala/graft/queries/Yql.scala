@@ -120,6 +120,16 @@ object Yql {
     // PgSql — CTE, ::casts with PG type names, || concat, the ~/~~
     // match-operator family (incl. (?i) via ~*), E'' escapes, ""
     // identifiers, positional $n params, LIMIT/OFFSET.
+    // PG-frontend differential fuzz (PgFuzz): random queries inside
+    // the bound subset, rendered once as PG text for the translator
+    // and once as DuckDB SQL — DuckDB's dialect is itself PG-flavored,
+    // so `::`/`||`/E''/~~-family lexemes ship VERBATIM to the oracle
+    // and any mismatch is a translator bug, not dialect noise.
+    "yql_fuzz_pg" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      val (pg, params, _) = graft.ql.PgFuzz.render(34, seed = 1107L)
+      graft.functions.PgSql.sql(s, pg, params)
+    }),
     "yql_pg_select" -> ((s, d) => {
       graft.sources.Tables.registerAll(s, d)
       graft.functions.PgSql.sql(s,
@@ -2199,6 +2209,7 @@ object Yql {
                 THEN regexp_extract(p_name, '[a-z]+ss[a-z]*', 0) END AS cap,
            regexp_replace(p_brand, '[aeiou]+', '$.', 'g') AS repl
          FROM part""",
+    "yql_fuzz_pg" -> graft.ql.PgFuzz.render(34, seed = 1107L)._3,
     "yql_pg_select" ->
       """WITH big AS (
            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,

@@ -182,6 +182,11 @@ object FuzzSweep {
           .map { case ((_, d), i) => s"$d AS x$i" }.mkString(", ")
         s"SELECT o_orderkey AS id, $dk FROM orders WHERE o_orderkey < 3000"
       })
+      queries(s"fz_pg_$seed") = (() => {
+        orders.createOrReplaceTempView("orders")
+        val (pg, params, _) = graft.ql.PgFuzz.render(24, seed)
+        graft.functions.PgSql.sql(spark, pg, params)
+      }, graft.ql.PgFuzz.render(24, seed)._3)
       queries(s"fz_dyn_$seed") = (() =>
         graft.ql.DynFuzz.run(spark, orders, seed),
         graft.ql.DynFuzz.oracleSql(seed))

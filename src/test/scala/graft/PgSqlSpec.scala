@@ -133,4 +133,37 @@ class PgSqlSpec extends SparkSpec {
     assert(r.getString(1) == "x ~~ y")
     assert(r.getString(2) == "$1")
   }
+
+  test("generate_series in FROM position (incl. step + column alias); " +
+      "select-list SRF raises") {
+    val rows = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT i * 10 AS x
+        |FROM generate_series(2, 4) AS g(i)
+        |ORDER BY i""".stripMargin).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(20, 30, 40))
+    val joined = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT count(*)::int8 AS n
+        |FROM generate_series(1, 3) AS a(i), generate_series(1, 4, 2) AS b(j)
+        |WHERE a.i <= b.j""".stripMargin).head()
+    // i ∈ {1,2,3}, j ∈ {1,3}; i≤j → (1,1),(1,3),(2,3),(3,3)
+    assert(joined.getLong(0) == 4L)
+    val srf = intercept[IllegalArgumentException] {
+      PgSql.translate("--!syntax_pg\nSELECT a, generate_series(1, 3) FROM t")
+    }
+    assert(srf.getMessage.contains("generate_series"), srf.getMessage)
+  }
+
+  test("extract(epoch from x) maps to fractional seconds; other " +
+      "fields pass through to Spark's EXTRACT") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT extract(epoch from '2020-01-01 00:00:01.25'::timestamp) AS ep,
+        |  extract(epoch from '1970-01-01'::date) AS zero,
+        |  extract(year from '2020-05-17'::date)::int4 AS y""".stripMargin)
+    assert(r.getDouble(0) == 1577836801.25)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getInt(2) == 2020)
+  }
 }
