@@ -172,6 +172,24 @@ object PushDownGroupBy {
     * groups atomically (the whole group shares the key); left outer
     * keeps them with NULL right columns, exactly what each collapse-
     * safe aggregate returns over an absent right row.
+    *
+    * COST GATE (the `spark.graft.eagerAggUniqueJoin` conf:
+    * off | auto | force, default auto): the rewrite trades the join's
+    * probe volume for an extra full aggregation pass over L, and that
+    * trade INVERTS when the pre-aggregate needs its own exchange at
+    * low key fan-in — the round-11 interleaved A/B measured
+    * yql_agg_some (~4 lineitem rows/order) at sf10 on=11.8 s vs
+    * off=14.5 s but at sf100 on=308 s vs off=112 s: past memory scale
+    * the extra 600M-row hash pass costs 3× what the 4× probe shrink
+    * saves. The reference fires this rewrite from SORTED-table
+    * schemas, where the pre-aggregate rides the existing key order
+    * for free (yql_yt_join_impl.cpp:1030-1150) — `auto` mirrors that
+    * exact condition: fire only when the left leaf's bucket layout
+    * covers the grouping keys, so the pre-aggregate inherits the
+    * scan's hash partitioning and inserts NO exchange; then the
+    * rewrite strictly removes work (agg input = scan either way, join
+    * probe shrinks |L|→|groups|). `force` keeps the unconditional
+    * rewrite for layouts the rule cannot see.
     */
   object EagerAggUniqueJoinRule extends Rule[LogicalPlan] {
 
@@ -183,7 +201,11 @@ object PushDownGroupBy {
         rewrite(agg, join).getOrElse(agg)
     }
 
+    private def mode: String = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.eagerAggUniqueJoin", "auto")
+
     private def rewrite(agg: Aggregate, join: Join): Option[LogicalPlan] = {
+      if (mode == "off") return None
       val Join(left, right, joinType, condOpt, hint) = join
       if (joinType != Inner && joinType != LeftOuter) return None
       val cond = condOpt.getOrElse(return None)
@@ -210,6 +232,12 @@ object PushDownGroupBy {
       }
       if (!leftKeys.forall(k => gAttrs.exists(_.semanticEquals(k))))
         return None
+
+      // cost gate (see object Scaladoc): in auto mode the pre-aggregate
+      // must be exchange-free — the left leaf's bucket layout covers
+      // the grouping keys, so the aggregate inherits the scan's hash
+      // partitioning and the rewrite strictly removes work
+      if (mode != "force" && !exchangeFreePreAgg(gAttrs, left)) return None
 
       val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
         case ae: AggregateExpression => ae
@@ -251,6 +279,31 @@ object PushDownGroupBy {
         }.asInstanceOf[NamedExpression]
       }
       Some(Project(replaced, newJoin))
+    }
+
+    /** Does grouping `plan` by `keys` need NO exchange? True when the
+      * walk to the leaf crosses only row-preserving, non-renaming
+      * nodes and the leaf is a bucketed relation whose bucket columns
+      * are a subset of the grouping keys — the scan then reports
+      * HashPartitioning(bucketCols), which satisfies the aggregate's
+      * clustering requirement (rows sharing a full grouping tuple
+      * share the bucket-column value, hence the bucket). */
+    private def exchangeFreePreAgg(keys: Seq[Attribute],
+        plan: LogicalPlan): Boolean = plan match {
+      case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
+        exchangeFreePreAgg(keys, child)
+      case Filter(_, child) => exchangeFreePreAgg(keys, child)
+      case SubqueryAlias(_, child) => exchangeFreePreAgg(keys, child)
+      case s: Sort => exchangeFreePreAgg(keys, s.child)
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.bucketSpec.exists(spec => spec.bucketColumnNames.nonEmpty &&
+              spec.bucketColumnNames.forall(bc =>
+                keys.exists(_.name.equalsIgnoreCase(bc))))
+          case _ => false
+        }
+      case _ => false
     }
 
     /** Is `plan` guaranteed to have at most one row per value of

@@ -114,6 +114,35 @@ object Yql {
       ()
     }
 
+  /** Per-sf-dir lineitem stored bucketed+sorted by l_orderkey — the
+    * engine-side analog of the reference's sorted-table storage, used
+    * by `yql_agg_some_sorted` to exercise the layout-gated eager
+    * aggregation. Written once per sf dir (catalog table name carries
+    * the dir's basename). */
+  private[graft] def bucketedLineitem(s: SparkSession, d: String)
+      : DataFrame = this.synchronized {
+    val tbl = "li_bkt_" +
+      new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    if (!s.catalog.tableExists(tbl)) {
+      val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), tbl)
+      if (loc.exists)
+        // the DATA survives from an earlier process but the default
+        // in-memory catalog does not — re-attach the bucketed files
+        // as an external table (same layout DDL saveAsTable recorded)
+        s.sql(s"""CREATE TABLE $tbl (l_orderkey BIGINT, l_quantity DOUBLE)
+                  USING parquet
+                  CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+                  INTO 32 BUCKETS
+                  LOCATION '${loc.toURI}'""")
+      else
+        graft.sources.Tables.writeBucketed(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          tbl, 32, Seq("l_orderkey"))
+    }
+    s.table(tbl)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PG-syntax frontend (translation_settings.cpp:131 `--!syntax_pg` →
     // pg_sql.cpp): the scoped read-side subset through graft.functions.
@@ -2054,6 +2083,25 @@ object Yql {
           count(lit(1)).as("n_lines"))
     }),
 
+    // The same SOME-shaped aggregate over a lineitem stored
+    // bucketed+sorted by its key — the layout the reference's
+    // eager-aggregation rewrite keys off (sorted-table schemas,
+    // yql_yt_join_impl.cpp:1030-1150). EagerAggUniqueJoinRule's auto
+    // mode fires here: the pre-aggregate inherits the scan's bucket
+    // partitioning (no exchange), the join probes |groups| rows
+    // instead of |lineitem|, and no aggregate remains above the join.
+    // On the UNbucketed yql_agg_some the rule deliberately stays off —
+    // the round-11 sf100 A/B measured the unconditional rewrite 2.8×
+    // SLOWER there (extra 600M-row hash pass at ~4 rows/key fan-in).
+    "yql_agg_some_sorted" -> ((s, d) => {
+      val l = bucketedLineitem(s, d)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(any_value(col("o_orderstatus")).as("some_status"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // SessionWindow inside OVER (yql_opt_window.cpp:3364-3377
     // SessionWindowTraits + the session_start aggregate): sessionize by
     // a 6h gap, then window functions PARTITION BY the session —
@@ -3374,6 +3422,13 @@ object Yql {
            wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "yql_agg_some" ->
+      """SELECT l_orderkey, min(o_orderstatus) AS some_status,
+           COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey""",
+    // same rows as yql_agg_some — bucketing changes the layout, never
+    // the values
+    "yql_agg_some_sorted" ->
       """SELECT l_orderkey, min(o_orderstatus) AS some_status,
            COUNT(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -112,40 +112,58 @@ class PlanContractSpec extends SparkSpec {
     assert(aggBelowJoin, "no partial aggregate below the join:\n" + optimized)
   }
 
-  test("yql_agg_some: eager aggregation fires through the unique-key " +
-      "join (aggregate below, no aggregate above)") {
+  test("yql_agg_some_sorted: eager aggregation fires through the " +
+      "unique-key join on the BUCKETED layout (aggregate below, none " +
+      "above, one exchange total); the unbucketed plan stays unrewritten") {
     // EagerAggUniqueJoinRule (yql_yt_join_impl.cpp:1030-1150): orders
     // is unique on o_orderkey (graft.unique metadata), the grouping is
     // the left join key, count(*) pushes into a pre-aggregate on
     // lineitem and any_value(o_orderstatus) collapses to the plain
-    // column — the 60M⋈15M-shaped join consumes |groups| rows and NO
-    // aggregate remains above the join.
-    val df = run("yql_agg_some")
-    val optimized = df.queryExecution.optimizedPlan
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    val joins = optimized.collect { case j: Join => j }
-    assert(joins.nonEmpty, optimized.toString)
-    // pre-aggregate on the LEFT (lineitem) side of the join
-    val aggBelow = joins.exists(_.left.collectFirst {
-      case a: Aggregate => a }.isDefined)
-    assert(aggBelow, "no pre-aggregate below the join:\n" + optimized)
-    // no aggregate above any join
-    def aboveJoin(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Boolean = p match {
+    // column. The AUTO cost gate mirrors the reference's sorted-schema
+    // condition: the rewrite fires only where the left layout makes
+    // the pre-aggregate exchange-free (bucketed lineitem), because the
+    // round-11 sf100 interleaved A/B measured the unconditional
+    // rewrite 2.8× SLOWER on the plain scan (~4 rows/key fan-in).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def aggBelowJoin(p: LogicalPlan): Boolean =
+      p.collect { case j: Join => j }
+        .exists(_.left.collectFirst { case a: Aggregate => a }.isDefined)
+    def aggAboveJoin(p: LogicalPlan): Boolean = p match {
       case _: Join => false
       case a: Aggregate => a.collectFirst { case _: Join => () }.isDefined
-      case other => other.children.exists(aboveJoin)
+      case other => other.children.exists(aggAboveJoin)
     }
-    assert(!aboveJoin(optimized),
-      "aggregate still above the join:\n" + optimized)
+
+    val sorted = run("yql_agg_some_sorted")
+    val opt = sorted.queryExecution.optimizedPlan
+    assert(aggBelowJoin(opt), "no pre-aggregate below the join:\n" + opt)
+    assert(!aggAboveJoin(opt), "aggregate still above the join:\n" + opt)
+    // exchange-free contract: bucket layout feeds the pre-aggregate
+    // AND the join's left side — the only exchange is the orders side
+    val exchanges = sorted.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"bucketed eager-agg plan must shuffle only the unique side " +
+        s"($exchanges exchanges):\n" + sorted.queryExecution.executedPlan)
+
+    // plain parquet: the cost gate keeps the classic join-then-agg plan
+    val plain = run("yql_agg_some")
+    val optPlain = plain.queryExecution.optimizedPlan
+    assert(!aggBelowJoin(optPlain),
+      "cost gate breached — pre-aggregate on the unbucketed scan:\n" + optPlain)
+    assert(aggAboveJoin(optPlain), "expected join-then-agg:\n" + optPlain)
   }
 
   test("eager aggregation through a unique-key join: values identical " +
       "to the unrewritten plan (inner + left outer, null keys, " +
       "unmatched groups)") {
     import org.apache.spark.sql.functions._
+    // FORCE mode: the semantic contract must hold wherever the rewrite
+    // can fire, independent of the auto cost gate's layout condition
+    spark.conf.set("spark.graft.eagerAggUniqueJoin", "force")
     // a session WITHOUT the rewrite rules = the semantic baseline
     val bare = spark.newSession()
+    bare.conf.set("spark.graft.eagerAggUniqueJoin", "off")
     def results(s: org.apache.spark.sql.SparkSession) = {
       val l = graft.sources.Tables.load(s, sfDir, "lineitem")
       val o = graft.sources.Tables.load(s, sfDir, "orders")
@@ -158,6 +176,7 @@ class PlanContractSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           math.round(r.getDouble(3) * 100))).sortBy(_._1)
     }
+    try {
     assert(results(spark).toSeq == results(bare).toSeq)
     // synthetic: left outer + null keys + unmatched keys; right made
     // unique via groupBy (the Aggregate arm of uniqueOn)
@@ -177,6 +196,7 @@ class PlanContractSpec extends SparkSpec {
           r0.getLong(2), r0.getLong(3))).sortBy(_._1.map(_.toString))
     }
     assert(syn(spark).toSeq == syn(bare).toSeq)
+    } finally spark.conf.unset("spark.graft.eagerAggUniqueJoin")
   }
 
   test("op_join_reduce never re-shuffles the joined stream") {
