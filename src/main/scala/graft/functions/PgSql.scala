@@ -22,9 +22,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * - `"ident"` is a quoted identifier, translated to backticks.
   * - `''` doubling inside literals is the PG escape for a quote.
   *
+  * Also bound (round-11 widening): `DISTINCT ON (...)` (PG's
+  * first-row-per-group — rewritten to a row_number window, the exact
+  * lowering pg_sql.cpp's plan reaches), `ARRAY[...]` literals and
+  * 1-based subscripts (out-of-range and index<1 → NULL, as PG),
+  * `IS [NOT] DISTINCT FROM` (→ Spark's null-safe `<=>`),
+  * `string_agg` (NULL on empty group, unlike a bare concat),
+  * `array_agg` (NULL elements KEPT, via a struct wrap),
+  * `BETWEEN SYMMETRIC`, dollar-quoted strings (`$tag$...$tag$`),
+  * `[NOT] SIMILAR TO` with literal patterns (+ ESCAPE),
+  * `unnest(...)` in FROM position incl. WITH ORDINALITY,
+  * `cardinality`/`array_length(a,1)`/`array_to_string`/
+  * `string_to_array`, PG default NULL ordering (NULLS LAST asc /
+  * FIRST desc — the opposite of Spark's) injected into every sort.
+  *
   * Out-of-subset constructs raise with a named reason (the repo-wide
   * contract for unimplementable/unscoped surface): DML/DDL under PG
-  * syntax, dollar-quoted strings, DISTINCT ON.
+  * syntax, array slices `a[i:j]`, select-list set-returning
+  * functions, windowed/ordered string_agg and array_agg, multi-arg
+  * unnest, non-literal SIMILAR TO patterns.
   */
 object PgSql {
 
@@ -55,12 +71,74 @@ object PgSql {
           statementHead + "' statements are not bound under " +
           "--!syntax_pg — use the v1 dialect (pg_sql.cpp parses the " +
           "full statement surface; the scoped subset is read-side)")
-    if (YqlScript.maskQuotes(normalized)
-        .matches("(?is).*\\bDISTINCT\\s+ON\\s*\\(.*"))
-      throw new IllegalArgumentException(
-        "PG DISTINCT ON is not in the bound subset — rewrite as " +
-          "row_number() OVER (PARTITION BY ... ORDER BY ...) = 1")
-    rewriteFunctions(rewriteCasts(rewriteMatchOps(normalized)))
+    rewriteOrderNulls(rewriteFunctions(rewriteCasts(rewriteArrays(
+      rewriteIsDistinct(rewriteDistinctOn(rewriteMatchOps(normalized)))))))
+  }
+
+  /** PG's default null ordering is the OPPOSITE of Spark's: PG sorts
+    * NULLs LAST ascending and FIRST descending (the "NULLs are
+    * larger than everything" model); Spark defaults to NULLS FIRST
+    * ascending / LAST descending. Every ORDER BY item without an
+    * explicit NULLS clause — top-level sorts AND window-spec sorts —
+    * gets PG's default injected. */
+  private def rewriteOrderNulls(sql: String): String = {
+    val stops = Set("LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT",
+      "EXCEPT", "ROWS", "RANGE", "GROUPS", "WINDOW", "FOR")
+    // rightmost-first so a nested window ORDER BY is finished before
+    // its enclosing list is re-measured on the updated text
+    var text = sql
+    var searchEnd = text.length
+    var go = true
+    while (go) {
+      val masked = YqlScript.maskQuotes(text)
+      val m = "(?is)\\bORDER\\s+BY\\s".r.findAllMatchIn(masked)
+        .filter(_.start < searchEnd).foldLeft(
+          Option.empty[scala.util.matching.Regex.Match]) {
+          (acc, mm) => if (acc.forall(_.start < mm.start)) Some(mm) else acc
+        }
+      m match {
+        case None => go = false
+        case Some(mm) =>
+          // list end: same-depth clause keyword, enclosing ')', or EOS
+          var i = mm.end
+          var depth = 0
+          var end = masked.length
+          var stopped = false
+          while (i < masked.length && !stopped) {
+            val c = masked.charAt(i)
+            if (c == '(') depth += 1
+            else if (c == ')') {
+              depth -= 1
+              if (depth < 0) { end = i; stopped = true }
+            } else if (depth == 0 && c.isLetter &&
+                !(masked.charAt(i - 1).isLetterOrDigit ||
+                  masked.charAt(i - 1) == '_' ||
+                  masked.charAt(i - 1) == '.')) {
+              var j = i
+              while (j < masked.length &&
+                (masked.charAt(j).isLetterOrDigit ||
+                  masked.charAt(j) == '_')) j += 1
+              if (stops.contains(masked.substring(i, j).toUpperCase)) {
+                end = i; stopped = true
+              }
+              i = j - 1
+            }
+            i += 1
+          }
+          val items = YqlScript.splitTopLevel(text.substring(mm.end, end))
+          val rebuilt = items.map { raw =>
+            val it = raw.trim
+            if (it.isEmpty ||
+                it.matches("(?is).*\\bNULLS\\s+(FIRST|LAST)\\s*$")) raw
+            else if (it.matches("(?is).*\\bDESC\\s*$")) s" $it NULLS FIRST"
+            else s" $it NULLS LAST"
+          }.mkString(",")
+          text = text.substring(0, mm.end) + rebuilt + " " +
+            text.substring(end)
+          searchEnd = mm.start
+      }
+    }
+    text
   }
 
   /** Pass 1 — lexeme-level normalization: PG string literals (raw /
@@ -133,10 +211,23 @@ object PgSql {
         out.append('(').append(bound).append(')')
         i = j
       } else if (c == '$' && i + 1 < n &&
-          (q.charAt(i + 1) == '$' || q.charAt(i + 1).isLetter)) {
-        throw new IllegalArgumentException(
-          "PG dollar-quoted strings ($$...$$) are not in the bound " +
-            "subset — use '...' or E'...' literals")
+          (q.charAt(i + 1) == '$' || q.charAt(i + 1).isLetter ||
+            q.charAt(i + 1) == '_')) {
+        // dollar quoting: $tag$ raw body $tag$ (no escape processing
+        // at all — the body is the exact bytes between the delimiters)
+        var j = i + 1
+        while (j < n && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_'))
+          j += 1
+        if (j >= n || q.charAt(j) != '$')
+          throw new IllegalArgumentException(
+            s"malformed dollar-quote delimiter at offset $i")
+        val delim = q.substring(i, j + 1) // "$tag$" incl. both dollars
+        val bodyStart = j + 1
+        val close = q.indexOf(delim, bodyStart)
+        if (close < 0) throw new IllegalArgumentException(
+          s"unterminated dollar-quoted string ($delim) at offset $i")
+        out.append(sparkStringLiteral(q.substring(bodyStart, close)))
+        i = close + delim.length
       } else if (c == '-' && i + 1 < n && q.charAt(i + 1) == '-') {
         val eol = q.indexOf('\n', i)
         val end = if (eol < 0) n else eol
@@ -165,6 +256,193 @@ object PgSql {
     val m = "(?is)^\\s*(?:--[^\n]*\n|\\s|\\()*([A-Za-z_]+)".r
       .findFirstMatchIn(masked)
     m.map(_.group(1).toUpperCase).getOrElse("")
+  }
+
+  /** `SELECT DISTINCT ON (e1..ek) items FROM ... ORDER BY o1..on` —
+    * PG keeps the FIRST row of each e1..ek group in o-order (and
+    * requires the leftmost ORDER BY expressions to match the ON set,
+    * parse_clause.c's "SELECT DISTINCT ON expressions must match
+    * initial ORDER BY expressions"). Lowered to the window form the
+    * reference's planner itself reaches: rank rows per ON-group by
+    * the full ORDER BY and keep rank 1.
+    *
+    * Scope notes: ORDER BY items may be select-list aliases or
+    * ordinals — both are substituted with their expressions inside
+    * the window (where output aliases are not yet in scope). The
+    * outer ORDER BY re-sorts the one-row-per-group result by the ON
+    * expressions only (the remaining order items are tie-breakers
+    * WITHIN a group, already consumed by the window); table
+    * qualifiers are stripped there because the subquery boundary
+    * hides range names. DISTINCT ON combined with GROUP BY/HAVING or
+    * a qualified `t.*` raises named. */
+  private def rewriteDistinctOn(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val m = "(?is)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r
+      .findFirstMatchIn(masked).getOrElse {
+        if (masked.matches("(?is).*\\bDISTINCT\\s+ON\\s*\\(.*"))
+          throw new IllegalArgumentException(
+            "DISTINCT ON must directly follow SELECT (PG grammar)")
+        return sql
+      }
+    val onOpen = m.end - 1
+    val onClose = YqlScript.matchParen(sql, onOpen)
+    val onExprs = YqlScript.splitTopLevel(
+      sql.substring(onOpen + 1, onClose)).map(_.trim)
+
+    // clause positions at this SELECT's own depth, up to the span end
+    // (enclosing ')' or a top-level set-op keyword)
+    var spanEnd = sql.length
+    val kw = scala.collection.mutable.Map.empty[String, Int]
+    var limitStart = -1
+    locally {
+      var depth = 0
+      var i = onClose + 1
+      var stopped = false
+      while (i < masked.length && !stopped) {
+        val c = masked.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') {
+          depth -= 1
+          if (depth < 0) { spanEnd = i; stopped = true }
+        } else if (depth == 0 && c.isLetter &&
+            (i == 0 || !(masked.charAt(i - 1).isLetterOrDigit ||
+              masked.charAt(i - 1) == '_' || masked.charAt(i - 1) == '.'))) {
+          var j = i
+          while (j < masked.length && (masked.charAt(j).isLetterOrDigit ||
+            masked.charAt(j) == '_')) j += 1
+          val word = masked.substring(i, j).toUpperCase
+          word match {
+            case "UNION" | "INTERSECT" | "EXCEPT" =>
+              spanEnd = i; stopped = true
+            case "FROM" | "WHERE" | "GROUP" | "HAVING" | "WINDOW" |
+                "ORDER" | "LIMIT" | "OFFSET" | "FETCH" =>
+              if (!kw.contains(word)) kw(word) = i
+              if ((word == "LIMIT" || word == "OFFSET" || word == "FETCH")
+                  && limitStart < 0) limitStart = i
+            case _ =>
+          }
+          i = j - 1
+        }
+        i += 1
+      }
+    }
+    for (bad <- Seq("GROUP", "HAVING", "WINDOW"))
+      if (kw.contains(bad)) throw new IllegalArgumentException(
+        s"DISTINCT ON combined with $bad is not in the bound PG " +
+          "subset — aggregate in a CTE first")
+    val fromPos = kw.getOrElse("FROM", throw new IllegalArgumentException(
+      "DISTINCT ON without a FROM clause is not in the bound PG subset"))
+    val orderPos = kw.get("ORDER")
+    val restEnd = orderPos.orElse(Option(limitStart).filter(_ >= 0))
+      .getOrElse(spanEnd)
+    val items = sql.substring(onClose + 1, fromPos).trim
+    val rest = sql.substring(fromPos, restEnd)
+    val orderListText = orderPos.map { p =>
+      val end = if (limitStart >= 0) limitStart else spanEnd
+      sql.substring(p, end).replaceFirst("(?is)^ORDER\\s+BY\\s*", "")
+    }
+    val limitTail =
+      if (limitStart >= 0) sql.substring(limitStart, spanEnd) else ""
+
+    // alias / ordinal → expression, for ORDER BY items that name
+    // select-list outputs (not yet in scope inside the window)
+    val itemList = YqlScript.splitTopLevel(items).map(_.trim)
+    if (itemList.exists(it => it.endsWith(".*")))
+      throw new IllegalArgumentException(
+        "qualified `t.*` under DISTINCT ON is not in the bound PG " +
+          "subset — list the columns")
+    val asRe = "(?is)^(.*\\S)\\s+AS\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$".r
+    def aliasKey(raw: String): String =
+      raw.stripPrefix("`").stripSuffix("`").toLowerCase
+    val aliasToExpr: Map[String, String] = itemList.flatMap {
+      case asRe(expr, alias) => Some(aliasKey(alias) -> expr.trim)
+      case _ => None
+    }.toMap
+    val ordinalExpr: Int => String = { ord =>
+      if (ord < 1 || ord > itemList.length)
+        throw new IllegalArgumentException(
+          s"ORDER BY ordinal $ord is out of range for the select list")
+      itemList(ord - 1) match {
+        case asRe(expr, _) => expr.trim
+        case plain => plain
+      }
+    }
+    def norm(e: String): String =
+      e.replaceAll("\\s+", " ").trim.toLowerCase
+
+    // window ORDER BY: the full order list with aliases/ordinals
+    // substituted; PG's match rule checked on the leading k items
+    val dirRe =
+      "(?is)^(.*?)\\s*((?:ASC|DESC)?\\s*(?:NULLS\\s+(?:FIRST|LAST))?)$".r
+    val orderItems = orderListText.map(t =>
+      YqlScript.splitTopLevel(t).map(_.trim)).getOrElse(Seq.empty)
+    val substituted = orderItems.map { it =>
+      val dirRe(core, dir) = it
+      val c = core.trim
+      val expr =
+        if (c.matches("[0-9]+")) ordinalExpr(c.toInt)
+        else aliasToExpr.getOrElse(aliasKey(c), c)
+      (expr, dir.trim)
+    }
+    if (orderItems.nonEmpty) {
+      val lead = substituted.take(onExprs.length).map(p => norm(p._1))
+      val want = onExprs.map(norm)
+      val leadRaw = orderItems.take(onExprs.length)
+        .map { case dirRe(core, _) => norm(core) }
+      if (substituted.length < onExprs.length ||
+          (lead.toSet != want.toSet && leadRaw.toSet != want.toSet))
+        throw new IllegalArgumentException(
+          "SELECT DISTINCT ON expressions must match initial ORDER BY " +
+            "expressions")
+    }
+    val windowOrder =
+      if (substituted.nonEmpty)
+        substituted.map { case (e, d) =>
+          if (d.isEmpty) e else s"$e $d" }.mkString(", ")
+      else onExprs.mkString(", ")
+
+    // outer ORDER BY: only the group keys order the final result;
+    // strip table qualifiers (hidden by the subquery boundary)
+    def unqualify(e: String): String = {
+      val t = e.trim
+      if (t.matches("[A-Za-z_][A-Za-z0-9_]*\\.[A-Za-z_][A-Za-z0-9_]*"))
+        t.substring(t.indexOf('.') + 1)
+      else t
+    }
+    val outerOrder =
+      if (substituted.isEmpty) ""
+      else " ORDER BY " + substituted.take(onExprs.length)
+        .map { case (e, d) =>
+          val u = unqualify(e)
+          if (d.isEmpty) u else s"$u $d" }.mkString(", ")
+    val outerItems = itemList.map {
+      case "*" => "* EXCEPT (__pg_don_rn)"
+      case it => unqualifyTop(it)
+    }.mkString(", ")
+
+    val rebuilt = sql.substring(0, m.start) +
+      s"SELECT $outerItems FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY ${onExprs.mkString(", ")} ORDER BY $windowOrder) " +
+      s"AS __pg_don_rn $rest) __pg_don WHERE __pg_don_rn = 1" +
+      outerOrder + (if (limitTail.nonEmpty) " " + limitTail else "") +
+      sql.substring(spanEnd)
+    rewriteDistinctOn(rebuilt)
+  }
+
+  /** Strip single-level table qualifiers from the column references
+    * of one select item — the DISTINCT ON subquery boundary hides
+    * range names, but its `SELECT *` re-exports every column
+    * unqualified. Qualified refs inside string literals are protected
+    * by the mask; function names (ident followed by `(`) and the
+    * right side of `.` chains keep their text. */
+  private def unqualifyTop(item: String): String = {
+    val masked = YqlScript.maskQuotes(item)
+    val re = "(?<![A-Za-z0-9_.`])([A-Za-z_][A-Za-z0-9_]*)\\.(?=[A-Za-z_`])".r
+    val b = new StringBuilder(item)
+    re.findAllMatchIn(masked).toSeq.reverseIterator.foreach { mm =>
+      b.replace(mm.start, mm.end, "")
+    }
+    b.toString
   }
 
   /** PG regex/like operators → Spark predicates. `~` binds like a
@@ -200,6 +478,216 @@ object PgSql {
       at -= 1
     }
     b.toString
+  }
+
+  /** `a IS [NOT] DISTINCT FROM b` → Spark's null-safe `<=>` (negated
+    * for the plain form). Operands extend to the nearest same-depth
+    * boundary (comma, comparison, AND/OR/clause keyword), so
+    * arithmetic and `||` chains stay inside the comparison exactly as
+    * PG's precedence places them. */
+  private def rewriteIsDistinct(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val m = "(?is)\\bIS\\s+(NOT\\s+)?DISTINCT\\s+FROM\\b".r
+      .findFirstMatchIn(masked).getOrElse(return sql)
+    val not = m.group(1) != null
+    val lStart = operandStart(masked, m.start)
+    val rEnd = operandEnd(masked, m.end)
+    val l = sql.substring(lStart, m.start).trim
+    val r = sql.substring(m.end, rEnd).trim
+    if (l.isEmpty || r.isEmpty) throw new IllegalArgumentException(
+      "IS DISTINCT FROM with a missing operand near offset " + m.start)
+    val repl =
+      if (not) s" (($l) <=> ($r)) " else s" (NOT (($l) <=> ($r))) "
+    rewriteIsDistinct(sql.substring(0, lStart) + repl + sql.substring(rEnd))
+  }
+
+  /** Keywords that END an operand scan in either direction (anything
+    * at or below comparison precedence, plus clause heads). */
+  private val operandStopWords: Set[String] = Set(
+    "AND", "OR", "NOT", "IS", "IN", "LIKE", "ILIKE", "RLIKE", "BETWEEN",
+    "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "ORDER",
+    "LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT",
+    "JOIN", "ON", "USING", "BY", "AS", "CASE", "WHEN", "THEN", "ELSE",
+    "END", "DISTINCT", "ALL", "ASC", "DESC", "NULLS", "SYMMETRIC",
+    "ESCAPE", "OVER", "PARTITION", "VALUES", "WITH", "SET", "RETURNING")
+
+  /** Backward scan from `end` (exclusive) over one comparison operand:
+    * skips bracketed groups and quoted regions whole; stops at a
+    * same-depth comma, comparison char, opening paren, or stop word. */
+  private def operandStart(masked: String, end: Int): Int = {
+    var i = end - 1
+    var start = end
+    var done = false
+    while (i >= 0 && !done) {
+      val c = masked.charAt(i)
+      if (c == ')' || c == ']') {
+        val open = if (c == ')') '(' else '['
+        var depth = 0
+        while (i >= 0 && depth >= 0) {
+          val d = masked.charAt(i)
+          if (d == c) depth += 1
+          else if (d == open) depth -= 1
+          if (depth == 0 && d == open) { depth = -1 } else i -= 1
+        }
+        start = i; i -= 1
+      } else if (c == '\'' || c == '`') {
+        i -= 1
+        while (i >= 0 && masked.charAt(i) != c) i -= 1
+        start = i; i -= 1
+      } else if (c.isWhitespace) { i -= 1 }
+      else if (c == ',' || c == '(' || c == '[' ||
+          "<>=!".indexOf(c) >= 0) { done = true }
+      else if (c.isLetterOrDigit || c == '_' || c == '.' || c == '$') {
+        var j = i
+        while (j >= 0 && (masked.charAt(j).isLetterOrDigit ||
+          masked.charAt(j) == '_' || masked.charAt(j) == '.' ||
+          masked.charAt(j) == '$')) j -= 1
+        val word = masked.substring(j + 1, i + 1)
+        if (operandStopWords.contains(word.toUpperCase)) done = true
+        else { start = j + 1; i = j }
+      } else if ("+-*/%|&#^~".indexOf(c) >= 0) {
+        // keep unary +/- with their operand: `-5 IS DISTINCT FROM x`
+        start = i; i -= 1
+      } else done = true
+    }
+    start
+  }
+
+  /** Forward twin of [[operandStart]], from `at` (inclusive). */
+  private def operandEnd(masked: String, at: Int): Int = {
+    var i = at
+    var end = at
+    var done = false
+    val n = masked.length
+    while (i < n && !done) {
+      val c = masked.charAt(i)
+      if (c == '(' || c == '[') {
+        val close = if (c == '(') ')' else ']'
+        var depth = 0
+        while (i < n && depth >= 0) {
+          val d = masked.charAt(i)
+          if (d == c) depth += 1
+          else if (d == close) depth -= 1
+          if (depth == 0 && d == close) depth = -1 else i += 1
+        }
+        i += 1; end = i
+      } else if (c == '\'' || c == '`') {
+        i += 1
+        while (i < n && masked.charAt(i) != c) i += 1
+        i += 1; end = i
+      } else if (c.isWhitespace) { i += 1 }
+      else if (c == ',' || c == ')' || c == ']' ||
+          "<>=!".indexOf(c) >= 0) { done = true }
+      else if (c.isLetterOrDigit || c == '_' || c == '.' || c == '$') {
+        var j = i
+        while (j < n && (masked.charAt(j).isLetterOrDigit ||
+          masked.charAt(j) == '_' || masked.charAt(j) == '.' ||
+          masked.charAt(j) == '$')) j += 1
+        val word = masked.substring(i, j)
+        if (operandStopWords.contains(word.toUpperCase)) done = true
+        else { i = j; end = i }
+      } else if ("+-*/%|&#^~".indexOf(c) >= 0) { i += 1 }
+      else done = true
+    }
+    end
+  }
+
+  /** PG array surface: `ARRAY[e1, ...]` literals → `array(...)`, and
+    * 1-based subscripts `prim[idx]` → `get(prim, idx - 1)`: Spark's
+    * `get` is 0-based and returns NULL for EVERY invalid index —
+    * negative, zero-after-shift, past-the-end, NULL — which is
+    * exactly PG's out-of-range contract (element_at would error on 0
+    * and count negatives from the end; try_element_at and a
+    * CASE-guarded element_at both trip a Spark 4.1 codegen bug,
+    * "isNull_N is not an rvalue" → interpreted fallback, when the
+    * array is non-foldable and repeated). Slices `a[i:j]` raise
+    * named. */
+  private def rewriteArrays(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    // literals first (innermost-last; the loop re-masks every pass)
+    val lit = "(?is)\\bARRAY\\s*\\[".r.findFirstMatchIn(masked)
+    if (lit.isDefined) {
+      val open = lit.get.end - 1
+      val close = matchBracket(masked, open)
+      return rewriteArrays(sql.substring(0, lit.get.start) +
+        s"array(${sql.substring(open + 1, close)})" +
+        sql.substring(close + 1))
+    }
+    // subscripts: a '[' whose previous non-space char ends a primary
+    var at = masked.indexOf('[')
+    while (at >= 0) {
+      var k = at - 1
+      while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+      val prim = k >= 0 && (masked.charAt(k).isLetterOrDigit ||
+        "_')]`".indexOf(masked.charAt(k)) >= 0)
+      if (prim) {
+        val close = matchBracket(masked, at)
+        val idx = sql.substring(at + 1, close)
+        if (YqlScript.maskQuotes(idx).contains(":"))
+          throw new IllegalArgumentException(
+            "PG array slices a[i:j] are not in the bound subset — " +
+              "use slice(arr, start, length) semantics via explicit calls")
+        val start = backPrimary(masked, at)
+        val prim0 = sql.substring(start, at).trim
+        return rewriteArrays(sql.substring(0, start) +
+          s" get($prim0, ($idx) - 1) " +
+          sql.substring(close + 1))
+      }
+      at = masked.indexOf('[', at + 1)
+    }
+    sql
+  }
+
+  /** Backward scan over exactly ONE primary ending at `end`
+    * (exclusive): an identifier chain, a quoted literal, or a
+    * paren/bracket group with its function name — the `[]` subscript
+    * operand, which binds tighter than any operator. */
+  private def backPrimary(masked: String, end: Int): Int = {
+    var i = end - 1
+    while (i >= 0 && masked.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return end
+    val c = masked.charAt(i)
+    if (c == ')' || c == ']') {
+      val open = if (c == ')') '(' else '['
+      var depth = 0
+      while (i >= 0) {
+        val d = masked.charAt(i)
+        if (d == c) depth += 1
+        else if (d == open) {
+          depth -= 1
+          if (depth == 0) {
+            var j = i - 1
+            while (j >= 0 && (masked.charAt(j).isLetterOrDigit ||
+              masked.charAt(j) == '_' || masked.charAt(j) == '.')) j -= 1
+            return j + 1
+          }
+        }
+        i -= 1
+      }
+      0
+    } else if (c == '\'' || c == '`') {
+      var j = i - 1
+      while (j >= 0 && masked.charAt(j) != c) j -= 1
+      math.max(j, 0)
+    } else {
+      var j = i
+      while (j >= 0 && (masked.charAt(j).isLetterOrDigit ||
+        masked.charAt(j) == '_' || masked.charAt(j) == '.')) j -= 1
+      j + 1
+    }
+  }
+
+  private def matchBracket(masked: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '[') depth += 1
+      else if (c == ']') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced brackets in: ${masked.take(80)}")
   }
 
   private def replaceTopLevel(sql: String, opRe: String,
@@ -372,9 +860,291 @@ object PgSql {
       }
     s = replaceTopLevel(s, "(?i)(?<![A-Za-z0-9_])now\\s*\\(\\s*\\)",
       "current_timestamp()")
+    s = rewriteStringAgg(s)
+    s = rewriteArrayAgg(s)
+    s = rewriteArrayFns(s)
+    s = rewriteSimilarTo(s)
+    s = rewriteBetweenSymmetric(s)
     s = rewriteExtractEpoch(s)
     s = rewriteGenerateSeries(s)
+    s = rewriteUnnest(s)
     s
+  }
+
+  /** `array_agg(e)` — PG KEEPS NULL elements (collect_list drops
+    * them), so the value rides inside a never-NULL struct and is
+    * unwrapped after the collect. `DISTINCT` passes through
+    * (struct distinctness ≡ value distinctness); aggregate ORDER BY
+    * raises named like string_agg. */
+  private def rewriteArrayAgg(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val m = "(?i)(?<![A-Za-z0-9_])array_agg\\s*\\(".r
+      .findFirstMatchIn(masked).getOrElse(return sql)
+    val close = YqlScript.matchParen(sql, m.end - 1)
+    val argText = sql.substring(m.end, close).trim
+    if (YqlScript.maskQuotes(argText)
+        .matches("(?is).*\\bORDER\\s+BY\\b.*"))
+      throw new IllegalArgumentException(
+        "array_agg with an aggregate ORDER BY is not in the bound " +
+          "PG subset — the distributed collect has no order contract")
+    val (distinct, e) =
+      if (argText.matches("(?is)^DISTINCT\\s.*"))
+        (true, argText.replaceFirst("(?is)^DISTINCT\\s+", ""))
+      else (false, argText)
+    val d = if (distinct) "DISTINCT " else ""
+    rewriteArrayAgg(sql.substring(0, m.start) +
+      s"transform(collect_list(${d}struct(($e) AS v)), x -> x.v)" +
+      sql.substring(close + 1))
+  }
+
+  /** The PG array toolkit whose Spark spelling differs:
+    * `cardinality` → size (PG: 0 for empty, NULL for NULL — same),
+    * `array_length(a, 1)` → nullif(size, 0) (PG: NULL for the empty
+    * array, which has no dimensions; dims ≠ 1 raise named),
+    * `array_to_string` → array_join (both skip NULL elements; the
+    * 3-arg null-replacement form matches too),
+    * `string_to_array(s, 'sep')` → split on the regex-quoted literal
+    * separator (Spark's split takes a REGEX; non-literal or empty
+    * separators raise named). */
+  private def rewriteArrayFns(sql: String): String = {
+    var s = sql
+    s = replaceTopLevel(s, "(?i)(?<![A-Za-z0-9_])cardinality(?=\\s*\\()",
+      "size")
+    s = replaceTopLevel(s,
+      "(?i)(?<![A-Za-z0-9_])array_to_string(?=\\s*\\()", "array_join")
+    // one match per pass, innermost recursion re-masks the text
+    val masked = YqlScript.maskQuotes(s)
+    val lenM = "(?i)(?<![A-Za-z0-9_])array_length\\s*\\(".r
+      .findFirstMatchIn(masked)
+    if (lenM.isDefined) {
+      val m = lenM.get
+      val close = YqlScript.matchParen(s, m.end - 1)
+      val args = YqlScript.splitTopLevel(s.substring(m.end, close))
+      if (args.length != 2 || args(1).trim != "1")
+        throw new IllegalArgumentException(
+          "array_length with a dimension other than 1 is not in " +
+            "the bound PG subset (arrays here are 1-dimensional)")
+      return rewriteArrayFns(s.substring(0, m.start) +
+        s"nullif(size(${args(0).trim}), 0)" + s.substring(close + 1))
+    }
+    val staM = "(?i)(?<![A-Za-z0-9_])string_to_array\\s*\\(".r
+      .findFirstMatchIn(masked)
+    if (staM.isDefined) {
+      val m = staM.get
+      val close = YqlScript.matchParen(s, m.end - 1)
+      val args = YqlScript.splitTopLevel(s.substring(m.end, close))
+        .map(_.trim)
+      if (args.length != 2)
+        throw new IllegalArgumentException(
+          "string_to_array takes (string, separator) in the bound " +
+            "PG subset")
+      val sep = decodeSparkLiteral(args(1)).getOrElse(
+        throw new IllegalArgumentException(
+          "string_to_array needs a literal separator in the bound " +
+            "PG subset (Spark's split takes a regex)"))
+      if (sep.isEmpty) throw new IllegalArgumentException(
+        "string_to_array with an empty separator is not in the " +
+          "bound PG subset")
+      val quoted = sep.flatMap { ch =>
+        if ("\\^$.|?*+()[]{}".indexOf(ch) >= 0) s"\\$ch" else ch.toString
+      }
+      return rewriteArrayFns(s.substring(0, m.start) +
+        s"split(${args(0)}, ${sparkStringLiteral(quoted)})" +
+        s.substring(close + 1))
+    }
+    s
+  }
+
+  /** Decode a Spark single-quoted literal this translator itself
+    * emitted (see [[sparkStringLiteral]]); None if the text is not a
+    * plain literal. */
+  private def decodeSparkLiteral(text: String): Option[String] = {
+    val t = text.trim
+    if (t.length < 2 || t.charAt(0) != '\'' || t.last != '\'') return None
+    val body = t.substring(1, t.length - 1)
+    val out = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'') return None // interior quote → not one literal
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n' => out.append('\n'); case 'r' => out.append('\r')
+          case 't' => out.append('\t'); case '0' => out.append('\u0000')
+          case other => out.append(other)
+        }
+        i += 2
+      } else { out.append(c); i += 1 }
+    }
+    Some(out.toString)
+  }
+
+  /** `expr [NOT] SIMILAR TO 'pattern' [ESCAPE 'c']` → anchored RLIKE.
+    * PG's similar_escape: `%` → `.*`, `_` → `.`, the escape char
+    * (default `\`) literalizes the next char; `| * + ? ( ) [ ] { }`
+    * keep their POSIX-regex meaning; everything ELSE is literal —
+    * including `.` `^` `$`, which ARE regex metachars and so get
+    * escaped for Java. The pattern must be a literal (the translation
+    * happens at parse time, as in similar_escape's const-fold path). */
+  private def rewriteSimilarTo(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val m = "(?is)\\b(NOT\\s+)?SIMILAR\\s+TO\\b".r
+      .findFirstMatchIn(masked).getOrElse(return sql)
+    var j = m.end
+    while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+    if (j >= masked.length || masked.charAt(j) != '\'')
+      throw new IllegalArgumentException(
+        "SIMILAR TO needs a literal pattern in the bound PG subset")
+    var k = j + 1
+    while (k < masked.length && masked.charAt(k) != '\'') k += 1
+    var end = k + 1
+    val pat = decodeSparkLiteral(sql.substring(j, end)).getOrElse(
+      throw new IllegalArgumentException(
+        "SIMILAR TO needs a literal pattern in the bound PG subset"))
+    // optional ESCAPE 'c'
+    var esc = '\\'
+    val tail = masked.substring(end)
+    val em = "(?is)^\\s*ESCAPE\\s*'".r.findFirstMatchIn(tail)
+    em.foreach { e =>
+      var p = end + e.end
+      val q0 = p - 1
+      while (p < masked.length && masked.charAt(p) != '\'') p += 1
+      val escLit = decodeSparkLiteral(sql.substring(q0, p + 1)).getOrElse(
+        throw new IllegalArgumentException(
+          "SIMILAR TO ESCAPE needs a literal character"))
+      if (escLit.length != 1) throw new IllegalArgumentException(
+        "SIMILAR TO ESCAPE must be a single character")
+      esc = escLit.charAt(0)
+      end = p + 1
+    }
+    val re = new StringBuilder("^(?:")
+    var i = 0
+    var inClass = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (c == esc && i + 1 < pat.length) {
+        val nx = pat.charAt(i + 1)
+        if ("\\^$.|?*+()[]{}".indexOf(nx) >= 0) re.append('\\').append(nx)
+        else re.append(nx)
+        i += 2
+      } else {
+        if (inClass) {
+          re.append(c)
+          if (c == ']') inClass = false
+        } else c match {
+          case '%' => re.append(".*")
+          case '_' => re.append('.')
+          case '[' => re.append('['); inClass = true
+          case '|' | '*' | '+' | '?' | '(' | ')' | '{' | '}' =>
+            re.append(c)
+          case other =>
+            if ("\\^$.".indexOf(other) >= 0) re.append('\\').append(other)
+            else re.append(other)
+        }
+        i += 1
+      }
+    }
+    re.append(")$")
+    val op = if (m.group(1) != null) " NOT RLIKE " else " RLIKE "
+    rewriteSimilarTo(sql.substring(0, m.start) + op +
+      sparkStringLiteral(re.toString) + sql.substring(end))
+  }
+
+  /** `FROM unnest(arr)` → `(SELECT explode(arr) AS unnest)`; the
+    * `WITH ORDINALITY` form adds PG's 1-based position as the second
+    * output column via posexplode. Multi-argument unnest (PG's
+    * zip-unnest) and select-list unnest raise named. */
+  private def rewriteUnnest(sql: String): String = {
+    var s = sql
+    var found = true
+    while (found) {
+      val masked = YqlScript.maskQuotes(s)
+      "(?i)(?<![A-Za-z0-9_])unnest\\s*\\(".r
+        .findFirstMatchIn(masked) match {
+        case None => found = false
+        case Some(m) =>
+          val before = masked.substring(0, m.start)
+          val afterKw = "(?is).*(\\bfrom|\\bjoin)\\s*$".r
+            .pattern.matcher(before).matches()
+          val ctx = clauseContext(before).toLowerCase
+          val afterComma = "(?s).*,\\s*$".r.pattern.matcher(ctx).matches() &&
+            ctx.lastIndexOf("from") > ctx.lastIndexOf("select")
+          if (!(afterKw || afterComma)) throw new IllegalArgumentException(
+            "unnest outside FROM position is a set-returning function " +
+              "in the select list — not in the bound PG subset; move " +
+              "it to the FROM clause")
+          val open = s.indexOf('(', m.start)
+          val close = YqlScript.matchParen(s, open)
+          val args = YqlScript.splitTopLevel(s.substring(open + 1, close))
+          if (args.length != 1) throw new IllegalArgumentException(
+            "multi-argument unnest (PG's zip-unnest) is not in the " +
+              "bound PG subset — unnest each array separately")
+          val arr = args.head.trim
+          // WITH ORDINALITY → posexplode, PG's 1-based ordinal second
+          val tail = masked.substring(close + 1)
+          val om = "(?is)^\\s*WITH\\s+ORDINALITY\\b".r.findFirstMatchIn(tail)
+          val (replacement, endAt) = om match {
+            case Some(o) =>
+              (s"(SELECT col AS unnest, pos + 1 AS ordinality FROM " +
+                s"(SELECT posexplode($arr)))", close + 1 + o.end)
+            case None =>
+              (s"(SELECT explode($arr) AS unnest)", close + 1)
+          }
+          s = s.substring(0, m.start) + replacement + s.substring(endAt)
+      }
+    }
+    s
+  }
+
+  /** `string_agg(e, sep)` → `array_join(collect_list(e), sep)`,
+    * guarded to NULL when the group has no non-NULL inputs (PG
+    * returns NULL there; a bare join returns ''). `DISTINCT` inside
+    * passes through (collect_list/count both accept it). Aggregate
+    * ORDER BY inside the args and windowed `OVER` use raise named —
+    * collect_list has no deterministic order contract. */
+  private def rewriteStringAgg(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val m = "(?i)(?<![A-Za-z0-9_])string_agg\\s*\\(".r
+      .findFirstMatchIn(masked).getOrElse(return sql)
+    val close = YqlScript.matchParen(sql, m.end - 1)
+    val argText = sql.substring(m.end, close)
+    if (YqlScript.maskQuotes(argText)
+        .matches("(?is).*\\bORDER\\s+BY\\b.*"))
+      throw new IllegalArgumentException(
+        "string_agg with an aggregate ORDER BY is not in the bound " +
+          "PG subset — the distributed collect has no order contract")
+    var j = close + 1
+    while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+    if (masked.regionMatches(true, j, "OVER", 0, 4))
+      throw new IllegalArgumentException(
+        "windowed string_agg(...) OVER is not in the bound PG subset")
+    val args = YqlScript.splitTopLevel(argText).map(_.trim)
+    require(args.length == 2, "string_agg takes (expression, delimiter)")
+    val (e, sep) = (args(0), args(1))
+    rewriteStringAgg(sql.substring(0, m.start) +
+      s"(CASE WHEN count($e) = 0 THEN NULL " +
+      s"ELSE array_join(collect_list($e), $sep) END)" +
+      sql.substring(close + 1))
+  }
+
+  /** `a BETWEEN SYMMETRIC x AND y` → bounds sorted with
+    * least/greatest (PG swaps the endpoints when x > y). */
+  private def rewriteBetweenSymmetric(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val m = "(?is)\\bBETWEEN\\s+SYMMETRIC\\b".r
+      .findFirstMatchIn(masked).getOrElse(return sql)
+    val xEnd = operandEnd(masked, m.end)
+    val x = sql.substring(m.end, xEnd).trim
+    var j = xEnd
+    while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+    if (!masked.regionMatches(true, j, "AND", 0, 3))
+      throw new IllegalArgumentException(
+        "BETWEEN SYMMETRIC without AND near offset " + m.start)
+    val yEnd = operandEnd(masked, j + 3)
+    val y = sql.substring(j + 3, yEnd).trim
+    rewriteBetweenSymmetric(sql.substring(0, m.start) +
+      s"BETWEEN least(($x), ($y)) AND greatest(($x), ($y))" +
+      sql.substring(yEnd))
   }
 
   /** `extract(epoch from x)` → seconds-since-epoch as DOUBLE (PG

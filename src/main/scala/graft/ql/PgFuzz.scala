@@ -80,6 +80,49 @@ object PgFuzz {
     (pg, Map("1" -> p1, "2" -> p2), duck)
   }
 
+  /** DISTINCT ON differential: PG keeps the FIRST row per ON-group in
+    * ORDER BY order; DuckDB implements the same construct natively,
+    * so the oracle text is the translator input minus the marker
+    * (with the usual `duck`-side expression renders). The per-group
+    * order is made total with the unique `id` tiebreak, so both
+    * engines must select the SAME row — any divergence is a bug in
+    * the window lowering, not order noise. */
+  def renderDistinctOn(seed: Long): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    val key = rnd.nextInt(3) match {
+      case 0 => "c" // nullable: NULLs form one DISTINCT ON group
+      case 1 => "(a % 7)"
+      case _ => "s"
+    }
+    val e1 = genInt(rnd, 1)
+    val e2 = genStr(rnd, 1)
+    val dir = if (rnd.nextBoolean()) "DESC" else "ASC"
+    // PG defaults: ASC sorts NULLs LAST, DESC sorts NULLs FIRST. The
+    // PG text leaves them IMPLICIT (exercising the translator's
+    // default-null-order injection); the DuckDB oracle — whose own
+    // default is NULLS LAST both ways — states them explicitly.
+    val dirDuck =
+      if (dir == "DESC") "DESC NULLS FIRST" else "ASC NULLS LAST"
+    // order by the x1 ALIAS (not its expression text): a constant
+    // draw would render as a bare integer — an ORDINAL to PG, DuckDB
+    // and Spark alike — and the alias path also exercises the
+    // translator's alias→expression substitution inside the window
+    val pg =
+      s"""--!syntax_pg
+         |$fixtureCte
+         |SELECT DISTINCT ON ($key) $key AS k, ${e1.pg} AS x1,
+         |       ${e2.pg} AS x2, id
+         |FROM base
+         |ORDER BY $key, x1 $dir, id""".stripMargin
+    val duck =
+      s"""$fixtureCte
+         |SELECT DISTINCT ON ($key) $key AS k, ${e1.duck} AS x1,
+         |       ${e2.duck} AS x2, id
+         |FROM base
+         |ORDER BY $key NULLS LAST, x1 $dirDuck, id""".stripMargin
+    (pg, duck)
+  }
+
   // ---- literal pools --------------------------------------------------
 
   /** Raw PG string literals (shipped verbatim to DuckDB): '' doubling
@@ -101,14 +144,31 @@ object PgFuzz {
   /** LIKE patterns (literal % and _ only). */
   private val likePool = Seq("1-%", "%T", "%IG%", "_-H%", "%E%E%", "O")
 
-  private def strLit(rnd: scala.util.Random): P = {
-    if (rnd.nextInt(3) == 0) {
+  /** Dollar-quoted literals — raw bodies, verbatim in DuckDB. */
+  private val dollarPool = Seq(
+    "$$p\\q$$", "$$it's$$", "$t$with $$ in$t$", "$x$a-b$x$")
+
+  /** `[NOT] SIMILAR TO` — DuckDB's SIMILAR TO is NOT PG-compatible
+    * (no %/_ translation, `.` stays a metachar), so each PG pattern
+    * pairs with a HAND-DERIVED full-match regex for the oracle. */
+  private val similarPool = Seq(
+    ("'[0-9]-%'", "'^(?:[0-9]-.*)$'"),
+    ("'%URG%'", "'^(?:.*URG.*)$'"),
+    ("'_-(H|M)%'", "'^(?:.-(H|M).*)$'"),
+    ("'%E{2}%'", "'^(?:.*E{2}.*)$'"),
+    ("'(1|2)-U%'", "'^(?:(1|2)-U.*)$'"),
+    ("'%L.W%'", "'^(?:.*L\\.W.*)$'")) // '.' is LITERAL in SIMILAR TO
+
+  private def strLit(rnd: scala.util.Random): P = rnd.nextInt(6) match {
+    case 0 | 1 =>
       val e = ePool(rnd.nextInt(ePool.length))
       P(e, e, 0L)
-    } else {
+    case 2 =>
+      val d = dollarPool(rnd.nextInt(dollarPool.length))
+      P(d, d, 0L)
+    case _ =>
       val r = rawPool(rnd.nextInt(rawPool.length))
       P(r, r, 0L)
-    }
   }
 
   // ---- string expressions ---------------------------------------------
@@ -122,7 +182,7 @@ object PgFuzz {
   private def genStr(rnd: scala.util.Random, depth: Int): P = {
     if (depth >= 3 || rnd.nextInt(4) == 0) {
       if (rnd.nextBoolean()) strRef(rnd) else strLit(rnd)
-    } else rnd.nextInt(8) match {
+    } else rnd.nextInt(9) match {
       case 0 => // || concat: NULL-poisoning in PG, DuckDB AND Spark
         val l = genStr(rnd, depth + 1); val r = genStr(rnd, depth + 1)
         P(s"(${l.pg} || ${r.pg})", s"(${l.duck} || ${r.duck})", 0L)
@@ -150,6 +210,23 @@ object PgFuzz {
       case 6 => // int → text cast through the :: rewriter
         val x = genInt(rnd, depth + 1)
         P(s"(${x.pg})::text", s"CAST(${x.duck} AS VARCHAR)", 0L)
+      case 7 => // ARRAY literal + 1-based subscript: DuckDB's list
+        // indexing is PG-identical for idx ≥ 1 (out-of-range → NULL;
+        // negatives wrap in DuckDB but NULL in PG, so never drawn);
+        // or array_to_string, which skips NULL elements in both
+        val es = Seq.fill(rnd.nextInt(2) + 2)(genStr(rnd, depth + 1))
+        if (rnd.nextBoolean()) {
+          val k = rnd.nextInt(es.length + 1) + 1 // 1..len+1 (oob possible)
+          P(s"(ARRAY[${es.map(_.pg).mkString(", ")}])[$k]",
+            s"(ARRAY[${es.map(_.duck).mkString(", ")}])[$k]", 0L)
+        } else
+          // PG's array_to_string returns '' for an all-NULL (or
+          // empty) array — DuckDB returns NULL there, so the oracle
+          // coalesces; the engine side (array_join) is PG-exact
+          P(s"array_to_string(ARRAY[${es.map(_.pg).mkString(", ")}], '-')",
+            s"coalesce(array_to_string(" +
+              s"ARRAY[${es.map(_.duck).mkString(", ")}], '-'), '')",
+            0L)
       case _ =>
         val x = genStr(rnd, depth + 1)
         P(s"nullif(${x.pg}, 'O')", s"nullif(${x.duck}, 'O')", 0L)
@@ -170,7 +247,7 @@ object PgFuzz {
     if (depth >= 3 || rnd.nextInt(4) == 0) {
       if (rnd.nextBoolean()) intRef(rnd)
       else { val v = rnd.nextInt(26) - 5; P(v.toString, v.toString, math.abs(v).toLong) }
-    } else rnd.nextInt(7) match {
+    } else rnd.nextInt(8) match {
       case 0 =>
         val l = genInt(rnd, depth + 1); val r = genInt(rnd, depth + 1)
         val op = if (rnd.nextBoolean()) "+" else "-"
@@ -199,6 +276,12 @@ object PgFuzz {
         P(s"(CASE WHEN ${c.pg} THEN ${x.pg} ELSE ${y.pg} END)",
           s"(CASE WHEN ${c.duck} THEN ${x.duck} ELSE ${y.duck} END)",
           math.max(x.bound, y.bound))
+      case 6 => // ARRAY literal + 1-based subscript (see genStr note)
+        val es = Seq.fill(rnd.nextInt(2) + 2)(genInt(rnd, depth + 1))
+        val k = rnd.nextInt(es.length + 1) + 1
+        P(s"(ARRAY[${es.map(_.pg).mkString(", ")}])[$k]",
+          s"(ARRAY[${es.map(_.duck).mkString(", ")}])[$k]",
+          es.map(_.bound).max)
       case _ => // int8 identity cast through the :: rewriter
         val x = genInt(rnd, depth + 1)
         P(s"(${x.pg})::int8", s"CAST(${x.duck} AS BIGINT)", x.bound)
@@ -209,7 +292,7 @@ object PgFuzz {
 
   private def genBool(rnd: scala.util.Random, depth: Int): P = {
     if (depth >= 3) cmp(rnd, depth)
-    else rnd.nextInt(8) match {
+    else rnd.nextInt(11) match {
       case 0 =>
         val l = genBool(rnd, depth + 1); val r = genBool(rnd, depth + 1)
         P(s"(${l.pg} AND ${r.pg})", s"(${l.duck} AND ${r.duck})", 1L)
@@ -252,6 +335,30 @@ object PgFuzz {
         val lo = rnd.nextInt(20); val hi = lo + rnd.nextInt(50)
         P(s"(${x.pg} BETWEEN $lo AND $hi)",
           s"(${x.duck} BETWEEN $lo AND $hi)", 1L)
+      case 7 => // IS [NOT] DISTINCT FROM — verbatim in DuckDB
+        val same = rnd.nextBoolean()
+        val (l, r) =
+          if (same) { val x = strRef(rnd); (x, x) }
+          else (if (rnd.nextBoolean()) strRef(rnd) else strLit(rnd),
+            if (rnd.nextBoolean()) strRef(rnd) else strLit(rnd))
+        val not = if (rnd.nextBoolean()) " NOT" else ""
+        P(s"(${l.pg} IS$not DISTINCT FROM ${r.pg})",
+          s"(${l.duck} IS$not DISTINCT FROM ${r.duck})", 1L)
+      case 8 => // BETWEEN SYMMETRIC: bounds drawn in either order;
+        // DuckDB has no SYMMETRIC, so the oracle sorts explicitly
+        val x = genInt(rnd, depth + 1)
+        val a = rnd.nextInt(60); val b = rnd.nextInt(60)
+        P(s"(${x.pg} BETWEEN SYMMETRIC $a AND $b)",
+          s"(${x.duck} BETWEEN least($a, $b) AND greatest($a, $b))", 1L)
+      case 9 => // [NOT] SIMILAR TO with the hand-paired oracle regex
+        val x = strRef(rnd)
+        val (pat, reg) = similarPool(rnd.nextInt(similarPool.length))
+        if (rnd.nextBoolean())
+          P(s"(${x.pg} SIMILAR TO $pat)",
+            s"regexp_matches(${x.duck}, $reg)", 1L)
+        else
+          P(s"(${x.pg} NOT SIMILAR TO $pat)",
+            s"(NOT regexp_matches(${x.duck}, $reg))", 1L)
       case _ => cmp(rnd, depth)
     }
   }

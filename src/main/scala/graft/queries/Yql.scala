@@ -159,6 +159,16 @@ object Yql {
       val (pg, params, _) = graft.ql.PgFuzz.render(34, seed = 1107L)
       graft.functions.PgSql.sql(s, pg, params)
     }),
+    // DISTINCT ON differential (renderDistinctOn): PG's
+    // first-row-per-group keyed window lowering vs DuckDB's NATIVE
+    // DISTINCT ON, with the translator's PG default-null-order
+    // injection (ASC→NULLS LAST / DESC→NULLS FIRST — opposite of
+    // Spark's defaults) left implicit on the PG side.
+    "yql_pg_distinct_on" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      val (pg, _) = graft.ql.PgFuzz.renderDistinctOn(seed = 1111L)
+      graft.functions.PgSql.sql(s, pg)
+    }),
     "yql_pg_select" -> ((s, d) => {
       graft.sources.Tables.registerAll(s, d)
       graft.functions.PgSql.sql(s,
@@ -2258,6 +2268,7 @@ object Yql {
            regexp_replace(p_brand, '[aeiou]+', '$.', 'g') AS repl
          FROM part""",
     "yql_fuzz_pg" -> graft.ql.PgFuzz.render(34, seed = 1107L)._3,
+    "yql_pg_distinct_on" -> graft.ql.PgFuzz.renderDistinctOn(seed = 1111L)._2,
     "yql_pg_select" ->
       """WITH big AS (
            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,

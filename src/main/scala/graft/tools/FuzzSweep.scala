@@ -187,6 +187,11 @@ object FuzzSweep {
         val (pg, params, _) = graft.ql.PgFuzz.render(24, seed)
         graft.functions.PgSql.sql(spark, pg, params)
       }, graft.ql.PgFuzz.render(24, seed)._3)
+      queries(s"fz_pgdon_$seed") = (() => {
+        orders.createOrReplaceTempView("orders")
+        val (pg, _) = graft.ql.PgFuzz.renderDistinctOn(seed)
+        graft.functions.PgSql.sql(spark, pg)
+      }, graft.ql.PgFuzz.renderDistinctOn(seed)._2)
       queries(s"fz_dyn_$seed") = (() =>
         graft.ql.DynFuzz.run(spark, orders, seed),
         graft.ql.DynFuzz.oracleSql(seed))

@@ -110,15 +110,30 @@ class PgSqlSpec extends SparkSpec {
       PgSql.translate("--!syntax_pg\nINSERT INTO t VALUES (1)")
     }
     assert(dml.getMessage.contains("INSERT"), dml.getMessage)
-    val dollar = intercept[IllegalArgumentException] {
-      PgSql.translate("--!syntax_pg\nSELECT $$body$$ AS x")
-    }
-    assert(dollar.getMessage.contains("dollar"), dollar.getMessage)
-    val don = intercept[IllegalArgumentException] {
+    val zip = intercept[IllegalArgumentException] {
       PgSql.translate(
-        "--!syntax_pg\nSELECT DISTINCT ON (a) a, b FROM t ORDER BY a")
+        "--!syntax_pg\nSELECT * FROM unnest(ARRAY[1], ARRAY[2])")
     }
-    assert(don.getMessage.contains("DISTINCT ON"), don.getMessage)
+    assert(zip.getMessage.contains("unnest"), zip.getMessage)
+    val sim = intercept[IllegalArgumentException] {
+      PgSql.translate("--!syntax_pg\nSELECT a SIMILAR TO b FROM t")
+    }
+    assert(sim.getMessage.contains("literal pattern"), sim.getMessage)
+    val donGroup = intercept[IllegalArgumentException] {
+      PgSql.translate(
+        "--!syntax_pg\nSELECT DISTINCT ON (a) a, count(*) FROM t " +
+          "GROUP BY a ORDER BY a")
+    }
+    assert(donGroup.getMessage.contains("GROUP"), donGroup.getMessage)
+    val slice = intercept[IllegalArgumentException] {
+      PgSql.translate("--!syntax_pg\nSELECT arr[1:2] FROM t")
+    }
+    assert(slice.getMessage.contains("slice"), slice.getMessage)
+    val sagg = intercept[IllegalArgumentException] {
+      PgSql.translate(
+        "--!syntax_pg\nSELECT string_agg(a, ',' ORDER BY a) FROM t")
+    }
+    assert(sagg.getMessage.contains("ORDER BY"), sagg.getMessage)
     val typ = intercept[IllegalArgumentException] {
       PgSql.translate("--!syntax_pg\nSELECT 'x'::point AS p")
     }
@@ -153,6 +168,158 @@ class PgSqlSpec extends SparkSpec {
       PgSql.translate("--!syntax_pg\nSELECT a, generate_series(1, 3) FROM t")
     }
     assert(srf.getMessage.contains("generate_series"), srf.getMessage)
+  }
+
+  test("DISTINCT ON keeps the first row per group in ORDER BY order " +
+      "(parse_clause.c window lowering)") {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    // latest order per customer, PG's canonical DISTINCT ON shape —
+    // aliases and ordinals in ORDER BY both substitute
+    val rows = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT DISTINCT ON (o.o_custkey) o.o_custkey AS k,
+        |       o.o_orderdate, o.o_orderkey
+        |FROM orders AS o
+        |WHERE o.o_custkey <= 20
+        |ORDER BY k, o.o_orderdate DESC, o.o_orderkey DESC
+        |LIMIT 5""".stripMargin).collect()
+    assert(rows.length == 5)
+    // oracle: max-by-(date, key) via plain SQL
+    val expect = spark.sql(
+      """SELECT o_custkey AS k, o_orderdate, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_custkey <= 20) WHERE rn = 1
+        |ORDER BY k LIMIT 5""".stripMargin).collect()
+    assert(rows.map(_.toString).toSeq == expect.map(_.toString).toSeq)
+    // ON expressions must lead ORDER BY (PG parse_clause.c error)
+    val e = intercept[IllegalArgumentException] {
+      PgSql.translate(
+        "--!syntax_pg\nSELECT DISTINCT ON (a) a, b FROM t ORDER BY b, a")
+    }
+    assert(e.getMessage.contains("must match initial ORDER BY"),
+      e.getMessage)
+  }
+
+  test("ARRAY literals and 1-based subscripts; out-of-range and " +
+      "index<1 are NULL (PG array semantics)") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT (ARRAY[10, 20, 30])[2] AS ok,
+        |  (ARRAY[10, 20, 30])[4] AS oob,
+        |  (ARRAY[10, 20, 30])[0] AS zero,
+        |  (ARRAY['a' || 'b', 'c'])[1] AS s,
+        |  (ARRAY[ARRAY[1, 2], ARRAY[3, 4]])[2][1] AS nested,
+        |  1 + (ARRAY[5, 6])[1 + 1] AS arith""".stripMargin)
+    assert(r.getInt(0) == 20)
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "ab")
+    assert(r.getInt(4) == 3)
+    assert(r.getInt(5) == 7)
+  }
+
+  test("IS [NOT] DISTINCT FROM maps to null-safe equality") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT 1 IS DISTINCT FROM 2 AS t1,
+        |  NULL IS DISTINCT FROM NULL AS f1,
+        |  NULL IS DISTINCT FROM 1 AS t2,
+        |  3 IS NOT DISTINCT FROM 3 AS t3,
+        |  NULL IS NOT DISTINCT FROM NULL AS t4,
+        |  1 + 1 IS DISTINCT FROM 3 AS arith,
+        |  'a' || 'b' IS NOT DISTINCT FROM 'ab' AS cat""".stripMargin)
+    assert(r.getBoolean(0)); assert(!r.getBoolean(1))
+    assert(r.getBoolean(2)); assert(r.getBoolean(3))
+    assert(r.getBoolean(4)); assert(r.getBoolean(5))
+    assert(r.getBoolean(6))
+  }
+
+  test("string_agg joins non-NULLs, NULL on empty; BETWEEN SYMMETRIC " +
+      "sorts its bounds") {
+    val r = one(
+      """--!syntax_pg
+        |WITH t AS (SELECT 1 AS g, 'x' AS v
+        |           UNION ALL SELECT 1, 'y'
+        |           UNION ALL SELECT 2, NULL)
+        |SELECT
+        |  (SELECT string_agg(v, ',') FROM t WHERE g = 1) AS joined,
+        |  (SELECT string_agg(v, ',') FROM t WHERE g = 2) AS empty,
+        |  5 BETWEEN SYMMETRIC 10 AND 1 AS sym,
+        |  5 BETWEEN 10 AND 1 AS plain""".stripMargin)
+    assert(Set("x,y", "y,x").contains(r.getString(0)))
+    assert(r.isNullAt(1))
+    assert(r.getBoolean(2)); assert(!r.getBoolean(3))
+  }
+
+  test("dollar-quoted strings: $$...$$ and $tag$...$tag$ are raw " +
+      "(no escape processing), nestable by tag") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT $$it's raw \n$$ AS a,
+        |  $q$body with $$ inside$q$ AS b,
+        |  length($x$ $x$) AS c""".stripMargin)
+    assert(r.getString(0) == "it's raw \\n")
+    assert(r.getString(1) == "body with $$ inside")
+    assert(r.getInt(2) == 1)
+  }
+
+  test("SIMILAR TO: %/_ wildcards, regex metachars, literal dot, " +
+      "NOT form, ESCAPE override (similar_escape)") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT 'abc' SIMILAR TO 'a%' AS t1,
+        |  'abc' SIMILAR TO '%(b|d)%' AS t2,
+        |  'abc' SIMILAR TO 'ab' AS f1,
+        |  'a.c' SIMILAR TO 'a.c' AS dot_lit,
+        |  'axc' SIMILAR TO 'a.c' AS dot_not_meta,
+        |  'a_c' SIMILAR TO 'a\_c' AS esc_us,
+        |  'abc' NOT SIMILAR TO 'x%' AS neg,
+        |  'a%c' SIMILAR TO 'a!%c' ESCAPE '!' AS custom_esc,
+        |  'a7c' SIMILAR TO 'a[0-9]c' AS cls""".stripMargin)
+    assert(r.getBoolean(0)); assert(r.getBoolean(1))
+    assert(!r.getBoolean(2)) // whole-string anchor: 'ab' != 'abc'
+    assert(r.getBoolean(3))
+    assert(!r.getBoolean(4)) // '.' is literal in SIMILAR TO
+    assert(r.getBoolean(5)); assert(r.getBoolean(6))
+    assert(r.getBoolean(7)); assert(r.getBoolean(8))
+  }
+
+  test("unnest in FROM position; WITH ORDINALITY is 1-based") {
+    val rows = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT u.x * 10 AS v
+        |FROM unnest(ARRAY[3, 1, 2]) AS u(x)
+        |ORDER BY v""".stripMargin).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(10, 20, 30))
+    val ord = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT * FROM unnest(ARRAY['a', 'b']) WITH ORDINALITY AS t(v, i)
+        |ORDER BY i""".stripMargin).collect()
+    assert(ord.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2)))
+  }
+
+  test("array toolkit: array_agg keeps NULLs, cardinality, " +
+      "array_length(empty)=NULL, array_to_string skips NULLs, " +
+      "string_to_array regex-quotes its separator") {
+    val r = one(
+      """--!syntax_pg
+        |WITH t AS (SELECT 1 AS v UNION ALL SELECT NULL
+        |           UNION ALL SELECT 3)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT array_agg(v) AS a FROM t)
+        |    WHERE cardinality(a) = 3) AS with_null,
+        |  cardinality(ARRAY[1, 2]) AS card,
+        |  array_length(ARRAY[1, 2], 1) AS alen,
+        |  array_to_string(ARRAY['x', NULL, 'y'], '-') AS joined,
+        |  string_to_array('a.b.c', '.') AS split_lit""".stripMargin)
+    assert(r.getLong(0) == 1L) // NULL kept → cardinality 3
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 2)
+    assert(r.getString(3) == "x-y")
+    assert(r.getSeq[String](4) == Seq("a", "b", "c"))
   }
 
   test("extract(epoch from x) maps to fractional seconds; other " +
