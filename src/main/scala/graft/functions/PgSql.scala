@@ -865,10 +865,88 @@ object PgSql {
     s = rewriteArrayFns(s)
     s = rewriteSimilarTo(s)
     s = rewriteBetweenSymmetric(s)
+    s = rewriteAnyAll(s)
+    s = rewriteFetchFirst(s)
     s = rewriteExtractEpoch(s)
     s = rewriteGenerateSeries(s)
     s = rewriteUnnest(s)
     s
+  }
+
+  /** `x op ANY(arr)` / `x op ALL(arr)` → Spark's higher-order
+    * `exists` / `forall` with the comparison inside the lambda —
+    * both follow the same three-valued logic as PG's quantified
+    * comparisons (no match + a NULL element → NULL, not false). The
+    * sub-link form `ANY (SELECT ...)` raises named (use IN/EXISTS). */
+  private def rewriteAnyAll(sql: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val m = "([=<>!]{1,2})\\s*(?i:(ANY|SOME|ALL))\\s*\\(".r
+      .findFirstMatchIn(masked).getOrElse(return sql)
+    val op = m.group(1)
+    if (!Set("=", "<>", "!=", "<", "<=", ">", ">=").contains(op))
+      throw new IllegalArgumentException(
+        s"'$op ${m.group(2)}(...)' is not a bound quantified comparison")
+    val open = m.end - 1
+    val close = YqlScript.matchParen(sql, open)
+    val inner = sql.substring(open + 1, close).trim
+    if (inner.matches("(?is)^(SELECT|WITH|VALUES)\\b.*"))
+      throw new IllegalArgumentException(
+        s"${m.group(2).toUpperCase} with a subquery is not in the " +
+          "bound PG subset — use IN (SELECT ...) or EXISTS")
+    val lStart = operandStart(masked, m.start)
+    val lhs = sql.substring(lStart, m.start).trim
+    if (lhs.isEmpty) throw new IllegalArgumentException(
+      s"${m.group(2).toUpperCase} comparison with a missing left " +
+        s"operand near offset ${m.start}")
+    val fn =
+      if (m.group(2).equalsIgnoreCase("ALL")) "forall" else "exists"
+    val sparkOp = if (op == "!=") "<>" else op
+    rewriteAnyAll(sql.substring(0, lStart) +
+      s" $fn($inner, __pg_e -> ($lhs) $sparkOp __pg_e) " +
+      sql.substring(close + 1))
+  }
+
+  /** SQL-standard row limiting: `FETCH { FIRST | NEXT } [n] ROWS
+    * ONLY` → LIMIT n (count defaults to 1); `OFFSET n ROWS` drops
+    * the unit keyword. `WITH TIES` raises named (needs a rank
+    * window, not a LIMIT). */
+  private def rewriteFetchFirst(sql: String): String = {
+    if (YqlScript.maskQuotes(sql)
+        .matches("(?is).*\\bWITH\\s+TIES\\b.*"))
+      throw new IllegalArgumentException(
+        "FETCH FIRST ... WITH TIES is not in the bound PG subset — " +
+          "rewrite with rank() OVER (ORDER BY ...) <= n")
+    var s = replaceTopLevelKeepGroups(sql,
+      "(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
+    s = replaceTopLevelKeepGroups(s,
+      "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b",
+      "LIMIT $1")
+    s = replaceTopLevelKeepGroups(s,
+      "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY\\b", "LIMIT 1")
+    // PG's standard clause order is OFFSET-then-FETCH; Spark's
+    // grammar only accepts LIMIT-then-OFFSET
+    val re = "(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)".r
+    val masked = YqlScript.maskQuotes(s)
+    val b = new StringBuilder(s)
+    re.findAllMatchIn(masked).toSeq.reverseIterator.foreach { m =>
+      b.replace(m.start, m.end, s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    }
+    b.toString
+  }
+
+  /** Like [[replaceTopLevel]] but the replacement may reference
+    * capture groups ($1). */
+  private def replaceTopLevelKeepGroups(sql: String, opRe: String,
+      replacement: String): String = {
+    val masked = YqlScript.maskQuotes(sql)
+    val re = opRe.r
+    val b = new StringBuilder(sql)
+    re.findAllMatchIn(masked).toSeq.reverseIterator.foreach { m =>
+      val rep = replacement.replace("$1",
+        if (m.groupCount >= 1 && m.group(1) != null) m.group(1) else "")
+      b.replace(m.start, m.end, rep)
+    }
+    b.toString
   }
 
   /** `array_agg(e)` — PG KEEPS NULL elements (collect_list drops

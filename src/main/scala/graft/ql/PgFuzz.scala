@@ -292,7 +292,7 @@ object PgFuzz {
 
   private def genBool(rnd: scala.util.Random, depth: Int): P = {
     if (depth >= 3) cmp(rnd, depth)
-    else rnd.nextInt(11) match {
+    else rnd.nextInt(12) match {
       case 0 =>
         val l = genBool(rnd, depth + 1); val r = genBool(rnd, depth + 1)
         P(s"(${l.pg} AND ${r.pg})", s"(${l.duck} AND ${r.duck})", 1L)
@@ -359,6 +359,20 @@ object PgFuzz {
         else
           P(s"(${x.pg} NOT SIMILAR TO $pat)",
             s"(NOT regexp_matches(${x.duck}, $reg))", 1L)
+      case 10 => // quantified comparison over an array: the oracle
+        // expands to the equivalent OR (ANY) / AND (ALL) chain, whose
+        // three-valued logic is the definition of the construct
+        val x = genInt(rnd, depth + 1)
+        val es = Seq.fill(rnd.nextInt(2) + 2)(genInt(rnd, depth + 1))
+        val op = Seq("=", "<>", "<", ">=")(rnd.nextInt(4))
+        if (rnd.nextBoolean())
+          P(s"(${x.pg} $op ANY(ARRAY[${es.map(_.pg).mkString(", ")}]))",
+            "(" + es.map(e => s"(${x.duck}) $op (${e.duck})")
+              .mkString(" OR ") + ")", 1L)
+        else
+          P(s"(${x.pg} $op ALL(ARRAY[${es.map(_.pg).mkString(", ")}]))",
+            "(" + es.map(e => s"(${x.duck}) $op (${e.duck})")
+              .mkString(" AND ") + ")", 1L)
       case _ => cmp(rnd, depth)
     }
   }

@@ -322,6 +322,59 @@ class PgSqlSpec extends SparkSpec {
     assert(r.getSeq[String](4) == Seq("a", "b", "c"))
   }
 
+  test("quantified comparisons: op ANY/SOME/ALL over arrays with " +
+      "PG's three-valued logic; subquery form raises") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT 2 = ANY(ARRAY[1, 2, 3]) AS t1,
+        |  5 = ANY(ARRAY[1, NULL]) AS nl,
+        |  0 < SOME(ARRAY[-1, 1]) AS t2,
+        |  2 <> ALL(ARRAY[1, 3]) AS t3,
+        |  2 <> ALL(ARRAY[1, 2]) AS f1,
+        |  1 <= ALL(ARRAY[1, NULL]) AS nl2,
+        |  1 + 1 = ANY(ARRAY[2]) AS arith""".stripMargin)
+    assert(r.getBoolean(0))
+    assert(r.isNullAt(1)) // no match + NULL element → NULL, not false
+    assert(r.getBoolean(2)); assert(r.getBoolean(3))
+    assert(!r.getBoolean(4))
+    assert(r.isNullAt(5)) // all non-NULL pass + a NULL → NULL
+    assert(r.getBoolean(6))
+    val sub = intercept[IllegalArgumentException] {
+      PgSql.translate("--!syntax_pg\nSELECT a = ANY(SELECT b FROM t) FROM t")
+    }
+    assert(sub.getMessage.contains("subquery"), sub.getMessage)
+  }
+
+  test("FETCH FIRST n ROWS ONLY + OFFSET n ROWS (standard order); " +
+      "WITH TIES raises; FILTER clause ships verbatim") {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    val rows = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT n_nationkey FROM nation
+        |ORDER BY n_nationkey
+        |OFFSET 2 ROWS
+        |FETCH FIRST 3 ROWS ONLY""".stripMargin).collect()
+    assert(rows.map(_.get(0).toString).toSeq == Seq("2", "3", "4"))
+    val one1 = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT n_nationkey FROM nation ORDER BY n_nationkey
+        |FETCH FIRST ROW ONLY""".stripMargin).collect()
+    assert(one1.length == 1)
+    val ties = intercept[IllegalArgumentException] {
+      PgSql.translate(
+        "--!syntax_pg\nSELECT a FROM t ORDER BY a FETCH FIRST 3 ROWS WITH TIES")
+    }
+    assert(ties.getMessage.contains("TIES"), ties.getMessage)
+    // PG's aggregate FILTER clause is native Spark SQL — verbatim
+    val f = one(
+      """--!syntax_pg
+        |WITH t AS (SELECT * FROM unnest(ARRAY[1, 2, 3, 4]) AS u(v))
+        |SELECT count(*) FILTER (WHERE v % 2 = 0) AS evens,
+        |       sum(v) FILTER (WHERE v > 2) AS big FROM t""".stripMargin)
+    assert(f.getLong(0) == 2L)
+    assert(f.getLong(1) == 7L)
+  }
+
   test("extract(epoch from x) maps to fractional seconds; other " +
       "fields pass through to Spark's EXTRACT") {
     val r = one(

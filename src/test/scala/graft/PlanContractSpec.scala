@@ -154,6 +154,30 @@ class PlanContractSpec extends SparkSpec {
     assert(aggAboveJoin(optPlain), "expected join-then-agg:\n" + optPlain)
   }
 
+  test("yql_pg_distinct_on: the row_number=1 filter plans as a " +
+      "MAP-SIDE WindowGroupLimit before the shuffle") {
+    // PG DISTINCT ON lowers to row_number OVER (PARTITION BY k) = 1;
+    // Spark 4's InferWindowGroupLimit must turn that into a partial
+    // top-1-per-key pass on each input partition BEFORE the exchange,
+    // so the shuffle carries |keys per partition| rows, not the
+    // corpus — the property that makes DISTINCT ON viable at 100 TB.
+    val df = run("yql_pg_distinct_on")
+    val plan = planString(df)
+    val lines = plan.linesIterator.toSeq
+    val firstWgl = lines.indexWhere(_.contains("WindowGroupLimit"))
+    val wglCount = lines.count(_.contains("WindowGroupLimit"))
+    assert(firstWgl >= 0, "no WindowGroupLimit in the plan:\n" + plan)
+    assert(wglCount >= 2,
+      s"expected partial+final WindowGroupLimit, got $wglCount:\n" + plan)
+    // tree prints top-down: the LAST WindowGroupLimit is the earliest
+    // operator — it must sit BELOW (after, in print order) the
+    // window's shuffle, i.e. some Exchange appears above it
+    val lastWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(lines.take(lastWgl).exists(_.contains("Exchange")),
+      "no exchange above the partial WindowGroupLimit — the top-1 " +
+        "pass is not map-side:\n" + plan)
+  }
+
   test("eager aggregation through a unique-key join: values identical " +
       "to the unrewritten plan (inner + left outer, null keys, " +
       "unmatched groups)") {
