@@ -388,10 +388,14 @@ object Dedup {
     (m, cb)
   }
 
-  /** Measured on-disk cost of ONE banded row through the candidate
-    * join (shuffle write + the two ReuseExchange reads): the sf100
-    * soak put 584M rows at ~90 GB. */
-  val lshBandedRowBytes = 160L
+  /** Measured PEAK on-disk cost of ONE banded row through the
+    * candidate join. Two calibration points: the round-10 sf100 soak
+    * put 584M rows at ~90 GB of shuffle WRITE (~154 B/row), but the
+    * round-11 re-run showed write volume alone under-budgets the
+    * peak — the banded sort spill and the band-join shuffle COEXIST
+    * on disk, and 192M rows exhausted ~60 GB (~310 B/row) before the
+    * join finished. The constant budgets the coexisting peak. */
+  val lshBandedRowBytes = 320L
 
   /** [[lshAutoParams]] capped to a shuffle-scratch budget: the banded
     * stream materializes m·n rows once (~[[lshBandedRowBytes]] each),

@@ -111,7 +111,7 @@ class LlmSpec extends SparkSpec {
     val (mBig, cbBig, missBig) =
       Dedup.lshParamsForBudget(n, 0.9, 0.01, Long.MaxValue)
     assert((mBig, cbBig, missBig) == ((m0, cb0, 0.01)))
-    // tight budget (10 GiB at 160 B/row · 8M rows → 8 chunks max):
+    // tight budget (10 GiB at 320 B/row peak · 8M rows → 4 chunks):
     // m shrinks to fit, cb unchanged, achieved miss honestly > target
     val tight = 10L << 30
     val (mFit, cbFit, missFit) = Dedup.lshParamsForBudget(n, 0.9, 0.01, tight)

@@ -375,6 +375,23 @@ class PgSqlSpec extends SparkSpec {
     assert(f.getLong(1) == 7L)
   }
 
+  test("verbatim PG surface: VALUES in FROM with column aliases, " +
+      "TABLE statement head, INTERVAL literal arithmetic") {
+    val v = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT x * 2 AS d, y FROM (VALUES (1, 'a'), (2, 'b')) AS t(x, y)
+        |ORDER BY x DESC""".stripMargin).collect()
+    assert(v.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((4, "b"), (2, "a")))
+    graft.sources.Tables.registerAll(spark, sfDir)
+    assert(PgSql.sql(spark, "--!syntax_pg\nTABLE region").count() == 5)
+    val iv = one(
+      """--!syntax_pg
+        |SELECT ('2020-01-01 00:00:00'::timestamp + INTERVAL '1 day'
+        |  < '2020-01-03'::timestamp) AS plus_day""".stripMargin)
+    assert(iv.getBoolean(0))
+  }
+
   test("extract(epoch from x) maps to fractional seconds; other " +
       "fields pass through to Spark's EXTRACT") {
     val r = one(
