@@ -142,15 +142,31 @@ object CompressOps {
 
     // Zstd/Snappy ride the codec jars Spark itself ships (zstd-jni,
     // snappy-java on the unmanaged classpath) — no new dependencies.
-    def zstd(in: Array[Byte], level: Int): Array[Byte] =
-      com.github.luben.zstd.Zstd.compress(in, level)
+    //
+    // Contexts are REUSED per thread: zstd-jni's static
+    // Zstd.compress/decompress allocate and free a native
+    // ZSTD_CCtx/DCtx (~1 MB workspace) on EVERY call, which profiled
+    // as ~60% of yql_fn_compress_module's wall time at 2000 rows.
+    // A thread-local ctx with a sticky level turns each call into one
+    // JNI invocation over a warm context — the frame bytes are
+    // identical (the static helpers wrap the same ctx API).
+    private val zstdC = ThreadLocal.withInitial[
+        com.github.luben.zstd.ZstdCompressCtx](() =>
+      new com.github.luben.zstd.ZstdCompressCtx())
+    private val zstdD = ThreadLocal.withInitial[
+        com.github.luben.zstd.ZstdDecompressCtx](() =>
+      new com.github.luben.zstd.ZstdDecompressCtx())
+
+    def zstd(in: Array[Byte], level: Int): Array[Byte] = {
+      val c = zstdC.get(); c.setLevel(level); c.compress(in)
+    }
 
     def unzstd(in: Array[Byte]): Array[Byte] = {
       // single-JNI-call fast path when the frame declares its size
       // (Zstd.compress always does); stream fallback otherwise
       val size = com.github.luben.zstd.Zstd.getFrameContentSize(in)
       if (size >= 0 && size <= Int.MaxValue.toLong)
-        com.github.luben.zstd.Zstd.decompress(in, size.toInt)
+        zstdD.get().decompress(in, size.toInt)
       else {
         val s = new com.github.luben.zstd.ZstdInputStream(
           new java.io.ByteArrayInputStream(in))

@@ -79,41 +79,63 @@ object DynQueueFuzz {
         coalesce(sum(chk), lit(0L)).cast("long").as("chk"))
       .select(lit(cid.toLong).as("case_id"), col("n"), col("chk"))
 
-  /** Drive one consumer over one tablet to exhaustion: pull a seeded
-    * batch, advance, autoTrim every `trimEvery` batches (consumer
-    * vital). The queue frame is REBOUND after each trim — consumed
-    * batches accumulate by union, exactly as a client would retain
-    * its processed output. Driver-side loop over offsets only; each
-    * pull is a pruned scan. */
+  /** (n, chk) of one pulled batch, accumulated driver-side. The batch
+    * is bounded by the seeded batch size (≤ 509) and the whole run by
+    * the SliceMax slice, so the collect is a bounded sliver — the same
+    * contract as the offset reads. chk is the integer checksum
+    * [[rowChk]] computes in-plan (exact Long arithmetic either way).
+    */
+  private def batchStats(pulled: DataFrame): (Long, Long) = {
+    val rows = pulled.select(col("tablet_index").cast("long"),
+      col("row_index").cast("long"), col("event_id").cast("long")).collect()
+    var chk = 0L
+    rows.foreach { r =>
+      chk += r.getLong(0) * 1000003L + r.getLong(1) * 31L + r.getLong(2)
+    }
+    (rows.length.toLong, chk)
+  }
+
+  /** Drive one consumer over one tablet to exhaustion: read the
+    * registry offset (the real consumerOffset round-trip), pull a
+    * seeded batch at it, advance, autoTrim every `trimEvery` batches
+    * (consumer vital). The queue frame is REBOUND after each trim.
+    * Driver-side loop over offsets + bounded batch stats only; each
+    * pull is a pruned scan. Returns the consumed multiset's (n, chk).
+    */
   private def consumeAll(queue0: DataFrame, tablet: Int, batch: Long,
-      trimEvery: Int, consumer: String): DataFrame = {
+      trimEvery: Int, consumer: String): (Long, Long) = {
     var q = queue0
     var reg = DynTable.emptyConsumerRegistry(queue0.sparkSession)
     var ts = 1L
-    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var n = 0L
+    var chk = 0L
     var done = false
     var i = 0
     while (!done) {
-      val pulled = DynTable.pullForConsumer(q, reg, consumer, tablet, batch)
-        .select("tablet_index", "row_index", "event_id").cache()
-      val got = pulled.count()
+      // one registry read per batch: pullForConsumer is BY DEFINITION
+      // pullQueue at consumerOffset — composing the two parts here
+      // keeps the registry round-trip while the advance below reuses
+      // the same offset instead of re-reading it
+      val off = DynTable.consumerOffset(reg, consumer, tablet.toLong)
+      val (got, bchk) = batchStats(DynTable.pullQueue(q, tablet, off, batch))
       if (got == 0) done = true
       else {
-        batches += pulled
-        val newOff = DynTable.consumerOffset(reg, consumer, tablet.toLong) + got
-        reg = DynTable.advanceConsumer(reg, consumer, tablet.toLong, newOff, ts)
+        n += got; chk += bchk
+        reg = DynTable.advanceConsumer(reg, consumer, tablet.toLong,
+          off + got, ts)
         ts += 1
         i += 1
         // cut the trim-join lineage: each autoTrim nests a join over
-        // the previous queue plan — checkpoint keeps the loop linear
+        // the previous queue plan — checkpoint keeps the loop linear.
+        // (The registry stays a LocalRelation union on purpose:
+        // checkpointing it turns every offset read and trim broadcast
+        // into an RDD job — measured 2x slower overall.)
         if (i % trimEvery == 0)
           q = DynTable.autoTrim(q, reg, Seq(consumer), retainedRows = 0L)
-            .localCheckpoint()
+            .localCheckpoint(eager = false) // materializes on next pull
       }
     }
-    if (batches.isEmpty)
-      queue0.limit(0).select("tablet_index", "row_index", "event_id")
-    else batches.reduce(_ unionByName _)
+    (n, chk)
   }
 
   def run(spark: SparkSession, events: DataFrame, seed: Long): DataFrame = {
@@ -122,45 +144,45 @@ object DynQueueFuzz {
 
     // case 0: single consumer, tablet seeded by the batch size
     val t0 = (p.batchA % p.tablets).toInt
-    val c0 = summarize(consumeAll(q0, t0, p.batchA, p.trimEvery, "cA"), 0,
-      rowChk)
+    val (n0, chk0) = consumeAll(q0, t0, p.batchA, p.trimEvery, "cA")
 
     // case 1: two vital consumers on one tablet, interleaved — trims
     // bound by the slower; both must see every row exactly once
     val t1 = (p.batchB % p.tablets).toInt
-    val c1 = {
+    val (n1, chk1) = {
       var q = q0
       var reg = DynTable.emptyConsumerRegistry(spark)
       var ts = 100L
-      val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var n = 0L
+      var chk = 0L
       var done = false
       var i = 0
       while (!done) {
         var progressed = false
         for ((name, batch) <- Seq(("cX", p.batchA), ("cY", p.batchB))) {
-          val pulled = DynTable.pullForConsumer(q, reg, name, t1, batch)
-            .select("tablet_index", "row_index", "event_id").cache()
-          val got = pulled.count()
+          val off = DynTable.consumerOffset(reg, name, t1.toLong)
+          val (got, bchk) = batchStats(DynTable.pullQueue(q, t1, off, batch))
           if (got > 0) {
             progressed = true
-            batches += pulled
-            val off = DynTable.consumerOffset(reg, name, t1.toLong) + got
-            reg = DynTable.advanceConsumer(reg, name, t1.toLong, off, ts)
+            n += got; chk += bchk
+            reg = DynTable.advanceConsumer(reg, name, t1.toLong, off + got, ts)
             ts += 1
           }
         }
         i += 1
         if (i % p.trimEvery == 0)
           q = DynTable.autoTrim(q, reg, Seq("cX", "cY"), retainedRows = 0L)
-            .localCheckpoint()
+            .localCheckpoint(eager = false) // materializes on next pull
         if (!progressed) done = true
       }
-      val out =
-        if (batches.isEmpty)
-          q0.limit(0).select("tablet_index", "row_index", "event_id")
-        else batches.reduce(_ unionByName _)
-      summarize(out, 1, rowChk)
+      (n, chk)
     }
+
+    // cases 0/1 land as local rows (the consumed multisets were
+    // accumulated batch-by-batch above)
+    import spark.implicits._
+    val c01 = Seq((0L, n0, chk0), (1L, n1, chk1))
+      .toDF("case_id", "n", "chk")
 
     // case 2: consume everything on every tablet, then one final
     // autoTrim with the seeded retained_rows floor — the queue keeps
@@ -193,7 +215,7 @@ object DynQueueFuzz {
       summarize(r2.queue, 3, col("seq") * 17L)
     }
 
-    Seq(c0, c1, c2, c3).reduce(_ unionByName _)
+    Seq(c01, c2, c3).reduce(_ unionByName _)
   }
 
   /** First-principles oracle: the queue content itself (exactly-once
