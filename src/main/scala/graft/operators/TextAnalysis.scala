@@ -561,6 +561,8 @@ object TextAnalysis {
       hexDigits: Int = 3, iters: Int = 15, lr: Double = 8.0,
       lrDecay: Double = 0.5, l2: Double = 1e-3): Array[Double] = {
     val nBuckets = 1 << (4 * hexDigits)
+    val sc = docs.sparkSession.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet
     val feats = docs.select(
         labelCol.cast("double").as("y"),
         concat(
@@ -571,20 +573,66 @@ object TextAnalysis {
     val n = feats.count().toDouble
     require(n > 0, "empty training set")
     val w = new Array[Double](nBuckets + 1)
+    // Each iteration is ONE map-only stage: every partition scores its
+    // docs against the broadcast-sized weight array and accumulates a
+    // DENSE gradient (nBuckets+1 doubles), merged on the driver — no
+    // shuffle, no explode, no per-bucket row traffic. Replaces the
+    // previous explode→groupBy→collect (2 stages + AQE replan per
+    // iteration; the gradient itself is hyperparameter-sized either
+    // way). The update rule is unchanged, including its only-observed-
+    // buckets scope (the old collect only returned buckets present in
+    // the data; `seen` reproduces that so unobserved weights skip the
+    // l2 decay exactly as before).
+    val featsRdd = feats.queryExecution.toRdd
+    var seen: Array[Boolean] = null
     var it = 0
     while (it < iters) {
-      val p = lit(1.0) / (lit(1.0) +
-        exp(-graft.functions.Sketches.bucketScore(col("b"), w.clone())))
-      val grad = feats.select((p - col("y")).as("r"), col("b"))
-        .select(col("r"), explode(col("b")).as("bk"))
-        .groupBy(col("bk")).agg(sum(col("r")).as("g"))
-        .collect()
+      val wLocal = w.clone()
+      val trackSeen = seen == null
+      val (grad, seenNow) = featsRdd.mapPartitions { rows =>
+        val g = new Array[Double](wLocal.length)
+        val s = if (trackSeen) new Array[Boolean](wLocal.length) else null
+        rows.foreach { row =>
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val y = row.getDouble(0)
+            val b = row.getArray(1)
+            val p = 1.0 / (1.0 +
+              math.exp(-graft.functions.SketchOps.bucketScore(b, wLocal)))
+            val r = p - y
+            var i = 0
+            val m = b.numElements()
+            while (i < m) {
+              val bk = b.getInt(i)
+              g(bk) += r
+              if (trackSeen) s(bk) = true
+              i += 1
+            }
+          }
+        }
+        Iterator((g, s))
+      }.reduce { (a, b) =>
+        val (ga, sa) = a; val (gb, sb) = b
+        var i = 0
+        while (i < ga.length) {
+          ga(i) += gb(i)
+          if (sa != null && sb(i)) sa(i) = true
+          i += 1
+        }
+        a
+      }
+      if (trackSeen) seen = seenNow
       val step = lr / (1.0 + lrDecay * it)
-      grad.foreach { row =>
-        val bk = row.getInt(0)
-        w(bk) -= step * (row.getDouble(1) / n + l2 * w(bk))
+      var bk = 0
+      while (bk < w.length) {
+        if (seen(bk)) w(bk) -= step * (grad(bk) / n + l2 * w(bk))
+        bk += 1
       }
       it += 1
+    }
+    // the checkpoint blocks are training scaffolding only (the caller
+    // gets the weight array) — release them instead of waiting for GC
+    (sc.getPersistentRDDs.keySet -- persistedBefore).foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
     }
     w
   }

@@ -515,7 +515,223 @@ object Yson {
   // readTree is thread-safe; shared so per-row eval doesn't allocate a mapper
   private lazy val anyMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  def compareAnyJson(l: UTF8String, r: UTF8String): Int = {
+  /** Thrown (stackless) when the streaming comparator meets a shape it
+    * does not handle (objects, over-long integers, malformed input) —
+    * the caller re-runs the Jackson tree comparison, which owns those
+    * edges. */
+  private object AnyCmpFallback
+      extends scala.util.control.ControlThrowable("any-cmp-fallback")
+
+  /** Streaming cursor over one canonical-JSON value; [[cmpStream]]
+    * advances two in lock-step. */
+  private final class AnyCur(val b: Array[Byte]) {
+    var p = 0
+    def skipWs(): Unit = {
+      while (p < b.length && (b(p) == ' ' || b(p) == '\t' ||
+        b(p) == '\n' || b(p) == '\r')) p += 1
+    }
+    def at: Byte = if (p < b.length) b(p) else { throw AnyCmpFallback }
+    /** rank of the value starting at p (see [[compareAnyJson]]), without
+      * consuming; numbers need a lookahead scan to split int/double. */
+    def rank: Int = at match {
+      case 'n' => 0
+      case 't' | 'f' => 3
+      case '"' => 4
+      case '[' => 5
+      case '{' => 6
+      case c if c == '-' || (c >= '0' && c <= '9') =>
+        var i = p
+        if (b(i) == '-') i += 1
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i < b.length && (b(i) == '.' || b(i) == 'e' || b(i) == 'E')) 2
+        else 1
+      case _ => throw AnyCmpFallback
+    }
+    def expect(lit: String): Unit = {
+      if (p + lit.length > b.length) throw AnyCmpFallback
+      var i = 0
+      while (i < lit.length) {
+        if (b(p + i) != lit.charAt(i)) throw AnyCmpFallback
+        i += 1
+      }
+      p += lit.length
+    }
+    /** consume an integral number; overflow → fallback (Jackson's
+      * BigInteger truncation semantics live in the tree path). */
+    def readLong(): Long = {
+      var i = p
+      var neg = false
+      if (b(i) == '-') { neg = true; i += 1 }
+      var v = 0L
+      val i0 = i
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        val d = b(i) - '0'
+        if (v > (Long.MaxValue - d) / 10) throw AnyCmpFallback
+        v = v * 10 + d
+        i += 1
+      }
+      if (i == i0) throw AnyCmpFallback
+      p = i
+      if (neg) -v else v
+    }
+    def readDouble(): Double = {
+      var i = p
+      if (i < b.length && b(i) == '-') i += 1
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      if (i < b.length && b(i) == '.') {
+        i += 1
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      }
+      if (i < b.length && (b(i) == 'e' || b(i) == 'E')) {
+        i += 1
+        if (i < b.length && (b(i) == '+' || b(i) == '-')) i += 1
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      }
+      val s = new String(b, p, i - p, java.nio.charset.StandardCharsets.US_ASCII)
+      p = i
+      try java.lang.Double.parseDouble(s)
+      catch { case _: NumberFormatException => throw AnyCmpFallback }
+    }
+    /** consume a string; returns (start, end) of the raw bytes between
+      * the quotes, or null via escape flag when a backslash appears (the
+      * caller decodes). */
+    def readStringSpan(): (Int, Int, Boolean) = {
+      if (at != '"') throw AnyCmpFallback
+      p += 1
+      val start = p
+      var esc = false
+      while (p < b.length && b(p) != '"') {
+        if (b(p) == '\\') {
+          esc = true
+          p += 1
+          if (p >= b.length) throw AnyCmpFallback
+        }
+        p += 1
+      }
+      if (p >= b.length) throw AnyCmpFallback
+      val end = p
+      p += 1 // closing quote
+      (start, end, esc)
+    }
+    /** JSON-unescape the span into a String (escapes present). */
+    def decode(start: Int, end: Int): String = {
+      val sb = new java.lang.StringBuilder(end - start)
+      var i = start
+      while (i < end) {
+        val c = b(i)
+        if (c == '\\') {
+          i += 1
+          b(i) match {
+            case '"' => sb.append('"'); i += 1
+            case '\\' => sb.append('\\'); i += 1
+            case '/' => sb.append('/'); i += 1
+            case 'b' => sb.append('\b'); i += 1
+            case 'f' => sb.append('\f'); i += 1
+            case 'n' => sb.append('\n'); i += 1
+            case 'r' => sb.append('\r'); i += 1
+            case 't' => sb.append('\t'); i += 1
+            case 'u' =>
+              if (i + 4 >= end) throw AnyCmpFallback
+              var v = 0
+              var k = 1
+              while (k <= 4) {
+                val h = Character.digit(b(i + k), 16)
+                if (h < 0) throw AnyCmpFallback
+                v = (v << 4) | h
+                k += 1
+              }
+              sb.append(v.toChar)
+              i += 5
+            case _ => throw AnyCmpFallback
+          }
+        } else {
+          // raw UTF-8 bytes pass through: appending each byte of a
+          // multi-byte sequence as a char would mangle it, so decode
+          // the maximal non-escape run at once
+          var j = i
+          while (j < end && b(j) != '\\') j += 1
+          sb.append(new String(b, i, j - i,
+            java.nio.charset.StandardCharsets.UTF_8))
+          i = j
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** One comparison step: consumes exactly as much of each cursor as is
+    * needed. Same order as the tree comparison; objects and numeric
+    * edge cases punt to it via [[AnyCmpFallback]]. */
+  private def cmpStream(a: AnyCur, c: AnyCur): Int = {
+    a.skipWs(); c.skipWs()
+    val (ra, rc) = (a.rank, c.rank)
+    if (ra != rc) return Integer.compare(ra, rc)
+    ra match {
+      case 0 => a.expect("null"); c.expect("null"); 0
+      case 1 => java.lang.Long.compare(a.readLong(), c.readLong())
+      case 2 => java.lang.Double.compare(a.readDouble(), c.readDouble())
+      case 3 =>
+        val va = if (a.at == 't') { a.expect("true"); true }
+          else { a.expect("false"); false }
+        val vc = if (c.at == 't') { c.expect("true"); true }
+          else { c.expect("false"); false }
+        java.lang.Boolean.compare(va, vc)
+      case 4 =>
+        val (sa, ea, escA) = a.readStringSpan()
+        val (sc_, ec, escC) = c.readStringSpan()
+        if (!escA && !escC) {
+          // raw UTF-8 bytes compare == decoded-text byte compare when
+          // no escapes are present
+          var i = 0
+          val n = math.min(ea - sa, ec - sc_)
+          while (i < n) {
+            val d = (a.b(sa + i) & 0xff) - (c.b(sc_ + i) & 0xff)
+            if (d != 0) return Integer.signum(d)
+            i += 1
+          }
+          Integer.compare(ea - sa, ec - sc_)
+        } else {
+          val xa = a.decode(sa, ea)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val xc = c.decode(sc_, ec)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          java.util.Arrays.compareUnsigned(xa, xc)
+        }
+      case 5 =>
+        a.expect("["); c.expect("[")
+        a.skipWs(); c.skipWs()
+        var doneA = a.at == ']'
+        var doneC = c.at == ']'
+        while (!doneA && !doneC) {
+          val d = cmpStream(a, c)
+          // a non-zero element verdict propagates straight to the top —
+          // cursor positions no longer matter
+          if (d != 0) return d
+          a.skipWs(); c.skipWs()
+          if (a.at == ',') { a.p += 1; a.skipWs() }
+          else if (a.at == ']') doneA = true
+          else throw AnyCmpFallback
+          if (c.at == ',') { c.p += 1; c.skipWs() }
+          else if (c.at == ']') doneC = true
+          else throw AnyCmpFallback
+        }
+        // consume the terminators so an ENCLOSING array's scan resumes
+        // cleanly after an all-equal nested pair
+        if (doneA) a.expect("]")
+        if (doneC) c.expect("]")
+        // EndList < any value: the shorter list sorts first
+        if (doneA && doneC) 0 else if (doneA) -1 else 1
+      case _ => throw AnyCmpFallback // objects: serialized-form order
+    }
+  }
+
+  def compareAnyJson(l: UTF8String, r: UTF8String): Int =
+    try cmpStream(new AnyCur(l.getBytes), new AnyCur(r.getBytes))
+    catch { case AnyCmpFallback => compareAnyJsonTree(l, r) }
+
+  /** Jackson tree comparison — the fallback arbiter for shapes the
+    * streaming path punts on, and the semantics reference for it. */
+  def compareAnyJsonTree(l: UTF8String, r: UTF8String): Int = {
     import com.fasterxml.jackson.databind.JsonNode
     def rank(n: JsonNode): Int =
       if (n.isNull) 0
