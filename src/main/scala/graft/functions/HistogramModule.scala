@@ -45,65 +45,100 @@ object HistogramModule {
     * extremes). `tf` is the bin-snap transform; NaN positions drop,
     * as TLogarithmicHistogram::Add does.
     */
+  /** Mutable aggregation buffer: parallel sorted position/weight
+    * arrays. ScalaAggregator keeps buffers as live objects between
+    * rows (serialization only at shuffle), so in-place inserts with
+    * binary search + arraycopy replace the previous immutable-Seq
+    * buffer whose per-row indexWhere + take/drop rebuild (boxed
+    * tuples) dominated the aggregate's profile. */
+  final class WBuf(var pos: Array[Double], var wts: Array[Double],
+      var n: Int, var mn: Double, var mx: Double) extends Serializable
+
   private def weightedCore(kind: String, maxBins: Int,
       tf: Double => Double,
       cost: (Double, Double, Double, Double) => Double)
-      : Aggregator[(Option[Double], Option[Double]), (Seq[(Double, Double)], Double, Double), HGram] =
-    new Aggregator[(Option[Double], Option[Double]), (Seq[(Double, Double)], Double, Double), HGram] {
-      type Buf = (Seq[(Double, Double)], Double, Double)
-      private def compact(bins: Seq[(Double, Double)]): Seq[(Double, Double)] =
-        if (bins.length <= maxBins) bins
-        else {
-          var best = 0; var bestCost = Double.MaxValue
-          var i = 0
-          while (i < bins.length - 1) {
-            val (p1, w1) = bins(i); val (p2, w2) = bins(i + 1)
-            val c = cost(p1, w1, p2, w2)
-            if (c < bestCost) { bestCost = c; best = i }
-            i += 1
-          }
-          val (p1, w1) = bins(best); val (p2, w2) = bins(best + 1)
-          val merged = ((p1 * w1 + p2 * w2) / (w1 + w2), w1 + w2)
-          compact((bins.take(best) :+ merged) ++ bins.drop(best + 2))
+      : Aggregator[(Option[Double], Option[Double]), WBuf, HGram] =
+    new Aggregator[(Option[Double], Option[Double]), WBuf, HGram] {
+      private def lowerBound(a: Array[Double], n: Int, p: Double): Int = {
+        // first index with a(i) >= p — same slot indexWhere found
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (a(mid) >= p) hi = mid else lo = mid + 1
         }
-      private def insert(b: Buf, p0: Double, w: Double): Buf = {
-        val p = tf(p0)
-        if (p.isNaN) return b
-        val bins = b._1
-        val i = bins.indexWhere(_._1 >= p)
-        val withNew =
-          if (i >= 0 && bins(i)._1 == p) bins.updated(i, (p, bins(i)._2 + w))
-          else if (i < 0) bins :+ ((p, w))
-          else (bins.take(i) :+ ((p, w))) ++ bins.drop(i)
-        (compact(withNew), math.min(b._2, p), math.max(b._3, p))
+        lo
       }
-      def zero: Buf =
-        (Seq.empty, Double.PositiveInfinity, Double.NegativeInfinity)
+      /** Merge the adjacent pair with the least cost until within the
+        * cap — the FIRST minimal pair on ties, exactly like the old
+        * recursive compact (strict <). Weighted-mean position. */
+      private def compact(b: WBuf): Unit = while (b.n > maxBins) {
+        var best = 0; var bestCost = Double.MaxValue
+        var i = 0
+        while (i < b.n - 1) {
+          val c = cost(b.pos(i), b.wts(i), b.pos(i + 1), b.wts(i + 1))
+          if (c < bestCost) { bestCost = c; best = i }
+          i += 1
+        }
+        val w = b.wts(best) + b.wts(best + 1)
+        b.pos(best) =
+          (b.pos(best) * b.wts(best) + b.pos(best + 1) * b.wts(best + 1)) / w
+        b.wts(best) = w
+        System.arraycopy(b.pos, best + 2, b.pos, best + 1, b.n - best - 2)
+        System.arraycopy(b.wts, best + 2, b.wts, best + 1, b.n - best - 2)
+        b.n -= 1
+      }
+      /** Insert an already-snapped position (merge path / post-tf). */
+      private def insertSnapped(b: WBuf, p: Double, w: Double): Unit = {
+        val i = lowerBound(b.pos, b.n, p)
+        if (i < b.n && b.pos(i) == p) b.wts(i) += w
+        else {
+          if (b.n == b.pos.length) {
+            val cap = math.max(8, b.pos.length * 2)
+            b.pos = java.util.Arrays.copyOf(b.pos, cap)
+            b.wts = java.util.Arrays.copyOf(b.wts, cap)
+          }
+          System.arraycopy(b.pos, i, b.pos, i + 1, b.n - i)
+          System.arraycopy(b.wts, i, b.wts, i + 1, b.n - i)
+          b.pos(i) = p; b.wts(i) = w; b.n += 1
+          compact(b)
+        }
+      }
+      def zero: WBuf = new WBuf(new Array[Double](0), new Array[Double](0),
+        0, Double.PositiveInfinity, Double.NegativeInfinity)
       // Optional input: a NULL value or weight adds nothing — the
       // reference's HISTOGRAM(Double?) skips NULLs (a primitive-typed
       // aggregator would silently coerce them to 0.0 bins)
-      def reduce(b: Buf, a: (Option[Double], Option[Double])): Buf =
-        (for (v <- a._1; w <- a._2) yield insert(b, v, w)).getOrElse(b)
-      def merge(x: Buf, y: Buf): Buf =
-        y._1.foldLeft((x._1, math.min(x._2, y._2), math.max(x._3, y._3))) {
-          case (acc, (p, w)) =>
-            // positions are already snapped; insert with identity
-            val bins = acc._1
-            val i = bins.indexWhere(_._1 >= p)
-            val withNew =
-              if (i >= 0 && bins(i)._1 == p)
-                bins.updated(i, (p, bins(i)._2 + w))
-              else if (i < 0) bins :+ ((p, w))
-              else (bins.take(i) :+ ((p, w))) ++ bins.drop(i)
-            (compact(withNew), acc._2, acc._3)
+      def reduce(b: WBuf, a: (Option[Double], Option[Double])): WBuf = {
+        (a._1, a._2) match {
+          case (Some(v), Some(w)) =>
+            val p = tf(v)
+            if (!p.isNaN) {
+              insertSnapped(b, p, w)
+              b.mn = math.min(b.mn, p); b.mx = math.max(b.mx, p)
+            }
+          case _ =>
         }
-      def finish(r: Buf): HGram = {
-        val bins = r._1.map { case (p, w) => HBin(p, w) }
-        if (bins.isEmpty) HGram(kind, Nil, 0.0, 0.0, 0.0)
-        else HGram(kind, bins, r._2, r._3, bins.map(_.frequency).sum)
+        b
       }
-      def bufferEncoder: Encoder[Buf] =
-        ExpressionEncoder[(Seq[(Double, Double)], Double, Double)]()
+      def merge(x: WBuf, y: WBuf): WBuf = {
+        x.mn = math.min(x.mn, y.mn); x.mx = math.max(x.mx, y.mx)
+        var j = 0
+        while (j < y.n) {
+          // positions are already snapped; insert with identity
+          insertSnapped(x, y.pos(j), y.wts(j))
+          j += 1
+        }
+        x
+      }
+      def finish(r: WBuf): HGram = {
+        if (r.n == 0) HGram(kind, Nil, 0.0, 0.0, 0.0)
+        else {
+          val bins = (0 until r.n).map(i => HBin(r.pos(i), r.wts(i)))
+          HGram(kind, bins, r.mn, r.mx, bins.map(_.frequency).sum)
+        }
+      }
+      def bufferEncoder: Encoder[WBuf] =
+        org.apache.spark.sql.Encoders.kryo[WBuf]
       def outputEncoder: Encoder[HGram] = ExpressionEncoder[HGram]()
     }
 

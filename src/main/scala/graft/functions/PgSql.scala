@@ -91,7 +91,9 @@ object PgSql {
     var go = true
     while (go) {
       val masked = YqlScript.maskQuotes(text)
-      val m = "(?is)\\bORDER\\s+BY\\s".r.findAllMatchIn(masked)
+      // lookahead, not \s: `ORDER BY(a)` is legal PG — the item scan
+      // starts right after BY either way
+      val m = "(?is)\\bORDER\\s+BY(?=[\\s(])".r.findAllMatchIn(masked)
         .filter(_.start < searchEnd).foldLeft(
           Option.empty[scala.util.matching.Regex.Match]) {
           (acc, mm) => if (acc.forall(_.start < mm.start)) Some(mm) else acc
@@ -970,8 +972,12 @@ object PgSql {
         (true, argText.replaceFirst("(?is)^DISTINCT\\s+", ""))
       else (false, argText)
     val d = if (distinct) "DISTINCT " else ""
+    // zero-row guard: PG's array_agg over no rows is NULL, Spark's
+    // collect_list is [] — count(*) (not count(e): array_agg keeps
+    // NULL inputs) gates the same way string_agg's guard does
     rewriteArrayAgg(sql.substring(0, m.start) +
-      s"transform(collect_list(${d}struct(($e) AS v)), x -> x.v)" +
+      s"CASE WHEN count(*) = 0 THEN NULL ELSE " +
+      s"transform(collect_list(${d}struct(($e) AS v)), x -> x.v) END" +
       sql.substring(close + 1))
   }
 
@@ -1026,8 +1032,11 @@ object PgSql {
       val quoted = sep.flatMap { ch =>
         if ("\\^$.|?*+()[]{}".indexOf(ch) >= 0) s"\\$ch" else ch.toString
       }
+      // PG: string_to_array('', sep) = {} (cardinality 0); Spark's
+      // split('', sep) = [''] (cardinality 1)
       return rewriteArrayFns(s.substring(0, m.start) +
-        s"split(${args(0)}, ${sparkStringLiteral(quoted)})" +
+        s"CASE WHEN (${args(0)}) = '' THEN array() ELSE " +
+        s"split(${args(0)}, ${sparkStringLiteral(quoted)}) END" +
         s.substring(close + 1))
     }
     s
@@ -1101,9 +1110,14 @@ object PgSql {
     while (i < pat.length) {
       val c = pat.charAt(i)
       if (c == esc && i + 1 < pat.length) {
+        // similar_escape emits backslash+char VERBATIM for every
+        // escaped character ("We allow any character at all to be
+        // escaped; notably, this allows access to POSIX
+        // character-class escapes such as \d") — Java regex shares
+        // \d/\s/\w/\b with PG's ARE, and a literal escape like \%
+        // stays a literal
         val nx = pat.charAt(i + 1)
-        if ("\\^$.|?*+()[]{}".indexOf(nx) >= 0) re.append('\\').append(nx)
-        else re.append(nx)
+        re.append('\\').append(nx)
         i += 2
       } else {
         if (inClass) {

@@ -354,7 +354,13 @@ object YqlDml {
     // stage DIRECTORY with no catalog entry, which would fail the next
     // saveAsTable with LOCATION_ALREADY_EXISTS
     dropTableDeep(spark, s"`$stage`")
-    df.write.format("parquet").saveAsTable(stage)
+    // REBALANCE before the write (guide: size output files to the AQE
+    // advisory): without it the staged image inherits the plan's
+    // shuffle partitioning and commits one near-empty parquet file per
+    // partition — the driver-side commit renames dominate small DML
+    // statements. With AQE the hint coalesces to advisory-sized files
+    // at ANY scale (one file at test scale, ~64 MB files on a cluster).
+    df.hint("rebalance").write.format("parquet").saveAsTable(stage)
     // SYNC secondary indexes rebuild from the NEW image into their own
     // stages BEFORE the target swap: a failed rebuild (e.g. a unique
     // conflict) aborts the whole statement with the target untouched —
@@ -371,7 +377,7 @@ object YqlDml {
         else graft.plans.SecondaryIndex.build(image, cols, keys)
       val is = s"${idxTable}__stage"
       dropTableDeep(spark, s"`$is`")
-      built.write.format("parquet").saveAsTable(is)
+      built.hint("rebalance").write.format("parquet").saveAsTable(is)
       (idxTable, is)
     }
     val kw = if (overwrite) "OVERWRITE TABLE" else "INTO"
@@ -426,7 +432,7 @@ object YqlDml {
     dropTableDeep(spark, s"`$idxTable`")
     val built = if (unique) graft.plans.SecondaryIndex.buildUnique(cur, cols, keys)
       else graft.plans.SecondaryIndex.build(cur, cols, keys)
-    built.write.format("parquet").saveAsTable(idxTable)
+    built.hint("rebalance").write.format("parquet").saveAsTable(idxTable)
     val spec = s"cols=${cols.mkString(",")};table=$idxTable" +
       (if (unique) ";unique" else "")
     spark.sql(s"ALTER TABLE $target SET TBLPROPERTIES " +

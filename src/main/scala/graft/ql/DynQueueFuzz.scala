@@ -111,18 +111,22 @@ object DynQueueFuzz {
     var chk = 0L
     var done = false
     var i = 0
+    // client-cached committed offset (what a real consumer keeps
+    // between commits): re-read from the registry through the real
+    // consumerOffset round-trip at start and after EVERY trim — the
+    // points where registry state and queue state interact — and
+    // advanced locally in between (pullForConsumer is BY DEFINITION
+    // pullQueue at consumerOffset; each advance's value is the same
+    // offset the read would return)
+    var off = DynTable.consumerOffset(reg, consumer, tablet.toLong)
     while (!done) {
-      // one registry read per batch: pullForConsumer is BY DEFINITION
-      // pullQueue at consumerOffset — composing the two parts here
-      // keeps the registry round-trip while the advance below reuses
-      // the same offset instead of re-reading it
-      val off = DynTable.consumerOffset(reg, consumer, tablet.toLong)
       val (got, bchk) = batchStats(DynTable.pullQueue(q, tablet, off, batch))
       if (got == 0) done = true
       else {
         n += got; chk += bchk
         reg = DynTable.advanceConsumer(reg, consumer, tablet.toLong,
           off + got, ts)
+        off += got
         ts += 1
         i += 1
         // cut the trim-join lineage: each autoTrim nests a join over
@@ -130,9 +134,11 @@ object DynQueueFuzz {
         // (The registry stays a LocalRelation union on purpose:
         // checkpointing it turns every offset read and trim broadcast
         // into an RDD job — measured 2x slower overall.)
-        if (i % trimEvery == 0)
+        if (i % trimEvery == 0) {
           q = DynTable.autoTrim(q, reg, Seq(consumer), retainedRows = 0L)
             .localCheckpoint(eager = false) // materializes on next pull
+          off = DynTable.consumerOffset(reg, consumer, tablet.toLong)
+        }
       }
     }
     (n, chk)
@@ -157,22 +163,32 @@ object DynQueueFuzz {
       var chk = 0L
       var done = false
       var i = 0
+      // per-consumer client-cached offsets, re-read through the real
+      // registry round-trip after every trim (same posture as
+      // consumeAll above)
+      val offs = scala.collection.mutable.Map(
+        "cX" -> DynTable.consumerOffset(reg, "cX", t1.toLong),
+        "cY" -> DynTable.consumerOffset(reg, "cY", t1.toLong))
       while (!done) {
         var progressed = false
         for ((name, batch) <- Seq(("cX", p.batchA), ("cY", p.batchB))) {
-          val off = DynTable.consumerOffset(reg, name, t1.toLong)
+          val off = offs(name)
           val (got, bchk) = batchStats(DynTable.pullQueue(q, t1, off, batch))
           if (got > 0) {
             progressed = true
             n += got; chk += bchk
             reg = DynTable.advanceConsumer(reg, name, t1.toLong, off + got, ts)
+            offs(name) = off + got
             ts += 1
           }
         }
         i += 1
-        if (i % p.trimEvery == 0)
+        if (i % p.trimEvery == 0) {
           q = DynTable.autoTrim(q, reg, Seq("cX", "cY"), retainedRows = 0L)
             .localCheckpoint(eager = false) // materializes on next pull
+          offs("cX") = DynTable.consumerOffset(reg, "cX", t1.toLong)
+          offs("cY") = DynTable.consumerOffset(reg, "cY", t1.toLong)
+        }
         if (!progressed) done = true
       }
       (n, chk)

@@ -403,4 +403,51 @@ class PgSqlSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0)
     assert(r.getInt(2) == 2020)
   }
+
+  test("similar_escape emits escaped chars verbatim: \\d is the " +
+      "POSIX digit class, \\% a literal percent (round-12 ADVICE)") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT 'ab1cd' SIMILAR TO '%\d%' AS has_digit,
+        |  'abdcd' SIMILAR TO '%\d%' AS lit_d_no,
+        |  '50%' SIMILAR TO '__\%' AS lit_pct,
+        |  'a b' SIMILAR TO 'a\sb' AS ws_class""".stripMargin)
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1)) // 'contains d' would wrongly be true
+    assert(r.getBoolean(2))
+    assert(r.getBoolean(3))
+  }
+
+  test("ORDER BY(expr) gets the PG null-order injection like " +
+      "ORDER BY expr (round-12 ADVICE)") {
+    // PG: NULLS LAST on ASC — Spark's default would put them first
+    val rows = PgSql.sql(spark,
+      """--!syntax_pg
+        |SELECT v FROM (VALUES (1), (NULL), (2)) AS t(v)
+        |ORDER BY(v)""".stripMargin).collect()
+    assert(rows.map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+      == Seq(1, 2, null))
+  }
+
+  test("array_agg over zero rows is NULL, not an empty array " +
+      "(round-12 ADVICE)") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT array_agg(v) AS a, count(*) AS n
+        |FROM (VALUES (1), (2)) AS t(v) WHERE v > 99""".stripMargin)
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) == 0L)
+  }
+
+  test("string_to_array('') is the empty array, cardinality 0 " +
+      "(round-12 ADVICE)") {
+    val r = one(
+      """--!syntax_pg
+        |SELECT cardinality(string_to_array('', ',')) AS empty_n,
+        |  cardinality(string_to_array('a,b', ',')) AS two_n,
+        |  string_to_array(NULL, ',') IS NULL AS null_in""".stripMargin)
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 2)
+    assert(r.getBoolean(2))
+  }
 }
