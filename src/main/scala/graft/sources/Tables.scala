@@ -54,22 +54,35 @@ object Tables {
     * divided down; timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ)
     * casts losslessly under the engine's fixed UTC session timezone.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path(dir, name))
-    val normalized = if (name == "events") {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types._
-      df.schema("ts").dataType match {
-        case LongType => // nanos-as-long from TIMESTAMP(NANOS) parquet
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _: TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df
-      }
-    } else df
-    tagUnique(normalized, name)
-  }
+  /** Relation cache: `spark.read.parquet` re-lists the path and
+    * re-reads the parquet footer on EVERY call (driver-side,
+    * single-threaded — tens of ms), and a bench/verify sweep loads
+    * each table hundreds of times. Catalog tables cache exactly this
+    * metadata (file index + schema); path-loaded relations get the
+    * same treatment here. This caches the RELATION (logical plan over
+    * the files), never data or results: every execution still scans
+    * the parquet. Keyed per session (a DataFrame is bound to the
+    * session that built it). */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    relationCache.computeIfAbsent((spark, path(dir, name)), { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(path(dir, name))
+      val normalized = if (name == "events") {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        df.schema("ts").dataType match {
+          case LongType => // nanos-as-long from TIMESTAMP(NANOS) parquet
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _: TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case _ => df
+        }
+      } else df
+      tagUnique(normalized, name)
+    })
 
   /** Register every table in `dir` as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
