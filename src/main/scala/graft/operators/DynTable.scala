@@ -567,14 +567,70 @@ object DynTable {
     registry.unionByName(update)
   }
 
+  /** The registry/producer tables are client state built as a chain of
+    * `unionByName` over tiny LocalRelations (one row per advance). A
+    * driver-side read over that shape needs no Spark job: walk the
+    * local rows directly. Returns None when the plan carries anything
+    * but LocalRelation/Union (then the caller takes the distributed
+    * read — e.g. a registry persisted to parquet). */
+  private def localUnionRows(df: DataFrame)
+      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Union, LogicalPlan}
+    def walk(p: LogicalPlan): Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+      p match {
+        case l: LocalRelation => Some(l.data)
+        case u: Union =>
+          val parts = u.children.map(walk)
+          if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get).toSeq)
+          else None
+        case _ => None
+      }
+    // analyzed (not optimized) keeps the raw union chain; unionByName
+    // of identically-shaped frames inserts no Project
+    walk(df.queryExecution.analyzed)
+  }
+
+  /** Latest-wins lookup over local rows: the exact readLatest rule —
+    * per key take the max-ts row (first max wins, like Spark's
+    * max_by), then keep it only if that row is an upsert. Field
+    * ordinals are resolved by name from the frame's schema. */
+  private def localLatestLookup(df: DataFrame, keyCols: Seq[String],
+      keyVals: Seq[Any], valueCols: Seq[String]): Option[Option[Seq[Long]]] =
+    localUnionRows(df).map { rows =>
+      val schema = df.schema
+      val keyIdx = keyCols.map(schema.fieldIndex)
+      val tsIdx = schema.fieldIndex("ts")
+      val opIdx = schema.fieldIndex("op")
+      val valIdx = valueCols.map(schema.fieldIndex)
+      def keyMatches(r: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+        keyIdx.zip(keyVals).forall {
+          case (i, s: String) => r.getUTF8String(i).toString == s
+          case (i, l: Long) => r.getLong(i) == l
+          case _ => false
+        }
+      var best: org.apache.spark.sql.catalyst.InternalRow = null
+      var bestTs = Long.MinValue
+      rows.foreach { r =>
+        if (keyMatches(r) && r.getLong(tsIdx) > bestTs) {
+          best = r; bestTs = r.getLong(tsIdx)
+        }
+      }
+      if (best == null || best.getUTF8String(opIdx).toString != OpUpsert) None
+      else Some(valIdx.map(best.getLong))
+    }
+
   /** Current offset of a consumer on a tablet (0 when unregistered). */
   def consumerOffset(registry: DataFrame, consumer: String,
-      tabletIndex: Long): Long = {
-    val rows = readLatest(registry, Seq("consumer", "tablet_index"))
-      .where(col("consumer") === consumer && col("tablet_index") === tabletIndex)
-      .select("next_offset").collect()
-    if (rows.isEmpty) 0L else rows.head.getLong(0)
-  }
+      tabletIndex: Long): Long =
+    localLatestLookup(registry, Seq("consumer", "tablet_index"),
+        Seq(consumer, tabletIndex), Seq("next_offset")) match {
+      case Some(hit) => hit.map(_.head).getOrElse(0L)
+      case None =>
+        val rows = readLatest(registry, Seq("consumer", "tablet_index"))
+          .where(col("consumer") === consumer && col("tablet_index") === tabletIndex)
+          .select("next_offset").collect()
+        if (rows.isEmpty) 0L else rows.head.getLong(0)
+    }
 
   /** Pull from a tablet starting at the consumer's registered offset —
     * the PullQueueConsumer read path (pull, process, then
@@ -604,12 +660,18 @@ object DynTable {
     * producer table is hyperparameter-sized (one row per writer host) —
     * reading it driver-side is the consumerOffset pattern, not a
     * data-path collect. */
-  def producerSession(producer: DataFrame, sessionId: String): (Long, Long) = {
-    val rows = readLatest(producer, Seq("session_id"))
-      .where(col("session_id") === sessionId)
-      .select("epoch", "seq").collect()
-    if (rows.isEmpty) (-1L, -1L) else (rows.head.getLong(0), rows.head.getLong(1))
-  }
+  def producerSession(producer: DataFrame, sessionId: String): (Long, Long) =
+    localLatestLookup(producer, Seq("session_id"), Seq(sessionId),
+        Seq("epoch", "seq")) match {
+      case Some(hit) =>
+        hit.map(vs => (vs(0), vs(1))).getOrElse((-1L, -1L))
+      case None =>
+        val rows = readLatest(producer, Seq("session_id"))
+          .where(col("session_id") === sessionId)
+          .select("epoch", "seq").collect()
+        if (rows.isEmpty) (-1L, -1L)
+        else (rows.head.getLong(0), rows.head.getLong(1))
+    }
 
   /** CreateQueueProducerSession: new session → epoch 0, seq -1; existing
     * session → epoch + 1, stored seq. Returns (updated producer table,
