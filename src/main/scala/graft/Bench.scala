@@ -145,6 +145,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median3","noise_band":"sub1.5s~1.6x","queries":$qs,"sf":"$sfDir"}"""
     require(line.length < 1850, s"bench JSON line too long: ${line.length}")
+    // Belt and braces for the driver's tail parser: the line goes to
+    // stdout bare (build.sbt run/outputStrategy := StdoutOutput) AND to a
+    // fixed file, so a logger-wrapped stdout can never lose it again.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_line.json"), line)
+    catch { case _: Throwable => }
     println(line)
     spark.stop()
   }
