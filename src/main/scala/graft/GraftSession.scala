@@ -72,6 +72,9 @@ object GraftSession {
     quietLogs(spark)
     // QL's join+agg push-down (eager aggregation on the foreign side)
     graft.plans.PushDownGroupBy.install(spark)
+    // SOME(key) → key: keeps string witnesses of the group key from
+    // forcing the whole aggregate onto SortAggregateExec
+    graft.plans.FoldFirstOfGroupKey.install(spark)
     spark
   }
 

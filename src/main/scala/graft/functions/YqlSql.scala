@@ -1172,7 +1172,7 @@ object YqlSql {
     // the reference's covered-column check
     def full(s: String): String =
       SessionLambda.rewrite(spark, MatchRecognizeSql.rewrite(spark,
-        viewRewrite(spark, YqlTablePaths.rewrite(rewrite(s)))))
+        viewRewrite(spark, YqlTablePaths.rewrite(spark, rewrite(s)))))
     // EVALUATE IF conditions fold through Catalyst: a constant boolean
     // expression evaluated once at lowering time (matching the
     // reference's evaluation phase)

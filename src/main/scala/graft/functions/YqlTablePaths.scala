@@ -42,6 +42,42 @@ object YqlTablePaths {
 
   private val Fns = Set("RANGE", "EACH", "CONCAT", "FOLDER", "LIKE", "REGEXP")
 
+  /** Relation cache for lowered member scans. A bare
+    * `FROM parquet.`path`` resolves the file relation from scratch on
+    * EVERY analysis — directory listing, footer read, schema merge,
+    * streaming-metadata probe, all driver-side — and one fuzz sweep
+    * lowers dozens of such scans over the same handful of member
+    * paths. When the active session is known (the [[rewrite]] overload
+    * below), each distinct path registers ONCE as a temp view over a
+    * `spark.read.parquet` relation and the lowered text references the
+    * view; every execution still scans the parquet files (this caches
+    * the file index + schema, never data — same posture as
+    * [[graft.sources.Tables.load]]). */
+  private val viewCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val activeSession =
+    new scala.util.DynamicVariable[Option[org.apache.spark.sql.SparkSession]](None)
+
+  /** Session-aware rewrite: member scans go through the relation
+    * cache. Text-only callers keep the bare-path lowering. */
+  def rewrite(spark: org.apache.spark.sql.SparkSession, sql: String): String =
+    activeSession.withValue(Some(spark)) { rewrite(sql) }
+
+  /** The FROM-able reference for a member path: a cached registered
+    * view when a session is active, the bare SQL-on-file scan text
+    * otherwise. */
+  private def pathRef(path: String): String = activeSession.value match {
+    case Some(spark) =>
+      val view = viewCache.computeIfAbsent((spark, path), { _ =>
+        val v = s"__g_tbl_${viewSeq.incrementAndGet()}"
+        spark.read.parquet(path).createOrReplaceTempView(v)
+        v
+      })
+      s"`$view`"
+    case None => s"parquet.`${qIdent(path)}`"
+  }
+
   /** Rewrite every FROM/JOIN-position table-path call in `sql`;
     * scalar uses of the same names (string CONCAT, the LIKE operator)
     * are untouched because only `FROM <fn>(` / `JOIN <fn>(` spans
@@ -302,7 +338,7 @@ object YqlTablePaths {
     s.replace("\\", "\\\\").replace("'", "\\'")
 
   private def scan(path: String): String =
-    s"SELECT * FROM parquet.`${qIdent(path)}`"
+    s"SELECT * FROM ${pathRef(path)}"
 
   /** The logical (extension-less) path of a member file/dir. */
   private def logical(path: String): String = path.stripSuffix(".parquet")
@@ -311,7 +347,7 @@ object YqlTablePaths {
     * TableName(). */
   private def scanWithPath(path: String): String =
     s"SELECT *, '${qLit(logical(path))}' AS __g_tp " +
-      s"FROM parquet.`${qIdent(path)}`"
+      s"FROM ${pathRef(path)}"
 
   private val GlobMeta = "{}[],*?\\".toSet
 
@@ -324,7 +360,7 @@ object YqlTablePaths {
       require(all.nonEmpty, s"empty table directory: $dir")
       if (withPath)
         s"(SELECT *, CAST(NULL AS STRING) AS __g_tp " +
-          s"FROM parquet.`${all.head._2}` LIMIT 0)"
+          s"FROM ${pathRef(all.head._2)} LIMIT 0)"
       else s"(${scan(all.head._2)} LIMIT 0)"
     } else if (withPath) unionPaths(sel.map(_._2), withPath = true)
     else if (sel.length == 1) s"(${scan(sel.head._2)})"

@@ -18,6 +18,12 @@ object Yql {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Load with the CPU-spread gate (Tables.loadSpread) — for operators
+    * whose per-row work (codecs, interpreted HOFs, heavyweight
+    * aggregate updates) dominates a single-split scan. */
+  private def tSpread(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadSpread(s, dir, name)
+
   /** TPC-H pack: one ANSI text per query, identical on Spark and
     * DuckDB (the oracle map reuses these verbatim). Standard queries
     * adapted to the driver's column subset; thresholds replace the
@@ -1529,6 +1535,9 @@ object Yql {
     // aggregates; MULTI applies item-by-item over a list column via
     // transform/sequence HOFs over the collected group.
     "yql_fn_aggregate_by" -> ((s, d) => {
+      // spread measured 0.73x here (r13): the percentile partials'
+      // typed-hashmap buffers serialized across the extra exchange
+      // cost more than the parallel update saves — left single-split
       t(s, d, "orders").createOrReplaceTempView("orders")
       graft.functions.YqlSql.sql(s,
         """$cnt = AggregationFactory("COUNT");
@@ -1609,7 +1618,9 @@ object Yql {
     // (stateful scan), ListAggregate and a struct container literal —
     // every output a scalar the DuckDB oracle replays arithmetically.
     "yql_fn_basics" -> ((s, d) => {
-      t(s, d, "orders").createOrReplaceTempView("orders")
+      // interpreted HOF chains per row (ListFoldMap/ListAggregate are
+      // CodegenFallback) — spread the single-split scan (guide §2)
+      tSpread(s, d, "orders").createOrReplaceTempView("orders")
       graft.functions.YqlSql.sql(s,
         """SELECT o_orderkey,
           |  ByteAt(o_orderpriority, 0) AS ba,
@@ -1942,7 +1953,8 @@ object Yql {
     "yql_fn_compress" -> ((s, d) => {
       import graft.functions.Compress
       val bytes = encode(col("text"), "UTF-8")
-      t(s, d, "documents").select(
+      // gzip+zlib round trips of kB texts per row — spread (guide §2)
+      tSpread(s, d, "documents").select(
         col("doc_id"),
         length(col("text")).as("orig_len"),
         decode(Compress.gunzip(Compress.gzip(bytes)), "UTF-8").as("gzip_rt"),
@@ -2086,6 +2098,8 @@ object Yql {
     // and the oracle's min coincide.
     "yql_agg_some" -> ((s, d) => {
       val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      // spread measured 0.71x here (r13): the join already exchanges
+      // the probe side, so a pre-join round-robin pass is pure cost
       val l = t(s, d, "lineitem")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("l_orderkey"))

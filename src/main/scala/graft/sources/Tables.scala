@@ -84,6 +84,34 @@ object Tables {
       tagUnique(normalized, name)
     })
 
+  /** Recursive on-disk footprint of a table path (file or directory). */
+  private def diskBytes(f: java.io.File): Long =
+    if (f.isFile) f.length
+    else Option(f.listFiles()).map(_.map(diskBytes).sum).getOrElse(0L)
+
+  /** [[load]] plus post-scan parallelism for CPU-heavy per-row
+    * operators (guide §2: repartition straight after an unsplittable
+    * read). Parquet splits at ROW-GROUP boundaries, so a table whose
+    * whole footprint fits in one scan split runs every downstream
+    * per-row expression on ONE core no matter how wide the machine is
+    * — compression codecs, interpreted higher-order functions and
+    * digest kernels serialize behind scan parallelism they don't
+    * control. The gate is scale-adaptive, not tuned to a core count:
+    * the round-robin exchange is added ONLY when the on-disk footprint
+    * fits inside a single `files.maxPartitionBytes` split (at which
+    * point the shuffle moves less than one split of data); any input
+    * big enough to scan in parallel is returned untouched, so at
+    * cluster scale this is a no-op. */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val bytes = try diskBytes(new java.io.File(path(dir, name)))
+      catch { case _: Exception => Long.MaxValue }
+    val maxSplit = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val cores = spark.sparkContext.defaultParallelism
+    if (bytes > 0 && bytes <= maxSplit && cores > 1) df.repartition(cores)
+    else df
+  }
+
   /** Register every table in `dir` as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach { n =>

@@ -551,4 +551,37 @@ class PlansSpec extends SparkSpec {
       .write.partitionBy("dk").mode("overwrite").parquet(divDir)
     sweep(divDir, divSpec, cases = 20, seed = 777L)
   }
+
+  test("first/any_value of a group key folds to the key (hash agg restored)") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    val df = Seq((1L, "a", 10.0), (1L, "a", 20.0), (2L, null: String, 5.0),
+      (2L, null: String, 7.0), (3L, "c", 1.0))
+      .toDF("id", "k", "v")
+    // string witness of the key next to a numeric aggregate: without
+    // the fold this plans as SortAggregate (string agg buffer)
+    val q = df.groupBy(col("k"))
+      .agg(any_value(col("k")).as("w"), first(col("k")).as("w2"),
+        sum(col("v")).as("s"))
+    val rows = q.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getDouble(3))).toSet
+    assert(rows == Set(("a", "a", "a", 30.0), (null, null, null, 12.0),
+      ("c", "c", "c", 1.0)))
+    val all = PlanTest.allNodes(q.queryExecution.executedPlan)
+    val hash = all.count(_.isInstanceOf[HashAggregateExec])
+    val sort = all.count(_.isInstanceOf[SortAggregateExec])
+    assert(hash > 0 && sort == 0,
+      s"expected hash aggregation after the fold, got hash=$hash sort=$sort")
+
+    // a FILTERed witness must NOT fold: an all-filtered group is null
+    val f = df.groupBy(col("k"))
+      .agg(expr("first(k) FILTER (WHERE v > 100)").as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(f == Set(("a", null), (null, null), ("c", null)))
+
+    // expression keys fold too (semantic equality, not attribute match)
+    val e = df.groupBy((col("id") % 2).as("m"))
+      .agg(any_value(col("id") % 2).as("w"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 1L), (0L, 0L)))
+  }
 }

@@ -21,6 +21,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.sparkContext.setLogLevel("ERROR")
     // same optimizer extensions the engine session installs
     graft.plans.PushDownGroupBy.install(s)
+    graft.plans.FoldFirstOfGroupKey.install(s)
     s
   }
 
