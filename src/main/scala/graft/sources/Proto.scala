@@ -242,11 +242,145 @@ object Proto {
     val inFields = fieldsOf(input.schema)
     val outFields = fieldsOf(outSchema)
     val cmd = command
-    input.mapPartitions { rows =>
+    val rdd = input.queryExecution.toRdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else PipeJob.run(cmd,
-        os => encodeFramedStream(rows, inFields, os),
-        is => decodeStream(is, outFields))
-    }(Encoders.row(outSchema))
+        os => encodeFramedStreamInternal(rows, inFields, os),
+        is => decodeStreamInternal(is, outFields))
+    }
+    org.apache.spark.sql.graft.shims
+      .internalCreateDataFrame(input.sparkSession, rdd, outSchema)
   }
+
+  // ——— InternalRow pipe path (see Skiff's note: no Row encoder round
+  // trip, no String round trip; wire bytes identical to the Row path,
+  // which stays as the spec-pinned reference codec). ———
+
+  private def encodeInternalTo(out: ByteArrayOutputStream,
+      row: org.apache.spark.sql.catalyst.InternalRow, fields: Seq[Field]): Unit = {
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (!row.isNullAt(i)) {
+        def key(wire: Int): Unit = writeVarint(out, (f.number.toLong << 3) | wire)
+        f.dataType match {
+          case LongType => key(0); writeVarint(out, row.getLong(i))
+          case IntegerType => key(0); writeVarint(out, row.getInt(i).toLong)
+          case BooleanType => key(0); writeVarint(out, if (row.getBoolean(i)) 1L else 0L)
+          case DoubleType =>
+            key(1)
+            var v = java.lang.Double.doubleToLongBits(row.getDouble(i))
+            var j = 0
+            while (j < 8) { out.write((v & 0xffL).toInt); v >>>= 8; j += 1 }
+          case StringType =>
+            key(2)
+            val b = row.getUTF8String(i).getBytes
+            writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+          case BinaryType =>
+            key(2)
+            val b = row.getBinary(i)
+            writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+          case other => throw new IllegalArgumentException(other.toString)
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** [[encodeFramedStream]] over the Catalyst representation. */
+  def encodeFramedStreamInternal(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      fields: Seq[Field], os: java.io.OutputStream): Unit = {
+    val scratch = new ByteArrayOutputStream(64)
+    rows.foreach { r =>
+      scratch.reset()
+      encodeInternalTo(scratch, r, fields)
+      var v = scratch.size(); var i = 0
+      while (i < 4) { os.write(v & 0xff); v >>= 8; i += 1 }
+      scratch.writeTo(os)
+    }
+  }
+
+  private def decodeRowInternal(msg: Array[Byte], tables: DecodeTables)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val vals = new Array[Any](tables.n)
+    var p = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val b = msg(p); p += 1
+        v |= (b.toLong & 0x7f) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    def fixed64(): Long = {
+      var v = 0L; var j = 0
+      while (j < 8) { v |= (msg(p).toLong & 0xff) << (8 * j); p += 1; j += 1 }
+      v
+    }
+    while (p < msg.length) {
+      val k = varint()
+      val number = (k >>> 3).toInt
+      val wire = (k & 7).toInt
+      val f = if (number < tables.fieldAt.length) tables.fieldAt(number) else null
+      if (f != null) {
+        val v: Any = (wire, f.dataType) match {
+          case (0, LongType) => varint()
+          case (0, IntegerType) => varint().toInt
+          case (0, BooleanType) => varint() != 0L
+          case (1, DoubleType) => java.lang.Double.longBitsToDouble(fixed64())
+          case (2, StringType) =>
+            val n = varint().toInt
+            val s = org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(msg, p, n)
+            p += n; s
+          case (2, BinaryType) =>
+            val n = varint().toInt
+            val b = java.util.Arrays.copyOfRange(msg, p, p + n); p += n; b
+          case _ => throw new IllegalArgumentException(
+            s"wire type $wire does not match ${f.dataType} for field $number")
+        }
+        vals(tables.slotAt(number)) = v
+      } else wire match { // unknown field: standard skip
+        case 0 => varint()
+        case 1 => p += 8
+        case 2 => p += varint().toInt
+        case 5 => p += 4
+        case other => throw new IllegalArgumentException(s"wire type $other")
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
+  /** [[decodeStream]] into the Catalyst representation. */
+  def decodeStreamInternal(in: InputStream, fields: Seq[Field])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private val tables = new DecodeTables(fields)
+      private var nextRow: org.apache.spark.sql.catalyst.InternalRow = _
+      private var done = false
+      private def advance(): Unit = {
+        var len = 0; var j = 0
+        while (j < 4) {
+          val b = in.read()
+          if (b < 0) { done = true; return }
+          len |= (b & 0xff) << (8 * j); j += 1
+        }
+        val msg = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val n = in.read(msg, off, len - off)
+          if (n < 0) throw new EOFException("truncated lenval frame")
+          off += n
+        }
+        nextRow = decodeRowInternal(msg, tables)
+      }
+      advance()
+      def hasNext: Boolean = !done
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val r = nextRow; advance(); r
+      }
+    }
 }

@@ -83,6 +83,124 @@ object Skiff {
     }
   }
 
+  // ——— InternalRow pipe path ———
+  //
+  // The pipe operators run per partition inside the engine, so they can
+  // speak Catalyst's internal representation directly: no
+  // InternalRow→Row deserialization per input row, no Row→InternalRow
+  // ExpressionEncoder pass per output row, and strings move as UTF-8
+  // bytes without a java.lang.String round trip. Wire bytes are
+  // IDENTICAL to the Row path (same framing, same field encodings —
+  // UTF8String.getBytes IS the UTF-8 encoding Row.getString produced);
+  // the Row-based codecs above stay as the spec-pinned reference and
+  // serve the blob encode/decode surface.
+
+  /** Encode one tagged row from the Catalyst representation; byte-for-
+    * byte the stream [[encodeRowTaggedTo]] writes. A reusable 8-byte
+    * scratch turns per-byte OutputStream calls into one write per
+    * fixed-width field. */
+  def encodeInternalTo(out: java.io.OutputStream,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      fields: Seq[Field], tag: Int, fieldOffset: Int,
+      scratch: Array[Byte]): Unit = {
+    def le(n: Int, bytes: Int): Unit = {
+      var v = n; var i = 0
+      while (i < bytes) { scratch(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+      out.write(scratch, 0, bytes)
+    }
+    def le64(n: Long): Unit = {
+      var v = n; var i = 0
+      while (i < 8) { scratch(i) = (v & 0xffL).toByte; v >>= 8; i += 1 }
+      out.write(scratch, 0, 8)
+    }
+    le(tag, 2)
+    var j = 0
+    while (j < fields.length) {
+      val f = fields(j)
+      val i = j + fieldOffset
+      val isNull = row.isNullAt(i)
+      if (f.optional) out.write(if (isNull) 0 else 1)
+      else if (isNull) throw new IllegalArgumentException(s"null in required ${f.name}")
+      if (!isNull) f.dataType match {
+        case LongType => le64(row.getLong(i))
+        case DoubleType => le64(java.lang.Double.doubleToLongBits(row.getDouble(i)))
+        case BooleanType => out.write(if (row.getBoolean(i)) 1 else 0)
+        case StringType =>
+          val b = row.getUTF8String(i).getBytes
+          le(b.length, 4); out.write(b)
+        case BinaryType =>
+          val b = row.getBinary(i)
+          le(b.length, 4); out.write(b)
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+      j += 1
+    }
+  }
+
+  /** Little-endian field reader over a raw InputStream with a reusable
+    * scratch buffer: one readFully per field instead of one virtual
+    * read() per BYTE (the former decode hot spot). */
+  private final class LeReader(in: InputStream) {
+    private val din = new DataInputStream(in)
+    private val buf = new Array[Byte](8)
+    /** n-byte little-endian unsigned read; EOFException at stream end. */
+    def readLE(n: Int): Long = {
+      din.readFully(buf, 0, n)
+      var v = 0L; var i = 0
+      while (i < n) { v |= (buf(i).toLong & 0xff) << (8 * i); i += 1 }
+      v
+    }
+    /** First byte of a frame: -1 on clean EOF, else the byte. */
+    def readFrameByte(): Int = din.read()
+    def readFully(b: Array[Byte]): Unit = din.readFully(b)
+  }
+
+  /** Decode a stream of framed rows into the Catalyst representation —
+    * same framing and EOF semantics as [[decodeStream]]. */
+  def decodeStreamInternal(in: InputStream, fields: Seq[Field])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val r = new LeReader(in)
+    val n = fields.length
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var nextRow: org.apache.spark.sql.catalyst.InternalRow = _
+      private var done = false
+      private def advance(): Unit =
+        try {
+          val b0 = r.readFrameByte()
+          if (b0 < 0) { done = true; return }
+          val tag = (b0 & 0xff).toLong | (r.readLE(1) << 8)
+          require(tag == 0, s"unexpected skiff variant16 tag $tag")
+          val vals = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val f = fields(j)
+            val present = if (f.optional) r.readLE(1) == 1 else true
+            if (present) vals(j) = f.dataType match {
+              case LongType => r.readLE(8)
+              case DoubleType => java.lang.Double.longBitsToDouble(r.readLE(8))
+              case BooleanType => r.readLE(1) == 1
+              case StringType =>
+                val b = new Array[Byte](r.readLE(4).toInt)
+                r.readFully(b)
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+              case BinaryType =>
+                val b = new Array[Byte](r.readLE(4).toInt)
+                r.readFully(b); b
+              case other => throw new IllegalArgumentException(other.toString)
+            }
+            j += 1
+          }
+          nextRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        } catch { case _: EOFException => done = true }
+      advance()
+      def hasNext: Boolean = !done
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val row = nextRow; advance(); row
+      }
+    }
+  }
+
   /** Decode a stream of framed rows. */
   def decodeStream(in: InputStream, fields: Seq[Field]): Iterator[Row] = {
     val din = new DataInputStream(in)
@@ -218,15 +336,70 @@ object Skiff {
           s.fields.map(f => StructField(s"t${j}_${f.name}", f.dataType, nullable = true))
         })
     val cmd = command
-    unionTagged(inputs).mapPartitions { rows =>
+    val tagged = unionTagged(inputs)
+    val rdd = tagged.queryExecution.toRdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else PipeJob.run(cmd,
-        os => rows.foreach { r =>
-          val t = r.getInt(0)
-          encodeRowTaggedTo(os, r, inFields(t), t, inOffsets(t))
+        os => {
+          val scratch = new Array[Byte](8)
+          rows.foreach { r =>
+            val t = r.getInt(0)
+            encodeInternalTo(os, r, inFields(t), t, inOffsets(t), scratch)
+          }
         },
-        is => decodeStreamMulti(is, outFields))
-    }(Encoders.row(outStruct))
+        is => decodeStreamMultiInternal(is, outFields))
+    }
+    org.apache.spark.sql.graft.shims
+      .internalCreateDataFrame(tagged.sparkSession, rdd, outStruct)
+  }
+
+  /** Multi-table decode into the Catalyst representation — same framing
+    * and union layout as [[decodeStreamMulti]]. */
+  def decodeStreamMultiInternal(in: InputStream, schemas: Seq[Seq[Field]])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val r = new LeReader(in)
+    val offsets = schemas.scanLeft(0)(_ + _.size)
+    val width = 1 + offsets.last
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var nextRow: org.apache.spark.sql.catalyst.InternalRow = _
+      private var done = false
+      private def advance(): Unit =
+        try {
+          val b0 = r.readFrameByte()
+          if (b0 < 0) { done = true; return }
+          val tag = ((b0 & 0xff).toLong | (r.readLE(1) << 8)).toInt
+          require(tag >= 0 && tag < schemas.size, s"skiff table index $tag out of range")
+          val vals = new Array[Any](width)
+          vals(0) = tag
+          val fs = schemas(tag)
+          var j = 0
+          while (j < fs.length) {
+            val f = fs(j)
+            val present = if (f.optional) r.readLE(1) == 1 else true
+            if (present) vals(1 + offsets(tag) + j) = f.dataType match {
+              case LongType => r.readLE(8)
+              case DoubleType => java.lang.Double.longBitsToDouble(r.readLE(8))
+              case BooleanType => r.readLE(1) == 1
+              case StringType =>
+                val b = new Array[Byte](r.readLE(4).toInt)
+                r.readFully(b)
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+              case BinaryType =>
+                val b = new Array[Byte](r.readLE(4).toInt)
+                r.readFully(b); b
+              case other => throw new IllegalArgumentException(other.toString)
+            }
+            j += 1
+          }
+          nextRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        } catch { case _: EOFException => done = true }
+      advance()
+      def hasNext: Boolean = !done
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val row = nextRow; advance(); row
+      }
+    }
   }
 
   /** DataFrame → per-partition Skiff byte streams (one blob per
@@ -248,12 +421,17 @@ object Skiff {
     val inFields = fieldsOf(input.schema)
     val outFields = fieldsOf(outSchema)
     val cmd = command
-    input.mapPartitions { rows =>
+    val rdd = input.queryExecution.toRdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else PipeJob.run(cmd,
-        os => rows.foreach(r => encodeRowTaggedTo(os, r, inFields, 0, 0)),
-        is => decodeStream(is, outFields))
-    }(Encoders.row(outSchema))
+        os => {
+          val scratch = new Array[Byte](8)
+          rows.foreach(r => encodeInternalTo(os, r, inFields, 0, 0, scratch))
+        },
+        is => decodeStreamInternal(is, outFields))
+    }
+    org.apache.spark.sql.graft.shims
+      .internalCreateDataFrame(input.sparkSession, rdd, outSchema)
   }
 
   /** Per-partition Skiff byte streams → DataFrame with `schema`. */

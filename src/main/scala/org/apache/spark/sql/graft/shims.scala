@@ -73,4 +73,14 @@ object shims {
   def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean =
     a.asNullable == b.asNullable
+
+  /** DataFrame over an InternalRow RDD without the external-Row encoder
+    * round trip (`internalCreateDataFrame` is `private[sql]`). Rows must
+    * already be in the Catalyst representation of `schema`. */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -391,4 +391,90 @@ class TypesFormatsSpec extends SparkSpec {
     val piped = Proto.pipeMap(df, Seq("cat"), df.schema)
     assert(piped.exceptAll(df).count() == 0 && df.exceptAll(piped).count() == 0)
   }
+
+  test("InternalRow pipe codecs are byte-identical to the Row codecs") {
+    import graft.sources.{Proto, Skiff}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = Seq(
+      Row(258L, 1.5, true, "ab", "bin0".getBytes("UTF-8")),
+      Row(5L, null, false, null, null),
+      Row(-7L, -0.0, null, "héllo €", Array[Byte](0, 1, -1)),
+      Row(Long.MaxValue, Double.NaN, true, "", Array.empty[Byte]))
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType), StructField("ok", BooleanType),
+      StructField("s", StringType), StructField("b", BinaryType)))
+    def internal(r: Row): InternalRow = InternalRow.fromSeq(
+      r.toSeq.map {
+        case s: String => UTF8String.fromString(s)
+        case x => x
+      })
+
+    // Skiff: same frame bytes from both encoders, same values back
+    val sf = Skiff.fieldsOf(schema)
+    val rowBytes = new java.io.ByteArrayOutputStream()
+    rows.foreach(r => Skiff.encodeRowTaggedTo(rowBytes, r, sf, 0, 0))
+    val intBytes = new java.io.ByteArrayOutputStream()
+    val scratch = new Array[Byte](8)
+    rows.foreach(r => Skiff.encodeInternalTo(intBytes, internal(r), sf, 0, 0, scratch))
+    assert(java.util.Arrays.equals(rowBytes.toByteArray, intBytes.toByteArray),
+      "skiff internal encoder diverged from the Row encoder")
+    val decoded = Skiff.decodeStreamInternal(
+      new java.io.ByteArrayInputStream(rowBytes.toByteArray), sf).toVector
+    val reference = Skiff.decodeStream(
+      new java.io.ByteArrayInputStream(rowBytes.toByteArray), sf).toVector
+    assert(decoded.length == reference.length)
+    decoded.zip(reference).foreach { case (ir, r) =>
+      assert(ir.numFields == r.length)
+      (0 until r.length).foreach { i =>
+        val want = r.get(i) match {
+          case s: String => UTF8String.fromString(s)
+          case x => x
+        }
+        val got = if (ir.isNullAt(i)) null
+          else ir.get(i, schema.fields(i).dataType)
+        (want, got) match {
+          case (a: Array[Byte], b: Array[Byte]) =>
+            assert(java.util.Arrays.equals(a, b))
+          case (a: Double, b: Double) => // NaN-safe, bit-exact
+            assert(java.lang.Double.doubleToLongBits(a) ==
+              java.lang.Double.doubleToLongBits(b), s"field $i: $a != $b")
+          case (a, b) => assert(a == b, s"field $i: $a != $b")
+        }
+      }
+    }
+
+    // Proto: same lenval stream from both encoders, same values back
+    val pf = Proto.fieldsOf(schema)
+    val pRow = new java.io.ByteArrayOutputStream()
+    Proto.encodeFramedStream(rows.iterator, pf, pRow)
+    val pInt = new java.io.ByteArrayOutputStream()
+    Proto.encodeFramedStreamInternal(rows.iterator.map(internal), pf, pInt)
+    assert(java.util.Arrays.equals(pRow.toByteArray, pInt.toByteArray),
+      "proto internal encoder diverged from the Row encoder")
+    val pDecoded = Proto.decodeStreamInternal(
+      new java.io.ByteArrayInputStream(pRow.toByteArray), pf).toVector
+    val pReference = Proto.decodeStream(
+      new java.io.ByteArrayInputStream(pRow.toByteArray), pf).toVector
+    assert(pDecoded.length == pReference.length)
+    pDecoded.zip(pReference).foreach { case (ir, r) =>
+      (0 until r.length).foreach { i =>
+        val want = r.get(i) match {
+          case s: String => UTF8String.fromString(s)
+          case x => x
+        }
+        val got = if (ir.isNullAt(i)) null
+          else ir.get(i, schema.fields(i).dataType)
+        (want, got) match {
+          case (a: Array[Byte], b: Array[Byte]) =>
+            assert(java.util.Arrays.equals(a, b))
+          case (a: Double, b: Double) => // NaN-safe, bit-exact
+            assert(java.lang.Double.doubleToLongBits(a) ==
+              java.lang.Double.doubleToLongBits(b), s"field $i: $a != $b")
+          case (a, b) => assert(a == b, s"field $i: $a != $b")
+        }
+      }
+    }
+  }
 }
