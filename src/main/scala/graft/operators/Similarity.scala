@@ -325,20 +325,29 @@ object Similarity {
     // corpus index carries tables×1 rows per vector, the standard
     // multi-table LSH storage cost; candidates dedup on (query, item)
     // BEFORE scoring so each surviving pair pays exactly one cosine.
-    def sig(t: Int, c: Column) =
-      hyperplaneSignature(c, dim, bits, seed + t * 7919L)
+    // Signatures compute through the fused HyperplaneSigs kernel (one
+    // reference-object plane table, one tight loop) — bit-identical to
+    // chaining hyperplaneSignature per table, but the plan carries a
+    // handful of nodes instead of tables×bits×dim literal leaves:
+    // per-run analysis/optimization of those trees dominated this
+    // operator's wall clock at bench scale (executors measured idle).
+    val allPlanes: Array[Array[Double]] = (0 until tables).toArray.flatMap { t =>
+      val rnd = new java.util.Random(seed + t * 7919L)
+      Array.fill(bits, dim)(rnd.nextGaussian())
+    }
+    def sigs(c: Column) =
+      graft.functions.Sketches.hyperplaneSigs(c, allPlanes, tables, bits)
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"),
-      posexplode(array((0 until tables).map(t => sig(t, col(vecCol))): _*))
-        .as(Seq("table", "bucket")))
-    // multi-probe: all masks with <= probeRadius bits set, per table
+      posexplode(sigs(col(vecCol))).as(Seq("table", "bucket")))
+    // multi-probe: all masks with <= probeRadius bits set, per table —
+    // one literal array + a transform lambda, not one XOR node per mask
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-        posexplode(array((0 until tables).map(t => sig(t, col(vecCol))): _*))
-          .as(Seq("table", "sig")))
+        posexplode(sigs(col(vecCol))).as(Seq("table", "sig")))
       .select(col("query_id"), col("query_vec"), col("table"),
-        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*))
-          .as("bucket"))
+        explode(transform(lit(masks.toArray),
+          m => col("sig").bitwiseXOR(m))).as("bucket"))
     // score BEFORE deduplicating: a pair surfacing from T tables pays
     // up to T redundant cosines (cheap, codegen'd) so the dedup
     // shuffle carries (ids, cos) — one double instead of 2×dim floats.
