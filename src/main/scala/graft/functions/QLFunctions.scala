@@ -147,7 +147,7 @@ object QLFunctions {
     graft.sources.Yson.ypathToJsonPathStrict(ypath)
 
   def try_get_string(any: Column, ypath: String): Column =
-    get_json_object(any, ypathToJsonPath(ypath))
+    graft.sources.Yson.getJsonFast(any, lit(ypathToJsonPath(ypath)))
   def try_get_int64(any: Column, ypath: String): Column =
     try_get_string(any, ypath).try_cast("long")
   /** uint64 carries the engine's raw-bits convention: the full unsigned
@@ -240,13 +240,15 @@ object QLFunctions {
           Literal(org.apache.spark.unsafe.types.UTF8String.fromString(jp), StringType)
         }
       } else graft.sources.Yson.YPathToJsonPath(e)
-    // Literal paths go through Spark's GetJsonObject (it caches the
-    // parsed path when foldable); column-valued paths through our
-    // navigator — GetJsonObject would re-parse the path grammar per
-    // row, the dominant cost of runtime ypaths
+    // Literal paths keep GetJsonObject SEMANTICS but run through the
+    // byte-walker fast path (JsonGetSpark; the real evaluator
+    // arbitrates punts) — Spark's GetJsonObject builds a Jackson
+    // parser per ROW, whose buffer-recycler lookup was the hottest
+    // executor frame on the accessor benches. Column-valued paths go
+    // through our tree navigator as before.
     def jsonGet(es: Seq[Expression]): Expression = {
       val p = ypathArg(es(1))
-      if (p.foldable) GetJsonObject(es(0), p)
+      if (p.foldable) graft.sources.Yson.JsonGetSpark(es(0), p)
       else graft.sources.Yson.JsonGetScalar(es(0), p)
     }
     // get_* raise when the path finds nothing while both inputs are
@@ -479,7 +481,7 @@ object QLFunctions {
     // types. Attributes are not modeled (WithAttributes/Attributes
     // raise at resolution since they are not registered). ———
     def ysonRoot(es: Seq[Expression]): Expression =
-      GetJsonObject(es.head, Literal("$"))
+      graft.sources.Yson.JsonGetSpark(es.head, Literal("$"))
     for (n <- Seq("yson_parse", "yson_parsetext", "yson_parsebinary"))
       reg(n)(es => graft.sources.Yson.YsonToJson(es.head))
     reg("yson_parsejson")(es => es.head)

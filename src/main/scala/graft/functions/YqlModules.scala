@@ -357,13 +357,18 @@ object YqlModules {
     * (yt/docs/en/yql/builtins/json.md) over JSON-carrying string
     * columns (our canonical `Any` encoding). */
   object Json {
-    def value(c: Column, path: String): Column = get_json_object(c, path)
-    def exists(c: Column, path: String): Column = get_json_object(c, path).isNotNull
-    def query(c: Column, path: String): Column = get_json_object(c, path)
+    // get_json_object semantics via the byte-walker fast path (the
+    // real evaluator arbitrates punts) — Spark's expression builds a
+    // Jackson parser per row
+    private def gj(c: Column, path: String): Column =
+      graft.sources.Yson.getJsonFast(c, lit(path))
+    def value(c: Column, path: String): Column = gj(c, path)
+    def exists(c: Column, path: String): Column = gj(c, path).isNotNull
+    def query(c: Column, path: String): Column = gj(c, path)
     def valueInt(c: Column, path: String): Column =
-      get_json_object(c, path).cast("long")
+      gj(c, path).cast("long")
     def valueDouble(c: Column, path: String): Column =
-      get_json_object(c, path).cast("double")
+      gj(c, path).cast("double")
   }
 
   /** Pire / Hyperscan regex modules (udfs/common/pire/pire_udf.cpp:72-75,

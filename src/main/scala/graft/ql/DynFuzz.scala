@@ -106,6 +106,13 @@ object DynFuzz {
   /** Engine side: every case through the real DynTable verbs. */
   def run(spark: SparkSession, orders: DataFrame, seed: Long): DataFrame = {
     val p = params(seed)
+    // NOTE (r13): materializing the shared log once per run
+    // (localCheckpoint on log0/logM) was tried and measured SLOWER
+    // (0.94s -> 1.39s median isolated): the two eager checkpoint jobs
+    // serialize ahead of the 8 cases, while the repeated scan+derive
+    // subtrees they would save are cheap column-pruned parquet scans.
+    // Same dead end as round 12's registry localCheckpoint — don't
+    // re-try.
     val log0 = baseLog(orders, seed, p)
     val logM = maskedLog(orders, seed, p)
     val c0 = summarize(DynTable.readLatest(log0, Seq("k")), 0,

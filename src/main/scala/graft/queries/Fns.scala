@@ -302,7 +302,8 @@ object Fns {
     "ql_agg_dict_sum" -> ((s, d) => {
       t(s, d, "events")
         .select(col("event_type"),
-          map(get_json_object(col("props"), "$.k"), lit(1L)).as("m"))
+          map(graft.sources.Yson.getJsonFast(col("props"), lit("$.k")),
+            lit(1L)).as("m"))
         .groupBy(col("event_type"))
         .agg(graft.functions.DictSumAgg(col("m")).as("dict"))
         .select(col("event_type"), explode(col("dict")).as(Seq("k", "cnt")))

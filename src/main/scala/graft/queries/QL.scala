@@ -333,7 +333,8 @@ object QL {
     // get_string(any, ypath).
     "ql_any_access" -> ((s, d) =>
       t(s, d, "events")
-        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        .select(graft.sources.Yson.getJsonFast(col("props"), lit("$.k"))
+          .cast("long").as("k"),
           col("value"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))),

@@ -3214,8 +3214,16 @@ object Yql {
            ROUND((SELECT v FROM below1), 4) AS sbb,
            ROUND((SELECT v FROM above2) + (SELECT v FROM below2)
              - (SELECT max(tot) FROM s), 4) AS sir,
-           ROUND((SELECT v FROM cub1), 6) AS cub,
-           ROUND((SELECT v FROM clb1), 6) AS clb,
+           -- CalcUpperBound/CalcLowerBound with sum beyond the total
+           -- weight return the histogram's max/min
+           -- (adaptive_histogram.cpp:368/409 `if (gathered < sum)`);
+           -- the bound-crossing CTE is empty then, so coalesce to the
+           -- edge. Reachable only when the corpus is smaller than the
+           -- 3700-weight probe (sf0.001).
+           ROUND(COALESCE((SELECT v FROM cub1),
+             (SELECT max(mx) FROM s)), 6) AS cub,
+           ROUND(COALESCE((SELECT v FROM clb1),
+             (SELECT max(mn) FROM s)), 6) AS clb,
            ROUND((SELECT v FROM cubs1), 6) AS cubs,
            ROUND((SELECT v FROM clbs1), 6) AS clbs,
            ROUND((SELECT v FROM nb4), 6) AS norm_b4,

@@ -933,6 +933,403 @@ object Yson {
     node
   }
 
+  // ——— streaming accessor fast path ———————————————————————————————
+  //
+  // The tree accessors below pay one UTF8String→String conversion per
+  // call plus a Jackson parser/tree per distinct document (and Spark's
+  // own GetJsonObject pays a parser PER ROW — its buffer-recycler
+  // lookup was the hottest executor frame on the accessor benches).
+  // This walker navigates the pre-lowered `$`/`.name`/`[idx]` path
+  // grammar directly over the document's UTF-8 bytes in ONE strict
+  // validating pass, allocation-free until extraction. It returns a
+  // value ONLY when it can prove the arbiter would return the same
+  // bytes; every shape where Jackson's tree (`mode = tree`) or Spark's
+  // GetJsonObject (`mode = spark`) could differ from the raw span —
+  // escaped strings in raw mode, doubles whose text is not the
+  // Double.toString fixpoint (both arbiters print via Double.toString:
+  // Jackson's fast double writer is off by default), `-0`, whitespace
+  // or duplicate keys inside a composite span, escaped keys at a
+  // navigated level, trailing bytes after the root value (readTree
+  // ignores them, GetJsonObject rejects), over-deep nesting — PUNTS to
+  // the original arbiter via a stackless throwable. Malformed JSON
+  // anywhere in the document returns SQL NULL, which both arbiters do.
+
+  private[graft] object JsonFastPunt
+      extends scala.util.control.ControlThrowable("json-fast-punt")
+  private object JsonBad
+      extends scala.util.control.ControlThrowable("json-malformed")
+
+  /** True when both arbiters would print this JSON number token
+    * exactly as written. */
+  private def numCanonical(b: Array[Byte], s: Int, e: Int): Boolean = {
+    var isInt = true
+    var i = s
+    while (i < e) {
+      val c = b(i)
+      if (c == '.' || c == 'e' || c == 'E') isInt = false
+      i += 1
+    }
+    if (isInt) !(e - s == 2 && b(s) == '-' && b(s + 1) == '0') // "-0" → "0"
+    else if (e - s > 32) false
+    else {
+      val t = new String(b, s, e - s, java.nio.charset.StandardCharsets.US_ASCII)
+      try java.lang.Double.toString(java.lang.Double.parseDouble(t)) == t
+      catch { case _: NumberFormatException => false }
+    }
+  }
+
+  /** One navigating + validating pass; see the block comment above. */
+  private final class JsonWalker(b: Array[Byte], path: String, raw: Boolean,
+      sparkMode: Boolean) {
+    private var p = 0
+    private var depth = 0
+    private def punt(): Nothing = throw JsonFastPunt
+    private def bad(): Nothing = throw JsonBad
+
+    // pre-parsed path: Array[Byte] = object key, Integer = list index
+    private val steps: Array[AnyRef] = {
+      if (path.isEmpty || path.charAt(0) != '$') punt()
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+      var i = 1
+      while (i < path.length) {
+        path.charAt(i) match {
+          case '.' =>
+            var j = i + 1
+            while (j < path.length && path.charAt(j) != '.' &&
+              path.charAt(j) != '[') j += 1
+            if (j == i + 1) punt()
+            val key = path.substring(i + 1, j)
+            if (key.exists(c => c == '\\' || c == '"' || c < ' ')) punt()
+            out += key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            i = j
+          case '[' =>
+            val j = path.indexOf(']', i)
+            if (j < 0) punt()
+            val t = path.substring(i + 1, j)
+            if (t.isEmpty || !t.forall(_.isDigit) || t.length > 9) punt()
+            out += Integer.valueOf(t.toInt)
+            i = j + 1
+          case _ => punt()
+        }
+      }
+      out.toArray
+    }
+
+    // matched span
+    private var found = false
+    private var s0 = -1
+    private var s1 = -1
+    // canonicality of a composite span (raw bytes == re-serialization)
+    private var inSpan = false
+    private var spanCanonical = true
+
+    private def skipWs(): Unit =
+      while (p < b.length && (b(p) == ' ' || b(p) == '\t' || b(p) == '\n' ||
+        b(p) == '\r')) { if (inSpan) spanCanonical = false; p += 1 }
+
+    def run(): Any = {
+      skipWs()
+      value(0)
+      skipWs()
+      if (p < b.length) punt() // trailing bytes: arbiters disagree
+      if (!found) return null  // valid document, missing path
+      extract()
+    }
+
+    /** Parse one value; `si` is the position in `steps` this value sits
+      * at (si == steps.length ⇒ this value IS the target; -1 ⇒ pure
+      * validation). */
+    private def value(si: Int): Unit = {
+      skipWs()
+      if (p >= b.length) bad()
+      if (si == steps.length && !found) {
+        s0 = p
+        inSpan = true
+        dispatch(-1)
+        s1 = p
+        inSpan = false
+        found = true
+      } else dispatch(si)
+    }
+
+    private def dispatch(si: Int): Unit = b(p) match {
+      case '{' => obj(si)
+      case '[' => arr(si)
+      case '"' => str()
+      case 't' => lit3("true")
+      case 'f' => lit3("false")
+      case 'n' => lit3("null")
+      case c if c == '-' || (c >= '0' && c <= '9') => num()
+      case _ => bad()
+    }
+
+    private def lit3(s: String): Unit = {
+      if (p + s.length > b.length) bad()
+      var i = 0
+      while (i < s.length) {
+        if (b(p + i) != s.charAt(i)) bad()
+        i += 1
+      }
+      p += s.length
+    }
+
+    /** String token: validates escapes and control bytes; returns
+      * (contentStart, contentEnd, sawEscape); cursor past the quote. */
+    private def str(): (Int, Int, Boolean) = {
+      if (b(p) != '"') bad()
+      p += 1
+      val start = p
+      var esc = false
+      while (p < b.length && b(p) != '"') {
+        val c = b(p)
+        if (c == '\\') {
+          esc = true
+          if (inSpan) spanCanonical = false
+          p += 1
+          if (p >= b.length) bad()
+          b(p) match {
+            case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => p += 1
+            case 'u' =>
+              if (p + 4 >= b.length) bad()
+              var k = 1
+              while (k <= 4) {
+                if (Character.digit(b(p + k), 16) < 0) bad()
+                k += 1
+              }
+              p += 5
+            case _ => bad()
+          }
+        } else if ((c & 0xff) < 0x20) bad() // raw control char: rejected
+        else p += 1
+      }
+      if (p >= b.length) bad()
+      val end = p
+      p += 1
+      (start, end, esc)
+    }
+
+    private def num(): Unit = {
+      val start = p
+      if (b(p) == '-') p += 1
+      if (p >= b.length) bad()
+      // int part: 0 | [1-9][0-9]*
+      if (b(p) == '0') p += 1
+      else if (b(p) >= '1' && b(p) <= '9') {
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
+      } else bad()
+      if (p < b.length && b(p) == '.') {
+        p += 1
+        if (p >= b.length || b(p) < '0' || b(p) > '9') bad()
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
+      }
+      if (p < b.length && (b(p) == 'e' || b(p) == 'E')) {
+        p += 1
+        if (p < b.length && (b(p) == '+' || b(p) == '-')) p += 1
+        if (p >= b.length || b(p) < '0' || b(p) > '9') bad()
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
+      }
+      if (p - start > 900) punt() // Jackson number-length constraint zone
+      if (inSpan && spanCanonical && !numCanonical(b, start, p))
+        spanCanonical = false
+    }
+
+    private def bytesEq(s: Int, e: Int, k: Array[Byte]): Boolean = {
+      if (e - s != k.length) return false
+      var i = 0
+      while (i < k.length) {
+        if (b(s + i) != k(i)) return false
+        i += 1
+      }
+      true
+    }
+
+    private def obj(si: Int): Unit = {
+      depth += 1
+      if (depth > 400) punt() // near Jackson's depth constraint: punt
+      val targetKey: Array[Byte] =
+        if (si >= 0 && si < steps.length) steps(si) match {
+          case k: Array[Byte] => k
+          case _ => null
+        } else null
+      p += 1
+      skipWs()
+      // duplicate-key detection inside a composite span: the tree
+      // arbiter collapses duplicates (last value, first position), so a
+      // span object with any duplicate key is non-canonical
+      var keys: scala.collection.mutable.ArrayBuffer[(Int, Int)] =
+        if (inSpan && spanCanonical) scala.collection.mutable.ArrayBuffer.empty
+        else null
+      var matchedTarget = false
+      if (p < b.length && b(p) == '}') { p += 1; depth -= 1; return }
+      var continue = true
+      while (continue) {
+        skipWs()
+        if (p >= b.length) bad()
+        val (ks, ke, kesc) = str()
+        if (keys != null) {
+          def sameSpan(a1: Int, e1: Int): Boolean = {
+            if (e1 - a1 != ke - ks) false
+            else {
+              var i = 0
+              var eq = true
+              while (eq && i < ke - ks) { eq = b(a1 + i) == b(ks + i); i += 1 }
+              eq
+            }
+          }
+          if (keys.exists { case (a, e2) => sameSpan(a, e2) }) spanCanonical = false
+          else keys += ((ks, ke))
+          if (kesc) spanCanonical = false
+        }
+        skipWs()
+        if (p >= b.length || b(p) != ':') bad()
+        p += 1
+        if (targetKey != null && kesc) punt() // escaped key could decode-match
+        if (targetKey != null && !kesc && bytesEq(ks, ke, targetKey)) {
+          if (matchedTarget) punt() // duplicate of a navigated key
+          matchedTarget = true
+          value(si + 1)
+        } else value(-1)
+        skipWs()
+        if (p >= b.length) bad()
+        b(p) match {
+          case ',' => p += 1
+          case '}' => p += 1; continue = false
+          case _ => bad()
+        }
+      }
+      depth -= 1
+    }
+
+    private def arr(si: Int): Unit = {
+      depth += 1
+      if (depth > 400) punt()
+      val targetIdx: Int =
+        if (si >= 0 && si < steps.length) steps(si) match {
+          case i: Integer => i.intValue
+          case _ => -1
+        } else -1
+      p += 1
+      skipWs()
+      if (p < b.length && b(p) == ']') { p += 1; depth -= 1; return }
+      var idx = 0
+      var continue = true
+      while (continue) {
+        if (targetIdx == idx) value(si + 1) else value(-1)
+        skipWs()
+        if (p >= b.length) bad()
+        b(p) match {
+          case ',' => p += 1; idx += 1
+          case ']' => p += 1; continue = false
+          case _ => bad()
+        }
+      }
+      depth -= 1
+    }
+
+    private def extract(): Any = b(s0) match {
+      case '"' =>
+        var hasEsc = false
+        var i = s0 + 1
+        while (i < s1 - 1 && !hasEsc) { if (b(i) == '\\') hasEsc = true; i += 1 }
+        if (raw) {
+          if (hasEsc) punt() // re-escaping may differ (\b/\f/\uXXXX forms)
+          else UTF8String.fromBytes(b, s0, s1 - s0)
+        } else if (!hasEsc) UTF8String.fromBytes(b, s0 + 1, s1 - s0 - 2)
+        else { // decode escapes exactly as the arbiters do
+          val cur = new AnyCur(b)
+          UTF8String.fromString(cur.decode(s0 + 1, s1 - 1))
+        }
+      case '{' | '[' =>
+        if (spanCanonical) UTF8String.fromBytes(b, s0, s1 - s0) else punt()
+      case 't' => UTF8String.fromString("true")
+      case 'f' => UTF8String.fromString("false")
+      case 'n' =>
+        // raw (Any-carrier) form: the fragment text. Scalar forms: the
+        // tree navigator maps a JSON null to SQL NULL at any depth;
+        // Spark's evaluator maps it to SQL NULL only when the FINAL
+        // path step is an object key (`.name`) — a null matched by the
+        // root `$` or an array index emits the text "null" (probed
+        // behavior, pinned by JsonFastSpec).
+        if (raw || (sparkMode && (steps.length == 0 ||
+            steps.last.isInstanceOf[Integer])))
+          UTF8String.fromString("null")
+        else null
+      case _ =>
+        if (numCanonical(b, s0, s1)) UTF8String.fromBytes(b, s0, s1 - s0)
+        else punt()
+    }
+  }
+
+  /** Fast-path accessor: UTF8String result, null for SQL NULL; throws
+    * [[JsonFastPunt]] when the arbiter must decide. */
+  private def fastJsonGet(doc: UTF8String, path: UTF8String,
+      raw: Boolean, sparkMode: Boolean = false): Any =
+    try new JsonWalker(doc.getBytes, path.toString, raw, sparkMode).run()
+    catch { case JsonBad => null }
+
+  /** [[jsonGetScalar]] semantics through the walker; tree fallback. */
+  def jsonGetScalarFast(doc: UTF8String, path: UTF8String): UTF8String = {
+    if (doc == null || path == null) return null
+    try fastJsonGet(doc, path, raw = false).asInstanceOf[UTF8String]
+    catch { case JsonFastPunt => jsonGetScalar(doc, path) }
+  }
+
+  /** [[jsonGetRaw]] semantics through the walker; tree fallback. */
+  def jsonGetRawFast(doc: UTF8String, path: UTF8String): UTF8String = {
+    if (doc == null || path == null) return null
+    try fastJsonGet(doc, path, raw = true).asInstanceOf[UTF8String]
+    catch { case JsonFastPunt => jsonGetRaw(doc, path) }
+  }
+
+  /** Spark-GetJsonObject semantics through the walker; on punt, the
+    * genuine article decides (per-thread evaluator, path re-set per
+    * call — fallbacks are rare). */
+  private val sparkGjoTl =
+    new ThreadLocal[org.apache.spark.sql.catalyst.expressions.json.GetJsonObjectEvaluator]()
+  def getJsonObjectFast(doc: UTF8String, path: UTF8String): UTF8String = {
+    if (doc == null || path == null) return null
+    try fastJsonGet(doc, path, raw = false, sparkMode = true)
+      .asInstanceOf[UTF8String]
+    catch {
+      case JsonFastPunt =>
+        var ev = sparkGjoTl.get()
+        if (ev == null) {
+          ev = org.apache.spark.sql.catalyst.expressions.json
+            .GetJsonObjectEvaluator(null)
+          sparkGjoTl.set(ev)
+        }
+        ev.setJson(doc)
+        ev.setPath(path)
+        ev.evaluate().asInstanceOf[UTF8String]
+    }
+  }
+
+  /** get_json_object with the walker fast path — drop-in for Spark's
+    * GetJsonObject on the engine's lowered accessor paths (identical
+    * output by the punt rules above; the real evaluator arbitrates
+    * every punt). */
+  case class JsonGetSpark(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(doc: Any, path: Any): Any =
+      getJsonObjectFast(doc.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (d, p) => s"""
+        ${ev.value} = graft.sources.Yson.getJsonObjectFast($d, $p);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonGetSpark =
+      copy(left = l, right = r)
+  }
+
+  def getJsonFast(doc: Column, path: Column): Column =
+    S.column(JsonGetSpark(S.expression(doc), S.expression(path)))
+
   def jsonGetRaw(doc: UTF8String, path: UTF8String): UTF8String = {
     if (doc == null || path == null) return null
     try {
@@ -966,13 +1363,13 @@ object Yson {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override protected def nullSafeEval(doc: Any, path: Any): Any =
-      jsonGetScalar(doc.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+      jsonGetScalarFast(doc.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
       nullSafeCodeGen(ctx, ev, (d, p) => s"""
-        ${ev.value} = graft.sources.Yson.jsonGetScalar($d, $p);
+        ${ev.value} = graft.sources.Yson.jsonGetScalarFast($d, $p);
         ${ev.isNull} = ${ev.value} == null;
       """)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonGetScalar =
@@ -1403,13 +1800,13 @@ object Yson {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override protected def nullSafeEval(doc: Any, path: Any): Any =
-      jsonGetRaw(doc.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+      jsonGetRawFast(doc.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
       nullSafeCodeGen(ctx, ev, (d, p) => s"""
-        ${ev.value} = graft.sources.Yson.jsonGetRaw($d, $p);
+        ${ev.value} = graft.sources.Yson.jsonGetRawFast($d, $p);
         ${ev.isNull} = ${ev.value} == null;
       """)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonGetRaw =
