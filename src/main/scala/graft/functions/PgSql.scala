@@ -1115,9 +1115,19 @@ object PgSql {
         // escaped; notably, this allows access to POSIX
         // character-class escapes such as \d") — Java regex shares
         // \d/\s/\w/\b with PG's ARE, and a literal escape like \%
-        // stays a literal
+        // stays a literal. PG's ARE word-boundary escapes Java spells
+        // differently — translate rather than surface a raw
+        // PatternSyntaxException at eval time: \m (start of word) →
+        // (?<!\w)(?=\w), \M (end of word) → (?<=\w)(?!\w), \y (any
+        // boundary) → \b, \Y (non-boundary) → \B.
         val nx = pat.charAt(i + 1)
-        re.append('\\').append(nx)
+        nx match {
+          case 'm' => re.append("(?<!\\w)(?=\\w)")
+          case 'M' => re.append("(?<=\\w)(?!\\w)")
+          case 'y' => re.append("\\b")
+          case 'Y' => re.append("\\B")
+          case _ => re.append('\\').append(nx)
+        }
         i += 2
       } else {
         if (inClass) {

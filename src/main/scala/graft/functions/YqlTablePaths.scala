@@ -54,7 +54,8 @@ object YqlTablePaths {
     * the file index + schema, never data — same posture as
     * [[graft.sources.Tables.load]]). */
   private val viewCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, Long)]]()
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
   private val activeSession =
     new scala.util.DynamicVariable[Option[org.apache.spark.sql.SparkSession]](None)
@@ -64,16 +65,39 @@ object YqlTablePaths {
   def rewrite(spark: org.apache.spark.sql.SparkSession, sql: String): String =
     activeSession.withValue(Some(spark)) { rewrite(sql) }
 
+  /** mtime of the path (a glob's member-set changes move its parent
+    * directory's mtime) — one stat per lowering, so an in-session
+    * rewrite of a member table invalidates the cached view. */
+  private def stampOf(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.exists) f.lastModified
+    else Option(f.getParentFile).map(_.lastModified).getOrElse(0L)
+  }
+
   /** The FROM-able reference for a member path: a cached registered
-    * view when a session is active, the bare SQL-on-file scan text
-    * otherwise. */
+    * view when a session is active (sessions key weakly, entries
+    * re-resolve when the path's stamp moves), the bare SQL-on-file
+    * scan text otherwise. */
   private def pathRef(path: String): String = activeSession.value match {
     case Some(spark) =>
-      val view = viewCache.computeIfAbsent((spark, path), { _ =>
-        val v = s"__g_tbl_${viewSeq.incrementAndGet()}"
-        spark.read.parquet(path).createOrReplaceTempView(v)
-        v
-      })
+      val perSession = viewCache.synchronized {
+        var m = viewCache.get(spark)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+          viewCache.put(spark, m)
+        }
+        m
+      }
+      val stamp = stampOf(path)
+      val hit = perSession.get(path)
+      val view =
+        if (hit != null && hit._2 == stamp) hit._1
+        else {
+          val v = s"__g_tbl_${viewSeq.incrementAndGet()}"
+          spark.read.parquet(path).createOrReplaceTempView(v)
+          perSession.put(path, (v, stamp))
+          v
+        }
       s"`$view`"
     case None => s"parquet.`${qIdent(path)}`"
   }

@@ -596,12 +596,18 @@ object DynTable {
     * ordinals are resolved by name from the frame's schema. */
   private def localLatestLookup(df: DataFrame, keyCols: Seq[String],
       keyVals: Seq[Any], valueCols: Seq[String]): Option[Option[Seq[Long]]] =
-    localUnionRows(df).map { rows =>
+    localUnionRows(df).flatMap { rows =>
       val schema = df.schema
       val keyIdx = keyCols.map(schema.fieldIndex)
       val tsIdx = schema.fieldIndex("ts")
       val opIdx = schema.fieldIndex("op")
       val valIdx = valueCols.map(schema.fieldIndex)
+      // Nulls in any consulted column (keys, ts, op, values) fall back
+      // to the distributed read, which owns null semantics — a local
+      // getLong on a null slot would silently read 0.
+      def anyNull(r: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+        keyIdx.exists(r.isNullAt) || r.isNullAt(tsIdx) || r.isNullAt(opIdx) ||
+          valIdx.exists(r.isNullAt)
       def keyMatches(r: org.apache.spark.sql.catalyst.InternalRow): Boolean =
         keyIdx.zip(keyVals).forall {
           case (i, s: String) => r.getUTF8String(i).toString == s
@@ -610,13 +616,19 @@ object DynTable {
         }
       var best: org.apache.spark.sql.catalyst.InternalRow = null
       var bestTs = Long.MinValue
+      var punt = false
       rows.foreach { r =>
-        if (keyMatches(r) && r.getLong(tsIdx) > bestTs) {
-          best = r; bestTs = r.getLong(tsIdx)
+        if (!punt) {
+          if (anyNull(r)) punt = true
+          else if (keyMatches(r) && r.getLong(tsIdx) > bestTs) {
+            best = r; bestTs = r.getLong(tsIdx)
+          }
         }
       }
-      if (best == null || best.getUTF8String(opIdx).toString != OpUpsert) None
-      else Some(valIdx.map(best.getLong))
+      if (punt) None // unexpected shape: let readLatest decide
+      else if (best == null ||
+        best.getUTF8String(opIdx).toString != OpUpsert) Some(None)
+      else Some(Some(valIdx.map(best.getLong)))
     }
 
   /** Current offset of a consumer on a tablet (0 when unregistered). */

@@ -561,8 +561,6 @@ object TextAnalysis {
       hexDigits: Int = 3, iters: Int = 15, lr: Double = 8.0,
       lrDecay: Double = 0.5, l2: Double = 1e-3): Array[Double] = {
     val nBuckets = 1 << (4 * hexDigits)
-    val sc = docs.sparkSession.sparkContext
-    val persistedBefore = sc.getPersistentRDDs.keySet
     val feats = docs.select(
         labelCol.cast("double").as("y"),
         concat(
@@ -630,10 +628,19 @@ object TextAnalysis {
       it += 1
     }
     // the checkpoint blocks are training scaffolding only (the caller
-    // gets the weight array) — release them instead of waiting for GC
-    (sc.getPersistentRDDs.keySet -- persistedBefore).foreach { id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
-    }
+    // gets the weight array) — release them instead of waiting for GC.
+    // Unpersist exactly the persisted RDDs in THIS frame's lineage
+    // (walk featsRdd's dependency DAG for non-NONE storage levels); a
+    // global before/after keyset diff could sweep up RDDs cached
+    // concurrently by unrelated work on the same context.
+    def unpersistLineage(r: org.apache.spark.rdd.RDD[_],
+        seenIds: scala.collection.mutable.Set[Int]): Unit =
+      if (seenIds.add(r.id)) {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          r.unpersist(blocking = false)
+        r.dependencies.foreach(d => unpersistLineage(d.rdd, seenIds))
+      }
+    unpersistLineage(featsRdd, scala.collection.mutable.Set.empty[Int])
     w
   }
 

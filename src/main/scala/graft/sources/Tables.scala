@@ -63,13 +63,43 @@ object Tables {
     * the files), never data or results: every execution still scans
     * the parquet. Keyed per session (a DataFrame is bound to the
     * session that built it). */
+  /** Sessions key WEAKLY (a stopped session's relations become
+    * collectable instead of pinning DataFrames for the JVM lifetime);
+    * entries carry the path's (mtime, length) stamp so an in-session
+    * rewrite of a cached path invalidates the stale file index — one
+    * stat() per load, against the tens-of-ms full re-resolution the
+    * cache exists to avoid. */
   private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    relationCache.computeIfAbsent((spark, path(dir, name)), { _ =>
+  /** (mtime, length) of the path — a parquet overwrite replaces the
+    * file or rewrites the directory, both of which move the stamp. */
+  private def stampOf(p: String): (Long, Long) = {
+    val f = new java.io.File(p)
+    (f.lastModified, f.length)
+  }
+
+  private def sessionCache(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)] =
+    relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)]()
+        relationCache.put(spark, m)
+      }
+      m
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = path(dir, name)
+    val cache = sessionCache(spark)
+    val (mtime, len) = stampOf(p)
+    val hit = cache.get(p)
+    if (hit != null && hit._2 == mtime && hit._3 == len) hit._1
+    else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(path(dir, name))
+      val df = spark.read.parquet(p)
       val normalized = if (name == "events") {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.types._
@@ -81,8 +111,11 @@ object Tables {
           case _ => df
         }
       } else df
-      tagUnique(normalized, name)
-    })
+      val built = tagUnique(normalized, name)
+      cache.put(p, (built, mtime, len))
+      built
+    }
+  }
 
   /** Recursive on-disk footprint of a table path (file or directory). */
   private def diskBytes(f: java.io.File): Long =

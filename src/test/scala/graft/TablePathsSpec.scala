@@ -145,4 +145,30 @@ class TablePathsSpec extends SparkSpec {
     assert(YqlTablePaths.rewrite("SELECT 'FROM RANGE(x)' AS s") ==
       "SELECT 'FROM RANGE(x)' AS s")
   }
+
+  test("relation caches invalidate when a cached path is rewritten") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("tcache").toString
+
+    // Tables.load: the file-stamp check must pick up an overwrite
+    spark.range(0, 5).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    assert(graft.sources.Tables.load(spark, dir, "orders").count() == 5)
+    Thread.sleep(1100) // distinct mtime second even on coarse filesystems
+    spark.range(0, 9).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    assert(graft.sources.Tables.load(spark, dir, "orders").count() == 9,
+      "Tables.load served a stale file index after an overwrite")
+
+    // table-path view cache: same contract through the SQL lowering
+    val tp = s"$dir/members"
+    spark.range(0, 3).toDF("v").write.parquet(s"$tp/a")
+    def n(): Long = graft.functions.YqlSql.sql(spark,
+      s"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM CONCAT('$tp/a')")
+      .head().getLong(0)
+    assert(n() == 3)
+    Thread.sleep(1100)
+    spark.range(0, 7).toDF("v").write.mode("overwrite").parquet(s"$tp/a")
+    assert(n() == 7, "table-path view served a stale member scan")
+  }
 }
