@@ -84,7 +84,10 @@ object Fns {
     // tracked magnitude bound) rules out engine-divergent edge cases
     // by construction, so any hash mismatch is a genuine bug.
     "ql_fuzz_exprs" -> ((s, d) => {
-      val fixture = t(s, d, "orders").select(
+      // 40 drawn expressions per row on a single-split scan: the
+      // projection is pure per-row compute (measured fully codegen'd,
+      // one core) — spread it (guide §2)
+      val fixture = Tables.loadSpread(s, d, "orders").select(
         col("o_orderkey").as("a"), col("o_custkey").as("b"),
         when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
           .otherwise(col("o_custkey") % 100).as("c"))
