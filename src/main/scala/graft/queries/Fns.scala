@@ -33,6 +33,8 @@ object Fns {
     "ql_fn_guid" -> ((s, d) => {
       val hi = col("l_orderkey") * 2654435761L + col("l_linenumber")
       val lo = col("l_partkey") * 40503L + col("l_suppkey")
+      // spread measured 0.5x here (r13): formatting is cheap per row
+      // and the 60k-row exchange dominates — left single-split
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         F.format_guid(hi, lo).as("guid"),
@@ -286,6 +288,8 @@ object Fns {
         lit("\";meta={pri=\""), col("o_orderpriority"), lit("\"}}"))
       val g = graft.functions.Sketches.jsonMultiGet(
         graft.sources.Yson.ysonToJson(yson), Seq("price", "status", "meta.pri"))
+      // spread measured flat here (r13): the multiget work is too
+      // cheap relative to a 15k-row exchange — left single-split
       t(s, d, "orders").select(
         col("o_orderkey"),
         element_at(g, 1).cast("double").as("price"),
