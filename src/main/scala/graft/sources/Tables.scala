@@ -117,7 +117,14 @@ object Tables {
     }
   }
 
-  /** Recursive on-disk footprint of a table path (file or directory). */
+  /** Recursive on-disk footprint of a table path (file or directory).
+    * The spread gate uses TOTAL bytes, not file count: a sub-split
+    * corpus scans with at most a handful of tasks whatever its file
+    * layout (a single small file is one row group = one task; a
+    * directory of small part files packs into few splits), and the
+    * sf1-decade A/B showed the expensive-projection win (ql_fuzz_exprs
+    * 3.7→2.2 s) outweighs the mild exchange tax on lighter ones
+    * (yql_fn_basics 2.5→2.7 s) on multi-file layouts too. */
   private def diskBytes(f: java.io.File): Long =
     if (f.isFile) f.length
     else Option(f.listFiles()).map(_.map(diskBytes).sum).getOrElse(0L)
