@@ -63,15 +63,23 @@ object Tables {
     * the files), never data or results: every execution still scans
     * the parquet. Keyed per session (a DataFrame is bound to the
     * session that built it). */
-  /** Sessions key WEAKLY (a stopped session's relations become
+  /** Sessions key WEAKLY (a dropped session's relations become
     * collectable instead of pinning DataFrames for the JVM lifetime);
     * entries carry the path's (mtime, length) stamp so an in-session
     * rewrite of a cached path invalidates the stale file index — one
     * stat() per load, against the tens-of-ms full re-resolution the
-    * cache exists to avoid. */
+    * cache exists to avoid.
+    *
+    * The relation map is held through a SoftReference: its DataFrames
+    * strongly reference their session, and a WeakHashMap entry whose
+    * value strongly references its key is never collectable (the
+    * value→key pin). The soft indirection lets the GC drop the map
+    * under memory pressure, which unpins the session; in normal
+    * operation soft refs survive GC (including Bench's between-query
+    * System.gc()), so cache hits are unaffected. */
   private val relationCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)]]]()
 
   /** (mtime, length) of the path — a parquet overwrite replaces the
     * file or rewrites the directory, both of which move the stamp. */
@@ -83,12 +91,14 @@ object Tables {
   private def sessionCache(spark: SparkSession)
       : java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)] =
     relationCache.synchronized {
-      var m = relationCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)]()
-        relationCache.put(spark, m)
+      val ref = relationCache.get(spark)
+      val cur = if (ref != null) ref.get else null
+      if (cur != null) cur
+      else {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)]()
+        relationCache.put(spark, new java.lang.ref.SoftReference(m))
+        m
       }
-      m
     }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
